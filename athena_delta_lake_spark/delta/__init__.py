@@ -1,0 +1,21 @@
+"""Native Delta Lake core: log replay, snapshot, pruning, scan, write."""
+
+from .log import AddFile, DeltaLog, SnapshotState
+from .reader import read_snapshot
+from .stats import prune_files
+from .table import DeltaTable
+from .types import schema_string_to_struct, struct_to_schema_string
+from .writer import write_checkpoint, write_delta
+
+__all__ = [
+    "AddFile",
+    "DeltaLog",
+    "DeltaTable",
+    "SnapshotState",
+    "prune_files",
+    "read_snapshot",
+    "schema_string_to_struct",
+    "struct_to_schema_string",
+    "write_checkpoint",
+    "write_delta",
+]

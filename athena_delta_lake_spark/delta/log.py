@@ -1,0 +1,296 @@
+"""Native Delta Lake transaction-log replay -> Snapshot.
+
+This is the engine core the reference delegated to the `delta-standalone`
+library (`DeltaLog.forTable(conf, path).snapshot`,
+/root/reference/DeltaMetadataHandler.scala:99,117,150; dep build.sbt:37).
+Rebuilt natively: read `_delta_log/NNNNNNNNNNNNNNNNNNNN.json` commit files
+(newline-delimited JSON actions) plus the optional Parquet checkpoint
+referenced by `_last_checkpoint`, and reconcile `add`/`remove` actions into
+the live snapshot: (schema, partition columns, live data files with typed
+partition values and per-file stats, version).
+
+Improvements over the reference (SURVEY §2.C):
+- snapshot caching keyed by (path, version) — the reference re-replayed the
+  log on every request;
+- time travel (`version=` parameter);
+- per-file min/max/nullCount stats retained for data skipping — the
+  reference ignored them;
+- O(files) replay — the reference's split generation was O(partitions*files).
+
+Scale posture: commit JSON files are small and bounded per commit; the
+checkpoint Parquet is read via pyarrow in streaming batches. File metadata is
+held as a list of dataclasses on the driver — the same choice Delta's own
+Spark implementation makes for planning (an InMemoryLogReplay); for tables
+whose *metadata* exceeds driver memory, `Snapshot.files_df` exposes the file
+list as a distributed DataFrame.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+from .types import cast_partition_value, schema_string_to_struct
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
+
+
+@dataclass(frozen=True)
+class AddFile:
+    """A live data file in a snapshot (Delta `add` action)."""
+
+    path: str  # relative to the table root (URL-decoded)
+    partition_values: dict[str, str | None]
+    size: int
+    modification_time: int
+    stats: dict | None = None  # parsed stats JSON: numRecords/minValues/maxValues/nullCount
+
+
+@dataclass
+class SnapshotState:
+    version: int
+    metadata: dict  # raw metaData action
+    protocol: dict
+    schema: T.StructType
+    partition_columns: list[str]
+    files: list[AddFile]
+    table_path: str
+
+    @property
+    def num_files(self) -> int:
+        return len(self.files)
+
+
+@dataclass
+class _ReplayAccumulator:
+    """Last-writer-wins replay state; actions applied in commit order."""
+
+    metadata: dict | None = None
+    protocol: dict | None = None
+    adds: dict[str, AddFile] = field(default_factory=dict)
+    removed: set[str] = field(default_factory=set)
+
+
+def _log_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_delta_log")
+
+
+def _list_log_files(log_dir: str) -> list[str]:
+    try:
+        return sorted(os.listdir(log_dir))
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"not a Delta table (no _delta_log): {os.path.dirname(log_dir)}"
+        ) from None
+
+
+def _parse_stats(raw) -> dict | None:
+    if not raw:
+        return None
+    if isinstance(raw, dict):
+        return raw
+    try:
+        return json.loads(raw)
+    except (ValueError, TypeError):
+        return None
+
+
+def _decode_path(p: str) -> str:
+    from urllib.parse import unquote
+
+    return unquote(p)
+
+
+def _apply_action(acc: _ReplayAccumulator, action: dict) -> None:
+    if "metaData" in action:
+        acc.metadata = action["metaData"]
+    elif "protocol" in action:
+        acc.protocol = action["protocol"]
+    elif "add" in action:
+        a = action["add"]
+        path = _decode_path(a["path"])
+        acc.removed.discard(path)
+        pv = a.get("partitionValues") or {}
+        if isinstance(pv, list):  # pyarrow map type materializes as [(k, v), ...]
+            pv = dict(pv)
+        acc.adds[path] = AddFile(
+            path=path,
+            partition_values=pv,
+            size=int(a.get("size", 0)),
+            modification_time=int(a.get("modificationTime", 0)),
+            stats=_parse_stats(a.get("stats")),
+        )
+    elif "remove" in action:
+        path = _decode_path(action["remove"]["path"])
+        acc.adds.pop(path, None)
+        acc.removed.add(path)
+    # commitInfo / txn / cdc / domainMetadata are no-ops for snapshot state
+
+
+def _read_checkpoint(log_dir: str, parts: list[str], acc: _ReplayAccumulator) -> None:
+    """Fold a (possibly multi-part) Parquet checkpoint into the accumulator.
+
+    Checkpoint rows have one non-null column among add/remove/metaData/
+    protocol/txn. Read in record batches via pyarrow to bound memory.
+    """
+    import pyarrow.parquet as pq
+
+    for part in parts:
+        pf = pq.ParquetFile(os.path.join(log_dir, part))
+        cols = [c for c in ("add", "remove", "metaData", "protocol") if c in pf.schema_arrow.names]
+        for batch in pf.iter_batches(columns=cols):
+            rows = batch.to_pylist()
+            for row in rows:
+                action = {k: v for k, v in row.items() if v is not None}
+                if action:
+                    _apply_action(acc, action)
+
+
+def _read_last_checkpoint(log_dir: str) -> dict | None:
+    p = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.loads(f.read())
+
+
+def _checkpoint_parts(log_files: list[str], version: int) -> list[str]:
+    pat_single = f"{version:020d}.checkpoint.parquet"
+    multi = [
+        f
+        for f in log_files
+        if f.startswith(f"{version:020d}.checkpoint.") and f.endswith(".parquet")
+    ]
+    if pat_single in log_files:
+        return [pat_single]
+    return sorted(multi)
+
+
+class DeltaLog:
+    """Replays a table's `_delta_log` into SnapshotState, with caching."""
+
+    _cache: dict[tuple[str, int], SnapshotState] = {}
+
+    def __init__(self, table_path: str):
+        self.table_path = table_path.rstrip("/")
+        self.log_dir = _log_dir(self.table_path)
+
+    def latest_version(self) -> int:
+        versions = [
+            int(m.group(1)) for f in _list_log_files(self.log_dir) if (m := _COMMIT_RE.match(f))
+        ]
+        if not versions:
+            # checkpoint-only logs (expired commits) are legal
+            cps = [
+                int(m.group(1))
+                for f in _list_log_files(self.log_dir)
+                if (m := _CHECKPOINT_RE.match(f))
+            ]
+            if not cps:
+                raise ValueError(f"empty _delta_log at {self.log_dir}")
+            return max(cps)
+        return max(versions)
+
+    def snapshot(self, version: int | None = None) -> SnapshotState:
+        """Snapshot at `version` (default: latest). Cached per (path, version)."""
+        if version is None:
+            version = self.latest_version()
+        key = (self.table_path, version)
+        cached = self._cache.get(key)
+        if cached is not None:
+            return cached
+
+        log_files = _list_log_files(self.log_dir)
+        acc = _ReplayAccumulator()
+
+        # Pick the newest checkpoint at or below the requested version.
+        cp_version = -1
+        last_cp = _read_last_checkpoint(self.log_dir)
+        if last_cp and last_cp.get("version", -1) <= version:
+            cp_version = int(last_cp["version"])
+        else:
+            for f in log_files:
+                m = _CHECKPOINT_RE.match(f)
+                if m and int(m.group(1)) <= version:
+                    cp_version = max(cp_version, int(m.group(1)))
+
+        if cp_version >= 0:
+            parts = _checkpoint_parts(log_files, cp_version)
+            if parts:
+                _read_checkpoint(self.log_dir, parts, acc)
+            else:
+                cp_version = -1  # stale _last_checkpoint; fall back to full replay
+
+        # Replay JSON commits after the checkpoint, in version order.
+        replayed = cp_version
+        for f in log_files:
+            m = _COMMIT_RE.match(f)
+            if not m:
+                continue
+            v = int(m.group(1))
+            if v <= cp_version or v > version:
+                continue
+            if v != replayed + 1:
+                raise ValueError(
+                    f"gap in _delta_log: expected version {replayed + 1}, found {v}"
+                )
+            with open(os.path.join(self.log_dir, f)) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        _apply_action(acc, json.loads(line))
+            replayed = v
+        if replayed != version:
+            raise ValueError(f"requested version {version} not present (max {replayed})")
+
+        if acc.metadata is None:
+            raise ValueError(f"no metaData action found in log at {self.log_dir}")
+
+        schema = schema_string_to_struct(acc.metadata["schemaString"])
+        state = SnapshotState(
+            version=version,
+            metadata=acc.metadata,
+            protocol=acc.protocol or {"minReaderVersion": 1, "minWriterVersion": 2},
+            schema=schema,
+            partition_columns=list(acc.metadata.get("partitionColumns") or []),
+            files=list(acc.adds.values()),
+            table_path=self.table_path,
+        )
+        self._cache[key] = state
+        return state
+
+    def snapshot_as_of_timestamp(self, ts_millis: int) -> SnapshotState:
+        """Time travel to the last commit at or before `ts_millis`."""
+        best = None
+        for f in _list_log_files(self.log_dir):
+            m = _COMMIT_RE.match(f)
+            if not m:
+                continue
+            mtime = int(os.path.getmtime(os.path.join(self.log_dir, f)) * 1000)
+            if mtime <= ts_millis:
+                v = int(m.group(1))
+                best = v if best is None else max(best, v)
+        if best is None:
+            raise ValueError(f"no commit at or before {ts_millis}")
+        return self.snapshot(best)
+
+    @classmethod
+    def clear_cache(cls) -> None:
+        cls._cache.clear()
+
+
+def typed_partition_values(f: AddFile, schema: T.StructType, partition_columns: list[str]):
+    """Typed (python-value) partition tuple for a file, schema-driven."""
+    by_name = {sf.name: sf.dataType for sf in schema.fields}
+    return tuple(
+        cast_partition_value(f.partition_values.get(c), by_name[c]) for c in partition_columns
+    )
+
+
+__all__ = ["AddFile", "DeltaLog", "SnapshotState", "typed_partition_values"]

@@ -1,0 +1,90 @@
+"""DeltaTable: the user-facing handle on one metastore-less Delta table.
+
+Bundles log replay (log.py), file pruning (stats.py), scan (reader.py) and
+write (writer.py) behind one object — the in-process equivalent of the
+reference's per-table request cycle GetTable -> GetTableLayout -> GetSplits
+-> ReadRecords (/root/reference/DeltaMetadataHandler.scala:90-185,
+DeltaRecordHandler.scala:116-155), minus the Lambda boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .log import DeltaLog, SnapshotState
+from .reader import read_snapshot
+from .stats import Predicate, prune_files
+from .writer import write_checkpoint, write_delta
+
+
+class DeltaTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.log = DeltaLog(self.path)
+
+    # -- metadata (reference: doGetTable, DeltaMetadataHandler.scala:90-107)
+    def snapshot(self, version: int | None = None) -> SnapshotState:
+        return self.log.snapshot(version)
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        return self.snapshot(version).schema
+
+    def partition_columns(self) -> list[str]:
+        return self.snapshot().partition_columns
+
+    def version(self) -> int:
+        return self.log.latest_version()
+
+    # -- layout/splits (reference: getPartitions + doGetSplits, :109-185)
+    def pruned_files(
+        self, predicates: list[Predicate] | None = None, version: int | None = None
+    ):
+        return prune_files(self.snapshot(version), predicates)
+
+    # -- scan (reference: readWithConstraint, DeltaRecordHandler.scala:116-155)
+    def to_df(
+        self,
+        predicates: list[Predicate] | None = None,
+        columns: list[str] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        return read_snapshot(
+            self.spark, self.snapshot(version), predicates, columns
+        )
+
+    # -- write path (absent from the reference; SURVEY §2.C)
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+    ) -> int:
+        if partition_by is None:
+            try:
+                partition_by = self.partition_columns()
+            except (FileNotFoundError, ValueError):
+                partition_by = []
+        return write_delta(df, self.path, mode=mode, partition_by=partition_by)
+
+    def checkpoint(self) -> int:
+        return write_checkpoint(self.path)
+
+    def history(self) -> list[dict]:
+        """commitInfo per version (newest first)."""
+        import json
+        import os
+
+        out = []
+        for v in range(self.version(), -1, -1):
+            p = os.path.join(self.path, "_delta_log", f"{v:020d}.json")
+            if not os.path.exists(p):
+                continue
+            with open(p) as f:
+                for line in f:
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        out.append({"version": v, **a["commitInfo"]})
+                        break
+        return out

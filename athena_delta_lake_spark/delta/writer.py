@@ -1,0 +1,350 @@
+"""Delta Lake write path: Parquet data files + JSON log commits + checkpoints.
+
+The reference is read-only (delta-standalone 0.2.0; SURVEY §2.C "no writes,
+no transactions"). The rebuild adds the write path, which also powers the
+streaming `foreachBatch` Delta-append sink and the test fixtures:
+
+- data files written by Spark's parquet writer (vectorized, partitioned
+  `k=v` layout) into a staging dir, then moved into the table root;
+- per-file stats (numRecords/minValues/maxValues/nullCount) computed from
+  Parquet footer metadata — so the data-skipping reader (stats.py) has real
+  stats to prune on;
+- a JSON commit appended at the next version (`add` actions; `remove`
+  actions for overwrite), `metaData`/`protocol` on first commit or schema
+  change;
+- optional Parquet checkpoint + `_last_checkpoint` (checkpoint()).
+
+Single-writer semantics: commit uses atomic O_EXCL create of the next
+version file, which is exactly Delta's optimistic-concurrency primitive on a
+POSIX/HDFS-like store (on S3 it would be a put-if-absent). Concurrent
+writers race on the version file; the loser retries with a fresh snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .log import DeltaLog
+from .types import struct_to_schema_string
+
+_STATS_SAFE_TYPES = (
+    T.StringType,
+    T.IntegerType,
+    T.LongType,
+    T.ShortType,
+    T.ByteType,
+    T.DoubleType,
+    T.FloatType,
+    T.DateType,
+    T.TimestampType,
+    T.BooleanType,
+)
+
+
+def _json_safe(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, bytes):
+        return None
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        return None
+    return v
+
+
+def _file_stats(local_path: str, data_schema: T.StructType) -> dict:
+    """Aggregate Parquet row-group footer stats into Delta stats JSON."""
+    import pyarrow.parquet as pq
+
+    stats_cols = {f.name for f in data_schema.fields if isinstance(f.dataType, _STATS_SAFE_TYPES)}
+    md = pq.ParquetFile(local_path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if name not in stats_cols or col.statistics is None:
+                continue
+            st = col.statistics
+            if st.has_null_count:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if st.has_min_max:
+                mn, mx = _json_safe(st.min), _json_safe(st.max)
+                if mn is not None and (name not in mins or mn < mins[name]):
+                    mins[name] = mn
+                if mx is not None and (name not in maxs or mx > maxs[name]):
+                    maxs[name] = mx
+    return {
+        "numRecords": md.num_rows,
+        "minValues": mins,
+        "maxValues": maxs,
+        "nullCount": nulls,
+    }
+
+
+def _partition_values_from_relpath(relpath: str, partition_columns: list[str]) -> dict:
+    segs = dict(seg.split("=", 1) for seg in relpath.split("/")[:-1] if "=" in seg)
+    from urllib.parse import unquote
+
+    out = {}
+    for c in partition_columns:
+        raw = segs.get(c)
+        out[c] = None if raw is None or raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+    return out
+
+
+def _next_version(table_path: str) -> int:
+    try:
+        return DeltaLog(table_path).latest_version() + 1
+    except (FileNotFoundError, ValueError):
+        return 0
+
+
+def _atomic_commit(log_dir: str, version: int, actions: Iterable[dict]) -> None:
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"{version:020d}.json")
+    # O_EXCL = put-if-absent: the Delta optimistic-concurrency commit primitive.
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+    with os.fdopen(fd, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+
+
+def write_delta(
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    collect_stats: bool = True,
+) -> int:
+    """Write `df` to a Delta table at `table_path`. Returns committed version.
+
+    mode: 'append' adds files; 'overwrite' adds files and removes all prior
+    live files in the same commit (Delta logical overwrite — old files stay
+    on disk for time travel).
+    """
+    if mode not in {"append", "overwrite"}:
+        raise ValueError(f"unsupported mode: {mode}")
+    table_path = os.path.abspath(table_path)
+    partition_by = list(partition_by or [])
+    schema = df.schema
+    data_schema = T.StructType([f for f in schema.fields if f.name not in partition_by])
+
+    prior = None
+    try:
+        prior = DeltaLog(table_path).snapshot()
+    except (FileNotFoundError, ValueError):
+        pass
+    if prior is not None and mode == "append" and prior.partition_columns != partition_by:
+        raise ValueError(
+            f"partition mismatch: table has {prior.partition_columns}, got {partition_by}"
+        )
+
+    staging = os.path.join(
+        os.path.dirname(table_path), f".staging-{uuid.uuid4().hex}"
+    )
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    now = int(time.time() * 1000)
+    adds = []
+    for root, _dirs, files in os.walk(staging):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel_dir = os.path.relpath(root, staging)
+            rel_dir = "" if rel_dir == "." else rel_dir
+            fname = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            rel_path = os.path.join(rel_dir, fname) if rel_dir else fname
+            dst = os.path.join(table_path, rel_path)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            stats = _file_stats(src, data_schema) if collect_stats else None
+            shutil.move(src, dst)
+            # Delta spec: add.path is URL-encoded relative to the table root;
+            # the replayer (log.py:_decode_path) unquotes it back to the
+            # physical (possibly hive-escaped) file name.
+            from urllib.parse import quote
+
+            add = {
+                "path": quote(rel_path.replace(os.sep, "/"), safe="/"),
+                "partitionValues": _partition_values_from_relpath(
+                    rel_path.replace(os.sep, "/"), partition_by
+                ),
+                "size": os.path.getsize(dst),
+                "modificationTime": now,
+                "dataChange": True,
+            }
+            if stats is not None:
+                add["stats"] = json.dumps(stats, separators=(",", ":"))
+            adds.append({"add": add})
+    shutil.rmtree(staging, ignore_errors=True)
+
+    version = _next_version(table_path)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode.upper()},
+                "engineInfo": "athena_delta_lake_spark",
+            }
+        }
+    ]
+    if version == 0:
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+    if version == 0 or mode == "overwrite":
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": struct_to_schema_string(schema),
+                    "partitionColumns": partition_by,
+                    "configuration": {},
+                    "createdTime": now,
+                }
+            }
+        )
+    if mode == "overwrite" and prior is not None:
+        for f in prior.files:
+            actions.append(
+                {
+                    "remove": {
+                        "path": f.path,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+    actions.extend(adds)
+    _atomic_commit(os.path.join(table_path, "_delta_log"), version, actions)
+    DeltaLog.clear_cache()
+    return version
+
+
+def write_checkpoint(table_path: str) -> int:
+    """Write a Parquet checkpoint of the latest snapshot + `_last_checkpoint`.
+
+    Checkpoint rows carry one non-null action column each
+    (protocol | metaData | add), matching the classic Delta checkpoint shape
+    the replayer (log.py:_read_checkpoint) consumes.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # Classic Delta checkpoint schema: one nullable action-struct per column;
+    # string->string maps for partitionValues/configuration/options.
+    str_map = pa.map_(pa.string(), pa.string())
+    cp_schema = pa.schema(
+        [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [
+                        pa.field("minReaderVersion", pa.int32()),
+                        pa.field("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        pa.field("id", pa.string()),
+                        pa.field("name", pa.string()),
+                        pa.field("description", pa.string()),
+                        pa.field(
+                            "format",
+                            pa.struct(
+                                [
+                                    pa.field("provider", pa.string()),
+                                    pa.field("options", str_map),
+                                ]
+                            ),
+                        ),
+                        pa.field("schemaString", pa.string()),
+                        pa.field("partitionColumns", pa.list_(pa.string())),
+                        pa.field("configuration", str_map),
+                        pa.field("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("partitionValues", str_map),
+                        pa.field("size", pa.int64()),
+                        pa.field("modificationTime", pa.int64()),
+                        pa.field("dataChange", pa.bool_()),
+                        pa.field("stats", pa.string()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    snap = DeltaLog(table_path).snapshot()
+    rows = [
+        {"protocol": snap.protocol, "metaData": None, "add": None},
+        {"protocol": None, "metaData": _checkpoint_metadata(snap.metadata), "add": None},
+    ]
+    for f in snap.files:
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": f.path,
+                    "partitionValues": f.partition_values,
+                    "size": f.size,
+                    "modificationTime": f.modification_time,
+                    "dataChange": False,
+                    "stats": json.dumps(f.stats, separators=(",", ":"))
+                    if f.stats
+                    else None,
+                },
+            }
+        )
+    table = pa.Table.from_pylist(rows, schema=cp_schema)
+    log_dir = os.path.join(table_path, "_delta_log")
+    cp_path = os.path.join(log_dir, f"{snap.version:020d}.checkpoint.parquet")
+    pq.write_table(table, cp_path)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": snap.version, "size": len(rows)}, f)
+    return snap.version
+
+
+def _checkpoint_metadata(md: dict) -> dict:
+    keep = {
+        "id",
+        "name",
+        "description",
+        "format",
+        "schemaString",
+        "partitionColumns",
+        "configuration",
+        "createdTime",
+    }
+    return {k: v for k, v in md.items() if k in keep}
