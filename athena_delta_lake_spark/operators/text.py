@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+Everything is built-in expression trees (regexp/array/aggregate functions)
+— vectorized JVM execution, no UDFs — so each operator is a narrow
+per-row transform with zero shuffles; only the downstream aggregations
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+# small public stopword sets per language for the n-gram/marker heuristic
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "dans", "est"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "nicht"],
+}
+
+
+def tokenize(col: str | Column) -> Column:
+    """BPE-ish tokens: word pieces OR single non-space punctuation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), 0)
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokenize(col))
+
+
+def whitespace_token_count(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def words(col: str | Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def stopword_ratio(col: str | Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or _LANG_MARKERS["en"]
+    w = words(col)
+    sw_arr = F.array(*[F.lit(s) for s in sw])
+    n_sw = F.size(F.filter(w, lambda x: F.array_contains(sw_arr, x)))
+    return n_sw / F.greatest(F.size(w), F.lit(1))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Deterministic heuristic in [0,1]: length band + mean word length band
+    + non-alpha ratio penalty + stopword presence. The exact formula is
+    arbitrary; what matters is that it is pure SQL and oracle-replayable."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = words(c)
+    n_words = F.size(w)
+    n_chars = F.length(c)
+    mean_wlen = n_chars / F.greatest(n_words, F.lit(1))
+    sw_ratio = stopword_ratio(c)
+    len_ok = F.when((n_words >= 10) & (n_words <= 1000), 0.4).otherwise(0.0)
+    wlen_ok = F.when((mean_wlen >= 3) & (mean_wlen <= 12), 0.3).otherwise(0.0)
+    sw_ok = F.when(sw_ratio > 0.01, 0.3).otherwise(0.0)
+    return len_ok + wlen_ok + sw_ok
+
+
+def language_scores(col: str | Column) -> dict[str, Column]:
+    """Per-language marker-word hit ratio (n-gram-free heuristic lang-ID)."""
+    w = words(col)
+    out = {}
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(w, lambda x: F.array_contains(arr, x))) / F.greatest(
+            F.size(w), F.lit(1)
+        )
+    return out
+
+
+def predict_language(col: str | Column) -> Column:
+    """argmax over language marker scores; 'und' when no marker hits."""
+    scores = language_scores(col)
+    pairs = F.array(
+        *[
+            F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+            for lang, s in scores.items()
+        ]
+    )
+    best = F.array_max(pairs)  # struct compare: score first, lang tiebreak
+    return F.when(best.getField("score") > 0, best.getField("lang")).otherwise(
+        F.lit("und")
+    )
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    word set (the classic 'fingerprint' clustering key)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words(col)))))
+
+
+def rolling_hashes(col: str | Column, window: int = 8) -> Column:
+    """Per-position rolling window hashes (winnowing primitive): hash of
+    each `window`-word slice."""
+    w = words(col)
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, window))))
+
+
+def winnow_fingerprint(col: str | Column, window: int = 8, keep: int = 4) -> Column:
+    """Winnowing-style robust fingerprint: the `keep` smallest rolling
+    hashes, sorted — stable under small edits."""
+    return F.slice(F.array_sort(rolling_hashes(col, window)), 1, keep)

@@ -1,0 +1,218 @@
+"""Advanced aggregation surface: rollup/cube/grouping sets, distinct aggs,
+approx sketches, pivot/unpivot, exact percentiles (SURVEY §2.B aggregations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import load, register
+
+
+@register(
+    "a01_rollup_revenue",
+    "aggregation",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "ROLLUP with GROUPING markers (subtotals + grand total)",
+)
+def a01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "revenue")
+    )
+
+
+@register(
+    "a02_cube_counts",
+    "aggregation",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "CUBE over two keys with GROUPING markers",
+)
+def a02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n")
+    )
+
+
+@register(
+    "a03_grouping_sets",
+    "aggregation",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "explicit GROUPING SETS via Spark SQL",
+)
+def a03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "a04_multi_distinct",
+    "aggregation",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS parts,
+           count(DISTINCT l_suppkey) AS supps,
+           count(*) AS rows_n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "multiple COUNT(DISTINCT) in one aggregate (expand-based plan)",
+)
+def a04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("parts"),
+        F.countDistinct("l_suppkey").alias("supps"),
+        F.count("*").alias("rows_n"),
+    )
+
+
+@register(
+    "a05_approx_distinct",
+    "aggregation",
+    None,  # HLL++ estimates are engine-specific: rows-only check; the unit
+    # test asserts relative error vs exact countDistinct instead.
+    "approx_count_distinct (HLL++) per return flag",
+)
+def a05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders")
+    )
+
+
+@register(
+    "a06_exact_percentiles",
+    "aggregation",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "exact interpolated percentiles (Spark percentile == DuckDB quantile_cont)",
+)
+def a06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+@register(
+    "a07_pivot",
+    "aggregation",
+    """
+    SELECT l_returnflag,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS O,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "pivot on l_linestatus (fixed value list -> no extra discovery job)",
+)
+def a07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@register(
+    "a08_unpivot",
+    "aggregation",
+    """
+    WITH agg AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS qty,
+             round(sum(l_extendedprice), 2) AS price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty' AS metric, qty AS val FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'price' AS metric, price AS val FROM agg
+    """,
+    "unpivot via stack() of two measure columns",
+)
+def a08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.expr("stack(2, 'qty', qty, 'price', price) AS (metric, val)"),
+    )
+
+
+@register(
+    "a09_having_stats",
+    "aggregation",
+    """
+    SELECT l_suppkey,
+           round(avg(l_quantity), 4)    AS avg_qty,
+           round(stddev(l_quantity), 4) AS sd_qty,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING count(*) >= 20
+    """,
+    "statistical aggregates (stddev sample) + HAVING",
+)
+def a09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.stddev("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.count("*").alias("_n"),
+        )
+        .filter(F.col("_n") >= 20)
+        .drop("_n")
+    )

@@ -1,0 +1,139 @@
+"""Dedup query surface over the `documents` fixture (north-star extension).
+
+Wires operators/dedup.py to the driver correctness gate. Oracle-matched
+entries re-express the exact algorithm in DuckDB SQL; MinHash/SimHash use
+xxhash64 (not available in DuckDB) so they get rows-only checks, with
+recall-vs-exact covered in tests/test_dedup.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from .base import load, register
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "d01_exact_dup_stats",
+    "dedup",
+    f"""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5({_NORM_SQL})) AS n_distinct
+    FROM documents GROUP BY source
+    """,
+    "per-source exact-dup stats via normalized-text md5",
+)
+def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(dedup.normalize_text("text"))).alias("n_distinct"),
+    )
+
+
+@register(
+    "d02_dedup_keep_first",
+    "dedup",
+    f"""
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+      FROM documents
+    ) t WHERE rn = 1
+    """,
+    "exact dedup keeping lowest doc_id per normalized-text hash",
+)
+def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "text", "doc_id").select("doc_id")
+
+
+@register(
+    "d03_ngram_jaccard_pairs",
+    "dedup",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+                                          i -> array_to_string(words[i:i+2], ' '))) AS shingles
+      FROM w
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+      FROM ex a JOIN ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, round(inter / (n_a + n_b - inter), 6) AS jaccard
+    FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.6
+    """,
+    "exact 3-gram Jaccard near-dup pairs via shingle equi-join (no n^2)",
+)
+def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.6)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "d04_minhash_lsh_pairs",
+    "dedup",
+    None,  # xxhash64 signatures aren't expressible in DuckDB; recall vs the
+    # exact d03 result is asserted in tests/test_dedup.py
+    "MinHash(64)+LSH(16 bands) candidate pairs, exact-Jaccard verified",
+)
+def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.6
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "d05_simhash_pairs",
+    "dedup",
+    None,  # xxhash64-based; hamming properties covered in tests
+    "SimHash64 near-dup pairs (pigeonhole 16-bit blocking, hamming <= 6)",
+)
+def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=6)
+
+
+@register(
+    "d06_embedding_neardup",
+    "dedup",
+    """
+    WITH ex AS (
+      SELECT vec_id, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp,
+             sqrt(sum(CAST(a.v AS DOUBLE) * CAST(a.v AS DOUBLE))) AS na,
+             sqrt(sum(CAST(b.v AS DOUBLE) * CAST(b.v AS DOUBLE))) AS nb
+      FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(dp / (na * nb), 6) AS sim
+    FROM pairs WHERE dp / (na * nb) >= 0.45
+    """,
+    "embedding cosine near-dup pairs (exact, double precision)",
+)
+def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import near_duplicate_pairs_cosine
+
+    e = load(spark, sf_dir, "embeddings")
+    pairs = near_duplicate_pairs_cosine(e, "vec_id", "embedding", threshold=0.45, exact=True)
+    return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))

@@ -1,0 +1,233 @@
+"""Scalar-function query surface (SURVEY §2.B scalar functions:
+string / date-time / math / conditional / JSON / array).
+
+Each query aggregates or filters so the output is small and fully
+deterministic; every computed column is aliased identically in Spark and
+oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import load, register
+
+
+@register(
+    "f01_string_funcs",
+    "scalar",
+    """
+    SELECT upper(c_mktsegment) AS seg_upper,
+           count(*) AS n,
+           min(length(c_name)) AS min_name_len,
+           max(length(trim(c_name))) AS max_name_len,
+           min(substring(c_name, 1, 8)) AS first_prefix,
+           max(concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR))) AS max_tag
+    FROM customer
+    WHERE c_name LIKE 'Customer%'
+    GROUP BY upper(c_mktsegment)
+    """,
+    "upper/length/trim/substring/concat/LIKE",
+)
+def f01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_name").like("Customer%"))
+    return c.groupBy(F.upper("c_mktsegment").alias("seg_upper")).agg(
+        F.count("*").alias("n"),
+        F.min(F.length("c_name")).alias("min_name_len"),
+        F.max(F.length(F.trim(F.col("c_name")))).alias("max_name_len"),
+        F.min(F.substring("c_name", 1, 8)).alias("first_prefix"),
+        F.max(
+            F.concat(
+                F.col("c_mktsegment"), F.lit("#"), F.col("c_nationkey").cast("string")
+            )
+        ).alias("max_tag"),
+    )
+
+
+@register(
+    "f02_regex_split",
+    "scalar",
+    """
+    SELECT regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+           count(*) AS n,
+           CAST(min(len(string_split(p_type, ' '))) AS INT) AS min_words,
+           CAST(max(len(string_split(p_type, ' '))) AS INT) AS max_words
+    FROM part
+    GROUP BY regexp_extract(p_type, '^([A-Z]+)', 1)
+    """,
+    "regexp_extract + split cardinality",
+)
+def f02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.groupBy(
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_head")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min(F.size(F.split("p_type", " "))).alias("min_words"),
+        F.max(F.size(F.split("p_type", " "))).alias("max_words"),
+    )
+
+
+@register(
+    "f03_date_funcs",
+    "scalar",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT)    AS yr,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+           count(*) AS n,
+           min(CAST(date_trunc('month', o_orderdate) AS DATE)) AS first_month,
+           max(CAST(o_orderdate + INTERVAL 30 DAY AS DATE))    AS max_plus30,
+           CAST(min(EXTRACT(dow FROM o_orderdate)) AS INT)     AS min_dow
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    "year/quarter/date_trunc/date_add/dayofweek",
+)
+def f03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.min(F.date_trunc("month", "o_orderdate").cast("date")).alias("first_month"),
+        F.max(F.date_add(F.to_date("o_orderdate"), 30)).alias("max_plus30"),
+        # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dow: 0=Sunday..6 -> align
+        F.min(F.dayofweek("o_orderdate") - 1).alias("min_dow"),
+    )
+
+
+@register(
+    "f04_math_funcs",
+    "scalar",
+    """
+    SELECT l_returnflag,
+           round(sum(abs(l_extendedprice - l_quantity * 1000)), 2) AS abs_spread,
+           round(sum(sqrt(l_quantity)), 4)        AS sum_sqrt,
+           round(sum(ln(l_extendedprice)), 4)     AS sum_ln,
+           round(sum(pow(l_discount, 2)), 6)      AS sum_disc_sq,
+           CAST(sum(floor(l_quantity)) AS BIGINT) AS sum_floor,
+           CAST(sum(ceil(l_discount * 10)) AS BIGINT) AS sum_ceil
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "abs/sqrt/ln/pow/floor/ceil aggregated",
+)
+def f04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000)), 2
+        ).alias("abs_spread"),
+        F.round(F.sum(F.sqrt("l_quantity")), 4).alias("sum_sqrt"),
+        F.round(F.sum(F.log("l_extendedprice")), 4).alias("sum_ln"),
+        F.round(F.sum(F.pow("l_discount", F.lit(2))), 6).alias("sum_disc_sq"),
+        F.sum(F.floor("l_quantity").cast("long")).alias("sum_floor"),
+        F.sum(F.ceil(F.col("l_discount") * 10).cast("long")).alias("sum_ceil"),
+    )
+
+
+@register(
+    "f05_case_coalesce",
+    "scalar",
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    "CASE WHEN bucketing + coalesce/nullif normalization",
+)
+def f05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    status = F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN"))
+    return o.groupBy(
+        bucket.alias("bucket"), status.alias("status_norm")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+
+
+@register(
+    "f06_json_extract",
+    "scalar",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+    "JSON field extraction from the events.props payload column",
+)
+def f06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.filter(F.get_json_object("props", "$.k").isNotNull())
+        .groupBy((k % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "f07_array_funcs",
+    "scalar",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    )
+    SELECT CAST(len(words) AS INT) AS n_words,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN list_contains(words, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS with_spark
+    FROM t GROUP BY 1
+    """,
+    "array construction (split), size, contains over documents",
+)
+def f07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return (
+        d.select(words.alias("words"))
+        .groupBy(F.size("words").alias("n_words"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.array_contains("words", "spark"), 1).otherwise(0)
+            ).alias("with_spark"),
+        )
+    )
+
+
+@register(
+    "f08_higher_order_array",
+    "scalar",
+    """
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS norm_sq,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    "higher-order array functions transform/filter/aggregate on embeddings",
+)
+def f08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    x2 = F.transform(
+        F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(x2, F.lit(0.0), lambda acc, v: acc + v), 4
+        ).alias("norm_sq"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+    )

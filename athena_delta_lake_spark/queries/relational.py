@@ -1,0 +1,763 @@
+"""Relational query surface: scans, filters, joins, aggregation pipelines.
+
+These exercise the operator categories the reference delegated to Athena's
+engine (SURVEY §2.B: scans, projection/filter, every join type, aggregation,
+sort/limit/top-k, subqueries) as Spark built-ins over the TPC-H-ish fixtures.
+Shapes follow the public TPC-H query set where the fixture columns allow.
+
+Scale notes baked into the plans:
+- small dims (region/nation/supplier/part) are broadcast explicitly;
+- aggregations are expressed groupBy->agg so Catalyst plans partial
+  (map-side) aggregation before the shuffle;
+- top-k uses orderBy+limit which Spark plans as TakeOrderedAndProject
+  (per-partition heap, no global sort);
+- monetary sums are rounded at the END (aggregate then round) so the
+  double-precision accumulation matches the oracle bit-for-bit after
+  rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import load, register
+
+# --------------------------------------------------------------- q01 TPC-H Q1
+
+
+@register(
+    "q01_pricing_summary",
+    "aggregation",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 pricing summary: 2-key groupBy, 8 aggregates, partial agg before shuffle",
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ------------------------------------------------------- q02 filter + project
+
+
+@register(
+    "q02_filter_project",
+    "scan",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_discount >= 0.07
+      AND CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    """,
+    "projection + conjunctive filter; predicates push to the parquet scan",
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") > 45)
+            & (F.col("l_discount") >= 0.07)
+            & F.to_date("l_shipdate").between("1995-01-01", "1996-12-31")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+# ------------------------------------------------- q03 shipping priority-ish
+
+
+@register(
+    "q03_top_orders",
+    "join",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3: 3-way join + agg + deterministic top-k (TakeOrderedAndProject)",
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1995-03-15")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("orderdate"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ----------------------------------------------------- q04 semi join (EXISTS)
+
+
+@register(
+    "q04_order_priority",
+    "join",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1995-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    "EXISTS correlated subquery -> left-semi join",
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1995-04-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    joined = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# ------------------------------------------------- q05 local supplier volume
+
+
+@register(
+    "q05_local_supplier_volume",
+    "join",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND CAST(o_orderdate AS DATE) >= DATE '1994-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+    GROUP BY n_name
+    """,
+    "TPC-H Q5: 6-way star join; dims broadcast, fact-fact shuffle join",
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1994-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1996-01-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------- q06 scalar filter
+
+
+@register(
+    "q06_forecast_revenue",
+    "aggregation",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1994-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6: selective scan + global aggregate (no shuffle beyond final)",
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1995-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# -------------------------------------------- q07 volume shipping by nations
+
+
+@register(
+    "q07_volume_shipping",
+    "join",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                    JOIN orders   ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+          OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7: self-joined dim (nation x2), disjunctive pair filter",
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").alias("n1")
+    n2 = load(spark, sf_dir, "nation").alias("n2")
+    df = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2.n_nationkey"))
+        .filter(
+            (
+                (F.col("n1.n_name") == "FRANCE")
+                & (F.col("n2.n_name") == "GERMANY")
+            )
+            | (
+                (F.col("n1.n_name") == "GERMANY")
+                & (F.col("n2.n_name") == "FRANCE")
+            )
+        )
+        .select(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+    )
+    return df.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        F.round(F.sum("volume"), 2).alias("revenue")
+    )
+
+
+# -------------------------------------------------- q09 product-type profit
+
+
+@register(
+    "q09_product_profit",
+    "join",
+    """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders   ON o_orderkey = l_orderkey
+              JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%green%'
+    GROUP BY n_name, CAST(EXTRACT(year FROM o_orderdate) AS INT)
+    """,
+    "TPC-H Q9-ish: LIKE-filtered dim join, group by (nation, year)",
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%green%"))
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit")
+        )
+    )
+
+
+# ------------------------------------------------------ q10 returned items
+
+
+@register(
+    "q10_returned_items",
+    "join",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10: revenue lost to returns, deterministic top-20",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------- q13 customer order-count histogram
+
+
+@register(
+    "q13_customer_distribution",
+    "join",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    "TPC-H Q13: left outer join with join-condition filter + double aggregation",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy(cust.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ------------------------------------------------------------ q14 promo share
+
+
+@register(
+    "q14_promo_revenue",
+    "join",
+    """
+    SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1995-09-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1995-10-01'
+    """,
+    "TPC-H Q14: conditional aggregate ratio over a broadcast join",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.to_date("l_shipdate") < F.lit("1995-10-01"))
+    )
+    part = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# ------------------------------------------------ q16 anti join + distinct agg
+
+
+@register(
+    "q16_parts_supplier",
+    "join",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    "TPC-H Q16-ish: NOT IN -> anti join + count distinct",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin([1, 4, 7, 10, 13, 16, 19, 22])
+    )
+    li = load(spark, sf_dir, "lineitem")
+    bad_supp = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(
+            F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti"
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# -------------------------------------------------------- q18 large orders
+
+
+@register(
+    "q18_large_orders",
+    "join",
+    """
+    SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+           round(o_totalprice, 2) AS totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180
+    )
+    GROUP BY c_custkey, o_orderkey, CAST(o_orderdate AS DATE), round(o_totalprice, 2)
+    """,
+    "TPC-H Q18: IN-subquery over HAVING aggregate -> semi join on agg result",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+# ------------------------------------------------- q19 disjunctive predicates
+
+
+@register(
+    "q19_discounted_revenue",
+    "join",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+    "TPC-H Q19: OR-of-ANDs predicate across join inputs",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+# -------------------------------------------- q22 scalar subquery + anti join
+
+
+@register(
+    "q22_global_sales_opportunity",
+    "join",
+    """
+    SELECT c_mktsegment, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    "TPC-H Q22-ish: scalar subquery threshold + NOT EXISTS anti join",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("a"))
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+# ------------------------------------------------------------ full outer join
+
+
+@register(
+    "j01_full_outer_nation_balance",
+    "join",
+    """
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           round(COALESCE(c.cust_bal, 0), 2) AS cust_bal,
+           round(COALESCE(s.supp_bal, 0), 2) AS supp_bal
+    FROM (SELECT c_nationkey AS nk, sum(c_acctbal) AS cust_bal
+          FROM customer WHERE c_acctbal > 7000 GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, sum(s_acctbal) AS supp_bal
+          FROM supplier WHERE s_acctbal > 7000 GROUP BY s_nationkey) s
+    ON c.nk = s.nk
+    """,
+    "full outer join of two aggregates with COALESCE key recovery",
+)
+def j01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.sum("c_acctbal").alias("cust_bal"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 7000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.sum("s_acctbal").alias("supp_bal"))
+    )
+    j = cust.join(supp, cust.nk == supp.nk, "full_outer")
+    return j.select(
+        F.coalesce(cust.nk, supp.nk).alias("nationkey"),
+        F.round(F.coalesce(F.col("cust_bal"), F.lit(0.0)), 2).alias("cust_bal"),
+        F.round(F.coalesce(F.col("supp_bal"), F.lit(0.0)), 2).alias("supp_bal"),
+    )
+
+
+# ------------------------------------------------------------------ cross join
+
+
+@register(
+    "j02_cross_join_small",
+    "join",
+    """
+    SELECT r1.r_name AS from_region, r2.r_name AS to_region
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey <> r2.r_regionkey
+    """,
+    "cross join of small dims (BroadcastNestedLoopJoin)",
+)
+def j02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r1 = load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k1"), F.col("r_name").alias("from_region")
+    )
+    r2 = load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k2"), F.col("r_name").alias("to_region")
+    )
+    return (
+        r1.crossJoin(F.broadcast(r2))
+        .filter(F.col("k1") != F.col("k2"))
+        .select("from_region", "to_region")
+    )
+
+
+# -------------------------------------------------------------- set operators
+
+
+@register(
+    "s01_union_nations",
+    "setop",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+    """,
+    "UNION (distinct) of two projections",
+)
+def s01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.union(s).distinct()
+
+
+@register(
+    "s02_intersect_keys",
+    "setop",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+    INTERSECT
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    """,
+    "INTERSECT of two key sets",
+)
+def s02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    b = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return a.intersect(b)
+
+
+@register(
+    "s03_except_keys",
+    "setop",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+    "EXCEPT: customers who never ordered",
+)
+def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    b = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b).distinct()

@@ -1,0 +1,181 @@
+"""Similarity-search query surface over `embeddings` (north-star extension).
+
+Brute-force exact KNN is the oracle-matched baseline; LSH ANN is the scale
+path (rows-only here, recall asserted vs brute force in tests). Includes the
+as-of join (DuckDB has a native ASOF JOIN to oracle against).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as sim
+from ..operators.asof import asof_join
+from .base import load, register
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+@register(
+    "n01_knn_brute_force",
+    "similarity",
+    """
+    WITH ex AS (
+      SELECT vec_id, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), sims AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+             sum(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE))
+               / (sqrt(sum(CAST(q.v AS DOUBLE) * CAST(q.v AS DOUBLE)))
+                  * sqrt(sum(CAST(c.v AS DOUBLE) * CAST(c.v AS DOUBLE)))) AS sim
+      FROM ex q JOIN ex c ON q.pos = c.pos
+      WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      FROM sims
+    )
+    SELECT q_id, vec_id, round(sim, 6) AS sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+    "exact cosine top-10 for 3 query vectors (brute force baseline)",
+)
+def n01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    corpus = e
+    res = sim.brute_force_knn(q, corpus, k=10 + 1)  # +1 then drop self-match
+    res = res.filter(F.col("vec_id") != F.col("q_id"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        res.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("q_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+@register(
+    "n02_ann_lsh",
+    "similarity",
+    None,  # approximate; recall vs n01 asserted in tests/test_similarity.py
+    "random-projection LSH ANN (12 planes x 4 tables) with exact re-rank",
+)
+def n02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    res = sim.lsh_ann(q, e, dim=64, k=10, n_planes=12, n_tables=4)
+    return res.filter(F.col("vec_id") != F.col("q_id")).select(
+        "q_id", "vec_id", F.round("sim", 6).alias("sim")
+    )
+
+
+@register(
+    "n03_label_centroids",
+    "similarity",
+    """
+    WITH ex AS (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), per_pos AS (
+      SELECT label, pos, avg(CAST(v AS DOUBLE)) AS avg_val
+      FROM ex GROUP BY 1, 2
+    )
+    SELECT label,
+           round(sqrt(sum(avg_val * avg_val)), 6) AS centroid_norm,
+           CAST(count(*) AS INT) AS dim
+    FROM per_pos GROUP BY label
+    """,
+    "IVF-style per-label centroids (posexplode mean), compared by L2 norm",
+)
+def n03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    cents = sim.label_centroids(e, "label", "embedding")
+    return cents.select(
+        "label",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("centroid"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+            ),
+            6,
+        ).alias("centroid_norm"),
+        F.size("centroid").alias("dim"),
+    )
+
+
+@register(
+    "m01_asof_join",
+    "similarity",
+    """
+    SELECT v.event_id,
+           v.user_id,
+           p.event_id AS purchase_event,
+           round(p.value, 4) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id AND v.ts >= p.ts
+    """,
+    "as-of join: latest purchase at-or-before each view, per user (window-composed in Spark, native ASOF JOIN in DuckDB)",
+)
+def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event"),
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+    )
+    joined = asof_join(
+        views,
+        purchases,
+        on="ts",
+        by="user_id",
+        right_cols=["purchase_event", "purchase_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "purchase_event",
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+
+
+@register(
+    "m02_binary_meta",
+    "similarity",
+    """
+    SELECT source,
+           count(*) AS n,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           min(sha256(encode(text))) AS min_sha
+    FROM documents GROUP BY source
+    """,
+    "multimodal binary-column plumbing: byte length + content hash over binary payloads",
+)
+def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_media_meta
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    d = attach_media_meta(d, "payload", modality="text", fmt="utf-8")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("media_meta.n_bytes")).alias("total_bytes"),
+        F.min(F.col("media_meta.sha256")).alias("min_sha"),
+    )

@@ -1,0 +1,153 @@
+"""Structured Streaming query surface over the `events` fixture
+(SURVEY §2.C: the reference has no streaming at all — extension surface).
+
+Each entry runs a REAL streaming query (readStream file source -> windowed
+stateful aggregation -> memory sink, driven to completion with
+processAllAvailable) and returns the materialized result, so the driver's
+correctness gate checks streaming semantics against a batch SQL oracle:
+
+- tumbling windows (complete mode == batch group-by time bucket)
+- sliding windows (every event in size/slide buckets)
+- streaming dropDuplicates (== batch DISTINCT)
+
+Watermark/late-data semantics (append mode) have no batch oracle by nature;
+they are asserted in tests/test_streaming.py instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import load, register
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+
+
+def _run_to_table(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register(
+    "st01_tumbling_window",
+    "streaming",
+    """
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+    "streaming tumbling 1h windows, complete mode == batch time buckets",
+)
+def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    out = _run_to_table(agg, "st01_out", "complete")
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+@register(
+    "st02_sliding_window",
+    "streaming",
+    """
+    SELECT CAST(floor((epoch(ts) - off) / 3600) * 3600 + off AS BIGINT) AS window_start,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events, (VALUES (0), (1800)) offs(off)
+    GROUP BY 1
+    """,
+    "streaming sliding windows (1h size, 30m slide): each event in 2 windows",
+)
+def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour", "30 minutes")).agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value")
+    )
+    out = _run_to_table(agg, "st02_out", "complete")
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        "n",
+        "avg_value",
+    )
+
+
+@register(
+    "st03_stream_dedup",
+    "streaming",
+    "SELECT DISTINCT event_id FROM events",
+    "streaming dropDuplicates on event_id (state-backed exactly-once ids)",
+)
+def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    dedup = ev.select("event_id").dropDuplicates(["event_id"])
+    return _run_to_table(dedup, "st03_out", "append")
+
+
+@register(
+    "st04_session_window",
+    "streaming",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM marked
+    )
+    SELECT user_id, count(*) AS n_events,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start
+    FROM sess GROUP BY user_id, session_id
+    """,
+    "streaming session windows (30m gap) == batch gap sessionization",
+)
+def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    out = _run_to_table(agg, "st04_out", "complete")
+    return out.select(
+        "user_id",
+        "n_events",
+        F.floor(F.unix_timestamp(F.col("session_window.start"))).alias(
+            "session_start"
+        ),
+    )

@@ -1,0 +1,149 @@
+"""Text-analysis query surface over `documents` (north-star extension).
+
+Language-ID, quality scoring, token counting, fingerprinting — each the
+Spark operator from operators/text.py replayed as DuckDB SQL with the
+identical formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as tx
+from .base import load, register
+
+_WORDS_SQL = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+_TOKEN_RE = "[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"
+
+
+@register(
+    "x01_token_stats",
+    "text",
+    f"""
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT) AS total_tokens,
+           CAST(sum(len({_WORDS_SQL})) AS BIGINT) AS total_words,
+           CAST(max(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT) AS max_tokens
+    FROM documents GROUP BY source
+    """,
+    "token counting: BPE-ish regex tokens + whitespace words per source",
+)
+def x01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(tx.token_count("text").cast("long")).alias("total_tokens"),
+        F.sum(F.size(tx.words("text")).cast("long")).alias("total_words"),
+        F.max(tx.token_count("text")).cast("long").alias("max_tokens"),
+    )
+
+
+_SW = "', '".join(tx._LANG_MARKERS["en"])
+
+
+@register(
+    "x02_quality_scores",
+    "text",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             len({_WORDS_SQL}) AS n_words,
+             length(text) AS n_chars,
+             length(text) / greatest(len({_WORDS_SQL}), 1) AS mean_wlen,
+             len(list_filter({_WORDS_SQL}, w -> list_contains(['{_SW}'], w)))
+               / greatest(len({_WORDS_SQL}), 1) AS sw_ratio
+      FROM documents
+    )
+    SELECT lang,
+           round(avg(
+             (CASE WHEN n_words BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END) +
+             (CASE WHEN mean_wlen BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END) +
+             (CASE WHEN sw_ratio > 0.01 THEN 0.3 ELSE 0.0 END)), 4) AS avg_quality,
+           count(*) AS n
+    FROM scored GROUP BY lang
+    """,
+    "heuristic quality score (length/word-length/stopword bands) by language",
+)
+def x02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.round(F.avg(tx.quality_score("text")), 4).alias("avg_quality"),
+        F.count("*").alias("n"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = "', '".join(tx._LANG_MARKERS[lang])
+    return (
+        f"len(list_filter({_WORDS_SQL}, w -> list_contains(['{markers}'], w)))"
+        f" / greatest(len({_WORDS_SQL}), 1)"
+    )
+
+
+@register(
+    "x03_language_id",
+    "text",
+    f"""
+    WITH scored AS (
+      SELECT lang AS actual_lang,
+             list_aggregate([
+               struct_pack(score := {_lang_score_sql('en')}, lang := 'en'),
+               struct_pack(score := {_lang_score_sql('es')}, lang := 'es'),
+               struct_pack(score := {_lang_score_sql('fr')}, lang := 'fr'),
+               struct_pack(score := {_lang_score_sql('de')}, lang := 'de')
+             ], 'max') AS best
+      FROM documents
+    )
+    SELECT actual_lang,
+           CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS pred_lang,
+           count(*) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+    "marker-word language-ID confusion counts (pred vs recorded lang)",
+)
+def x03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("actual_lang"),
+            tx.predict_language("text").alias("pred_lang"),
+        )
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "x04_fingerprint_clusters",
+    "text",
+    f"""
+    SELECT md5(array_to_string(list_sort(list_distinct({_WORDS_SQL})), ' ')) AS fp,
+           count(*) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+    "order-insensitive word-set fingerprint clustering",
+)
+def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(tx.fingerprint("text").alias("fp"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "x05_winnow_fingerprints",
+    "text",
+    None,  # xxhash64 rolling hashes aren't expressible in DuckDB; stability
+    # under edits is asserted in tests/test_text.py
+    "winnowing fingerprints (k smallest rolling hashes per doc)",
+)
+def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", tx.winnow_fingerprint("text", window=8, keep=4).alias("winnow")
+    )

@@ -1,0 +1,210 @@
+"""Window-function query surface (SURVEY §2.B windows).
+
+Ranking, analytic (lag/lead), running frames, range frames, ntile,
+sessionization-by-gap. Every over() clause uses a TOTAL order within its
+partition (unique tiebreaker columns) so results are deterministic and
+hash-comparable against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .base import load, register
+
+
+@register(
+    "w01_topk_per_group",
+    "window",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(l_extendedprice, 2) AS price, rn
+    FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_suppkey
+                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ) t WHERE rn <= 3
+    """,
+    "top-3 rows per supplier via row_number (the canonical top-k-per-group)",
+)
+def w01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "w02_running_total",
+    "window",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_spend
+    FROM orders
+    """,
+    "per-customer running total over a rows frame",
+)
+def w02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "w03_lag_lead_delta",
+    "window",
+    """
+    SELECT user_id, event_id,
+           round(value - lag(value) OVER w, 4)  AS delta_prev,
+           round(lead(value) OVER w - value, 4) AS delta_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "lag/lead deltas per user ordered by event time",
+)
+def w03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 4).alias("delta_next"),
+    )
+
+
+@register(
+    "w04_rank_dense_ntile",
+    "window",
+    """
+    SELECT p_brand, p_partkey,
+           rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk,
+           ntile(4)     OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS quartile
+    FROM part
+    """,
+    "rank / dense_rank / ntile per brand",
+)
+def w04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    w_val = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    w_uniq = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(w_val).alias("rnk"),
+        F.dense_rank().over(w_val).alias("drnk"),
+        F.ntile(4).over(w_uniq).alias("quartile"),
+    )
+
+
+@register(
+    "w05_range_frame_avg",
+    "window",
+    """
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
+             AS avg_last_hour
+    FROM events
+    """,
+    "range frame over epoch seconds: trailing 1-hour average per user",
+)
+def w05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("avg_last_hour"),
+    )
+
+
+@register(
+    "w06_first_last_value",
+    "window",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "first_value / last_value with explicit full frame",
+)
+def w06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+    )
+
+
+@register(
+    "w07_sessionize_gap",
+    "window",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_id,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    "sessionization by 30-min inactivity gap: lag + cumulative sum of boundaries",
+)
+def w07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))

@@ -1,0 +1,88 @@
+"""Headline benchmark for the PySpark-native engine.
+
+Runs a representative subset of the query surface (heavy relational joins,
+aggregation, windows, dedup, similarity, text) at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Each query is driven to completion with a count() over the result (no
+driver-side materialization of wide rows). A warmup query absorbs JVM/codegen
+startup so per-query numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # relational / TPC-H shapes
+    "q01_pricing_summary",
+    "q03_top_orders",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q09_product_profit",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    # aggregation surface
+    "a04_multi_distinct",
+    "a06_exact_percentiles",
+    # windows
+    "w01_topk_per_group",
+    "w07_sessionize_gap",
+    # LLM-pipeline extensions
+    "d03_ngram_jaccard_pairs",
+    "d04_minhash_lsh_pairs",
+    "n01_knn_brute_force",
+    "x01_token_stats",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from athena_delta_lake_spark import get_spark
+    from athena_delta_lake_spark.queries import registry
+
+    spark = get_spark(app_name="bench")
+    reg = registry()
+
+    # Warmup: trivial count to absorb session/codegen startup.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        qd = reg[name]
+        t0 = time.time()
+        df = qd.fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
