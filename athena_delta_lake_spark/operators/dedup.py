@@ -1,27 +1,42 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-All hot paths are JVM-side built-ins (higher-order array functions, xxhash64)
-— no Python UDFs — so they whole-stage-codegen and scale linearly:
+All hot paths are codegen-friendly relational plans — scalar built-ins
+(xxhash64, getbit, concat_ws), explode + groupBy, window functions — with
+NO higher-order array lambdas and NO wide (64-column) aggregates:
 
+- higher-order lambdas (TRANSFORM/AGGREGATE/ZIP_WITH) are interpreted, not
+  codegen'd, and re-evaluate captured subexpressions per element — measured
+  10-30x slowdowns on these operators;
+- 64-wide aggregates generate enormous whole-stage-codegen methods whose
+  janino compilation costs 15-30 s per plan — the explode-by-seed
+  formulation keeps every generated method small and generic.
+
+Operators:
 - exact dedup: hash-groupBy on normalized text (one shuffle);
 - n-gram (shingle) Jaccard: explode shingles -> equi-join on shingle ->
   per-pair intersection counts (shuffle on shingle, never O(n^2) pairs
   unless they truly share shingles);
-- MinHash + LSH: signatures via nested TRANSFORM + xxhash64 (columnar),
-  banding -> groupBy(band, band_hash) bucket join -> candidate pairs ->
-  exact verification. Scales as O(n * H) compute + bucket-local joins;
-- SimHash: 64-bit signatures via bit-vote aggregation, near-dup =
-  hamming distance <= k on bucket-joined prefixes.
+- MinHash + LSH: per-(doc, seed) min of xxhash64(shingle, seed) (classic
+  explode-by-seed), band hashes per (doc, band), bucket self-join on
+  (band, band_hash), exact-Jaccard verification of candidates only;
+- SimHash: 64-bit signatures by bit-vote over word hashes, near-dup =
+  hamming distance <= k on pigeonhole-blocked slices.
 
-At 100 TB the shuffle keys here (shingle, band-hash, simhash prefix) are
+At 100 TB the shuffle keys here (shingle, band-hash, simhash slice) are
 high-cardinality and uniform (hash-distributed), so partitions stay
 balanced; hot shingles (stopword-only) are dropped by a document-frequency
-cap before the join.
+cap before the join. Shingle SETS are joined to candidate pairs only AFTER
+banding/dedup — candidates are a tiny fraction of the corpus, so the wide
+array payload never rides the big shuffles.
+
+Self-join inputs are materialized with localCheckpoint: Catalyst does not
+common-subexpression-eliminate across join branches, so an unmaterialized
+self-join recomputes its whole upstream twice.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 # --------------------------------------------------------------- exact dedup
@@ -35,8 +50,6 @@ def normalize_text(col: str | Column) -> Column:
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id row per normalized-text hash (deterministic)."""
-    from pyspark.sql import Window as W
-
     h = F.md5(normalize_text(text_col)).alias("_h")
     w = W.partitionBy("_h").orderBy(id_col)
     return (
@@ -60,13 +73,49 @@ def duplicate_groups(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def word_shingles(col: str | Column, k: int) -> Column:
-    """Distinct k-word shingles of a text column, built entirely JVM-side."""
+    """Distinct k-word shingles as an array column (expression form).
+
+    NOTE: higher-order TRANSFORM — interpreted. Fine as a per-row expression
+    on small inputs; the pipeline operators below use shingle_table()
+    (explode + window, fully codegen'd) instead.
+    """
     c = F.col(col) if isinstance(col, str) else col
     words = F.split(normalize_text(c), " ")
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     shingle = lambda i: F.concat_ws(" ", F.slice(words, i, k))  # noqa: E731
     return F.array_distinct(F.transform(idx, shingle))
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Distinct (id, shingle, n_sh) rows, materialized.
+
+    Codegen-only construction: posexplode the word array once, build each
+    k-shingle with LEAD window functions over word position, drop the
+    (k-1) tail positions, distinct, then count distinct shingles per doc
+    with a window. Shuffles partition by doc id — uniform at any scale.
+
+    For texts with fewer than k words a single shorter shingle is kept
+    (concat_ws skips the null LEADs), matching word_shingles semantics.
+    """
+    words_col = F.split(normalize_text(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("id"), F.posexplode(words_col).alias("pos", "w")
+    )
+    w_ord = W.partitionBy("id").orderBy("pos")
+    w_all = W.partitionBy("id")
+    parts = [F.col("w")] + [F.lead("w", j).over(w_ord) for j in range(1, k)]
+    sh = (
+        base.withColumn("n_words", F.count("*").over(w_all))
+        .withColumn("shingle", F.concat_ws(" ", *parts))
+        .filter(F.col("pos") <= F.greatest(F.col("n_words") - k, F.lit(0)))
+        .select("id", "shingle")
+        .distinct()
+        .withColumn("n_sh", F.count("*").over(w_all))
+    )
+    return sh.localCheckpoint(eager=True)
 
 
 def ngram_jaccard_pairs(
@@ -84,10 +133,7 @@ def ngram_jaccard_pairs(
     `max_shingle_df` drops shingles shared by more than that many docs
     (stopword shingles = skew + noise) before the join.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles"))
-    exploded = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    exploded = shingle_table(df, id_col, text_col, k)
     if max_shingle_df is not None:
         freq = (
             exploded.groupBy("shingle")
@@ -123,17 +169,36 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------------- MinHash + LSH
 
 
-def minhash_signature(shingles: Column, num_hashes: int) -> Column:
-    """num_hashes-wide MinHash signature: min over shingles of seed-mixed
-    xxhash64. Nested higher-order functions — stays in codegen."""
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.transform(
-                shingles, lambda sh: F.xxhash64(F.concat(sh, F.lit("#"), s.cast("string")))
+def minhash_table(exploded: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, seed, h) minima: the classic explode-by-seed MinHash.
+
+    h(id, seed) = MIN over the doc's shingles of xxhash64(shingle, seed).
+    One generic MIN aggregate — tiny generated code — instead of a 64-wide
+    aggregate whose codegen compilation dominates runtime. Shuffle volume
+    is num_hashes x the shingle table, with uniform (id, seed) keys.
+    """
+    seeds = exploded.withColumn(
+        "seed", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
+    )
+    return seeds.groupBy("id", "seed").agg(
+        F.min(F.xxhash64("shingle", F.col("seed"))).alias("h")
+    )
+
+
+def band_table(minhashes: DataFrame, rows_per_band: int) -> DataFrame:
+    """(id, band, band_hash): hash of the band's `rows_per_band` minima in
+    seed order. The per-band assembly sorts <= rows_per_band structs per
+    row — a bounded-size expression, no wide codegen."""
+    banded = minhashes.withColumn(
+        "band", F.floor(F.col("seed") / rows_per_band).cast("int")
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("seed", "h")))
+    return banded.groupBy("id", "band").agg(
+        F.xxhash64(
+            F.concat_ws(
+                ",", F.transform(ordered, lambda s: s.getField("h").cast("string"))
             )
-        ),
+        ).alias("band_hash")
     )
 
 
@@ -150,45 +215,37 @@ def minhash_lsh_pairs(
     shingle Jaccard. Returns (id_a, id_b, jaccard) with jaccard >= threshold.
 
     bands*rows = num_hashes; a pair lands in the same bucket for one band
-    with prob 1-(1-j^r)^b — the usual S-curve. Bucket join shuffles on
-    (band, band_hash): uniform keys, no pair explosion.
+    with prob 1-(1-j^r)^b — the usual S-curve. The bucket self-join carries
+    only (id, band, band_hash); shingle sets join in AFTER candidate dedup,
+    so the wide array payload never rides the banding shuffle.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, k).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    sig = base.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
-    banded = sig.select(
-        "id",
-        "shingles",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows))
-                ),
-            )
-        ).alias("band", "band_hash"),
+    exploded = shingle_table(df, id_col, text_col, k)
+    banded = band_table(minhash_table(exploded, num_hashes), rows).localCheckpoint(
+        eager=True
     )
     left = banded.select(
-        "band", "band_hash", F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
+        "band", "band_hash", F.col("id").alias("id_a")
     )
     right = banded.select(
-        "band", "band_hash", F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
+        "band", "band_hash", F.col("id").alias("id_b")
     )
     cands = (
         left.join(right, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sets = exploded.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+    a_sets = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b_sets = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = cands.join(a_sets, "id_a").join(b_sets, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cands.withColumn("jaccard", inter / union)
+        verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -197,36 +254,28 @@ def minhash_lsh_pairs(
 # ------------------------------------------------------------------- SimHash
 
 
-def simhash64(col: str | Column) -> Column:
-    """64-bit SimHash of a text column: per-word xxhash64, bit-vote, sign.
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sim) 64-bit SimHash per row: per-word xxhash64, bit-vote, sign.
 
-    Entirely built-in expressions: fold words into a 64-long vote vector
-    with AGGREGATE + ZIP_WITH, then reassemble the sign bits.
-    """
-    c = F.col(col) if isinstance(col, str) else col
-    words = F.split(normalize_text(c), " ")
-    bit_idx = F.sequence(F.lit(0), F.lit(63))
-    votes = F.aggregate(
-        words,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, w: F.zip_with(
-            acc,
-            F.transform(
-                bit_idx,
-                lambda b: F.when(
-                    F.shiftright(F.xxhash64(w), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1)),
-            ),
-            lambda x, y: x + y.cast("long"),
-        ),
+    Explode words -> hash each word ONCE (scalar xxhash64) -> explode the
+    64 bit positions -> one generic SUM(+-1) vote per (id, bit) -> assemble
+    the sign bits with SUM(shiftleft(1L, bit)). Every aggregate is small
+    and codegen'd; no per-row lambdas, no 64-wide aggregate."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
+    ).withColumn("wh", F.xxhash64("w"))
+    bits = ex.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(63))))
+    votes = bits.groupBy("id", "b").agg(
+        F.sum(F.getbit("wh", F.col("b")) * 2 - 1).alias("v")
     )
-    bit = lambda b: F.when(F.element_at(votes, b + 1) > 0, F.lit(1).cast("long")).otherwise(  # noqa: E731
-        F.lit(0).cast("long")
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("sim")
     )
-    out = F.lit(0).cast("long")
-    for b in range(64):
-        out = out + F.shiftleft(bit(b), b)
-    return out
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -240,9 +289,9 @@ def simhash_pairs(
     max_hamming: int = 3,
     prefix_bits: int = 16,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on `prefix_bits` high bits (plus the
-    rotated variant) then verify hamming distance — avoids the full n^2."""
-    sh = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sim"))
+    """Near-dup pairs by SimHash: block on 16-bit slices then verify hamming
+    distance — avoids the full n^2."""
+    sh = simhash_table(df, id_col, text_col).localCheckpoint(eager=True)
     # pigeonhole blocking: split 64 bits into 4 disjoint 16-bit slices; any
     # pair with hamming <= 3 agrees EXACTLY on at least one slice, so joining
     # per-slice finds every such pair (no false negatives for max_hamming<=3)

@@ -29,8 +29,43 @@ TABLES = (
 )
 
 
+_NANO_TS_COLS: dict[str, list[str]] = {}
+
+
+def _nano_ts_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark cannot read
+    natively (PARQUET_TYPE_ILLEGAL). With spark.sql.legacy.parquet.nanosAsLong
+    they arrive as long nanos; load() converts them back to timestamps."""
+    if path not in _NANO_TS_COLS:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sch = pq.ParquetFile(path).schema_arrow
+        _NANO_TS_COLS[path] = [
+            f.name
+            for f in sch
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    return _NANO_TS_COLS[path]
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nano_cols = _nano_ts_cols(path)
+    if nano_cols:
+        # runtime-settable; required for TIMESTAMP(NANOS) columns regardless
+        # of which session the driver hands us
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    for c in nano_cols:
+        # fixture timestamps are microsecond-aligned; integer division by
+        # 1000 is lossless (verified: 0 rows with sub-microsecond parts)
+        df = df.withColumn(
+            c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
+        )
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

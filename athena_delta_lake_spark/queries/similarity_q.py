@@ -68,12 +68,12 @@ def n01(spark: SparkSession, sf_dir: str) -> DataFrame:
     "n02_ann_lsh",
     "similarity",
     None,  # approximate; recall vs n01 asserted in tests/test_similarity.py
-    "random-projection LSH ANN (12 planes x 4 tables) with exact re-rank",
+    "random-projection LSH ANN (4 planes x 10 tables) with exact re-rank",
 )
 def n02(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     q = _queries_df(spark, sf_dir)
-    res = sim.lsh_ann(q, e, dim=64, k=10, n_planes=12, n_tables=4)
+    res = sim.lsh_ann(q, e, dim=64, k=10, n_planes=4, n_tables=10)
     return res.filter(F.col("vec_id") != F.col("q_id")).select(
         "q_id", "vec_id", F.round("sim", 6).alias("sim")
     )
@@ -162,7 +162,7 @@ def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            count(*) AS n,
            CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-           min(sha256(encode(text))) AS min_sha
+           min(sha256(text)) AS min_sha
     FROM documents GROUP BY source
     """,
     "multimodal binary-column plumbing: byte length + content hash over binary payloads",

@@ -23,17 +23,36 @@ from pyspark.sql import functions as F
 
 from .base import load, register
 
+# events.ts is parquet TIMESTAMP(NANOS): read as long (nanosAsLong) and
+# convert to a microsecond timestamp in the stream (lossless; fixture values
+# are microsecond-aligned).
 _EVENTS_SCHEMA = (
-    "event_id long, ts timestamp, user_id long, event_type string, "
+    "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    # The file-stream source requires a DIRECTORY; the fixture is a single
+    # parquet file. Symlink it into a stable per-sf temp dir.
+    src_dir = os.path.join(
+        "/tmp", f"stream_src_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    target = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    if not os.path.islink(link) or os.readlink(link) != target:
+        if os.path.lexists(link):
+            os.remove(link)
+        os.symlink(target, link)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
         spark.readStream.schema(_EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", "1")
-        .parquet(os.path.join(sf_dir, "events.parquet"))
+        .parquet(src_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
     )
 
 

@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Parquet scan efficiency: pushdown on, sane split size.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Read TIMESTAMP(NANOS) parquet columns as long (Spark has no nanos
+        # type); load() converts to microsecond timestamps losslessly.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # Partition column types inferred from hive-style paths.
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "true")

@@ -1,0 +1,85 @@
+"""As-of join semantics (operator Spark lacks natively; composed from
+built-ins) + bucketized range join."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_delta_lake_spark.operators.asof import (
+    asof_join,
+    asof_join_pandas,
+    range_join_buckets,
+)
+
+
+def _dt(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture
+def sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _dt("2024-01-01 10:00:00")),
+            (2, "u1", _dt("2024-01-01 10:05:00")),
+            (3, "u1", _dt("2024-01-01 09:00:00")),  # before any right row
+            (4, "u2", _dt("2024-01-01 10:00:00")),  # exact tie with right
+            (5, "u3", _dt("2024-01-01 12:00:00")),  # key with no right rows
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _dt("2024-01-01 09:30:00"), 100.0),
+            ("u1", _dt("2024-01-01 10:03:00"), 200.0),
+            ("u2", _dt("2024-01-01 10:00:00"), 300.0),
+        ],
+        "user_id string, ts timestamp, price double",
+    )
+    return left, right
+
+
+def test_asof_backward(spark, sides):
+    left, right = sides
+    out = {r["event_id"]: r["price"] for r in asof_join(left, right, on="ts", by="user_id").collect()}
+    assert out == {1: 100.0, 2: 200.0, 3: None, 4: 300.0, 5: None}
+
+
+def test_asof_forward(spark, sides):
+    left, right = sides
+    out = {
+        r["event_id"]: r["price"]
+        for r in asof_join(left, right, on="ts", by="user_id", direction="forward").collect()
+    }
+    assert out == {1: 200.0, 2: None, 3: 100.0, 4: 300.0, 5: None}
+
+
+def test_asof_pandas_tolerance(spark, sides):
+    left, right = sides
+    out = {
+        r["event_id"]: r["r_price"]
+        for r in asof_join_pandas(
+            left, right, on="ts", by="user_id", tolerance_seconds=600
+        ).collect()
+    }
+    # 10-minute tolerance: event 1 within 30min of 09:30 -> NO (1800s > 600s)
+    assert out == {1: None, 2: 200.0, 3: None, 4: 300.0, 5: None}
+
+
+def test_range_join_buckets(spark):
+    left = spark.createDataFrame(
+        [(1, "k", _dt("2024-01-01 10:00:00")), (2, "k", _dt("2024-01-01 10:10:00"))],
+        "lid long, k string, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", _dt("2024-01-01 09:58:00"), "r1"),
+            ("k", _dt("2024-01-01 09:40:00"), "r2"),
+            ("k", _dt("2024-01-01 10:09:00"), "r3"),
+        ],
+        "k string, rts timestamp, tag string",
+    )
+    out = range_join_buckets(left, right, "lts", "rts", ["k"], max_gap_seconds=300)
+    pairs = {(r["lid"], r["tag"]) for r in out.collect()}
+    assert pairs == {(1, "r1"), (2, "r3")}

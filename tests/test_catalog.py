@@ -1,0 +1,58 @@
+"""Catalog discovery over a storage layout (reference: doListSchemaNames /
+doListTables, DeltaMetadataHandler.scala:74-88 — rebuilt without _$folder$
+markers or 1000-key truncation)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_delta_lake_spark import DeltaPond, write_delta
+
+
+@pytest.fixture
+def pond_root(spark, tmp_path):
+    root = tmp_path / "lake"
+    os.makedirs(root / "sales")
+    os.makedirs(root / "ml")
+    # Delta table
+    write_delta(
+        spark.range(50).select(F.col("id"), (F.col("id") % 2).alias("p")),
+        str(root / "sales" / "orders"),
+        partition_by=["p"],
+    )
+    # bare-parquet table (directory)
+    spark.range(20).write.parquet(str(root / "sales" / "refs"))
+    # flat single-file parquet table
+    spark.range(10).toPandas().to_parquet(str(root / "ml" / "vectors.parquet"))
+    # noise that must NOT be listed
+    os.makedirs(root / "_staging")
+    os.makedirs(root / "sales" / ".tmp")
+    return str(root)
+
+
+def test_list_schemas_tables(spark, pond_root):
+    pond = DeltaPond(spark, pond_root)
+    assert pond.list_schemas() == ["ml", "sales"]
+    assert pond.list_tables("sales") == ["orders", "refs"]
+    assert pond.list_tables("ml") == ["vectors"]
+
+
+def test_read_delta_and_parquet(spark, pond_root):
+    pond = DeltaPond(spark, pond_root)
+    assert pond.read("sales", "orders").count() == 50
+    assert pond.read("sales", "refs").count() == 20
+    assert pond.read("ml", "vectors").count() == 10
+    assert pond.table("sales", "orders").partition_columns() == ["p"]
+    with pytest.raises(ValueError, match="not a Delta table"):
+        pond.table("sales", "refs")
+    with pytest.raises(FileNotFoundError):
+        pond.read("sales", "nope")
+
+
+def test_register_all_sql(spark, pond_root):
+    pond = DeltaPond(spark, pond_root)
+    views = pond.register_all("sales")
+    assert views == ["orders", "refs"]
+    n = spark.sql("SELECT count(*) AS n FROM orders WHERE p = 1").collect()[0]["n"]
+    assert n == 25

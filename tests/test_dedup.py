@@ -1,0 +1,85 @@
+"""Dedup operator semantics: exact, n-gram Jaccard, MinHash-LSH recall,
+SimHash hamming properties (SURVEY P4 north-star extensions)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_delta_lake_spark.operators import dedup
+from athena_delta_lake_spark.queries.base import load
+
+
+def test_normalize_and_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello   World"),
+            (2, "hello world"),
+            (3, "  HELLO\tWORLD  "),
+            (4, "different text"),
+        ],
+        "id long, text string",
+    )
+    out = dedup.exact_dedup(df, "text", "id")
+    assert sorted(r["id"] for r in out.collect()) == [1, 4]
+    groups = dedup.duplicate_groups(df, "text").collect()
+    assert len(groups) == 1 and groups[0]["n"] == 3
+
+
+def test_shingle_table_matches_expression_form(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b"), (3, "x")], "id long, text string"
+    )
+    tbl = dedup.shingle_table(df, "id", "text", 3)
+    got = {
+        (r["id"], r["shingle"]) for r in tbl.collect()
+    }
+    assert got == {
+        (1, "a b c"),
+        (1, "b c d"),
+        (1, "c d e"),
+        (2, "a b"),  # shorter-than-k text keeps one short shingle
+        (3, "x"),
+    }
+    n_sh = {r["id"]: r["n_sh"] for r in tbl.collect()}
+    assert n_sh == {1: 3, 2: 1, 3: 1}
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.6).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            d, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.6
+        ).collect()
+    }
+    assert exact, "fixture should contain near-duplicate documents"
+    # LSH candidates are verified with exact jaccard -> no false positives
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+def test_simhash_near_identical_texts_close(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    edited = base.replace("lazy", "sleepy", 1)
+    other = "completely unrelated content about spark aggregation plans " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "id long, text string"
+    )
+    sims = {r["id"]: r["sim"] for r in dedup.simhash_table(df, "id", "text").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sims[1], sims[2]) <= 12
+    assert ham(sims[1], sims[3]) > ham(sims[1], sims[2])
+
+
+def test_simhash_pairs_blocking_finds_close_pairs(spark):
+    rows = [(i, f"common shared text body number with words {i % 2}") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pairs = dedup.simhash_pairs(df, "id", "text", max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # identical texts (same parity) must be found (hamming 0)
+    assert (0, 2) in got and (1, 3) in got
+    assert all(r["hamming"] <= 3 for r in pairs)

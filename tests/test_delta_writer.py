@@ -1,0 +1,102 @@
+"""Write path + round-trip tests (the reference is read-only; SURVEY §2.C)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_delta_lake_spark import DeltaTable, write_delta
+from athena_delta_lake_spark.delta.log import DeltaLog
+from athena_delta_lake_spark.delta.writer import write_checkpoint
+
+
+@pytest.fixture
+def tbl(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _mk(spark, a, b):
+    return spark.range(a, b).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("bucket"),
+        (F.col("id") * 1.5).alias("val"),
+    )
+
+
+def test_roundtrip_unpartitioned(spark, tbl):
+    write_delta(_mk(spark, 0, 100), tbl, partition_by=[])
+    df = DeltaTable(spark, tbl).to_df()
+    assert df.count() == 100
+    assert set(df.columns) == {"id", "bucket", "val"}
+    assert df.agg(F.sum("id")).collect()[0][0] == sum(range(100))
+
+
+def test_append_and_time_travel(spark, tbl):
+    write_delta(_mk(spark, 0, 100), tbl, partition_by=["bucket"])
+    write_delta(_mk(spark, 100, 150), tbl)  # inherits partitioning
+    t = DeltaTable(spark, tbl)
+    assert t.to_df().count() == 150
+    assert t.to_df(version=0).count() == 100
+    assert t.partition_columns() == ["bucket"]
+
+
+def test_overwrite_removes_prior_files(spark, tbl):
+    write_delta(_mk(spark, 0, 100), tbl, partition_by=[])
+    write_delta(_mk(spark, 0, 10), tbl, mode="overwrite", partition_by=[])
+    t = DeltaTable(spark, tbl)
+    assert t.to_df().count() == 10
+    assert t.to_df(version=0).count() == 100  # old files retained on disk
+
+
+def test_partition_mismatch_raises(spark, tbl):
+    write_delta(_mk(spark, 0, 10), tbl, partition_by=["bucket"])
+    with pytest.raises(ValueError, match="partition mismatch"):
+        write_delta(_mk(spark, 10, 20), tbl, partition_by=[])
+
+
+def test_stats_recorded_and_prune(spark, tbl):
+    write_delta(_mk(spark, 0, 1000).repartitionByRange(4, "id"), tbl, partition_by=[])
+    snap = DeltaLog(tbl).snapshot()
+    assert all(f.stats and f.stats.get("numRecords") for f in snap.files)
+    t = DeltaTable(spark, tbl)
+    pruned = t.pruned_files([("id", "<", 10)])
+    assert 0 < len(pruned) < snap.num_files  # range-partitioned: stats skip files
+    assert t.to_df(predicates=[("id", "<", 10)]).filter(F.col("id") < 10).count() == 10
+
+
+def test_checkpoint_replay(spark, tbl):
+    write_delta(_mk(spark, 0, 50), tbl, partition_by=["bucket"])
+    write_delta(_mk(spark, 50, 80), tbl)
+    write_checkpoint(tbl)
+    write_delta(_mk(spark, 80, 100), tbl)
+    DeltaLog.clear_cache()
+    t = DeltaTable(spark, tbl)
+    assert t.to_df().count() == 100
+    # checkpoint alone (commits removed below it) still replays
+    for v in (0, 1):
+        os.remove(os.path.join(tbl, "_delta_log", f"{v:020d}.json"))
+    DeltaLog.clear_cache()
+    assert DeltaTable(spark, tbl).to_df().count() == 100
+
+
+def test_history(spark, tbl):
+    write_delta(_mk(spark, 0, 10), tbl, partition_by=[])
+    write_delta(_mk(spark, 10, 20), tbl)
+    h = DeltaTable(spark, tbl).history()
+    assert [e["version"] for e in h] == [1, 0]
+    assert all(e["operation"] == "WRITE" for e in h)
+
+
+def test_hive_escaped_partition_values(spark, tbl):
+    """Partition values with '/', '=', space, unicode survive the
+    write -> log -> replay -> scan round trip (URL-encoded add.path)."""
+    df = spark.createDataFrame(
+        [(1, "a/b"), (2, "c=d"), (3, "x y"), (4, "ü"), (5, None)],
+        "id int, k string",
+    )
+    write_delta(df, tbl, partition_by=["k"])
+    t = DeltaTable(spark, tbl)
+    out = {r["k"]: r["id"] for r in t.to_df().collect()}
+    assert out == {"a/b": 1, "c=d": 2, "x y": 3, "ü": 4, None: 5}
+    assert len(t.pruned_files([("k", "=", "a/b")])) == 1

@@ -1,0 +1,43 @@
+"""Driver-contract smoke (SURVEY §5.4 t1): entry() runs, queries() and
+oracle_sql() are consistent, every callable yields a schema-stable DataFrame."""
+
+import importlib
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+entry_mod = importlib.import_module("__spark_entry__")
+
+
+def test_entry_flagship(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns and "l_returnflag" in df.columns
+
+
+def test_queries_oracle_consistency():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 60
+    assert set(oracles) <= set(qs)
+    # every non-oracle query is one of the documented approximate/hash ops
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {
+        "a05_approx_distinct",
+        "d04_minhash_lsh_pairs",
+        "d05_simhash_pairs",
+        "n02_ann_lsh",
+        "x05_winnow_fingerprints",
+    }
+
+
+@pytest.mark.parametrize("name", ["q01_pricing_summary", "w01_topk_per_group", "d02_dedup_keep_first"])
+def test_query_schema_stable(spark, sf_dir, name):
+    fn = entry_mod.queries()[name]
+    df1, df2 = fn(spark, sf_dir), fn(spark, sf_dir)
+    assert df1.schema == df2.schema
+    assert df1.count() == df2.count() > 0

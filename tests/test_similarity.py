@@ -1,0 +1,87 @@
+"""Similarity-search correctness: pandas cosine vs numpy, LSH recall vs
+brute force (SURVEY §7 hard parts: recall-threshold gate, not hash equality)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from athena_delta_lake_spark.operators import similarity as sim
+from athena_delta_lake_spark.queries.base import load
+
+
+def test_cosine_pandas_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    A = rng.normal(size=(50, 16)).astype(np.float32)
+    B = rng.normal(size=(50, 16)).astype(np.float32)
+    rows = [(i, A[i].tolist(), B[i].tolist()) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, a array<float>, b array<float>")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", sim.cosine_pandas("a", "b").alias("c")).collect()
+    }
+    for i in range(50):
+        a, b = A[i].astype(np.float64), B[i].astype(np.float64)
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert got[i] == pytest.approx(want, abs=1e-12)
+
+
+def test_brute_force_knn_exact(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    res = sim.brute_force_knn(q, e, k=5)
+    rows = res.collect()
+    assert {r["q_id"] for r in rows} == {0, 1}
+    # self-match ranks first with sim ~= 1
+    self_rows = [r for r in rows if r["q_id"] == r["vec_id"]]
+    assert all(r["rank"] == 1 and r["sim"] == pytest.approx(1.0, abs=1e-9) for r in self_rows)
+    # ranks are contiguous 1..5 per query and sims non-increasing
+    for qid in (0, 1):
+        rs = sorted((r for r in rows if r["q_id"] == qid), key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        assert all(rs[i]["sim"] >= rs[i + 1]["sim"] for i in range(4))
+
+
+def test_lsh_ann_recall(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = sim.brute_force_knn(q, e, k=10)
+    approx = sim.lsh_ann(q, e, dim=64, k=10)
+    ex = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"ANN recall vs brute force too low: {recall}"
+
+
+def test_label_centroids(spark):
+    rows = [
+        (1, "a", [1.0, 0.0]),
+        (2, "a", [3.0, 2.0]),
+        (3, "b", [0.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    cents = {r["label"]: r["centroid"] for r in sim.label_centroids(df).collect()}
+    assert cents["a"] == pytest.approx([2.0, 1.0])
+    assert cents["b"] == pytest.approx([0.0, 4.0])
+
+
+def test_near_duplicate_pairs_lsh_mode(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in sim.near_duplicate_pairs_cosine(
+            e, threshold=0.45, exact=True
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in sim.near_duplicate_pairs_cosine(
+            e, threshold=0.45, dim=64
+        ).collect()
+    }
+    assert lsh <= exact  # verified with exact cosine -> no false positives
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.5
