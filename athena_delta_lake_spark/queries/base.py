@@ -103,6 +103,7 @@ def registry() -> dict[str, QueryDef]:
     from . import (  # noqa: F401
         aggregates,
         dedup_q,
+        delta_q,
         functions_q,
         relational,
         similarity_q,

@@ -1,0 +1,136 @@
+"""Delta-core query surface: the reference's actual engine work (catalog →
+snapshot → pruned scan; SURVEY §2.A A2-A7) exercised end-to-end through the
+graded gate.
+
+Each query materializes a Delta table under /tmp from the parquet fixture
+(once per sf; idempotent), then answers through the NATIVE path — log
+replay, partition/stats pruning, time travel, DeltaPond catalog — so the
+DuckDB oracle (same SQL over the raw parquet) checks the whole engine core,
+not just Spark SQL.
+
+Reference parity: doGetTable/getPartitions/doGetSplits/readWithConstraint
+(/root/reference/DeltaMetadataHandler.scala:90-185,
+DeltaRecordHandler.scala:116-155), rebuilt without the Lambda boundaries.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import DeltaPond
+from ..delta.table import DeltaTable
+from ..delta.writer import write_checkpoint, write_delta
+from .base import load, register
+
+_ROOT = "/tmp/adls_delta_fixtures"
+
+
+def _fixture_root(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(_ROOT, tag)
+
+
+def _ensure_lineitem_delta(spark: SparkSession, sf_dir: str) -> str:
+    """lineitem as a Delta table partitioned by l_returnflag (3 partitions),
+    with per-file stats for data skipping. Built once per sf."""
+    path = os.path.join(_fixture_root(sf_dir), "lake", "delta_lineitem")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        li = load(spark, sf_dir, "lineitem")
+        write_delta(
+            li.repartitionByRange(8, "l_orderkey"),
+            path,
+            partition_by=["l_returnflag"],
+        )
+        write_checkpoint(path)
+    return path
+
+
+def _ensure_orders_delta(spark: SparkSession, sf_dir: str) -> str:
+    """orders as a 2-version Delta table: v0 = orders with totalprice <
+    100000, v1 = append of the rest. Latest == full table; v0 is a proper
+    historical snapshot for the time-travel query."""
+    path = os.path.join(_fixture_root(sf_dir), "lake", "delta_orders")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        o = load(spark, sf_dir, "orders")
+        write_delta(
+            o.filter(F.col("o_totalprice") < 100000), path, partition_by=[]
+        )
+        write_delta(o.filter(F.col("o_totalprice") >= 100000), path)
+    return path
+
+
+@register(
+    "l01_delta_pruned_scan",
+    "delta-core",
+    """
+    SELECT l_linestatus,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity >= 30
+    GROUP BY l_linestatus
+    """,
+    "native Delta scan with partition pruning (l_returnflag) + stats-based "
+    "file skipping (l_quantity) feeding a Spark aggregate",
+)
+def l01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_lineitem_delta(spark, sf_dir)
+    t = DeltaTable(spark, path)
+    df = t.to_df(
+        predicates=[("l_returnflag", "=", "R"), ("l_quantity", ">=", 30)]
+    )
+    # predicates prune FILES; exact row filtering stays in Catalyst
+    return (
+        df.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 30))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "l02_delta_time_travel",
+    "delta-core",
+    """
+    SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_totalprice < 100000
+    """,
+    "time travel: version-0 snapshot (pre-append) == the filtered oracle",
+)
+def l02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_orders_delta(spark, sf_dir)
+    t = DeltaTable(spark, path)
+    v0 = t.to_df(version=0)
+    return v0.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "l03_delta_catalog_sql",
+    "delta-core",
+    """
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    "catalog discovery (DeltaPond list/register) -> plain spark.sql over the "
+    "registered Delta view (reference: doListSchemaNames/doListTables)",
+)
+def l03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_orders_delta(spark, sf_dir)
+    pond = DeltaPond(spark, _fixture_root(sf_dir))
+    assert "lake" in pond.list_schemas()
+    assert "delta_orders" in pond.list_tables("lake")
+    pond.register_all("lake", prefix="pond_")
+    return spark.sql(
+        "SELECT o_orderstatus, count(*) AS n FROM pond_delta_orders "
+        "GROUP BY o_orderstatus"
+    )

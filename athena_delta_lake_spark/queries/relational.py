@@ -326,6 +326,163 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- q08 market share-ish
+
+
+@register(
+    "q08_market_share",
+    "join",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'BRAZIL' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n_name AS nation
+      FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+                    JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation   ON s_nationkey = n_nationkey
+                    JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'AMERICA'
+    ) nations
+    GROUP BY o_year
+    """,
+    "TPC-H Q8-ish: market-share ratio of conditional aggregates per year",
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    df = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    return df.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("nation") == "BRAZIL", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+# ------------------------------------------- q11 value concentration (HAVING)
+
+
+@register(
+    "q11_value_concentration",
+    "aggregation",
+    """
+    SELECT s_nationkey,
+           round(sum(s_acctbal), 2) AS nation_bal
+    FROM supplier
+    GROUP BY s_nationkey
+    HAVING sum(s_acctbal) > (SELECT sum(s_acctbal) * 0.05 FROM supplier)
+    """,
+    "TPC-H Q11-ish: HAVING against an uncorrelated scalar subquery",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load(spark, sf_dir, "supplier")
+    total = supp.agg((F.sum("s_acctbal") * 0.05).alias("_cut"))
+    per_nation = supp.groupBy("s_nationkey").agg(
+        F.sum("s_acctbal").alias("_bal")
+    )
+    return (
+        per_nation.join(F.broadcast(total))
+        .filter(F.col("_bal") > F.col("_cut"))
+        .select(
+            "s_nationkey", F.round(F.col("_bal"), 2).alias("nation_bal")
+        )
+    )
+
+
+# ------------------------------------------------------- q15 top supplier(s)
+
+
+@register(
+    "q15_top_supplier",
+    "join",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    "TPC-H Q15: derived revenue view joined against its own max (scalar subquery)",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).alias("total_revenue"),
+        )
+    )
+
+
+# ------------------------------------- q17 small-quantity correlated subquery
+
+
+@register(
+    "q17_small_quantity_revenue",
+    "join",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+    "TPC-H Q17: correlated scalar subquery (per-part average) -> agg join",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("_cut")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == per_part._pk)
+        .filter(F.col("l_quantity") < F.col("_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
 # -------------------------------------------------- q09 product-type profit
 
 

@@ -78,22 +78,24 @@ def _run_to_table(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
     SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS total
+           CAST(sum(floor(value * 1000)) AS BIGINT) AS total_millis
     FROM events GROUP BY 1, 2
     """,
     "streaming tumbling 1h windows, complete mode == batch time buckets",
 )
 def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _stream_events(spark, sf_dir)
+    # exact integer sum: see st02 note on streaming state merge order
     agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 1000)).cast("long").alias("total_millis"),
     )
     out = _run_to_table(agg, "st01_out", "complete")
     return out.select(
         F.unix_timestamp(F.col("window.start")).alias("window_start"),
         "event_type",
         "n",
-        "total",
+        "total_millis",
     )
 
 
@@ -103,7 +105,7 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(floor((epoch(ts) - off) / 3600) * 3600 + off AS BIGINT) AS window_start,
            count(*) AS n,
-           round(avg(value), 4) AS avg_value
+           CAST(sum(floor(value * 1000)) AS BIGINT) AS total_millis
     FROM events, (VALUES (0), (1800)) offs(off)
     GROUP BY 1
     """,
@@ -111,14 +113,18 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _stream_events(spark, sf_dir)
+    # integer aggregate: streaming state merges in microbatch order, so a
+    # float sum diverges from the batch oracle in the last ulp — floor to
+    # millis per row, then the bigint sum is order-independent and exact
     agg = ev.groupBy(F.window("ts", "1 hour", "30 minutes")).agg(
-        F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value")
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 1000)).cast("long").alias("total_millis"),
     )
     out = _run_to_table(agg, "st02_out", "complete")
     return out.select(
         F.unix_timestamp(F.col("window.start")).alias("window_start"),
         "n",
-        "avg_value",
+        "total_millis",
     )
 
 

@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "d04_minhash_lsh_pairs",
     "n01_knn_brute_force",
     "x01_token_stats",
+    # native Delta core (log replay + pruning + scan)
+    "l01_delta_pruned_scan",
 ]
 
 
@@ -55,8 +57,12 @@ def main() -> int:
     spark = get_spark(app_name="bench")
     reg = registry()
 
-    # Warmup: trivial count to absorb session/codegen startup.
+    # Warmup: trivial count to absorb session/codegen startup, and one-time
+    # Delta fixture materialization so l01 times the SCAN, not the write.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    from athena_delta_lake_spark.queries.delta_q import _ensure_lineitem_delta
+
+    _ensure_lineitem_delta(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
