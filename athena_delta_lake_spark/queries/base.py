@@ -107,6 +107,7 @@ def registry() -> dict[str, QueryDef]:
         functions_q,
         relational,
         similarity_q,
+        sources_q,
         streaming_q,
         text_q,
         windows,

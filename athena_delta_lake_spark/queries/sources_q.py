@@ -1,0 +1,81 @@
+"""Source-format round trips through the gate: CSV and JSON readers with
+explicit schemas (SURVEY §2.B scans — formats beyond the reference's
+parquet-only surface).
+
+Each query materializes the fixture in the alternate format once per sf
+under /tmp, reads it back through sources.read_*, and aggregates; the
+oracle runs the same aggregate over the original parquet — so a format
+round-trip bug (quoting, null encoding, type parsing) breaks the hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import sources
+from .base import load, register
+
+_ROOT = "/tmp/adls_source_fixtures"
+
+_SUPPLIER_SCHEMA = (
+    "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"
+)
+_PART_SCHEMA = (
+    "p_partkey bigint, p_name string, p_brand string, p_type string, "
+    "p_size bigint, p_retailprice double"
+)
+
+
+def _tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/"))
+
+
+def _ensure_csv_supplier(spark: SparkSession, sf_dir: str) -> str:
+    path = os.path.join(_ROOT, _tag(sf_dir), "supplier_csv")
+    if not os.path.isdir(path):
+        sources.write_csv(load(spark, sf_dir, "supplier"), path)
+    return path
+
+
+def _ensure_json_part(spark: SparkSession, sf_dir: str) -> str:
+    path = os.path.join(_ROOT, _tag(sf_dir), "part_json")
+    if not os.path.isdir(path):
+        sources.write_json(load(spark, sf_dir, "part"), path)
+    return path
+
+
+@register(
+    "c01_csv_source",
+    "source",
+    """
+    SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    "CSV round trip: write supplier as CSV, read with explicit schema, aggregate",
+)
+def c01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_csv_supplier(spark, sf_dir)
+    df = sources.read_csv(spark, path, _SUPPLIER_SCHEMA)
+    return df.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"), F.round(F.sum("s_acctbal"), 2).alias("bal")
+    )
+
+
+@register(
+    "c02_json_source",
+    "source",
+    """
+    SELECT p_brand, count(*) AS n, max(p_retailprice) AS max_price
+    FROM part GROUP BY p_brand
+    """,
+    "JSON round trip: write part as JSON lines, read with explicit schema, aggregate",
+)
+def c02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_json_part(spark, sf_dir)
+    df = sources.read_json(spark, path, _PART_SCHEMA)
+    return df.groupBy("p_brand").agg(
+        F.count("*").alias("n"), F.max("p_retailprice").alias("max_price")
+    )

@@ -33,6 +33,8 @@ _EVENTS_SCHEMA = (
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import file_stream
+
     # The file-stream source requires a DIRECTORY; the fixture is a single
     # parquet file. Symlink it into a stable per-sf temp dir.
     src_dir = os.path.join(
@@ -46,29 +48,16 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.remove(link)
         os.symlink(target, link)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src_dir)
-    )
+    raw = file_stream(spark, src_dir, _EVENTS_SCHEMA)
     return raw.withColumn(
         "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
     )
 
 
 def _run_to_table(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
-    spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    from ..streaming import run_to_memory
+
+    return run_to_memory(stream_df, name, mode)
 
 
 @register(

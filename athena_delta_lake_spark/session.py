@@ -56,6 +56,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # full PushedFilters/ReadSchema in plan strings (plan-shape tests)
+        .config("spark.sql.maxMetadataStringLength", "2000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,76 @@
+"""Structured Streaming building blocks (SURVEY §2.C: absent in the
+reference — extension surface).
+
+Reusable pieces behind the streaming gate queries and tests:
+file-source streams with explicit schemas, memory-sink drivers for
+deterministic testing, and a foreachBatch Delta-append sink that gives
+streams the engine's native transactional write path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..delta.writer import write_delta
+
+
+def file_stream(
+    spark: SparkSession,
+    directory: str,
+    schema: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Rate-limited file-source stream with an explicit schema (streaming
+    sources REQUIRE a schema and a directory)."""
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+    )
+    if fmt == "parquet":
+        return reader.parquet(directory)
+    if fmt == "json":
+        return reader.json(directory)
+    if fmt == "csv":
+        return reader.option("header", "true").csv(directory)
+    raise ValueError(f"unsupported stream format: {fmt}")
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
+    """Drive a stream to completion into a memory sink; returns the result
+    table. Deterministic: processAllAvailable drains every pending file."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def delta_append_sink(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+):
+    """foreachBatch sink appending each microbatch to a native Delta table —
+    exactly-once per microbatch via the atomic version-file commit."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda df, _epoch: write_delta(
+                df, table_path, partition_by=partition_by or []
+            )
+        )
+        .start()
+    )
+
+
+__all__ = ["file_stream", "run_to_memory", "delta_append_sink"]
