@@ -8,6 +8,7 @@ oracle SQL.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string type hints
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -204,6 +205,131 @@ def f07(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.array_contains("words", "spark"), 1).otherwise(0)
             ).alias("with_spark"),
         )
+    )
+
+
+@register(
+    "f09_map_funcs",
+    "scalar",
+    """
+    WITH kv AS (
+      SELECT o_orderkey, 'status' AS k, o_orderstatus AS v FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'priority' AS k, o_orderpriority AS v FROM orders
+    )
+    SELECT k, v, count(*) AS n FROM kv GROUP BY k, v
+    """,
+    "map construction + explode(map) -> key/value counts",
+)
+def f09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return (
+        o.select("o_orderkey", F.explode(m).alias("k", "v"))
+        .groupBy("k", "v")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "f10_from_json_struct",
+    "scalar",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod,
+           count(*) AS n,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+    "from_json with explicit schema (vs f06's path extraction)",
+)
+def f10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(F.from_json("props", "k long").alias("j"))
+    return (
+        parsed.filter(F.col("j.k").isNotNull())
+        .groupBy((F.col("j.k") % 7).alias("k_mod"))
+        .agg(F.count("*").alias("n"), F.min("j.k").alias("min_k"))
+    )
+
+
+@register(
+    "u01_grouped_map_pandas",
+    "udf",
+    """
+    WITH stats AS (
+      SELECT user_id, event_id, value,
+             avg(value) OVER (PARTITION BY user_id) AS mu,
+             stddev_samp(value) OVER (PARTITION BY user_id) AS sd,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id,
+           round(max(CASE WHEN sd > 0 THEN (value - mu) / sd ELSE 0 END), 4) AS max_z,
+           CAST(max(n) AS BIGINT) AS n_events
+    FROM stats GROUP BY user_id
+    """,
+    "applyInPandas grouped-map: per-user z-score normalization (Arrow batch "
+    "per group), reduced to max |z| per user",
+)
+def u01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        z = (pdf["value"] - mu) / sd if (sd and sd > 0) else pdf["value"] * 0.0
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "z": z.fillna(0.0),
+            }
+        )
+
+    normalized = ev.groupBy("user_id").applyInPandas(
+        zscore, schema="user_id long, event_id long, z double"
+    )
+    return (
+        normalized.groupBy("user_id")
+        .agg(
+            F.round(F.max("z"), 4).alias("max_z"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "u02_grouped_agg_pandas",
+    "udf",
+    """
+    SELECT event_type,
+           round(sum(value * CAST(user_id AS DOUBLE)) / sum(CAST(user_id AS DOUBLE)), 4)
+             AS weighted_avg
+    FROM events WHERE user_id > 0
+    GROUP BY event_type
+    """,
+    "grouped-agg pandas_udf: numpy weighted average per event type",
+)
+def u02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_avg(v: pd.Series, w: pd.Series) -> float:
+        import numpy as np
+
+        wv = w.to_numpy(dtype="float64")
+        return float(np.dot(v.to_numpy(dtype="float64"), wv) / wv.sum())
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") > 0)
+    return ev.groupBy("event_type").agg(
+        F.round(
+            weighted_avg(F.col("value"), F.col("user_id").cast("double")), 4
+        ).alias("weighted_avg")
     )
 
 

@@ -826,6 +826,29 @@ def j01(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ right outer join
+
+
+@register(
+    "j03_right_outer_orders",
+    "join",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM orders RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    "right outer join preserving order-less customers (count = 0)",
+)
+def j03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
 # ------------------------------------------------------------------ cross join
 
 

@@ -54,14 +54,30 @@ def main() -> int:
     from athena_delta_lake_spark import get_spark
     from athena_delta_lake_spark.queries import registry
 
-    spark = get_spark(app_name="bench")
+    # The sf fixtures are single ~2-20 MB parquet files: with the production
+    # default of 128 MB per split the whole scan lands in ONE task. 4 MB
+    # splits restore scan parallelism at fixture scale (measured 2.4x on
+    # q01). A real 100 TB table has thousands of >=128 MB files, where the
+    # production default in session.py is correct.
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.sql.files.maxPartitionBytes": "4194304"},
+    )
     reg = registry()
 
-    # Warmup: trivial count to absorb session/codegen startup, and one-time
-    # Delta fixture materialization so l01 times the SCAN, not the write.
+    # Warmup: absorb session/codegen startup AND the Python/Arrow worker
+    # spin-up (workers are reused afterwards), plus the one-time Delta
+    # fixture materialization so l01 times the SCAN, not the write.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    from athena_delta_lake_spark.operators.similarity import cosine_pandas
+    from athena_delta_lake_spark.queries.base import load
     from athena_delta_lake_spark.queries.delta_q import _ensure_lineitem_delta
 
+    from pyspark.sql import functions as F
+
+    load(spark, sf_dir, "embeddings").select(
+        cosine_pandas(F.col("embedding"), F.col("embedding")).alias("c")
+    ).count()
     _ensure_lineitem_delta(spark, sf_dir)
 
     timings: dict[str, float] = {}
