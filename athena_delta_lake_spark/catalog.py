@@ -4,10 +4,11 @@ The reference discovers databases by listing S3 keys with the EMR
 `_$folder$` marker suffix (unpaginated, single bucket —
 /root/reference/DeltaMetadataHandler.scala:24,42-55; Config.scala:4) and
 tables as second-level folders (:79-88). The rebuild discovers REAL
-directories (works on any filesystem Spark can reach; no marker objects, no
-1000-key truncation), identifies Delta tables by the presence of
-`_delta_log/`, bare-parquet tables otherwise, and registers them as temp
-views so plain `spark.sql` works over the whole catalog.
+directories through the filesystem facade (delta/fs.py) — local paths or
+any Hadoop-connector scheme (s3a://, gs://, abfs://, hdfs://) — with no
+marker objects and no 1000-key truncation; identifies Delta tables by the
+presence of `_delta_log/`, bare-parquet tables otherwise, and registers
+them as temp views so plain `spark.sql` works over the whole catalog.
 
 Layout convention (same two-level shape the reference mandates):
     <root>/<database>/<table>/{_delta_log/ | *.parquet}
@@ -20,24 +21,12 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .delta.fs import get_fs
 from .delta.table import DeltaTable
 
 
-def _is_delta_dir(path: str) -> bool:
-    return os.path.isdir(os.path.join(path, "_delta_log"))
-
-
-def _has_parquet(path: str) -> bool:
-    if os.path.isfile(path) and path.endswith(".parquet"):
-        return True
-    if not os.path.isdir(path):
-        return False
-    for name in os.listdir(path):
-        if name.endswith(".parquet") or (
-            os.path.isdir(os.path.join(path, name)) and "=" in name
-        ):
-            return True
-    return False
+def _join(*parts: str) -> str:
+    return "/".join(p.rstrip("/") for p in parts)
 
 
 class DeltaPond:
@@ -47,45 +36,60 @@ class DeltaPond:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
+        self._fs = get_fs(self.root, spark)
+
+    def _is_delta_dir(self, path: str) -> bool:
+        return self._fs.is_dir(_join(path, "_delta_log"))
+
+    def _has_parquet(self, path: str) -> bool:
+        if path.endswith(".parquet") and self._fs.exists(path):
+            return True
+        if not self._fs.is_dir(path):
+            return False
+        for fi in self._fs.listdir(path):
+            if fi.name.endswith(".parquet") or "=" in fi.name:
+                return True
+        return False
 
     # reference: doListSchemaNames (DeltaMetadataHandler.scala:74-77)
     def list_schemas(self) -> list[str]:
         return sorted(
-            d
-            for d in os.listdir(self.root)
-            if os.path.isdir(os.path.join(self.root, d)) and not d.startswith((".", "_"))
+            fi.name
+            for fi in self._fs.listdir(self.root)
+            if self._fs.is_dir(_join(self.root, fi.name))
+            and not fi.name.startswith((".", "_"))
         )
 
     # reference: doListTables (DeltaMetadataHandler.scala:79-88)
     def list_tables(self, schema: str) -> list[str]:
-        base = os.path.join(self.root, schema)
+        base = _join(self.root, schema)
         out = []
-        for d in sorted(os.listdir(base)):
-            p = os.path.join(base, d)
-            if d.startswith((".", "_")):
+        for fi in sorted(self._fs.listdir(base), key=lambda f: f.name):
+            p = _join(base, fi.name)
+            if fi.name.startswith((".", "_")):
                 continue
-            if _is_delta_dir(p) or _has_parquet(p):
-                out.append(d.removesuffix(".parquet"))
+            if self._is_delta_dir(p) or self._has_parquet(p):
+                out.append(fi.name.removesuffix(".parquet"))
         return out
 
     def table_path(self, schema: str, table: str) -> str:
-        p = os.path.join(self.root, schema, table)
-        if os.path.exists(p):
+        p = _join(self.root, schema, table)
+        if self._fs.exists(p):
             return p
-        if os.path.exists(p + ".parquet"):
+        if self._fs.exists(p + ".parquet"):
             return p + ".parquet"
         raise FileNotFoundError(f"no such table: {schema}.{table}")
 
     def table(self, schema: str, table: str) -> DeltaTable:
         p = self.table_path(schema, table)
-        if not _is_delta_dir(p):
+        if not self._is_delta_dir(p):
             raise ValueError(f"{schema}.{table} is not a Delta table (use read())")
         return DeltaTable(self.spark, p)
 
     def read(self, schema: str, table: str) -> DataFrame:
         """Read any table: Delta via native snapshot, else plain parquet."""
         p = self.table_path(schema, table)
-        if _is_delta_dir(p):
+        if self._is_delta_dir(p):
             return DeltaTable(self.spark, p).to_df()
         return self.spark.read.parquet(p)
 

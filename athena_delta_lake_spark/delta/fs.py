@@ -1,0 +1,154 @@
+"""Filesystem facade for the metadata path (log replay + catalog).
+
+The reference reads S3 via the AWS SDK and Hadoop s3a
+(/root/reference/DeltaMetadataHandler.scala:25-31,42-55); the rebuild must
+likewise work against object storage, not just the local disk. Two
+implementations behind one interface:
+
+- LocalFS: plain os/pyarrow fast path for bare paths and file:// URIs;
+- HadoopFS: driver-side org.apache.hadoop.fs.FileSystem via spark._jvm for
+  ANY scheme the Spark runtime has a connector for (s3a://, gs://, abfs://,
+  hdfs://...). Listing and small-file reads go over py4j (names + JSON
+  commits are small); checkpoint Parquet is read THROUGH SPARK
+  (spark.read.parquet -> collect), which both avoids shipping bytes through
+  py4j and scales to checkpoints larger than driver py4j buffers.
+
+Only the METADATA path needs this facade — data files are always read by
+Spark's own readers, which are scheme-agnostic already. The write path
+(writer.py) is local/HDFS-oriented; object-store writes need a
+put-if-absent commit primitive (S3 conditional puts / DynamoDB
+coordination in production Delta) and are out of scope, matching the
+read-only reference.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+_LOCAL_SCHEMES = ("file",)
+
+
+def _scheme(path: str) -> str | None:
+    if "://" in path:
+        return path.split("://", 1)[0]
+    return None
+
+
+def strip_file_scheme(path: str) -> str:
+    if path.startswith("file://"):
+        return path[len("file://") :]
+    return path
+
+
+@dataclass(frozen=True)
+class FileInfo:
+    name: str
+    size: int
+    mtime_ms: int
+
+
+class LocalFS:
+    """os-backed implementation (bare paths and file:// URIs)."""
+
+    def listdir(self, path: str) -> list[FileInfo]:
+        path = strip_file_scheme(path)
+        out = []
+        with os.scandir(path) as it:
+            for e in it:
+                st = e.stat()
+                out.append(
+                    FileInfo(e.name, st.st_size, int(st.st_mtime * 1000))
+                )
+        return sorted(out, key=lambda f: f.name)
+
+    def read_text(self, path: str) -> str:
+        with open(strip_file_scheme(path)) as f:
+            return f.read()
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(strip_file_scheme(path))
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(strip_file_scheme(path))
+
+    def read_checkpoint_rows(self, paths: list[str], columns: list[str]):
+        """Yield checkpoint action rows as dicts (pyarrow, batched)."""
+        import pyarrow.parquet as pq
+
+        for p in paths:
+            pf = pq.ParquetFile(strip_file_scheme(p))
+            cols = [c for c in columns if c in pf.schema_arrow.names]
+            for batch in pf.iter_batches(columns=cols):
+                yield from batch.to_pylist()
+
+
+class HadoopFS:
+    """Hadoop FileSystem via the Spark JVM — any configured scheme."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _fs_path(self, path: str):
+        jpath = self._jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(self._conf), jpath
+
+    def listdir(self, path: str) -> list[FileInfo]:
+        fs, jpath = self._fs_path(path)
+        out = []
+        for st in fs.listStatus(jpath):
+            out.append(
+                FileInfo(
+                    st.getPath().getName(),
+                    st.getLen(),
+                    st.getModificationTime(),
+                )
+            )
+        return sorted(out, key=lambda f: f.name)
+
+    def read_text(self, path: str) -> str:
+        fs, jpath = self._fs_path(path)
+        stream = fs.open(jpath)
+        try:
+            util = self._jvm.org.apache.commons.io.IOUtils
+            data = util.toByteArray(stream)
+            return bytes(data).decode("utf-8")
+        finally:
+            stream.close()
+
+    def exists(self, path: str) -> bool:
+        fs, jpath = self._fs_path(path)
+        return bool(fs.exists(jpath))
+
+    def is_dir(self, path: str) -> bool:
+        fs, jpath = self._fs_path(path)
+        return bool(fs.exists(jpath) and fs.getFileStatus(jpath).isDirectory())
+
+    def read_checkpoint_rows(self, paths: list[str], columns: list[str]):
+        df = self.spark.read.parquet(*paths)
+        cols = [c for c in columns if c in df.columns]
+        for row in df.select(*cols).collect():
+            yield row.asDict(recursive=True)
+
+
+def get_fs(path: str, spark=None):
+    """Pick the implementation for `path`. Non-file schemes require a
+    SparkSession (for the JVM Hadoop connectors)."""
+    scheme = _scheme(path)
+    if scheme is None or scheme in _LOCAL_SCHEMES:
+        return LocalFS()
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError(
+                f"reading {path!r} requires an active SparkSession "
+                "(Hadoop filesystem connectors live in the JVM)"
+            )
+    return HadoopFS(spark)
+
+
+__all__ = ["FileInfo", "LocalFS", "HadoopFS", "get_fs", "strip_file_scheme"]

@@ -35,10 +35,16 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import types as T
 
+from .fs import get_fs
 from .types import cast_partition_value, schema_string_to_struct
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
+
+
+def _join(*parts: str) -> str:
+    """URI-safe join (os.path.join would misbehave on absolute segments)."""
+    return "/".join(p.rstrip("/") for p in parts)
 
 
 @dataclass(frozen=True)
@@ -78,16 +84,7 @@ class _ReplayAccumulator:
 
 
 def _log_dir(table_path: str) -> str:
-    return os.path.join(table_path, "_delta_log")
-
-
-def _list_log_files(log_dir: str) -> list[str]:
-    try:
-        return sorted(os.listdir(log_dir))
-    except FileNotFoundError:
-        raise FileNotFoundError(
-            f"not a Delta table (no _delta_log): {os.path.dirname(log_dir)}"
-        ) from None
+    return _join(table_path, "_delta_log")
 
 
 def _parse_stats(raw) -> dict | None:
@@ -133,31 +130,25 @@ def _apply_action(acc: _ReplayAccumulator, action: dict) -> None:
     # commitInfo / txn / cdc / domainMetadata are no-ops for snapshot state
 
 
-def _read_checkpoint(log_dir: str, parts: list[str], acc: _ReplayAccumulator) -> None:
+def _read_checkpoint(fs, log_dir: str, parts: list[str], acc: _ReplayAccumulator) -> None:
     """Fold a (possibly multi-part) Parquet checkpoint into the accumulator.
 
     Checkpoint rows have one non-null column among add/remove/metaData/
-    protocol/txn. Read in record batches via pyarrow to bound memory.
+    protocol/txn. Local: pyarrow record batches (bounded memory); remote:
+    read through Spark (see fs.HadoopFS.read_checkpoint_rows).
     """
-    import pyarrow.parquet as pq
-
-    for part in parts:
-        pf = pq.ParquetFile(os.path.join(log_dir, part))
-        cols = [c for c in ("add", "remove", "metaData", "protocol") if c in pf.schema_arrow.names]
-        for batch in pf.iter_batches(columns=cols):
-            rows = batch.to_pylist()
-            for row in rows:
-                action = {k: v for k, v in row.items() if v is not None}
-                if action:
-                    _apply_action(acc, action)
+    paths = [_join(log_dir, part) for part in parts]
+    for row in fs.read_checkpoint_rows(paths, ["add", "remove", "metaData", "protocol"]):
+        action = {k: v for k, v in row.items() if v is not None}
+        if action:
+            _apply_action(acc, action)
 
 
-def _read_last_checkpoint(log_dir: str) -> dict | None:
-    p = os.path.join(log_dir, "_last_checkpoint")
-    if not os.path.exists(p):
+def _read_last_checkpoint(fs, log_dir: str) -> dict | None:
+    p = _join(log_dir, "_last_checkpoint")
+    if not fs.exists(p):
         return None
-    with open(p) as f:
-        return json.loads(f.read())
+    return json.loads(fs.read_text(p))
 
 
 def _checkpoint_parts(log_files: list[str], version: int) -> list[str]:
@@ -173,23 +164,44 @@ def _checkpoint_parts(log_files: list[str], version: int) -> list[str]:
 
 
 class DeltaLog:
-    """Replays a table's `_delta_log` into SnapshotState, with caching."""
+    """Replays a table's `_delta_log` into SnapshotState, with caching.
+
+    `table_path` may be a bare local path or any URI whose scheme the Spark
+    runtime has a Hadoop connector for (s3a://, gs://, abfs://, hdfs://);
+    pass `spark` (or have an active session) for non-local schemes.
+    """
 
     _cache: dict[tuple[str, int], SnapshotState] = {}
 
-    def __init__(self, table_path: str):
+    def __init__(self, table_path: str, spark=None):
         self.table_path = table_path.rstrip("/")
         self.log_dir = _log_dir(self.table_path)
+        self._fs = get_fs(self.table_path, spark)
+
+    def _list_log_files(self) -> list[str]:
+        try:
+            return [f.name for f in self._fs.listdir(self.log_dir)]
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"not a Delta table (no _delta_log): {self.table_path}"
+            ) from None
+        except Exception as e:  # py4j wraps Hadoop FileNotFoundException
+            if "FileNotFound" in str(e):
+                raise FileNotFoundError(
+                    f"not a Delta table (no _delta_log): {self.table_path}"
+                ) from None
+            raise
 
     def latest_version(self) -> int:
+        log_files = self._list_log_files()
         versions = [
-            int(m.group(1)) for f in _list_log_files(self.log_dir) if (m := _COMMIT_RE.match(f))
+            int(m.group(1)) for f in log_files if (m := _COMMIT_RE.match(f))
         ]
         if not versions:
             # checkpoint-only logs (expired commits) are legal
             cps = [
                 int(m.group(1))
-                for f in _list_log_files(self.log_dir)
+                for f in log_files
                 if (m := _CHECKPOINT_RE.match(f))
             ]
             if not cps:
@@ -206,12 +218,12 @@ class DeltaLog:
         if cached is not None:
             return cached
 
-        log_files = _list_log_files(self.log_dir)
+        log_files = self._list_log_files()
         acc = _ReplayAccumulator()
 
         # Pick the newest checkpoint at or below the requested version.
         cp_version = -1
-        last_cp = _read_last_checkpoint(self.log_dir)
+        last_cp = _read_last_checkpoint(self._fs, self.log_dir)
         if last_cp and last_cp.get("version", -1) <= version:
             cp_version = int(last_cp["version"])
         else:
@@ -223,7 +235,7 @@ class DeltaLog:
         if cp_version >= 0:
             parts = _checkpoint_parts(log_files, cp_version)
             if parts:
-                _read_checkpoint(self.log_dir, parts, acc)
+                _read_checkpoint(self._fs, self.log_dir, parts, acc)
             else:
                 cp_version = -1  # stale _last_checkpoint; fall back to full replay
 
@@ -240,11 +252,10 @@ class DeltaLog:
                 raise ValueError(
                     f"gap in _delta_log: expected version {replayed + 1}, found {v}"
                 )
-            with open(os.path.join(self.log_dir, f)) as fh:
-                for line in fh:
-                    line = line.strip()
-                    if line:
-                        _apply_action(acc, json.loads(line))
+            for line in self._fs.read_text(_join(self.log_dir, f)).splitlines():
+                line = line.strip()
+                if line:
+                    _apply_action(acc, json.loads(line))
             replayed = v
         if replayed != version:
             raise ValueError(f"requested version {version} not present (max {replayed})")
@@ -268,12 +279,11 @@ class DeltaLog:
     def snapshot_as_of_timestamp(self, ts_millis: int) -> SnapshotState:
         """Time travel to the last commit at or before `ts_millis`."""
         best = None
-        for f in _list_log_files(self.log_dir):
-            m = _COMMIT_RE.match(f)
+        for fi in self._fs.listdir(self.log_dir):
+            m = _COMMIT_RE.match(fi.name)
             if not m:
                 continue
-            mtime = int(os.path.getmtime(os.path.join(self.log_dir, f)) * 1000)
-            if mtime <= ts_millis:
+            if fi.mtime_ms <= ts_millis:
                 v = int(m.group(1))
                 best = v if best is None else max(best, v)
         if best is None:

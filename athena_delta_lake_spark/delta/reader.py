@@ -36,6 +36,11 @@ from .log import AddFile, SnapshotState, typed_partition_values
 from .stats import Predicate, prune_files
 
 
+def _join_path(base: str, rel: str) -> str:
+    """URI-safe join for data-file paths (os.path.join breaks schemes)."""
+    return base.rstrip("/") + "/" + rel
+
+
 def _is_hive_style(files: list[AddFile], partition_columns: list[str]) -> bool:
     if not partition_columns:
         return True
@@ -72,7 +77,7 @@ def read_snapshot(
         df = _empty_df(spark, schema)
         return df.select(*columns) if columns else df
 
-    paths = [os.path.join(snapshot.table_path, f.path) for f in files]
+    paths = [_join_path(snapshot.table_path, f.path) for f in files]
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     data_schema = T.StructType(data_fields)
 
@@ -87,7 +92,7 @@ def read_snapshot(
         for f in files:
             key = typed_partition_values(f, schema, part_cols)
             by_part.setdefault(key, []).append(
-                os.path.join(snapshot.table_path, f.path)
+                _join_path(snapshot.table_path, f.path)
             )
         pieces = []
         type_by_name = {f.name: f.dataType for f in schema.fields}

@@ -22,7 +22,7 @@ class DeltaTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path.rstrip("/")
-        self.log = DeltaLog(self.path)
+        self.log = DeltaLog(self.path, spark)
 
     # -- metadata (reference: doGetTable, DeltaMetadataHandler.scala:90-107)
     def snapshot(self, version: int | None = None) -> SnapshotState:
@@ -74,17 +74,16 @@ class DeltaTable:
     def history(self) -> list[dict]:
         """commitInfo per version (newest first)."""
         import json
-        import os
 
+        fs = self.log._fs
         out = []
         for v in range(self.version(), -1, -1):
-            p = os.path.join(self.path, "_delta_log", f"{v:020d}.json")
-            if not os.path.exists(p):
+            p = f"{self.log.log_dir}/{v:020d}.json"
+            if not fs.exists(p):
                 continue
-            with open(p) as f:
-                for line in f:
-                    a = json.loads(line)
-                    if "commitInfo" in a:
-                        out.append({"version": v, **a["commitInfo"]})
-                        break
+            for line in fs.read_text(p).splitlines():
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    out.append({"version": v, **a["commitInfo"]})
+                    break
         return out
