@@ -49,10 +49,40 @@ class DeltaTable:
         predicates: list[Predicate] | None = None,
         columns: list[str] | None = None,
         version: int | None = None,
+        where: list[Predicate] | None = None,
     ) -> DataFrame:
-        return read_snapshot(
-            self.spark, self.snapshot(version), predicates, columns
-        )
+        """Scan the snapshot.
+
+        `predicates`: file-level pruning ONLY (partition values + stats) —
+        rows from surviving files are NOT re-filtered.
+        `where`: exact semantics — prunes files AND applies the equivalent
+        row filter (the common case; supersedes `predicates`).
+        """
+        preds = where if where is not None else predicates
+        df = read_snapshot(self.spark, self.snapshot(version), preds, columns)
+        if where:
+            from pyspark.sql import functions as F
+
+            for col, op, val in where:
+                c = F.col(col)
+                if op in {"=", "=="}:
+                    cond = c.eqNullSafe(val) if val is None else (c == val)
+                elif op == "!=":
+                    cond = c != val
+                elif op == "<":
+                    cond = c < val
+                elif op == "<=":
+                    cond = c <= val
+                elif op == ">":
+                    cond = c > val
+                elif op == ">=":
+                    cond = c >= val
+                elif op == "in":
+                    cond = c.isin(list(val))
+                else:
+                    raise ValueError(f"unsupported op: {op!r}")
+                df = df.filter(cond)
+        return df
 
     # -- write path (absent from the reference; SURVEY §2.C)
     def write(

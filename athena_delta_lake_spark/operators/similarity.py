@@ -210,6 +210,129 @@ def label_centroids(
     )
 
 
+def spherical_kmeans_lite(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+) -> "np.ndarray":
+    """Deterministic spherical k-means for IVF coarse quantization.
+
+    Centroids are tiny metadata (k x dim floats), so the assign step ships
+    them as a pandas-UDF closure and the update step is one groupBy mean —
+    each iteration is a single distributed pass; only centroids ever reach
+    the driver. Init: first k vectors in xxhash64 order (deterministic,
+    scan-order independent)."""
+    import numpy as np
+
+    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    seed_rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("array<string>"), F.lit(seed)))
+        .limit(k)
+        .collect()
+    )
+    C = np.stack([np.asarray(r[0], dtype=np.float64) for r in seed_rows])
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.col(vec_col),
+            _nearest_centroid_udf(C)(F.col(vec_col)).alias("_c"),
+        )
+        means = (
+            assigned.select("_c", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("_c", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        newC = C.copy()
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r["_c"], {})[r["pos"]] = r["m"]
+        for c, posmap in by_c.items():
+            vec = np.array([posmap[p] for p in sorted(posmap)])
+            n = np.linalg.norm(vec)
+            if n > 0:
+                newC[c] = vec / n
+        C = newC
+    return C
+
+
+def _nearest_centroid_udf(C: "np.ndarray"):
+    from pyspark.sql.functions import pandas_udf
+
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @pandas_udf("int")
+    def nearest(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        V = V / np.clip(np.linalg.norm(V, axis=1, keepdims=True), 1e-12, None)
+        return pd.Series(np.argmax(V @ Cn.T, axis=1).astype("int32"))
+
+    return nearest
+
+
+def _probe_centroids_udf(C: "np.ndarray", n_probe: int):
+    from pyspark.sql.functions import pandas_udf
+
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @pandas_udf("array<int>")
+    def probes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        V = V / np.clip(np.linalg.norm(V, axis=1, keepdims=True), 1e-12, None)
+        order = np.argsort(-(V @ Cn.T), axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return probes
+
+
+def ivf_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: spherical-kmeans coarse quantizer, queries probe their
+    `n_probe` nearest centroids, exact cosine re-rank within probed cells.
+
+    The scale shape: corpus partitions by cell (uniform-ish after k-means),
+    each query scores ~n_probe/n_clusters of the corpus. Recall rises with
+    n_probe (n_probe == n_clusters -> exact brute force)."""
+    from pyspark.sql import Window as W
+
+    C = spherical_kmeans_lite(corpus, corpus_vec, n_clusters, iters, seed)
+    assigned = corpus.withColumn(
+        "_cell", _nearest_centroid_udf(C)(F.col(corpus_vec))
+    ).localCheckpoint(eager=True)
+    probed = queries.withColumn(
+        "_cell", F.explode(_probe_centroids_udf(C, n_probe)(F.col(query_vec)))
+    )
+    cands = assigned.join(F.broadcast(probed), "_cell").select(
+        query_id, query_vec, corpus_id, corpus_vec
+    )
+    scored = cands.select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_pandas(F.col(query_vec), F.col(corpus_vec)).alias("sim"),
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def near_duplicate_pairs_cosine(
     corpus: DataFrame,
     corpus_id: str = "vec_id",

@@ -80,6 +80,22 @@ def n02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "n04_ivf_ann",
+    "similarity",
+    None,  # approximate (probe subset); recall vs brute force asserted in
+    # tests/test_scale_ops.py, incl. full-probe == exact equivalence
+    "IVF ANN: spherical-kmeans cells, 4-of-8 probe, exact re-rank",
+)
+def n04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    res = sim.ivf_ann(q, e, k=10, n_clusters=8, n_probe=4)
+    return res.filter(F.col("vec_id") != F.col("q_id")).select(
+        "q_id", "vec_id", F.round("sim", 6).alias("sim")
+    )
+
+
+@register(
     "n03_label_centroids",
     "similarity",
     """

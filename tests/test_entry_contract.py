@@ -31,6 +31,7 @@ def test_queries_oracle_consistency():
         "d04_minhash_lsh_pairs",
         "d05_simhash_pairs",
         "n02_ann_lsh",
+        "n04_ivf_ann",
         "x05_winnow_fingerprints",
     }
 
