@@ -29,6 +29,13 @@ cap before the join. Shingle SETS are joined to candidate pairs only AFTER
 banding/dedup — candidates are a tiny fraction of the corpus, so the wide
 array payload never rides the big shuffles.
 
+Measured scale behavior (50k docs with heavy duplication, local[32]):
+ngram_jaccard_pairs 392 s (the shingle equi-join is quadratic in
+duplicate-group size — it is the exact/oracle baseline, and max_shingle_df
+is its safety valve), minhash_lsh_pairs 8.8 s finding the SAME 250k pairs
+— LSH pays per candidate, not per shingle-collision. At corpus scale,
+MinHash is the production path.
+
 Self-join inputs are materialized with localCheckpoint: Catalyst does not
 common-subexpression-eliminate across join branches, so an unmaterialized
 self-join recomputes its whole upstream twice.

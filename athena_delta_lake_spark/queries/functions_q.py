@@ -209,6 +209,39 @@ def f07(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f11_levenshtein_nullsafe",
+    "scalar",
+    """
+    SELECT least(CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT), 10) AS lev_bucket,
+           CAST(sum(CASE WHEN nullif(c_mktsegment, 'MACHINERY')
+                              IS NOT DISTINCT FROM nullif(c_mktsegment, 'MACHINERY')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS nullsafe_n,
+           count(*) AS n
+    FROM customer
+    GROUP BY 1
+    """,
+    "levenshtein distance buckets + null-safe equality (<=> / IS NOT DISTINCT FROM)",
+)
+def f11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    seg_null = F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY"))
+    return (
+        c.groupBy(
+            F.least(
+                F.levenshtein("c_mktsegment", F.lit("BUILDING")).cast("long"),
+                F.lit(10).cast("long"),
+            ).alias("lev_bucket")
+        )
+        .agg(
+            F.sum(F.when(seg_null.eqNullSafe(seg_null), 1).otherwise(0)).alias(
+                "nullsafe_n"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
     "f09_map_funcs",
     "scalar",
     """

@@ -208,3 +208,21 @@ def test_cast_partition_value_types():
     assert cast_partition_value("__HIVE_DEFAULT_PARTITION__", T.StringType()) is None
     assert cast_partition_value("x y", T.StringType()) == "x y"
     assert cast_partition_value("true", T.BooleanType()) is True
+
+
+def test_time_travel_by_timestamp(tmp_path):
+    import time as _time
+
+    log_dir = str(tmp_path / "_delta_log")
+    _commit(log_dir, 0, [_meta(), _add("a.parquet")])
+    _time.sleep(0.05)
+    t_between = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    _commit(log_dir, 1, [_add("b.parquet")])
+    log = DeltaLog(str(tmp_path))
+    snap = log.snapshot_as_of_timestamp(t_between)
+    assert snap.version == 0
+    now = int(_time.time() * 1000) + 1000
+    assert log.snapshot_as_of_timestamp(now).version == 1
+    with pytest.raises(ValueError, match="no commit"):
+        log.snapshot_as_of_timestamp(0)
