@@ -188,6 +188,50 @@ def a08(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a10_array_agg",
+    "aggregation",
+    """
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           CAST(len(list(DISTINCT l_suppkey)) AS INT) AS n_supp
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "collect_set aggregates (sorted for determinism) + set cardinality",
+)
+def a10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+    )
+
+
+@register(
+    "a11_min_by_max_by",
+    "aggregation",
+    """
+    SELECT o_orderstatus,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    "min_by/max_by (argmin/argmax) per group",
+)
+def a11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register(
     "a09_having_stats",
     "aggregation",
     """
