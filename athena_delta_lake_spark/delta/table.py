@@ -18,6 +18,42 @@ from .stats import Predicate, prune_files
 from .writer import write_checkpoint, write_delta
 
 
+_WHERE_CONJUNCT = None  # compiled lazily
+
+
+def _parse_where(expr: str) -> list[Predicate]:
+    """Best-effort: extract `col op literal` conjuncts from a SQL boolean
+    string for FILE pruning. Pruning is an optimization, so conjuncts that
+    don't match the simple form (functions, OR branches, subexpressions)
+    are skipped — exactness comes from the row filter applied afterwards.
+    """
+    import re
+
+    global _WHERE_CONJUNCT
+    if _WHERE_CONJUNCT is None:
+        lit = r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
+        _WHERE_CONJUNCT = re.compile(
+            r"^\s*(\w+)\s*(=|==|!=|<>|<=|>=|<|>)\s*" + lit + r"\s*$"
+        )
+    if re.search(r"\bOR\b", expr, flags=re.IGNORECASE):
+        return []  # OR disjuncts can't be pruned conjunct-by-conjunct
+    preds: list[Predicate] = []
+    for part in re.split(r"\bAND\b", expr, flags=re.IGNORECASE):
+        m = _WHERE_CONJUNCT.match(part)
+        if not m:
+            continue
+        col, op, raw = m.groups()
+        val: object
+        if raw.startswith("'"):
+            val = raw[1:-1].replace("''", "'")
+        elif re.fullmatch(r"-?\d+", raw):
+            val = int(raw)
+        else:
+            val = float(raw)
+        preds.append((col, "!=" if op == "<>" else op, val))
+    return preds
+
+
 class DeltaTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -49,15 +85,24 @@ class DeltaTable:
         predicates: list[Predicate] | None = None,
         columns: list[str] | None = None,
         version: int | None = None,
-        where: list[Predicate] | None = None,
+        where: list[Predicate] | str | None = None,
     ) -> DataFrame:
         """Scan the snapshot.
 
         `predicates`: file-level pruning ONLY (partition values + stats) —
         rows from surviving files are NOT re-filtered.
         `where`: exact semantics — prunes files AND applies the equivalent
-        row filter (the common case; supersedes `predicates`).
+        row filter (the common case; supersedes `predicates`). Either a
+        predicate-tuple list or a SQL boolean string; for a string, simple
+        `col op literal` conjuncts drive file pruning and the full
+        expression is applied as the row filter.
         """
+        if isinstance(where, str):
+            preds = _parse_where(where)
+            df = read_snapshot(
+                self.spark, self.snapshot(version), preds, columns
+            )
+            return df.filter(where)
         preds = where if where is not None else predicates
         df = read_snapshot(self.spark, self.snapshot(version), preds, columns)
         if where:

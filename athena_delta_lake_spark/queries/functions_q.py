@@ -390,3 +390,33 @@ def f08(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("norm_sq"),
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
     )
+
+
+@register(
+    "f12_stats_corr_regr",
+    "scalar",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+           round(covar_pop(l_quantity, l_discount), 6)       AS covar_p,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "statistical aggregates: corr, covar_samp/pop, regr_slope/intercept/count "
+    "— all JVM-side partial-aggregable built-ins (one shuffle)",
+)
+def f12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp(q, p), 4).alias("covar_s"),
+        F.round(F.covar_pop(q, d), 6).alias("covar_p"),
+        F.round(F.regr_slope(p, q), 4).alias("slope"),
+        F.round(F.regr_intercept(p, q), 4).alias("intercept"),
+        F.regr_count(p, q).cast("long").alias("n"),
+    )

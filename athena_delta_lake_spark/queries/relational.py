@@ -941,3 +941,161 @@ def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     b = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     return a.exceptAll(b).distinct()
+
+
+# ----------------------------------------------- q12 TPC-H Q12 shape (adapted)
+
+
+@register(
+    "q12_priority_line_counts",
+    "join",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+    GROUP BY l_linestatus
+    """,
+    "TPC-H Q12 shape (fixture lacks shipmode/commit/receipt dates): "
+    "fact-fact equi-join + conditional aggregation over the join result",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1996-01-01"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ----------------------------------------------- q20 TPC-H Q20 shape (adapted)
+
+
+@register(
+    "q20_part_promotion_suppliers",
+    "subquery",
+    """
+    SELECT s_name, round(s_acctbal, 2) AS acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'
+        )
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 400
+    )
+    """,
+    "TPC-H Q20 shape (fixture lacks partsupp): nested IN subqueries — "
+    "inner semi-join on a LIKE-filtered dim, aggregate + HAVING, outer "
+    "semi-join back to supplier. Both semi-joins broadcast the small side.",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part_keys = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("blue%"))
+        .select("p_partkey")
+    )
+    supp_keys = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(part_keys),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 400)
+        .select("l_suppkey")
+    )
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(supp_keys),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+# ----------------------------------------------- q21 TPC-H Q21 shape (adapted)
+
+
+@register(
+    "q21_blocking_suppliers",
+    "subquery",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    """,
+    "TPC-H Q21 shape (returnflag='R' stands in for receipt>commit): "
+    "correlated EXISTS (semi self-join with non-equi residual) + "
+    "NOT EXISTS (anti self-join) on the fact table, then agg",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    orders_f = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+        .join(orders_f, F.col("l1.l_orderkey") == F.col("o_orderkey"))
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        waiting.join(
+            F.broadcast(supplier),
+            F.col("l1.l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

@@ -64,6 +64,32 @@ def c01(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_orc_customer(spark: SparkSession, sf_dir: str) -> str:
+    path = os.path.join(_ROOT, _tag(sf_dir), "customer_orc")
+    if not os.path.isdir(path):
+        sources.write_orc(load(spark, sf_dir, "customer"), path)
+    return path
+
+
+@register(
+    "c03_orc_source",
+    "source",
+    """
+    SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    "ORC round trip: write customer as ORC, read back, aggregate; oracle runs "
+    "on the original parquet so an ORC encode/decode bug breaks the hash",
+)
+def c03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_orc_customer(spark, sf_dir)
+    df = sources.read_orc(spark, path)
+    return df.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+    )
+
+
 @register(
     "c02_json_source",
     "source",

@@ -44,6 +44,15 @@ def read_parquet(
     return reader.parquet(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
 
@@ -52,4 +61,16 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
-__all__ = ["read_csv", "read_json", "read_parquet", "write_csv", "write_json"]
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+__all__ = [
+    "read_csv",
+    "read_json",
+    "read_orc",
+    "read_parquet",
+    "write_csv",
+    "write_json",
+    "write_orc",
+]

@@ -84,3 +84,27 @@ def test_stats_pruning_conservative_on_nulls(spark, tmp_path):
     assert len(prune_files(snap, [("id", "!=", 5)])) == 1
     assert len(prune_files(snap, [("id", "<=", 9)])) == 1
     assert len(prune_files(snap, [("id", ">", 9)])) == 0
+
+
+def test_where_string_api(spark, part_tbl):
+    """to_df(where=<SQL string>) applies exact row semantics AND file
+    pruning from parseable conjuncts (unparseable ones are skipped —
+    pruning is an optimization, the row filter supplies exactness)."""
+    from athena_delta_lake_spark.delta.table import _parse_where
+
+    t = DeltaTable(spark, part_tbl)
+    tuple_n = t.to_df(where=[("year", "=", 2021)]).count()
+    assert t.to_df(where="year = 2021").count() == tuple_n
+    assert (
+        t.to_df(where="year = 2021 AND month <= 2").count()
+        == t.to_df(where=[("year", "=", 2021), ("month", "<=", 2)]).count()
+    )
+    # OR disables pruning but stays exact
+    both = t.to_df(where="year = 2020 OR year = 2021").count()
+    assert both == t.to_df().filter("year in (2020, 2021)").count()
+    # parser: literals, quote escapes, <>, skip-on-function
+    assert _parse_where("a = 'it''s' AND b <> 2 AND upper(c) = 'X'") == [
+        ("a", "=", "it's"),
+        ("b", "!=", 2),
+    ]
+    assert _parse_where("a = 1 OR b = 2") == []
