@@ -1,7 +1,8 @@
 """Native Delta Lake core: log replay, snapshot, pruning, scan, write."""
 
+from .dml import compact, delete, merge_upsert, update, vacuum
 from .log import AddFile, DeltaLog, SnapshotState
-from .reader import read_snapshot
+from .reader import read_files, read_snapshot
 from .stats import prune_files
 from .table import DeltaTable
 from .types import schema_string_to_struct, struct_to_schema_string
@@ -12,10 +13,16 @@ __all__ = [
     "DeltaLog",
     "DeltaTable",
     "SnapshotState",
+    "compact",
+    "delete",
+    "merge_upsert",
     "prune_files",
+    "read_files",
     "read_snapshot",
     "schema_string_to_struct",
     "struct_to_schema_string",
+    "update",
+    "vacuum",
     "write_checkpoint",
     "write_delta",
 ]

@@ -1,0 +1,399 @@
+"""Delta DML: copy-on-write DELETE / UPDATE / MERGE, file compaction
+(OPTIMIZE bin-packing) and VACUUM.
+
+The reference is strictly read-only (delta-standalone 0.2.0,
+/root/reference/build.sbt:37; SURVEY §2.C "no writes, no transactions") —
+these operators complete the system capability the reference's users get
+from the Athena side plus table maintenance no part of the reference offers.
+
+Design for scale (copy-on-write):
+- Only *candidate* files are ever read or rewritten. Candidates come from
+  the same driver-side pruning the scan uses (stats.prune_files: partition
+  values exact, min/max stats conservative), so a DELETE with a partition
+  predicate touches only that partition's files and a MERGE touches only
+  files that provably contain matched keys.
+- Rewrites are Spark jobs (vectorized parquet in/out), never driver loops;
+  the driver handles O(metadata) only: file lists and commit JSON.
+- The commit is a single atomic version containing `remove`(old) +
+  `add`(new) — readers at the prior version still see a consistent
+  snapshot (time travel keeps working across DML).
+- Row counts are taken from the per-file stats already being computed for
+  data skipping, not from extra count() jobs.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .log import AddFile, DeltaLog, SnapshotState
+from .reader import read_files
+from .stats import Predicate, prune_files
+from .writer import commit_rewrite, stage_data_files
+
+
+# --------------------------------------------------------------- predicates
+
+
+def _normalize_where(where) -> tuple[list[Predicate], "F.Column", bool]:
+    """-> (pruning predicates, row-level condition, fully_parsed).
+
+    `fully_parsed` is True when the pruning predicates are EXACTLY the row
+    condition (every conjunct captured) — the precondition for the
+    no-rewrite fast path on partition-only predicates.
+    """
+    from .table import _parse_where
+
+    if isinstance(where, str):
+        preds = _parse_where(where)
+        import re
+
+        n_conjuncts = (
+            0
+            if re.search(r"\bOR\b", where, flags=re.IGNORECASE)
+            else len(re.split(r"\bAND\b", where, flags=re.IGNORECASE))
+        )
+        return preds, F.expr(where), len(preds) == n_conjuncts
+    preds = list(where or [])
+    cond = F.lit(True)
+    for col, op, val in preds:
+        c = F.col(col)
+        if op in {"=", "=="}:
+            part = c.eqNullSafe(val) if val is None else (c == val)
+        elif op == "!=":
+            part = c != val
+        elif op == "<":
+            part = c < val
+        elif op == "<=":
+            part = c <= val
+        elif op == ">":
+            part = c > val
+        elif op == ">=":
+            part = c >= val
+        elif op == "in":
+            part = c.isin(list(val))
+        else:
+            raise ValueError(f"unsupported op: {op!r}")
+        cond = cond & part
+    return preds, cond, True
+
+
+def _num_records(files: list[AddFile]) -> int | None:
+    total = 0
+    for f in files:
+        n = (f.stats or {}).get("numRecords")
+        if n is None:
+            return None
+        total += n
+    return total
+
+
+def _adds_num_records(adds: list[dict]) -> int | None:
+    import json
+
+    total = 0
+    for a in adds:
+        s = a["add"].get("stats")
+        if s is None:
+            return None
+        total += json.loads(s)["numRecords"]
+    return total
+
+
+def _partition_only(preds: list[Predicate], snap: SnapshotState) -> bool:
+    pc = set(snap.partition_columns)
+    return bool(preds) and all(p[0] in pc for p in preds)
+
+
+# --------------------------------------------------------------------- DELETE
+
+
+def delete(spark: SparkSession, table_path: str, where) -> dict:
+    """DELETE FROM table WHERE ... (rows where the condition is TRUE).
+
+    Fast path: when the whole condition is partition predicates, matching
+    files are removed with NO data I/O (metadata-only commit). Otherwise
+    candidate files (stats-pruned) are rewritten without the matching rows.
+    """
+    if where is None or where == []:
+        raise ValueError(
+            "delete() requires a condition; use where='true' to delete all"
+        )
+    table_path = os.path.abspath(table_path)
+    snap = DeltaLog(table_path).snapshot()
+    preds, cond, fully_parsed = _normalize_where(where)
+    candidates = prune_files(snap, preds) if preds else list(snap.files)
+    if not candidates:
+        return {"files_removed": 0, "files_added": 0, "rows_deleted": 0}
+
+    part_cols = snap.partition_columns
+    if fully_parsed and _partition_only(preds, snap):
+        # every row in every candidate file matches: metadata-only delete
+        commit_rewrite(
+            table_path,
+            "DELETE",
+            [],
+            [f.path for f in candidates],
+            operation_parameters={"predicate": str(where)},
+        )
+        return {
+            "files_removed": len(candidates),
+            "files_added": 0,
+            "rows_deleted": _num_records(candidates),
+        }
+
+    df = read_files(spark, snap, candidates)
+    kept = df.filter(~F.coalesce(cond, F.lit(False)))  # NULL predicate keeps
+    data_schema = _data_schema(snap)
+    adds = stage_data_files(kept, table_path, part_cols, data_schema)
+    commit_rewrite(
+        table_path,
+        "DELETE",
+        adds,
+        [f.path for f in candidates],
+        operation_parameters={"predicate": str(where)},
+    )
+    before, after = _num_records(candidates), _adds_num_records(adds)
+    return {
+        "files_removed": len(candidates),
+        "files_added": len(adds),
+        "rows_deleted": None if before is None or after is None else before - after,
+    }
+
+
+# --------------------------------------------------------------------- UPDATE
+
+
+def update(
+    spark: SparkSession,
+    table_path: str,
+    set: dict[str, str],
+    where=None,
+) -> dict:
+    """UPDATE table SET col = <sql expr> [, ...] WHERE ... .
+
+    Candidate files (stats-pruned by the WHERE) are rewritten with each SET
+    column conditionally replaced; rows where the condition is not TRUE pass
+    through unchanged. Updating a partition column moves rows between
+    partition directories automatically (the staged write re-partitions).
+    """
+    table_path = os.path.abspath(table_path)
+    snap = DeltaLog(table_path).snapshot()
+    preds, cond, _ = _normalize_where(where) if where is not None else ([], F.lit(True), True)
+    candidates = prune_files(snap, preds) if preds else list(snap.files)
+    if not candidates:
+        return {"files_removed": 0, "files_added": 0}
+
+    df = read_files(spark, snap, candidates)
+    field_types = {f.name: f.dataType for f in snap.schema.fields}
+    hit = F.coalesce(cond, F.lit(False))
+    for col, expr in set.items():
+        if col not in field_types:
+            raise ValueError(f"unknown column: {col}")
+        df = df.withColumn(
+            col,
+            F.when(hit, F.expr(expr).cast(field_types[col])).otherwise(
+                F.col(col)
+            ),
+        )
+    adds = stage_data_files(df, table_path, snap.partition_columns, _data_schema(snap))
+    commit_rewrite(
+        table_path,
+        "UPDATE",
+        adds,
+        [f.path for f in candidates],
+        operation_parameters={"predicate": str(where)},
+    )
+    return {"files_removed": len(candidates), "files_added": len(adds)}
+
+
+# ---------------------------------------------------------------------- MERGE
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    keys: list[str],
+    broadcast_keys: bool = True,
+) -> dict:
+    """MERGE INTO table USING source ON keys
+    WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * (upsert).
+
+    Touched-file detection is a semi-join of the target scan (tagged with
+    its physical file) against the distinct source keys — only files that
+    actually contain a matched key are rewritten; a merge into a 100 TB
+    table whose keys all land in one partition rewrites one partition.
+    `broadcast_keys` hints the key set broadcast-able (the common case:
+    source << target); set False to let AQE choose for huge sources.
+    """
+    table_path = os.path.abspath(table_path)
+    snap = DeltaLog(table_path).snapshot()
+    target_cols = [f.name for f in snap.schema.fields]
+    missing = [c for c in target_cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"source is missing target columns: {missing}")
+    src = source.select(*target_cols)
+    for k in keys:
+        if k not in target_cols:
+            raise ValueError(f"merge key not in table schema: {k}")
+
+    src_keys = src.select(*keys).distinct()
+    if broadcast_keys:
+        src_keys = F.broadcast(src_keys)
+
+    live = list(snap.files)
+    by_basename = {os.path.basename(f.path): f for f in live}
+    touched_names = set()
+    if live:
+        tagged = read_files(spark, snap, live).select(
+            *keys, F.input_file_name().alias("__file")
+        )
+        rows = (
+            tagged.join(src_keys, keys, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        from urllib.parse import unquote
+
+        touched_names = {
+            os.path.basename(unquote(r["__file"])) for r in rows
+        }
+    touched = [by_basename[n] for n in touched_names if n in by_basename]
+
+    if touched:
+        kept = read_files(spark, snap, touched).join(
+            src_keys, keys, "left_anti"
+        )
+        new_data = kept.unionByName(src)
+    else:
+        new_data = src
+    adds = stage_data_files(
+        new_data, table_path, snap.partition_columns, _data_schema(snap)
+    )
+    commit_rewrite(
+        table_path,
+        "MERGE",
+        adds,
+        [f.path for f in touched],
+        operation_parameters={"matchedPredicate": " AND ".join(keys)},
+    )
+    return {
+        "files_removed": len(touched),
+        "files_added": len(adds),
+        "source_rows": None,
+    }
+
+
+# ------------------------------------------------------------------- OPTIMIZE
+
+
+def compact(
+    spark: SparkSession,
+    table_path: str,
+    target_file_size: int = 128 * 1024 * 1024,
+    predicates: list[Predicate] | None = None,
+) -> dict:
+    """OPTIMIZE (bin-packing): merge small files within each partition.
+
+    Partitions (or the whole table when unpartitioned) holding >= 2 files
+    under `target_file_size` get those files rewritten into
+    ceil(total/target) files. Commits with dataChange=false — streaming /
+    incremental readers know no rows changed. Optional `predicates` scope
+    the compaction (e.g. one hot partition)."""
+    table_path = os.path.abspath(table_path)
+    snap = DeltaLog(table_path).snapshot()
+    files = prune_files(snap, predicates) if predicates else list(snap.files)
+
+    groups: dict[tuple, list[AddFile]] = {}
+    for f in files:
+        if f.size < target_file_size:
+            key = tuple(sorted((f.partition_values or {}).items()))
+            groups.setdefault(key, []).append(f)
+    to_compact = {k: v for k, v in groups.items() if len(v) >= 2}
+    if not to_compact:
+        return {"groups": 0, "files_removed": 0, "files_added": 0}
+
+    victims = [f for v in to_compact.values() for f in v]
+    df = read_files(spark, snap, victims)
+    part_cols = snap.partition_columns
+    if part_cols:
+        # one task per partition value -> one output file per partition
+        df = df.repartition(len(to_compact), *[F.col(c) for c in part_cols])
+    else:
+        total = sum(f.size for f in victims)
+        df = df.coalesce(max(1, -(-total // target_file_size)))
+    adds = stage_data_files(df, table_path, part_cols, _data_schema(snap))
+    commit_rewrite(
+        table_path,
+        "OPTIMIZE",
+        adds,
+        [f.path for f in victims],
+        data_change=False,
+        operation_parameters={"targetSize": str(target_file_size)},
+    )
+    return {
+        "groups": len(to_compact),
+        "files_removed": len(victims),
+        "files_added": len(adds),
+    }
+
+
+# --------------------------------------------------------------------- VACUUM
+
+
+def vacuum(
+    table_path: str,
+    retention_hours: float = 168.0,
+    dry_run: bool = False,
+) -> dict:
+    """Physically delete data files no longer referenced by the CURRENT
+    snapshot and older than the retention window (default 7 days — the
+    window protects in-flight readers and time travel within it).
+
+    Returns {"files": [...], "deleted": bool}. Metadata-only scan: walks
+    the storage listing against the live-file set; never reads data."""
+    from urllib.parse import unquote
+
+    table_path = os.path.abspath(table_path)
+    snap = DeltaLog(table_path).snapshot()
+    live = {unquote(f.path) for f in snap.files}
+    cutoff = time.time() - retention_hours * 3600.0
+
+    doomed: list[str] = []
+    for root, dirs, names in os.walk(table_path):
+        if "_delta_log" in dirs:
+            dirs.remove("_delta_log")
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, table_path).replace(os.sep, "/")
+            if rel in live:
+                continue
+            if os.path.getmtime(full) >= cutoff:
+                continue
+            doomed.append(rel)
+    if not dry_run:
+        for rel in doomed:
+            os.remove(os.path.join(table_path, rel))
+        # prune now-empty partition dirs
+        for root, dirs, names in os.walk(table_path, topdown=False):
+            if "_delta_log" in root:
+                continue
+            if not dirs and not names and root != table_path:
+                os.rmdir(root)
+    return {"files": sorted(doomed), "deleted": not dry_run}
+
+
+def _data_schema(snap: SnapshotState):
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [f for f in snap.schema.fields if f.name not in snap.partition_columns]
+    )

@@ -69,7 +69,17 @@ def read_snapshot(
     NOT applied row-level here — pass the same condition to `.filter()` (or
     use `DeltaTable.to_df(where=...)`) for exact semantics.
     """
-    files = prune_files(snapshot, predicates)
+    return read_files(spark, snapshot, prune_files(snapshot, predicates), columns)
+
+
+def read_files(
+    spark: SparkSession,
+    snapshot: SnapshotState,
+    files: list[AddFile],
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Scan an explicit subset of a snapshot's files (partition columns
+    materialized) — the unit the DML rewriters (dml.py) operate on."""
     schema = snapshot.schema
     part_cols = snapshot.partition_columns
 

@@ -146,6 +146,38 @@ class DeltaTable:
     def checkpoint(self) -> int:
         return write_checkpoint(self.path)
 
+    # -- DML (absent from the reference; dml.py has the scale rationale)
+    def delete(self, where) -> dict:
+        from .dml import delete
+
+        return delete(self.spark, self.path, where)
+
+    def update(self, set: dict[str, str], where=None) -> dict:
+        from .dml import update
+
+        return update(self.spark, self.path, set, where)
+
+    def merge(
+        self, source: DataFrame, keys: list[str], broadcast_keys: bool = True
+    ) -> dict:
+        from .dml import merge_upsert
+
+        return merge_upsert(self.spark, self.path, source, keys, broadcast_keys)
+
+    def compact(
+        self,
+        target_file_size: int = 128 * 1024 * 1024,
+        predicates: list[Predicate] | None = None,
+    ) -> dict:
+        from .dml import compact
+
+        return compact(self.spark, self.path, target_file_size, predicates)
+
+    def vacuum(self, retention_hours: float = 168.0, dry_run: bool = False) -> dict:
+        from .dml import vacuum
+
+        return vacuum(self.path, retention_hours, dry_run)
+
     def history(self) -> list[dict]:
         """commitInfo per version (newest first)."""
         import json

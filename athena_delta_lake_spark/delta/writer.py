@@ -127,40 +127,17 @@ def _atomic_commit(log_dir: str, version: int, actions: Iterable[dict]) -> None:
             f.write(json.dumps(a, separators=(",", ":")) + "\n")
 
 
-def write_delta(
+def stage_data_files(
     df: DataFrame,
     table_path: str,
-    mode: str = "append",
-    partition_by: list[str] | None = None,
+    partition_by: list[str],
+    data_schema: T.StructType,
     collect_stats: bool = True,
-) -> int:
-    """Write `df` to a Delta table at `table_path`. Returns committed version.
-
-    mode: 'append' adds files; 'overwrite' adds files and removes all prior
-    live files in the same commit (Delta logical overwrite — old files stay
-    on disk for time travel).
-    """
-    if mode not in {"append", "overwrite"}:
-        raise ValueError(f"unsupported mode: {mode}")
-    table_path = os.path.abspath(table_path)
-
-    prior = None
-    try:
-        prior = DeltaLog(table_path).snapshot()
-    except (FileNotFoundError, ValueError):
-        pass
-    if partition_by is None and prior is not None and mode == "append":
-        # inherit the table's existing partition spec on append
-        partition_by = list(prior.partition_columns)
-    partition_by = list(partition_by or [])
-    schema = df.schema
-    data_schema = T.StructType([f for f in schema.fields if f.name not in partition_by])
-
-    if prior is not None and mode == "append" and prior.partition_columns != partition_by:
-        raise ValueError(
-            f"partition mismatch: table has {prior.partition_columns}, got {partition_by}"
-        )
-
+) -> list[dict]:
+    """Write `df` as new parquet data files under `table_path` (hive layout
+    when partitioned) and return the corresponding `add` actions — NOT yet
+    committed. Shared by append/overwrite (write_delta) and the DML
+    rewriters (dml.py)."""
     staging = os.path.join(
         os.path.dirname(table_path), f".staging-{uuid.uuid4().hex}"
     )
@@ -202,6 +179,90 @@ def write_delta(
                 add["stats"] = json.dumps(stats, separators=(",", ":"))
             adds.append({"add": add})
     shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
+def commit_rewrite(
+    table_path: str,
+    operation: str,
+    adds: list[dict],
+    remove_paths: list[str],
+    data_change: bool = True,
+    operation_parameters: dict | None = None,
+) -> int:
+    """Commit a file-rewrite transaction: `remove` the replaced files and
+    `add` their rewrites in ONE atomic version — the copy-on-write commit
+    shape shared by DELETE/UPDATE/MERGE/OPTIMIZE (dml.py). Untouched files
+    are never referenced, so the commit is O(touched files)."""
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": operation,
+                "operationParameters": operation_parameters or {},
+                "engineInfo": "athena_delta_lake_spark",
+            }
+        }
+    ]
+    for p in remove_paths:
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now,
+                    "dataChange": data_change,
+                }
+            }
+        )
+    for a in adds:
+        if not data_change:
+            a = {"add": {**a["add"], "dataChange": False}}
+        actions.append(a)
+    version = _next_version(table_path)
+    _atomic_commit(os.path.join(table_path, "_delta_log"), version, actions)
+    DeltaLog.clear_cache()
+    return version
+
+
+def write_delta(
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    collect_stats: bool = True,
+) -> int:
+    """Write `df` to a Delta table at `table_path`. Returns committed version.
+
+    mode: 'append' adds files; 'overwrite' adds files and removes all prior
+    live files in the same commit (Delta logical overwrite — old files stay
+    on disk for time travel).
+    """
+    if mode not in {"append", "overwrite"}:
+        raise ValueError(f"unsupported mode: {mode}")
+    table_path = os.path.abspath(table_path)
+
+    prior = None
+    try:
+        prior = DeltaLog(table_path).snapshot()
+    except (FileNotFoundError, ValueError):
+        pass
+    if partition_by is None and prior is not None and mode == "append":
+        # inherit the table's existing partition spec on append
+        partition_by = list(prior.partition_columns)
+    partition_by = list(partition_by or [])
+    schema = df.schema
+    data_schema = T.StructType([f for f in schema.fields if f.name not in partition_by])
+
+    if prior is not None and mode == "append" and prior.partition_columns != partition_by:
+        raise ValueError(
+            f"partition mismatch: table has {prior.partition_columns}, got {partition_by}"
+        )
+
+    adds = stage_data_files(
+        df, table_path, partition_by, data_schema, collect_stats
+    )
+    now = int(time.time() * 1000)
 
     version = _next_version(table_path)
     actions: list[dict] = [

@@ -134,3 +134,67 @@ def l03(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT o_orderstatus, count(*) AS n FROM pond_delta_orders "
         "GROUP BY o_orderstatus"
     )
+
+
+def _ensure_dml_customer(spark: SparkSession, sf_dir: str) -> str:
+    """customer copy taken through the full DML cycle: DELETE (partition
+    fast path + rewrite), UPDATE, MERGE upsert, then OPTIMIZE. Built once
+    per sf; every step is deterministic so the oracle below can mirror the
+    final state with plain SQL over the pristine parquet."""
+    path = os.path.join(_fixture_root(sf_dir), "lake", "dml_customer")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        c = load(spark, sf_dir, "customer")
+        write_delta(c, path, partition_by=["c_mktsegment"])
+        t = DeltaTable(spark, path)
+        # partition-only DELETE: metadata commit, no data I/O
+        t.delete(where=[("c_mktsegment", "=", "BUILDING")])
+        # predicate DELETE: rewrites only candidate files
+        t.delete(where="c_acctbal < 0")
+        # UPDATE: conditional column rewrite
+        t.update({"c_acctbal": "c_acctbal + 100"}, where="c_nationkey = 7")
+        # MERGE upsert: flip ONE existing row deterministically
+        src = (
+            t.to_df()
+            .orderBy("c_custkey")
+            .limit(1)
+            .withColumn("c_acctbal", F.lit(99999.0))
+        )
+        t.merge(src, keys=["c_custkey"])
+        t.compact()
+    return path
+
+
+@register(
+    "l04_delta_dml",
+    "delta-core",
+    """
+    WITH after_dml AS (
+        SELECT c_custkey, c_mktsegment, c_nationkey,
+               CASE WHEN c_nationkey = 7 THEN c_acctbal + 100
+                    ELSE c_acctbal END AS bal
+        FROM customer
+        WHERE c_mktsegment <> 'BUILDING' AND c_acctbal >= 0
+    ), merged AS (
+        SELECT c_mktsegment,
+               CASE WHEN c_custkey = (SELECT min(c_custkey) FROM after_dml)
+                    THEN 99999.0 ELSE bal END AS bal
+        FROM after_dml
+    )
+    SELECT c_mktsegment, count(*) AS n, round(sum(bal), 2) AS total_bal
+    FROM merged GROUP BY c_mktsegment
+    """,
+    "DELETE (partition fast path + stats-pruned rewrite) -> UPDATE -> MERGE "
+    "upsert -> OPTIMIZE, verified against the oracle replaying the same "
+    "mutations as SQL over the pristine parquet",
+)
+def l04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_dml_customer(spark, sf_dir)
+    t = DeltaTable(spark, path)
+    return (
+        t.to_df()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )

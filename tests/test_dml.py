@@ -1,0 +1,169 @@
+"""Delta DML: copy-on-write DELETE/UPDATE/MERGE + OPTIMIZE + VACUUM.
+
+Beyond result correctness these pin the SCALE contracts: untouched files
+are never rewritten (copy-on-write touches only candidates), partition-only
+deletes are metadata commits with zero data I/O, and compaction commits
+dataChange=false."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_delta_lake_spark import DeltaTable, write_delta
+
+
+@pytest.fixture
+def tbl(spark, tmp_path):
+    path = str(tmp_path / "dml_tbl")
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i), f"name_{i}") for i in range(400)],
+        "id int, part int, v double, name string",
+    )
+    write_delta(df, path, partition_by=["part"])
+    return path
+
+
+def _file_paths(t: DeltaTable) -> set:
+    return {f.path for f in t.snapshot().files}
+
+
+def test_delete_partition_fast_path(spark, tbl):
+    t = DeltaTable(spark, tbl)
+    v0_files = _file_paths(t)
+    res = t.delete(where=[("part", "=", 3)])
+    assert res["files_added"] == 0  # metadata-only: nothing rewritten
+    assert res["rows_deleted"] == 100
+    assert t.to_df().count() == 300
+    assert t.to_df().filter("part = 3").count() == 0
+    # untouched partitions keep their exact physical files
+    assert _file_paths(t) < v0_files
+    # time travel still sees the deleted rows
+    assert t.to_df(version=0).count() == 400
+
+
+def test_delete_data_predicate_rewrites_only_candidates(spark, tbl):
+    t = DeltaTable(spark, tbl)
+    before = _file_paths(t)
+    res = t.delete(where="part = 1 AND id < 100")
+    # candidates were pruned to partition 1 only; other partitions' files
+    # must survive BY IDENTITY (no rewrite)
+    after = _file_paths(t)
+    untouched_before = {p for p in before if "part=1" not in p}
+    assert untouched_before <= after
+    assert t.to_df().count() == 400 - res["rows_deleted"]
+    assert t.to_df().filter("part = 1 and id < 100").count() == 0
+    assert t.to_df().filter("part = 1").count() == 100 - res["rows_deleted"]
+
+
+def test_delete_null_condition_keeps_rows(spark, tmp_path):
+    path = str(tmp_path / "nulls")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "id int, v double"
+    )
+    write_delta(df, path, partition_by=[])
+    t = DeltaTable(spark, path)
+    t.delete(where="v > 20")
+    # SQL DELETE removes only rows where the predicate is TRUE; the NULL row stays
+    assert sorted(r.id for r in t.to_df().collect()) == [1, 2]
+
+
+def test_update_where(spark, tbl):
+    t = DeltaTable(spark, tbl)
+    t.update({"v": "v * 10", "name": "'updated'"}, where="part = 2 AND id < 10")
+    out = t.to_df().filter("part = 2").orderBy("id").collect()
+    for r in out:
+        if r.id < 10:
+            assert r.v == r.id * 10.0 and r.name == "updated"
+        else:
+            assert r.v == float(r.id) and r.name == f"name_{r.id}"
+    # other partitions untouched
+    assert t.to_df().filter("part != 2 and name = 'updated'").count() == 0
+
+
+def test_update_partition_column_moves_rows(spark, tbl):
+    t = DeltaTable(spark, tbl)
+    t.update({"part": "9"}, where=[("part", "=", 0)])
+    assert t.to_df().filter("part = 0").count() == 0
+    assert t.to_df().filter("part = 9").count() == 100
+    # moved rows physically live under the new hive dir
+    assert any("part=9" in p for p in _file_paths(t))
+
+
+def test_merge_upsert(spark, tbl):
+    t = DeltaTable(spark, tbl)
+    before = _file_paths(t)
+    src = spark.createDataFrame(
+        [(5, 1, 555.0, "merged_5"), (1000, 2, 1000.0, "inserted")],
+        "id int, part int, v double, name string",
+    )
+    res = t.merge(src, keys=["id"])
+    df = t.to_df()
+    assert df.count() == 401  # 400 - 1 matched + 2 source
+    r5 = df.filter("id = 5").collect()[0]
+    assert r5.v == 555.0 and r5.name == "merged_5"
+    assert df.filter("id = 1000").count() == 1
+    # id=5 lived in part=1: only files containing it get rewritten
+    assert res["files_removed"] >= 1
+    untouched = {p for p in before if "part=1" not in p}
+    assert untouched <= _file_paths(t)
+
+
+def test_merge_into_empty_and_no_match(spark, tmp_path):
+    path = str(tmp_path / "m2")
+    base = spark.createDataFrame([(1, "a")], "id int, s string")
+    write_delta(base, path, partition_by=[])
+    t = DeltaTable(spark, path)
+    src = spark.createDataFrame([(2, "b")], "id int, s string")
+    res = t.merge(src, keys=["id"])
+    assert res["files_removed"] == 0  # no key overlap: pure append
+    assert t.to_df().count() == 2
+
+
+def test_compact_binpacks_and_preserves_data(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    for i in range(5):  # 5 commits -> >= 5 small files per partition
+        df = spark.createDataFrame(
+            [(i * 100 + j, j % 2, float(j)) for j in range(100)],
+            "id int, part int, v double",
+        )
+        write_delta(df, path, partition_by=["part"], mode="append")
+    t = DeltaTable(spark, path)
+    n_before = len(t.snapshot().files)
+    total_before = t.to_df().groupBy().agg(F.sum("id"), F.count("*")).collect()[0]
+    res = t.compact()
+    assert res["files_removed"] == n_before
+    assert len(t.snapshot().files) < n_before
+    total_after = t.to_df().groupBy().agg(F.sum("id"), F.count("*")).collect()[0]
+    assert tuple(total_before) == tuple(total_after)
+    # OPTIMIZE is not a data change
+    hist = t.history()
+    assert hist[0]["operation"] == "OPTIMIZE"
+
+
+def test_vacuum_removes_only_unreferenced_and_expired(spark, tbl):
+    t = DeltaTable(spark, tbl)
+    t.delete(where=[("part", "=", 0)])  # part=0 files now unreferenced
+    dry = t.vacuum(retention_hours=0.0, dry_run=True)
+    assert dry["files"] and all("part=0" in f for f in dry["files"])
+    assert not dry["deleted"]
+    # retention protects recent files
+    assert t.vacuum(retention_hours=1.0, dry_run=True)["files"] == []
+    res = t.vacuum(retention_hours=0.0)
+    assert res["deleted"] and res["files"] == dry["files"]
+    for rel in res["files"]:
+        assert not os.path.exists(os.path.join(tbl, rel))
+    # live data intact; time travel to v0 now (correctly) fails on data read
+    assert t.to_df().count() == 300
+
+
+def test_dml_versions_chain(spark, tbl):
+    t = DeltaTable(spark, tbl)
+    t.delete(where=[("part", "=", 3)])
+    t.update({"v": "0.0"}, where="id = 0")
+    t.compact()
+    ops = [h["operation"] for h in t.history()]
+    assert ops[:3] == ["OPTIMIZE", "UPDATE", "DELETE"]
+    # every intermediate version remains queryable (time travel across DML)
+    assert t.to_df(version=0).count() == 400
+    assert t.to_df(version=1).count() == 300
