@@ -231,12 +231,24 @@ def write_delta(
     mode: str = "append",
     partition_by: list[str] | None = None,
     collect_stats: bool = True,
+    merge_schema: bool = False,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Write `df` to a Delta table at `table_path`. Returns committed version.
 
     mode: 'append' adds files; 'overwrite' adds files and removes all prior
     live files in the same commit (Delta logical overwrite — old files stay
     on disk for time travel).
+
+    merge_schema: on append, allow `df` to carry columns the table lacks —
+    the commit includes an updated metaData action with the union schema;
+    existing files read as NULL for the new columns (Delta schema
+    evolution). Type changes / dropped columns still raise.
+
+    cluster_by: range-partition + sort the data by these columns before
+    writing (the OPTIMIZE ZORDER/cluster-on-write analog): each file covers
+    a narrow value range, so per-file min/max stats make data-skipping
+    scans on those columns prune most files. Orthogonal to partition_by.
     """
     if mode not in {"append", "overwrite"}:
         raise ValueError(f"unsupported mode: {mode}")
@@ -251,12 +263,51 @@ def write_delta(
         # inherit the table's existing partition spec on append
         partition_by = list(prior.partition_columns)
     partition_by = list(partition_by or [])
+
+    schema_changed = False
+    if prior is not None and mode == "append":
+        prior_names = {f.name for f in prior.schema.fields}
+        new_fields = [f for f in df.schema.fields if f.name not in prior_names]
+        changed = [
+            f.name
+            for f in df.schema.fields
+            if f.name in prior_names
+            and prior.schema[f.name].dataType != f.dataType
+        ]
+        if changed:
+            raise ValueError(f"type change not allowed on append: {changed}")
+        missing = prior_names - {f.name for f in df.schema.fields}
+        if new_fields or missing:
+            if not merge_schema:
+                raise ValueError(
+                    f"schema mismatch on append (new={[f.name for f in new_fields]}, "
+                    f"missing={sorted(missing)}); pass merge_schema=True to evolve"
+                )
+            # union schema: table columns first (original order), then new
+            from pyspark.sql import functions as F
+
+            for name in sorted(missing):
+                df = df.withColumn(
+                    name, F.lit(None).cast(prior.schema[name].dataType)
+                )
+            evolved = T.StructType(
+                list(prior.schema.fields) + new_fields
+            )
+            df = df.select(*[f.name for f in evolved.fields])
+            schema_changed = bool(new_fields)
+
     schema = df.schema
     data_schema = T.StructType([f for f in schema.fields if f.name not in partition_by])
 
     if prior is not None and mode == "append" and prior.partition_columns != partition_by:
         raise ValueError(
             f"partition mismatch: table has {prior.partition_columns}, got {partition_by}"
+        )
+
+    if cluster_by:
+        n_part = df.rdd.getNumPartitions()
+        df = df.repartitionByRange(n_part, *cluster_by).sortWithinPartitions(
+            *cluster_by
         )
 
     adds = stage_data_files(
@@ -277,7 +328,7 @@ def write_delta(
     ]
     if version == 0:
         actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
-    if version == 0 or mode == "overwrite":
+    if version == 0 or mode == "overwrite" or schema_changed:
         actions.append(
             {
                 "metaData": {
@@ -413,3 +464,93 @@ def _checkpoint_metadata(md: dict) -> dict:
         "createdTime",
     }
     return {k: v for k, v in md.items() if k in keep}
+
+
+def convert_to_delta(
+    spark,
+    dir_path: str,
+    partition_by: list[str] | None = None,
+    collect_stats: bool = True,
+) -> int:
+    """CONVERT TO DELTA: create a transaction log over an existing parquet
+    directory IN PLACE (no data copied or moved). Schema (data + typed
+    partition columns) comes from Spark's parquet/partition discovery; each
+    existing file becomes an `add` with footer-derived stats, so data
+    skipping works immediately.
+
+    `partition_by=None` auto-detects hive-style `k=v` directory segments.
+    The directory must not already be a Delta table."""
+    table_path = os.path.abspath(dir_path)
+    log_dir = os.path.join(table_path, "_delta_log")
+    if os.path.isdir(log_dir) and os.listdir(log_dir):
+        raise ValueError(f"already a Delta table: {table_path}")
+
+    rel_files: list[str] = []
+    for root, _dirs, names in os.walk(table_path):
+        for name in names:
+            if name.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(root, name), table_path)
+                rel_files.append(rel.replace(os.sep, "/"))
+    if not rel_files:
+        raise ValueError(f"no parquet files under {table_path}")
+
+    if partition_by is None:
+        partition_by = [
+            seg.split("=", 1)[0]
+            for seg in rel_files[0].split("/")[:-1]
+            if "=" in seg
+        ]
+
+    # Spark's own discovery supplies the authoritative schema: merged data
+    # fields + partition columns typed by value inference — the behavior the
+    # reference hard-coded to int year/month/day regexes
+    # (/root/reference/DeltaMetadataHandler.scala:33-38).
+    schema = spark.read.option("basePath", table_path).parquet(table_path).schema
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in partition_by]
+    )
+
+    now = int(time.time() * 1000)
+    from urllib.parse import quote
+
+    adds = []
+    for rel in sorted(rel_files):
+        full = os.path.join(table_path, rel)
+        add = {
+            "path": quote(rel, safe="/"),
+            "partitionValues": _partition_values_from_relpath(rel, partition_by),
+            "size": os.path.getsize(full),
+            "modificationTime": int(os.path.getmtime(full) * 1000),
+            "dataChange": True,
+        }
+        if collect_stats:
+            add["stats"] = json.dumps(
+                _file_stats(full, data_schema), separators=(",", ":")
+            )
+        adds.append({"add": add})
+
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "CONVERT",
+                "operationParameters": {"numFiles": str(len(adds))},
+                "engineInfo": "athena_delta_lake_spark",
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": struct_to_schema_string(schema),
+                "partitionColumns": partition_by,
+                "configuration": {},
+                "createdTime": now,
+            }
+        },
+    ]
+    actions.extend(adds)
+    _atomic_commit(log_dir, 0, actions)
+    DeltaLog.clear_cache()
+    return 0

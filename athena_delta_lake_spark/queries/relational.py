@@ -497,13 +497,13 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
               JOIN supplier ON s_suppkey = l_suppkey
               JOIN orders   ON o_orderkey = l_orderkey
               JOIN nation   ON s_nationkey = n_nationkey
-    WHERE p_name LIKE '%green%'
+    WHERE p_name LIKE '%red%'
     GROUP BY n_name, CAST(EXTRACT(year FROM o_orderdate) AS INT)
     """,
     "TPC-H Q9-ish: LIKE-filtered dim join, group by (nation, year)",
 )
 def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%green%"))
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier")
     orders = load(spark, sf_dir, "orders")

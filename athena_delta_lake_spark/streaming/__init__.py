@@ -73,4 +73,66 @@ def delta_append_sink(
     )
 
 
-__all__ = ["file_stream", "run_to_memory", "delta_append_sink"]
+def running_totals(
+    stream_df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Custom stateful operator: per-key running (count, sum, min, max)
+    maintained ACROSS microbatches with applyInPandasWithState.
+
+    Each trigger emits one updated row per key seen in that batch; the
+    accumulator lives in Spark's state store (checkpointed, partitioned by
+    key — state scales horizontally with executors, not with history
+    length). This is the extension point the reference had no analog for:
+    arbitrary per-key streaming state in Python with Arrow-batched I/O.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = (
+        f"{key_col} string, n bigint, total double, vmin double, vmax double"
+    )
+    state_schema = "n bigint, total double, vmin double, vmax double"
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, total, vmin, vmax = (
+            state.get if state.exists else (0, 0.0, None, None)
+        )
+        for pdf in pdf_iter:
+            vals = pdf[value_col].dropna()
+            if len(vals):
+                n += len(vals)
+                total += float(vals.sum())
+                bmin, bmax = float(vals.min()), float(vals.max())
+                vmin = bmin if vmin is None else min(vmin, bmin)
+                vmax = bmax if vmax is None else max(vmax, bmax)
+        state.update((n, total, vmin, vmax))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n": [n],
+                "total": [total],
+                "vmin": [vmin],
+                "vmax": [vmax],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+__all__ = [
+    "file_stream",
+    "run_to_memory",
+    "delta_append_sink",
+    "running_totals",
+]

@@ -142,3 +142,52 @@ def test_foreach_batch_delta_sink(spark, tmp_path):
     out = DeltaTable(spark, tbl).to_df()
     assert out.count() == 10
     assert out.agg(F.sum("value")).collect()[0][0] == sum(range(10))
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: per-key accumulator persists ACROSS
+    microbatches (maxFilesPerTrigger=1 forces two separate triggers)."""
+    from athena_delta_lake_spark.streaming import running_totals
+
+    src = str(tmp_path / "st_src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "st_ckpt")
+
+    df1 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "k string, v double"
+    )
+    df2 = spark.createDataFrame(
+        [("a", 3.0), ("c", 7.0)], "k string, v double"
+    )
+    df1.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    df2.coalesce(1).write.parquet(os.path.join(src, "b1"))
+
+    stream = (
+        spark.readStream.schema("k string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+    q = (
+        running_totals(stream, "k", "v")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("st_totals")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # memory sink in update mode appends every emission; the final state is
+    # the row with the highest running count per key (row order in the
+    # memory table is not guaranteed)
+    rows = spark.table("st_totals").collect()
+    last = {}
+    for r in rows:
+        if r.k not in last or r.n > last[r.k][0]:
+            last[r.k] = (r.n, r.total, r.vmin, r.vmax)
+    assert last["a"] == (3, 6.0, 1.0, 3.0)  # state carried across batches
+    assert last["b"] == (1, 10.0, 10.0, 10.0)
+    assert last["c"] == (1, 7.0, 7.0, 7.0)

@@ -1,0 +1,94 @@
+"""Write-path extensions: CONVERT TO DELTA (in-place log over existing
+parquet), schema evolution on append (merge_schema), and clustered writes
+(cluster_by -> range-partitioned files whose min/max stats prune)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_delta_lake_spark import DeltaTable, write_delta
+from athena_delta_lake_spark.delta import prune_files
+from athena_delta_lake_spark.delta.log import DeltaLog
+from athena_delta_lake_spark.delta.writer import convert_to_delta
+
+
+def test_convert_to_delta_partitioned(spark, tmp_path):
+    path = str(tmp_path / "plain")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(300)], "id int, p int, v double"
+    )
+    df.write.partitionBy("p").parquet(path)
+    convert_to_delta(spark, path)  # auto-detects hive partition col
+    t = DeltaTable(spark, path)
+    assert t.partition_columns() == ["p"]
+    assert t.to_df().count() == 300
+    # typed partition column (int, not string) via Spark discovery
+    assert t.schema()["p"].dataType.simpleString() == "int"
+    # stats were computed in place: data-skipping prunes on id
+    snap = t.snapshot()
+    assert len(prune_files(snap, [("id", ">", 10_000)])) == 0
+    # pruning on the partition value works from path-derived partitionValues
+    n_p0 = len(prune_files(snap, [("p", "=", 0)]))
+    assert 0 < n_p0 < len(snap.files)
+    # no data was moved: original spark files still there, no staging copies
+    assert t.history()[0]["operation"] == "CONVERT"
+
+
+def test_convert_refuses_existing_delta(spark, tmp_path):
+    path = str(tmp_path / "already")
+    write_delta(spark.range(5), path, partition_by=[])
+    with pytest.raises(ValueError, match="already a Delta"):
+        convert_to_delta(spark, path)
+
+
+def test_schema_evolution_append(spark, tmp_path):
+    path = str(tmp_path / "evolve")
+    v1 = spark.createDataFrame([(1, "a")], "id int, s string")
+    write_delta(v1, path, partition_by=[])
+    v2 = spark.createDataFrame([(2, "b", 9.5)], "id int, s string, score double")
+    # without the flag: explicit error
+    with pytest.raises(ValueError, match="merge_schema"):
+        write_delta(v2, path)
+    write_delta(v2, path, merge_schema=True)
+    t = DeltaTable(spark, path)
+    assert [f.name for f in t.schema().fields] == ["id", "s", "score"]
+    rows = {r.id: r for r in t.to_df().collect()}
+    assert rows[1].score is None  # old file reads NULL for the new column
+    assert rows[2].score == 9.5
+    # narrower frame appends fine after evolution (missing col -> NULL)
+    v3 = spark.createDataFrame([(3, "c")], "id int, s string")
+    write_delta(v3, path, merge_schema=True)
+    assert t.to_df(version=None).count() == 3
+    # type change is still rejected
+    bad = spark.createDataFrame([(4, 5)], "id int, s int")
+    with pytest.raises(ValueError, match="type change"):
+        write_delta(bad, path, merge_schema=True)
+
+
+def test_cluster_by_improves_skipping(spark, tmp_path):
+    clustered = str(tmp_path / "clustered")
+    scattered = str(tmp_path / "scattered")
+    # ids shuffled across input partitions: without clustering every file
+    # spans nearly the full id range
+    df = (
+        spark.range(0, 40_000)
+        .withColumn("id", F.xxhash64("id") % 40_000)
+        .repartition(8)
+    )
+    write_delta(df, scattered, partition_by=[])
+    write_delta(df, clustered, partition_by=[], cluster_by=["id"])
+
+    pred = [("id", ">=", 0), ("id", "<", 1000)]
+    snap_s = DeltaLog(scattered).snapshot()
+    snap_c = DeltaLog(clustered).snapshot()
+    kept_s = len(prune_files(snap_s, pred))
+    kept_c = len(prune_files(snap_c, pred))
+    assert len(snap_c.files) > 1
+    assert kept_c < kept_s  # clustering makes min/max ranges disjoint
+    assert kept_c <= 2
+    # same data either way
+    sc = DeltaTable(spark, scattered).to_df()
+    cl = DeltaTable(spark, clustered).to_df()
+    assert sc.count() == cl.count()
+    assert sc.agg(F.sum("id")).collect() == cl.agg(F.sum("id")).collect()
