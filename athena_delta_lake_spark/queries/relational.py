@@ -105,6 +105,73 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- q02b TPC-H Q2-ish min-cost supplier
+
+
+@register(
+    "q02b_min_cost_supplier",
+    "join",
+    """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ), eligible AS (
+      SELECT o.l_partkey, o.unit_cost, s_name, s_acctbal
+      FROM offers o
+        JOIN supplier ON s_suppkey = o.l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ), best AS (
+      SELECT *, min(unit_cost) OVER (PARTITION BY l_partkey) AS mc
+      FROM eligible
+    )
+    SELECT p_partkey, p_name, s_name, s_acctbal,
+           CAST(floor(unit_cost * 10000) AS BIGINT) AS unit_cost_e4
+    FROM best JOIN part ON p_partkey = l_partkey
+    WHERE unit_cost = mc AND p_size <= 10
+    """,
+    "TPC-H Q2-ish: min-cost supplier per part in a region (offers derived "
+    "from lineitem; the fixture has no partsupp)",
+)
+def q02b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+
+    # offers: the big-table aggregation shuffles once on (partkey, suppkey)
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    # dim chain is tiny: broadcast it to keep the offers side shuffle-free
+    asia_supp = supp.join(
+        F.broadcast(nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal")
+    eligible = offers.join(
+        F.broadcast(asia_supp), offers.l_suppkey == asia_supp.s_suppkey
+    )
+    # the TPC-H Q2 correlated "= (SELECT min(...))" as a window min — one
+    # extra shuffle on l_partkey instead of a rejoin of the subquery
+    best = eligible.withColumn(
+        "mc", F.min("unit_cost").over(W.partitionBy("l_partkey"))
+    ).filter(F.col("unit_cost") == F.col("mc"))
+    return best.join(
+        F.broadcast(part), part.p_partkey == best.l_partkey
+    ).select(
+        "p_partkey",
+        "p_name",
+        "s_name",
+        "s_acctbal",
+        F.floor(F.col("unit_cost") * 10000).cast("long").alias("unit_cost_e4"),
+    )
+
+
 # ------------------------------------------------- q03 shipping priority-ish
 
 

@@ -165,3 +165,111 @@ def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_start"
         ),
     )
+
+
+@register(
+    "st05_stream_static_join",
+    "streaming",
+    """
+    WITH profile AS (
+      SELECT user_id, count(*) AS user_n,
+             CAST(sum(floor(value * 1000)) AS BIGINT) AS user_millis
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.user_id, p.user_n, p.user_millis
+    FROM events e JOIN profile p USING (user_id)
+    WHERE e.event_type = 'purchase'
+    """,
+    "stream-static join: streaming events enriched with a broadcast batch "
+    "per-user profile (the dimension-enrichment pattern)",
+)
+def st05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # static side: batch aggregate, small enough to broadcast — on a cluster
+    # this avoids shuffling the unbounded stream side entirely
+    profile = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("user_n"),
+            F.sum(F.floor(F.col("value") * 1000))
+            .cast("long")
+            .alias("user_millis"),
+        )
+    )
+    ev = _stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    joined = ev.join(F.broadcast(profile), "user_id").select(
+        "event_id", "user_id", "user_n", "user_millis"
+    )
+    return _run_to_table(joined, "st05_out", "append")
+
+
+@register(
+    "st06_stateful_running_totals",
+    "streaming",
+    """
+    SELECT event_type,
+           count(value) AS n,
+           CAST(sum(floor(value * 1000)) AS DOUBLE) AS total,
+           CAST(min(floor(value * 1000)) AS DOUBLE) AS vmin,
+           CAST(max(floor(value * 1000)) AS DOUBLE) AS vmax
+    FROM events GROUP BY 1
+    """,
+    "applyInPandasWithState running per-key totals; final state == batch agg "
+    "(values floored to millis so the float sum is order-independent)",
+)
+def st06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import running_totals
+
+    ev = _stream_events(spark, sf_dir).withColumn(
+        "value_millis", F.floor(F.col("value") * 1000).cast("double")
+    )
+    totals = running_totals(ev, "event_type", "value_millis")
+    # update mode: one row per key per microbatch; the memory sink keeps
+    # every update, so take the final (max-n) row per key
+    out = _run_to_table(totals, "st06_out", "update")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(F.col("n").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "n", "total", "vmin", "vmax")
+    )
+
+
+@register(
+    "st07_stream_stream_join",
+    "streaming",
+    """
+    SELECT a.event_id AS event_id, b.event_id AS purchase_id,
+           a.user_id AS user_id, a.event_type AS event_type
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND b.event_type = 'purchase'
+     AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 10 MINUTE
+     AND a.event_id <> b.event_id
+    """,
+    "stream-stream interval join: events attributed to a purchase by the "
+    "same user within 10 minutes (watermarked both sides)",
+)
+def st07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour").alias("a")
+    b = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .alias("b")
+    )
+    joined = a.join(
+        b,
+        F.expr(
+            "a.user_id = b.user_id"
+            " AND b.ts BETWEEN a.ts AND a.ts + interval 10 minutes"
+            " AND a.event_id <> b.event_id"
+        ),
+    ).select(
+        F.col("a.event_id").alias("event_id"),
+        F.col("b.event_id").alias("purchase_id"),
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_type").alias("event_type"),
+    )
+    return _run_to_table(joined, "st07_out", "append")
