@@ -276,6 +276,19 @@ class DeltaLog:
         self._cache[key] = state
         return state
 
+    def commit_actions(self, version: int) -> list[dict]:
+        """Raw actions of ONE commit version (for incremental/streaming
+        consumers: each action dict has exactly one of add/remove/metaData/
+        protocol/commitInfo/txn as its key)."""
+        path = _join(self.log_dir, f"{version:020d}.json")
+        if not self._fs.exists(path):
+            raise FileNotFoundError(f"no commit {version} at {self.log_dir}")
+        return [
+            json.loads(line)
+            for line in self._fs.read_text(path).splitlines()
+            if line.strip()
+        ]
+
     def snapshot_as_of_timestamp(self, ts_millis: int) -> SnapshotState:
         """Time travel to the last commit at or before `ts_millis`."""
         best = None

@@ -290,13 +290,19 @@ def write_delta(
                 df = df.withColumn(
                     name, F.lit(None).cast(prior.schema[name].dataType)
                 )
+            # evolved columns MUST be nullable: every pre-existing file
+            # reads NULL for them regardless of the incoming df's flag
+            new_fields = [
+                T.StructField(f.name, f.dataType, True, f.metadata)
+                for f in new_fields
+            ]
             evolved = T.StructType(
                 list(prior.schema.fields) + new_fields
             )
             df = df.select(*[f.name for f in evolved.fields])
             schema_changed = bool(new_fields)
 
-    schema = df.schema
+    schema = evolved if schema_changed else df.schema
     data_schema = T.StructType([f for f in schema.fields if f.name not in partition_by])
 
     if prior is not None and mode == "append" and prior.partition_columns != partition_by:

@@ -198,3 +198,33 @@ def l04(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+@register(
+    "l05_delta_stream_tail",
+    "delta-core",
+    """
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(floor(l_extendedprice)) AS BIGINT) AS total_price
+    FROM lineitem GROUP BY 1
+    """,
+    "deltapond streaming source: tail the Delta lineitem table's commit log "
+    "from version 0 as microbatches (Python Data Source API), aggregate == "
+    "batch over the same rows",
+)
+def l05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.deltapond_source import register as register_ds
+    from ..streaming import run_to_memory
+
+    register_ds(spark)
+    path = _ensure_lineitem_delta(spark, sf_dir)
+    stream = (
+        spark.readStream.format("deltapond")
+        .option("startingVersion", 0)
+        .load(path)
+    )
+    agg = stream.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor("l_extendedprice")).cast("long").alias("total_price"),
+    )
+    return run_to_memory(agg, "l05_out", "complete")

@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Parquet scan efficiency: pushdown on, sane split size.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Filter pushdown into Python data sources (the deltapond format
+        # prunes files from pushed filters via partition values + stats).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Read TIMESTAMP(NANOS) parquet columns as long (Spark has no nanos
         # type); load() converts to microsecond timestamps losslessly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,534 @@
+"""`deltapond`: the native Delta engine exposed as a first-class Spark data
+source through the public Python Data Source API (pyspark.sql.datasource,
+Spark 4).
+
+    from athena_delta_lake_spark.sources.deltapond_source import register
+    register(spark)
+
+    spark.read.format("deltapond").load(path)                  # batch scan
+    spark.readStream.format("deltapond") \
+         .option("startingVersion", 0).load(path)              # commit tail
+    df.write.format("deltapond").mode("append").save(path)     # ACID write
+    df.writeStream.format("deltapond") \
+         .option("checkpointLocation", cp).start(path)         # exactly-once
+
+Reference parity: this is the surface the reference exposed to Athena as a
+federated connector (DeltaCompositeHandler.scala:5 — catalog/metadata +
+record handlers over a Lambda RPC boundary). Here the "connector" is an
+in-process Spark data source: `schema()` replaces GetTableResponse
+(DeltaMetadataHandler.scala:90-107), `partitions()` + `pushFilters`
+replace GetTableLayout/GetSplits partition pruning (:109-185), `read()`
+replaces readWithConstraint (DeltaRecordHandler.scala:116-155), and the
+write/streaming halves have no reference analog (read-only connector).
+
+Role in THIS engine: `delta/reader.py` (pruned file list fed straight to
+Spark's JVM-vectorized parquet scan) remains the primary batch path — it
+keeps whole-stage codegen and row-group pushdown. The data source is the
+*integration* surface for places that need a format string — most
+importantly STREAMING reads (tail a Delta table's commits as microbatches,
+which plain `readStream.parquet` cannot do safely) and streaming writes
+with per-epoch transactional idempotence. Batch rows flow through Python
+workers as Arrow record batches (pyarrow scan), so prefer the JVM path
+when a DataFrame API is available.
+
+Scale notes: splits are one per live data file (same granularity the
+reference used, DeltaMetadataHandler.scala:173-181) and carry only
+(path, partitionValues) — file lists never ride the data plane. Filter
+pushdown prunes files driver-side via partition values + per-file min/max
+stats before tasks launch; every pushed filter is also re-applied by Spark
+row-level (we report them unsupported), so pruning is pure speedup, never
+a correctness dependence. Local paths only on the Python scan path; remote
+schemes go through the JVM reader.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Iterator
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+
+from ..delta.log import DeltaLog
+from ..delta.stats import prune_files
+from ..delta.types import cast_partition_value
+from ..delta.writer import _atomic_commit, _file_stats, _next_version
+
+_PUSHABLE = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
+def _table_path(options) -> str:
+    path = options.get("path")
+    if not path:
+        raise ValueError("deltapond requires a path (load(path)/save(path))")
+    return os.path.abspath(path)
+
+
+@dataclass
+class DeltaScanPartition(InputPartition):
+    """One split == one live data file (+ its partition values)."""
+
+    file_path: str
+    partition_values: dict = field(default_factory=dict)
+
+
+def _read_file_batches(
+    file_path: str, partition_values: dict, schema: T.StructType
+) -> Iterator:
+    """Read one data file as Arrow batches in `schema` order: partition
+    columns injected as typed literals (reference: getLiteralExtractor,
+    DeltaRecordHandler.scala:109-114 — generalized to any type), columns
+    missing from the file (schema evolution) read as NULL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    part_cols = set(partition_values)
+    want = [f.name for f in schema.fields if f.name not in part_cols]
+    pf = pq.ParquetFile(file_path)
+    present = [c for c in want if c in pf.schema_arrow.names]
+    tbl = pf.read(columns=present)
+    n = tbl.num_rows
+    cols = []
+    for f in schema.fields:
+        at = target.field(f.name).type
+        if f.name in part_cols:
+            v = cast_partition_value(partition_values.get(f.name), f.dataType)
+            if v is None:
+                cols.append(pa.nulls(n, type=at))
+            else:
+                cols.append(pa.array([v] * n).cast(at))
+        elif f.name in present:
+            c = tbl.column(f.name)
+            cols.append(c if c.type == at else c.cast(at))
+        else:
+            cols.append(pa.nulls(n, type=at))
+    out = pa.table(cols, schema=target)
+    yield from out.to_batches(max_chunksize=1 << 16)
+
+
+class DeltaPondBatchReader(DataSourceReader):
+    def __init__(self, options, schema: T.StructType):
+        self._path = _table_path(options)
+        self._schema = schema
+        v = options.get("versionAsOf")
+        self._version = int(v) if v is not None else None
+        self._preds: list[tuple] = []
+
+    def pushFilters(self, filters):
+        """Translate pushable single-column comparisons into file-skip
+        predicates (partition values exact, data columns via min/max
+        stats). ALL filters are yielded back as unsupported: skipping is
+        file-level, Spark keeps the row-level evaluation."""
+        for f in filters:
+            op = _PUSHABLE.get(type(f))
+            attr = getattr(f, "attribute", None)
+            if op is not None and attr and len(attr) == 1:
+                self._preds.append((attr[0], op, f.value))
+            yield f
+
+    def partitions(self):
+        snap = DeltaLog(self._path).snapshot(self._version)
+        files = prune_files(snap, self._preds or None)
+        return [
+            DeltaScanPartition(
+                file_path=os.path.join(self._path, f.path),
+                partition_values={
+                    c: f.partition_values.get(c)
+                    for c in snap.partition_columns
+                },
+            )
+            for f in files
+        ]
+
+    def read(self, partition: DeltaScanPartition):
+        return _read_file_batches(
+            partition.file_path, partition.partition_values, self._schema
+        )
+
+
+class DeltaPondStreamReader(DataSourceStreamReader):
+    """Tail a Delta table's transaction log as microbatches.
+
+    Offsets are commit versions: {"version": v} == "commits <= v consumed".
+    Each microbatch reads the `add` files of the commits in (start, end] —
+    i.e. appended data. `startingVersion` (default "latest") replays
+    history from a given commit; commits containing `remove` actions with
+    dataChange=true (DELETE/UPDATE/overwrite) raise unless
+    `ignoreChanges`/`ignoreDeletes` is set — matching the contract users
+    expect from a Delta streaming source."""
+
+    def __init__(self, options, schema: T.StructType):
+        self._path = _table_path(options)
+        self._schema = schema
+        self._starting = str(options.get("startingVersion", "latest"))
+        self._ignore_changes = (
+            str(options.get("ignoreChanges", "false")).lower() == "true"
+            or str(options.get("ignoreDeletes", "false")).lower() == "true"
+        )
+
+    def initialOffset(self) -> dict:
+        if self._starting == "latest":
+            return {"version": DeltaLog(self._path).latest_version()}
+        return {"version": int(self._starting) - 1}
+
+    def latestOffset(self) -> dict:
+        return {"version": DeltaLog(self._path).latest_version()}
+
+    def partitions(self, start: dict, end: dict):
+        log = DeltaLog(self._path)
+        parts = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            for action in log.commit_actions(v):
+                if "add" in action:
+                    a = action["add"]
+                    if a.get("dataChange", True):
+                        from ..delta.log import _decode_path
+
+                        pv = a.get("partitionValues") or {}
+                        parts.append(
+                            DeltaScanPartition(
+                                file_path=os.path.join(
+                                    self._path, _decode_path(a["path"])
+                                ),
+                                partition_values=dict(pv),
+                            )
+                        )
+                elif "remove" in action and not self._ignore_changes:
+                    if action["remove"].get("dataChange", True):
+                        raise RuntimeError(
+                            f"commit {v} rewrites/deletes data; set "
+                            "ignoreChanges or ignoreDeletes to stream past it"
+                        )
+        return parts
+
+    def read(self, partition: DeltaScanPartition):
+        return _read_file_batches(
+            partition.file_path, partition.partition_values, self._schema
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+# --------------------------------------------------------------- write path
+
+
+@dataclass
+class _AddsMessage(WriterCommitMessage):
+    adds: list = field(default_factory=list)
+
+
+def _hive_seg(col: str, value) -> str:
+    from urllib.parse import quote
+
+    if value is None:
+        return f"{col}=__HIVE_DEFAULT_PARTITION__"
+    return f"{col}={quote(str(value), safe='')}"
+
+
+def _write_task_files(
+    batches: Iterator, schema: T.StructType, table_path: str, partition_by: list[str]
+) -> list[dict]:
+    """Executor-side: write this task's Arrow batches as parquet file(s)
+    under `table_path` (hive layout when partitioned) and return their
+    UNCOMMITTED `add` actions. One file per partition-value combination
+    per task; the driver's commit() makes them visible atomically."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(schema)
+    blist = list(batches)
+    if not blist:
+        return []
+    tbl = pa.Table.from_batches(blist, schema=arrow_schema)
+    if tbl.num_rows == 0:
+        return []
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in partition_by]
+    )
+
+    groups: list[tuple[dict, "pa.Table"]] = []
+    if not partition_by:
+        groups.append(({}, tbl))
+    else:
+        combos = tbl.select(partition_by).group_by(partition_by).aggregate([])
+        for combo in combos.to_pylist():
+            mask = None
+            for c, v in combo.items():
+                m = pc.is_null(tbl[c]) if v is None else pc.equal(tbl[c], v)
+                mask = m if mask is None else pc.and_(mask, m)
+            part = tbl.filter(mask).drop_columns(partition_by)
+            groups.append((combo, part))
+
+    now = int(time.time() * 1000)
+    adds = []
+    from urllib.parse import quote
+
+    for combo, part in groups:
+        rel_dir = "/".join(_hive_seg(c, combo[c]) for c in partition_by)
+        fname = f"part-{uuid.uuid4().hex}.snappy.parquet"
+        rel_path = f"{rel_dir}/{fname}" if rel_dir else fname
+        dst = os.path.join(table_path, rel_path)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        pq.write_table(part, dst, compression="snappy")
+        add = {
+            "path": quote(rel_path, safe="/"),
+            "partitionValues": {
+                c: (None if combo[c] is None else str(combo[c]))
+                for c in partition_by
+            },
+            "size": os.path.getsize(dst),
+            "modificationTime": now,
+            "dataChange": True,
+            "stats": json.dumps(
+                _file_stats(dst, data_schema), separators=(",", ":")
+            ),
+        }
+        adds.append({"add": add})
+    return adds
+
+
+def _commit_adds(
+    table_path: str,
+    schema: T.StructType,
+    partition_by: list[str],
+    adds: list[dict],
+    overwrite: bool,
+    operation: str,
+    extra_actions: list[dict] | None = None,
+) -> int:
+    """Driver-side: one atomic commit making this write's files visible
+    (plus removes of the prior snapshot on overwrite). Mirrors
+    writer.write_delta's commit shape so tables are interchangeable
+    between the DataFrame API and the data source."""
+    from ..delta.types import struct_to_schema_string
+
+    version = _next_version(table_path)
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": operation,
+                "operationParameters": {"partitionBy": json.dumps(partition_by)},
+                "engineInfo": "athena_delta_lake_spark/deltapond-source",
+            }
+        }
+    ]
+    actions.extend(extra_actions or [])
+    prior = None
+    if version > 0:
+        prior = DeltaLog(table_path).snapshot()
+        prior_names = {f.name for f in prior.schema.fields}
+        if {f.name for f in schema.fields} != prior_names:
+            raise ValueError(
+                "schema mismatch with existing table (use the write_delta "
+                "API with merge_schema=True to evolve)"
+            )
+        if list(prior.partition_columns) != list(partition_by):
+            raise ValueError(
+                f"partition mismatch: table has {prior.partition_columns}, "
+                f"got {partition_by}"
+            )
+    if version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": struct_to_schema_string(
+                        T.StructType(
+                            [f for f in schema.fields if f.name not in partition_by]
+                            + [f for f in schema.fields if f.name in partition_by]
+                        )
+                    ),
+                    "partitionColumns": partition_by,
+                    "configuration": {},
+                    "createdTime": now,
+                }
+            }
+        )
+    if overwrite and prior is not None:
+        from urllib.parse import quote
+
+        for f in prior.files:
+            actions.append(
+                {
+                    "remove": {
+                        "path": quote(f.path, safe="/"),
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+    actions.extend(adds)
+    _atomic_commit(os.path.join(table_path, "_delta_log"), version, actions)
+    DeltaLog.clear_cache()
+    return version
+
+
+def _abort_adds(table_path: str, messages) -> None:
+    from ..delta.log import _decode_path
+
+    for msg in messages or []:
+        if msg is None:
+            continue
+        for a in getattr(msg, "adds", []):
+            p = os.path.join(table_path, _decode_path(a["add"]["path"]))
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+
+def _partition_by_option(options) -> list[str]:
+    raw = options.get("partitionBy", "") or ""
+    return [c.strip() for c in raw.split(",") if c.strip()]
+
+
+class DeltaPondBatchWriter(DataSourceArrowWriter):
+    def __init__(self, options, schema: T.StructType, overwrite: bool):
+        self._path = _table_path(options)
+        self._schema = schema
+        self._overwrite = overwrite
+        self._partition_by = _partition_by_option(options)
+
+    def write(self, iterator) -> _AddsMessage:
+        return _AddsMessage(
+            adds=_write_task_files(
+                iterator, self._schema, self._path, self._partition_by
+            )
+        )
+
+    def commit(self, messages) -> None:
+        adds = [a for m in messages if m is not None for a in m.adds]
+        _commit_adds(
+            self._path,
+            self._schema,
+            self._partition_by,
+            adds,
+            self._overwrite,
+            "WRITE" if not self._overwrite else "OVERWRITE",
+        )
+
+    def abort(self, messages) -> None:
+        _abort_adds(self._path, messages)
+
+
+class DeltaPondStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming sink with per-epoch transactional idempotence: each epoch
+    commits one Delta version carrying a `txn` action {appId, version=
+    epochId}; a replayed epoch (driver restart) sees txn.version >= epochId
+    already in the log and commits nothing, so the sink is exactly-once at
+    file granularity — strictly stronger than the foreachBatch pattern,
+    which re-appends on replay."""
+
+    def __init__(self, options, schema: T.StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError("deltapond streaming sink supports append mode only")
+        self._path = _table_path(options)
+        self._schema = schema
+        self._partition_by = _partition_by_option(options)
+        self._app_id = options.get("txnAppId", "deltapond-stream")
+
+    def _last_committed_epoch(self) -> int:
+        try:
+            log = DeltaLog(self._path)
+            latest = log.latest_version()
+        except (FileNotFoundError, ValueError):
+            return -1
+        last = -1
+        for v in range(latest + 1):
+            try:
+                for action in log.commit_actions(v):
+                    txn = action.get("txn")
+                    if txn and txn.get("appId") == self._app_id:
+                        last = max(last, int(txn.get("version", -1)))
+            except FileNotFoundError:
+                continue  # expired commit (vacuumed); checkpointed offsets cover it
+        return last
+
+    def write(self, iterator) -> _AddsMessage:
+        return _AddsMessage(
+            adds=_write_task_files(
+                iterator, self._schema, self._path, self._partition_by
+            )
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        if batchId <= self._last_committed_epoch():
+            _abort_adds(self._path, messages)  # replayed epoch: drop its files
+            return
+        adds = [a for m in messages if m is not None for a in m.adds]
+        _commit_adds(
+            self._path,
+            self._schema,
+            self._partition_by,
+            adds,
+            overwrite=False,
+            operation="STREAMING UPDATE",
+            extra_actions=[
+                {"txn": {"appId": self._app_id, "version": int(batchId)}}
+            ],
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        _abort_adds(self._path, messages)
+
+
+class DeltaPondDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "deltapond"
+
+    def schema(self) -> T.StructType:
+        path = _table_path(self.options)
+        v = self.options.get("versionAsOf")
+        return DeltaLog(path).snapshot(int(v) if v is not None else None).schema
+
+    def reader(self, schema: T.StructType) -> DeltaPondBatchReader:
+        return DeltaPondBatchReader(self.options, schema)
+
+    def streamReader(self, schema: T.StructType) -> DeltaPondStreamReader:
+        return DeltaPondStreamReader(self.options, schema)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> DeltaPondBatchWriter:
+        return DeltaPondBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool) -> DeltaPondStreamWriter:
+        return DeltaPondStreamWriter(self.options, schema, overwrite)
+
+
+def register(spark) -> None:
+    """Register the `deltapond` format on a SparkSession (idempotent)."""
+    spark.dataSource.register(DeltaPondDataSource)

@@ -1,0 +1,210 @@
+"""The `deltapond` Python Data Source (sources/deltapond_source.py): the
+native Delta engine as a Spark format string — batch read with pushdown
+file-skipping, commit-tailing streaming source, ACID batch write, and an
+exactly-once streaming sink (reference parity: the connector surface of
+DeltaCompositeHandler.scala:5, in-process instead of Lambda RPC)."""
+
+import os
+import shutil
+
+import pytest
+
+from athena_delta_lake_spark import DeltaTable, write_delta
+from athena_delta_lake_spark.sources.deltapond_source import (
+    DeltaPondBatchReader,
+    register,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = spark.range(200).selectExpr(
+        "id", "id % 4 as k", "cast(id as double) as v"
+    )
+    write_delta(df, path, partition_by=["k"])
+    return path
+
+
+def test_batch_read_matches_native(spark, tbl):
+    ds = spark.read.format("deltapond").load(tbl)
+    native = DeltaTable(spark, tbl).to_df().select(*ds.columns)
+    assert ds.count() == 200
+    assert ds.exceptAll(native).count() == 0
+    assert native.exceptAll(ds).count() == 0
+
+
+def test_batch_read_version_as_of(spark, tbl):
+    write_delta(
+        spark.range(500, 510).selectExpr("id", "id % 4 as k", "cast(id as double) as v"),
+        tbl,
+    )
+    assert spark.read.format("deltapond").load(tbl).count() == 210
+    v0 = spark.read.format("deltapond").option("versionAsOf", 0).load(tbl)
+    assert v0.count() == 200
+
+
+def test_pushdown_prunes_files(spark, tbl):
+    snap = DeltaTable(spark, tbl).snapshot()
+    reader = DeltaPondBatchReader({"path": tbl}, snap.schema)
+    all_parts = reader.partitions()
+    # partition predicate k=1 must drop the other partitions' files
+    pruned = DeltaPondBatchReader({"path": tbl}, snap.schema)
+    unhandled = list(pruned.pushFilters([_eq("k", 1)]))
+    assert len(unhandled) == 1  # every filter handed back for row-level eval
+    assert 0 < len(pruned.partitions()) < len(all_parts)
+    # and the filtered read is still row-exact
+    got = spark.read.format("deltapond").load(tbl).filter("k = 1 and v < 40")
+    assert got.count() == 10
+
+
+def _eq(col, val):
+    from pyspark.sql.datasource import EqualTo
+
+    return EqualTo((col,), val)
+
+
+def test_schema_evolution_reads_null(spark, tmp_path):
+    path = str(tmp_path / "evolve")
+    write_delta(spark.range(5).selectExpr("id"), path)
+    write_delta(
+        spark.range(5, 8).selectExpr("id", "id * 2 as extra"),
+        path,
+        merge_schema=True,
+    )
+    ds = spark.read.format("deltapond").load(path)
+    assert ds.filter("extra is null").count() == 5
+    assert ds.filter("extra is not null").count() == 3
+
+
+def test_stream_source_tails_commits(spark, tmp_path):
+    src = str(tmp_path / "src")
+    for i in range(3):
+        write_delta(spark.range(i * 10, (i + 1) * 10).selectExpr("id"), src)
+    q = (
+        spark.readStream.format("deltapond")
+        .option("startingVersion", 0)
+        .load(src)
+        .groupBy()
+        .count()
+        .writeStream.format("memory")
+        .queryName("dp_tail")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from dp_tail").collect()[0][0] == 30
+        write_delta(spark.range(100, 107).selectExpr("id"), src)
+        q.processAllAvailable()
+        assert spark.sql("select * from dp_tail").collect()[0][0] == 37
+    finally:
+        q.stop()
+
+
+def test_stream_source_rejects_rewrites_unless_opted_in(spark, tmp_path):
+    from athena_delta_lake_spark.delta.dml import delete
+
+    src = str(tmp_path / "src")
+    write_delta(spark.range(20).selectExpr("id", "id % 2 as k"), src)
+    delete(spark, src, "k = 1")  # copy-on-write remove+add
+
+    def run(extra_opts):
+        reader = (
+            spark.readStream.format("deltapond").option("startingVersion", 0)
+        )
+        for k, v in extra_opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load(src)
+            .writeStream.format("memory")
+            .queryName("dp_rw")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="ignoreChanges"):
+        run({})
+    run({"ignoreDeletes": "true"})  # opted in: streams past the rewrite
+
+
+def test_batch_write_roundtrip_and_overwrite(spark, tmp_path):
+    path = str(tmp_path / "w")
+    df = spark.range(300).selectExpr("id", "id % 3 as k", "cast(id as double) as v")
+    df.write.format("deltapond").option("partitionBy", "k").mode("append").save(path)
+    t = DeltaTable(spark, path)
+    assert t.snapshot().partition_columns == ["k"]
+    assert t.to_df().count() == 300
+    # stats land in the log -> data-skipping works on the written table
+    assert len(t.pruned_files([("v", ">", 1e9)])) == 0
+    # appends then logical overwrite; old version stays readable
+    df.limit(7).write.format("deltapond").option("partitionBy", "k").mode(
+        "append"
+    ).save(path)
+    assert t.to_df().count() == 307
+    df.limit(5).write.format("deltapond").option("partitionBy", "k").mode(
+        "overwrite"
+    ).save(path)
+    assert t.to_df().count() == 5
+    assert t.to_df(version=1).count() == 307
+
+
+def test_batch_write_rejects_partition_mismatch(spark, tmp_path):
+    path = str(tmp_path / "w")
+    df = spark.range(10).selectExpr("id", "id % 3 as k")
+    df.write.format("deltapond").option("partitionBy", "k").mode("append").save(path)
+    with pytest.raises(Exception, match="partition mismatch"):
+        df.write.format("deltapond").mode("append").save(path)
+
+
+def test_stream_sink_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    cp = str(tmp_path / "cp")
+    for i in range(2):
+        write_delta(
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id", "id % 2 as k"),
+            src,
+        )
+
+    def start():
+        return (
+            spark.readStream.format("deltapond")
+            .option("startingVersion", 0)
+            .load(src)
+            .writeStream.format("deltapond")
+            .option("checkpointLocation", cp)
+            .option("partitionBy", "k")
+            .start(sink)
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert DeltaTable(spark, sink).to_df().count() == 20
+    # restart with no new source data: txn idempotence -> no duplicates
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert DeltaTable(spark, sink).to_df().count() == 20
+    # sink commits carry the txn action for the app id
+    log_dir = os.path.join(sink, "_delta_log")
+    txns = [
+        line
+        for f in sorted(os.listdir(log_dir))
+        if f.endswith(".json")
+        for line in open(os.path.join(log_dir, f))
+        if '"txn"' in line
+    ]
+    assert txns, "streaming sink commits must carry txn actions"
