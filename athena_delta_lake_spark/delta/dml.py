@@ -200,6 +200,9 @@ def update(
                 F.col(col)
             ),
         )
+    from .writer import _enforce_constraints
+
+    _enforce_constraints(df, snap.metadata.get("configuration"))
     adds = stage_data_files(df, table_path, snap.partition_columns, _data_schema(snap))
     commit_rewrite(
         table_path,
@@ -273,6 +276,9 @@ def merge_upsert(
         new_data = kept.unionByName(src)
     else:
         new_data = src
+    from .writer import _enforce_constraints
+
+    _enforce_constraints(new_data, snap.metadata.get("configuration"))
     adds = stage_data_files(
         new_data, table_path, snap.partition_columns, _data_schema(snap)
     )

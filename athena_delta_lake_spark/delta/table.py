@@ -194,3 +194,14 @@ class DeltaTable:
                     out.append({"version": v, **a["commitInfo"]})
                     break
         return out
+
+    def table_changes(
+        self, starting_version: int = 0, ending_version: int | None = None
+    ) -> "DataFrame":
+        """Row-level changes between commits (CDF analog; see delta/cdf.py):
+        adds `_change_type` ('insert'|'delete') and `_commit_version`."""
+        from .cdf import table_changes
+
+        return table_changes(
+            self.spark, self.path, starting_version, ending_version
+        )

@@ -225,6 +225,92 @@ def commit_rewrite(
     return version
 
 
+_CONSTRAINT_PREFIX = "delta.constraints."
+
+
+def _enforce_constraints(df: DataFrame, configuration: dict | None) -> None:
+    """CHECK-constraint enforcement (Delta table feature
+    `delta.constraints.<name>` in metaData.configuration): reject the write
+    if any incoming row evaluates a constraint to FALSE (NULL passes, SQL
+    CHECK semantics). One short-circuit limit(1) scan per constraint."""
+    from pyspark.sql import functions as F
+
+    for key, expr in (configuration or {}).items():
+        if not key.startswith(_CONSTRAINT_PREFIX):
+            continue
+        name = key[len(_CONSTRAINT_PREFIX):]
+        violating = df.filter(
+            ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        ).limit(1)
+        bad = violating.collect()
+        if bad:
+            raise ValueError(
+                f"CHECK constraint {name} ({expr}) violated by row: {bad[0].asDict()}"
+            )
+
+
+def add_check_constraint(
+    spark, table_path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT name CHECK (expr): validates ALL
+    existing rows, then commits an updated metaData with the constraint in
+    `configuration` — subsequent write_delta / DML calls enforce it."""
+    from .reader import read_snapshot
+
+    table_path = os.path.abspath(table_path)
+    snap = DeltaLog(table_path).snapshot()
+    key = f"{_CONSTRAINT_PREFIX}{name}"
+    if key in (snap.metadata.get("configuration") or {}):
+        raise ValueError(f"constraint already exists: {name}")
+    _enforce_constraints(
+        read_snapshot(spark, snap), {key: expr}
+    )
+    md = dict(snap.metadata)
+    md["configuration"] = {**(md.get("configuration") or {}), key: expr}
+    version = _next_version(table_path)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "ADD CONSTRAINT",
+                "operationParameters": {"name": name, "expr": expr},
+                "engineInfo": "athena_delta_lake_spark",
+            }
+        },
+        {"metaData": md},
+    ]
+    _atomic_commit(os.path.join(table_path, "_delta_log"), version, actions)
+    DeltaLog.clear_cache()
+    return version
+
+
+def drop_check_constraint(table_path: str, name: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT name."""
+    table_path = os.path.abspath(table_path)
+    snap = DeltaLog(table_path).snapshot()
+    key = f"{_CONSTRAINT_PREFIX}{name}"
+    config = dict(snap.metadata.get("configuration") or {})
+    if key not in config:
+        raise ValueError(f"no such constraint: {name}")
+    del config[key]
+    md = {**snap.metadata, "configuration": config}
+    version = _next_version(table_path)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "DROP CONSTRAINT",
+                "operationParameters": {"name": name},
+                "engineInfo": "athena_delta_lake_spark",
+            }
+        },
+        {"metaData": md},
+    ]
+    _atomic_commit(os.path.join(table_path, "_delta_log"), version, actions)
+    DeltaLog.clear_cache()
+    return version
+
+
 def write_delta(
     df: DataFrame,
     table_path: str,
@@ -316,6 +402,9 @@ def write_delta(
             *cluster_by
         )
 
+    if prior is not None:
+        _enforce_constraints(df, prior.metadata.get("configuration"))
+
     adds = stage_data_files(
         df, table_path, partition_by, data_schema, collect_stats
     )
@@ -335,15 +424,18 @@ def write_delta(
     if version == 0:
         actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
     if version == 0 or mode == "overwrite" or schema_changed:
+        # table identity + configuration (incl. CHECK constraints) survive
+        # overwrites and schema evolution; only the schema string changes
+        prior_md = prior.metadata if prior is not None else {}
         actions.append(
             {
                 "metaData": {
-                    "id": str(uuid.uuid4()),
+                    "id": prior_md.get("id") or str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": struct_to_schema_string(schema),
                     "partitionColumns": partition_by,
-                    "configuration": {},
-                    "createdTime": now,
+                    "configuration": dict(prior_md.get("configuration") or {}),
+                    "createdTime": prior_md.get("createdTime", now),
                 }
             }
         )

@@ -1,0 +1,83 @@
+"""Change Data Feed analog (delta/cdf.py): row-level insert/delete changes
+derived from the copy-on-write log (no reference analog — read-only
+connector, DeltaMetadataHandler.scala:99)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_delta_lake_spark import DeltaTable, write_delta
+from athena_delta_lake_spark.delta.dml import compact, delete, update
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    path = str(tmp_path / "cdf")
+    write_delta(
+        spark.range(10).selectExpr("id", "id % 2 as k", "cast(id as double) as v"),
+        path,
+    )
+    write_delta(
+        spark.range(10, 15).selectExpr("id", "id % 2 as k", "cast(id as double) as v"),
+        path,
+    )
+    return path
+
+
+def test_appends_are_inserts(spark, tbl):
+    ch = DeltaTable(spark, tbl).table_changes(0, 1)
+    assert ch.filter("_change_type = 'insert'").count() == 15
+    assert ch.filter("_change_type = 'delete'").count() == 0
+    by_v = dict(
+        ch.groupBy("_commit_version").count().collect()
+    )
+    assert by_v == {0: 10, 1: 5}
+
+
+def test_delete_emits_delete_rows(spark, tbl):
+    delete(spark, tbl, "id >= 12")
+    ch = DeltaTable(spark, tbl).table_changes(2, 2)
+    deleted = {r["id"] for r in ch.filter("_change_type = 'delete'").collect()}
+    assert {12, 13, 14} <= deleted
+    inserted = {r["id"] for r in ch.filter("_change_type = 'insert'").collect()}
+    # copy-on-write rewrite re-adds the kept rows of the touched file
+    assert deleted - {12, 13, 14} == inserted
+
+
+def test_update_emits_pre_and_post_image(spark, tbl):
+    update(spark, tbl, {"v": "99.0"}, "id = 3")
+    ch = DeltaTable(spark, tbl).table_changes(2, 2)
+    pre = ch.filter("_change_type = 'delete' and id = 3").collect()
+    post = ch.filter("_change_type = 'insert' and id = 3").collect()
+    assert len(pre) == 1 and pre[0]["v"] == 3.0
+    assert len(post) == 1 and post[0]["v"] == 99.0
+
+
+def test_compaction_is_invisible(spark, tbl):
+    res = compact(spark, tbl, target_file_size=1 << 30)
+    assert res["files_removed"] > 0  # it really did rewrite files
+    t = DeltaTable(spark, tbl)
+    v = t.version()
+    ch = t.table_changes(v, v)
+    assert ch.count() == 0
+
+
+def test_net_changes_reconstruct_snapshot(spark, tbl):
+    delete(spark, tbl, "k = 1")
+    t = DeltaTable(spark, tbl)
+    ch = t.table_changes(0)
+    # replay: last change per row id wins
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("id").orderBy(
+        F.desc("_commit_version"),
+        # within one commit a rewrite emits delete(old)+insert(new): insert wins
+        F.desc(F.col("_change_type") == "insert"),
+    )
+    latest = (
+        ch.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1 and _change_type = 'insert'")
+        .select("id", "k", "v")
+    )
+    now = t.to_df().select("id", "k", "v")
+    assert latest.exceptAll(now).count() == 0
+    assert now.exceptAll(latest).count() == 0

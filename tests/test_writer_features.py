@@ -92,3 +92,59 @@ def test_cluster_by_improves_skipping(spark, tmp_path):
     cl = DeltaTable(spark, clustered).to_df()
     assert sc.count() == cl.count()
     assert sc.agg(F.sum("id")).collect() == cl.agg(F.sum("id")).collect()
+
+
+# ----------------------------------------------------- CHECK constraints
+
+
+def test_check_constraint_lifecycle(spark, tmp_path):
+    from athena_delta_lake_spark.delta.writer import (
+        add_check_constraint,
+        drop_check_constraint,
+    )
+
+    path = str(tmp_path / "chk")
+    write_delta(
+        spark.range(10).selectExpr("id", "cast(id as double) as v"), path
+    )
+    add_check_constraint(spark, path, "v_nonneg", "v >= 0")
+    # violating append rejected BEFORE any commit
+    v_before = DeltaTable(spark, path).version()
+    with pytest.raises(ValueError, match="v_nonneg"):
+        write_delta(
+            spark.range(3).selectExpr("id", "cast(-1 as double) as v"), path
+        )
+    assert DeltaTable(spark, path).version() == v_before
+    # passing append fine; NULL passes (SQL CHECK semantics)
+    write_delta(
+        spark.range(3).selectExpr("id", "cast(null as double) as v"), path
+    )
+    # UPDATE that would violate is rejected
+    from athena_delta_lake_spark.delta.dml import update
+
+    with pytest.raises(ValueError, match="v_nonneg"):
+        update(spark, path, {"v": "-5.0"}, "id = 1")
+    # constraint survives overwrite
+    write_delta(
+        spark.range(5).selectExpr("id", "cast(id as double) as v"),
+        path,
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="v_nonneg"):
+        write_delta(
+            spark.range(1).selectExpr("id", "cast(-2 as double) as v"), path
+        )
+    # drop -> violating write now allowed
+    drop_check_constraint(path, "v_nonneg")
+    write_delta(
+        spark.range(1).selectExpr("id", "cast(-2 as double) as v"), path
+    )
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    from athena_delta_lake_spark.delta.writer import add_check_constraint
+
+    path = str(tmp_path / "chk2")
+    write_delta(spark.range(5).selectExpr("id - 3 as x"), path)
+    with pytest.raises(ValueError, match="x_pos"):
+        add_check_constraint(spark, path, "x_pos", "x > 0")
