@@ -220,9 +220,29 @@ def commit_rewrite(
             a = {"add": {**a["add"], "dataChange": False}}
         actions.append(a)
     version = _next_version(table_path)
-    _atomic_commit(os.path.join(table_path, "_delta_log"), version, actions)
-    DeltaLog.clear_cache()
-    return version
+    log_dir = os.path.join(table_path, "_delta_log")
+    for _attempt in range(_MAX_COMMIT_RETRIES + 1):
+        try:
+            _atomic_commit(log_dir, version, actions)
+            DeltaLog.clear_cache()
+            return version
+        except FileExistsError:
+            # OCC conflict: the rewrite is still valid iff every file it
+            # removes is STILL live in the winner's snapshot (no write-write
+            # conflict on the same files) — then it commutes and retries.
+            DeltaLog.clear_cache()
+            # remove_paths come from AddFile.path (already URL-decoded),
+            # matching the decoded paths in the snapshot's file list
+            live = {f.path for f in DeltaLog(table_path).snapshot().files}
+            if any(p not in live for p in remove_paths):
+                raise ConcurrentWriteError(
+                    f"{operation} conflicts with a concurrent commit that "
+                    "touched the same files; re-run against the new snapshot"
+                ) from None
+            version = _next_version(table_path)
+    raise ConcurrentWriteError(
+        f"gave up after {_MAX_COMMIT_RETRIES} commit retries on {table_path}"
+    )
 
 
 _CONSTRAINT_PREFIX = "delta.constraints."
@@ -451,9 +471,44 @@ def write_delta(
                 }
             )
     actions.extend(adds)
-    _atomic_commit(os.path.join(table_path, "_delta_log"), version, actions)
-    DeltaLog.clear_cache()
-    return version
+    log_dir = os.path.join(table_path, "_delta_log")
+    for _attempt in range(_MAX_COMMIT_RETRIES + 1):
+        try:
+            _atomic_commit(log_dir, version, actions)
+            DeltaLog.clear_cache()
+            return version
+        except FileExistsError:
+            # a concurrent writer took this version (OCC loss). Blind
+            # appends commute with other appends; anything else needs the
+            # caller to re-plan against the new snapshot.
+            DeltaLog.clear_cache()
+            if mode != "append" or prior is None or schema_changed:
+                raise ConcurrentWriteError(
+                    f"version {version} of {table_path} was committed "
+                    "concurrently; re-run against the new snapshot"
+                ) from None
+            current = DeltaLog(table_path).snapshot()
+            if (
+                {f.name for f in current.schema.fields}
+                != {f.name for f in schema.fields}
+                or list(current.partition_columns) != partition_by
+            ):
+                raise ConcurrentWriteError(
+                    "concurrent schema/partition change during append"
+                ) from None
+            _enforce_constraints(df, current.metadata.get("configuration"))
+            version = _next_version(table_path)
+    raise ConcurrentWriteError(
+        f"gave up after {_MAX_COMMIT_RETRIES} commit retries on {table_path}"
+    )
+
+
+_MAX_COMMIT_RETRIES = 10
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Optimistic-concurrency conflict: another writer committed the version
+    this transaction targeted, and the transactions do not commute."""
 
 
 def write_checkpoint(table_path: str) -> int:

@@ -367,6 +367,41 @@ def u02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "u03_udtf_tokens",
+    "udf",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+      FROM documents
+    )
+    SELECT word, count(*) AS n
+    FROM words WHERE word <> ''
+    GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+    "Python UDTF (Spark 4 table function): LATERAL tokenizer over documents, "
+    "top-20 words — completes the UDF/UDAF/UDTF trio",
+)
+def u03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string")
+    class Tokenize:
+        def eval(self, text: str):
+            for w in (text or "").lower().split():
+                yield (w,)
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_u03")
+    return spark.sql(
+        """
+        SELECT t.word, count(*) AS n
+        FROM docs_u03, LATERAL tokenize_udtf(text) AS t
+        GROUP BY t.word ORDER BY n DESC, t.word LIMIT 20
+        """
+    )
+
+
+@register(
     "f08_higher_order_array",
     "scalar",
     """

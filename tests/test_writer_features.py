@@ -148,3 +148,66 @@ def test_add_constraint_validates_existing_rows(spark, tmp_path):
     write_delta(spark.range(5).selectExpr("id - 3 as x"), path)
     with pytest.raises(ValueError, match="x_pos"):
         add_check_constraint(spark, path, "x_pos", "x > 0")
+
+
+# ------------------------------------------- optimistic concurrency (OCC)
+
+
+def _steal_next_version(spark, path):
+    """Simulate a concurrent writer: commit a no-op-ish append at the
+    version the next transaction will target."""
+    write_delta(spark.range(1).selectExpr("id", "cast(id as double) as v"), path)
+
+
+def test_append_retries_past_concurrent_append(spark, tmp_path, monkeypatch):
+    import athena_delta_lake_spark.delta.writer as W
+
+    path = str(tmp_path / "occ")
+    write_delta(spark.range(5).selectExpr("id", "cast(id as double) as v"), path)
+
+    real_commit = W._atomic_commit
+    raced = {"done": False}
+
+    def racing_commit(log_dir, version, actions):
+        if not raced["done"]:
+            raced["done"] = True
+            _steal_next_version(spark, path)  # winner takes `version`
+        return real_commit(log_dir, version, actions)
+
+    monkeypatch.setattr(W, "_atomic_commit", racing_commit)
+    v = write_delta(
+        spark.range(10, 13).selectExpr("id", "cast(id as double) as v"), path
+    )
+    monkeypatch.undo()
+    assert v == 2  # lost v1 to the racer, retried and landed at v2
+    from athena_delta_lake_spark import DeltaTable
+
+    assert DeltaTable(spark, path).to_df().count() == 9  # 5 + 1 + 3
+
+
+def test_rewrite_conflict_on_same_files_raises(spark, tmp_path, monkeypatch):
+    import athena_delta_lake_spark.delta.writer as W
+    from athena_delta_lake_spark.delta.dml import delete
+    from athena_delta_lake_spark.delta.writer import ConcurrentWriteError
+
+    path = str(tmp_path / "occ2")
+    write_delta(
+        spark.range(20).selectExpr("id", "cast(id as double) as v"), path
+    )
+
+    real_commit = W._atomic_commit
+    raced = {"done": False}
+
+    def racing_commit(log_dir, version, actions):
+        if not raced["done"] and any("remove" in a for a in actions):
+            raced["done"] = True
+            # competing transaction rewrites THE SAME file first
+            monkeypatch.setattr(W, "_atomic_commit", real_commit)
+            delete(spark, path, "id = 1")
+            monkeypatch.setattr(W, "_atomic_commit", racing_commit)
+        return real_commit(log_dir, version, actions)
+
+    monkeypatch.setattr(W, "_atomic_commit", racing_commit)
+    with pytest.raises(ConcurrentWriteError, match="same files"):
+        delete(spark, path, "id = 0")
+    monkeypatch.undo()
