@@ -260,3 +260,20 @@ def a09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_n") >= 20)
         .drop("_n")
     )
+
+
+@register(
+    "a12_approx_percentile",
+    "aggregation",
+    None,  # quantile-sketch estimates are engine-specific (Spark GK vs
+    # DuckDB t-digest): rows-only check; tests/test_queries_aggregates
+    # bounds the error vs the exact percentile instead.
+    "approx_percentile (Greenwald-Khanna sketch) p50/p95 per return flag — "
+    "the single-pass mergeable-sketch path for 100TB quantiles",
+)
+def a12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("ap50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("ap95"),
+    )

@@ -1010,6 +1010,26 @@ def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.exceptAll(b).distinct()
 
 
+@register(
+    "s04_multiset_ops",
+    "setop",
+    """
+    WITH li_parts AS (SELECT l_partkey AS k FROM lineitem WHERE l_quantity > 40),
+         hot AS (SELECT l_partkey AS k FROM lineitem WHERE l_discount >= 0.09)
+    SELECT k, count(*) AS n FROM (
+      SELECT k FROM li_parts INTERSECT ALL SELECT k FROM hot
+    ) GROUP BY k
+    """,
+    "multiset INTERSECT ALL: duplicate-preserving set op, multiplicity "
+    "verified by the per-key counts",
+)
+def s04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 40).select(F.col("l_partkey").alias("k"))
+    b = li.filter(F.col("l_discount") >= 0.09).select(F.col("l_partkey").alias("k"))
+    return a.intersectAll(b).groupBy("k").agg(F.count("*").alias("n"))
+
+
 # ----------------------------------------------- q12 TPC-H Q12 shape (adapted)
 
 

@@ -208,3 +208,24 @@ def w07(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
     )
     return sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+
+
+@register(
+    "w08_percent_rank_cume",
+    "window",
+    """
+    SELECT c_custkey,
+           round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS pr,
+           round(cume_dist()    OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS cd
+    FROM customer
+    """,
+    "distribution window functions: percent_rank + cume_dist per segment",
+)
+def w08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

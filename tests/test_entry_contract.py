@@ -28,6 +28,7 @@ def test_queries_oracle_consistency():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "a05_approx_distinct",
+        "a12_approx_percentile",
         "d04_minhash_lsh_pairs",
         "d05_simhash_pairs",
         "n02_ann_lsh",
@@ -42,3 +43,19 @@ def test_query_schema_stable(spark, sf_dir, name):
     df1, df2 = fn(spark, sf_dir), fn(spark, sf_dir)
     assert df1.schema == df2.schema
     assert df1.count() == df2.count() > 0
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """a12 is rows-only vs the oracle; bound its error vs the exact
+    percentile here (GK sketch with accuracy=10000 -> rank error ~1e-4)."""
+    from pyspark.sql import functions as F
+
+    from athena_delta_lake_spark.queries.base import load
+
+    li = load(spark, sf_dir, "lineitem")
+    both = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("ap50"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+    )
+    for r in both.collect():
+        assert abs(r["ap50"] - r["p50"]) / max(abs(r["p50"]), 1e-9) < 0.01
