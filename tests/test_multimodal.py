@@ -62,3 +62,26 @@ def test_frame_sample_plan(spark):
     out = mm.frame_sample_plan(df, every_ms=1000)
     offsets = [r["frame_offset_ms"] for r in out.collect()]
     assert offsets == [0, 1000, 2000, 3000]
+
+
+def test_resize_images_updates_meta(spark, media_df):
+    from athena_delta_lake_spark.operators.multimodal import (
+        attach_media_meta,
+        resize_images,
+    )
+
+    with_meta = attach_media_meta(media_df, "payload", "image", "png")
+    out = resize_images(with_meta, "payload", 224, 224)
+    rows = out.select("media_meta.width", "media_meta.height").distinct().collect()
+    assert rows == [(224, 224)] or [tuple(r) for r in rows] == [(224, 224)]
+    assert out.count() == media_df.count()
+
+
+def test_resize_images_strict_raises(spark, media_df):
+    from athena_delta_lake_spark.operators.multimodal import resize_images
+
+    out = resize_images(media_df, "payload", 64, 64, strict=True)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="PIL|NotImplemented"):
+        out.collect()
