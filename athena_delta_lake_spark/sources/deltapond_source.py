@@ -190,16 +190,63 @@ class DeltaPondStreamReader(DataSourceStreamReader):
             str(options.get("ignoreChanges", "false")).lower() == "true"
             or str(options.get("ignoreDeletes", "false")).lower() == "true"
         )
+        # admission control (Delta's maxFilesPerTrigger analog): cap how
+        # many commits one microbatch consumes, so a backfill from an old
+        # startingVersion proceeds in bounded increments instead of one
+        # giant first batch
+        mcpt = options.get("maxCommitsPerTrigger")
+        self._max_commits = int(mcpt) if mcpt is not None else None
+        # highest version this reader KNOWS the engine has reached (from
+        # initialOffset/partitions/commit). None after a checkpoint restart
+        # until the engine tells us — then the cap is skipped for one
+        # trigger rather than ever moving an offset backward.
+        self._position: int | None = None
+
+    def _trace(self, msg: str) -> None:
+        import os as _os
+
+        if _os.environ.get("SPARK_DP_DEBUG"):
+            with open("/tmp/dp_calls.log", "a") as f:
+                f.write(f"pid={_os.getpid()} id={id(self)} {msg}\n")
+
+    def _advance(self, v: int) -> None:
+        self._position = v if self._position is None else max(self._position, v)
 
     def initialOffset(self) -> dict:
         if self._starting == "latest":
-            return {"version": DeltaLog(self._path).latest_version()}
-        return {"version": int(self._starting) - 1}
+            v = DeltaLog(self._path).latest_version()
+        else:
+            v = int(self._starting) - 1
+        self._advance(v)
+        self._trace(f"initialOffset -> {v}")
+        return {"version": v}
 
     def latestOffset(self) -> dict:
-        return {"version": DeltaLog(self._path).latest_version()}
+        latest = DeltaLog(self._path).latest_version()
+        if self._max_commits is None:
+            return {"version": latest}
+        if self._position is None:
+            # First call of a FRESH start (this API gives latestOffset no
+            # start offset, and it can run before initialOffset): return
+            # the stream's floor — an empty first batch — so the cap can
+            # engage next trigger. On checkpoint RESTARTS the engine calls
+            # partitions()/commit() during recovery before ever asking for
+            # a new offset (verified empirically), so position is known and
+            # this branch cannot move offsets backward.
+            floor = (
+                latest
+                if self._starting == "latest"
+                else int(self._starting) - 1
+            )
+            self._advance(floor)
+            self._trace(f"latestOffset floor -> {floor}")
+            return {"version": floor}
+        out = min(latest, self._position + self._max_commits)
+        self._trace(f"latestOffset capped pos={self._position} -> {out}")
+        return {"version": out}
 
     def partitions(self, start: dict, end: dict):
+        self._advance(int(end["version"]))
         log = DeltaLog(self._path)
         parts = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
@@ -232,7 +279,7 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass
+        self._advance(int(end["version"]))
 
 
 # --------------------------------------------------------------- write path

@@ -208,3 +208,60 @@ def test_stream_sink_exactly_once(spark, tmp_path):
         if '"txn"' in line
     ]
     assert txns, "streaming sink commits must carry txn actions"
+
+
+def test_stream_source_max_commits_per_trigger(spark, tmp_path):
+    src = str(tmp_path / "src")
+    for i in range(5):
+        write_delta(spark.range(i * 10, (i + 1) * 10).selectExpr("id"), src)
+    q = (
+        spark.readStream.format("deltapond")
+        .option("startingVersion", 0)
+        .option("maxCommitsPerTrigger", 2)
+        .load(src)
+        .groupBy()
+        .count()
+        .writeStream.format("memory")
+        .queryName("dp_rate")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from dp_rate").collect()[0][0] == 50
+        # the 5 commits must have been consumed in ceil(5/2)=3 microbatches
+        n_batches = q.lastProgress["batchId"] + 1
+        assert n_batches >= 3
+    finally:
+        q.stop()
+
+
+def test_stream_source_cap_survives_restart(spark, tmp_path):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    cp = str(tmp_path / "cp")
+    for i in range(3):
+        write_delta(spark.range(i * 10, (i + 1) * 10).selectExpr("id"), src)
+
+    def start():
+        return (
+            spark.readStream.format("deltapond")
+            .option("startingVersion", 0)
+            .option("maxCommitsPerTrigger", 1)
+            .load(src)
+            .writeStream.format("deltapond")
+            .option("checkpointLocation", cp)
+            .start(sink)
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert DeltaTable(spark, sink).to_df().count() == 30
+    write_delta(spark.range(100, 120).selectExpr("id"), src)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got = DeltaTable(spark, sink).to_df()
+    assert got.count() == 50  # no duplicates, no loss across the restart
+    assert got.select("id").distinct().count() == 50
