@@ -264,6 +264,43 @@ class DeltaLog:
             raise ValueError(f"no metaData action found in log at {self.log_dir}")
 
         schema = schema_string_to_struct(acc.metadata["schemaString"])
+
+        # Column mapping (delta.columnMapping.mode=name|id): the log keys
+        # partitionValues and stats by PHYSICAL column names. Normalize to
+        # logical names here so pruning/scan planning downstream is purely
+        # logical; only the parquet read itself needs physical names
+        # (reader.py builds the physical read schema from field metadata).
+        config = acc.metadata.get("configuration") or {}
+        if config.get("delta.columnMapping.mode", "none") != "none":
+            p2l = {
+                (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                ): f.name
+                for f in schema.fields
+            }
+
+            def _remap(d: dict | None) -> dict | None:
+                if not d:
+                    return d
+                return {p2l.get(k, k): v for k, v in d.items()}
+
+            for path, f in list(acc.adds.items()):
+                stats = f.stats
+                if stats:
+                    stats = {
+                        **stats,
+                        "minValues": _remap(stats.get("minValues")),
+                        "maxValues": _remap(stats.get("maxValues")),
+                        "nullCount": _remap(stats.get("nullCount")),
+                    }
+                acc.adds[path] = AddFile(
+                    path=f.path,
+                    partition_values=_remap(f.partition_values) or {},
+                    size=f.size,
+                    modification_time=f.modification_time,
+                    stats=stats,
+                )
+
         state = SnapshotState(
             version=version,
             metadata=acc.metadata,

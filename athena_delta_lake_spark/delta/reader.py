@@ -72,6 +72,84 @@ def read_snapshot(
     return read_files(spark, snapshot, prune_files(snapshot, predicates), columns)
 
 
+def _physical_rename(dt: T.DataType) -> T.DataType:
+    """Recursively rename struct fields to their column-mapping physical
+    names (delta.columnMapping.physicalName in field metadata)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    (f.metadata or {}).get(
+                        "delta.columnMapping.physicalName", f.name
+                    ),
+                    _physical_rename(f.dataType),
+                    f.nullable,
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_rename(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_rename(dt.keyType),
+            _physical_rename(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _read_mapped_files(
+    spark: SparkSession, snapshot: SnapshotState, files: list[AddFile]
+) -> DataFrame:
+    """Column-mapping read path: parquet files carry PHYSICAL names (and
+    hive dirs, if any, use physical partition names), so every file is read
+    with the physically-renamed data schema and cast back — struct casts
+    are positional, which renames nested fields in one expression. The
+    snapshot's partition_values were normalized to logical names at replay
+    (log.py), so partition columns inject as typed logical literals."""
+    schema = snapshot.schema
+    part_cols = snapshot.partition_columns
+    type_by_name = {f.name: f.dataType for f in schema.fields}
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    phys_data_schema = T.StructType(
+        [
+            T.StructField(
+                (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                ),
+                _physical_rename(f.dataType),
+                f.nullable,
+            )
+            for f in data_fields
+        ]
+    )
+    by_part: dict[tuple, list[str]] = {}
+    for f in files:
+        key = typed_partition_values(f, schema, part_cols)
+        by_part.setdefault(key, []).append(_join_path(snapshot.table_path, f.path))
+    pieces = []
+    for pvals, ppaths in by_part.items():
+        piece = spark.read.schema(phys_data_schema).parquet(*ppaths)
+        cols = [
+            F.col(pf.name).cast(lf.dataType).alias(lf.name)
+            for pf, lf in zip(phys_data_schema.fields, data_fields)
+        ]
+        piece = piece.select(*cols)
+        for c, v in zip(part_cols, pvals):
+            piece = piece.withColumn(c, F.lit(v).cast(type_by_name[c]))
+        pieces.append(piece.select(*[f.name for f in schema.fields]))
+    df = pieces[0]
+    for p in pieces[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def _column_mapping_active(snapshot: SnapshotState) -> bool:
+    config = snapshot.metadata.get("configuration") or {}
+    return config.get("delta.columnMapping.mode", "none") != "none"
+
+
 def read_files(
     spark: SparkSession,
     snapshot: SnapshotState,
@@ -85,6 +163,10 @@ def read_files(
 
     if not files:
         df = _empty_df(spark, schema)
+        return df.select(*columns) if columns else df
+
+    if _column_mapping_active(snapshot):
+        df = _read_mapped_files(spark, snapshot, files)
         return df.select(*columns) if columns else df
 
     paths = [_join_path(snapshot.table_path, f.path) for f in files]

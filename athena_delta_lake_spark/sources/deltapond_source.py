@@ -108,7 +108,13 @@ def _read_file_batches(
 
     target = to_arrow_schema(schema)
     part_cols = set(partition_values)
-    want = [f.name for f in schema.fields if f.name not in part_cols]
+    # column mapping: files store PHYSICAL names (field metadata carries
+    # the logical->physical map); identity for unmapped tables
+    phys = {
+        f.name: (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+        for f in schema.fields
+    }
+    want = [phys[f.name] for f in schema.fields if f.name not in part_cols]
     pf = pq.ParquetFile(file_path)
     present = [c for c in want if c in pf.schema_arrow.names]
     tbl = pf.read(columns=present)
@@ -122,13 +128,58 @@ def _read_file_batches(
                 cols.append(pa.nulls(n, type=at))
             else:
                 cols.append(pa.array([v] * n).cast(at))
-        elif f.name in present:
-            c = tbl.column(f.name)
-            cols.append(c if c.type == at else c.cast(at))
+        elif phys[f.name] in present:
+            cols.append(_to_target_type(tbl.column(phys[f.name]), at))
         else:
             cols.append(pa.nulls(n, type=at))
     out = pa.table(cols, schema=target)
     yield from out.to_batches(max_chunksize=1 << 16)
+
+
+def _with_target_names(src, tgt):
+    """Arrow type = src's physical layout with tgt's (logical) field names —
+    the zero-copy rename a column-mapped nested struct needs before a
+    value cast (Arrow cannot cast structs whose field names differ)."""
+    import pyarrow as pa
+
+    if (
+        pa.types.is_struct(src)
+        and pa.types.is_struct(tgt)
+        and src.num_fields == tgt.num_fields
+    ):
+        return pa.struct(
+            [
+                pa.field(
+                    tgt.field(i).name,
+                    _with_target_names(src.field(i).type, tgt.field(i).type),
+                    src.field(i).nullable,
+                )
+                for i in range(src.num_fields)
+            ]
+        )
+    if pa.types.is_list(src) and pa.types.is_list(tgt):
+        return pa.list_(_with_target_names(src.value_type, tgt.value_type))
+    if pa.types.is_map(src) and pa.types.is_map(tgt):
+        return pa.map_(
+            _with_target_names(src.key_type, tgt.key_type),
+            _with_target_names(src.item_type, tgt.item_type),
+        )
+    return src
+
+
+def _to_target_type(c, at):
+    """ChunkedArray -> target type: zero-copy field-name view first, then a
+    value cast only if layouts still differ."""
+    import pyarrow as pa
+
+    if c.type == at:
+        return c
+    named = _with_target_names(c.type, at)
+    if named != c.type:
+        c = pa.chunked_array(
+            [ch.view(named) for ch in c.chunks], type=named
+        )
+    return c if c.type == at else c.cast(at)
 
 
 class DeltaPondBatchReader(DataSourceReader):
@@ -248,6 +299,11 @@ class DeltaPondStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         self._advance(int(end["version"]))
         log = DeltaLog(self._path)
+        # column mapping: raw add actions key partitionValues physically
+        p2l = {
+            (f.metadata or {}).get("delta.columnMapping.physicalName", f.name): f.name
+            for f in self._schema.fields
+        }
         parts = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             for action in log.commit_actions(v):
@@ -256,7 +312,10 @@ class DeltaPondStreamReader(DataSourceStreamReader):
                     if a.get("dataChange", True):
                         from ..delta.log import _decode_path
 
-                        pv = a.get("partitionValues") or {}
+                        pv = {
+                            p2l.get(k, k): val
+                            for k, val in (a.get("partitionValues") or {}).items()
+                        }
                         parts.append(
                             DeltaScanPartition(
                                 file_path=os.path.join(
