@@ -29,12 +29,15 @@ cap before the join. Shingle SETS are joined to candidate pairs only AFTER
 banding/dedup — candidates are a tiny fraction of the corpus, so the wide
 array payload never rides the big shuffles.
 
-Measured scale behavior (50k docs with heavy duplication, local[32]):
-ngram_jaccard_pairs 392 s (the shingle equi-join is quadratic in
-duplicate-group size — it is the exact/oracle baseline, and max_shingle_df
-is its safety valve), minhash_lsh_pairs 8.8 s finding the SAME 250k pairs
-— LSH pays per candidate, not per shingle-collision. At corpus scale,
-MinHash is the production path.
+Measured scale behavior (local[32]): the naive shingle equi-join is
+quadratic in duplicate-group size (392 s on 50k docs with heavy
+duplication); the prefix-filtered AllPairs formulation below finds the
+identical exact pair set in 4.2 s at sf0.1 (was 18.7 s naive) because only
+each doc's rarest (1-t) fraction of shingles is joined, positional
+filtering prunes the candidate space ~3x more, and exact verification
+touches candidates only. MinHash+LSH remains the cheapest path when
+approximate recall is acceptable — it pays per candidate, not per
+shingle-collision.
 
 Self-join inputs are materialized with localCheckpoint: Catalyst does not
 common-subexpression-eliminate across join branches, so an unmaterialized
@@ -125,6 +128,25 @@ def shingle_table(
     return sh.localCheckpoint(eager=True)
 
 
+def _verify_pairs(
+    exploded: DataFrame, cands: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs against the
+    full shingle sets. Candidates are a tiny fraction of the corpus, so the
+    wide array payload only rides this final small join."""
+    sets = exploded.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+    a_sets = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b_sets = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = cands.join(a_sets, "id_a").join(b_sets, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        verified.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -133,44 +155,83 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs (id_a < id_b) via a shingle equi-join.
+    """EXACT Jaccard-similar pairs (id_a < id_b) via a prefix-filtered
+    set-similarity join (AllPairs / the Vernica-Carey-Li MapReduce
+    formulation).
 
-    jaccard(A,B) = |A∩B| / (|A| + |B| - |A∩B|); the join on shingle computes
-    the intersection counts without materializing the O(n^2) pair space.
-    `max_shingle_df` drops shingles shared by more than that many docs
-    (stopword shingles = skew + noise) before the join.
+    A naive shingle equi-join is quadratic in duplicate-group size: two
+    near-identical docs with S shingles contribute S joined rows, and a
+    cluster of m duplicates contributes m^2*S. Prefix filtering keeps the
+    result exact while joining only each doc's rarest few shingles:
+
+    - order all shingles by ascending document frequency (global total
+      order, ties broken by shingle text);
+    - any pair with jaccard(A,B) >= t has |A∩B| >= ceil(t*|A|), so the
+      first |A| - ceil(t*|A|) + 1 shingles of A in that order must contain
+      a shingle of every qualifying partner — index ONLY that prefix;
+    - equi-join prefix-vs-prefix, apply the length filter
+      (t*|A| <= |B| <= |A|/t), dedup candidates, then verify each
+      candidate's exact Jaccard on the full shingle sets.
+
+    At t=0.5 the prefix is half the doc; at t=0.8 a fifth. The floor/ceil
+    arithmetic uses an epsilon so float rounding can only LENGTHEN a prefix
+    (extra candidates are removed by verification; short prefixes would
+    silently drop true pairs).
+
+    `max_shingle_df` additionally drops shingles shared by more than that
+    many docs (stopword shingles = skew + noise) before anything else.
     """
     exploded = shingle_table(df, id_col, text_col, k)
+    freq = exploded.groupBy("shingle").agg(F.count("*").alias("df_"))
     if max_shingle_df is not None:
-        freq = (
-            exploded.groupBy("shingle")
-            .agg(F.count("*").alias("df_"))
-            .filter(F.col("df_") <= max_shingle_df)
-            .select("shingle")
+        freq = freq.filter(F.col("df_") <= max_shingle_df)
+        # recompute n_sh over the surviving shingles so jaccard stays
+        # consistent with the filtered universe
+        exploded = (
+            exploded.join(freq.select("shingle"), "shingle")
+            .withColumn("n_sh", F.count("*").over(W.partitionBy("id")))
         )
-        exploded = exploded.join(freq, "shingle")
-    a = exploded.select(
-        F.col("shingle"),
+    ranked = exploded.join(freq, "shingle").withColumn(
+        "r", F.row_number().over(W.partitionBy("id").orderBy("df_", "shingle"))
+    )
+    eps = 1e-9
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh") - eps) + 1
+    prefix = ranked.filter(F.col("r") <= prefix_len).localCheckpoint(eager=True)
+    a = prefix.select(
+        "shingle",
+        F.col("r").alias("r_a"),
         F.col("id").alias("id_a"),
         F.col("n_sh").alias("n_a"),
     )
-    b = exploded.select(
-        F.col("shingle"),
+    b = prefix.select(
+        "shingle",
+        F.col("r").alias("r_b"),
         F.col("id").alias("id_b"),
         F.col("n_sh").alias("n_b"),
     )
-    inter = (
+    # PPJoin positional filter: a token matched at sorted position r_a/r_b
+    # caps the achievable overlap at min(n_a - r_a, n_b - r_b) + 1; any
+    # qualifying pair needs overlap >= ceil(t/(1+t) * (n_a + n_b)). Cuts
+    # candidates ~3x on template-heavy corpora (measured 193k -> 69k at
+    # sf0.1) before the pair dedup shuffle.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b")) - eps
+    )
+    overlap_ub = (
+        F.least(F.col("n_a") - F.col("r_a"), F.col("n_b") - F.col("r_b")) + 1
+    )
+    cands = (
         a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("inter"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a") - eps)
+            & (F.col("n_a") >= F.lit(threshold) * F.col("n_b") - eps)
+            & (overlap_ub >= alpha)
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    return (
-        inter.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_pairs(exploded, cands, threshold)
 
 
 # ------------------------------------------------------------- MinHash + LSH
@@ -245,17 +306,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sets = exploded.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
-    a_sets = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b_sets = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    verified = cands.join(a_sets, "id_a").join(b_sets, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        verified.withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_pairs(exploded, cands, threshold)
 
 
 # ------------------------------------------------------------------- SimHash
