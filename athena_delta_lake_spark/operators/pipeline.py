@@ -1,0 +1,172 @@
+"""Training-data pipeline operators: deterministic sampling, shard
+assignment, sequence packing, PII redaction, and document chunking.
+
+These are the batch-ETL stages between a raw document corpus and a
+training run. Design rules:
+
+- **Deterministic everywhere.** Sampling/sharding decisions derive from
+  md5 of (key, seed) — never `rand()` — so a pipeline re-run (or a
+  backfill on 100 TB) selects byte-identical rows, and the DuckDB oracle
+  can replay every decision (`conv(substr(md5(x),1,15),16,10)` in Spark
+  equals `CAST('0x' || substr(md5(x),1,15) AS BIGINT)` in DuckDB —
+  verified value-exact).
+- **No shuffles in per-row stages.** Sampling, sharding, redaction, and
+  chunking are narrow transforms; only packing aggregates (a single
+  window over the shard) and downstream group-bys shuffle.
+- **Shard-local packing.** Global greedy bin packing is inherently
+  sequential; the scalable formulation packs WITHIN hash-assigned shards
+  (each shard ~ corpus/n_shards docs), which is how multi-host training
+  data is laid out anyway — one shard per data-loader worker.
+
+The reference connector has no pipeline surface at all (it is a read-only
+scan connector, DeltaRecordHandler.scala:116-155); this module is part of
+the north-star extension surface (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_BUCKET_DENOM = 1_000_000
+
+# PII patterns, RE2-and-Java-regex compatible (no lookaround/backrefs) so
+# Spark and the DuckDB oracle match byte-for-byte.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def md5_bucket(col: str | Column, seed: int, n: int) -> Column:
+    """Deterministic uniform bucket in [0, n) from md5(col || ':' || seed).
+
+    15 hex digits = 60 bits, always positive in a long; identical in any
+    engine with md5 + hex parsing (the oracle bridge).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.substring(F.md5(F.concat(c.cast("string"), F.lit(f":{seed}"))), 1, 15)
+    return (F.conv(h, 16, 10).cast("long") % n).alias("bucket")
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float] | float,
+    stratum_col: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff its md5 bucket falls
+    below fraction * 1e6. With `fractions` a dict, each stratum gets its
+    own rate (rows in unlisted strata are dropped). Unlike df.sample(),
+    re-runs and engine ports select the same rows."""
+    b = md5_bucket(key_col, seed, _BUCKET_DENOM)
+    if isinstance(fractions, dict):
+        if stratum_col is None:
+            raise ValueError("stratum_col required with per-stratum fractions")
+        cond = None
+        for stratum, frac in fractions.items():
+            this = (F.col(stratum_col) == stratum) & (
+                b < int(frac * _BUCKET_DENOM)
+            )
+            cond = this if cond is None else cond | this
+        return df.filter(cond)
+    return df.filter(b < int(fractions * _BUCKET_DENOM))
+
+
+def assign_shards(
+    df: DataFrame, key_col: str, n_shards: int, seed: int = 42
+) -> DataFrame:
+    """Add a deterministic `shard` column in [0, n_shards). Hash-uniform:
+    shards stay balanced at any scale with no shuffle (narrow transform;
+    the training job later repartitions BY shard exactly once)."""
+    return df.withColumn("shard", md5_bucket(key_col, seed, n_shards))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str | Column,
+    budget: int,
+    n_shards: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Pack documents into fixed token-budget groups (sequence packing).
+
+    Within each hash-assigned shard, docs are taken in id order and laid
+    contiguously; doc i lands in pack floor(cum_tokens_before_i / budget).
+    Contiguous-fill packing (vs per-pack greedy refusal) is one window
+    cumsum — embarrassingly parallel per shard and oracle-replayable.
+    Docs longer than `budget` still get a pack (they span it; the trainer
+    truncates). Returns one row per (shard, pack) with n_docs and
+    tokens_used.
+    """
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    sharded = assign_shards(df, id_col, n_shards, seed).withColumn("_tok", t)
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = sharded.withColumn(
+        "pack",
+        F.floor((F.sum("_tok").over(w) - F.col("_tok")) / budget).cast("long"),
+    )
+    return packed.groupBy("shard", "pack").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_tok").alias("tokens_used"),
+    )
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Text with email/phone/IPv4 spans replaced by <TYPE> tags."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def pii_counts(col: str | Column) -> dict[str, Column]:
+    """Per-type match counts (size of regexp_extract_all — the formulation
+    DuckDB shares, unlike regexp_count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each doc into overlapping word-window chunks.
+
+    Chunk c covers words [1 + c*stride, 1 + c*stride + chunk_size); with
+    stride < chunk_size consecutive chunks overlap by chunk_size - stride
+    words (context continuity for training). Narrow transform: explode of
+    a per-row start-position sequence, no shuffle. Returns
+    (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    from .dedup import normalize_text
+
+    words = F.split(normalize_text(text_col), " ")
+    n = F.size(words)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        words.alias("_w"),
+        F.posexplode(starts).alias("chunk_id", "start"),
+    )
+    chunk = F.slice(F.col("_w"), F.col("start"), chunk_size)
+    return ex.select(
+        "id",
+        "chunk_id",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

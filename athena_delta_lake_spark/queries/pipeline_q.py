@@ -1,0 +1,194 @@
+"""Training-data pipeline query surface (north-star extension).
+
+Wires operators/pipeline.py to the driver correctness gate. Every
+decision (sample membership, shard id, pack id, chunk boundary, PII
+span) is deterministic and re-expressed in DuckDB SQL, so these are all
+full value-hash gates — no rows-only entries.
+
+The md5-bucket oracle bridge: Spark `conv(substr(md5(x),1,15),16,10)`
+== DuckDB `CAST('0x' || substr(md5(x),1,15) AS BIGINT)` (value-exact,
+60-bit positive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import pipeline, text
+from .base import load, register
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOK_SQL = r"len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))"
+
+
+def _bucket_sql(key_sql: str, seed: int, n: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat(CAST({key_sql} AS VARCHAR), "
+        f"':{seed}')), 1, 15)) AS BIGINT) % {n}"
+    )
+
+
+@register(
+    "p01_pack_sequences",
+    "pipeline",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOK_SQL} AS n_tok,
+             {_bucket_sql('doc_id', 42, 8)} AS shard
+      FROM documents
+    ), cum AS (
+      SELECT shard, n_tok,
+             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS before
+      FROM tok
+    )
+    SELECT shard, CAST(floor(before / 2048) AS BIGINT) AS pack,
+           count(*) AS n_docs, sum(n_tok) AS tokens_used
+    FROM cum GROUP BY 1, 2
+    """,
+    "sequence packing: shard-local contiguous fill into 2048-token packs",
+)
+def p01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return pipeline.pack_sequences(
+        d, "doc_id", text.token_count("text"), budget=2048, n_shards=8, seed=42
+    )
+
+
+@register(
+    "p02_stratified_sample",
+    "pipeline",
+    f"""
+    SELECT lang, count(*) AS n_sampled, sum(n_chars) AS chars_sampled
+    FROM documents
+    WHERE (lang = 'en' AND {_bucket_sql('doc_id', 7, 1000000)} < 500000)
+       OR (lang = 'es' AND {_bucket_sql('doc_id', 7, 1000000)} < 250000)
+       OR (lang = 'fr' AND {_bucket_sql('doc_id', 7, 1000000)} < 250000)
+       OR (lang = 'de' AND {_bucket_sql('doc_id', 7, 1000000)} < 100000)
+    GROUP BY lang
+    """,
+    "deterministic per-language stratified sample (replayable md5 buckets)",
+)
+def p02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sampled = pipeline.stratified_sample(
+        d,
+        "doc_id",
+        {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.1},
+        stratum_col="lang",
+        seed=7,
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("n_chars").alias("chars_sampled"),
+    )
+
+
+@register(
+    "p03_train_shards",
+    "pipeline",
+    f"""
+    SELECT {_bucket_sql('doc_id', 42, 16)} AS shard,
+           count(*) AS n_docs, sum(n_chars) AS total_chars,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM documents GROUP BY 1
+    """,
+    "deterministic hash shard assignment for data-loader workers",
+)
+def p03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return pipeline.assign_shards(d, "doc_id", 16, seed=42).groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+# deterministic PII injection so the fixture text actually contains spans
+# to find: every doc gets an email, every 3rd a phone, every 5th an IP
+_AUG_SQL = """
+    concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com',
+           CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567' ELSE '' END,
+           CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.0.1' ELSE '' END)
+"""
+
+
+def _augment(d: DataFrame) -> DataFrame:
+    return d.withColumn(
+        "aug",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" call 555-123-4567"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" from 10.0.0.1"))
+            .otherwise(F.lit("")),
+        ),
+    )
+
+
+@register(
+    "p04_pii_redaction",
+    "pipeline",
+    f"""
+    WITH aug AS (SELECT doc_id, {_AUG_SQL} AS aug FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(aug,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+           len(regexp_extract_all(aug,
+               '\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b')) AS n_phone,
+           len(regexp_extract_all(aug,
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ipv4,
+           length(regexp_replace(regexp_replace(regexp_replace(aug,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b', '<PHONE>', 'g'),
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IPV4>', 'g'))
+             AS redacted_len
+    FROM aug
+    """,
+    "PII span detection + redaction (email/phone/IPv4, engine-identical regex)",
+)
+def p04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _augment(load(spark, sf_dir, "documents"))
+    counts = pipeline.pii_counts("aug")
+    return d.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+        F.length(pipeline.redact_pii("aug")).alias("redacted_len"),
+    )
+
+
+@register(
+    "p05_chunk_documents",
+    "pipeline",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ), st AS (
+      SELECT doc_id, words,
+             unnest(range(1, greatest(len(words), 1) + 1, 48)) AS start
+      FROM w
+    )
+    SELECT doc_id AS id, CAST((start - 1) / 48 AS BIGINT) AS chunk_id,
+           len(words[start:start + 63]) AS n_chunk_tokens,
+           md5(array_to_string(words[start:start + 63], ' ')) AS chunk_hash
+    FROM st
+    """,
+    "overlapping word-window chunking (size 64, stride 48)",
+)
+def p05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    chunks = pipeline.chunk_documents(d, "doc_id", "text", chunk_size=64, stride=48)
+    return chunks.select(
+        "id",
+        F.col("chunk_id").cast("long"),
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_hash"),
+    )

@@ -1,0 +1,104 @@
+"""Training-pipeline operator semantics: determinism, balance, packing
+budget, chunk overlap, redaction."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_delta_lake_spark.operators import pipeline, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def test_sample_deterministic_and_subset(spark, docs):
+    s1 = pipeline.stratified_sample(docs, "doc_id", 0.3, seed=1)
+    s2 = pipeline.stratified_sample(docs, "doc_id", 0.3, seed=1)
+    ids1 = {r[0] for r in s1.select("doc_id").collect()}
+    ids2 = {r[0] for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2 and len(ids1) > 0
+    # a higher rate with the same seed strictly grows the selection
+    # (nested samples — the property that makes backfills incremental)
+    ids_half = {
+        r[0]
+        for r in pipeline.stratified_sample(docs, "doc_id", 0.6, seed=1)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 <= ids_half
+    n = docs.count()
+    assert 0.15 * n < len(ids1) < 0.45 * n  # roughly the asked rate
+
+
+def test_shards_balanced_and_total(docs):
+    n = docs.count()
+    per = (
+        pipeline.assign_shards(docs, "doc_id", 8, seed=3)
+        .groupBy("shard")
+        .count()
+        .collect()
+    )
+    assert sum(r["count"] for r in per) == n
+    assert {r["shard"] for r in per} <= set(range(8))
+    avg = n / 8
+    for r in per:
+        assert 0.5 * avg < r["count"] < 1.5 * avg
+
+
+def test_packing_budget(docs):
+    budget = 500
+    toks = docs.select(
+        "doc_id", text.token_count("text").alias("t")
+    )
+    packs = pipeline.pack_sequences(
+        toks, "doc_id", "t", budget=budget, n_shards=4, seed=0
+    ).collect()
+    max_doc = toks.agg(F.max("t")).first()[0]
+    assert sum(r["n_docs"] for r in packs) == docs.count()
+    for r in packs:
+        # contiguous fill: a pack never exceeds budget + one doc's spill
+        assert r["tokens_used"] < budget + max_doc
+    # packs within a shard are dense 0..k
+    by_shard = {}
+    for r in packs:
+        by_shard.setdefault(r["shard"], []).append(r["pack"])
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(len(ps)))
+
+
+def test_chunk_overlap_and_coverage(spark):
+    words = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(1, words)], "id long, text string")
+    chunks = pipeline.chunk_documents(
+        df, "id", "text", chunk_size=64, stride=48
+    ).orderBy("chunk_id").collect()
+    # starts at 1, 49, 97, 145 -> 4 chunks
+    assert [c["chunk_id"] for c in chunks] == [0, 1, 2, 3]
+    assert chunks[0]["n_chunk_tokens"] == 64
+    assert chunks[-1]["n_chunk_tokens"] == 150 - 144  # tail
+    # consecutive chunks overlap by chunk_size - stride words
+    c0 = chunks[0]["chunk_text"].split(" ")
+    c1 = chunks[1]["chunk_text"].split(" ")
+    assert c0[48:] == c1[:16]
+    # every word is covered
+    covered = set()
+    for c in chunks:
+        covered.update(c["chunk_text"].split(" "))
+    assert len(covered) == 150
+
+
+def test_redaction(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-ample.co.uk or call 555-123-4567 at 192.168.0.1 now")],
+        "id long, text string",
+    )
+    out = df.select(
+        pipeline.redact_pii("text").alias("red"),
+        *[c.alias(k) for k, c in pipeline.pii_counts("text").items()],
+    ).first()
+    assert out["email"] == 1 and out["phone"] == 1 and out["ipv4"] == 1
+    assert "<EMAIL>" in out["red"] and "<PHONE>" in out["red"] and "<IPV4>" in out["red"]
+    assert "@" not in out["red"] and "192.168" not in out["red"]
