@@ -1,6 +1,6 @@
 """Native Delta Lake core: log replay, snapshot, pruning, scan, write."""
 
-from .dml import compact, delete, merge_upsert, update, vacuum
+from .dml import compact, delete, merge_upsert, restore_table, update, vacuum
 from .log import AddFile, DeltaLog, SnapshotState
 from .reader import read_files, read_snapshot
 from .stats import prune_files
@@ -19,6 +19,7 @@ __all__ = [
     "prune_files",
     "read_files",
     "read_snapshot",
+    "restore_table",
     "schema_string_to_struct",
     "struct_to_schema_string",
     "update",

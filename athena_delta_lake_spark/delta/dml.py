@@ -350,6 +350,88 @@ def compact(
     }
 
 
+# -------------------------------------------------------------------- RESTORE
+
+
+def restore_table(
+    table_path: str,
+    version: int | None = None,
+    timestamp_millis: int | None = None,
+) -> dict:
+    """RESTORE the table to an earlier version (or timestamp) as a NEW
+    commit: re-`add` files live then but not now, `remove` files live now
+    but not then, and reinstate that version's metaData if it changed.
+
+    Metadata-only — no data file is read, copied, or deleted (the old
+    files still exist unless VACUUMed; restore fails fast listing any
+    that are gone). History is preserved: the restore itself is just
+    another version, so it can in turn be restored away.
+    """
+    import json as _json
+    from urllib.parse import quote
+
+    if (version is None) == (timestamp_millis is None):
+        raise ValueError("provide exactly one of version / timestamp_millis")
+    table_path = os.path.abspath(table_path)
+    log = DeltaLog(table_path)
+    target = (
+        log.snapshot(version)
+        if version is not None
+        else log.snapshot_as_of_timestamp(timestamp_millis)
+    )
+    current = log.snapshot()
+    cur = {f.path for f in current.files}
+    tgt = {f.path: f for f in target.files}
+    to_add = [f for p, f in tgt.items() if p not in cur]
+    to_remove = sorted(p for p in cur if p not in tgt)
+
+    missing = [
+        f.path
+        for f in to_add
+        if not os.path.exists(os.path.join(table_path, f.path))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot RESTORE {table_path} to version {target.version}: "
+            f"{len(missing)} required data file(s) were vacuumed, e.g. "
+            + missing[0]
+        )
+
+    adds: list[dict] = []
+    for f in sorted(to_add, key=lambda f: f.path):
+        add = {
+            "path": quote(f.path, safe="/"),
+            "partitionValues": f.partition_values,
+            "size": f.size,
+            "modificationTime": f.modification_time,
+            "dataChange": True,
+        }
+        if f.stats is not None:
+            add["stats"] = _json.dumps(f.stats, separators=(",", ":"))
+        adds.append({"add": add})
+
+    extra = (
+        [{"metaData": target.metadata}]
+        if target.metadata != current.metadata
+        else None
+    )
+    new_version = commit_rewrite(
+        table_path,
+        "RESTORE",
+        adds,
+        to_remove,
+        operation_parameters={"version": str(target.version)},
+        extra_actions=extra,
+    )
+    return {
+        "restored_to": target.version,
+        "committed_version": new_version,
+        "files_added": len(adds),
+        "files_removed": len(to_remove),
+        "metadata_restored": extra is not None,
+    }
+
+
 # --------------------------------------------------------------------- VACUUM
 
 

@@ -173,6 +173,13 @@ class DeltaTable:
 
         return compact(self.spark, self.path, target_file_size, predicates)
 
+    def restore(
+        self, version: int | None = None, timestamp_millis: int | None = None
+    ) -> dict:
+        from .dml import restore_table
+
+        return restore_table(self.path, version, timestamp_millis)
+
     def vacuum(self, retention_hours: float = 168.0, dry_run: bool = False) -> dict:
         from .dml import vacuum
 

@@ -189,11 +189,14 @@ def commit_rewrite(
     remove_paths: list[str],
     data_change: bool = True,
     operation_parameters: dict | None = None,
+    extra_actions: list[dict] | None = None,
 ) -> int:
     """Commit a file-rewrite transaction: `remove` the replaced files and
     `add` their rewrites in ONE atomic version — the copy-on-write commit
-    shape shared by DELETE/UPDATE/MERGE/OPTIMIZE (dml.py). Untouched files
-    are never referenced, so the commit is O(touched files)."""
+    shape shared by DELETE/UPDATE/MERGE/OPTIMIZE/RESTORE (dml.py).
+    Untouched files are never referenced, so the commit is O(touched
+    files). `extra_actions` (e.g. a reinstated metaData for RESTORE) are
+    written right after commitInfo."""
     now = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -205,6 +208,7 @@ def commit_rewrite(
             }
         }
     ]
+    actions.extend(extra_actions or [])
     for p in remove_paths:
         actions.append(
             {

@@ -228,3 +228,45 @@ def l05(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor("l_extendedprice")).cast("long").alias("total_price"),
     )
     return run_to_memory(agg, "l05_out", "complete")
+
+
+def _ensure_restore_orders(spark: SparkSession, sf_dir: str) -> str:
+    """orders copy mutated (predicate DELETE, junk append) then RESTOREd to
+    v0 — the final snapshot must be byte-identical to the pristine parquet,
+    which is exactly what the oracle checks."""
+    path = os.path.join(_fixture_root(sf_dir), "lake", "restore_orders")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        o = load(spark, sf_dir, "orders")
+        write_delta(o, path)  # v0
+        t = DeltaTable(spark, path)
+        t.delete(where="o_orderstatus = 'F'")  # v1
+        junk = o.orderBy("o_orderkey").limit(7).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+        )
+        write_delta(junk, path, mode="append")  # v2
+        t.restore(version=0)  # v3: undo everything
+    return path
+
+
+@register(
+    "l06_delta_restore",
+    "delta-core",
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(floor(o_totalprice)) AS BIGINT) AS total
+    FROM orders GROUP BY 1
+    """,
+    "RESTORE to v0 after DELETE + append: metadata-only undo, final state "
+    "== pristine table (oracle is plain SQL over the untouched parquet)",
+)
+def l06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_restore_orders(spark, sf_dir)
+    t = DeltaTable(spark, path)
+    return (
+        t.to_df()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor("o_totalprice")).cast("long").alias("total"),
+        )
+    )

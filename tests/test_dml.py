@@ -167,3 +167,52 @@ def test_dml_versions_chain(spark, tbl):
     # every intermediate version remains queryable (time travel across DML)
     assert t.to_df(version=0).count() == 400
     assert t.to_df(version=1).count() == 300
+
+
+def test_restore_round_trip(spark, tbl):
+    t = DeltaTable(spark, tbl)
+    t.delete(where=[("part", "=", 1)])  # v1
+    t.write(
+        spark.createDataFrame(
+            [(1000, 9, 1.0, "late")], "id int, part int, v double, name string"
+        ),
+        mode="append",
+    )  # v2
+    assert t.to_df().count() == 301
+    res = t.restore(version=0)  # v3
+    assert res["restored_to"] == 0 and res["committed_version"] == 3
+    assert t.to_df().count() == 400
+    assert t.to_df().filter("part = 1").count() == 100
+    assert t.to_df().filter("id = 1000").count() == 0
+    # content matches v0 exactly
+    assert (
+        t.to_df().exceptAll(t.to_df(version=0)).count() == 0
+        and t.to_df(version=0).exceptAll(t.to_df()).count() == 0
+    )
+    # history preserved: restore is itself a version that can be undone
+    assert t.history()[0]["operation"] == "RESTORE"
+    t.restore(version=2)
+    assert t.to_df().count() == 301
+
+
+def test_restore_fails_after_vacuum(spark, tbl):
+    t = DeltaTable(spark, tbl)
+    t.delete(where=[("part", "=", 0)])
+    t.vacuum(retention_hours=0.0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.restore(version=0)
+
+
+def test_restore_reinstates_schema(spark, tmp_path):
+    path = str(tmp_path / "restore_schema")
+    write_delta(spark.range(10).selectExpr("id"), path)
+    write_delta(
+        spark.range(10, 20).selectExpr("id", "id * 2 AS extra"),
+        path,
+        merge_schema=True,
+    )
+    t = DeltaTable(spark, path)
+    assert "extra" in t.to_df().columns
+    res = t.restore(version=0)
+    assert res["metadata_restored"]
+    assert t.to_df().columns == ["id"] and t.to_df().count() == 10
