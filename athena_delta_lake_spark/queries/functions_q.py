@@ -455,3 +455,54 @@ def f12(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(p, q), 4).alias("intercept"),
         F.regr_count(p, q).cast("long").alias("n"),
     )
+
+
+@register(
+    "f13_hash_funcs",
+    "scalar",
+    """
+    SELECT c_mktsegment,
+           min(md5(c_name)) AS min_md5,
+           max(sha256(c_name)) AS max_sha256,
+           count(DISTINCT substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2)) AS hash_prefixes
+    FROM customer GROUP BY c_mktsegment
+    """,
+    "cryptographic hash functions: md5 + sha2-256 (engine-identical hex)",
+)
+def f13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.min(F.md5("c_name")).alias("min_md5"),
+        F.max(F.sha2("c_name", 256)).alias("max_sha256"),
+        F.countDistinct(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2)
+        ).alias("hash_prefixes"),
+    )
+
+
+@register(
+    "f14_bitwise",
+    "scalar",
+    """
+    SELECT o_orderstatus,
+           CAST(sum(o_orderkey & 255) AS BIGINT) AS and_sum,
+           CAST(sum(o_orderkey | 16) AS BIGINT) AS or_sum,
+           CAST(sum(xor(o_orderkey, o_custkey)) AS BIGINT) AS xor_sum,
+           CAST(sum(bit_count(CAST(o_orderkey AS BIGINT))) AS BIGINT) AS popcount,
+           CAST(sum((o_orderkey % 1024) << 2) AS BIGINT) AS shl_sum,
+           CAST(sum(o_orderkey >> 3) AS BIGINT) AS shr_sum
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "bitwise and/or/xor, popcount, shifts",
+)
+def f14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(k.bitwiseAND(F.lit(255))).cast("long").alias("and_sum"),
+        F.sum(k.bitwiseOR(F.lit(16))).cast("long").alias("or_sum"),
+        F.sum(k.bitwiseXOR(c)).cast("long").alias("xor_sum"),
+        F.sum(F.bit_count(k.cast("long"))).cast("long").alias("popcount"),
+        F.sum(F.shiftleft(k % 1024, 2)).cast("long").alias("shl_sum"),
+        F.sum(F.shiftright(k, 3)).cast("long").alias("shr_sum"),
+    )

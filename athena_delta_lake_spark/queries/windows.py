@@ -229,3 +229,31 @@ def w08(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@register(
+    "w09_nth_value_frames",
+    "window",
+    """
+    SELECT s_nationkey, s_suppkey,
+           nth_value(s_acctbal, 2) OVER
+             (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_bal,
+           CAST(floor(sum(s_acctbal) OVER
+             (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+              ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)) AS BIGINT) AS neighbor_sum
+    FROM supplier
+    """,
+    "nth_value over full-partition frame + sliding 3-row sum",
+)
+def w09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    near = w.rowsBetween(-1, 1)
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.nth_value("s_acctbal", 2).over(full).alias("second_bal"),
+        F.floor(F.sum("s_acctbal").over(near)).cast("long").alias("neighbor_sum"),
+    )
