@@ -1,0 +1,245 @@
+"""Deletion-vector (DV) support: the Delta `deletionVectors` reader/writer
+feature, built from the PUBLIC protocol spec (delta.io PROTOCOL.md,
+"Deletion Vectors" + "Deletion Vector Format" sections).
+
+The reference connector predates DVs entirely (delta-standalone 0.2.0,
+/root/reference/build.sbt:37) — a DV table read through it would silently
+resurrect deleted rows. Here DVs are first-class:
+
+- descriptor resolution for all three storage types: `u` (relative file,
+  Z85-encoded UUID with optional random prefix), `p` (absolute path),
+  `i` (inline Z85 payload);
+- on-disk DV blob format: 1-byte version header at file start; each DV is
+  [int32 BE size][bitmap bytes][int32 BE CRC-32 of bitmap bytes], with
+  the descriptor's `offset` pointing at the size field;
+- the bitmap itself: "RoaringBitmapArray" portable serialization — magic
+  1681511377 (LE), int64 LE count of 32-bit bitmaps, then each a standard
+  portable-format 32-bit roaring bitmap (array / bitmap / run containers
+  all supported); 64-bit row index = (bitmap_idx << 32) | value32;
+- a serializer (array containers, no-run cookie) so the engine can WRITE
+  DVs (merge-on-read deletes) and tests can hand-craft third-party-style
+  tables.
+
+Scale note: parsing happens where the positions are consumed — the scan
+expands descriptors to (file, row_index) rows executor-side via
+mapInPandas (reader.py), so a table with millions of deleted rows never
+routes bitmap bytes through the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import uuid as _uuid
+import zlib
+
+# ZeroMQ Z85 alphabet (public spec) — used by Delta for DV UUIDs/payloads.
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+
+_MAGIC = 1681511377  # RoaringBitmapArray portable magic
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE = 12347
+_NO_OFFSET_THRESHOLD = 4
+_MAX_ARRAY_CARD = 4096
+
+
+def z85_encode(data: bytes) -> str:
+    if len(data) % 4:
+        raise ValueError("z85 requires input length % 4 == 0")
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            v, r = divmod(v, 85)
+            chunk.append(_Z85_CHARS[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(s: str) -> bytes:
+    if len(s) % 5:
+        raise ValueError("z85 requires input length % 5 == 0")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        v = 0
+        for c in s[i : i + 5]:
+            v = v * 85 + _Z85_INDEX[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+# ------------------------------------------------------- roaring (portable)
+
+
+def parse_roaring64(data: bytes) -> list[int]:
+    """RoaringBitmapArray bytes -> sorted list of int64 row indices."""
+    (magic,) = struct.unpack_from("<i", data, 0)
+    if magic != _MAGIC:
+        raise ValueError(f"bad RoaringBitmapArray magic: {magic}")
+    (n_maps,) = struct.unpack_from("<q", data, 4)
+    pos = 12
+    out: list[int] = []
+    for idx in range(n_maps):
+        high = idx << 32
+        pos = _parse_roaring32(data, pos, high, out)
+    return out
+
+
+def _parse_roaring32(data: bytes, pos: int, high: int, out: list[int]) -> int:
+    (cookie32,) = struct.unpack_from("<i", data, pos)
+    cookie = cookie32 & 0xFFFF
+    if cookie == _SERIAL_COOKIE:
+        n_cont = (cookie32 >> 16) + 1
+        pos += 4
+        run_flags = data[pos : pos + (n_cont + 7) // 8]
+        pos += (n_cont + 7) // 8
+        has_offsets = n_cont >= _NO_OFFSET_THRESHOLD
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        (n_cont,) = struct.unpack_from("<i", data, pos + 4)
+        pos += 8
+        run_flags = b""
+        has_offsets = True
+    else:
+        raise ValueError(f"bad roaring cookie: {cookie}")
+
+    keys, cards, runs = [], [], []
+    for i in range(n_cont):
+        key, card_m1 = struct.unpack_from("<HH", data, pos)
+        pos += 4
+        keys.append(key)
+        cards.append(card_m1 + 1)
+        runs.append(bool(run_flags) and bool(run_flags[i // 8] & (1 << (i % 8))))
+    if has_offsets:
+        pos += 4 * n_cont  # container offsets — sequential read ignores them
+
+    for key, card, is_run in zip(keys, cards, runs):
+        base = high | (key << 16)
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", data, pos)
+            pos += 2
+            for _ in range(n_runs):
+                start, length = struct.unpack_from("<HH", data, pos)
+                pos += 4
+                out.extend(range(base | start, (base | start) + length + 1))
+        elif card <= _MAX_ARRAY_CARD:
+            vals = struct.unpack_from(f"<{card}H", data, pos)
+            pos += 2 * card
+            out.extend(base | v for v in vals)
+        else:  # bitmap container: 1024 x uint64
+            words = struct.unpack_from("<1024Q", data, pos)
+            pos += 8192
+            for wi, w in enumerate(words):
+                while w:
+                    low = w & -w
+                    out.append(base | (wi << 6) | low.bit_length() - 1)
+                    w ^= low
+    return pos
+
+
+def serialize_roaring64(positions: list[int]) -> bytes:
+    """Sorted int64 positions -> RoaringBitmapArray bytes (array containers,
+    no-run cookie — always-valid portable encoding)."""
+    positions = sorted(set(positions))
+    if positions and positions[0] < 0:
+        raise ValueError("row indices must be >= 0")
+    by_map: dict[int, dict[int, list[int]]] = {}
+    for p in positions:
+        by_map.setdefault(p >> 32, {}).setdefault((p >> 16) & 0xFFFF, []).append(
+            p & 0xFFFF
+        )
+    n_maps = (max(by_map) + 1) if by_map else 0
+    buf = bytearray(struct.pack("<iq", _MAGIC, n_maps))
+    for m in range(n_maps):
+        containers = {k: sorted(v) for k, v in by_map.get(m, {}).items() if v}
+        keys = sorted(containers)
+        for key in keys:
+            if len(containers[key]) > _MAX_ARRAY_CARD:
+                raise NotImplementedError(
+                    "writer emits array containers only (<= 4096 per chunk)"
+                )
+        n_cont = len(keys)
+        start = len(buf)  # portable offsets are relative to this cookie
+        buf += struct.pack("<ii", _SERIAL_COOKIE_NO_RUN, n_cont)
+        for key in keys:
+            buf += struct.pack("<HH", key, len(containers[key]) - 1)
+        data_off = (len(buf) + 4 * n_cont) - start
+        for key in keys:
+            buf += struct.pack("<i", data_off)
+            data_off += 2 * len(containers[key])
+        for key in keys:
+            buf += struct.pack(f"<{len(containers[key])}H", *containers[key])
+    return bytes(buf)
+
+
+# ----------------------------------------------------------- DV file blobs
+
+
+def write_dv_file(table_path: str, positions: list[int]) -> dict:
+    """Write a deletion-vector .bin file under `table_path` and return the
+    `deletionVector` descriptor (storageType `u`) for the add action."""
+    bitmap = serialize_roaring64(positions)
+    uid = _uuid.uuid4()
+    fname = f"deletion_vector_{uid}.bin"
+    full = os.path.join(table_path, fname)
+    with open(full, "wb") as f:
+        f.write(b"\x01")  # format version
+        f.write(struct.pack(">i", len(bitmap)))
+        f.write(bitmap)
+        f.write(struct.pack(">I", zlib.crc32(bitmap) & 0xFFFFFFFF))
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": z85_encode(uid.bytes),
+        "offset": 1,  # points at the int32 size field, after the version byte
+        "sizeInBytes": len(bitmap),
+        "cardinality": len(set(positions)),
+    }
+
+
+def dv_absolute_path(table_path: str, descriptor: dict) -> str | None:
+    """Resolve a descriptor to the DV file path (None for inline)."""
+    st = descriptor["storageType"]
+    p = descriptor["pathOrInlineDv"]
+    if st == "i":
+        return None
+    if st == "p":
+        return p
+    if st == "u":
+        # optional random prefix before the 20-char z85 uuid
+        prefix, enc = p[:-20], p[-20:]
+        uid = _uuid.UUID(bytes=z85_decode(enc))
+        name = f"deletion_vector_{uid}.bin"
+        base = table_path.rstrip("/")
+        return f"{base}/{prefix}/{name}" if prefix else f"{base}/{name}"
+    raise ValueError(f"unknown DV storageType: {st}")
+
+
+def read_dv_positions(table_path: str, descriptor: dict) -> list[int]:
+    """Descriptor -> sorted deleted row indices for that file."""
+    if descriptor["storageType"] == "i":
+        data = z85_decode(descriptor["pathOrInlineDv"])
+        return parse_roaring64(data)
+    full = dv_absolute_path(table_path, descriptor)
+    size = int(descriptor["sizeInBytes"])
+    offset = int(descriptor.get("offset", 1))
+    with open(full, "rb") as f:
+        f.seek(offset)
+        (stored_size,) = struct.unpack(">i", f.read(4))
+        if stored_size != size:
+            raise ValueError(
+                f"DV blob size mismatch at {full}:{offset}: descriptor says "
+                f"{size}, file says {stored_size}"
+            )
+        data = f.read(size)
+        (crc,) = struct.unpack(">I", f.read(4))
+    if len(data) != size:
+        raise ValueError(
+            f"DV blob truncated: expected {size} bytes, got {len(data)}"
+        )
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise ValueError(f"DV blob checksum mismatch at {full}:{offset}")
+    return parse_roaring64(data)

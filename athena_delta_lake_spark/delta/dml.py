@@ -89,6 +89,8 @@ def _num_records(files: list[AddFile]) -> int | None:
         if n is None:
             return None
         total += n
+        if f.deletion_vector:  # stats count physical rows; DV'd ones are gone
+            total -= int(f.deletion_vector.get("cardinality", 0))
     return total
 
 
@@ -408,6 +410,8 @@ def restore_table(
         }
         if f.stats is not None:
             add["stats"] = _json.dumps(f.stats, separators=(",", ":"))
+        if f.deletion_vector is not None:
+            add["deletionVector"] = f.deletion_vector
         adds.append({"add": add})
 
     extra = (

@@ -56,6 +56,7 @@ class AddFile:
     size: int
     modification_time: int
     stats: dict | None = None  # parsed stats JSON: numRecords/minValues/maxValues/nullCount
+    deletion_vector: dict | None = None  # DV descriptor (deletionVectors feature)
 
 
 @dataclass
@@ -85,6 +86,41 @@ class _ReplayAccumulator:
 
 def _log_dir(table_path: str) -> str:
     return _join(table_path, "_delta_log")
+
+
+# Reader features this engine actually implements. Anything else in a
+# table's protocol MUST fail the read (Delta spec: readers that do not
+# understand a readerFeature must not read the table) — the alternative is
+# silently wrong results, e.g. resurrected rows on a deletionVectors table
+# read by a DV-unaware engine (which is what the reference would do:
+# delta-standalone 0.2.0, /root/reference/build.sbt:37, predates DVs).
+_SUPPORTED_READER_FEATURES = {
+    "deletionVectors",
+    "columnMapping",
+    "timestampNtz",
+    "vacuumProtocolCheck",
+    "v2Checkpoint",  # classic-compat tables; pure v2 checkpoints rejected
+}
+_MAX_READER_VERSION = 3
+
+
+def _check_protocol(protocol: dict | None, table_path: str) -> None:
+    if not protocol:
+        return
+    mrv = int(protocol.get("minReaderVersion", 1))
+    if mrv > _MAX_READER_VERSION:
+        raise ValueError(
+            f"unsupported Delta protocol at {table_path}: minReaderVersion="
+            f"{mrv} > {_MAX_READER_VERSION}"
+        )
+    features = set(protocol.get("readerFeatures") or [])
+    unsupported = features - _SUPPORTED_READER_FEATURES
+    if unsupported:
+        raise ValueError(
+            f"unsupported Delta reader features at {table_path}: "
+            f"{sorted(unsupported)} (supported: "
+            f"{sorted(_SUPPORTED_READER_FEATURES)})"
+        )
 
 
 def _parse_stats(raw) -> dict | None:
@@ -122,6 +158,7 @@ def _apply_action(acc: _ReplayAccumulator, action: dict) -> None:
             size=int(a.get("size", 0)),
             modification_time=int(a.get("modificationTime", 0)),
             stats=_parse_stats(a.get("stats")),
+            deletion_vector=a.get("deletionVector") or None,
         )
     elif "remove" in action:
         path = _decode_path(action["remove"]["path"])
@@ -299,7 +336,10 @@ class DeltaLog:
                     size=f.size,
                     modification_time=f.modification_time,
                     stats=stats,
+                    deletion_vector=f.deletion_vector,
                 )
+
+        _check_protocol(acc.protocol, self.table_path)
 
         state = SnapshotState(
             version=version,

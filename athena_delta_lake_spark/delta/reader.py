@@ -150,6 +150,112 @@ def _column_mapping_active(snapshot: SnapshotState) -> bool:
     return config.get("delta.columnMapping.mode", "none") != "none"
 
 
+def _strip_scheme(col: F.Column) -> F.Column:
+    """file:///tmp/x and /tmp/x compare equal (join key normalization)."""
+    return F.regexp_replace(col, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/")
+
+
+def _deleted_positions_df(
+    spark: SparkSession, table_path: str, files: list[AddFile]
+) -> DataFrame:
+    """(file path, deleted row index) rows for every DV'd file.
+
+    Descriptors (tiny metadata) are distributed and the bitmaps parsed
+    EXECUTOR-side via mapInPandas — a table with millions of deleted rows
+    never routes bitmap bytes through the driver."""
+    import json as _json
+
+    rows = [(f.path, _json.dumps(f.deletion_vector)) for f in files]
+    desc = spark.createDataFrame(rows, "rel string, dv string")
+    if len(rows) > 1:
+        desc = desc.repartition(min(len(rows), 64))
+    tp = table_path.rstrip("/")
+
+    def expand(batches):
+        import json as _j
+
+        import pandas as _pd
+
+        from athena_delta_lake_spark.delta.deletion_vectors import (
+            read_dv_positions,
+        )
+
+        for pdf in batches:
+            for rel, d in zip(pdf["rel"], pdf["dv"]):
+                pos = read_dv_positions(tp, _j.loads(d))
+                yield _pd.DataFrame(
+                    {
+                        "_del_fp": _pd.Series([f"{tp}/{rel}"] * len(pos)),
+                        "_del_idx": _pd.Series(pos, dtype="int64"),
+                    }
+                )
+
+    out = desc.mapInPandas(expand, "_del_fp string, _del_idx long")
+    return out.withColumn("_del_fp", _strip_scheme(F.col("_del_fp")))
+
+
+def _read_dv_files(
+    spark: SparkSession, snapshot: SnapshotState, files: list[AddFile]
+) -> DataFrame:
+    """Scan files that carry deletion vectors: read WITH the parquet
+    `_metadata.row_index` column, anti-join the deleted (file, index)
+    pairs, then inject typed partition-column literals (works for hive and
+    arbitrary layouts alike). Column-mapped tables read their physical
+    schema and cast back, same as _read_mapped_files."""
+    schema = snapshot.schema
+    part_cols = snapshot.partition_columns
+    mapped = _column_mapping_active(snapshot)
+    type_by_name = {f.name: f.dataType for f in schema.fields}
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    if mapped:
+        read_schema = T.StructType(
+            [
+                T.StructField(
+                    (f.metadata or {}).get(
+                        "delta.columnMapping.physicalName", f.name
+                    ),
+                    _physical_rename(f.dataType),
+                    f.nullable,
+                )
+                for f in data_fields
+            ]
+        )
+    else:
+        read_schema = T.StructType(data_fields)
+
+    by_part: dict[tuple, list[str]] = {}
+    for f in files:
+        key = typed_partition_values(f, schema, part_cols)
+        by_part.setdefault(key, []).append(_join_path(snapshot.table_path, f.path))
+    pieces = []
+    for pvals, ppaths in by_part.items():
+        piece = spark.read.schema(read_schema).parquet(*ppaths).select(
+            "*",
+            _strip_scheme(F.col("_metadata.file_path")).alias("_dv_fp"),
+            F.col("_metadata.row_index").alias("_dv_idx"),
+        )
+        if mapped:
+            cols = [
+                F.col(pf.name).cast(lf.dataType).alias(lf.name)
+                for pf, lf in zip(read_schema.fields, data_fields)
+            ]
+            piece = piece.select(*cols, "_dv_fp", "_dv_idx")
+        for c, v in zip(part_cols, pvals):
+            piece = piece.withColumn(c, F.lit(v).cast(type_by_name[c]))
+        pieces.append(piece)
+    df = pieces[0]
+    for p in pieces[1:]:
+        df = df.unionByName(p)
+
+    deleted = _deleted_positions_df(spark, snapshot.table_path, files)
+    df = df.join(
+        deleted,
+        (df["_dv_fp"] == deleted["_del_fp"]) & (df["_dv_idx"] == deleted["_del_idx"]),
+        "left_anti",
+    )
+    return df.select(*[f.name for f in schema.fields])
+
+
 def read_files(
     spark: SparkSession,
     snapshot: SnapshotState,
@@ -157,13 +263,32 @@ def read_files(
     columns: list[str] | None = None,
 ) -> DataFrame:
     """Scan an explicit subset of a snapshot's files (partition columns
-    materialized) — the unit the DML rewriters (dml.py) operate on."""
+    materialized) — the unit the DML rewriters (dml.py) operate on.
+
+    Files carrying a deletion vector (deletionVectors reader feature) are
+    routed through a row-index-filtered read (`_read_dv_files`); files
+    without one take the plain vectorized path untouched — a table where
+    only 1% of files have DVs pays the DV anti-join on that 1% only.
+    """
     schema = snapshot.schema
-    part_cols = snapshot.partition_columns
 
     if not files:
         df = _empty_df(spark, schema)
         return df.select(*columns) if columns else df
+
+    dv_files = [f for f in files if f.deletion_vector]
+    if dv_files:
+        plain = [f for f in files if not f.deletion_vector]
+        pieces = []
+        if plain:
+            pieces.append(read_files(spark, snapshot, plain))
+        pieces.append(_read_dv_files(spark, snapshot, dv_files))
+        df = pieces[0]
+        for p in pieces[1:]:
+            df = df.unionByName(p)
+        return df.select(*columns) if columns else df
+
+    part_cols = snapshot.partition_columns
 
     if _column_mapping_active(snapshot):
         df = _read_mapped_files(spark, snapshot, files)

@@ -536,6 +536,8 @@ def write_checkpoint(table_path: str) -> int:
                     [
                         pa.field("minReaderVersion", pa.int32()),
                         pa.field("minWriterVersion", pa.int32()),
+                        pa.field("readerFeatures", pa.list_(pa.string())),
+                        pa.field("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -572,6 +574,18 @@ def write_checkpoint(table_path: str) -> int:
                         pa.field("modificationTime", pa.int64()),
                         pa.field("dataChange", pa.bool_()),
                         pa.field("stats", pa.string()),
+                        pa.field(
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    pa.field("storageType", pa.string()),
+                                    pa.field("pathOrInlineDv", pa.string()),
+                                    pa.field("offset", pa.int32()),
+                                    pa.field("sizeInBytes", pa.int32()),
+                                    pa.field("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -597,6 +611,7 @@ def write_checkpoint(table_path: str) -> int:
                     "stats": json.dumps(f.stats, separators=(",", ":"))
                     if f.stats
                     else None,
+                    "deletionVector": f.deletion_vector,
                 },
             }
         )

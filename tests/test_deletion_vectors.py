@@ -1,0 +1,245 @@
+"""Deletion-vector (deletionVectors reader feature) support.
+
+Tables are hand-built the way a modern third-party writer (Databricks /
+delta-rs with DVs enabled) lays them out: parquet data files + add
+actions carrying `deletionVector` descriptors + a feature-gated protocol.
+The reference engine (delta-standalone 0.2.0) predates DVs and would
+resurrect deleted rows; here they must stay deleted across scan, DML,
+checkpoint replay, and RESTORE."""
+
+import json
+import os
+import struct
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from athena_delta_lake_spark import DeltaTable
+from athena_delta_lake_spark.delta import deletion_vectors as dv
+from athena_delta_lake_spark.delta.log import DeltaLog
+
+
+def _commit(log_dir: str, version: int, actions: list[dict]) -> None:
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+_PROTOCOL = {
+    "protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+}
+
+
+def _schema_string(partitioned: bool) -> str:
+    fields = [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "integer", "nullable": True, "metadata": {}},
+    ]
+    if partitioned:
+        fields.append(
+            {"name": "p", "type": "integer", "nullable": True, "metadata": {}}
+        )
+    return json.dumps({"type": "struct", "fields": fields})
+
+
+def _meta(partitioned: bool) -> dict:
+    return {
+        "metaData": {
+            "id": "dv-test",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _schema_string(partitioned),
+            "partitionColumns": ["p"] if partitioned else [],
+            "configuration": {},
+        }
+    }
+
+
+def _data_file(table_path: str, rel: str, ids: list[int]) -> dict:
+    """Write a parquet file with known row order; return its add action."""
+    full = os.path.join(table_path, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    t = pa.table(
+        {
+            "id": pa.array(ids, pa.int64()),
+            "v": pa.array([i * 10 for i in ids], pa.int32()),
+        }
+    )
+    pq.write_table(t, full)
+    return {
+        "path": rel,
+        "partitionValues": {},
+        "size": os.path.getsize(full),
+        "modificationTime": 0,
+        "dataChange": True,
+        "stats": json.dumps({"numRecords": len(ids)}),
+    }
+
+
+@pytest.fixture
+def dv_table(spark, tmp_path):
+    """Unpartitioned table, two files; file A has rows 0,2,4 DV-deleted,
+    file B has no DV."""
+    path = str(tmp_path / "dv_tbl")
+    os.makedirs(path)
+    add_a = _data_file(path, "part-a.parquet", list(range(10)))
+    add_b = _data_file(path, "part-b.parquet", list(range(10, 20)))
+    desc = dv.write_dv_file(path, [0, 2, 4])
+    add_a["deletionVector"] = desc
+    _commit(
+        os.path.join(path, "_delta_log"),
+        0,
+        [_PROTOCOL, _meta(False), {"add": add_a}, {"add": add_b}],
+    )
+    DeltaLog.clear_cache()
+    return path
+
+
+def test_dv_scan_excludes_deleted(spark, dv_table):
+    t = DeltaTable(spark, dv_table)
+    got = sorted(r["id"] for r in t.to_df().collect())
+    assert got == [1, 3, 5, 6, 7, 8, 9] + list(range(10, 20))
+    # values preserved for survivors
+    assert {r["v"] for r in t.to_df().filter("id = 3").collect()} == {30}
+
+
+def test_dv_inline_descriptor(spark, tmp_path):
+    path = str(tmp_path / "dv_inline")
+    os.makedirs(path)
+    add = _data_file(path, "part-a.parquet", list(range(8)))
+    bitmap = dv.serialize_roaring64([1, 6])
+    bitmap += b"\x00" * (-len(bitmap) % 4)  # z85 needs %4
+    add["deletionVector"] = {
+        "storageType": "i",
+        "pathOrInlineDv": dv.z85_encode(bitmap),
+        "sizeInBytes": len(bitmap),
+        "cardinality": 2,
+    }
+    _commit(os.path.join(path, "_delta_log"), 0, [_PROTOCOL, _meta(False), {"add": add}])
+    DeltaLog.clear_cache()
+    got = sorted(r["id"] for r in DeltaTable(spark, path).to_df().collect())
+    assert got == [0, 2, 3, 4, 5, 7]
+
+
+def test_dv_replaced_by_rewrite(spark, dv_table):
+    """A later commit re-adding the file WITHOUT a DV resurrects its rows
+    (the add replaces the prior one wholesale — last-writer-wins)."""
+    snap = DeltaLog(dv_table).snapshot()
+    a = next(f for f in snap.files if f.path == "part-a.parquet")
+    _commit(
+        os.path.join(dv_table, "_delta_log"),
+        1,
+        [
+            {
+                "add": {
+                    "path": a.path,
+                    "partitionValues": {},
+                    "size": a.size,
+                    "modificationTime": 1,
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": 10}),
+                }
+            }
+        ],
+    )
+    DeltaLog.clear_cache()
+    t = DeltaTable(spark, dv_table)
+    assert t.to_df().count() == 20
+    # time travel still sees the DV state
+    assert t.to_df(version=0).count() == 17
+
+
+def test_dv_dml_delete_respects_dv(spark, dv_table):
+    """Copy-on-write DELETE on a DV table must not resurrect DV'd rows in
+    the rewritten files."""
+    t = DeltaTable(spark, dv_table)
+    res = t.delete(where="id >= 15")
+    assert res["rows_deleted"] == 5
+    got = sorted(r["id"] for r in t.to_df().collect())
+    assert got == [1, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14]
+
+
+def test_dv_checkpoint_roundtrip(spark, dv_table):
+    from athena_delta_lake_spark.delta.writer import write_checkpoint
+
+    write_checkpoint(dv_table)
+    # force checkpoint-based replay by clearing cache; version 0 commit is
+    # still there but the checkpoint path must carry the DV through
+    DeltaLog.clear_cache()
+    snap = DeltaLog(dv_table).snapshot()
+    a = next(f for f in snap.files if f.path == "part-a.parquet")
+    assert a.deletion_vector is not None
+    assert int(a.deletion_vector["cardinality"]) == 3
+    assert DeltaTable(spark, dv_table).to_df().count() == 17
+
+
+def test_dv_restore_preserves_dv(spark, dv_table):
+    t = DeltaTable(spark, dv_table)
+    t.delete(where="id >= 15")  # v1 rewrites part-b
+    t.restore(version=0)  # v2: re-add part-b, keep part-a's DV
+    assert t.to_df().count() == 17
+    snap = t.snapshot()
+    a = next(f for f in snap.files if f.path == "part-a.parquet")
+    assert a.deletion_vector is not None
+
+
+def test_unsupported_reader_feature_rejected(spark, tmp_path):
+    path = str(tmp_path / "future_tbl")
+    os.makedirs(path)
+    add = _data_file(path, "part-a.parquet", [1, 2, 3])
+    _commit(
+        os.path.join(path, "_delta_log"),
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors", "someFutureFeature"],
+                    "writerFeatures": [],
+                }
+            },
+            _meta(False),
+            {"add": add},
+        ],
+    )
+    DeltaLog.clear_cache()
+    with pytest.raises(ValueError, match="someFutureFeature"):
+        DeltaLog(path).snapshot()
+
+
+def test_run_container_parse():
+    """Hand-encode a portable roaring bitmap with a RUN container (cookie
+    12347 + run flag) — writers like RoaringBitmap.runOptimize() emit
+    these; the parser must expand runs exactly."""
+    # one 32-bit bitmap, one run container: runs [(5, len 3), (100, len 0)]
+    bm32 = struct.pack("<i", (0 << 16) | 12347)  # n_cont-1=0, cookie
+    bm32 += b"\x01"  # run flag bitset: container 0 is a run
+    bm32 += struct.pack("<HH", 0, 5 - 1)  # key 0, cardinality-1 (5 values)
+    # < 4 containers -> no offset header
+    bm32 += struct.pack("<H", 2)  # n_runs
+    bm32 += struct.pack("<HH", 5, 3)  # 5,6,7,8
+    bm32 += struct.pack("<HH", 100, 0)  # 100
+    data = struct.pack("<iq", 1681511377, 1) + bm32
+    assert dv.parse_roaring64(data) == [5, 6, 7, 8, 100]
+
+
+def test_bitmap_container_roundtrip():
+    """> 4096 values in one 16-bit chunk forces a bitmap container on the
+    parse side (serialize via raw struct, parse with ours)."""
+    vals = list(range(0, 10000, 2))  # 5000 values, chunk 0
+    words = [0] * 1024
+    for v in vals:
+        words[v >> 6] |= 1 << (v & 63)
+    bm32 = struct.pack("<ii", 12346, 1)
+    bm32 += struct.pack("<HH", 0, len(vals) - 1)
+    bm32 += struct.pack("<i", 16)  # offset header (1 container)
+    bm32 += struct.pack("<1024Q", *words)
+    data = struct.pack("<iq", 1681511377, 1) + bm32
+    assert dv.parse_roaring64(data) == vals
