@@ -1,6 +1,6 @@
 """Native Delta Lake core: log replay, snapshot, pruning, scan, write."""
 
-from .dml import compact, delete, merge_upsert, restore_table, update, vacuum
+from .dml import compact, delete, delete_mor, merge_upsert, restore_table, update, vacuum
 from .log import AddFile, DeltaLog, SnapshotState
 from .reader import read_files, read_snapshot
 from .stats import prune_files
@@ -15,6 +15,7 @@ __all__ = [
     "SnapshotState",
     "compact",
     "delete",
+    "delete_mor",
     "merge_upsert",
     "prune_files",
     "read_files",

@@ -182,22 +182,39 @@ def serialize_roaring64(positions: list[int]) -> bytes:
 def write_dv_file(table_path: str, positions: list[int]) -> dict:
     """Write a deletion-vector .bin file under `table_path` and return the
     `deletionVector` descriptor (storageType `u`) for the add action."""
-    bitmap = serialize_roaring64(positions)
+    return write_dv_file_multi(table_path, [positions])[0]
+
+
+def write_dv_file_multi(
+    table_path: str, positions_lists: list[list[int]]
+) -> list[dict]:
+    """Write MANY deletion vectors into ONE .bin blob (each at its own
+    offset) — the layout Delta writers use so a DELETE touching n files
+    creates one storage object, not n. Returns one descriptor per input
+    list, in order."""
     uid = _uuid.uuid4()
     fname = f"deletion_vector_{uid}.bin"
     full = os.path.join(table_path, fname)
+    encoded = z85_encode(uid.bytes)
+    descs: list[dict] = []
     with open(full, "wb") as f:
         f.write(b"\x01")  # format version
-        f.write(struct.pack(">i", len(bitmap)))
-        f.write(bitmap)
-        f.write(struct.pack(">I", zlib.crc32(bitmap) & 0xFFFFFFFF))
-    return {
-        "storageType": "u",
-        "pathOrInlineDv": z85_encode(uid.bytes),
-        "offset": 1,  # points at the int32 size field, after the version byte
-        "sizeInBytes": len(bitmap),
-        "cardinality": len(set(positions)),
-    }
+        for positions in positions_lists:
+            bitmap = serialize_roaring64(positions)
+            offset = f.tell()  # points at the int32 size field
+            f.write(struct.pack(">i", len(bitmap)))
+            f.write(bitmap)
+            f.write(struct.pack(">I", zlib.crc32(bitmap) & 0xFFFFFFFF))
+            descs.append(
+                {
+                    "storageType": "u",
+                    "pathOrInlineDv": encoded,
+                    "offset": offset,
+                    "sizeInBytes": len(bitmap),
+                    "cardinality": len(set(positions)),
+                }
+            )
+    return descs
 
 
 def dv_absolute_path(table_path: str, descriptor: dict) -> str | None:

@@ -167,6 +167,122 @@ def delete(spark: SparkSession, table_path: str, where) -> dict:
     }
 
 
+def delete_mor(spark: SparkSession, table_path: str, where) -> dict:
+    """Merge-on-read DELETE: write deletion vectors instead of rewriting
+    files. Cost is O(matched rows) — a delete of 100 rows from a 1 GB file
+    writes a ~few-hundred-byte DV blob, not a new 1 GB file; the physical
+    rows disappear at the next OPTIMIZE (which purges DVs).
+
+    All touched files share ONE .bin blob (descriptors at offsets). Files
+    whose every remaining row matches are dropped outright (remove-only).
+    Upgrades the table protocol to the deletionVectors feature on first
+    use. Matched (file, row index) pairs are aggregated per file and the
+    per-file index lists collected — driver holds O(matched rows) ints;
+    for mass deletes prefer the copy-on-write path (`delete`).
+    """
+    import json as _json
+
+    from .deletion_vectors import read_dv_positions, write_dv_file_multi
+    from .reader import read_files_with_index
+
+    if where is None or where == []:
+        raise ValueError(
+            "delete_mor() requires a condition; use where='true' to delete all"
+        )
+    table_path = os.path.abspath(table_path)
+    snap = DeltaLog(table_path).snapshot()
+    preds, cond, _fully_parsed = _normalize_where(where)
+    candidates = prune_files(snap, preds) if preds else list(snap.files)
+    if not candidates:
+        return {"files_removed": 0, "files_added": 0, "rows_deleted": 0}
+
+    dfm = read_files_with_index(spark, snap, candidates)
+    matched = (
+        dfm.filter(F.coalesce(cond, F.lit(False)))
+        .groupBy("_file")
+        .agg(F.collect_list("_row_idx").alias("idx"))
+        .collect()
+    )
+    if not matched:
+        return {"files_removed": 0, "files_added": 0, "rows_deleted": 0}
+
+    by_file = {f.path: f for f in candidates}
+    touched: list[tuple[AddFile, list[int]]] = []
+    for row in matched:
+        rel = os.path.relpath(row["_file"], table_path).replace(os.sep, "/")
+        f = by_file[rel]
+        new_idx = sorted(row["idx"])
+        if f.deletion_vector:  # merge with already-deleted positions
+            new_idx = sorted(
+                set(new_idx) | set(read_dv_positions(table_path, f.deletion_vector))
+            )
+        touched.append((f, new_idx))
+
+    # files left with zero live rows: drop instead of writing an all-ones DV
+    full_files = [
+        f
+        for f, idx in touched
+        if (f.stats or {}).get("numRecords") is not None
+        and len(idx) == f.stats["numRecords"]
+    ]
+    full_set = {f.path for f in full_files}
+    dv_targets = [(f, idx) for f, idx in touched if f.path not in full_set]
+
+    adds: list[dict] = []
+    if dv_targets:
+        from urllib.parse import quote
+
+        descs = write_dv_file_multi(table_path, [idx for _f, idx in dv_targets])
+        for (f, _idx), desc in zip(dv_targets, descs):
+            add = {
+                "path": quote(f.path, safe="/"),
+                "partitionValues": f.partition_values,
+                "size": f.size,
+                "modificationTime": f.modification_time,
+                "dataChange": True,
+                "deletionVector": desc,
+            }
+            if f.stats is not None:
+                add["stats"] = _json.dumps(f.stats, separators=(",", ":"))
+            adds.append({"add": add})
+
+    extra = None
+    features = set(snap.protocol.get("readerFeatures") or [])
+    if "deletionVectors" not in features:
+        extra = [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(features | {"deletionVectors"}),
+                    "writerFeatures": sorted(
+                        set(snap.protocol.get("writerFeatures") or [])
+                        | {"deletionVectors"}
+                    ),
+                }
+            }
+        ]
+
+    commit_rewrite(
+        table_path,
+        "DELETE",
+        adds,
+        [f.path for f, _idx in touched],
+        operation_parameters={"predicate": str(where), "mode": "merge-on-read"},
+        extra_actions=extra,
+    )
+    prior_dv = sum(
+        int((f.deletion_vector or {}).get("cardinality", 0)) for f, _ in touched
+    )
+    total_dv = sum(len(idx) for _f, idx in touched)
+    return {
+        "files_removed": len(full_files),
+        "files_added": len(adds),
+        "rows_deleted": total_dv - prior_dv,
+        "dv_files_written": 1 if dv_targets else 0,
+    }
+
+
 # --------------------------------------------------------------------- UPDATE
 
 
@@ -320,10 +436,17 @@ def compact(
 
     groups: dict[tuple, list[AddFile]] = {}
     for f in files:
-        if f.size < target_file_size:
+        # DV'd files are always victims regardless of size: rewriting them
+        # materializes the deletion vector (read_files applies DVs), i.e.
+        # OPTIMIZE doubles as REORG ... APPLY (PURGE)
+        if f.size < target_file_size or f.deletion_vector:
             key = tuple(sorted((f.partition_values or {}).items()))
             groups.setdefault(key, []).append(f)
-    to_compact = {k: v for k, v in groups.items() if len(v) >= 2}
+    to_compact = {
+        k: v
+        for k, v in groups.items()
+        if len(v) >= 2 or any(f.deletion_vector for f in v)
+    }
     if not to_compact:
         return {"groups": 0, "files_removed": 0, "files_added": 0}
 
@@ -452,9 +575,17 @@ def vacuum(
     the storage listing against the live-file set; never reads data."""
     from urllib.parse import unquote
 
+    from .deletion_vectors import dv_absolute_path
+
     table_path = os.path.abspath(table_path)
     snap = DeltaLog(table_path).snapshot()
     live = {unquote(f.path) for f in snap.files}
+    # DV blobs referenced by the current snapshot are live too
+    for f in snap.files:
+        if f.deletion_vector:
+            p = dv_absolute_path(table_path, f.deletion_vector)
+            if p:
+                live.add(os.path.relpath(p, table_path).replace(os.sep, "/"))
     cutoff = time.time() - retention_hours * 3600.0
 
     doomed: list[str] = []
@@ -462,7 +593,8 @@ def vacuum(
         if "_delta_log" in dirs:
             dirs.remove("_delta_log")
         for name in names:
-            if not name.endswith(".parquet"):
+            is_dv = name.startswith("deletion_vector_") and name.endswith(".bin")
+            if not name.endswith(".parquet") and not is_dv:
                 continue
             full = os.path.join(root, name)
             rel = os.path.relpath(full, table_path).replace(os.sep, "/")

@@ -197,11 +197,34 @@ def _deleted_positions_df(
 def _read_dv_files(
     spark: SparkSession, snapshot: SnapshotState, files: list[AddFile]
 ) -> DataFrame:
-    """Scan files that carry deletion vectors: read WITH the parquet
-    `_metadata.row_index` column, anti-join the deleted (file, index)
-    pairs, then inject typed partition-column literals (works for hive and
-    arbitrary layouts alike). Column-mapped tables read their physical
-    schema and cast back, same as _read_mapped_files."""
+    """Scan files that carry deletion vectors (canonical columns only)."""
+    schema = snapshot.schema
+    return _read_with_meta(spark, snapshot, files).select(
+        *[f.name for f in schema.fields]
+    )
+
+
+def read_files_with_index(
+    spark: SparkSession, snapshot: SnapshotState, files: list[AddFile]
+) -> DataFrame:
+    """DV-filtered scan that ALSO exposes `_file` (scheme-stripped absolute
+    path) and `_row_idx` (parquet row index) — the substrate for DV-writing
+    DML (dml.delete_mor): matched rows map straight back to per-file
+    deletion-vector positions."""
+    df = _read_with_meta(spark, snapshot, files)
+    return df.withColumnRenamed("_dv_fp", "_file").withColumnRenamed(
+        "_dv_idx", "_row_idx"
+    )
+
+
+def _read_with_meta(
+    spark: SparkSession, snapshot: SnapshotState, files: list[AddFile]
+) -> DataFrame:
+    """Read any file subset WITH `_metadata.row_index`, applying deletion
+    vectors: anti-join the deleted (file, index) pairs of DV'd files, then
+    inject typed partition-column literals (works for hive and arbitrary
+    layouts alike). Column-mapped tables read their physical schema and
+    cast back, same as _read_mapped_files."""
     schema = snapshot.schema
     part_cols = snapshot.partition_columns
     mapped = _column_mapping_active(snapshot)
@@ -247,13 +270,16 @@ def _read_dv_files(
     for p in pieces[1:]:
         df = df.unionByName(p)
 
-    deleted = _deleted_positions_df(spark, snapshot.table_path, files)
-    df = df.join(
-        deleted,
-        (df["_dv_fp"] == deleted["_del_fp"]) & (df["_dv_idx"] == deleted["_del_idx"]),
-        "left_anti",
-    )
-    return df.select(*[f.name for f in schema.fields])
+    dv_files = [f for f in files if f.deletion_vector]
+    if dv_files:
+        deleted = _deleted_positions_df(spark, snapshot.table_path, dv_files)
+        df = df.join(
+            deleted,
+            (df["_dv_fp"] == deleted["_del_fp"])
+            & (df["_dv_idx"] == deleted["_del_idx"]),
+            "left_anti",
+        )
+    return df.select(*[f.name for f in schema.fields], "_dv_fp", "_dv_idx")
 
 
 def read_files(

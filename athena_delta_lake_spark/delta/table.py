@@ -147,9 +147,13 @@ class DeltaTable:
         return write_checkpoint(self.path)
 
     # -- DML (absent from the reference; dml.py has the scale rationale)
-    def delete(self, where) -> dict:
-        from .dml import delete
+    def delete(self, where, mode: str = "cow") -> dict:
+        """mode='cow' rewrites files without matched rows; mode='mor'
+        writes deletion vectors (O(matched rows), purged by compact())."""
+        from .dml import delete, delete_mor
 
+        if mode in ("mor", "merge-on-read", "dv"):
+            return delete_mor(self.spark, self.path, where)
         return delete(self.spark, self.path, where)
 
     def update(self, set: dict[str, str], where=None) -> dict:

@@ -243,3 +243,59 @@ def test_bitmap_container_roundtrip():
     bm32 += struct.pack("<1024Q", *words)
     data = struct.pack("<iq", 1681511377, 1) + bm32
     assert dv.parse_roaring64(data) == vals
+
+
+def test_delete_mor_writes_dv(spark, tmp_path):
+    """Merge-on-read DELETE: DV blob instead of file rewrite; second MOR
+    delete merges positions; OPTIMIZE purges; VACUUM reaps the blobs."""
+    from athena_delta_lake_spark import write_delta
+
+    path = str(tmp_path / "mor_tbl")
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(400)], "id long, p int"
+    ).repartition(2)
+    write_delta(df, path)
+    t = DeltaTable(spark, path)
+    files_v0 = {f.path for f in t.snapshot().files}
+
+    res = t.delete(where="id % 10 = 0", mode="mor")
+    assert res["rows_deleted"] == 40
+    assert res["files_added"] == len(files_v0)  # re-added with DVs
+    assert res["dv_files_written"] == 1  # one shared blob
+    assert {f.path for f in t.snapshot().files} == files_v0  # no rewrite
+    assert all(f.deletion_vector for f in t.snapshot().files)
+    assert t.to_df().count() == 360
+    assert t.to_df().filter("id % 10 = 0").count() == 0
+    # protocol upgraded
+    assert "deletionVectors" in t.snapshot().protocol["readerFeatures"]
+
+    # second MOR delete merges with existing DVs
+    res2 = t.delete(where="id < 50", mode="mor")
+    assert res2["rows_deleted"] == 45  # 50 minus the 5 already DV'd
+    assert t.to_df().count() == 315
+    # time travel sees each DV state
+    assert t.to_df(version=0).count() == 400
+    assert t.to_df(version=1).count() == 360
+
+    # OPTIMIZE purges the DVs physically
+    t.compact()
+    snap = t.snapshot()
+    assert all(f.deletion_vector is None for f in snap.files)
+    assert t.to_df().count() == 315
+    # VACUUM reaps the now-orphaned blobs (and old parquet)
+    reaped = t.vacuum(retention_hours=0.0)
+    assert any(f.startswith("deletion_vector_") for f in reaped["files"])
+    assert t.to_df().count() == 315
+
+
+def test_delete_mor_drops_fully_deleted_files(spark, tmp_path):
+    from athena_delta_lake_spark import write_delta
+
+    path = str(tmp_path / "mor_full")
+    df = spark.createDataFrame([(i, i % 2) for i in range(100)], "id long, p int")
+    write_delta(df, path, partition_by=["p"])
+    t = DeltaTable(spark, path)
+    res = t.delete(where=[("p", "=", 1)], mode="mor")
+    # whole partition matched -> files dropped, no DV written for them
+    assert res["files_removed"] >= 1 and res["files_added"] == 0
+    assert t.to_df().count() == 50 and t.to_df().filter("p = 1").count() == 0
