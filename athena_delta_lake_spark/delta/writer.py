@@ -252,6 +252,44 @@ def commit_rewrite(
 _CONSTRAINT_PREFIX = "delta.constraints."
 
 
+_GENERATION_KEY = "delta.generationExpression"
+
+
+def _generation_expressions(schema: T.StructType) -> dict[str, str]:
+    return {
+        f.name: f.metadata[_GENERATION_KEY]
+        for f in schema.fields
+        if f.metadata and _GENERATION_KEY in f.metadata
+    }
+
+
+def _apply_generated_columns(
+    df: DataFrame, table_schema: T.StructType
+) -> DataFrame:
+    """Generated columns (delta.generationExpression field metadata): absent
+    columns are computed from their expression; provided ones are VERIFIED
+    against it (the Delta spec requires writers to enforce, not trust).
+    Note: the DML rewriters do not re-derive generated columns — an UPDATE
+    that touches a base column must set the generated one too (enforced by
+    this check on the next append)."""
+    from pyspark.sql import functions as F
+
+    gens = _generation_expressions(table_schema)
+    for name, expr in gens.items():
+        target = table_schema[name].dataType
+        gen = F.expr(expr).cast(target)
+        if name not in df.columns:
+            df = df.withColumn(name, gen)
+        else:
+            bad = df.filter(~F.col(name).eqNullSafe(gen)).count()
+            if bad:
+                raise ValueError(
+                    f"generated column '{name}' has {bad} row(s) not "
+                    f"matching its expression {expr!r}"
+                )
+    return df
+
+
 def _enforce_constraints(df: DataFrame, configuration: dict | None) -> None:
     """CHECK-constraint enforcement (Delta table feature
     `delta.constraints.<name>` in metaData.configuration): reject the write
@@ -374,6 +412,14 @@ def write_delta(
         partition_by = list(prior.partition_columns)
     partition_by = list(partition_by or [])
 
+    # generated columns derive from the governing schema: the table's on
+    # append (so an appender may omit them entirely), the incoming df's on
+    # first write / overwrite (which rewrites metaData from df.schema)
+    gen_schema = (
+        prior.schema if (prior is not None and mode == "append") else df.schema
+    )
+    df = _apply_generated_columns(df, gen_schema)
+
     schema_changed = False
     if prior is not None and mode == "append":
         prior_names = {f.name for f in prior.schema.fields}
@@ -446,7 +492,11 @@ def write_delta(
         }
     ]
     if version == 0:
-        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        # generated columns are a legacy writer-version-4 feature
+        min_writer = 4 if _generation_expressions(schema) else 2
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": min_writer}}
+        )
     if version == 0 or mode == "overwrite" or schema_changed:
         # table identity + configuration (incl. CHECK constraints) survive
         # overwrites and schema evolution; only the schema string changes

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "d04_minhash_lsh_pairs",
     "n01_knn_brute_force",
     "x01_token_stats",
+    "p01_pack_sequences",
     # native Delta core (log replay + pruning + scan)
     "l01_delta_pruned_scan",
 ]

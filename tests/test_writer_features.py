@@ -211,3 +211,54 @@ def test_rewrite_conflict_on_same_files_raises(spark, tmp_path, monkeypatch):
     with pytest.raises(ConcurrentWriteError, match="same files"):
         delete(spark, path, "id = 0")
     monkeypatch.undo()
+
+
+def test_generated_columns(spark, tmp_path):
+    """delta.generationExpression: computed when absent, verified when
+    provided, preserved in the log schema, partition-usable."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "gen_tbl")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.LongType()),
+            T.StructField(
+                "event_date",
+                T.DateType(),
+                metadata={"delta.generationExpression": "CAST(ts AS DATE)"},
+            ),
+        ]
+    )
+    base = spark.createDataFrame(
+        [("2024-03-01 10:00:00", 1), ("2024-03-02 23:59:59", 2)],
+        "ts string, v long",
+    ).select(F.to_timestamp("ts").alias("ts"), "v")
+    first = base.withColumn("event_date", F.to_date("ts"))
+    df0 = spark.createDataFrame(first.collect(), schema)
+    write_delta(df0, path, partition_by=["event_date"])
+    t = DeltaTable(spark, path)
+    # expression survives in the log schema; writer version bumped
+    assert (
+        t.schema()["event_date"].metadata["delta.generationExpression"]
+        == "CAST(ts AS DATE)"
+    )
+    assert t.snapshot().protocol["minWriterVersion"] == 4
+
+    # append WITHOUT the generated column: computed automatically
+    more = spark.createDataFrame([("2024-03-03 00:00:01", 3)], "ts string, v long")
+    more = more.select(F.to_timestamp("ts").alias("ts"), "v")
+    write_delta(more, path)
+    got = {(str(r["event_date"]), r["v"]) for r in t.to_df().collect()}
+    assert got == {("2024-03-01", 1), ("2024-03-02", 2), ("2024-03-03", 3)}
+
+    # append with a WRONG provided value: rejected
+    bad = spark.createDataFrame(
+        [("2024-03-04 08:00:00", 4, "1999-01-01")],
+        "ts string, v long, event_date string",
+    ).select(
+        F.to_timestamp("ts").alias("ts"), "v", F.to_date("event_date").alias("event_date")
+    )
+    with pytest.raises(ValueError, match="generated column 'event_date'"):
+        write_delta(bad, path)
