@@ -105,3 +105,38 @@ def c02(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("p_brand").agg(
         F.count("*").alias("n"), F.max("p_retailprice").alias("max_price")
     )
+
+
+def _ensure_text_docs(spark: SparkSession, sf_dir: str) -> str:
+    path = os.path.join(_ROOT, _tag(sf_dir), "docs_text")
+    if not os.path.isdir(path):
+        lines = load(spark, sf_dir, "documents").select(
+            F.concat_ws(
+                "|", F.col("doc_id").cast("string"), F.col("lang"), F.md5("text")
+            ).alias("value")
+        )
+        sources.write_text(lines, path)
+    return path
+
+
+@register(
+    "c04_text_source",
+    "source",
+    """
+    SELECT lang, count(*) AS n, min(md5(text)) AS min_hash, max(md5(text)) AS max_hash
+    FROM documents GROUP BY lang
+    """,
+    "raw text-line round trip: write doc_id|lang|md5 lines, read + parse back",
+)
+def c04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_text_docs(spark, sf_dir)
+    lines = sources.read_text(spark, path)
+    parts = F.split("value", r"\|")
+    parsed = lines.select(
+        parts.getItem(1).alias("lang"), parts.getItem(2).alias("h")
+    )
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.min("h").alias("min_hash"),
+        F.max("h").alias("max_hash"),
+    )

@@ -70,7 +70,19 @@ __all__ = [
     "read_json",
     "read_orc",
     "read_parquet",
+    "read_text",
     "write_csv",
     "write_json",
     "write_orc",
+    "write_text",
 ]
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text source: one string column `value` per line."""
+    return spark.read.text(path)
+
+
+def write_text(df: DataFrame, path: str) -> None:
+    """Write a single-string-column DataFrame as raw text lines."""
+    df.write.mode("overwrite").text(path)
