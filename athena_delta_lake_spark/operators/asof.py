@@ -173,3 +173,42 @@ def range_join_buckets(
         )
         .drop("_bucket", "_probe", "_bucket0")
     )
+
+
+def gapfill_time_buckets(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    bucket: str = "1 hour",
+    agg: dict[str, F.Column] | None = None,
+) -> DataFrame:
+    """Resample events onto a dense time axis: truncate to `bucket`, build
+    the FULL bucket range (table-global min..max) x distinct groups, left
+    join the per-bucket aggregates, zero-fill counts.
+
+    The dense axis is sequence() over a two-row bound — O(buckets x groups)
+    rows generated JVM-side, never collected; at 100 TB the only wide
+    shuffle is the per-bucket aggregate (uniform keys: time x group).
+    Missing buckets surface as n=0 rows — the shape downstream anomaly
+    detection / windowing needs (a gap is data, not absence).
+    """
+    unit = bucket.split()[-1].rstrip("s")  # '1 hour' -> hour
+    b = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    per = df.select(b, *group_cols).groupBy("bucket", *group_cols).agg(
+        F.count("*").alias("n")
+    )
+    bounds = df.select(
+        F.date_trunc(unit, F.min(ts_col)).alias("lo"),
+        F.date_trunc(unit, F.max(ts_col)).alias("hi"),
+    )
+    axis = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr(f"INTERVAL {bucket}"))
+        ).alias("bucket")
+    )
+    groups = df.select(*group_cols).distinct()
+    dense = axis.crossJoin(groups)
+    out = dense.join(per, ["bucket", *group_cols], "left").withColumn(
+        "n", F.coalesce(F.col("n"), F.lit(0))
+    )
+    return out

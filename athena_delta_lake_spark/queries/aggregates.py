@@ -277,3 +277,29 @@ def a12(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("ap50"),
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("ap95"),
     )
+
+
+@register(
+    "a13_mode_listagg",
+    "aggregation",
+    """
+    SELECT o_orderstatus,
+           mode(CASE WHEN o_orderkey % 7 < 4 THEN 'hi' ELSE 'lo' END) AS mode_bucket,
+           string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS prios,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "mode (structurally skewed, tie-free) + ordered distinct listagg",
+)
+def a13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_a13_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               mode(CASE WHEN o_orderkey % 7 < 4 THEN 'hi' ELSE 'lo' END) AS mode_bucket,
+               listagg(DISTINCT o_orderpriority, '|')
+                 WITHIN GROUP (ORDER BY o_orderpriority) AS prios,
+               count(*) AS n
+        FROM _a13_orders GROUP BY o_orderstatus
+        """
+    )

@@ -257,3 +257,32 @@ def w09(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("s_acctbal", 2).over(full).alias("second_bal"),
         F.floor(F.sum("s_acctbal").over(near)).cast("long").alias("neighbor_sum"),
     )
+
+
+@register(
+    "w10_gapfill_hourly",
+    "timeseries",
+    """
+    WITH b AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ), axis AS (
+      SELECT unnest(range(lo, hi + INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS bucket
+      FROM b
+    ), groups AS (SELECT DISTINCT event_type FROM events),
+    per AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(axis.bucket AS TIMESTAMP) AS bucket, groups.event_type,
+           coalesce(per.n, 0) AS n
+    FROM axis CROSS JOIN groups
+    LEFT JOIN per ON per.bucket = axis.bucket AND per.event_type = groups.event_type
+    """,
+    "gap-filled hourly resample: dense time axis x event_type, zero-filled",
+)
+def w10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import gapfill_time_buckets
+
+    ev = load(spark, sf_dir, "events")
+    return gapfill_time_buckets(ev, "ts", ["event_type"], bucket="1 hour")
