@@ -383,3 +383,101 @@ def near_duplicate_pairs_cosine(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+# ------------------------------------------------- persisted IVF index (Delta)
+
+
+def build_ivf_index(
+    spark,
+    corpus: DataFrame,
+    index_path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    n_clusters: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+) -> "np.ndarray":
+    """Build and PERSIST an IVF index as a Delta table partitioned by cell.
+
+    At 100 TB the k-means + assignment pass is the expensive part — doing
+    it once per QUERY (ivf_ann) is wrong; doing it once per corpus and
+    storing the assignment is how IVF indexes actually ship. The index is
+    a Delta table `index_path` partitioned by `cell`:
+
+    - partition pruning turns an n_probe-cell search into a scan of
+      exactly those cells' files (driver-side file pruning, zero I/O on
+      the rest of the corpus);
+    - centroids ride along as a tiny `_centroids` sub-table, so a search
+      session loads k x dim floats, never the corpus;
+    - the index is versioned/time-travelable like any Delta table, and
+      incremental corpus appends are plain partitioned appends routed by
+      `assign_cells`.
+    """
+    from ..delta import write_delta
+
+    C = spherical_kmeans_lite(corpus, corpus_vec, n_clusters, iters, seed)
+    assigned = corpus.select(
+        F.col(corpus_id), F.col(corpus_vec),
+        _nearest_centroid_udf(C)(F.col(corpus_vec)).alias("cell"),
+    )
+    write_delta(assigned, index_path, mode="overwrite", partition_by=["cell"])
+    cent_rows = [(i, [float(x) for x in C[i]]) for i in range(len(C))]
+    cent = spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+    write_delta(cent, index_path.rstrip("/") + "/_centroids", mode="overwrite")
+    return C
+
+
+def load_ivf_centroids(spark, index_path: str) -> "np.ndarray":
+    from ..delta import DeltaTable
+
+    rows = (
+        DeltaTable(spark, index_path.rstrip("/") + "/_centroids")
+        .to_df()
+        .orderBy("cell")
+        .collect()
+    )
+    return np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+
+
+def ivf_search(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Search a persisted IVF index: probe each query's n_probe nearest
+    cells, scan ONLY those cells' files (Delta partition pruning — the
+    scan plan touches n_probe/n_clusters of the index), exact cosine
+    re-rank inside the probed cells."""
+    from pyspark.sql import Window as W
+
+    from ..delta import DeltaTable
+
+    C = load_ivf_centroids(spark, index_path)
+    probed = queries.withColumn(
+        "cell", F.explode(_probe_centroids_udf(C, n_probe)(F.col(query_vec)))
+    )
+    cells = sorted(
+        {r["cell"] for r in probed.select("cell").distinct().collect()}
+    )
+    t = DeltaTable(spark, index_path)
+    corpus = t.to_df(where=[("cell", "in", cells)])
+    cands = corpus.join(F.broadcast(probed), "cell").select(
+        query_id, query_vec, corpus_id, corpus_vec
+    )
+    scored = cands.select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_pandas(F.col(query_vec), F.col(corpus_vec)).alias("sim"),
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

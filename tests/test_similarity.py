@@ -85,3 +85,38 @@ def test_near_duplicate_pairs_lsh_mode(spark, sf_dir):
     assert lsh <= exact  # verified with exact cosine -> no false positives
     if exact:
         assert len(lsh & exact) / len(exact) >= 0.5
+
+
+def test_persisted_ivf_index(spark, sf_dir, tmp_path):
+    """Index build -> Delta table partitioned by cell; search prunes to
+    probed cells; full-probe search == brute force exactly."""
+    from athena_delta_lake_spark.delta import DeltaTable
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    idx = str(tmp_path / "ivf_idx")
+    C = sim.build_ivf_index(spark, e, idx, n_clusters=8, iters=2)
+    assert C.shape[0] == 8
+
+    t = DeltaTable(spark, idx)
+    assert t.partition_columns() == ["cell"]
+    total_files = len(t.snapshot().files)
+    pruned = len(t.pruned_files([("cell", "in", [0, 1])]))
+    assert pruned < total_files  # partition pruning engages for probes
+
+    # centroids reload identically
+    assert np.allclose(sim.load_ivf_centroids(spark, idx), C)
+
+    # full probe == exact brute force (top-k sets identical)
+    res = sim.ivf_search(spark, idx, q, k=5, n_probe=8)
+    exact = sim.brute_force_knn(q, e, k=5)
+    got = {(r["q_id"], r["rank"]): r["vec_id"] for r in res.collect()}
+    want = {(r["q_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
+    assert got == want
+
+    # partial probe: self-match survives (the query's own cell is probed)
+    res2 = sim.ivf_search(spark, idx, q, k=5, n_probe=2)
+    top1 = {r["q_id"]: r["vec_id"] for r in res2.collect() if r["rank"] == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}
