@@ -506,3 +506,25 @@ def f14(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.shiftleft(k % 1024, 2)).cast("long").alias("shl_sum"),
         F.sum(F.shiftright(k, 3)).cast("long").alias("shr_sum"),
     )
+
+
+@register(
+    "f15_variant_json",
+    "scalar",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    "VARIANT type: parse_json + typed variant_get extraction (Spark 4 semi-structured path)",
+)
+def f15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("k_sum"),
+        F.max(k).cast("long").alias("k_max"),
+        F.count("*").alias("n"),
+    )

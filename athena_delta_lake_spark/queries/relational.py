@@ -1186,3 +1186,70 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register(
+    "j04_lateral_topn",
+    "join",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_custkey < 200
+    """,
+    "correlated LATERAL subquery: top-2 orders per customer",
+)
+def j04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_j04_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_j04_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM _j04_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM _j04_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey < 200
+        """
+    )
+
+
+@register(
+    "q23_recursive_cte",
+    "relational",
+    """
+    WITH RECURSIVE ladder(d, n) AS (
+      SELECT DATE '2024-01-01' AS d,
+             (SELECT count(*) FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01') AS n
+      UNION ALL
+      SELECT d + INTERVAL 1 DAY,
+             (SELECT count(*) FROM events WHERE CAST(ts AS DATE) = d + INTERVAL 1 DAY)
+      FROM ladder WHERE d < DATE '2024-01-10'
+    )
+    SELECT CAST(d AS DATE) AS d, CAST(n AS BIGINT) AS n FROM ladder
+    """,
+    "recursive CTE: correlated daily event-count ladder",
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("_q23_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE ladder(d, n) AS (
+          SELECT DATE '2024-01-01' AS d,
+                 (SELECT count(*) FROM _q23_events
+                  WHERE CAST(ts AS DATE) = DATE '2024-01-01') AS n
+          UNION ALL
+          SELECT d + INTERVAL 1 DAY,
+                 (SELECT count(*) FROM _q23_events
+                  WHERE CAST(ts AS DATE) = d + INTERVAL 1 DAY)
+          FROM ladder WHERE d < DATE '2024-01-10'
+        )
+        SELECT CAST(d AS DATE) AS d, CAST(n AS BIGINT) AS n FROM ladder
+        """
+    )
