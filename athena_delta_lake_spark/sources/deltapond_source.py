@@ -89,14 +89,21 @@ def _table_path(options) -> str:
 
 @dataclass
 class DeltaScanPartition(InputPartition):
-    """One split == one live data file (+ its partition values)."""
+    """One split == one live data file (+ its partition values and, for
+    files with deletion vectors, the DV descriptor to apply)."""
 
     file_path: str
     partition_values: dict = field(default_factory=dict)
+    dv: dict | None = None
+    table_path: str | None = None
 
 
 def _read_file_batches(
-    file_path: str, partition_values: dict, schema: T.StructType
+    file_path: str,
+    partition_values: dict,
+    schema: T.StructType,
+    dv: dict | None = None,
+    table_path: str | None = None,
 ) -> Iterator:
     """Read one data file as Arrow batches in `schema` order: partition
     columns injected as typed literals (reference: getLiteralExtractor,
@@ -133,6 +140,17 @@ def _read_file_batches(
         else:
             cols.append(pa.nulls(n, type=at))
     out = pa.table(cols, schema=target)
+    if dv:
+        # deletion vector: drop the file's deleted row positions (executor
+        # side; positions are global row indices within this file)
+        import numpy as np
+
+        from ..delta.deletion_vectors import read_dv_positions
+
+        deleted = read_dv_positions(table_path, dv)
+        keep = np.ones(n, dtype=bool)
+        keep[[i for i in deleted if i < n]] = False
+        out = out.filter(pa.array(keep))
     yield from out.to_batches(max_chunksize=1 << 16)
 
 
@@ -212,13 +230,19 @@ class DeltaPondBatchReader(DataSourceReader):
                     c: f.partition_values.get(c)
                     for c in snap.partition_columns
                 },
+                dv=f.deletion_vector,
+                table_path=self._path,
             )
             for f in files
         ]
 
     def read(self, partition: DeltaScanPartition):
         return _read_file_batches(
-            partition.file_path, partition.partition_values, self._schema
+            partition.file_path,
+            partition.partition_values,
+            self._schema,
+            partition.dv,
+            partition.table_path,
         )
 
 
@@ -322,6 +346,8 @@ class DeltaPondStreamReader(DataSourceStreamReader):
                                     self._path, _decode_path(a["path"])
                                 ),
                                 partition_values=dict(pv),
+                                dv=a.get("deletionVector") or None,
+                                table_path=self._path,
                             )
                         )
                 elif "remove" in action and not self._ignore_changes:
@@ -334,7 +360,11 @@ class DeltaPondStreamReader(DataSourceStreamReader):
 
     def read(self, partition: DeltaScanPartition):
         return _read_file_batches(
-            partition.file_path, partition.partition_values, self._schema
+            partition.file_path,
+            partition.partition_values,
+            self._schema,
+            partition.dv,
+            partition.table_path,
         )
 
     def commit(self, end: dict) -> None:

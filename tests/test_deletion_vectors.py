@@ -299,3 +299,37 @@ def test_delete_mor_drops_fully_deleted_files(spark, tmp_path):
     # whole partition matched -> files dropped, no DV written for them
     assert res["files_removed"] >= 1 and res["files_added"] == 0
     assert t.to_df().count() == 50 and t.to_df().filter("p = 1").count() == 0
+
+
+def test_deltapond_source_applies_dv(spark, dv_table):
+    """The deltapond Spark format (batch) must apply DVs too — both the
+    pyarrow batch reader path and pushdown-pruned scans."""
+    from athena_delta_lake_spark.sources.deltapond_source import (
+        register as register_ds,
+    )
+
+    register_ds(spark)
+    df = spark.read.format("deltapond").option("path", dv_table).load()
+    assert df.count() == 17
+    assert sorted(r["id"] for r in df.filter("id < 10").collect()) == [
+        1, 3, 5, 6, 7, 8, 9,
+    ]
+
+
+def test_deltapond_stream_applies_dv(spark, dv_table):
+    """Streaming replay from version 0: the add carrying a DV emits only
+    live rows."""
+    from athena_delta_lake_spark.sources.deltapond_source import (
+        register as register_ds,
+    )
+    from athena_delta_lake_spark.streaming import run_to_memory
+
+    register_ds(spark)
+    stream = (
+        spark.readStream.format("deltapond")
+        .option("path", dv_table)
+        .option("startingVersion", 0)
+        .load()
+    )
+    out = run_to_memory(stream.groupBy().count(), "dv_stream_out", "complete")
+    assert out.collect()[0]["count"] == 17
