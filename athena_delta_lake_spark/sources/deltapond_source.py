@@ -84,6 +84,13 @@ def _table_path(options) -> str:
     path = options.get("path")
     if not path:
         raise ValueError("deltapond requires a path (load(path)/save(path))")
+    # SQL DDL (CREATE TABLE ... USING deltapond) hands the option through
+    # as a URI (file:/x or file:///x); normalize to a bare local path
+    if path.startswith("file:"):
+        rest = path[len("file:"):]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        path = rest
     return os.path.abspath(path)
 
 

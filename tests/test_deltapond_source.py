@@ -265,3 +265,19 @@ def test_stream_source_cap_survives_restart(spark, tmp_path):
     got = DeltaTable(spark, sink).to_df()
     assert got.count() == 50  # no duplicates, no loss across the restart
     assert got.select("id").distinct().count() == 50
+
+
+def test_file_uri_path_option(spark, tmp_path):
+    """file:/ and file:/// URI forms of the path option resolve to the
+    same table (the form SQL-layer plumbing hands through)."""
+    from athena_delta_lake_spark import write_delta
+    from athena_delta_lake_spark.sources.deltapond_source import (
+        register as register_ds,
+    )
+
+    register_ds(spark)
+    path = str(tmp_path / "uri_tbl")
+    write_delta(spark.range(30).selectExpr("id"), path)
+    for uri in (f"file:{path}", f"file://{path}", f"file:///{path.lstrip('/')}"):
+        df = spark.read.format("deltapond").option("path", uri).load()
+        assert df.count() == 30
