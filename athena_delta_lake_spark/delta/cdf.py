@@ -52,6 +52,19 @@ def table_changes(
             for a in actions
             if "remove" in a and a["remove"].get("dataChange", True)
         }
+        # merge-on-read commits remove+re-add the SAME path with a changed
+        # deletion vector: the true change set is the newly-DV'd rows only
+        # (emitting whole-file delete+insert would be wrong granularity)
+        common = add_paths & remove_paths
+        if common and v > 0:
+            dv_piece = _dv_diff_deletes(spark, log, v, sorted(common))
+            if dv_piece is not None:
+                pieces.append(
+                    dv_piece.withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_commit_version", F.lit(v))
+                )
+            add_paths -= common
+            remove_paths -= common
         if add_paths:
             snap = log.snapshot(v)
             files = [f for f in snap.files if f.path in add_paths]
@@ -79,3 +92,42 @@ def table_changes(
         # allowMissingColumns: schema evolution mid-range reads NULL
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def _dv_diff_deletes(
+    spark: SparkSession, log: DeltaLog, v: int, paths: list[str]
+) -> DataFrame | None:
+    """Rows newly covered by a deletion vector in commit v: positions in
+    the new DV minus the old one, read from the PREVIOUS snapshot (whose
+    scan still shows them) keyed by (file, row_index)."""
+    import os
+
+    from .deletion_vectors import read_dv_positions
+    from .reader import read_files_with_index
+
+    prev = log.snapshot(v - 1)
+    snap = log.snapshot(v)
+    prev_by = {f.path: f for f in prev.files}
+    new_by = {f.path: f for f in snap.files}
+
+    def _positions(f) -> set[int]:
+        if f is None or f.deletion_vector is None:
+            return set()
+        return set(read_dv_positions(log.table_path, f.deletion_vector))
+
+    rows: list[tuple[str, int]] = []
+    read_targets = []
+    for p in paths:
+        pf, nf = prev_by.get(p), new_by.get(p)
+        if pf is None or nf is None:
+            continue
+        newly = _positions(nf) - _positions(pf)
+        if newly:
+            full = os.path.abspath(os.path.join(log.table_path, p))
+            rows.extend((full, i) for i in sorted(newly))
+            read_targets.append(pf)
+    if not rows:
+        return None
+    pos_df = spark.createDataFrame(rows, "_file string, _row_idx long")
+    base = read_files_with_index(spark, prev, read_targets)
+    return base.join(pos_df, ["_file", "_row_idx"]).drop("_file", "_row_idx")

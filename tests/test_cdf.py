@@ -81,3 +81,27 @@ def test_net_changes_reconstruct_snapshot(spark, tbl):
     now = t.to_df().select("id", "k", "v")
     assert latest.exceptAll(now).count() == 0
     assert now.exceptAll(latest).count() == 0
+
+
+def test_cdf_mor_delete_exact_rows(spark, tmp_path):
+    """A merge-on-read DELETE surfaces in table_changes as EXACTLY the
+    newly-DV'd rows (delete), not a whole-file delete+reinsert."""
+    from athena_delta_lake_spark import write_delta
+    from athena_delta_lake_spark.delta.cdf import table_changes
+
+    path = str(tmp_path / "cdf_mor")
+    write_delta(
+        spark.createDataFrame([(i, i * 2) for i in range(100)], "id long, v long"),
+        path,
+    )
+    t = DeltaTable(spark, path)
+    t.delete(where="id % 25 = 0", mode="mor")  # v1: DV over 4 rows
+    ch = table_changes(spark, path, 1, 1).collect()
+    assert len(ch) == 4
+    assert all(r["_change_type"] == "delete" for r in ch)
+    assert sorted(r["id"] for r in ch) == [0, 25, 50, 75]
+    # a second MOR delete only emits ITS rows (DV diff, not cumulative)
+    t.delete(where="id in (1, 2)", mode="mor")
+    ch2 = table_changes(spark, path, 2, 2).collect()
+    assert sorted(r["id"] for r in ch2) == [1, 2]
+    assert all(r["_change_type"] == "delete" for r in ch2)
