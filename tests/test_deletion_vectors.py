@@ -333,3 +333,30 @@ def test_deltapond_stream_applies_dv(spark, dv_table):
     )
     out = run_to_memory(stream.groupBy().count(), "dv_stream_out", "complete")
     assert out.collect()[0]["count"] == 17
+
+
+def test_dv_update_and_merge_respect_dv(spark, dv_table):
+    """Copy-on-write UPDATE/MERGE rewrites on a DV table must not
+    resurrect DV'd rows (ids 0,2,4 are gone)."""
+    t = DeltaTable(spark, dv_table)
+    t.update({"v": "v + 1000"}, where="id <= 3")
+    got = {r["id"]: r["v"] for r in t.to_df().collect()}
+    assert 0 not in got and 2 not in got and 4 not in got
+    assert got[1] == 1010 and got[3] == 1030 and got[5] == 50
+
+    src = spark.createDataFrame([(6, -1), (99, -2)], "id long, v int")
+    t.merge(src, keys=["id"])
+    got = {r["id"]: r["v"] for r in t.to_df().collect()}
+    assert got[6] == -1 and got[99] == -2 and 0 not in got and len(got) == 18
+
+
+def test_plain_scan_has_no_dv_join(spark, tmp_path):
+    """Tables without DVs keep the untouched single-scan plan: no join,
+    no row_index metadata in the physical plan."""
+    from athena_delta_lake_spark import write_delta
+
+    path = str(tmp_path / "plain_tbl")
+    write_delta(spark.range(100).selectExpr("id", "id % 3 AS p"), path)
+    df = DeltaTable(spark, path).to_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "row_index" not in plan
