@@ -103,6 +103,12 @@ class DeltaScanPartition(InputPartition):
     partition_values: dict = field(default_factory=dict)
     dv: dict | None = None
     table_path: str | None = None
+    # change-feed reads: label + version literals; dv_diff=True emits ONLY
+    # the rows in positions(dv) - positions(dv_old) (a merge-on-read delete)
+    change_type: str | None = None
+    commit_version: int | None = None
+    dv_old: dict | None = None
+    dv_diff: bool = False
 
 
 def _read_file_batches(
@@ -111,6 +117,9 @@ def _read_file_batches(
     schema: T.StructType,
     dv: dict | None = None,
     table_path: str | None = None,
+    dv_old: dict | None = None,
+    dv_diff: bool = False,
+    literals: dict | None = None,
 ) -> Iterator:
     """Read one data file as Arrow batches in `schema` order: partition
     columns injected as typed literals (reference: getLiteralExtractor,
@@ -147,7 +156,19 @@ def _read_file_batches(
         else:
             cols.append(pa.nulls(n, type=at))
     out = pa.table(cols, schema=target)
-    if dv:
+    if dv_diff:
+        # change-feed delete rows of a merge-on-read commit: keep ONLY the
+        # newly-DV'd positions (new minus old)
+        import numpy as np
+
+        from ..delta.deletion_vectors import read_dv_positions
+
+        new_pos = set(read_dv_positions(table_path, dv)) if dv else set()
+        old_pos = set(read_dv_positions(table_path, dv_old)) if dv_old else set()
+        keep = np.zeros(n, dtype=bool)
+        keep[[i for i in sorted(new_pos - old_pos) if i < n]] = True
+        out = out.filter(pa.array(keep))
+    elif dv:
         # deletion vector: drop the file's deleted row positions (executor
         # side; positions are global row indices within this file)
         import numpy as np
@@ -158,6 +179,11 @@ def _read_file_batches(
         keep = np.ones(n, dtype=bool)
         keep[[i for i in deleted if i < n]] = False
         out = out.filter(pa.array(keep))
+    if literals:
+        for name, (val, pa_type) in literals.items():
+            out = out.append_column(
+                pa.field(name, pa_type), pa.array([val] * out.num_rows, pa_type)
+            )
     yield from out.to_batches(max_chunksize=1 << 16)
 
 
@@ -272,6 +298,16 @@ class DeltaPondStreamReader(DataSourceStreamReader):
             str(options.get("ignoreChanges", "false")).lower() == "true"
             or str(options.get("ignoreDeletes", "false")).lower() == "true"
         )
+        # change-feed mode: emit (row, _change_type, _commit_version) for
+        # every data-changing commit instead of raising on rewrites
+        self._cdf = str(options.get("readChangeFeed", "false")).lower() == "true"
+        self._data_schema = T.StructType(
+            [
+                f
+                for f in schema.fields
+                if f.name not in ("_change_type", "_commit_version")
+            ]
+        )
         # admission control (Delta's maxFilesPerTrigger analog): cap how
         # many commits one microbatch consumes, so a backfill from an old
         # startingVersion proceeds in bounded increments instead of one
@@ -330,6 +366,10 @@ class DeltaPondStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         self._advance(int(end["version"]))
         log = DeltaLog(self._path)
+        if self._cdf:
+            return self._cdf_partitions(
+                log, int(start["version"]) + 1, int(end["version"])
+            )
         # column mapping: raw add actions key partitionValues physically
         p2l = {
             (f.metadata or {}).get("delta.columnMapping.physicalName", f.name): f.name
@@ -365,13 +405,94 @@ class DeltaPondStreamReader(DataSourceStreamReader):
                         )
         return parts
 
+    def _cdf_partitions(self, log, lo: int, hi: int):
+        """Change-feed partitions for commits [lo, hi]: adds (minus
+        same-path rewrites) emit inserts, removes emit deletes read from
+        the previous snapshot, and same-path remove+add pairs with a
+        changed deletion vector emit exactly the newly-DV'd rows."""
+        from ..delta.log import _decode_path
+
+        parts = []
+        for v in range(lo, hi + 1):
+            actions = log.commit_actions(v)
+            adds = {
+                _decode_path(a["add"]["path"]): a["add"]
+                for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            }
+            removes = {
+                _decode_path(a["remove"]["path"])
+                for a in actions
+                if "remove" in a and a["remove"].get("dataChange", True)
+            }
+            common = set(adds) & removes
+            prev_by = {}
+            if (removes or common) and v > 0:
+                prev_by = {f.path: f for f in log.snapshot(v - 1).files}
+            snap_part_cols = log.snapshot(v).partition_columns
+            for path, a in adds.items():
+                pv = a.get("partitionValues") or {}
+                if path in common:
+                    pf = prev_by.get(path)
+                    parts.append(
+                        DeltaScanPartition(
+                            file_path=os.path.join(self._path, path),
+                            partition_values=dict(pv),
+                            dv=a.get("deletionVector") or None,
+                            dv_old=pf.deletion_vector if pf else None,
+                            dv_diff=True,
+                            table_path=self._path,
+                            change_type="delete",
+                            commit_version=v,
+                        )
+                    )
+                else:
+                    parts.append(
+                        DeltaScanPartition(
+                            file_path=os.path.join(self._path, path),
+                            partition_values=dict(pv),
+                            dv=a.get("deletionVector") or None,
+                            table_path=self._path,
+                            change_type="insert",
+                            commit_version=v,
+                        )
+                    )
+            for path in removes - common:
+                pf = prev_by.get(path)
+                if pf is None:
+                    continue  # removed file unknown to prior snapshot
+                parts.append(
+                    DeltaScanPartition(
+                        file_path=os.path.join(self._path, path),
+                        partition_values={
+                            c: pf.partition_values.get(c) for c in snap_part_cols
+                        },
+                        dv=pf.deletion_vector,
+                        table_path=self._path,
+                        change_type="delete",
+                        commit_version=v,
+                    )
+                )
+        return parts
+
     def read(self, partition: DeltaScanPartition):
+        literals = None
+        if partition.change_type is not None:
+            import pyarrow as pa
+
+            literals = {
+                "_change_type": (partition.change_type, pa.string()),
+                "_commit_version": (partition.commit_version, pa.int64()),
+            }
         return _read_file_batches(
             partition.file_path,
             partition.partition_values,
-            self._schema,
+            self._data_schema if self._cdf else self._schema,
             partition.dv,
             partition.table_path,
+            dv_old=partition.dv_old,
+            dv_diff=partition.dv_diff,
+            literals=literals,
         )
 
     def commit(self, end: dict) -> None:
@@ -657,7 +778,16 @@ class DeltaPondDataSource(DataSource):
     def schema(self) -> T.StructType:
         path = _table_path(self.options)
         v = self.options.get("versionAsOf")
-        return DeltaLog(path).snapshot(int(v) if v is not None else None).schema
+        schema = DeltaLog(path).snapshot(int(v) if v is not None else None).schema
+        if str(self.options.get("readChangeFeed", "false")).lower() == "true":
+            schema = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.LongType()),
+                ]
+            )
+        return schema
 
     def reader(self, schema: T.StructType) -> DeltaPondBatchReader:
         return DeltaPondBatchReader(self.options, schema)

@@ -105,3 +105,39 @@ def test_cdf_mor_delete_exact_rows(spark, tmp_path):
     ch2 = table_changes(spark, path, 2, 2).collect()
     assert sorted(r["id"] for r in ch2) == [1, 2]
     assert all(r["_change_type"] == "delete" for r in ch2)
+
+
+def test_streaming_change_feed(spark, tmp_path):
+    """readChangeFeed streaming: inserts, copy-on-write deletes, and
+    MOR (DV) deletes all arrive labeled with _change_type/_commit_version."""
+    from athena_delta_lake_spark import write_delta
+    from athena_delta_lake_spark.sources.deltapond_source import (
+        register as register_ds,
+    )
+    from athena_delta_lake_spark.streaming import run_to_memory
+
+    register_ds(spark)
+    path = str(tmp_path / "cdf_stream")
+    write_delta(
+        spark.createDataFrame([(i, i % 2) for i in range(40)], "id long, p int"),
+        path,
+    )  # v0: 40 inserts
+    t = DeltaTable(spark, path)
+    t.delete(where="id >= 30", mode="mor")  # v1: 10 DV deletes
+    write_delta(
+        spark.createDataFrame([(100, 0)], "id long, p int"), path, mode="append"
+    )  # v2: 1 insert
+
+    stream = (
+        spark.readStream.format("deltapond")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 0)
+        .load()
+    )
+    agg = stream.groupBy("_change_type", "_commit_version").count()
+    out = {
+        (r["_change_type"], r["_commit_version"]): r["count"]
+        for r in run_to_memory(agg, "cdf_stream_out", "complete").collect()
+    }
+    assert out == {("insert", 0): 40, ("delete", 1): 10, ("insert", 2): 1}
