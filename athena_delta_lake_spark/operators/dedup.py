@@ -378,3 +378,82 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------------------ duplicate clustering
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for the undirected graph of `edges`; component =
+    smallest node id reachable (deterministic representative).
+
+    Min-label propagation: each round every node adopts the minimum label
+    in its neighborhood; converges in O(graph diameter) rounds — near-dup
+    clusters are dense and shallow, so a handful of rounds suffices at any
+    corpus size. Each round is one shuffle join on uniform node keys plus
+    a cheap convergence count; labels are materialized per round so the
+    lineage (and plan size) stays flat. This is the grouping stage of
+    dedup: pick one representative per component, drop the rest.
+    """
+    und = edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    und = (
+        und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("label").alias("vl")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vl").alias("nl"))
+            .select(F.col("u").alias("node"), "nl")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(component, n_docs) clusters of near-duplicate documents: exact
+    prefix-filtered Jaccard pairs -> connected components. The component
+    id is the smallest doc id in the cluster (the canonical keeper)."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, k, threshold)
+    comps = connected_components(pairs)
+    return comps.groupBy("component").agg(F.count("*").alias("n_docs"))

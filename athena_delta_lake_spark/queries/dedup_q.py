@@ -143,3 +143,45 @@ def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     pairs = near_duplicate_pairs_cosine(e, "vec_id", "embedding", threshold=0.45, exact=True)
     return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
+@register(
+    "d07_dup_components",
+    "dedup",
+    f"""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+                                          i -> array_to_string(words[i:i+2], ' '))) AS shingles
+      FROM w
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+    ), agg AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+      FROM ex a JOIN ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), pairs AS (
+      SELECT id_a, id_b FROM agg
+      WHERE inter / (n_a + n_b - inter) >= 0.6
+    ), und AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(node, lab) AS (
+      SELECT DISTINCT u, u FROM und
+      UNION
+      SELECT und.u, reach.lab FROM reach JOIN und ON und.v = reach.node
+    )
+    SELECT component, count(*) AS n_docs FROM (
+      SELECT node, min(lab) AS component FROM reach GROUP BY node
+    ) t GROUP BY component
+    """,
+    "near-dup clusters: exact Jaccard pairs -> connected components "
+    "(min-label propagation vs a recursive-CTE reachability oracle)",
+)
+def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.duplicate_clusters(d, "doc_id", "text", k=3, threshold=0.6)

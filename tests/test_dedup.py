@@ -83,3 +83,24 @@ def test_simhash_pairs_blocking_finds_close_pairs(spark):
     # identical texts (same parity) must be found (hamming 0)
     assert (0, 2) in got and (1, 3) in got
     assert all(r["hamming"] <= 3 for r in pairs)
+
+
+def test_connected_components_topology(spark):
+    """Chain, triangle, isolated pair, and a bridge node — components get
+    the smallest member as representative."""
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+            (10, 11), (11, 12), (10, 12),  # triangle
+            (20, 21),                     # pair
+            (4, 10),                      # bridge merges chain + triangle
+        ],
+        "id_a long, id_b long",
+    )
+    comps = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert {comps[n] for n in (1, 2, 3, 4, 10, 11, 12)} == {1}
+    assert comps[20] == 20 and comps[21] == 20
+    assert len(comps) == 9
