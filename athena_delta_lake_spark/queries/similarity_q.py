@@ -195,3 +195,52 @@ def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("media_meta.n_bytes")).alias("total_bytes"),
         F.min(F.col("media_meta.sha256")).alias("min_sha"),
     )
+
+
+@register(
+    "n05_quantized_cosine",
+    "similarity",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale
+      FROM embeddings
+    ), deq AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> round(x / scale) * scale) AS dq
+      FROM q
+    ), scored AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * dq[i]))
+               / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                  * sqrt(greatest(list_sum(list_transform(dq, x -> x * x)), 1e-30))) AS cos_err
+      FROM deq
+    )
+    SELECT count(*) AS n,
+           CAST(floor(min(cos_err) * 1000) AS BIGINT) AS min_cos_x1000,
+           CAST(floor(avg(cos_err) * 1000) AS BIGINT) AS avg_cos_x1000
+    FROM scored
+    """,
+    "int8 scalar quantization round trip: cosine(original, dequantized) ~ 1",
+)
+def n05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = sim.quantize_embeddings(e, "embedding", "q")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dq = sim.dequantize("q", "q_scale")
+    dot = F.aggregate(
+        F.zip_with(v, dq, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    nd = F.sqrt(
+        F.greatest(
+            F.aggregate(dq, F.lit(0.0), lambda acc, x: acc + x * x), F.lit(1e-30)
+        )
+    )
+    scored = q.select((dot / (nv * nd)).alias("cos_err"))
+    return scored.agg(
+        F.count("*").alias("n"),
+        F.floor(F.min("cos_err") * 1000).cast("long").alias("min_cos_x1000"),
+        F.floor(F.avg("cos_err") * 1000).cast("long").alias("avg_cos_x1000"),
+    )

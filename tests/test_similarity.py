@@ -120,3 +120,22 @@ def test_persisted_ivf_index(spark, sf_dir, tmp_path):
     res2 = sim.ivf_search(spark, idx, q, k=5, n_probe=2)
     top1 = {r["q_id"]: r["vec_id"] for r in res2.collect() if r["rank"] == 1}
     assert top1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_int8_quantization_error_bound(spark, sf_dir):
+    """Dequantized vectors stay within 1% cosine of the originals, and
+    quantized values actually fit int8."""
+    e = load(spark, sf_dir, "embeddings")
+    q = sim.quantize_embeddings(e, "embedding", "q")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dq = sim.dequantize("q", "q_scale")
+    dot = F.aggregate(F.zip_with(v, dq, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
+    nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    nd = F.sqrt(F.aggregate(dq, F.lit(0.0), lambda a, x: a + x * x))
+    row = q.select(
+        F.min(dot / (nv * nd)).alias("min_cos"),
+        F.min(F.array_min("q")).alias("qmin"),
+        F.max(F.array_max("q")).alias("qmax"),
+    ).first()
+    assert row["min_cos"] > 0.99
+    assert -127 <= row["qmin"] and row["qmax"] <= 127
