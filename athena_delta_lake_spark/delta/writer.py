@@ -381,6 +381,7 @@ def write_delta(
     collect_stats: bool = True,
     merge_schema: bool = False,
     cluster_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Write `df` to a Delta table at `table_path`. Returns committed version.
 
@@ -394,9 +395,17 @@ def write_delta(
     evolution). Type changes / dropped columns still raise.
 
     cluster_by: range-partition + sort the data by these columns before
-    writing (the OPTIMIZE ZORDER/cluster-on-write analog): each file covers
-    a narrow value range, so per-file min/max stats make data-skipping
-    scans on those columns prune most files. Orthogonal to partition_by.
+    writing (lexicographic clustering): each file covers a narrow value
+    range, so per-file min/max stats make data-skipping scans on those
+    columns prune most files. Orthogonal to partition_by.
+
+    zorder_by: MULTI-dimensional clustering by a bit-interleaved Z-value
+    (true OPTIMIZE ZORDER): each column is width-bucketed to 8 bits
+    between its min and max (one tiny agg job — no global windows, so no
+    single-partition bottleneck at scale), the bucket bits are
+    interleaved, and files are range-partitioned + sorted by that
+    Z-value. Unlike lexicographic cluster_by, min/max stats then prune on
+    EVERY listed column, not just the leading one.
     """
     if mode not in {"append", "overwrite"}:
         raise ValueError(f"unsupported mode: {mode}")
@@ -466,10 +475,53 @@ def write_delta(
             f"partition mismatch: table has {prior.partition_columns}, got {partition_by}"
         )
 
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
     if cluster_by:
         n_part = df.rdd.getNumPartitions()
         df = df.repartitionByRange(n_part, *cluster_by).sortWithinPartitions(
             *cluster_by
+        )
+    if zorder_by:
+        from pyspark.sql import functions as F
+
+        bits = 8
+        bounds = df.agg(
+            *[F.min(c).alias(f"_lo_{c}") for c in zorder_by],
+            *[F.max(c).alias(f"_hi_{c}") for c in zorder_by],
+        ).first()
+        z = F.lit(0).cast("long")
+        for i, c in enumerate(zorder_by):
+            lo, hi = bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]
+            if lo is None or hi is None or lo == hi:
+                bucket = F.lit(0).cast("long")
+            else:
+                bucket = (
+                    F.width_bucket(
+                        F.col(c).cast("double"),
+                        F.lit(float(lo)),
+                        F.lit(float(hi)),
+                        F.lit((1 << bits) - 1),
+                    )
+                    - 1
+                ).cast("long")
+                bucket = F.greatest(
+                    F.lit(0).cast("long"),
+                    F.least(bucket, F.lit((1 << bits) - 1).cast("long")),
+                )
+            for b in range(bits):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                        b * len(zorder_by) + i,
+                    )
+                )
+        n_part = df.rdd.getNumPartitions()
+        df = (
+            df.withColumn("_z", z)
+            .repartitionByRange(n_part, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
         )
 
     if prior is not None:

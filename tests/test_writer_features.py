@@ -262,3 +262,37 @@ def test_generated_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="generated column 'event_date'"):
         write_delta(bad, path)
+
+
+def test_zorder_prunes_on_every_dimension(spark, tmp_path):
+    """Z-order clustering by (a, b): min/max stats prune files for
+    predicates on EITHER column; lexicographic cluster_by=[a] only helps
+    its leading column."""
+    from athena_delta_lake_spark.delta import DeltaTable
+
+    n = 40_000
+    df = spark.range(n).selectExpr(
+        "CAST(id % 200 AS BIGINT) AS a",
+        "CAST(CAST(id / 200 AS BIGINT) % 200 AS BIGINT) AS b",
+        "id AS payload",
+    ).repartition(16)
+
+    zpath = str(tmp_path / "z_tbl")
+    write_delta(df, zpath, zorder_by=["a", "b"])
+    zt = DeltaTable(spark, zpath)
+    z_total = len(zt.snapshot().files)
+    assert z_total >= 8
+    za = len(zt.pruned_files([("a", "=", 5)]))
+    zb = len(zt.pruned_files([("b", "=", 5)]))
+    assert za < z_total / 2 and zb < z_total / 2  # both dims prune
+
+    cpath = str(tmp_path / "c_tbl")
+    write_delta(df, cpath, cluster_by=["a"])
+    ct = DeltaTable(spark, cpath)
+    c_total = len(ct.snapshot().files)
+    cb = len(ct.pruned_files([("b", "=", 5)]))
+    # lexicographic-on-a leaves b unclustered: no real pruning on b
+    assert cb > 0.8 * c_total
+    # correctness: z-ordered table reads back identically
+    assert zt.to_df().count() == n
+    assert zt.to_df().agg({"payload": "sum"}).first()[0] == n * (n - 1) // 2
