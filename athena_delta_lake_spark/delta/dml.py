@@ -422,6 +422,7 @@ def compact(
     table_path: str,
     target_file_size: int = 128 * 1024 * 1024,
     predicates: list[Predicate] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE (bin-packing): merge small files within each partition.
 
@@ -429,7 +430,12 @@ def compact(
     under `target_file_size` get those files rewritten into
     ceil(total/target) files. Commits with dataChange=false — streaming /
     incremental readers know no rows changed. Optional `predicates` scope
-    the compaction (e.g. one hot partition)."""
+    the compaction (e.g. one hot partition).
+
+    zorder_by: OPTIMIZE ZORDER — every candidate file (regardless of size)
+    is rewritten with the victims laid out by the bit-interleaved Z-value
+    (writer.zorder_dataframe), so min/max stats prune on every listed
+    column afterwards."""
     table_path = os.path.abspath(table_path)
     snap = DeltaLog(table_path).snapshot()
     files = prune_files(snap, predicates) if predicates else list(snap.files)
@@ -438,14 +444,15 @@ def compact(
     for f in files:
         # DV'd files are always victims regardless of size: rewriting them
         # materializes the deletion vector (read_files applies DVs), i.e.
-        # OPTIMIZE doubles as REORG ... APPLY (PURGE)
-        if f.size < target_file_size or f.deletion_vector:
+        # OPTIMIZE doubles as REORG ... APPLY (PURGE); a ZORDER rewrite
+        # re-clusters everything it scopes
+        if f.size < target_file_size or f.deletion_vector or zorder_by:
             key = tuple(sorted((f.partition_values or {}).items()))
             groups.setdefault(key, []).append(f)
     to_compact = {
         k: v
         for k, v in groups.items()
-        if len(v) >= 2 or any(f.deletion_vector for f in v)
+        if len(v) >= 2 or zorder_by or any(f.deletion_vector for f in v)
     }
     if not to_compact:
         return {"groups": 0, "files_removed": 0, "files_added": 0}
@@ -453,7 +460,15 @@ def compact(
     victims = [f for v in to_compact.values() for f in v]
     df = read_files(spark, snap, victims)
     part_cols = snap.partition_columns
-    if part_cols:
+    if zorder_by:
+        from .writer import zorder_dataframe
+
+        # output file count sized by data volume, not the scan's (possibly
+        # coalesced) input partitioning
+        total = sum(f.size for f in victims)
+        n_out = max(1, -(-total // target_file_size))
+        df = zorder_dataframe(df, zorder_by, n_partitions=n_out)
+    elif part_cols:
         # one task per partition value -> one output file per partition
         df = df.repartition(len(to_compact), *[F.col(c) for c in part_cols])
     else:

@@ -172,10 +172,13 @@ class DeltaTable:
         self,
         target_file_size: int = 128 * 1024 * 1024,
         predicates: list[Predicate] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> dict:
         from .dml import compact
 
-        return compact(self.spark, self.path, target_file_size, predicates)
+        return compact(
+            self.spark, self.path, target_file_size, predicates, zorder_by
+        )
 
     def restore(
         self, version: int | None = None, timestamp_millis: int | None = None

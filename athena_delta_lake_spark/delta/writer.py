@@ -373,6 +373,57 @@ def drop_check_constraint(table_path: str, name: str) -> int:
     return version
 
 
+def zorder_dataframe(
+    df: DataFrame,
+    zorder_by: list[str],
+    bits: int = 8,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Range-partition + sort `df` by a bit-interleaved Z-value over
+    `zorder_by` (width-bucketed to `bits` per column between min and max;
+    one tiny agg job, no global windows). Shared by write_delta(zorder_by=)
+    and compact(zorder_by=) — the OPTIMIZE ZORDER rewrite."""
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in zorder_by],
+        *[F.max(c).alias(f"_hi_{c}") for c in zorder_by],
+    ).first()
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(zorder_by):
+        lo, hi = bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]
+        if lo is None or hi is None or lo == hi:
+            bucket = F.lit(0).cast("long")
+        else:
+            bucket = (
+                F.width_bucket(
+                    F.col(c).cast("double"),
+                    F.lit(float(lo)),
+                    F.lit(float(hi)),
+                    F.lit((1 << bits) - 1),
+                )
+                - 1
+            ).cast("long")
+            bucket = F.greatest(
+                F.lit(0).cast("long"),
+                F.least(bucket, F.lit((1 << bits) - 1).cast("long")),
+            )
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                    b * len(zorder_by) + i,
+                )
+            )
+    n_part = n_partitions or df.rdd.getNumPartitions()
+    return (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_part, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+
+
 def write_delta(
     df: DataFrame,
     table_path: str,
@@ -483,46 +534,7 @@ def write_delta(
             *cluster_by
         )
     if zorder_by:
-        from pyspark.sql import functions as F
-
-        bits = 8
-        bounds = df.agg(
-            *[F.min(c).alias(f"_lo_{c}") for c in zorder_by],
-            *[F.max(c).alias(f"_hi_{c}") for c in zorder_by],
-        ).first()
-        z = F.lit(0).cast("long")
-        for i, c in enumerate(zorder_by):
-            lo, hi = bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]
-            if lo is None or hi is None or lo == hi:
-                bucket = F.lit(0).cast("long")
-            else:
-                bucket = (
-                    F.width_bucket(
-                        F.col(c).cast("double"),
-                        F.lit(float(lo)),
-                        F.lit(float(hi)),
-                        F.lit((1 << bits) - 1),
-                    )
-                    - 1
-                ).cast("long")
-                bucket = F.greatest(
-                    F.lit(0).cast("long"),
-                    F.least(bucket, F.lit((1 << bits) - 1).cast("long")),
-                )
-            for b in range(bits):
-                z = z.bitwiseOR(
-                    F.shiftleft(
-                        F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
-                        b * len(zorder_by) + i,
-                    )
-                )
-        n_part = df.rdd.getNumPartitions()
-        df = (
-            df.withColumn("_z", z)
-            .repartitionByRange(n_part, "_z")
-            .sortWithinPartitions("_z")
-            .drop("_z")
-        )
+        df = zorder_dataframe(df, zorder_by)
 
     if prior is not None:
         _enforce_constraints(df, prior.metadata.get("configuration"))

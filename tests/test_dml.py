@@ -216,3 +216,23 @@ def test_restore_reinstates_schema(spark, tmp_path):
     res = t.restore(version=0)
     assert res["metadata_restored"]
     assert t.to_df().columns == ["id"] and t.to_df().count() == 10
+
+
+def test_optimize_zorder(spark, tmp_path):
+    """OPTIMIZE with zorder_by rewrites the scoped files so min/max stats
+    prune on every listed column (dataChange=false preserved)."""
+    path = str(tmp_path / "opt_z")
+    df = spark.range(40_000).selectExpr(
+        "CAST(id % 200 AS BIGINT) AS a",
+        "CAST(CAST(id / 200 AS BIGINT) % 200 AS BIGINT) AS b",
+        "id AS payload",
+    ).repartition(32)
+    write_delta(df, path)  # unclustered
+    t = DeltaTable(spark, path)
+    res = t.compact(target_file_size=16 * 1024, zorder_by=["a", "b"])
+    assert res["files_removed"] == 32 and res["files_added"] >= 16
+    total = len(t.snapshot().files)
+    assert len(t.pruned_files([("a", "=", 3)])) < total / 2
+    assert len(t.pruned_files([("b", "=", 3)])) < total / 2
+    assert t.to_df().count() == 40_000
+    assert t.history()[0]["operation"] == "OPTIMIZE"
