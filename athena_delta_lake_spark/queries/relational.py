@@ -1253,3 +1253,27 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(d AS DATE) AS d, CAST(n AS BIGINT) AS n FROM ladder
         """
     )
+
+
+@register(
+    "m03_skyline_pareto",
+    "relational",
+    """
+    SELECT p_partkey, p_retailprice, p_size FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    """,
+    "skyline: parts Pareto-optimal on (min price, max size) — two-phase "
+    "local+merge operator vs the quadratic NOT EXISTS oracle",
+)
+def m03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import skyline
+
+    p = load(spark, sf_dir, "part")
+    return skyline(
+        p.select("p_partkey", "p_retailprice", "p_size"),
+        {"p_retailprice": "min", "p_size": "max"},
+    )

@@ -84,3 +84,16 @@ def test_ivf_ann_recall(spark, sf_dir):
     full = sim.ivf_ann(q, e, k=10, n_clusters=8, n_probe=8)
     fu = {(r["q_id"], r["vec_id"]) for r in full.collect()}
     assert fu == ex
+
+
+def test_skyline_known_points(spark):
+    """Hand-checkable 2-d skyline (minimize both)."""
+    from athena_delta_lake_spark.operators.skyline import skyline
+
+    pts = [(1, 1.0, 9.0), (2, 2.0, 2.0), (3, 9.0, 1.0),
+           (4, 3.0, 3.0), (5, 2.0, 2.0), (6, 0.5, 9.5)]
+    df = spark.createDataFrame(pts, "id long, x double, y double").repartition(3)
+    got = sorted(r["id"] for r in skyline(df, {"x": "min", "y": "min"}).collect())
+    # (4) dominated by (2)/(5); duplicates (2,5) both survive (neither
+    # strictly dominates the other); (6) not dominated by (1): y worse
+    assert got == [1, 2, 3, 5, 6]
