@@ -142,8 +142,9 @@ def _parse_roaring32(data: bytes, pos: int, high: int, out: list[int]) -> int:
 
 
 def serialize_roaring64(positions: list[int]) -> bytes:
-    """Sorted int64 positions -> RoaringBitmapArray bytes (array containers,
-    no-run cookie — always-valid portable encoding)."""
+    """Sorted int64 positions -> RoaringBitmapArray bytes (no-run cookie;
+    array containers up to 4096 values per 16-bit chunk, bitmap containers
+    — 8 KB fixed bitsets — above that)."""
     positions = sorted(set(positions))
     if positions and positions[0] < 0:
         raise ValueError("row indices must be >= 0")
@@ -157,11 +158,6 @@ def serialize_roaring64(positions: list[int]) -> bytes:
     for m in range(n_maps):
         containers = {k: sorted(v) for k, v in by_map.get(m, {}).items() if v}
         keys = sorted(containers)
-        for key in keys:
-            if len(containers[key]) > _MAX_ARRAY_CARD:
-                raise NotImplementedError(
-                    "writer emits array containers only (<= 4096 per chunk)"
-                )
         n_cont = len(keys)
         start = len(buf)  # portable offsets are relative to this cookie
         buf += struct.pack("<ii", _SERIAL_COOKIE_NO_RUN, n_cont)
@@ -170,9 +166,17 @@ def serialize_roaring64(positions: list[int]) -> bytes:
         data_off = (len(buf) + 4 * n_cont) - start
         for key in keys:
             buf += struct.pack("<i", data_off)
-            data_off += 2 * len(containers[key])
+            card = len(containers[key])
+            data_off += 8192 if card > _MAX_ARRAY_CARD else 2 * card
         for key in keys:
-            buf += struct.pack(f"<{len(containers[key])}H", *containers[key])
+            vals = containers[key]
+            if len(vals) > _MAX_ARRAY_CARD:
+                words = [0] * 1024
+                for v in vals:
+                    words[v >> 6] |= 1 << (v & 63)
+                buf += struct.pack("<1024Q", *words)
+            else:
+                buf += struct.pack(f"<{len(vals)}H", *vals)
     return bytes(buf)
 
 

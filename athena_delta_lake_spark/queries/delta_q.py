@@ -270,3 +270,39 @@ def l06(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor("o_totalprice")).cast("long").alias("total"),
         )
     )
+
+
+def _ensure_cdf_orders(spark: SparkSession, sf_dir: str) -> str:
+    """orders copy with a merge-on-read DELETE at v1 — the change feed for
+    (1,1) must be EXACTLY the deleted rows (DV diff granularity)."""
+    path = os.path.join(_fixture_root(sf_dir), "lake", "cdf_orders")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        write_delta(load(spark, sf_dir, "orders"), path)  # v0
+    t = DeltaTable(spark, path)
+    if t.version() < 1:  # heal a half-built fixture (v0 only)
+        t.delete(where="o_orderstatus = 'P'", mode="mor")  # v1
+    return path
+
+
+@register(
+    "l07_delta_change_feed",
+    "delta-core",
+    """
+    SELECT 'delete' AS _change_type, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(floor(o_totalprice)) AS BIGINT) AS price_sum
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+    "change data feed: MOR delete surfaces as exactly the deleted rows "
+    "(DV-diff), matched against the pristine-parquet oracle",
+)
+def l07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..delta.cdf import table_changes
+
+    path = _ensure_cdf_orders(spark, sf_dir)
+    ch = table_changes(spark, path, 1, 1)
+    return ch.groupBy("_change_type").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(F.floor("o_totalprice")).cast("long").alias("price_sum"),
+    )

@@ -360,3 +360,9 @@ def test_plain_scan_has_no_dv_join(spark, tmp_path):
     df = DeltaTable(spark, path).to_df()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "row_index" not in plan
+
+
+def test_serializer_bitmap_container_roundtrip():
+    """> 4096 values per chunk now serialize as bitmap containers."""
+    vals = sorted(set(list(range(0, 12000, 2)) + [70000, (1 << 32) + 5]))
+    assert dv.parse_roaring64(dv.serialize_roaring64(vals)) == vals
