@@ -93,6 +93,38 @@ class DeltaPond:
             return DeltaTable(self.spark, p).to_df()
         return self.spark.read.parquet(p)
 
+    def create_table(
+        self,
+        schema: str,
+        table: str,
+        df: DataFrame,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+    ) -> DeltaTable:
+        """Write `df` as a Delta table under <root>/<schema>/<table> — the
+        catalog CRUD the read-only reference lacked (its tables had to be
+        created by an external writer)."""
+        import os
+
+        from .delta.writer import write_delta
+
+        if schema not in self.list_schemas():
+            raise ValueError(f"no such schema: {schema}")
+        path = _join(self.root, schema, table)
+        os.makedirs(path, exist_ok=True)
+        write_delta(df, path, mode=mode, partition_by=partition_by)
+        return DeltaTable(self.spark, path)
+
+    def drop_table(self, schema: str, table: str) -> None:
+        """Remove the table directory (storage-layout catalog: dropping a
+        table IS deleting its folder)."""
+        import shutil
+
+        from .delta.log import DeltaLog
+
+        shutil.rmtree(self.table_path(schema, table))
+        DeltaLog.clear_cache()
+
     def register_all(self, schema: str, prefix: str = "") -> list[str]:
         """Register every table in `schema` as a temp view -> spark.sql works."""
         names = []

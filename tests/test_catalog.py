@@ -56,3 +56,19 @@ def test_register_all_sql(spark, pond_root):
     assert views == ["orders", "refs"]
     n = spark.sql("SELECT count(*) AS n FROM orders WHERE p = 1").collect()[0]["n"]
     assert n == 25
+
+
+def test_create_and_drop_table(spark, tmp_path):
+    from athena_delta_lake_spark import DeltaPond
+
+    root = str(tmp_path / "pond")
+    os.makedirs(os.path.join(root, "ml"))
+    pond = DeltaPond(spark, root)
+    df = spark.range(25).selectExpr("id", "id % 5 AS p")
+    t = pond.create_table("ml", "feats", df, partition_by=["p"])
+    assert pond.list_tables("ml") == ["feats"]
+    assert t.to_df().count() == 25
+    pond.create_table("ml", "feats", spark.range(25, 30).selectExpr("id", "id % 5 AS p"))
+    assert pond.read("ml", "feats").count() == 30
+    pond.drop_table("ml", "feats")
+    assert pond.list_tables("ml") == []
