@@ -366,3 +366,27 @@ def test_serializer_bitmap_container_roundtrip():
     """> 4096 values per chunk now serialize as bitmap containers."""
     vals = sorted(set(list(range(0, 12000, 2)) + [70000, (1 << 32) + 5]))
     assert dv.parse_roaring64(dv.serialize_roaring64(vals)) == vals
+
+
+def test_roaring_roundtrip_property():
+    """Property: any position set round-trips through the serializer —
+    mixed container types, chunk boundaries, high bits."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.integers(min_value=0, max_value=200_000),
+                st.integers(min_value=65_530, max_value=65_545),  # chunk edge
+                st.integers(min_value=(1 << 32) - 5, max_value=(1 << 32) + 5),
+            ),
+            max_size=300,
+        )
+    )
+    def check(positions):
+        want = sorted(set(positions))
+        assert dv.parse_roaring64(dv.serialize_roaring64(positions)) == want
+
+    check()
