@@ -78,4 +78,40 @@ def two_phase_agg(
     )
 
 
-__all__ = ["with_salt", "salted_join", "two_phase_agg"]
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+) -> None:
+    """Persist `df` as a bucketed+sorted managed table: rows are
+    hash-partitioned into `n_buckets` files by `bucket_cols` at WRITE time,
+    so every later equi-join or aggregation on those columns is
+    shuffle-free — the join reads co-located buckets directly. At 100 TB
+    this converts the recurring joins of a pipeline (fact-to-fact on a
+    shared key) from an every-query shuffle into a one-time layout cost.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(name)
+    )
+
+
+def is_shuffle_free_join(joined: DataFrame) -> bool:
+    """True when the physical plan joins without any SHUFFLE exchange
+    (`Exchange hashpartitioning`) — the bucketed co-location proof; a
+    broadcast exchange doesn't count (it moves one small side, not the
+    data). Used by tests and layout audits."""
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" not in plan
+
+
+__all__ = [
+    "with_salt",
+    "salted_join",
+    "two_phase_agg",
+    "write_bucketed",
+    "is_shuffle_free_join",
+]

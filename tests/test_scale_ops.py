@@ -97,3 +97,31 @@ def test_skyline_known_points(spark):
     # (4) dominated by (2)/(5); duplicates (2,5) both survive (neither
     # strictly dominates the other); (6) not dominated by (1): y worse
     assert got == [1, 2, 3, 5, 6]
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key: the sort-merge join reads
+    co-located buckets with NO Exchange in the physical plan; the same
+    join on unbucketed data shuffles both sides."""
+    from athena_delta_lake_spark.operators import scale
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path / 'wh'}'"
+    )
+    a = spark.range(10_000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(10_000).selectExpr("id AS k", "id * 3 AS vb")
+    try:
+        scale.write_bucketed(a, "bktdb.bkt_a", ["k"], n_buckets=8)
+        scale.write_bucketed(b, "bktdb.bkt_b", ["k"], n_buckets=8)
+        ta, tb = spark.table("bktdb.bkt_a"), spark.table("bktdb.bkt_b")
+        # force sort-merge (broadcast would hide the bucketing win on a
+        # fixture-sized table); buckets align -> no shuffle exchange
+        joined = ta.hint("merge").join(tb.hint("merge"), "k")
+        assert scale.is_shuffle_free_join(joined)
+        assert joined.count() == 10_000
+        # control: the same forced SMJ on unbucketed data shuffles both sides
+        assert not scale.is_shuffle_free_join(
+            a.hint("merge").join(b.hint("merge"), "k")
+        )
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
