@@ -528,3 +528,33 @@ def f15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).cast("long").alias("k_max"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "f16_try_functions",
+    "scalar",
+    """
+    SELECT o_orderstatus,
+           count(try_cast(o_orderpriority AS INTEGER)) AS n_parse_fail_null,
+           CAST(sum(try_cast(substring(o_orderpriority, 1, 1) AS INTEGER)) AS BIGINT)
+             AS prio_sum,
+           CAST(sum(CASE WHEN o_custkey % 3 = 0 THEN NULL
+                         ELSE floor(o_totalprice / (o_custkey % 3)) END) AS BIGINT)
+             AS div_sum
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "error-safe try_cast / try_divide semantics (NULL, never throw)",
+)
+def f16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.expr("try_cast(o_orderpriority AS INT)")).alias("n_parse_fail_null"),
+        F.sum(F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)"))
+        .cast("long")
+        .alias("prio_sum"),
+        F.sum(
+            F.floor(F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 3))
+        )
+        .cast("long")
+        .alias("div_sum"),
+    )
