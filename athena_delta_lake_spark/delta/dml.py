@@ -263,6 +263,8 @@ def delete_mor(spark: SparkSession, table_path: str, where) -> dict:
             }
         ]
 
+    from .writer import file_fingerprint
+
     commit_rewrite(
         table_path,
         "DELETE",
@@ -270,6 +272,7 @@ def delete_mor(spark: SparkSession, table_path: str, where) -> dict:
         [f.path for f, _idx in touched],
         operation_parameters={"predicate": str(where), "mode": "merge-on-read"},
         extra_actions=extra,
+        expected_states={f.path: file_fingerprint(f) for f, _idx in touched},
     )
     prior_dv = sum(
         int((f.deletion_vector or {}).get("cardinality", 0)) for f, _ in touched

@@ -190,13 +190,22 @@ def commit_rewrite(
     data_change: bool = True,
     operation_parameters: dict | None = None,
     extra_actions: list[dict] | None = None,
+    expected_states: dict | None = None,
 ) -> int:
     """Commit a file-rewrite transaction: `remove` the replaced files and
     `add` their rewrites in ONE atomic version — the copy-on-write commit
     shape shared by DELETE/UPDATE/MERGE/OPTIMIZE/RESTORE (dml.py).
     Untouched files are never referenced, so the commit is O(touched
     files). `extra_actions` (e.g. a reinstated metaData for RESTORE) are
-    written right after commitInfo."""
+    written right after commitInfo.
+
+    `expected_states` maps removed path -> fingerprint (what the caller's
+    snapshot said about the file). On an OCC retry the rewrite only
+    commutes if every removed file is still live AND unchanged — a
+    same-path re-add by the winner (e.g. a concurrent merge-on-read
+    DELETE growing the file's deletion vector) is a write-write conflict
+    the plain liveness check would miss, silently dropping the winner's
+    deletions."""
     now = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -237,8 +246,15 @@ def commit_rewrite(
             DeltaLog.clear_cache()
             # remove_paths come from AddFile.path (already URL-decoded),
             # matching the decoded paths in the snapshot's file list
-            live = {f.path for f in DeltaLog(table_path).snapshot().files}
-            if any(p not in live for p in remove_paths):
+            now_files = {f.path: f for f in DeltaLog(table_path).snapshot().files}
+            conflict = any(p not in now_files for p in remove_paths)
+            if not conflict and expected_states:
+                conflict = any(
+                    file_fingerprint(now_files[p]) != fp
+                    for p, fp in expected_states.items()
+                    if p in now_files
+                )
+            if conflict:
                 raise ConcurrentWriteError(
                     f"{operation} conflicts with a concurrent commit that "
                     "touched the same files; re-run against the new snapshot"
@@ -622,6 +638,21 @@ def write_delta(
 
 
 _MAX_COMMIT_RETRIES = 10
+
+
+def file_fingerprint(f) -> tuple:
+    """Identity of a live file version for conflict detection: path, bytes,
+    mtime, and its deletion-vector descriptor (a DV change re-adds the same
+    path — still a write-write conflict)."""
+    dv = f.deletion_vector or {}
+    return (
+        f.path,
+        f.size,
+        f.modification_time,
+        dv.get("pathOrInlineDv"),
+        dv.get("offset"),
+        dv.get("cardinality"),
+    )
 
 
 class ConcurrentWriteError(RuntimeError):

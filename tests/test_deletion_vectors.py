@@ -390,3 +390,43 @@ def test_roaring_roundtrip_property():
         assert dv.parse_roaring64(dv.serialize_roaring64(positions)) == want
 
     check()
+
+
+def test_concurrent_mor_deletes_conflict(spark, tmp_path):
+    """Two MOR deletes racing on the same file: the loser must NOT clobber
+    the winner's deletion vector (lost-update), it must raise."""
+    from athena_delta_lake_spark import write_delta
+    from athena_delta_lake_spark.delta.dml import delete_mor
+    from athena_delta_lake_spark.delta.writer import (
+        ConcurrentWriteError,
+        _atomic_commit,
+        _next_version,
+    )
+
+    path = str(tmp_path / "race_mor")
+    # ONE data file so both deletes touch the same file (true write-write)
+    write_delta(spark.range(100).coalesce(1).selectExpr("id"), path)
+
+    import athena_delta_lake_spark.delta.writer as W
+
+    orig = W._atomic_commit
+    armed = {"on": True}
+
+    def racing_atomic_commit(log_dir, version, actions):
+        # the loser has already picked `version`; the winner's whole MOR
+        # delete lands first, so the loser's create collides and retries
+        if armed["on"]:
+            armed["on"] = False
+            delete_mor(spark, path, "id < 10")
+        return orig(log_dir, version, actions)
+
+    W._atomic_commit = racing_atomic_commit
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            delete_mor(spark, path, "id >= 90")
+    finally:
+        W._atomic_commit = orig
+    # winner's deletions intact
+    t = DeltaTable(spark, path)
+    assert t.to_df().count() == 90
+    assert t.to_df().filter("id < 10").count() == 0
