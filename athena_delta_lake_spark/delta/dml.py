@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from .log import AddFile, DeltaLog, SnapshotState
 from .reader import read_files
 from .stats import Predicate, prune_files
-from .writer import commit_rewrite, stage_data_files
+from .writer import commit_rewrite, file_fingerprint, stage_data_files
 
 
 # --------------------------------------------------------------- predicates
@@ -158,6 +158,7 @@ def delete(spark: SparkSession, table_path: str, where) -> dict:
         adds,
         [f.path for f in candidates],
         operation_parameters={"predicate": str(where)},
+        expected_states={f.path: file_fingerprint(f) for f in candidates},
     )
     before, after = _num_records(candidates), _adds_num_records(adds)
     return {
@@ -331,6 +332,7 @@ def update(
         adds,
         [f.path for f in candidates],
         operation_parameters={"predicate": str(where)},
+        expected_states={f.path: file_fingerprint(f) for f in candidates},
     )
     return {"files_removed": len(candidates), "files_added": len(adds)}
 
@@ -409,6 +411,7 @@ def merge_upsert(
         adds,
         [f.path for f in touched],
         operation_parameters={"matchedPredicate": " AND ".join(keys)},
+        expected_states={f.path: file_fingerprint(f) for f in touched},
     )
     return {
         "files_removed": len(touched),
@@ -485,6 +488,7 @@ def compact(
         [f.path for f in victims],
         data_change=False,
         operation_parameters={"targetSize": str(target_file_size)},
+        expected_states={f.path: file_fingerprint(f) for f in victims},
     )
     return {
         "groups": len(to_compact),
