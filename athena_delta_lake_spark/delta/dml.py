@@ -564,6 +564,7 @@ def restore_table(
         if target.metadata != current.metadata
         else None
     )
+    cur_by = {f.path: f for f in current.files}
     new_version = commit_rewrite(
         table_path,
         "RESTORE",
@@ -571,6 +572,7 @@ def restore_table(
         to_remove,
         operation_parameters={"version": str(target.version)},
         extra_actions=extra,
+        expected_states={p: file_fingerprint(cur_by[p]) for p in to_remove},
     )
     return {
         "restored_to": target.version,

@@ -239,6 +239,8 @@ class DeltaPondBatchReader(DataSourceReader):
         self._schema = schema
         v = options.get("versionAsOf")
         self._version = int(v) if v is not None else None
+        ts = options.get("timestampAsOf")
+        self._ts_millis = int(ts) if ts is not None else None
         self._preds: list[tuple] = []
 
     def pushFilters(self, filters):
@@ -253,8 +255,17 @@ class DeltaPondBatchReader(DataSourceReader):
                 self._preds.append((attr[0], op, f.value))
             yield f
 
+    def _resolve_version(self) -> int | None:
+        if self._version is not None:
+            return self._version
+        if self._ts_millis is not None:
+            return DeltaLog(self._path).snapshot_as_of_timestamp(
+                self._ts_millis
+            ).version
+        return None
+
     def partitions(self):
-        snap = DeltaLog(self._path).snapshot(self._version)
+        snap = DeltaLog(self._path).snapshot(self._resolve_version())
         files = prune_files(snap, self._preds or None)
         return [
             DeltaScanPartition(

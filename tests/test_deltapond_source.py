@@ -281,3 +281,27 @@ def test_file_uri_path_option(spark, tmp_path):
     for uri in (f"file:{path}", f"file://{path}", f"file:///{path.lstrip('/')}"):
         df = spark.read.format("deltapond").option("path", uri).load()
         assert df.count() == 30
+
+
+def test_timestamp_as_of_option(spark, tmp_path):
+    import time
+
+    from athena_delta_lake_spark import write_delta
+    from athena_delta_lake_spark.sources.deltapond_source import (
+        register as register_ds,
+    )
+
+    register_ds(spark)
+    path = str(tmp_path / "ts_tbl")
+    write_delta(spark.range(10).selectExpr("id"), path)  # v0
+    time.sleep(0.05)
+    t_between = int(time.time() * 1000)
+    time.sleep(0.05)
+    write_delta(spark.range(10, 30).selectExpr("id"), path)  # v1
+    df = (
+        spark.read.format("deltapond")
+        .option("path", path)
+        .option("timestampAsOf", t_between)
+        .load()
+    )
+    assert df.count() == 10
