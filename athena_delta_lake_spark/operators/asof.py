@@ -212,3 +212,44 @@ def gapfill_time_buckets(
         "n", F.coalesce(F.col("n"), F.lit(0))
     )
     return out
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the earliest time each stage is
+    reached AFTER the previous stage (strictly increasing timestamps).
+    Returns (stage_idx, stage, n_users) — the classic conversion funnel.
+
+    Relational formulation: stage i is one groupBy(user) of
+    min(ts WHERE type = stage_i AND ts > t_{i-1}) joined back — stages are
+    few (<= 5 typically), so this is a handful of uniform-key shuffles,
+    never a per-user Python loop. Users missing a stage drop out of all
+    later stages (inner join), exactly funnel semantics.
+    """
+    u, t, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+    reached = (
+        df.filter(ty == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(t).alias("_t0"))
+    )
+    counts = [(0, stages[0], reached.count())]
+    for i, stage in enumerate(stages[1:], start=1):
+        prev_col = f"_t{i - 1}"
+        nxt = (
+            df.filter(ty == stage)
+            .join(reached, user_col)
+            .filter(t > F.col(prev_col))
+            .groupBy(user_col, prev_col)
+            .agg(F.min(t).alias(f"_t{i}"))
+        )
+        reached = nxt
+        counts.append((i, stage, reached.count()))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        counts, "stage_idx int, stage string, n_users long"
+    )

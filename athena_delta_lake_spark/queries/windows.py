@@ -286,3 +286,32 @@ def w10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return gapfill_time_buckets(ev, "ts", ["event_type"], bucket="1 hour")
+
+
+@register(
+    "w11_funnel_stages",
+    "timeseries",
+    """
+    WITH s0 AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s1 AS (
+      SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY e.user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.user_id
+    )
+    SELECT 0 AS stage_idx, 'view' AS stage, (SELECT count(*) FROM s0) AS n_users
+    UNION ALL
+    SELECT 1, 'click', (SELECT count(*) FROM s1)
+    UNION ALL
+    SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+    """,
+    "ordered conversion funnel view -> click -> purchase (strict ts order)",
+)
+def w11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import funnel
+
+    ev = load(spark, sf_dir, "events")
+    return funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
