@@ -112,3 +112,32 @@ def winnow_fingerprint(col: str | Column, window: int = 8, keep: int = 4) -> Col
     """Winnowing-style robust fingerprint: the `keep` smallest rolling
     hashes, sorted — stable under small edits."""
     return F.slice(F.array_sort(rolling_hashes(col, window)), 1, keep)
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf = term count in doc,
+    idf = ln(N / df). Explode words once; two uniform-key shuffles
+    (term counts per doc, document frequency per term) and a per-doc
+    window top-k — no UDFs, no driver-side vocabulary."""
+    from pyspark.sql import Window as W
+
+    from .dedup import normalize_text
+
+    n_docs = df.count()
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
+    )
+    tf = words.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = W.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("id", "rnk", "term", F.round("score", 6).alias("score"))
+    )

@@ -147,3 +147,32 @@ def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", tx.winnow_fingerprint("text", window=8, keep=4).alias("winnow")
     )
+
+
+@register(
+    "x06_tfidf_top_terms",
+    "text",
+    """
+    WITH words AS (
+      SELECT doc_id AS id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT id, term, count(*) AS tf FROM words GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT id, term, tf.tf * ln((SELECT count(*) FROM documents) / dfreq.df) AS score
+      FROM tf JOIN dfreq USING (term)
+    ), ranked AS (
+      SELECT id, term, score,
+             row_number() OVER (PARTITION BY id ORDER BY score DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT id, rnk, term, round(score, 6) AS score FROM ranked WHERE rnk <= 3
+    """,
+    "top-3 TF-IDF terms per document (tf * ln(N/df), deterministic tiebreak)",
+)
+def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return tx.tfidf_top_terms(d, "doc_id", "text", top_k=3)
