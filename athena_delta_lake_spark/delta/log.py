@@ -68,6 +68,7 @@ class SnapshotState:
     partition_columns: list[str]
     files: list[AddFile]
     table_path: str
+    txns: dict = field(default_factory=dict)  # appId -> last committed txn version
 
     @property
     def num_files(self) -> int:
@@ -82,6 +83,7 @@ class _ReplayAccumulator:
     protocol: dict | None = None
     adds: dict[str, AddFile] = field(default_factory=dict)
     removed: set[str] = field(default_factory=set)
+    txns: dict = field(default_factory=dict)
 
 
 def _log_dir(table_path: str) -> str:
@@ -164,7 +166,13 @@ def _apply_action(acc: _ReplayAccumulator, action: dict) -> None:
         path = _decode_path(action["remove"]["path"])
         acc.adds.pop(path, None)
         acc.removed.add(path)
-    # commitInfo / txn / cdc / domainMetadata are no-ops for snapshot state
+    elif "txn" in action:
+        t = action["txn"]
+        if t.get("appId") is not None and t.get("version") is not None:
+            acc.txns[t["appId"]] = max(
+                int(t["version"]), acc.txns.get(t["appId"], -1)
+            )
+    # commitInfo / cdc / domainMetadata are no-ops for snapshot state
 
 
 def _read_checkpoint(fs, log_dir: str, parts: list[str], acc: _ReplayAccumulator) -> None:
@@ -175,7 +183,9 @@ def _read_checkpoint(fs, log_dir: str, parts: list[str], acc: _ReplayAccumulator
     read through Spark (see fs.HadoopFS.read_checkpoint_rows).
     """
     paths = [_join(log_dir, part) for part in parts]
-    for row in fs.read_checkpoint_rows(paths, ["add", "remove", "metaData", "protocol"]):
+    for row in fs.read_checkpoint_rows(
+        paths, ["add", "remove", "metaData", "protocol", "txn"]
+    ):
         action = {k: v for k, v in row.items() if v is not None}
         if action:
             _apply_action(acc, action)
@@ -349,6 +359,7 @@ class DeltaLog:
             partition_columns=list(acc.metadata.get("partitionColumns") or []),
             files=list(acc.adds.values()),
             table_path=self.table_path,
+            txns=dict(acc.txns),
         )
         self._cache[key] = state
         return state

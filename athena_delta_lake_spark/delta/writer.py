@@ -449,6 +449,8 @@ def write_delta(
     merge_schema: bool = False,
     cluster_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Write `df` to a Delta table at `table_path`. Returns committed version.
 
@@ -466,6 +468,13 @@ def write_delta(
     range, so per-file min/max stats make data-skipping scans on those
     columns prune most files. Orthogonal to partition_by.
 
+    txn_app_id/txn_version: idempotent writes (Delta SetTransaction).
+    When the table's snapshot already records this appId at a version >=
+    txn_version, the write is a NO-OP returning the current table version
+    — a crashed-and-retried batch job cannot double-append. The commit
+    records the txn action so the guarantee survives restarts and
+    checkpoints.
+
     zorder_by: MULTI-dimensional clustering by a bit-interleaved Z-value
     (true OPTIMIZE ZORDER): each column is width-bucketed to 8 bits
     between its min and max (one tiny agg job — no global windows, so no
@@ -476,6 +485,8 @@ def write_delta(
     """
     if mode not in {"append", "overwrite"}:
         raise ValueError(f"unsupported mode: {mode}")
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version go together")
     table_path = os.path.abspath(table_path)
 
     prior = None
@@ -483,6 +494,13 @@ def write_delta(
         prior = DeltaLog(table_path).snapshot()
     except (FileNotFoundError, ValueError):
         pass
+
+    if (
+        txn_app_id is not None
+        and prior is not None
+        and prior.txns.get(txn_app_id, -1) >= txn_version
+    ):
+        return prior.version  # already applied: idempotent no-op
     if partition_by is None and prior is not None and mode == "append":
         # inherit the table's existing partition spec on append
         partition_by = list(prior.partition_columns)
@@ -571,6 +589,8 @@ def write_delta(
             }
         }
     ]
+    if txn_app_id is not None:
+        actions.append({"txn": {"appId": txn_app_id, "version": int(txn_version)}})
     if version == 0:
         # generated columns are a legacy writer-version-4 feature
         min_writer = 4 if _generation_expressions(schema) else 2
@@ -687,6 +707,15 @@ def write_checkpoint(table_path: str) -> int:
                 ),
             ),
             pa.field(
+                "txn",
+                pa.struct(
+                    [
+                        pa.field("appId", pa.string()),
+                        pa.field("version", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
                 "metaData",
                 pa.struct(
                     [
@@ -739,13 +768,28 @@ def write_checkpoint(table_path: str) -> int:
 
     snap = DeltaLog(table_path).snapshot()
     rows = [
-        {"protocol": snap.protocol, "metaData": None, "add": None},
-        {"protocol": None, "metaData": _checkpoint_metadata(snap.metadata), "add": None},
+        {"protocol": snap.protocol, "txn": None, "metaData": None, "add": None},
+        {
+            "protocol": None,
+            "txn": None,
+            "metaData": _checkpoint_metadata(snap.metadata),
+            "add": None,
+        },
     ]
+    for app_id, v in sorted(snap.txns.items()):
+        rows.append(
+            {
+                "protocol": None,
+                "txn": {"appId": app_id, "version": int(v)},
+                "metaData": None,
+                "add": None,
+            }
+        )
     for f in snap.files:
         rows.append(
             {
                 "protocol": None,
+                "txn": None,
                 "metaData": None,
                 "add": {
                     "path": f.path,

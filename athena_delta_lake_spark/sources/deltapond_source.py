@@ -738,20 +738,13 @@ class DeltaPondStreamWriter(DataSourceStreamArrowWriter):
 
     def _last_committed_epoch(self) -> int:
         try:
-            log = DeltaLog(self._path)
-            latest = log.latest_version()
+            snap = DeltaLog(self._path).snapshot()
         except (FileNotFoundError, ValueError):
             return -1
-        last = -1
-        for v in range(latest + 1):
-            try:
-                for action in log.commit_actions(v):
-                    txn = action.get("txn")
-                    if txn and txn.get("appId") == self._app_id:
-                        last = max(last, int(txn.get("version", -1)))
-            except FileNotFoundError:
-                continue  # expired commit (vacuumed); checkpointed offsets cover it
-        return last
+        # snapshot replay tracks SetTransaction high-water marks (and the
+        # checkpoint persists them), so this is O(1) instead of rescanning
+        # every commit JSON — and survives commit-file cleanup
+        return int(snap.txns.get(self._app_id, -1))
 
     def write(self, iterator) -> _AddsMessage:
         return _AddsMessage(

@@ -296,3 +296,31 @@ def test_zorder_prunes_on_every_dimension(spark, tmp_path):
     # correctness: z-ordered table reads back identically
     assert zt.to_df().count() == n
     assert zt.to_df().agg({"payload": "sum"}).first()[0] == n * (n - 1) // 2
+
+
+def test_idempotent_txn_writes(spark, tmp_path):
+    """SetTransaction idempotence: a retried (appId, version) append is a
+    no-op; a newer version applies; state survives checkpoint replay."""
+    from athena_delta_lake_spark.delta import DeltaTable
+    from athena_delta_lake_spark.delta.writer import write_checkpoint
+
+    path = str(tmp_path / "txn_tbl")
+    df = spark.range(10).selectExpr("id")
+    write_delta(df, path, txn_app_id="job-1", txn_version=1)
+    # crashed-and-retried batch: same txn -> silently skipped
+    write_delta(df, path, txn_app_id="job-1", txn_version=1)
+    t = DeltaTable(spark, path)
+    assert t.to_df().count() == 10 and t.version() == 0
+    # next batch applies
+    write_delta(spark.range(10, 15).selectExpr("id"), path,
+                txn_app_id="job-1", txn_version=2)
+    assert t.to_df().count() == 15
+    assert t.snapshot().txns == {"job-1": 2}
+    # survives checkpoint-based replay
+    write_checkpoint(path)
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    DeltaLog.clear_cache()
+    assert DeltaLog(path).snapshot().txns == {"job-1": 2}
+    write_delta(df, path, txn_app_id="job-1", txn_version=2)  # still no-op
+    assert t.to_df().count() == 15
