@@ -74,6 +74,41 @@ class SnapshotState:
     def num_files(self) -> int:
         return len(self.files)
 
+    def files_df(self, spark):
+        """The live-file metadata as a DataFrame — for tables whose file
+        COUNT strains the driver (audits, file-size histograms, partition
+        skew checks run distributed instead of in a Python loop)."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("path", T.StringType(), False),
+                T.StructField(
+                    "partition_values",
+                    T.MapType(T.StringType(), T.StringType(), True),
+                    False,
+                ),
+                T.StructField("size", T.LongType(), False),
+                T.StructField("modification_time", T.LongType(), False),
+                T.StructField("num_records", T.LongType(), True),
+                T.StructField("dv_cardinality", T.LongType(), True),
+            ]
+        )
+        rows = [
+            (
+                f.path,
+                f.partition_values or {},
+                f.size,
+                f.modification_time,
+                (f.stats or {}).get("numRecords"),
+                int(f.deletion_vector["cardinality"])
+                if f.deletion_vector and "cardinality" in f.deletion_vector
+                else None,
+            )
+            for f in self.files
+        ]
+        return spark.createDataFrame(rows, schema)
+
 
 @dataclass
 class _ReplayAccumulator:

@@ -915,3 +915,32 @@ def convert_to_delta(
     _atomic_commit(log_dir, 0, actions)
     DeltaLog.clear_cache()
     return 0
+
+
+def cleanup_log(table_path: str, retention_hours: float = 168.0) -> dict:
+    """Delete commit JSONs already covered by a checkpoint and older than
+    the retention window (delta.logRetentionDuration analog). The snapshot
+    keeps replaying from the checkpoint; time travel to cleaned versions
+    is gone — same contract as Delta's metadata cleanup. Never touches the
+    checkpoint itself, `_last_checkpoint`, or post-checkpoint commits."""
+    table_path = os.path.abspath(table_path)
+    log_dir = os.path.join(table_path, "_delta_log")
+    last_cp = -1
+    for name in os.listdir(log_dir):
+        if ".checkpoint" in name and name.endswith(".parquet"):
+            last_cp = max(last_cp, int(name.split(".")[0]))
+    if last_cp < 0:
+        return {"removed": [], "checkpoint": None}
+    cutoff = time.time() - retention_hours * 3600.0
+    removed = []
+    for name in sorted(os.listdir(log_dir)):
+        m = __import__("re").match(r"^(\d{20})\.json$", name)
+        if not m or int(m.group(1)) >= last_cp:
+            continue
+        full = os.path.join(log_dir, name)
+        if os.path.getmtime(full) >= cutoff:
+            continue
+        os.remove(full)
+        removed.append(name)
+    DeltaLog.clear_cache()
+    return {"removed": removed, "checkpoint": last_cp}

@@ -226,3 +226,23 @@ def test_time_travel_by_timestamp(tmp_path):
     assert log.snapshot_as_of_timestamp(now).version == 1
     with pytest.raises(ValueError, match="no commit"):
         log.snapshot_as_of_timestamp(0)
+
+
+def test_files_df_distributed_metadata(spark, tmp_path):
+    from athena_delta_lake_spark import DeltaTable, write_delta
+
+    path = str(tmp_path / "fdf")
+    write_delta(
+        spark.range(100).selectExpr("id", "id % 4 AS p"), path, partition_by=["p"]
+    )
+    snap = DeltaTable(spark, path).snapshot()
+    fdf = snap.files_df(spark)
+    rows = fdf.collect()
+    assert len(rows) == len(snap.files)
+    assert sum(r["num_records"] for r in rows) == 100
+    # partition audit runs as a DataFrame op
+    per_part = {
+        r["partition_values"]["p"]: r["n"]
+        for r in fdf.groupBy("partition_values").count().withColumnRenamed("count", "n").collect()
+    }
+    assert set(per_part) == {"0", "1", "2", "3"}

@@ -324,3 +324,25 @@ def test_idempotent_txn_writes(spark, tmp_path):
     assert DeltaLog(path).snapshot().txns == {"job-1": 2}
     write_delta(df, path, txn_app_id="job-1", txn_version=2)  # still no-op
     assert t.to_df().count() == 15
+
+
+def test_log_cleanup_after_checkpoint(spark, tmp_path):
+    from athena_delta_lake_spark.delta import DeltaTable
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.writer import cleanup_log, write_checkpoint
+
+    path = str(tmp_path / "clean_tbl")
+    for i in range(4):
+        write_delta(spark.range(i * 10, (i + 1) * 10).selectExpr("id"), path)
+    write_checkpoint(path)  # checkpoint at v3
+    write_delta(spark.range(40, 45).selectExpr("id"), path)  # v4
+
+    # retention protects recent commits
+    assert cleanup_log(path, retention_hours=1.0)["removed"] == []
+    res = cleanup_log(path, retention_hours=0.0)
+    assert res["checkpoint"] == 3
+    assert len(res["removed"]) == 3  # v0..v2 (v3 is the checkpoint version)
+    t = DeltaTable(spark, path)
+    assert t.to_df().count() == 45  # checkpoint + v3 json + v4 replay fine
+    with pytest.raises((FileNotFoundError, ValueError)):
+        DeltaLog(path).snapshot(1)  # cleaned version is gone, cleanly
