@@ -93,6 +93,12 @@ class DeltaPond:
             return DeltaTable(self.spark, p).to_df()
         return self.spark.read.parquet(p)
 
+    def create_schema(self, schema: str) -> None:
+        """Storage-layout catalog: a schema IS a top-level directory."""
+        import os
+
+        os.makedirs(_join(self.root, schema), exist_ok=True)
+
     def create_table(
         self,
         schema: str,

@@ -273,3 +273,38 @@ def st07(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.event_type").alias("event_type"),
     )
     return _run_to_table(joined, "st07_out", "append")
+
+
+@register(
+    "st08_stream_change_feed",
+    "streaming",
+    """
+    SELECT 'insert' AS _change_type, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    UNION ALL
+    SELECT 'delete', count(*), CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+    "streaming change feed (readChangeFeed): labeled inserts + exact "
+    "MOR-delete rows aggregated over the full replay",
+)
+def st08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.deltapond_source import register as register_ds
+    from ..streaming import run_to_memory
+    from .delta_q import _ensure_cdf_orders
+
+    register_ds(spark)
+    path = _ensure_cdf_orders(spark, sf_dir)
+    stream = (
+        spark.readStream.format("deltapond")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 0)
+        .load()
+    )
+    agg = stream.groupBy("_change_type").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )
+    return run_to_memory(agg, "st08_out", "complete")

@@ -42,7 +42,10 @@ BENCH_QUERIES = [
     "d04_minhash_lsh_pairs",
     "n01_knn_brute_force",
     "x01_token_stats",
+    "x06_tfidf_top_terms",
     "p01_pack_sequences",
+    "m03_skyline_pareto",
+    "w10_gapfill_hourly",
     # native Delta core (log replay + pruning + scan)
     "l01_delta_pruned_scan",
 ]
