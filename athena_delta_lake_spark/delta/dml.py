@@ -346,9 +346,21 @@ def merge_upsert(
     source: DataFrame,
     keys: list[str],
     broadcast_keys: bool = True,
+    when_matched: str = "update",
+    when_not_matched: str | None = "insert",
+    not_matched_by_source: str | None = None,
 ) -> dict:
-    """MERGE INTO table USING source ON keys
-    WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * (upsert).
+    """MERGE INTO table USING source ON keys — full clause semantics:
+
+    - when_matched: 'update' (replace matched target rows with the source
+      version) or 'delete' (drop them);
+    - when_not_matched: 'insert' (add source rows whose keys are absent
+      from the target) or None (ignore them);
+    - not_matched_by_source: None (keep target rows no source key matches
+      — the default) or 'delete' (drop them: full-sync semantics).
+      Deleting by-source means files with NO matched keys are removed
+      wholesale as a METADATA-ONLY operation (all their rows are
+      by-definition unmatched) — only matched files get rewritten.
 
     Touched-file detection is a semi-join of the target scan (tagged with
     its physical file) against the distinct source keys — only files that
@@ -357,6 +369,12 @@ def merge_upsert(
     `broadcast_keys` hints the key set broadcast-able (the common case:
     source << target); set False to let AQE choose for huge sources.
     """
+    if when_matched not in ("update", "delete"):
+        raise ValueError("when_matched must be 'update' or 'delete'")
+    if when_not_matched not in ("insert", None):
+        raise ValueError("when_not_matched must be 'insert' or None")
+    if not_matched_by_source not in ("delete", None):
+        raise ValueError("not_matched_by_source must be 'delete' or None")
     table_path = os.path.abspath(table_path)
     snap = DeltaLog(table_path).snapshot()
     target_cols = [f.name for f in snap.schema.fields]
@@ -392,13 +410,33 @@ def merge_upsert(
         }
     touched = [by_basename[n] for n in touched_names if n in by_basename]
 
+    remove_files = list(touched)
+    if not_matched_by_source == "delete":
+        # untouched files hold ONLY unmatched rows: remove them wholesale,
+        # no data I/O (the metadata fast path)
+        remove_files = list(live)
+
+    pieces = []
     if touched:
-        kept = read_files(spark, snap, touched).join(
-            src_keys, keys, "left_anti"
+        target_rows = read_files(spark, snap, touched)
+        if not_matched_by_source != "delete":
+            # unmatched target rows survive the rewrite
+            pieces.append(target_rows.join(src_keys, keys, "left_anti"))
+        matched_keys = (
+            target_rows.select(*keys).join(src_keys, keys, "left_semi").distinct()
         )
-        new_data = kept.unionByName(src)
     else:
-        new_data = src
+        matched_keys = src.select(*keys).limit(0)
+    if when_matched == "update":
+        pieces.append(src.join(matched_keys, keys, "left_semi"))
+    if when_not_matched == "insert":
+        pieces.append(src.join(matched_keys, keys, "left_anti"))
+    if pieces:
+        new_data = pieces[0]
+        for piece in pieces[1:]:
+            new_data = new_data.unionByName(piece)
+    else:
+        new_data = src.limit(0)
     from .writer import _enforce_constraints
 
     _enforce_constraints(new_data, snap.metadata.get("configuration"))
@@ -409,12 +447,12 @@ def merge_upsert(
         table_path,
         "MERGE",
         adds,
-        [f.path for f in touched],
+        [f.path for f in remove_files],
         operation_parameters={"matchedPredicate": " AND ".join(keys)},
-        expected_states={f.path: file_fingerprint(f) for f in touched},
+        expected_states={f.path: file_fingerprint(f) for f in remove_files},
     )
     return {
-        "files_removed": len(touched),
+        "files_removed": len(remove_files),
         "files_added": len(adds),
         "source_rows": None,
     }

@@ -162,11 +162,26 @@ class DeltaTable:
         return update(self.spark, self.path, set, where)
 
     def merge(
-        self, source: DataFrame, keys: list[str], broadcast_keys: bool = True
+        self,
+        source: DataFrame,
+        keys: list[str],
+        broadcast_keys: bool = True,
+        when_matched: str = "update",
+        when_not_matched: str | None = "insert",
+        not_matched_by_source: str | None = None,
     ) -> dict:
         from .dml import merge_upsert
 
-        return merge_upsert(self.spark, self.path, source, keys, broadcast_keys)
+        return merge_upsert(
+            self.spark,
+            self.path,
+            source,
+            keys,
+            broadcast_keys,
+            when_matched,
+            when_not_matched,
+            not_matched_by_source,
+        )
 
     def compact(
         self,

@@ -236,3 +236,42 @@ def test_optimize_zorder(spark, tmp_path):
     assert len(t.pruned_files([("b", "=", 3)])) < total / 2
     assert t.to_df().count() == 40_000
     assert t.history()[0]["operation"] == "OPTIMIZE"
+
+
+def test_merge_clause_semantics(spark, tmp_path):
+    """WHEN MATCHED DELETE, WHEN NOT MATCHED insert-or-ignore, and
+    NOT MATCHED BY SOURCE DELETE (full-sync)."""
+
+    def fresh(name):
+        path = str(tmp_path / name)
+        df = spark.createDataFrame(
+            [(i, i % 4, float(i), f"name_{i}") for i in range(100)],
+            "id int, part int, v double, name string",
+        )
+        write_delta(df, path, partition_by=["part"])
+        return DeltaTable(spark, path)
+
+    src = spark.createDataFrame(
+        [(5, 1, -5.0, "upd_5"), (500, 0, -500.0, "new_500")],
+        "id int, part int, v double, name string",
+    )
+
+    # matched-delete + insert
+    t = fresh("m1")
+    t.merge(src, keys=["id"], when_matched="delete")
+    got = {r["id"]: r["name"] for r in t.to_df().collect()}
+    assert 5 not in got and got[500] == "new_500" and len(got) == 100
+
+    # update only, no insert
+    t = fresh("m2")
+    t.merge(src, keys=["id"], when_not_matched=None)
+    got = {r["id"]: r["name"] for r in t.to_df().collect()}
+    assert got[5] == "upd_5" and 500 not in got and len(got) == 100
+
+    # full sync: unmatched target rows are dropped, incl. whole untouched
+    # partitions via metadata-only removes
+    t = fresh("m3")
+    res = t.merge(src, keys=["id"], not_matched_by_source="delete")
+    got = {r["id"]: r["name"] for r in t.to_df().collect()}
+    assert got == {5: "upd_5", 500: "new_500"}
+    assert res["files_removed"] >= 4  # every prior file gone
