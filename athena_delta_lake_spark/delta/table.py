@@ -129,6 +129,21 @@ class DeltaTable:
                 df = df.filter(cond)
         return df
 
+    def count(self, version: int | None = None) -> int:
+        """Row count. O(metadata) when every live file carries numRecords
+        stats (the engine's own writes always do — deletion-vector
+        cardinalities subtracted); falls back to a scan otherwise."""
+        snap = self.snapshot(version)
+        total = 0
+        for f in snap.files:
+            n = (f.stats or {}).get("numRecords")
+            if n is None:
+                return self.to_df(version=version).count()
+            total += int(n)
+            if f.deletion_vector:
+                total -= int(f.deletion_vector.get("cardinality", 0))
+        return total
+
     # -- write path (absent from the reference; SURVEY §2.C)
     def write(
         self,

@@ -100,3 +100,16 @@ def test_hive_escaped_partition_values(spark, tbl):
     out = {r["k"]: r["id"] for r in t.to_df().collect()}
     assert out == {"a/b": 1, "c=d": 2, "x y": 3, "ü": 4, None: 5}
     assert len(t.pruned_files([("k", "=", "a/b")])) == 1
+
+
+def test_metadata_only_count(spark, tmp_path):
+    from athena_delta_lake_spark import DeltaTable, write_delta
+
+    path = str(tmp_path / "cnt")
+    write_delta(spark.range(500).selectExpr("id"), path)
+    t = DeltaTable(spark, path)
+    assert t.count() == 500  # no scan: from stats
+    t.delete(where="id < 100", mode="mor")
+    assert t.count() == 400  # DV cardinality subtracted
+    assert t.count(version=0) == 500
+    assert t.count() == t.to_df().count()
