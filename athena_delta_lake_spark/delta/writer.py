@@ -680,12 +680,18 @@ class ConcurrentWriteError(RuntimeError):
     this transaction targeted, and the transactions do not commute."""
 
 
-def write_checkpoint(table_path: str) -> int:
+def write_checkpoint(table_path: str, parts: int | None = None) -> int:
     """Write a Parquet checkpoint of the latest snapshot + `_last_checkpoint`.
 
     Checkpoint rows carry one non-null action column each
-    (protocol | metaData | add), matching the classic Delta checkpoint shape
-    the replayer (log.py:_read_checkpoint) consumes.
+    (protocol | txn | metaData | add), matching the classic Delta
+    checkpoint shape the replayer (log.py:_read_checkpoint) consumes.
+
+    `parts`: write a MULTI-PART checkpoint
+    (NNN.checkpoint.0000000001.0000000XYZ.parquet x parts) — the layout
+    Delta uses when one checkpoint file would be too large; a 100 TB table
+    can carry millions of add rows, and parts let both the write and the
+    replay proceed file-by-file with bounded memory.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -804,12 +810,25 @@ def write_checkpoint(table_path: str) -> int:
                 },
             }
         )
-    table = pa.Table.from_pylist(rows, schema=cp_schema)
     log_dir = os.path.join(table_path, "_delta_log")
-    cp_path = os.path.join(log_dir, f"{snap.version:020d}.checkpoint.parquet")
-    pq.write_table(table, cp_path)
+    if parts is None or parts <= 1:
+        table = pa.Table.from_pylist(rows, schema=cp_schema)
+        cp_path = os.path.join(log_dir, f"{snap.version:020d}.checkpoint.parquet")
+        pq.write_table(table, cp_path)
+        last = {"version": snap.version, "size": len(rows)}
+    else:
+        chunk = -(-len(rows) // parts)
+        for i in range(parts):
+            piece = rows[i * chunk : (i + 1) * chunk]
+            table = pa.Table.from_pylist(piece, schema=cp_schema)
+            cp_path = os.path.join(
+                log_dir,
+                f"{snap.version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet",
+            )
+            pq.write_table(table, cp_path)
+        last = {"version": snap.version, "size": len(rows), "parts": parts}
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
-        json.dump({"version": snap.version, "size": len(rows)}, f)
+        json.dump(last, f)
     return snap.version
 
 

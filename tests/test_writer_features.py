@@ -346,3 +346,31 @@ def test_log_cleanup_after_checkpoint(spark, tmp_path):
     assert t.to_df().count() == 45  # checkpoint + v3 json + v4 replay fine
     with pytest.raises((FileNotFoundError, ValueError)):
         DeltaLog(path).snapshot(1)  # cleaned version is gone, cleanly
+
+
+def test_multipart_checkpoint_roundtrip(spark, tmp_path):
+    import os as _os
+
+    from athena_delta_lake_spark.delta import DeltaTable
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.writer import write_checkpoint
+
+    path = str(tmp_path / "multi_cp")
+    for i in range(3):
+        write_delta(
+            spark.range(i * 20, (i + 1) * 20).selectExpr("id", "id % 2 AS p"),
+            path,
+            partition_by=["p"],
+        )
+    v = write_checkpoint(path, parts=3)
+    names = sorted(_os.listdir(_os.path.join(path, "_delta_log")))
+    part_files = [n for n in names if ".checkpoint." in n and n.endswith(".parquet")]
+    assert len(part_files) == 3
+    # replay from the multi-part checkpoint only: delete pre-checkpoint JSONs
+    for n in names:
+        if n.endswith(".json") and int(n.split(".")[0]) < v:
+            _os.remove(_os.path.join(path, "_delta_log", n))
+    DeltaLog.clear_cache()
+    t = DeltaTable(spark, path)
+    assert t.count() == 60
+    assert t.to_df().filter("p = 1").count() == 30
