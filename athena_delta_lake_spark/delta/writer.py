@@ -643,6 +643,13 @@ def write_delta(
                 ) from None
             current = DeltaLog(table_path).snapshot()
             if (
+                txn_app_id is not None
+                and current.txns.get(txn_app_id, -1) >= txn_version
+            ):
+                # the concurrent commit WAS this transaction (a twin of a
+                # retried idempotent job): already applied, do not duplicate
+                return current.version
+            if (
                 {f.name for f in current.schema.fields}
                 != {f.name for f in schema.fields}
                 or list(current.partition_columns) != partition_by

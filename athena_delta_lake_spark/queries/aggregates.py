@@ -303,3 +303,25 @@ def a13(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _a13_orders GROUP BY o_orderstatus
         """
     )
+
+
+@register(
+    "a14_hll_sketch_union",
+    "aggregation",
+    None,  # Datasketches HLL binary sketches have no DuckDB equivalent;
+    # estimate-vs-exact error is bounded in tests/test_scale_ops.py
+    "mergeable HLL sketches: per-segment hll_sketch_agg -> hll_union_agg "
+    "-> estimate (the incremental-distinct pattern: sketches, not rescans)",
+)
+def a14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    per_seg = c.groupBy("c_mktsegment").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.count("*").alias("n"),
+    )
+    return per_seg.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("approx_total_customers"),
+        F.sum("n").alias("exact_rows"),
+    )

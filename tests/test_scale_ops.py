@@ -125,3 +125,28 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         )
     finally:
         spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
+
+
+def test_hll_sketches_merge_and_persist(spark, sf_dir, tmp_path):
+    """Per-segment HLL sketches union to a near-exact global distinct, and
+    survive a Delta round trip as binary columns — the incremental
+    aggregation pattern (store sketches, merge on read, never rescan)."""
+    from pyspark.sql import functions as F
+
+    from athena_delta_lake_spark import DeltaTable, write_delta
+    from athena_delta_lake_spark.queries.base import load
+
+    c = load(spark, sf_dir, "customer")
+    exact = c.select("c_custkey").distinct().count()
+    sketches = c.groupBy("c_mktsegment").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk")
+    )
+    path = str(tmp_path / "sketch_tbl")
+    write_delta(sketches, path)
+    merged = (
+        DeltaTable(spark, path)
+        .to_df()
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()["est"]
+    )
+    assert abs(merged - exact) / exact < 0.05
