@@ -325,3 +325,37 @@ def a14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("approx_total_customers"),
         F.sum("n").alias("exact_rows"),
     )
+
+
+@register(
+    "a15_filtered_aggregates",
+    "aggregation",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_all,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+           CAST(sum(floor(l_extendedprice)) FILTER (WHERE l_quantity >= 25)
+                AS BIGINT) AS big_qty_price,
+           CAST(floor(avg(l_tax) FILTER (WHERE l_linestatus = 'F') * 10000 + 0.5) AS BIGINT)
+             AS f_tax_x1e4
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "FILTER-clause aggregates: per-aggregate predicates in one pass",
+)
+def a15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_all"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_disc"),
+        F.sum(
+            F.when(F.col("l_quantity") >= 25, F.floor("l_extendedprice"))
+        )
+        .cast("long")
+        .alias("big_qty_price"),
+        F.floor(
+            F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_tax"))) * 10000
+            + 0.5
+        )
+        .cast("long")
+        .alias("f_tax_x1e4"),
+    )
