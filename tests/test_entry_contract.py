@@ -29,6 +29,7 @@ def test_queries_oracle_consistency():
     assert rows_only == {
         "a05_approx_distinct",
         "a12_approx_percentile",
+        "a14_hll_sketch_union",
         "d04_minhash_lsh_pairs",
         "d05_simhash_pairs",
         "n02_ann_lsh",
