@@ -380,6 +380,113 @@ def simhash_pairs(
     )
 
 
+# ----------------------------------------------------- incremental dedup
+
+
+def fingerprint_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fp) — md5 of the normalized text, the exact-dup identity key."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalize_text(text_col)).alias("fp"),
+    )
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    known_fps: DataFrame,
+    broadcast_known: bool = False,
+) -> DataFrame:
+    """Rows of `batch` that survive dedup against an existing corpus AND
+    within the batch itself — the nightly-ingest primitive: only documents
+    never seen before (by normalized-text fingerprint) pass through.
+
+    `known_fps` is a one-column (`fp`) DataFrame — typically the fingerprint
+    corpus table maintained by `FingerprintCorpus`. The anti-join shuffles
+    on `fp`, an md5 — perfectly uniform at any corpus size; when the known
+    set is small (early corpus life), pass broadcast_known=True to skip the
+    shuffle entirely. Within-batch dedup keeps the lowest id per fp
+    (deterministic), same as exact_dedup.
+    """
+    fp = F.md5(normalize_text(text_col))
+    known = known_fps.select("fp").distinct()
+    if broadcast_known:
+        known = F.broadcast(known)
+    w = W.partitionBy("fp").orderBy(id_col)
+    return (
+        batch.withColumn("fp", fp)
+        .join(known, "fp", "left_anti")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("fp", "_rn")
+    )
+
+
+class FingerprintCorpus:
+    """A fingerprint corpus persisted as a Delta table: the state that makes
+    exact dedup INCREMENTAL across pipeline runs.
+
+    Workflow per ingest batch:
+        corpus = FingerprintCorpus(spark, path)
+        fresh  = corpus.dedup_batch(batch, "doc_id", "text")   # unseen docs
+        corpus.commit_batch(fresh, "doc_id", "text",
+                            txn_app_id="ingest", txn_version=run_id)
+
+    `commit_batch` appends the surviving fingerprints with a SetTransaction
+    action, so a retried run is a no-op (exactly-once) — the same mechanism
+    the streaming sink uses. At 100 TB the corpus table is billions of
+    16-byte fingerprints: the anti-join in dedup_batch shuffles on uniform
+    md5 keys, and the corpus scan projects a single column.
+
+    The reference connector has no write path at all (read-only scan,
+    DeltaRecordHandler.scala:116-155); this composes the engine's own Delta
+    writer with the dedup surface.
+    """
+
+    def __init__(self, spark, table_path: str):
+        self.spark = spark
+        self.path = table_path
+
+    def _exists(self) -> bool:
+        import os
+
+        return os.path.isdir(os.path.join(self.path, "_delta_log"))
+
+    def known_fps(self) -> DataFrame:
+        if not self._exists():
+            return self.spark.createDataFrame([], "fp string")
+        from ..delta.table import DeltaTable
+
+        return DeltaTable(self.spark, self.path).to_df(columns=["fp"])
+
+    def dedup_batch(
+        self, batch: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
+        return incremental_exact_dedup(
+            batch, id_col, text_col, self.known_fps()
+        )
+
+    def commit_batch(
+        self,
+        surviving: DataFrame,
+        id_col: str,
+        text_col: str,
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
+    ) -> int:
+        from ..delta.writer import write_delta
+
+        fps = fingerprint_table(surviving, id_col, text_col).select("fp")
+        return write_delta(
+            fps,
+            self.path,
+            mode="append",
+            txn_app_id=txn_app_id,
+            txn_version=txn_version,
+        )
+
+
 # ------------------------------------------------------ duplicate clustering
 
 

@@ -146,6 +146,38 @@ def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d08_incremental_dedup",
+    "dedup",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, source, md5({_NORM_SQL}) AS fp FROM documents
+    ), corpus AS (
+      SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0
+    ), survivors AS (
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fp b
+        WHERE b.doc_id % 2 = 1
+          AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+      ) t WHERE rn = 1
+    )
+    SELECT source, count(*) AS n_new FROM survivors GROUP BY source
+    """,
+    "incremental ingest dedup: new batch (odd ids) anti-joined against an "
+    "existing fingerprint corpus (even ids), then deduped within the batch",
+)
+def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    corpus = dedup.fingerprint_table(
+        d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
+    )
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    fresh = dedup.incremental_exact_dedup(batch, "doc_id", "text", corpus)
+    return fresh.groupBy("source").agg(F.count("*").alias("n_new"))
+
+
+@register(
     "d07_dup_components",
     "dedup",
     f"""

@@ -104,3 +104,52 @@ def test_connected_components_topology(spark):
     assert {comps[n] for n in (1, 2, 3, 4, 10, 11, 12)} == {1}
     assert comps[20] == 20 and comps[21] == 20
     assert len(comps) == 9
+
+
+def test_incremental_exact_dedup(spark):
+    corpus_docs = spark.createDataFrame(
+        [(10, "seen before"), (12, "also seen")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "Seen   BEFORE"),      # dup of corpus doc 10 (normalized)
+            (3, "brand new"),
+            (5, "brand  NEW"),         # within-batch dup of 3
+            (7, "another fresh one"),
+        ],
+        "doc_id long, text string",
+    )
+    known = dedup.fingerprint_table(corpus_docs, "doc_id", "text")
+    out = dedup.incremental_exact_dedup(batch, "doc_id", "text", known)
+    assert sorted(r["doc_id"] for r in out.collect()) == [3, 7]
+    # broadcast path selects the identical rows
+    out_b = dedup.incremental_exact_dedup(
+        batch, "doc_id", "text", known, broadcast_known=True
+    )
+    assert sorted(r["doc_id"] for r in out_b.collect()) == [3, 7]
+
+
+def test_fingerprint_corpus_roundtrip_and_idempotence(spark, tmp_path):
+    path = str(tmp_path / "fp_corpus")
+    corpus = dedup.FingerprintCorpus(spark, path)
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "ALPHA")], "doc_id long, text string"
+    )
+    fresh1 = corpus.dedup_batch(b1, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in fresh1.collect()) == [1, 2]
+    corpus.commit_batch(fresh1, "doc_id", "text", txn_app_id="ing", txn_version=1)
+    assert corpus.known_fps().count() == 2
+
+    # retried commit of the same run is a no-op (SetTransaction idempotence)
+    corpus.commit_batch(fresh1, "doc_id", "text", txn_app_id="ing", txn_version=1)
+    assert corpus.known_fps().count() == 2
+
+    # next batch: previously-seen docs are dropped, new ones survive
+    b2 = spark.createDataFrame(
+        [(4, "beta"), (5, "gamma")], "doc_id long, text string"
+    )
+    fresh2 = corpus.dedup_batch(b2, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in fresh2.collect()) == [5]
+    corpus.commit_batch(fresh2, "doc_id", "text", txn_app_id="ing", txn_version=2)
+    assert corpus.known_fps().count() == 3
