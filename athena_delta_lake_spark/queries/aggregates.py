@@ -359,3 +359,21 @@ def a15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("f_tax_x1e4"),
     )
+
+
+@register(
+    "a16_cms_heavy_hitters",
+    "aggregation",
+    None,  # xxhash64 cells have no DuckDB equivalent; the CMS guarantee
+    # (never undercounts; overcount <= eps*N) is bounded in
+    # tests/test_sketches.py, which also proves merge-exactness
+    "count-min sketch heavy hitters: relational (d,bucket,cnt) sketch with "
+    "map-side-combined cells, candidate keys estimated against it",
+)
+def a16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey")
+    sk = sketches.cms_build(li, "l_suppkey")
+    return sketches.cms_topk(sk, supp, "s_suppkey", k=15)

@@ -30,6 +30,7 @@ def test_queries_oracle_consistency():
         "a05_approx_distinct",
         "a12_approx_percentile",
         "a14_hll_sketch_union",
+        "a16_cms_heavy_hitters",
         "d04_minhash_lsh_pairs",
         "d05_simhash_pairs",
         "n02_ann_lsh",
