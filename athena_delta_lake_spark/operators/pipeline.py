@@ -119,6 +119,64 @@ def pack_sequences(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    frac: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-weighted mixture sample (alpha = 0.5): draw ~frac of the
+    corpus with per-source rates proportional to sqrt(n_s)/n_s, so
+    over-represented sources are down-weighted and small sources up-weighted
+    — the standard multilingual/LM corpus-rebalancing scheme (temperature
+    T=2 sampling, p_s ∝ n_s^(1/2)).
+
+    Deterministic AND engine-replayable: a row is kept iff
+
+        bucket(key) * n_s * W  <  1_000_000 * T_target * w_s
+
+    where w_s = floor(sqrt(n_s)) (integer weights), W = sum of w_s,
+    T_target = floor(frac * N). The comparison is exact integer arithmetic
+    (decimal(38,0) here, HUGEINT in the DuckDB oracle) — no float rate ever
+    crosses an engine boundary, so re-runs and engine ports keep byte-
+    identical rows. sqrt on integer-valued doubles is correctly rounded per
+    IEEE-754, so floor(sqrt(n_s)) is engine-stable too. Exactness holds
+    while 1e6 * n_s * W < 10^38 — i.e. any real corpus.
+
+    Per-source rates are capped at 1 implicitly (bucket < 1e6 always holds
+    when the RHS exceeds 1e6 * n_s * W). One broadcast join of the tiny
+    per-source count relation onto the corpus; the scan stays narrow.
+    """
+    dec = "decimal(38,0)"
+    counts = (
+        df.groupBy(F.col(source_col).alias("_src"))
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_w", F.floor(F.sqrt(F.col("_n"))).cast("long"))
+    )
+    totals = counts.agg(
+        F.sum("_n").alias("_total"), F.sum("_w").alias("_wsum")
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        "_src",
+        (F.col("_n").cast(dec) * F.col("_wsum").cast(dec)).alias("_lhs_scale"),
+        (
+            F.lit(_BUCKET_DENOM).cast(dec)
+            * F.floor(F.lit(frac) * F.col("_total")).cast(dec)
+            * F.col("_w").cast(dec)
+        ).alias("_rhs"),
+    )
+    b = md5_bucket(key_col, seed, _BUCKET_DENOM)
+    return (
+        df.join(
+            F.broadcast(rates),
+            df[source_col] == rates["_src"],
+        )
+        .filter(b.cast(dec) * F.col("_lhs_scale") < F.col("_rhs"))
+        .drop("_src", "_lhs_scale", "_rhs")
+    )
+
+
 def redact_pii(col: str | Column) -> Column:
     """Text with email/phone/IPv4 spans replaced by <TYPE> tags."""
     c = F.col(col) if isinstance(col, str) else col

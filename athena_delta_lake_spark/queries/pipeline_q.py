@@ -192,3 +192,33 @@ def p05(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunk_tokens",
         F.md5("chunk_text").alias("chunk_hash"),
     )
+
+
+@register(
+    "p06_mixture_sample",
+    "pipeline",
+    f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n,
+             CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(n) AS total, sum(w) AS wsum FROM counts
+    ), kept AS (
+      SELECT d.source
+      FROM documents d JOIN counts c ON d.source = c.source, tot t
+      WHERE CAST({_bucket_sql('d.doc_id', 42, 1_000_000)} AS HUGEINT)
+              * CAST(c.n AS HUGEINT) * CAST(t.wsum AS HUGEINT)
+          < CAST(1000000 AS HUGEINT)
+              * CAST(floor(0.2 * t.total) AS HUGEINT) * CAST(c.w AS HUGEINT)
+    )
+    SELECT source, count(*) AS n_kept FROM kept GROUP BY source
+    """,
+    "temperature (alpha=0.5) mixture sample at 20%: per-source rates "
+    "proportional to sqrt(n)/n via exact integer cross-multiplication — "
+    "byte-replayable in any engine",
+)
+def p06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    kept = pipeline.mixture_sample(d, "doc_id", "source", frac=0.2, seed=42)
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))

@@ -102,3 +102,31 @@ def test_redaction(spark):
     assert out["email"] == 1 and out["phone"] == 1 and out["ipv4"] == 1
     assert "<EMAIL>" in out["red"] and "<PHONE>" in out["red"] and "<IPV4>" in out["red"]
     assert "@" not in out["red"] and "192.168" not in out["red"]
+
+
+def test_mixture_sample_rebalances_and_is_deterministic(spark):
+    import pyspark.sql.functions as F
+
+    from athena_delta_lake_spark.operators.pipeline import mixture_sample
+
+    # big source (9000 rows) vs small source (100 rows)
+    rows = [(i, "big") for i in range(9000)] + [
+        (i, "small") for i in range(9000, 9100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = mixture_sample(df, "doc_id", "source", frac=0.2, seed=42)
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(by_src.values())
+    assert abs(total - 0.2 * 9100) / (0.2 * 9100) < 0.15  # ~frac overall
+    # temperature rebalancing: small source keeps a much larger fraction
+    rate_small = by_src.get("small", 0) / 100
+    rate_big = by_src["big"] / 9000
+    assert rate_small > 3 * rate_big
+    # deterministic: identical row set on re-run
+    ids1 = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    kept2 = mixture_sample(df, "doc_id", "source", frac=0.2, seed=42)
+    ids2 = sorted(r["doc_id"] for r in kept2.select("doc_id").collect())
+    assert ids1 == ids2
