@@ -635,13 +635,14 @@ def vacuum(
 
     Returns {"files": [...], "deleted": bool}. Metadata-only scan: walks
     the storage listing against the live-file set; never reads data."""
-    from urllib.parse import unquote
-
     from .deletion_vectors import dv_absolute_path
 
     table_path = os.path.abspath(table_path)
     snap = DeltaLog(table_path).snapshot()
-    live = {unquote(f.path) for f in snap.files}
+    # AddFile.path is already URL-decoded by replay — it IS the physical
+    # relative path; unquoting again would mis-key any name containing a
+    # literal %xx (e.g. hive-escaped `grp=a%3Db/`) and vacuum live files.
+    live = {f.path for f in snap.files}
     # DV blobs referenced by the current snapshot are live too
     for f in snap.files:
         if f.deletion_vector:

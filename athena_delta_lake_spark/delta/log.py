@@ -40,6 +40,12 @@ from .types import cast_partition_value, schema_string_to_struct
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
+# V2 ("uuid-named") checkpoint manifest: NNN.checkpoint.<uuid>.{json|parquet}.
+# The single non-numeric middle segment distinguishes it from both classic
+# forms (no middle segment / two numeric part segments).
+_CHECKPOINT_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.(?!\d+\.\d+\.parquet$)([^.]+)\.(json|parquet)$"
+)
 
 
 def _join(*parts: str) -> str:
@@ -226,6 +232,51 @@ def _read_checkpoint(fs, log_dir: str, parts: list[str], acc: _ReplayAccumulator
             _apply_action(acc, action)
 
 
+def _read_v2_checkpoint(fs, log_dir: str, manifest: str, acc: _ReplayAccumulator) -> None:
+    """Fold a V2 checkpoint (manifest + sidecars) into the accumulator.
+
+    V2 layout (Delta `v2Checkpoint` table feature): the manifest
+    `NNN.checkpoint.<uuid>.{json|parquet}` holds protocol/metaData/txn plus
+    `sidecar` actions; file actions (add/remove) live in Parquet sidecar
+    files under `_delta_log/_sidecars/`. The reference's delta-standalone
+    0.2.0 (build.sbt:37) predates this layout entirely.
+    """
+    sidecars: list[str] = []
+
+    def _fold(action: dict) -> None:
+        sc = action.get("sidecar")
+        if sc:
+            sidecars.append(sc["path"])
+        else:
+            _apply_action(acc, action)
+
+    mpath = _join(log_dir, manifest)
+    if manifest.endswith(".json"):
+        for line in fs.read_text(mpath).splitlines():
+            line = line.strip()
+            if line:
+                _fold(json.loads(line))
+    else:
+        for row in fs.read_checkpoint_rows(
+            [mpath], ["add", "remove", "metaData", "protocol", "txn", "sidecar"]
+        ):
+            action = {k: v for k, v in row.items() if v is not None}
+            if action:
+                _fold(action)
+
+    # Sidecar `path` is relative to _delta_log/_sidecars/ (absolute URIs
+    # are also legal per spec).
+    paths = [
+        p if "://" in p or p.startswith("/") else _join(log_dir, "_sidecars", p)
+        for p in sidecars
+    ]
+    if paths:
+        for row in fs.read_checkpoint_rows(paths, ["add", "remove"]):
+            action = {k: v for k, v in row.items() if v is not None}
+            if action:
+                _apply_action(acc, action)
+
+
 def _read_last_checkpoint(fs, log_dir: str) -> dict | None:
     p = _join(log_dir, "_last_checkpoint")
     if not fs.exists(p):
@@ -238,7 +289,7 @@ def _checkpoint_parts(log_files: list[str], version: int) -> list[str]:
     multi = [
         f
         for f in log_files
-        if f.startswith(f"{version:020d}.checkpoint.") and f.endswith(".parquet")
+        if re.match(rf"^{version:020d}\.checkpoint\.\d+\.\d+\.parquet$", f)
     ]
     if pat_single in log_files:
         return [pat_single]
@@ -284,7 +335,7 @@ class DeltaLog:
             cps = [
                 int(m.group(1))
                 for f in log_files
-                if (m := _CHECKPOINT_RE.match(f))
+                if (m := _CHECKPOINT_RE.match(f)) or (m := _CHECKPOINT_V2_RE.match(f))
             ]
             if not cps:
                 raise ValueError(f"empty _delta_log at {self.log_dir}")
@@ -310,14 +361,22 @@ class DeltaLog:
             cp_version = int(last_cp["version"])
         else:
             for f in log_files:
-                m = _CHECKPOINT_RE.match(f)
+                m = _CHECKPOINT_RE.match(f) or _CHECKPOINT_V2_RE.match(f)
                 if m and int(m.group(1)) <= version:
                     cp_version = max(cp_version, int(m.group(1)))
 
         if cp_version >= 0:
             parts = _checkpoint_parts(log_files, cp_version)
+            v2_manifests = sorted(
+                f
+                for f in log_files
+                if (m := _CHECKPOINT_V2_RE.match(f)) and int(m.group(1)) == cp_version
+            )
             if parts:
                 _read_checkpoint(self._fs, self.log_dir, parts, acc)
+            elif v2_manifests:
+                # Any one manifest at a version is a complete checkpoint.
+                _read_v2_checkpoint(self._fs, self.log_dir, v2_manifests[0], acc)
             else:
                 cp_version = -1  # stale _last_checkpoint; fall back to full replay
 

@@ -218,11 +218,17 @@ def commit_rewrite(
         }
     ]
     actions.extend(extra_actions or [])
+    from urllib.parse import quote
+
     for p in remove_paths:
         actions.append(
             {
                 "remove": {
-                    "path": p,
+                    # remove_paths arrive as AddFile.path (URL-decoded
+                    # physical names); the log stores percent-encoded paths
+                    # (replay unquotes, log.py:_decode_path) — without this
+                    # a remove of e.g. `grp=a%3Db/...` would silently miss
+                    "path": quote(p, safe="/"),
                     "deletionTimestamp": now,
                     "dataChange": data_change,
                 }
@@ -614,11 +620,14 @@ def write_delta(
             }
         )
     if mode == "overwrite" and prior is not None:
+        from urllib.parse import quote
+
         for f in prior.files:
             actions.append(
                 {
                     "remove": {
-                        "path": f.path,
+                        # f.path is URL-decoded; the log stores encoded paths
+                        "path": quote(f.path, safe="/"),
                         "deletionTimestamp": now,
                         "dataChange": True,
                     }
@@ -687,7 +696,9 @@ class ConcurrentWriteError(RuntimeError):
     this transaction targeted, and the transactions do not commute."""
 
 
-def write_checkpoint(table_path: str, parts: int | None = None) -> int:
+def write_checkpoint(
+    table_path: str, parts: int | None = None, v2: bool = False
+) -> int:
     """Write a Parquet checkpoint of the latest snapshot + `_last_checkpoint`.
 
     Checkpoint rows carry one non-null action column each
@@ -699,9 +710,19 @@ def write_checkpoint(table_path: str, parts: int | None = None) -> int:
     Delta uses when one checkpoint file would be too large; a 100 TB table
     can carry millions of add rows, and parts let both the write and the
     replay proceed file-by-file with bounded memory.
+
+    `v2`: write a V2 (uuid-named) checkpoint instead — a small manifest
+    `NNN.checkpoint.<uuid>.parquet` holding protocol/metaData/txn/
+    checkpointMetadata plus `sidecar` pointers, with the file actions in
+    Parquet sidecars under `_delta_log/_sidecars/` (`parts` controls the
+    sidecar count). This is the modern Delta layout: the constant-size
+    manifest is re-readable without scanning millions of add rows, and
+    sidecars are shareable across checkpoints. Replayed by
+    log.py:_read_v2_checkpoint.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
+    from urllib.parse import quote as _quote
 
     # Classic Delta checkpoint schema: one nullable action-struct per column;
     # string->string maps for partitionValues/configuration/options.
@@ -805,7 +826,10 @@ def write_checkpoint(table_path: str, parts: int | None = None) -> int:
                 "txn": None,
                 "metaData": None,
                 "add": {
-                    "path": f.path,
+                    # snapshot paths are URL-decoded; checkpoints store the
+                    # same percent-encoded form as commit JSONs (replay
+                    # unquotes both identically)
+                    "path": _quote(f.path, safe="/"),
                     "partitionValues": f.partition_values,
                     "size": f.size,
                     "modificationTime": f.modification_time,
@@ -818,7 +842,106 @@ def write_checkpoint(table_path: str, parts: int | None = None) -> int:
             }
         )
     log_dir = os.path.join(table_path, "_delta_log")
-    if parts is None or parts <= 1:
+    if v2:
+        import uuid
+
+        meta_rows = [r for r in rows if r["add"] is None]
+        add_rows = [r["add"] for r in rows if r["add"] is not None]
+        add_field = cp_schema.field("add")
+        sidecar_schema = pa.schema(
+            [
+                add_field,
+                # spec: sidecar files carry add AND remove columns; a
+                # checkpoint holds only live files, so remove is all-null
+                pa.field(
+                    "remove",
+                    pa.struct(
+                        [
+                            pa.field("path", pa.string()),
+                            pa.field("deletionTimestamp", pa.int64()),
+                            pa.field("dataChange", pa.bool_()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        sidecar_dir = os.path.join(log_dir, "_sidecars")
+        os.makedirs(sidecar_dir, exist_ok=True)
+        n_parts = max(1, parts or 1)
+        chunk = -(-max(len(add_rows), 1) // n_parts)
+        sidecar_actions = []
+        for i in range(n_parts):
+            piece = add_rows[i * chunk : (i + 1) * chunk]
+            if i > 0 and not piece:
+                break
+            name = f"{uuid.uuid4()}.parquet"
+            sc_path = os.path.join(sidecar_dir, name)
+            pq.write_table(
+                pa.Table.from_pylist(
+                    [{"add": a, "remove": None} for a in piece],
+                    schema=sidecar_schema,
+                ),
+                sc_path,
+            )
+            sidecar_actions.append(
+                {
+                    "path": name,
+                    "sizeInBytes": os.path.getsize(sc_path),
+                    "modificationTime": int(os.path.getmtime(sc_path) * 1000),
+                }
+            )
+        manifest_schema = pa.schema(
+            [
+                cp_schema.field("protocol"),
+                cp_schema.field("txn"),
+                cp_schema.field("metaData"),
+                pa.field(
+                    "checkpointMetadata",
+                    pa.struct([pa.field("version", pa.int64())]),
+                ),
+                pa.field(
+                    "sidecar",
+                    pa.struct(
+                        [
+                            pa.field("path", pa.string()),
+                            pa.field("sizeInBytes", pa.int64()),
+                            pa.field("modificationTime", pa.int64()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        mrows = [
+            {**{k: r.get(k) for k in ("protocol", "txn", "metaData")},
+             "checkpointMetadata": None, "sidecar": None}
+            for r in meta_rows
+        ]
+        mrows.append(
+            {
+                "protocol": None,
+                "txn": None,
+                "metaData": None,
+                "checkpointMetadata": {"version": snap.version},
+                "sidecar": None,
+            }
+        )
+        for sc in sidecar_actions:
+            mrows.append(
+                {
+                    "protocol": None,
+                    "txn": None,
+                    "metaData": None,
+                    "checkpointMetadata": None,
+                    "sidecar": sc,
+                }
+            )
+        manifest = f"{snap.version:020d}.checkpoint.{uuid.uuid4()}.parquet"
+        pq.write_table(
+            pa.Table.from_pylist(mrows, schema=manifest_schema),
+            os.path.join(log_dir, manifest),
+        )
+        last = {"version": snap.version, "size": len(rows)}
+    elif parts is None or parts <= 1:
         table = pa.Table.from_pylist(rows, schema=cp_schema)
         cp_path = os.path.join(log_dir, f"{snap.version:020d}.checkpoint.parquet")
         pq.write_table(table, cp_path)

@@ -102,6 +102,55 @@ def test_hive_escaped_partition_values(spark, tbl):
     assert len(t.pruned_files([("k", "=", "a/b")])) == 1
 
 
+def test_escaped_partition_full_lifecycle(spark, tbl):
+    """Operations that RE-EMIT snapshot paths (overwrite removes, DELETE
+    rewrites, checkpoint adds, VACUUM liveness) must re-encode them: the
+    snapshot holds URL-decoded physical names, the log stores encoded ones.
+    Regression — overwrite used to leave escaped-partition files live
+    (double-decode on replay), and VACUUM deleted live `%xx` files."""
+    import os
+
+    from athena_delta_lake_spark.delta.dml import vacuum
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.writer import write_checkpoint
+
+    df = spark.createDataFrame(
+        [(1, "a=b"), (2, "c/d"), (3, "ü x"), (4, "plain")], "id int, k string"
+    )
+    write_delta(df, tbl, partition_by=["k"])
+
+    # VACUUM must never touch live escaped files
+    out = vacuum(tbl, retention_hours=0.0)
+    assert out["files"] == []
+    t = DeltaTable(spark, tbl)
+    assert t.to_df().count() == 4
+
+    # overwrite must actually remove the escaped-partition files
+    write_delta(df, tbl, partition_by=["k"], mode="overwrite")
+    assert DeltaTable(spark, tbl).to_df().count() == 4
+
+    # copy-on-write DELETE touching an escaped partition
+    DeltaTable(spark, tbl).delete(where="k = 'a=b'")
+    assert {r["k"] for r in DeltaTable(spark, tbl).to_df().collect()} == {
+        "c/d",
+        "ü x",
+        "plain",
+    }
+
+    # checkpoint round trip (classic + v2) with escaped paths
+    write_checkpoint(tbl)
+    log_dir = os.path.join(tbl, "_delta_log")
+    for f in os.listdir(log_dir):
+        if f.endswith(".json") and f[0].isdigit():
+            os.remove(os.path.join(log_dir, f))
+    DeltaLog.clear_cache()
+    assert {r["k"] for r in DeltaTable(spark, tbl).to_df().collect()} == {
+        "c/d",
+        "ü x",
+        "plain",
+    }
+
+
 def test_metadata_only_count(spark, tmp_path):
     from athena_delta_lake_spark import DeltaTable, write_delta
 
