@@ -114,6 +114,59 @@ def winnow_fingerprint(col: str | Column, window: int = 8, keep: int = 4) -> Col
     return F.slice(F.array_sort(rolling_hashes(col, window)), 1, keep)
 
 
+def repetition_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, per doc:
+
+    - dup_word_frac: fraction of word occurrences that are repeats of an
+      earlier word (1 - distinct/total) — boilerplate and keyword-stuffed
+      pages score high;
+    - top_bigram_frac: occurrences of the single most frequent word bigram
+      over all bigram occurrences — template/chorus repetition.
+
+    One explode of the word stream feeds both: a per-doc count/distinct
+    aggregate, and a LEAD-window bigram build whose (doc, bigram) counts
+    reduce to max/sum per doc. All shuffles key on doc id or (doc id,
+    bigram) — uniform at corpus scale; no arrays ride any shuffle.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias("pos", "w"),
+    )
+    word_stats = base.groupBy("id").agg(
+        F.count("*").alias("n_words"),
+        F.countDistinct("w").alias("n_distinct"),
+    )
+    nxt = F.lead("w").over(W.partitionBy("id").orderBy("pos"))
+    bigrams = (
+        base.withColumn("w2", nxt)
+        .filter(F.col("w2").isNotNull())
+        .groupBy("id", F.concat_ws(" ", "w", "w2").alias("bg"))
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("id")
+        .agg(
+            F.max("cnt").alias("top_bg"),
+            F.sum("cnt").alias("n_bg"),
+        )
+    )
+    return (
+        word_stats.join(bigrams, "id", "left")
+        .select(
+            F.col("id"),
+            F.col("n_words"),
+            F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6).alias(
+                "dup_word_frac"
+            ),
+            F.round(
+                F.coalesce(F.col("top_bg") / F.col("n_bg"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str, text_col: str, top_k: int = 3
 ) -> DataFrame:

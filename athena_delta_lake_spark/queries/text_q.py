@@ -176,3 +176,38 @@ def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return tx.tfidf_top_terms(d, "doc_id", "text", top_k=3)
+
+
+@register(
+    "x07_repetition_scores",
+    "text",
+    """
+    WITH w AS (
+      SELECT doc_id AS id, w, pos
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w,
+               generate_subscripts(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1) AS pos
+        FROM documents
+      )
+    ), word_stats AS (
+      SELECT id, count(*) AS n_words, count(DISTINCT w) AS n_distinct
+      FROM w GROUP BY 1
+    ), bg AS (
+      SELECT id, w || ' ' || lead(w) OVER (PARTITION BY id ORDER BY pos) AS bg
+      FROM w
+    ), bg_counts AS (
+      SELECT id, bg, count(*) AS cnt FROM bg WHERE bg IS NOT NULL GROUP BY 1, 2
+    ), bg_stats AS (
+      SELECT id, max(cnt) AS top_bg, sum(cnt) AS n_bg FROM bg_counts GROUP BY 1
+    )
+    SELECT ws.id, ws.n_words,
+           round(1.0 - CAST(ws.n_distinct AS DOUBLE) / ws.n_words, 6) AS dup_word_frac,
+           round(coalesce(CAST(bs.top_bg AS DOUBLE) / bs.n_bg, 0.0), 6) AS top_bigram_frac
+    FROM word_stats ws LEFT JOIN bg_stats bs USING (id)
+    """,
+    "Gopher-style repetition quality: duplicate-word and top-bigram fractions per doc",
+)
+def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return tx.repetition_scores(d, "doc_id", "text")

@@ -59,3 +59,25 @@ def test_winnow_stable_under_small_edit(spark):
 def test_stopword_ratio(spark):
     v = _one(spark, "the cat and the hat", tx.stopword_ratio("text"))
     assert abs(v - 3 / 5) < 1e-9
+
+
+def test_repetition_scores(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # 2 distinct / 6 words; "a b" bigram 3/5
+            (2, "one two three four"),   # no repetition
+            (3, "x"),                    # single word: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in tx.repetition_scores(df, "doc_id", "text").collect()
+    }
+    assert out[1]["n_words"] == 6
+    assert abs(out[1]["dup_word_frac"] - (1 - 2 / 6)) < 1e-6
+    assert abs(out[1]["top_bigram_frac"] - 3 / 5) < 1e-6
+    assert out[2]["dup_word_frac"] == 0.0
+    assert abs(out[2]["top_bigram_frac"] - 1 / 3) < 1e-6
+    assert out[3]["n_words"] == 1
+    assert out[3]["top_bigram_frac"] == 0.0
