@@ -349,11 +349,19 @@ def merge_upsert(
     when_matched: str = "update",
     when_not_matched: str | None = "insert",
     not_matched_by_source: str | None = None,
+    matched_condition: str | None = None,
 ) -> dict:
     """MERGE INTO table USING source ON keys — full clause semantics:
 
     - when_matched: 'update' (replace matched target rows with the source
       version) or 'delete' (drop them);
+    - matched_condition: optional SQL predicate over `s.<col>` (source) and
+      `t.<col>` (target) gating the matched clause — Delta's
+      `WHEN MATCHED AND <cond> THEN UPDATE/DELETE`. Matched rows failing
+      (or null-ing) the condition keep the TARGET version. This is the
+      streaming-upsert idiom: `s.ts > t.ts` keeps the newest row per key
+      regardless of microbatch arrival order. Requires the source to be
+      key-unique (reduce per-batch first), as in Delta's MERGE.
     - when_not_matched: 'insert' (add source rows whose keys are absent
       from the target) or None (ignore them);
     - not_matched_by_source: None (keep target rows no source key matches
@@ -427,7 +435,22 @@ def merge_upsert(
         )
     else:
         matched_keys = src.select(*keys).limit(0)
-    if when_matched == "update":
+    if matched_condition is not None and touched:
+        # conditional matched clause: decide per ROW from the joined pair;
+        # null conditions count as false (target survives), matching SQL
+        cond = F.coalesce(F.expr(matched_condition), F.lit(False))
+        non_keys = [c for c in target_cols if c not in keys]
+        joined = target_rows.alias("t").join(src.alias("s"), keys, "inner")
+        tgt_version = [F.col(k) for k in keys] + [
+            F.col(f"t.{c}").alias(c) for c in non_keys
+        ]
+        if when_matched == "update":
+            src_version = [F.col(k) for k in keys] + [
+                F.col(f"s.{c}").alias(c) for c in non_keys
+            ]
+            pieces.append(joined.filter(cond).select(*src_version))
+        pieces.append(joined.filter(~cond).select(*tgt_version))
+    elif when_matched == "update":
         pieces.append(src.join(matched_keys, keys, "left_semi"))
     if when_not_matched == "insert":
         pieces.append(src.join(matched_keys, keys, "left_anti"))

@@ -184,6 +184,7 @@ class DeltaTable:
         when_matched: str = "update",
         when_not_matched: str | None = "insert",
         not_matched_by_source: str | None = None,
+        matched_condition: str | None = None,
     ) -> dict:
         from .dml import merge_upsert
 
@@ -196,6 +197,7 @@ class DeltaTable:
             when_matched,
             when_not_matched,
             not_matched_by_source,
+            matched_condition,
         )
 
     def compact(

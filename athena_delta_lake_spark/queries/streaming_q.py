@@ -308,3 +308,57 @@ def st08(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
     return run_to_memory(agg, "st08_out", "complete")
+
+
+@register(
+    "st09_stream_upsert_latest",
+    "streaming",
+    """
+    SELECT user_id, event_id AS last_event,
+           CAST(floor(epoch(ts)) AS BIGINT) AS last_ts_sec,
+           CAST(floor(value * 1000) AS BIGINT) AS value_millis
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    "foreachBatch CDC upsert: per-microbatch conditional MERGE keeps the "
+    "newest event per user; final Delta state == batch latest-per-key",
+)
+def st09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..delta.table import DeltaTable
+    from ..streaming import delta_upsert_sink, file_stream
+
+    work = tempfile.mkdtemp(prefix="st09_")
+    src_dir, table, ckpt = (
+        os.path.join(work, "src"),
+        os.path.join(work, "table"),
+        os.path.join(work, "ckpt"),
+    )
+    # 4 source files -> 4 microbatches (maxFilesPerTrigger=1): the upsert
+    # must converge to the same state in ANY arrival order
+    load(spark, sf_dir, "events").repartitionByRange(
+        4, "event_id"
+    ).write.parquet(src_dir)
+    stream = file_stream(
+        spark,
+        src_dir,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    q = delta_upsert_sink(
+        stream, table, ckpt, keys=["user_id"], order_by=["ts", "event_id"]
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return DeltaTable(spark, table).to_df().select(
+        "user_id",
+        F.col("event_id").alias("last_event"),
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("last_ts_sec"),
+        F.floor(F.col("value") * 1000).cast("long").alias("value_millis"),
+    )

@@ -73,6 +73,67 @@ def delta_append_sink(
     )
 
 
+def delta_upsert_sink(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    order_by: list[str],
+):
+    """foreachBatch CDC-upsert sink: each microbatch is reduced to its
+    newest row per key (ordered by `order_by`, descending, all columns as
+    tie-breakers) and MERGEd into a native Delta table with the
+    conditional matched clause `WHEN MATCHED AND source-newer THEN
+    UPDATE` — so the final table holds the globally newest row per key
+    REGARDLESS of microbatch arrival order. The canonical streaming
+    materialized-view pattern (Kafka topic -> latest-state table).
+
+    The per-batch reduce keeps the merge source key-unique (required by
+    MERGE), and the merge itself rewrites only files containing matched
+    keys — an upsert stream into a 100 TB table touches the files its
+    keys land in, nothing else.
+    """
+    import os
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ..delta.table import DeltaTable
+
+    newer = " OR ".join(
+        "("
+        + " AND ".join(f"s.{p} = t.{p}" for p in order_by[:i])
+        + (" AND " if i else "")
+        + f"s.{c} > t.{c})"
+        for i, c in enumerate(order_by)
+    )
+
+    def upsert(batch_df: DataFrame, _epoch: int) -> None:
+        if not batch_df.columns:
+            return
+        w = W.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in order_by]
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.isdir(os.path.join(table_path, "_delta_log")):
+            DeltaTable(batch_df.sparkSession, table_path).merge(
+                latest, keys=keys, matched_condition=newer
+            )
+        else:
+            write_delta(latest, table_path)
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(upsert)
+        .start()
+    )
+
+
 def running_totals(
     stream_df: DataFrame, key_col: str, value_col: str
 ) -> DataFrame:

@@ -275,3 +275,68 @@ def test_merge_clause_semantics(spark, tmp_path):
     got = {r["id"]: r["name"] for r in t.to_df().collect()}
     assert got == {5: "upd_5", 500: "new_500"}
     assert res["files_removed"] >= 4  # every prior file gone
+
+
+def test_merge_matched_condition(spark, tmp_path):
+    """WHEN MATCHED AND <cond>: condition-failing matched rows keep the
+    TARGET version; null conditions count as false (SQL semantics)."""
+    from athena_delta_lake_spark import DeltaTable, write_delta
+
+    path = str(tmp_path / "cond")
+    target = spark.createDataFrame(
+        [(1, 10, "t1"), (2, 20, "t2"), (3, None, "t3")],
+        "id int, ver int, name string",
+    )
+    write_delta(target, path)
+    src = spark.createDataFrame(
+        [(1, 99, "s1"), (2, 5, "s2"), (3, 1, "s3"), (4, 1, "s4")],
+        "id int, ver int, name string",
+    )
+    t = DeltaTable(spark, path)
+    t.merge(src, keys=["id"], matched_condition="s.ver > t.ver")
+    got = {r["id"]: (r["ver"], r["name"]) for r in t.to_df().collect()}
+    assert got == {
+        1: (99, "s1"),   # cond true -> source version
+        2: (20, "t2"),   # cond false -> target kept
+        3: (None, "t3"), # cond null -> target kept
+        4: (1, "s4"),    # not matched -> inserted
+    }
+
+    # conditional matched-delete: only condition-passing rows drop
+    t.merge(
+        spark.createDataFrame([(1, 0, "x"), (2, 100, "x")], "id int, ver int, name string"),
+        keys=["id"],
+        when_matched="delete",
+        when_not_matched=None,
+        matched_condition="s.ver > t.ver",
+    )
+    got = {r["id"] for r in t.to_df().collect()}
+    assert got == {1, 3, 4}  # id=2 deleted (100 > 20); id=1 kept (0 < 99)
+
+
+def test_upsert_order_independent_across_batches(spark, tmp_path):
+    """Conditional-merge upsert converges to the same latest-per-key state
+    for ANY batch arrival order (the streaming CDC invariant)."""
+    from athena_delta_lake_spark import DeltaTable, write_delta
+
+    rows = [(k, v, f"r{k}_{v}") for k in range(5) for v in range(4)]
+    batches = [
+        [r for r in rows if r[1] == v] for v in range(4)
+    ]
+    want = {k: (3, f"r{k}_3") for k in range(5)}
+
+    for order in ([0, 1, 2, 3], [3, 2, 1, 0], [1, 3, 0, 2]):
+        path = str(tmp_path / f"ord_{''.join(map(str, order))}")
+        for i, bi in enumerate(order):
+            b = spark.createDataFrame(batches[bi], "id int, ver int, name string")
+            if i == 0:
+                write_delta(b, path)
+            else:
+                DeltaTable(spark, path).merge(
+                    b, keys=["id"], matched_condition="s.ver > t.ver"
+                )
+        got = {
+            r["id"]: (r["ver"], r["name"])
+            for r in DeltaTable(spark, path).to_df().collect()
+        }
+        assert got == want, order
