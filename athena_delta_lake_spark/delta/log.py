@@ -471,15 +471,42 @@ class DeltaLog:
             if line.strip()
         ]
 
+    def commit_timestamp(self, version: int) -> int:
+        """The commit's authoritative timestamp (millis): its commitInfo
+        `inCommitTimestamp` when present (inCommitTimestamp writer feature
+        — immune to file-mtime drift from log copies/restores), else the
+        commit file's modification time (classic Delta semantics)."""
+        path = _join(self.log_dir, f"{version:020d}.json")
+        if not self._fs.exists(path):
+            raise FileNotFoundError(f"no commit {version} at {self.log_dir}")
+        for line in self._fs.read_text(path).splitlines():
+            if not line.strip():
+                continue
+            ci = json.loads(line).get("commitInfo")
+            if ci and "inCommitTimestamp" in ci:
+                return int(ci["inCommitTimestamp"])
+        for fi in self._fs.listdir(self.log_dir):
+            if fi.name == f"{version:020d}.json":
+                return fi.mtime_ms
+        raise FileNotFoundError(f"no commit {version} at {self.log_dir}")
+
     def snapshot_as_of_timestamp(self, ts_millis: int) -> SnapshotState:
-        """Time travel to the last commit at or before `ts_millis`."""
+        """Time travel to the last commit at or before `ts_millis`.
+
+        When the table uses in-commit timestamps, each commit resolves by
+        its recorded inCommitTimestamp (pre-enablement commits fall back to
+        file mtime per spec); otherwise by commit-file mtime."""
+        use_ict = (self.snapshot().metadata.get("configuration") or {}).get(
+            "delta.enableInCommitTimestamps", ""
+        ).lower() == "true"
         best = None
         for fi in self._fs.listdir(self.log_dir):
             m = _COMMIT_RE.match(fi.name)
             if not m:
                 continue
-            if fi.mtime_ms <= ts_millis:
-                v = int(m.group(1))
+            v = int(m.group(1))
+            t = self.commit_timestamp(v) if use_ict else fi.mtime_ms
+            if t <= ts_millis:
                 best = v if best is None else max(best, v)
         if best is None:
             raise ValueError(f"no commit at or before {ts_millis}")

@@ -117,6 +117,43 @@ def _next_version(table_path: str) -> int:
         return 0
 
 
+def _ict_enabled(config: dict | None) -> bool:
+    return (config or {}).get(
+        "delta.enableInCommitTimestamps", ""
+    ).lower() == "true"
+
+
+def _stamp_ict(
+    actions: list[dict], log_dir: str, version: int, config: dict | None
+) -> None:
+    """In-commit timestamps (writer feature `inCommitTimestamp`): when the
+    table configuration enables them, the FIRST action's commitInfo carries
+    `inCommitTimestamp`, strictly monotonic across versions (max(now,
+    prev+1)) — the commit's authoritative timestamp, immune to file-mtime
+    drift from log copies/restores. Readers resolve timestamp time travel
+    from it (log.py:commit_timestamp)."""
+    if not _ict_enabled(config):
+        return
+    if not actions or "commitInfo" not in actions[0]:
+        return
+    now = int(time.time() * 1000)
+    if version > 0:
+        prev_path = os.path.join(log_dir, f"{version - 1:020d}.json")
+        try:
+            with open(prev_path) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    ci = a.get("commitInfo")
+                    if ci and "inCommitTimestamp" in ci:
+                        now = max(now, int(ci["inCommitTimestamp"]) + 1)
+                    break
+        except FileNotFoundError:
+            pass  # checkpoint-cleaned predecessor: wall clock suffices
+    actions[0]["commitInfo"]["inCommitTimestamp"] = now
+
+
 def _atomic_commit(log_dir: str, version: int, actions: Iterable[dict]) -> None:
     os.makedirs(log_dir, exist_ok=True)
     path = os.path.join(log_dir, f"{version:020d}.json")
@@ -240,8 +277,10 @@ def commit_rewrite(
         actions.append(a)
     version = _next_version(table_path)
     log_dir = os.path.join(table_path, "_delta_log")
+    table_config = DeltaLog(table_path).snapshot().metadata.get("configuration")
     for _attempt in range(_MAX_COMMIT_RETRIES + 1):
         try:
+            _stamp_ict(actions, log_dir, version, table_config)
             _atomic_commit(log_dir, version, actions)
             DeltaLog.clear_cache()
             return version
@@ -457,8 +496,15 @@ def write_delta(
     zorder_by: list[str] | None = None,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    configuration: dict[str, str] | None = None,
 ) -> int:
     """Write `df` to a Delta table at `table_path`. Returns committed version.
+
+    configuration: table properties to set/merge into the metaData action
+    (e.g. {"delta.enableInCommitTimestamps": "true"}). Enabling in-commit
+    timestamps upgrades the protocol to writer feature `inCommitTimestamp`
+    and records the spec's enablement version/timestamp properties when
+    turned on after table creation.
 
     mode: 'append' adds files; 'overwrite' adds files and removes all prior
     live files in the same commit (Delta logical overwrite — old files stay
@@ -597,16 +643,51 @@ def write_delta(
     ]
     if txn_app_id is not None:
         actions.append({"txn": {"appId": txn_app_id, "version": int(txn_version)}})
+
+    prior_md = prior.metadata if prior is not None else {}
+    prior_config = dict(prior_md.get("configuration") or {})
+    effective_config = {**prior_config, **(configuration or {})}
+    ict_newly_enabled = _ict_enabled(effective_config) and not _ict_enabled(
+        prior_config
+    )
+    if ict_newly_enabled and version > 0:
+        # spec: record when ICT took effect so pre-enablement commits keep
+        # resolving by file timestamp
+        effective_config["delta.inCommitTimestampEnablementVersion"] = str(version)
+        effective_config["delta.inCommitTimestampEnablementTimestamp"] = str(now)
+    config_changed = effective_config != prior_config
+
     if version == 0:
         # generated columns are a legacy writer-version-4 feature
         min_writer = 4 if _generation_expressions(schema) else 2
+        proto: dict = {"minReaderVersion": 1, "minWriterVersion": min_writer}
+        if _ict_enabled(effective_config):
+            proto = {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["inCommitTimestamp"],
+            }
+        actions.append({"protocol": proto})
+    elif ict_newly_enabled:
+        cur = (prior.protocol if prior is not None else None) or {}
+        feats = sorted(set(cur.get("writerFeatures") or []) | {"inCommitTimestamp"})
         actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": min_writer}}
+            {
+                "protocol": {
+                    "minReaderVersion": int(cur.get("minReaderVersion", 1)),
+                    "minWriterVersion": 7,
+                    **(
+                        {"readerFeatures": cur["readerFeatures"]}
+                        if cur.get("readerFeatures")
+                        else {}
+                    ),
+                    "writerFeatures": feats,
+                }
+            }
         )
-    if version == 0 or mode == "overwrite" or schema_changed:
+    if version == 0 or mode == "overwrite" or schema_changed or config_changed:
         # table identity + configuration (incl. CHECK constraints) survive
         # overwrites and schema evolution; only the schema string changes
-        prior_md = prior.metadata if prior is not None else {}
         actions.append(
             {
                 "metaData": {
@@ -614,7 +695,7 @@ def write_delta(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": struct_to_schema_string(schema),
                     "partitionColumns": partition_by,
-                    "configuration": dict(prior_md.get("configuration") or {}),
+                    "configuration": effective_config,
                     "createdTime": prior_md.get("createdTime", now),
                 }
             }
@@ -637,6 +718,7 @@ def write_delta(
     log_dir = os.path.join(table_path, "_delta_log")
     for _attempt in range(_MAX_COMMIT_RETRIES + 1):
         try:
+            _stamp_ict(actions, log_dir, version, effective_config)
             _atomic_commit(log_dir, version, actions)
             DeltaLog.clear_cache()
             return version

@@ -374,3 +374,72 @@ def test_multipart_checkpoint_roundtrip(spark, tmp_path):
     t = DeltaTable(spark, path)
     assert t.count() == 60
     assert t.to_df().filter("p = 1").count() == 30
+
+
+def test_in_commit_timestamps(spark, tmp_path):
+    """inCommitTimestamp writer feature: monotonic commit timestamps in
+    commitInfo, protocol upgrade, and mtime-immune timestamp time travel."""
+    import json
+    import os
+
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    path = str(tmp_path / "ict")
+    write_delta(
+        spark.range(5).selectExpr("id"),
+        path,
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    write_delta(spark.range(5, 10).selectExpr("id"), path, mode="append")
+    DeltaTable(spark, path).delete(where="id = 7")  # DML path stamps too
+
+    log = DeltaLog(path)
+    snap = log.snapshot()
+    assert snap.protocol["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in snap.protocol["writerFeatures"]
+    icts = [log.commit_timestamp(v) for v in range(3)]
+    assert icts[0] < icts[1] < icts[2]  # strictly monotonic
+
+    # corrupt every commit file's mtime: ICT resolution must not care
+    log_dir = os.path.join(path, "_delta_log")
+    for f in os.listdir(log_dir):
+        if f.endswith(".json") and f[0].isdigit():
+            os.utime(os.path.join(log_dir, f), (0, 0))
+    DeltaLog.clear_cache()
+    assert DeltaLog(path).snapshot_as_of_timestamp(icts[1]).version == 1
+    assert DeltaLog(path).snapshot_as_of_timestamp(icts[2] + 10).version == 2
+    ci0 = json.loads(
+        open(os.path.join(log_dir, "00000000000000000000.json")).readline()
+    )["commitInfo"]
+    assert ci0["inCommitTimestamp"] == icts[0]
+
+
+def test_ict_enabled_on_existing_table(spark, tmp_path):
+    """Enabling ICT after creation records the enablement version/timestamp
+    properties and upgrades the protocol in the same commit."""
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    path = str(tmp_path / "ict2")
+    write_delta(spark.range(3).selectExpr("id"), path)
+    write_delta(
+        spark.range(3, 6).selectExpr("id"),
+        path,
+        mode="append",
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    snap = DeltaLog(path).snapshot()
+    cfg = snap.metadata["configuration"]
+    assert cfg["delta.inCommitTimestampEnablementVersion"] == "1"
+    assert "delta.inCommitTimestampEnablementTimestamp" in cfg
+    assert snap.protocol["minWriterVersion"] == 7
+    log = DeltaLog(path)
+    assert log.commit_timestamp(1) > 0
+    # pre-enablement commit resolves by mtime (no ICT recorded)
+    import json, os
+    lines = open(
+        os.path.join(path, "_delta_log", "00000000000000000000.json")
+    ).readlines()
+    assert all(
+        "inCommitTimestamp" not in json.loads(ln).get("commitInfo", {})
+        for ln in lines if ln.strip()
+    )
