@@ -185,7 +185,11 @@ def _decode_path(p: str) -> str:
 
 def _apply_action(acc: _ReplayAccumulator, action: dict) -> None:
     if "metaData" in action:
-        acc.metadata = action["metaData"]
+        md = dict(action["metaData"])
+        cfg = md.get("configuration")
+        if isinstance(cfg, list):  # pyarrow map type -> [(k, v), ...]
+            md["configuration"] = dict(cfg)
+        acc.metadata = md
     elif "protocol" in action:
         acc.protocol = action["protocol"]
     elif "add" in action:

@@ -154,6 +154,36 @@ def _stamp_ict(
     actions[0]["commitInfo"]["inCommitTimestamp"] = now
 
 
+def _maybe_auto_checkpoint(table_path: str, version: int, config: dict | None) -> None:
+    """Honor delta.checkpointInterval: write a checkpoint every N commits.
+    Best-effort (a checkpoint failure must not fail the committed write —
+    replay just keeps reading more JSON commits)."""
+    raw = (config or {}).get("delta.checkpointInterval")
+    if not raw:
+        return
+    try:
+        interval = int(raw)
+    except ValueError:
+        return
+    if interval <= 0 or version == 0 or version % interval:
+        return
+    try:
+        write_checkpoint(table_path)
+    except Exception:
+        pass
+
+
+def _check_append_only(config: dict | None, operation: str) -> None:
+    """delta.appendOnly=true forbids any commit that removes live data
+    (DELETE/UPDATE/MERGE/overwrite); compaction (dataChange=false) and
+    blind appends stay legal."""
+    if (config or {}).get("delta.appendOnly", "").lower() == "true":
+        raise ValueError(
+            f"table is append-only (delta.appendOnly=true): {operation} "
+            "would remove or rewrite existing rows"
+        )
+
+
 def _atomic_commit(log_dir: str, version: int, actions: Iterable[dict]) -> None:
     os.makedirs(log_dir, exist_ok=True)
     path = os.path.join(log_dir, f"{version:020d}.json")
@@ -278,11 +308,14 @@ def commit_rewrite(
     version = _next_version(table_path)
     log_dir = os.path.join(table_path, "_delta_log")
     table_config = DeltaLog(table_path).snapshot().metadata.get("configuration")
+    if data_change and remove_paths:
+        _check_append_only(table_config, operation)
     for _attempt in range(_MAX_COMMIT_RETRIES + 1):
         try:
             _stamp_ict(actions, log_dir, version, table_config)
             _atomic_commit(log_dir, version, actions)
             DeltaLog.clear_cache()
+            _maybe_auto_checkpoint(table_path, version, table_config)
             return version
         except FileExistsError:
             # OCC conflict: the rewrite is still valid iff every file it
@@ -703,6 +736,8 @@ def write_delta(
     if mode == "overwrite" and prior is not None:
         from urllib.parse import quote
 
+        if prior.files:
+            _check_append_only(effective_config, "overwrite")
         for f in prior.files:
             actions.append(
                 {
@@ -721,6 +756,7 @@ def write_delta(
             _stamp_ict(actions, log_dir, version, effective_config)
             _atomic_commit(log_dir, version, actions)
             DeltaLog.clear_cache()
+            _maybe_auto_checkpoint(table_path, version, effective_config)
             return version
         except FileExistsError:
             # a concurrent writer took this version (OCC loss). Blind

@@ -443,3 +443,56 @@ def test_ict_enabled_on_existing_table(spark, tmp_path):
         "inCommitTimestamp" not in json.loads(ln).get("commitInfo", {})
         for ln in lines if ln.strip()
     )
+
+
+def test_append_only_enforcement(spark, tmp_path):
+    import pytest
+
+    from athena_delta_lake_spark.delta.writer import write_checkpoint  # noqa: F401
+
+    path = str(tmp_path / "ao")
+    write_delta(
+        spark.range(10).selectExpr("id", "id % 2 AS k"),
+        path,
+        configuration={"delta.appendOnly": "true"},
+    )
+    # appends stay legal
+    write_delta(spark.range(10, 20).selectExpr("id", "id % 2 AS k"), path, mode="append")
+    t = DeltaTable(spark, path)
+    with pytest.raises(ValueError, match="append-only"):
+        t.delete(where="id = 3")
+    with pytest.raises(ValueError, match="append-only"):
+        t.update({"k": "k + 1"}, where="id = 3")
+    with pytest.raises(ValueError, match="append-only"):
+        write_delta(spark.range(5).selectExpr("id", "id % 2 AS k"), path, mode="overwrite")
+    assert t.to_df().count() == 20
+    # compaction never changes rows -> allowed despite appendOnly
+    t.compact(target_file_size=1024 * 1024 * 1024)
+    assert DeltaTable(spark, path).to_df().count() == 20
+
+
+def test_auto_checkpoint_interval(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "ckint")
+    write_delta(
+        spark.range(3).selectExpr("id"),
+        path,
+        configuration={"delta.checkpointInterval": "2"},
+    )
+    for lo in (3, 6, 9, 12):
+        write_delta(
+            spark.range(lo, lo + 3).selectExpr("id"), path, mode="append"
+        )
+    log_dir = os.path.join(path, "_delta_log")
+    cps = sorted(
+        f for f in os.listdir(log_dir) if f.endswith(".checkpoint.parquet")
+    )
+    assert cps == [
+        "00000000000000000002.checkpoint.parquet",
+        "00000000000000000004.checkpoint.parquet",
+    ]
+    import json
+
+    last = json.load(open(os.path.join(log_dir, "_last_checkpoint")))
+    assert last["version"] == 4
