@@ -96,6 +96,23 @@ def n04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "n06_pq_ann",
+    "similarity",
+    None,  # approximate (codebook quantization); recall vs brute force and
+    # reconstruction-cosine bounds asserted in tests/test_similarity.py
+    "product-quantization ANN: 8x16 codebooks, ADC scan over m-byte codes, "
+    "exact re-rank of top k*4",
+)
+def n06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    res = sim.pq_ann(q, e, k=10, m=8, k_sub=16, refine=4)
+    return res.filter(F.col("vec_id") != F.col("q_id")).select(
+        "q_id", "vec_id", F.round("sim", 6).alias("sim")
+    )
+
+
+@register(
     "n03_label_centroids",
     "similarity",
     """

@@ -35,6 +35,7 @@ def test_queries_oracle_consistency():
         "d05_simhash_pairs",
         "n02_ann_lsh",
         "n04_ivf_ann",
+        "n06_pq_ann",
         "x05_winnow_fingerprints",
     }
 

@@ -139,3 +139,44 @@ def test_int8_quantization_error_bound(spark, sf_dir):
     ).first()
     assert row["min_cos"] > 0.99
     assert -127 <= row["qmin"] and row["qmax"] <= 127
+
+
+def test_pq_ann_recall_and_reconstruction(spark, sf_dir):
+    """PQ ANN with exact re-rank recovers most true neighbors; codebook
+    reconstructions stay directionally close to the originals."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = sim.brute_force_knn(q, e, k=10)
+    approx = sim.pq_ann(q, e, k=10, m=8, k_sub=16, refine=4)
+    ex = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"PQ recall vs brute force too low: {recall}"
+
+    C = sim.train_pq(e, "embedding", m=8, k_sub=16)
+    assert C.shape == (8, 16, 8)
+    rc = sim.pq_reconstruction(e, C, "embedding").agg(
+        F.avg("recon_cos").alias("avg"), F.min("recon_cos").alias("min")
+    ).first()
+    # fixture vectors are near-random (no cluster structure), so 16
+    # codewords per 8-dim subspace give moderate alignment; real embedding
+    # corpora cluster and reconstruct far tighter
+    assert rc["avg"] > 0.6, rc
+    assert rc["min"] > 0.3, rc
+
+
+def test_pq_encode_shape_determinism(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").limit(50)
+    C = sim.train_pq(e, "embedding", m=8, k_sub=16, seed=7)
+    C2 = sim.train_pq(e, "embedding", m=8, k_sub=16, seed=7)
+    import numpy as np
+    assert np.allclose(C, C2)  # deterministic training
+    enc = sim.pq_encode(e, C, "embedding")
+    row = enc.select(
+        F.min(F.size("pq")).alias("lo"), F.max(F.size("pq")).alias("hi"),
+        F.max(F.array_max("pq")).alias("cmax"), F.min(F.array_min("pq")).alias("cmin"),
+    ).first()
+    assert row["lo"] == row["hi"] == 8
+    assert 0 <= row["cmin"] and row["cmax"] <= 15
