@@ -228,3 +228,57 @@ def chunk_documents(
         F.size(chunk).alias("n_chunk_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epoch: int,
+    seed: int = 42,
+    prefix_hex: int = 2,
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle: every epoch is a different
+    (but replayable) permutation of the corpus — the data-loader ordering
+    primitive. Position = dense 0-based rank of md5(key:seed:epoch).
+
+    A naive global `row_number() OVER (ORDER BY hash)` funnels 100 TB
+    through ONE partition. This computes the same dense position in two
+    scalable steps: rows range-bucket by the hash's first `prefix_hex`
+    hex digits (256 uniform buckets by construction — md5 is the
+    balancer), per-bucket counts (a tiny aggregate) turn into cumulative
+    offsets broadcast back, and each bucket ranks locally; global
+    position = bucket offset + local rank. Two narrow shuffles, no
+    single-partition stage, identical output to the naive form (the
+    oracle runs the naive form).
+
+    Returns df + (epoch_pos long). Keys must be unique (corpus ids).
+    """
+    hx = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}:{epoch}"))
+    )
+    n_buckets = 16 ** prefix_hex
+    bucket = F.conv(F.substring(hx, 1, prefix_hex), 16, 10).cast("int")
+    with_h = df.withColumn("_h", hx).withColumn("_b", bucket)
+
+    counts = {
+        r["_b"]: r["cnt"]
+        for r in with_h.groupBy("_b").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(n_buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(b, offsets[b]) for b in sorted(offsets)], "_b int, _off long"
+        )
+    )
+    w = W.partitionBy("_b").orderBy("_h", key_col)
+    return (
+        with_h.join(off_df, "_b")
+        .withColumn(
+            "epoch_pos", F.row_number().over(w).cast("long") - 1 + F.col("_off")
+        )
+        .drop("_h", "_b", "_off")
+    )

@@ -222,3 +222,26 @@ def p06(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     kept = pipeline.mixture_sample(d, "doc_id", "source", frac=0.2, seed=42)
     return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+@register(
+    "p07_epoch_shuffle",
+    "pipeline",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42:0'), doc_id) AS BIGINT) - 1 AS pos_e0,
+           CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42:1'), doc_id) AS BIGINT) - 1 AS pos_e1
+    FROM documents
+    """,
+    "deterministic per-epoch corpus shuffle: bucketed two-phase dense rank "
+    "== the naive global-window oracle, different permutation per epoch",
+)
+def p07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    e0 = pipeline.epoch_shuffle(d, "doc_id", epoch=0).select(
+        "doc_id", F.col("epoch_pos").alias("pos_e0")
+    )
+    e1 = pipeline.epoch_shuffle(d, "doc_id", epoch=1).select(
+        "doc_id", F.col("epoch_pos").alias("pos_e1")
+    )
+    return e0.join(e1, "doc_id")

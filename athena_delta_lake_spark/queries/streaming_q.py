@@ -23,17 +23,9 @@ from pyspark.sql import functions as F
 
 from .base import load, register
 
-# events.ts is parquet TIMESTAMP(NANOS): read as long (nanosAsLong) and
-# convert to a microsecond timestamp in the stream (lossless; fixture values
-# are microsecond-aligned).
-_EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import file_stream
+    from .base import _nano_ts_cols
 
     # The file-stream source requires a DIRECTORY; the fixture is a single
     # parquet file. Symlink it into a stable per-sf temp dir.
@@ -47,10 +39,25 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.lexists(link):
             os.remove(link)
         os.symlink(target, link)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = file_stream(spark, src_dir, _EVENTS_SCHEMA)
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    # Follow the fixture's physical timestamp type (mirrors base.load):
+    # TIMESTAMP(NANOS) needs the nanosAsLong read + explicit conversion
+    # (Spark cannot read nanos natively); micros read as plain timestamps.
+    if "ts" in _nano_ts_cols(target):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = file_stream(
+            spark,
+            src_dir,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+        return raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return file_stream(
+        spark,
+        src_dir,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
     )
 
 

@@ -130,3 +130,26 @@ def test_mixture_sample_rebalances_and_is_deterministic(spark):
     kept2 = mixture_sample(df, "doc_id", "source", frac=0.2, seed=42)
     ids2 = sorted(r["doc_id"] for r in kept2.select("doc_id").collect())
     assert ids1 == ids2
+
+
+def test_epoch_shuffle_dense_and_distinct(spark):
+    from athena_delta_lake_spark.operators import pipeline
+
+    df = spark.range(500).selectExpr("id AS doc_id")
+    out = pipeline.epoch_shuffle(df, "doc_id", epoch=3, seed=9)
+    rows = out.select("doc_id", "epoch_pos").collect()
+    positions = sorted(r["epoch_pos"] for r in rows)
+    assert positions == list(range(500))  # dense permutation, no gaps/dups
+
+    # replayable: same epoch -> same permutation; different epoch -> different
+    again = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in pipeline.epoch_shuffle(df, "doc_id", epoch=3, seed=9).collect()
+    }
+    first = {r["doc_id"]: r["epoch_pos"] for r in rows}
+    assert again == first
+    other = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in pipeline.epoch_shuffle(df, "doc_id", epoch=4, seed=9).collect()
+    }
+    assert other != first
