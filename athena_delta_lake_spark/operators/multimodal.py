@@ -122,6 +122,63 @@ def frame_sample_plan(
     return df.withColumn("frame_offset_ms", F.explode(offsets))
 
 
+def binary_windows(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    window_bytes: int = 64,
+    stride_bytes: int = 48,
+) -> DataFrame:
+    """Sample fixed-size byte windows from each binary payload — the
+    frame/segment-sampling shape for audio/video corpora (decode is the
+    stubbed stage; the windowing itself is codec-free and deterministic).
+
+    mapInPandas expands each payload into one row per window:
+    (id, win_id, win_bytes, win_hex). Arrow ships the binary column in
+    batches; expansion happens executor-side, so a 100 TB corpus fans out
+    without any driver involvement, and downstream dedup/similarity
+    operators consume the per-window rows directly.
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("win_id", T.IntegerType(), False),
+            T.StructField("win_bytes", T.LongType(), False),
+            T.StructField("win_hex", T.StringType(), False),
+        ]
+    )
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, win_ids, lens, hexes = [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[binary_col]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                for w, off in enumerate(
+                    range(0, max(len(b), 1), stride_bytes)
+                ):
+                    chunk = b[off : off + window_bytes]
+                    ids.append(rid)
+                    win_ids.append(w)
+                    lens.append(len(chunk))
+                    hexes.append(chunk.hex().upper())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "win_id": pd.Series(win_ids, dtype="int32"),
+                    "win_bytes": pd.Series(lens, dtype="int64"),
+                    "win_hex": pd.Series(hexes, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=out_schema)
+
+
 def resize_images(
     df: DataFrame,
     binary_col: str,

@@ -215,6 +215,35 @@ def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m04_binary_windows",
+    "similarity",
+    """
+    WITH p AS (
+      SELECT doc_id, encode(text) AS payload FROM documents
+    ), offs AS (
+      SELECT doc_id, payload,
+             unnest(range(0, greatest(octet_length(payload), 1), 48)) AS off
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(off / 48 AS INT) AS win_id,
+           CAST(least(64, octet_length(payload) - off) AS BIGINT) AS win_bytes,
+           substr(hex(payload), off * 2 + 1, 128) AS win_hex
+    FROM offs
+    """,
+    "multimodal byte-window sampling (frame-sample shape) via mapInPandas; "
+    "deterministic windows hash-matched against a pure-SQL oracle",
+)
+def m04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import binary_windows
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    return binary_windows(d, "doc_id", "payload", window_bytes=64, stride_bytes=48)
+
+
+@register(
     "n05_quantized_cosine",
     "similarity",
     """

@@ -85,3 +85,21 @@ def test_resize_images_strict_raises(spark, media_df):
 
     with _pytest.raises(Exception, match="PIL|NotImplemented"):
         out.collect()
+
+
+def test_binary_windows_content(spark):
+    from athena_delta_lake_spark.operators.multimodal import binary_windows
+    from pyspark.sql import functions as F
+
+    payload = bytes(range(100))  # 100 bytes -> windows at 0, 48, 96
+    df = spark.createDataFrame([(1, payload), (2, None)], "id long, b binary")
+    rows = sorted(
+        (r["id"], r["win_id"], r["win_bytes"], r["win_hex"])
+        for r in binary_windows(df, "id", "b", window_bytes=64, stride_bytes=48).collect()
+    )
+    want = [
+        (1, 0, 64, bytes(range(0, 64)).hex().upper()),
+        (1, 1, 52, bytes(range(48, 100)).hex().upper()),
+        (1, 2, 4, bytes(range(96, 100)).hex().upper()),
+    ]
+    assert rows == want  # null payloads contribute nothing
