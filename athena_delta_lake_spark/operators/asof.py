@@ -253,3 +253,43 @@ def funnel(
     return spark.createDataFrame(
         counts, "stage_idx int, stage string, n_users long"
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point to the interval(s) containing it: lo <= p < hi,
+    for ARBITRARY-width intervals (numeric or epoch seconds).
+
+    A raw theta join (p >= lo AND p < hi) plans as a
+    BroadcastNestedLoopJoin — every point against every interval. This
+    bucketizes instead: each interval explodes to the buckets it covers
+    (ceil(len/bucket_width)+1 rows — bounded fan-out), points key by
+    their single bucket, and Catalyst gets a plain shuffled equi-join
+    with a residual BETWEEN filter. Pick bucket_width near the median
+    interval length: wider wastes residual filtering, narrower inflates
+    the interval fan-out.
+    """
+    p_b = F.floor(F.col(point_col) / bucket_width)
+    i_bs = F.sequence(
+        F.floor(F.col(lo_col) / bucket_width),
+        F.floor(F.col(hi_col) / bucket_width),
+    )
+    lhs = points.withColumn("_b", p_b).alias("P")
+    rhs = intervals.withColumn("_b", F.explode(i_bs)).alias("I")
+    joined = lhs.join(
+        rhs,
+        on=[
+            F.col("P._b") == F.col("I._b"),
+            F.col(f"P.{point_col}") >= F.col(f"I.{lo_col}"),
+            F.col(f"P.{point_col}") < F.col(f"I.{hi_col}"),
+        ],
+        how=how,
+    )
+    return joined.drop("_b")

@@ -1277,3 +1277,38 @@ def m03(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.select("p_partkey", "p_retailprice", "p_size"),
         {"p_retailprice": "min", "p_size": "max"},
     )
+
+
+@register(
+    "j05_interval_band_join",
+    "joins",
+    """
+    WITH bands AS (
+      SELECT i AS band_id,
+             CAST(i * i AS DOUBLE) AS lo,
+             CAST((i + 1) * (i + 1) AS DOUBLE) AS hi
+      FROM generate_series(0, 22) t(i)
+    )
+    SELECT b.band_id,
+           count(*) AS n,
+           CAST(sum(floor(e.value * 1000)) AS BIGINT) AS value_millis
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY 1
+    """,
+    "interval-containment join on variable-width value bands via bucketed "
+    "equi-join (no BroadcastNestedLoopJoin); oracle is the raw theta join",
+)
+def j05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    bands = spark.range(0, 23).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * F.col("id")).cast("double").alias("lo"),
+        ((F.col("id") + 1) * (F.col("id") + 1)).cast("double").alias("hi"),
+    )
+    joined = interval_join(ev, bands, "value", "lo", "hi", bucket_width=25.0)
+    return joined.groupBy("band_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 1000)).cast("long").alias("value_millis"),
+    )

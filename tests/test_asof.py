@@ -83,3 +83,29 @@ def test_range_join_buckets(spark):
     out = range_join_buckets(left, right, "lts", "rts", ["k"], max_gap_seconds=300)
     pairs = {(r["lid"], r["tag"]) for r in out.collect()}
     assert pairs == {(1, "r1"), (2, "r3")}
+
+
+def test_interval_join_matches_theta_and_avoids_nested_loop(spark):
+    from pyspark.sql import functions as F
+
+    from athena_delta_lake_spark.operators.asof import interval_join
+
+    pts = spark.range(0, 2000).select((F.col("id") % 530 + 0.5).alias("v"), "id")
+    bands = spark.range(0, 23).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * F.col("id")).cast("double").alias("lo"),
+        ((F.col("id") + 1) * (F.col("id") + 1)).cast("double").alias("hi"),
+    )
+    fast = interval_join(pts, bands, "v", "lo", "hi", bucket_width=25.0)
+    naive = pts.alias("P").join(
+        bands.alias("I"),
+        (F.col("P.v") >= F.col("I.lo")) & (F.col("P.v") < F.col("I.hi")),
+    )
+    f = {(r["id"], r["band_id"]) for r in fast.select("id", "band_id").collect()}
+    n = {(r["id"], r["band_id"]) for r in naive.select("id", "band_id").collect()}
+    assert f == n and len(f) > 0
+
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in naive_plan  # what we avoided
