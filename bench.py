@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "x01_token_stats",
     "x06_tfidf_top_terms",
     "p01_pack_sequences",
+    "p07_epoch_shuffle",
+    "x07_repetition_scores",
+    "j05_interval_band_join",
     "m03_skyline_pareto",
     "w10_gapfill_hourly",
     # native Delta core (log replay + pruning + scan)
