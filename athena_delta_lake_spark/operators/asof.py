@@ -293,3 +293,47 @@ def interval_join(
         how=how,
     )
     return joined.drop("_b")
+
+
+def grouped_ewma(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    order_by: list[str],
+    alpha: float,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average (adjust=False
+    recurrence: y_0 = x_0; y_i = (1-a)*y_{i-1} + a*x_i), returning each
+    key's final smoothed value and row count.
+
+    The recurrence is inherently sequential PER KEY but embarrassingly
+    parallel ACROSS keys — exactly the applyInPandas shape: one shuffle
+    on the key, each group's rows sorted and folded inside a single
+    Arrow batch (pandas ewm). State never crosses groups, so 100 TB of
+    events with uniform keys scales with executors. No closed-form SQL
+    rewrite exists that avoids the (1-a)^(-j) overflow at long
+    sequences, so this is a genuinely-needed Python-state operator.
+    """
+    import pandas as pd
+
+    key_field = df.schema[key_col]
+    out_schema = T.StructType(
+        [key_field,
+         T.StructField("ewma", T.DoubleType(), True),
+         T.StructField("n", T.LongType(), False)]
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_by, kind="mergesort")
+        y = pdf[value_col].astype("float64").ewm(alpha=alpha, adjust=False).mean()
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "ewma": [float(y.iloc[-1])],
+                "n": [len(pdf)],
+            }
+        )
+
+    return df.select(key_col, value_col, *order_by).groupBy(key_col).applyInPandas(
+        fold, out_schema
+    )

@@ -315,3 +315,29 @@ def w11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+@register(
+    "w12_grouped_ewma",
+    "windows",
+    """
+    SELECT user_id,
+           round(list_reduce(
+             list(CAST(floor(value * 1000) AS DOUBLE) ORDER BY ts, event_id),
+             (acc, x) -> 0.9 * acc + 0.1 * x), 6) AS ewma,
+           count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+    "per-key EWMA (sequential fold per group, parallel across groups) via "
+    "applyInPandas; oracle folds the same recurrence with list_reduce",
+)
+def w12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import grouped_ewma
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "value_millis", F.floor(F.col("value") * 1000).cast("double")
+    )
+    out = grouped_ewma(
+        ev, "user_id", "value_millis", ["ts", "event_id"], alpha=0.1
+    )
+    return out.select("user_id", F.round("ewma", 6).alias("ewma"), "n")

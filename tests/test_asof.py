@@ -109,3 +109,17 @@ def test_interval_join_matches_theta_and_avoids_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     naive_plan = naive._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in naive_plan  # what we avoided
+
+
+def test_grouped_ewma_recurrence(spark):
+    from athena_delta_lake_spark.operators.asof import grouped_ewma
+
+    rows = [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 1, 5.0)]
+    df = spark.createDataFrame(rows, "k string, seq int, x double")
+    out = {
+        r["k"]: (r["ewma"], r["n"])
+        for r in grouped_ewma(df, "k", "x", ["seq"], alpha=0.5).collect()
+    }
+    # a: y=10 -> .5*10+.5*20=15 -> .5*15+.5*30=22.5
+    assert out["a"] == (22.5, 3)
+    assert out["b"] == (5.0, 1)
