@@ -75,6 +75,7 @@ class SnapshotState:
     files: list[AddFile]
     table_path: str
     txns: dict = field(default_factory=dict)  # appId -> last committed txn version
+    domain_metadata: dict = field(default_factory=dict)  # domain -> configuration
 
     @property
     def num_files(self) -> int:
@@ -125,6 +126,7 @@ class _ReplayAccumulator:
     adds: dict[str, AddFile] = field(default_factory=dict)
     removed: set[str] = field(default_factory=set)
     txns: dict = field(default_factory=dict)
+    domains: dict = field(default_factory=dict)
 
 
 def _log_dir(table_path: str) -> str:
@@ -217,7 +219,14 @@ def _apply_action(acc: _ReplayAccumulator, action: dict) -> None:
             acc.txns[t["appId"]] = max(
                 int(t["version"]), acc.txns.get(t["appId"], -1)
             )
-    # commitInfo / cdc / domainMetadata are no-ops for snapshot state
+    elif "domainMetadata" in action:
+        # last-writer-wins per domain; removed=true drops the domain
+        dm = action["domainMetadata"]
+        if dm.get("removed"):
+            acc.domains.pop(dm["domain"], None)
+        else:
+            acc.domains[dm["domain"]] = dm.get("configuration")
+    # commitInfo / cdc are no-ops for snapshot state
 
 
 def _read_checkpoint(fs, log_dir: str, parts: list[str], acc: _ReplayAccumulator) -> None:
@@ -229,7 +238,7 @@ def _read_checkpoint(fs, log_dir: str, parts: list[str], acc: _ReplayAccumulator
     """
     paths = [_join(log_dir, part) for part in parts]
     for row in fs.read_checkpoint_rows(
-        paths, ["add", "remove", "metaData", "protocol", "txn"]
+        paths, ["add", "remove", "metaData", "protocol", "txn", "domainMetadata"]
     ):
         action = {k: v for k, v in row.items() if v is not None}
         if action:
@@ -262,7 +271,8 @@ def _read_v2_checkpoint(fs, log_dir: str, manifest: str, acc: _ReplayAccumulator
                 _fold(json.loads(line))
     else:
         for row in fs.read_checkpoint_rows(
-            [mpath], ["add", "remove", "metaData", "protocol", "txn", "sidecar"]
+            [mpath],
+            ["add", "remove", "metaData", "protocol", "txn", "sidecar", "domainMetadata"],
         ):
             action = {k: v for k, v in row.items() if v is not None}
             if action:
@@ -458,6 +468,7 @@ class DeltaLog:
             files=list(acc.adds.values()),
             table_path=self.table_path,
             txns=dict(acc.txns),
+            domain_metadata=dict(acc.domains),
         )
         self._cache[key] = state
         return state

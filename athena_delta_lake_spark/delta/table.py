@@ -241,6 +241,39 @@ class DeltaTable:
                     break
         return out
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL analog: one dict of table facts from the
+        current snapshot — no data I/O."""
+        snap = self.snapshot()
+        md = snap.metadata
+        return {
+            "format": (md.get("format") or {}).get("provider", "parquet"),
+            "id": md.get("id"),
+            "name": md.get("name"),
+            "location": self.path,
+            "createdAt": md.get("createdTime"),
+            "partitionColumns": list(snap.partition_columns),
+            "numFiles": snap.num_files,
+            "sizeInBytes": sum(f.size for f in snap.files),
+            "properties": dict(md.get("configuration") or {}),
+            "minReaderVersion": snap.protocol.get("minReaderVersion"),
+            "minWriterVersion": snap.protocol.get("minWriterVersion"),
+            "readerFeatures": snap.protocol.get("readerFeatures"),
+            "writerFeatures": snap.protocol.get("writerFeatures"),
+            "version": snap.version,
+            "domainMetadata": dict(snap.domain_metadata),
+        }
+
+    def set_domain_metadata(
+        self,
+        domain: str,
+        configuration: str | None = None,
+        removed: bool = False,
+    ) -> int:
+        from .writer import set_domain_metadata
+
+        return set_domain_metadata(self.path, domain, configuration, removed)
+
     def table_changes(
         self, starting_version: int = 0, ending_version: int | None = None
     ) -> "DataFrame":

@@ -891,6 +891,16 @@ def write_checkpoint(
                 ),
             ),
             pa.field(
+                "domainMetadata",
+                pa.struct(
+                    [
+                        pa.field("domain", pa.string()),
+                        pa.field("configuration", pa.string()),
+                        pa.field("removed", pa.bool_()),
+                    ]
+                ),
+            ),
+            pa.field(
                 "add",
                 pa.struct(
                     [
@@ -935,6 +945,20 @@ def write_checkpoint(
                 "txn": {"appId": app_id, "version": int(v)},
                 "metaData": None,
                 "add": None,
+            }
+        )
+    for domain, cfg in sorted(snap.domain_metadata.items()):
+        rows.append(
+            {
+                "protocol": None,
+                "txn": None,
+                "metaData": None,
+                "add": None,
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": cfg,
+                    "removed": False,
+                },
             }
         )
     for f in snap.files:
@@ -1013,6 +1037,7 @@ def write_checkpoint(
                 cp_schema.field("protocol"),
                 cp_schema.field("txn"),
                 cp_schema.field("metaData"),
+                cp_schema.field("domainMetadata"),
                 pa.field(
                     "checkpointMetadata",
                     pa.struct([pa.field("version", pa.int64())]),
@@ -1030,7 +1055,7 @@ def write_checkpoint(
             ]
         )
         mrows = [
-            {**{k: r.get(k) for k in ("protocol", "txn", "metaData")},
+            {**{k: r.get(k) for k in ("protocol", "txn", "metaData", "domainMetadata")},
              "checkpointMetadata": None, "sidecar": None}
             for r in meta_rows
         ]
@@ -1039,6 +1064,7 @@ def write_checkpoint(
                 "protocol": None,
                 "txn": None,
                 "metaData": None,
+                "domainMetadata": None,
                 "checkpointMetadata": {"version": snap.version},
                 "sidecar": None,
             }
@@ -1049,6 +1075,7 @@ def write_checkpoint(
                     "protocol": None,
                     "txn": None,
                     "metaData": None,
+                    "domainMetadata": None,
                     "checkpointMetadata": None,
                     "sidecar": sc,
                 }
@@ -1182,6 +1209,52 @@ def convert_to_delta(
     _atomic_commit(log_dir, 0, actions)
     DeltaLog.clear_cache()
     return 0
+
+
+def set_domain_metadata(
+    table_path: str,
+    domain: str,
+    configuration: str | None = None,
+    removed: bool = False,
+) -> int:
+    """Commit a `domainMetadata` action: named, engine-scoped metadata that
+    rides the log transactionally (Delta writer feature `domainMetadata` —
+    what clustering implementations use for their state). Last writer wins
+    per domain; removed=True drops the domain. Replay exposes the live set
+    as `SnapshotState.domain_metadata`; checkpoints carry it."""
+    now = int(time.time() * 1000)
+    version = _next_version(table_path)
+    log_dir = os.path.join(table_path, "_delta_log")
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "SET DOMAIN METADATA",
+                "operationParameters": {"domain": domain},
+                "engineInfo": "athena_delta_lake_spark",
+            }
+        },
+        {
+            "domainMetadata": {
+                "domain": domain,
+                "configuration": configuration,
+                "removed": bool(removed),
+            }
+        },
+    ]
+    config = DeltaLog(table_path).snapshot().metadata.get("configuration")
+    for _attempt in range(_MAX_COMMIT_RETRIES + 1):
+        try:
+            _stamp_ict(actions, log_dir, version, config)
+            _atomic_commit(log_dir, version, actions)
+            DeltaLog.clear_cache()
+            return version
+        except FileExistsError:
+            DeltaLog.clear_cache()
+            version = _next_version(table_path)  # commutes with anything
+    raise ConcurrentWriteError(
+        f"gave up after {_MAX_COMMIT_RETRIES} commit retries on {table_path}"
+    )
 
 
 def cleanup_log(table_path: str, retention_hours: float = 168.0) -> dict:

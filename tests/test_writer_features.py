@@ -496,3 +496,40 @@ def test_auto_checkpoint_interval(spark, tmp_path):
 
     last = json.load(open(os.path.join(log_dir, "_last_checkpoint")))
     assert last["version"] == 4
+
+
+def test_domain_metadata_and_detail(spark, tmp_path):
+    """domainMetadata actions: last-writer-wins replay, removal, checkpoint
+    round trip; DESCRIBE DETAIL surface."""
+    import os
+
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.writer import write_checkpoint
+
+    path = str(tmp_path / "dm")
+    write_delta(spark.range(10).selectExpr("id", "id % 2 AS k"), path, partition_by=["k"])
+    t = DeltaTable(spark, path)
+    t.set_domain_metadata("delta.clustering", '{"cols":["id"]}')
+    t.set_domain_metadata("myapp.owner", "team-a")
+    t.set_domain_metadata("myapp.owner", "team-b")          # overwrite
+    t.set_domain_metadata("delta.clustering", removed=True)  # drop
+
+    snap = DeltaLog(path).snapshot()
+    assert snap.domain_metadata == {"myapp.owner": "team-b"}
+
+    d = DeltaTable(spark, path).detail()
+    assert d["numFiles"] == snap.num_files
+    assert d["partitionColumns"] == ["k"]
+    assert d["sizeInBytes"] == sum(f.size for f in snap.files)
+    assert d["domainMetadata"] == {"myapp.owner": "team-b"}
+    assert d["version"] == 4
+
+    # survives checkpoint replay (classic AND v2) with commits removed
+    write_checkpoint(path)
+    write_checkpoint(path, v2=True)
+    log_dir = os.path.join(path, "_delta_log")
+    for f in os.listdir(log_dir):
+        if f.endswith(".json") and f[0].isdigit():
+            os.remove(os.path.join(log_dir, f))
+    DeltaLog.clear_cache()
+    assert DeltaLog(path).snapshot().domain_metadata == {"myapp.owner": "team-b"}
