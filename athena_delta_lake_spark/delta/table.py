@@ -241,6 +241,12 @@ class DeltaTable:
                     break
         return out
 
+    def add_columns(self, columns) -> int:
+        """ALTER TABLE ADD COLUMNS (metadata-only; existing rows read NULL)."""
+        from .writer import add_columns
+
+        return add_columns(self.path, columns)
+
     def detail(self) -> dict:
         """DESCRIBE DETAIL analog: one dict of table facts from the
         current snapshot — no data I/O."""

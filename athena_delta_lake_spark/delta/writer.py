@@ -1211,6 +1211,58 @@ def convert_to_delta(
     return 0
 
 
+def add_columns(table_path: str, columns: T.StructType | list) -> int:
+    """ALTER TABLE ... ADD COLUMNS: append nullable fields to the schema in
+    a metadata-only commit — zero data I/O; existing files read NULL for
+    the new columns (the same replay semantics as merge_schema appends,
+    without writing any rows)."""
+    snap = DeltaLog(table_path).snapshot()
+    existing = {f.name for f in snap.schema.fields}
+    new_fields = list(columns.fields) if isinstance(columns, T.StructType) else list(columns)
+    for f in new_fields:
+        if f.name in existing:
+            raise ValueError(f"column already exists: {f.name}")
+    evolved = T.StructType(
+        list(snap.schema.fields)
+        + [T.StructField(f.name, f.dataType, True, f.metadata) for f in new_fields]
+    )
+    now = int(time.time() * 1000)
+    md = dict(snap.metadata)
+    md["schemaString"] = struct_to_schema_string(evolved)
+    version = _next_version(table_path)
+    log_dir = os.path.join(table_path, "_delta_log")
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "ADD COLUMNS",
+                "operationParameters": {
+                    "columns": [f.name for f in new_fields]
+                },
+                "engineInfo": "athena_delta_lake_spark",
+            }
+        },
+        {"metaData": md},
+    ]
+    config = md.get("configuration")
+    for _attempt in range(_MAX_COMMIT_RETRIES + 1):
+        try:
+            _stamp_ict(actions, log_dir, version, config)
+            _atomic_commit(log_dir, version, actions)
+            DeltaLog.clear_cache()
+            return version
+        except FileExistsError:
+            # schema changes must re-validate against the winner's schema
+            DeltaLog.clear_cache()
+            raise ConcurrentWriteError(
+                f"version {version} of {table_path} was committed "
+                "concurrently; re-run ADD COLUMNS against the new snapshot"
+            ) from None
+    raise ConcurrentWriteError(
+        f"gave up after {_MAX_COMMIT_RETRIES} commit retries on {table_path}"
+    )
+
+
 def set_domain_metadata(
     table_path: str,
     domain: str,

@@ -533,3 +533,33 @@ def test_domain_metadata_and_detail(spark, tmp_path):
             os.remove(os.path.join(log_dir, f))
     DeltaLog.clear_cache()
     assert DeltaLog(path).snapshot().domain_metadata == {"myapp.owner": "team-b"}
+
+
+def test_alter_table_add_columns(spark, tmp_path):
+    import pytest
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "addcols")
+    write_delta(spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) AS v"), path)
+    t = DeltaTable(spark, path)
+    v = t.add_columns(T.StructType([
+        T.StructField("tag", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]))
+    assert v == 1  # metadata-only commit
+
+    t = DeltaTable(spark, path)
+    df = t.to_df()
+    assert df.columns == ["id", "v", "tag", "score"]
+    rows = df.collect()
+    assert all(r["tag"] is None and r["score"] is None for r in rows)
+    assert len(rows) == 5
+
+    # appends with the evolved schema land; duplicate add rejected
+    write_delta(
+        spark.createDataFrame([(9, 1.0, "x", 0.5)], "id long, v double, tag string, score double"),
+        path, mode="append",
+    )
+    assert DeltaTable(spark, path).to_df().count() == 6
+    with pytest.raises(ValueError, match="already exists"):
+        DeltaTable(spark, path).add_columns([T.StructField("tag", T.StringType())])
