@@ -23,6 +23,7 @@ Design for scale (copy-on-write):
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from typing import Any
@@ -505,6 +506,18 @@ def compact(
     column afterwards."""
     table_path = os.path.abspath(table_path)
     snap = DeltaLog(table_path).snapshot()
+    if zorder_by is None:
+        # liquid-clustering semantics: a table written with
+        # liquid_cluster_by remembers its layout policy in the
+        # delta.clustering domain; a plain OPTIMIZE re-clusters by it
+        dm = snap.domain_metadata.get("delta.clustering")
+        if dm:
+            try:
+                cols = json.loads(dm).get("clusteringColumns")
+            except (ValueError, TypeError):
+                cols = None
+            if cols:
+                zorder_by = list(cols)
     files = prune_files(snap, predicates) if predicates else list(snap.files)
 
     groups: dict[tuple, list[AddFile]] = {}

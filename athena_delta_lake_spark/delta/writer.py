@@ -530,8 +530,14 @@ def write_delta(
     txn_app_id: str | None = None,
     txn_version: int | None = None,
     configuration: dict[str, str] | None = None,
+    liquid_cluster_by: list[str] | None = None,
 ) -> int:
     """Write `df` to a Delta table at `table_path`. Returns committed version.
+
+    liquid_cluster_by: cluster the data like zorder_by AND persist the
+    clustering columns as `delta.clustering` domainMetadata — subsequent
+    `compact()` calls re-cluster using the stored state (liquid-clustering
+    semantics: the table remembers its own layout policy).
 
     configuration: table properties to set/merge into the metaData action
     (e.g. {"delta.enableInCommitTimestamps": "true"}). Enabling in-commit
@@ -645,8 +651,16 @@ def write_delta(
             f"partition mismatch: table has {prior.partition_columns}, got {partition_by}"
         )
 
-    if cluster_by and zorder_by:
-        raise ValueError("cluster_by and zorder_by are mutually exclusive")
+    if sum(x is not None and x != [] for x in (cluster_by, zorder_by, liquid_cluster_by)) > 1:
+        raise ValueError(
+            "cluster_by, zorder_by, and liquid_cluster_by are mutually exclusive"
+        )
+    if liquid_cluster_by:
+        # liquid-style clustering: the LAYOUT is the z-order write; the
+        # CLUSTERING STATE persists as domainMetadata so later OPTIMIZE
+        # calls re-cluster without being told the columns (dml.compact
+        # reads delta.clustering when no zorder_by is passed)
+        zorder_by = list(liquid_cluster_by)
     if cluster_by:
         n_part = df.rdd.getNumPartitions()
         df = df.repartitionByRange(n_part, *cluster_by).sortWithinPartitions(
@@ -676,6 +690,19 @@ def write_delta(
     ]
     if txn_app_id is not None:
         actions.append({"txn": {"appId": txn_app_id, "version": int(txn_version)}})
+    if liquid_cluster_by:
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.clustering",
+                    "configuration": json.dumps(
+                        {"clusteringColumns": list(liquid_cluster_by)},
+                        separators=(",", ":"),
+                    ),
+                    "removed": False,
+                }
+            }
+        )
 
     prior_md = prior.metadata if prior is not None else {}
     prior_config = dict(prior_md.get("configuration") or {})

@@ -377,3 +377,40 @@ def a16(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier").select("s_suppkey")
     sk = sketches.cms_build(li, "l_suppkey")
     return sketches.cms_topk(sk, supp, "s_suppkey", k=15)
+
+
+@register(
+    "a17_salted_two_phase_agg",
+    "aggregation",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(floor(value * 1000)) AS BIGINT) AS total_millis,
+           CAST(max(floor(value * 1000)) AS BIGINT) AS max_millis
+    FROM events GROUP BY 1
+    """,
+    "skew-proof aggregation: explicit salted partial + final combine == the "
+    "plain GROUP BY (what AQE can't fix when ONE key dominates a shuffle)",
+)
+def a17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import two_phase_agg
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "vm", F.floor(F.col("value") * 1000)
+    )
+    out = two_phase_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": (F.count("*"), F.sum("n")),
+            "total_millis": (F.sum("vm"), F.sum("total_millis")),
+            "max_millis": (F.max("vm"), F.max("max_millis")),
+        },
+        salt=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("total_millis").cast("long").alias("total_millis"),
+        F.col("max_millis").cast("long").alias("max_millis"),
+    )

@@ -563,3 +563,42 @@ def test_alter_table_add_columns(spark, tmp_path):
     assert DeltaTable(spark, path).to_df().count() == 6
     with pytest.raises(ValueError, match="already exists"):
         DeltaTable(spark, path).add_columns([T.StructField("tag", T.StringType())])
+
+
+def test_liquid_clustering_remembers_layout(spark, tmp_path):
+    """liquid_cluster_by: z-order layout + persisted clustering state; a
+    plain OPTIMIZE re-clusters using the stored columns, and stats prune
+    on every clustered dimension afterwards."""
+    import json
+
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.stats import prune_files
+
+    path = str(tmp_path / "liquid")
+    df = spark.range(4000).selectExpr(
+        "id", "CAST(id % 64 AS LONG) AS a", "CAST((id * 7) % 64 AS LONG) AS b"
+    ).repartition(8)
+    write_delta(df, path, liquid_cluster_by=["a", "b"])
+
+    snap = DeltaLog(path).snapshot()
+    dm = json.loads(snap.domain_metadata["delta.clustering"])
+    assert dm == {"clusteringColumns": ["a", "b"]}
+
+    # scatter the layout with unclustered appends, then plain OPTIMIZE
+    write_delta(
+        spark.range(4000, 8000).selectExpr(
+            "id", "CAST(id % 64 AS LONG) AS a", "CAST((id * 7) % 64 AS LONG) AS b"
+        ).repartition(8),
+        path,
+        mode="append",
+    )
+    t = DeltaTable(spark, path)
+    res = t.compact(target_file_size=16 * 1024)  # force multiple output files
+    assert res["files_added"] >= 2
+
+    snap = DeltaLog(path).snapshot()
+    assert snap.num_files >= 2
+    # after re-clustering, BOTH columns prune most files
+    for col in ("a", "b"):
+        kept = prune_files(snap, [(col, "=", 3)])
+        assert len(kept) < snap.num_files, col
