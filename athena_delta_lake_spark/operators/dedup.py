@@ -573,3 +573,47 @@ def duplicate_clusters(
     pairs = ngram_jaccard_pairs(df, id_col, text_col, k, threshold)
     comps = connected_components(pairs)
     return comps.groupBy("component").agg(F.count("*").alias("n_docs"))
+
+
+def duplicate_span_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Per-document duplicated-span statistics: how much of each document
+    consists of k-word spans that occur MORE THAN ONCE in the corpus —
+    the exact-substring dedup signal (dedup of training data by repeated
+    spans rather than whole-document similarity).
+
+    Positional k-grams build with LEAD windows (one shuffle on doc id);
+    corpus span counts group on the gram text (uniform hash keys); the
+    per-doc rollup counts spans whose corpus frequency exceeds one.
+    Returns (id, n_spans, n_dup_spans, dup_span_frac).
+    """
+    words_col = F.split(normalize_text(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("id"), F.posexplode(words_col).alias("pos", "w")
+    )
+    w_ord = W.partitionBy("id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(w_ord) for j in range(1, k)]
+    grams = (
+        base.withColumn("n_words", F.count("*").over(W.partitionBy("id")))
+        .withColumn("gram", F.concat_ws(" ", *parts))
+        .filter(F.col("pos") <= F.col("n_words") - k)
+        .select("id", "gram")
+    ).localCheckpoint(eager=True)
+    counts = grams.groupBy("gram").agg(F.count("*").alias("c"))
+    return (
+        grams.join(counts, "gram")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .select(
+            "id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias(
+                "dup_span_frac"
+            ),
+        )
+    )

@@ -194,3 +194,39 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= top_k)
         .select("id", "rnk", "term", F.round("score", 6).alias("score"))
     )
+
+
+def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-trained bigram language-model score per document: the
+    CCNet-style quality filter shape (there KenLM perplexity; here an
+    exact in-corpus bigram model — no external model file).
+
+    P(w2|w1) = c(w1 w2) / c(w1) over the WHOLE corpus; each document
+    scores avg ln P over its bigrams (lower = more surprising = likelier
+    junk). One word-stream explode feeds unigram counts, bigram counts
+    (LEAD window), and the per-doc join — all shuffle keys are words or
+    (doc, position): uniform at corpus scale. Returns
+    (id, n_bigrams, avg_logprob).
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias("pos", "w1"),
+    ).withColumn("w2", F.lead("w1").over(W.partitionBy("id").orderBy("pos")))
+    bigrams = base.filter(F.col("w2").isNotNull()).select("id", "w1", "w2")
+    bigrams = bigrams.localCheckpoint(eager=True)  # feeds counts AND the score join
+
+    uni = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    bi = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    model = bi.join(uni, "w1").withColumn(
+        "logp", F.log(F.col("c2") / F.col("c1"))
+    )
+    return (
+        bigrams.join(model.select("w1", "w2", "logp"), ["w1", "w2"])
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        )
+    )

@@ -217,3 +217,45 @@ def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return dedup.duplicate_clusters(d, "doc_id", "text", k=3, threshold=0.6)
+
+
+@register(
+    "d09_duplicate_spans",
+    "dedup",
+    """
+    WITH w AS (
+      SELECT doc_id AS id, w, pos
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w,
+               generate_subscripts(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1) AS pos
+        FROM documents
+      )
+    ), g AS (
+      SELECT id, pos,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' '
+               || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win || ' '
+               || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win || ' '
+               || lead(w, 7) OVER win AS gram,
+             count(*) OVER (PARTITION BY id) AS n_words
+      FROM w WINDOW win AS (PARTITION BY id ORDER BY pos)
+    ), grams AS (
+      SELECT id, gram FROM g WHERE pos <= n_words - 7  -- 1-based start positions
+    ), counts AS (
+      SELECT gram, count(*) AS c FROM grams GROUP BY 1
+    )
+    SELECT id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           round(CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_span_frac
+    FROM grams JOIN counts USING (gram)
+    GROUP BY id
+    """,
+    "exact duplicated-span stats: fraction of each doc covered by 8-grams "
+    "repeated anywhere in the corpus (substring-dedup signal)",
+)
+def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicate_span_stats
+
+    d = load(spark, sf_dir, "documents")
+    return duplicate_span_stats(d, "doc_id", "text", k=8)

@@ -211,3 +211,38 @@ def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return tx.repetition_scores(d, "doc_id", "text")
+
+
+@register(
+    "x08_bigram_lm_score",
+    "text",
+    f"""
+    WITH w AS (
+      SELECT doc_id AS id, w1, pos,
+             lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w1,
+               generate_subscripts(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1) AS pos
+        FROM documents
+      )
+    ), bg AS (
+      SELECT id, w1, w2 FROM w WHERE w2 IS NOT NULL
+    ), uni AS (
+      SELECT w1, count(*) AS c1 FROM bg GROUP BY 1
+    ), bi AS (
+      SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2
+    ), model AS (
+      SELECT bi.w1, bi.w2, ln(CAST(c2 AS DOUBLE) / c1) AS logp
+      FROM bi JOIN uni USING (w1)
+    )
+    SELECT id, count(*) AS n_bigrams, round(avg(logp), 6) AS avg_logprob
+    FROM bg JOIN model USING (w1, w2)
+    GROUP BY id
+    """,
+    "corpus-trained bigram LM quality score per doc (CCNet-filter shape): "
+    "avg ln P(w2|w1), exact in-corpus model",
+)
+def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return tx.bigram_lm_scores(d, "doc_id", "text")
