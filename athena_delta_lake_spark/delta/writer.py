@@ -154,6 +154,80 @@ def _stamp_ict(
     actions[0]["commitInfo"]["inCommitTimestamp"] = now
 
 
+_IDENTITY_START = "delta.identity.start"
+_IDENTITY_STEP = "delta.identity.step"
+_IDENTITY_HW = "delta.identity.highWaterMark"
+
+
+def _identity_fields(schema: T.StructType) -> dict[str, dict]:
+    return {
+        f.name: dict(f.metadata)
+        for f in schema.fields
+        if f.metadata and _IDENTITY_START in f.metadata
+    }
+
+
+def _assign_identity(df: DataFrame, name: str, base: int, step: int):
+    """Assign GENERATED ALWAYS AS IDENTITY values distributedly: per-Spark-
+    partition counts become cumulative offsets (a tiny driver map — one int
+    per task), and each row's id = base + step * (offset + local rank). No
+    global window, no single-partition funnel; ids are unique and
+    monotonically increasing in (partition, row) order, with gaps allowed
+    across retries — exactly Delta's identity contract.
+
+    Returns (df_with_column, new_high_water_mark)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    d = df.localCheckpoint(eager=True)  # pin partitioning between count & write
+    d = d.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(p, o) for p, o in sorted(offsets.items())] or [(0, 0)],
+            "_pid int, _off long",
+        )
+    )
+    w = W.partitionBy("_pid").orderBy("_mid")
+    out = (
+        d.join(off_df, "_pid", "left")
+        .withColumn(
+            name,
+            F.lit(base).cast("long")
+            + F.lit(step).cast("long")
+            * (F.coalesce(F.col("_off"), F.lit(0)) + F.row_number().over(w)),
+        )
+        .drop("_pid", "_mid", "_off")
+    )
+    return out, base + step * total
+
+
+def _with_identity_metadata(
+    schema: T.StructType, params: dict[str, dict]
+) -> T.StructType:
+    """Return `schema` with identity field metadata substituted/attached."""
+    fields = []
+    for f in schema.fields:
+        if f.name in params:
+            fields.append(
+                T.StructField(f.name, T.LongType(), False, params[f.name])
+            )
+        else:
+            fields.append(f)
+    return T.StructType(fields)
+
+
 def _maybe_auto_checkpoint(table_path: str, version: int, config: dict | None) -> None:
     """Honor delta.checkpointInterval: write a checkpoint every N commits.
     Best-effort (a checkpoint failure must not fail the committed write —
@@ -531,8 +605,17 @@ def write_delta(
     txn_version: int | None = None,
     configuration: dict[str, str] | None = None,
     liquid_cluster_by: list[str] | None = None,
+    identity_columns: dict[str, tuple[int, int]] | None = None,
 ) -> int:
     """Write `df` to a Delta table at `table_path`. Returns committed version.
+
+    identity_columns (table creation / overwrite only): {name: (start,
+    step)} adds GENERATED ALWAYS AS IDENTITY columns — the engine assigns
+    values distributedly (no global window; see _assign_identity) and
+    tracks the high-water mark in the field metadata; later appends must
+    NOT supply the column, and each assigning commit advances the mark in
+    an updated metaData action. Writer protocol version 6 (identity
+    columns), as in Delta.
 
     liquid_cluster_by: cluster the data like zorder_by AND persist the
     clustering columns as `delta.clustering` domainMetadata — subsequent
@@ -596,6 +679,46 @@ def write_delta(
         # inherit the table's existing partition spec on append
         partition_by = list(prior.partition_columns)
     partition_by = list(partition_by or [])
+
+    # identity columns: GENERATED ALWAYS — the writer assigns, callers may
+    # never supply values. identity_params carries the post-commit field
+    # metadata (start/step/new high-water mark) for the metaData action.
+    identity_params: dict[str, dict] = {}
+    if identity_columns:
+        if prior is not None and mode == "append":
+            raise ValueError(
+                "identity_columns can only be declared at table creation "
+                "or overwrite"
+            )
+        for name, (start, step) in identity_columns.items():
+            if step == 0:
+                raise ValueError(f"identity step must be non-zero: {name}")
+            if name in df.columns:
+                raise ValueError(
+                    f"identity column {name} is GENERATED ALWAYS; do not "
+                    "supply values"
+                )
+            if name in partition_by:
+                raise ValueError(f"identity column cannot be a partition key: {name}")
+            df, hw = _assign_identity(df, name, int(start) - int(step), int(step))
+            identity_params[name] = {
+                _IDENTITY_START: int(start),
+                _IDENTITY_STEP: int(step),
+                _IDENTITY_HW: hw,
+            }
+    elif prior is not None and mode == "append":
+        for name, meta in _identity_fields(prior.schema).items():
+            if name in df.columns:
+                raise ValueError(
+                    f"identity column {name} is GENERATED ALWAYS; do not "
+                    "supply values"
+                )
+            step = int(meta.get(_IDENTITY_STEP, 1))
+            base = int(
+                meta.get(_IDENTITY_HW, int(meta[_IDENTITY_START]) - step)
+            )
+            df, hw = _assign_identity(df, name, base, step)
+            identity_params[name] = {**meta, _IDENTITY_HW: hw}
 
     # generated columns derive from the governing schema: the table's on
     # append (so an appender may omit them entirely), the incoming df's on
@@ -718,14 +841,20 @@ def write_delta(
     config_changed = effective_config != prior_config
 
     if version == 0:
-        # generated columns are a legacy writer-version-4 feature
+        # legacy writer-version features: generated columns = 4,
+        # identity columns = 6
         min_writer = 4 if _generation_expressions(schema) else 2
+        if identity_params:
+            min_writer = max(min_writer, 6)
         proto: dict = {"minReaderVersion": 1, "minWriterVersion": min_writer}
         if _ict_enabled(effective_config):
+            feats = ["inCommitTimestamp"]
+            if identity_params:
+                feats.append("identityColumns")
             proto = {
                 "minReaderVersion": 1,
                 "minWriterVersion": 7,
-                "writerFeatures": ["inCommitTimestamp"],
+                "writerFeatures": sorted(feats),
             }
         actions.append({"protocol": proto})
     elif ict_newly_enabled:
@@ -745,15 +874,27 @@ def write_delta(
                 }
             }
         )
-    if version == 0 or mode == "overwrite" or schema_changed or config_changed:
+    if (
+        version == 0
+        or mode == "overwrite"
+        or schema_changed
+        or config_changed
+        or identity_params
+    ):
         # table identity + configuration (incl. CHECK constraints) survive
-        # overwrites and schema evolution; only the schema string changes
+        # overwrites and schema evolution; only the schema string changes.
+        # identity assignments advance the high-water mark here.
+        md_schema = (
+            _with_identity_metadata(schema, identity_params)
+            if identity_params
+            else schema
+        )
         actions.append(
             {
                 "metaData": {
                     "id": prior_md.get("id") or str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": struct_to_schema_string(schema),
+                    "schemaString": struct_to_schema_string(md_schema),
                     "partitionColumns": partition_by,
                     "configuration": effective_config,
                     "createdTime": prior_md.get("createdTime", now),
@@ -790,7 +931,14 @@ def write_delta(
             # appends commute with other appends; anything else needs the
             # caller to re-plan against the new snapshot.
             DeltaLog.clear_cache()
-            if mode != "append" or prior is None or schema_changed:
+            # identity appends do NOT commute: both racers would extend
+            # from the same high-water mark and mint duplicate ids
+            if (
+                mode != "append"
+                or prior is None
+                or schema_changed
+                or identity_params
+            ):
                 raise ConcurrentWriteError(
                     f"version {version} of {table_path} was committed "
                     "concurrently; re-run against the new snapshot"

@@ -602,3 +602,43 @@ def test_liquid_clustering_remembers_layout(spark, tmp_path):
     for col in ("a", "b"):
         kept = prune_files(snap, [(col, "=", 3)])
         assert len(kept) < snap.num_files, col
+
+
+def test_identity_columns(spark, tmp_path):
+    """GENERATED ALWAYS AS IDENTITY: distributed assignment, high-water
+    mark advancing across appends, explicit values rejected."""
+    import pytest
+
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    path = str(tmp_path / "ident")
+    df = spark.range(100).selectExpr("CAST(id AS STRING) AS name").repartition(5)
+    write_delta(df, path, identity_columns={"rid": (10, 2)})
+
+    t = DeltaTable(spark, path)
+    rows = t.to_df().collect()
+    ids = sorted(r["rid"] for r in rows)
+    assert ids == list(range(10, 10 + 2 * 100, 2))  # start=10, step=2, unique
+    snap = DeltaLog(path).snapshot()
+    meta = {f.name: f.metadata for f in snap.schema.fields}["rid"]
+    assert meta["delta.identity.highWaterMark"] == 10 + 2 * 99 + 2 - 2  # 208
+    assert snap.protocol["minWriterVersion"] == 6
+
+    # append without the column: ids continue past the mark
+    write_delta(
+        spark.range(50).selectExpr("CAST(id AS STRING) AS name").repartition(3),
+        path,
+        mode="append",
+    )
+    rows2 = DeltaTable(spark, path).to_df().collect()
+    ids2 = sorted(r["rid"] for r in rows2)
+    assert len(ids2) == 150 and len(set(ids2)) == 150
+    assert ids2 == list(range(10, 10 + 2 * 150, 2))
+
+    # GENERATED ALWAYS: explicit values rejected
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        write_delta(
+            spark.createDataFrame([("x", 999)], "name string, rid long"),
+            path,
+            mode="append",
+        )
