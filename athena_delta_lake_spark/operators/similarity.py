@@ -749,3 +749,76 @@ def dequantize(q_col: str = "q", scale_col: str = "q_scale") -> Column:
     return F.transform(
         F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)
     )
+
+
+# ------------------------------------------------- max-inner-product search
+
+
+def dot_pandas(a: Column, b: Column) -> Column:
+    """Vectorized float64 dot product (Arrow-batched numpy einsum)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(x: pd.Series, y: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(x.to_numpy()).astype(np.float64)
+        B = np.stack(y.to_numpy()).astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return _dot(a, b)
+
+
+def mips_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact maximum-inner-product top-k (recommendation scoring: user
+    vector x item embeddings, where magnitude matters and cosine is the
+    WRONG ranking). Broadcast queries, one corpus pass, per-query top-k.
+
+    Scale path: MIPS reduces to cosine ANN by the norm-augmentation
+    transform (append sqrt(M^2 - |x|^2) to items, 0 to queries, M = max
+    item norm — see augment_for_mips); the augmented vectors feed the
+    LSH/IVF/PQ pipelines unchanged.
+    """
+    from pyspark.sql import Window as W
+
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        dot_pandas(F.col(query_vec), F.col(corpus_vec)).alias("score"),
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def augment_for_mips(
+    corpus: DataFrame, vec_col: str, max_norm: float, is_query: bool = False
+) -> DataFrame:
+    """Norm-augmentation (the standard MIPS->cosine reduction): items get
+    an extra coordinate sqrt(M^2 - |x|^2), queries get 0 — inner products
+    are preserved while all item norms equal M, so cosine ANN over the
+    augmented vectors ranks by inner product."""
+    c = F.col(vec_col)
+    sq = F.aggregate(
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    extra = (
+        F.lit(0.0)
+        if is_query
+        else F.sqrt(F.greatest(F.lit(float(max_norm)) ** 2 - sq, F.lit(0.0)))
+    )
+    return corpus.withColumn(
+        vec_col, F.concat(c.cast("array<double>"), F.array(extra))
+    )

@@ -290,3 +290,43 @@ def n05(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.min("cos_err") * 1000).cast("long").alias("min_cos_x1000"),
         F.floor(F.avg("cos_err") * 1000).cast("long").alias("avg_cos_x1000"),
     )
+
+
+@register(
+    "n07_mips_topk",
+    "similarity",
+    """
+    WITH ex AS (
+      SELECT vec_id, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), scores AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+             sum(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS score
+      FROM ex q JOIN ex c ON q.pos = c.pos
+      WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT q_id, vec_id, score,
+             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+      FROM scores
+    )
+    SELECT q_id, vec_id, round(score, 6) AS score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+    "exact max-inner-product top-10 (recommendation ranking; magnitude "
+    "matters, cosine is the wrong order)",
+)
+def n07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    res = sim.mips_topk(q, e, k=10 + 1)
+    res = res.filter(F.col("vec_id") != F.col("q_id"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        res.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("q_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+    )

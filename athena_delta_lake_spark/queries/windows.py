@@ -341,3 +341,42 @@ def w12(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "value_millis", ["ts", "event_id"], alpha=0.1
     )
     return out.select("user_id", F.round("ewma", 6).alias("ewma"), "n")
+
+
+@register(
+    "w13_time_weighted_avg",
+    "windows",
+    """
+    WITH seg AS (
+      SELECT user_id,
+             floor(value * 1000) AS vm,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt
+      FROM events
+    )
+    SELECT user_id,
+           round(sum(vm * dt) / sum(dt), 6) AS twap,
+           CAST(count(dt) AS BIGINT) AS n_segments
+    FROM seg WHERE dt IS NOT NULL AND dt > 0
+    GROUP BY user_id
+    """,
+    "time-weighted average (TWAP) over irregular samples: each value "
+    "weighted by its holding interval to the next event",
+)
+def w13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 1000).alias("vm"),
+        (
+            # fixture ts is TIMESTAMP_NTZ; session TZ is UTC, so the cast
+            # is the same wall-clock instant DuckDB's naive epoch_us sees
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("dt"),
+    ).filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    return seg.groupBy("user_id").agg(
+        F.round(F.sum(F.col("vm") * F.col("dt")) / F.sum("dt"), 6).alias("twap"),
+        F.count("dt").cast("long").alias("n_segments"),
+    )

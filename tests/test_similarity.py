@@ -180,3 +180,35 @@ def test_pq_encode_shape_determinism(spark, sf_dir):
     ).first()
     assert row["lo"] == row["hi"] == 8
     assert 0 <= row["cmin"] and row["cmax"] <= 15
+
+
+def test_mips_norm_augmentation_preserves_ranking(spark, sf_dir):
+    """augment_for_mips: cosine ranking over augmented vectors == exact
+    inner-product ranking (the MIPS->ANN reduction)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = sim.mips_topk(q, e, k=5)
+    want = {
+        (r["q_id"], r["rank"]): r["vec_id"] for r in exact.collect()
+    }
+
+    import math
+    max_norm = math.sqrt(
+        e.select(
+            F.max(
+                F.aggregate(
+                    F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0), lambda a, b: a + b,
+                )
+            ).alias("m")
+        ).first()["m"]
+    )
+    aug_c = sim.augment_for_mips(e, "embedding", max_norm)
+    aug_q = sim.augment_for_mips(q, "q_vec", max_norm, is_query=True)
+    via_cosine = sim.brute_force_knn(aug_q, aug_c, k=5)
+    got = {
+        (r["q_id"], r["rank"]): r["vec_id"] for r in via_cosine.collect()
+    }
+    assert got == want
