@@ -6,14 +6,24 @@ from .reader import read_files, read_snapshot
 from .stats import prune_files
 from .table import DeltaTable
 from .types import schema_string_to_struct, struct_to_schema_string
-from .writer import write_checkpoint, write_delta
+from .writer import (
+    add_columns,
+    cleanup_log,
+    convert_to_delta,
+    set_domain_metadata,
+    write_checkpoint,
+    write_delta,
+)
 
 __all__ = [
     "AddFile",
     "DeltaLog",
     "DeltaTable",
     "SnapshotState",
+    "add_columns",
+    "cleanup_log",
     "compact",
+    "convert_to_delta",
     "delete",
     "delete_mor",
     "merge_upsert",
@@ -22,6 +32,7 @@ __all__ = [
     "read_snapshot",
     "restore_table",
     "schema_string_to_struct",
+    "set_domain_metadata",
     "struct_to_schema_string",
     "update",
     "vacuum",
