@@ -617,3 +617,127 @@ def duplicate_span_stats(
             ),
         )
     )
+
+
+# ------------------------------------------------------ relational bloom filter
+
+
+def bloom_build(
+    fps: DataFrame,
+    fp_col: str = "fp",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Build a Bloom filter OVER the cluster as a relation: (word_idx,
+    word) rows where `word` is a 64-bit chunk of the bit array. Bits set =
+    n_hashes xxhash64 positions per fingerprint; the whole filter is
+    n_bits/64 rows (a 1M-bit filter = 16k rows / 128 KB) regardless of
+    corpus size — broadcastable state distilled from billions of rows.
+
+    Explode-by-seed then one bit_or aggregate per word: both shuffles key
+    uniformly (hash positions). No driver-side bitmap is materialized.
+    """
+    pos = (
+        fps.select(F.col(fp_col).alias("fp"))
+        .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))))
+        .select(
+            (F.pmod(F.xxhash64("fp", F.col("k"), F.lit(seed)), F.lit(n_bits))).alias(
+                "bit"
+            )
+        )
+    )
+    words = pos.select(
+        (F.col("bit") / 64).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").alias("w"),
+    )
+    return words.groupBy("word_idx").agg(
+        F.bit_or("w").alias("word")
+    )
+
+
+def bloom_prefilter(
+    batch: DataFrame,
+    bloom: DataFrame,
+    fp_col: str = "fp",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Rows of `batch` that are POSSIBLY in the filter's set (definitely-new
+    rows are dropped from the expensive path). Guarantee: no false
+    negatives — a row whose fingerprint was ever added always passes.
+
+    The batch explodes to its n_hashes probe positions, LEFT-joins the
+    (broadcast) word relation, and keeps rows where every probed bit is
+    set. At 100 TB this runs BEFORE the anti-join against the fingerprint
+    corpus: the corpus-sized shuffle only sees the (tiny) possibly-dup
+    fraction plus the filter's false positives.
+    """
+    probes = (
+        batch.withColumn("_k", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))))
+        .withColumn(
+            "_bit",
+            F.pmod(F.xxhash64(F.col(fp_col), F.col("_k"), F.lit(seed)), F.lit(n_bits)),
+        )
+        .withColumn("_widx", (F.col("_bit") / 64).cast("long"))
+    )
+    joined = probes.join(
+        F.broadcast(bloom.withColumnRenamed("word_idx", "_widx")), "_widx", "left"
+    ).withColumn(
+        "_hit",
+        F.when(
+            F.col("word").isNotNull()
+            & (
+                F.col("word").bitwiseAND(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit % 64 AS INT))")
+                )
+                != 0
+            ),
+            1,
+        ).otherwise(0),
+    )
+    keep_cols = [c for c in batch.columns]
+    return (
+        joined.groupBy(*keep_cols)
+        .agg(F.min("_hit").alias("_all_hit"))
+        .filter(F.col("_all_hit") == 1)
+        .drop("_all_hit")
+    )
+
+
+def incremental_dedup_bloom(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    known_fps: DataFrame,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """incremental_exact_dedup with a Bloom pre-filter: IDENTICAL output,
+    different cost shape. The broadcastable filter (n_bits/64 longs,
+    corpus-size independent) splits the batch; definitely-new rows (most
+    of a typical ingest) skip the corpus anti-join entirely, so the
+    corpus-sized shuffle only processes possible duplicates + the
+    filter's false positives. No-false-negatives keeps the result exact.
+    """
+    fp = F.md5(normalize_text(text_col))
+    tagged = batch.withColumn("fp", fp)
+    bloom = bloom_build(
+        known_fps.select("fp").distinct(), "fp", n_bits, n_hashes, seed
+    )
+    maybe_dup = bloom_prefilter(tagged, bloom, "fp", n_bits, n_hashes, seed)
+    definitely_new = tagged.join(
+        maybe_dup.select(id_col).distinct(), id_col, "left_anti"
+    )
+    confirmed_new = maybe_dup.join(
+        known_fps.select("fp").distinct(), "fp", "left_anti"
+    )
+    union = definitely_new.unionByName(confirmed_new)
+    w = W.partitionBy("fp").orderBy(id_col)
+    return (
+        union.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("fp", "_rn")
+    )

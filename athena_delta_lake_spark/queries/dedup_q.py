@@ -259,3 +259,38 @@ def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return duplicate_span_stats(d, "doc_id", "text", k=8)
+
+
+@register(
+    "d10_bloom_incremental_dedup",
+    "dedup",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, source, md5({_NORM_SQL}) AS fp FROM documents
+    ), corpus AS (
+      SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0
+    ), survivors AS (
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fp b
+        WHERE b.doc_id % 2 = 1
+          AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+      ) t WHERE rn = 1
+    )
+    SELECT source, count(*) AS n_new FROM survivors GROUP BY source
+    """,
+    "bloom-prefiltered incremental dedup: a broadcastable corpus-size-"
+    "independent filter short-circuits definitely-new rows before the "
+    "corpus anti-join; no false negatives keeps the result EXACT (== d08)",
+)
+def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    corpus = dedup.fingerprint_table(
+        d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
+    )
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    fresh = dedup.incremental_dedup_bloom(
+        batch, "doc_id", "text", corpus, n_bits=1 << 16
+    )
+    return fresh.groupBy("source").agg(F.count("*").alias("n_new"))

@@ -153,3 +153,25 @@ def test_fingerprint_corpus_roundtrip_and_idempotence(spark, tmp_path):
     assert sorted(r["doc_id"] for r in fresh2.collect()) == [5]
     corpus.commit_batch(fresh2, "doc_id", "text", txn_app_id="ing", txn_version=2)
     assert corpus.known_fps().count() == 3
+
+
+def test_bloom_filter_no_false_negatives_and_bounded_fp(spark):
+    from athena_delta_lake_spark.operators.dedup import bloom_build, bloom_prefilter
+    from pyspark.sql import functions as F
+
+    known = spark.range(2000).select(F.md5(F.col("id").cast("string")).alias("fp"))
+    bloom = bloom_build(known, n_bits=1 << 16, n_hashes=5)
+    # filter is tiny relative to the set it summarizes
+    assert bloom.count() <= (1 << 16) / 64
+
+    # every known fp passes (no false negatives — the Bloom guarantee)
+    passed_known = bloom_prefilter(known, bloom, n_bits=1 << 16, n_hashes=5)
+    assert passed_known.count() == 2000
+
+    # unseen fps mostly rejected (bounded false-positive rate)
+    fresh = spark.range(10_000, 12_000).select(
+        F.md5(F.col("id").cast("string")).alias("fp")
+    )
+    fp_rate = bloom_prefilter(fresh, bloom, n_bits=1 << 16, n_hashes=5).count() / 2000
+    # m/n = 32.8 bits/key, k=5 -> theoretical ~0.0005; allow slack
+    assert fp_rate < 0.05, fp_rate
