@@ -1312,3 +1312,56 @@ def j05(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.floor(F.col("value") * 1000)).cast("long").alias("value_millis"),
     )
+
+
+@register(
+    "q24_copurchase_pairs",
+    "joins",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT part_a, part_b, n_orders,
+             row_number() OVER (ORDER BY n_orders DESC, part_a, part_b) AS rnk
+      FROM pairs
+    )
+    SELECT part_a, part_b, n_orders, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 20
+    """,
+    "market-basket co-purchase pairs: per-order item self-join, pair "
+    "counts, global top-20 (deterministic tiebreak)",
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    # distributed top-k (TakeOrderedAndProject) first; the rank window then
+    # runs over 20 rows, not a single global partition of all pairs
+    top = pairs.orderBy(
+        F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)
+    w = W.orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "part_a", "part_b", "n_orders", "rnk"
+    )
