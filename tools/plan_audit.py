@@ -27,15 +27,6 @@ ALLOWLIST: dict[str, set[str]] = {
     "j02_cross_join_small": {"CartesianProduct", "BroadcastNestedLoopJoin"},
     # rank window runs over a 20-row TakeOrderedAndProject result
     "q24_copurchase_pairs": {"global-window"},
-    # NTILE/cume_dist need a total order by definition; inputs are
-    # pre-aggregated (one row per group) before the global window
-    "w04_rank_dense_ntile": {"global-window"},
-    "w08_percent_rank_cume": {"global-window"},
-    # correlated NOT EXISTS decorrelates to a nested-loop anti-join over
-    # the two-phase-reduced (tiny) local skyline set
-    "m03_skyline_pareto": {"BroadcastNestedLoopJoin"},
-    # recursive CTE: per-iteration loop join on the (small) frontier
-    "q23_recursive_cte": {"BroadcastNestedLoopJoin", "CartesianProduct"},
     # brute force BY DEFINITION scores every corpus row against every
     # (broadcast) query — the exact baselines; n02/n04/n06 are the scale
     # paths that replace the nested loop with bucketed candidates
