@@ -245,3 +245,58 @@ def p07(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("epoch_pos").alias("pos_e1")
     )
     return e0.join(e1, "doc_id")
+
+
+_REDACT_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(text,"
+    " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+    " '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g'),"
+    " '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g')"
+)
+
+
+@register(
+    "p08_clean_pipeline",
+    "pipeline",
+    f"""
+    WITH redacted AS (
+      SELECT doc_id, source, {_REDACT_SQL} AS clean FROM documents
+    ), scored AS (
+      SELECT doc_id, source, clean,
+             len(string_split(trim(regexp_replace(lower(clean), '\\s+', ' ', 'g')), ' ')) AS n_words
+      FROM redacted
+    ), kept AS (
+      SELECT * FROM scored WHERE n_words BETWEEN 10 AND 1000
+    ), deduped AS (
+      SELECT doc_id, source, n_words FROM (
+        SELECT doc_id, source, n_words,
+               row_number() OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(clean), '\\s+', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+        FROM kept
+      ) t WHERE rn = 1
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words
+    FROM deduped GROUP BY source
+    """,
+    "capstone cleanup pipeline: PII redaction -> length gate -> exact "
+    "dedup keep-first -> per-source counts (one composed narrow+shuffle "
+    "flow, every stage oracle-replayed)",
+)
+def p08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup, normalize_text
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "clean", pipeline.redact_pii("text")
+    )
+    scored = d.withColumn(
+        "n_words", F.size(F.split(normalize_text("clean"), " "))
+    )
+    kept = scored.filter(F.col("n_words").between(10, 1000))
+    deduped = exact_dedup(kept, "clean", "doc_id")
+    return deduped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+    )
