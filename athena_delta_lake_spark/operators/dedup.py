@@ -721,6 +721,16 @@ def incremental_dedup_bloom(
     of a typical ingest) skip the corpus anti-join entirely, so the
     corpus-sized shuffle only processes possible duplicates + the
     filter's false positives. No-false-negatives keeps the result exact.
+
+    Regime note (measured): at local scale (95k-fp corpus, 100k batch,
+    5% dups) this is ~2x SLOWER than the plain anti-join — the filter
+    build/probe stages cost more than the small anti-join they avoid.
+    The pre-filter pays off when the corpus dwarfs the batch (billions
+    of fingerprints: the anti-join must shuffle or broadcast the corpus,
+    while the filter stays MB-sized and can also be persisted once and
+    reused across many ingest batches via bloom_build on the corpus
+    table). Prefer the plain path until the corpus side is the
+    bottleneck.
     """
     fp = F.md5(normalize_text(text_col))
     tagged = batch.withColumn("fp", fp)
