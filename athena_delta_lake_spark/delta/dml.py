@@ -403,8 +403,18 @@ def merge_upsert(
     by_basename = {os.path.basename(f.path): f for f in live}
     touched_names = set()
     if live:
-        tagged = read_files(spark, snap, live).select(
-            *keys, F.input_file_name().alias("__file")
+        # Tag rows with their source file AT SCAN TIME (_metadata.file_path
+        # via read_files_with_index). input_file_name() is NOT usable here:
+        # it returns '' for rows that crossed the deletion-vector anti-join,
+        # so merges touching DV'd files silently missed them — the target
+        # rows survived unrewritten while the source rows inserted,
+        # duplicating keys (caught by the randomized DML state machine).
+        from urllib.parse import unquote
+
+        from .reader import read_files_with_index
+
+        tagged = read_files_with_index(spark, snap, live).select(
+            *keys, F.col("_file").alias("__file")
         )
         rows = (
             tagged.join(src_keys, keys, "left_semi")
@@ -412,11 +422,11 @@ def merge_upsert(
             .distinct()
             .collect()
         )
-        from urllib.parse import unquote
-
-        touched_names = {
-            os.path.basename(unquote(r["__file"])) for r in rows
-        }
+        for r in rows:
+            name = os.path.basename(r["__file"])
+            if name not in by_basename:
+                name = os.path.basename(unquote(r["__file"]))
+            touched_names.add(name)
     touched = [by_basename[n] for n in touched_names if n in by_basename]
 
     remove_files = list(touched)

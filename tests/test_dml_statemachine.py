@@ -1,0 +1,124 @@
+"""Randomized DML state machine: a seeded random walk of
+append/delete(cow|mor)/update/merge/optimize/checkpoint/restore against a
+pandas model of the table, with snapshot equality asserted after every
+step and time-travel equality at the end.
+
+This is the cross-feature interaction net: e.g. MOR deletion vectors
+surviving OPTIMIZE, RESTORE landing on a checkpoint-only prefix, merges
+over DV'd files — sequences no single-feature test enumerates.
+"""
+
+import random
+
+import pandas as pd
+import pytest
+
+from athena_delta_lake_spark import DeltaTable, write_delta
+from athena_delta_lake_spark.delta.log import DeltaLog
+from athena_delta_lake_spark.delta.writer import write_checkpoint
+
+
+def _table_state(spark, path) -> list[tuple]:
+    return sorted(
+        tuple(r) for r in DeltaTable(spark, path).to_df().select("id", "k", "v").collect()
+    )
+
+
+def _model_state(model: pd.DataFrame) -> list[tuple]:
+    return sorted(
+        (int(r.id), int(r.k), float(r.v)) for r in model.itertuples(index=False)
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_dml_walk_matches_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    path = str(tmp_path / f"walk_{seed}")
+
+    next_id = 0
+
+    def fresh_rows(n):
+        nonlocal next_id
+        rows = [(next_id + i, (next_id + i) % 5, float(next_id + i) * 1.5) for i in range(n)]
+        next_id += n
+        return rows
+
+    rows = fresh_rows(80)
+    model = pd.DataFrame(rows, columns=["id", "k", "v"])
+    write_delta(
+        spark.createDataFrame(rows, "id long, k long, v double"),
+        path,
+        partition_by=["k"],
+    )
+    history = {0: _model_state(model)}
+
+    for step in range(14):
+        op = rng.choice(
+            ["append", "delete_cow", "delete_mor", "update", "merge", "optimize", "checkpoint"]
+        )
+        t = DeltaTable(spark, path)
+        if op == "append":
+            rows = fresh_rows(rng.randint(5, 25))
+            write_delta(
+                spark.createDataFrame(rows, "id long, k long, v double"),
+                path,
+                mode="append",
+            )
+            model = pd.concat(
+                [model, pd.DataFrame(rows, columns=["id", "k", "v"])],
+                ignore_index=True,
+            )
+        elif op in ("delete_cow", "delete_mor"):
+            kk = rng.randint(0, 4)
+            cut = rng.randint(0, next_id)
+            t.delete(
+                where=f"k = {kk} AND id < {cut}",
+                mode="mor" if op == "delete_mor" else "cow",
+            )
+            model = model[~((model.k == kk) & (model.id < cut))]
+        elif op == "update":
+            kk = rng.randint(0, 4)
+            t.update({"v": "v + 100"}, where=f"k = {kk}")
+            model = model.copy()
+            model.loc[model.k == kk, "v"] += 100
+        elif op == "merge":
+            lo = rng.randint(0, max(next_id - 10, 1))
+            src_rows = [(i, i % 5, -1.0) for i in range(lo, lo + 15)]
+            src = spark.createDataFrame(src_rows, "id long, k long, v double")
+            t.merge(src, keys=["id"])
+            present = set(model.id)
+            for i, k, v in src_rows:
+                if i in present:
+                    model.loc[model.id == i, ["k", "v"]] = [i % 5, v]
+                else:
+                    model = pd.concat(
+                        [model, pd.DataFrame([(i, k, v)], columns=["id", "k", "v"])],
+                        ignore_index=True,
+                    )
+            next_id = max(next_id, lo + 15)
+        elif op == "optimize":
+            t.compact(target_file_size=1 << 30)
+        elif op == "checkpoint":
+            write_checkpoint(path, v2=rng.random() < 0.5)
+
+        got = _table_state(spark, path)
+        want = _model_state(model)
+        assert got == want, f"divergence after step {step} op {op} (seed {seed})"
+        history[DeltaTable(spark, path).version()] = want
+
+    # one restore to a random recorded version, model follows
+    target = rng.choice(sorted(history))
+    DeltaTable(spark, path).restore(version=target)
+    assert _table_state(spark, path) == history[target]
+
+    # time travel to every recorded version still replays exactly
+    DeltaLog.clear_cache()
+    for v, want in history.items():
+        got = sorted(
+            tuple(r)
+            for r in DeltaTable(spark, path)
+            .to_df(version=v)
+            .select("id", "k", "v")
+            .collect()
+        )
+        assert got == want, f"time travel to v{v} diverged (seed {seed})"
