@@ -611,10 +611,18 @@ def restore_table(
         else log.snapshot_as_of_timestamp(timestamp_millis)
     )
     current = log.snapshot()
-    cur = {f.path for f in current.files}
+    # Diff by file STATE, not just path: a path live in both versions can
+    # still differ (a deletion vector grown by a later MOR delete, or a
+    # same-path rewrite) — those must be re-added with the TARGET's
+    # descriptor or post-target deletions survive the restore (caught by
+    # the randomized DML fuzz). Re-adding an existing path replaces its
+    # entry on replay (last writer wins), so no paired remove is needed.
+    cur_fp = {f.path: file_fingerprint(f) for f in current.files}
     tgt = {f.path: f for f in target.files}
-    to_add = [f for p, f in tgt.items() if p not in cur]
-    to_remove = sorted(p for p in cur if p not in tgt)
+    to_add = [
+        f for p, f in tgt.items() if cur_fp.get(p) != file_fingerprint(f)
+    ]
+    to_remove = sorted(p for p in cur_fp if p not in tgt)
 
     missing = [
         f.path

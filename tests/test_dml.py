@@ -340,3 +340,24 @@ def test_upsert_order_independent_across_batches(spark, tmp_path):
             for r in DeltaTable(spark, path).to_df().collect()
         }
         assert got == want, order
+
+
+def test_restore_undoes_later_deletion_vector(spark, tmp_path):
+    """RESTORE to a version before a MOR delete must resurrect the
+    DV-deleted rows even though the data file path never changed
+    (regression: the restore diff compared paths only, so the newer DV
+    survived and post-target deletions leaked through)."""
+    from athena_delta_lake_spark import DeltaTable, write_delta
+
+    path = str(tmp_path / "restore_dv")
+    write_delta(spark.range(100).selectExpr("id"), path)
+    t = DeltaTable(spark, path)
+    t.delete(where="id < 10", mode="mor")   # v1: DV on the original file
+    assert DeltaTable(spark, path).to_df().count() == 90
+    t.delete(where="id < 20", mode="mor")   # v2: DV grows, same path
+    assert DeltaTable(spark, path).to_df().count() == 80
+
+    DeltaTable(spark, path).restore(version=1)
+    assert DeltaTable(spark, path).to_df().count() == 90
+    DeltaTable(spark, path).restore(version=0)
+    assert DeltaTable(spark, path).to_df().count() == 100
