@@ -413,6 +413,12 @@ class DeltaLog:
                     _apply_action(acc, json.loads(line))
             replayed = v
         if replayed != version:
+            if replayed < 0:
+                raise ValueError(
+                    f"version {version} of {self.table_path} is no longer "
+                    "replayable: its commit JSONs predate the earliest "
+                    "checkpoint (expired by log retention cleanup)"
+                )
             raise ValueError(f"requested version {version} not present (max {replayed})")
 
         if acc.metadata is None:
