@@ -321,17 +321,34 @@ def minhash_lsh_pairs(
 # ------------------------------------------------------------------- SimHash
 
 
-def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, sim) 64-bit SimHash per row: per-word xxhash64, bit-vote, sign.
+def _word_hash64(word: Column, word_hash: str) -> Column:
+    """64-bit per-word hash. 'xxhash64' is the fast JVM path; 'md5' derives
+    the 64 bits from the first 16 hex chars of md5 (hi<<32 | lo) — slower,
+    but reproducible in any engine with an md5() builtin (used by the
+    DuckDB-oracled gates)."""
+    if word_hash == "xxhash64":
+        return F.xxhash64(word)
+    if word_hash == "md5":
+        hx = F.md5(word)
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+    raise ValueError(f"unknown word_hash {word_hash!r}")
 
-    Explode words -> hash each word ONCE (scalar xxhash64) -> explode the
+
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, word_hash: str = "xxhash64"
+) -> DataFrame:
+    """(id, sim) 64-bit SimHash per row: per-word hash, bit-vote, sign.
+
+    Explode words -> hash each word ONCE (scalar hash) -> explode the
     64 bit positions -> one generic SUM(+-1) vote per (id, bit) -> assemble
     the sign bits with SUM(shiftleft(1L, bit)). Every aggregate is small
     and codegen'd; no per-row lambdas, no 64-wide aggregate."""
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
-    ).withColumn("wh", F.xxhash64("w"))
+    ).withColumn("wh", _word_hash64(F.col("w"), word_hash))
     bits = ex.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(63))))
     votes = bits.groupBy("id", "b").agg(
         F.sum(F.getbit("wh", F.col("b")) * 2 - 1).alias("v")
@@ -355,10 +372,14 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     prefix_bits: int = 16,
+    word_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 16-bit slices then verify hamming
-    distance — avoids the full n^2."""
-    sh = simhash_table(df, id_col, text_col).localCheckpoint(eager=True)
+    distance — avoids the full n^2. Exhaustive (no false negatives) for
+    max_hamming <= 3 with the 4-slice pigeonhole; approximate above that."""
+    sh = simhash_table(df, id_col, text_col, word_hash=word_hash).localCheckpoint(
+        eager=True
+    )
     # pigeonhole blocking: split 64 bits into 4 disjoint 16-bit slices; any
     # pair with hamming <= 3 agrees EXACTLY on at least one slice, so joining
     # per-slice finds every such pair (no false negatives for max_hamming<=3)

@@ -192,17 +192,20 @@ def a08(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregation",
     """
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
            CAST(len(list(DISTINCT l_suppkey)) AS INT) AS n_supp
     FROM lineitem
     GROUP BY l_returnflag
     """,
-    "collect_set aggregates (sorted for determinism) + set cardinality",
+    "collect_set aggregates (sorted + string-joined for determinism) + set cardinality",
 )
 def a10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The aggregate is a genuine array<string> collect_set; the gate emits it
+    # string-joined so the result set stays scalar-typed (hashable by any
+    # pandas-based canonicalizer — array cells break lexsort).
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
         F.size(F.collect_set("l_suppkey")).alias("n_supp"),
     )
 

@@ -93,14 +93,37 @@ def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d04_minhash_lsh_pairs",
     "dedup",
-    None,  # xxhash64 signatures aren't expressible in DuckDB; recall vs the
-    # exact d03 result is asserted in tests/test_dedup.py
-    "MinHash(64)+LSH(16 bands) candidate pairs, exact-Jaccard verified",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+                                          i -> array_to_string(words[i:i+2], ' '))) AS shingles
+      FROM w
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+      FROM ex a JOIN ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, round(inter / (n_a + n_b - inter), 6) AS jaccard
+    FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.6
+    """,
+    "MinHash(64)+LSH(32 bands) candidate pairs, exact-Jaccard verified",
 )
 def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gate operating point: 32 bands x 2 rows. A true pair at jaccard j is
+    # missed by every band with prob (1-j^2)^32 <= 1.3e-6 at j=0.6, so at
+    # fixture scale LSH recall is exactly 1 and the exact-Jaccard-verified
+    # output equals the exhaustive d03 result — hence the shared oracle SQL.
+    # (The operator itself stays parameterized; production tunes bands/rows.)
     d = load(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(
-        d, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.6
+        d, "doc_id", "text", k=3, num_hashes=64, bands=32, threshold=0.6
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -108,12 +131,43 @@ def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d05_simhash_pairs",
     "dedup",
-    None,  # xxhash64-based; hamming properties covered in tests
-    "SimHash64 near-dup pairs (pigeonhole 16-bit blocking, hamming <= 6)",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+    ), h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT AS hi,
+             ('0x' || substr(md5(w), 9, 8))::BIGINT AS lo
+      FROM w
+    ), bits AS (
+      SELECT doc_id, bb.b AS b,
+             CASE WHEN bb.b < 32 THEN (lo >> bb.b) & 1
+                  ELSE (hi >> (bb.b - 32)) & 1 END AS bit
+      FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+    ), votes AS (
+      SELECT doc_id, b, sum(bit * 2 - 1) AS v FROM bits GROUP BY 1, 2
+    ), sb AS (
+      SELECT doc_id, b, CASE WHEN v > 0 THEN 1 ELSE 0 END AS sbit FROM votes
+    ), ham AS (
+      SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+             sum(CASE WHEN a.sbit <> b2.sbit THEN 1 ELSE 0 END) AS hamming
+      FROM sb a JOIN sb b2 ON a.b = b2.b AND a.doc_id < b2.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+    FROM ham WHERE hamming <= 3
+    """,
+    "SimHash64 near-dup pairs (pigeonhole 16-bit blocking, hamming <= 3)",
 )
 def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gate operating point: max_hamming=3, where the 4-slice pigeonhole
+    # blocking is provably exhaustive (3 differing bits cannot touch all 4
+    # slices), and md5-derived word hashes so DuckDB reproduces the exact
+    # same 64-bit simhash — a full value oracle, not a recall bet.
     d = load(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=6)
+    return dedup.simhash_pairs(
+        d, "doc_id", "text", max_hamming=3, word_hash="md5"
+    )
 
 
 @register(

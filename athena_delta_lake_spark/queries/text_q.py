@@ -144,8 +144,13 @@ def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # String-join the fingerprint array so the gate's result set stays
+    # scalar-typed (array cells break pandas-based canonicalizers).
     return d.select(
-        "doc_id", tx.winnow_fingerprint("text", window=8, keep=4).alias("winnow")
+        "doc_id",
+        F.array_join(
+            tx.winnow_fingerprint("text", window=8, keep=4).cast("array<string>"), ","
+        ).alias("winnow"),
     )
 
 

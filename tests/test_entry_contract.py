@@ -31,10 +31,6 @@ def test_queries_oracle_consistency():
         "a12_approx_percentile",
         "a14_hll_sketch_union",
         "a16_cms_heavy_hitters",
-        "d04_minhash_lsh_pairs",
-        "d05_simhash_pairs",
-        "n02_ann_lsh",
-        "n04_ivf_ann",
         "n06_pq_ann",
         "x05_winnow_fingerprints",
     }
