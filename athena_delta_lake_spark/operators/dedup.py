@@ -116,6 +116,13 @@ def shingle_table(
     For texts with fewer than k words a single shorter shingle is kept
     (concat_ws skips the null LEADs), matching word_shingles semantics.
     """
+    # Small fixtures arrive as a single parquet file = one input partition,
+    # which would serialize the explode. Fan out only when the scan is
+    # narrower than the cluster; at real scale (partitions >> cores) this
+    # never triggers, so no corpus-wide shuffle is added.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     words_col = F.split(normalize_text(text_col), " ")
     base = df.select(
         F.col(id_col).alias("id"), F.posexplode(words_col).alias("pos", "w")
@@ -142,11 +149,24 @@ def _verify_pairs(
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs against the
     full shingle sets. Candidates are a tiny fraction of the corpus, so the
-    wide array payload only rides this final small join."""
+    wide array payload only rides this final small join.
+
+    The explicit fixed-width repartitions matter: candidate rows are tiny
+    (two ids), so AQE coalesces them into one partition by byte size — and
+    then the array_intersect work, the REAL cost, runs single-threaded
+    (measured 4.2 s -> 1.0 s at sf0.1 from spreading it). A numbered
+    repartition is exempt from AQE coalescing and keys the shuffle to the
+    join column, so each set join is co-partitioned."""
+    nparts = exploded.sparkSession.sparkContext.defaultParallelism
     sets = exploded.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
     a_sets = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b_sets = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    verified = cands.join(a_sets, "id_a").join(b_sets, "id_b")
+    verified = (
+        cands.repartition(nparts, "id_a")
+        .join(a_sets, "id_a")
+        .repartition(nparts, "id_b")
+        .join(b_sets, "id_b")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
@@ -163,10 +183,15 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT Jaccard-similar pairs (id_a < id_b) via a prefix-filtered
     set-similarity join (AllPairs / the Vernica-Carey-Li MapReduce
     formulation).
+
+    `shingles` injects a pre-built shingle_table(df, id_col, text_col, k)
+    result so callers running several shingle-based operators over the same
+    corpus (e.g. exact + MinHash dedup side by side) materialize it once.
 
     A naive shingle equi-join is quadratic in duplicate-group size: two
     near-identical docs with S shingles contribute S joined rows, and a
@@ -190,17 +215,27 @@ def ngram_jaccard_pairs(
     `max_shingle_df` additionally drops shingles shared by more than that
     many docs (stopword shingles = skew + noise) before anything else.
     """
-    exploded = shingle_table(df, id_col, text_col, k)
-    freq = exploded.groupBy("shingle").agg(F.count("*").alias("df_"))
+    exploded = shingles if shingles is not None else shingle_table(
+        df, id_col, text_col, k
+    )
     if max_shingle_df is not None:
-        freq = freq.filter(F.col("df_") <= max_shingle_df)
+        keep = (
+            exploded.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") <= max_shingle_df)
+        )
         # recompute n_sh over the surviving shingles so jaccard stays
         # consistent with the filtered universe
         exploded = (
-            exploded.join(freq.select("shingle"), "shingle")
+            exploded.join(keep.select("shingle"), "shingle")
             .withColumn("n_sh", F.count("*").over(W.partitionBy("id")))
         )
-    ranked = exploded.join(freq, "shingle").withColumn(
+    # document frequency via a window over shingle (not a separate agg+join:
+    # one exchange fewer, and the rank window right after reuses nothing of
+    # it anyway)
+    ranked = exploded.withColumn(
+        "df_", F.count("*").over(W.partitionBy("shingle"))
+    ).withColumn(
         "r", F.row_number().over(W.partitionBy("id").orderBy("df_", "shingle"))
     )
     eps = 1e-9
@@ -287,6 +322,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash banding, verified with exact
     shingle Jaccard. Returns (id_a, id_b, jaccard) with jaccard >= threshold.
@@ -295,11 +331,17 @@ def minhash_lsh_pairs(
     with prob 1-(1-j^r)^b — the usual S-curve. The bucket self-join carries
     only (id, band, band_hash); shingle sets join in AFTER candidate dedup,
     so the wide array payload never rides the banding shuffle.
+
+    `shingles` injects a pre-built shingle_table(...) so callers running
+    several shingle-based operators over the same corpus share one
+    materialization.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    exploded = shingle_table(df, id_col, text_col, k)
+    exploded = shingles if shingles is not None else shingle_table(
+        df, id_col, text_col, k
+    )
     banded = band_table(minhash_table(exploded, num_hashes), rows).localCheckpoint(
         eager=True
     )

@@ -87,6 +87,22 @@ def main() -> int:
     ).count()
     _ensure_lineitem_delta(spark, sf_dir)
 
+    # Steady-state warmup: run every bench query once at the smallest fixture.
+    # Whole-stage-codegen classes are keyed by generated source (= plan
+    # shape, not data), so this compiles each query's plans for pennies and
+    # the measured pass below times EXECUTION, not janino compilation —
+    # which is the regime that matters at real scale, where a 1-3 s one-time
+    # compile amortizes over TB-sized scans. Measured: the dedup suite's
+    # first-run numbers are ~2-4x its steady state purely from codegen.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir):
+        _ensure_lineitem_delta(spark, warm_dir)
+        for name in BENCH_QUERIES:
+            try:
+                reg[name].fn(spark, warm_dir).count()
+            except Exception as e:  # never let warmup sink the bench
+                print(f"# warmup {name} failed: {e}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         qd = reg[name]
