@@ -446,23 +446,58 @@ def merge_upsert(
         )
     else:
         matched_keys = src.select(*keys).limit(0)
-    if matched_condition is not None and touched:
-        # conditional matched clause: decide per ROW from the joined pair;
-        # null conditions count as false (target survives), matching SQL
+    if touched and (
+        when_matched == "update"
+        or (when_matched == "delete" and matched_condition is not None)
+    ):
+        # multiple source rows hitting one target key would update the same
+        # target row several ways (or both keep and delete it, for a
+        # conditional delete) — nondeterministic. Delta raises here
+        # (DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE); so do we.
+        ambiguous = (
+            src.join(matched_keys, keys, "left_semi")
+            .groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if ambiguous:
+            raise ValueError(
+                "MERGE: multiple source rows match the same target key; "
+                "the update would be nondeterministic"
+            )
+    if when_matched == "update" and touched:
+        # per-TARGET-ROW semantics for both the conditional and the
+        # unconditional clause: each matched target row is replaced by its
+        # source row (duplicate target keys each update independently —
+        # the earlier per-source-key semi-join silently collapsed them,
+        # so row counts differed depending on whether a condition was
+        # passed). Null conditions count as false (target survives).
+        cond = (
+            F.coalesce(F.expr(matched_condition), F.lit(False))
+            if matched_condition is not None
+            else F.lit(True)
+        )
+        non_keys = [c for c in target_cols if c not in keys]
+        joined = target_rows.alias("t").join(src.alias("s"), keys, "inner")
+        tgt_version = [F.col(k) for k in keys] + [
+            F.col(f"t.{c}").alias(c) for c in non_keys
+        ]
+        src_version = [F.col(k) for k in keys] + [
+            F.col(f"s.{c}").alias(c) for c in non_keys
+        ]
+        pieces.append(joined.filter(cond).select(*src_version))
+        pieces.append(joined.filter(~cond).select(*tgt_version))
+    elif matched_condition is not None and touched:
+        # conditional DELETE: rows failing the condition survive
         cond = F.coalesce(F.expr(matched_condition), F.lit(False))
         non_keys = [c for c in target_cols if c not in keys]
         joined = target_rows.alias("t").join(src.alias("s"), keys, "inner")
         tgt_version = [F.col(k) for k in keys] + [
             F.col(f"t.{c}").alias(c) for c in non_keys
         ]
-        if when_matched == "update":
-            src_version = [F.col(k) for k in keys] + [
-                F.col(f"s.{c}").alias(c) for c in non_keys
-            ]
-            pieces.append(joined.filter(cond).select(*src_version))
         pieces.append(joined.filter(~cond).select(*tgt_version))
-    elif when_matched == "update":
-        pieces.append(src.join(matched_keys, keys, "left_semi"))
     if when_not_matched == "insert":
         pieces.append(src.join(matched_keys, keys, "left_anti"))
     if pieces:

@@ -150,7 +150,19 @@ def _stamp_ict(
                         now = max(now, int(ci["inCommitTimestamp"]) + 1)
                     break
         except FileNotFoundError:
-            pass  # checkpoint-cleaned predecessor: wall clock suffices
+            # checkpoint-cleaned predecessor: the wall clock alone could
+            # step BACKWARDS past earlier ICTs — clamp against the last
+            # ICT the checkpoint recorded and the enablement timestamp.
+            floor = 0
+            try:
+                with open(os.path.join(log_dir, "_last_checkpoint")) as f:
+                    floor = int(json.load(f).get("lastInCommitTimestamp", 0))
+            except (FileNotFoundError, ValueError, json.JSONDecodeError):
+                pass
+            enab = (config or {}).get("delta.inCommitTimestampEnablementTimestamp")
+            if enab is not None:
+                floor = max(floor, int(enab))
+            now = max(now, floor + 1)
     actions[0]["commitInfo"]["inCommitTimestamp"] = now
 
 
@@ -706,7 +718,12 @@ def write_delta(
                 _IDENTITY_STEP: int(step),
                 _IDENTITY_HW: hw,
             }
-    elif prior is not None and mode == "append":
+    elif prior is not None and mode in ("append", "overwrite"):
+        # identity survives overwrite too (Delta keeps identity metadata
+        # unless the schema is explicitly replaced): values keep advancing
+        # from the prior high-water mark, and the GENERATED ALWAYS contract
+        # holds — an overwrite that silently dropped the field metadata
+        # would accept caller-supplied ids on the next append.
         for name, meta in _identity_fields(prior.schema).items():
             if name in df.columns:
                 raise ValueError(
@@ -813,7 +830,13 @@ def write_delta(
     ]
     if txn_app_id is not None:
         actions.append({"txn": {"appId": txn_app_id, "version": int(txn_version)}})
+    # domainMetadata actions require the `domainMetadata` writer feature
+    # (minWriterVersion 7) — declared in this commit's protocol action so an
+    # external writer that predates the feature stops cleanly instead of
+    # replaying state it doesn't understand.
+    needed_writer_features: set[str] = set()
     if liquid_cluster_by:
+        needed_writer_features.add("domainMetadata")
         actions.append(
             {
                 "domainMetadata": {
@@ -840,6 +863,7 @@ def write_delta(
         effective_config["delta.inCommitTimestampEnablementTimestamp"] = str(now)
     config_changed = effective_config != prior_config
 
+    protocol_upgraded = None
     if version == 0:
         # legacy writer-version features: generated columns = 4,
         # identity columns = 6
@@ -847,33 +871,32 @@ def write_delta(
         if identity_params:
             min_writer = max(min_writer, 6)
         proto: dict = {"minReaderVersion": 1, "minWriterVersion": min_writer}
+        feats0 = set(needed_writer_features)
         if _ict_enabled(effective_config):
-            feats = ["inCommitTimestamp"]
+            feats0.add("inCommitTimestamp")
+        if feats0:
+            # table-features protocol: enumerate the legacy-implied
+            # features alongside the named ones
             if identity_params:
-                feats.append("identityColumns")
+                feats0.add("identityColumns")
+            if _generation_expressions(schema):
+                feats0.add("generatedColumns")
             proto = {
                 "minReaderVersion": 1,
                 "minWriterVersion": 7,
-                "writerFeatures": sorted(feats),
+                "writerFeatures": sorted(feats0),
             }
         actions.append({"protocol": proto})
-    elif ict_newly_enabled:
-        cur = (prior.protocol if prior is not None else None) or {}
-        feats = sorted(set(cur.get("writerFeatures") or []) | {"inCommitTimestamp"})
-        actions.append(
-            {
-                "protocol": {
-                    "minReaderVersion": int(cur.get("minReaderVersion", 1)),
-                    "minWriterVersion": 7,
-                    **(
-                        {"readerFeatures": cur["readerFeatures"]}
-                        if cur.get("readerFeatures")
-                        else {}
-                    ),
-                    "writerFeatures": feats,
-                }
-            }
-        )
+    else:
+        upgrade_feats = set(needed_writer_features)
+        if ict_newly_enabled:
+            upgrade_feats.add("inCommitTimestamp")
+        protocol_upgraded = _protocol_upgrade_action(
+            prior.protocol if prior is not None else None,
+            writer_features=tuple(sorted(upgrade_feats)),
+        ) if upgrade_feats else None
+        if protocol_upgraded is not None:
+            actions.append(protocol_upgraded)
     if (
         version == 0
         or mode == "overwrite"
@@ -932,11 +955,19 @@ def write_delta(
             # caller to re-plan against the new snapshot.
             DeltaLog.clear_cache()
             # identity appends do NOT commute: both racers would extend
-            # from the same high-water mark and mint duplicate ids
+            # from the same high-water mark and mint duplicate ids.
+            # config-carrying appends don't either: their metaData action
+            # was built from the PRE-race configuration, so a blind retry
+            # would clobber whatever the race winner committed (e.g. a
+            # concurrently-added CHECK constraint) and re-stamp a stale
+            # delta.inCommitTimestampEnablementVersion.
             if (
                 mode != "append"
                 or prior is None
                 or schema_changed
+                or config_changed
+                or ict_newly_enabled
+                or protocol_upgraded is not None
                 or identity_params
             ):
                 raise ConcurrentWriteError(
@@ -967,6 +998,32 @@ def write_delta(
 
 
 _MAX_COMMIT_RETRIES = 10
+
+
+def _protocol_upgrade_action(
+    prior_protocol: dict | None,
+    reader_features: tuple[str, ...] = (),
+    writer_features: tuple[str, ...] = (),
+) -> dict | None:
+    """A `protocol` action adding the given table features, or None when the
+    protocol already carries them. Mirrors the inCommitTimestamp upgrade
+    path: minWriterVersion 7 (table features), minReaderVersion 3 whenever
+    any reader feature is in play, existing features preserved."""
+    cur = prior_protocol or {}
+    have_r = set(cur.get("readerFeatures") or [])
+    have_w = set(cur.get("writerFeatures") or [])
+    if set(reader_features) <= have_r and set(writer_features) <= have_w:
+        return None
+    new_r = have_r | set(reader_features)
+    new_w = have_w | set(writer_features) | set(reader_features)
+    return {
+        "protocol": {
+            "minReaderVersion": 3 if new_r else int(cur.get("minReaderVersion", 1)),
+            "minWriterVersion": 7,
+            **({"readerFeatures": sorted(new_r)} if new_r else {}),
+            "writerFeatures": sorted(new_w),
+        }
+    }
 
 
 def file_fingerprint(f) -> tuple:
@@ -1104,6 +1161,51 @@ def write_checkpoint(
     )
 
     snap = DeltaLog(table_path).snapshot()
+    if v2:
+        # uuid-named checkpoints require the v2Checkpoint reader+writer
+        # feature (minReaderVersion 3): after cleanup_log a classic reader
+        # would otherwise chase a _last_checkpoint entry whose file it
+        # cannot parse and fail undetectably — the protocol gate turns that
+        # into a clean "unsupported reader feature" error up front.
+        upgrade = _protocol_upgrade_action(
+            snap.protocol,
+            reader_features=("v2Checkpoint",),
+        )
+        if upgrade is not None:
+            log_dir0 = os.path.join(table_path, "_delta_log")
+            for _attempt in range(_MAX_COMMIT_RETRIES + 1):
+                v = _next_version(table_path)
+                cur = DeltaLog(table_path).snapshot()
+                upgrade = _protocol_upgrade_action(
+                    cur.protocol, reader_features=("v2Checkpoint",)
+                )
+                if upgrade is None:
+                    break  # a concurrent writer upgraded for us
+                actions = [
+                    {
+                        "commitInfo": {
+                            "timestamp": int(time.time() * 1000),
+                            "operation": "UPGRADE PROTOCOL",
+                            "operationParameters": {"feature": "v2Checkpoint"},
+                            "engineInfo": "athena_delta_lake_spark",
+                        }
+                    },
+                    upgrade,
+                ]
+                try:
+                    _stamp_ict(
+                        actions, log_dir0, v, cur.metadata.get("configuration")
+                    )
+                    _atomic_commit(log_dir0, v, actions)
+                    DeltaLog.clear_cache()
+                    break
+                except FileExistsError:
+                    DeltaLog.clear_cache()
+            else:
+                raise ConcurrentWriteError(
+                    f"gave up upgrading protocol for v2 checkpoint on {table_path}"
+                )
+            snap = DeltaLog(table_path).snapshot()
     rows = [
         {"protocol": snap.protocol, "txn": None, "metaData": None, "add": None},
         {
@@ -1277,9 +1379,30 @@ def write_checkpoint(
             )
             pq.write_table(table, cp_path)
         last = {"version": snap.version, "size": len(rows), "parts": parts}
+    # Persist the checkpointed commit's inCommitTimestamp: once cleanup_log
+    # deletes the predecessor JSONs, _stamp_ict clamps against this instead
+    # of trusting the wall clock alone (a clock step backwards would
+    # otherwise mint a non-monotonic ICT and break timestamp time travel).
+    ict = _commit_ict(log_dir, snap.version)
+    if ict is not None:
+        last["lastInCommitTimestamp"] = ict
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
         json.dump(last, f)
     return snap.version
+
+
+def _commit_ict(log_dir: str, version: int) -> int | None:
+    """inCommitTimestamp of a commit JSON, or None (absent file / no ICT)."""
+    try:
+        with open(os.path.join(log_dir, f"{version:020d}.json")) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                ci = json.loads(line).get("commitInfo")
+                return int(ci["inCommitTimestamp"]) if ci and "inCommitTimestamp" in ci else None
+    except (FileNotFoundError, ValueError):
+        return None
+    return None
 
 
 def _checkpoint_metadata(md: dict) -> dict:
@@ -1452,25 +1575,37 @@ def set_domain_metadata(
     now = int(time.time() * 1000)
     version = _next_version(table_path)
     log_dir = os.path.join(table_path, "_delta_log")
-    actions = [
-        {
-            "commitInfo": {
-                "timestamp": now,
-                "operation": "SET DOMAIN METADATA",
-                "operationParameters": {"domain": domain},
-                "engineInfo": "athena_delta_lake_spark",
-            }
-        },
-        {
-            "domainMetadata": {
-                "domain": domain,
-                "configuration": configuration,
-                "removed": bool(removed),
-            }
-        },
-    ]
-    config = DeltaLog(table_path).snapshot().metadata.get("configuration")
     for _attempt in range(_MAX_COMMIT_RETRIES + 1):
+        # rebuilt per attempt: the protocol upgrade (if any) must come from
+        # the CURRENT snapshot, or a retry after losing a race would clobber
+        # features a concurrent writer just added
+        snap = DeltaLog(table_path).snapshot()
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "SET DOMAIN METADATA",
+                    "operationParameters": {"domain": domain},
+                    "engineInfo": "athena_delta_lake_spark",
+                }
+            },
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": configuration,
+                    "removed": bool(removed),
+                }
+            },
+        ]
+        # first domainMetadata on this table: declare the writer feature so
+        # feature-unaware external writers stop cleanly (Delta spec:
+        # domainMetadata requires minWriterVersion 7 + the named feature)
+        upgrade = _protocol_upgrade_action(
+            snap.protocol, writer_features=("domainMetadata",)
+        )
+        if upgrade is not None:
+            actions.insert(1, upgrade)
+        config = snap.metadata.get("configuration")
         try:
             _stamp_ict(actions, log_dir, version, config)
             _atomic_commit(log_dir, version, actions)
@@ -1478,7 +1613,7 @@ def set_domain_metadata(
             return version
         except FileExistsError:
             DeltaLog.clear_cache()
-            version = _next_version(table_path)  # commutes with anything
+            version = _next_version(table_path)  # domain write commutes
     raise ConcurrentWriteError(
         f"gave up after {_MAX_COMMIT_RETRIES} commit retries on {table_path}"
     )

@@ -361,3 +361,49 @@ def test_restore_undoes_later_deletion_vector(spark, tmp_path):
     assert DeltaTable(spark, path).to_df().count() == 90
     DeltaTable(spark, path).restore(version=0)
     assert DeltaTable(spark, path).to_df().count() == 100
+
+
+def test_merge_duplicate_target_keys_per_row_semantics(spark, tmp_path):
+    """Duplicate TARGET keys: each matched target row updates independently,
+    and the row count is identical whether or not a matched condition is
+    passed (the two branches previously disagreed)."""
+    path = str(tmp_path / "dupkeys")
+    target = spark.createDataFrame(
+        [(1, 10, "a"), (1, 11, "b"), (2, 20, "c")], "id int, ver int, name string"
+    )
+    write_delta(target, path)
+    src = spark.createDataFrame([(1, 99, "s")], "id int, ver int, name string")
+
+    t = DeltaTable(spark, path)
+    t.merge(src, keys=["id"], when_not_matched=None)
+    rows = sorted((r["id"], r["ver"], r["name"]) for r in t.to_df().collect())
+    # both id=1 target rows were replaced by the source row, independently
+    assert rows == [(1, 99, "s"), (1, 99, "s"), (2, 20, "c")]
+
+    # same shape with a condition: identical row count
+    path2 = str(tmp_path / "dupkeys2")
+    write_delta(target, path2)
+    t2 = DeltaTable(spark, path2)
+    t2.merge(src, keys=["id"], when_not_matched=None, matched_condition="s.ver > t.ver")
+    rows2 = sorted((r["id"], r["ver"], r["name"]) for r in t2.to_df().collect())
+    assert rows2 == [(1, 99, "s"), (1, 99, "s"), (2, 20, "c")]
+
+
+def test_merge_duplicate_source_keys_raise(spark, tmp_path):
+    """Multiple source rows matching one target key would make the update
+    nondeterministic — Delta raises, so do we."""
+    path = str(tmp_path / "dupsrc")
+    write_delta(
+        spark.createDataFrame([(1, 10, "a")], "id int, ver int, name string"), path
+    )
+    src = spark.createDataFrame(
+        [(1, 98, "x"), (1, 99, "y")], "id int, ver int, name string"
+    )
+    with pytest.raises(ValueError, match="multiple source rows"):
+        DeltaTable(spark, path).merge(src, keys=["id"])
+    # unmatched duplicate source keys are fine (pure insert)
+    src2 = spark.createDataFrame(
+        [(7, 1, "x"), (7, 2, "y")], "id int, ver int, name string"
+    )
+    DeltaTable(spark, path).merge(src2, keys=["id"])
+    assert DeltaTable(spark, path).to_df().count() == 3

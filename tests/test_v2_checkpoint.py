@@ -72,20 +72,24 @@ def test_v2_manifest_preferred_only_when_no_classic(spark, table):
 
 
 def test_latest_version_from_v2_checkpoint_only_log(spark, table):
+    # versions: 0-1 the two writes, 2 the v2Checkpoint protocol upgrade the
+    # checkpoint commits first; the checkpoint then covers version 2
     write_checkpoint(table, v2=True)
     log_dir = os.path.join(table, "_delta_log")
     for f in os.listdir(log_dir):
         if f.endswith(".json") and f[0].isdigit():
             os.remove(os.path.join(log_dir, f))
     DeltaLog.clear_cache()
-    assert DeltaLog(table).latest_version() == 1
+    assert DeltaLog(table).latest_version() == 2
 
 
 def test_cleanup_log_keeps_v2_manifest(spark, table):
     write_checkpoint(table, v2=True)
     out = cleanup_log(table, retention_hours=0.0)
+    # covered commits = the two writes + the v2Checkpoint protocol upgrade
     assert [os.path.basename(r) for r in out["removed"]] == [
-        "00000000000000000000.json"
+        "00000000000000000000.json",
+        "00000000000000000001.json",
     ]
     DeltaLog.clear_cache()
     snap = DeltaLog(table).snapshot()

@@ -642,3 +642,151 @@ def test_identity_columns(spark, tmp_path):
             path,
             mode="append",
         )
+
+
+# -------------------------------------------- round-2 advice regression tests
+
+
+def test_config_carrying_append_raises_on_race(spark, tmp_path, monkeypatch):
+    """An append that also changes table configuration must NOT blind-retry
+    after losing a race: its metaData action was built from the pre-race
+    config, so a retry would clobber whatever the winner committed (e.g. a
+    concurrently-added CHECK constraint)."""
+    import athena_delta_lake_spark.delta.writer as W
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.writer import (
+        ConcurrentWriteError,
+        add_check_constraint,
+    )
+
+    path = str(tmp_path / "occ3")
+    write_delta(spark.range(5).selectExpr("id", "cast(id as double) as v"), path)
+
+    real_commit = W._atomic_commit
+    raced = {"done": False}
+
+    def racing_commit(log_dir, version, actions):
+        if not raced["done"]:
+            raced["done"] = True
+            monkeypatch.setattr(W, "_atomic_commit", real_commit)
+            add_check_constraint(spark, path, "id_nonneg", "id >= 0")
+            monkeypatch.setattr(W, "_atomic_commit", racing_commit)
+        return real_commit(log_dir, version, actions)
+
+    monkeypatch.setattr(W, "_atomic_commit", racing_commit)
+    with pytest.raises(ConcurrentWriteError):
+        write_delta(
+            spark.range(5, 8).selectExpr("id", "cast(id as double) as v"),
+            path,
+            mode="append",
+            configuration={"myapp.tag": "x"},
+        )
+    monkeypatch.undo()
+    # the racer's constraint survived
+    cfg = DeltaLog(path).snapshot().metadata["configuration"]
+    assert cfg.get("delta.constraints.id_nonneg") == "id >= 0"
+
+
+def test_v2_checkpoint_upgrades_protocol(spark, tmp_path):
+    """uuid-named checkpoints require the v2Checkpoint reader+writer feature
+    (minReaderVersion 3): external classic readers must hit a clean protocol
+    gate, not an unparseable _last_checkpoint."""
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.writer import write_checkpoint
+
+    path = str(tmp_path / "v2p")
+    write_delta(spark.range(10).selectExpr("id"), path)
+    write_checkpoint(path, v2=True)
+    proto = DeltaLog(path).snapshot().protocol
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    assert "v2Checkpoint" in (proto.get("readerFeatures") or [])
+    assert "v2Checkpoint" in (proto.get("writerFeatures") or [])
+    # idempotent: a second v2 checkpoint commits no further upgrade
+    v_before = DeltaLog(path).latest_version()
+    write_checkpoint(path, v2=True)
+    assert DeltaLog(path).latest_version() == v_before
+
+
+def test_domain_metadata_upgrades_protocol(spark, tmp_path):
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.writer import set_domain_metadata
+
+    path = str(tmp_path / "dmp")
+    write_delta(spark.range(10).selectExpr("id"), path)
+    set_domain_metadata(path, "myapp.owner", "team-a")
+    proto = DeltaLog(path).snapshot().protocol
+    assert proto["minWriterVersion"] == 7
+    assert "domainMetadata" in (proto.get("writerFeatures") or [])
+
+    # the liquid-clustering write path declares the feature too
+    path2 = str(tmp_path / "dmp2")
+    write_delta(
+        spark.range(10).selectExpr("id", "id % 3 AS a", "id % 5 AS b"),
+        path2,
+        liquid_cluster_by=["a", "b"],
+    )
+    proto2 = DeltaLog(path2).snapshot().protocol
+    assert "domainMetadata" in (proto2.get("writerFeatures") or [])
+
+
+def test_identity_metadata_survives_overwrite(spark, tmp_path):
+    """Overwrite must carry identity field metadata forward: values keep
+    advancing from the prior high-water mark and GENERATED ALWAYS still
+    rejects caller-supplied ids."""
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    path = str(tmp_path / "idow")
+    write_delta(
+        spark.range(5).selectExpr("id AS n"),
+        path,
+        identity_columns={"rid": (100, 10)},
+    )
+    t1 = DeltaTable(spark, path).to_df()
+    ids1 = {r["rid"] for r in t1.collect()}
+    assert ids1 == {100, 110, 120, 130, 140}
+
+    # plain overwrite: no identity_columns re-declared
+    write_delta(spark.range(3).selectExpr("id AS n"), path, mode="overwrite")
+    t2 = DeltaTable(spark, path).to_df()
+    ids2 = sorted(r["rid"] for r in t2.collect())
+    assert ids2 == [150, 160, 170]  # continues past the prior high-water mark
+
+    # GENERATED ALWAYS still enforced after the overwrite
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        write_delta(
+            spark.range(3).selectExpr("id AS n", "id AS rid"),
+            path,
+            mode="append",
+        )
+
+
+def test_ict_monotonic_past_cleaned_log_and_clock_backstep(
+    spark, tmp_path, monkeypatch
+):
+    """After cleanup_log removes the predecessor JSON, a wall clock stepping
+    BACKWARDS must not mint a smaller inCommitTimestamp: _stamp_ict clamps
+    against the checkpoint-recorded last ICT."""
+    import time as _time
+
+    import athena_delta_lake_spark.delta.writer as W
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.writer import cleanup_log, write_checkpoint
+
+    path = str(tmp_path / "ictc")
+    write_delta(
+        spark.range(5).selectExpr("id"),
+        path,
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    write_delta(spark.range(5, 8).selectExpr("id"), path, mode="append")
+    prev_ict = DeltaLog(path).commit_timestamp(DeltaLog(path).latest_version())
+    write_checkpoint(path)
+    cleanup_log(path, retention_hours=0.0)
+
+    real_time = _time.time
+    monkeypatch.setattr(W.time, "time", lambda: real_time() - 3600)  # clock jumps back
+    write_delta(spark.range(8, 10).selectExpr("id"), path, mode="append")
+    monkeypatch.undo()
+    new_ict = DeltaLog(path).commit_timestamp(DeltaLog(path).latest_version())
+    assert new_ict > prev_ict
