@@ -208,12 +208,57 @@ def delete_mor(spark: SparkSession, table_path: str, where) -> dict:
     if not matched:
         return {"files_removed": 0, "files_added": 0, "rows_deleted": 0}
 
+    pieces = _dv_pieces(table_path, snap, matched, candidates)
+    commit_rewrite(
+        table_path,
+        "DELETE",
+        pieces.adds,
+        [f.path for f, _idx in pieces.touched],
+        operation_parameters={"predicate": str(where), "mode": "merge-on-read"},
+        extra_actions=pieces.protocol_extra,
+        expected_states={
+            f.path: file_fingerprint(f) for f, _idx in pieces.touched
+        },
+    )
+    return {
+        "files_removed": len(pieces.full_files),
+        "files_added": len(pieces.adds),
+        "rows_deleted": pieces.rows_newly_deleted,
+        "dv_files_written": pieces.dv_files_written,
+    }
+
+
+class _DvPieces:
+    """Assembled merge-on-read commit parts (see _dv_pieces)."""
+
+    __slots__ = (
+        "touched", "adds", "full_files", "protocol_extra",
+        "rows_newly_deleted", "dv_files_written",
+    )
+
+
+def _dv_pieces(
+    table_path: str,
+    snap: SnapshotState,
+    matched: list,
+    candidates: list[AddFile],
+) -> _DvPieces:
+    """Turn collected (file -> deleted row indexes) rows into the commit
+    parts every merge-on-read operator shares: re-`add` actions carrying
+    the new deletion vectors (one shared .bin blob), wholesale drops for
+    files left with zero live rows, the deletionVectors protocol upgrade
+    on first use, and bookkeeping counts. Existing DV positions merge in
+    (a second MOR pass accumulates, never resets)."""
+    import json as _json
+
+    from .deletion_vectors import read_dv_positions, write_dv_file_multi
+
     by_file = {f.path: f for f in candidates}
     touched: list[tuple[AddFile, list[int]]] = []
     for row in matched:
         rel = os.path.relpath(row["_file"], table_path).replace(os.sep, "/")
         f = by_file[rel]
-        new_idx = sorted(row["idx"])
+        new_idx = sorted(set(row["idx"]))
         if f.deletion_vector:  # merge with already-deleted positions
             new_idx = sorted(
                 set(new_idx) | set(read_dv_positions(table_path, f.deletion_vector))
@@ -265,27 +310,17 @@ def delete_mor(spark: SparkSession, table_path: str, where) -> dict:
             }
         ]
 
-    from .writer import file_fingerprint
-
-    commit_rewrite(
-        table_path,
-        "DELETE",
-        adds,
-        [f.path for f, _idx in touched],
-        operation_parameters={"predicate": str(where), "mode": "merge-on-read"},
-        extra_actions=extra,
-        expected_states={f.path: file_fingerprint(f) for f, _idx in touched},
-    )
+    out = _DvPieces()
+    out.touched = touched
+    out.adds = adds
+    out.full_files = full_files
+    out.protocol_extra = extra
     prior_dv = sum(
         int((f.deletion_vector or {}).get("cardinality", 0)) for f, _ in touched
     )
-    total_dv = sum(len(idx) for _f, idx in touched)
-    return {
-        "files_removed": len(full_files),
-        "files_added": len(adds),
-        "rows_deleted": total_dv - prior_dv,
-        "dv_files_written": 1 if dv_targets else 0,
-    }
+    out.rows_newly_deleted = sum(len(idx) for _f, idx in touched) - prior_dv
+    out.dv_files_written = 1 if dv_targets else 0
+    return out
 
 
 # --------------------------------------------------------------------- UPDATE
@@ -336,6 +371,75 @@ def update(
         expected_states={f.path: file_fingerprint(f) for f in candidates},
     )
     return {"files_removed": len(candidates), "files_added": len(adds)}
+
+
+def update_mor(
+    spark: SparkSession,
+    table_path: str,
+    set: dict[str, str],
+    where=None,
+) -> dict:
+    """Merge-on-read UPDATE: deletion-vector the OLD version of every
+    matched row and append the updated versions as new files — one commit.
+    Cost is O(matched rows), not O(candidate-file bytes): updating 100 rows
+    spread over N x 1 GB files writes a few-hundred-byte DV blob plus one
+    small file of new rows, where copy-on-write rewrites all N files.
+    The physical old rows disappear at the next OPTIMIZE (which purges
+    DVs). Same DV/protocol mechanics as delete_mor (shared `_dv_pieces`)."""
+    from .reader import read_files_with_index
+
+    table_path = os.path.abspath(table_path)
+    snap = DeltaLog(table_path).snapshot()
+    preds, cond, _ = (
+        _normalize_where(where) if where is not None else ([], F.lit(True), True)
+    )
+    candidates = prune_files(snap, preds) if preds else list(snap.files)
+    if not candidates:
+        return {"files_removed": 0, "files_added": 0, "rows_updated": 0}
+
+    dfm = read_files_with_index(spark, snap, candidates)
+    hit = F.coalesce(cond, F.lit(False))
+    matched_rows = dfm.filter(hit).localCheckpoint(eager=True)
+
+    matched = (
+        matched_rows.groupBy("_file")
+        .agg(F.collect_list("_row_idx").alias("idx"))
+        .collect()
+    )
+    if not matched:
+        return {"files_removed": 0, "files_added": 0, "rows_updated": 0}
+
+    field_types = {f.name: f.dataType for f in snap.schema.fields}
+    new_rows = matched_rows.drop("_file", "_row_idx")
+    for col, expr in set.items():
+        if col not in field_types:
+            raise ValueError(f"unknown column: {col}")
+        new_rows = new_rows.withColumn(col, F.expr(expr).cast(field_types[col]))
+    from .writer import _enforce_constraints
+
+    _enforce_constraints(new_rows, snap.metadata.get("configuration"))
+    new_adds = stage_data_files(
+        new_rows, table_path, snap.partition_columns, _data_schema(snap)
+    )
+
+    pieces = _dv_pieces(table_path, snap, matched, candidates)
+    commit_rewrite(
+        table_path,
+        "UPDATE",
+        pieces.adds + new_adds,
+        [f.path for f, _idx in pieces.touched],
+        operation_parameters={"predicate": str(where), "mode": "merge-on-read"},
+        extra_actions=pieces.protocol_extra,
+        expected_states={
+            f.path: file_fingerprint(f) for f, _idx in pieces.touched
+        },
+    )
+    return {
+        "files_removed": len(pieces.full_files),
+        "files_added": len(pieces.adds) + len(new_adds),
+        "rows_updated": pieces.rows_newly_deleted,
+        "dv_files_written": pieces.dv_files_written,
+    }
 
 
 # ---------------------------------------------------------------------- MERGE
@@ -524,6 +628,175 @@ def merge_upsert(
         "files_removed": len(remove_files),
         "files_added": len(adds),
         "source_rows": None,
+    }
+
+
+def merge_upsert_mor(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    keys: list[str],
+    broadcast_keys: bool = True,
+    when_matched: str = "update",
+    when_not_matched: str | None = "insert",
+    not_matched_by_source: str | None = None,
+    matched_condition: str | None = None,
+) -> dict:
+    """Merge-on-read MERGE: same clause semantics as merge_upsert, but
+    matched target rows are deletion-vectored in place and only the NEW row
+    versions (source updates + inserts) are written — no target file is
+    rewritten. Cost is O(matched rows + source rows); copy-on-write merge
+    rewrites every touched file wholesale. Files whose every row is
+    consumed (and, under not_matched_by_source='delete', files with no
+    matched key at all) are dropped as metadata-only removes. DV/protocol
+    mechanics shared with delete_mor via `_dv_pieces`."""
+    from .reader import read_files_with_index
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError("when_matched must be 'update' or 'delete'")
+    if when_not_matched not in ("insert", None):
+        raise ValueError("when_not_matched must be 'insert' or None")
+    if not_matched_by_source not in ("delete", None):
+        raise ValueError("not_matched_by_source must be 'delete' or None")
+    table_path = os.path.abspath(table_path)
+    snap = DeltaLog(table_path).snapshot()
+    target_cols = [f.name for f in snap.schema.fields]
+    missing = [c for c in target_cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"source is missing target columns: {missing}")
+    src = source.select(*target_cols)
+    for k in keys:
+        if k not in target_cols:
+            raise ValueError(f"merge key not in table schema: {k}")
+
+    src_keys = src.select(*keys).distinct()
+    if broadcast_keys:
+        src_keys = F.broadcast(src_keys)
+
+    live = list(snap.files)
+    by_basename = {os.path.basename(f.path): f for f in live}
+    touched_names: set[str] = set()
+    if live:
+        from urllib.parse import unquote
+
+        probe = read_files_with_index(spark, snap, live).select(
+            *keys, F.col("_file").alias("__file")
+        )
+        for r in (
+            probe.join(src_keys, keys, "left_semi").select("__file").distinct().collect()
+        ):
+            name = os.path.basename(r["__file"])
+            if name not in by_basename:
+                name = os.path.basename(unquote(r["__file"]))
+            touched_names.add(name)
+    touched = [by_basename[n] for n in touched_names if n in by_basename]
+
+    if touched and (
+        when_matched == "update"
+        or (when_matched == "delete" and matched_condition is not None)
+    ):
+        tgt_keys = (
+            read_files_with_index(spark, snap, touched).select(*keys).distinct()
+        )
+        ambiguous = (
+            src.join(tgt_keys, keys, "left_semi")
+            .groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if ambiguous:
+            raise ValueError(
+                "MERGE: multiple source rows match the same target key; "
+                "the update would be nondeterministic"
+            )
+
+    cond = (
+        F.coalesce(F.expr(matched_condition), F.lit(False))
+        if matched_condition is not None
+        else F.lit(True)
+    )
+    non_keys = [c for c in target_cols if c not in keys]
+
+    pieces_new: list[DataFrame] = []
+    matched_rows_collected: list = []
+    matched_keys = None
+    if touched:
+        tagged = read_files_with_index(spark, snap, touched).localCheckpoint(
+            eager=True
+        )
+        joined = tagged.alias("t").join(src.alias("s"), keys, "inner")
+        clause_rows = joined.filter(cond)
+        dv_rows = clause_rows.select("_file", "_row_idx")
+        if not_matched_by_source == "delete":
+            dv_rows = dv_rows.unionByName(
+                tagged.join(src_keys, keys, "left_anti").select("_file", "_row_idx")
+            )
+        matched_rows_collected = (
+            dv_rows.groupBy("_file")
+            .agg(F.collect_list("_row_idx").alias("idx"))
+            .collect()
+        )
+        if when_matched == "update":
+            src_version = [F.col(k) for k in keys] + [
+                F.col(f"s.{c}").alias(c) for c in non_keys
+            ]
+            pieces_new.append(clause_rows.select(*src_version))
+        matched_keys = (
+            tagged.select(*keys).join(src_keys, keys, "left_semi").distinct()
+        )
+    if when_not_matched == "insert":
+        if matched_keys is not None:
+            pieces_new.append(src.join(matched_keys, keys, "left_anti"))
+        else:
+            pieces_new.append(src)
+
+    new_data = None
+    for p in pieces_new:
+        new_data = p if new_data is None else new_data.unionByName(p)
+    from .writer import _enforce_constraints
+
+    new_adds: list[dict] = []
+    if new_data is not None:
+        _enforce_constraints(new_data, snap.metadata.get("configuration"))
+        new_adds = stage_data_files(
+            new_data, table_path, snap.partition_columns, _data_schema(snap)
+        )
+
+    pieces = None
+    removes: list[AddFile] = []
+    dv_adds: list[dict] = []
+    extra = None
+    if matched_rows_collected:
+        pieces = _dv_pieces(table_path, snap, matched_rows_collected, touched)
+        removes = [f for f, _idx in pieces.touched]
+        dv_adds = pieces.adds
+        extra = pieces.protocol_extra
+    if not_matched_by_source == "delete":
+        # untouched files hold ONLY unmatched rows: metadata-only removal
+        touched_set = {f.path for f in touched}
+        removes = removes + [f for f in live if f.path not in touched_set]
+
+    if not removes and not dv_adds and not new_adds:
+        return {"files_removed": 0, "files_added": 0, "source_rows": None}
+    commit_rewrite(
+        table_path,
+        "MERGE",
+        dv_adds + new_adds,
+        [f.path for f in removes],
+        operation_parameters={
+            "matchedPredicate": " AND ".join(keys),
+            "mode": "merge-on-read",
+        },
+        extra_actions=extra,
+        expected_states={f.path: file_fingerprint(f) for f in removes},
+    )
+    return {
+        "files_removed": len(removes) - len(dv_adds),
+        "files_added": len(dv_adds) + len(new_adds),
+        "source_rows": None,
+        "dv_files_written": pieces.dv_files_written if pieces else 0,
     }
 
 

@@ -171,9 +171,13 @@ class DeltaTable:
             return delete_mor(self.spark, self.path, where)
         return delete(self.spark, self.path, where)
 
-    def update(self, set: dict[str, str], where=None) -> dict:
-        from .dml import update
+    def update(self, set: dict[str, str], where=None, mode: str = "cow") -> dict:
+        """mode='cow' rewrites candidate files; mode='mor' deletion-vectors
+        the old row versions and appends only the updated rows."""
+        from .dml import update, update_mor
 
+        if mode in ("mor", "merge-on-read", "dv"):
+            return update_mor(self.spark, self.path, set, where)
         return update(self.spark, self.path, set, where)
 
     def merge(
@@ -185,10 +189,18 @@ class DeltaTable:
         when_not_matched: str | None = "insert",
         not_matched_by_source: str | None = None,
         matched_condition: str | None = None,
+        mode: str = "cow",
     ) -> dict:
-        from .dml import merge_upsert
+        """mode='cow' rewrites touched files; mode='mor' deletion-vectors
+        matched target rows and appends only new row versions."""
+        from .dml import merge_upsert, merge_upsert_mor
 
-        return merge_upsert(
+        fn = (
+            merge_upsert_mor
+            if mode in ("mor", "merge-on-read", "dv")
+            else merge_upsert
+        )
+        return fn(
             self.spark,
             self.path,
             source,

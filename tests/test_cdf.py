@@ -141,3 +141,51 @@ def test_streaming_change_feed(spark, tmp_path):
         for r in run_to_memory(agg, "cdf_stream_out", "complete").collect()
     }
     assert out == {("insert", 0): 40, ("delete", 1): 10, ("insert", 2): 1}
+
+
+def test_cdf_mor_update_and_merge_exact_rows(spark, tmp_path):
+    """MOR UPDATE/MERGE surface in table_changes as exactly the DV-diff
+    delete rows (old versions) plus the appended insert rows (new
+    versions) — never a whole-file delete+reinsert."""
+    from athena_delta_lake_spark import write_delta
+    from athena_delta_lake_spark.delta.cdf import table_changes
+
+    path = str(tmp_path / "cdf_morum")
+    write_delta(
+        spark.createDataFrame([(i, i * 2) for i in range(100)], "id long, v long"),
+        path,
+    )
+    t = DeltaTable(spark, path)
+    t.update({"v": "v + 1000"}, where="id < 5", mode="mor")  # v1
+    ch = table_changes(spark, path, 1, 1)
+    dels = sorted(r["id"] for r in ch.filter("_change_type = 'delete'").collect())
+    ins = sorted(
+        (r["id"], r["v"]) for r in ch.filter("_change_type = 'insert'").collect()
+    )
+    assert dels == [0, 1, 2, 3, 4]
+    assert ins == [(i, i * 2 + 1000) for i in range(5)]
+
+    # MOR merge: 3 updates + 2 inserts -> 3 deletes (old) + 5 inserts (new)
+    src = spark.createDataFrame(
+        [(97, -1), (98, -1), (99, -1), (200, -2), (201, -2)], "id long, v long"
+    )
+    t.merge(src, keys=["id"], mode="mor")  # v2
+    ch2 = table_changes(spark, path, 2, 2)
+    dels2 = sorted(r["id"] for r in ch2.filter("_change_type = 'delete'").collect())
+    ins2 = sorted(
+        (r["id"], r["v"]) for r in ch2.filter("_change_type = 'insert'").collect()
+    )
+    assert dels2 == [97, 98, 99]
+    assert ins2 == [(97, -1), (98, -1), (99, -1), (200, -2), (201, -2)]
+
+    # conditional MOR matched-delete: only condition-passing rows change
+    t.merge(
+        spark.createDataFrame([(10, 0), (11, 0)], "id long, v long"),
+        keys=["id"],
+        when_matched="delete",
+        when_not_matched=None,
+        matched_condition="t.id % 2 = 0",
+        mode="mor",
+    )  # v3
+    ch3 = table_changes(spark, path, 3, 3).collect()
+    assert [(r["id"], r["_change_type"]) for r in ch3] == [(10, "delete")]

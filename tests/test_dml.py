@@ -407,3 +407,57 @@ def test_merge_duplicate_source_keys_raise(spark, tmp_path):
     )
     DeltaTable(spark, path).merge(src2, keys=["id"])
     assert DeltaTable(spark, path).to_df().count() == 3
+
+
+def test_update_mor_writes_dv_not_rewrites(spark, tmp_path):
+    """MOR UPDATE: old row versions deletion-vectored in place, new versions
+    appended; untouched physical files keep their identity (no rewrite)."""
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    path = str(tmp_path / "morup")
+    write_delta(
+        spark.createDataFrame([(i, i % 3, float(i)) for i in range(90)],
+                              "id int, k int, v double"),
+        path,
+        partition_by=["k"],
+    )
+    before = {f.path: f.modification_time for f in DeltaLog(path).snapshot().files}
+    r = DeltaTable(spark, path).update({"v": "v * -1"}, where="id < 9", mode="mor")
+    assert r["dv_files_written"] == 1
+    snap = DeltaLog(path).snapshot()
+    # surviving pre-existing files keep their physical identity (same bytes,
+    # same mtime — only the DV descriptor changed); fully-consumed files may
+    # drop wholesale, but none is ever rewritten
+    for f in snap.files:
+        if f.path in before:
+            assert f.modification_time == before[f.path]
+    assert any(f.path in before and f.deletion_vector for f in snap.files)
+    assert "deletionVectors" in (snap.protocol.get("readerFeatures") or [])
+    got = {r["id"]: r["v"] for r in DeltaTable(spark, path).to_df().collect()}
+    assert len(got) == 90
+    assert all(got[i] == -float(i) for i in range(9))
+    assert all(got[i] == float(i) for i in range(9, 90))
+
+
+def test_merge_mor_full_file_consumption_drops_file(spark, tmp_path):
+    """A MOR matched-delete that consumes every row of a file drops the file
+    (metadata-only) instead of writing an all-ones DV."""
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    path = str(tmp_path / "morfull")
+    write_delta(
+        spark.createDataFrame([(i, i % 2) for i in range(10)], "id int, k int"),
+        path,
+        partition_by=["k"],
+    )
+    n_before = DeltaLog(path).snapshot().num_files
+    # delete ALL even rows = every row of partition k=0
+    src = spark.createDataFrame([(i, 0) for i in range(0, 10, 2)], "id int, k int")
+    DeltaTable(spark, path).merge(
+        src, keys=["id"], when_matched="delete", when_not_matched=None, mode="mor"
+    )
+    snap = DeltaLog(path).snapshot()
+    assert DeltaTable(spark, path).to_df().count() == 5
+    # no DV written: the k=0 files were fully consumed and dropped outright
+    assert all(not f.deletion_vector for f in snap.files)
+    assert snap.num_files < n_before

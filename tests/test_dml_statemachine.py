@@ -54,7 +54,10 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
 
     for step in range(14):
         op = rng.choice(
-            ["append", "delete_cow", "delete_mor", "update", "merge", "optimize", "checkpoint"]
+            [
+                "append", "delete_cow", "delete_mor", "update", "update_mor",
+                "merge", "merge_mor", "optimize", "checkpoint",
+            ]
         )
         t = DeltaTable(spark, path)
         if op == "append":
@@ -76,16 +79,20 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
                 mode="mor" if op == "delete_mor" else "cow",
             )
             model = model[~((model.k == kk) & (model.id < cut))]
-        elif op == "update":
+        elif op in ("update", "update_mor"):
             kk = rng.randint(0, 4)
-            t.update({"v": "v + 100"}, where=f"k = {kk}")
+            t.update(
+                {"v": "v + 100"},
+                where=f"k = {kk}",
+                mode="mor" if op == "update_mor" else "cow",
+            )
             model = model.copy()
             model.loc[model.k == kk, "v"] += 100
-        elif op == "merge":
+        elif op in ("merge", "merge_mor"):
             lo = rng.randint(0, max(next_id - 10, 1))
             src_rows = [(i, i % 5, -1.0) for i in range(lo, lo + 15)]
             src = spark.createDataFrame(src_rows, "id long, k long, v double")
-            t.merge(src, keys=["id"])
+            t.merge(src, keys=["id"], mode="mor" if op == "merge_mor" else "cow")
             present = set(model.id)
             for i, k, v in src_rows:
                 if i in present:
