@@ -139,6 +139,75 @@ class DeltaPond:
             names.append(prefix + t)
         return names
 
+    def _missing_relation(self, exc) -> str | None:
+        """The unresolved relation name an AnalysisException complains
+        about, or None when the error is something else."""
+        try:
+            if exc.getErrorClass() != "TABLE_OR_VIEW_NOT_FOUND":
+                return None
+            raw = exc.getMessageParameters().get("relationName", "")
+        except Exception:
+            return None
+        return raw.replace("`", "") or None
+
+    def _schema_for(self, table: str) -> str:
+        hits = [s for s in self.list_schemas() if table in self.list_tables(s)]
+        if not hits:
+            raise FileNotFoundError(f"no pond table named {table!r}")
+        if len(hits) > 1:
+            raise ValueError(
+                f"table {table!r} exists in several schemas {hits}; "
+                f"qualify it as <schema>.{table}"
+            )
+        return hits[0]
+
+    def sql(self, query: str, _max_resolves: int = 20) -> DataFrame:
+        """Plain SQL over the pond with tables resolved lazily AT
+        NAME-LOOKUP TIME — the reference's headline capability ("query
+        DeltaLake tables ... without having to register those tables on AWS
+        Glue (or any other Metastore)", reference README.md:5-6): no
+        registration step, no metastore. Each relation the analyzer cannot
+        resolve triggers storage-layout lookup + Delta log replay (the
+        doGetTable analogue, DeltaMetadataHandler.scala:90-107) and binds a
+        view; the query then re-plans. Bare names search every schema;
+        `schema.table` names bind through a mangled view (Spark temp views
+        cannot be dotted) with the query text rewritten to match.
+
+        Resolution is per-query-failure, so an N-table query costs N
+        re-plans on first touch and zero afterwards (views persist in the
+        session; snapshot cache keeps log replay O(1) when unchanged)."""
+        import re
+
+        from pyspark.errors import AnalysisException
+
+        q = query
+        for _ in range(_max_resolves):
+            try:
+                return self.spark.sql(q)
+            except AnalysisException as e:
+                name = self._missing_relation(e)
+                if name is None:
+                    raise
+                parts = name.split(".")
+                if len(parts) == 1:
+                    schema = self._schema_for(parts[0])
+                    self.read(schema, parts[0]).createOrReplaceTempView(parts[0])
+                elif len(parts) == 2 and parts[0] in self.list_schemas():
+                    view = f"__pond__{parts[0]}__{parts[1]}"
+                    self.read(parts[0], parts[1]).createOrReplaceTempView(view)
+                    pat = re.compile(
+                        r"\b" + re.escape(parts[0]) + r"\s*\.\s*"
+                        + re.escape(parts[1]) + r"\b",
+                        re.IGNORECASE,
+                    )
+                    new_q = pat.sub(view, q)
+                    if new_q == q:  # nothing rewritten: would loop forever
+                        raise
+                    q = new_q
+                else:
+                    raise
+        raise RuntimeError(f"gave up resolving relations after {_max_resolves} passes")
+
 
 def register_flat_dir(spark: SparkSession, sf_dir: str) -> list[str]:
     """Register a fixture dir of `<name>.parquet` files as temp views."""

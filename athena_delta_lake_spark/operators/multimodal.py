@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -33,19 +34,141 @@ MEDIA_META_SCHEMA = T.StructType(
 )
 
 
+_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+    ]
+)
+
+# JPEG SOF markers that carry frame dimensions (all SOFn except DHT/DAC/JPG)
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def parse_media_header(data) -> dict | None:
+    """Best-effort container-header parse, pure stdlib — REAL decoding of
+    the metadata the formats put up front (magic + fixed/walked chunks),
+    no codec needed: PNG IHDR, JPEG SOFn marker walk, GIF logical screen,
+    BMP info header, RIFF/WAVE fmt+data chunk walk. Returns
+    {fmt, width, height, duration_ms, sample_rate, channels} with None for
+    fields the container doesn't carry, or all-None fmt for unknown bytes.
+    Payload bytes beyond the header are never touched."""
+    import struct
+
+    if data is None:
+        return None
+    b = bytes(data)
+    out = {
+        "fmt": None, "width": None, "height": None,
+        "duration_ms": None, "sample_rate": None, "channels": None,
+    }
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        out["fmt"] = "png"
+        w, h = struct.unpack(">II", b[16:24])
+        out["width"], out["height"] = int(w), int(h)
+    elif b[:2] == b"\xff\xd8":
+        out["fmt"] = "jpeg"
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                i += 2  # standalone markers have no length field
+                continue
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if marker in _JPEG_SOF:
+                if i + 9 <= len(b):
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    out["height"], out["width"] = int(h), int(w)
+                break
+            if marker == 0xDA:  # start of scan: entropy data, stop walking
+                break
+            i += 2 + seg_len
+    elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        out["fmt"] = "gif"
+        w, h = struct.unpack("<HH", b[6:10])
+        out["width"], out["height"] = int(w), int(h)
+    elif b[:2] == b"BM" and len(b) >= 26:
+        out["fmt"] = "bmp"
+        w, h = struct.unpack("<ii", b[18:26])
+        out["width"], out["height"] = int(w), abs(int(h))  # h<0 = top-down rows
+    elif b[:4] == b"RIFF" and len(b) >= 12 and b[8:12] == b"WAVE":
+        out["fmt"] = "wav"
+        i, byte_rate, data_size = 12, None, None
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            csz = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 20 <= len(b):
+                channels, sample_rate, byte_rate = struct.unpack(
+                    "<HII", b[i + 10 : i + 20]
+                )
+                out["sample_rate"] = int(sample_rate)
+                out["channels"] = int(channels)
+            elif cid == b"data":
+                data_size = csz
+            i += 8 + csz + (csz & 1)  # chunks are word-aligned
+        if byte_rate and data_size is not None:
+            out["duration_ms"] = int(data_size * 1000 // byte_rate)
+    return out
+
+
+def media_header_udf() -> Column:
+    """Arrow-batched header parser as a column factory: call the result on
+    a binary column. Header parsing reads a bounded prefix per row —
+    per-row Python cost is O(header), not O(payload)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_HEADER_SCHEMA)
+    def _parse(col: pd.Series) -> pd.DataFrame:
+        rows = [
+            parse_media_header(v)
+            or {k.name: None for k in _HEADER_SCHEMA.fields}
+            for v in col
+        ]
+        return pd.DataFrame(rows, columns=[f.name for f in _HEADER_SCHEMA.fields])
+
+    return _parse
+
+
 def attach_media_meta(
-    df: DataFrame, binary_col: str, modality: str, fmt: str | None = None
+    df: DataFrame,
+    binary_col: str,
+    modality: str,
+    fmt: str | None = None,
+    parse_headers: bool = False,
 ) -> DataFrame:
-    """Columnar metadata extraction — JVM built-ins only (no decode)."""
+    """Columnar metadata extraction. Byte length and content hash are JVM
+    built-ins; with parse_headers=True the container headers are really
+    parsed (parse_media_header via an Arrow-batched pandas_udf) and fill
+    fmt/width/height/duration_ms — no codec involved, so this works in any
+    environment. parse_headers=False keeps the plan 100% JVM-side."""
     b = F.col(binary_col)
+    if parse_headers:
+        hdr = media_header_udf()(b)
+        fmt_col = F.coalesce(hdr.getField("fmt"), F.lit(fmt).cast("string"))
+        width = hdr.getField("width")
+        height = hdr.getField("height")
+        duration = hdr.getField("duration_ms")
+    else:
+        fmt_col = F.lit(fmt).cast("string")
+        width = F.lit(None).cast("int")
+        height = F.lit(None).cast("int")
+        duration = F.lit(None).cast("long")
     return df.withColumn(
         "media_meta",
         F.struct(
             F.lit(modality).alias("modality"),
-            F.lit(fmt).cast("string").alias("fmt"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
+            fmt_col.alias("fmt"),
+            width.cast("int").alias("width"),
+            height.cast("int").alias("height"),
+            duration.cast("long").alias("duration_ms"),
             F.length(b).cast("long").alias("n_bytes"),
             F.sha2(b, 256).alias("sha256"),
         ),

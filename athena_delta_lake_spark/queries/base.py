@@ -105,6 +105,7 @@ def registry() -> dict[str, QueryDef]:
         dedup_q,
         delta_q,
         functions_q,
+        multimodal_q,
         pipeline_q,
         relational,
         similarity_q,

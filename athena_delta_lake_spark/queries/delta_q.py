@@ -114,6 +114,34 @@ def l02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b02_sql_lazy_catalog",
+    "delta-core",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    WHERE l_quantity > 10
+    GROUP BY l_returnflag
+    """,
+    "metastore-less SQL: pond.sql resolves tables lazily at name-lookup "
+    "time (no registration step), the reference's headline capability",
+)
+def b02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_lineitem_delta(spark, sf_dir)
+    # drop any pre-registered views so the resolution is provably lazy:
+    # the ONLY way this query can work is the pond resolving `lake.
+    # delta_lineitem` from the storage layout during analysis
+    spark.catalog.dropTempView("__pond__lake__delta_lineitem")
+    pond = DeltaPond(spark, _fixture_root(sf_dir))
+    return pond.sql(
+        "SELECT l_returnflag, count(*) AS n, "
+        "round(sum(l_extendedprice), 2) AS revenue "
+        "FROM lake.delta_lineitem WHERE l_quantity > 10 GROUP BY l_returnflag"
+    )
+
+
+@register(
     "l03_delta_catalog_sql",
     "delta-core",
     """

@@ -72,3 +72,58 @@ def test_create_and_drop_table(spark, tmp_path):
     assert pond.read("ml", "feats").count() == 30
     pond.drop_table("ml", "feats")
     assert pond.list_tables("ml") == []
+
+
+# ---------------------------------------------------- lazy SQL resolution
+
+
+def test_pond_sql_resolves_lazily(spark, tmp_path):
+    """pond.sql works with NO registration step: names resolve from the
+    storage layout at analysis time (the doGetTable analogue)."""
+    from athena_delta_lake_spark import write_delta
+    from athena_delta_lake_spark.catalog import DeltaPond
+
+    root = str(tmp_path / "pond")
+    for db, tbl, n in [("sales", "orders", 10), ("sales", "items", 5), ("hr", "people", 3)]:
+        p = f"{root}/{db}/{tbl}"
+        write_delta(spark.range(n).selectExpr("id", f"'{tbl}' AS src"), p)
+
+    pond = DeltaPond(spark, root)
+    # dotted name, never registered
+    got = pond.sql("SELECT count(*) AS n FROM sales.orders").collect()
+    assert got[0]["n"] == 10
+    # join of two dotted names in one query
+    got = pond.sql(
+        "SELECT count(*) AS n FROM sales.orders o CROSS JOIN hr.people p"
+    ).collect()
+    assert got[0]["n"] == 30
+    # bare name, unique across schemas
+    assert pond.sql("SELECT count(*) AS n FROM people").collect()[0]["n"] == 3
+    # a freshly-written table is immediately queryable by name
+    write_delta(spark.range(7).selectExpr("id", "'new' AS src"), f"{root}/hr/badges")
+    assert pond.sql("SELECT count(*) AS n FROM hr.badges").collect()[0]["n"] == 7
+
+
+def test_pond_sql_ambiguous_bare_name(spark, tmp_path):
+    from athena_delta_lake_spark import write_delta
+    from athena_delta_lake_spark.catalog import DeltaPond
+
+    root = str(tmp_path / "pond2")
+    write_delta(spark.range(1).selectExpr("id"), f"{root}/a/t")
+    write_delta(spark.range(2).selectExpr("id"), f"{root}/b/t")
+    pond = DeltaPond(spark, root)
+    with pytest.raises(ValueError, match="several schemas"):
+        pond.sql("SELECT * FROM t")
+    # qualified names still fine
+    assert pond.sql("SELECT count(*) AS n FROM b.t").collect()[0]["n"] == 2
+
+
+def test_pond_sql_missing_table_raises(spark, tmp_path):
+    from athena_delta_lake_spark import write_delta
+    from athena_delta_lake_spark.catalog import DeltaPond
+
+    root = str(tmp_path / "pond3")
+    write_delta(spark.range(1).selectExpr("id"), f"{root}/a/t")
+    pond = DeltaPond(spark, root)
+    with pytest.raises(Exception, match="nope|TABLE_OR_VIEW_NOT_FOUND"):
+        pond.sql("SELECT * FROM a.nope")

@@ -103,3 +103,100 @@ def test_binary_windows_content(spark):
         (1, 2, 4, bytes(range(96, 100)).hex().upper()),
     ]
     assert rows == want  # null payloads contribute nothing
+
+
+# --------------------------------------------- real container-header parsing
+
+
+def _real_png(w, h):
+    """A genuinely valid PNG built with stdlib only."""
+    import struct
+    import zlib
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = b"".join(b"\x00" + b"\x7f" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _real_wav(n_frames, rate=8000, channels=1):
+    """A genuinely valid WAV built with the stdlib wave module."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(b"\x01\x02" * n_frames * channels)
+    return buf.getvalue()
+
+
+def _jpeg_with_app0(w, h):
+    """Minimal JPEG header stream: SOI + APP0 (to exercise marker skipping)
+    + SOF0 carrying the frame dims."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_parse_media_header_real_binaries():
+    png = mm.parse_media_header(_real_png(13, 7))
+    assert (png["fmt"], png["width"], png["height"]) == ("png", 13, 7)
+
+    wav = mm.parse_media_header(_real_wav(n_frames=4000, rate=8000))
+    assert wav["fmt"] == "wav"
+    assert wav["sample_rate"] == 8000
+    assert wav["channels"] == 1
+    assert wav["duration_ms"] == 500  # 4000 frames @ 8 kHz
+
+    jpg = mm.parse_media_header(_jpeg_with_app0(640, 480))
+    assert (jpg["fmt"], jpg["width"], jpg["height"]) == ("jpeg", 640, 480)
+
+    gif = mm.parse_media_header(b"GIF89a" + (17).to_bytes(2, "little") + (5).to_bytes(2, "little") + b"\x00" * 6)
+    assert (gif["fmt"], gif["width"], gif["height"]) == ("gif", 17, 5)
+
+    assert mm.parse_media_header(b"not media")["fmt"] is None
+    assert mm.parse_media_header(None) is None
+    assert mm.parse_media_header(b"")["fmt"] is None
+
+
+def test_attach_media_meta_parses_headers(spark):
+    rows = [
+        (0, _real_png(32, 16)),
+        (1, _real_wav(16000, rate=16000)),
+        (2, _jpeg_with_app0(100, 50)),
+        (3, b"opaque"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, payload binary")
+    out = mm.attach_media_meta(
+        df, "payload", modality="image", fmt="bin", parse_headers=True
+    )
+    got = {r["id"]: r["media_meta"] for r in out.collect()}
+    assert (got[0]["fmt"], got[0]["width"], got[0]["height"]) == ("png", 32, 16)
+    assert (got[1]["fmt"], got[1]["duration_ms"]) == ("wav", 1000)
+    assert (got[2]["fmt"], got[2]["width"], got[2]["height"]) == ("jpeg", 100, 50)
+    assert got[3]["fmt"] == "bin"  # unknown container falls back to declared fmt
+    assert got[3]["n_bytes"] == 6
