@@ -142,6 +142,8 @@ def delete(spark: SparkSession, table_path: str, where) -> dict:
             [],
             [f.path for f in candidates],
             operation_parameters={"predicate": str(where)},
+            expected_states={f.path: file_fingerprint(f) for f in candidates},
+            base_version=snap.version,
         )
         return {
             "files_removed": len(candidates),
@@ -160,6 +162,7 @@ def delete(spark: SparkSession, table_path: str, where) -> dict:
         [f.path for f in candidates],
         operation_parameters={"predicate": str(where)},
         expected_states={f.path: file_fingerprint(f) for f in candidates},
+        base_version=snap.version,
     )
     before, after = _num_records(candidates), _adds_num_records(adds)
     return {
@@ -219,6 +222,7 @@ def delete_mor(spark: SparkSession, table_path: str, where) -> dict:
         expected_states={
             f.path: file_fingerprint(f) for f, _idx in pieces.touched
         },
+        base_version=snap.version,
     )
     return {
         "files_removed": len(pieces.full_files),
@@ -369,6 +373,7 @@ def update(
         [f.path for f in candidates],
         operation_parameters={"predicate": str(where)},
         expected_states={f.path: file_fingerprint(f) for f in candidates},
+        base_version=snap.version,
     )
     return {"files_removed": len(candidates), "files_added": len(adds)}
 
@@ -433,6 +438,7 @@ def update_mor(
         expected_states={
             f.path: file_fingerprint(f) for f, _idx in pieces.touched
         },
+        base_version=snap.version,
     )
     return {
         "files_removed": len(pieces.full_files),
@@ -623,6 +629,7 @@ def merge_upsert(
         [f.path for f in remove_files],
         operation_parameters={"matchedPredicate": " AND ".join(keys)},
         expected_states={f.path: file_fingerprint(f) for f in remove_files},
+        base_version=snap.version,
     )
     return {
         "files_removed": len(remove_files),
@@ -791,6 +798,7 @@ def merge_upsert_mor(
         },
         extra_actions=extra,
         expected_states={f.path: file_fingerprint(f) for f in removes},
+        base_version=snap.version,
     )
     return {
         "files_removed": len(removes) - len(dv_adds),
@@ -881,6 +889,7 @@ def compact(
         data_change=False,
         operation_parameters={"targetSize": str(target_file_size)},
         expected_states={f.path: file_fingerprint(f) for f in victims},
+        base_version=snap.version,
     )
     return {
         "groups": len(to_compact),
@@ -973,6 +982,7 @@ def restore_table(
         operation_parameters={"version": str(target.version)},
         extra_actions=extra,
         expected_states={p: file_fingerprint(cur_by[p]) for p in to_remove},
+        base_version=current.version,
     )
     return {
         "restored_to": target.version,

@@ -344,6 +344,7 @@ def commit_rewrite(
     operation_parameters: dict | None = None,
     extra_actions: list[dict] | None = None,
     expected_states: dict | None = None,
+    base_version: int | None = None,
 ) -> int:
     """Commit a file-rewrite transaction: `remove` the replaced files and
     `add` their rewrites in ONE atomic version — the copy-on-write commit
@@ -352,12 +353,22 @@ def commit_rewrite(
     files). `extra_actions` (e.g. a reinstated metaData for RESTORE) are
     written right after commitInfo.
 
+    `base_version` is the snapshot version the rewrite was PLANNED against.
+    Whenever the version about to be committed is not base_version+1 —
+    whether because a concurrent commit landed before our FIRST attempt
+    (the version counter already moved; no FileExistsError would ever
+    fire) or because we lost the race mid-loop — the conflict check below
+    must run. Without the first-attempt check, a rewrite planned against a
+    stale snapshot could silently resurrect rows a faster writer deleted
+    (caught by the concurrent-writer fuzz: an OPTIMIZE re-adding rows a
+    racing DELETE had just removed).
+
     `expected_states` maps removed path -> fingerprint (what the caller's
-    snapshot said about the file). On an OCC retry the rewrite only
-    commutes if every removed file is still live AND unchanged — a
-    same-path re-add by the winner (e.g. a concurrent merge-on-read
-    DELETE growing the file's deletion vector) is a write-write conflict
-    the plain liveness check would miss, silently dropping the winner's
+    snapshot said about the file). The rewrite only commutes if every
+    removed file is still live AND unchanged — a same-path re-add by the
+    winner (e.g. a concurrent merge-on-read DELETE growing the file's
+    deletion vector) is a write-write conflict the plain liveness check
+    would miss, silently dropping the winner's
     deletions."""
     now = int(time.time() * 1000)
     actions: list[dict] = [
@@ -397,19 +408,14 @@ def commit_rewrite(
     if data_change and remove_paths:
         _check_append_only(table_config, operation)
     for _attempt in range(_MAX_COMMIT_RETRIES + 1):
-        try:
-            _stamp_ict(actions, log_dir, version, table_config)
-            _atomic_commit(log_dir, version, actions)
-            DeltaLog.clear_cache()
-            _maybe_auto_checkpoint(table_path, version, table_config)
-            return version
-        except FileExistsError:
-            # OCC conflict: the rewrite is still valid iff every file it
-            # removes is STILL live in the winner's snapshot (no write-write
-            # conflict on the same files) — then it commutes and retries.
-            DeltaLog.clear_cache()
+        if base_version is not None and version != base_version + 1:
+            # commits landed since the rewrite was planned (seen either via
+            # a moved version counter before the first attempt, or via a
+            # lost race below): the rewrite is still valid iff every file
+            # it removes is STILL live and byte/DV-identical (no
+            # write-write conflict on the same files) — then it commutes.
             # remove_paths come from AddFile.path (already URL-decoded),
-            # matching the decoded paths in the snapshot's file list
+            # matching the decoded paths in the snapshot's file list.
             now_files = {f.path: f for f in DeltaLog(table_path).snapshot().files}
             conflict = any(p not in now_files for p in remove_paths)
             if not conflict and expected_states:
@@ -423,6 +429,14 @@ def commit_rewrite(
                     f"{operation} conflicts with a concurrent commit that "
                     "touched the same files; re-run against the new snapshot"
                 ) from None
+        try:
+            _stamp_ict(actions, log_dir, version, table_config)
+            _atomic_commit(log_dir, version, actions)
+            DeltaLog.clear_cache()
+            _maybe_auto_checkpoint(table_path, version, table_config)
+            return version
+        except FileExistsError:
+            DeltaLog.clear_cache()
             version = _next_version(table_path)
     raise ConcurrentWriteError(
         f"gave up after {_MAX_COMMIT_RETRIES} commit retries on {table_path}"
@@ -942,18 +956,15 @@ def write_delta(
             )
     actions.extend(adds)
     log_dir = os.path.join(table_path, "_delta_log")
+    expected_next = (prior.version + 1) if prior is not None else 0
     for _attempt in range(_MAX_COMMIT_RETRIES + 1):
-        try:
-            _stamp_ict(actions, log_dir, version, effective_config)
-            _atomic_commit(log_dir, version, actions)
-            DeltaLog.clear_cache()
-            _maybe_auto_checkpoint(table_path, version, effective_config)
-            return version
-        except FileExistsError:
-            # a concurrent writer took this version (OCC loss). Blind
+        if version != expected_next:
+            # concurrent commits landed since this write was planned —
+            # either noticed before the FIRST attempt (the version counter
+            # already moved past the planning snapshot; no FileExistsError
+            # would ever fire) or after losing the race below. Blind
             # appends commute with other appends; anything else needs the
             # caller to re-plan against the new snapshot.
-            DeltaLog.clear_cache()
             # identity appends do NOT commute: both racers would extend
             # from the same high-water mark and mint duplicate ids.
             # config-carrying appends don't either: their metaData action
@@ -971,7 +982,7 @@ def write_delta(
                 or identity_params
             ):
                 raise ConcurrentWriteError(
-                    f"version {version} of {table_path} was committed "
+                    f"version {expected_next} of {table_path} was committed "
                     "concurrently; re-run against the new snapshot"
                 ) from None
             current = DeltaLog(table_path).snapshot()
@@ -991,6 +1002,14 @@ def write_delta(
                     "concurrent schema/partition change during append"
                 ) from None
             _enforce_constraints(df, current.metadata.get("configuration"))
+        try:
+            _stamp_ict(actions, log_dir, version, effective_config)
+            _atomic_commit(log_dir, version, actions)
+            DeltaLog.clear_cache()
+            _maybe_auto_checkpoint(table_path, version, effective_config)
+            return version
+        except FileExistsError:
+            DeltaLog.clear_cache()
             version = _next_version(table_path)
     raise ConcurrentWriteError(
         f"gave up after {_MAX_COMMIT_RETRIES} commit retries on {table_path}"
