@@ -11,6 +11,15 @@ JSON line:
 Each query is driven to completion with a count() over the result (no
 driver-side materialization of wide rows). A warmup query absorbs JVM/codegen
 startup so per-query numbers reflect steady-state execution.
+
+Regression guard:
+  python bench.py --update-baseline   # record current per-query times
+  python bench.py --check             # fail (rc=1) when a query runs >1.5x
+                                      # its baseline AND the slowdown
+                                      # reproduces on a paired re-run
+                                      # (shared-VM noise runs +-40%; a lone
+                                      # spike is reported but not fatal)
+Run --check at round start alongside tools/check_oracle.py.
 """
 
 from __future__ import annotations
@@ -54,9 +63,41 @@ BENCH_QUERIES = [
 ]
 
 
+_BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+
+
+def _check_regressions(timings: dict, reg, spark, sf_dir: str, threshold: float = 1.5) -> list[str]:
+    """Per-query regression gate: anything slower than threshold x its
+    recorded baseline gets ONE confirmation re-run (shared-VM noise runs
+    ±40%; a genuine regression reproduces, a noise spike doesn't).
+    Returns the confirmed offenders."""
+    import time as _t
+
+    if not os.path.exists(_BASELINE_FILE):
+        print("# no bench_baseline.json; run --update-baseline first", file=sys.stderr)
+        return []
+    base = json.load(open(_BASELINE_FILE))["queries"]
+    offenders = []
+    for name, dt in timings.items():
+        b = base.get(name)
+        if b is None or dt <= b * threshold:
+            continue
+        t0 = _t.time()
+        reg[name].fn(spark, sf_dir).count()
+        retry = _t.time() - t0
+        if retry > b * threshold:
+            offenders.append(f"{name}: {dt:.2f}s/{retry:.2f}s vs baseline {b:.2f}s")
+        else:
+            print(f"# {name}: first-run spike {dt:.2f}s not reproduced "
+                  f"({retry:.2f}s vs baseline {b:.2f}s) — noise", file=sys.stderr)
+    return offenders
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    check = "--check" in sys.argv
+    update_baseline = "--update-baseline" in sys.argv
 
     from athena_delta_lake_spark import get_spark
     from athena_delta_lake_spark.queries import registry
@@ -125,8 +166,23 @@ def main() -> int:
             }
         )
     )
+    rc = 0
+    if update_baseline:
+        json.dump(
+            {"value": total, "queries": timings, "sf": sf},
+            open(_BASELINE_FILE, "w"),
+            indent=1,
+        )
+        print(f"# baseline recorded to {_BASELINE_FILE}", file=sys.stderr)
+    elif check:
+        offenders = _check_regressions(timings, reg, spark, sf_dir)
+        if offenders:
+            print("# REGRESSIONS (confirmed on paired re-run):", file=sys.stderr)
+            for o in offenders:
+                print(f"#   {o}", file=sys.stderr)
+            rc = 1
     spark.stop()
-    return 0
+    return rc
 
 
 if __name__ == "__main__":
