@@ -102,6 +102,7 @@ def registry() -> dict[str, QueryDef]:
     # import for side effects: each module registers its queries
     from . import (  # noqa: F401
         aggregates,
+        bridge_q,
         dedup_q,
         delta_q,
         functions_q,
