@@ -682,6 +682,57 @@ def duplicate_span_stats(
     )
 
 
+def contamination_stats(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: per-training-document overlap with an
+    evaluation/benchmark corpus, measured in distinct k-word shingles —
+    the standard n-gram contamination check run before training (flagged
+    docs are dropped or audited).
+
+    Returns (id, n_shared, n_grams, contamination) for every training
+    document sharing at least one shingle with the benchmark, where
+    `n_shared` counts the doc's distinct shingles that also occur anywhere
+    in the benchmark and `contamination` = n_shared / n_grams.
+
+    Scale shape: benchmark suites are tiny relative to a training corpus
+    (MBs vs 100 TB), so the distinct benchmark-shingle set is broadcast
+    and the training side is consumed map-side by a broadcast semi-join —
+    the only corpus-wide shuffle is shingle_table's own per-doc
+    aggregation, and output size is bounded by the contaminated subset.
+    Pass a precomputed `shingles` table (from shingle_table) to share the
+    expensive side with other dedup passes over the same corpus.
+    """
+    tr = (
+        shingles
+        if shingles is not None
+        else shingle_table(train, id_col, text_col, k)
+    )
+    bench_sh = (
+        shingle_table(bench, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"), F.first("n_sh").alias("n_grams"))
+        .select(
+            "id",
+            "n_shared",
+            "n_grams",
+            F.round(F.col("n_shared") / F.col("n_grams"), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
 # ------------------------------------------------------ relational bloom filter
 
 

@@ -175,3 +175,28 @@ def test_bloom_filter_no_false_negatives_and_bounded_fp(spark):
     fp_rate = bloom_prefilter(fresh, bloom, n_bits=1 << 16, n_hashes=5).count() / 2000
     # m/n = 32.8 bits/key, k=5 -> theoretical ~0.0005; allow slack
     assert fp_rate < 0.05, fp_rate
+
+
+def test_contamination_stats(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "entirely unrelated words appear here only once"),
+            (3, "quick brown fox sentences partially overlap benchmarks"),
+        ],
+        "id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: (r["n_shared"], r["n_grams"], r["contamination"])
+        for r in dedup.contamination_stats(train, bench, "id", "text", k=3).collect()
+    }
+    # doc 1 is the benchmark verbatim: every 3-gram shared
+    assert out[1] == (7, 7, 1.0)
+    # doc 2 shares nothing -> absent from the contaminated set
+    assert 2 not in out
+    # doc 3 shares exactly "quick brown fox" out of its 5 3-grams
+    assert out[3] == (1, 5, 0.2)
