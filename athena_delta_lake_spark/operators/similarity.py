@@ -385,6 +385,60 @@ def near_duplicate_pairs_cosine(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    cluster_col: str | None = None,
+    n_clusters: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): partition
+    the corpus into clusters, score cosine similarity ONLY within a
+    cluster, and drop every item that has a lower-id neighbor at
+    sim >= threshold. Returns surviving (id, cluster) rows.
+
+    cluster_col=None runs spherical k-means (the production path: cluster
+    assignment is one broadcast-centroid pandas-UDF pass, k x dim floats of
+    driver state). Passing an existing cluster/label column makes the
+    operator fully deterministic and SQL-expressible (the d12 oracle).
+
+    Scale shape: the self-join is keyed on the cluster id, so work is
+    bounded by the largest cluster, not the corpus — SemDeDup's design
+    point is n_clusters grows with the corpus to hold cluster size
+    roughly constant. Pair scoring is the Arrow-batched pandas cosine; the
+    final anti-join keys on id (uniform). No corpus-wide cross join exists
+    at any scale.
+    """
+    if cluster_col is None:
+        C = spherical_kmeans_lite(df, vec_col, k=n_clusters, seed=seed)
+        df = df.withColumn(
+            "_cluster", _nearest_centroid_udf(C)(F.col(vec_col))
+        )
+        cluster_col = "_cluster"
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(cluster_col).alias("cluster"),
+        F.col(vec_col).alias("v"),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), "cluster", F.col("v").alias("va")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), "cluster", F.col("v").alias("vb")
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_pandas(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return base.join(dropped, "id", "left_anti").select("id", "cluster")
+
+
 # ------------------------------------------------- persisted IVF index (Delta)
 
 

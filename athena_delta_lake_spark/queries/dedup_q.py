@@ -413,3 +413,40 @@ def d11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         F.col("id").alias("doc_id"), "n_shared", "n_grams", "contamination"
     )
+
+
+@register(
+    "d12_semantic_dedup",
+    "dedup",
+    """
+    WITH ex AS (
+      SELECT vec_id, label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp,
+             sqrt(sum(CAST(a.v AS DOUBLE) * CAST(a.v AS DOUBLE))) AS na,
+             sqrt(sum(CAST(b.v AS DOUBLE) * CAST(b.v AS DOUBLE))) AS nb
+      FROM ex a
+      JOIN ex b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ), dropped AS (
+      SELECT DISTINCT id_b FROM pairs WHERE dp / (na * nb) >= 0.3
+    )
+    SELECT e.vec_id AS id, e.label AS cluster
+    FROM embeddings e
+    WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id_b = e.vec_id)
+    """,
+    "SemDeDup-style semantic dedup: within-cluster cosine pruning keeping "
+    "the lowest id per near-dup set; cluster-keyed self-join bounds work by "
+    "cluster size, never the corpus (clusters = the fixture label column "
+    "so the check is exact; production path runs spherical k-means)",
+)
+def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup
+
+    e = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, "vec_id", "embedding", threshold=0.3, cluster_col="label"
+    )

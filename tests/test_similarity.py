@@ -212,3 +212,27 @@ def test_mips_norm_augmentation_preserves_ranking(spark, sf_dir):
         (r["q_id"], r["rank"]): r["vec_id"] for r in via_cosine.collect()
     }
     assert got == want
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    # two identical vectors in cluster 0, an identical pair split ACROSS
+    # clusters (must both survive), and a lone orthogonal vector
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),   # dropped: same cluster as 1, cos=1
+        (3, [0.0, 1.0], 0),
+        (4, [1.0, 0.0], 1),   # survives: near-dup of 1 but other cluster
+        (5, [0.6, 0.8], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = sim.semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.95, cluster_col="label"
+    )
+    assert sorted(r["id"] for r in out.collect()) == [1, 3, 4, 5]
+    # k-means path: same data, clusters computed; survivors form a valid
+    # subset (no two survivors in one cluster above threshold)
+    auto = sim.semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.95, n_clusters=2
+    )
+    ids = sorted(r["id"] for r in auto.collect())
+    assert 1 <= len(ids) <= 5 and len(set(ids)) == len(ids)
