@@ -8,6 +8,9 @@ from .table import DeltaTable
 from .types import schema_string_to_struct, struct_to_schema_string
 from .writer import (
     add_columns,
+    drop_column,
+    enable_column_mapping,
+    rename_column,
     cleanup_log,
     convert_to_delta,
     set_domain_metadata,
@@ -25,11 +28,14 @@ __all__ = [
     "compact",
     "convert_to_delta",
     "delete",
+    "drop_column",
+    "enable_column_mapping",
     "delete_mor",
     "merge_upsert",
     "prune_files",
     "read_files",
     "read_snapshot",
+    "rename_column",
     "restore_table",
     "schema_string_to_struct",
     "set_domain_metadata",

@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 from .log import AddFile, DeltaLog, SnapshotState
 from .reader import read_files
 from .stats import Predicate, prune_files
-from .writer import commit_rewrite, file_fingerprint, stage_data_files
+from .writer import (
+    commit_rewrite,
+    file_fingerprint,
+    logical_to_physical,
+    stage_data_files,
+)
 
 
 # --------------------------------------------------------------- predicates
@@ -154,7 +159,9 @@ def delete(spark: SparkSession, table_path: str, where) -> dict:
     df = read_files(spark, snap, candidates)
     kept = df.filter(~F.coalesce(cond, F.lit(False)))  # NULL predicate keeps
     data_schema = _data_schema(snap)
-    adds = stage_data_files(kept, table_path, part_cols, data_schema)
+    adds = stage_data_files(
+        kept, table_path, part_cols, data_schema, l2p=_l2p(snap)
+    )
     commit_rewrite(
         table_path,
         "DELETE",
@@ -365,7 +372,9 @@ def update(
     from .writer import _enforce_constraints
 
     _enforce_constraints(df, snap.metadata.get("configuration"))
-    adds = stage_data_files(df, table_path, snap.partition_columns, _data_schema(snap))
+    adds = stage_data_files(
+        df, table_path, snap.partition_columns, _data_schema(snap), l2p=_l2p(snap)
+    )
     commit_rewrite(
         table_path,
         "UPDATE",
@@ -424,7 +433,8 @@ def update_mor(
 
     _enforce_constraints(new_rows, snap.metadata.get("configuration"))
     new_adds = stage_data_files(
-        new_rows, table_path, snap.partition_columns, _data_schema(snap)
+        new_rows, table_path, snap.partition_columns, _data_schema(snap),
+        l2p=_l2p(snap),
     )
 
     pieces = _dv_pieces(table_path, snap, matched, candidates)
@@ -620,7 +630,8 @@ def merge_upsert(
 
     _enforce_constraints(new_data, snap.metadata.get("configuration"))
     adds = stage_data_files(
-        new_data, table_path, snap.partition_columns, _data_schema(snap)
+        new_data, table_path, snap.partition_columns, _data_schema(snap),
+        l2p=_l2p(snap),
     )
     commit_rewrite(
         table_path,
@@ -768,7 +779,8 @@ def merge_upsert_mor(
     if new_data is not None:
         _enforce_constraints(new_data, snap.metadata.get("configuration"))
         new_adds = stage_data_files(
-            new_data, table_path, snap.partition_columns, _data_schema(snap)
+            new_data, table_path, snap.partition_columns, _data_schema(snap),
+            l2p=_l2p(snap),
         )
 
     pieces = None
@@ -880,7 +892,9 @@ def compact(
     else:
         total = sum(f.size for f in victims)
         df = df.coalesce(max(1, -(-total // target_file_size)))
-    adds = stage_data_files(df, table_path, part_cols, _data_schema(snap))
+    adds = stage_data_files(
+        df, table_path, part_cols, _data_schema(snap), l2p=_l2p(snap)
+    )
     commit_rewrite(
         table_path,
         "OPTIMIZE",
@@ -1048,6 +1062,12 @@ def vacuum(
             if not dirs and not names and root != table_path:
                 os.rmdir(root)
     return {"files": sorted(doomed), "deleted": not dry_run}
+
+
+def _l2p(snap: SnapshotState):
+    """logical->physical name map for column-mapped tables (else None) —
+    every DML rewrite must stage files with physical names."""
+    return logical_to_physical(snap.schema, snap.metadata.get("configuration"))
 
 
 def _data_schema(snap: SnapshotState):

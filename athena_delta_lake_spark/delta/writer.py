@@ -280,17 +280,52 @@ def _atomic_commit(log_dir: str, version: int, actions: Iterable[dict]) -> None:
             f.write(json.dumps(a, separators=(",", ":")) + "\n")
 
 
+def logical_to_physical(
+    schema: T.StructType, config: dict | None
+) -> dict[str, str] | None:
+    """Top-level logical→physical column-name map when column mapping is
+    active on the table, else None. Physical names come from the
+    `delta.columnMapping.physicalName` field metadata (defaulting to the
+    logical name, which is what enable_column_mapping assigns so data files
+    written before the upgrade stay readable)."""
+    if (config or {}).get("delta.columnMapping.mode", "none") == "none":
+        return None
+    return {
+        f.name: (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        )
+        for f in schema.fields
+    }
+
+
 def stage_data_files(
     df: DataFrame,
     table_path: str,
     partition_by: list[str],
     data_schema: T.StructType,
     collect_stats: bool = True,
+    l2p: dict[str, str] | None = None,
 ) -> list[dict]:
     """Write `df` as new parquet data files under `table_path` (hive layout
     when partitioned) and return the corresponding `add` actions — NOT yet
     committed. Shared by append/overwrite (write_delta) and the DML
-    rewriters (dml.py)."""
+    rewriters (dml.py).
+
+    `l2p` (from logical_to_physical) activates the column-mapping write
+    convention: data files, hive partition dirs, `partitionValues` keys and
+    stats keys all use PHYSICAL column names (the log replayer normalizes
+    them back to logical at read time, log.py)."""
+    if l2p:
+        df = df.toDF(*[l2p.get(c, c) for c in df.columns])
+        partition_by = [l2p.get(c, c) for c in partition_by]
+        data_schema = T.StructType(
+            [
+                T.StructField(
+                    l2p.get(f.name, f.name), f.dataType, f.nullable, f.metadata
+                )
+                for f in data_schema.fields
+            ]
+        )
     staging = os.path.join(
         os.path.dirname(table_path), f".staging-{uuid.uuid4().hex}"
     )
@@ -798,6 +833,65 @@ def write_delta(
             schema_changed = bool(new_fields)
 
     schema = evolved if schema_changed else df.schema
+
+    # column mapping: appends keep reading names from the PRIOR schema's
+    # field metadata; overwrite must not silently strip the mapping (the
+    # configuration still says mode=name), so it either preserves the
+    # mapped schema verbatim or demands the metadata-only DDL instead.
+    mapping_l2p = (
+        logical_to_physical(
+            prior.schema, prior.metadata.get("configuration")
+        )
+        if prior is not None
+        else None
+    )
+    if mapping_l2p is not None:
+        if mode == "overwrite":
+            prior_types = {f.name: f.dataType for f in prior.schema.fields}
+            df_types = {f.name: f.dataType for f in df.schema.fields}
+            if prior_types != df_types:
+                raise ValueError(
+                    "overwrite of a column-mapped table must keep the table "
+                    "schema; use add_columns / rename_column / drop_column "
+                    "for schema changes"
+                )
+            df = df.select(*[f.name for f in prior.schema.fields])
+            schema = prior.schema  # keep ids/physicalNames in metaData
+        elif schema_changed:
+            # merge_schema evolution on a mapped table: new columns get
+            # fresh ids and uuid physical names (Delta spec for mode=name)
+            max_id = int(
+                (prior.metadata.get("configuration") or {}).get(
+                    "delta.columnMapping.maxColumnId", 0
+                )
+            )
+            prior_names = {f.name for f in prior.schema.fields}
+            out_fields = []
+            for f in schema.fields:
+                if f.name in prior_names:
+                    out_fields.append(f)
+                else:
+                    max_id += 1
+                    out_fields.append(
+                        T.StructField(
+                            f.name,
+                            f.dataType,
+                            f.nullable,
+                            {
+                                **(f.metadata or {}),
+                                "delta.columnMapping.id": max_id,
+                                "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
+                            },
+                        )
+                    )
+            schema = T.StructType(out_fields)
+            configuration = {
+                **(configuration or {}),
+                "delta.columnMapping.maxColumnId": str(max_id),
+            }
+            mapping_l2p = logical_to_physical(
+                schema, prior.metadata.get("configuration")
+            )
     data_schema = T.StructType([f for f in schema.fields if f.name not in partition_by])
 
     if prior is not None and mode == "append" and prior.partition_columns != partition_by:
@@ -827,7 +921,8 @@ def write_delta(
         _enforce_constraints(df, prior.metadata.get("configuration"))
 
     adds = stage_data_files(
-        df, table_path, partition_by, data_schema, collect_stats
+        df, table_path, partition_by, data_schema, collect_stats,
+        l2p=mapping_l2p,
     )
     now = int(time.time() * 1000)
 
@@ -1257,7 +1352,27 @@ def write_checkpoint(
                 },
             }
         )
+    # column-mapped tables: the snapshot normalized partitionValues/stats
+    # keys to LOGICAL names at replay; the checkpoint must store them back
+    # under PHYSICAL names (spec — external readers key off physical)
+    cp_l2p = logical_to_physical(
+        snap.schema, snap.metadata.get("configuration")
+    )
+
+    def _phys_keys(d: dict | None) -> dict | None:
+        if not d or not cp_l2p:
+            return d
+        return {cp_l2p.get(k, k): v for k, v in d.items()}
+
     for f in snap.files:
+        stats = f.stats
+        if stats and cp_l2p:
+            stats = {
+                **stats,
+                "minValues": _phys_keys(stats.get("minValues")),
+                "maxValues": _phys_keys(stats.get("maxValues")),
+                "nullCount": _phys_keys(stats.get("nullCount")),
+            }
         rows.append(
             {
                 "protocol": None,
@@ -1268,12 +1383,12 @@ def write_checkpoint(
                     # same percent-encoded form as commit JSONs (replay
                     # unquotes both identically)
                     "path": _quote(f.path, safe="/"),
-                    "partitionValues": f.partition_values,
+                    "partitionValues": _phys_keys(f.partition_values) or {},
                     "size": f.size,
                     "modificationTime": f.modification_time,
                     "dataChange": False,
-                    "stats": json.dumps(f.stats, separators=(",", ":"))
-                    if f.stats
+                    "stats": json.dumps(stats, separators=(",", ":"))
+                    if stats
                     else None,
                     "deletionVector": f.deletion_vector,
                 },
@@ -1539,12 +1654,36 @@ def add_columns(table_path: str, columns: T.StructType | list) -> int:
     for f in new_fields:
         if f.name in existing:
             raise ValueError(f"column already exists: {f.name}")
-    evolved = T.StructType(
-        list(snap.schema.fields)
-        + [T.StructField(f.name, f.dataType, True, f.metadata) for f in new_fields]
-    )
     now = int(time.time() * 1000)
     md = dict(snap.metadata)
+    config = dict(md.get("configuration") or {})
+    if config.get("delta.columnMapping.mode", "none") != "none":
+        # mapped tables: new columns get fresh ids + uuid physical names
+        max_id = int(config.get("delta.columnMapping.maxColumnId", 0))
+        stamped = []
+        for f in new_fields:
+            max_id += 1
+            stamped.append(
+                T.StructField(
+                    f.name,
+                    f.dataType,
+                    True,
+                    {
+                        **(f.metadata or {}),
+                        "delta.columnMapping.id": max_id,
+                        "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
+                    },
+                )
+            )
+        new_fields = stamped
+        config["delta.columnMapping.maxColumnId"] = str(max_id)
+        md["configuration"] = config
+    else:
+        new_fields = [
+            T.StructField(f.name, f.dataType, True, f.metadata)
+            for f in new_fields
+        ]
+    evolved = T.StructType(list(snap.schema.fields) + new_fields)
     md["schemaString"] = struct_to_schema_string(evolved)
     version = _next_version(table_path)
     log_dir = os.path.join(table_path, "_delta_log")
@@ -1578,6 +1717,230 @@ def add_columns(table_path: str, columns: T.StructType | list) -> int:
     raise ConcurrentWriteError(
         f"gave up after {_MAX_COMMIT_RETRIES} commit retries on {table_path}"
     )
+
+
+def _refs_column(expr: str, col: str) -> bool:
+    """Whether a SQL expression string references `col` as an identifier
+    (word-boundary match, case-insensitive, backtick-aware)."""
+    import re as _re
+
+    return (
+        _re.search(
+            rf"(?i)(?<![A-Za-z0-9_]){_re.escape(col)}(?![A-Za-z0-9_])", expr
+        )
+        is not None
+    )
+
+
+def _column_references(snap, col: str) -> list[str]:
+    """Every CHECK constraint / generated-column expression that mentions
+    `col` — these pin a column against rename/drop."""
+    hits = []
+    config = snap.metadata.get("configuration") or {}
+    for key, expr in config.items():
+        if key.startswith(_CONSTRAINT_PREFIX) and _refs_column(expr, col):
+            hits.append(f"constraint {key[len(_CONSTRAINT_PREFIX):]}: {expr}")
+    for name, expr in _generation_expressions(snap.schema).items():
+        if name != col and _refs_column(expr, col):
+            hits.append(f"generated column {name}: {expr}")
+    return hits
+
+
+def _stamp_mapping_ids(dt: T.DataType, next_id: list[int]) -> T.DataType:
+    """Recursively assign `delta.columnMapping.id` + physicalName (= the
+    current name, so already-written files stay readable) to every struct
+    field, including nested ones."""
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            next_id[0] += 1
+            fields.append(
+                T.StructField(
+                    f.name,
+                    _stamp_mapping_ids(f.dataType, next_id),
+                    f.nullable,
+                    {
+                        **(f.metadata or {}),
+                        "delta.columnMapping.id": next_id[0],
+                        "delta.columnMapping.physicalName": f.name,
+                    },
+                )
+            )
+        return T.StructType(fields)
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(
+            _stamp_mapping_ids(dt.elementType, next_id), dt.containsNull
+        )
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _stamp_mapping_ids(dt.keyType, next_id),
+            _stamp_mapping_ids(dt.valueType, next_id),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _commit_ddl(table_path: str, operation: str, params: dict, md: dict) -> int:
+    """Shared metadata-only DDL commit: no blind retry — schema changes must
+    re-validate against a concurrent winner's schema."""
+    version = _next_version(table_path)
+    log_dir = os.path.join(table_path, "_delta_log")
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": operation,
+                "operationParameters": params,
+                "engineInfo": "athena_delta_lake_spark",
+            }
+        },
+        {"metaData": md},
+    ]
+    try:
+        _stamp_ict(actions, log_dir, version, md.get("configuration"))
+        _atomic_commit(log_dir, version, actions)
+    except FileExistsError:
+        DeltaLog.clear_cache()
+        raise ConcurrentWriteError(
+            f"version {version} of {table_path} was committed concurrently; "
+            f"re-run {operation} against the new snapshot"
+        ) from None
+    DeltaLog.clear_cache()
+    return version
+
+
+def enable_column_mapping(table_path: str) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES (delta.columnMapping.mode=name):
+    upgrade an existing table to column-mapping mode.
+
+    Metadata-only: every field (nested included) gets a stable
+    `delta.columnMapping.id` and a physicalName equal to its CURRENT name,
+    so all previously-written parquet files remain exactly correct; only
+    columns added/renamed afterwards diverge physical-from-logical. The
+    protocol gains the `columnMapping` reader+writer feature so mapping-
+    unaware engines stop at a clean protocol error instead of mis-reading
+    renamed columns. Idempotent: returns the current version when mapping
+    is already on.
+
+    This is the prerequisite for rename_column / drop_column — both are
+    then pure metadata operations at any table size (no data rewrite),
+    which is the only viable shape for a 100 TB table.
+    """
+    table_path = os.path.abspath(table_path)
+    snap = DeltaLog(table_path).snapshot()
+    config = dict(snap.metadata.get("configuration") or {})
+    if config.get("delta.columnMapping.mode", "none") != "none":
+        return snap.version
+    next_id = [0]
+    stamped = _stamp_mapping_ids(snap.schema, next_id)
+    config["delta.columnMapping.mode"] = "name"
+    config["delta.columnMapping.maxColumnId"] = str(next_id[0])
+    md = dict(snap.metadata)
+    md["schemaString"] = struct_to_schema_string(stamped)
+    md["configuration"] = config
+    version = _next_version(table_path)
+    log_dir = os.path.join(table_path, "_delta_log")
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {"delta.columnMapping.mode": "name"},
+                "engineInfo": "athena_delta_lake_spark",
+            }
+        }
+    ]
+    upgrade = _protocol_upgrade_action(
+        snap.protocol, reader_features=("columnMapping",)
+    )
+    if upgrade is not None:
+        actions.append(upgrade)
+    actions.append({"metaData": md})
+    try:
+        _stamp_ict(actions, log_dir, version, config)
+        _atomic_commit(log_dir, version, actions)
+    except FileExistsError:
+        DeltaLog.clear_cache()
+        raise ConcurrentWriteError(
+            f"version {version} of {table_path} was committed concurrently; "
+            "re-run enable_column_mapping against the new snapshot"
+        ) from None
+    DeltaLog.clear_cache()
+    return version
+
+
+def rename_column(table_path: str, old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN old TO new — metadata-only (requires
+    column mapping; call enable_column_mapping first). The field keeps its
+    id and physicalName, so no data file is touched: existing files keep
+    storing the physical name and the reader maps it to the new logical
+    name. Works for partition columns too (partitionColumns metadata is
+    logical; partition dirs/values stay physical)."""
+    table_path = os.path.abspath(table_path)
+    snap = DeltaLog(table_path).snapshot()
+    config = snap.metadata.get("configuration") or {}
+    if config.get("delta.columnMapping.mode", "none") == "none":
+        raise ValueError(
+            "rename_column requires column mapping; call "
+            "enable_column_mapping(table_path) first"
+        )
+    names = [f.name for f in snap.schema.fields]
+    if old not in names:
+        raise ValueError(f"no such column: {old}")
+    if new.lower() in {n.lower() for n in names}:
+        raise ValueError(f"column already exists: {new}")
+    refs = _column_references(snap, old)
+    if refs:
+        raise ValueError(
+            f"cannot rename {old}: referenced by " + "; ".join(refs)
+        )
+    fields = [
+        T.StructField(new, f.dataType, f.nullable, f.metadata)
+        if f.name == old
+        else f
+        for f in snap.schema.fields
+    ]
+    md = dict(snap.metadata)
+    md["schemaString"] = struct_to_schema_string(T.StructType(fields))
+    md["partitionColumns"] = [
+        new if c == old else c for c in (md.get("partitionColumns") or [])
+    ]
+    return _commit_ddl(
+        table_path, "RENAME COLUMN", {"from": old, "to": new}, md
+    )
+
+
+def drop_column(table_path: str, name: str) -> int:
+    """ALTER TABLE ... DROP COLUMN — metadata-only (requires column
+    mapping). The column's data stays in the files but is no longer part
+    of the schema, so scans never read it; a later add_columns with the
+    same logical name gets a FRESH id + physical name and reads NULL from
+    old files (never the dropped column's bytes), per the Delta spec."""
+    table_path = os.path.abspath(table_path)
+    snap = DeltaLog(table_path).snapshot()
+    config = snap.metadata.get("configuration") or {}
+    if config.get("delta.columnMapping.mode", "none") == "none":
+        raise ValueError(
+            "drop_column requires column mapping; call "
+            "enable_column_mapping(table_path) first"
+        )
+    names = [f.name for f in snap.schema.fields]
+    if name not in names:
+        raise ValueError(f"no such column: {name}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column")
+    if name in (snap.partition_columns or []):
+        raise ValueError(f"cannot drop partition column: {name}")
+    refs = _column_references(snap, name)
+    if refs:
+        raise ValueError(
+            f"cannot drop {name}: referenced by " + "; ".join(refs)
+        )
+    md = dict(snap.metadata)
+    md["schemaString"] = struct_to_schema_string(
+        T.StructType([f for f in snap.schema.fields if f.name != name])
+    )
+    return _commit_ddl(table_path, "DROP COLUMN", {"column": name}, md)
 
 
 def set_domain_metadata(
