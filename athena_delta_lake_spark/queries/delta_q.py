@@ -380,3 +380,65 @@ def l08(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("s_acctbal") * 100)).cast("long").alias("bal_cents"),
         )
     )
+
+
+def _ensure_mapped_part(spark: SparkSession, sf_dir: str) -> str:
+    """part as a Delta table driven through the column-mapping DDL story:
+    create -> enable_column_mapping (metadata-only upgrade) -> RENAME
+    p_retailprice TO price -> DROP p_type -> append the second half under
+    the NEW schema (files staged with physical names) -> checkpoint (adds
+    re-keyed physical). The scan must reconcile pre-DDL files, post-DDL
+    files and the checkpoint into one logical table."""
+    path = os.path.join(_fixture_root(sf_dir), "lake", "delta_part_mapped")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        from ..delta.writer import (
+            drop_column,
+            enable_column_mapping,
+            rename_column,
+        )
+
+        p = load(spark, sf_dir, "part")
+        write_delta(
+            p.filter(F.col("p_partkey") % 2 == 0),
+            path,
+            partition_by=["p_brand"],
+        )
+        enable_column_mapping(path)
+        rename_column(path, "p_retailprice", "price")
+        drop_column(path, "p_type")
+        batch = (
+            p.filter(F.col("p_partkey") % 2 == 1)
+            .withColumnRenamed("p_retailprice", "price")
+            .drop("p_type")
+        )
+        write_delta(batch, path, mode="append")
+        write_checkpoint(path)
+    return path
+
+
+@register(
+    "l09_column_mapping_ddl",
+    "delta-core",
+    """
+    SELECT p_brand,
+           count(*) AS n,
+           round(sum(p_retailprice), 2) AS brand_value,
+           CAST(max(p_size) AS INT) AS max_size
+    FROM part GROUP BY 1
+    """,
+    "scan across metadata-only RENAME + DROP COLUMN (column mapping): "
+    "pre-DDL files, post-DDL appends (physical-named) and a checkpoint "
+    "must reconcile; result equals the raw parquet under original names",
+)
+def l09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_mapped_part(spark, sf_dir)
+    t = DeltaTable(spark, path)
+    return (
+        t.to_df()
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("price"), 2).alias("brand_value"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
