@@ -8,6 +8,7 @@ from .table import DeltaTable
 from .types import schema_string_to_struct, struct_to_schema_string
 from .writer import (
     add_columns,
+    clone_table,
     drop_column,
     enable_column_mapping,
     rename_column,
@@ -25,6 +26,7 @@ __all__ = [
     "SnapshotState",
     "add_columns",
     "cleanup_log",
+    "clone_table",
     "compact",
     "convert_to_delta",
     "delete",

@@ -37,7 +37,11 @@ from .stats import Predicate, prune_files
 
 
 def _join_path(base: str, rel: str) -> str:
-    """URI-safe join for data-file paths (os.path.join breaks schemes)."""
+    """URI-safe join for data-file paths (os.path.join breaks schemes).
+    Absolute `rel` (shallow-clone adds, Delta spec allows absolute add
+    paths) passes through untouched."""
+    if rel.startswith("/") or "://" in rel:
+        return rel
     return base.rstrip("/") + "/" + rel
 
 
@@ -45,6 +49,10 @@ def _is_hive_style(files: list[AddFile], partition_columns: list[str]) -> bool:
     if not partition_columns:
         return True
     for f in files:
+        if f.path.startswith("/") or "://" in f.path:
+            # absolute paths (shallow clones) live outside the table root:
+            # basePath partition discovery cannot apply — inject literals
+            return False
         segs = dict(
             seg.split("=", 1) for seg in f.path.split("/")[:-1] if "=" in seg
         )
@@ -165,8 +173,13 @@ def _deleted_positions_df(
     never routes bitmap bytes through the driver."""
     import json as _json
 
-    rows = [(f.path, _json.dumps(f.deletion_vector)) for f in files]
-    desc = spark.createDataFrame(rows, "rel string, dv string")
+    # resolve driver-side so absolute add paths (shallow clones) keep
+    # matching the scan's _metadata.file_path
+    rows = [
+        (_join_path(table_path, f.path), _json.dumps(f.deletion_vector))
+        for f in files
+    ]
+    desc = spark.createDataFrame(rows, "full string, dv string")
     if len(rows) > 1:
         desc = desc.repartition(min(len(rows), 64))
     tp = table_path.rstrip("/")
@@ -181,11 +194,11 @@ def _deleted_positions_df(
         )
 
         for pdf in batches:
-            for rel, d in zip(pdf["rel"], pdf["dv"]):
+            for full, d in zip(pdf["full"], pdf["dv"]):
                 pos = read_dv_positions(tp, _j.loads(d))
                 yield _pd.DataFrame(
                     {
-                        "_del_fp": _pd.Series([f"{tp}/{rel}"] * len(pos)),
+                        "_del_fp": _pd.Series([full] * len(pos)),
                         "_del_idx": _pd.Series(pos, dtype="int64"),
                     }
                 )

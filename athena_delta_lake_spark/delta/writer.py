@@ -1719,6 +1719,130 @@ def add_columns(table_path: str, columns: T.StructType | list) -> int:
     )
 
 
+def clone_table(
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+    shallow: bool = True,
+) -> int:
+    """CREATE TABLE dst [SHALLOW] CLONE src [VERSION AS OF v].
+
+    Shallow clone is METADATA-ONLY at any table size — the new log's add
+    actions reference the source's data files by ABSOLUTE path (Delta spec
+    allows absolute add paths), so cloning a 100 TB table costs one commit.
+    The clone then evolves independently: appends/DML land as local
+    relative files, removes only drop log references, and VACUUM on the
+    clone walks only the clone's directory so source bytes are never
+    deleted. Deletion-vector descriptors are rewritten to absolute
+    (`storageType: p`) so the clone resolves the source's DV blobs.
+
+    `version` clones a historical snapshot (time-travel clone). Deep clone
+    (shallow=False) additionally copies every data file + DV blob into the
+    clone, keeping relative paths/stats byte-identical — storage-level
+    isolation when the source may be vacuumed away.
+    """
+    src_path = os.path.abspath(src_path)
+    dst_path = os.path.abspath(dst_path)
+    norm_src, norm_dst = src_path.rstrip("/") + "/", dst_path.rstrip("/") + "/"
+    if norm_src.startswith(norm_dst) or norm_dst.startswith(norm_src):
+        raise ValueError("clone source and destination must not be nested")
+    if os.path.isdir(os.path.join(dst_path, "_delta_log")):
+        raise ValueError(f"destination is already a Delta table: {dst_path}")
+    snap = DeltaLog(src_path).snapshot(version)
+    l2p = logical_to_physical(snap.schema, snap.metadata.get("configuration"))
+
+    def _phys(d: dict | None) -> dict | None:
+        if not d or not l2p:
+            return d
+        return {l2p.get(k, k): v for k, v in d.items()}
+
+    from urllib.parse import quote
+
+    from .deletion_vectors import dv_absolute_path
+
+    now = int(time.time() * 1000)
+    adds: list[dict] = []
+    for f in snap.files:
+        stats = f.stats
+        if stats and l2p:
+            stats = {
+                **stats,
+                "minValues": _phys(stats.get("minValues")),
+                "maxValues": _phys(stats.get("maxValues")),
+                "nullCount": _phys(stats.get("nullCount")),
+            }
+        dv = f.deletion_vector
+        if shallow:
+            path = (
+                f.path
+                if f.path.startswith("/")
+                else src_path.rstrip("/") + "/" + f.path
+            )
+            if dv and dv.get("storageType") == "u":
+                dv = {
+                    **dv,
+                    "storageType": "p",
+                    "pathOrInlineDv": dv_absolute_path(src_path, dv),
+                }
+        else:
+            path = f.path
+            src_file = (
+                f.path if f.path.startswith("/") else os.path.join(src_path, f.path)
+            )
+            dst_file = os.path.join(dst_path, f.path)
+            os.makedirs(os.path.dirname(dst_file), exist_ok=True)
+            shutil.copy2(src_file, dst_file)
+            if dv and dv.get("storageType") in ("u", "p"):
+                dv_src = dv_absolute_path(src_path, dv)
+                dv_dst = os.path.join(dst_path, os.path.basename(dv_src))
+                shutil.copy2(dv_src, dv_dst)
+                if dv.get("storageType") == "p":
+                    dv = {**dv, "pathOrInlineDv": dv_dst}
+        adds.append(
+            {
+                "add": {
+                    "path": quote(path, safe="/"),
+                    "partitionValues": _phys(f.partition_values) or {},
+                    "size": f.size,
+                    "modificationTime": f.modification_time,
+                    "dataChange": True,
+                    **(
+                        {"stats": json.dumps(stats, separators=(",", ":"))}
+                        if stats
+                        else {}
+                    ),
+                    **({"deletionVector": dv} if dv else {}),
+                }
+            }
+        )
+    md = dict(snap.metadata)
+    md["id"] = str(uuid.uuid4())
+    md["createdTime"] = now
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src_path,
+                    "sourceVersion": snap.version,
+                    "isShallow": shallow,
+                },
+                "engineInfo": "athena_delta_lake_spark",
+            }
+        }
+    ]
+    if snap.protocol:
+        actions.append({"protocol": snap.protocol})
+    actions.append({"metaData": md})
+    actions.extend(adds)
+    os.makedirs(os.path.join(dst_path, "_delta_log"), exist_ok=True)
+    _stamp_ict(actions, os.path.join(dst_path, "_delta_log"), 0, md.get("configuration"))
+    _atomic_commit(os.path.join(dst_path, "_delta_log"), 0, actions)
+    DeltaLog.clear_cache()
+    return 0
+
+
 def _refs_column(expr: str, col: str) -> bool:
     """Whether a SQL expression string references `col` as an identifier
     (word-boundary match, case-insensitive, backtick-aware)."""

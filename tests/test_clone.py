@@ -1,0 +1,129 @@
+"""SHALLOW / deep CLONE: metadata-only table copies whose add actions
+reference the source's files by absolute path (Delta spec). The clone
+evolves independently — appends/DML land locally, VACUUM never touches
+source bytes — which is the 100 TB dev-snapshot primitive."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_delta_lake_spark.delta import (
+    DeltaLog,
+    DeltaTable,
+    clone_table,
+    write_delta,
+)
+from athena_delta_lake_spark.delta.dml import delete, delete_mor, update, vacuum
+
+
+@pytest.fixture()
+def src(spark, tmp_path):
+    path = str(tmp_path / "src_tbl")
+    df = spark.createDataFrame(
+        [(i, f"u{i % 3}", float(i), i % 2) for i in range(20)],
+        "id long, user string, score double, part int",
+    )
+    write_delta(df, path, partition_by=["part"])
+    return path
+
+
+def _rows(spark, path):
+    return {tuple(r) for r in DeltaTable(spark, path).to_df().collect()}
+
+
+def test_shallow_clone_is_metadata_only(spark, src, tmp_path):
+    dst = str(tmp_path / "clone1")
+    v = clone_table(src, dst)
+    assert v == 0
+    # no data bytes copied into the clone
+    data_files = [
+        n
+        for root, _d, names in os.walk(dst)
+        for n in names
+        if n.endswith(".parquet") and "_delta_log" not in root
+    ]
+    assert data_files == []
+    assert _rows(spark, dst) == _rows(spark, src)
+    # partition pruning on the clone still works (absolute-path files)
+    pruned = DeltaTable(spark, dst).to_df(where="part = 1")
+    assert {r["id"] % 2 for r in pruned.collect()} == {1}
+
+
+def test_clone_diverges_independently(spark, src, tmp_path):
+    dst = str(tmp_path / "clone2")
+    clone_table(src, dst)
+    extra = spark.createDataFrame(
+        [(100, "u9", 42.0, 0)], "id long, user string, score double, part int"
+    )
+    write_delta(extra, dst, mode="append")
+    delete(spark, dst, where="id < 5")
+    update(spark, dst, set={"score": "score * 10"}, where="id = 7")
+    got = {r["id"]: r["score"] for r in DeltaTable(spark, dst).to_df().collect()}
+    assert 100 in got and got[7] == 70.0 and 0 not in got
+    # source untouched
+    src_rows = {r["id"]: r["score"] for r in DeltaTable(spark, src).to_df().collect()}
+    assert src_rows[7] == 7.0 and 0 in src_rows and 100 not in src_rows
+
+
+def test_vacuum_on_clone_never_deletes_source(spark, src, tmp_path):
+    dst = str(tmp_path / "clone3")
+    clone_table(src, dst)
+    # rewrite everything clone-side so the cloned references are dropped
+    delete(spark, dst, where="id >= 0")
+    out = vacuum(dst, retention_hours=0.0)
+    # vacuum walked only the clone dir: no source file in the doomed list
+    assert all(not p.startswith(src) for p in out["files"])
+    assert _rows(spark, src) and len(_rows(spark, src)) == 20
+
+
+def test_time_travel_clone(spark, src, tmp_path):
+    extra = spark.createDataFrame(
+        [(200, "u0", 1.0, 0)], "id long, user string, score double, part int"
+    )
+    write_delta(extra, src, mode="append")  # v1
+    dst = str(tmp_path / "clone4")
+    clone_table(src, dst, version=0)
+    assert len(_rows(spark, dst)) == 20  # pre-append snapshot
+    info = DeltaLog(dst).snapshot()
+    assert info.version == 0
+
+
+def test_clone_with_deletion_vectors(spark, tmp_path):
+    # single-file layout so a 1-row MOR delete MUST leave survivors -> DV
+    # (a layout where the matched file holds only that row is dropped
+    # wholesale instead, by design)
+    src = str(tmp_path / "src_dv")
+    df = spark.createDataFrame(
+        [(i, f"u{i % 3}", float(i), i % 2) for i in range(20)],
+        "id long, user string, score double, part int",
+    ).coalesce(1)
+    write_delta(df, src)
+    delete_mor(spark, src, where="id = 3")  # DV on the source file
+    dst = str(tmp_path / "clone5")
+    clone_table(src, dst)
+    ids = {r["id"] for r in DeltaTable(spark, dst).to_df().collect()}
+    assert 3 not in ids and len(ids) == 19
+    dv = [f.deletion_vector for f in DeltaLog(dst).snapshot().files if f.deletion_vector]
+    assert dv and dv[0]["storageType"] == "p"
+    assert dv[0]["pathOrInlineDv"].startswith("/")
+
+
+def test_deep_clone_copies_bytes(spark, src, tmp_path):
+    dst = str(tmp_path / "clone6")
+    clone_table(src, dst, shallow=False)
+    assert _rows(spark, dst) == _rows(spark, src)
+    # deep clone owns its bytes: removing the source does not break it
+    shutil.rmtree(src)
+    DeltaLog.clear_cache()
+    assert len(_rows(spark, dst)) == 20
+
+
+def test_clone_guards(spark, src, tmp_path):
+    with pytest.raises(ValueError, match="nested"):
+        clone_table(src, os.path.join(src, "sub"))
+    dst = str(tmp_path / "clone7")
+    clone_table(src, dst)
+    with pytest.raises(ValueError, match="already a Delta table"):
+        clone_table(src, dst)
