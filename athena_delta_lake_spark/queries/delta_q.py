@@ -442,3 +442,50 @@ def l09(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p_size").alias("max_size"),
         )
     )
+
+
+def _ensure_cloned_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """A SHALLOW CLONE of the lineitem Delta table that then DIVERGES: the
+    clone deletes its high-quantity rows, all while its
+    data files still point into the source table by absolute path. The
+    scan must merge cloned references + local files; the source remains
+    byte-identical (l01 keeps grading it)."""
+    path = os.path.join(_fixture_root(sf_dir), "lake", "delta_lineitem_clone")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        from ..delta.dml import delete
+        from ..delta.writer import clone_table
+
+        src = _ensure_lineitem_delta(spark, sf_dir)
+        clone_table(src, path)
+        delete(spark, path, where="l_quantity >= 45")
+    return path
+
+
+@register(
+    "l10_shallow_clone_scan",
+    "delta-core",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_quantity < 45
+    GROUP BY 1
+    """,
+    "scan a metadata-only SHALLOW CLONE that diverged from its source "
+    "(absolute-path file references + a local DELETE rewrite); equals the "
+    "raw table minus the deleted rows, source untouched",
+)
+def l10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_cloned_lineitem(spark, sf_dir)
+    t = DeltaTable(spark, path)
+    return (
+        t.to_df()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

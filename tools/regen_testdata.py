@@ -182,7 +182,10 @@ def gen_sf(sf: float) -> None:
     o_date_lo = _ts_us("1992-01-01")
     o_date_hi = _ts_us("1998-08-02")
     o_orderdate = rng.integers(o_date_lo // DAY_US, o_date_hi // DAY_US, n_ord) * DAY_US
-    o_custkey = rng.integers(1, max(n_cust, 2) + 1, n_ord)
+    # ~10% of customers never order (anti-join / NOT EXISTS coverage)
+    cust_keys = np.arange(1, n_cust + 1)
+    eligible = cust_keys[cust_keys % 10 != 7]
+    o_custkey = rng.choice(eligible, n_ord)
     _write(
         os.path.join(out, "orders.parquet"),
         pa.table(
@@ -206,9 +209,11 @@ def gen_sf(sf: float) -> None:
     # lineitem ---------------------------------------------------------------
     # 1..7 items per order (avg 4) over a random order subset until ~6M*sf
     n_li_target = int(6_000_000 * sf)
-    per_order = rng.integers(1, 8, n_ord)
+    # last ~2% of orders carry no lineitems (outer-join coverage)
+    n_ord_li = max(1, int(n_ord * 0.98))
+    per_order = rng.integers(1, 8, n_ord_li)
     cum = np.cumsum(per_order)
-    n_orders_used = min(n_ord, int(np.searchsorted(cum, n_li_target) + 1))
+    n_orders_used = min(n_ord_li, int(np.searchsorted(cum, n_li_target) + 1))
     per_order = per_order[:n_orders_used]
     l_orderkey = np.repeat(np.arange(1, n_orders_used + 1), per_order)
     n_li = len(l_orderkey)
