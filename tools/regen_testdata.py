@@ -330,6 +330,18 @@ def gen_sf(sf: float) -> None:
                 w[rng.integers(0, len(w))] = CONTENT[rng.integers(0, len(CONTENT))]
             text = " ".join(w)
         texts.append(text)
+    # deterministic duplicate structure so dedup gates/tests find pairs at
+    # EVERY sf (the random 5%/10% draws above can miss at 50-doc scale)
+    for i in range(20, n_doc):
+        if i % 20 == 5:
+            texts[i] = texts[i - 5]  # exact duplicate
+        elif i % 20 == 11:  # near-duplicate: ~1 edit per 40 words
+            w = texts[i - 11].split(" ")
+            for j in range(0, len(w), 40):
+                w[min(len(w) - 1, j + int(rng.integers(0, 40)))] = CONTENT[
+                    rng.integers(0, len(CONTENT))
+                ]
+            texts[i] = " ".join(w)
     _write(
         os.path.join(out, "documents.parquet"),
         pa.table(
