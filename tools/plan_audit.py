@@ -43,8 +43,8 @@ ALLOWLIST: dict[str, set[str]] = {
 # families audited by default: batch relational surface + extensions whose
 # plan is built without running a streaming query
 DEFAULT_PREFIXES = (
-    "q", "a", "w", "f", "s0", "j", "x", "d01", "d02", "d08", "p02", "p03",
-    "p07", "m01", "m03", "n01", "n07",
+    "q", "a", "b0", "w", "f", "s0", "j", "x", "d01", "d02", "d08", "d11",
+    "d12", "p02", "p03", "p07", "m01", "m03", "n01", "n07",
 )
 
 
