@@ -1,7 +1,9 @@
 """Randomized DML state machine: a seeded random walk of
-append/delete(cow|mor)/update/merge/optimize/checkpoint/restore against a
-pandas model of the table, with snapshot equality asserted after every
-step and time-travel equality at the end.
+append/delete(cow|mor)/update/merge/optimize/checkpoint/restore — plus
+column-mapping DDL (enable + RENAME COLUMN) and shallow CLONEs — against
+a pandas model of the table, with snapshot equality asserted after every
+step and time-travel equality at the end. Clones taken mid-walk must
+still equal their at-clone-time state after the source keeps mutating.
 
 This is the cross-feature interaction net: e.g. MOR deletion vectors
 surviving OPTIMIZE, RESTORE landing on a checkpoint-only prefix, merges
@@ -15,13 +17,18 @@ import pytest
 
 from athena_delta_lake_spark import DeltaTable, write_delta
 from athena_delta_lake_spark.delta.log import DeltaLog
-from athena_delta_lake_spark.delta.writer import write_checkpoint
+from athena_delta_lake_spark.delta.writer import (
+    clone_table,
+    enable_column_mapping,
+    rename_column,
+    write_checkpoint,
+)
 
 
 def _table_state(spark, path) -> list[tuple]:
-    return sorted(
-        tuple(r) for r in DeltaTable(spark, path).to_df().select("id", "k", "v").collect()
-    )
+    # positional select: stable across RENAME COLUMN (id, k, v/val order)
+    df = DeltaTable(spark, path).to_df()
+    return sorted(tuple(r) for r in df.select(*df.columns[:3]).collect())
 
 
 def _model_state(model: pd.DataFrame) -> list[tuple]:
@@ -43,6 +50,8 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
         next_id += n
         return rows
 
+    vname = "v"
+    clones: list[tuple[str, list[tuple]]] = []
     rows = fresh_rows(80)
     model = pd.DataFrame(rows, columns=["id", "k", "v"])
     write_delta(
@@ -56,14 +65,15 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
         op = rng.choice(
             [
                 "append", "delete_cow", "delete_mor", "update", "update_mor",
-                "merge", "merge_mor", "optimize", "checkpoint",
+                "merge", "merge_mor", "optimize", "checkpoint", "rename",
+                "clone",
             ]
         )
         t = DeltaTable(spark, path)
         if op == "append":
             rows = fresh_rows(rng.randint(5, 25))
             write_delta(
-                spark.createDataFrame(rows, "id long, k long, v double"),
+                spark.createDataFrame(rows, f"id long, k long, {vname} double"),
                 path,
                 mode="append",
             )
@@ -82,7 +92,7 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
         elif op in ("update", "update_mor"):
             kk = rng.randint(0, 4)
             t.update(
-                {"v": "v + 100"},
+                {vname: f"{vname} + 100"},
                 where=f"k = {kk}",
                 mode="mor" if op == "update_mor" else "cow",
             )
@@ -91,7 +101,9 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
         elif op in ("merge", "merge_mor"):
             lo = rng.randint(0, max(next_id - 10, 1))
             src_rows = [(i, i % 5, -1.0) for i in range(lo, lo + 15)]
-            src = spark.createDataFrame(src_rows, "id long, k long, v double")
+            src = spark.createDataFrame(
+                src_rows, f"id long, k long, {vname} double"
+            )
             t.merge(src, keys=["id"], mode="mor" if op == "merge_mor" else "cow")
             present = set(model.id)
             for i, k, v in src_rows:
@@ -107,11 +119,27 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
             t.compact(target_file_size=1 << 30)
         elif op == "checkpoint":
             write_checkpoint(path, v2=rng.random() < 0.5)
+        elif op == "rename":
+            # metadata-only RENAME through column mapping, interleaved with
+            # the DML ops above (which must stage PHYSICAL names afterwards)
+            enable_column_mapping(path)
+            new = "val" if vname == "v" else "v"
+            rename_column(path, vname, new)
+            vname = new
+        elif op == "clone":
+            cp = str(tmp_path / f"clone_{seed}_{step}")
+            clone_table(path, cp)
+            clones.append((cp, _model_state(model)))
 
         got = _table_state(spark, path)
         want = _model_state(model)
         assert got == want, f"divergence after step {step} op {op} (seed {seed})"
         history[DeltaTable(spark, path).version()] = want
+
+    # clones must still equal their at-clone-time state (isolation: the
+    # source kept mutating and compacting after each clone)
+    for cp, want in clones:
+        assert _table_state(spark, cp) == want, f"clone {cp} diverged"
 
     # one restore to a random recorded version, model follows
     target = rng.choice(sorted(history))
@@ -121,11 +149,8 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
     # time travel to every recorded version still replays exactly
     DeltaLog.clear_cache()
     for v, want in history.items():
+        tdf = DeltaTable(spark, path).to_df(version=v)
         got = sorted(
-            tuple(r)
-            for r in DeltaTable(spark, path)
-            .to_df(version=v)
-            .select("id", "k", "v")
-            .collect()
+            tuple(r) for r in tdf.select(*tdf.columns[:3]).collect()
         )
         assert got == want, f"time travel to v{v} diverged (seed {seed})"
