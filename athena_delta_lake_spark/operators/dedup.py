@@ -144,8 +144,16 @@ def shingle_table(
     return sh.localCheckpoint(eager=True)
 
 
+def shingle_sets(exploded: DataFrame) -> DataFrame:
+    """(id, sh array) per doc from a shingle_table — the verification-side
+    payload. Exposed so callers running several shingle operators over the
+    same corpus (d03+d04 style) aggregate it once and share."""
+    return exploded.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+
+
 def _verify_pairs(
-    exploded: DataFrame, cands: DataFrame, threshold: float
+    exploded: DataFrame, cands: DataFrame, threshold: float,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs against the
     full shingle sets. Candidates are a tiny fraction of the corpus, so the
@@ -158,7 +166,8 @@ def _verify_pairs(
     repartition is exempt from AQE coalescing and keys the shuffle to the
     join column, so each set join is co-partitioned."""
     nparts = exploded.sparkSession.sparkContext.defaultParallelism
-    sets = exploded.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+    if sets is None:
+        sets = shingle_sets(exploded)
     a_sets = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b_sets = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -184,6 +193,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
     shingles: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT Jaccard-similar pairs (id_a < id_b) via a prefix-filtered
     set-similarity join (AllPairs / the Vernica-Carey-Li MapReduce
@@ -275,7 +285,10 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return _verify_pairs(exploded, cands, threshold)
+    return _verify_pairs(
+        exploded, cands, threshold,
+        sets=sets if max_shingle_df is None else None,
+    )
 
 
 # ------------------------------------------------------------- MinHash + LSH
@@ -323,6 +336,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash banding, verified with exact
     shingle Jaccard. Returns (id_a, id_b, jaccard) with jaccard >= threshold.
@@ -357,7 +371,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return _verify_pairs(exploded, cands, threshold)
+    return _verify_pairs(exploded, cands, threshold, sets=sets)
 
 
 # ------------------------------------------------------------------- SimHash

@@ -21,6 +21,7 @@ _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 # the other reuses the localCheckpoint. Keyed by applicationId so entries
 # from a stopped session are never handed to a new one.
 _SHINGLE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+_SETS_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 
 
 def _shared_shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
@@ -29,7 +30,21 @@ def _shared_shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     if got is None:
         got = dedup.shingle_table(load(spark, sf_dir, "documents"), "doc_id", "text", k)
         _SHINGLE_CACHE.clear()  # one corpus at a time; drop stale sessions
+        _SETS_CACHE.clear()
         _SHINGLE_CACHE[key] = got
+    return got
+
+
+def _shared_sets(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """The verify-side (id, shingle-set) table, aggregated once per corpus
+    and shared by d03/d04 (both end in exact-Jaccard verification)."""
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    got = _SETS_CACHE.get(key)
+    if got is None:
+        got = dedup.shingle_sets(_shared_shingles(spark, sf_dir, k)).localCheckpoint(
+            eager=True
+        )
+        _SETS_CACHE[key] = got
     return got
 
 
@@ -105,6 +120,7 @@ def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(
         d, "doc_id", "text", k=3, threshold=0.6,
         shingles=_shared_shingles(spark, sf_dir, 3),
+        sets=_shared_sets(spark, sf_dir, 3),
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -144,6 +160,7 @@ def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_lsh_pairs(
         d, "doc_id", "text", k=3, num_hashes=64, bands=32, threshold=0.6,
         shingles=_shared_shingles(spark, sf_dir, 3),
+        sets=_shared_sets(spark, sf_dir, 3),
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
