@@ -489,3 +489,26 @@ def l10(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "l11_metadata_count",
+    "delta-core",
+    """
+    SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_all,
+           CAST((SELECT count(*) FROM lineitem WHERE l_returnflag = 'R') AS BIGINT) AS n_r,
+           CAST((SELECT count(*) FROM lineitem WHERE l_returnflag IN ('A', 'N')) AS BIGINT) AS n_an
+    """,
+    "metadata-only COUNT from log stats: total and partition-scoped counts "
+    "answered from numRecords sums over the (exactly) pruned file set — "
+    "zero data I/O at any table size",
+)
+def l11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_lineitem_delta(spark, sf_dir)
+    t = DeltaTable(spark, path)
+    row = (
+        t.count(),
+        t.count(where="l_returnflag = 'R'"),
+        t.count(where=[("l_returnflag", "in", ["A", "N"])]),
+    )
+    return spark.createDataFrame([row], "n_all long, n_r long, n_an long")

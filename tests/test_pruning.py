@@ -108,3 +108,36 @@ def test_where_string_api(spark, part_tbl):
         ("b", "!=", 2),
     ]
     assert _parse_where("a = 1 OR b = 2") == []
+
+
+def test_metadata_count_never_reads_data(spark, tmp_path):
+    """count() with partition-only predicates is answered from the log:
+    proven by deleting every data file from disk — the count still comes
+    back right, because nothing ever scans."""
+    import os
+    import shutil
+
+    from athena_delta_lake_spark.delta import DeltaTable, write_delta
+    from athena_delta_lake_spark.delta.dml import delete_mor
+
+    path = str(tmp_path / "meta_count")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(90)], "id long, part int, v double"
+    ).coalesce(1)
+    write_delta(df, path, partition_by=["part"])
+    delete_mor(spark, path, where="id = 5")  # DV cardinality subtracted
+    t = DeltaTable(spark, path)
+    assert t.count() == 89
+    assert t.count(where="part = 0") == 30
+    assert t.count(where="part = 2") == 29  # id=5 (part 2) is DV-deleted
+    assert t.count(where=[("part", "in", [0, 1])]) == 60
+    # destroy the data files; metadata counting must not notice
+    for root, dirs, names in os.walk(path):
+        if "_delta_log" in root:
+            continue
+        for n in names:
+            if n.endswith(".parquet"):
+                os.remove(os.path.join(root, n))
+    shutil.rmtree(os.path.join(path, "part=0"), ignore_errors=True)
+    assert t.count() == 89
+    assert t.count(where="part = 1") == 30
