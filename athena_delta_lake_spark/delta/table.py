@@ -298,6 +298,48 @@ class DeltaTable:
 
         return add_columns(self.path, columns)
 
+    def partitions(self, version: int | None = None) -> list[dict]:
+        """SHOW PARTITIONS analog: the distinct typed partition-value
+        combinations of the snapshot's live files — pure metadata, the
+        same enumeration the reference served via GetTableLayout
+        (/root/reference/DeltaMetadataHandler.scala:109-139), generalized
+        to any partition schema."""
+        from .log import typed_partition_values
+
+        snap = self.snapshot(version)
+        cols = list(snap.partition_columns)
+        seen: dict[tuple, dict] = {}
+        for f in snap.files:
+            key = typed_partition_values(f, snap.schema, cols)
+            seen.setdefault(key, dict(zip(cols, key)))
+        return sorted(seen.values(), key=lambda d: tuple(str(v) for v in d.values()))
+
+    def enable_column_mapping(self) -> int:
+        from .writer import enable_column_mapping
+
+        return enable_column_mapping(self.path)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN (metadata-only; requires mapping)."""
+        from .writer import rename_column
+
+        return rename_column(self.path, old, new)
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN (metadata-only; requires mapping)."""
+        from .writer import drop_column
+
+        return drop_column(self.path, name)
+
+    def clone(
+        self, dst_path: str, version: int | None = None, shallow: bool = True
+    ) -> "DeltaTable":
+        """CREATE TABLE dst [SHALLOW] CLONE this [VERSION AS OF v]."""
+        from .writer import clone_table
+
+        clone_table(self.path, dst_path, version=version, shallow=shallow)
+        return DeltaTable(self.spark, dst_path)
+
     def detail(self) -> dict:
         """DESCRIBE DETAIL analog: one dict of table facts from the
         current snapshot — no data I/O."""

@@ -127,3 +127,18 @@ def test_clone_guards(spark, src, tmp_path):
     clone_table(src, dst)
     with pytest.raises(ValueError, match="already a Delta table"):
         clone_table(src, dst)
+
+
+def test_deltatable_convenience_methods(spark, src, tmp_path):
+    from athena_delta_lake_spark.delta import DeltaTable
+
+    t = DeltaTable(spark, src)
+    parts = t.partitions()
+    assert parts == [{"part": 0}, {"part": 1}]
+    c = t.clone(str(tmp_path / "via_method"))
+    assert c.count() == t.count()
+    t.enable_column_mapping()
+    t.rename_column("score", "quality")
+    assert "quality" in [f.name for f in t.schema().fields]
+    t.drop_column("quality")
+    assert [f.name for f in t.schema().fields] == ["id", "user", "part"]
