@@ -298,6 +298,75 @@ class DeltaTable:
 
         return add_columns(self.path, columns)
 
+    def min_max(
+        self,
+        col: str,
+        version: int | None = None,
+        where: list[Predicate] | str | None = None,
+    ) -> tuple:
+        """(min, max) of a column, O(metadata) when the log can PROVE the
+        answer: the candidate file set must be exact (no predicate, or
+        partition-only predicates), and either `col` is a partition column
+        (every surviving row shares the file's value — exact even under
+        deletion vectors), or every candidate file carries min/max stats
+        for `col`, has no deletion vector (a DV may have removed the
+        extreme row), and the type is numeric/temporal (string footer
+        stats may be truncated). Anything unprovable falls back to a scan.
+        """
+        import datetime  # noqa: F401  (coerced values)
+
+        from pyspark.sql import functions as F
+
+        from .log import typed_partition_values
+        from .stats import _coerce, _stats_value
+
+        snap = self.snapshot(version)
+
+        def _scan() -> tuple:
+            df = self.to_df(version=version, where=where)
+            r = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).first()
+            return (r["mn"], r["mx"])
+
+        preds: list[Predicate] | None = None
+        if isinstance(where, str):
+            preds = _parse_where(where)
+            if not preds or not _partition_only(preds, snap):
+                return _scan()
+        elif where:
+            preds = list(where)
+            if not _partition_only(preds, snap):
+                return _scan()
+        files = prune_files(snap, preds) if preds else snap.files
+        if not files:
+            return (None, None)
+        dt = snap.schema[col].dataType
+        if col in snap.partition_columns:
+            vals = [
+                typed_partition_values(f, snap.schema, [col])[0] for f in files
+            ]
+            vals = [v for v in vals if v is not None]
+            return (min(vals), max(vals)) if vals else (None, None)
+        if not isinstance(
+            dt,
+            (
+                T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.FloatType, T.DoubleType, T.DecimalType, T.DateType,
+                T.TimestampType, T.TimestampNTZType,
+            ),
+        ):
+            return _scan()
+        mns, mxs = [], []
+        for f in files:
+            if f.deletion_vector:
+                return _scan()
+            mn = _coerce(_stats_value(f.stats, "minValues", col), dt)
+            mx = _coerce(_stats_value(f.stats, "maxValues", col), dt)
+            if mn is None or mx is None:
+                return _scan()
+            mns.append(mn)
+            mxs.append(mx)
+        return (min(mns), max(mxs))
+
     def partitions(self, version: int | None = None) -> list[dict]:
         """SHOW PARTITIONS analog: the distinct typed partition-value
         combinations of the snapshot's live files — pure metadata, the

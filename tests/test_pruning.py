@@ -141,3 +141,46 @@ def test_metadata_count_never_reads_data(spark, tmp_path):
     shutil.rmtree(os.path.join(path, "part=0"), ignore_errors=True)
     assert t.count() == 89
     assert t.count(where="part = 1") == 30
+
+
+def test_metadata_minmax_never_reads_data(spark, tmp_path):
+    import os
+
+    from athena_delta_lake_spark.delta import DeltaTable, write_delta
+    from athena_delta_lake_spark.delta.dml import delete_mor
+
+    path = str(tmp_path / "meta_minmax")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i) * 1.5) for i in range(90)],
+        "id long, part int, v double",
+    ).coalesce(1)
+    write_delta(df, path, partition_by=["part"])
+    t = DeltaTable(spark, path)
+    # destroy the data files: stats answers must not notice
+    for root, _d, names in os.walk(path):
+        if "_delta_log" in root:
+            continue
+        for n in names:
+            if n.endswith(".parquet"):
+                os.remove(os.path.join(root, n))
+    assert t.min_max("v") == (0.0, 89 * 1.5)
+    assert t.min_max("part") == (0, 2)
+    assert t.min_max("v", where="part = 1") == (1.5, 88 * 1.5)
+    assert t.min_max("id", where=[("part", "in", [0, 2])]) == (0, 89)
+
+
+def test_metadata_minmax_dv_falls_back_to_scan(spark, tmp_path):
+    from athena_delta_lake_spark.delta import DeltaTable, write_delta
+    from athena_delta_lake_spark.delta.dml import delete_mor
+
+    path = str(tmp_path / "minmax_dv")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "id long, v double"
+    ).coalesce(1)
+    write_delta(df, path)
+    delete_mor(spark, path, where="id = 39")  # the max row, via DV
+    t = DeltaTable(spark, path)
+    # stats still say max=39; the DV forces a scan and the truth is 38
+    assert t.min_max("v") == (0.0, 38.0)
+    # partition-free string column: scan path
+    assert t.min_max("id") == (0, 38)
