@@ -558,21 +558,13 @@ def add_check_constraint(
     )
     md = dict(snap.metadata)
     md["configuration"] = {**(md.get("configuration") or {}), key: expr}
-    version = _next_version(table_path)
-    actions = [
-        {
-            "commitInfo": {
-                "timestamp": int(time.time() * 1000),
-                "operation": "ADD CONSTRAINT",
-                "operationParameters": {"name": name, "expr": expr},
-                "engineInfo": "athena_delta_lake_spark",
-            }
-        },
-        {"metaData": md},
-    ]
-    _atomic_commit(os.path.join(table_path, "_delta_log"), version, actions)
-    DeltaLog.clear_cache()
-    return version
+    return _commit_metadata_change(
+        table_path,
+        "ADD CONSTRAINT",
+        {"name": name, "expr": expr},
+        md,
+        snap.version + 1,
+    )
 
 
 def drop_check_constraint(table_path: str, name: str) -> int:
@@ -585,21 +577,9 @@ def drop_check_constraint(table_path: str, name: str) -> int:
         raise ValueError(f"no such constraint: {name}")
     del config[key]
     md = {**snap.metadata, "configuration": config}
-    version = _next_version(table_path)
-    actions = [
-        {
-            "commitInfo": {
-                "timestamp": int(time.time() * 1000),
-                "operation": "DROP CONSTRAINT",
-                "operationParameters": {"name": name},
-                "engineInfo": "athena_delta_lake_spark",
-            }
-        },
-        {"metaData": md},
-    ]
-    _atomic_commit(os.path.join(table_path, "_delta_log"), version, actions)
-    DeltaLog.clear_cache()
-    return version
+    return _commit_metadata_change(
+        table_path, "DROP CONSTRAINT", {"name": name}, md, snap.version + 1
+    )
 
 
 def zorder_dataframe(
@@ -1685,7 +1665,7 @@ def add_columns(table_path: str, columns: T.StructType | list) -> int:
         ]
     evolved = T.StructType(list(snap.schema.fields) + new_fields)
     md["schemaString"] = struct_to_schema_string(evolved)
-    version = _next_version(table_path)
+    version = snap.version + 1
     log_dir = os.path.join(table_path, "_delta_log")
     actions = [
         {
@@ -1904,10 +1884,14 @@ def _stamp_mapping_ids(dt: T.DataType, next_id: list[int]) -> T.DataType:
     return dt
 
 
-def _commit_ddl(table_path: str, operation: str, params: dict, md: dict) -> int:
-    """Shared metadata-only DDL commit: no blind retry — schema changes must
-    re-validate against a concurrent winner's schema."""
-    version = _next_version(table_path)
+def _commit_metadata_change(
+    table_path: str, operation: str, params: dict, md: dict, version: int
+) -> int:
+    """Shared metadata-only commit, pinned to the version AFTER the
+    snapshot `md` was derived from: no blind retry, and no TOCTOU window —
+    if anything committed since that snapshot, the O_EXCL create loses and
+    the caller re-runs against the new state (a retry or late version
+    re-allocation would silently clobber the winner's metaData)."""
     log_dir = os.path.join(table_path, "_delta_log")
     actions = [
         {
@@ -1962,7 +1946,7 @@ def enable_column_mapping(table_path: str) -> int:
     md = dict(snap.metadata)
     md["schemaString"] = struct_to_schema_string(stamped)
     md["configuration"] = config
-    version = _next_version(table_path)
+    version = snap.version + 1
     log_dir = os.path.join(table_path, "_delta_log")
     actions = [
         {
@@ -2029,8 +2013,9 @@ def rename_column(table_path: str, old: str, new: str) -> int:
     md["partitionColumns"] = [
         new if c == old else c for c in (md.get("partitionColumns") or [])
     ]
-    return _commit_ddl(
-        table_path, "RENAME COLUMN", {"from": old, "to": new}, md
+    return _commit_metadata_change(
+        table_path, "RENAME COLUMN", {"from": old, "to": new}, md,
+        snap.version + 1,
     )
 
 
@@ -2064,7 +2049,9 @@ def drop_column(table_path: str, name: str) -> int:
     md["schemaString"] = struct_to_schema_string(
         T.StructType([f for f in snap.schema.fields if f.name != name])
     )
-    return _commit_ddl(table_path, "DROP COLUMN", {"column": name}, md)
+    return _commit_metadata_change(
+        table_path, "DROP COLUMN", {"column": name}, md, snap.version + 1
+    )
 
 
 def set_domain_metadata(

@@ -1,6 +1,6 @@
 """Randomized concurrent-writer fuzz: N threads race seeded append /
-delete(cow|mor) / optimize transactions against ONE table through the real
-OCC commit path (_atomic_commit's O_EXCL create is the arbiter, exactly as
+delete(cow|mor) / optimize / constraint-DDL transactions against ONE table
+through the real OCC commit path (_atomic_commit's O_EXCL create is the arbiter, exactly as
 in production — threads race at the filesystem, not around it).
 
 Invariants asserted after every run:
@@ -13,6 +13,9 @@ Invariants asserted after every run:
   a shared contested range must be empty iff any racer's delete succeeded;
 - the only surfaced failure mode is ConcurrentWriteError (never corruption,
   never a partial commit);
+- no clobbered metaData: every ADD CONSTRAINT that REPORTED success is in
+  the final configuration (a racer losing the O_EXCL create must never
+  re-commit its stale metaData over the winner's);
 - replay at several historical versions still parses (snapshot integrity).
 
 This is the two-writer race harness the OCC retry logic (writer.py) was
@@ -54,7 +57,10 @@ def test_concurrent_writer_races(spark, tmp_path, seed):
         barrier.wait()
         for _ in range(ops_per_thread):
             op = rng.choice(
-                ["append", "append", "delete_own", "delete_shared", "optimize"]
+                [
+                    "append", "append", "delete_own", "delete_shared",
+                    "optimize", "add_constraint",
+                ]
             )
             try:
                 if op == "append":
@@ -89,6 +95,15 @@ def test_concurrent_writer_races(spark, tmp_path, seed):
                     results[tid]["shared_delete"] = True
                 elif op == "optimize":
                     t.compact(target_file_size=1 << 30)
+                elif op == "add_constraint":
+                    from athena_delta_lake_spark.delta.writer import (
+                        add_check_constraint,
+                    )
+
+                    cname = f"c_{tid}_{seq}"
+                    seq += 1
+                    add_check_constraint(spark, path, cname, "id >= 0")
+                    results[tid].setdefault("constraints", set()).add(cname)
             except ConcurrentWriteError as e:
                 results[tid]["errors"].append((op, str(e)[:80]))
             # any other exception propagates and fails the test
@@ -125,6 +140,20 @@ def test_concurrent_writer_races(spark, tmp_path, seed):
     assert got == expect, (
         f"lost updates or resurrections: missing={sorted(expect - got)[:5]} "
         f"extra={sorted(got - expect)[:5]}"
+    )
+
+    # 2b. no clobbered metaData: every constraint whose commit reported
+    # success is present in the final configuration
+    want_constraints = set()
+    for r in results:
+        want_constraints |= r.get("constraints", set())
+    final_config = DeltaLog(path).snapshot().metadata.get("configuration") or {}
+    have = {
+        k.split(".")[-1] for k in final_config if k.startswith("delta.constraints.")
+    }
+    assert want_constraints <= have, (
+        f"constraints clobbered by a racing metaData commit: "
+        f"{sorted(want_constraints - have)}"
     )
 
     # 3. historical replay still parses at a few versions
