@@ -518,6 +518,19 @@ class _AddsMessage(WriterCommitMessage):
     adds: list = field(default_factory=list)
 
 
+def _target_l2p(table_path: str) -> dict | None:
+    """logical->physical map of an EXISTING column-mapped target (else
+    None) — resolved driver-side at writer construction and shipped in the
+    writer closure, so executor tasks never replay the log."""
+    try:
+        snap = DeltaLog(table_path).snapshot()
+    except (FileNotFoundError, ValueError):
+        return None
+    from ..delta.writer import logical_to_physical
+
+    return logical_to_physical(snap.schema, snap.metadata.get("configuration"))
+
+
 def _hive_seg(col: str, value) -> str:
     from urllib.parse import quote
 
@@ -527,12 +540,20 @@ def _hive_seg(col: str, value) -> str:
 
 
 def _write_task_files(
-    batches: Iterator, schema: T.StructType, table_path: str, partition_by: list[str]
+    batches: Iterator,
+    schema: T.StructType,
+    table_path: str,
+    partition_by: list[str],
+    l2p: dict | None = None,
 ) -> list[dict]:
     """Executor-side: write this task's Arrow batches as parquet file(s)
     under `table_path` (hive layout when partitioned) and return their
     UNCOMMITTED `add` actions. One file per partition-value combination
-    per task; the driver's commit() makes them visible atomically."""
+    per task; the driver's commit() makes them visible atomically.
+
+    `l2p` (column-mapped target): files, hive dirs, partitionValues and
+    stats are written under PHYSICAL column names, same convention as
+    writer.stage_data_files."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -545,6 +566,17 @@ def _write_task_files(
     tbl = pa.Table.from_batches(blist, schema=arrow_schema)
     if tbl.num_rows == 0:
         return []
+    if l2p:
+        tbl = tbl.rename_columns([l2p.get(n, n) for n in tbl.column_names])
+        partition_by = [l2p.get(c, c) for c in partition_by]
+        schema = T.StructType(
+            [
+                T.StructField(
+                    l2p.get(f.name, f.name), f.dataType, f.nullable, f.metadata
+                )
+                for f in schema.fields
+            ]
+        )
     data_schema = T.StructType(
         [f for f in schema.fields if f.name not in partition_by]
     )
@@ -697,11 +729,13 @@ class DeltaPondBatchWriter(DataSourceArrowWriter):
         self._schema = schema
         self._overwrite = overwrite
         self._partition_by = _partition_by_option(options)
+        self._l2p = _target_l2p(self._path)
 
     def write(self, iterator) -> _AddsMessage:
         return _AddsMessage(
             adds=_write_task_files(
-                iterator, self._schema, self._path, self._partition_by
+                iterator, self._schema, self._path, self._partition_by,
+                l2p=self._l2p,
             )
         )
 
@@ -735,6 +769,7 @@ class DeltaPondStreamWriter(DataSourceStreamArrowWriter):
         self._schema = schema
         self._partition_by = _partition_by_option(options)
         self._app_id = options.get("txnAppId", "deltapond-stream")
+        self._l2p = _target_l2p(self._path)
 
     def _last_committed_epoch(self) -> int:
         try:
@@ -749,7 +784,8 @@ class DeltaPondStreamWriter(DataSourceStreamArrowWriter):
     def write(self, iterator) -> _AddsMessage:
         return _AddsMessage(
             adds=_write_task_files(
-                iterator, self._schema, self._path, self._partition_by
+                iterator, self._schema, self._path, self._partition_by,
+                l2p=self._l2p,
             )
         )
 

@@ -305,3 +305,31 @@ def test_timestamp_as_of_option(spark, tmp_path):
         .load()
     )
     assert df.count() == 10
+
+
+def test_dsv2_write_to_column_mapped_table(spark, tmp_path):
+    """df.write.format('deltapond') onto a RENAMEd (column-mapped) table
+    must stage physical names — logical-named files would silently read
+    as nulls under the physical read schema."""
+    from athena_delta_lake_spark.delta import DeltaTable, write_delta
+    from athena_delta_lake_spark.delta.writer import (
+        enable_column_mapping,
+        rename_column,
+    )
+
+    path = str(tmp_path / "dsv2_mapped")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0)], "id long, name string, score double"
+    )
+    write_delta(df, path)
+    enable_column_mapping(path)
+    rename_column(path, "score", "quality")
+    extra = spark.createDataFrame(
+        [(2, "b", 2.5)], "id long, name string, quality double"
+    )
+    extra.write.format("deltapond").mode("append").option("path", path).save()
+    got = {
+        (r["id"], r["name"], r["quality"])
+        for r in DeltaTable(spark, path).to_df().collect()
+    }
+    assert got == {(1, "a", 1.0), (2, "b", 2.5)}
