@@ -1774,10 +1774,16 @@ def clone_table(
             shutil.copy2(src_file, dst_file)
             if dv and dv.get("storageType") in ("u", "p"):
                 dv_src = dv_absolute_path(src_path, dv)
-                dv_dst = os.path.join(dst_path, os.path.basename(dv_src))
-                shutil.copy2(dv_src, dv_dst)
-                if dv.get("storageType") == "p":
-                    dv = {**dv, "pathOrInlineDv": dv_dst}
+                if dv_src.startswith(src_path.rstrip("/") + "/"):
+                    # preserve the relative layout (uuid descriptors may
+                    # carry a random dir prefix that resolution re-appends)
+                    rel = os.path.relpath(dv_src, src_path)
+                    dv_dst = os.path.join(dst_path, rel)
+                    os.makedirs(os.path.dirname(dv_dst), exist_ok=True)
+                    shutil.copy2(dv_src, dv_dst)
+                    if dv.get("storageType") == "p":
+                        dv = {**dv, "pathOrInlineDv": dv_dst}
+                # an absolute "p" outside the source dir stays shared
         adds.append(
             {
                 "add": {

@@ -142,3 +142,18 @@ def test_deltatable_convenience_methods(spark, src, tmp_path):
     assert "quality" in [f.name for f in t.schema().fields]
     t.drop_column("quality")
     assert [f.name for f in t.schema().fields] == ["id", "user", "part"]
+
+
+def test_deep_clone_with_deletion_vectors_owns_blobs(spark, tmp_path):
+    src = str(tmp_path / "deep_dv_src")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "id long, v double"
+    ).coalesce(1)
+    write_delta(df, src)
+    delete_mor(spark, src, where="id = 7")
+    dst = str(tmp_path / "deep_dv_clone")
+    clone_table(src, dst, shallow=False)
+    shutil.rmtree(src)  # deep clone must own its DV blob too
+    DeltaLog.clear_cache()
+    ids = {r["id"] for r in DeltaTable(spark, dst).to_df().collect()}
+    assert 7 not in ids and len(ids) == 29
