@@ -158,3 +158,45 @@ def b08(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.count("*") / F.lit(total), 6).alias("frac"),
     )
+
+
+@register(
+    "b09_delta_core_scan",
+    "delta-core",
+    """
+    SELECT l_linestatus,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity >= 30
+    GROUP BY l_linestatus
+    """,
+    "delta-core window representative (same computation as l01, which "
+    "sorts beyond the driver's alphabetical check window): native log "
+    "replay -> partition pruning (l_returnflag) -> stats skipping "
+    "(l_quantity) -> vectorized scan",
+)
+def b09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .delta_q import l01
+
+    return l01(spark, sf_dir)
+
+
+@register(
+    "b10_delta_clone_ddl",
+    "delta-core",
+    """
+    SELECT p_brand,
+           count(*) AS n,
+           round(sum(p_retailprice), 2) AS brand_value,
+           CAST(max(p_size) AS INT) AS max_size
+    FROM part GROUP BY 1
+    """,
+    "delta-core window representative (same computation as l09): scan "
+    "across metadata-only RENAME + DROP COLUMN with physical-named "
+    "post-DDL appends and a checkpoint",
+)
+def b10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .delta_q import l09
+
+    return l09(spark, sf_dir)
