@@ -127,3 +127,41 @@ def test_pond_sql_missing_table_raises(spark, tmp_path):
     pond = DeltaPond(spark, root)
     with pytest.raises(Exception, match="nope|TABLE_OR_VIEW_NOT_FOUND"):
         pond.sql("SELECT * FROM a.nope")
+
+
+def test_pond_sql_sees_ddl_changes(spark, tmp_path):
+    """The metastore-less SQL path reflects metadata-only DDL immediately:
+    RENAME COLUMN / DROP COLUMN / a shallow clone all resolve by name with
+    no registration or refresh step."""
+    from athena_delta_lake_spark import write_delta
+    from athena_delta_lake_spark.catalog import DeltaPond
+    from athena_delta_lake_spark.delta.writer import (
+        clone_table,
+        drop_column,
+        enable_column_mapping,
+        rename_column,
+    )
+
+    root = str(tmp_path / "pond_ddl")
+    p = f"{root}/lake/metrics"
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a", 2.5), (2, "b", 4.0)], "id long, tag string, score double"
+        ),
+        p,
+    )
+    pond = DeltaPond(spark, root)
+    assert pond.sql("SELECT sum(score) AS s FROM lake.metrics").collect()[0]["s"] == 6.5
+    enable_column_mapping(p)
+    rename_column(p, "score", "quality")
+    got = pond.sql(
+        "SELECT sum(quality) AS s FROM lake.metrics"
+    ).collect()
+    assert got[0]["s"] == 6.5
+    drop_column(p, "tag")
+    cols = pond.sql("SELECT * FROM lake.metrics").columns
+    assert cols == ["id", "quality"]
+    clone_table(p, f"{root}/lake/metrics_dev")
+    assert (
+        pond.sql("SELECT count(*) AS n FROM lake.metrics_dev").collect()[0]["n"] == 2
+    )
