@@ -747,6 +747,58 @@ def contamination_stats(
     )
 
 
+def contamination_stats_bloom(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    shingles: DataFrame | None = None,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """contamination_stats at corpus scale: a Bloom filter distilled from
+    the benchmark shingles prefilters the training side, so the exact
+    semi-join only sees the maybe-contaminated fraction (plus the filter's
+    false positives — removed by the join, so the result is EXACT, equal
+    to contamination_stats: the Bloom guarantees no false negatives).
+
+    Where the broadcast semi-join of contamination_stats needs the full
+    distinct benchmark-shingle set on every executor, the Bloom is
+    n_bits/64 rows (a 1M-bit filter = 128 KB) REGARDLESS of benchmark
+    size — the right shape when the "benchmark" is itself large (e.g.
+    held-out eval corpora in the TB range) or the filter is built once
+    and persisted beside the corpus.
+    """
+    tr = (
+        shingles
+        if shingles is not None
+        else shingle_table(train, id_col, text_col, k)
+    )
+    bench_sh = (
+        shingle_table(bench, id_col, text_col, k).select("shingle").distinct()
+    )
+    bloom = bloom_build(
+        bench_sh, fp_col="shingle", n_bits=n_bits, n_hashes=n_hashes
+    )
+    candidates = bloom_prefilter(
+        tr, bloom, fp_col="shingle", n_bits=n_bits, n_hashes=n_hashes
+    )
+    return (
+        candidates.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"), F.first("n_sh").alias("n_grams"))
+        .select(
+            "id",
+            "n_shared",
+            "n_grams",
+            F.round(F.col("n_shared") / F.col("n_grams"), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
 # ------------------------------------------------------ relational bloom filter
 
 

@@ -467,3 +467,49 @@ def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         e, "vec_id", "embedding", threshold=0.3, cluster_col="label"
     )
+
+
+@register(
+    "d13_decontamination_bloom",
+    "dedup",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+                                          i -> array_to_string(words[i:i+2], ' '))) AS shingles
+      FROM w
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+    ), bench AS (
+      SELECT DISTINCT shingle FROM ex WHERE doc_id % 97 = 0
+    ), tr AS (
+      SELECT * FROM ex WHERE doc_id % 97 <> 0
+    )
+    SELECT tr.doc_id AS doc_id,
+           count(*) AS n_shared,
+           CAST(any_value(tr.n_sh) AS INT) AS n_grams,
+           round(count(*) * 1.0 / any_value(tr.n_sh), 6) AS contamination
+    FROM tr JOIN bench USING (shingle)
+    GROUP BY 1
+    """,
+    "Bloom-prefiltered decontamination: a 128KB benchmark-size-independent "
+    "filter drops definitely-clean shingles before the exact semi-join; no "
+    "false negatives keeps the result EXACT (== d11)",
+)
+def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    full = _shared_shingles(spark, sf_dir, 3)
+    stats = dedup.contamination_stats_bloom(
+        d.filter(F.col("doc_id") % 97 != 0),
+        d.filter(F.col("doc_id") % 97 == 0),
+        "doc_id",
+        "text",
+        k=3,
+        shingles=full.filter(F.col("id") % 97 != 0),
+        n_bits=1 << 16,
+    )
+    return stats.select(
+        F.col("id").alias("doc_id"), "n_shared", "n_grams", "contamination"
+    )

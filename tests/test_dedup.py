@@ -200,3 +200,27 @@ def test_contamination_stats(spark):
     assert 2 not in out
     # doc 3 shares exactly "quick brown fox" out of its 5 3-grams
     assert out[3] == (1, 5, 0.2)
+
+
+def test_contamination_bloom_equals_exact(spark):
+    train = spark.createDataFrame(
+        [(i, f"doc {i} shares the quick brown fox phrase" if i % 3 == 0
+          else f"totally unrelated content number {i} here")
+         for i in range(30)],
+        "id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox phrase appears in benchmarks")],
+        "id long, text string",
+    )
+    exact = sorted(
+        tuple(r)
+        for r in dedup.contamination_stats(train, bench, "id", "text", k=3).collect()
+    )
+    via_bloom = sorted(
+        tuple(r)
+        for r in dedup.contamination_stats_bloom(
+            train, bench, "id", "text", k=3, n_bits=1 << 12
+        ).collect()
+    )
+    assert exact == via_bloom and exact  # non-empty, bit-identical
