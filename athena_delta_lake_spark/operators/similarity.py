@@ -385,6 +385,50 @@ def near_duplicate_pairs_cosine(
     )
 
 
+def knn_within_group(
+    queries: DataFrame,
+    corpus: DataFrame,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Filtered vector search where the filter is an equi-constraint: each
+    query retrieves its top-k ONLY among corpus rows sharing its
+    `group_col` (tenant, language, shard, cluster...).
+
+    Unlike brute_force_knn's nested loop, the constraint becomes the JOIN
+    KEY: a hash equi-join on group_col scores each query only against its
+    group — work is bounded by group size, the shuffle keys on the group
+    (uniform when groups are), and no BroadcastNestedLoopJoin appears in
+    the plan at any scale. Cosine is the Arrow-batched pandas kernel.
+    Returns (q_id, c_id, sim, rank<=k) with rank ties broken by c_id.
+    """
+    a = queries.select(
+        F.col(q_id).alias("q_id"),
+        F.col(group_col).alias("_grp"),
+        F.col(vec_col).alias("_qv"),
+    )
+    b = corpus.select(
+        F.col(c_id).alias("c_id"),
+        F.col(group_col).alias("_grp"),
+        F.col(vec_col).alias("_cv"),
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        a.join(b, "_grp")
+        .withColumn("sim", cosine_pandas(F.col("_qv"), F.col("_cv")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "sim", "rank")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

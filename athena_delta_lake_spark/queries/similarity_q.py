@@ -370,3 +370,51 @@ def n07(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("q_id", "vec_id", F.round("score", 6).alias("score"), "rank")
     )
+
+
+@register(
+    "n08_grouped_knn",
+    "similarity",
+    """
+    WITH ex AS (
+      SELECT vec_id, label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), sims AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             sum(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE))
+               / (sqrt(sum(CAST(q.v AS DOUBLE) * CAST(q.v AS DOUBLE)))
+                  * sqrt(sum(CAST(c.v AS DOUBLE) * CAST(c.v AS DOUBLE)))) AS sim
+      FROM ex q JOIN ex c ON q.pos = c.pos AND q.label = c.label
+      WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT q_id, c_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+      FROM sims
+    )
+    SELECT q_id, c_id, round(sim, 6) AS sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+    "filtered vector search as an equi-join: each query's top-10 ONLY "
+    "within its own label group — the constraint is the JOIN KEY (hash "
+    "join bounded by group size), not a post-filter on a nested loop",
+)
+def n08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "label", "embedding"
+    )
+    from pyspark.sql import Window as W
+
+    res = sim.knn_within_group(
+        q, e, q_id="qid", c_id="vec_id", vec_col="embedding",
+        group_col="label", k=10 + 1,
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return (
+        res.filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("q_id", "c_id", F.round("sim", 6).alias("sim"), "rank")
+    )
