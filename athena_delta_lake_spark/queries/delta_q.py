@@ -512,3 +512,28 @@ def l11(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.count(where=[("l_returnflag", "in", ["A", "N"])]),
     )
     return spark.createDataFrame([row], "n_all long, n_r long, n_an long")
+
+
+@register(
+    "l12_metadata_minmax",
+    "delta-core",
+    """
+    SELECT CAST(min(l_quantity) AS DOUBLE) AS q_min,
+           CAST(max(l_quantity) AS DOUBLE) AS q_max,
+           CAST(min(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS DOUBLE) AS r_price_min,
+           CAST(max(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS DOUBLE) AS r_price_max
+    FROM lineitem
+    """,
+    "metadata-only MIN/MAX from per-file log stats: table-wide and "
+    "partition-scoped extremes with zero data I/O (falls back to a scan "
+    "only when stats cannot PROVE the answer)",
+)
+def l12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_lineitem_delta(spark, sf_dir)
+    t = DeltaTable(spark, path)
+    q_min, q_max = t.min_max("l_quantity")
+    r_min, r_max = t.min_max("l_extendedprice", where="l_returnflag = 'R'")
+    return spark.createDataFrame(
+        [(float(q_min), float(q_max), float(r_min), float(r_max))],
+        "q_min double, q_max double, r_price_min double, r_price_max double",
+    )
