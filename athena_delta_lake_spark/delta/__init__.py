@@ -15,6 +15,8 @@ from .writer import (
     cleanup_log,
     convert_to_delta,
     set_domain_metadata,
+    set_table_properties,
+    unset_table_properties,
     write_checkpoint,
     write_delta,
 )
@@ -41,7 +43,9 @@ __all__ = [
     "restore_table",
     "schema_string_to_struct",
     "set_domain_metadata",
+    "set_table_properties",
     "struct_to_schema_string",
+    "unset_table_properties",
     "update",
     "vacuum",
     "write_checkpoint",

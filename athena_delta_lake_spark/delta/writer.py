@@ -1923,6 +1923,91 @@ def _commit_metadata_change(
     return version
 
 
+def set_table_properties(
+    table_path: str, properties: dict[str, str]
+) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES: metadata-only property merge.
+
+    Mirrors write_delta's configuration handling without requiring a data
+    write: enabling in-commit timestamps stamps the enablement version/
+    timestamp and upgrades the protocol (inCommitTimestamp writer
+    feature), exactly like the write path. delta.columnMapping.mode is
+    routed to enable_column_mapping (it must stamp field ids)."""
+    if properties.get("delta.columnMapping.mode") not in (None, "none"):
+        raise ValueError(
+            "use enable_column_mapping() to turn on column mapping "
+            "(field ids/physical names must be stamped)"
+        )
+    table_path = os.path.abspath(table_path)
+    snap = DeltaLog(table_path).snapshot()
+    prior_config = dict(snap.metadata.get("configuration") or {})
+    config = {**prior_config, **{k: str(v) for k, v in properties.items()}}
+    now = int(time.time() * 1000)
+    version = snap.version + 1
+    if _ict_enabled(config) and not _ict_enabled(prior_config):
+        config["delta.inCommitTimestampEnablementVersion"] = str(version)
+        config["delta.inCommitTimestampEnablementTimestamp"] = str(now)
+    if config == prior_config:
+        return snap.version  # idempotent no-op
+    md = dict(snap.metadata)
+    md["configuration"] = config
+    log_dir = os.path.join(table_path, "_delta_log")
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": json.dumps(
+                        {k: str(v) for k, v in properties.items()},
+                        separators=(",", ":"),
+                    )
+                },
+                "engineInfo": "athena_delta_lake_spark",
+            }
+        }
+    ]
+    if _ict_enabled(config) and not _ict_enabled(prior_config):
+        upgrade = _protocol_upgrade_action(
+            snap.protocol, writer_features=("inCommitTimestamp",)
+        )
+        if upgrade is not None:
+            actions.append(upgrade)
+    actions.append({"metaData": md})
+    try:
+        _stamp_ict(actions, log_dir, version, config)
+        _atomic_commit(log_dir, version, actions)
+    except FileExistsError:
+        DeltaLog.clear_cache()
+        raise ConcurrentWriteError(
+            f"version {version} of {table_path} was committed concurrently; "
+            "re-run SET TBLPROPERTIES against the new snapshot"
+        ) from None
+    DeltaLog.clear_cache()
+    return version
+
+
+def unset_table_properties(table_path: str, keys: list[str]) -> int:
+    """ALTER TABLE ... UNSET TBLPROPERTIES (IF EXISTS semantics)."""
+    table_path = os.path.abspath(table_path)
+    snap = DeltaLog(table_path).snapshot()
+    config = dict(snap.metadata.get("configuration") or {})
+    dropped = [k for k in keys if k in config]
+    if not dropped:
+        return snap.version
+    for k in dropped:
+        del config[k]
+    md = dict(snap.metadata)
+    md["configuration"] = config
+    return _commit_metadata_change(
+        table_path,
+        "UNSET TBLPROPERTIES",
+        {"properties": json.dumps(dropped, separators=(",", ":"))},
+        md,
+        snap.version + 1,
+    )
+
+
 def enable_column_mapping(table_path: str) -> int:
     """ALTER TABLE ... SET TBLPROPERTIES (delta.columnMapping.mode=name):
     upgrade an existing table to column-mapping mode.

@@ -790,3 +790,43 @@ def test_ict_monotonic_past_cleaned_log_and_clock_backstep(
     monkeypatch.undo()
     new_ict = DeltaLog(path).commit_timestamp(DeltaLog(path).latest_version())
     assert new_ict > prev_ict
+
+
+def test_set_unset_table_properties(spark, tmp_path):
+    """ALTER TABLE SET/UNSET TBLPROPERTIES: metadata-only, enforced
+    immediately, ICT enablement stamped like the write path."""
+    from athena_delta_lake_spark.delta import (
+        DeltaLog,
+        DeltaTable,
+        set_table_properties,
+        unset_table_properties,
+        write_delta,
+    )
+
+    path = str(tmp_path / "props_tbl")
+    write_delta(spark.createDataFrame([(1,)], "id long"), path)
+    v = set_table_properties(path, {"delta.appendOnly": "true", "team": "ml"})
+    snap = DeltaLog(path).snapshot()
+    cfg = snap.metadata["configuration"]
+    assert cfg["delta.appendOnly"] == "true" and cfg["team"] == "ml"
+    # appendOnly enforced from the very next commit
+    with pytest.raises(ValueError, match="append-only"):
+        write_delta(
+            spark.createDataFrame([(2,)], "id long"), path, mode="overwrite"
+        )
+    assert set_table_properties(path, {"team": "ml"}) == v  # no-op
+    unset_table_properties(path, ["delta.appendOnly", "never_there"])
+    write_delta(
+        spark.createDataFrame([(2,)], "id long"), path, mode="overwrite"
+    )
+    assert DeltaTable(spark, path).count() == 1
+
+    # ICT enablement via properties stamps version/timestamp + feature
+    v2 = set_table_properties(path, {"delta.enableInCommitTimestamps": "true"})
+    cfg = DeltaLog(path).snapshot().metadata["configuration"]
+    assert cfg["delta.inCommitTimestampEnablementVersion"] == str(v2)
+    feats = DeltaLog(path).snapshot().protocol.get("writerFeatures") or []
+    assert "inCommitTimestamp" in feats
+
+    with pytest.raises(ValueError, match="enable_column_mapping"):
+        set_table_properties(path, {"delta.columnMapping.mode": "name"})
