@@ -11,6 +11,7 @@ from .writer import (
     clone_table,
     drop_column,
     enable_column_mapping,
+    enable_row_tracking,
     rename_column,
     cleanup_log,
     convert_to_delta,
@@ -34,6 +35,7 @@ __all__ = [
     "delete",
     "drop_column",
     "enable_column_mapping",
+    "enable_row_tracking",
     "delete_mor",
     "merge_upsert",
     "prune_files",

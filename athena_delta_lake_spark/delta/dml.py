@@ -156,7 +156,7 @@ def delete(spark: SparkSession, table_path: str, where) -> dict:
             "rows_deleted": _num_records(candidates),
         }
 
-    df = read_files(spark, snap, candidates)
+    df = _read_cow(spark, snap, candidates)
     kept = df.filter(~F.coalesce(cond, F.lit(False)))  # NULL predicate keeps
     data_schema = _data_schema(snap)
     adds = stage_data_files(
@@ -302,6 +302,11 @@ def _dv_pieces(
             }
             if f.stats is not None:
                 add["stats"] = _json.dumps(f.stats, separators=(",", ":"))
+            if f.base_row_id is not None:
+                # a DV re-add is the SAME file: its row-id range is already
+                # allocated and must not be re-assigned
+                add["baseRowId"] = f.base_row_id
+                add["defaultRowCommitVersion"] = f.default_row_commit_version
             adds.append({"add": add})
 
     extra = None
@@ -357,7 +362,7 @@ def update(
     if not candidates:
         return {"files_removed": 0, "files_added": 0}
 
-    df = read_files(spark, snap, candidates)
+    df = _read_cow(spark, snap, candidates)
     field_types = {f.name: f.dataType for f in snap.schema.fields}
     hit = F.coalesce(cond, F.lit(False))
     for col, expr in set.items():
@@ -557,7 +562,7 @@ def merge_upsert(
 
     pieces = []
     if touched:
-        target_rows = read_files(spark, snap, touched)
+        target_rows = _read_cow(spark, snap, touched)
         if not_matched_by_source != "delete":
             # unmatched target rows survive the rewrite
             pieces.append(target_rows.join(src_keys, keys, "left_anti"))
@@ -587,6 +592,13 @@ def merge_upsert(
                 "MERGE: multiple source rows match the same target key; "
                 "the update would be nondeterministic"
             )
+    from .writer import MATERIALIZED_RCV_COL, MATERIALIZED_ROW_ID_COL
+
+    rt_extras = (
+        [MATERIALIZED_ROW_ID_COL, MATERIALIZED_RCV_COL]
+        if (touched and _rt_on(snap))
+        else []
+    )
     if when_matched == "update" and touched:
         # per-TARGET-ROW semantics for both the conditional and the
         # unconditional clause: each matched target row is replaced by its
@@ -601,12 +613,15 @@ def merge_upsert(
         )
         non_keys = [c for c in target_cols if c not in keys]
         joined = target_rows.alias("t").join(src.alias("s"), keys, "inner")
+        carried = [F.col(f"t.{c}").alias(c) for c in rt_extras]
         tgt_version = [F.col(k) for k in keys] + [
             F.col(f"t.{c}").alias(c) for c in non_keys
-        ]
+        ] + carried
+        # an updated row takes the SOURCE's values but keeps the TARGET
+        # row's identity (row tracking: same id, new commit version)
         src_version = [F.col(k) for k in keys] + [
             F.col(f"s.{c}").alias(c) for c in non_keys
-        ]
+        ] + carried
         pieces.append(joined.filter(cond).select(*src_version))
         pieces.append(joined.filter(~cond).select(*tgt_version))
     elif matched_condition is not None and touched:
@@ -616,10 +631,13 @@ def merge_upsert(
         joined = target_rows.alias("t").join(src.alias("s"), keys, "inner")
         tgt_version = [F.col(k) for k in keys] + [
             F.col(f"t.{c}").alias(c) for c in non_keys
-        ]
+        ] + [F.col(f"t.{c}").alias(c) for c in rt_extras]
         pieces.append(joined.filter(~cond).select(*tgt_version))
     if when_not_matched == "insert":
-        pieces.append(src.join(matched_keys, keys, "left_anti"))
+        ins = src.join(matched_keys, keys, "left_anti")
+        for c in rt_extras:  # inserts are NEW rows: fresh ids from the add
+            ins = ins.withColumn(c, F.lit(None).cast("long"))
+        pieces.append(ins)
     if pieces:
         new_data = pieces[0]
         for piece in pieces[1:]:
@@ -876,7 +894,7 @@ def compact(
         return {"groups": 0, "files_removed": 0, "files_added": 0}
 
     victims = [f for v in to_compact.values() for f in v]
-    df = read_files(spark, snap, victims)
+    df = _read_cow(spark, snap, victims)
     part_cols = snap.partition_columns
     if zorder_by:
         from .writer import zorder_dataframe
@@ -1062,6 +1080,22 @@ def vacuum(
             if not dirs and not names and root != table_path:
                 os.rmdir(root)
     return {"files": sorted(doomed), "deleted": not dry_run}
+
+
+def _rt_on(snap: SnapshotState) -> bool:
+    from .writer import _row_tracking_enabled
+
+    return _row_tracking_enabled(snap.metadata.get("configuration"))
+
+
+def _read_cow(spark: SparkSession, snap: SnapshotState, files):
+    """Rewrite-side read: carries materialized row ids when row tracking
+    is on, so COW DML / OPTIMIZE keep every surviving row's id."""
+    if _rt_on(snap):
+        from .reader import read_files_preserving_row_ids
+
+        return read_files_preserving_row_ids(spark, snap, files)
+    return read_files(spark, snap, files)
 
 
 def _l2p(snap: SnapshotState):

@@ -63,6 +63,8 @@ class AddFile:
     modification_time: int
     stats: dict | None = None  # parsed stats JSON: numRecords/minValues/maxValues/nullCount
     deletion_vector: dict | None = None  # DV descriptor (deletionVectors feature)
+    base_row_id: int | None = None  # rowTracking: first fresh row id of the file
+    default_row_commit_version: int | None = None  # rowTracking
 
 
 @dataclass
@@ -208,6 +210,14 @@ def _apply_action(acc: _ReplayAccumulator, action: dict) -> None:
             modification_time=int(a.get("modificationTime", 0)),
             stats=_parse_stats(a.get("stats")),
             deletion_vector=a.get("deletionVector") or None,
+            base_row_id=(
+                int(a["baseRowId"]) if a.get("baseRowId") is not None else None
+            ),
+            default_row_commit_version=(
+                int(a["defaultRowCommitVersion"])
+                if a.get("defaultRowCommitVersion") is not None
+                else None
+            ),
         )
     elif "remove" in action:
         path = _decode_path(action["remove"]["path"])
@@ -461,6 +471,8 @@ class DeltaLog:
                     modification_time=f.modification_time,
                     stats=stats,
                     deletion_vector=f.deletion_vector,
+                    base_row_id=f.base_row_id,
+                    default_row_commit_version=f.default_row_commit_version,
                 )
 
         _check_protocol(acc.protocol, self.table_path)

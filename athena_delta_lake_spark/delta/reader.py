@@ -231,7 +231,10 @@ def read_files_with_index(
 
 
 def _read_with_meta(
-    spark: SparkSession, snapshot: SnapshotState, files: list[AddFile]
+    spark: SparkSession,
+    snapshot: SnapshotState,
+    files: list[AddFile],
+    extra_fields: list[T.StructField] | None = None,
 ) -> DataFrame:
     """Read any file subset WITH `_metadata.row_index`, applying deletion
     vectors: anti-join the deleted (file, index) pairs of DV'd files, then
@@ -258,6 +261,11 @@ def _read_with_meta(
         )
     else:
         read_schema = T.StructType(data_fields)
+    # hidden physical columns (e.g. materialized row ids): appended to the
+    # read schema verbatim — files that lack them surface NULLs
+    extra_names = [f.name for f in (extra_fields or [])]
+    if extra_fields:
+        read_schema = T.StructType(list(read_schema.fields) + list(extra_fields))
 
     by_part: dict[tuple, list[str]] = {}
     for f in files:
@@ -275,7 +283,7 @@ def _read_with_meta(
                 F.col(pf.name).cast(lf.dataType).alias(lf.name)
                 for pf, lf in zip(read_schema.fields, data_fields)
             ]
-            piece = piece.select(*cols, "_dv_fp", "_dv_idx")
+            piece = piece.select(*cols, *extra_names, "_dv_fp", "_dv_idx")
         for c, v in zip(part_cols, pvals):
             piece = piece.withColumn(c, F.lit(v).cast(type_by_name[c]))
         pieces.append(piece)
@@ -292,7 +300,78 @@ def _read_with_meta(
             & (df["_dv_idx"] == deleted["_del_idx"]),
             "left_anti",
         )
-    return df.select(*[f.name for f in schema.fields], "_dv_fp", "_dv_idx")
+    return df.select(
+        *[f.name for f in schema.fields], *extra_names, "_dv_fp", "_dv_idx"
+    )
+
+
+def read_files_with_row_ids(
+    spark: SparkSession, snapshot: SnapshotState, files: list[AddFile]
+) -> DataFrame:
+    """DV-filtered scan exposing STABLE `_row_id` and
+    `_row_commit_version` (rowTracking): per row,
+    coalesce(materialized column, file baseRowId + parquet row index) —
+    fresh files answer from log metadata, rewritten files from the
+    materialized hidden columns the rewriter carried, so ids survive
+    OPTIMIZE and copy-on-write DML."""
+    from .writer import (
+        MATERIALIZED_RCV_COL,
+        MATERIALIZED_ROW_ID_COL,
+    )
+
+    extra = [
+        T.StructField(MATERIALIZED_ROW_ID_COL, T.LongType(), True),
+        T.StructField(MATERIALIZED_RCV_COL, T.LongType(), True),
+    ]
+    df = _read_with_meta(spark, snapshot, files, extra_fields=extra)
+    base_rows = [
+        (
+            _strip_scheme_py(_join_path(snapshot.table_path, f.path)),
+            f.base_row_id,
+            f.default_row_commit_version,
+        )
+        for f in files
+    ]
+    base = spark.createDataFrame(
+        base_rows, "_rt_fp string, _rt_base long, _rt_dcv long"
+    )
+    schema_cols = [f.name for f in snapshot.schema.fields]
+    out = (
+        df.join(F.broadcast(base), df["_dv_fp"] == base["_rt_fp"], "left")
+        .withColumn(
+            "_row_id",
+            F.coalesce(
+                F.col(MATERIALIZED_ROW_ID_COL),
+                F.col("_rt_base") + F.col("_dv_idx"),
+            ),
+        )
+        .withColumn(
+            "_row_commit_version",
+            F.coalesce(F.col(MATERIALIZED_RCV_COL), F.col("_rt_dcv")),
+        )
+    )
+    return out.select(*schema_cols, "_row_id", "_row_commit_version")
+
+
+def read_files_preserving_row_ids(
+    spark: SparkSession, snapshot: SnapshotState, files: list[AddFile]
+) -> DataFrame:
+    """Rewrite-side read: schema columns PLUS the materialized row-id /
+    commit-version columns populated for every surviving row — staging the
+    result writes them into the rewritten files, which is how row ids
+    survive copy-on-write DML and OPTIMIZE."""
+    from .writer import MATERIALIZED_RCV_COL, MATERIALIZED_ROW_ID_COL
+
+    df = read_files_with_row_ids(spark, snapshot, files)
+    return df.withColumnRenamed(
+        "_row_id", MATERIALIZED_ROW_ID_COL
+    ).withColumnRenamed("_row_commit_version", MATERIALIZED_RCV_COL)
+
+
+def _strip_scheme_py(p: str) -> str:
+    import re as _re
+
+    return _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/", p)
 
 
 def read_files(

@@ -367,6 +367,25 @@ class DeltaTable:
             mxs.append(mx)
         return (min(mns), max(mxs))
 
+    def enable_row_tracking(self) -> int:
+        from .writer import enable_row_tracking
+
+        return enable_row_tracking(self.path)
+
+    def to_df_with_row_ids(self, version: int | None = None) -> DataFrame:
+        """Scan with STABLE `_row_id` / `_row_commit_version` columns
+        (rowTracking): ids survive appends, deletion-vector DML,
+        copy-on-write rewrites and OPTIMIZE."""
+        from .reader import read_files_with_row_ids
+        from .writer import _row_tracking_enabled
+
+        snap = self.snapshot(version)
+        if not _row_tracking_enabled(snap.metadata.get("configuration")):
+            raise ValueError(
+                "row tracking is not enabled; call enable_row_tracking()"
+            )
+        return read_files_with_row_ids(self.spark, snap, snap.files)
+
     def partitions(self, version: int | None = None) -> list[dict]:
         """SHOW PARTITIONS analog: the distinct typed partition-value
         combinations of the snapshot's live files — pure metadata, the

@@ -433,16 +433,32 @@ def commit_rewrite(
                 }
             }
         )
+    version = _next_version(table_path)
+    snap_now = DeltaLog(table_path).snapshot()
+    table_config = snap_now.metadata.get("configuration")
+    row_tracking = _row_tracking_enabled(table_config)
+    if row_tracking and adds:
+        # fresh files need fresh id ranges even in a rewrite (surviving
+        # rows' ids live in the MATERIALIZED columns the rewriter carried;
+        # the base ids only serve rows appended without materialized ids)
+        hwm = _row_id_hwm(snap_now.domain_metadata)
+        _, rt_domain = _assign_row_ids(adds, hwm, version)
+        actions.append(rt_domain)
     for a in adds:
         if not data_change:
             a = {"add": {**a["add"], "dataChange": False}}
         actions.append(a)
-    version = _next_version(table_path)
     log_dir = os.path.join(table_path, "_delta_log")
-    table_config = DeltaLog(table_path).snapshot().metadata.get("configuration")
     if data_change and remove_paths:
         _check_append_only(table_config, operation)
     for _attempt in range(_MAX_COMMIT_RETRIES + 1):
+        if row_tracking and adds and base_version is not None and version != base_version + 1:
+            # id ranges were sized against the planning snapshot's high-
+            # water mark; any interleaved commit may have moved it
+            raise ConcurrentWriteError(
+                f"{operation} raced a concurrent commit on a row-tracking "
+                "table; re-run against the new snapshot"
+            ) from None
         if base_version is not None and version != base_version + 1:
             # commits landed since the rewrite was planned (seen either via
             # a moved version counter before the first attempt, or via a
@@ -472,6 +488,11 @@ def commit_rewrite(
             return version
         except FileExistsError:
             DeltaLog.clear_cache()
+            if row_tracking and adds:
+                raise ConcurrentWriteError(
+                    f"{operation} raced a concurrent commit on a "
+                    "row-tracking table; re-run against the new snapshot"
+                ) from None
             version = _next_version(table_path)
     raise ConcurrentWriteError(
         f"gave up after {_MAX_COMMIT_RETRIES} commit retries on {table_path}"
@@ -1029,6 +1050,11 @@ def write_delta(
                     }
                 }
             )
+    row_tracking = _row_tracking_enabled(effective_config)
+    if row_tracking and adds:
+        hwm = _row_id_hwm(prior.domain_metadata if prior is not None else {})
+        _, rt_domain = _assign_row_ids(adds, hwm, version)
+        actions.append(rt_domain)
     actions.extend(adds)
     log_dir = os.path.join(table_path, "_delta_log")
     expected_next = (prior.version + 1) if prior is not None else 0
@@ -1055,6 +1081,9 @@ def write_delta(
                 or ict_newly_enabled
                 or protocol_upgraded is not None
                 or identity_params
+                # row-tracking appends do NOT commute: both racers would
+                # extend the same high-water mark and mint duplicate ids
+                or (row_tracking and adds)
             ):
                 raise ConcurrentWriteError(
                     f"version {expected_next} of {table_path} was committed "
@@ -1248,6 +1277,8 @@ def write_checkpoint(
                                 ]
                             ),
                         ),
+                        pa.field("baseRowId", pa.int64()),
+                        pa.field("defaultRowCommitVersion", pa.int64()),
                     ]
                 ),
             ),
@@ -1371,6 +1402,8 @@ def write_checkpoint(
                     if stats
                     else None,
                     "deletionVector": f.deletion_vector,
+                    "baseRowId": f.base_row_id,
+                    "defaultRowCommitVersion": f.default_row_commit_version,
                 },
             }
         )
@@ -1923,6 +1956,168 @@ def _commit_metadata_change(
     return version
 
 
+_ROW_TRACKING_DOMAIN = "delta.rowTracking"
+# fixed materialized-column names (the spec allows any name recorded in the
+# table configuration; rewritten files carry these hidden parquet columns)
+MATERIALIZED_ROW_ID_COL = "_row_id_materialized"
+MATERIALIZED_RCV_COL = "_row_commit_version_materialized"
+
+
+def _row_tracking_enabled(config: dict | None) -> bool:
+    return (config or {}).get("delta.enableRowTracking", "").lower() == "true"
+
+
+def _row_id_hwm(domains: dict) -> int:
+    raw = domains.get(_ROW_TRACKING_DOMAIN)
+    if not raw:
+        return -1
+    try:
+        return int(json.loads(raw).get("rowIdHighWaterMark", -1))
+    except (ValueError, TypeError):
+        return -1
+
+
+def _assign_row_ids(
+    adds: list[dict], hwm: int, version: int
+) -> tuple[int, dict]:
+    """Stamp baseRowId/defaultRowCommitVersion onto fresh add actions and
+    return (new high-water mark, the domainMetadata action recording it).
+    Every add must carry numRecords stats (the id range is sized by it)."""
+    for a in adds:
+        if a["add"].get("baseRowId") is not None:
+            continue  # re-added existing file (e.g. a DV update): keep range
+        stats = a["add"].get("stats")
+        n = None
+        if stats:
+            n = json.loads(stats).get("numRecords")
+        if n is None:
+            raise ValueError(
+                "row tracking requires numRecords stats on every new file "
+                "(collect_stats must stay enabled)"
+            )
+        a["add"]["baseRowId"] = hwm + 1
+        a["add"]["defaultRowCommitVersion"] = int(version)
+        hwm += int(n)
+    return hwm, {
+        "domainMetadata": {
+            "domain": _ROW_TRACKING_DOMAIN,
+            "configuration": json.dumps(
+                {"rowIdHighWaterMark": hwm}, separators=(",", ":")
+            ),
+            "removed": False,
+        }
+    }
+
+
+def enable_row_tracking(table_path: str) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES (delta.enableRowTracking=true):
+    give every row a STABLE id that survives appends, deletion-vector
+    DML, copy-on-write rewrites and OPTIMIZE.
+
+    Metadata-only backfill: every live add is re-committed with a fresh
+    `baseRowId` (fresh ids = baseRowId + physical row index; no data
+    I/O — file row counts come from numRecords stats). Later rewrites
+    MATERIALIZE surviving rows' ids into the rewritten files (hidden
+    parquet columns named in the table configuration), and readers
+    coalesce(materialized, baseRowId + row_index) — so ids stay stable
+    across OPTIMIZE/UPDATE/MERGE while fresh files stay cheap. The
+    protocol gains the rowTracking + domainMetadata writer features.
+    """
+    table_path = os.path.abspath(table_path)
+    snap = DeltaLog(table_path).snapshot()
+    config = dict(snap.metadata.get("configuration") or {})
+    if _row_tracking_enabled(config):
+        return snap.version
+    for f in snap.files:
+        if (f.stats or {}).get("numRecords") is None:
+            raise ValueError(
+                f"cannot enable row tracking: {f.path} has no numRecords "
+                "stats to size its id range"
+            )
+    now = int(time.time() * 1000)
+    version = snap.version + 1
+    config["delta.enableRowTracking"] = "true"
+    config["delta.rowTracking.materializedRowIdColumnName"] = (
+        MATERIALIZED_ROW_ID_COL
+    )
+    config["delta.rowTracking.materializedRowCommitVersionColumnName"] = (
+        MATERIALIZED_RCV_COL
+    )
+    md = dict(snap.metadata)
+    md["configuration"] = config
+    from urllib.parse import quote
+
+    l2p = logical_to_physical(snap.schema, config)
+
+    def _phys(d):
+        if not d or not l2p:
+            return d
+        return {l2p.get(k, k): v for k, v in d.items()}
+
+    backfill = []
+    for f in snap.files:
+        stats = f.stats
+        if stats and l2p:
+            stats = {
+                **stats,
+                "minValues": _phys(stats.get("minValues")),
+                "maxValues": _phys(stats.get("maxValues")),
+                "nullCount": _phys(stats.get("nullCount")),
+            }
+        backfill.append(
+            {
+                "add": {
+                    "path": quote(f.path, safe="/"),
+                    "partitionValues": _phys(f.partition_values) or {},
+                    "size": f.size,
+                    "modificationTime": f.modification_time,
+                    "dataChange": False,
+                    **(
+                        {"stats": json.dumps(stats, separators=(",", ":"))}
+                        if stats
+                        else {}
+                    ),
+                    **(
+                        {"deletionVector": f.deletion_vector}
+                        if f.deletion_vector
+                        else {}
+                    ),
+                }
+            }
+        )
+    _, domain_action = _assign_row_ids(backfill, -1, version)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {"delta.enableRowTracking": "true"},
+                "engineInfo": "athena_delta_lake_spark",
+            }
+        }
+    ]
+    upgrade = _protocol_upgrade_action(
+        snap.protocol, writer_features=("rowTracking", "domainMetadata")
+    )
+    if upgrade is not None:
+        actions.append(upgrade)
+    actions.append({"metaData": md})
+    actions.append(domain_action)
+    actions.extend(backfill)
+    log_dir = os.path.join(table_path, "_delta_log")
+    try:
+        _stamp_ict(actions, log_dir, version, config)
+        _atomic_commit(log_dir, version, actions)
+    except FileExistsError:
+        DeltaLog.clear_cache()
+        raise ConcurrentWriteError(
+            f"version {version} of {table_path} was committed concurrently; "
+            "re-run enable_row_tracking against the new snapshot"
+        ) from None
+    DeltaLog.clear_cache()
+    return version
+
+
 def set_table_properties(
     table_path: str, properties: dict[str, str]
 ) -> int:
@@ -1937,6 +2132,11 @@ def set_table_properties(
         raise ValueError(
             "use enable_column_mapping() to turn on column mapping "
             "(field ids/physical names must be stamped)"
+        )
+    if str(properties.get("delta.enableRowTracking", "")).lower() == "true":
+        raise ValueError(
+            "use enable_row_tracking() to turn on row tracking (live files "
+            "must be backfilled with baseRowId ranges)"
         )
     table_path = os.path.abspath(table_path)
     snap = DeltaLog(table_path).snapshot()
