@@ -537,3 +537,55 @@ def l12(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(float(q_min), float(q_max), float(r_min), float(r_max))],
         "q_min double, q_max double, r_price_min double, r_price_max double",
     )
+
+
+def _ensure_row_tracked_supplier(spark: SparkSession, sf_dir: str) -> str:
+    """supplier copy driven through the row-tracking story: enable (backfill
+    ids), snapshot the (s_suppkey -> _row_id) mapping to a side parquet,
+    then COW-delete a slice and OPTIMIZE — both rewrite files, so only the
+    materialized-id path can keep the mapping intact."""
+    path = os.path.join(_fixture_root(sf_dir), "lake", "delta_supplier_rt")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        from ..delta.dml import compact, delete
+        from ..delta.writer import enable_row_tracking
+
+        s = load(spark, sf_dir, "supplier")
+        write_delta(s.coalesce(2), path)
+        enable_row_tracking(path)
+        DeltaTable(spark, path).to_df_with_row_ids().select(
+            "s_suppkey", F.col("_row_id").alias("expected_row_id")
+        ).write.mode("overwrite").parquet(path + "_expected_ids")
+        delete(spark, path, where="s_suppkey % 7 = 3")
+        compact(spark, path, target_file_size=1 << 30)
+    return path
+
+
+@register(
+    "l13_row_tracking_stability",
+    "delta-core",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct_ids,
+           CAST(0 AS BIGINT) AS drifted
+    FROM supplier WHERE s_suppkey % 7 <> 3
+    """,
+    "row tracking: stable _row_id through a COW DELETE + OPTIMIZE (both "
+    "rewrite files) — ids must match the pre-rewrite mapping exactly, "
+    "stay distinct, and zero rows may drift",
+)
+def l13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_row_tracked_supplier(spark, sf_dir)
+    ids = DeltaTable(spark, path).to_df_with_row_ids().select(
+        "s_suppkey", "_row_id"
+    )
+    expected = spark.read.parquet(path + "_expected_ids")
+    joined = ids.join(expected, "s_suppkey", "left")
+    return joined.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("_row_id").alias("n_distinct_ids"),
+        F.sum(
+            F.when(
+                F.col("_row_id") != F.col("expected_row_id"), 1
+            ).otherwise(0)
+        ).cast("long").alias("drifted"),
+    )
