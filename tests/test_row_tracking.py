@@ -109,3 +109,44 @@ def test_row_tracking_guards(spark, tbl, tmp_path):
     write_delta(spark.createDataFrame([(1,)], "id long"), plain)
     with pytest.raises(ValueError, match="row tracking is not enabled"):
         DeltaTable(spark, plain).to_df_with_row_ids()
+
+
+def test_row_tracking_with_column_mapping(spark, tmp_path):
+    """Both features together: mapped tables stage physical names AND
+    materialized ids; ids stay stable through RENAME + COW update +
+    OPTIMIZE on a renamed, physically-named layout."""
+    from athena_delta_lake_spark.delta.writer import (
+        enable_column_mapping,
+        rename_column,
+    )
+
+    path = str(tmp_path / "rt_cm")
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(20)], "id long, k int, v double"
+    ).coalesce(1)
+    write_delta(df, path, partition_by=["k"])
+    enable_column_mapping(path)
+    enable_row_tracking(path)
+    before = _ids(spark, path)
+    rename_column(path, "v", "quality")
+    update(spark, path, set={"quality": "quality * 2"}, where="k = 1")
+    compact(spark, path, target_file_size=1 << 30)
+    write_delta(
+        spark.createDataFrame([(50, 0, 9.0)], "id long, k int, quality double"),
+        path,
+        mode="append",
+    )
+    after = _ids(spark, path)
+    for i, (rid, _) in before.items():
+        assert after[i][0] == rid, f"id of row {i} drifted"
+    # fresh id continues past the high-water mark (rewrites advance it
+    # too — their adds get ranges even though surviving rows answer from
+    # materialized ids — so the only guarantees are uniqueness + beyond)
+    prior_ids = {rid for rid, _ in before.items()}
+    assert after[50][0] > max(rid for rid, _ in before.values())
+    assert len({rid for rid, _ in after.values()}) == len(after)
+    got = {
+        r["id"]: r["quality"]
+        for r in DeltaTable(spark, path).to_df().collect()
+    }
+    assert got[1] == 2.0 and got[50] == 9.0
