@@ -416,9 +416,16 @@ def update_mor(
     if not candidates:
         return {"files_removed": 0, "files_added": 0, "rows_updated": 0}
 
-    dfm = read_files_with_index(spark, snap, candidates)
+    rt = _rt_on(snap)
+    dfm = read_files_with_index(
+        spark, snap, candidates,
+        extra_fields=_rt_extra_fields() if rt else None,
+    )
     hit = F.coalesce(cond, F.lit(False))
-    matched_rows = dfm.filter(hit).localCheckpoint(eager=True)
+    matched_rows = dfm.filter(hit)
+    if rt:
+        matched_rows = _resolve_row_ids(spark, snap, candidates, matched_rows)
+    matched_rows = matched_rows.localCheckpoint(eager=True)
 
     matched = (
         matched_rows.groupBy("_file")
@@ -759,9 +766,14 @@ def merge_upsert_mor(
     matched_rows_collected: list = []
     matched_keys = None
     if touched:
-        tagged = read_files_with_index(spark, snap, touched).localCheckpoint(
-            eager=True
+        rt_mor = _rt_on(snap)
+        tagged = read_files_with_index(
+            spark, snap, touched,
+            extra_fields=_rt_extra_fields() if rt_mor else None,
         )
+        if rt_mor:
+            tagged = _resolve_row_ids(spark, snap, touched, tagged)
+        tagged = tagged.localCheckpoint(eager=True)
         joined = tagged.alias("t").join(src.alias("s"), keys, "inner")
         clause_rows = joined.filter(cond)
         dv_rows = clause_rows.select("_file", "_row_idx")
@@ -778,15 +790,33 @@ def merge_upsert_mor(
             src_version = [F.col(k) for k in keys] + [
                 F.col(f"s.{c}").alias(c) for c in non_keys
             ]
+            if rt_mor:
+                from .writer import (
+                    MATERIALIZED_RCV_COL,
+                    MATERIALIZED_ROW_ID_COL,
+                )
+
+                # updated rows keep the TARGET row's identity
+                src_version += [
+                    F.col(f"t.{c}").alias(c)
+                    for c in (MATERIALIZED_ROW_ID_COL, MATERIALIZED_RCV_COL)
+                ]
             pieces_new.append(clause_rows.select(*src_version))
         matched_keys = (
             tagged.select(*keys).join(src_keys, keys, "left_semi").distinct()
         )
     if when_not_matched == "insert":
-        if matched_keys is not None:
-            pieces_new.append(src.join(matched_keys, keys, "left_anti"))
-        else:
-            pieces_new.append(src)
+        ins = (
+            src.join(matched_keys, keys, "left_anti")
+            if matched_keys is not None
+            else src
+        )
+        if touched and _rt_on(snap):
+            from .writer import MATERIALIZED_RCV_COL, MATERIALIZED_ROW_ID_COL
+
+            for c in (MATERIALIZED_ROW_ID_COL, MATERIALIZED_RCV_COL):
+                ins = ins.withColumn(c, F.lit(None).cast("long"))
+        pieces_new.append(ins)
 
     new_data = None
     for p in pieces_new:
@@ -1086,6 +1116,44 @@ def _rt_on(snap: SnapshotState) -> bool:
     from .writer import _row_tracking_enabled
 
     return _row_tracking_enabled(snap.metadata.get("configuration"))
+
+
+def _rt_extra_fields():
+    from pyspark.sql import types as T
+
+    from .writer import MATERIALIZED_RCV_COL, MATERIALIZED_ROW_ID_COL
+
+    return [
+        T.StructField(MATERIALIZED_ROW_ID_COL, T.LongType(), True),
+        T.StructField(MATERIALIZED_RCV_COL, T.LongType(), True),
+    ]
+
+
+def _resolve_row_ids(spark, snap, files, df_meta):
+    """Fill the materialized id columns on a (_file, _row_idx)-bearing df:
+    coalesce(what the file already materialized, baseRowId + row index) —
+    MOR rewrites then stage the surviving rows' identities."""
+    from .reader import _base_ids_df
+    from .writer import MATERIALIZED_RCV_COL, MATERIALIZED_ROW_ID_COL
+
+    base = _base_ids_df(spark, snap, files)
+    return (
+        df_meta.join(
+            F.broadcast(base), df_meta["_file"] == base["_rt_fp"], "left"
+        )
+        .withColumn(
+            MATERIALIZED_ROW_ID_COL,
+            F.coalesce(
+                F.col(MATERIALIZED_ROW_ID_COL),
+                F.col("_rt_base") + F.col("_row_idx"),
+            ),
+        )
+        .withColumn(
+            MATERIALIZED_RCV_COL,
+            F.coalesce(F.col(MATERIALIZED_RCV_COL), F.col("_rt_dcv")),
+        )
+        .drop("_rt_fp", "_rt_base", "_rt_dcv")
+    )
 
 
 def _read_cow(spark: SparkSession, snap: SnapshotState, files):

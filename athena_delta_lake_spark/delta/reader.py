@@ -218,13 +218,16 @@ def _read_dv_files(
 
 
 def read_files_with_index(
-    spark: SparkSession, snapshot: SnapshotState, files: list[AddFile]
+    spark: SparkSession,
+    snapshot: SnapshotState,
+    files: list[AddFile],
+    extra_fields: list[T.StructField] | None = None,
 ) -> DataFrame:
     """DV-filtered scan that ALSO exposes `_file` (scheme-stripped absolute
     path) and `_row_idx` (parquet row index) — the substrate for DV-writing
     DML (dml.delete_mor): matched rows map straight back to per-file
     deletion-vector positions."""
-    df = _read_with_meta(spark, snapshot, files)
+    df = _read_with_meta(spark, snapshot, files, extra_fields=extra_fields)
     return df.withColumnRenamed("_dv_fp", "_file").withColumnRenamed(
         "_dv_idx", "_row_idx"
     )
@@ -324,17 +327,7 @@ def read_files_with_row_ids(
         T.StructField(MATERIALIZED_RCV_COL, T.LongType(), True),
     ]
     df = _read_with_meta(spark, snapshot, files, extra_fields=extra)
-    base_rows = [
-        (
-            _strip_scheme_py(_join_path(snapshot.table_path, f.path)),
-            f.base_row_id,
-            f.default_row_commit_version,
-        )
-        for f in files
-    ]
-    base = spark.createDataFrame(
-        base_rows, "_rt_fp string, _rt_base long, _rt_dcv long"
-    )
+    base = _base_ids_df(spark, snapshot, files)
     schema_cols = [f.name for f in snapshot.schema.fields]
     out = (
         df.join(F.broadcast(base), df["_dv_fp"] == base["_rt_fp"], "left")
@@ -351,6 +344,24 @@ def read_files_with_row_ids(
         )
     )
     return out.select(*schema_cols, "_row_id", "_row_commit_version")
+
+
+def _base_ids_df(
+    spark: SparkSession, snapshot: SnapshotState, files: list[AddFile]
+) -> DataFrame:
+    """(scheme-stripped absolute path, baseRowId, defaultRowCommitVersion)
+    per file — the broadcastable metadata side of id resolution."""
+    base_rows = [
+        (
+            _strip_scheme_py(_join_path(snapshot.table_path, f.path)),
+            f.base_row_id,
+            f.default_row_commit_version,
+        )
+        for f in files
+    ]
+    return spark.createDataFrame(
+        base_rows, "_rt_fp string, _rt_base long, _rt_dcv long"
+    )
 
 
 def read_files_preserving_row_ids(

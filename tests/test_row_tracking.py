@@ -150,3 +150,24 @@ def test_row_tracking_with_column_mapping(spark, tmp_path):
         for r in DeltaTable(spark, path).to_df().collect()
     }
     assert got[1] == 2.0 and got[50] == 9.0
+
+
+def test_ids_stable_across_mor_update_and_merge(spark, tbl):
+    from athena_delta_lake_spark.delta.dml import merge_upsert_mor, update_mor
+
+    before = _ids(spark, tbl)
+    update_mor(spark, tbl, set={"v": "v + 500"}, where="k = 2")
+    mid = _ids(spark, tbl)
+    assert {i: r for i, (r, _) in mid.items()} == {
+        i: r for i, (r, _) in before.items()
+    }
+    src = spark.createDataFrame(
+        [(7, 9, -7.0), (300, 9, -3.0)], "id long, k int, v double"
+    )
+    merge_upsert_mor(spark, tbl, src, keys=["id"])
+    after = _ids(spark, tbl)
+    assert after[7][0] == before[7][0]  # MOR-updated row keeps identity
+    assert 300 in after
+    for i, (rid, _) in before.items():
+        assert after[i][0] == rid
+    assert len({rid for rid, _ in after.values()}) == len(after)
