@@ -185,16 +185,14 @@ def delete_mor(spark: SparkSession, table_path: str, where) -> dict:
     writes a ~few-hundred-byte DV blob, not a new 1 GB file; the physical
     rows disappear at the next OPTIMIZE (which purges DVs).
 
-    All touched files share ONE .bin blob (descriptors at offsets). Files
-    whose every remaining row matches are dropped outright (remove-only).
-    Upgrades the table protocol to the deletionVectors feature on first
-    use. Matched (file, row index) pairs are aggregated per file and the
-    per-file index lists collected — driver holds O(matched rows) ints;
-    for mass deletes prefer the copy-on-write path (`delete`).
+    Touched files within one task share ONE .bin blob (descriptors at
+    offsets). Files whose every remaining row matches are dropped outright
+    (remove-only). Upgrades the table protocol to the deletionVectors
+    feature on first use. The DV bitmaps are built and written
+    EXECUTOR-SIDE (_stage_dvs) — the driver only ever holds one
+    descriptor per touched file, so a delete matching 10^9 rows costs the
+    driver O(files), not O(rows).
     """
-    import json as _json
-
-    from .deletion_vectors import read_dv_positions, write_dv_file_multi
     from .reader import read_files_with_index
 
     if where is None or where == []:
@@ -209,16 +207,16 @@ def delete_mor(spark: SparkSession, table_path: str, where) -> dict:
         return {"files_removed": 0, "files_added": 0, "rows_deleted": 0}
 
     dfm = read_files_with_index(spark, snap, candidates)
-    matched = (
-        dfm.filter(F.coalesce(cond, F.lit(False)))
-        .groupBy("_file")
-        .agg(F.collect_list("_row_idx").alias("idx"))
-        .collect()
+    staged = _stage_dvs(
+        spark,
+        table_path,
+        dfm.filter(F.coalesce(cond, F.lit(False))).select("_file", "_row_idx"),
+        candidates,
     )
-    if not matched:
+    if not staged:
         return {"files_removed": 0, "files_added": 0, "rows_deleted": 0}
 
-    pieces = _dv_pieces(table_path, snap, matched, candidates)
+    pieces = _dv_pieces(table_path, snap, staged)
     commit_rewrite(
         table_path,
         "DELETE",
@@ -248,66 +246,108 @@ class _DvPieces:
     )
 
 
-def _dv_pieces(
+def _stage_dvs(
+    spark: SparkSession,
     table_path: str,
-    snap: SnapshotState,
-    matched: list,
+    dv_rows: DataFrame,
     candidates: list[AddFile],
-) -> _DvPieces:
-    """Turn collected (file -> deleted row indexes) rows into the commit
-    parts every merge-on-read operator shares: re-`add` actions carrying
-    the new deletion vectors (one shared .bin blob), wholesale drops for
-    files left with zero live rows, the deletionVectors protocol upgrade
-    on first use, and bookkeeping counts. Existing DV positions merge in
-    (a second MOR pass accumulates, never resets)."""
-    import json as _json
+) -> list[tuple[AddFile, dict]]:
+    """Build deletion-vector blobs EXECUTOR-SIDE from a DataFrame of
+    matched (_file, _row_idx) rows; returns one (AddFile, new descriptor)
+    per touched file.
+
+    The matched row indexes NEVER reach the driver: rows hash-shuffle on
+    `_file` (every file's indexes co-locate in one task), each task
+    serializes its files' roaring bitmaps and writes ONE shared .bin blob
+    (write_dv_file_multi — descriptors at offsets, so a delete touching n
+    files creates O(tasks) storage objects, not n), and the driver
+    collects only the per-file DESCRIPTOR rows — O(touched files)
+    metadata, where the previous collect_list(_row_idx).collect() held
+    O(matched rows) Python ints and OOM'd the driver on a 10^9-row MOR
+    DELETE. Existing DV positions merge in executor-side too (a second
+    MOR pass accumulates, never resets). A retried task leaves an orphan
+    blob that VACUUM collects; only the winning attempt's descriptors are
+    collected, so correctness is unaffected."""
+    from pyspark.sql import types as T
 
     from .deletion_vectors import read_dv_positions, write_dv_file_multi
 
     by_file = {f.path: f for f in candidates}
-    touched: list[tuple[AddFile, list[int]]] = []
-    for row in matched:
-        rel = os.path.relpath(row["_file"], table_path).replace(os.sep, "/")
-        f = by_file[rel]
-        new_idx = sorted(set(row["idx"]))
-        if f.deletion_vector:  # merge with already-deleted positions
-            new_idx = sorted(
-                set(new_idx) | set(read_dv_positions(table_path, f.deletion_vector))
-            )
-        touched.append((f, new_idx))
+    existing = {
+        f.path: f.deletion_vector for f in candidates if f.deletion_vector
+    }
+    tp = table_path
+    out_schema = T.StructType(
+        [
+            T.StructField("file", T.StringType(), False),
+            T.StructField("desc", T.StringType(), False),
+        ]
+    )
 
-    # files left with zero live rows: drop instead of writing an all-ones DV
+    def _build(iterator):
+        import json as _j
+        import os as _os
+
+        import pandas as _pd
+
+        rows_by_file: dict[str, set[int]] = {}
+        for pdf in iterator:
+            for fp, idx in zip(pdf["_file"], pdf["_row_idx"]):
+                rel = _os.path.relpath(fp, tp).replace(_os.sep, "/")
+                rows_by_file.setdefault(rel, set()).add(int(idx))
+        if not rows_by_file:
+            return
+        files = sorted(rows_by_file)
+        pos_lists = []
+        for rel in files:
+            pos = rows_by_file[rel]
+            ex = existing.get(rel)
+            if ex:
+                pos |= set(read_dv_positions(tp, ex))
+            pos_lists.append(sorted(pos))
+        descs = write_dv_file_multi(tp, pos_lists)
+        yield _pd.DataFrame(
+            {
+                "file": files,
+                "desc": [_j.dumps(d, separators=(",", ":")) for d in descs],
+            }
+        )
+
+    rows = (
+        dv_rows.repartition("_file").mapInPandas(_build, out_schema).collect()
+    )
+    return [(by_file[r["file"]], json.loads(r["desc"])) for r in rows]
+
+
+def _dv_pieces(
+    table_path: str,
+    snap: SnapshotState,
+    staged: list[tuple[AddFile, dict]],
+) -> _DvPieces:
+    """Turn staged per-file DV descriptors (_stage_dvs) into the commit
+    parts every merge-on-read operator shares: re-`add` actions carrying
+    the new deletion vectors, wholesale drops for files left with zero
+    live rows, the deletionVectors protocol upgrade on first use, and
+    bookkeeping counts."""
+    touched = staged
+
+    # files left with zero live rows: drop instead of keeping an all-ones DV
+    # (the blob section those descriptors point at just goes unreferenced)
     full_files = [
         f
-        for f, idx in touched
+        for f, desc in touched
         if (f.stats or {}).get("numRecords") is not None
-        and len(idx) == f.stats["numRecords"]
+        and int(desc["cardinality"]) == f.stats["numRecords"]
     ]
     full_set = {f.path for f in full_files}
-    dv_targets = [(f, idx) for f, idx in touched if f.path not in full_set]
+    dv_targets = [(f, d) for f, d in touched if f.path not in full_set]
 
+    l2p = _l2p(snap)
     adds: list[dict] = []
-    if dv_targets:
-        from urllib.parse import quote
-
-        descs = write_dv_file_multi(table_path, [idx for _f, idx in dv_targets])
-        for (f, _idx), desc in zip(dv_targets, descs):
-            add = {
-                "path": quote(f.path, safe="/"),
-                "partitionValues": f.partition_values,
-                "size": f.size,
-                "modificationTime": f.modification_time,
-                "dataChange": True,
-                "deletionVector": desc,
-            }
-            if f.stats is not None:
-                add["stats"] = _json.dumps(f.stats, separators=(",", ":"))
-            if f.base_row_id is not None:
-                # a DV re-add is the SAME file: its row-id range is already
-                # allocated and must not be re-assigned
-                add["baseRowId"] = f.base_row_id
-                add["defaultRowCommitVersion"] = f.default_row_commit_version
-            adds.append({"add": add})
+    for f, desc in dv_targets:
+        add = _physical_readd(f, l2p)
+        add["deletionVector"] = desc
+        adds.append({"add": add})
 
     extra = None
     features = set(snap.protocol.get("readerFeatures") or [])
@@ -334,8 +374,12 @@ def _dv_pieces(
     prior_dv = sum(
         int((f.deletion_vector or {}).get("cardinality", 0)) for f, _ in touched
     )
-    out.rows_newly_deleted = sum(len(idx) for _f, idx in touched) - prior_dv
-    out.dv_files_written = 1 if dv_targets else 0
+    out.rows_newly_deleted = (
+        sum(int(d["cardinality"]) for _f, d in touched) - prior_dv
+    )
+    out.dv_files_written = len(
+        {d["pathOrInlineDv"] for _f, d in dv_targets}
+    )
     return out
 
 
@@ -427,12 +471,10 @@ def update_mor(
         matched_rows = _resolve_row_ids(spark, snap, candidates, matched_rows)
     matched_rows = matched_rows.localCheckpoint(eager=True)
 
-    matched = (
-        matched_rows.groupBy("_file")
-        .agg(F.collect_list("_row_idx").alias("idx"))
-        .collect()
+    staged = _stage_dvs(
+        spark, table_path, matched_rows.select("_file", "_row_idx"), candidates
     )
-    if not matched:
+    if not staged:
         return {"files_removed": 0, "files_added": 0, "rows_updated": 0}
 
     field_types = {f.name: f.dataType for f in snap.schema.fields}
@@ -449,7 +491,7 @@ def update_mor(
         l2p=_l2p(snap),
     )
 
-    pieces = _dv_pieces(table_path, snap, matched, candidates)
+    pieces = _dv_pieces(table_path, snap, staged)
     commit_rewrite(
         table_path,
         "UPDATE",
@@ -763,7 +805,7 @@ def merge_upsert_mor(
     non_keys = [c for c in target_cols if c not in keys]
 
     pieces_new: list[DataFrame] = []
-    matched_rows_collected: list = []
+    staged: list = []
     matched_keys = None
     if touched:
         rt_mor = _rt_on(snap)
@@ -781,11 +823,7 @@ def merge_upsert_mor(
             dv_rows = dv_rows.unionByName(
                 tagged.join(src_keys, keys, "left_anti").select("_file", "_row_idx")
             )
-        matched_rows_collected = (
-            dv_rows.groupBy("_file")
-            .agg(F.collect_list("_row_idx").alias("idx"))
-            .collect()
-        )
+        staged = _stage_dvs(spark, table_path, dv_rows, touched)
         if when_matched == "update":
             src_version = [F.col(k) for k in keys] + [
                 F.col(f"s.{c}").alias(c) for c in non_keys
@@ -835,8 +873,8 @@ def merge_upsert_mor(
     removes: list[AddFile] = []
     dv_adds: list[dict] = []
     extra = None
-    if matched_rows_collected:
-        pieces = _dv_pieces(table_path, snap, matched_rows_collected, touched)
+    if staged:
+        pieces = _dv_pieces(table_path, snap, staged)
         removes = [f for f, _idx in pieces.touched]
         dv_adds = pieces.adds
         extra = pieces.protocol_extra
@@ -1015,17 +1053,14 @@ def restore_table(
             + missing[0]
         )
 
+    # the restored metadata is the TARGET's, so physical names come from
+    # the target snapshot's mapping (see _physical_readd)
+    tgt_l2p = logical_to_physical(
+        target.schema, target.metadata.get("configuration")
+    )
     adds: list[dict] = []
     for f in sorted(to_add, key=lambda f: f.path):
-        add = {
-            "path": quote(f.path, safe="/"),
-            "partitionValues": f.partition_values,
-            "size": f.size,
-            "modificationTime": f.modification_time,
-            "dataChange": True,
-        }
-        if f.stats is not None:
-            add["stats"] = _json.dumps(f.stats, separators=(",", ":"))
+        add = _physical_readd(f, tgt_l2p)
         if f.deletion_vector is not None:
             add["deletionVector"] = f.deletion_vector
         adds.append({"add": add})
@@ -1178,3 +1213,42 @@ def _data_schema(snap: SnapshotState):
     return T.StructType(
         [f for f in snap.schema.fields if f.name not in snap.partition_columns]
     )
+
+
+def _physical_readd(f: AddFile, l2p) -> dict:
+    """Rebuild the add-action body for re-committing an EXISTING file (DV
+    re-adds, RESTORE): partitionValues/stats keys mapped back to PHYSICAL
+    names (snapshot replay normalizes them to logical names on
+    column-mapped tables, log.py:439-476 — committing the logical names
+    back would break the physical-name convention stage_data_files and
+    checkpoints use), and the row-tracking id range carried verbatim —
+    a re-add is the SAME rows, so its ids must not be re-assigned."""
+    import json as _json
+    from urllib.parse import quote
+
+    def _phys(d):
+        if not d or not l2p:
+            return d
+        return {l2p.get(k, k): v for k, v in d.items()}
+
+    add = {
+        "path": quote(f.path, safe="/"),
+        "partitionValues": _phys(f.partition_values) or {},
+        "size": f.size,
+        "modificationTime": f.modification_time,
+        "dataChange": True,
+    }
+    stats = f.stats
+    if stats is not None:
+        if l2p:
+            stats = {
+                **stats,
+                "minValues": _phys(stats.get("minValues")),
+                "maxValues": _phys(stats.get("maxValues")),
+                "nullCount": _phys(stats.get("nullCount")),
+            }
+        add["stats"] = _json.dumps(stats, separators=(",", ":"))
+    if f.base_row_id is not None:
+        add["baseRowId"] = f.base_row_id
+        add["defaultRowCommitVersion"] = f.default_row_commit_version
+    return add

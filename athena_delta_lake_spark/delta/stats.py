@@ -64,11 +64,23 @@ def _file_matches_partition(
     dt = schema_types[col]
     pv = cast_partition_value(raw, dt)
     if op == "in":
+        # NULL IN (...) is never TRUE under SQL three-valued logic, so a
+        # NULL-partition file provably holds no matching row — exact, not
+        # just conservative (metadata-only count()/min_max() rely on this).
+        if pv is None:
+            return False
         vals = [_coerce(v, dt) for v in val]
         return pv in vals
     cv = _coerce(val, dt)
+    if cv is None:
+        # ('col', '=', None) is the null-safe IS NULL predicate
+        # (dml._normalize_where builds eqNullSafe for it); every other op
+        # compared to NULL yields NULL -> no row matches.
+        return op in {"=", "=="} and pv is None
     if pv is None:
-        return op in {"!=",} and cv is not None
+        # NULL <op> literal is NULL for every comparison op including !=
+        # (SQL 3VL): the file provably contains no matching row.
+        return False
     if op in {"=", "=="}:
         return pv == cv
     if op == "!=":

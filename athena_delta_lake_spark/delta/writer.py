@@ -1798,11 +1798,18 @@ def clone_table(
                     "pathOrInlineDv": dv_absolute_path(src_path, dv),
                 }
         else:
-            path = f.path
-            src_file = (
-                f.path if f.path.startswith("/") else os.path.join(src_path, f.path)
-            )
-            dst_file = os.path.join(dst_path, f.path)
+            if f.path.startswith("/"):
+                # deep-cloning a table that itself holds absolute add paths
+                # (e.g. a shallow clone): materialize the bytes under the
+                # clone with a generated RELATIVE path — joining an absolute
+                # path would resolve to the source file itself (copy2 onto
+                # itself -> SameFileError) and leave the clone non-isolated
+                src_file = f.path
+                path = f"part-{uuid.uuid4().hex}-{os.path.basename(f.path)}"
+            else:
+                src_file = os.path.join(src_path, f.path)
+                path = f.path
+            dst_file = os.path.join(dst_path, path)
             os.makedirs(os.path.dirname(dst_file), exist_ok=True)
             shutil.copy2(src_file, dst_file)
             if dv and dv.get("storageType") in ("u", "p"):
@@ -1831,6 +1838,17 @@ def clone_table(
                         else {}
                     ),
                     **({"deletionVector": dv} if dv else {}),
+                    # row tracking: a cloned file is the SAME rows — its id
+                    # range must travel with it or never-rewritten files
+                    # read NULL _row_id on the clone side
+                    **(
+                        {
+                            "baseRowId": f.base_row_id,
+                            "defaultRowCommitVersion": f.default_row_commit_version,
+                        }
+                        if f.base_row_id is not None
+                        else {}
+                    ),
                 }
             }
         )
@@ -1854,6 +1872,20 @@ def clone_table(
     if snap.protocol:
         actions.append({"protocol": snap.protocol})
     actions.append({"metaData": md})
+    # domain metadata travels with the clone — above all the rowTracking
+    # high-water mark: without it the clone's first append restarts id
+    # allocation at -1 and mints ids that collide with materialized ids
+    # carried inside copied rewritten files.
+    for domain, cfg in sorted(snap.domain_metadata.items()):
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": cfg,
+                    "removed": False,
+                }
+            }
+        )
     actions.extend(adds)
     os.makedirs(os.path.join(dst_path, "_delta_log"), exist_ok=True)
     _stamp_ict(actions, os.path.join(dst_path, "_delta_log"), 0, md.get("configuration"))

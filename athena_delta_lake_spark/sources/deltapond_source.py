@@ -698,6 +698,20 @@ def _commit_adds(
                     }
                 }
             )
+    if prior is not None:
+        # row tracking: DSv2 writes to an enableRowTracking table must
+        # allocate id ranges like every other writer, or the appended rows
+        # read NULL _row_id and the table invariant breaks
+        from ..delta.writer import (
+            _assign_row_ids,
+            _row_id_hwm,
+            _row_tracking_enabled,
+        )
+
+        if _row_tracking_enabled(prior.metadata.get("configuration")) and adds:
+            hwm = _row_id_hwm(prior.domain_metadata)
+            _, rt_domain = _assign_row_ids(adds, hwm, version)
+            actions.append(rt_domain)
     actions.extend(adds)
     _atomic_commit(os.path.join(table_path, "_delta_log"), version, actions)
     DeltaLog.clear_cache()
