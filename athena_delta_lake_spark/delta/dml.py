@@ -515,6 +515,49 @@ def update_mor(
 # ---------------------------------------------------------------------- MERGE
 
 
+def _normalize_matched_clauses(
+    when_matched: str,
+    matched_condition: str | None,
+    matched_clauses,
+) -> list[tuple[str | None, str]]:
+    """-> ordered [(condition|None, 'update'|'delete'), ...] with
+    first-match-wins semantics. `matched_clauses` (the multi-clause form)
+    and the legacy single-clause args are mutually exclusive."""
+    if matched_clauses is not None:
+        if matched_condition is not None:
+            raise ValueError(
+                "pass conditions inside matched_clauses, not matched_condition"
+            )
+        clauses = [tuple(c) for c in matched_clauses]
+    else:
+        clauses = [(matched_condition, when_matched)]
+    for cond_s, act in clauses:
+        if act not in ("update", "delete"):
+            raise ValueError(f"matched clause action must be update|delete: {act!r}")
+    # every clause after an UNconditional one is dead (first match wins)
+    for cond_s, _act in clauses[:-1]:
+        if cond_s is None:
+            raise ValueError(
+                "only the last matched clause may be unconditional "
+                "(earlier clauses would shadow everything after them)"
+            )
+    return clauses
+
+
+def _matched_clause_index(clauses: list[tuple[str | None, str]]):
+    """Column: index of the FIRST clause whose condition is TRUE for this
+    matched (target, source) row pair, or -1 when none applies (the
+    target row survives unchanged). Null conditions count as false."""
+    whens = [
+        F.when(
+            F.coalesce(F.expr(c), F.lit(False)) if c is not None else F.lit(True),
+            F.lit(i),
+        )
+        for i, (c, _a) in enumerate(clauses)
+    ]
+    return F.coalesce(*whens, F.lit(-1))
+
+
 def merge_upsert(
     spark: SparkSession,
     table_path: str,
@@ -525,6 +568,7 @@ def merge_upsert(
     when_not_matched: str | None = "insert",
     not_matched_by_source: str | None = None,
     matched_condition: str | None = None,
+    matched_clauses: list[tuple[str | None, str]] | None = None,
 ) -> dict:
     """MERGE INTO table USING source ON keys — full clause semantics:
 
@@ -537,6 +581,12 @@ def merge_upsert(
       streaming-upsert idiom: `s.ts > t.ts` keeps the newest row per key
       regardless of microbatch arrival order. Requires the source to be
       key-unique (reduce per-batch first), as in Delta's MERGE.
+    - matched_clauses: the MULTI-clause form — an ordered list of
+      (condition|None, 'update'|'delete') evaluated FIRST-MATCH-WINS per
+      target row, Delta's `WHEN MATCHED AND c1 THEN DELETE / WHEN MATCHED
+      THEN UPDATE` chains (the standard CDC-apply shape: tombstone rows
+      delete, everything else upserts). Rows matching no clause keep the
+      target version. Mutually exclusive with matched_condition.
     - when_not_matched: 'insert' (add source rows whose keys are absent
       from the target) or None (ignore them);
     - not_matched_by_source: None (keep target rows no source key matches
@@ -552,8 +602,9 @@ def merge_upsert(
     `broadcast_keys` hints the key set broadcast-able (the common case:
     source << target); set False to let AQE choose for huge sources.
     """
-    if when_matched not in ("update", "delete"):
-        raise ValueError("when_matched must be 'update' or 'delete'")
+    clauses = _normalize_matched_clauses(
+        when_matched, matched_condition, matched_clauses
+    )
     if when_not_matched not in ("insert", None):
         raise ValueError("when_not_matched must be 'insert' or None")
     if not_matched_by_source not in ("delete", None):
@@ -620,13 +671,13 @@ def merge_upsert(
         )
     else:
         matched_keys = src.select(*keys).limit(0)
-    if touched and (
-        when_matched == "update"
-        or (when_matched == "delete" and matched_condition is not None)
-    ):
+    needs_per_row = any(a == "update" for _c, a in clauses) or any(
+        c is not None for c, _a in clauses
+    )
+    if touched and needs_per_row:
         # multiple source rows hitting one target key would update the same
         # target row several ways (or both keep and delete it, for a
-        # conditional delete) — nondeterministic. Delta raises here
+        # conditional clause) — nondeterministic. Delta raises here
         # (DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE); so do we.
         ambiguous = (
             src.join(matched_keys, keys, "left_semi")
@@ -648,40 +699,37 @@ def merge_upsert(
         if (touched and _rt_on(snap))
         else []
     )
-    if when_matched == "update" and touched:
-        # per-TARGET-ROW semantics for both the conditional and the
-        # unconditional clause: each matched target row is replaced by its
-        # source row (duplicate target keys each update independently —
-        # the earlier per-source-key semi-join silently collapsed them,
-        # so row counts differed depending on whether a condition was
-        # passed). Null conditions count as false (target survives).
-        cond = (
-            F.coalesce(F.expr(matched_condition), F.lit(False))
-            if matched_condition is not None
-            else F.lit(True)
-        )
+    if touched and needs_per_row:
+        # per-TARGET-ROW, first-match-wins clause application: each matched
+        # (target, source) pair gets the index of the first clause whose
+        # condition holds; update-clause rows take the SOURCE's values but
+        # keep the TARGET row's identity (row tracking: same id, new commit
+        # version), delete-clause rows vanish, no-clause rows keep the
+        # TARGET version. (Duplicate target keys each resolve independently
+        # — a per-source-key semi-join would silently collapse them.)
         non_keys = [c for c in target_cols if c not in keys]
         joined = target_rows.alias("t").join(src.alias("s"), keys, "inner")
+        applied = joined.withColumn("__clause", _matched_clause_index(clauses))
         carried = [F.col(f"t.{c}").alias(c) for c in rt_extras]
         tgt_version = [F.col(k) for k in keys] + [
             F.col(f"t.{c}").alias(c) for c in non_keys
         ] + carried
-        # an updated row takes the SOURCE's values but keeps the TARGET
-        # row's identity (row tracking: same id, new commit version)
         src_version = [F.col(k) for k in keys] + [
             F.col(f"s.{c}").alias(c) for c in non_keys
         ] + carried
-        pieces.append(joined.filter(cond).select(*src_version))
-        pieces.append(joined.filter(~cond).select(*tgt_version))
-    elif matched_condition is not None and touched:
-        # conditional DELETE: rows failing the condition survive
-        cond = F.coalesce(F.expr(matched_condition), F.lit(False))
-        non_keys = [c for c in target_cols if c not in keys]
-        joined = target_rows.alias("t").join(src.alias("s"), keys, "inner")
-        tgt_version = [F.col(k) for k in keys] + [
-            F.col(f"t.{c}").alias(c) for c in non_keys
-        ] + [F.col(f"t.{c}").alias(c) for c in rt_extras]
-        pieces.append(joined.filter(~cond).select(*tgt_version))
+        pieces.append(
+            applied.filter(F.col("__clause") == -1).select(*tgt_version)
+        )
+        update_idx = [i for i, (_c, a) in enumerate(clauses) if a == "update"]
+        if update_idx:
+            pieces.append(
+                applied.filter(F.col("__clause").isin(update_idx)).select(
+                    *src_version
+                )
+            )
+    # else: the single unconditional DELETE clause — matched rows simply
+    # vanish, no join needed (the anti-join survivor piece above covers
+    # unmatched target rows)
     if when_not_matched == "insert":
         ins = src.join(matched_keys, keys, "left_anti")
         for c in rt_extras:  # inserts are NEW rows: fresh ids from the add
@@ -726,10 +774,12 @@ def merge_upsert_mor(
     when_not_matched: str | None = "insert",
     not_matched_by_source: str | None = None,
     matched_condition: str | None = None,
+    matched_clauses: list[tuple[str | None, str]] | None = None,
 ) -> dict:
-    """Merge-on-read MERGE: same clause semantics as merge_upsert, but
-    matched target rows are deletion-vectored in place and only the NEW row
-    versions (source updates + inserts) are written — no target file is
+    """Merge-on-read MERGE: same clause semantics as merge_upsert
+    (including ordered multi-clause `matched_clauses`), but matched target
+    rows are deletion-vectored in place and only the NEW row versions
+    (source updates + inserts) are written — no target file is
     rewritten. Cost is O(matched rows + source rows); copy-on-write merge
     rewrites every touched file wholesale. Files whose every row is
     consumed (and, under not_matched_by_source='delete', files with no
@@ -737,8 +787,9 @@ def merge_upsert_mor(
     mechanics shared with delete_mor via `_dv_pieces`."""
     from .reader import read_files_with_index
 
-    if when_matched not in ("update", "delete"):
-        raise ValueError("when_matched must be 'update' or 'delete'")
+    clauses = _normalize_matched_clauses(
+        when_matched, matched_condition, matched_clauses
+    )
     if when_not_matched not in ("insert", None):
         raise ValueError("when_not_matched must be 'insert' or None")
     if not_matched_by_source not in ("delete", None):
@@ -776,10 +827,10 @@ def merge_upsert_mor(
             touched_names.add(name)
     touched = [by_basename[n] for n in touched_names if n in by_basename]
 
-    if touched and (
-        when_matched == "update"
-        or (when_matched == "delete" and matched_condition is not None)
-    ):
+    needs_per_row = any(a == "update" for _c, a in clauses) or any(
+        c is not None for c, _a in clauses
+    )
+    if touched and needs_per_row:
         tgt_keys = (
             read_files_with_index(spark, snap, touched).select(*keys).distinct()
         )
@@ -797,11 +848,6 @@ def merge_upsert_mor(
                 "the update would be nondeterministic"
             )
 
-    cond = (
-        F.coalesce(F.expr(matched_condition), F.lit(False))
-        if matched_condition is not None
-        else F.lit(True)
-    )
     non_keys = [c for c in target_cols if c not in keys]
 
     pieces_new: list[DataFrame] = []
@@ -817,14 +863,19 @@ def merge_upsert_mor(
             tagged = _resolve_row_ids(spark, snap, touched, tagged)
         tagged = tagged.localCheckpoint(eager=True)
         joined = tagged.alias("t").join(src.alias("s"), keys, "inner")
-        clause_rows = joined.filter(cond)
+        # first-match-wins clause index per (target, source) pair: ANY
+        # applying clause deletion-vectors the old row version; update
+        # clauses additionally append the source version below
+        applied = joined.withColumn("__clause", _matched_clause_index(clauses))
+        clause_rows = applied.filter(F.col("__clause") != -1)
         dv_rows = clause_rows.select("_file", "_row_idx")
         if not_matched_by_source == "delete":
             dv_rows = dv_rows.unionByName(
                 tagged.join(src_keys, keys, "left_anti").select("_file", "_row_idx")
             )
         staged = _stage_dvs(spark, table_path, dv_rows, touched)
-        if when_matched == "update":
+        update_idx = [i for i, (_c, a) in enumerate(clauses) if a == "update"]
+        if update_idx:
             src_version = [F.col(k) for k in keys] + [
                 F.col(f"s.{c}").alias(c) for c in non_keys
             ]
@@ -839,7 +890,11 @@ def merge_upsert_mor(
                     F.col(f"t.{c}").alias(c)
                     for c in (MATERIALIZED_ROW_ID_COL, MATERIALIZED_RCV_COL)
                 ]
-            pieces_new.append(clause_rows.select(*src_version))
+            pieces_new.append(
+                applied.filter(F.col("__clause").isin(update_idx)).select(
+                    *src_version
+                )
+            )
         matched_keys = (
             tagged.select(*keys).join(src_keys, keys, "left_semi").distinct()
         )

@@ -189,13 +189,22 @@ class DeltaTable:
         df: DataFrame,
         mode: str = "append",
         partition_by: list[str] | None = None,
+        replace_where: str | list | None = None,
     ) -> int:
+        """replace_where (+ mode='overwrite'): selective overwrite — replace
+        only predicate-matching rows (writer.write_delta replace_where)."""
         if partition_by is None:
             try:
                 partition_by = self.partition_columns()
             except (FileNotFoundError, ValueError):
                 partition_by = []
-        return write_delta(df, self.path, mode=mode, partition_by=partition_by)
+        return write_delta(
+            df,
+            self.path,
+            mode=mode,
+            partition_by=partition_by,
+            replace_where=replace_where,
+        )
 
     def checkpoint(self) -> int:
         return write_checkpoint(self.path)
@@ -229,9 +238,12 @@ class DeltaTable:
         not_matched_by_source: str | None = None,
         matched_condition: str | None = None,
         mode: str = "cow",
+        matched_clauses: list[tuple[str | None, str]] | None = None,
     ) -> dict:
         """mode='cow' rewrites touched files; mode='mor' deletion-vectors
-        matched target rows and appends only new row versions."""
+        matched target rows and appends only new row versions.
+        matched_clauses: ordered (condition|None, 'update'|'delete') list,
+        first-match-wins per target row (multi-clause WHEN MATCHED)."""
         from .dml import merge_upsert, merge_upsert_mor
 
         fn = (
@@ -249,6 +261,7 @@ class DeltaTable:
             when_not_matched,
             not_matched_by_source,
             matched_condition,
+            matched_clauses=matched_clauses,
         )
 
     def compact(

@@ -668,8 +668,23 @@ def write_delta(
     configuration: dict[str, str] | None = None,
     liquid_cluster_by: list[str] | None = None,
     identity_columns: dict[str, tuple[int, int]] | None = None,
+    replace_where: str | list | None = None,
 ) -> int:
     """Write `df` to a Delta table at `table_path`. Returns committed version.
+
+    replace_where (with mode='overwrite'): SELECTIVE overwrite — replace
+    only the rows matching the predicate (Delta's `replaceWhere`), the
+    most common batch-pipeline write pattern ("repair just
+    ds=2026-08-14"). Every incoming row must satisfy the predicate
+    (rejected otherwise, per Delta semantics). Files are scoped by the
+    same driver-side pruning the scan uses (stats.prune_files): a
+    partition-only predicate removes exactly the matching partitions'
+    files with NO data I/O; an arbitrary predicate additionally rewrites
+    the boundary files without their matching rows. Untouched files are
+    never referenced, so the commit is O(replaced partition), not
+    O(table) — the piece the reference's users get from Athena-side
+    INSERT OVERWRITE (hive-layout repair the connector then re-reads,
+    DeltaMetadataHandler.scala:33-38).
 
     identity_columns (table creation / overwrite only): {name: (start,
     step)} adds GENERATED ALWAYS AS IDENTITY columns — the engine assigns
@@ -721,6 +736,8 @@ def write_delta(
     """
     if mode not in {"append", "overwrite"}:
         raise ValueError(f"unsupported mode: {mode}")
+    if replace_where is not None and mode != "overwrite":
+        raise ValueError("replace_where requires mode='overwrite'")
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version go together")
     table_path = os.path.abspath(table_path)
@@ -737,10 +754,28 @@ def write_delta(
         and prior.txns.get(txn_app_id, -1) >= txn_version
     ):
         return prior.version  # already applied: idempotent no-op
-    if partition_by is None and prior is not None and mode == "append":
-        # inherit the table's existing partition spec on append
+    if (
+        partition_by is None
+        and prior is not None
+        and (mode == "append" or replace_where is not None)
+    ):
+        # inherit the table's existing partition spec on append and on
+        # selective overwrite (replaceWhere keeps the table layout)
         partition_by = list(prior.partition_columns)
     partition_by = list(partition_by or [])
+    if replace_where is not None and prior is not None:
+        if {f.name for f in df.schema.fields} != {
+            f.name for f in prior.schema.fields
+        }:
+            raise ValueError(
+                "replace_where requires the incoming schema to match the "
+                "table schema (selective overwrite cannot evolve the schema)"
+            )
+        if list(prior.partition_columns) != partition_by:
+            raise ValueError(
+                f"partition mismatch: table has {prior.partition_columns}, "
+                f"got {partition_by}"
+            )
 
     # identity columns: GENERATED ALWAYS — the writer assigns, callers may
     # never supply values. identity_params carries the post-commit field
@@ -921,6 +956,44 @@ def write_delta(
     if prior is not None:
         _enforce_constraints(df, prior.metadata.get("configuration"))
 
+    # replaceWhere scoping: which files does this overwrite actually
+    # replace, and which boundary rows must survive via a rewrite
+    rw_candidates = None
+    rw_survivor_adds: list[dict] = []
+    if replace_where is not None and prior is not None:
+        from pyspark.sql import functions as F
+
+        from .dml import _normalize_where, _partition_only, _read_cow
+        from .stats import prune_files
+
+        preds, rw_cond, fully_parsed = _normalize_where(replace_where)
+        bad = (
+            df.filter(~F.coalesce(rw_cond, F.lit(False))).limit(1).count()
+        )
+        if bad:
+            raise ValueError(
+                "replace_where: incoming data contains rows that do not "
+                f"satisfy the predicate {replace_where!r}"
+            )
+        rw_candidates = prune_files(prior, preds) if preds else list(prior.files)
+        if rw_candidates and not (fully_parsed and _partition_only(preds, prior)):
+            # boundary files may hold rows OUTSIDE the predicate: rewrite
+            # them keeping only the non-matching rows (NULL predicate
+            # keeps, matching DELETE semantics); partition-only predicates
+            # skip this — every row of a pruned-in file matches, so the
+            # removes alone are exact and the overwrite is metadata+append
+            survivors = _read_cow(df.sparkSession, prior, rw_candidates).filter(
+                ~F.coalesce(rw_cond, F.lit(False))
+            )
+            rw_survivor_adds = stage_data_files(
+                survivors,
+                table_path,
+                partition_by,
+                data_schema,
+                collect_stats,
+                l2p=mapping_l2p,
+            )
+
     adds = stage_data_files(
         df, table_path, partition_by, data_schema, collect_stats,
         l2p=mapping_l2p,
@@ -1037,9 +1110,12 @@ def write_delta(
     if mode == "overwrite" and prior is not None:
         from urllib.parse import quote
 
-        if prior.files:
+        # replaceWhere removes ONLY the predicate-scoped files (plus their
+        # survivor rewrites added below); a plain overwrite removes all
+        to_remove = prior.files if rw_candidates is None else rw_candidates
+        if to_remove:
             _check_append_only(effective_config, "overwrite")
-        for f in prior.files:
+        for f in to_remove:
             actions.append(
                 {
                     "remove": {
@@ -1050,6 +1126,7 @@ def write_delta(
                     }
                 }
             )
+        adds = rw_survivor_adds + adds
     row_tracking = _row_tracking_enabled(effective_config)
     if row_tracking and adds:
         hwm = _row_id_hwm(prior.domain_metadata if prior is not None else {})

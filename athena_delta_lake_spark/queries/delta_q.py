@@ -589,3 +589,46 @@ def l13(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long").alias("drifted"),
     )
+
+
+def _ensure_replace_where_nation(spark: SparkSession, sf_dir: str) -> str:
+    """nation as a Delta table partitioned by n_regionkey, with partition
+    2 selectively overwritten via replaceWhere (same rows, n_nationkey
+    shifted by +100) — the batch-pipeline partition-repair pattern."""
+    path = os.path.join(_fixture_root(sf_dir), "lake", "delta_nation_rw")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        n = load(spark, sf_dir, "nation")
+        write_delta(n, path, partition_by=["n_regionkey"])
+        repl = n.filter("n_regionkey = 2").withColumn(
+            "n_nationkey", F.col("n_nationkey") + 100
+        )
+        write_delta(repl, path, mode="overwrite", replace_where="n_regionkey = 2")
+    return path
+
+
+@register(
+    "b11_replace_where",
+    "delta-core",
+    """
+    SELECT CAST(n_regionkey AS INT) AS rk,
+           count(*) AS n,
+           CAST(sum(CASE WHEN n_regionkey = 2 THEN n_nationkey + 100
+                         ELSE n_nationkey END) AS BIGINT) AS key_sum
+    FROM nation GROUP BY 1
+    """,
+    "replaceWhere selective overwrite (writer.write_delta replace_where=): "
+    "partition-scoped replace removes exactly the matching partition's "
+    "files with no data I/O on the rest; oracle = raw parquet with the "
+    "replacement applied arithmetically",
+)
+def b11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_replace_where_nation(spark, sf_dir)
+    t = DeltaTable(spark, path)
+    return (
+        t.to_df()
+        .groupBy(F.col("n_regionkey").cast("int").alias("rk"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+        )
+    )

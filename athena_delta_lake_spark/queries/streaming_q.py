@@ -369,3 +369,47 @@ def st09(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_timestamp("ts")).cast("long").alias("last_ts_sec"),
         F.floor(F.col("value") * 1000).cast("long").alias("value_millis"),
     )
+
+
+@register(
+    "b12_stream_tumbling",
+    "streaming",
+    """
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+           count(*) AS n,
+           CAST(sum(floor(value * 1000)) AS BIGINT) AS total_millis
+    FROM events WHERE event_id < 500 GROUP BY 1
+    """,
+    "streaming-family driver-window representative: tumbling 1h windows "
+    "over a small event subset (readStream -> stateful agg -> memory "
+    "sink, complete mode == batch time buckets), kept cheap so the "
+    "driver's alphabetical check window gains its first streaming row",
+)
+def b12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # small once-per-sf subset dir (file_stream needs a directory; writing
+    # through Spark also normalizes the fixture's nano timestamps to micros)
+    src_dir = os.path.join(
+        "/tmp", f"stream_small_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not os.path.isdir(src_dir):
+        load(spark, sf_dir, "events").filter("event_id < 500").coalesce(
+            1
+        ).write.mode("overwrite").parquet(src_dir)
+    from ..streaming import file_stream
+
+    ev = file_stream(
+        spark,
+        src_dir,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    agg = ev.groupBy(F.window("ts", "1 hour")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 1000)).cast("long").alias("total_millis"),
+    )
+    out = _run_to_table(agg, "b12_out", "complete")
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        "n",
+        "total_millis",
+    )
