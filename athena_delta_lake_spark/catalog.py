@@ -161,51 +161,111 @@ class DeltaPond:
             )
         return hits[0]
 
+    def _relation_spans(self, query: str) -> list[tuple[list[str], int, int]]:
+        """Parse `query` with the session's SQL parser and return every
+        UnresolvedRelation as (identifier parts, start char, stop char).
+
+        Analyzer-grounded: relation references come from the parsed logical
+        plan (including inside subquery expressions and CTE bodies), so a
+        string LITERAL containing 'schema.table' text, or an identifier
+        inside a comment, is never mistaken for a table reference — the
+        failure mode of the old regex text rewrite."""
+        jparser = self.spark._jsparkSession.sessionState().sqlParser()
+        jplan = jparser.parsePlan(query)
+        out: list[tuple[list[str], int, int]] = []
+
+        def walk_plan(node) -> None:
+            if node.getClass().getName().endswith(".UnresolvedRelation"):
+                ident = node.multipartIdentifier()
+                parts = [ident.apply(i) for i in range(ident.size())]
+                o = node.origin()
+                si, pi = o.startIndex(), o.stopIndex()
+                if si.isDefined() and pi.isDefined():
+                    out.append((parts, si.get(), pi.get()))
+            kids = node.children()
+            for i in range(kids.size()):
+                walk_plan(kids.apply(i))
+            try:  # CTE bodies (UnresolvedWith) are not in children()
+                ctes = node.cteRelations()
+                for i in range(ctes.size()):
+                    walk_plan(ctes.apply(i)._2())
+            except Exception:
+                pass
+            try:
+                exprs = node.expressions()
+            except Exception:
+                return
+            for i in range(exprs.size()):
+                walk_expr(exprs.apply(i))
+
+        def walk_expr(e) -> None:
+            try:
+                walk_plan(e.plan())  # SubqueryExpression (EXISTS/IN/scalar)
+            except Exception:
+                pass
+            kids = e.children()
+            for i in range(kids.size()):
+                walk_expr(kids.apply(i))
+
+        walk_plan(jplan)
+        return out
+
     def sql(self, query: str, _max_resolves: int = 20) -> DataFrame:
         """Plain SQL over the pond with tables resolved lazily AT
         NAME-LOOKUP TIME — the reference's headline capability ("query
         DeltaLake tables ... without having to register those tables on AWS
         Glue (or any other Metastore)", reference README.md:5-6): no
-        registration step, no metastore. Each relation the analyzer cannot
-        resolve triggers storage-layout lookup + Delta log replay (the
-        doGetTable analogue, DeltaMetadataHandler.scala:90-107) and binds a
-        view; the query then re-plans. Bare names search every schema;
-        `schema.table` names bind through a mangled view (Spark temp views
-        cannot be dotted) with the query text rewritten to match.
+        registration step, no metastore. The query is parsed once; every
+        relation the plan references that lives in the pond triggers
+        storage-layout lookup + Delta log replay (the doGetTable analogue,
+        DeltaMetadataHandler.scala:90-107) and binds a view. Bare names
+        search every schema; `schema.table` names bind through a mangled
+        view (Spark temp views cannot be dotted) and the reference is
+        spliced at its exact parse-origin character span — string literals
+        and comments containing look-alike text are untouched.
 
-        Resolution is per-query-failure, so an N-table query costs N
-        re-plans on first touch and zero afterwards (views persist in the
+        Resolution work happens only on first touch (views persist in the
         session; snapshot cache keeps log replay O(1) when unchanged)."""
-        import re
-
         from pyspark.errors import AnalysisException
 
+        try:
+            spans = self._relation_spans(query)
+        except Exception:
+            spans = []  # unparseable here -> let spark.sql raise properly
+
+        schemas = set(self.list_schemas())
+        splices: list[tuple[int, int, str]] = []
+        for parts, start, stop in spans:
+            if len(parts) == 2 and parts[0] in schemas:
+                if parts[1] not in self.list_tables(parts[0]):
+                    raise FileNotFoundError(
+                        f"no pond table named {parts[0]}.{parts[1]}"
+                    )
+                view = f"__pond__{parts[0]}__{parts[1]}"
+                self.read(parts[0], parts[1]).createOrReplaceTempView(view)
+                splices.append((start, stop, view))
+            elif len(parts) == 1 and not self.spark.catalog.tableExists(parts[0]):
+                try:
+                    schema = self._schema_for(parts[0])
+                except FileNotFoundError:
+                    continue  # CTE name / not ours -> analyzer's problem
+                self.read(schema, parts[0]).createOrReplaceTempView(parts[0])
+
         q = query
+        for start, stop, view in sorted(splices, reverse=True):
+            q = q[:start] + view + q[stop + 1:]
+
+        # Fallback loop for anything the parse walk could not see
+        # (e.g. IDENTIFIER() clauses resolved only at analysis time).
         for _ in range(_max_resolves):
             try:
                 return self.spark.sql(q)
             except AnalysisException as e:
                 name = self._missing_relation(e)
-                if name is None:
+                if name is None or "." in name:
                     raise
-                parts = name.split(".")
-                if len(parts) == 1:
-                    schema = self._schema_for(parts[0])
-                    self.read(schema, parts[0]).createOrReplaceTempView(parts[0])
-                elif len(parts) == 2 and parts[0] in self.list_schemas():
-                    view = f"__pond__{parts[0]}__{parts[1]}"
-                    self.read(parts[0], parts[1]).createOrReplaceTempView(view)
-                    pat = re.compile(
-                        r"\b" + re.escape(parts[0]) + r"\s*\.\s*"
-                        + re.escape(parts[1]) + r"\b",
-                        re.IGNORECASE,
-                    )
-                    new_q = pat.sub(view, q)
-                    if new_q == q:  # nothing rewritten: would loop forever
-                        raise
-                    q = new_q
-                else:
-                    raise
+                schema = self._schema_for(name)
+                self.read(schema, name).createOrReplaceTempView(name)
         raise RuntimeError(f"gave up resolving relations after {_max_resolves} passes")
 
 

@@ -165,3 +165,35 @@ def test_pond_sql_sees_ddl_changes(spark, tmp_path):
     assert (
         pond.sql("SELECT count(*) AS n FROM lake.metrics_dev").collect()[0]["n"] == 2
     )
+
+
+def test_pond_sql_literal_lookalike_untouched(spark, tmp_path):
+    """A string literal (or comment) containing `schema.table` text must
+    not be rewritten: relation references come from the parsed plan's
+    UnresolvedRelation origins, not from text matching."""
+    from athena_delta_lake_spark import write_delta
+    from athena_delta_lake_spark.catalog import DeltaPond
+
+    root = str(tmp_path / "pond_lit")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "lake.delta_lineitem"), (2, "other")], "id long, src string"
+        ),
+        f"{root}/lake/delta_lineitem",
+    )
+    pond = DeltaPond(spark, root)
+    got = pond.sql(
+        "SELECT count(*) AS n FROM lake.delta_lineitem  -- lake.delta_lineitem\n"
+        "WHERE src = 'lake.delta_lineitem'"
+    ).collect()
+    assert got[0]["n"] == 1
+    # literal-only query: nothing rewritten, nothing bound
+    got = pond.sql("SELECT 'lake.delta_lineitem' AS s").collect()
+    assert got[0]["s"] == "lake.delta_lineitem"
+    # subquery + CTE referencing pond tables still resolve
+    got = pond.sql(
+        "WITH t AS (SELECT id FROM lake.delta_lineitem) "
+        "SELECT count(*) AS n FROM t "
+        "WHERE EXISTS (SELECT 1 FROM lake.delta_lineitem x WHERE x.id = t.id)"
+    ).collect()
+    assert got[0]["n"] == 2
