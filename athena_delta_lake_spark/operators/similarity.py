@@ -792,6 +792,119 @@ def pq_ann(
     )
 
 
+def pq_encode_with_residual(
+    df: DataFrame,
+    C: "np.ndarray",
+    vec_col: str = "embedding",
+    code_col: str = "pq",
+    resid_col: str = "pq_resid",
+) -> DataFrame:
+    """pq_encode plus the per-row quantization residual norm
+    r = ||x_norm - reconstruction||_2 — the ingredient that turns ADC from
+    a heuristic into a *bounded* estimate: for unit q,
+    |cos(q, x) - adc(q, x)| <= r (Cauchy-Schwarz on q . (x - x_hat))."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, k_sub, d_sub = C.shape
+
+    @pandas_udf(f"struct<{code_col}: array<tinyint>, {resid_col}: double>")
+    def enc(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({code_col: [], resid_col: []})
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        V = V / np.clip(np.linalg.norm(V, axis=1, keepdims=True), 1e-12, None)
+        Vs = V.reshape(len(V), m, d_sub)
+        codes = np.empty((len(V), m), dtype=np.int8)
+        resid2 = np.zeros(len(V), dtype=np.float64)
+        for i in range(m):
+            d2 = ((Vs[:, i, None, :] - C[i][None, :, :]) ** 2).sum(axis=2)
+            codes[:, i] = np.argmin(d2, axis=1)
+            resid2 += d2[np.arange(len(V)), codes[:, i]]
+        return pd.DataFrame(
+            {
+                code_col: [row.tolist() for row in codes],
+                resid_col: np.sqrt(resid2),
+            }
+        )
+
+    packed = df.withColumn("_enc", enc(F.col(vec_col)))
+    return packed.select(
+        *df.columns,
+        F.col(f"_enc.{code_col}").alias(code_col),
+        F.col(f"_enc.{resid_col}").alias(resid_col),
+    )
+
+
+def pq_ann_exact(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    k_sub: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """PQ search that is provably EXACT for any codebook quality, via the
+    ADC error bound: with unit-norm query q and corpus row x,
+    cos(q, x) lies in [adc - r, adc + r] where r is x's quantization
+    residual norm. Per query, tau = k-th largest lower bound (adc - r);
+    every row whose upper bound adc + r >= tau is a candidate (the true
+    top-k provably passes: each of its rows has cos >= k-th best cos >=
+    tau), and only candidates get the exact-cosine re-rank.
+
+    At 100 TB this is the scan shape you want: the filtering pass reads
+    m-byte codes + one double (32x smaller than raw vectors), tau is one
+    k-th order statistic per query (broadcast back), and the exact pass
+    touches only rows the bound could not exclude — the candidate count
+    shrinks as codebook training improves, while correctness never depends
+    on it. Unlike pq_ann's fixed k*refine cut, recall here is 1 by
+    construction, so the gate oracles against brute force."""
+    from pyspark.sql import Window as W
+
+    C = train_pq(corpus, corpus_vec, m, k_sub, iters, seed)
+    encoded = pq_encode_with_residual(corpus, C, corpus_vec).select(
+        corpus_id, corpus_vec, "pq", "pq_resid"
+    )
+
+    approx = encoded.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(query_vec),
+        F.col(corpus_id),
+        F.col(corpus_vec),
+        pq_adc_score(C, F.col(query_vec), F.col("pq")).alias("adc"),
+        F.col("pq_resid"),
+    )
+    lbdf = approx.select(
+        query_id, (F.col("adc") - F.col("pq_resid")).alias("_lb")
+    )
+    # Any k-th largest lower bound is a valid tau (ties included): the
+    # exactness proof only needs >= k rows with true sim >= tau.
+    w = W.partitionBy(query_id).orderBy(F.desc("_lb"))
+    tau = (
+        lbdf.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == k)
+        .select(query_id, F.col("_lb").alias("_tau"))
+    )
+    cands = approx.join(F.broadcast(tau), query_id, "left").filter(
+        F.col("adc") + F.col("pq_resid")
+        >= F.coalesce(F.col("_tau"), F.lit(float("-inf")))
+    )
+    scored = cands.select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_pandas(F.col(query_vec), F.col(corpus_vec)).alias("sim"),
+    )
+    w2 = W.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def pq_reconstruction(
     df: DataFrame, C: "np.ndarray", vec_col: str = "embedding"
 ) -> DataFrame:

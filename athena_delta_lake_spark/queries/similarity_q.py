@@ -135,18 +135,20 @@ def n04(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "n06_pq_ann",
     "similarity",
-    None,  # stays rows-only BY MEASUREMENT: the fixture embeddings are
-    # near-uniform random, so the m=8 ADC ordering places true top-9
-    # neighbors as deep as the ~40th percentile of the corpus (worst rank
-    # 230/500 at sf0.01) — no refine short of a full scan guarantees
-    # recall 1. Recall + reconstruction bounds asserted in tests/.
-    "product-quantization ANN: 8x16 codebooks, ADC scan over m-byte codes, "
-    "exact re-rank of top k*4",
+    _ANN_TOP9_SQL,
+    "product-quantization search: 8x16 codebooks, ADC scan over m-byte "
+    "codes with quantization-error bounds, bound-filtered exact re-rank",
 )
 def n06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full oracle via pq_ann_exact: ADC scores carry +/- residual-norm
+    # error bounds, so the candidate cut provably contains the true top-k
+    # for ANY codebook quality — recall is 1 by construction, not by
+    # parameter luck (the fixture's near-uniform embeddings defeat every
+    # fixed k*refine cut; see sim.pq_ann for the conventional refine path,
+    # whose recall/reconstruction bounds are asserted in tests/).
     e = load(spark, sf_dir, "embeddings")
     q = _queries_df(spark, sf_dir)
-    res = sim.pq_ann(q, e, k=10, m=8, k_sub=16, refine=4)
+    res = sim.pq_ann_exact(q, e, k=10, m=8, k_sub=16)
     return res.filter(F.col("vec_id") != F.col("q_id")).select(
         "q_id", "vec_id", F.round("sim", 6).alias("sim")
     )

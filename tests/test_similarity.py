@@ -236,3 +236,39 @@ def test_semantic_dedup_within_cluster_only(spark):
     )
     ids = sorted(r["id"] for r in auto.collect())
     assert 1 <= len(ids) <= 5 and len(set(ids)) == len(ids)
+
+
+def test_pq_ann_exact_equals_brute_force(spark, sf_dir):
+    """pq_ann_exact is exact BY CONSTRUCTION (ADC +/- residual-norm
+    bounds), so it must equal brute force including at a deliberately
+    terrible operating point — one untrained k-means iteration and only
+    4 codewords per subspace — where the conventional refine cut fails."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = sim.brute_force_knn(q, e, k=8)
+    got = sim.pq_ann_exact(q, e, k=8, m=8, k_sub=4, iters=1)
+    ex = sorted((r["q_id"], r["vec_id"], round(r["sim"], 9)) for r in exact.collect())
+    gt = sorted((r["q_id"], r["vec_id"], round(r["sim"], 9)) for r in got.collect())
+    assert ex == gt
+
+
+def test_pq_residual_bound_holds(spark, sf_dir):
+    """|cos(q,x) - adc(q,x)| <= pq_resid for every pair: the invariant the
+    exact search rests on."""
+    e = load(spark, sf_dir, "embeddings").limit(100)
+    C = sim.train_pq(e, "embedding", m=8, k_sub=16)
+    enc = sim.pq_encode_with_residual(e, C, "embedding")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    pairs = enc.crossJoin(F.broadcast(q)).select(
+        sim.cosine_pandas(F.col("q_vec"), F.col("embedding")).alias("cos"),
+        sim.pq_adc_score(C, F.col("q_vec"), F.col("pq")).alias("adc"),
+        "pq_resid",
+    )
+    bad = pairs.filter(
+        F.abs(F.col("cos") - F.col("adc")) > F.col("pq_resid") + F.lit(1e-9)
+    ).count()
+    assert bad == 0
