@@ -107,7 +107,7 @@ def a04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a05_approx_distinct",
+    "k01_approx_distinct",
     "aggregation",
     None,  # HLL++ estimates are engine-specific: rows-only check; the unit
     # test asserts relative error vs exact countDistinct instead.
@@ -266,7 +266,7 @@ def a09(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a12_approx_percentile",
+    "k02_approx_percentile",
     "aggregation",
     None,  # quantile-sketch estimates are engine-specific (Spark GK vs
     # DuckDB t-digest): rows-only check; tests/test_queries_aggregates
@@ -309,7 +309,7 @@ def a13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a14_hll_sketch_union",
+    "k03_hll_sketch_union",
     "aggregation",
     None,  # Datasketches HLL binary sketches have no DuckDB equivalent;
     # estimate-vs-exact error is bounded in tests/test_scale_ops.py
@@ -365,7 +365,7 @@ def a15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a16_cms_heavy_hitters",
+    "k04_cms_heavy_hitters",
     "aggregation",
     None,  # xxhash64 cells have no DuckDB equivalent; the CMS guarantee
     # (never undercounts; overcount <= eps*N) is bounded in

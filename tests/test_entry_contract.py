@@ -27,11 +27,10 @@ def test_queries_oracle_consistency():
     # every non-oracle query is one of the documented approximate/hash ops
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "a05_approx_distinct",
-        "a12_approx_percentile",
-        "a14_hll_sketch_union",
-        "a16_cms_heavy_hitters",
-        "n06_pq_ann",
+        "k01_approx_distinct",
+        "k02_approx_percentile",
+        "k03_hll_sketch_union",
+        "k04_cms_heavy_hitters",
         "x05_winnow_fingerprints",
     }
 
