@@ -225,8 +225,18 @@ class DeltaPond:
         and comments containing look-alike text are untouched.
 
         Resolution work happens only on first touch (views persist in the
-        session; snapshot cache keeps log replay O(1) when unchanged)."""
+        session; snapshot cache keeps log replay O(1) when unchanged).
+
+        DML/DDL statements (INSERT / CTAS / DELETE / UPDATE / MERGE /
+        TRUNCATE / DROP TABLE / CREATE SCHEMA) route to the native Delta
+        write layer — see sqldml.route_statement."""
         from pyspark.errors import AnalysisException
+
+        from .sqldml import route_statement
+
+        routed = route_statement(self, query)
+        if routed is not None:
+            return routed
 
         try:
             spans = self._relation_spans(query)

@@ -632,3 +632,77 @@ def b11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_nationkey").cast("long").alias("key_sum"),
         )
     )
+
+
+def _ensure_sqldml_nation(spark: SparkSession, sf_dir: str) -> DeltaPond:
+    """A nation-derived Delta table built ENTIRELY through pond.sql DML
+    statements (CTAS -> INSERT -> UPDATE -> DELETE -> multi-clause MERGE)
+    — the write-side SQL surface the read-only reference delegates to
+    Athena (README.md:5-8), executed natively here. Built once per sf."""
+    root = os.path.join(_fixture_root(sf_dir), "pond_sqldml")
+    pond = DeltaPond(spark, root)
+    path = os.path.join(root, "lake", "nation_dml")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        load(spark, sf_dir, "nation").createOrReplaceTempView("nation_src")
+        pond.sql("CREATE SCHEMA IF NOT EXISTS lake")
+        pond.sql(
+            "CREATE TABLE lake.nation_dml PARTITIONED BY (n_regionkey) AS "
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation_src"
+        )
+        pond.sql(
+            "INSERT INTO lake.nation_dml SELECT n_nationkey + 1000, "
+            "concat(n_name, '_X'), n_regionkey FROM nation_src "
+            "WHERE n_regionkey = 0"
+        )
+        pond.sql(
+            "UPDATE lake.nation_dml SET n_regionkey = n_regionkey + 10 "
+            "WHERE n_nationkey >= 1000"
+        )
+        pond.sql("DELETE FROM lake.nation_dml WHERE n_regionkey = 4")
+        pond.sql(
+            "MERGE INTO lake.nation_dml AS t USING "
+            "(SELECT n_nationkey, concat(n_name, '_M') AS n_name, "
+            "n_regionkey FROM nation_src WHERE n_regionkey = 1) AS s "
+            "ON t.n_nationkey = s.n_nationkey "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    return pond
+
+
+@register(
+    "b13_sql_dml",
+    "delta-core",
+    """
+    WITH base AS (
+      SELECT n_nationkey,
+             CASE WHEN n_regionkey = 1 THEN n_name || '_M' ELSE n_name END AS n_name,
+             n_regionkey
+      FROM nation WHERE n_regionkey <> 4
+    ), ins AS (
+      SELECT n_nationkey + 1000 AS n_nationkey, n_name || '_X' AS n_name,
+             n_regionkey + 10 AS n_regionkey
+      FROM nation WHERE n_regionkey = 0
+    ), final AS (
+      SELECT * FROM base UNION ALL SELECT * FROM ins
+    )
+    SELECT CAST(n_regionkey AS INT) AS rk, count(*) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           CAST(sum(length(n_name)) AS BIGINT) AS name_len
+    FROM final GROUP BY 1
+    """,
+    "SQL DML endpoint (sqldml.route_statement): CTAS + INSERT + UPDATE + "
+    "DELETE + multi-clause MERGE through pond.sql, all parse-plan-routed "
+    "onto the native Delta write layer; oracle reproduces the final state "
+    "arithmetically from raw parquet",
+)
+def b13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pond = _ensure_sqldml_nation(spark, sf_dir)
+    return pond.sql(
+        """
+        SELECT CAST(n_regionkey AS INT) AS rk, count(*) AS n,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+               CAST(sum(length(n_name)) AS BIGINT) AS name_len
+        FROM lake.nation_dml GROUP BY 1
+        """
+    )

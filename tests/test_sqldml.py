@@ -1,0 +1,170 @@
+"""SQL DML/DDL statements through the metastore-less pond endpoint.
+
+The reference connector is read-only (users run DML via Athena itself);
+pond.sql routes the same statements — classified from the parsed plan,
+never by text matching — onto the native Delta write layer.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_delta_lake_spark.catalog import DeltaPond
+
+
+@pytest.fixture
+def pond(spark, tmp_path):
+    p = DeltaPond(spark, str(tmp_path / "pond"))
+    p.sql("CREATE SCHEMA lake")
+    return p
+
+
+def _mk(pond, name="t"):
+    pond.sql(
+        f"CREATE TABLE lake.{name} PARTITIONED BY (ds) AS "
+        "SELECT id, CAST(id * 2 AS DOUBLE) AS v, "
+        "CASE WHEN id < 5 THEN 'a' ELSE 'b' END AS ds FROM range(10)"
+    )
+
+
+def test_ctas_partitioned(pond):
+    _mk(pond)
+    assert pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"] == 10
+    # partitioned layout on disk (hive dirs)
+    root = pond.table_path("lake", "t")
+    assert any(d.startswith("ds=") for d in os.listdir(root))
+    # IF NOT EXISTS: second CTAS is a no-op
+    r = pond.sql("CREATE TABLE IF NOT EXISTS lake.t AS SELECT 1 AS x").first()
+    assert r["operation"] == "ctas_skipped"
+    with pytest.raises(ValueError, match="already exists"):
+        pond.sql("CREATE TABLE lake.t AS SELECT 1 AS x")
+
+
+def test_insert_positional_and_column_list(pond):
+    _mk(pond)
+    pond.sql("INSERT INTO lake.t SELECT id + 100, -1.0, 'c' FROM range(2)")
+    assert pond.sql(
+        "SELECT count(*) AS n FROM lake.t WHERE ds = 'c'"
+    ).first()["n"] == 2
+    # explicit column list: unlisted columns become NULL
+    pond.sql("INSERT INTO lake.t (id, ds) SELECT 999, 'c'")
+    row = pond.sql("SELECT v FROM lake.t WHERE id = 999").first()
+    assert row["v"] is None
+    with pytest.raises(ValueError, match="not in table"):
+        pond.sql("INSERT INTO lake.t (nope) SELECT 1")
+    with pytest.raises(ValueError, match="columns"):
+        pond.sql("INSERT INTO lake.t SELECT 1")
+
+
+def test_insert_overwrite_partition_is_selective(pond):
+    _mk(pond)
+    pond.sql(
+        "INSERT OVERWRITE lake.t PARTITION (ds='a') SELECT id + 50, 0.0 FROM range(3)"
+    )
+    got = {
+        r["ds"]: r["n"]
+        for r in pond.sql(
+            "SELECT ds, count(*) AS n FROM lake.t GROUP BY ds"
+        ).collect()
+    }
+    assert got == {"a": 3, "b": 5}  # partition b untouched
+    # full overwrite replaces everything
+    pond.sql("INSERT OVERWRITE lake.t SELECT 1, 1.0, 'z'")
+    assert pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"] == 1
+
+
+def test_delete_update_with_alias(pond):
+    _mk(pond)
+    pond.sql("UPDATE lake.t AS x SET v = x.v + 0.5 WHERE x.ds = 'a'")
+    assert pond.sql(
+        "SELECT sum(v) AS s FROM lake.t WHERE ds = 'a'"
+    ).first()["s"] == pytest.approx(sum(i * 2 + 0.5 for i in range(5)))
+    pond.sql("DELETE FROM lake.t AS x WHERE x.ds = 'b' AND x.id >= 8")
+    assert pond.sql(
+        "SELECT count(*) AS n FROM lake.t WHERE ds = 'b'"
+    ).first()["n"] == 3
+
+
+def test_merge_multi_clause_cdc(pond, spark):
+    _mk(pond)
+    spark.sql(
+        "SELECT 2 AS id, 0.0 AS v, 'a' AS ds, 'D' AS op "
+        "UNION ALL SELECT 3, 100.0, 'a', 'U' "
+        "UNION ALL SELECT 55, 7.0, 'b', 'U'"
+    ).createOrReplaceTempView("cdc")
+    pond.sql(
+        "MERGE INTO lake.t AS tgt "
+        "USING (SELECT id, v, ds FROM cdc WHERE op IN ('D', 'U')) AS s "
+        "ON tgt.id = s.id "
+        "WHEN MATCHED AND s.v = 0.0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = {
+        r["id"]: r["v"] for r in pond.sql("SELECT id, v FROM lake.t").collect()
+    }
+    assert 2 not in rows  # tombstone deleted
+    assert rows[3] == 100.0  # updated
+    assert rows[55] == 7.0  # inserted
+
+
+def test_merge_not_matched_by_source_delete(pond, spark):
+    _mk(pond)
+    pond.sql(
+        "MERGE INTO lake.t USING (SELECT id, v, ds FROM lake.t WHERE id < 3) s "
+        "ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    assert pond.sql("SELECT max(id) AS m FROM lake.t").first()["m"] == 2
+
+
+def test_merge_insert_only(pond, spark):
+    _mk(pond)
+    before = pond.sql("SELECT sum(v) AS s FROM lake.t").first()["s"]
+    pond.sql(
+        "MERGE INTO lake.t USING (SELECT 0 AS id, 42.0 AS v, 'a' AS ds "
+        "UNION ALL SELECT 100, 1.0, 'c') s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    # matched row id=0 kept its target version; only id=100 inserted
+    assert pond.sql("SELECT v FROM lake.t WHERE id = 0").first()["v"] == 0.0
+    assert pond.sql("SELECT sum(v) AS s FROM lake.t").first()["s"] == before + 1.0
+
+
+def test_merge_unsupported_action_raises(pond):
+    _mk(pond)
+    with pytest.raises(ValueError, match="unsupported WHEN MATCHED"):
+        pond.sql(
+            "MERGE INTO lake.t USING (SELECT 1 AS id) s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = 1.0"
+        )
+    with pytest.raises(ValueError, match="equality"):
+        pond.sql(
+            "MERGE INTO lake.t USING (SELECT 1 AS id, 0.0 AS v, 'a' AS ds) s "
+            "ON t.id > s.id WHEN MATCHED THEN UPDATE SET *"
+        )
+
+
+def test_truncate_drop_schema_ddl(pond):
+    _mk(pond)
+    pond.sql("TRUNCATE TABLE lake.t")
+    assert pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"] == 0
+    pond.sql("DROP TABLE lake.t")
+    assert pond.list_tables("lake") == []
+    r = pond.sql("DROP TABLE IF EXISTS lake.t").first()
+    assert r["operation"] == "drop_skipped"
+    r = pond.sql("CREATE SCHEMA IF NOT EXISTS lake").first()
+    assert r["operation"] == "schema_exists"
+    pond.sql("CREATE SCHEMA lake2")
+    assert "lake2" in pond.list_schemas()
+
+
+def test_select_with_dml_lookalike_literal_not_routed(pond):
+    _mk(pond)
+    got = pond.sql(
+        "SELECT count(*) AS n FROM lake.t WHERE 'DELETE FROM lake.t' <> ''"
+    ).first()
+    assert got["n"] == 10  # nothing deleted: routing is parse-grounded
