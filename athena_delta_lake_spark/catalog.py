@@ -161,9 +161,14 @@ class DeltaPond:
             )
         return hits[0]
 
-    def _relation_spans(self, query: str) -> list[tuple[list[str], int, int]]:
+    def _relation_spans(
+        self, query: str
+    ) -> list[tuple[list[str], int, int, tuple | None]]:
         """Parse `query` with the session's SQL parser and return every
-        UnresolvedRelation as (identifier parts, start char, stop char).
+        UnresolvedRelation as (identifier parts, start char, stop char,
+        time_travel) where time_travel is None, ('version', N) or
+        ('timestamp', Expression) for `VERSION/TIMESTAMP AS OF` relations
+        (the span then covers the whole `name AS OF ...` clause).
 
         Analyzer-grounded: relation references come from the parsed logical
         plan (including inside subquery expressions and CTE bodies), so a
@@ -172,16 +177,34 @@ class DeltaPond:
         failure mode of the old regex text rewrite."""
         jparser = self.spark._jsparkSession.sessionState().sqlParser()
         jplan = jparser.parsePlan(query)
-        out: list[tuple[list[str], int, int]] = []
+        out: list[tuple[list[str], int, int, tuple | None]] = []
+
+        def emit(rel, stop_override: int | None, travel: tuple | None) -> None:
+            ident = rel.multipartIdentifier()
+            parts = [ident.apply(i) for i in range(ident.size())]
+            o = rel.origin()
+            si, pi = o.startIndex(), o.stopIndex()
+            if si.isDefined() and pi.isDefined():
+                stop = stop_override if stop_override is not None else pi.get()
+                out.append((parts, si.get(), stop, travel))
 
         def walk_plan(node) -> None:
-            if node.getClass().getName().endswith(".UnresolvedRelation"):
-                ident = node.multipartIdentifier()
-                parts = [ident.apply(i) for i in range(ident.size())]
-                o = node.origin()
-                si, pi = o.startIndex(), o.stopIndex()
-                if si.isDefined() and pi.isDefined():
-                    out.append((parts, si.get(), pi.get()))
+            cls = node.getClass().getName()
+            if cls.endswith(".UnresolvedRelation"):
+                emit(node, None, None)
+            elif cls.endswith(".RelationTimeTravel"):
+                rel = node.relation()  # LeafNode: child hidden from children()
+                if rel.getClass().getName().endswith(".UnresolvedRelation"):
+                    o = node.origin()
+                    stop = o.stopIndex().get() if o.stopIndex().isDefined() else None
+                    ver = node.version()
+                    trv = (
+                        ("version", int(ver.get()))
+                        if ver.isDefined()
+                        else ("timestamp", node.timestamp().get())
+                    )
+                    emit(rel, stop, trv)
+                return
             kids = node.children()
             for i in range(kids.size()):
                 walk_plan(kids.apply(i))
@@ -210,6 +233,46 @@ class DeltaPond:
         walk_plan(jplan)
         return out
 
+    def _read_as_of(self, schema: str, table: str, travel: tuple):
+        """Time-traveled read for `VERSION/TIMESTAMP AS OF` relations:
+        -> (DataFrame of that snapshot, view-name tag)."""
+        from .delta.reader import read_snapshot
+
+        p = self.table_path(schema, table)
+        if not self._is_delta_dir(p):
+            raise ValueError(
+                f"{schema}.{table} is not a Delta table; time travel "
+                "requires a transaction log"
+            )
+        dt = DeltaTable(self.spark, p)
+        kind, val = travel
+        if kind == "version":
+            return dt.to_df(version=val), f"v{val}"
+        # timestamp: a literal expression from the parser
+        cls = val.getClass().getName()
+        if not cls.endswith(".Literal"):
+            raise ValueError(
+                "TIMESTAMP AS OF supports literal timestamps only"
+            )
+        import datetime
+
+        text = val.sql().strip("'\"")
+        for fmt in (
+            "%Y-%m-%d %H:%M:%S.%f",
+            "%Y-%m-%d %H:%M:%S",
+            "%Y-%m-%d",
+        ):
+            try:
+                ts = datetime.datetime.strptime(text, fmt)
+                break
+            except ValueError:
+                continue
+        else:
+            raise ValueError(f"cannot parse TIMESTAMP AS OF {text!r}")
+        millis = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+        snap = dt.log.snapshot_as_of_timestamp(millis)
+        return read_snapshot(self.spark, snap), f"ts{millis}"
+
     def sql(self, query: str, _max_resolves: int = 20) -> DataFrame:
         """Plain SQL over the pond with tables resolved lazily AT
         NAME-LOOKUP TIME — the reference's headline capability ("query
@@ -227,6 +290,10 @@ class DeltaPond:
         Resolution work happens only on first touch (views persist in the
         session; snapshot cache keeps log replay O(1) when unchanged).
 
+        `VERSION AS OF n` / `TIMESTAMP AS OF ts` relations bind a view of
+        that snapshot (log replay at the requested version), so several
+        versions of the same table can appear in one query.
+
         DML/DDL statements (INSERT / CTAS / DELETE / UPDATE / MERGE /
         TRUNCATE / DROP TABLE / CREATE SCHEMA) route to the native Delta
         write layer — see sqldml.route_statement."""
@@ -238,28 +305,49 @@ class DeltaPond:
         if routed is not None:
             return routed
 
+        from pyspark.errors import PySparkException
+
         try:
             spans = self._relation_spans(query)
-        except Exception:
-            spans = []  # unparseable here -> let spark.sql raise properly
+        except PySparkException:
+            spans = []  # unparseable -> let spark.sql raise properly
+        except Exception as e:
+            # A py4j/walk failure is a bug in the span walk, not in the
+            # user's SQL — but parse errors surface through py4j too, so
+            # only treat genuine ParseExceptions as "not our problem".
+            if "ParseException" in type(e).__name__ or "ParseException" in str(e):
+                spans = []
+            else:
+                raise
 
         schemas = set(self.list_schemas())
         splices: list[tuple[int, int, str]] = []
-        for parts, start, stop in spans:
+        for parts, start, stop, travel in spans:
             if len(parts) == 2 and parts[0] in schemas:
-                if parts[1] not in self.list_tables(parts[0]):
-                    raise FileNotFoundError(
-                        f"no pond table named {parts[0]}.{parts[1]}"
-                    )
-                view = f"__pond__{parts[0]}__{parts[1]}"
-                self.read(parts[0], parts[1]).createOrReplaceTempView(view)
-                splices.append((start, stop, view))
-            elif len(parts) == 1 and not self.spark.catalog.tableExists(parts[0]):
+                schema, table = parts
+            elif len(parts) == 1:
+                if travel is None and self.spark.catalog.tableExists(parts[0]):
+                    continue  # already bound (temp view wins)
                 try:
                     schema = self._schema_for(parts[0])
                 except FileNotFoundError:
                     continue  # CTE name / not ours -> analyzer's problem
-                self.read(schema, parts[0]).createOrReplaceTempView(parts[0])
+                table = parts[0]
+            else:
+                continue
+            if table not in self.list_tables(schema):
+                raise FileNotFoundError(f"no pond table named {schema}.{table}")
+            if travel is None:
+                if len(parts) == 1:
+                    self.read(schema, table).createOrReplaceTempView(table)
+                    continue
+                view = f"__pond__{schema}__{table}"
+                self.read(schema, table).createOrReplaceTempView(view)
+            else:
+                df, tag = self._read_as_of(schema, table, travel)
+                view = f"__pond__{schema}__{table}__{tag}"
+                df.createOrReplaceTempView(view)
+            splices.append((start, stop, view))
 
         q = query
         for start, stop, view in sorted(splices, reverse=True):

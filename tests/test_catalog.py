@@ -197,3 +197,42 @@ def test_pond_sql_literal_lookalike_untouched(spark, tmp_path):
         "WHERE EXISTS (SELECT 1 FROM lake.delta_lineitem x WHERE x.id = t.id)"
     ).collect()
     assert got[0]["n"] == 2
+
+
+def test_pond_sql_time_travel(spark, tmp_path):
+    """VERSION AS OF / TIMESTAMP AS OF resolve against the Delta log:
+    each travel clause binds its own snapshot view, spliced at the parse
+    span of the whole `name AS OF ...` clause."""
+    import time
+
+    from athena_delta_lake_spark import write_delta
+    from athena_delta_lake_spark.catalog import DeltaPond
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    root = str(tmp_path / "pond_tt")
+    p = f"{root}/lake/m"
+    write_delta(spark.range(3).selectExpr("id"), p)  # v0: 3 rows
+    write_delta(spark.range(10, 14).selectExpr("id"), p)  # v1: +4 rows
+    pond = DeltaPond(spark, root)
+    assert pond.sql("SELECT count(*) AS n FROM lake.m").first()["n"] == 7
+    assert (
+        pond.sql("SELECT count(*) AS n FROM lake.m VERSION AS OF 0").first()["n"]
+        == 3
+    )
+    # both versions of the SAME table in ONE query
+    got = pond.sql(
+        "SELECT (SELECT count(*) FROM lake.m) AS now, "
+        "(SELECT count(*) FROM lake.m VERSION AS OF 0) AS then"
+    ).first()
+    assert (got["now"], got["then"]) == (7, 3)
+    # timestamp travel: use v0's commit time
+    t0 = DeltaLog(p).commit_timestamp(0)
+    import datetime
+
+    ts = datetime.datetime.fromtimestamp(
+        t0 / 1000, tz=datetime.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S.%f")
+    n = pond.sql(
+        f"SELECT count(*) AS n FROM lake.m TIMESTAMP AS OF '{ts}'"
+    ).first()["n"]
+    assert n == 3
