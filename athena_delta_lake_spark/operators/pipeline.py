@@ -282,3 +282,41 @@ def epoch_shuffle(
         )
         .drop("_h", "_b", "_off")
     )
+
+
+def quota_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    n: int,
+    id_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Cap each group at its `n` best rows (ORDER BY order_col DESC,
+    id_col) — the per-domain quota step of corpus curation ("at most N
+    docs per domain, keep the highest-quality ones").
+
+    A single `row_number() OVER (PARTITION BY group)` puts an entire
+    domain in one window partition; at 100 TB a hot domain (think
+    wikipedia.org or a crawler trap) is billions of rows through one
+    task. Two phases bound every window partition instead: rows salt
+    into `n_salts` deterministic buckets per group (hash of the id), each
+    (group, salt) bucket keeps its local top-n, and the final top-n per
+    group ranks only the <= n * n_salts survivors. Output is identical
+    to the naive single-window form (the oracle runs the naive form) —
+    any row in the true top-n is in the top-n of its own bucket.
+    """
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    order = [F.desc(order_col), F.asc(id_col)]
+    w1 = W.partitionBy(group_col, "_salt").orderBy(*order)
+    survivors = (
+        df.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= n)
+        .drop("_r1", "_salt")
+    )
+    w2 = W.partitionBy(group_col).orderBy(*order)
+    return (
+        survivors.withColumn("quota_rank", F.row_number().over(w2))
+        .filter(F.col("quota_rank") <= n)
+    )

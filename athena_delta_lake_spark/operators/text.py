@@ -230,3 +230,64 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(F.avg("logp"), 6).alias("avg_logprob"),
         )
     )
+
+
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(col: str | Column) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1
+    subset), each a boolean column computed with codegen built-ins — the
+    rule-based pre-filter every large-scale text pipeline runs before
+    model-based scoring. All JVM-side: splits, higher-order array
+    functions and rlike only (no Python in the hot path)."""
+    c = F.col(col) if isinstance(col, str) else col
+    ws = F.filter(F.split(c, r"\s+"), lambda x: F.length(x) > 0)
+    n_words = F.size(ws)
+    mean_wl = F.aggregate(
+        ws, F.lit(0.0), lambda a, x: a + F.length(x)
+    ) / F.greatest(n_words, F.lit(1))
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda x: x.endswith("...")))
+        / n_lines
+    )
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.trim(x).startswith("-")
+                | F.trim(x).startswith("*"),
+            )
+        )
+        / n_lines
+    )
+    alpha_frac = F.size(
+        F.filter(ws, lambda x: x.rlike("[A-Za-z]"))
+    ) / F.greatest(n_words, F.lit(1))
+    hash_ratio = (
+        F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    ) / F.greatest(n_words, F.lit(1))
+    stop_hits = None
+    for wd in _GOPHER_STOPWORDS:
+        hit = F.lower(c).rlike(r"\b" + wd + r"\b").cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    return {
+        "r_word_count": (n_words >= 50) & (n_words <= 100000),
+        "r_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "r_hash_ratio": hash_ratio <= 0.1,
+        "r_ellipsis_lines": ellipsis_frac <= 0.3,
+        "r_bullet_lines": bullet_frac <= 0.9,
+        "r_alpha_words": alpha_frac >= 0.8,
+        "r_stopwords": stop_hits >= 2,
+    }
+
+
+def gopher_pass(col: str | Column) -> Column:
+    """Conjunction of every gopher rule — the keep/drop bit."""
+    rules = gopher_rules(col)
+    out = None
+    for c in rules.values():
+        out = c if out is None else out & c
+    return out

@@ -300,3 +300,30 @@ def p08(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_words").cast("long").alias("total_words"),
     )
+
+
+@register(
+    "p09_domain_quota",
+    "pipeline",
+    """
+    SELECT doc_id, source, CAST(quota_rank AS INT) AS quota_rank
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS quota_rank
+      FROM documents
+    ) t WHERE quota_rank <= 20
+    """,
+    "per-domain quota cap (quota_per_group): keep each source's 20 best "
+    "docs via salted two-phase top-n — identical output to the naive "
+    "single-window form the oracle runs, but every window partition is "
+    "bounded by n*n_salts instead of domain size",
+)
+def p09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    capped = pipeline.quota_per_group(
+        d, group_col="source", order_col="n_chars", n=20, id_col="doc_id"
+    )
+    return capped.select(
+        "doc_id", "source", F.col("quota_rank").cast("int").alias("quota_rank")
+    )

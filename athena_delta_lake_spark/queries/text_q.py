@@ -251,3 +251,67 @@ def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return tx.bigram_lm_scores(d, "doc_id", "text")
+
+
+@register(
+    "x09_gopher_rules",
+    "text",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> length(x) > 0) AS ws,
+             string_split(text, chr(10)) AS lines,
+             text
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+               / greatest(len(ws), 1) AS mean_wl,
+             CAST(len(list_filter(lines, x -> x LIKE '%...')) AS DOUBLE)
+               / greatest(len(lines), 1) AS ellipsis_frac,
+             CAST(len(list_filter(lines, x -> trim(x) LIKE '-%'
+                                           OR trim(x) LIKE '*%')) AS DOUBLE)
+               / greatest(len(lines), 1) AS bullet_frac,
+             CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+               AS DOUBLE) / greatest(len(ws), 1) AS alpha_frac,
+             CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+               / greatest(len(ws), 1) AS hash_ratio,
+             (CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(lower(text), '\\bbe\\b') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(lower(text), '\\bthat\\b') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(lower(text), '\\bhave\\b') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(lower(text), '\\bwith\\b') THEN 1 ELSE 0 END
+             ) AS stop_hits
+      FROM feats
+    )
+    SELECT doc_id,
+           (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+           (mean_wl >= 3.0 AND mean_wl <= 10.0) AS r_mean_word_len,
+           (hash_ratio <= 0.1) AS r_hash_ratio,
+           (ellipsis_frac <= 0.3) AS r_ellipsis_lines,
+           (bullet_frac <= 0.9) AS r_bullet_lines,
+           (alpha_frac >= 0.8) AS r_alpha_words,
+           (stop_hits >= 2) AS r_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+            AND hash_ratio <= 0.1 AND ellipsis_frac <= 0.3
+            AND bullet_frac <= 0.9 AND alpha_frac >= 0.8
+            AND stop_hits >= 2) AS keep
+    FROM m
+    """,
+    "Gopher-style rule-based quality filter (word count / mean word len / "
+    "symbol ratio / ellipsis+bullet lines / alphabetic-word fraction / "
+    "stopword presence), all codegen built-ins; keep = AND of all rules",
+)
+def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    rules = tx.gopher_rules("text")
+    cols = [rules[k].alias(k) for k in sorted(rules)]
+    return d.select(
+        "doc_id", *cols, tx.gopher_pass("text").alias("keep")
+    )

@@ -159,3 +159,59 @@ def test_epoch_shuffle_dense_and_distinct(spark):
         for r in pipeline.epoch_shuffle(df, "doc_id", epoch=4, seed=9).collect()
     }
     assert other != first
+
+
+def test_quota_per_group_equals_naive_window(spark):
+    """Two-phase salted top-n == single-window top-n, including on a
+    heavily skewed group (the case the salting exists for)."""
+    from pyspark.sql import Window as W
+
+    from athena_delta_lake_spark.operators import pipeline
+
+    rows = [(i, "hot" if i % 10 else "cold", float(i % 97)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, grp string, score double")
+    got = pipeline.quota_per_group(
+        df, group_col="grp", order_col="score", n=7, id_col="id", n_salts=4
+    ).select("id", "grp", "quota_rank")
+    w = W.partitionBy("grp").orderBy(F.desc("score"), F.asc("id"))
+    want = (
+        df.withColumn("quota_rank", F.row_number().over(w))
+        .filter(F.col("quota_rank") <= 7)
+        .select("id", "grp", "quota_rank")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_quota_small_group_unaffected(spark):
+    from athena_delta_lake_spark.operators import pipeline
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0)], "id long, grp string, score double"
+    )
+    out = pipeline.quota_per_group(df, "grp", "score", 10, "id").collect()
+    assert len(out) == 2  # groups under quota keep every row
+
+
+def test_gopher_rules_sanity(spark):
+    from athena_delta_lake_spark.operators import text as tx
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and then went to "
+        "the river of dreams that have been with us all along. " * 5
+    )
+    hashy = "# " * 80
+    bullety = "\n".join("- item " + str(i) for i in range(10))
+    df = spark.createDataFrame(
+        [(1, good), (2, hashy), (3, bullety)], "id long, text string"
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            tx.gopher_pass("text").alias("keep"),
+            *[v.alias(k) for k, v in tx.gopher_rules("text").items()],
+        ).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["r_hash_ratio"] is False and out[2]["keep"] is False
+    assert out[3]["r_bullet_lines"] is False and out[3]["keep"] is False
