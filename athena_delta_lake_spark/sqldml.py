@@ -417,6 +417,135 @@ def _route_create_namespace(pond, p, text: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- ALTER TABLE family
+
+
+def _field_name(fn) -> str:
+    parts = _seq(fn.name())
+    if len(parts) != 1:
+        raise ValueError(
+            f"nested field DDL unsupported: {'.'.join(parts)}"
+        )
+    return parts[0]
+
+
+def _route_add_columns(pond, p, text: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from .delta.writer import add_columns
+
+    path = _target(pond, _relation_parts(p.table()))
+    fields = []
+    for c in _seq(p.columnsToAdd()):
+        name = _seq(c.name())
+        if len(name) != 1:
+            raise ValueError("nested ADD COLUMNS unsupported")
+        fields.append(f"{name[0]} {c.dataType().sql()}")
+    version = add_columns(path, T.StructType.fromDDL(", ".join(fields)))
+    return _metrics_df(
+        pond.spark, {"operation": "add_columns", "version": version}
+    )
+
+
+def _route_rename_column(pond, p, text: str) -> DataFrame:
+    from .delta.writer import rename_column
+
+    path = _target(pond, _relation_parts(p.table()))
+    version = rename_column(path, _field_name(p.column()), p.newName())
+    return _metrics_df(
+        pond.spark, {"operation": "rename_column", "version": version}
+    )
+
+
+def _route_drop_columns(pond, p, text: str) -> DataFrame:
+    from .delta.writer import drop_column
+
+    path = _target(pond, _relation_parts(p.table()))
+    version = None
+    for c in _seq(p.columnsToDrop()):
+        version = drop_column(path, _field_name(c))
+    return _metrics_df(
+        pond.spark, {"operation": "drop_columns", "version": version}
+    )
+
+
+def _route_set_props(pond, p, text: str) -> DataFrame:
+    from .delta.writer import enable_column_mapping, set_table_properties
+
+    path = _target(pond, _relation_parts(p.table()))
+    jmap = p.properties()
+    props = {
+        k: jmap.get(k).get() for k in _seq(jmap.keys().toList())
+    }
+    version = None
+    # Delta's documented way to turn on column mapping IS this statement:
+    # it needs the dedicated path (field ids/physical names get stamped).
+    if props.pop("delta.columnMapping.mode", None) == "name":
+        version = enable_column_mapping(path)
+    if props:
+        version = set_table_properties(path, props)
+    return _metrics_df(
+        pond.spark, {"operation": "set_tblproperties", "version": version}
+    )
+
+
+def _route_unset_props(pond, p, text: str) -> DataFrame:
+    from .delta.writer import unset_table_properties
+
+    path = _target(pond, _relation_parts(p.table()))
+    version = unset_table_properties(path, _seq(p.propertyKeys()))
+    return _metrics_df(
+        pond.spark, {"operation": "unset_tblproperties", "version": version}
+    )
+
+
+# --------------------------------------------------------- inspection bits
+
+
+def _route_show_tables(pond, p, text: str) -> DataFrame:
+    ns = _seq(p.namespace().multipartIdentifier())
+    schemas = [ns[0]] if ns else pond.list_schemas()
+    rows = [
+        Row(namespace=s, tableName=t)
+        for s in schemas
+        for t in pond.list_tables(s)
+    ]
+    schema = "namespace string, tableName string"
+    return pond.spark.createDataFrame(rows, schema)
+
+
+def _route_describe(pond, p, text: str) -> DataFrame:
+    try:
+        path = _target(pond, _relation_parts(p.relation()))
+    except FileNotFoundError:
+        return None  # not a pond table (temp view?) -> let spark.sql try
+    from .delta.table import DeltaTable
+
+    if pond._is_delta_dir(path):
+        fields = DeltaTable(pond.spark, path).schema().fields
+    else:
+        fields = pond.spark.read.parquet(path).schema.fields
+    rows = [
+        Row(col_name=f.name, data_type=f.dataType.simpleString(), comment=None)
+        for f in fields
+    ]
+    return pond.spark.createDataFrame(
+        rows, "col_name string, data_type string, comment string"
+    )
+
+
+def _route_show_partitions(pond, p, text: str) -> DataFrame:
+    from .delta.table import DeltaTable
+
+    path = _target(pond, _relation_parts(p.table()))
+    parts = DeltaTable(pond.spark, path).partitions()
+    rows = [
+        Row(partition="/".join(f"{k}={v}" for k, v in sorted(pv.items())))
+        for pv in parts
+    ]
+    return pond.spark.createDataFrame(rows, "partition string")
+
+
 _ROUTES = {
     "InsertIntoStatement": _route_insert,
     "CreateTableAsSelect": _route_ctas,
@@ -426,6 +555,14 @@ _ROUTES = {
     "MergeIntoTable": _route_merge,
     "DropTable": _route_drop_table,
     "CreateNamespace": _route_create_namespace,
+    "AddColumns": _route_add_columns,
+    "RenameColumn": _route_rename_column,
+    "DropColumns": _route_drop_columns,
+    "SetTableProperties": _route_set_props,
+    "UnsetTableProperties": _route_unset_props,
+    "ShowTables": _route_show_tables,
+    "DescribeRelation": _route_describe,
+    "ShowPartitions": _route_show_partitions,
 }
 
 

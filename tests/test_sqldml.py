@@ -168,3 +168,39 @@ def test_select_with_dml_lookalike_literal_not_routed(pond):
         "SELECT count(*) AS n FROM lake.t WHERE 'DELETE FROM lake.t' <> ''"
     ).first()
     assert got["n"] == 10  # nothing deleted: routing is parse-grounded
+
+
+def test_alter_table_ddl_roundtrip(pond):
+    _mk(pond)
+    pond.sql("ALTER TABLE lake.t ADD COLUMNS (tag STRING, score DOUBLE)")
+    assert pond.sql("SELECT tag FROM lake.t LIMIT 1").first()["tag"] is None
+    pond.sql("ALTER TABLE lake.t SET TBLPROPERTIES ('delta.columnMapping.mode' = 'name')")
+    pond.sql("ALTER TABLE lake.t RENAME COLUMN tag TO label")
+    cols = pond.sql("SELECT * FROM lake.t").columns
+    assert "label" in cols and "tag" not in cols
+    pond.sql("ALTER TABLE lake.t DROP COLUMN score")
+    assert "score" not in pond.sql("SELECT * FROM lake.t").columns
+    pond.sql("ALTER TABLE lake.t SET TBLPROPERTIES ('custom.owner' = 'me')")
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    cfg = DeltaLog(pond.table_path("lake", "t")).snapshot().metadata["configuration"]
+    assert cfg["custom.owner"] == "me"
+    pond.sql("ALTER TABLE lake.t UNSET TBLPROPERTIES ('custom.owner')")
+    cfg = DeltaLog(pond.table_path("lake", "t")).snapshot().metadata["configuration"]
+    assert "custom.owner" not in cfg
+
+
+def test_show_and_describe(pond):
+    _mk(pond)
+    rows = pond.sql("SHOW TABLES IN lake").collect()
+    assert [(r["namespace"], r["tableName"]) for r in rows] == [("lake", "t")]
+    d = {r["col_name"]: r["data_type"] for r in pond.sql("DESCRIBE TABLE lake.t").collect()}
+    assert d == {"id": "bigint", "v": "double", "ds": "string"}
+    parts = sorted(r["partition"] for r in pond.sql("SHOW PARTITIONS lake.t").collect())
+    assert parts == ["ds=a", "ds=b"]
+
+
+def test_insert_values(pond):
+    _mk(pond)
+    pond.sql("INSERT INTO lake.t VALUES (50, 1.5, 'c'), (51, 2.5, 'c')")
+    assert pond.sql("SELECT count(*) AS n FROM lake.t WHERE ds = 'c'").first()["n"] == 2
