@@ -147,6 +147,7 @@ _SUPPORTED_READER_FEATURES = {
     "timestampNtz",
     "vacuumProtocolCheck",
     "v2Checkpoint",  # classic-compat tables; pure v2 checkpoints rejected
+    "typeWidening",  # readers promote narrow files at scan time
 }
 _MAX_READER_VERSION = 3
 

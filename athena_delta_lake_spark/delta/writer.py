@@ -2033,13 +2033,20 @@ def _stamp_mapping_ids(dt: T.DataType, next_id: list[int]) -> T.DataType:
 
 
 def _commit_metadata_change(
-    table_path: str, operation: str, params: dict, md: dict, version: int
+    table_path: str,
+    operation: str,
+    params: dict,
+    md: dict,
+    version: int,
+    extra_actions: list[dict] | None = None,
 ) -> int:
     """Shared metadata-only commit, pinned to the version AFTER the
     snapshot `md` was derived from: no blind retry, and no TOCTOU window —
     if anything committed since that snapshot, the O_EXCL create loses and
     the caller re-runs against the new state (a retry or late version
-    re-allocation would silently clobber the winner's metaData)."""
+    re-allocation would silently clobber the winner's metaData).
+    `extra_actions` (e.g. a protocol feature upgrade) land between the
+    commitInfo and the metaData."""
     log_dir = os.path.join(table_path, "_delta_log")
     actions = [
         {
@@ -2050,6 +2057,7 @@ def _commit_metadata_change(
                 "engineInfo": "athena_delta_lake_spark",
             }
         },
+        *(extra_actions or []),
         {"metaData": md},
     ]
     try:
@@ -2416,6 +2424,122 @@ def rename_column(table_path: str, old: str, new: str) -> int:
     return _commit_metadata_change(
         table_path, "RENAME COLUMN", {"from": old, "to": new}, md,
         snap.version + 1,
+    )
+
+
+# Legal widenings per the Delta typeWidening table feature (numeric set;
+# every pair is a promotion Spark 4's parquet readers perform natively, so
+# existing files need no rewrite and stats stay comparable).
+_INT_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 20}
+_WIDENINGS = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+    ("byte", "double"), ("short", "double"), ("integer", "double"),
+}
+
+
+_SIMPLE_TYPES = {
+    "byte": T.ByteType, "tinyint": T.ByteType,
+    "short": T.ShortType, "smallint": T.ShortType,
+    "int": T.IntegerType, "integer": T.IntegerType,
+    "long": T.LongType, "bigint": T.LongType,
+    "float": T.FloatType, "real": T.FloatType,
+    "double": T.DoubleType,
+}
+
+
+def _parse_simple_type(s: str) -> T.DataType:
+    """Session-free parser for the numeric DDL names widening accepts."""
+    import re as _re
+
+    low = s.strip().lower()
+    if low in _SIMPLE_TYPES:
+        return _SIMPLE_TYPES[low]()
+    m = _re.fullmatch(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", low)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    raise ValueError(f"unsupported type for widening: {s!r}")
+
+
+def _is_widening(src: T.DataType, dst: T.DataType) -> bool:
+    if (src.typeName(), dst.typeName()) in _WIDENINGS:
+        return True
+    if isinstance(dst, T.DecimalType):
+        if isinstance(src, T.DecimalType):
+            return (
+                dst.scale >= src.scale
+                and dst.precision - dst.scale >= src.precision - src.scale
+                and (dst.precision, dst.scale) != (src.precision, src.scale)
+            )
+        digits = _INT_DIGITS.get(src.typeName())
+        return digits is not None and dst.precision - dst.scale >= digits
+    return False
+
+
+def alter_column_type(table_path: str, column: str, new_type) -> int:
+    """ALTER TABLE ... ALTER COLUMN col TYPE wider — the Delta
+    typeWidening table feature: a metadata-only schema change (zero data
+    I/O) recording the transition in the field's `delta.typeChanges`
+    metadata, with the typeWidening reader+writer feature added to the
+    protocol. Existing files keep their narrow physical type; readers
+    promote at scan time (verified native in Spark 4's parquet readers),
+    and any later rewrite materializes the wide type. Only lossless
+    numeric widenings are accepted (byte<short<int<long, float->double,
+    int-family->double/decimal, decimal precision growth)."""
+    table_path = os.path.abspath(table_path)
+    if isinstance(new_type, str):
+        new_type = _parse_simple_type(new_type)
+    snap = DeltaLog(table_path).snapshot()
+    field = next((f for f in snap.schema.fields if f.name == column), None)
+    if field is None:
+        raise ValueError(f"no such column: {column}")
+    if not _is_widening(field.dataType, new_type):
+        raise ValueError(
+            f"not a supported widening: {field.dataType.simpleString()} "
+            f"-> {new_type.simpleString()}"
+        )
+    if column in (snap.partition_columns or []):
+        raise ValueError(f"cannot widen partition column: {column}")
+    refs = _column_references(snap, column)
+    if refs:
+        raise ValueError(
+            f"cannot widen {column}: referenced by " + "; ".join(refs)
+        )
+    version = snap.version + 1
+    meta = dict(field.metadata or {})
+    changes = list(meta.get("delta.typeChanges") or [])
+    changes.append(
+        {
+            "fromType": field.dataType.simpleString(),
+            "toType": new_type.simpleString(),
+            "tableVersion": version,
+        }
+    )
+    meta["delta.typeChanges"] = changes
+    fields = [
+        T.StructField(f.name, new_type, f.nullable, meta)
+        if f.name == column
+        else f
+        for f in snap.schema.fields
+    ]
+    md = dict(snap.metadata)
+    md["schemaString"] = struct_to_schema_string(T.StructType(fields))
+    upgrade = _protocol_upgrade_action(
+        snap.protocol, reader_features=("typeWidening",)
+    )
+    return _commit_metadata_change(
+        table_path,
+        "ALTER COLUMN",
+        {
+            "column": column,
+            "fromType": field.dataType.simpleString(),
+            "toType": new_type.simpleString(),
+        },
+        md,
+        version,
+        extra_actions=[upgrade] if upgrade else None,
     )
 
 

@@ -469,6 +469,25 @@ def _route_drop_columns(pond, p, text: str) -> DataFrame:
     )
 
 
+def _route_alter_columns(pond, p, text: str) -> DataFrame:
+    from .delta.writer import alter_column_type
+
+    path = _target(pond, _relation_parts(p.table()))
+    version = None
+    for spec in _seq(p.specs()):
+        nd = spec.newDataType()
+        if not nd.isDefined():
+            raise ValueError(
+                "only ALTER COLUMN ... TYPE (type widening) is supported"
+            )
+        version = alter_column_type(
+            path, _field_name(spec.column()), nd.get().sql()
+        )
+    return _metrics_df(
+        pond.spark, {"operation": "alter_column_type", "version": version}
+    )
+
+
 def _route_set_props(pond, p, text: str) -> DataFrame:
     from .delta.writer import enable_column_mapping, set_table_properties
 
@@ -556,6 +575,7 @@ _ROUTES = {
     "DropTable": _route_drop_table,
     "CreateNamespace": _route_create_namespace,
     "AddColumns": _route_add_columns,
+    "AlterColumns": _route_alter_columns,
     "RenameColumn": _route_rename_column,
     "DropColumns": _route_drop_columns,
     "SetTableProperties": _route_set_props,
