@@ -192,6 +192,22 @@ class DeltaPond:
             cls = node.getClass().getName()
             if cls.endswith(".UnresolvedRelation"):
                 emit(node, None, None)
+            elif cls.endswith(".UnresolvedTableValuedFunction"):
+                fname = [node.name().apply(i) for i in range(node.name().size())]
+                if len(fname) == 1 and fname[0].lower() == "table_changes":
+                    o = node.origin()
+                    si = o.startIndex()
+                    args = [
+                        node.functionArgs().apply(i).sql()
+                        for i in range(node.functionArgs().size())
+                    ]
+                    if si.isDefined():
+                        # The origin span can include a trailing alias;
+                        # the call itself ends at the balanced ')'.
+                        stop = _matching_paren(query, si.get())
+                        if stop is not None:
+                            out.append((args, si.get(), stop, ("cdf",)))
+                return  # TVF args are not relations
             elif cls.endswith(".RelationTimeTravel"):
                 rel = node.relation()  # LeafNode: child hidden from children()
                 if rel.getClass().getName().endswith(".UnresolvedRelation"):
@@ -273,6 +289,30 @@ class DeltaPond:
         snap = dt.log.snapshot_as_of_timestamp(millis)
         return read_snapshot(self.spark, snap), f"ts{millis}"
 
+    def _bind_table_changes(self, arg_sqls: list[str]) -> str:
+        """`table_changes('schema.table', start [, end])` TVF: bind the
+        change-data-feed rows for that commit range as a view."""
+        from .delta.cdf import table_changes
+
+        if not 2 <= len(arg_sqls) <= 3:
+            raise ValueError(
+                "table_changes(table, starting_version [, ending_version])"
+            )
+        name = arg_sqls[0].strip().strip("'\"")
+        parts = name.split(".")
+        if len(parts) == 1:
+            schema, table = self._schema_for(parts[0]), parts[0]
+        elif len(parts) == 2:
+            schema, table = parts
+        else:
+            raise ValueError(f"bad table name in table_changes: {name!r}")
+        start = int(arg_sqls[1])
+        end = int(arg_sqls[2]) if len(arg_sqls) == 3 else None
+        df = table_changes(self.spark, self.table_path(schema, table), start, end)
+        view = f"__pond_cdf__{schema}__{table}__{start}_{end}"
+        df.createOrReplaceTempView(view)
+        return view
+
     def sql(self, query: str, _max_resolves: int = 20) -> DataFrame:
         """Plain SQL over the pond with tables resolved lazily AT
         NAME-LOOKUP TIME — the reference's headline capability ("query
@@ -323,6 +363,10 @@ class DeltaPond:
         schemas = set(self.list_schemas())
         splices: list[tuple[int, int, str]] = []
         for parts, start, stop, travel in spans:
+            if travel == ("cdf",):
+                view = self._bind_table_changes(parts)
+                splices.append((start, stop, view))
+                continue
             if len(parts) == 2 and parts[0] in schemas:
                 schema, table = parts
             elif len(parts) == 1:
@@ -365,6 +409,27 @@ class DeltaPond:
                 schema = self._schema_for(name)
                 self.read(schema, name).createOrReplaceTempView(name)
         raise RuntimeError(f"gave up resolving relations after {_max_resolves} passes")
+
+
+def _matching_paren(text: str, start: int) -> int | None:
+    """Index of the ')' closing the first '(' at/after `start`,
+    respecting single-quoted strings. None if unbalanced."""
+    depth = 0
+    in_str = False
+    for i in range(start, len(text)):
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return None
 
 
 def register_flat_dir(spark: SparkSession, sf_dir: str) -> list[str]:

@@ -236,3 +236,33 @@ def test_pond_sql_time_travel(spark, tmp_path):
         f"SELECT count(*) AS n FROM lake.m TIMESTAMP AS OF '{ts}'"
     ).first()["n"]
     assert n == 3
+
+
+def test_pond_sql_table_changes_tvf(spark, tmp_path):
+    """table_changes('schema.table', start [, end]) in pond.sql returns
+    the change feed for that commit range (the Delta CDF TVF shape)."""
+    from athena_delta_lake_spark import write_delta
+    from athena_delta_lake_spark.catalog import DeltaPond
+    from athena_delta_lake_spark.delta import dml
+
+    root = str(tmp_path / "pond_cdf")
+    p = f"{root}/lake/c"
+    write_delta(spark.range(5).selectExpr("id"), p)  # v0
+    write_delta(spark.range(10, 12).selectExpr("id"), p)  # v1: +2
+    dml.delete(spark, p, where="id = 10")  # v2: -1 (+1 re-add of id=11)
+    pond = DeltaPond(spark, root)
+    got = {
+        (r["_change_type"], r["_commit_version"]): r["n"]
+        for r in pond.sql(
+            "SELECT _change_type, _commit_version, count(*) AS n "
+            "FROM table_changes('lake.c', 1, 2) GROUP BY 1, 2"
+        ).collect()
+    }
+    assert got[("insert", 1)] == 2
+    assert got.get(("delete", 2)) == 1
+    # open-ended range + bare name + join with the live table
+    n = pond.sql(
+        "SELECT count(*) AS n FROM table_changes('lake.c', 0) ch "
+        "JOIN lake.c t ON ch.id = t.id WHERE ch._change_type = 'insert'"
+    ).first()["n"]
+    assert n >= 5
