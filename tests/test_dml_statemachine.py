@@ -18,6 +18,7 @@ import pytest
 from athena_delta_lake_spark import DeltaTable, write_delta
 from athena_delta_lake_spark.delta.log import DeltaLog
 from athena_delta_lake_spark.delta.writer import (
+    alter_column_type,
     clone_table,
     enable_column_mapping,
     rename_column,
@@ -51,29 +52,30 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
         return rows
 
     vname = "v"
+    vtype = "float"  # widened to double mid-walk by the "widen" op
     clones: list[tuple[str, list[tuple]]] = []
     rows = fresh_rows(80)
     model = pd.DataFrame(rows, columns=["id", "k", "v"])
     write_delta(
-        spark.createDataFrame(rows, "id long, k long, v double"),
+        spark.createDataFrame(rows, "id long, k long, v float"),
         path,
         partition_by=["k"],
     )
     history = {0: _model_state(model)}
 
-    for step in range(14):
+    for step in range(16):
         op = rng.choice(
             [
                 "append", "delete_cow", "delete_mor", "update", "update_mor",
                 "merge", "merge_mor", "optimize", "checkpoint", "rename",
-                "clone",
+                "clone", "replace_where", "widen",
             ]
         )
         t = DeltaTable(spark, path)
         if op == "append":
             rows = fresh_rows(rng.randint(5, 25))
             write_delta(
-                spark.createDataFrame(rows, f"id long, k long, {vname} double"),
+                spark.createDataFrame(rows, f"id long, k long, {vname} {vtype}"),
                 path,
                 mode="append",
             )
@@ -102,7 +104,7 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
             lo = rng.randint(0, max(next_id - 10, 1))
             src_rows = [(i, i % 5, -1.0) for i in range(lo, lo + 15)]
             src = spark.createDataFrame(
-                src_rows, f"id long, k long, {vname} double"
+                src_rows, f"id long, k long, {vname} {vtype}"
             )
             t.merge(src, keys=["id"], mode="mor" if op == "merge_mor" else "cow")
             present = set(model.id)
@@ -130,6 +132,27 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
             cp = str(tmp_path / f"clone_{seed}_{step}")
             clone_table(path, cp)
             clones.append((cp, _model_state(model)))
+        elif op == "replace_where":
+            # partition-scoped selective overwrite: replace exactly k=kk
+            kk = rng.randint(0, 4)
+            nonlocal_rows = fresh_rows(rng.randint(3, 10))
+            repl = [(i, kk, float(v)) for i, _k, v in nonlocal_rows]
+            write_delta(
+                spark.createDataFrame(repl, f"id long, k long, {vname} {vtype}"),
+                path,
+                mode="overwrite",
+                replace_where=f"k = {kk}",
+            )
+            model = model[model.k != kk]
+            model = pd.concat(
+                [model, pd.DataFrame(repl, columns=["id", "k", "v"])],
+                ignore_index=True,
+            )
+        elif op == "widen":
+            # metadata-only type widening; later appends write the wide type
+            if vtype == "float":
+                alter_column_type(path, vname, "double")
+                vtype = "double" 
 
         got = _table_state(spark, path)
         want = _model_state(model)
@@ -154,3 +177,47 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
             tuple(r) for r in tdf.select(*tdf.columns[:3]).collect()
         )
         assert got == want, f"time travel to v{v} diverged (seed {seed})"
+
+
+def test_widen_replacewhere_clone_restore_interplay(spark, tmp_path):
+    """Deterministic cross-feature chain: widen -> replaceWhere ->
+    clone -> MOR delete -> restore across the widening boundary."""
+    path = str(tmp_path / "cross")
+    write_delta(
+        spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(30)], "id long, k long, v float"
+        ),
+        path,
+        partition_by=["k"],
+    )  # v0
+    alter_column_type(path, "v", "double")  # v1
+    write_delta(
+        spark.createDataFrame([(100, 1, 0.5), (101, 1, 1.5)], "id long, k long, v double"),
+        path,
+        mode="overwrite",
+        replace_where="k = 1",
+    )  # v2: partition 1 replaced
+    cp = str(tmp_path / "cross_clone")
+    clone_table(path, cp)
+    t = DeltaTable(spark, path)
+    t.delete(where="k = 0", mode="mor")  # v3
+    # live state: k=2 originals + the two replacements
+    got = sorted(tuple(r) for r in t.to_df().collect())
+    want = sorted(
+        [(i, i % 3, float(i)) for i in range(30) if i % 3 == 2]
+        + [(100, 1, 0.5), (101, 1, 1.5)]
+    )
+    assert got == want
+    # the clone froze pre-delete state
+    cgot = sorted(tuple(r) for r in DeltaTable(spark, cp).to_df().collect())
+    cwant = sorted(
+        [(i, i % 3, float(i)) for i in range(30) if i % 3 != 1]
+        + [(100, 1, 0.5), (101, 1, 1.5)]
+    )
+    assert cgot == cwant
+    # restore to v0 lands back on the NARROW schema and original rows
+    t.restore(version=0)
+    rt = DeltaTable(spark, path)
+    assert rt.schema()["v"].dataType.simpleString() == "float"
+    rgot = sorted(tuple(r) for r in rt.to_df().collect())
+    assert rgot == sorted((i, i % 3, float(i)) for i in range(30))
