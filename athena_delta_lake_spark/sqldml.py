@@ -228,6 +228,133 @@ def _route_ctas(pond, p, text: str) -> DataFrame:
     )
 
 
+def _route_create_table(pond, p, text: str) -> DataFrame:
+    """CREATE TABLE name (cols...) [PARTITIONED BY ...]: an empty Delta
+    table committing just the schema (commit 0 has metaData, no adds)."""
+    from pyspark.sql import types as T
+
+    from .delta.writer import write_delta
+
+    parts = _seq(p.name().nameParts())
+    if len(parts) != 2:
+        raise ValueError("CREATE TABLE target must be schema.table")
+    schema, table = parts
+    if schema not in pond.list_schemas():
+        raise FileNotFoundError(f"no pond schema named {schema!r}")
+    if table in pond.list_tables(schema):
+        if p.ignoreIfExists():
+            return _metrics_df(
+                pond.spark,
+                {"operation": "create_skipped", "table": f"{schema}.{table}"},
+            )
+        raise ValueError(f"table {schema}.{table} already exists")
+    provider = _opt(p.tableSpec().provider())
+    if provider is not None and provider.lower() not in ("delta", "deltapond"):
+        raise ValueError(f"CREATE TABLE USING {provider} unsupported (delta only)")
+    part_cols = []
+    for t in _seq(p.partitioning()):
+        m = re.fullmatch(r"identity\((.+)\)", t.toString())
+        if not m:
+            raise ValueError(f"unsupported partition transform: {t.toString()}")
+        part_cols.append(m.group(1))
+    fields = ", ".join(
+        f"{c.name()} {c.dataType().sql()}" for c in _seq(p.columns())
+    )
+    st = T.StructType.fromDDL(fields)
+    # honor NOT NULL
+    nn = {c.name() for c in _seq(p.columns()) if not c.nullable()}
+    st = T.StructType(
+        [
+            T.StructField(f.name, f.dataType, f.name not in nn, f.metadata)
+            for f in st.fields
+        ]
+    )
+    path = os.path.join(pond.root, schema, table)
+    os.makedirs(path, exist_ok=True)
+    empty = pond.spark.createDataFrame([], st)
+    version = write_delta(empty, path, partition_by=part_cols or None)
+    return _metrics_df(
+        pond.spark,
+        {"operation": "create_table", "version": version, "table": f"{schema}.{table}"},
+    )
+
+
+def _constraint_table(node):
+    """Descend wrapper nodes (Filter over the check scan) to the
+    UnresolvedTable/UnresolvedRelation target."""
+    n = node
+    for _ in range(8):
+        if _cls(n) in ("UnresolvedTable", "UnresolvedRelation"):
+            return n
+        kids = n.children()
+        if kids.size() == 0:
+            break
+        n = kids.apply(0)
+    raise ValueError("cannot find constraint target table")
+
+
+def _route_add_constraint(pond, p, text: str) -> DataFrame:
+    from .delta.writer import add_check_constraint
+
+    rel = _constraint_table(p.child())
+    path = _target(pond, _relation_parts(rel))
+    cc = p.checkConstraint()
+    version = add_check_constraint(pond.spark, path, cc.name(), cc.condition())
+    return _metrics_df(
+        pond.spark,
+        {"operation": "add_constraint", "name": cc.name(), "version": version},
+    )
+
+
+def _route_drop_constraint(pond, p, text: str) -> DataFrame:
+    from .delta.writer import drop_check_constraint
+
+    path = _target(pond, _relation_parts(p.child()))
+    try:
+        version = drop_check_constraint(path, p.name())
+    except ValueError:
+        if p.ifExists():
+            return _metrics_df(
+                pond.spark, {"operation": "drop_constraint_skipped", "name": p.name()}
+            )
+        raise
+    return _metrics_df(
+        pond.spark,
+        {"operation": "drop_constraint", "name": p.name(), "version": version},
+    )
+
+
+def _route_overwrite_by_expr(pond, p, text: str) -> DataFrame:
+    """INSERT INTO ... REPLACE WHERE cond SELECT ... -> replaceWhere."""
+    from .delta.log import DeltaLog
+    from .delta.writer import write_delta
+
+    parts = _relation_parts(p.table())
+    path = _target(pond, parts)
+    qtext = _span(p.query(), text)
+    if qtext is None:
+        raise ValueError("cannot recover the REPLACE WHERE source query text")
+    df = pond.sql(qtext)
+    snap = DeltaLog(os.path.abspath(path)).snapshot()
+    fields = {f.name: f for f in snap.schema.fields}
+    target_cols = [f.name for f in snap.schema.fields]
+    if len(df.columns) != len(target_cols):
+        raise ValueError(
+            f"REPLACE WHERE expects {len(target_cols)} columns, "
+            f"query produced {len(df.columns)}"
+        )
+    df = df.toDF(*target_cols).select(
+        *[F.col(c).cast(fields[c].dataType) for c in target_cols]
+    )
+    version = write_delta(
+        df, path, mode="overwrite", replace_where=p.deleteExpr().sql()
+    )
+    return _metrics_df(
+        pond.spark,
+        {"operation": "replace_where", "version": version, "table": ".".join(parts)},
+    )
+
+
 # -------------------------------------------------------- DELETE / UPDATE
 
 
@@ -567,7 +694,11 @@ def _route_show_partitions(pond, p, text: str) -> DataFrame:
 
 _ROUTES = {
     "InsertIntoStatement": _route_insert,
+    "OverwriteByExpression": _route_overwrite_by_expr,
     "CreateTableAsSelect": _route_ctas,
+    "CreateTable": _route_create_table,
+    "AddCheckConstraint": _route_add_constraint,
+    "DropConstraint": _route_drop_constraint,
     "DeleteFromTable": _route_delete,
     "UpdateTable": _route_update,
     "TruncateTable": _route_truncate,

@@ -204,3 +204,47 @@ def test_insert_values(pond):
     _mk(pond)
     pond.sql("INSERT INTO lake.t VALUES (50, 1.5, 'c'), (51, 2.5, 'c')")
     assert pond.sql("SELECT count(*) AS n FROM lake.t WHERE ds = 'c'").first()["n"] == 2
+
+
+def test_create_empty_table_then_insert(pond):
+    pond.sql(
+        "CREATE TABLE lake.e (a INT NOT NULL, b STRING) PARTITIONED BY (ds STRING)"
+    )
+    assert pond.sql("SELECT count(*) AS n FROM lake.e").first()["n"] == 0
+    d = {r["col_name"]: r["data_type"] for r in pond.sql("DESCRIBE TABLE lake.e").collect()}
+    assert d == {"a": "int", "b": "string", "ds": "string"}
+    pond.sql("INSERT INTO lake.e VALUES (1, 'x', 'd1'), (2, 'y', 'd2')")
+    assert pond.sql("SELECT sum(a) AS s FROM lake.e").first()["s"] == 3
+    r = pond.sql("CREATE TABLE IF NOT EXISTS lake.e (z INT)").first()
+    assert r["operation"] == "create_skipped"
+
+
+def test_check_constraint_sql(pond):
+    _mk(pond)
+    pond.sql("ALTER TABLE lake.t ADD CONSTRAINT vpos CHECK (v >= 0.0)")
+    with pytest.raises(Exception, match="vpos|constraint|CHECK"):
+        pond.sql("INSERT INTO lake.t VALUES (900, -5.0, 'c')")
+    pond.sql("INSERT INTO lake.t VALUES (901, 5.0, 'c')")  # satisfying row fine
+    pond.sql("ALTER TABLE lake.t DROP CONSTRAINT vpos")
+    pond.sql("INSERT INTO lake.t VALUES (902, -5.0, 'c')")  # now allowed
+    assert pond.sql("SELECT count(*) AS n FROM lake.t WHERE ds='c'").first()["n"] == 2
+    r = pond.sql("ALTER TABLE lake.t DROP CONSTRAINT IF EXISTS nope").first()
+    assert r["operation"] == "drop_constraint_skipped"
+
+
+def test_insert_replace_where_sql(pond):
+    _mk(pond)
+    pond.sql(
+        "INSERT INTO lake.t REPLACE WHERE ds = 'a' "
+        "SELECT id + 200, 9.0, 'a' FROM range(2)"
+    )
+    got = {
+        r["ds"]: r["n"]
+        for r in pond.sql("SELECT ds, count(*) AS n FROM lake.t GROUP BY ds").collect()
+    }
+    assert got == {"a": 2, "b": 5}
+    # rows violating the predicate are rejected
+    with pytest.raises(Exception, match="predicate|replace"):
+        pond.sql(
+            "INSERT INTO lake.t REPLACE WHERE ds = 'a' SELECT 1, 1.0, 'zzz'"
+        )
