@@ -8,7 +8,8 @@ oracle SQL.
 
 from __future__ import annotations
 
-import pandas as pd  # module-level: pandas_udf resolves string type hints
+import pandas as pd
+import pyarrow as pa  # module-level: pandas_udf resolves string type hints
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -398,6 +399,42 @@ def u03(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_u03, LATERAL tokenize_udtf(text) AS t
         GROUP BY t.word ORDER BY n DESC, t.word LIMIT 20
         """
+    )
+
+
+@register(
+    "u04_arrow_scalar_udf",
+    "udf",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+           CAST(len(embedding) AS INT) AS dim
+    FROM embeddings
+    """,
+    "Arrow-native scalar UDF (Spark 4 arrow_udf): pyarrow arrays in/out, "
+    "no pandas conversion layer — L2 norm per embedding",
+)
+def u04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import arrow_udf
+
+    def _l2(v: pa.Array) -> pa.Array:
+        lst = pa.Array.from_pandas(v.to_pandas()) if isinstance(v, pa.ChunkedArray) else v
+        # list<float> -> flat values + offsets: one vectorized pass
+        flat = lst.flatten().to_numpy(zero_copy_only=False).astype("float64")
+        offs = lst.offsets.to_numpy(zero_copy_only=False)
+        sq = np.concatenate(([0.0], np.cumsum(flat * flat)))
+        out = np.sqrt(sq[offs[1:]] - sq[offs[:-1]])
+        return pa.array(out, type=pa.float64())
+
+    l2_norm = arrow_udf(_l2, "double")
+
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(l2_norm(F.col("embedding")), 4).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
     )
 
 
