@@ -114,3 +114,23 @@ def test_widen_stats_pruning_still_exact(spark, tmp_path):
     t = DeltaTable(spark, p)
     assert t.count(where="a >= 1000") == 100
     assert t.to_df(where="a >= 1000").count() == 100
+
+
+def test_widened_table_via_deltapond_source(spark, tmp_path):
+    """The deltapond DSv2 reader (pyarrow-based) promotes narrow files to
+    the widened schema too."""
+    from athena_delta_lake_spark.sources.deltapond_source import register
+
+    register(spark)
+    p = str(tmp_path / "dsv2")
+    write_delta(
+        spark.range(5).selectExpr("CAST(id AS INT) AS a", "CAST(id AS FLOAT) AS b"),
+        p,
+    )
+    alter_column_type(p, "a", "bigint")
+    alter_column_type(p, "b", "double")
+    df = spark.read.format("deltapond").load(p)
+    assert df.schema.simpleString() == "struct<a:bigint,b:double>"
+    assert sorted((r["a"], r["b"]) for r in df.collect()) == [
+        (i, float(i)) for i in range(5)
+    ]
