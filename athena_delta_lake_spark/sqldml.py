@@ -61,17 +61,42 @@ def _unalias(node) -> tuple[str | None, object]:
     return None, node
 
 
+def _sub_outside_quotes(sql: str, pattern: str, repl: str) -> str:
+    """re.sub applied only OUTSIDE single-quoted string literals, so an
+    alias prefix inside a literal ('x.y') is never rewritten."""
+    out = []
+    pat = re.compile(pattern)
+    i = 0
+    while i < len(sql):
+        q = sql.find("'", i)
+        if q == -1:
+            out.append(pat.sub(repl, sql[i:]))
+            break
+        out.append(pat.sub(repl, sql[i:q]))
+        end = sql.find("'", q + 1)
+        if end == -1:
+            out.append(sql[q:])
+            break
+        out.append(sql[q : end + 1])
+        i = end + 1
+    return "".join(out)
+
+
 def _strip_alias(sql: str, *aliases: str | None) -> str:
     """Drop `alias.` qualifiers from a rendered condition."""
     for a in aliases:
         if a:
-            sql = re.sub(r"\b" + re.escape(a) + r"\s*\.\s*", "", sql)
+            sql = _sub_outside_quotes(
+                sql, r"\b" + re.escape(a) + r"\s*\.\s*", ""
+            )
     return sql
 
 
 def _norm_alias(sql: str, alias: str | None, to: str) -> str:
     if alias and alias != to:
-        sql = re.sub(r"\b" + re.escape(alias) + r"\s*\.\s*", to + ".", sql)
+        sql = _sub_outside_quotes(
+            sql, r"\b" + re.escape(alias) + r"\s*\.\s*", to + "."
+        )
     return sql
 
 
@@ -409,15 +434,20 @@ def _merge_keys(cond, talias: str | None, salias: str | None) -> list[str]:
         raise ValueError(
             f"MERGE ON must be AND-ed equality conditions, got {cond.sql()}"
         )
-    names = []
+    names, quals = [], []
     for side in (cond.left(), cond.right()):
         if _cls(side) != "UnresolvedAttribute":
             raise ValueError(f"MERGE ON side is not a column: {side.sql()}")
         parts = _seq(side.nameParts())
         names.append(parts[-1])
+        quals.append(parts[-2] if len(parts) > 1 else None)
     if names[0] != names[1]:
         raise ValueError(
             f"MERGE ON columns must match by name, got {cond.sql()}"
+        )
+    if quals[0] is not None and quals[0] == quals[1]:
+        raise ValueError(
+            f"MERGE ON must compare target vs source, got {cond.sql()}"
         )
     return [names[0]]
 

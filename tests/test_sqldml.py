@@ -248,3 +248,22 @@ def test_insert_replace_where_sql(pond):
         pond.sql(
             "INSERT INTO lake.t REPLACE WHERE ds = 'a' SELECT 1, 1.0, 'zzz'"
         )
+
+
+def test_alias_prefix_inside_literal_survives(pond):
+    """A string literal containing '<alias>.' must not be rewritten when
+    conditions are de-aliased (quote-aware substitution)."""
+    pond.sql("CREATE TABLE lake.s (id BIGINT, tag STRING)")
+    pond.sql("INSERT INTO lake.s VALUES (1, 'x.y'), (2, 'z')")
+    pond.sql("DELETE FROM lake.s AS x WHERE x.tag = 'x.y'")
+    rows = pond.sql("SELECT tag FROM lake.s").collect()
+    assert [r["tag"] for r in rows] == ["z"]
+
+
+def test_merge_same_side_on_condition_rejected(pond):
+    _mk(pond)
+    with pytest.raises(ValueError, match="target vs source"):
+        pond.sql(
+            "MERGE INTO lake.t AS t USING (SELECT 1 AS id, 0.0 AS v, 'a' AS ds) s "
+            "ON t.id = t.id WHEN MATCHED THEN UPDATE SET *"
+        )
