@@ -2510,10 +2510,14 @@ def alter_column_type(table_path: str, column: str, new_type) -> int:
     version = snap.version + 1
     meta = dict(field.metadata or {})
     changes = list(meta.get("delta.typeChanges") or [])
+    from .types import spark_type_to_delta
+
     changes.append(
         {
-            "fromType": field.dataType.simpleString(),
-            "toType": new_type.simpleString(),
+            # Delta type names ("integer", not Spark's "int") per the
+            # typeWidening spec's typeChanges entries
+            "fromType": spark_type_to_delta(field.dataType),
+            "toType": spark_type_to_delta(new_type),
             "tableVersion": version,
         }
     )

@@ -40,8 +40,8 @@ def test_widen_int_to_long_reads_old_files(spark, tmp_path):
     # the field records the transition
     fld = DeltaTable(spark, p).schema()["a"]
     changes = fld.metadata["delta.typeChanges"]
-    assert changes[-1]["fromType"] == "int"
-    assert changes[-1]["toType"] == "bigint"
+    assert changes[-1]["fromType"] == "integer"
+    assert changes[-1]["toType"] == "long"
     assert changes[-1]["tableVersion"] == v
 
 
