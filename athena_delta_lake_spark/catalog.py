@@ -162,7 +162,7 @@ class DeltaPond:
         return hits[0]
 
     def _relation_spans(
-        self, query: str
+        self, query: str, jplan=None
     ) -> list[tuple[list[str], int, int, tuple | None]]:
         """Parse `query` with the session's SQL parser and return every
         UnresolvedRelation as (identifier parts, start char, stop char,
@@ -175,8 +175,9 @@ class DeltaPond:
         string LITERAL containing 'schema.table' text, or an identifier
         inside a comment, is never mistaken for a table reference — the
         failure mode of the old regex text rewrite."""
-        jparser = self.spark._jsparkSession.sessionState().sqlParser()
-        jplan = jparser.parsePlan(query)
+        if jplan is None:
+            jparser = self.spark._jsparkSession.sessionState().sqlParser()
+            jplan = jparser.parsePlan(query)
         out: list[tuple[list[str], int, int, tuple | None]] = []
 
         def emit(rel, stop_override: int | None, travel: tuple | None) -> None:
@@ -341,24 +342,22 @@ class DeltaPond:
 
         from .sqldml import route_statement
 
-        routed = route_statement(self, query)
-        if routed is not None:
-            return routed
-
-        from pyspark.errors import PySparkException
-
+        # parse ONCE; the plan feeds both statement routing and the
+        # relation-span walk (a ParseException here defers to spark.sql,
+        # which reports it properly)
         try:
-            spans = self._relation_spans(query)
-        except PySparkException:
-            spans = []  # unparseable -> let spark.sql raise properly
-        except Exception as e:
-            # A py4j/walk failure is a bug in the span walk, not in the
-            # user's SQL — but parse errors surface through py4j too, so
-            # only treat genuine ParseExceptions as "not our problem".
-            if "ParseException" in type(e).__name__ or "ParseException" in str(e):
-                spans = []
-            else:
-                raise
+            jplan = (
+                self.spark._jsparkSession.sessionState().sqlParser().parsePlan(query)
+            )
+        except Exception:
+            jplan = None
+
+        if jplan is not None:
+            routed = route_statement(self, query, jplan)
+            if routed is not None:
+                return routed
+
+        spans = self._relation_spans(query, jplan) if jplan is not None else []
 
         schemas = set(self.list_schemas())
         splices: list[tuple[int, int, str]] = []

@@ -544,6 +544,43 @@ def _normalize_matched_clauses(
     return clauses
 
 
+def _insert_only_merge(spark, snap, table_path: str, src, keys) -> dict:
+    """Delta's insert-only MERGE fast path (no matched-action clause):
+    target files are never read-modified-rewritten — source rows whose
+    keys are absent from the target simply append. Duplicate matched
+    source keys are allowed (nothing updates, so there is no ambiguity),
+    and the only target read is the column-pruned key scan feeding the
+    anti-join. Like any blind append, a concurrent writer inserting the
+    same key between plan and commit is not detected."""
+    live = list(snap.files)
+    if live:
+        tgt_keys = _read_cow(spark, snap, live).select(*keys).distinct()
+        ins = src.join(tgt_keys, keys, "left_anti")
+    else:
+        ins = src
+    # coerce to the table schema (other merge paths coerce implicitly by
+    # unioning with target rows; here the source is staged directly)
+    ins = ins.select(
+        *[F.col(f.name).cast(f.dataType) for f in snap.schema.fields]
+    )
+    from .writer import _enforce_constraints
+
+    _enforce_constraints(ins, snap.metadata.get("configuration"))
+    adds = stage_data_files(
+        ins, table_path, snap.partition_columns, _data_schema(snap),
+        l2p=_l2p(snap),
+    )
+    commit_rewrite(
+        table_path,
+        "MERGE",
+        adds,
+        [],
+        operation_parameters={"insertOnly": True},
+        base_version=snap.version,
+    )
+    return {"files_removed": 0, "files_added": len(adds), "source_rows": None}
+
+
 def _matched_clause_index(clauses: list[tuple[str | None, str]]):
     """Column: index of the FIRST clause whose condition is TRUE for this
     matched (target, source) row pair, or -1 when none applies (the
@@ -619,6 +656,11 @@ def merge_upsert(
     for k in keys:
         if k not in target_cols:
             raise ValueError(f"merge key not in table schema: {k}")
+
+    if not clauses and not_matched_by_source is None:
+        if when_not_matched != "insert":
+            raise ValueError("MERGE with no action clauses")
+        return _insert_only_merge(spark, snap, table_path, src, keys)
 
     src_keys = src.select(*keys).distinct()
     if broadcast_keys:
@@ -699,6 +741,11 @@ def merge_upsert(
         if (touched and _rt_on(snap))
         else []
     )
+    if touched and not clauses:
+        # no matched-action clause (reachable only under NOT MATCHED BY
+        # SOURCE DELETE): matched target rows keep the target version;
+        # unmatched rows in touched files are the ones being deleted
+        pieces.append(target_rows.join(src_keys, keys, "left_semi"))
     if touched and needs_per_row:
         # per-TARGET-ROW, first-match-wins clause application: each matched
         # (target, source) pair gets the index of the first clause whose
@@ -804,6 +851,16 @@ def merge_upsert_mor(
     for k in keys:
         if k not in target_cols:
             raise ValueError(f"merge key not in table schema: {k}")
+
+    if not clauses:
+        if not_matched_by_source == "delete":
+            raise ValueError(
+                "merge-on-read MERGE with only NOT MATCHED BY SOURCE DELETE "
+                "is unsupported; use merge_upsert (copy-on-write)"
+            )
+        if when_not_matched != "insert":
+            raise ValueError("MERGE with no action clauses")
+        return _insert_only_merge(spark, snap, table_path, src, keys)
 
     src_keys = src.select(*keys).distinct()
     if broadcast_keys:

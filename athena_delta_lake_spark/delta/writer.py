@@ -960,13 +960,16 @@ def write_delta(
     # replace, and which boundary rows must survive via a rewrite
     rw_candidates = None
     rw_survivor_adds: list[dict] = []
-    if replace_where is not None and prior is not None:
+    if replace_where is not None:
         from pyspark.sql import functions as F
 
         from .dml import _normalize_where, _partition_only, _read_cow
         from .stats import prune_files
 
         preds, rw_cond, fully_parsed = _normalize_where(replace_where)
+        # incoming rows must satisfy the predicate even on a table's FIRST
+        # write (Delta semantics) — otherwise the same pipeline behaves
+        # differently on its first vs subsequent runs
         bad = (
             df.filter(~F.coalesce(rw_cond, F.lit(False))).limit(1).count()
         )
@@ -975,6 +978,7 @@ def write_delta(
                 "replace_where: incoming data contains rows that do not "
                 f"satisfy the predicate {replace_where!r}"
             )
+    if replace_where is not None and prior is not None:
         rw_candidates = prune_files(prior, preds) if preds else list(prior.files)
         if rw_candidates and not (fully_parsed and _partition_only(preds, prior)):
             # boundary files may hold rows OUTSIDE the predicate: rewrite

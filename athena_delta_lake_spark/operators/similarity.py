@@ -878,20 +878,23 @@ def pq_ann_exact(
         pq_adc_score(C, F.col(query_vec), F.col("pq")).alias("adc"),
         F.col("pq_resid"),
     )
-    lbdf = approx.select(
-        query_id, (F.col("adc") - F.col("pq_resid")).alias("_lb")
-    )
     # Any k-th largest lower bound is a valid tau (ties included): the
-    # exactness proof only needs >= k rows with true sim >= tau.
-    w = W.partitionBy(query_id).orderBy(F.desc("_lb"))
-    tau = (
-        lbdf.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == k)
-        .select(query_id, F.col("_lb").alias("_tau"))
-    )
-    cands = approx.join(F.broadcast(tau), query_id, "left").filter(
-        F.col("adc") + F.col("pq_resid")
-        >= F.coalesce(F.col("_tau"), F.lit(float("-inf")))
+    # exactness proof only needs >= k rows with true sim >= tau. Rank and
+    # broadcast tau back in ONE window pass over the shared partitioning —
+    # the ADC pandas-UDF scan runs once, not once per consumer.
+    w_rank = W.partitionBy(query_id).orderBy(F.desc("_lb"))
+    w_part = W.partitionBy(query_id)
+    cands = (
+        approx.withColumn("_lb", F.col("adc") - F.col("pq_resid"))
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn(
+            "_tau",
+            F.max(F.when(F.col("_rn") == k, F.col("_lb"))).over(w_part),
+        )
+        .filter(
+            F.col("adc") + F.col("pq_resid")
+            >= F.coalesce(F.col("_tau"), F.lit(float("-inf")))
+        )
     )
     scored = cands.select(
         F.col(query_id),

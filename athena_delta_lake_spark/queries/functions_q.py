@@ -420,13 +420,17 @@ def u04(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import arrow_udf
 
     def _l2(v: pa.Array) -> pa.Array:
-        lst = pa.Array.from_pandas(v.to_pandas()) if isinstance(v, pa.ChunkedArray) else v
-        # list<float> -> flat values + offsets: one vectorized pass
-        flat = lst.flatten().to_numpy(zero_copy_only=False).astype("float64")
-        offs = lst.offsets.to_numpy(zero_copy_only=False)
+        lst = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        # ListArray.values is the FULL child buffer and .offsets are
+        # absolute indices into it (correct for sliced arrays; flatten()
+        # would rebase and also drop null slots, misaligning everything
+        # after the first null) — prefix-sum once, gather per row
+        flat = lst.values.to_numpy(zero_copy_only=False).astype("float64")
+        offs = lst.offsets.to_numpy(zero_copy_only=False).astype("int64")
         sq = np.concatenate(([0.0], np.cumsum(flat * flat)))
         out = np.sqrt(sq[offs[1:]] - sq[offs[:-1]])
-        return pa.array(out, type=pa.float64())
+        mask = lst.is_null().to_numpy(zero_copy_only=False)
+        return pa.array(out, type=pa.float64(), mask=mask)
 
     l2_norm = arrow_udf(_l2, "double")
 

@@ -388,10 +388,12 @@ def st09(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b12(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small once-per-sf subset dir (file_stream needs a directory; writing
     # through Spark also normalizes the fixture's nano timestamps to micros)
-    src_dir = os.path.join(
-        "/tmp", f"stream_small_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    if not os.path.isdir(src_dir):
+    from .delta_q import _fixture_root
+
+    src_dir = os.path.join(_fixture_root(sf_dir), "stream_small")
+    # guard on _SUCCESS (written LAST): a crashed earlier run's partial
+    # dir is rewritten, never silently replayed; overwrite is idempotent
+    if not os.path.isfile(os.path.join(src_dir, "_SUCCESS")):
         load(spark, sf_dir, "events").filter("event_id < 500").coalesce(
             1
         ).write.mode("overwrite").parquet(src_dir)

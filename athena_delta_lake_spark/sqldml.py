@@ -63,22 +63,30 @@ def _unalias(node) -> tuple[str | None, object]:
 
 def _sub_outside_quotes(sql: str, pattern: str, repl: str) -> str:
     """re.sub applied only OUTSIDE single-quoted string literals, so an
-    alias prefix inside a literal ('x.y') is never rewritten."""
-    out = []
+    alias prefix inside a literal ('x.y') is never rewritten. Handles
+    Catalyst's backslash escapes (\\' inside a literal does not end it)."""
     pat = re.compile(pattern)
+    out: list[str] = []
+    seg_start = 0
     i = 0
+    in_str = False
     while i < len(sql):
-        q = sql.find("'", i)
-        if q == -1:
-            out.append(pat.sub(repl, sql[i:]))
-            break
-        out.append(pat.sub(repl, sql[i:q]))
-        end = sql.find("'", q + 1)
-        if end == -1:
-            out.append(sql[q:])
-            break
-        out.append(sql[q : end + 1])
-        i = end + 1
+        ch = sql[i]
+        if in_str:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == "'":
+                out.append(sql[seg_start : i + 1])  # literal, verbatim
+                seg_start = i + 1
+                in_str = False
+        elif ch == "'":
+            out.append(pat.sub(repl, sql[seg_start:i]))
+            seg_start = i
+            in_str = True
+        i += 1
+    tail = sql[seg_start:]
+    out.append(tail if in_str else pat.sub(repl, tail))
     return "".join(out)
 
 
@@ -111,19 +119,28 @@ def _metrics_df(spark, metrics: dict) -> DataFrame:
 # ---------------------------------------------------------- name resolution
 
 
+class _NotPond(Exception):
+    """The statement's target is not a pond table (unknown schema /
+    3-part name / unknown bare name): fall through to spark.sql, which
+    may resolve it against temp views or the session catalog."""
+
+
 def _target(pond, parts: list[str], must_exist: bool = True) -> str:
     if len(parts) == 1:
-        schema = pond._schema_for(parts[0])
+        try:
+            schema = pond._schema_for(parts[0])
+        except FileNotFoundError:
+            raise _NotPond(parts[0]) from None
         return pond.table_path(schema, parts[0])
     if len(parts) == 2:
         if parts[0] not in pond.list_schemas():
-            raise FileNotFoundError(f"no pond schema named {parts[0]!r}")
+            raise _NotPond(parts[0])
         if must_exist and parts[1] not in pond.list_tables(parts[0]):
             raise FileNotFoundError(
                 f"no pond table named {parts[0]}.{parts[1]}"
             )
         return pond.table_path(parts[0], parts[1])
-    raise ValueError(f"cannot resolve {'.'.join(parts)!r} in the pond")
+    raise _NotPond(".".join(parts))
 
 
 def _relation_parts(rel) -> list[str]:
@@ -194,7 +211,10 @@ def _route_insert(pond, p, text: str) -> DataFrame:
 
     if p.overwrite():
         rw = (
-            " AND ".join(f"{k} = '{v}'" for k, v in static.items())
+            " AND ".join(
+                "{} = '{}'".format(k, v.replace("\\", "\\\\").replace("'", "\\'"))
+                for k, v in static.items()
+            )
             if static
             else None
         )
@@ -219,7 +239,7 @@ def _route_ctas(pond, p, text: str) -> DataFrame:
         raise ValueError("CTAS target must be schema.table")
     schema, table = parts[0], parts[1]
     if schema not in pond.list_schemas():
-        raise FileNotFoundError(f"no pond schema named {schema!r}")
+        raise _NotPond(schema)
     exists = table in pond.list_tables(schema)
     if exists:
         if p.ignoreIfExists():
@@ -265,7 +285,7 @@ def _route_create_table(pond, p, text: str) -> DataFrame:
         raise ValueError("CREATE TABLE target must be schema.table")
     schema, table = parts
     if schema not in pond.list_schemas():
-        raise FileNotFoundError(f"no pond schema named {schema!r}")
+        raise _NotPond(schema)
     if table in pond.list_tables(schema):
         if p.ignoreIfExists():
             return _metrics_df(
@@ -512,16 +532,13 @@ def _route_merge(pond, p, text: str) -> DataFrame:
             )
         by_source = "delete"
 
-    if not clauses:
-        # no WHEN MATCHED clause: matched target rows survive unchanged
-        # (a never-true clause expresses that in merge_upsert terms)
-        clauses = [("false", "update")]
     m = dml.merge_upsert(
         pond.spark,
         path,
         source,
         keys,
-        matched_clauses=clauses,
+        matched_clauses=clauses,  # [] = no matched action (insert-only
+        # fast path / by-source-delete keep-matched semantics in dml)
         when_not_matched=when_not_matched,
         not_matched_by_source=by_source,
     )
@@ -656,8 +673,15 @@ def _route_set_props(pond, p, text: str) -> DataFrame:
     version = None
     # Delta's documented way to turn on column mapping IS this statement:
     # it needs the dedicated path (field ids/physical names get stamped).
-    if props.pop("delta.columnMapping.mode", None) == "name":
-        version = enable_column_mapping(path)
+    if "delta.columnMapping.mode" in props:
+        mode = props.pop("delta.columnMapping.mode")
+        if mode == "name":
+            version = enable_column_mapping(path)
+        else:
+            raise ValueError(
+                f"delta.columnMapping.mode={mode!r} unsupported "
+                "('name' is the only supported mapping mode)"
+            )
     if props:
         version = set_table_properties(path, props)
     return _metrics_df(
@@ -691,10 +715,7 @@ def _route_show_tables(pond, p, text: str) -> DataFrame:
 
 
 def _route_describe(pond, p, text: str) -> DataFrame:
-    try:
-        path = _target(pond, _relation_parts(p.relation()))
-    except FileNotFoundError:
-        return None  # not a pond table (temp view?) -> let spark.sql try
+    path = _target(pond, _relation_parts(p.relation()))
     from .delta.table import DeltaTable
 
     if pond._is_delta_dir(path):
@@ -747,17 +768,23 @@ _ROUTES = {
 }
 
 
-def route_statement(pond, query: str) -> DataFrame | None:
+def route_statement(pond, query: str, jplan=None) -> DataFrame | None:
     """Execute `query` if it is a DML/DDL statement targeting the pond;
-    return None for plain queries (the SELECT path handles those)."""
+    return None for plain queries (the SELECT path handles those).
+    `jplan` lets the caller pass an already-parsed plan (pond.sql parses
+    once and shares it with relation-span collection)."""
     try:
-        jplan = (
-            pond.spark._jsparkSession.sessionState().sqlParser().parsePlan(query)
-        )
+        if jplan is None:
+            jplan = (
+                pond.spark._jsparkSession.sessionState().sqlParser().parsePlan(query)
+            )
         kind = _cls(jplan)
     except Exception:
         return None  # let the SELECT path surface the parse error
     handler = _ROUTES.get(kind)
     if handler is None:
         return None
-    return handler(pond, jplan, query)
+    try:
+        return handler(pond, jplan, query)
+    except _NotPond:
+        return None  # not ours: spark.sql may know this relation

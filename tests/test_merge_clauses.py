@@ -164,3 +164,57 @@ def test_multi_clause_row_tracking_identity(spark, tbl):
     assert 2 not in after and 4 not in after
     assert after[100] not in set(before.values())  # fresh id
     assert len(set(after.values())) == len(after)
+
+
+def test_insert_only_merge_allows_duplicate_matched_source(spark, tmp_path):
+    """Insert-only MERGE (no matched clause) must not reject duplicate
+    matched source keys and must not rewrite any target file."""
+    from athena_delta_lake_spark.delta import dml
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    path = str(tmp_path / "io")
+    write_delta(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double"), path
+    )
+    src = spark.createDataFrame(
+        [(1, -1.0), (1, -2.0), (5, 50.0)], "id long, v double"
+    )
+    m = dml.merge_upsert(
+        spark, path, src, keys=["id"], matched_clauses=[],
+        when_not_matched="insert",
+    )
+    assert m["files_removed"] == 0  # no target file touched
+    got = sorted(
+        (r["id"], r["v"]) for r in DeltaTable(spark, path).to_df().collect()
+    )
+    assert got == [(1, 10.0), (2, 20.0), (5, 50.0)]
+    # MOR variant takes the same fast path
+    m2 = dml.merge_upsert_mor(
+        spark, path, src, keys=["id"], matched_clauses=[],
+        when_not_matched="insert",
+    )
+    assert m2["files_removed"] == 0
+    info = DeltaLog(path).commit_actions(DeltaLog(path).latest_version())
+    ops = [a["commitInfo"]["operationParameters"] for a in info if "commitInfo" in a]
+    assert ops and ops[0].get("insertOnly") is True
+
+
+def test_by_source_delete_without_matched_clause_keeps_matched(spark, tmp_path):
+    from athena_delta_lake_spark.delta import dml
+
+    path = str(tmp_path / "bs")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "id long, v double"
+        ),
+        path,
+    )
+    src = spark.createDataFrame([(2, 0.0), (4, 0.0)], "id long, v double")
+    dml.merge_upsert(
+        spark, path, src, keys=["id"], matched_clauses=[],
+        when_not_matched=None, not_matched_by_source="delete",
+    )
+    got = sorted(
+        (r["id"], r["v"]) for r in DeltaTable(spark, path).to_df().collect()
+    )
+    assert got == [(2, 2.0), (4, 4.0)]  # matched keep TARGET version

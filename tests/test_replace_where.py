@@ -133,3 +133,15 @@ def test_replace_where_loses_race_cleanly(spark, tbl, monkeypatch):
     # winner's append survives; loser changed nothing
     ids = {r["id"] for r in DeltaTable(spark, tbl).to_df().collect()}
     assert ids == set(range(30)) | {500}
+
+
+def test_replace_where_validates_on_first_write(spark, tmp_path):
+    """The incoming-row predicate check applies to a table's FIRST write
+    too, so a pipeline behaves identically on first and later runs."""
+    path = str(tmp_path / "fresh")
+    df = spark.createDataFrame([(1, 2)], "id long, ds long")
+    with pytest.raises(ValueError, match="do not satisfy"):
+        write_delta(df, path, mode="overwrite", replace_where="ds = 1")
+    ok = spark.createDataFrame([(1, 1)], "id long, ds long")
+    write_delta(ok, path, mode="overwrite", replace_where="ds = 1")
+    assert DeltaTable(spark, path).to_df().count() == 1

@@ -267,3 +267,18 @@ def test_merge_same_side_on_condition_rejected(pond):
             "MERGE INTO lake.t AS t USING (SELECT 1 AS id, 0.0 AS v, 'a' AS ds) s "
             "ON t.id = t.id WHEN MATCHED THEN UPDATE SET *"
         )
+
+
+def test_non_pond_statements_fall_through(pond, spark):
+    """DML/DDL targeting names outside the pond reach spark.sql untouched
+    (e.g. catalog tables, temp views) instead of erroring in the router."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS sqldmldb")
+    spark.sql("DROP TABLE IF EXISTS sqldmldb.m")
+    spark.sql("CREATE TABLE sqldmldb.m (x INT) USING parquet")
+    try:
+        pond.sql("INSERT INTO sqldmldb.m SELECT 5")
+        assert pond.sql("SELECT sum(x) AS s FROM sqldmldb.m").first()["s"] == 5
+        pond.sql("DROP TABLE sqldmldb.m")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sqldmldb.m")
+        spark.sql("DROP DATABASE IF EXISTS sqldmldb")
