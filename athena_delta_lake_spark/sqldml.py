@@ -571,6 +571,101 @@ def _route_drop_table(pond, p, text: str) -> DataFrame:
     )
 
 
+def _lit_val(e):
+    """Python value of a literal (or named) CALL argument."""
+    if _cls(e) == "NamedArgumentExpression":
+        return _lit_val(e.value())
+    sql = e.sql()
+    if sql.startswith("'") and sql.endswith("'"):
+        return sql[1:-1].replace("\\'", "'").replace("\\\\", "\\")
+    if sql.lower() in ("true", "false"):
+        return sql.lower() == "true"
+    # Catalyst renders typed numeric literals with a suffix (0.0BD, 3L...)
+    num = re.sub(r"(BD|[LSYDF])$", "", sql, flags=re.IGNORECASE)
+    try:
+        return int(num)
+    except ValueError:
+        return float(num)
+
+
+def _route_call(pond, p, text: str) -> DataFrame:
+    """CALL <proc>(table, ...): the table-maintenance procedures Delta
+    users run as SQL — optimize, vacuum, restore, checkpoint,
+    cleanup_log. First argument (positional or `tbl =>`) names the pond
+    table; remaining arguments map onto the engine function's keywords."""
+    from .delta import dml
+    from .delta.writer import write_checkpoint
+
+    proc = p.procedure()
+    pname = ".".join(_seq(proc.nameParts())).lower()
+    if pname.startswith("pond."):
+        pname = pname[5:]
+    pos: list = []
+    kw: dict = {}
+    for a in _seq(p.args()):
+        if _cls(a) == "NamedArgumentExpression":
+            kw[a.key().lower()] = _lit_val(a)
+        else:
+            pos.append(_lit_val(a))
+    tbl = kw.pop("tbl", kw.pop("table", None))
+    if tbl is None:
+        if not pos:
+            raise ValueError(f"CALL {pname}: missing table argument")
+        tbl = pos.pop(0)
+    path = _target(pond, str(tbl).split("."))
+
+    if pname == "optimize":
+        zo = kw.pop("zorder_by", None)
+        if zo is not None:
+            zo = [c.strip() for c in str(zo).split(",")]
+        size = kw.pop("target_file_size", pos.pop(0) if pos else 128 * 1024 * 1024)
+        m = dml.compact(pond.spark, path, target_file_size=int(size), zorder_by=zo)
+    elif pname == "vacuum":
+        hours = kw.pop("retention_hours", pos.pop(0) if pos else 168.0)
+        m = dml.vacuum(path, retention_hours=float(hours), dry_run=bool(kw.pop("dry_run", False)))
+    elif pname == "restore":
+        m = dml.restore_table(
+            path,
+            version=kw.pop("version", pos.pop(0) if pos else None),
+            timestamp_millis=kw.pop("timestamp_millis", None),
+        )
+    elif pname == "checkpoint":
+        v = write_checkpoint(path, v2=bool(kw.pop("v2", False)))
+        m = {"checkpoint_version": v}
+    elif pname == "cleanup_log":
+        from .delta.writer import cleanup_log
+
+        m = cleanup_log(path, retention_hours=float(kw.pop("retention_hours", 168.0)))
+    else:
+        raise ValueError(
+            f"unknown procedure {pname!r} (optimize, vacuum, restore, "
+            "checkpoint, cleanup_log)"
+        )
+    if kw or pos:
+        raise ValueError(f"CALL {pname}: unused arguments {pos} {kw}")
+    return _metrics_df(pond.spark, {"operation": pname, **{k: v for k, v in m.items() if not isinstance(v, (list, dict))}})
+
+
+def _route_drop_namespace(pond, p, text: str) -> DataFrame:
+    import shutil
+
+    parts = _seq(p.namespace().multipartIdentifier())
+    if len(parts) != 1 or parts[0] not in pond.list_schemas():
+        raise _NotPond(".".join(parts))  # maybe a session-catalog database
+    tables = pond.list_tables(parts[0])
+    if tables and not p.cascade():
+        raise ValueError(
+            f"schema {parts[0]} is not empty ({tables}); use CASCADE"
+        )
+    shutil.rmtree(os.path.join(pond.root, parts[0]))
+    from .delta.log import DeltaLog
+
+    DeltaLog.clear_cache()
+    return _metrics_df(
+        pond.spark, {"operation": "drop_schema", "schema": parts[0]}
+    )
+
+
 def _route_create_namespace(pond, p, text: str) -> DataFrame:
     parts = _seq(p.name().multipartIdentifier())
     if len(parts) != 1:
@@ -756,6 +851,8 @@ _ROUTES = {
     "MergeIntoTable": _route_merge,
     "DropTable": _route_drop_table,
     "CreateNamespace": _route_create_namespace,
+    "DropNamespace": _route_drop_namespace,
+    "Call": _route_call,
     "AddColumns": _route_add_columns,
     "AlterColumns": _route_alter_columns,
     "RenameColumn": _route_rename_column,

@@ -282,3 +282,32 @@ def test_non_pond_statements_fall_through(pond, spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS sqldmldb.m")
         spark.sql("DROP DATABASE IF EXISTS sqldmldb")
+
+
+def test_call_procedures(pond):
+    _mk(pond)
+    pond.sql("INSERT INTO lake.t SELECT id + 500, 1.0, 'a' FROM range(3)")
+    r = pond.sql("CALL optimize('lake.t')").first()
+    assert r["operation"] == "optimize"
+    r = pond.sql("CALL checkpoint(tbl => 'lake.t')").first()
+    assert r["checkpoint_version"] >= 1
+    n_before = pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"]
+    pond.sql("DELETE FROM lake.t WHERE ds = 'b'")
+    pond.sql("CALL restore(tbl => 'lake.t', version => 0)")
+    assert pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"] == 10
+    r = pond.sql("CALL vacuum('lake.t', 0.0)").first()
+    assert r["operation"] == "vacuum"
+    with pytest.raises(ValueError, match="unknown procedure"):
+        pond.sql("CALL frobnicate('lake.t')")
+
+
+def test_drop_schema_sql(pond):
+    pond.sql("CREATE SCHEMA tmpsch")
+    assert "tmpsch" in pond.list_schemas()
+    pond.sql("DROP SCHEMA tmpsch")
+    assert "tmpsch" not in pond.list_schemas()
+    _mk(pond)
+    with pytest.raises(ValueError, match="not empty"):
+        pond.sql("DROP SCHEMA lake")
+    pond.sql("DROP SCHEMA lake CASCADE")
+    assert "lake" not in pond.list_schemas()
