@@ -147,6 +147,17 @@ def _relation_parts(rel) -> list[str]:
     return _seq(rel.multipartIdentifier())
 
 
+def _dv_mode(path: str) -> bool:
+    """Delta semantics: DML uses merge-on-read (deletion vectors) when
+    the table sets delta.enableDeletionVectors=true, else copy-on-write."""
+    from .delta.log import DeltaLog
+
+    cfg = DeltaLog(os.path.abspath(path)).snapshot().metadata.get(
+        "configuration"
+    ) or {}
+    return str(cfg.get("delta.enableDeletionVectors", "")).lower() == "true"
+
+
 # ------------------------------------------------------------- INSERT INTO
 
 
@@ -410,7 +421,8 @@ def _route_delete(pond, p, text: str) -> DataFrame:
     path = _target(pond, _relation_parts(rel))
     cond = p.condition()
     where = "true" if cond is None else _strip_alias(cond.sql(), alias)
-    m = dml.delete(pond.spark, path, where=where)
+    fn = dml.delete_mor if _dv_mode(path) else dml.delete
+    m = fn(pond.spark, path, where=where)
     return _metrics_df(pond.spark, {"operation": "delete", **m})
 
 
@@ -425,7 +437,8 @@ def _route_update(pond, p, text: str) -> DataFrame:
         sets[key] = _strip_alias(a.value().sql(), alias)
     cond = _opt(p.condition())
     where = None if cond is None else _strip_alias(cond.sql(), alias)
-    m = dml.update(pond.spark, path, set=sets, where=where)
+    fn = dml.update_mor if _dv_mode(path) else dml.update
+    m = fn(pond.spark, path, set=sets, where=where)
     return _metrics_df(pond.spark, {"operation": "update", **m})
 
 
@@ -532,7 +545,12 @@ def _route_merge(pond, p, text: str) -> DataFrame:
             )
         by_source = "delete"
 
-    m = dml.merge_upsert(
+    merge_fn = (
+        dml.merge_upsert_mor
+        if _dv_mode(path) and (clauses or by_source is None)
+        else dml.merge_upsert
+    )
+    m = merge_fn(
         pond.spark,
         path,
         source,

@@ -311,3 +311,21 @@ def test_drop_schema_sql(pond):
         pond.sql("DROP SCHEMA lake")
     pond.sql("DROP SCHEMA lake CASCADE")
     assert "lake" not in pond.list_schemas()
+
+
+def test_dv_enabled_table_routes_to_merge_on_read(pond, spark):
+    """SQL DELETE/UPDATE on a delta.enableDeletionVectors=true table use
+    deletion vectors (no file rewrite), per Delta semantics."""
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    _mk(pond)
+    pond.sql(
+        "ALTER TABLE lake.t SET TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')"
+    )
+    path = pond.table_path("lake", "t")
+    pond.sql("DELETE FROM lake.t WHERE id = 3")
+    snap = DeltaLog(path).snapshot()
+    assert any(f.deletion_vector for f in snap.files)  # MOR, not rewrite
+    pond.sql("UPDATE lake.t SET v = 0.0 WHERE id = 7")
+    assert pond.sql("SELECT v FROM lake.t WHERE id = 7").first()["v"] == 0.0
+    assert pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"] == 9
