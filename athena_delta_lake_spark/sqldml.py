@@ -181,11 +181,19 @@ def _route_insert(pond, p, text: str) -> DataFrame:
         if v is not None:
             static[k] = v
 
+    from .delta.writer import _generation_expressions, _identity_fields
+
     snap = DeltaLog(os.path.abspath(path)).snapshot()
     fields = {f.name: f for f in snap.schema.fields}
     target_cols = [f.name for f in snap.schema.fields]
+    # engine-assigned columns (GENERATED ALWAYS AS IDENTITY / (expr)) are
+    # OMITTED from the staged frame when not provided — write_delta
+    # assigns/computes them (and rejects explicit identity values)
+    auto = set(_identity_fields(snap.schema)) | set(
+        _generation_expressions(snap.schema)
+    )
     user_cols = _seq(p.userSpecifiedCols())
-    recv = [c for c in target_cols if c not in static]
+    recv = [c for c in target_cols if c not in static and c not in auto]
 
     if user_cols:
         missing = [c for c in user_cols if c not in fields]
@@ -216,9 +224,10 @@ def _route_insert(pond, p, text: str) -> DataFrame:
         if k not in fields:
             raise ValueError(f"PARTITION column not in table: {k}")
         df = df.withColumn(k, F.lit(v).cast(fields[k].dataType))
-    df = df.select(
-        *[F.col(c).cast(fields[c].dataType) for c in target_cols]
-    )
+    staged = [
+        c for c in target_cols if c in df.columns
+    ]  # auto columns absent unless explicitly provided
+    df = df.select(*[F.col(c).cast(fields[c].dataType) for c in staged])
 
     if p.overwrite():
         rw = (
@@ -317,18 +326,62 @@ def _route_create_table(pond, p, text: str) -> DataFrame:
         f"{c.name()} {c.dataType().sql()}" for c in _seq(p.columns())
     )
     st = T.StructType.fromDDL(fields)
-    # honor NOT NULL
-    nn = {c.name() for c in _seq(p.columns()) if not c.nullable()}
+    # honor NOT NULL, GENERATED ALWAYS AS (expr), and IDENTITY specs
+    nn = set()
+    gen: dict[str, str] = {}
+    identity: dict[str, tuple[int, int]] = {}
+    for c in _seq(p.columns()):
+        if not c.nullable():
+            nn.add(c.name())
+        g = c.generationExpression()
+        if g.isDefined():
+            gen[c.name()] = g.get()  # SQL text
+        ident = _opt(c.identityColumnSpec())
+        if ident is not None:
+            identity[c.name()] = (int(ident.getStart()), int(ident.getStep()))
     st = T.StructType(
         [
-            T.StructField(f.name, f.dataType, f.name not in nn, f.metadata)
+            T.StructField(
+                f.name,
+                f.dataType,
+                f.name not in nn,
+                {**(f.metadata or {}), "delta.generationExpression": gen[f.name]}
+                if f.name in gen
+                else f.metadata,
+            )
             for f in st.fields
         ]
     )
     path = os.path.join(pond.root, schema, table)
     os.makedirs(path, exist_ok=True)
-    empty = pond.spark.createDataFrame([], st)
-    version = write_delta(empty, path, partition_by=part_cols or None)
+    declared = [f.name for f in st.fields]
+    # the writer appends identity columns itself (callers never supply
+    # them) — drop them from the staged frame, then restore the declared
+    # column order with a metadata-only commit if it differs
+    empty = pond.spark.createDataFrame(
+        [], T.StructType([f for f in st.fields if f.name not in identity])
+    )
+    version = write_delta(
+        empty,
+        path,
+        partition_by=part_cols or None,
+        identity_columns=identity or None,
+    )
+    if identity:
+        from .delta.log import DeltaLog
+        from .delta.types import struct_to_schema_string
+        from .delta.writer import _commit_metadata_change
+
+        snap = DeltaLog(os.path.abspath(path)).snapshot()
+        if [f.name for f in snap.schema.fields] != declared:
+            by_name = {f.name: f for f in snap.schema.fields}
+            md = dict(snap.metadata)
+            md["schemaString"] = struct_to_schema_string(
+                T.StructType([by_name[n] for n in declared])
+            )
+            version = _commit_metadata_change(
+                path, "CHANGE COLUMN ORDER", {}, md, snap.version + 1
+            )
     return _metrics_df(
         pond.spark,
         {"operation": "create_table", "version": version, "table": f"{schema}.{table}"},

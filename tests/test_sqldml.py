@@ -329,3 +329,20 @@ def test_dv_enabled_table_routes_to_merge_on_read(pond, spark):
     pond.sql("UPDATE lake.t SET v = 0.0 WHERE id = 7")
     assert pond.sql("SELECT v FROM lake.t WHERE id = 7").first()["v"] == 0.0
     assert pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"] == 9
+
+
+def test_create_table_generated_and_identity_columns(pond):
+    pond.sql(
+        "CREATE TABLE lake.g ("
+        " id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2),"
+        " a INT,"
+        " b INT GENERATED ALWAYS AS (a + 1))"
+    )
+    # identity + generated values materialize on insert (engine-assigned)
+    pond.sql("INSERT INTO lake.g (a) SELECT CAST(id AS INT) FROM range(3)")
+    rows = sorted(
+        (r["id"], r["a"], r["b"])
+        for r in pond.sql("SELECT id, a, b FROM lake.g").collect()
+    )
+    assert [r[0] for r in rows] == [10, 12, 14]  # START 10, STEP 2
+    assert all(b == a + 1 for _i, a, b in rows)  # generation expression
