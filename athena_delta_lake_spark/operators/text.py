@@ -99,19 +99,27 @@ def fingerprint(col: str | Column) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words(col)))))
 
 
-def rolling_hashes(col: str | Column, window: int = 8) -> Column:
+def rolling_hashes(
+    col: str | Column, window: int = 8, hash_fn: str = "xxhash64"
+) -> Column:
     """Per-position rolling window hashes (winnowing primitive): hash of
-    each `window`-word slice."""
+    each `window`-word slice. hash_fn: 'xxhash64' (fastest, JVM-only) or
+    'md5' (hex string — engine-portable, so results oracle against other
+    engines; winnowing only needs a uniform hash, not a specific one)."""
     w = words(col)
     n = F.size(w)
     idx = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, window))))
+    hf = F.xxhash64 if hash_fn == "xxhash64" else F.md5
+    return F.transform(idx, lambda i: hf(F.concat_ws(" ", F.slice(w, i, window))))
 
 
-def winnow_fingerprint(col: str | Column, window: int = 8, keep: int = 4) -> Column:
+def winnow_fingerprint(
+    col: str | Column, window: int = 8, keep: int = 4,
+    hash_fn: str = "xxhash64",
+) -> Column:
     """Winnowing-style robust fingerprint: the `keep` smallest rolling
     hashes, sorted — stable under small edits."""
-    return F.slice(F.array_sort(rolling_hashes(col, window)), 1, keep)
+    return F.slice(F.array_sort(rolling_hashes(col, window, hash_fn)), 1, keep)
 
 
 def repetition_scores(

@@ -138,9 +138,26 @@ def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x05_winnow_fingerprints",
     "text",
-    None,  # xxhash64 rolling hashes aren't expressible in DuckDB; stability
-    # under edits is asserted in tests/test_text.py
-    "winnowing fingerprints (k smallest rolling hashes per doc)",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> length(x) > 0) AS ws
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(ws) - 7, 1) + 1),
+               i -> md5(array_to_string(ws[i:i+7], ' '))
+             ) AS hs
+      FROM f
+    )
+    SELECT doc_id, array_to_string(list_sort(hs)[1:4], ',') AS winnow
+    FROM h
+    """,
+    "winnowing fingerprints (k smallest rolling md5 window hashes per "
+    "doc) — engine-portable hash, full oracle; the xxhash64 production "
+    "variant's edit-stability is asserted in tests",
 )
 def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -149,7 +166,10 @@ def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.array_join(
-            tx.winnow_fingerprint("text", window=8, keep=4).cast("array<string>"), ","
+            tx.winnow_fingerprint(
+                F.lower(F.col("text")), window=8, keep=4, hash_fn="md5"
+            ),
+            ",",
         ).alias("winnow"),
     )
 

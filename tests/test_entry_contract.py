@@ -31,7 +31,6 @@ def test_queries_oracle_consistency():
         "k02_approx_percentile",
         "k03_hll_sketch_union",
         "k04_cms_heavy_hitters",
-        "x05_winnow_fingerprints",
     }
 
 
