@@ -207,7 +207,9 @@ def _route_insert(pond, p, text: str) -> DataFrame:
         df = df.toDF(*user_cols)
         for c in recv:
             if c not in user_cols:
-                df = df.withColumn(c, F.lit(None).cast(fields[c].dataType))
+                dflt = (fields[c].metadata or {}).get("CURRENT_DEFAULT")
+                fill = F.expr(dflt) if dflt is not None else F.lit(None)
+                df = df.withColumn(c, fill.cast(fields[c].dataType))
     elif p.byName():
         missing = [c for c in recv if c not in df.columns]
         if missing:
@@ -330,6 +332,7 @@ def _route_create_table(pond, p, text: str) -> DataFrame:
     nn = set()
     gen: dict[str, str] = {}
     identity: dict[str, tuple[int, int]] = {}
+    defaults: dict[str, str] = {}
     for c in _seq(p.columns()):
         if not c.nullable():
             nn.add(c.name())
@@ -339,16 +342,23 @@ def _route_create_table(pond, p, text: str) -> DataFrame:
         ident = _opt(c.identityColumnSpec())
         if ident is not None:
             identity[c.name()] = (int(ident.getStart()), int(ident.getStep()))
+        d = _opt(c.defaultValue())
+        if d is not None:
+            defaults[c.name()] = d.originalSQL()
+
+    def _meta(f):
+        m = dict(f.metadata or {})
+        if f.name in gen:
+            m["delta.generationExpression"] = gen[f.name]
+        if f.name in defaults:
+            # Spark/Delta's standard default-value metadata keys
+            m["CURRENT_DEFAULT"] = defaults[f.name]
+            m["EXISTS_DEFAULT"] = defaults[f.name]
+        return m
+
     st = T.StructType(
         [
-            T.StructField(
-                f.name,
-                f.dataType,
-                f.name not in nn,
-                {**(f.metadata or {}), "delta.generationExpression": gen[f.name]}
-                if f.name in gen
-                else f.metadata,
-            )
+            T.StructField(f.name, f.dataType, f.name not in nn, _meta(f))
             for f in st.fields
         ]
     )
@@ -367,20 +377,36 @@ def _route_create_table(pond, p, text: str) -> DataFrame:
         partition_by=part_cols or None,
         identity_columns=identity or None,
     )
-    if identity:
+    if identity or defaults:
         from .delta.log import DeltaLog
         from .delta.types import struct_to_schema_string
-        from .delta.writer import _commit_metadata_change
+        from .delta.writer import (
+            _commit_metadata_change,
+            _protocol_upgrade_action,
+        )
 
         snap = DeltaLog(os.path.abspath(path)).snapshot()
-        if [f.name for f in snap.schema.fields] != declared:
+        order_wrong = [f.name for f in snap.schema.fields] != declared
+        upgrade = (
+            _protocol_upgrade_action(
+                snap.protocol, writer_features=("allowColumnDefaults",)
+            )
+            if defaults
+            else None
+        )
+        if order_wrong or upgrade:
             by_name = {f.name: f for f in snap.schema.fields}
             md = dict(snap.metadata)
             md["schemaString"] = struct_to_schema_string(
                 T.StructType([by_name[n] for n in declared])
             )
             version = _commit_metadata_change(
-                path, "CHANGE COLUMN ORDER", {}, md, snap.version + 1
+                path,
+                "CHANGE COLUMN ORDER",
+                {},
+                md,
+                snap.version + 1,
+                extra_actions=[upgrade] if upgrade else None,
             )
     return _metrics_df(
         pond.spark,

@@ -346,3 +346,21 @@ def test_create_table_generated_and_identity_columns(pond):
     )
     assert [r[0] for r in rows] == [10, 12, 14]  # START 10, STEP 2
     assert all(b == a + 1 for _i, a, b in rows)  # generation expression
+
+
+def test_create_table_column_defaults(pond):
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    pond.sql(
+        "CREATE TABLE lake.d (id BIGINT, tag STRING DEFAULT 'n/a', "
+        "w DOUBLE DEFAULT 1.5)"
+    )
+    pond.sql("INSERT INTO lake.d (id) SELECT 1")
+    pond.sql("INSERT INTO lake.d (id, tag) SELECT 2, 'x'")
+    rows = {
+        r["id"]: (r["tag"], r["w"])
+        for r in pond.sql("SELECT id, tag, w FROM lake.d").collect()
+    }
+    assert rows == {1: ("n/a", 1.5), 2: ("x", 1.5)}
+    proto = DeltaLog(pond.table_path("lake", "d")).snapshot().protocol
+    assert "allowColumnDefaults" in (proto.get("writerFeatures") or [])
