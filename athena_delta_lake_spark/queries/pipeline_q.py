@@ -327,3 +327,53 @@ def p09(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select(
         "doc_id", "source", F.col("quota_rank").cast("int").alias("quota_rank")
     )
+
+
+@register(
+    "p10_lm_filter_capstone",
+    "pipeline",
+    """
+    WITH w AS (
+      SELECT doc_id AS id, w1, pos,
+             lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w1,
+               generate_subscripts(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1) AS pos
+        FROM documents
+      )
+    ), bg AS (SELECT id, w1, w2 FROM w WHERE w2 IS NOT NULL),
+    uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    bi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+    model AS (
+      SELECT bi.w1, bi.w2, ln(CAST(c2 AS DOUBLE) / c1) AS logp
+      FROM bi JOIN uni USING (w1)
+    ), scored AS (
+      SELECT id, count(*) AS n_bigrams, avg(logp) AS s
+      FROM bg JOIN model USING (w1, w2) GROUP BY id
+    ), kept AS (
+      SELECT d.doc_id, d.source, sc.n_bigrams
+      FROM documents d JOIN scored sc ON d.doc_id = sc.id
+      WHERE sc.s > -3.5 AND sc.n_bigrams >= 40
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams
+    FROM kept GROUP BY source
+    """,
+    "model-based quality-filter capstone (CCNet shape): corpus bigram LM "
+    "score per doc -> drop low-likelihood and short docs -> per-source "
+    "survival stats; composes x08's LM with the filter+aggregate stages",
+)
+def p10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bigram_lm_scores
+
+    d = load(spark, sf_dir, "documents")
+    scored = bigram_lm_scores(d, "doc_id", "text")
+    kept = (
+        d.join(scored, d.doc_id == scored.id)
+        .filter((F.col("avg_logprob") > -3.5) & (F.col("n_bigrams") >= 40))
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+    )
