@@ -1204,6 +1204,18 @@ def write_delta(
 _MAX_COMMIT_RETRIES = 10
 
 
+# Delta spec: upgrading a LEGACY protocol to table features (v7) must
+# enumerate what the old minWriterVersion implied, or external writers
+# stop honoring those invariants.
+_LEGACY_WRITER_IMPLIED = {
+    2: ("appendOnly", "invariants"),
+    3: ("checkConstraints",),
+    4: ("changeDataFeed", "generatedColumns"),
+    5: ("columnMapping",),
+    6: ("identityColumns",),
+}
+
+
 def _protocol_upgrade_action(
     prior_protocol: dict | None,
     reader_features: tuple[str, ...] = (),
@@ -1212,14 +1224,21 @@ def _protocol_upgrade_action(
     """A `protocol` action adding the given table features, or None when the
     protocol already carries them. Mirrors the inCommitTimestamp upgrade
     path: minWriterVersion 7 (table features), minReaderVersion 3 whenever
-    any reader feature is in play, existing features preserved."""
+    any reader feature is in play, existing features preserved — and when
+    the prior protocol was LEGACY (no writerFeatures list), the features
+    its minWriterVersion implied are enumerated so they survive v7."""
     cur = prior_protocol or {}
     have_r = set(cur.get("readerFeatures") or [])
     have_w = set(cur.get("writerFeatures") or [])
     if set(reader_features) <= have_r and set(writer_features) <= have_w:
         return None
+    implied: set[str] = set()
+    if cur.get("writerFeatures") is None:
+        for v, feats in _LEGACY_WRITER_IMPLIED.items():
+            if int(cur.get("minWriterVersion", 1)) >= v:
+                implied |= set(feats)
     new_r = have_r | set(reader_features)
-    new_w = have_w | set(writer_features) | set(reader_features)
+    new_w = have_w | implied | set(writer_features) | set(reader_features)
     return {
         "protocol": {
             "minReaderVersion": 3 if new_r else int(cur.get("minReaderVersion", 1)),

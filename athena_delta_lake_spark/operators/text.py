@@ -106,6 +106,8 @@ def rolling_hashes(
     each `window`-word slice. hash_fn: 'xxhash64' (fastest, JVM-only) or
     'md5' (hex string — engine-portable, so results oracle against other
     engines; winnowing only needs a uniform hash, not a specific one)."""
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64 | md5)")
     w = words(col)
     n = F.size(w)
     idx = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1)))

@@ -354,7 +354,7 @@ def p09(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), kept AS (
       SELECT d.doc_id, d.source, sc.n_bigrams
       FROM documents d JOIN scored sc ON d.doc_id = sc.id
-      WHERE sc.s > -3.5 AND sc.n_bigrams >= 40
+      WHERE round(sc.s, 6) > -3.5 AND sc.n_bigrams >= 40
     )
     SELECT source, count(*) AS n_docs,
            CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams

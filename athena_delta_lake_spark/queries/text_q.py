@@ -148,7 +148,7 @@ def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              list_transform(
                range(1, greatest(len(ws) - 7, 1) + 1),
-               i -> md5(array_to_string(ws[i:i+7], ' '))
+               i -> md5(coalesce(array_to_string(ws[i:i+7], ' '), ''))
              ) AS hs
       FROM f
     )
@@ -166,9 +166,7 @@ def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.array_join(
-            tx.winnow_fingerprint(
-                F.lower(F.col("text")), window=8, keep=4, hash_fn="md5"
-            ),
+            tx.winnow_fingerprint("text", window=8, keep=4, hash_fn="md5"),
             ",",
         ).alias("winnow"),
     )

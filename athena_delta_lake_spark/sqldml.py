@@ -211,9 +211,12 @@ def _route_insert(pond, p, text: str) -> DataFrame:
                 fill = F.expr(dflt) if dflt is not None else F.lit(None)
                 df = df.withColumn(c, fill.cast(fields[c].dataType))
     elif p.byName():
-        missing = [c for c in recv if c not in df.columns]
-        if missing:
-            raise ValueError(f"INSERT BY NAME missing columns: {missing}")
+        for c in recv:
+            if c not in df.columns:
+                dflt = (fields[c].metadata or {}).get("CURRENT_DEFAULT")
+                if dflt is None:
+                    raise ValueError(f"INSERT BY NAME missing column: {c}")
+                df = df.withColumn(c, F.expr(dflt).cast(fields[c].dataType))
     else:
         if len(df.columns) != len(recv):
             raise ValueError(
@@ -341,6 +344,11 @@ def _route_create_table(pond, p, text: str) -> DataFrame:
             gen[c.name()] = g.get()  # SQL text
         ident = _opt(c.identityColumnSpec())
         if ident is not None:
+            if ident.isAllowExplicitInsert():
+                raise ValueError(
+                    "GENERATED BY DEFAULT AS IDENTITY is unsupported "
+                    "(only GENERATED ALWAYS; the writer always assigns)"
+                )
             identity[c.name()] = (int(ident.getStart()), int(ident.getStep()))
         d = _opt(c.defaultValue())
         if d is not None:
@@ -672,6 +680,8 @@ def _lit_val(e):
     """Python value of a literal (or named) CALL argument."""
     if _cls(e) == "NamedArgumentExpression":
         return _lit_val(e.value())
+    if _cls(e) == "UnaryMinus":
+        return -_lit_val(e.child())
     sql = e.sql()
     if sql.startswith("'") and sql.endswith("'"):
         return sql[1:-1].replace("\\'", "'").replace("\\\\", "\\")
@@ -711,19 +721,30 @@ def _route_call(pond, p, text: str) -> DataFrame:
         tbl = pos.pop(0)
     path = _target(pond, str(tbl).split("."))
 
+    def take(key, default=None):
+        # named wins; a positional for the same slot is a CONFLICT, not
+        # silently discarded
+        if key in kw:
+            if pos:
+                raise ValueError(
+                    f"CALL {pname}: positional and named value for {key!r}"
+                )
+            return kw.pop(key)
+        return pos.pop(0) if pos else default
+
     if pname == "optimize":
         zo = kw.pop("zorder_by", None)
         if zo is not None:
             zo = [c.strip() for c in str(zo).split(",")]
-        size = kw.pop("target_file_size", pos.pop(0) if pos else 128 * 1024 * 1024)
+        size = take("target_file_size", 128 * 1024 * 1024)
         m = dml.compact(pond.spark, path, target_file_size=int(size), zorder_by=zo)
     elif pname == "vacuum":
-        hours = kw.pop("retention_hours", pos.pop(0) if pos else 168.0)
+        hours = take("retention_hours", 168.0)
         m = dml.vacuum(path, retention_hours=float(hours), dry_run=bool(kw.pop("dry_run", False)))
     elif pname == "restore":
         m = dml.restore_table(
             path,
-            version=kw.pop("version", pos.pop(0) if pos else None),
+            version=take("version"),
             timestamp_millis=kw.pop("timestamp_millis", None),
         )
     elif pname == "checkpoint":

@@ -291,7 +291,6 @@ def test_call_procedures(pond):
     assert r["operation"] == "optimize"
     r = pond.sql("CALL checkpoint(tbl => 'lake.t')").first()
     assert r["checkpoint_version"] >= 1
-    n_before = pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"]
     pond.sql("DELETE FROM lake.t WHERE ds = 'b'")
     pond.sql("CALL restore(tbl => 'lake.t', version => 0)")
     assert pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"] == 10
@@ -364,3 +363,44 @@ def test_create_table_column_defaults(pond):
     assert rows == {1: ("n/a", 1.5), 2: ("x", 1.5)}
     proto = DeltaLog(pond.table_path("lake", "d")).snapshot().protocol
     assert "allowColumnDefaults" in (proto.get("writerFeatures") or [])
+
+
+def test_default_with_identity_keeps_implied_features(pond):
+    """The defaults follow-up protocol upgrade must enumerate the
+    legacy-implied features (identityColumns), not erase them."""
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    pond.sql(
+        "CREATE TABLE lake.di ("
+        " id BIGINT GENERATED ALWAYS AS IDENTITY,"
+        " tag STRING DEFAULT 'x')"
+    )
+    proto = DeltaLog(pond.table_path("lake", "di")).snapshot().protocol
+    feats = set(proto.get("writerFeatures") or [])
+    assert {"allowColumnDefaults", "identityColumns"} <= feats
+    pond.sql("INSERT INTO lake.di (tag) SELECT 'a'")
+    r = pond.sql("SELECT id, tag FROM lake.di").first()
+    assert r["id"] == 1 and r["tag"] == "a"
+
+
+def test_generated_by_default_identity_rejected(pond):
+    with pytest.raises(ValueError, match="BY DEFAULT"):
+        pond.sql(
+            "CREATE TABLE lake.bd (id BIGINT GENERATED BY DEFAULT AS IDENTITY, x INT)"
+        )
+
+
+def test_call_conflicting_args_rejected(pond):
+    _mk(pond)
+    with pytest.raises(ValueError, match="positional and named"):
+        pond.sql("CALL vacuum('lake.t', 1.0, retention_hours => 2.0)")
+    # negative literal arguments parse
+    with pytest.raises(Exception):  # restore to negative version errors downstream
+        pond.sql("CALL restore('lake.t', -1)")
+
+
+def test_insert_by_name_fills_defaults(pond):
+    pond.sql("CREATE TABLE lake.bn (id BIGINT, tag STRING DEFAULT 'n/a')")
+    pond.sql("INSERT INTO lake.bn BY NAME SELECT 7 AS id")
+    r = pond.sql("SELECT id, tag FROM lake.bn").first()
+    assert (r["id"], r["tag"]) == (7, "n/a")
