@@ -652,7 +652,14 @@ def merge_upsert(
     missing = [c for c in target_cols if c not in source.columns]
     if missing:
         raise ValueError(f"source is missing target columns: {missing}")
-    src = source.select(*target_cols)
+    # coerce the source to the TARGET schema up front (Delta's implicit
+    # source-to-target casting): every staged piece then matches the
+    # table's physical types even when no target rows join the union
+    # (e.g. a merge touching zero files would otherwise write the
+    # source's own literal types)
+    src = source.select(
+        *[F.col(f.name).cast(f.dataType) for f in snap.schema.fields]
+    )
     for k in keys:
         if k not in target_cols:
             raise ValueError(f"merge key not in table schema: {k}")
@@ -847,7 +854,14 @@ def merge_upsert_mor(
     missing = [c for c in target_cols if c not in source.columns]
     if missing:
         raise ValueError(f"source is missing target columns: {missing}")
-    src = source.select(*target_cols)
+    # coerce the source to the TARGET schema up front (Delta's implicit
+    # source-to-target casting): every staged piece then matches the
+    # table's physical types even when no target rows join the union
+    # (e.g. a merge touching zero files would otherwise write the
+    # source's own literal types)
+    src = source.select(
+        *[F.col(f.name).cast(f.dataType) for f in snap.schema.fields]
+    )
     for k in keys:
         if k not in target_cols:
             raise ValueError(f"merge key not in table schema: {k}")

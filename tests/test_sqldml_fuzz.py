@@ -46,8 +46,10 @@ def test_sql_dml_walk_matches_duckdb(spark, tmp_path, seed):
     )
     next_id = 1000
 
-    for step in range(12):
-        op = rng.choice(["insert", "delete", "update", "overwrite_part", "insert_vals"])
+    for step in range(14):
+        op = rng.choice(
+            ["insert", "delete", "update", "overwrite_part", "insert_vals", "merge"]
+        )
         if op == "insert":
             lo = next_id
             next_id += 5
@@ -90,6 +92,24 @@ def test_sql_dml_walk_matches_duckdb(spark, tmp_path, seed):
             con.execute(
                 f"INSERT INTO f SELECT r + {lo}, {kk}, 7.0 FROM range(3) t(r)"
             )
+        if op == "merge":
+            # key-unique source; DuckDB (no MERGE) mirrors the upsert as
+            # the equivalent DELETE-matched + INSERT-all
+            lo = rng.randint(0, 50)
+            src = [(lo + 3 * j, (lo + 3 * j) % 4, -1.5) for j in range(4)]
+            vals = ", ".join(f"({i}, {k}, {v})" for i, k, v in src)
+            spark.sql(
+                f"SELECT * FROM (VALUES {vals}) AS t(id, k, v)"
+            ).createOrReplaceTempView("fuzz_src")
+            pond.sql(
+                "MERGE INTO lake.f AS t USING fuzz_src AS s ON t.id = s.id "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+            con.execute(
+                f"DELETE FROM f WHERE id IN (SELECT id FROM (VALUES {vals}) t(id, k, v))"
+            )
+            con.execute(f"INSERT INTO f SELECT * FROM (VALUES {vals}) t(id, k, v)")
         got, want = _pond_state(pond), _duck_state(con)
         assert got == want, f"divergence after step {step} op {op} (seed {seed})"
 
