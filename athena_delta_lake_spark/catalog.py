@@ -37,6 +37,13 @@ class DeltaPond:
         self.spark = spark
         self.root = root.rstrip("/")
         self._fs = get_fs(self.root, spark)
+        # Bare-name temp views WE bound to pond tables. A temp view pins
+        # the Delta snapshot's file list at bind time, so these must be
+        # re-bound on every sql() call or a routed INSERT/UPDATE/DELETE
+        # followed by SELECT on the same name reads pre-DML data. Names
+        # NOT in this set that exist as temp views are the user's — those
+        # keep shadowing the pond (read-side precedence).
+        self._pond_bare_views: set[str] = set()
 
     def _is_delta_dir(self, path: str) -> bool:
         return self._fs.is_dir(_join(path, "_delta_log"))
@@ -136,6 +143,8 @@ class DeltaPond:
         names = []
         for t in self.list_tables(schema):
             self.read(schema, t).createOrReplaceTempView(prefix + t)
+            if not prefix:  # prefixed names can't be re-resolved to a table
+                self._pond_bare_views.add(t)
             names.append(prefix + t)
         return names
 
@@ -369,8 +378,12 @@ class DeltaPond:
             if len(parts) == 2 and parts[0] in schemas:
                 schema, table = parts
             elif len(parts) == 1:
-                if travel is None and self.spark.catalog.tableExists(parts[0]):
-                    continue  # already bound (temp view wins)
+                if (
+                    travel is None
+                    and parts[0] not in self._pond_bare_views
+                    and self.spark.catalog.tableExists(parts[0])
+                ):
+                    continue  # user temp view wins; pond-bound views refresh
                 try:
                     schema = self._schema_for(parts[0])
                 except FileNotFoundError:
@@ -383,6 +396,7 @@ class DeltaPond:
             if travel is None:
                 if len(parts) == 1:
                     self.read(schema, table).createOrReplaceTempView(table)
+                    self._pond_bare_views.add(table)
                     continue
                 view = f"__pond__{schema}__{table}"
                 self.read(schema, table).createOrReplaceTempView(view)
@@ -407,6 +421,7 @@ class DeltaPond:
                     raise
                 schema = self._schema_for(name)
                 self.read(schema, name).createOrReplaceTempView(name)
+                self._pond_bare_views.add(name)
         raise RuntimeError(f"gave up resolving relations after {_max_resolves} passes")
 
 

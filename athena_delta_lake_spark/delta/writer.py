@@ -1215,6 +1215,15 @@ _LEGACY_WRITER_IMPLIED = {
     6: ("identityColumns",),
 }
 
+# Same for the READER side: a legacy minReaderVersion=2 protocol implies
+# columnMapping; once the table moves to minReaderVersion=3 (explicit
+# readerFeatures list) that implication must be enumerated or
+# spec-compliant readers stop honoring column mapping and misread
+# physical column names.
+_LEGACY_READER_IMPLIED = {
+    2: ("columnMapping",),
+}
+
 
 def _protocol_upgrade_action(
     prior_protocol: dict | None,
@@ -1237,8 +1246,15 @@ def _protocol_upgrade_action(
         for v, feats in _LEGACY_WRITER_IMPLIED.items():
             if int(cur.get("minWriterVersion", 1)) >= v:
                 implied |= set(feats)
+    implied_r: set[str] = set()
+    if cur.get("readerFeatures") is None:
+        for v, feats in _LEGACY_READER_IMPLIED.items():
+            if int(cur.get("minReaderVersion", 1)) >= v:
+                implied_r |= set(feats)
     new_r = have_r | set(reader_features)
-    new_w = have_w | implied | set(writer_features) | set(reader_features)
+    if new_r:  # moving to (or already at) an explicit readerFeatures list
+        new_r |= implied_r
+    new_w = have_w | implied | set(writer_features) | new_r
     return {
         "protocol": {
             "minReaderVersion": 3 if new_r else int(cur.get("minReaderVersion", 1)),

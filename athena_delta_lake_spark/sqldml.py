@@ -127,6 +127,16 @@ class _NotPond(Exception):
 
 def _target(pond, parts: list[str], must_exist: bool = True) -> str:
     if len(parts) == 1:
+        # Read-side precedence: a USER temp view shadowing the bare name
+        # wins (catalog.sql skips binding it), so DML must defer to
+        # spark.sql too — otherwise `INSERT INTO events` writes the pond
+        # table while `SELECT * FROM events` reads the shadowing view.
+        # Views the pond itself bound are NOT shadows; they alias the
+        # pond table and DML proceeds.
+        if parts[0] not in getattr(
+            pond, "_pond_bare_views", ()
+        ) and pond.spark.catalog.tableExists(parts[0]):
+            raise _NotPond(parts[0])
         try:
             schema = pond._schema_for(parts[0])
         except FileNotFoundError:
@@ -260,8 +270,10 @@ def _route_ctas(pond, p, text: str) -> DataFrame:
     from .delta.writer import write_delta
 
     parts = _seq(p.name().nameParts())
-    if len(parts) == 1:
-        raise ValueError("CTAS target must be schema.table")
+    if len(parts) != 2:
+        # 1-part / 3-part names can't be pond targets: let spark.sql
+        # handle session-catalog CTAS (e.g. CREATE TABLE t AS ... USING parquet)
+        raise _NotPond(".".join(parts))
     schema, table = parts[0], parts[1]
     if schema not in pond.list_schemas():
         raise _NotPond(schema)
@@ -307,7 +319,8 @@ def _route_create_table(pond, p, text: str) -> DataFrame:
 
     parts = _seq(p.name().nameParts())
     if len(parts) != 2:
-        raise ValueError("CREATE TABLE target must be schema.table")
+        # not a pond-shaped name: defer to spark.sql (session catalog)
+        raise _NotPond(".".join(parts))
     schema, table = parts
     if schema not in pond.list_schemas():
         raise _NotPond(schema)
@@ -916,13 +929,30 @@ def _route_unset_props(pond, p, text: str) -> DataFrame:
 
 
 def _route_show_tables(pond, p, text: str) -> DataFrame:
-    ns = _seq(p.namespace().multipartIdentifier())
-    schemas = [ns[0]] if ns else pond.list_schemas()
+    # plain `SHOW TABLES` parses its namespace as CurrentNamespace (no
+    # identifier parts); `SHOW TABLES IN x` as UnresolvedNamespace
+    try:
+        ns = _seq(p.namespace().multipartIdentifier())
+    except Exception:
+        ns = []
+    pond_schemas = pond.list_schemas()
+    if ns and (len(ns) != 1 or ns[0] not in pond_schemas):
+        # SHOW TABLES IN <session-catalog db>: not ours — fall through to
+        # spark.sql instead of raising FileNotFoundError from listdir
+        raise _NotPond(".".join(ns))
+    schemas = [ns[0]] if ns else pond_schemas
     rows = [
         Row(namespace=s, tableName=t)
         for s in schemas
         for t in pond.list_tables(s)
     ]
+    if not ns:
+        # plain SHOW TABLES: session temp views / tables are visible too
+        pond_bound = getattr(pond, "_pond_bare_views", set())
+        for r in pond.spark.sql("SHOW TABLES").collect():
+            n = str(r.tableName)
+            if not n.startswith("__pond") and n not in pond_bound:
+                rows.append(Row(namespace=r.namespace, tableName=n))
     schema = "namespace string, tableName string"
     return pond.spark.createDataFrame(rows, schema)
 
