@@ -44,6 +44,8 @@ class DeltaPond:
         # NOT in this set that exist as temp views are the user's — those
         # keep shadowing the pond (read-side precedence).
         self._pond_bare_views: set[str] = set()
+        # view names currently being expanded (cycle guard, see sql())
+        self._view_stack: set[str] = set()
 
     def _is_delta_dir(self, path: str) -> bool:
         return self._fs.is_dir(_join(path, "_delta_log"))
@@ -127,6 +129,74 @@ class DeltaPond:
         os.makedirs(path, exist_ok=True)
         write_delta(df, path, mode=mode, partition_by=partition_by)
         return DeltaTable(self.spark, path)
+
+    # ------------------------------------------------------------- views
+    #
+    # Named views over pond tables — what Athena gave the reference's
+    # users for free (views live in the engine, reference README.md:38
+    # usage; SURVEY §2.B). Definitions persist as SQL TEXT in
+    # `<root>/_pond_views.json` (the storage layout IS the catalog, same
+    # as schemas/tables), and are re-resolved through pond.sql on every
+    # reference, so a view always reads the CURRENT table snapshot —
+    # never a pinned file list.
+
+    def _views_file(self) -> str:
+        return _join(self.root, "_pond_views.json")
+
+    def _load_views(self) -> dict[str, str]:
+        import json
+
+        try:
+            with open(self._views_file()) as f:
+                return json.load(f)
+        except (FileNotFoundError, NotADirectoryError):
+            return {}
+
+    def _save_views(self, views: dict[str, str]) -> None:
+        import json
+
+        tmp = self._views_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(views, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._views_file())
+
+    def create_view(
+        self,
+        name: str,
+        query: str,
+        replace: bool = False,
+        if_not_exists: bool = False,
+    ) -> None:
+        """CREATE [OR REPLACE] VIEW name AS query. `name` is bare or
+        `schema.view` (the schema must exist). The defining query is
+        validated eagerly (parse + analyze through pond.sql) but rows are
+        never materialized."""
+        parts = name.split(".")
+        if len(parts) == 2 and parts[0] not in self.list_schemas():
+            raise FileNotFoundError(f"no such schema: {parts[0]}")
+        if len(parts) > 2:
+            raise ValueError(f"bad view name: {name!r}")
+        views = self._load_views()
+        if name in views and not replace:
+            if if_not_exists:
+                return
+            raise ValueError(f"view {name} already exists")
+        self.sql(query).schema  # analyze now: broken views fail at CREATE
+        views[name] = query
+        self._save_views(views)
+
+    def drop_view(self, name: str, if_exists: bool = False) -> None:
+        views = self._load_views()
+        if name not in views:
+            if if_exists:
+                return
+            raise FileNotFoundError(f"no such view: {name}")
+        del views[name]
+        self._save_views(views)
+
+    def list_views(self) -> dict[str, str]:
+        """view name -> defining SQL text."""
+        return self._load_views()
 
     def drop_table(self, schema: str, table: str) -> None:
         """Remove the table directory (storage-layout catalog: dropping a
@@ -361,19 +431,35 @@ class DeltaPond:
         except Exception:
             jplan = None
 
-        if jplan is not None:
-            routed = route_statement(self, query, jplan)
-            if routed is not None:
-                return routed
+        # routed even when jplan is None: DESCRIBE HISTORY is Delta-only
+        # syntax Spark's parser may reject, matched by text in the router
+        routed = route_statement(self, query, jplan)
+        if routed is not None:
+            return routed
 
         spans = self._relation_spans(query, jplan) if jplan is not None else []
 
         schemas = set(self.list_schemas())
+        views = self._load_views() if spans else {}
         splices: list[tuple[int, int, str]] = []
         for parts, start, stop, travel in spans:
             if travel == ("cdf",):
                 view = self._bind_table_changes(parts)
                 splices.append((start, stop, view))
+                continue
+            key = ".".join(parts)
+            if travel is None and key in views:
+                # named pond view: re-resolve its defining SQL NOW (fresh
+                # snapshots), bind under a mangled name, splice
+                if key in self._view_stack:
+                    raise ValueError(f"circular view reference: {key}")
+                vname = "__pond_view__" + key.replace(".", "__")
+                self._view_stack.add(key)
+                try:
+                    self.sql(views[key]).createOrReplaceTempView(vname)
+                finally:
+                    self._view_stack.discard(key)
+                splices.append((start, stop, vname))
                 continue
             if len(parts) == 2 and parts[0] in schemas:
                 schema, table = parts

@@ -706,3 +706,90 @@ def b13(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lake.nation_dml GROUP BY 1
         """
     )
+
+
+# --------------------------------------------------- g01/g02: views + history
+
+
+def _ensure_view_pond(spark: SparkSession, sf_dir: str) -> DeltaPond:
+    """Pond with a nation-derived Delta table, a persisted NAMED VIEW over
+    it, and post-CREATE-VIEW DML — so the gate proves the view re-resolves
+    its defining SQL against the CURRENT snapshot (never a file list
+    pinned at CREATE time). Built once per sf. Reference analogue: Athena
+    gives the connector's users engine-side views for free (README.md:38,
+    SURVEY §2.B); here they live in the pond's storage-layout catalog."""
+    root = os.path.join(_fixture_root(sf_dir), "pond_views")
+    pond = DeltaPond(spark, root)
+    path = os.path.join(root, "lake", "nation_vw")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        load(spark, sf_dir, "nation").createOrReplaceTempView("nation_vsrc")
+        pond.sql("CREATE SCHEMA IF NOT EXISTS lake")
+        pond.sql(
+            "CREATE TABLE lake.nation_vw AS "
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation_vsrc"
+        )
+        pond.sql(
+            "CREATE VIEW lake.low_nations AS "
+            "SELECT n_nationkey, n_name, n_regionkey "
+            "FROM lake.nation_vw WHERE n_regionkey <= 2"
+        )
+        # DML AFTER the view exists: the view must see both
+        pond.sql(
+            "INSERT INTO lake.nation_vw SELECT n_nationkey + 500, "
+            "concat(n_name, '_V'), n_regionkey FROM nation_vsrc "
+            "WHERE n_regionkey = 2"
+        )
+        pond.sql("DELETE FROM lake.nation_vw WHERE n_regionkey = 1")
+    return pond
+
+
+@register(
+    "g01_named_view",
+    "delta-core",
+    """
+    WITH cur AS (
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+      UNION ALL
+      SELECT n_nationkey + 500, n_name || '_V', n_regionkey
+      FROM nation WHERE n_regionkey = 2
+    )
+    SELECT CAST(n_regionkey AS INT) AS rk, count(*) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM cur
+    WHERE n_regionkey <= 2 AND n_regionkey <> 1
+    GROUP BY 1
+    """,
+    "named persisted view (CREATE VIEW via pond.sql, stored as SQL text in "
+    "the storage-layout catalog) queried AFTER INSERT+DELETE on the base "
+    "table — proves view references re-resolve to the current snapshot",
+)
+def g01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pond = _ensure_view_pond(spark, sf_dir)
+    return pond.sql(
+        """
+        SELECT CAST(n_regionkey AS INT) AS rk, count(*) AS n,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        FROM lake.low_nations GROUP BY 1
+        """
+    )
+
+
+@register(
+    "g02_describe_history",
+    "delta-core",
+    """
+    SELECT * FROM (VALUES (2, 'DELETE'), (1, 'WRITE'), (0, 'WRITE'))
+      AS t(version, operation)
+    ORDER BY version DESC
+    """,
+    "DESCRIBE HISTORY via pond.sql (Delta-specific syntax routed by text "
+    "before Spark's parser): commitInfo per version, newest first; the "
+    "deterministic (version, operation) projection is hash-checked",
+)
+def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pond = _ensure_view_pond(spark, sf_dir)
+    return (
+        pond.sql("DESCRIBE HISTORY lake.nation_vw")
+        .selectExpr("CAST(version AS INT) AS version", "operation")
+        .orderBy(F.desc("version"))
+    )

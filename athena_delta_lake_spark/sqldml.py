@@ -986,6 +986,111 @@ def _route_show_partitions(pond, p, text: str) -> DataFrame:
     return pond.spark.createDataFrame(rows, "partition string")
 
 
+def _route_create_view(pond, p, text: str) -> DataFrame:
+    """CREATE [OR REPLACE] VIEW [IF NOT EXISTS] name AS query — stored as
+    SQL text in the pond's storage-layout catalog and re-resolved on
+    every reference (catalog.create_view). Explicit TEMP[ORARY] views
+    parse to CreateViewCommand and never reach this route."""
+    parts = _seq(p.child().nameParts())
+    if len(parts) > 2 or (
+        len(parts) == 2 and parts[0] not in pond.list_schemas()
+    ):
+        raise _NotPond(".".join(parts))
+    qtext = _opt(p.originalText())
+    if qtext is None:
+        raise ValueError("cannot recover the view's defining query text")
+    name = ".".join(parts)
+    pond.create_view(
+        name,
+        qtext,
+        replace=bool(p.replace()),
+        if_not_exists=bool(p.allowExisting()),
+    )
+    return _metrics_df(pond.spark, {"operation": "create_view", "view": name})
+
+
+def _route_drop_view(pond, p, text: str) -> DataFrame:
+    parts = _seq(p.child().nameParts())
+    name = ".".join(parts)
+    if name not in pond.list_views():
+        # a session temp view (or unknown): spark.sql handles/reports it
+        raise _NotPond(name)
+    pond.drop_view(name, if_exists=bool(p.ifExists()))
+    return _metrics_df(pond.spark, {"operation": "drop_view", "view": name})
+
+
+def _route_show_views(pond, p, text: str) -> DataFrame:
+    try:
+        ns = _seq(p.namespace().multipartIdentifier())
+    except Exception:
+        ns = []
+    if ns and (len(ns) != 1 or ns[0] not in pond.list_schemas()):
+        raise _NotPond(".".join(ns))
+    rows = []
+    for name in sorted(pond.list_views()):
+        parts = name.split(".")
+        schema = parts[0] if len(parts) == 2 else ""
+        if ns and schema != ns[0]:
+            continue
+        rows.append(Row(namespace=schema, viewName=parts[-1]))
+    if not ns:
+        for r in pond.spark.sql("SHOW VIEWS").collect():
+            n = str(r.viewName)
+            if not n.startswith("__pond"):
+                rows.append(Row(namespace=str(r.namespace), viewName=n))
+    return pond.spark.createDataFrame(
+        rows, "namespace string, viewName string"
+    )
+
+
+_DESCRIBE_HISTORY_RE = re.compile(
+    r"(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*$"
+)
+
+
+def _route_describe_history(pond, name: str) -> DataFrame:
+    """DESCRIBE HISTORY <table>: one row per commit, newest first —
+    the warehouse user's first audit query (Delta-specific syntax, so it
+    is recognized BEFORE Spark's parser, which cannot parse it)."""
+    import json as _json
+
+    from .delta.table import DeltaTable
+
+    parts = [p for p in name.replace("`", "").split(".") if p]
+    path = _target(pond, parts)
+    rows = []
+    for c in DeltaTable(pond.spark, path).history():
+        ts = c.get("timestamp")
+        rows.append(
+            Row(
+                version=int(c["version"]),
+                timestamp=(
+                    None
+                    if ts is None
+                    else __import__("datetime").datetime.fromtimestamp(
+                        ts / 1000.0, __import__("datetime").timezone.utc
+                    ).replace(tzinfo=None)
+                ),
+                operation=str(c.get("operation", "")),
+                operationParameters=_json.dumps(
+                    c.get("operationParameters") or {}, sort_keys=True
+                ),
+                operationMetrics=_json.dumps(
+                    c.get("operationMetrics") or {}, sort_keys=True
+                ),
+                readVersion=(
+                    int(c["readVersion"]) if c.get("readVersion") is not None else None
+                ),
+            )
+        )
+    return pond.spark.createDataFrame(
+        rows,
+        "version long, timestamp timestamp, operation string, "
+        "operationParameters string, operationMetrics string, "
+        "readVersion long",
+    )
+
+
 _ROUTES = {
     "InsertIntoStatement": _route_insert,
     "OverwriteByExpression": _route_overwrite_by_expr,
@@ -1010,6 +1115,9 @@ _ROUTES = {
     "ShowTables": _route_show_tables,
     "DescribeRelation": _route_describe,
     "ShowPartitions": _route_show_partitions,
+    "CreateView": _route_create_view,
+    "DropView": _route_drop_view,
+    "ShowViews": _route_show_views,
 }
 
 
@@ -1018,6 +1126,14 @@ def route_statement(pond, query: str, jplan=None) -> DataFrame | None:
     return None for plain queries (the SELECT path handles those).
     `jplan` lets the caller pass an already-parsed plan (pond.sql parses
     once and shares it with relation-span collection)."""
+    # DESCRIBE HISTORY is Delta-specific syntax Spark's parser rejects —
+    # the one statement matched by TEXT, before plan classification
+    m = _DESCRIBE_HISTORY_RE.match(query)
+    if m is not None:
+        try:
+            return _route_describe_history(pond, m.group(1))
+        except _NotPond:
+            return None
     try:
         if jplan is None:
             jplan = (

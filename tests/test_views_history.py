@@ -1,0 +1,127 @@
+"""Named views + DESCRIBE HISTORY through pond.sql (round-4 UX gaps).
+
+Views persist as SQL text in the pond's storage-layout catalog
+(`<root>/_pond_views.json`) and are re-resolved on every reference, so
+they always read the current table snapshot. DESCRIBE HISTORY is
+Delta-specific syntax recognized before Spark's parser.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from athena_delta_lake_spark.catalog import DeltaPond
+
+
+@pytest.fixture
+def pond(spark, tmp_path):
+    p = DeltaPond(spark, str(tmp_path / "pond"))
+    p.sql("CREATE SCHEMA lake")
+    p.sql(
+        "CREATE TABLE lake.t PARTITIONED BY (ds) AS "
+        "SELECT id, CAST(id * 2 AS DOUBLE) AS v, "
+        "CASE WHEN id < 5 THEN 'a' ELSE 'b' END AS ds FROM range(10)"
+    )
+    return p
+
+
+# ------------------------------------------------------------------- views
+
+
+def test_create_select_drop_view(pond):
+    pond.sql("CREATE VIEW big AS SELECT id, v FROM lake.t WHERE v >= 10")
+    assert pond.sql("SELECT count(*) AS n FROM big").first()["n"] == 5
+    # projection through the view
+    assert pond.sql("SELECT max(v) AS m FROM big").first()["m"] == 18.0
+    pond.sql("DROP VIEW big")
+    assert "big" not in pond.list_views()
+
+
+def test_view_reads_fresh_snapshot_after_dml(pond):
+    pond.sql("CREATE VIEW vv AS SELECT * FROM lake.t")
+    assert pond.sql("SELECT count(*) AS n FROM vv").first()["n"] == 10
+    pond.sql("INSERT INTO lake.t SELECT id + 100, 0.0, 'c' FROM range(4)")
+    # the view's defining SQL re-resolves: 14 rows, never the pinned 10
+    assert pond.sql("SELECT count(*) AS n FROM vv").first()["n"] == 14
+    pond.sql("DELETE FROM lake.t WHERE ds = 'c'")
+    assert pond.sql("SELECT count(*) AS n FROM vv").first()["n"] == 10
+
+
+def test_view_persists_across_pond_instances(pond):
+    pond.sql("CREATE VIEW lake.pv AS SELECT id FROM lake.t WHERE ds = 'a'")
+    p2 = DeltaPond(pond.spark, pond.root)
+    assert p2.sql("SELECT count(*) AS n FROM lake.pv").first()["n"] == 5
+
+
+def test_view_on_view_and_cycle_detection(pond):
+    pond.sql("CREATE VIEW v1 AS SELECT id, v FROM lake.t")
+    pond.sql("CREATE VIEW v2 AS SELECT id FROM v1 WHERE v > 8")
+    assert pond.sql("SELECT count(*) AS n FROM v2").first()["n"] == 5
+    # forge a cycle by editing the stored definition (CREATE would reject
+    # it eagerly at analysis time)
+    views = pond._load_views()
+    views["v1"] = "SELECT id, CAST(id AS DOUBLE) AS v FROM v2"
+    pond._save_views(views)
+    with pytest.raises(Exception, match="circular view reference"):
+        pond.sql("SELECT * FROM v1").collect()
+
+
+def test_create_view_variants(pond):
+    pond.sql("CREATE VIEW cv AS SELECT id FROM lake.t")
+    with pytest.raises(ValueError, match="already exists"):
+        pond.sql("CREATE VIEW cv AS SELECT v FROM lake.t")
+    pond.sql("CREATE VIEW IF NOT EXISTS cv AS SELECT v FROM lake.t")
+    # unchanged: still selects id
+    assert "id" in pond.sql("SELECT * FROM cv").columns
+    pond.sql("CREATE OR REPLACE VIEW cv AS SELECT v FROM lake.t")
+    assert pond.sql("SELECT * FROM cv").columns == ["v"]
+    # broken defining query fails at CREATE, not at first SELECT
+    with pytest.raises(Exception):
+        pond.sql("CREATE VIEW broken AS SELECT nope FROM lake.t")
+    assert "broken" not in pond.list_views()
+
+
+def test_drop_view_semantics(pond):
+    with pytest.raises(Exception):
+        pond.sql("DROP VIEW never_was")
+    # IF EXISTS on an unknown name: defers to spark.sql, which no-ops
+    pond.sql("DROP VIEW IF EXISTS never_was")
+    # temp views stay spark.sql's business
+    pond.spark.range(3).createOrReplaceTempView("sess_v")
+    pond.sql("DROP VIEW sess_v")
+    assert not pond.spark.catalog.tableExists("sess_v")
+
+
+def test_show_views(pond):
+    pond.sql("CREATE VIEW lake.sv AS SELECT id FROM lake.t")
+    pond.sql("CREATE VIEW bare_sv AS SELECT id FROM lake.t")
+    rows = {(r.namespace, r.viewName) for r in pond.sql("SHOW VIEWS").collect()}
+    assert ("lake", "sv") in rows and ("", "bare_sv") in rows
+    only_lake = {r.viewName for r in pond.sql("SHOW VIEWS IN lake").collect()}
+    assert only_lake == {"sv"}
+
+
+# -------------------------------------------------------- DESCRIBE HISTORY
+
+
+def test_describe_history(pond):
+    pond.sql("INSERT INTO lake.t SELECT 99, 1.0, 'z'")
+    pond.sql("DELETE FROM lake.t WHERE id = 99")
+    df = pond.sql("DESCRIBE HISTORY lake.t")
+    rows = df.collect()
+    assert [r.version for r in rows] == [2, 1, 0]  # newest first
+    ops = [r.operation for r in rows]
+    assert ops[0] == "DELETE" and ops[1] in ("WRITE", "INSERT")
+    assert df.columns == [
+        "version",
+        "timestamp",
+        "operation",
+        "operationParameters",
+        "operationMetrics",
+        "readVersion",
+    ]
+    # bare name + DESC abbreviation route too
+    assert pond.sql("DESC HISTORY t").count() == 3
+    # non-pond name: falls through to spark.sql and errors there
+    with pytest.raises(Exception):
+        pond.sql("DESCRIBE HISTORY nowhere.nothing")

@@ -24,7 +24,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ROOT = "/root/testdata"
+# Output root override for generating EXTRA scale factors (e.g. sf1 for
+# the scaling study) without touching the driver's read-only fixtures.
+ROOT = os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 NATIONS = [
