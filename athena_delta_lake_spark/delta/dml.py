@@ -581,6 +581,38 @@ def _insert_only_merge(spark, snap, table_path: str, src, keys) -> dict:
     return {"files_removed": 0, "files_added": len(adds), "source_rows": None}
 
 
+# Touched-file detection holds O(touched files) basenames on the driver —
+# the same planning-metadata class Delta's own implementation keeps. The
+# cap bounds that: a MERGE touching more files than this almost certainly
+# means mis-specified join keys, and the driver should fail fast instead
+# of accumulating millions of path strings first.
+_MERGE_TOUCHED_FILES_CAP = int(
+    os.environ.get("ADLS_MERGE_TOUCHED_FILES_CAP", "1000000")
+)
+
+
+def _touched_basenames(files_df: DataFrame, by_basename: dict) -> set[str]:
+    """Basenames of the (distinct) file paths in `files_df.__file`,
+    streamed via toLocalIterator (never one monolithic collect), failing
+    fast once the cap is exceeded."""
+    from urllib.parse import unquote
+
+    out: set[str] = set()
+    for r in files_df.toLocalIterator():
+        if len(out) >= _MERGE_TOUCHED_FILES_CAP:
+            raise RuntimeError(
+                f"MERGE touches more than {_MERGE_TOUCHED_FILES_CAP} data "
+                "files; refusing to hold the file list on the driver. "
+                "Check the merge keys, or raise "
+                "ADLS_MERGE_TOUCHED_FILES_CAP."
+            )
+        name = os.path.basename(r["__file"])
+        if name not in by_basename:
+            name = os.path.basename(unquote(r["__file"]))
+        out.add(name)
+    return out
+
+
 def _matched_clause_index(clauses: list[tuple[str | None, str]]):
     """Column: index of the FIRST clause whose condition is TRUE for this
     matched (target, source) row pair, or -1 when none applies (the
@@ -683,24 +715,15 @@ def merge_upsert(
         # so merges touching DV'd files silently missed them — the target
         # rows survived unrewritten while the source rows inserted,
         # duplicating keys (caught by the randomized DML state machine).
-        from urllib.parse import unquote
-
         from .reader import read_files_with_index
 
         tagged = read_files_with_index(spark, snap, live).select(
             *keys, F.col("_file").alias("__file")
         )
-        rows = (
-            tagged.join(src_keys, keys, "left_semi")
-            .select("__file")
-            .distinct()
-            .collect()
+        touched_names = _touched_basenames(
+            tagged.join(src_keys, keys, "left_semi").select("__file").distinct(),
+            by_basename,
         )
-        for r in rows:
-            name = os.path.basename(r["__file"])
-            if name not in by_basename:
-                name = os.path.basename(unquote(r["__file"]))
-            touched_names.add(name)
     touched = [by_basename[n] for n in touched_names if n in by_basename]
 
     remove_files = list(touched)
@@ -884,18 +907,13 @@ def merge_upsert_mor(
     by_basename = {os.path.basename(f.path): f for f in live}
     touched_names: set[str] = set()
     if live:
-        from urllib.parse import unquote
-
         probe = read_files_with_index(spark, snap, live).select(
             *keys, F.col("_file").alias("__file")
         )
-        for r in (
-            probe.join(src_keys, keys, "left_semi").select("__file").distinct().collect()
-        ):
-            name = os.path.basename(r["__file"])
-            if name not in by_basename:
-                name = os.path.basename(unquote(r["__file"]))
-            touched_names.add(name)
+        touched_names = _touched_basenames(
+            probe.join(src_keys, keys, "left_semi").select("__file").distinct(),
+            by_basename,
+        )
     touched = [by_basename[n] for n in touched_names if n in by_basename]
 
     needs_per_row = any(a == "update" for _c, a in clauses) or any(

@@ -148,6 +148,7 @@ _SUPPORTED_READER_FEATURES = {
     "vacuumProtocolCheck",
     "v2Checkpoint",  # classic-compat tables; pure v2 checkpoints rejected
     "typeWidening",  # readers promote narrow files at scan time
+    "variantType",  # VARIANT columns; Spark reads the parquet shredding
 }
 _MAX_READER_VERSION = 3
 

@@ -35,6 +35,10 @@ _PRIMITIVES: dict[str, T.DataType] = {
     "timestamp": T.TimestampType(),
     "timestamp_ntz": T.TimestampNTZType(),
     "binary": T.BinaryType(),
+    # Delta variantType feature: semi-structured values, physically a
+    # struct<metadata: binary, value: binary> in parquet (Spark 4 writes
+    # and reads that shredding natively for VariantType columns)
+    "variant": T.VariantType(),
 }
 
 _DECIMAL_RE = re.compile(r"decimal\(\s*(\d+)\s*,\s*(-?\d+)\s*\)")

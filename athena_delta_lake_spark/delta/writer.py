@@ -298,6 +298,30 @@ def logical_to_physical(
     }
 
 
+def _schema_type_features(st: T.StructType) -> set[str]:
+    """Delta table features implied by the TYPES in a schema (each is
+    reader+writer per spec): `variantType` for VARIANT columns,
+    `timestampNtz` for TIMESTAMP_NTZ — found at any nesting depth."""
+    feats: set[str] = set()
+
+    def walk(dt: T.DataType) -> None:
+        if isinstance(dt, T.VariantType):
+            feats.add("variantType")
+        elif isinstance(dt, T.TimestampNTZType):
+            feats.add("timestampNtz")
+        elif isinstance(dt, T.StructType):
+            for f in dt.fields:
+                walk(f.dataType)
+        elif isinstance(dt, T.ArrayType):
+            walk(dt.elementType)
+        elif isinstance(dt, T.MapType):
+            walk(dt.keyType)
+            walk(dt.valueType)
+
+    walk(st)
+    return feats
+
+
 def stage_data_files(
     df: DataFrame,
     table_path: str,
@@ -334,6 +358,24 @@ def stage_data_files(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
 
+    # VARIANT columns: Spark annotates them with the parquet VARIANT
+    # logical type, which this container's pyarrow (16.x) cannot even
+    # open the footer of — so numRecords comes from ONE Spark job over
+    # the staging dir instead (min/max never applies to variant, and
+    # other columns' footer stats are unreachable through the same
+    # footer). Basenames are unique across hive subdirs.
+    variant_counts: dict[str, int] | None = None
+    if collect_stats and "variantType" in _schema_type_features(data_schema):
+        from pyspark.sql import functions as F
+
+        variant_counts = {
+            os.path.basename(r["f"]): int(r["n"])
+            for r in df.sparkSession.read.parquet(staging)
+            .groupBy(F.col("_metadata.file_path").alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
     now = int(time.time() * 1000)
     adds = []
     for root, _dirs, files in os.walk(staging):
@@ -347,7 +389,15 @@ def stage_data_files(
             rel_path = os.path.join(rel_dir, fname) if rel_dir else fname
             dst = os.path.join(table_path, rel_path)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
-            stats = _file_stats(src, data_schema) if collect_stats else None
+            if variant_counts is not None:
+                stats = {
+                    "numRecords": variant_counts.get(name, 0),
+                    "minValues": {},
+                    "maxValues": {},
+                    "nullCount": {},
+                }
+            else:
+                stats = _file_stats(src, data_schema) if collect_stats else None
             shutil.move(src, dst)
             # Delta spec: add.path is URL-encoded relative to the table root;
             # the replayer (log.py:_decode_path) unquotes it back to the
@@ -1050,6 +1100,10 @@ def write_delta(
         effective_config["delta.inCommitTimestampEnablementTimestamp"] = str(now)
     config_changed = effective_config != prior_config
 
+    # type-implied reader+writer features (variantType, timestampNtz):
+    # a reader predating them must stop cleanly, so they gate
+    # minReaderVersion 3 in the same commit that first writes the type
+    type_feats = _schema_type_features(schema)
     protocol_upgraded = None
     if version == 0:
         # legacy writer-version features: generated columns = 4,
@@ -1061,7 +1115,7 @@ def write_delta(
         feats0 = set(needed_writer_features)
         if _ict_enabled(effective_config):
             feats0.add("inCommitTimestamp")
-        if feats0:
+        if feats0 or type_feats:
             # table-features protocol: enumerate the legacy-implied
             # features alongside the named ones
             if identity_params:
@@ -1069,9 +1123,14 @@ def write_delta(
             if _generation_expressions(schema):
                 feats0.add("generatedColumns")
             proto = {
-                "minReaderVersion": 1,
+                "minReaderVersion": 3 if type_feats else 1,
                 "minWriterVersion": 7,
-                "writerFeatures": sorted(feats0),
+                **(
+                    {"readerFeatures": sorted(type_feats)}
+                    if type_feats
+                    else {}
+                ),
+                "writerFeatures": sorted(feats0 | type_feats),
             }
         actions.append({"protocol": proto})
     else:
@@ -1080,8 +1139,9 @@ def write_delta(
             upgrade_feats.add("inCommitTimestamp")
         protocol_upgraded = _protocol_upgrade_action(
             prior.protocol if prior is not None else None,
+            reader_features=tuple(sorted(type_feats)),
             writer_features=tuple(sorted(upgrade_feats)),
-        ) if upgrade_feats else None
+        ) if (upgrade_feats or type_feats) else None
         if protocol_upgraded is not None:
             actions.append(protocol_upgraded)
     if (

@@ -793,3 +793,49 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("CAST(version AS INT) AS version", "operation")
         .orderBy(F.desc("version"))
     )
+
+
+# ------------------------------------------------ g03: variant Delta columns
+
+
+def _ensure_variant_events(spark: SparkSession, sf_dir: str) -> str:
+    """events with `props` stored as a true VARIANT column in a Delta
+    table — the `variantType` reader+writer feature is stamped by
+    write_delta, numRecords stats come from the Spark-side path (this
+    container's pyarrow cannot open VARIANT-annotated footers), and the
+    snapshot reads the parquet shredding back as variant."""
+    path = os.path.join(_fixture_root(sf_dir), "lake", "events_variant")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        ev = load(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            "value",
+            F.parse_json("props").alias("props"),
+        )
+        write_delta(ev.repartition(4), path)
+    return path
+
+
+@register(
+    "g03_variant_column",
+    "delta-core",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(max(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+    "VARIANT column round-tripped through a native Delta table "
+    "(variantType feature, parquet shredding) and extracted with typed "
+    "variant_get — oracle extracts the same values from the raw JSON",
+)
+def g03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_variant_events(spark, sf_dir)
+    df = DeltaTable(spark, path).to_df()
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.variant_get("props", "$.k", "bigint")).alias("k_sum"),
+        F.max(F.variant_get("props", "$.k", "bigint")).alias("k_max"),
+    )

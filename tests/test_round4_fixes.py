@@ -150,3 +150,36 @@ def test_dml_proceeds_on_pond_bound_view(pond):
     pond.sql("SELECT * FROM ev7").collect()  # pond binds the bare view
     pond.sql("INSERT INTO ev7 SELECT 999")  # NOT a shadow: DML proceeds
     assert pond.sql("SELECT count(*) AS n FROM lake.ev7").first()["n"] == 5
+
+
+# ------------------------------------- MERGE touched-file cap (driver bound)
+
+
+def test_merge_touched_file_cap(spark, tmp_path, monkeypatch):
+    from athena_delta_lake_spark.delta import write_delta
+    from athena_delta_lake_spark.delta import dml
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    path = str(tmp_path / "cap_tbl")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "id long, v double"
+    ).repartition(8)
+    write_delta(df, path)
+    n_files = len(DeltaLog(path).snapshot().files)
+    assert n_files >= 4
+
+    src = spark.createDataFrame(
+        [(i, -1.0) for i in range(40)], "id long, v double"
+    )
+    monkeypatch.setattr(dml, "_MERGE_TOUCHED_FILES_CAP", 2)
+    with pytest.raises(RuntimeError, match="touches more than 2 data files"):
+        dml.merge_upsert(spark, path, src, ["id"])
+    # failed fast BEFORE any commit: table unchanged
+    assert DeltaLog(path).snapshot().version == 0
+
+    monkeypatch.setattr(dml, "_MERGE_TOUCHED_FILES_CAP", 1_000_000)
+    dml.merge_upsert(spark, path, src, ["id"])
+    from athena_delta_lake_spark.delta import DeltaTable
+
+    rows = DeltaTable(spark, path).to_df().collect()
+    assert len(rows) == 40 and all(r["v"] == -1.0 for r in rows)

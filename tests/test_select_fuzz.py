@@ -1,0 +1,35 @@
+"""SELECT-surface conformance fuzz (round-4): seeded random relational
+plans — join chains, filters, grouped aggregates + HAVING, window
+functions, set operations, IN/NOT IN subqueries — rendered as
+engine-portable ANSI SQL and executed verbatim on BOTH Spark and DuckDB
+over the same parquet fixtures, multiset/ordered equality per statement.
+Complements tests/test_sqldml_fuzz.py (the DML walk) on the read side.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tools.fuzz_select import TABLES, run_seed
+
+
+@pytest.fixture(scope="module")
+def engines(spark, sf_dir):
+    import duckdb
+
+    from athena_delta_lake_spark.queries.base import load
+
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield spark, con
+    con.close()
+
+
+@pytest.mark.parametrize("seed", [11, 42, 77])
+def test_select_fuzz_matches_duckdb(engines, seed):
+    spark, con = engines
+    failures = run_seed(spark, con, seed, n_queries=30)
+    assert not failures, failures[:3]
