@@ -1047,6 +1047,104 @@ _DESCRIBE_HISTORY_RE = re.compile(
     r"(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*$"
 )
 
+# Delta-SQL maintenance sugar Spark's parser rejects outright — matched by
+# text like DESCRIBE HISTORY, routed onto the same engine functions the
+# CALL procedures use (optimize/vacuum/restore are what a warehouse user
+# types most after DML)
+_DESCRIBE_DETAIL_RE = re.compile(
+    r"(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.`]+)\s*;?\s*$"
+)
+_OPTIMIZE_RE = re.compile(
+    r"(?is)^\s*OPTIMIZE\s+([\w.`]+)"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*([\w`,\s]+?)\s*\))?\s*;?\s*$"
+)
+_VACUUM_RE = re.compile(
+    r"(?is)^\s*VACUUM\s+([\w.`]+)"
+    r"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?(\s+DRY\s+RUN)?\s*;?\s*$"
+)
+_RESTORE_RE = re.compile(
+    r"(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*$"
+)
+
+
+def _route_describe_detail(pond, name: str) -> DataFrame:
+    """DESCRIBE DETAIL <table>: one row of snapshot facts, no data I/O."""
+    import json as _json
+
+    from .delta.table import DeltaTable
+
+    parts = [p for p in name.replace("`", "").split(".") if p]
+    path = _target(pond, parts)
+    d = DeltaTable(pond.spark, path).detail()
+    row = Row(
+        format=str(d["format"]),
+        id=d["id"],
+        location=str(d["location"]),
+        partitionColumns=list(d["partitionColumns"]),
+        numFiles=int(d["numFiles"]),
+        sizeInBytes=int(d["sizeInBytes"]),
+        properties=_json.dumps(d["properties"], sort_keys=True),
+        minReaderVersion=int(d["minReaderVersion"] or 1),
+        minWriterVersion=int(d["minWriterVersion"] or 1),
+        version=int(d["version"]),
+    )
+    return pond.spark.createDataFrame(
+        [row],
+        "format string, id string, location string, "
+        "partitionColumns array<string>, numFiles long, sizeInBytes long, "
+        "properties string, minReaderVersion int, minWriterVersion int, "
+        "version long",
+    )
+
+
+def _route_maintenance_sugar(pond, query: str) -> DataFrame | None:
+    """OPTIMIZE / VACUUM / RESTORE / DESCRIBE DETAIL statements."""
+    from .delta import dml as _dml
+
+    m = _DESCRIBE_DETAIL_RE.match(query)
+    if m:
+        return _route_describe_detail(pond, m.group(1))
+    m = _OPTIMIZE_RE.match(query)
+    if m:
+        path = _target(pond, m.group(1).replace("`", "").split("."))
+        zo = (
+            [c.strip(" `") for c in m.group(2).split(",")]
+            if m.group(2)
+            else None
+        )
+        res = _dml.compact(pond.spark, path, zorder_by=zo)
+        return _metrics_df(pond.spark, {"operation": "optimize", **res})
+    m = _VACUUM_RE.match(query)
+    if m:
+        path = _target(pond, m.group(1).replace("`", "").split("."))
+        hours = float(m.group(2)) if m.group(2) else 168.0
+        res = _dml.vacuum(path, retention_hours=hours, dry_run=bool(m.group(3)))
+        return _metrics_df(
+            pond.spark,
+            {
+                "operation": "vacuum",
+                "numFiles": len(res["files"]),
+                "deleted": bool(res["deleted"]),
+            },
+        )
+    m = _RESTORE_RE.match(query)
+    if m:
+        path = _target(pond, m.group(1).replace("`", "").split("."))
+        if m.group(2) is not None:
+            res = _dml.restore_table(path, version=int(m.group(2)))
+        else:
+            import datetime as _dt
+
+            ts = _dt.datetime.fromisoformat(m.group(3))
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            res = _dml.restore_table(
+                path, timestamp_millis=int(ts.timestamp() * 1000)
+            )
+        return _metrics_df(pond.spark, {"operation": "restore", **res})
+    return None
+
 
 def _route_describe_history(pond, name: str) -> DataFrame:
     """DESCRIBE HISTORY <table>: one row per commit, newest first —
@@ -1126,14 +1224,21 @@ def route_statement(pond, query: str, jplan=None) -> DataFrame | None:
     return None for plain queries (the SELECT path handles those).
     `jplan` lets the caller pass an already-parsed plan (pond.sql parses
     once and shares it with relation-span collection)."""
-    # DESCRIBE HISTORY is Delta-specific syntax Spark's parser rejects —
-    # the one statement matched by TEXT, before plan classification
+    # Delta-only syntax Spark's parser rejects (DESCRIBE HISTORY/DETAIL,
+    # OPTIMIZE, VACUUM, RESTORE) — the statements matched by TEXT, before
+    # plan classification
     m = _DESCRIBE_HISTORY_RE.match(query)
     if m is not None:
         try:
             return _route_describe_history(pond, m.group(1))
         except _NotPond:
             return None
+    try:
+        routed = _route_maintenance_sugar(pond, query)
+        if routed is not None:
+            return routed
+    except _NotPond:
+        return None
     try:
         if jplan is None:
             jplan = (

@@ -38,7 +38,7 @@ def _model_state(model: pd.DataFrame) -> list[tuple]:
     )
 
 
-@pytest.mark.parametrize("seed", [7, 23])
+@pytest.mark.parametrize("seed", [7, 23, 31, 45, 58, 66, 81, 99])
 def test_random_dml_walk_matches_model(spark, tmp_path, seed):
     rng = random.Random(seed)
     path = str(tmp_path / f"walk_{seed}")
@@ -61,14 +61,25 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
         path,
         partition_by=["k"],
     )
-    history = {0: _model_state(model)}
+    # row tracking ON for the whole walk: the round-3 defects were exactly
+    # clone/restore/DSv2 interplay with row ids, so every op here runs
+    # over a row-tracked table and uniqueness is asserted at the end
+    from athena_delta_lake_spark.delta.writer import enable_row_tracking
+
+    enable_row_tracking(path)
+    # history: version -> (state, vname, vtype) so mid-walk RESTORE can
+    # rewind the model AND the schema trackers
+    history = {
+        DeltaTable(spark, path).version(): (_model_state(model), vname, vtype)
+    }
 
     for step in range(16):
         op = rng.choice(
             [
                 "append", "delete_cow", "delete_mor", "update", "update_mor",
                 "merge", "merge_mor", "optimize", "checkpoint", "rename",
-                "clone", "replace_where", "widen",
+                "clone", "replace_where", "widen", "restore",
+                "deep_of_shallow",
             ]
         )
         t = DeltaTable(spark, path)
@@ -132,6 +143,22 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
             cp = str(tmp_path / f"clone_{seed}_{step}")
             clone_table(path, cp)
             clones.append((cp, _model_state(model)))
+        elif op == "deep_of_shallow":
+            # round-3 defect class: deep clone OF a shallow clone must
+            # rewrite the shallow's absolute add paths into copied bytes
+            sh = str(tmp_path / f"sh_{seed}_{step}")
+            dp = str(tmp_path / f"dp_{seed}_{step}")
+            clone_table(path, sh)  # shallow
+            clone_table(sh, dp, shallow=False)  # deep of shallow
+            clones.append((sh, _model_state(model)))
+            clones.append((dp, _model_state(model)))
+        elif op == "restore":
+            # mid-walk RESTORE to a random earlier version: model AND the
+            # schema trackers (rename/widen) rewind with it
+            target = rng.choice(sorted(history))
+            DeltaTable(spark, path).restore(version=target)
+            want_state, vname, vtype = history[target]
+            model = pd.DataFrame(want_state, columns=["id", "k", "v"])
         elif op == "replace_where":
             # partition-scoped selective overwrite: replace exactly k=kk
             kk = rng.randint(0, 4)
@@ -157,7 +184,15 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
         got = _table_state(spark, path)
         want = _model_state(model)
         assert got == want, f"divergence after step {step} op {op} (seed {seed})"
-        history[DeltaTable(spark, path).version()] = want
+        history[DeltaTable(spark, path).version()] = (want, vname, vtype)
+
+    # row tracking held through every op: ids all present and unique
+    rid_rows = (
+        DeltaTable(spark, path).to_df_with_row_ids().select("_row_id").collect()
+    )
+    rids = [r["_row_id"] for r in rid_rows]
+    assert all(r is not None for r in rids), f"NULL row id (seed {seed})"
+    assert len(set(rids)) == len(rids), f"duplicate row ids (seed {seed})"
 
     # clones must still equal their at-clone-time state (isolation: the
     # source kept mutating and compacting after each clone)
@@ -167,11 +202,11 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
     # one restore to a random recorded version, model follows
     target = rng.choice(sorted(history))
     DeltaTable(spark, path).restore(version=target)
-    assert _table_state(spark, path) == history[target]
+    assert _table_state(spark, path) == history[target][0]
 
     # time travel to every recorded version still replays exactly
     DeltaLog.clear_cache()
-    for v, want in history.items():
+    for v, (want, _vn, _vt) in history.items():
         tdf = DeltaTable(spark, path).to_df(version=v)
         got = sorted(
             tuple(r) for r in tdf.select(*tdf.columns[:3]).collect()

@@ -33,3 +33,18 @@ def test_select_fuzz_matches_duckdb(engines, seed):
     spark, con = engines
     failures = run_seed(spark, con, seed, n_queries=30)
     assert not failures, failures[:3]
+
+
+def test_select_fuzz_over_native_delta(engines, sf_dir):
+    """Same generated plans, but Spark reads NATIVE Delta tables (log
+    replay + snapshot scan) while DuckDB reads the raw parquet — the
+    whole engine core sits inside the conformance net."""
+    from tools.fuzz_select import bind_spark_tables
+
+    spark, con = engines
+    try:
+        bind_spark_tables(spark, sf_dir, delta=True)
+        failures = run_seed(spark, con, 123, n_queries=20)
+        assert not failures, failures[:3]
+    finally:
+        bind_spark_tables(spark, sf_dir, delta=False)  # restore for peers

@@ -125,3 +125,34 @@ def test_describe_history(pond):
     # non-pond name: falls through to spark.sql and errors there
     with pytest.raises(Exception):
         pond.sql("DESCRIBE HISTORY nowhere.nothing")
+
+
+# ----------------------------------- OPTIMIZE / VACUUM / DETAIL / RESTORE
+
+
+def test_maintenance_sugar_statements(pond, tmp_path):
+    # several small appends -> OPTIMIZE compacts them
+    for i in range(3):
+        pond.sql(f"INSERT INTO lake.t SELECT {200 + i}, 1.0, 'm'")
+    r = pond.sql("OPTIMIZE lake.t").first()
+    assert r["operation"] == "optimize"
+    n_before = pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"]
+
+    d = pond.sql("DESCRIBE DETAIL lake.t").first()
+    assert d["format"] == "parquet" or d["format"] == "delta"
+    assert d["numFiles"] >= 1 and d["version"] >= 4
+    assert d["partitionColumns"] == ["ds"]
+
+    # VACUUM DRY RUN: lists the compacted-away files, deletes nothing
+    v = pond.sql("VACUUM lake.t RETAIN 0 HOURS DRY RUN").first()
+    assert v["operation"] == "vacuum" and int(v["numFiles"]) >= 1
+    assert pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"] == n_before
+
+    # RESTORE TO VERSION AS OF 0 rewinds to the CTAS state
+    r = pond.sql("RESTORE TABLE lake.t TO VERSION AS OF 0").first()
+    assert r["operation"] == "restore"
+    assert pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"] == 10
+
+    # non-pond names fall through (and fail in spark.sql's parser)
+    with pytest.raises(Exception):
+        pond.sql("OPTIMIZE nowhere.nothing")

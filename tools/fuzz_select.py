@@ -423,15 +423,37 @@ def run_seed(spark, con, seed: int, n_queries: int = 30) -> list[dict]:
     return failures
 
 
-def make_engines(sf_dir: str):
+def bind_spark_tables(spark, sf_dir: str, delta: bool = False) -> None:
+    """Register the fixture tables as temp views — either straight
+    parquet reads, or (delta=True) NATIVE Delta tables materialized once
+    under /tmp and read through log replay + the engine's scan path, so
+    the fuzzer exercises snapshot resolution and file pruning too."""
+    from athena_delta_lake_spark.queries.base import load
+
+    if not delta:
+        for t in TABLES:
+            load(spark, sf_dir, t).createOrReplaceTempView(t)
+        return
+    from athena_delta_lake_spark.delta.table import DeltaTable
+    from athena_delta_lake_spark.delta.writer import write_delta
+
+    root = os.path.join(
+        "/tmp/adls_fuzz_delta", os.path.basename(sf_dir.rstrip("/"))
+    )
+    for t in TABLES:
+        path = os.path.join(root, t)
+        if not os.path.isdir(os.path.join(path, "_delta_log")):
+            write_delta(load(spark, sf_dir, t).repartition(4), path)
+        DeltaTable(spark, path).to_df().createOrReplaceTempView(t)
+
+
+def make_engines(sf_dir: str, delta: bool = False):
     import duckdb
 
     from athena_delta_lake_spark import get_spark
-    from athena_delta_lake_spark.queries.base import load
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
-    for t in TABLES:
-        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    bind_spark_tables(spark, sf_dir, delta=delta)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -442,8 +464,10 @@ def make_engines(sf_dir: str):
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-    seeds = [int(a) for a in sys.argv[1:]] or [11, 42, 77]
-    spark, con = make_engines(sf_dir)
+    args = [a for a in sys.argv[1:] if a != "--delta"]
+    delta = "--delta" in sys.argv[1:]
+    seeds = [int(a) for a in args] or [11, 42, 77]
+    spark, con = make_engines(sf_dir, delta=delta)
     bad = []
     for s in seeds:
         f = run_seed(spark, con, s)
