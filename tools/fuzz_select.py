@@ -192,6 +192,58 @@ PROJ_COLS = {
 }
 
 
+# scalar expression pool per table: engine-portable string/math/date/CASE
+# expressions (no round(): half-up vs half-even; no division: int '/'
+# semantics differ by dialect history)
+SCALAR_EXPRS = {
+    "nation": [
+        "upper(n_name)",
+        "substring(n_name, 2, 3)",
+        "length(n_name)",
+        "concat(n_name, '_', CAST(n_regionkey AS STRING))",
+        "replace(n_name, 'A', '@')",
+    ],
+    "region": ["lower(r_name)"],
+    "customer": [
+        "abs(c_acctbal)",
+        "CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'neg' END",
+        "upper(c_mktsegment)",
+        "length(trim(c_name))",
+    ],
+    "supplier": ["abs(s_acctbal)", "substring(s_name, 1, 6)"],
+    "part": [
+        "CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END",
+        "concat(p_brand, ':', CAST(p_size AS STRING))",
+    ],
+    "orders": [
+        "EXTRACT(YEAR FROM CAST(o_orderdate AS DATE))",
+        "EXTRACT(MONTH FROM CAST(o_orderdate AS DATE))",
+        "CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END",
+        "upper(o_orderstatus)",
+    ],
+    "lineitem": [
+        "floor(l_quantity)",
+        "ceil(l_extendedprice)",
+        "sqrt(abs(l_extendedprice))",
+        "l_extendedprice * (1 - l_discount)",
+        "CASE l_returnflag WHEN 'R' THEN 'returned' ELSE 'kept' END",
+    ],
+}
+
+# correlated EXISTS templates: (outer table, inner subquery with a
+# correlation on the FK and a parameterized filter)
+EXISTS_TEMPLATES = [
+    ("customer",
+     "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > {x}"),
+    ("orders",
+     "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= {q}"),
+    ("supplier",
+     "SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_discount < 0.0{d}"),
+    ("nation",
+     "SELECT 1 FROM customer WHERE c_nationkey = n_nationkey AND c_acctbal > {x}"),
+]
+
+
 def _where(rng: random.Random, tables: tuple[str, ...], outer_right: str | None = None) -> str:
     """0-2 predicates over the chain's tables. Predicates never touch the
     null-extended right side of a LEFT JOIN (a filter there silently
@@ -220,8 +272,63 @@ def gen_query(rng: random.Random) -> tuple[str, bool]:
     """Returns (sql, ordered): ordered=True when the result carries a
     TOTAL order (compare as lists), else compare as multisets."""
     shape = rng.choice(
-        ["project", "agg", "agg", "window", "setop", "in_subquery", "having"]
+        [
+            "project", "agg", "agg", "window", "setop", "in_subquery",
+            "having", "scalar", "exists", "distinct", "agg_distinct",
+        ]
     )
+    if shape == "scalar":
+        tables, frm, outer = _chain(rng)
+        keys = _total_order(tables)
+        pool = []
+        for t in tables:
+            if t != outer:
+                pool.extend(SCALAR_EXPRS[t])
+        exprs = rng.sample(pool, min(len(pool), rng.randint(2, 3)))
+        sel = ", ".join(
+            keys + [f"{e} AS e{i}" for i, e in enumerate(exprs)]
+        )
+        return (
+            f"SELECT {sel} FROM {frm}{_where(rng, tables, outer)} "
+            f"ORDER BY {', '.join(keys)} LIMIT {rng.randint(20, 300)}",
+            True,
+        )
+    if shape == "exists":
+        t, sub = rng.choice(EXISTS_TEMPLATES)
+        sub = sub.format(
+            x=rng.randint(1000, 150000),
+            q=rng.randint(10, 45),
+            d=rng.randint(1, 9),
+        )
+        neg = rng.choice(["EXISTS", "NOT EXISTS"])
+        gexpr, galias = rng.choice(GROUP_KEYS[t])
+        return (
+            f"SELECT {gexpr} AS {galias}, count(*) AS n FROM {t} "
+            f"WHERE {neg} ({sub}) GROUP BY {gexpr}",
+            False,
+        )
+    if shape == "distinct":
+        tables, frm, outer = _chain(rng)
+        pool = []
+        for t in tables:
+            pool.extend(PROJ_COLS[t][:3])
+        cols = rng.sample(pool, rng.randint(1, 2))
+        return (
+            f"SELECT DISTINCT {', '.join(cols)} "
+            f"FROM {frm}{_where(rng, tables, outer)}",
+            False,
+        )
+    if shape == "agg_distinct":
+        tables, frm, outer = _chain(rng)
+        gt = rng.choice([t for t in tables if t != outer])
+        gexpr, galias = rng.choice(GROUP_KEYS[gt])
+        dcol = rng.choice(AGG_COLS[rng.choice(tables)])
+        return (
+            f"SELECT {gexpr} AS {galias}, count(DISTINCT {dcol}) AS nd, "
+            f"sum(DISTINCT {dcol}) AS sd, count(*) AS n "
+            f"FROM {frm}{_where(rng, tables, outer)} GROUP BY {gexpr}",
+            False,
+        )
     if shape == "project":
         tables, frm, outer = _chain(rng)
         cols = []
