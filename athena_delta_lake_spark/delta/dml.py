@@ -420,7 +420,7 @@ def update(
         )
     from .writer import _enforce_constraints
 
-    _enforce_constraints(df, snap.metadata.get("configuration"))
+    _enforce_constraints(df, snap.metadata)
     adds = stage_data_files(
         df, table_path, snap.partition_columns, _data_schema(snap), l2p=_l2p(snap)
     )
@@ -485,7 +485,7 @@ def update_mor(
         new_rows = new_rows.withColumn(col, F.expr(expr).cast(field_types[col]))
     from .writer import _enforce_constraints
 
-    _enforce_constraints(new_rows, snap.metadata.get("configuration"))
+    _enforce_constraints(new_rows, snap.metadata)
     new_adds = stage_data_files(
         new_rows, table_path, snap.partition_columns, _data_schema(snap),
         l2p=_l2p(snap),
@@ -565,7 +565,7 @@ def _insert_only_merge(spark, snap, table_path: str, src, keys) -> dict:
     )
     from .writer import _enforce_constraints
 
-    _enforce_constraints(ins, snap.metadata.get("configuration"))
+    _enforce_constraints(ins, snap.metadata)
     adds = stage_data_files(
         ins, table_path, snap.partition_columns, _data_schema(snap),
         l2p=_l2p(snap),
@@ -820,7 +820,7 @@ def merge_upsert(
         new_data = src.limit(0)
     from .writer import _enforce_constraints
 
-    _enforce_constraints(new_data, snap.metadata.get("configuration"))
+    _enforce_constraints(new_data, snap.metadata)
     adds = stage_data_files(
         new_data, table_path, snap.partition_columns, _data_schema(snap),
         l2p=_l2p(snap),
@@ -1007,7 +1007,7 @@ def merge_upsert_mor(
 
     new_adds: list[dict] = []
     if new_data is not None:
-        _enforce_constraints(new_data, snap.metadata.get("configuration"))
+        _enforce_constraints(new_data, snap.metadata)
         new_adds = stage_data_files(
             new_data, table_path, snap.partition_columns, _data_schema(snap),
             l2p=_l2p(snap),

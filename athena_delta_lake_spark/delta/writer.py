@@ -271,6 +271,17 @@ def _check_append_only(config: dict | None, operation: str) -> None:
 
 
 def _atomic_commit(log_dir: str, version: int, actions: Iterable[dict]) -> None:
+    if version > 0:
+        # spec Writer Requirements: NO commit may land on a table whose
+        # CURRENT protocol demands writer features this engine lacks —
+        # every mutator funnels through here, so the gate holds for DDL
+        # and maintenance commits too, not just data writes
+        table_path = os.path.dirname(log_dir.rstrip("/"))
+        try:
+            proto = DeltaLog(table_path).snapshot().protocol
+        except (FileNotFoundError, ValueError):
+            proto = None
+        _check_write_protocol(proto, table_path)
     os.makedirs(log_dir, exist_ok=True)
     path = os.path.join(log_dir, f"{version:020d}.json")
     # O_EXCL = put-if-absent: the Delta optimistic-concurrency commit primitive.
@@ -485,6 +496,7 @@ def commit_rewrite(
         )
     version = _next_version(table_path)
     snap_now = DeltaLog(table_path).snapshot()
+    _check_write_protocol(snap_now.protocol, table_path)
     table_config = snap_now.metadata.get("configuration")
     row_tracking = _row_tracking_enabled(table_config)
     if row_tracking and adds:
@@ -590,13 +602,45 @@ def _apply_generated_columns(
     return df
 
 
-def _enforce_constraints(df: DataFrame, configuration: dict | None) -> None:
-    """CHECK-constraint enforcement (Delta table feature
-    `delta.constraints.<name>` in metaData.configuration): reject the write
-    if any incoming row evaluates a constraint to FALSE (NULL passes, SQL
-    CHECK semantics). One short-circuit limit(1) scan per constraint."""
+def _invariant_exprs(metadata: dict | None) -> dict[str, str]:
+    """Column invariants from schema field metadata (Delta `invariants`
+    writer feature, legacy minWriterVersion 2): field metadata key
+    `delta.invariants` holds {"expression": {"expression": "<sql>"}}."""
+    out: dict[str, str] = {}
+    ss = (metadata or {}).get("schemaString")
+    if not ss:
+        return out
+    for f in json.loads(ss).get("fields", []):
+        inv = (f.get("metadata") or {}).get("delta.invariants")
+        if not inv:
+            continue
+        if isinstance(inv, str):
+            inv = json.loads(inv)
+        expr = (inv.get("expression") or {}).get("expression")
+        if expr:
+            out[f["name"]] = expr
+    return out
+
+
+def _enforce_constraints(df: DataFrame, metadata: dict | None) -> None:
+    """CHECK-constraint + column-invariant enforcement: reject the write
+    if any incoming row evaluates a `delta.constraints.<name>` expression
+    (metaData.configuration) or a `delta.invariants` field-metadata
+    expression to FALSE (NULL passes for CHECK, fails for invariants per
+    the Delta spec). One short-circuit limit(1) scan per expression.
+
+    `metadata` is the full metaData action dict; a bare configuration
+    dict is also accepted for constraint-only validation."""
     from pyspark.sql import functions as F
 
+    if metadata is not None and (
+        "schemaString" in metadata or "configuration" in metadata
+    ):
+        configuration = metadata.get("configuration")
+        invariants = _invariant_exprs(metadata)
+    else:  # legacy shape: the configuration dict itself
+        configuration = metadata
+        invariants = {}
     for key, expr in (configuration or {}).items():
         if not key.startswith(_CONSTRAINT_PREFIX):
             continue
@@ -608,6 +652,17 @@ def _enforce_constraints(df: DataFrame, configuration: dict | None) -> None:
         if bad:
             raise ValueError(
                 f"CHECK constraint {name} ({expr}) violated by row: {bad[0].asDict()}"
+            )
+    for col, expr in invariants.items():
+        if col not in df.columns:
+            continue
+        bad = df.filter(
+            ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+        ).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"column invariant on {col} ({expr}) violated by row: "
+                f"{bad[0].asDict()}"
             )
 
 
@@ -625,7 +680,7 @@ def add_check_constraint(
     if key in (snap.metadata.get("configuration") or {}):
         raise ValueError(f"constraint already exists: {name}")
     _enforce_constraints(
-        read_snapshot(spark, snap), {key: expr}
+        read_snapshot(spark, snap), {"configuration": {key: expr}}
     )
     md = dict(snap.metadata)
     md["configuration"] = {**(md.get("configuration") or {}), key: expr}
@@ -797,6 +852,8 @@ def write_delta(
         prior = DeltaLog(table_path).snapshot()
     except (FileNotFoundError, ValueError):
         pass
+    if prior is not None:
+        _check_write_protocol(prior.protocol, table_path)
 
     if (
         txn_app_id is not None
@@ -1004,7 +1061,7 @@ def write_delta(
         df = zorder_dataframe(df, zorder_by)
 
     if prior is not None:
-        _enforce_constraints(df, prior.metadata.get("configuration"))
+        _enforce_constraints(df, prior.metadata)
 
     # replaceWhere scoping: which files does this overwrite actually
     # replace, and which boundary rows must survive via a rewrite
@@ -1246,7 +1303,7 @@ def write_delta(
                 raise ConcurrentWriteError(
                     "concurrent schema/partition change during append"
                 ) from None
-            _enforce_constraints(df, current.metadata.get("configuration"))
+            _enforce_constraints(df, current.metadata)
         try:
             _stamp_ict(actions, log_dir, version, effective_config)
             _atomic_commit(log_dir, version, actions)
@@ -1262,6 +1319,52 @@ def write_delta(
 
 
 _MAX_COMMIT_RETRIES = 10
+
+
+# Delta spec: a writer MUST refuse to write a table whose protocol lists
+# writer features it does not implement — committing anyway can corrupt
+# the invariants those features encode (e.g. an icebergCompat table's
+# mirrored metadata). Everything this engine implements and enforces:
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",
+    "invariants",  # enforced in _enforce_constraints via field metadata
+    "checkConstraints",
+    "generatedColumns",
+    "identityColumns",
+    "changeDataFeed",
+    "columnMapping",
+    "deletionVectors",
+    "rowTracking",
+    "domainMetadata",
+    "inCommitTimestamp",
+    "typeWidening",
+    "timestampNtz",
+    "variantType",
+    "v2Checkpoint",
+    "vacuumProtocolCheck",
+    "clustering",
+}
+_MAX_WRITER_VERSION = 7
+
+
+def _check_write_protocol(protocol: dict | None, table_path: str) -> None:
+    """Refuse to write when the table's protocol demands writer behavior
+    this engine does not implement (spec: Writer Requirements)."""
+    if not protocol:
+        return
+    mwv = int(protocol.get("minWriterVersion", 1))
+    if mwv > _MAX_WRITER_VERSION:
+        raise ValueError(
+            f"cannot write {table_path}: requires minWriterVersion {mwv} "
+            f"(this writer supports up to {_MAX_WRITER_VERSION})"
+        )
+    unsupported = set(protocol.get("writerFeatures") or []) - _SUPPORTED_WRITER_FEATURES
+    if unsupported:
+        raise ValueError(
+            f"cannot write {table_path}: unsupported writer features "
+            f"{sorted(unsupported)} (supported: "
+            f"{sorted(_SUPPORTED_WRITER_FEATURES)})"
+        )
 
 
 # Delta spec: upgrading a LEGACY protocol to table features (v7) must
@@ -2146,6 +2249,7 @@ def _commit_metadata_change(
     re-allocation would silently clobber the winner's metaData).
     `extra_actions` (e.g. a protocol feature upgrade) land between the
     commitInfo and the metaData."""
+    _check_write_protocol(DeltaLog(table_path).snapshot().protocol, table_path)
     log_dir = os.path.join(table_path, "_delta_log")
     actions = [
         {

@@ -974,6 +974,22 @@ def _route_describe(pond, p, text: str) -> DataFrame:
     )
 
 
+def _route_show_tblproperties(pond, p, text: str) -> DataFrame:
+    from .delta.log import DeltaLog
+
+    path = _target(pond, _relation_parts(p.table()))
+    cfg = DeltaLog(os.path.abspath(path)).snapshot().metadata.get(
+        "configuration"
+    ) or {}
+    key = _opt(p.propertyKey())
+    if key is not None:
+        cfg = {str(key): cfg.get(str(key))}
+        if cfg[str(key)] is None:
+            cfg = {}
+    rows = [Row(key=k, value=str(v)) for k, v in sorted(cfg.items())]
+    return pond.spark.createDataFrame(rows, "key string, value string")
+
+
 def _route_show_partitions(pond, p, text: str) -> DataFrame:
     from .delta.table import DeltaTable
 
@@ -1213,6 +1229,7 @@ _ROUTES = {
     "ShowTables": _route_show_tables,
     "DescribeRelation": _route_describe,
     "ShowPartitions": _route_show_partitions,
+    "ShowTableProperties": _route_show_tblproperties,
     "CreateView": _route_create_view,
     "DropView": _route_drop_view,
     "ShowViews": _route_show_views,

@@ -156,3 +156,15 @@ def test_maintenance_sugar_statements(pond, tmp_path):
     # non-pond names fall through (and fail in spark.sql's parser)
     with pytest.raises(Exception):
         pond.sql("OPTIMIZE nowhere.nothing")
+
+
+def test_show_tblproperties(pond):
+    pond.sql(
+        "ALTER TABLE lake.t SET TBLPROPERTIES "
+        "('delta.appendOnly' = 'false', 'team' = 'data')"
+    )
+    props = {r.key: r.value for r in pond.sql("SHOW TBLPROPERTIES lake.t").collect()}
+    assert props.get("team") == "data"
+    one = pond.sql("SHOW TBLPROPERTIES lake.t ('team')").collect()
+    assert len(one) == 1 and one[0].value == "data"
+    assert pond.sql("SHOW TBLPROPERTIES lake.t ('nope')").count() == 0
