@@ -1082,6 +1082,11 @@ _RESTORE_RE = re.compile(
     r"(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.`]+)\s+TO\s+"
     r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*$"
 )
+_CONVERT_RE = re.compile(
+    r"(?is)^\s*CONVERT\s+TO\s+DELTA\s+"
+    r"(?:parquet\s*\.\s*`([^`]+)`|([\w.`]+))"
+    r"(?:\s+PARTITIONED\s+BY\s*\(\s*([^)]*?)\s*\))?\s*;?\s*$"
+)
 
 
 def _route_describe_detail(pond, name: str) -> DataFrame:
@@ -1143,6 +1148,27 @@ def _route_maintenance_sugar(pond, query: str) -> DataFrame | None:
                 "numFiles": len(res["files"]),
                 "deleted": bool(res["deleted"]),
             },
+        )
+    m = _CONVERT_RE.match(query)
+    if m:
+        from .delta.writer import convert_to_delta
+
+        if m.group(1):  # CONVERT TO DELTA parquet.`/abs/path`
+            path = m.group(1)
+        else:  # a pond name pointing at a plain-parquet table dir
+            path = _target(pond, m.group(2).replace("`", "").split("."))
+        part_cols = None
+        if m.group(3):
+            # "col type, col2 type" or bare names: keep the names
+            part_cols = [
+                c.strip().split()[0].strip("`")
+                for c in m.group(3).split(",")
+                if c.strip()
+            ]
+        version = convert_to_delta(pond.spark, path, partition_by=part_cols)
+        return _metrics_df(
+            pond.spark,
+            {"operation": "convert_to_delta", "version": version, "location": path},
         )
     m = _RESTORE_RE.match(query)
     if m:

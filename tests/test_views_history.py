@@ -168,3 +168,21 @@ def test_show_tblproperties(pond):
     one = pond.sql("SHOW TBLPROPERTIES lake.t ('team')").collect()
     assert len(one) == 1 and one[0].value == "data"
     assert pond.sql("SHOW TBLPROPERTIES lake.t ('nope')").count() == 0
+
+
+def test_convert_to_delta_sql(pond, tmp_path):
+    # a plain-parquet table living in the pond layout
+    raw = f"{pond.root}/lake/rawpq"
+    pond.spark.range(25).selectExpr("id", "id % 2 AS p").write.partitionBy(
+        "p"
+    ).parquet(raw)
+    r = pond.sql("CONVERT TO DELTA lake.rawpq").first()
+    assert r["operation"] == "convert_to_delta"
+    # now a real Delta table: history + snapshot SQL both work
+    assert pond.sql("DESCRIBE HISTORY lake.rawpq").first()["operation"] == "CONVERT"
+    assert pond.sql("SELECT count(*) AS n FROM lake.rawpq WHERE p = 1").first()["n"] == 12
+    # absolute-path form
+    raw2 = str(tmp_path / "abs_pq")
+    pond.spark.range(7).write.parquet(raw2)
+    r = pond.sql(f"CONVERT TO DELTA parquet.`{raw2}`").first()
+    assert r["operation"] == "convert_to_delta"
