@@ -99,6 +99,36 @@ def parse_media_header(data) -> dict | None:
         out["fmt"] = "bmp"
         w, h = struct.unpack("<ii", b[18:26])
         out["width"], out["height"] = int(w), abs(int(h))  # h<0 = top-down rows
+    elif len(b) >= 16 and b[4:8] == b"ftyp":
+        # ISO-BMFF (MP4/MOV/3GP...): top-level box walk to moov, then to
+        # mvhd for timescale + duration (v0: 32-bit fields at +12/+16
+        # after the version/flags word; v1: 64-bit at +20/+24)
+        out["fmt"] = "mp4"
+
+        def _boxes(off: int, end: int):
+            while off + 8 <= end:
+                size = struct.unpack(">I", b[off : off + 4])[0]
+                if size < 8:
+                    return
+                yield b[off + 4 : off + 8], off + 8, min(off + size, end)
+                off += size
+
+        for typ, s, e in _boxes(0, len(b)):
+            if typ != b"moov":
+                continue
+            for t2, s2, e2 in _boxes(s, e):
+                if t2 == b"mvhd" and e2 - s2 >= 20:
+                    ver = b[s2]
+                    if ver == 1 and e2 - s2 >= 32:
+                        timescale = struct.unpack(">I", b[s2 + 20 : s2 + 24])[0]
+                        duration = struct.unpack(">Q", b[s2 + 24 : s2 + 32])[0]
+                    else:
+                        timescale = struct.unpack(">I", b[s2 + 12 : s2 + 16])[0]
+                        duration = struct.unpack(">I", b[s2 + 16 : s2 + 20])[0]
+                    if timescale:
+                        out["duration_ms"] = int(duration * 1000 // timescale)
+                    break
+            break
     elif b[:4] == b"RIFF" and len(b) >= 12 and b[8:12] == b"WAVE":
         out["fmt"] = "wav"
         i, byte_rate, data_size = 12, None, None

@@ -100,3 +100,48 @@ def b01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.height").alias("height"),
         F.col("media_meta.duration_ms").alias("duration_ms"),
     )
+
+
+@register(
+    "g04_mp4_headers",
+    "multimodal",
+    """
+    SELECT doc_id, 'mp4' AS fmt,
+           CAST(((doc_id % 997) + 1) * 2 AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+    "real ISO-BMFF (MP4) box-walk parsing — ftyp + moov/mvhd synthesized "
+    "per document with JVM byte-builtins (timescale 500), duration "
+    "recovered via the Arrow-batched header UDF; oracle is arithmetic",
+)
+def g04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    dur = (F.col("doc_id") % 997 + 1).cast("long")
+    # ftyp box: size 16, brand isom, minor 0
+    ftyp = F.concat(
+        _be(F.lit(16), 4), _hex_lit("66747970"), _hex_lit("69736F6D"),
+        _be(F.lit(0), 4),
+    )
+    # mvhd v0: 8B header + version/flags + creation + modification +
+    # timescale + duration + 80B of rate/volume/reserved/matrix/next_track
+    mvhd = F.concat(
+        _be(F.lit(108), 4), _hex_lit("6D766864"),
+        _be(F.lit(0), 4),    # version 0 + flags
+        _be(F.lit(0), 4),    # creation
+        _be(F.lit(0), 4),    # modification
+        _be(F.lit(500), 4),  # timescale: 500 ticks/s -> ms = ticks * 2
+        _be(dur, 4),         # duration in ticks
+        _hex_lit("00" * 80),
+    )
+    moov = F.concat(_be(F.lit(116), 4), _hex_lit("6D6F6F76"), mvhd)
+    out = attach_media_meta(
+        d.withColumn("payload", F.concat(ftyp, moov)),
+        "payload",
+        modality="media",
+        parse_headers=True,
+    )
+    return out.select(
+        "doc_id",
+        F.col("media_meta.fmt").alias("fmt"),
+        F.col("media_meta.duration_ms").cast("long").alias("duration_ms"),
+    )

@@ -200,3 +200,45 @@ def test_attach_media_meta_parses_headers(spark):
     assert (got[2]["fmt"], got[2]["width"], got[2]["height"]) == ("jpeg", 100, 50)
     assert got[3]["fmt"] == "bin"  # unknown container falls back to declared fmt
     assert got[3]["n_bytes"] == 6
+
+
+def test_parse_mp4_header_v0_and_v1():
+    import struct
+
+    from athena_delta_lake_spark.operators.multimodal import parse_media_header
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    # v0 mvhd: timescale 600, duration 1800 -> 3000 ms
+    mvhd0 = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 8
+        + struct.pack(">II", 600, 1800) + b"\x00" * 80,
+    )
+    mp4 = box(b"ftyp", b"isom\x00\x00\x02\x00") + box(b"moov", mvhd0)
+    out = parse_media_header(mp4)
+    assert out["fmt"] == "mp4" and out["duration_ms"] == 3000
+
+    # v1 mvhd: 64-bit creation/modification/duration, timescale 90000
+    mvhd1 = box(
+        b"mvhd",
+        b"\x01\x00\x00\x00" + b"\x00" * 16
+        + struct.pack(">I", 90000) + struct.pack(">Q", 450000) + b"\x00" * 80,
+    )
+    mp4v1 = box(b"ftyp", b"mp42\x00\x00\x00\x00") + box(b"moov", mvhd1)
+    out = parse_media_header(mp4v1)
+    assert out["fmt"] == "mp4" and out["duration_ms"] == 5000
+
+    # a leading mdat before moov still parses (box walk, not fixed offset)
+    mp4_mdat = (
+        box(b"ftyp", b"isom\x00\x00\x02\x00")
+        + box(b"mdat", b"\xde\xad\xbe\xef" * 8)
+        + box(b"moov", mvhd0)
+    )
+    assert parse_media_header(mp4_mdat)["duration_ms"] == 3000
+
+    # truncated moov: fmt recognized, duration stays None
+    trunc = box(b"ftyp", b"isom\x00\x00\x02\x00") + mp4[16:40]
+    out = parse_media_header(trunc)
+    assert out["fmt"] == "mp4" and out["duration_ms"] is None
