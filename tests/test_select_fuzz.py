@@ -48,3 +48,19 @@ def test_select_fuzz_over_native_delta(engines, sf_dir):
         assert not failures, failures[:3]
     finally:
         bind_spark_tables(spark, sf_dir, delta=False)  # restore for peers
+
+
+def test_select_fuzz_through_pond_sql(engines, sf_dir):
+    """Same generated plans routed through pond.sql: every bare relation
+    resolves lazily from the storage layout (Delta log replay) and is
+    spliced at its parse origin — windows, WINDOW clauses, set ops and
+    subqueries all exercise the relation walker."""
+    from tools.fuzz_select import bind_spark_tables, make_pond
+
+    spark, con = engines
+    pond = make_pond(spark, sf_dir)
+    try:
+        failures = run_seed(spark, con, 321, n_queries=20, run_sql=pond.sql)
+        assert not failures, failures[:3]
+    finally:
+        bind_spark_tables(spark, sf_dir, delta=False)  # restore for peers

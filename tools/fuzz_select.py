@@ -503,14 +503,18 @@ def rows_equal(s_rows, d_rows, ordered: bool) -> tuple[bool, list]:
     return not diffs, diffs
 
 
-def run_seed(spark, con, seed: int, n_queries: int = 30) -> list[dict]:
-    """Generate and cross-check n_queries; returns the divergences."""
+def run_seed(spark, con, seed: int, n_queries: int = 30, run_sql=None) -> list[dict]:
+    """Generate and cross-check n_queries; returns the divergences.
+    `run_sql` overrides how the Spark side executes a statement (default
+    spark.sql) — e.g. pond.sql to fuzz the metastore-less catalog's
+    relation resolution and splicing too."""
     rng = random.Random(seed)
+    exec_sql = run_sql or spark.sql
     failures = []
     for i in range(n_queries):
         sql, ordered = gen_query(rng)
         try:
-            s_rows = [tuple(r) for r in spark.sql(sql).collect()]
+            s_rows = [tuple(r) for r in exec_sql(sql).collect()]
             d_rows = [tuple(r) for r in con.execute(sql).fetchall()]
         except Exception as e:  # dialect crack, not a wrong answer
             failures.append({"seed": seed, "i": i, "sql": sql, "error": str(e)[:300]})
@@ -552,6 +556,27 @@ def bind_spark_tables(spark, sf_dir: str, delta: bool = False) -> None:
         if not os.path.isdir(os.path.join(path, "_delta_log")):
             write_delta(load(spark, sf_dir, t).repartition(4), path)
         DeltaTable(spark, path).to_df().createOrReplaceTempView(t)
+
+
+def make_pond(spark, sf_dir: str):
+    """A DeltaPond whose `lake` schema holds every fixture table as a
+    native Delta table — pond.sql must resolve each bare relation from
+    the storage layout (no pre-bound views)."""
+    from athena_delta_lake_spark.catalog import DeltaPond
+    from athena_delta_lake_spark.delta.writer import write_delta
+    from athena_delta_lake_spark.queries.base import load
+
+    root = os.path.join(
+        "/tmp/adls_fuzz_pond", os.path.basename(sf_dir.rstrip("/"))
+    )
+    os.makedirs(os.path.join(root, "lake"), exist_ok=True)
+    for t in TABLES:
+        path = os.path.join(root, "lake", t)
+        if not os.path.isdir(os.path.join(path, "_delta_log")):
+            write_delta(load(spark, sf_dir, t).repartition(4), path)
+        # bare names must resolve through the POND, not stale temp views
+        spark.catalog.dropTempView(t)
+    return DeltaPond(spark, root)
 
 
 def make_engines(sf_dir: str, delta: bool = False):
