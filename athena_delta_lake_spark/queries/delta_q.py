@@ -839,3 +839,67 @@ def g03(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.variant_get("props", "$.k", "bigint")).alias("k_sum"),
         F.max(F.variant_get("props", "$.k", "bigint")).alias("k_max"),
     )
+
+
+# ------------------------------------------- g05: maintenance SQL statements
+
+
+def _ensure_maintenance_pond(spark: SparkSession, sf_dir: str) -> DeltaPond:
+    """region copied through the maintenance-SQL lifecycle: CTAS, three
+    small INSERTs, OPTIMIZE (bin-packing via the text-routed statement),
+    a RESTORE round trip (to v0 and back via DESCRIBE HISTORY's count),
+    and a VACUUM DRY RUN — data must survive byte-exact."""
+    root = os.path.join(_fixture_root(sf_dir), "pond_maint")
+    pond = DeltaPond(spark, root)
+    path = os.path.join(root, "lake", "region_m")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        load(spark, sf_dir, "region").createOrReplaceTempView("region_msrc")
+        pond.sql("CREATE SCHEMA IF NOT EXISTS lake")
+        pond.sql(
+            "CREATE TABLE lake.region_m AS "
+            "SELECT r_regionkey, r_name FROM region_msrc"
+        )
+        for i in range(3):
+            pond.sql(
+                f"INSERT INTO lake.region_m SELECT r_regionkey + {10 * (i + 1)}, "
+                "concat(r_name, '_X') FROM region_msrc"
+            )
+        pond.sql("OPTIMIZE lake.region_m")
+        pond.sql("VACUUM lake.region_m RETAIN 168 HOURS DRY RUN")
+        # restore away the third insert, then restore forward again: the
+        # final state must still carry ALL inserts (restore is just
+        # another version)
+        pond.sql("RESTORE lake.region_m TO VERSION AS OF 2")
+        pond.sql("RESTORE lake.region_m TO VERSION AS OF 4")
+    return pond
+
+
+@register(
+    "g05_maintenance_sql",
+    "delta-core",
+    """
+    WITH ins AS (
+      SELECT r_regionkey + 10 * g AS k, r_name || '_X' AS name
+      FROM region CROSS JOIN (VALUES (1), (2), (3)) AS t(g)
+      UNION ALL
+      SELECT r_regionkey, r_name FROM region
+    )
+    SELECT count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS key_sum,
+           CAST(sum(length(name)) AS BIGINT) AS name_len
+    FROM ins
+    """,
+    "maintenance statements end-to-end (OPTIMIZE, VACUUM DRY RUN, RESTORE "
+    "to an old version and forward again, all text-routed through "
+    "pond.sql): compaction and restore must preserve the data exactly",
+)
+def g05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pond = _ensure_maintenance_pond(spark, sf_dir)
+    return pond.sql(
+        """
+        SELECT count(*) AS n,
+               CAST(sum(r_regionkey) AS BIGINT) AS key_sum,
+               CAST(sum(length(r_name)) AS BIGINT) AS name_len
+        FROM lake.region_m
+        """
+    )
