@@ -371,21 +371,48 @@ def stage_data_files(
 
     # VARIANT columns: Spark annotates them with the parquet VARIANT
     # logical type, which this container's pyarrow (16.x) cannot even
-    # open the footer of — so numRecords comes from ONE Spark job over
-    # the staging dir instead (min/max never applies to variant, and
-    # other columns' footer stats are unreachable through the same
-    # footer). Basenames are unique across hive subdirs.
-    variant_counts: dict[str, int] | None = None
+    # open the footer of — so per-file stats come from ONE Spark job over
+    # the staging dir instead: numRecords plus min/max/nullCount for every
+    # stats-safe NON-variant column, so data skipping keeps working on
+    # variant tables. Basenames are unique across hive subdirs.
+    variant_stats: dict[str, dict] | None = None
     if collect_stats and "variantType" in _schema_type_features(data_schema):
         from pyspark.sql import functions as F
 
-        variant_counts = {
-            os.path.basename(r["f"]): int(r["n"])
-            for r in df.sparkSession.read.parquet(staging)
-            .groupBy(F.col("_metadata.file_path").alias("f"))
-            .agg(F.count(F.lit(1)).alias("n"))
+        safe = [
+            f.name
+            for f in data_schema.fields
+            if isinstance(f.dataType, _STATS_SAFE_TYPES)
+            and f.name not in partition_by
+        ]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in safe:
+            aggs += [
+                F.min(c).alias(f"__min_{c}"),
+                F.max(c).alias(f"__max_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            ]
+        variant_stats = {}
+        for r in (
+            df.sparkSession.read.parquet(staging)
+            .groupBy(F.col("_metadata.file_path").alias("__f"))
+            .agg(*aggs)
             .collect()
-        }
+        ):
+            variant_stats[os.path.basename(r["__f"])] = {
+                "numRecords": int(r["__n"]),
+                "minValues": {
+                    c: _json_safe(r[f"__min_{c}"])
+                    for c in safe
+                    if r[f"__min_{c}"] is not None
+                },
+                "maxValues": {
+                    c: _json_safe(r[f"__max_{c}"])
+                    for c in safe
+                    if r[f"__max_{c}"] is not None
+                },
+                "nullCount": {c: int(r[f"__null_{c}"]) for c in safe},
+            }
 
     now = int(time.time() * 1000)
     adds = []
@@ -400,9 +427,9 @@ def stage_data_files(
             rel_path = os.path.join(rel_dir, fname) if rel_dir else fname
             dst = os.path.join(table_path, rel_path)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
-            if variant_counts is not None:
-                stats = {
-                    "numRecords": variant_counts.get(name, 0),
+            if variant_stats is not None:
+                stats = variant_stats.get(name) or {
+                    "numRecords": 0,
                     "minValues": {},
                     "maxValues": {},
                     "nullCount": {},

@@ -391,7 +391,7 @@ def gen_query(rng: random.Random) -> tuple[str, bool]:
             f"SELECT {', '.join(inner_cols)}, {fn} "
             f"FROM {frm}{_where(rng, tables, outer)}{wdef if 'OVER w' in fn else ''}"
         )
-        if rng.random() < 0.5 and "rn" in fn:
+        if rng.random() < 0.5 and fn.startswith("row_number()"):
             return (
                 f"SELECT * FROM ({inner}) t WHERE rn <= {rng.randint(1, 5)} "
                 f"ORDER BY {', '.join(keys)}",
