@@ -990,6 +990,19 @@ def _route_show_tblproperties(pond, p, text: str) -> DataFrame:
     return pond.spark.createDataFrame(rows, "key string, value string")
 
 
+def _route_show_columns(pond, p, text: str) -> DataFrame:
+    from .delta.table import DeltaTable
+
+    path = _target(pond, _relation_parts(p.child()))
+    if pond._is_delta_dir(path):
+        fields = DeltaTable(pond.spark, path).schema().fields
+    else:
+        fields = pond.spark.read.parquet(path).schema.fields
+    return pond.spark.createDataFrame(
+        [Row(col_name=f.name) for f in fields], "col_name string"
+    )
+
+
 def _route_show_partitions(pond, p, text: str) -> DataFrame:
     from .delta.table import DeltaTable
 
@@ -1256,6 +1269,7 @@ _ROUTES = {
     "DescribeRelation": _route_describe,
     "ShowPartitions": _route_show_partitions,
     "ShowTableProperties": _route_show_tblproperties,
+    "ShowColumns": _route_show_columns,
     "CreateView": _route_create_view,
     "DropView": _route_drop_view,
     "ShowViews": _route_show_views,

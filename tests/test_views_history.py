@@ -186,3 +186,8 @@ def test_convert_to_delta_sql(pond, tmp_path):
     pond.spark.range(7).write.parquet(raw2)
     r = pond.sql(f"CONVERT TO DELTA parquet.`{raw2}`").first()
     assert r["operation"] == "convert_to_delta"
+
+
+def test_show_columns(pond):
+    cols = [r.col_name for r in pond.sql("SHOW COLUMNS IN lake.t").collect()]
+    assert cols == ["id", "v", "ds"]
