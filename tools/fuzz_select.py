@@ -275,8 +275,53 @@ def gen_query(rng: random.Random) -> tuple[str, bool]:
         [
             "project", "agg", "agg", "window", "setop", "in_subquery",
             "having", "scalar", "exists", "distinct", "agg_distinct",
+            "cross", "setop_hetero", "scalar_sub",
         ]
     )
+    if shape == "cross":
+        # tiny-dim cross product (125 rows max): broadcastable by any
+        # engine, exercises the one join shape the FK chains never emit
+        w = _where(rng, ("nation", "region"))
+        return (
+            "SELECT n_nationkey, r_regionkey, n_name, r_name "
+            f"FROM nation CROSS JOIN region{w} "
+            "ORDER BY n_nationkey, r_regionkey",
+            True,
+        )
+    if shape == "setop_hetero":
+        # set op across DIFFERENT relations, aligned on one BIGINT column
+        a_t, a_c = rng.choice(
+            [("customer", "c_custkey"), ("orders", "o_orderkey"),
+             ("supplier", "s_suppkey"), ("part", "p_partkey")]
+        )
+        b_t, b_c = rng.choice(
+            [("orders", "o_custkey"), ("lineitem", "l_orderkey"),
+             ("lineitem", "l_suppkey"), ("lineitem", "l_partkey")]
+        )
+        op = rng.choice(["UNION", "INTERSECT", "EXCEPT"])
+        wa = _where(rng, (a_t,))
+        wb = _where(rng, (b_t,))
+        return (
+            f"SELECT {a_c} AS k FROM {a_t}{wa} {op} "
+            f"SELECT {b_c} AS k FROM {b_t}{wb}",
+            False,
+        )
+    if shape == "scalar_sub":
+        outer_t, fk, inner_t, inner_fk, inner_val = rng.choice(
+            [
+                ("nation", "n_nationkey", "customer", "c_nationkey", "c_acctbal"),
+                ("nation", "n_nationkey", "supplier", "s_nationkey", "s_acctbal"),
+                ("region", "r_regionkey", "nation", "n_regionkey", "n_nationkey"),
+            ]
+        )
+        keys = UNIQUE_KEYS[outer_t]
+        return (
+            f"SELECT {', '.join(keys)}, "
+            f"(SELECT count(*) FROM {inner_t} WHERE {inner_fk} = {fk}) AS sub_n, "
+            f"(SELECT max({inner_val}) FROM {inner_t} WHERE {inner_fk} = {fk}) AS sub_m "
+            f"FROM {outer_t} ORDER BY {', '.join(keys)}",
+            True,
+        )
     if shape == "scalar":
         tables, frm, outer = _chain(rng)
         keys = _total_order(tables)
