@@ -1370,6 +1370,7 @@ _SUPPORTED_WRITER_FEATURES = {
     "v2Checkpoint",
     "vacuumProtocolCheck",
     "clustering",
+    "allowColumnDefaults",  # column DEFAULT values (sqldml CREATE TABLE)
 }
 _MAX_WRITER_VERSION = 7
 
