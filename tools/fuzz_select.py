@@ -389,8 +389,13 @@ def gen_query(rng: random.Random) -> tuple[str, bool]:
         )
     if shape in ("agg", "having"):
         tables, frm, outer = _chain(rng)
-        gt = rng.choice([t for t in tables if t != outer])
-        gexpr, galias = rng.choice(GROUP_KEYS[gt])
+        inner_t = [t for t in tables if t != outer]
+        # one or two group keys (distinct aliases), possibly cross-table
+        picks = {galias: gexpr
+                 for gexpr, galias in (rng.choice(GROUP_KEYS[rng.choice(inner_t)])
+                                       for _ in range(1 + (rng.random() < 0.4)))}
+        gsel = ", ".join(f"{e} AS {a}" for a, e in picks.items())
+        gby = ", ".join(picks.values())
         at = rng.choice(tables)
         acol = rng.choice(AGG_COLS[at])
         aggs = [
@@ -408,8 +413,8 @@ def gen_query(rng: random.Random) -> tuple[str, bool]:
             if "count(*) AS n" not in picked:
                 picked.append("count(*) AS n")
         return (
-            f"SELECT {gexpr} AS {galias}, {', '.join(picked)} "
-            f"FROM {frm}{_where(rng, tables, outer)} GROUP BY {gexpr}{having}",
+            f"SELECT {gsel}, {', '.join(picked)} "
+            f"FROM {frm}{_where(rng, tables, outer)} GROUP BY {gby}{having}",
             False,
         )
     if shape == "window":
