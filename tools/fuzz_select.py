@@ -427,6 +427,25 @@ def gen_query(rng: random.Random) -> tuple[str, bool]:
         # window ORDER BY differs by dialect (Spark first, DuckDB last)
         vcol = rng.choice(AGG_COLS[rng.choice(inner_t)])
         order = ", ".join([f"{vcol} DESC"] + keys)
+        if rng.random() < 0.3:
+            # tie-ranking functions: deterministic under TIES (unlike
+            # row_number), so order by the value alone — this is exactly
+            # where engines can disagree on tie semantics
+            fn = rng.choice(
+                [
+                    "rank() OVER w AS rnk",
+                    "dense_rank() OVER w AS drnk",
+                    "percent_rank() OVER w AS prnk",
+                    "cume_dist() OVER w AS cd",
+                ]
+            )
+            wdef = f" WINDOW w AS (PARTITION BY {pexpr} ORDER BY {vcol} DESC)"
+            inner_cols = list(dict.fromkeys(keys + [vcol]))
+            inner = (
+                f"SELECT {', '.join(inner_cols)}, {fn} "
+                f"FROM {frm}{_where(rng, tables, outer)}{wdef}"
+            )
+            return f"SELECT * FROM ({inner}) t ORDER BY {', '.join(keys)}", True
         fn = rng.choice(
             [
                 "row_number() OVER w AS rn",
