@@ -160,6 +160,23 @@ class DeltaPond:
             json.dump(views, f, indent=1, sort_keys=True)
         os.replace(tmp, self._views_file())
 
+    def _views_lock(self):
+        """Exclusive flock over the view catalog for the read-modify-write
+        in create/drop — two concurrent writers must not lose an update.
+        (Like create_schema/drop_table, the WRITE side of the storage-
+        layout catalog assumes a local/NFS-like root; reads stay
+        scheme-generic.)"""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def lock():
+            with open(self._views_file() + ".lock", "w") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                yield
+
+        return lock()
+
     def create_view(
         self,
         name: str,
@@ -176,23 +193,25 @@ class DeltaPond:
             raise FileNotFoundError(f"no such schema: {parts[0]}")
         if len(parts) > 2:
             raise ValueError(f"bad view name: {name!r}")
-        views = self._load_views()
-        if name in views and not replace:
-            if if_not_exists:
-                return
-            raise ValueError(f"view {name} already exists")
         self.sql(query).schema  # analyze now: broken views fail at CREATE
-        views[name] = query
-        self._save_views(views)
+        with self._views_lock():
+            views = self._load_views()
+            if name in views and not replace:
+                if if_not_exists:
+                    return
+                raise ValueError(f"view {name} already exists")
+            views[name] = query
+            self._save_views(views)
 
     def drop_view(self, name: str, if_exists: bool = False) -> None:
-        views = self._load_views()
-        if name not in views:
-            if if_exists:
-                return
-            raise FileNotFoundError(f"no such view: {name}")
-        del views[name]
-        self._save_views(views)
+        with self._views_lock():
+            views = self._load_views()
+            if name not in views:
+                if if_exists:
+                    return
+                raise FileNotFoundError(f"no such view: {name}")
+            del views[name]
+            self._save_views(views)
 
     def list_views(self) -> dict[str, str]:
         """view name -> defining SQL text."""
