@@ -126,6 +126,12 @@ class _NotPond(Exception):
 
 
 def _target(pond, parts: list[str], must_exist: bool = True) -> str:
+    # a pond VIEW shadows a same-named table on the read side, so a DML
+    # statement naming it must not silently write the underlying table
+    if len(parts) <= 2 and ".".join(parts) in pond.list_views():
+        raise ValueError(
+            f"{'.'.join(parts)} is a view; DML targets must be tables"
+        )
     if len(parts) == 1:
         # Read-side precedence: a USER temp view shadowing the bare name
         # wins (catalog.sql skips binding it), so DML must defer to

@@ -191,3 +191,13 @@ def test_convert_to_delta_sql(pond, tmp_path):
 def test_show_columns(pond):
     cols = [r.col_name for r in pond.sql("SHOW COLUMNS IN lake.t").collect()]
     assert cols == ["id", "v", "ds"]
+
+
+def test_dml_refuses_view_targets(pond):
+    pond.sql("CREATE VIEW lake.tv AS SELECT id FROM lake.t")
+    with pytest.raises(ValueError, match="is a view"):
+        pond.sql("INSERT INTO lake.tv SELECT 1")
+    with pytest.raises(ValueError, match="is a view"):
+        pond.sql("DELETE FROM lake.tv WHERE id = 1")
+    with pytest.raises(ValueError, match="is a view"):
+        pond.sql("OPTIMIZE lake.tv")
