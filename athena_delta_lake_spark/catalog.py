@@ -193,6 +193,14 @@ class DeltaPond:
             raise FileNotFoundError(f"no such schema: {parts[0]}")
         if len(parts) > 2:
             raise ValueError(f"bad view name: {name!r}")
+        # refuse table/view name collisions: the view would permanently
+        # shadow the table on the read side
+        if len(parts) == 2 and parts[1] in self.list_tables(parts[0]):
+            raise ValueError(f"a table named {name} already exists")
+        if len(parts) == 1 and any(
+            name in self.list_tables(s) for s in self.list_schemas()
+        ):
+            raise ValueError(f"a table named {name} already exists")
         self.sql(query).schema  # analyze now: broken views fail at CREATE
         with self._views_lock():
             views = self._load_views()

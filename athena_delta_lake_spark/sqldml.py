@@ -283,6 +283,8 @@ def _route_ctas(pond, p, text: str) -> DataFrame:
     schema, table = parts[0], parts[1]
     if schema not in pond.list_schemas():
         raise _NotPond(schema)
+    if f"{schema}.{table}" in pond.list_views() or table in pond.list_views():
+        raise ValueError(f"a view named {schema}.{table} already exists")
     exists = table in pond.list_tables(schema)
     if exists:
         if p.ignoreIfExists():
@@ -330,6 +332,8 @@ def _route_create_table(pond, p, text: str) -> DataFrame:
     schema, table = parts
     if schema not in pond.list_schemas():
         raise _NotPond(schema)
+    if f"{schema}.{table}" in pond.list_views() or table in pond.list_views():
+        raise ValueError(f"a view named {schema}.{table} already exists")
     if table in pond.list_tables(schema):
         if p.ignoreIfExists():
             return _metrics_df(

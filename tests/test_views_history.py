@@ -201,3 +201,15 @@ def test_dml_refuses_view_targets(pond):
         pond.sql("DELETE FROM lake.tv WHERE id = 1")
     with pytest.raises(ValueError, match="is a view"):
         pond.sql("OPTIMIZE lake.tv")
+
+
+def test_table_view_name_collisions_refused(pond):
+    pond.sql("CREATE VIEW lake.cv9 AS SELECT id FROM lake.t")
+    with pytest.raises(ValueError, match="view named"):
+        pond.sql("CREATE TABLE lake.cv9 AS SELECT 1 AS x")
+    with pytest.raises(ValueError, match="view named"):
+        pond.sql("CREATE TABLE lake.cv9 (a INT)")
+    with pytest.raises(ValueError, match="table named"):
+        pond.sql("CREATE VIEW lake.t AS SELECT 1 AS x")
+    with pytest.raises(ValueError, match="table named"):
+        pond.sql("CREATE VIEW t AS SELECT 1 AS x")  # bare name, same table
