@@ -450,6 +450,7 @@ class DeltaTable:
             "format": (md.get("format") or {}).get("provider", "parquet"),
             "id": md.get("id"),
             "name": md.get("name"),
+            "description": md.get("description"),
             "location": self.path,
             "createdAt": md.get("createdTime"),
             "partitionColumns": list(snap.partition_columns),

@@ -2466,6 +2466,25 @@ def enable_row_tracking(table_path: str) -> int:
     return version
 
 
+def set_table_comment(table_path: str, comment: str | None) -> int:
+    """COMMENT ON TABLE: set/clear `metaData.description` (the Delta
+    spec's table-comment field) as a metadata-only commit."""
+    table_path = os.path.abspath(table_path)
+    snap = DeltaLog(table_path).snapshot()
+    md = dict(snap.metadata)
+    if comment:
+        md["description"] = comment
+    else:
+        md.pop("description", None)
+    return _commit_metadata_change(
+        table_path,
+        "COMMENT ON TABLE",
+        {"comment": comment or ""},
+        md,
+        snap.version + 1,
+    )
+
+
 def set_table_properties(
     table_path: str, properties: dict[str, str]
 ) -> int:

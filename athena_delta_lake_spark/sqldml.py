@@ -1000,6 +1000,19 @@ def _route_show_tblproperties(pond, p, text: str) -> DataFrame:
     return pond.spark.createDataFrame(rows, "key string, value string")
 
 
+def _route_comment_on_table(pond, p, text: str) -> DataFrame:
+    """COMMENT ON TABLE t IS 'txt' | NULL -> metaData.description (the
+    Delta spec's table-comment field)."""
+    from .delta.writer import set_table_comment
+
+    path = _target(pond, _seq(p.child().multipartIdentifier()))
+    comment = str(p.comment()) or None  # parser renders IS NULL as ""
+    version = set_table_comment(path, comment)
+    return _metrics_df(
+        pond.spark, {"operation": "comment_on_table", "version": version}
+    )
+
+
 def _route_show_columns(pond, p, text: str) -> DataFrame:
     from .delta.table import DeltaTable
 
@@ -1280,6 +1293,7 @@ _ROUTES = {
     "ShowPartitions": _route_show_partitions,
     "ShowTableProperties": _route_show_tblproperties,
     "ShowColumns": _route_show_columns,
+    "CommentOnTable": _route_comment_on_table,
     "CreateView": _route_create_view,
     "DropView": _route_drop_view,
     "ShowViews": _route_show_views,

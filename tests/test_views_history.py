@@ -213,3 +213,19 @@ def test_table_view_name_collisions_refused(pond):
         pond.sql("CREATE VIEW lake.t AS SELECT 1 AS x")
     with pytest.raises(ValueError, match="table named"):
         pond.sql("CREATE VIEW t AS SELECT 1 AS x")  # bare name, same table
+
+
+def test_comment_on_table(pond):
+    from athena_delta_lake_spark.delta.table import DeltaTable
+
+    pond.sql("COMMENT ON TABLE lake.t IS 'orders-ish demo table'")
+    path = pond.table_path("lake", "t")
+    assert (
+        DeltaTable(pond.spark, path).detail()["description"]
+        == "orders-ish demo table"
+    )
+    # comment survives DML, clears with IS NULL
+    pond.sql("INSERT INTO lake.t SELECT 55, 1.0, 'z'")
+    assert DeltaTable(pond.spark, path).detail()["description"] is not None
+    pond.sql("COMMENT ON TABLE lake.t IS NULL")
+    assert DeltaTable(pond.spark, path).detail()["description"] is None
