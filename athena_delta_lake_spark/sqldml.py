@@ -1000,6 +1000,53 @@ def _route_show_tblproperties(pond, p, text: str) -> DataFrame:
     return pond.spark.createDataFrame(rows, "key string, value string")
 
 
+def _route_create_table_like(pond, p, text: str) -> DataFrame:
+    """CREATE TABLE t2 LIKE t1: empty table with the source's schema,
+    partition columns and table properties — no data."""
+    from .delta.log import DeltaLog
+    from .delta.writer import write_delta
+
+    def _ti_parts(ti) -> list[str]:
+        db = _opt(ti.database())
+        return ([str(db)] if db is not None else []) + [str(ti.table())]
+
+    tgt = _ti_parts(p.targetTable())
+    if len(tgt) != 2 or tgt[0] not in pond.list_schemas():
+        raise _NotPond(".".join(tgt))
+    schema, table = tgt
+    if f"{schema}.{table}" in pond.list_views() or table in pond.list_views():
+        raise ValueError(f"a view named {schema}.{table} already exists")
+    if table in pond.list_tables(schema):
+        if p.ifNotExists():
+            return _metrics_df(
+                pond.spark,
+                {"operation": "create_like_skipped", "table": f"{schema}.{table}"},
+            )
+        raise ValueError(f"table {schema}.{table} already exists")
+    src_path = _target(pond, _ti_parts(p.sourceTable()))
+    if pond._is_delta_dir(src_path):
+        snap = DeltaLog(os.path.abspath(src_path)).snapshot()
+        st, part_cols = snap.schema, list(snap.partition_columns)
+        config = dict(snap.metadata.get("configuration") or {})
+    else:  # plain-parquet source: schema only
+        st, part_cols, config = (
+            pond.spark.read.parquet(src_path).schema,
+            [],
+            {},
+        )
+    path = os.path.join(pond.root, schema, table)
+    os.makedirs(path, exist_ok=True)
+    empty = pond.spark.createDataFrame([], st)
+    version = write_delta(
+        empty, path, partition_by=part_cols or None,
+        configuration=config or None,
+    )
+    return _metrics_df(
+        pond.spark,
+        {"operation": "create_like", "version": version, "table": f"{schema}.{table}"},
+    )
+
+
 def _route_comment_on_table(pond, p, text: str) -> DataFrame:
     """COMMENT ON TABLE t IS 'txt' | NULL -> metaData.description (the
     Delta spec's table-comment field)."""
@@ -1294,6 +1341,7 @@ _ROUTES = {
     "ShowTableProperties": _route_show_tblproperties,
     "ShowColumns": _route_show_columns,
     "CommentOnTable": _route_comment_on_table,
+    "CreateTableLikeCommand": _route_create_table_like,
     "CreateView": _route_create_view,
     "DropView": _route_drop_view,
     "ShowViews": _route_show_views,

@@ -229,3 +229,30 @@ def test_comment_on_table(pond):
     assert DeltaTable(pond.spark, path).detail()["description"] is not None
     pond.sql("COMMENT ON TABLE lake.t IS NULL")
     assert DeltaTable(pond.spark, path).detail()["description"] is None
+
+
+def test_create_table_like(pond):
+    pond.sql(
+        "ALTER TABLE lake.t SET TBLPROPERTIES ('delta.appendOnly' = 'false')"
+    )
+    r = pond.sql("CREATE TABLE lake.t2 LIKE lake.t").first()
+    assert r["operation"] == "create_like"
+    # empty, same schema + partitioning + properties
+    assert pond.sql("SELECT count(*) AS n FROM lake.t2").first()["n"] == 0
+    cols = [r.col_name for r in pond.sql("SHOW COLUMNS IN lake.t2").collect()]
+    assert cols == ["id", "v", "ds"]
+    d = pond.sql("DESCRIBE DETAIL lake.t2").first()
+    assert d["partitionColumns"] == ["ds"]
+    assert "delta.appendOnly" in d["properties"]
+    # inserts land in the copied partitioning
+    pond.sql("INSERT INTO lake.t2 SELECT 1, 2.0, 'a'")
+    assert pond.sql("SELECT count(*) AS n FROM lake.t2").first()["n"] == 1
+    # IF NOT EXISTS + existing -> skip; plain -> error
+    assert (
+        pond.sql("CREATE TABLE IF NOT EXISTS lake.t2 LIKE lake.t").first()[
+            "operation"
+        ]
+        == "create_like_skipped"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        pond.sql("CREATE TABLE lake.t2 LIKE lake.t")
