@@ -1047,6 +1047,48 @@ def _route_create_table_like(pond, p, text: str) -> DataFrame:
     )
 
 
+def _route_show_create_table(pond, p, text: str) -> DataFrame:
+    """SHOW CREATE TABLE: render re-runnable DDL from the snapshot —
+    columns (with NOT NULL and comments), partitioning, properties and
+    the table comment."""
+    from .delta.log import DeltaLog
+
+    parts = _relation_parts(p.child())
+    path = _target(pond, parts)
+    name = ".".join(parts) if len(parts) == 2 else parts[0]
+    if pond._is_delta_dir(path):
+        snap = DeltaLog(os.path.abspath(path)).snapshot()
+        st, part_cols = snap.schema, list(snap.partition_columns)
+        md = snap.metadata
+        config = dict(md.get("configuration") or {})
+        comment = md.get("description")
+        using = "delta"
+    else:
+        st = pond.spark.read.parquet(path).schema
+        part_cols, config, comment, using = [], {}, None, "parquet"
+    cols = []
+    for f in st.fields:
+        c = f"  {f.name} {f.dataType.simpleString().upper()}"
+        if not f.nullable:
+            c += " NOT NULL"
+        fc = (f.metadata or {}).get("comment")
+        if fc:
+            c += f" COMMENT '{fc}'"
+        cols.append(c)
+    ddl = f"CREATE TABLE {name} (\n" + ",\n".join(cols) + f"\n)\nUSING {using}"
+    if part_cols:
+        ddl += f"\nPARTITIONED BY ({', '.join(part_cols)})"
+    if comment:
+        ddl += f"\nCOMMENT '{comment}'"
+    shown = {k: v for k, v in sorted(config.items())}
+    if shown:
+        props = ", ".join(f"'{k}' = '{v}'" for k, v in shown.items())
+        ddl += f"\nTBLPROPERTIES ({props})"
+    return pond.spark.createDataFrame(
+        [Row(createtab_stmt=ddl)], "createtab_stmt string"
+    )
+
+
 def _route_comment_on_table(pond, p, text: str) -> DataFrame:
     """COMMENT ON TABLE t IS 'txt' | NULL -> metaData.description (the
     Delta spec's table-comment field)."""
@@ -1342,6 +1384,7 @@ _ROUTES = {
     "ShowColumns": _route_show_columns,
     "CommentOnTable": _route_comment_on_table,
     "CreateTableLikeCommand": _route_create_table_like,
+    "ShowCreateTable": _route_show_create_table,
     "CreateView": _route_create_view,
     "DropView": _route_drop_view,
     "ShowViews": _route_show_views,

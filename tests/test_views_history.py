@@ -256,3 +256,20 @@ def test_create_table_like(pond):
     )
     with pytest.raises(ValueError, match="already exists"):
         pond.sql("CREATE TABLE lake.t2 LIKE lake.t")
+
+
+def test_show_create_table(pond):
+    pond.sql("COMMENT ON TABLE lake.t IS 'demo'")
+    pond.sql("ALTER TABLE lake.t SET TBLPROPERTIES ('team' = 'data')")
+    ddl = pond.sql("SHOW CREATE TABLE lake.t").first()["createtab_stmt"]
+    assert "CREATE TABLE lake.t" in ddl
+    assert "id BIGINT" in ddl and "v DOUBLE" in ddl and "ds STRING" in ddl
+    assert "USING delta" in ddl
+    assert "PARTITIONED BY (ds)" in ddl
+    assert "COMMENT 'demo'" in ddl
+    assert "'team' = 'data'" in ddl
+    # the rendered DDL is actually re-runnable against a fresh schema
+    pond.sql("CREATE SCHEMA lake2")
+    pond.sql(ddl.replace("lake.t", "lake2.t"))
+    cols = [r.col_name for r in pond.sql("SHOW COLUMNS IN lake2.t").collect()]
+    assert cols == ["id", "v", "ds"]
