@@ -1047,6 +1047,18 @@ def _route_create_table_like(pond, p, text: str) -> DataFrame:
     )
 
 
+def _route_alter_view_as(pond, p, text: str) -> DataFrame:
+    """ALTER VIEW v AS query: replace a pond view's defining SQL (session
+    temp views fall through to spark.sql)."""
+    parts = _seq(p.child().multipartIdentifier())
+    name = ".".join(parts)
+    if name not in pond.list_views():
+        raise _NotPond(name)
+    qtext = str(p.originalText())
+    pond.create_view(name, qtext, replace=True)
+    return _metrics_df(pond.spark, {"operation": "alter_view", "view": name})
+
+
 def _route_show_create_table(pond, p, text: str) -> DataFrame:
     """SHOW CREATE TABLE: render re-runnable DDL from the snapshot —
     columns (with NOT NULL and comments), partitioning, properties and
@@ -1385,6 +1397,7 @@ _ROUTES = {
     "CommentOnTable": _route_comment_on_table,
     "CreateTableLikeCommand": _route_create_table_like,
     "ShowCreateTable": _route_show_create_table,
+    "AlterViewAs": _route_alter_view_as,
     "CreateView": _route_create_view,
     "DropView": _route_drop_view,
     "ShowViews": _route_show_views,

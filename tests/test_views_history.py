@@ -273,3 +273,16 @@ def test_show_create_table(pond):
     pond.sql(ddl.replace("lake.t", "lake2.t"))
     cols = [r.col_name for r in pond.sql("SHOW COLUMNS IN lake2.t").collect()]
     assert cols == ["id", "v", "ds"]
+
+
+def test_alter_view_as(pond):
+    pond.sql("CREATE VIEW lake.av AS SELECT id FROM lake.t")
+    assert pond.sql("SELECT * FROM lake.av").columns == ["id"]
+    pond.sql("ALTER VIEW lake.av AS SELECT id, v FROM lake.t WHERE v > 10")
+    df = pond.sql("SELECT * FROM lake.av")
+    assert df.columns == ["id", "v"] and df.count() == 4
+    # session temp views stay spark.sql's business
+    pond.spark.range(2).createOrReplaceTempView("sess_av")
+    pond.sql("ALTER VIEW sess_av AS SELECT 7 AS z")
+    assert pond.spark.sql("SELECT * FROM sess_av").first()["z"] == 7
+    pond.spark.catalog.dropTempView("sess_av")
