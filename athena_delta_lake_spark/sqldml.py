@@ -1047,6 +1047,41 @@ def _route_create_table_like(pond, p, text: str) -> DataFrame:
     )
 
 
+def _route_rename_table(pond, p, text: str) -> DataFrame:
+    """ALTER TABLE t RENAME TO t2: in the storage-layout catalog a table
+    IS its directory, so rename = one atomic directory move (any table
+    size; the Delta log travels with it because add paths are relative)."""
+    import shutil
+
+    from .delta.log import DeltaLog
+
+    src_parts = _relation_parts(p.child())
+    path = _target(pond, src_parts)
+    dst_parts = _seq(p.newName())
+    if len(dst_parts) == 1:
+        schema = os.path.basename(os.path.dirname(path))
+        dst_parts = [schema, dst_parts[0]]
+    if len(dst_parts) != 2 or dst_parts[0] not in pond.list_schemas():
+        raise _NotPond(".".join(dst_parts))
+    d_schema, d_table = dst_parts
+    if d_table in pond.list_tables(d_schema):
+        raise ValueError(f"table {d_schema}.{d_table} already exists")
+    if f"{d_schema}.{d_table}" in pond.list_views() or d_table in pond.list_views():
+        raise ValueError(f"a view named {d_schema}.{d_table} already exists")
+    dst = os.path.join(pond.root, d_schema, d_table)
+    shutil.move(path, dst)
+    DeltaLog.clear_cache()
+    # a stale pond-bound bare view for the old name must not linger
+    old_bare = src_parts[-1]
+    if old_bare in getattr(pond, "_pond_bare_views", set()):
+        pond.spark.catalog.dropTempView(old_bare)
+        pond._pond_bare_views.discard(old_bare)
+    return _metrics_df(
+        pond.spark,
+        {"operation": "rename_table", "table": f"{d_schema}.{d_table}"},
+    )
+
+
 def _route_alter_view_as(pond, p, text: str) -> DataFrame:
     """ALTER VIEW v AS query: replace a pond view's defining SQL (session
     temp views fall through to spark.sql)."""
@@ -1398,6 +1433,7 @@ _ROUTES = {
     "CreateTableLikeCommand": _route_create_table_like,
     "ShowCreateTable": _route_show_create_table,
     "AlterViewAs": _route_alter_view_as,
+    "RenameTable": _route_rename_table,
     "CreateView": _route_create_view,
     "DropView": _route_drop_view,
     "ShowViews": _route_show_views,

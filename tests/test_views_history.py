@@ -286,3 +286,21 @@ def test_alter_view_as(pond):
     pond.sql("ALTER VIEW sess_av AS SELECT 7 AS z")
     assert pond.spark.sql("SELECT * FROM sess_av").first()["z"] == 7
     pond.spark.catalog.dropTempView("sess_av")
+
+
+def test_rename_table(pond):
+    pond.sql("CREATE TABLE lake.rn AS SELECT id FROM range(9)")
+    pond.sql("SELECT * FROM rn").collect()  # bind a bare pond view
+    r = pond.sql("ALTER TABLE lake.rn RENAME TO lake.rn2").first()
+    assert r["operation"] == "rename_table"
+    assert "rn" not in pond.list_tables("lake")
+    assert pond.sql("SELECT count(*) AS n FROM lake.rn2").first()["n"] == 9
+    # DESCRIBE HISTORY travels with the directory (relative log paths)
+    assert pond.sql("DESCRIBE HISTORY lake.rn2").count() >= 1
+    # old name is really gone, incl. the stale bound view
+    with pytest.raises(Exception):
+        pond.sql("SELECT * FROM lake.rn").collect()
+    # collision refusals
+    pond.sql("CREATE TABLE lake.rn3 AS SELECT 1 AS x")
+    with pytest.raises(ValueError, match="already exists"):
+        pond.sql("ALTER TABLE lake.rn2 RENAME TO lake.rn3")
