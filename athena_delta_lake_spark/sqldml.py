@@ -1056,8 +1056,23 @@ def _route_rename_table(pond, p, text: str) -> DataFrame:
     from .delta.log import DeltaLog
 
     src_parts = _relation_parts(p.child())
+    src_name = ".".join(src_parts)
+    dst_parts0 = _seq(p.newName())
+    # ALTER VIEW v RENAME TO v2 parses to the same node: pond views rename
+    # in the view catalog (key move), not on disk
+    if src_name in pond.list_views():
+        new_name = ".".join(dst_parts0)
+        if new_name in pond.list_views():
+            raise ValueError(f"view {new_name} already exists")
+        with pond._views_lock():
+            views = pond._load_views()
+            views[new_name] = views.pop(src_name)
+            pond._save_views(views)
+        return _metrics_df(
+            pond.spark, {"operation": "rename_view", "view": new_name}
+        )
     path = _target(pond, src_parts)
-    dst_parts = _seq(p.newName())
+    dst_parts = dst_parts0
     if len(dst_parts) == 1:
         schema = os.path.basename(os.path.dirname(path))
         dst_parts = [schema, dst_parts[0]]

@@ -304,3 +304,10 @@ def test_rename_table(pond):
     pond.sql("CREATE TABLE lake.rn3 AS SELECT 1 AS x")
     with pytest.raises(ValueError, match="already exists"):
         pond.sql("ALTER TABLE lake.rn2 RENAME TO lake.rn3")
+
+
+def test_rename_view(pond):
+    pond.sql("CREATE VIEW lake.rv AS SELECT id FROM lake.t")
+    pond.sql("ALTER VIEW lake.rv RENAME TO lake.rv2")
+    assert "lake.rv2" in pond.list_views() and "lake.rv" not in pond.list_views()
+    assert pond.sql("SELECT count(*) AS n FROM lake.rv2").first()["n"] == 10
