@@ -201,6 +201,18 @@ class DeltaPond:
             name in self.list_tables(s) for s in self.list_schemas()
         ):
             raise ValueError(f"a table named {name} already exists")
+        # refuse hijacking an existing SESSION temp view's name: pond views
+        # yield to user temp views at read time (sql() precedence), so the
+        # new view would be silently unreachable this session
+        if (
+            len(parts) == 1
+            and name not in self._pond_bare_views
+            and self.spark.catalog.tableExists(name)
+        ):
+            raise ValueError(
+                f"a session temp view named {name} already exists; drop it "
+                "first or pick another view name"
+            )
         self.sql(query).schema  # analyze now: broken views fail at CREATE
         with self._views_lock():
             views = self._load_views()
@@ -392,7 +404,11 @@ class DeltaPond:
                 continue
         else:
             raise ValueError(f"cannot parse TIMESTAMP AS OF {text!r}")
-        millis = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+        # naive literal -> session-timezone semantics (Spark/Delta rule;
+        # pinning UTC would shift time travel on non-UTC sessions)
+        from .sqldml import _naive_ts_to_millis
+
+        millis = _naive_ts_to_millis(self.spark, ts)
         snap = dt.log.snapshot_as_of_timestamp(millis)
         return read_snapshot(self.spark, snap), f"ts{millis}"
 
@@ -476,6 +492,12 @@ class DeltaPond:
                 continue
             key = ".".join(parts)
             if travel is None and key in views:
+                if (
+                    len(parts) == 1
+                    and parts[0] not in self._pond_bare_views
+                    and self.spark.catalog.tableExists(parts[0])
+                ):
+                    continue  # user temp view wins — same rule as pond tables
                 # named pond view: re-resolve its defining SQL NOW (fresh
                 # snapshots), bind under a mangled name, splice
                 if key in self._view_stack:

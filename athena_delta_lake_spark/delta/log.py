@@ -493,6 +493,66 @@ class DeltaLog:
         self._cache[key] = state
         return state
 
+    def latest_protocol(self) -> dict | None:
+        """The table's CURRENT protocol action, read WITHOUT reader-side
+        validation. `snapshot()` raises ValueError exactly when the protocol
+        is reader-unsupported, so writer gates that need to inspect the
+        protocol (to refuse unsupported WRITER features) must not go through
+        it — swallowing that ValueError would let a blind commit land on a
+        table whose features this engine cannot honor.
+
+        Walks commit JSONs newest-first (protocol changes are rare; the
+        common case reads one file), stopping at the newest checkpoint,
+        whose protocol row is the fallback. Raises FileNotFoundError when
+        the table does not exist; returns None for a log with no protocol
+        action (legal only transiently)."""
+        log_files = self._list_log_files()
+        commit_versions = sorted(
+            (int(m.group(1)) for f in log_files if (m := _COMMIT_RE.match(f))),
+            reverse=True,
+        )
+        cp_version = -1
+        for f in log_files:
+            m = _CHECKPOINT_RE.match(f) or _CHECKPOINT_V2_RE.match(f)
+            if m:
+                cp_version = max(cp_version, int(m.group(1)))
+        for v in commit_versions:
+            if v <= cp_version:
+                break
+            for line in self._fs.read_text(
+                _join(self.log_dir, f"{v:020d}.json")
+            ).splitlines():
+                line = line.strip()
+                if line:
+                    action = json.loads(line)
+                    if "protocol" in action:
+                        return action["protocol"]
+        if cp_version >= 0:
+            parts = _checkpoint_parts(log_files, cp_version)
+            v2_manifests = sorted(
+                f
+                for f in log_files
+                if (m := _CHECKPOINT_V2_RE.match(f)) and int(m.group(1)) == cp_version
+            )
+            if parts:
+                # column-pruned scan: only the protocol struct is read
+                paths = [_join(self.log_dir, p) for p in parts]
+                for row in self._fs.read_checkpoint_rows(paths, ["protocol"]):
+                    if row.get("protocol") is not None:
+                        return row["protocol"]
+            elif v2_manifests:
+                mpath = _join(self.log_dir, v2_manifests[0])
+                if v2_manifests[0].endswith(".json"):
+                    for line in self._fs.read_text(mpath).splitlines():
+                        line = line.strip()
+                        if line and "protocol" in (action := json.loads(line)):
+                            return action["protocol"]
+                else:
+                    for row in self._fs.read_checkpoint_rows([mpath], ["protocol"]):
+                        if row.get("protocol") is not None:
+                            return row["protocol"]
+        return None
+
     def commit_actions(self, version: int) -> list[dict]:
         """Raw actions of ONE commit version (for incremental/streaming
         consumers: each action dict has exactly one of add/remove/metaData/

@@ -278,9 +278,13 @@ def _atomic_commit(log_dir: str, version: int, actions: Iterable[dict]) -> None:
         # and maintenance commits too, not just data writes
         table_path = os.path.dirname(log_dir.rstrip("/"))
         try:
-            proto = DeltaLog(table_path).snapshot().protocol
-        except (FileNotFoundError, ValueError):
-            proto = None
+            # latest_protocol (not snapshot) on purpose: snapshot() raises
+            # ValueError precisely when the protocol is reader-unsupported,
+            # and swallowing that would let a blind commit land on a table
+            # demanding features this engine lacks.
+            proto = DeltaLog(table_path).latest_protocol()
+        except FileNotFoundError:
+            proto = None  # brand-new table: no protocol to honor yet
         _check_write_protocol(proto, table_path)
     os.makedirs(log_dir, exist_ok=True)
     path = os.path.join(log_dir, f"{version:020d}.json")
@@ -877,8 +881,18 @@ def write_delta(
     prior = None
     try:
         prior = DeltaLog(table_path).snapshot()
-    except (FileNotFoundError, ValueError):
+    except FileNotFoundError:
         pass
+    except ValueError:
+        # snapshot() can fail for reasons a WRITER gate must see through
+        # (reader-unsupported protocol). Check the writer protocol via the
+        # validation-free tail read before treating the table as absent —
+        # otherwise an append to a table demanding writer features this
+        # engine lacks would land a blind commit.
+        try:
+            _check_write_protocol(DeltaLog(table_path).latest_protocol(), table_path)
+        except FileNotFoundError:
+            pass
     if prior is not None:
         _check_write_protocol(prior.protocol, table_path)
 

@@ -108,6 +108,39 @@ def _norm_alias(sql: str, alias: str | None, to: str) -> str:
     return sql
 
 
+def _session_tz(spark):
+    """The session timezone (`spark.sql.session.timeZone`) as a tzinfo.
+    Spark interprets NAIVE datetime values in this zone, so every
+    epoch-millis <-> naive-datetime conversion that feeds or reads a Spark
+    timestamp column must go through it — pinning UTC shifts DESCRIBE
+    HISTORY / TIMESTAMP AS OF by the tz offset on non-UTC sessions."""
+    import datetime as _dt
+    from zoneinfo import ZoneInfo
+
+    name = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    try:
+        return ZoneInfo(name)
+    except Exception:
+        return _dt.timezone.utc
+
+
+def _naive_ts_to_millis(spark, ts) -> int:
+    """Naive datetime (session-tz semantics) -> epoch millis."""
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=_session_tz(spark))
+    return int(ts.timestamp() * 1000)
+
+
+def _millis_to_naive_ts(spark, millis: int):
+    """Epoch millis -> naive datetime carrying session-tz semantics (what
+    spark.createDataFrame expects for a timestamp column)."""
+    import datetime as _dt
+
+    return _dt.datetime.fromtimestamp(
+        millis / 1000.0, _session_tz(spark)
+    ).replace(tzinfo=None)
+
+
 def _metrics_df(spark, metrics: dict) -> DataFrame:
     row = {
         k: (int(v) if isinstance(v, (int, bool)) and not isinstance(v, str) else str(v))
@@ -1062,10 +1095,26 @@ def _route_rename_table(pond, p, text: str) -> DataFrame:
     # in the view catalog (key move), not on disk
     if src_name in pond.list_views():
         new_name = ".".join(dst_parts0)
-        if new_name in pond.list_views():
-            raise ValueError(f"view {new_name} already exists")
+        # all existence/collision checks INSIDE the critical section: a
+        # concurrent DROP VIEW of src or CREATE VIEW of new_name between
+        # check and move must surface, not corrupt the catalog
         with pond._views_lock():
             views = pond._load_views()
+            if src_name not in views:
+                raise FileNotFoundError(f"no such view: {src_name}")
+            if new_name in views:
+                raise ValueError(f"view {new_name} already exists")
+            np_ = new_name.split(".")
+            if len(np_) == 2 and np_[0] not in pond.list_schemas():
+                raise FileNotFoundError(f"no such schema: {np_[0]}")
+            # same table-name collision rule create_view enforces
+            if (len(np_) == 2 and np_[1] in pond.list_tables(np_[0])) or (
+                len(np_) == 1
+                and any(
+                    new_name in pond.list_tables(s) for s in pond.list_schemas()
+                )
+            ):
+                raise ValueError(f"a table named {new_name} already exists")
             views[new_name] = views.pop(src_name)
             pond._save_views(views)
         return _metrics_df(
@@ -1237,9 +1286,12 @@ def _route_show_views(pond, p, text: str) -> DataFrame:
             continue
         rows.append(Row(namespace=schema, viewName=parts[-1]))
     if not ns:
+        pond_bound = getattr(pond, "_pond_bare_views", set())
         for r in pond.spark.sql("SHOW VIEWS").collect():
             n = str(r.viewName)
-            if not n.startswith("__pond"):
+            # same filter as _route_show_tables: pond-bound bare aliases
+            # are internal plumbing, not session views
+            if not n.startswith("__pond") and n not in pond_bound:
                 rows.append(Row(namespace=str(r.namespace), viewName=n))
     return pond.spark.createDataFrame(
         rows, "namespace string, viewName string"
@@ -1366,10 +1418,8 @@ def _route_maintenance_sugar(pond, query: str) -> DataFrame | None:
             import datetime as _dt
 
             ts = _dt.datetime.fromisoformat(m.group(3))
-            if ts.tzinfo is None:
-                ts = ts.replace(tzinfo=_dt.timezone.utc)
             res = _dml.restore_table(
-                path, timestamp_millis=int(ts.timestamp() * 1000)
+                path, timestamp_millis=_naive_ts_to_millis(pond.spark, ts)
             )
         return _metrics_df(pond.spark, {"operation": "restore", **res})
     return None
@@ -1392,11 +1442,7 @@ def _route_describe_history(pond, name: str) -> DataFrame:
             Row(
                 version=int(c["version"]),
                 timestamp=(
-                    None
-                    if ts is None
-                    else __import__("datetime").datetime.fromtimestamp(
-                        ts / 1000.0, __import__("datetime").timezone.utc
-                    ).replace(tzinfo=None)
+                    None if ts is None else _millis_to_naive_ts(pond.spark, ts)
                 ),
                 operation=str(c.get("operation", "")),
                 operationParameters=_json.dumps(
