@@ -1,28 +1,36 @@
-"""Change Data Feed (CDF) analog: row-level changes between commit versions,
-derived purely from the copy-on-write transaction log.
+"""Change Data Feed (CDF): row-level changes between commit versions.
 
 The reference cannot do this (read-only latest-snapshot connector,
-DeltaMetadataHandler.scala:99 — `snapshot` is always current). Delta's CDF
-writes extra `_change_data` files; this engine's DML is copy-on-write at
-file granularity, so the log already determines every change:
+DeltaMetadataHandler.scala:99 — `snapshot` is always current). Two sources
+of truth, exactly as the Delta spec's Change Data Files section orders
+them:
 
-- `add` with dataChange=true in commit v  -> its rows were INSERTED at v
-- `remove` with dataChange=true at v      -> its rows were DELETED at v
-- UPDATE/MERGE appear as delete+insert (pre/post image pairs, not the
-  `update_preimage`/`update_postimage` labels real CDF emits — documented
-  approximation)
-- OPTIMIZE/compaction commits (dataChange=false) produce NO changes,
-  exactly like real CDF.
+1. **`cdc` actions** (spec-conformant, written by this engine's DML on
+   tables with `delta.enableChangeDataFeed=true`, and by external Delta
+   writers): a commit carrying any `cdc` action describes ALL its changes
+   through the referenced `_change_data/` files, whose stored
+   `_change_type` column distinguishes `insert` / `delete` /
+   `update_preimage` / `update_postimage`. add/remove actions of such a
+   commit are IGNORED for change derivation.
+2. **add/remove reconciliation** (the fallback for commits without cdc
+   actions — blind appends, metadata-only deletes, legacy tables):
+   - `add` with dataChange=true in commit v  -> its rows were INSERTED at v
+   - `remove` with dataChange=true at v      -> its rows were DELETED at v
+   - same-path remove+add with a changed deletion vector -> exactly the
+     newly-DV'd rows were DELETED (merge-on-read DML)
+   - OPTIMIZE/compaction commits (dataChange=false) produce NO changes.
 
 Scale: reading changes for a version range touches only the files those
-commits added/removed — O(changed data), never a snapshot diff. Removed
-files must still exist on disk (i.e. not yet VACUUMed) to read deletions.
-"""
+commits added/removed/changed — O(changed data), never a snapshot diff.
+Files VACUUMed out from under the requested range fail fast with an error
+naming the offending version (DELTA_CHANGE_DATA_FILE_NOT_FOUND analogue)
+instead of surfacing an opaque scan failure."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .log import DeltaLog, _decode_path
 from .reader import read_files
@@ -42,6 +50,13 @@ def table_changes(
     pieces: list[DataFrame] = []
     for v in range(starting_version, end + 1):
         actions = log.commit_actions(v)
+        cdc_actions = [a["cdc"] for a in actions if "cdc" in a]
+        if cdc_actions:
+            # spec: a commit WITH cdc actions is described by them ALONE
+            piece = _read_cdc_files(spark, log, v, cdc_actions)
+            if piece is not None:
+                pieces.append(piece.withColumn("_commit_version", F.lit(v)))
+            continue
         add_paths = {
             _decode_path(a["add"]["path"])
             for a in actions
@@ -54,13 +69,28 @@ def table_changes(
         }
         # merge-on-read commits remove+re-add the SAME path with a changed
         # deletion vector: the true change set is the newly-DV'd rows only
-        # (emitting whole-file delete+insert would be wrong granularity)
-        common = add_paths & remove_paths
+        # (emitting whole-file delete+insert would be wrong granularity).
+        # A bare re-add of an ALREADY-LIVE path (RESTORE dropping a DV —
+        # last-writer-wins replay replaces the entry without a remove) is
+        # the same case: diff the DVs, never re-insert the whole file.
+        prev_live: set[str] = set()
+        if v > 0 and add_paths:
+            prev_live = {f.path for f in log.snapshot(v - 1).files}
+        common = add_paths & (remove_paths | prev_live)
         if common and v > 0:
-            dv_piece = _dv_diff_deletes(spark, log, v, sorted(common))
+            dv_piece = _dv_diff_rows(spark, log, v, sorted(common))
             if dv_piece is not None:
                 pieces.append(
                     dv_piece.withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_commit_version", F.lit(v))
+                )
+            # a SHRINKING deletion vector (RESTORE rolling a MOR delete
+            # back) RESURRECTS rows: old-DV minus new-DV positions are
+            # inserts, readable from the new snapshot where they are live
+            res_piece = _dv_diff_rows(spark, log, v, sorted(common), resurrect=True)
+            if res_piece is not None:
+                pieces.append(
+                    res_piece.withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", F.lit(v))
                 )
             add_paths -= common
@@ -68,6 +98,7 @@ def table_changes(
         if add_paths:
             snap = log.snapshot(v)
             files = [f for f in snap.files if f.path in add_paths]
+            _require_present(log, v, [f.path for f in files])
             pieces.append(
                 read_files(spark, snap, files)
                 .withColumn("_change_type", F.lit("insert"))
@@ -76,6 +107,7 @@ def table_changes(
         if remove_paths and v > 0:
             prev = log.snapshot(v - 1)
             files = [f for f in prev.files if f.path in remove_paths]
+            _require_present(log, v, [f.path for f in files])
             pieces.append(
                 read_files(spark, prev, files)
                 .withColumn("_change_type", F.lit("delete"))
@@ -94,12 +126,115 @@ def table_changes(
     return out
 
 
-def _dv_diff_deletes(
-    spark: SparkSession, log: DeltaLog, v: int, paths: list[str]
+def _require_present(log: DeltaLog, version: int, rel_paths: list[str]) -> None:
+    """Fail fast with a spec-style error when a file the change feed must
+    read has been VACUUMed away (DELTA_CHANGE_DATA_FILE_NOT_FOUND
+    analogue) — naming the version, instead of an opaque mid-scan error."""
+    for p in rel_paths:
+        from .log import _join
+
+        if not log._fs.exists(_join(log.table_path, p)):
+            raise FileNotFoundError(
+                f"DELTA_CHANGE_DATA_FILE_NOT_FOUND: {p} referenced by the "
+                f"change feed of version {version} of {log.table_path} no "
+                "longer exists (removed by VACUUM?). Narrow the version "
+                "range past the vacuumed commits."
+            )
+
+
+def _read_cdc_files(
+    spark: SparkSession, log: DeltaLog, v: int, cdc_actions: list[dict]
 ) -> DataFrame | None:
-    """Rows newly covered by a deletion vector in commit v: positions in
-    the new DV minus the old one, read from the PREVIOUS snapshot (whose
-    scan still shows them) keyed by (file, row_index)."""
+    """Read a commit's Change Data Files: stored `_change_type` column +
+    data columns (PHYSICAL names under column mapping), partition columns
+    injected from each action's partitionValues — the same conventions as
+    data files (spec: Change Data Files)."""
+    from .log import _join
+    from .types import cast_partition_value
+
+    snap = log.snapshot(v)
+    schema = snap.schema
+    part_cols = snap.partition_columns
+    config = snap.metadata.get("configuration") or {}
+    mapped = config.get("delta.columnMapping.mode", "none") != "none"
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    if mapped:
+        from .reader import _physical_rename
+
+        read_fields = [
+            T.StructField(
+                (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                ),
+                _physical_rename(f.dataType),
+                f.nullable,
+            )
+            for f in data_fields
+        ]
+        p2l_part = {
+            (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            ): f.name
+            for f in schema.fields
+        }
+    else:
+        read_fields = list(data_fields)
+        p2l_part = {f.name: f.name for f in schema.fields}
+    read_schema = T.StructType(
+        read_fields + [T.StructField("_change_type", T.StringType(), True)]
+    )
+    type_by_name = {f.name: f.dataType for f in schema.fields}
+
+    _require_present(log, v, [_decode_path(a["path"]) for a in cdc_actions])
+    by_part: dict[tuple, list[str]] = {}
+    for a in cdc_actions:
+        pv_raw = a.get("partitionValues") or {}
+        if isinstance(pv_raw, list):  # pyarrow map shape
+            pv_raw = dict(pv_raw)
+        pv = {p2l_part.get(k, k): val for k, val in pv_raw.items()}
+        key = tuple(
+            cast_partition_value(pv.get(c), type_by_name[c]) for c in part_cols
+        )
+        by_part.setdefault(key, []).append(
+            _join(log.table_path, _decode_path(a["path"]))
+        )
+    pieces = []
+    for pvals, paths in by_part.items():
+        piece = spark.read.schema(read_schema).parquet(*paths)
+        if mapped:
+            cols = [
+                F.col(pf.name).cast(lf.dataType).alias(lf.name)
+                for pf, lf in zip(read_fields, data_fields)
+            ]
+            piece = piece.select(*cols, "_change_type")
+        for c, val in zip(part_cols, pvals):
+            piece = piece.withColumn(c, F.lit(val).cast(type_by_name[c]))
+        pieces.append(
+            piece.select(*[f.name for f in schema.fields], "_change_type")
+        )
+    if not pieces:
+        return None
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _dv_diff_rows(
+    spark: SparkSession,
+    log: DeltaLog,
+    v: int,
+    paths: list[str],
+    resurrect: bool = False,
+) -> DataFrame | None:
+    """Rows whose deletion-vector membership CHANGED in commit v for
+    same-path remove+add pairs, keyed by (file, row_index).
+
+    Default (deletes): positions in the new DV minus the old one — rows a
+    merge-on-read DML newly deleted — read from the PREVIOUS snapshot,
+    whose scan still shows them. `resurrect=True` (inserts): old minus new
+    — rows a RESTORE un-deleted by rolling the DV back — read from the NEW
+    snapshot, where they are live again."""
     import os
 
     from .deletion_vectors import read_dv_positions
@@ -121,13 +256,19 @@ def _dv_diff_deletes(
         pf, nf = prev_by.get(p), new_by.get(p)
         if pf is None or nf is None:
             continue
-        newly = _positions(nf) - _positions(pf)
-        if newly:
+        if resurrect:
+            changed = _positions(pf) - _positions(nf)
+        else:
+            changed = _positions(nf) - _positions(pf)
+        if changed:
             full = os.path.abspath(os.path.join(log.table_path, p))
-            rows.extend((full, i) for i in sorted(newly))
-            read_targets.append(pf)
+            rows.extend((full, i) for i in sorted(changed))
+            read_targets.append(nf if resurrect else pf)
     if not rows:
         return None
+    _require_present(log, v, [f.path for f in read_targets])
     pos_df = spark.createDataFrame(rows, "_file string, _row_idx long")
-    base = read_files_with_index(spark, prev, read_targets)
+    base = read_files_with_index(
+        spark, snap if resurrect else prev, read_targets
+    )
     return base.join(pos_df, ["_file", "_row_idx"]).drop("_file", "_row_idx")

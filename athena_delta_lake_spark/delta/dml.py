@@ -162,12 +162,21 @@ def delete(spark: SparkSession, table_path: str, where) -> dict:
     adds = stage_data_files(
         kept, table_path, part_cols, data_schema, l2p=_l2p(snap)
     )
+    cdc = None
+    if _cdf_on(snap):
+        # partial-file rewrite: derivation from add/remove would emit
+        # kept-row churn — record exactly the deleted rows
+        cdc = _stage_cdc(
+            spark, snap, table_path,
+            [(df.filter(F.coalesce(cond, F.lit(False))), "delete")],
+        )
     commit_rewrite(
         table_path,
         "DELETE",
         adds,
         [f.path for f in candidates],
         operation_parameters={"predicate": str(where)},
+        extra_actions=cdc,
         expected_states={f.path: file_fingerprint(f) for f in candidates},
         base_version=snap.version,
     )
@@ -207,23 +216,32 @@ def delete_mor(spark: SparkSession, table_path: str, where) -> dict:
         return {"files_removed": 0, "files_added": 0, "rows_deleted": 0}
 
     dfm = read_files_with_index(spark, snap, candidates)
+    matched = dfm.filter(F.coalesce(cond, F.lit(False)))
+    cdf = _cdf_on(snap)
+    if cdf:
+        # the matched rows feed both the DV build and the cdc files —
+        # pin them so the two sides can never diverge
+        matched = matched.localCheckpoint(eager=True)
     staged = _stage_dvs(
         spark,
         table_path,
-        dfm.filter(F.coalesce(cond, F.lit(False))).select("_file", "_row_idx"),
+        matched.select("_file", "_row_idx"),
         candidates,
     )
     if not staged:
         return {"files_removed": 0, "files_added": 0, "rows_deleted": 0}
 
     pieces = _dv_pieces(table_path, snap, staged)
+    extra = list(pieces.protocol_extra or [])
+    if cdf:
+        extra += _stage_cdc(spark, snap, table_path, [(matched, "delete")])
     commit_rewrite(
         table_path,
         "DELETE",
         pieces.adds,
         [f.path for f, _idx in pieces.touched],
         operation_parameters={"predicate": str(where), "mode": "merge-on-read"},
-        extra_actions=pieces.protocol_extra,
+        extra_actions=extra or None,
         expected_states={
             f.path: file_fingerprint(f) for f, _idx in pieces.touched
         },
@@ -406,30 +424,65 @@ def update(
     if not candidates:
         return {"files_removed": 0, "files_added": 0}
 
-    df = _read_cow(spark, snap, candidates)
+    df0 = _read_cow(spark, snap, candidates)
     field_types = {f.name: f.dataType for f in snap.schema.fields}
     hit = F.coalesce(cond, F.lit(False))
-    for col, expr in set.items():
+    for col in set:
         if col not in field_types:
             raise ValueError(f"unknown column: {col}")
-        df = df.withColumn(
-            col,
-            F.when(hit, F.expr(expr).cast(field_types[col])).otherwise(
-                F.col(col)
-            ),
-        )
+    # ONE select, not sequential withColumn: SQL UPDATE evaluates every SET
+    # expression AND the WHERE against the ORIGINAL row — `SET a = b,
+    # b = a` swaps, and a SET that falsifies the predicate must not stop
+    # later SET columns from applying (caught by the round-5 cdc work).
+    # Materialized row-id columns from _read_cow ride along untouched.
+    df = df0.select(
+        *[
+            (
+                F.when(
+                    hit, F.expr(set[f.name]).cast(f.dataType)
+                ).otherwise(F.col(f.name))
+                if f.name in set
+                else F.col(f.name)
+            ).alias(f.name)
+            for f in snap.schema.fields
+        ],
+        *[c for c in df0.columns if c not in field_types],
+    )
     from .writer import _enforce_constraints
 
     _enforce_constraints(df, snap.metadata)
     adds = stage_data_files(
         df, table_path, snap.partition_columns, _data_schema(snap), l2p=_l2p(snap)
     )
+    cdc = None
+    if _cdf_on(snap):
+        # exact pre/post images of the hit rows — the labels real CDF
+        # consumers key on (spec: Change Data Files). Post images re-apply
+        # the SET expressions to the PRE-image rows: filtering the updated
+        # frame by `hit` would re-evaluate the predicate against the NEW
+        # values and miss rows whose update falsified it.
+        pre = df0.filter(hit)
+        post = pre.select(
+            *[
+                (
+                    F.expr(set[f.name]).cast(f.dataType)
+                    if f.name in set
+                    else F.col(f.name)
+                ).alias(f.name)
+                for f in snap.schema.fields
+            ]
+        )
+        cdc = _stage_cdc(
+            spark, snap, table_path,
+            [(pre, "update_preimage"), (post, "update_postimage")],
+        )
     commit_rewrite(
         table_path,
         "UPDATE",
         adds,
         [f.path for f in candidates],
         operation_parameters={"predicate": str(where)},
+        extra_actions=cdc,
         expected_states={f.path: file_fingerprint(f) for f in candidates},
         base_version=snap.version,
     )
@@ -478,11 +531,24 @@ def update_mor(
         return {"files_removed": 0, "files_added": 0, "rows_updated": 0}
 
     field_types = {f.name: f.dataType for f in snap.schema.fields}
-    new_rows = matched_rows.drop("_file", "_row_idx")
-    for col, expr in set.items():
+    for col in set:
         if col not in field_types:
             raise ValueError(f"unknown column: {col}")
-        new_rows = new_rows.withColumn(col, F.expr(expr).cast(field_types[col]))
+    pre_rows = matched_rows.drop("_file", "_row_idx")
+    extra_carried = [c for c in pre_rows.columns if c not in field_types]
+    # simultaneous SET evaluation against the original row (SQL UPDATE
+    # semantics — same rule as the copy-on-write path above)
+    new_rows = pre_rows.select(
+        *[
+            (
+                F.expr(set[f.name]).cast(f.dataType)
+                if f.name in set
+                else F.col(f.name)
+            ).alias(f.name)
+            for f in snap.schema.fields
+        ],
+        *extra_carried,
+    )
     from .writer import _enforce_constraints
 
     _enforce_constraints(new_rows, snap.metadata)
@@ -492,13 +558,19 @@ def update_mor(
     )
 
     pieces = _dv_pieces(table_path, snap, staged)
+    extra = list(pieces.protocol_extra or [])
+    if _cdf_on(snap):
+        extra += _stage_cdc(
+            spark, snap, table_path,
+            [(pre_rows, "update_preimage"), (new_rows, "update_postimage")],
+        )
     commit_rewrite(
         table_path,
         "UPDATE",
         pieces.adds + new_adds,
         [f.path for f, _idx in pieces.touched],
         operation_parameters={"predicate": str(where), "mode": "merge-on-read"},
-        extra_actions=pieces.protocol_extra,
+        extra_actions=extra or None,
         expected_states={
             f.path: file_fingerprint(f) for f, _idx in pieces.touched
         },
@@ -771,11 +843,18 @@ def merge_upsert(
         if (touched and _rt_on(snap))
         else []
     )
+    cdf = _cdf_on(snap)
+    cdc_frames: list[tuple[DataFrame, str]] = []
     if touched and not clauses:
         # no matched-action clause (reachable only under NOT MATCHED BY
         # SOURCE DELETE): matched target rows keep the target version;
         # unmatched rows in touched files are the ones being deleted
         pieces.append(target_rows.join(src_keys, keys, "left_semi"))
+    if cdf and touched and clauses and not needs_per_row:
+        # the single unconditional DELETE clause: matched rows vanish
+        cdc_frames.append(
+            (target_rows.join(src_keys, keys, "left_semi"), "delete")
+        )
     if touched and needs_per_row:
         # per-TARGET-ROW, first-match-wins clause application: each matched
         # (target, source) pair gets the index of the first clause whose
@@ -804,11 +883,38 @@ def merge_upsert(
                     *src_version
                 )
             )
+        if cdf:
+            delete_idx = [
+                i for i, (_c, a) in enumerate(clauses) if a == "delete"
+            ]
+            if delete_idx:
+                cdc_frames.append(
+                    (
+                        applied.filter(F.col("__clause").isin(delete_idx))
+                        .select(*tgt_version),
+                        "delete",
+                    )
+                )
+            if update_idx:
+                upd = applied.filter(F.col("__clause").isin(update_idx))
+                cdc_frames.append(
+                    (upd.select(*tgt_version), "update_preimage")
+                )
+                cdc_frames.append(
+                    (upd.select(*src_version), "update_postimage")
+                )
     # else: the single unconditional DELETE clause — matched rows simply
     # vanish, no join needed (the anti-join survivor piece above covers
     # unmatched target rows)
+    if cdf and touched and not_matched_by_source == "delete":
+        # unmatched rows of TOUCHED files are dropped by not re-adding them
+        cdc_frames.append(
+            (target_rows.join(src_keys, keys, "left_anti"), "delete")
+        )
     if when_not_matched == "insert":
         ins = src.join(matched_keys, keys, "left_anti")
+        if cdf:
+            cdc_frames.append((ins, "insert"))
         for c in rt_extras:  # inserts are NEW rows: fresh ids from the add
             ins = ins.withColumn(c, F.lit(None).cast("long"))
         pieces.append(ins)
@@ -825,12 +931,26 @@ def merge_upsert(
         new_data, table_path, snap.partition_columns, _data_schema(snap),
         l2p=_l2p(snap),
     )
+    cdc = None
+    if cdf:
+        if not_matched_by_source == "delete":
+            # untouched files removed wholesale: a commit WITH cdc actions
+            # must describe ALL its changes through them, so their rows
+            # join the change set too
+            touched_set = {f.path for f in touched}
+            untouched = [f for f in live if f.path not in touched_set]
+            if untouched:
+                cdc_frames.append(
+                    (_read_cow(spark, snap, untouched), "delete")
+                )
+        cdc = _stage_cdc(spark, snap, table_path, cdc_frames) or None
     commit_rewrite(
         table_path,
         "MERGE",
         adds,
         [f.path for f in remove_files],
         operation_parameters={"matchedPredicate": " AND ".join(keys)},
+        extra_actions=cdc,
         expected_states={f.path: file_fingerprint(f) for f in remove_files},
         base_version=snap.version,
     )
@@ -942,6 +1062,8 @@ def merge_upsert_mor(
     pieces_new: list[DataFrame] = []
     staged: list = []
     matched_keys = None
+    cdf = _cdf_on(snap)
+    cdc_frames: list[tuple[DataFrame, str]] = []
     if touched:
         rt_mor = _rt_on(snap)
         tagged = read_files_with_index(
@@ -964,6 +1086,36 @@ def merge_upsert_mor(
             )
         staged = _stage_dvs(spark, table_path, dv_rows, touched)
         update_idx = [i for i, (_c, a) in enumerate(clauses) if a == "update"]
+        if cdf:
+            tgt_version_cdc = [F.col(k) for k in keys] + [
+                F.col(f"t.{c}").alias(c) for c in non_keys
+            ]
+            src_version_cdc = [F.col(k) for k in keys] + [
+                F.col(f"s.{c}").alias(c) for c in non_keys
+            ]
+            delete_idx = [
+                i for i, (_c, a) in enumerate(clauses) if a == "delete"
+            ]
+            if delete_idx:
+                cdc_frames.append(
+                    (
+                        applied.filter(F.col("__clause").isin(delete_idx))
+                        .select(*tgt_version_cdc),
+                        "delete",
+                    )
+                )
+            if update_idx:
+                upd = applied.filter(F.col("__clause").isin(update_idx))
+                cdc_frames.append(
+                    (upd.select(*tgt_version_cdc), "update_preimage")
+                )
+                cdc_frames.append(
+                    (upd.select(*src_version_cdc), "update_postimage")
+                )
+            if not_matched_by_source == "delete":
+                cdc_frames.append(
+                    (tagged.join(src_keys, keys, "left_anti"), "delete")
+                )
         if update_idx:
             src_version = [F.col(k) for k in keys] + [
                 F.col(f"s.{c}").alias(c) for c in non_keys
@@ -993,6 +1145,8 @@ def merge_upsert_mor(
             if matched_keys is not None
             else src
         )
+        if cdf:
+            cdc_frames.append((ins, "insert"))
         if touched and _rt_on(snap):
             from .writer import MATERIALIZED_RCV_COL, MATERIALIZED_ROW_ID_COL
 
@@ -1025,10 +1179,17 @@ def merge_upsert_mor(
     if not_matched_by_source == "delete":
         # untouched files hold ONLY unmatched rows: metadata-only removal
         touched_set = {f.path for f in touched}
-        removes = removes + [f for f in live if f.path not in touched_set]
+        untouched = [f for f in live if f.path not in touched_set]
+        removes = removes + untouched
+        if cdf and untouched:
+            cdc_frames.append((_read_cow(spark, snap, untouched), "delete"))
 
     if not removes and not dv_adds and not new_adds:
         return {"files_removed": 0, "files_added": 0, "source_rows": None}
+    if cdf and cdc_frames:
+        extra = list(extra or []) + _stage_cdc(
+            spark, snap, table_path, cdc_frames
+        )
     commit_rewrite(
         table_path,
         "MERGE",
@@ -1289,6 +1450,47 @@ def vacuum(
             if not dirs and not names and root != table_path:
                 os.rmdir(root)
     return {"files": sorted(doomed), "deleted": not dry_run}
+
+
+def _cdf_on(snap: SnapshotState) -> bool:
+    from .writer import cdf_enabled
+
+    return cdf_enabled(snap.metadata.get("configuration"))
+
+
+def _stage_cdc(
+    spark: SparkSession,
+    snap: SnapshotState,
+    table_path: str,
+    frames: list[tuple[DataFrame, str]],
+) -> list[dict]:
+    """Stage Change Data Files for a DML commit on a CDF-enabled table:
+    each (DataFrame, change_type) pair contributes rows labeled with that
+    `_change_type` ('insert' | 'delete' | 'update_preimage' |
+    'update_postimage'); returns the `cdc` actions to ride the commit's
+    extra_actions. Frames may carry extra plumbing columns (_file,
+    _row_idx, materialized row ids) — only the table schema is kept."""
+    from .writer import CDF_TYPE_COL, stage_cdc_files
+
+    cols = [f.name for f in snap.schema.fields]
+    out = None
+    for df, ct in frames:
+        piece = df.select(*cols).withColumn(CDF_TYPE_COL, F.lit(ct))
+        out = piece if out is None else out.unionByName(piece)
+    if out is None:
+        return []
+    acts = stage_cdc_files(
+        out, table_path, list(snap.partition_columns), l2p=_l2p(snap)
+    )
+    if not acts:
+        # zero change rows, but the commit still rewrites files (e.g. a
+        # MERGE whose matched rows all hit no clause): the commit MUST
+        # carry a cdc action anyway — spec readers treat a cdc-less commit
+        # as derivable from add/remove, which would misreport the rewrite
+        # churn as changes. A single empty (schema-only) cdc file marks
+        # "this commit changed nothing".
+        acts = stage_cdc_files(out.limit(0), table_path, [], l2p=_l2p(snap))
+    return acts
 
 
 def _rt_on(snap: SnapshotState) -> bool:

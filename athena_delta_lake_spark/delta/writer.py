@@ -462,6 +462,93 @@ def stage_data_files(
     return adds
 
 
+#: reserved CDF column stored INSIDE change data files (spec: Change Data
+#: Files). `_commit_version`/`_commit_timestamp` are generated at read time.
+CDF_TYPE_COL = "_change_type"
+#: directory under the table root holding change data files (spec name)
+CDF_DIR = "_change_data"
+
+
+def stage_cdc_files(
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str],
+    l2p: dict[str, str] | None = None,
+) -> list[dict]:
+    """Write `df` (data columns + `_change_type`) as Change Data Files
+    under `<table>/_change_data/` and return the `cdc` actions — NOT yet
+    committed. Spec: Add CDC File; emitted by DML on tables with
+    `delta.enableChangeDataFeed=true` so readers get exact per-row changes
+    with `update_preimage`/`update_postimage` labels instead of deriving
+    whole-file delete+insert churn from add/remove reconciliation.
+
+    Same physical conventions as stage_data_files: hive layout when
+    partitioned, URL-encoded relative paths, PHYSICAL column names under
+    column mapping — except `_change_type` itself, which the spec stores
+    literally (it is metadata, never column-mapped), and stats, which cdc
+    actions do not carry (`dataChange` is always false: these files never
+    join the snapshot)."""
+    if CDF_TYPE_COL not in df.columns:
+        raise ValueError(f"stage_cdc_files requires a {CDF_TYPE_COL} column")
+    if l2p:
+        df = df.toDF(*[l2p.get(c, c) for c in df.columns])
+        partition_by = [l2p.get(c, c) for c in partition_by]
+    staging = os.path.join(
+        os.path.dirname(table_path), f".staging-cdc-{uuid.uuid4().hex}"
+    )
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    from urllib.parse import quote
+
+    now = int(time.time() * 1000)
+    cdcs = []
+    for root, _dirs, files in os.walk(staging):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel_dir = os.path.relpath(root, staging)
+            rel_dir = "" if rel_dir == "." else rel_dir
+            fname = f"cdc-{uuid.uuid4().hex}.snappy.parquet"
+            rel_path = (
+                os.path.join(CDF_DIR, rel_dir, fname)
+                if rel_dir
+                else os.path.join(CDF_DIR, fname)
+            )
+            dst = os.path.join(table_path, rel_path)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(src, dst)
+            cdcs.append(
+                {
+                    "cdc": {
+                        "path": quote(rel_path.replace(os.sep, "/"), safe="/"),
+                        "partitionValues": _partition_values_from_relpath(
+                            (
+                                os.path.join(rel_dir, fname) if rel_dir else fname
+                            ).replace(os.sep, "/"),
+                            partition_by,
+                        ),
+                        "size": os.path.getsize(dst),
+                        "modificationTime": now,
+                        "dataChange": False,
+                    }
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    return cdcs
+
+
+def cdf_enabled(config: dict | None) -> bool:
+    """delta.enableChangeDataFeed=true on the table configuration."""
+    return (
+        str((config or {}).get("delta.enableChangeDataFeed", "")).lower()
+        == "true"
+    )
+
+
 def commit_rewrite(
     table_path: str,
     operation: str,
@@ -1207,6 +1294,8 @@ def write_delta(
         # legacy writer-version features: generated columns = 4,
         # identity columns = 6
         min_writer = 4 if _generation_expressions(schema) else 2
+        if cdf_enabled(effective_config):
+            min_writer = max(min_writer, 4)  # legacy CDF writer version
         if identity_params:
             min_writer = max(min_writer, 6)
         proto: dict = {"minReaderVersion": 1, "minWriterVersion": min_writer}
@@ -1220,6 +1309,8 @@ def write_delta(
                 feats0.add("identityColumns")
             if _generation_expressions(schema):
                 feats0.add("generatedColumns")
+            if cdf_enabled(effective_config):
+                feats0.add("changeDataFeed")
             proto = {
                 "minReaderVersion": 3 if type_feats else 1,
                 "minWriterVersion": 7,
@@ -1235,6 +1326,8 @@ def write_delta(
         upgrade_feats = set(needed_writer_features)
         if ict_newly_enabled:
             upgrade_feats.add("inCommitTimestamp")
+        if cdf_enabled(effective_config) and not cdf_enabled(prior_config):
+            upgrade_feats.add("changeDataFeed")
         protocol_upgraded = _protocol_upgrade_action(
             prior.protocol if prior is not None else None,
             reader_features=tuple(sorted(type_feats)),
@@ -1289,6 +1382,28 @@ def write_delta(
                 }
             )
         adds = rw_survivor_adds + adds
+        if rw_survivor_adds and cdf_enabled(effective_config):
+            # boundary-file rewrite under replaceWhere: add/remove
+            # derivation would misreport the surviving rows as churn, so
+            # the commit carries exact cdc — deletes of the matched rows,
+            # inserts of the incoming batch (spec: a commit WITH cdc
+            # actions describes its changes by those alone)
+            from pyspark.sql import functions as F
+
+            from .dml import _read_cow
+
+            matched = _read_cow(df.sparkSession, prior, rw_candidates).filter(
+                F.coalesce(rw_cond, F.lit(False))
+            )
+            cols = [f.name for f in schema.fields]
+            cdc_df = matched.select(*cols).withColumn(
+                CDF_TYPE_COL, F.lit("delete")
+            ).unionByName(
+                df.select(*cols).withColumn(CDF_TYPE_COL, F.lit("insert"))
+            )
+            actions.extend(
+                stage_cdc_files(cdc_df, table_path, partition_by, l2p=mapping_l2p)
+            )
     row_tracking = _row_tracking_enabled(effective_config)
     if row_tracking and adds:
         hwm = _row_id_hwm(prior.domain_metadata if prior is not None else {})
@@ -2548,9 +2663,14 @@ def set_table_properties(
             }
         }
     ]
+    upgrade_feats: list[str] = []
     if _ict_enabled(config) and not _ict_enabled(prior_config):
+        upgrade_feats.append("inCommitTimestamp")
+    if cdf_enabled(config) and not cdf_enabled(prior_config):
+        upgrade_feats.append("changeDataFeed")
+    if upgrade_feats:
         upgrade = _protocol_upgrade_action(
-            snap.protocol, writer_features=("inCommitTimestamp",)
+            snap.protocol, writer_features=tuple(upgrade_feats)
         )
         if upgrade is not None:
             actions.append(upgrade)

@@ -903,3 +903,159 @@ def g05(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lake.region_m
         """
     )
+
+
+# ------------------------------------ g06: spec-conformant change data feed
+
+
+def _ensure_cdc_customer(spark: SparkSession, sf_dir: str) -> str:
+    """customer copied into a CDF-enabled Delta table, then an UPDATE and a
+    MERGE: the commits carry spec `cdc` actions + `_change_data/` files, so
+    the change feed returns labeled `update_preimage`/`update_postimage`
+    pairs and exact inserts — never derived whole-file churn."""
+    from ..delta.dml import merge_upsert, update
+
+    path = os.path.join(_fixture_root(sf_dir), "lake", "cdc_customer")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        write_delta(
+            load(spark, sf_dir, "customer"),
+            path,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+    t = DeltaTable(spark, path)
+    if t.version() < 1:  # heal half-built fixtures version by version
+        update(
+            spark, path, {"c_acctbal": "c_acctbal + 100"},
+            "c_mktsegment = 'BUILDING'",
+        )
+    if t.version() < 2:
+        c = load(spark, sf_dir, "customer")
+        src = c.filter("c_custkey % 10 = 0").withColumn(
+            "c_acctbal", F.col("c_acctbal") * 2
+        ).unionByName(
+            c.filter("c_custkey % 10 = 3").withColumn(
+                "c_custkey", F.col("c_custkey") + 1000000
+            )
+        )
+        merge_upsert(spark, path, src, ["c_custkey"])
+    return path
+
+
+@register(
+    "g06_cdc_change_feed",
+    "delta-core",
+    """
+    WITH pre1 AS (
+      SELECT 1 AS v, 'update_preimage' AS ct, c_custkey AS k, c_acctbal AS bal
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), post1 AS (
+      SELECT 1, 'update_postimage', c_custkey, c_acctbal + 100
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), pre2 AS (
+      SELECT 2, 'update_preimage', c_custkey,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100
+                  ELSE c_acctbal END
+      FROM customer WHERE c_custkey % 10 = 0
+    ), post2 AS (
+      SELECT 2, 'update_postimage', c_custkey, c_acctbal * 2
+      FROM customer WHERE c_custkey % 10 = 0
+    ), ins2 AS (
+      SELECT 2, 'insert', c_custkey + 1000000, c_acctbal
+      FROM customer WHERE c_custkey % 10 = 3
+    ), chg AS (
+      SELECT * FROM pre1 UNION ALL SELECT * FROM post1 UNION ALL
+      SELECT * FROM pre2 UNION ALL SELECT * FROM post2 UNION ALL
+      SELECT * FROM ins2
+    )
+    SELECT CAST(v AS INT) AS _commit_version, ct AS _change_type,
+           count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum,
+           CAST(sum(floor(bal * 100)) AS BIGINT) AS cents
+    FROM chg GROUP BY 1, 2
+    """,
+    "spec-conformant CDF: UPDATE + MERGE on a delta.enableChangeDataFeed "
+    "table emit cdc actions / _change_data files; the feed's labeled "
+    "pre/post images and inserts hash-match the oracle's reconstruction",
+)
+def g06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..delta.cdf import table_changes
+
+    path = _ensure_cdc_customer(spark, sf_dir)
+    ch = table_changes(spark, path, 1, 2)
+    return ch.groupBy(
+        F.col("_commit_version").cast("int").alias("_commit_version"),
+        "_change_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+        F.sum(F.floor(F.col("c_acctbal") * 100)).cast("long").alias("cents"),
+    )
+
+
+# ----------------------------------- g08: SQL CLONE (diverged, time-travel)
+
+
+def _ensure_sql_clone_pond(spark: SparkSession, sf_dir: str) -> DeltaPond:
+    """supplier through the SQL CLONE lifecycle, all text-routed via
+    pond.sql: CTAS + INSERT on the source, a SHALLOW CLONE pinned to
+    VERSION AS OF 0, then DML divergence on the clone (DELETE + INSERT).
+    The clone must read v0-of-source minus/plus its own DML; the source
+    keeps its insert."""
+    root = os.path.join(_fixture_root(sf_dir), "pond_clone")
+    pond = DeltaPond(spark, root)
+    path = os.path.join(root, "lake", "sup_cl")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        load(spark, sf_dir, "supplier").createOrReplaceTempView("sup_clsrc")
+        pond.sql("CREATE SCHEMA IF NOT EXISTS lake")
+        pond.sql("CREATE TABLE lake.sup_src AS SELECT * FROM sup_clsrc")
+        pond.sql(
+            "INSERT INTO lake.sup_src SELECT s_suppkey + 100000, s_name, "
+            "s_nationkey, s_acctbal FROM sup_clsrc WHERE s_suppkey % 3 = 0"
+        )
+        pond.sql(
+            "CREATE TABLE lake.sup_cl SHALLOW CLONE lake.sup_src "
+            "VERSION AS OF 0"
+        )
+        pond.sql("DELETE FROM lake.sup_cl WHERE s_nationkey < 5")
+        pond.sql(
+            "INSERT INTO lake.sup_cl SELECT s_suppkey + 500000, s_name, "
+            "s_nationkey, s_acctbal FROM sup_clsrc WHERE s_nationkey >= 20"
+        )
+    return pond
+
+
+@register(
+    "g08_sql_clone",
+    "delta-core",
+    """
+    WITH clone_rows AS (
+      SELECT s_suppkey, s_nationkey, s_acctbal
+      FROM supplier WHERE s_nationkey >= 5
+      UNION ALL
+      SELECT s_suppkey + 500000, s_nationkey, s_acctbal
+      FROM supplier WHERE s_nationkey >= 20
+    ), src_n AS (
+      SELECT count(*) AS n FROM supplier
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clone,
+           CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+           CAST(sum(floor(s_acctbal * 100)) AS BIGINT) AS bal_cents,
+           CAST((SELECT n + (SELECT count(*) FROM supplier
+                             WHERE s_suppkey % 3 = 0) FROM src_n) AS BIGINT)
+             AS n_source
+    FROM clone_rows
+    """,
+    "SQL CLONE end-to-end: SHALLOW CLONE VERSION AS OF 0 via pond.sql, "
+    "diverged with DELETE+INSERT; clone state and untouched-source count "
+    "both hash-match the oracle's reconstruction",
+)
+def g08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pond = _ensure_sql_clone_pond(spark, sf_dir)
+    return pond.sql(
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_clone,
+               CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+               CAST(sum(floor(s_acctbal * 100)) AS BIGINT) AS bal_cents,
+               (SELECT count(*) FROM lake.sup_src) AS n_source
+        FROM lake.sup_cl
+        """
+    )

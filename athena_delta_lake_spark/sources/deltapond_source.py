@@ -109,6 +109,10 @@ class DeltaScanPartition(InputPartition):
     commit_version: int | None = None
     dv_old: dict | None = None
     dv_diff: bool = False
+    # spec-conformant change data file: `_change_type` is a STORED column
+    # in the file (insert/delete/update_preimage/update_postimage), not a
+    # per-partition literal
+    cdc_file: bool = False
 
 
 def _read_file_batches(
@@ -426,6 +430,24 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         parts = []
         for v in range(lo, hi + 1):
             actions = log.commit_actions(v)
+            cdc_actions = [a["cdc"] for a in actions if "cdc" in a]
+            if cdc_actions:
+                # spec: a commit WITH cdc actions describes ALL its changes
+                # through the change data files — add/remove are ignored
+                for a in cdc_actions:
+                    pv = a.get("partitionValues") or {}
+                    parts.append(
+                        DeltaScanPartition(
+                            file_path=os.path.join(
+                                self._path, _decode_path(a["path"])
+                            ),
+                            partition_values=dict(pv),
+                            table_path=self._path,
+                            cdc_file=True,
+                            commit_version=v,
+                        )
+                    )
+                continue
             adds = {
                 _decode_path(a["add"]["path"]): a["add"]
                 for a in actions
@@ -436,10 +458,13 @@ class DeltaPondStreamReader(DataSourceStreamReader):
                 for a in actions
                 if "remove" in a and a["remove"].get("dataChange", True)
             }
-            common = set(adds) & removes
             prev_by = {}
-            if (removes or common) and v > 0:
+            if (removes or adds) and v > 0:
                 prev_by = {f.path: f for f in log.snapshot(v - 1).files}
+            # same-path change (remove+re-add, or a bare re-add of an
+            # already-live path — RESTORE dropping a DV): diff the DVs,
+            # never re-emit the whole file
+            common = set(adds) & (removes | set(prev_by))
             snap_part_cols = log.snapshot(v).partition_columns
             for path, a in adds.items():
                 pv = a.get("partitionValues") or {}
@@ -454,6 +479,21 @@ class DeltaPondStreamReader(DataSourceStreamReader):
                             dv_diff=True,
                             table_path=self._path,
                             change_type="delete",
+                            commit_version=v,
+                        )
+                    )
+                    # a SHRINKING deletion vector (RESTORE rolling back a
+                    # MOR delete) resurrects rows: old minus new positions
+                    # are INSERTS — same diff read with the DVs swapped
+                    parts.append(
+                        DeltaScanPartition(
+                            file_path=os.path.join(self._path, path),
+                            partition_values=dict(pv),
+                            dv=pf.deletion_vector if pf else None,
+                            dv_old=a.get("deletionVector") or None,
+                            dv_diff=True,
+                            table_path=self._path,
+                            change_type="insert",
                             commit_version=v,
                         )
                     )
@@ -487,10 +527,26 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: DeltaScanPartition):
+        import pyarrow as pa
+
+        if partition.cdc_file:
+            # change data file: `_change_type` is read FROM the file; only
+            # `_commit_version` is a literal
+            schema = T.StructType(
+                list(self._data_schema.fields)
+                + [T.StructField("_change_type", T.StringType(), True)]
+            )
+            return _read_file_batches(
+                partition.file_path,
+                partition.partition_values,
+                schema,
+                table_path=partition.table_path,
+                literals={
+                    "_commit_version": (partition.commit_version, pa.int64())
+                },
+            )
         literals = None
         if partition.change_type is not None:
-            import pyarrow as pa
-
             literals = {
                 "_change_type": (partition.change_type, pa.string()),
                 "_commit_version": (partition.commit_version, pa.int64()),

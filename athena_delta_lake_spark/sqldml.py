@@ -1326,6 +1326,80 @@ _CONVERT_RE = re.compile(
     r"(?:parquet\s*\.\s*`([^`]+)`|([\w.`]+))"
     r"(?:\s+PARTITIONED\s+BY\s*\(\s*([^)]*?)\s*\))?\s*;?\s*$"
 )
+# Delta CLONE statement (Spark's parser rejects it — text-routed):
+# CREATE [OR REPLACE] TABLE [IF NOT EXISTS] dst [SHALLOW|DEEP] CLONE src
+#   [VERSION AS OF n | TIMESTAMP AS OF 'ts']
+_CLONE_RE = re.compile(
+    r"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"([\w.`]+)\s+(?:(SHALLOW|DEEP)\s+)?CLONE\s+([\w.`]+)"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?"
+    r"\s*;?\s*$"
+)
+
+
+def _route_clone(pond, m) -> DataFrame:
+    """CREATE TABLE dst [SHALLOW|DEEP] CLONE src [VERSION AS OF n]: routed
+    onto clone_table (delta/writer.py) — the last Delta-SQL statement that
+    previously required dropping to the Python API. Default (no keyword)
+    is DEEP, matching Delta's CLONE semantics; SHALLOW is the
+    metadata-only variant."""
+    import shutil as _shutil
+
+    from .delta.log import DeltaLog
+    from .delta.writer import clone_table
+
+    or_replace = m.group(1) is not None
+    if_not_exists = m.group(2) is not None
+    dst_parts = [p for p in m.group(3).replace("`", "").split(".") if p]
+    shallow = (m.group(4) or "").strip().lower() == "shallow"
+    src_parts = [p for p in m.group(5).replace("`", "").split(".") if p]
+    src_path = _target(pond, src_parts)  # must exist (FileNotFoundError)
+    version = int(m.group(6)) if m.group(6) is not None else None
+    if m.group(7) is not None:
+        import datetime as _dt
+
+        ts = _dt.datetime.fromisoformat(m.group(7))
+        version = DeltaLog(src_path).snapshot_as_of_timestamp(
+            _naive_ts_to_millis(pond.spark, ts)
+        ).version
+    if len(dst_parts) != 2 or dst_parts[0] not in pond.list_schemas():
+        raise _NotPond(".".join(dst_parts))
+    d_schema, d_table = dst_parts
+    # same collision rules as CREATE TABLE: refuse view names outright
+    if (
+        f"{d_schema}.{d_table}" in pond.list_views()
+        or d_table in pond.list_views()
+    ):
+        raise ValueError(f"a view named {d_schema}.{d_table} already exists")
+    if d_table in pond.list_tables(d_schema):
+        if if_not_exists:
+            return _metrics_df(
+                pond.spark,
+                {"operation": "clone", "table": f"{d_schema}.{d_table}",
+                 "skipped": "exists"},
+            )
+        if not or_replace:
+            raise ValueError(f"table {d_schema}.{d_table} already exists")
+        _shutil.rmtree(pond.table_path(d_schema, d_table))
+        DeltaLog.clear_cache()
+    dst_path = os.path.join(pond.root, d_schema, d_table)
+    new_version = clone_table(
+        src_path, dst_path, version=version, shallow=shallow
+    )
+    return _metrics_df(
+        pond.spark,
+        {
+            "operation": "clone",
+            "table": f"{d_schema}.{d_table}",
+            "mode": "shallow" if shallow else "deep",
+            "source_version": (
+                version
+                if version is not None
+                else DeltaLog(src_path).latest_version()
+            ),
+            "version": new_version,
+        },
+    )
 
 
 def _route_describe_detail(pond, name: str) -> DataFrame:
@@ -1359,12 +1433,15 @@ def _route_describe_detail(pond, name: str) -> DataFrame:
 
 
 def _route_maintenance_sugar(pond, query: str) -> DataFrame | None:
-    """OPTIMIZE / VACUUM / RESTORE / DESCRIBE DETAIL statements."""
+    """OPTIMIZE / VACUUM / RESTORE / CLONE / DESCRIBE DETAIL statements."""
     from .delta import dml as _dml
 
     m = _DESCRIBE_DETAIL_RE.match(query)
     if m:
         return _route_describe_detail(pond, m.group(1))
+    m = _CLONE_RE.match(query)
+    if m:
+        return _route_clone(pond, m)
     m = _OPTIMIZE_RE.match(query)
     if m:
         path = _target(pond, m.group(1).replace("`", "").split("."))

@@ -56,10 +56,17 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
     clones: list[tuple[str, list[tuple]]] = []
     rows = fresh_rows(80)
     model = pd.DataFrame(rows, columns=["id", "k", "v"])
+    # even seeds run the walk over a CDF-enabled table: every DML commit
+    # then writes spec cdc/_change_data files, and the apply-diff
+    # assertion below checks them; odd seeds keep the derivation path
+    cdf_mode = seed % 2 == 0
     write_delta(
         spark.createDataFrame(rows, "id long, k long, v float"),
         path,
         partition_by=["k"],
+        configuration=(
+            {"delta.enableChangeDataFeed": "true"} if cdf_mode else None
+        ),
     )
     # row tracking ON for the whole walk: the round-3 defects were exactly
     # clone/restore/DSv2 interplay with row ids, so every op here runs
@@ -184,6 +191,33 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
         got = _table_state(spark, path)
         want = _model_state(model)
         assert got == want, f"divergence after step {step} op {op} (seed {seed})"
+        # change-feed apply-diff invariant: state(v-1) + changes(v..now)
+        # == state(now), as a multiset — holds for BOTH sources of truth
+        # (cdc files on even seeds, add/remove derivation on odd)
+        from collections import Counter
+
+        from athena_delta_lake_spark.delta.cdf import table_changes
+
+        prev_v, (prev_state, _vn, _vt) = max(history.items())
+        new_v = DeltaTable(spark, path).version()
+        if new_v > prev_v:
+            cnt = Counter(prev_state)
+            for r in table_changes(spark, path, prev_v + 1, new_v).collect():
+                key, ct = tuple(r)[:3], r["_change_type"]
+                if ct in ("insert", "update_postimage"):
+                    cnt[key] += 1
+                else:  # delete / update_preimage
+                    cnt[key] -= 1
+            applied = sorted(
+                k for k, c in cnt.items() for _ in range(c) if c > 0
+            )
+            assert all(c >= 0 for c in cnt.values()), (
+                f"CDF over-delete after step {step} op {op} (seed {seed})"
+            )
+            assert applied == want, (
+                f"CDF diff does not reconstruct state after step {step} "
+                f"op {op} (seed {seed})"
+            )
         history[DeltaTable(spark, path).version()] = (want, vname, vtype)
 
     # row tracking held through every op: ids all present and unique

@@ -404,3 +404,51 @@ def test_insert_by_name_fills_defaults(pond):
     pond.sql("INSERT INTO lake.bn BY NAME SELECT 7 AS id")
     r = pond.sql("SELECT id, tag FROM lake.bn").first()
     assert (r["id"], r["tag"]) == (7, "n/a")
+
+
+# ------------------------------------------------------------- CLONE routing
+
+
+def test_sql_shallow_clone_and_divergence(pond):
+    pond.sql("CREATE TABLE lake.cl_src AS SELECT id, id % 3 AS k FROM range(100)")
+    pond.sql("INSERT INTO lake.cl_src SELECT id + 1000, 9 FROM range(10)")
+    pond.sql("CREATE TABLE lake.cl_sh SHALLOW CLONE lake.cl_src")
+    assert pond.sql("SELECT count(*) AS n FROM lake.cl_sh").first()["n"] == 110
+    # the clone evolves independently of the source
+    pond.sql("INSERT INTO lake.cl_sh SELECT id + 5000, 1 FROM range(5)")
+    pond.sql("DELETE FROM lake.cl_src WHERE k = 9")
+    assert pond.sql("SELECT count(*) AS n FROM lake.cl_sh").first()["n"] == 115
+    assert pond.sql("SELECT count(*) AS n FROM lake.cl_src").first()["n"] == 100
+
+
+def test_sql_deep_clone_time_travel(pond):
+    pond.sql("CREATE TABLE lake.cl_tt AS SELECT id FROM range(50)")
+    pond.sql("INSERT INTO lake.cl_tt SELECT id + 100 FROM range(25)")
+    # no keyword -> DEEP clone; VERSION AS OF pins the snapshot
+    pond.sql("CREATE TABLE lake.cl_v0 CLONE lake.cl_tt VERSION AS OF 0")
+    assert pond.sql("SELECT count(*) AS n FROM lake.cl_v0").first()["n"] == 50
+    # deep clone survives source deletion (storage isolation)
+    import shutil
+
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    shutil.rmtree(pond.table_path("lake", "cl_tt"))
+    DeltaLog.clear_cache()
+    assert pond.sql("SELECT count(*) AS n FROM lake.cl_v0").first()["n"] == 50
+
+
+def test_sql_clone_collisions_both_directions(pond):
+    pond.sql("CREATE TABLE lake.cl_a AS SELECT id FROM range(10)")
+    pond.sql("CREATE TABLE lake.cl_b AS SELECT id FROM range(5)")
+    with pytest.raises(ValueError, match="already exists"):
+        pond.sql("CREATE TABLE lake.cl_b CLONE lake.cl_a")
+    # IF NOT EXISTS: silent no-op, table untouched
+    pond.sql("CREATE TABLE IF NOT EXISTS lake.cl_b CLONE lake.cl_a")
+    assert pond.sql("SELECT count(*) AS n FROM lake.cl_b").first()["n"] == 5
+    # OR REPLACE: replaces
+    pond.sql("CREATE OR REPLACE TABLE lake.cl_b SHALLOW CLONE lake.cl_a")
+    assert pond.sql("SELECT count(*) AS n FROM lake.cl_b").first()["n"] == 10
+    # view-name collision refused
+    pond.create_view("cl_view", "SELECT id FROM lake.cl_a")
+    with pytest.raises(ValueError, match="view named"):
+        pond.sql("CREATE TABLE lake.cl_view CLONE lake.cl_a")
