@@ -30,6 +30,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .log import AddFile, DeltaLog, SnapshotState
 from .reader import read_files
@@ -587,6 +588,46 @@ def update_mor(
 # ---------------------------------------------------------------------- MERGE
 
 
+def _plan_merge_schema(
+    snap: SnapshotState, source: DataFrame, schema_evolution: bool
+):
+    """-> (schema, metadata, extra metaData actions | None, src_missing).
+
+    Without evolution: the target schema, and a hard error when the source
+    lacks target columns (the pre-round-5 contract). WITH SCHEMA EVOLUTION:
+    source-only columns WIDEN the target schema in the SAME commit (the
+    returned metaData action rides the merge's extra_actions; old files
+    read NULL for the new columns at scan time), and `src_missing` lists
+    target columns the source lacks — updates keep the target's value for
+    them, inserts write NULL."""
+    from pyspark.sql import types as T
+
+    tcols = {f.name for f in snap.schema.fields}
+    missing = [f.name for f in snap.schema.fields if f.name not in source.columns]
+    if missing and not schema_evolution:
+        raise ValueError(f"source is missing target columns: {missing}")
+    new_fields = [
+        T.StructField(f.name, f.dataType, True)
+        for f in source.schema.fields
+        if f.name not in tcols
+    ]
+    if not schema_evolution or not new_fields:
+        return snap.schema, snap.metadata, None, set(missing)
+    from .writer import evolve_schema_metadata
+
+    schema, md = evolve_schema_metadata(snap, new_fields)
+    return schema, md, [{"metaData": md}], set(missing)
+
+
+def _null_fill(df: DataFrame, schema) -> DataFrame:
+    """Add NULL columns for schema fields the frame lacks (old target rows
+    read under an evolved schema)."""
+    for f in schema.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df
+
+
 def _normalize_matched_clauses(
     when_matched: str,
     matched_condition: str | None,
@@ -616,7 +657,10 @@ def _normalize_matched_clauses(
     return clauses
 
 
-def _insert_only_merge(spark, snap, table_path: str, src, keys) -> dict:
+def _insert_only_merge(
+    spark, snap, table_path: str, src, keys,
+    schema=None, meta=None, extra_actions=None,
+) -> dict:
     """Delta's insert-only MERGE fast path (no matched-action clause):
     target files are never read-modified-rewritten — source rows whose
     keys are absent from the target simply append. Duplicate matched
@@ -630,24 +674,35 @@ def _insert_only_merge(spark, snap, table_path: str, src, keys) -> dict:
         ins = src.join(tgt_keys, keys, "left_anti")
     else:
         ins = src
+    schema = schema if schema is not None else snap.schema
+    meta = meta if meta is not None else snap.metadata
     # coerce to the table schema (other merge paths coerce implicitly by
     # unioning with target rows; here the source is staged directly)
     ins = ins.select(
-        *[F.col(f.name).cast(f.dataType) for f in snap.schema.fields]
+        *[F.col(f.name).cast(f.dataType) for f in schema.fields]
     )
     from .writer import _enforce_constraints
 
-    _enforce_constraints(ins, snap.metadata)
+    _enforce_constraints(ins, meta)
     adds = stage_data_files(
-        ins, table_path, snap.partition_columns, _data_schema(snap),
-        l2p=_l2p(snap),
+        ins,
+        table_path,
+        snap.partition_columns,
+        T.StructType(
+            [f for f in schema.fields if f.name not in snap.partition_columns]
+        ),
+        l2p=logical_to_physical(schema, meta.get("configuration")),
     )
+    # no cdc files here even when CDF is on: an insert-only commit is
+    # EXACTLY derivable from its add actions (spec-allowed omission), so
+    # writing change files would double the write for nothing
     commit_rewrite(
         table_path,
         "MERGE",
         adds,
         [],
         operation_parameters={"insertOnly": True},
+        extra_actions=extra_actions,
         base_version=snap.version,
     )
     return {"files_removed": 0, "files_added": len(adds), "source_rows": None}
@@ -710,6 +765,7 @@ def merge_upsert(
     not_matched_by_source: str | None = None,
     matched_condition: str | None = None,
     matched_clauses: list[tuple[str | None, str]] | None = None,
+    schema_evolution: bool = False,
 ) -> dict:
     """MERGE INTO table USING source ON keys — full clause semantics:
 
@@ -752,26 +808,36 @@ def merge_upsert(
         raise ValueError("not_matched_by_source must be 'delete' or None")
     table_path = os.path.abspath(table_path)
     snap = DeltaLog(table_path).snapshot()
-    target_cols = [f.name for f in snap.schema.fields]
-    missing = [c for c in target_cols if c not in source.columns]
-    if missing:
-        raise ValueError(f"source is missing target columns: {missing}")
+    schema, meta, evolved_md, src_missing = _plan_merge_schema(
+        snap, source, schema_evolution
+    )
+    target_cols = [f.name for f in schema.fields]
     # coerce the source to the TARGET schema up front (Delta's implicit
     # source-to-target casting): every staged piece then matches the
     # table's physical types even when no target rows join the union
     # (e.g. a merge touching zero files would otherwise write the
-    # source's own literal types)
+    # source's own literal types). Under schema evolution, columns the
+    # source lacks read as NULL (used only for inserts — updates keep the
+    # target's value for them, Delta's UPDATE SET * rule).
     src = source.select(
-        *[F.col(f.name).cast(f.dataType) for f in snap.schema.fields]
+        *[
+            F.col(f.name).cast(f.dataType)
+            if f.name in source.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
     )
     for k in keys:
-        if k not in target_cols:
+        if k not in target_cols or k in src_missing:
             raise ValueError(f"merge key not in table schema: {k}")
 
     if not clauses and not_matched_by_source is None:
         if when_not_matched != "insert":
             raise ValueError("MERGE with no action clauses")
-        return _insert_only_merge(spark, snap, table_path, src, keys)
+        return _insert_only_merge(
+            spark, snap, table_path, src, keys,
+            schema=schema, meta=meta, extra_actions=evolved_md,
+        )
 
     src_keys = src.select(*keys).distinct()
     if broadcast_keys:
@@ -806,7 +872,7 @@ def merge_upsert(
 
     pieces = []
     if touched:
-        target_rows = _read_cow(spark, snap, touched)
+        target_rows = _null_fill(_read_cow(spark, snap, touched), schema)
         if not_matched_by_source != "delete":
             # unmatched target rows survive the rewrite
             pieces.append(target_rows.join(src_keys, keys, "left_anti"))
@@ -871,7 +937,15 @@ def merge_upsert(
             F.col(f"t.{c}").alias(c) for c in non_keys
         ] + carried
         src_version = [F.col(k) for k in keys] + [
-            F.col(f"s.{c}").alias(c) for c in non_keys
+            # UPDATE SET * assigns only source-present columns; under
+            # schema evolution a target column the source lacks keeps
+            # the TARGET row's value
+            (
+                F.col(f"t.{c}").alias(c)
+                if c in src_missing
+                else F.col(f"s.{c}").alias(c)
+            )
+            for c in non_keys
         ] + carried
         pieces.append(
             applied.filter(F.col("__clause") == -1).select(*tgt_version)
@@ -926,10 +1000,16 @@ def merge_upsert(
         new_data = src.limit(0)
     from .writer import _enforce_constraints
 
-    _enforce_constraints(new_data, snap.metadata)
+    _enforce_constraints(new_data, meta)
+    merge_l2p = logical_to_physical(schema, meta.get("configuration"))
     adds = stage_data_files(
-        new_data, table_path, snap.partition_columns, _data_schema(snap),
-        l2p=_l2p(snap),
+        new_data,
+        table_path,
+        snap.partition_columns,
+        T.StructType(
+            [f for f in schema.fields if f.name not in snap.partition_columns]
+        ),
+        l2p=merge_l2p,
     )
     cdc = None
     if cdf:
@@ -943,14 +1023,14 @@ def merge_upsert(
                 cdc_frames.append(
                     (_read_cow(spark, snap, untouched), "delete")
                 )
-        cdc = _stage_cdc(spark, snap, table_path, cdc_frames) or None
+        cdc = _stage_cdc(spark, snap, table_path, cdc_frames, schema=schema) or None
     commit_rewrite(
         table_path,
         "MERGE",
         adds,
         [f.path for f in remove_files],
         operation_parameters={"matchedPredicate": " AND ".join(keys)},
-        extra_actions=cdc,
+        extra_actions=(evolved_md or []) + (cdc or []) or None,
         expected_states={f.path: file_fingerprint(f) for f in remove_files},
         base_version=snap.version,
     )
@@ -972,6 +1052,7 @@ def merge_upsert_mor(
     not_matched_by_source: str | None = None,
     matched_condition: str | None = None,
     matched_clauses: list[tuple[str | None, str]] | None = None,
+    schema_evolution: bool = False,
 ) -> dict:
     """Merge-on-read MERGE: same clause semantics as merge_upsert
     (including ordered multi-clause `matched_clauses`), but matched target
@@ -993,20 +1074,22 @@ def merge_upsert_mor(
         raise ValueError("not_matched_by_source must be 'delete' or None")
     table_path = os.path.abspath(table_path)
     snap = DeltaLog(table_path).snapshot()
-    target_cols = [f.name for f in snap.schema.fields]
-    missing = [c for c in target_cols if c not in source.columns]
-    if missing:
-        raise ValueError(f"source is missing target columns: {missing}")
+    schema, meta, evolved_md, src_missing = _plan_merge_schema(
+        snap, source, schema_evolution
+    )
+    target_cols = [f.name for f in schema.fields]
     # coerce the source to the TARGET schema up front (Delta's implicit
-    # source-to-target casting): every staged piece then matches the
-    # table's physical types even when no target rows join the union
-    # (e.g. a merge touching zero files would otherwise write the
-    # source's own literal types)
+    # source-to-target casting); evolution semantics as in merge_upsert
     src = source.select(
-        *[F.col(f.name).cast(f.dataType) for f in snap.schema.fields]
+        *[
+            F.col(f.name).cast(f.dataType)
+            if f.name in source.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
     )
     for k in keys:
-        if k not in target_cols:
+        if k not in target_cols or k in src_missing:
             raise ValueError(f"merge key not in table schema: {k}")
 
     if not clauses:
@@ -1017,7 +1100,10 @@ def merge_upsert_mor(
             )
         if when_not_matched != "insert":
             raise ValueError("MERGE with no action clauses")
-        return _insert_only_merge(spark, snap, table_path, src, keys)
+        return _insert_only_merge(
+            spark, snap, table_path, src, keys,
+            schema=schema, meta=meta, extra_actions=evolved_md,
+        )
 
     src_keys = src.select(*keys).distinct()
     if broadcast_keys:
@@ -1072,7 +1158,7 @@ def merge_upsert_mor(
         )
         if rt_mor:
             tagged = _resolve_row_ids(spark, snap, touched, tagged)
-        tagged = tagged.localCheckpoint(eager=True)
+        tagged = _null_fill(tagged, schema).localCheckpoint(eager=True)
         joined = tagged.alias("t").join(src.alias("s"), keys, "inner")
         # first-match-wins clause index per (target, source) pair: ANY
         # applying clause deletion-vectors the old row version; update
@@ -1091,7 +1177,12 @@ def merge_upsert_mor(
                 F.col(f"t.{c}").alias(c) for c in non_keys
             ]
             src_version_cdc = [F.col(k) for k in keys] + [
-                F.col(f"s.{c}").alias(c) for c in non_keys
+                (
+                    F.col(f"t.{c}").alias(c)
+                    if c in src_missing
+                    else F.col(f"s.{c}").alias(c)
+                )
+                for c in non_keys
             ]
             delete_idx = [
                 i for i, (_c, a) in enumerate(clauses) if a == "delete"
@@ -1118,7 +1209,12 @@ def merge_upsert_mor(
                 )
         if update_idx:
             src_version = [F.col(k) for k in keys] + [
-                F.col(f"s.{c}").alias(c) for c in non_keys
+                (
+                    F.col(f"t.{c}").alias(c)
+                    if c in src_missing
+                    else F.col(f"s.{c}").alias(c)
+                )
+                for c in non_keys
             ]
             if rt_mor:
                 from .writer import (
@@ -1161,10 +1257,19 @@ def merge_upsert_mor(
 
     new_adds: list[dict] = []
     if new_data is not None:
-        _enforce_constraints(new_data, snap.metadata)
+        _enforce_constraints(new_data, meta)
         new_adds = stage_data_files(
-            new_data, table_path, snap.partition_columns, _data_schema(snap),
-            l2p=_l2p(snap),
+            new_data,
+            table_path,
+            snap.partition_columns,
+            T.StructType(
+                [
+                    f
+                    for f in schema.fields
+                    if f.name not in snap.partition_columns
+                ]
+            ),
+            l2p=logical_to_physical(schema, meta.get("configuration")),
         )
 
     pieces = None
@@ -1188,8 +1293,10 @@ def merge_upsert_mor(
         return {"files_removed": 0, "files_added": 0, "source_rows": None}
     if cdf and cdc_frames:
         extra = list(extra or []) + _stage_cdc(
-            spark, snap, table_path, cdc_frames
+            spark, snap, table_path, cdc_frames, schema=schema
         )
+    if evolved_md:
+        extra = evolved_md + list(extra or [])
     commit_rewrite(
         table_path,
         "MERGE",
@@ -1463,6 +1570,7 @@ def _stage_cdc(
     snap: SnapshotState,
     table_path: str,
     frames: list[tuple[DataFrame, str]],
+    schema=None,
 ) -> list[dict]:
     """Stage Change Data Files for a DML commit on a CDF-enabled table:
     each (DataFrame, change_type) pair contributes rows labeled with that
@@ -1472,15 +1580,19 @@ def _stage_cdc(
     _row_idx, materialized row ids) — only the table schema is kept."""
     from .writer import CDF_TYPE_COL, stage_cdc_files
 
-    cols = [f.name for f in snap.schema.fields]
+    sch = schema if schema is not None else snap.schema
+    cols = [f.name for f in sch.fields]
+    l2p = logical_to_physical(sch, snap.metadata.get("configuration"))
     out = None
     for df, ct in frames:
-        piece = df.select(*cols).withColumn(CDF_TYPE_COL, F.lit(ct))
+        piece = _null_fill(df, sch).select(*cols).withColumn(
+            CDF_TYPE_COL, F.lit(ct)
+        )
         out = piece if out is None else out.unionByName(piece)
     if out is None:
         return []
     acts = stage_cdc_files(
-        out, table_path, list(snap.partition_columns), l2p=_l2p(snap)
+        out, table_path, list(snap.partition_columns), l2p=l2p
     )
     if not acts:
         # zero change rows, but the commit still rewrites files (e.g. a
@@ -1489,7 +1601,7 @@ def _stage_cdc(
         # as derivable from add/remove, which would misreport the rewrite
         # churn as changes. A single empty (schema-only) cdc file marks
         # "this commit changed nothing".
-        acts = stage_cdc_files(out.limit(0), table_path, [], l2p=_l2p(snap))
+        acts = stage_cdc_files(out.limit(0), table_path, [], l2p=l2p)
     return acts
 
 

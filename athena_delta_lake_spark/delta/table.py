@@ -239,11 +239,14 @@ class DeltaTable:
         matched_condition: str | None = None,
         mode: str = "cow",
         matched_clauses: list[tuple[str | None, str]] | None = None,
+        schema_evolution: bool = False,
     ) -> dict:
         """mode='cow' rewrites touched files; mode='mor' deletion-vectors
         matched target rows and appends only new row versions.
         matched_clauses: ordered (condition|None, 'update'|'delete') list,
-        first-match-wins per target row (multi-clause WHEN MATCHED)."""
+        first-match-wins per target row (multi-clause WHEN MATCHED).
+        schema_evolution: MERGE WITH SCHEMA EVOLUTION — source-only
+        columns widen the target schema in the same commit."""
         from .dml import merge_upsert, merge_upsert_mor
 
         fn = (
@@ -262,6 +265,7 @@ class DeltaTable:
             not_matched_by_source,
             matched_condition,
             matched_clauses=matched_clauses,
+            schema_evolution=schema_evolution,
         )
 
     def compact(

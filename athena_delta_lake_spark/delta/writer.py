@@ -2092,18 +2092,21 @@ def convert_to_delta(
     return 0
 
 
-def add_columns(table_path: str, columns: T.StructType | list) -> int:
-    """ALTER TABLE ... ADD COLUMNS: append nullable fields to the schema in
-    a metadata-only commit — zero data I/O; existing files read NULL for
-    the new columns (the same replay semantics as merge_schema appends,
-    without writing any rows)."""
-    snap = DeltaLog(table_path).snapshot()
+def evolve_schema_metadata(
+    snap, columns: T.StructType | list
+) -> tuple[T.StructType, dict]:
+    """(evolved schema, updated metaData action) for appending nullable
+    `columns` to a snapshot's schema — the shared widening step of ALTER
+    TABLE ADD COLUMNS and MERGE WITH SCHEMA EVOLUTION. Column-mapped
+    tables stamp fresh ids + uuid physical names on the new fields (Delta
+    spec for mode=name) and advance maxColumnId."""
     existing = {f.name for f in snap.schema.fields}
-    new_fields = list(columns.fields) if isinstance(columns, T.StructType) else list(columns)
+    new_fields = (
+        list(columns.fields) if isinstance(columns, T.StructType) else list(columns)
+    )
     for f in new_fields:
         if f.name in existing:
             raise ValueError(f"column already exists: {f.name}")
-    now = int(time.time() * 1000)
     md = dict(snap.metadata)
     config = dict(md.get("configuration") or {})
     if config.get("delta.columnMapping.mode", "none") != "none":
@@ -2134,6 +2137,18 @@ def add_columns(table_path: str, columns: T.StructType | list) -> int:
         ]
     evolved = T.StructType(list(snap.schema.fields) + new_fields)
     md["schemaString"] = struct_to_schema_string(evolved)
+    return evolved, md
+
+
+def add_columns(table_path: str, columns: T.StructType | list) -> int:
+    """ALTER TABLE ... ADD COLUMNS: append nullable fields to the schema in
+    a metadata-only commit — zero data I/O; existing files read NULL for
+    the new columns (the same replay semantics as merge_schema appends,
+    without writing any rows)."""
+    snap = DeltaLog(table_path).snapshot()
+    now = int(time.time() * 1000)
+    evolved, md = evolve_schema_metadata(snap, columns)
+    new_fields = evolved.fields[len(snap.schema.fields):]
     version = snap.version + 1
     log_dir = os.path.join(table_path, "_delta_log")
     actions = [

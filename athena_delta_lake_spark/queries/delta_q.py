@@ -1059,3 +1059,77 @@ def g08(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lake.sup_cl
         """
     )
+
+
+# ------------------------------------ g07: MERGE WITH SCHEMA EVOLUTION
+
+
+def _ensure_se_nation(spark: SparkSession, sf_dir: str) -> DeltaPond:
+    """nation through MERGE WITH SCHEMA EVOLUTION, text-routed via
+    pond.sql: the source carries a column the target lacks (region_code),
+    so the merge widens the schema IN ITS OWN COMMIT — matched rows take
+    the source values, unmatched old rows read NULL for the new column,
+    and the inserts land with it populated."""
+    root = os.path.join(_fixture_root(sf_dir), "pond_se")
+    pond = DeltaPond(spark, root)
+    path = os.path.join(root, "lake", "nation_se")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        load(spark, sf_dir, "nation").createOrReplaceTempView("nation_sesrc")
+        pond.sql("CREATE SCHEMA IF NOT EXISTS lake")
+        pond.sql("CREATE TABLE lake.nation_se AS SELECT * FROM nation_sesrc")
+        spark.sql(
+            """
+            SELECT n_nationkey, n_name, n_regionkey,
+                   n_regionkey * 100 + n_nationkey AS region_code
+            FROM nation_sesrc WHERE n_nationkey % 2 = 0
+            UNION ALL
+            SELECT n_nationkey + 1000, concat(n_name, '_NEW'), n_regionkey,
+                   -1 AS region_code
+            FROM nation_sesrc WHERE n_nationkey % 5 = 0
+            """
+        ).createOrReplaceTempView("nation_semerge")
+        pond.sql(
+            "MERGE WITH SCHEMA EVOLUTION INTO lake.nation_se AS t "
+            "USING nation_semerge AS s ON t.n_nationkey = s.n_nationkey "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    return pond
+
+
+@register(
+    "g07_merge_schema_evolution",
+    "delta-core",
+    """
+    WITH merged AS (
+      SELECT n_nationkey, n_name, n_regionkey,
+             CASE WHEN n_nationkey % 2 = 0
+                  THEN n_regionkey * 100 + n_nationkey END AS region_code
+      FROM nation
+      UNION ALL
+      SELECT n_nationkey + 1000, n_name || '_NEW', n_regionkey, -1
+      FROM nation WHERE n_nationkey % 5 = 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(region_code) AS BIGINT) AS n_coded,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           CAST(coalesce(sum(region_code), 0) AS BIGINT) AS code_sum,
+           CAST(sum(length(n_name)) AS BIGINT) AS name_len
+    FROM merged
+    """,
+    "MERGE WITH SCHEMA EVOLUTION end-to-end through pond.sql: the source's "
+    "new column widens the target in the merge's own commit; old rows read "
+    "NULL, matched rows take source values, inserts populate it",
+)
+def g07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pond = _ensure_se_nation(spark, sf_dir)
+    return pond.sql(
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(region_code) AS BIGINT) AS n_coded,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+               CAST(coalesce(sum(region_code), 0) AS BIGINT) AS code_sum,
+               CAST(sum(length(n_name)) AS BIGINT) AS name_len
+        FROM lake.nation_se
+        """
+    )

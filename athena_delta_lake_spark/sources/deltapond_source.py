@@ -329,6 +329,14 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         # giant first batch
         mcpt = options.get("maxCommitsPerTrigger")
         self._max_commits = int(mcpt) if mcpt is not None else None
+        # schema-change safety: a mid-stream metaData action whose schema
+        # diverges from the one this stream reads with FAILS the stream
+        # (silent NULL-fill was the round-4 wrong-answer risk). Columns
+        # ADDED after stream start may be tolerated via this option (the
+        # stream's output schema simply never shows them).
+        self._allow_addition = (
+            str(options.get("allowColumnAddition", "false")).lower() == "true"
+        )
         # highest version this reader KNOWS the engine has reached (from
         # initialOffset/partitions/commit). None after a checkpoint restart
         # until the engine tells us — then the cap is skipped for one
@@ -378,9 +386,54 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         self._trace(f"latestOffset capped pos={self._position} -> {out}")
         return {"version": out}
 
+    def _check_schema_change(self, md: dict, v: int) -> None:
+        """Fail fast (with a restart message) when commit v's metaData
+        declares a schema this stream cannot read faithfully.
+
+        Safe: identical schema; a HISTORICAL narrower schema the declared
+        one extends additively (backfill over pre-evolution commits — old
+        files read NULL for the later columns, which is correct because
+        those rows predate them). Unsafe: renamed / dropped / type-changed
+        columns (silent NULL-fill or miscast), and columns ADDED after
+        stream start (the output schema can never show them) unless the
+        user opted in via allowColumnAddition."""
+        from ..delta.types import schema_string_to_struct
+
+        new = schema_string_to_struct(md["schemaString"])
+        base = self._data_schema if self._cdf else self._schema
+        declared = {f.name: f.dataType.simpleString() for f in base.fields}
+        commit_s = {f.name: f.dataType.simpleString() for f in new.fields}
+        if commit_s == declared:
+            return
+        declared_extends_commit = all(
+            declared.get(n) == t for n, t in commit_s.items()
+        )
+        if declared_extends_commit:
+            return  # historical narrower schema: additive backfill, safe
+        commit_extends_declared = all(
+            commit_s.get(n) == t for n, t in declared.items()
+        )
+        if commit_extends_declared and self._allow_addition:
+            return  # new columns tolerated by explicit option
+        kind = (
+            "adds columns (set allowColumnAddition=true to stream on "
+            "without them)"
+            if commit_extends_declared
+            else "renames, drops or retypes columns"
+        )
+        raise RuntimeError(
+            f"deltapond stream: commit {v} of {self._path} changes the "
+            f"table schema ({kind}). Reading on would silently NULL-fill "
+            "or miscast — restart the stream to pick up the new schema."
+        )
+
     def partitions(self, start: dict, end: dict):
         self._advance(int(end["version"]))
         log = DeltaLog(self._path)
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            for action in log.commit_actions(v):
+                if "metaData" in action:
+                    self._check_schema_change(action["metaData"], v)
         if self._cdf:
             return self._cdf_partitions(
                 log, int(start["version"]) + 1, int(end["version"])

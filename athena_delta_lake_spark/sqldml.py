@@ -281,7 +281,25 @@ def _route_insert(pond, p, text: str) -> DataFrame:
     staged = [
         c for c in target_cols if c in df.columns
     ]  # auto columns absent unless explicitly provided
-    df = df.select(*[F.col(c).cast(fields[c].dataType) for c in staged])
+    # INSERT-time schema evolution (Delta's autoMerge conf): INSERT BY NAME
+    # with columns the table lacks widens the schema on append instead of
+    # silently dropping them
+    auto_merge = (
+        str(
+            pond.spark.conf.get(
+                "spark.databricks.delta.schema.autoMerge.enabled", "false"
+            )
+        ).lower()
+        == "true"
+    )
+    extras = (
+        [c for c in df.columns if c not in fields]
+        if auto_merge and p.byName() and not p.overwrite()
+        else []
+    )
+    df = df.select(
+        *[F.col(c).cast(fields[c].dataType) for c in staged], *extras
+    )
 
     if p.overwrite():
         rw = (
@@ -295,7 +313,9 @@ def _route_insert(pond, p, text: str) -> DataFrame:
         version = write_delta(df, path, mode="overwrite", replace_where=rw)
         op = "insert_overwrite"
     else:
-        version = write_delta(df, path, mode="append")
+        version = write_delta(
+            df, path, mode="append", merge_schema=bool(extras)
+        )
         op = "insert_into"
     return _metrics_df(
         pond.spark, {"operation": op, "version": version, "table": ".".join(parts)}
@@ -702,6 +722,9 @@ def _route_merge(pond, p, text: str) -> DataFrame:
         # fast path / by-source-delete keep-matched semantics in dml)
         when_not_matched=when_not_matched,
         not_matched_by_source=by_source,
+        # MERGE WITH SCHEMA EVOLUTION (Spark 4 grammar): source-only
+        # columns widen the target schema in the same commit
+        schema_evolution=bool(p.withSchemaEvolution()),
     )
     return _metrics_df(pond.spark, {"operation": "merge", **m})
 

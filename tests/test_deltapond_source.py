@@ -333,3 +333,100 @@ def test_dsv2_write_to_column_mapped_table(spark, tmp_path):
         for r in DeltaTable(spark, path).to_df().collect()
     }
     assert got == {(1, "a", 1.0), (2, "b", 2.5)}
+
+
+# ------------------------------------------- schema-change safety (round 5)
+
+
+def _start_memory_stream(spark, src, name, **opts):
+    reader = (
+        spark.readStream.format("deltapond").option("startingVersion", 0)
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return (
+        reader.load(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .start()
+    )
+
+
+def test_stream_fails_on_midstream_column_addition(spark, tmp_path):
+    from athena_delta_lake_spark.delta.writer import add_columns
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "sc_add")
+    write_delta(spark.range(5).selectExpr("id", "id * 2 AS v"), src)
+    q = _start_memory_stream(spark, src, "sc_add_out")
+    q.processAllAvailable()
+    # mid-stream: a writer adds a column and appends data using it
+    add_columns(src, [T.StructField("tag", T.StringType())])
+    write_delta(
+        spark.createDataFrame([(100, 200, "x")], "id long, v long, tag string"), src, mode="append"
+    )
+    with pytest.raises(Exception, match="allowColumnAddition"):
+        q.processAllAvailable()
+    q.stop()
+
+
+def test_stream_allows_addition_with_option(spark, tmp_path):
+    from athena_delta_lake_spark.delta.writer import add_columns
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "sc_opt")
+    write_delta(spark.range(5).selectExpr("id", "id * 2 AS v"), src)
+    q = _start_memory_stream(
+        spark, src, "sc_opt_out", allowColumnAddition="true"
+    )
+    q.processAllAvailable()
+    add_columns(src, [T.StructField("tag", T.StringType())])
+    write_delta(
+        spark.createDataFrame([(100, 200, "x")], "id long, v long, tag string"), src, mode="append"
+    )
+    q.processAllAvailable()  # tolerated; new column just not projected
+    q.stop()
+    rows = {r["id"] for r in spark.sql("SELECT * FROM sc_opt_out").collect()}
+    assert 100 in rows and len(rows) == 6
+
+
+def test_stream_fails_on_type_change(spark, tmp_path):
+    from athena_delta_lake_spark.delta.writer import alter_column_type
+
+    src = str(tmp_path / "sc_widen")
+    write_delta(
+        spark.createDataFrame([(1, 1.5)], "id long, v float"), src
+    )
+    q = _start_memory_stream(spark, src, "sc_widen_out")
+    q.processAllAvailable()
+    alter_column_type(src, "v", "double")  # mid-stream type change
+    write_delta(
+        spark.createDataFrame([(2, 2.5)], "id long, v double"), src,
+        mode="append",
+    )
+    with pytest.raises(Exception, match="retypes"):
+        q.processAllAvailable()
+    q.stop()
+
+
+def test_stream_backfill_across_historic_addition_ok(spark, tmp_path):
+    """startingVersion 0 over a table whose schema grew BEFORE stream
+    start: old commits' narrower metaData is additive backfill, not a
+    failure; old rows read NULL for the later column."""
+    from athena_delta_lake_spark.delta.writer import add_columns
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "sc_backfill")
+    write_delta(spark.range(3).selectExpr("id", "id * 2 AS v"), src)  # v0
+    add_columns(src, [T.StructField("tag", T.StringType())])  # v1
+    write_delta(
+        spark.createDataFrame([(100, 200, "x")], "id long, v long, tag string"), src, mode="append"
+    )  # v2
+    q = _start_memory_stream(spark, src, "sc_backfill_out")
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        (r["id"], r["tag"])
+        for r in spark.sql("SELECT id, tag FROM sc_backfill_out").collect()
+    }
+    assert (100, "x") in rows and (0, None) in rows and len(rows) == 4

@@ -290,3 +290,86 @@ def test_widen_replacewhere_clone_restore_interplay(spark, tmp_path):
     assert rt.schema()["v"].dataType.simpleString() == "float"
     rgot = sorted(tuple(r) for r in rt.to_df().collect())
     assert rgot == sorted((i, i % 3, float(i)) for i in range(30))
+
+
+def test_merge_evolution_interplay(spark, tmp_path):
+    """Deterministic cross-feature chain for MERGE WITH SCHEMA EVOLUTION:
+    evolve (COW) -> MOR delete -> evolve again (MOR merge) -> OPTIMIZE ->
+    RESTORE across both evolution boundaries -> time travel, on a
+    CDF-enabled table with the apply-diff invariant checked per commit."""
+    from collections import Counter
+
+    from athena_delta_lake_spark.delta.cdf import table_changes
+
+    path = str(tmp_path / "evolve")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "id long, v double"
+        ),
+        path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )  # v0
+    t = DeltaTable(spark, path)
+
+    def state():
+        df = DeltaTable(spark, path).to_df()
+        return sorted(tuple(r) for r in df.collect())
+
+    states = {0: state()}
+    # v1: evolving COW merge adds `tag`
+    src = spark.createDataFrame(
+        [(3, 33.0, "x"), (100, 1.0, "y")], "id long, v double, tag string"
+    )
+    t.merge(src, keys=["id"], schema_evolution=True)
+    states[1] = state()
+    assert (3, 33.0, "x") in states[1] and (0, 0.0, None) in states[1]
+    # v2: MOR delete over the evolved table
+    t.delete(where="id >= 15 AND id < 18", mode="mor")
+    states[2] = state()
+    # v3: evolving MOR merge adds `score`
+    src2 = spark.createDataFrame(
+        [(5, 5.5, "z", 9), (200, 2.0, "w", 7)],
+        "id long, v double, tag string, score long",
+    )
+    t.merge(src2, keys=["id"], mode="mor", schema_evolution=True)
+    states[3] = state()
+    assert (5, 5.5, "z", 9) in states[3] and (0, 0.0, None, None) in states[3]
+    # v4: OPTIMIZE purges DVs, no visible change
+    t.compact(target_file_size=1 << 30)
+    states[4] = state()
+    assert states[4] == states[3]
+    # apply-diff invariant across every commit so far (pad narrower states
+    # to the current width — change rows carry the evolved schema)
+    width = max(len(r) for r in states[3])
+
+    def pad(rows):
+        return sorted(tuple(list(r) + [None] * (width - len(r))) for r in rows)
+
+    for v in (1, 2, 3, 4):
+        cnt = Counter(pad(states[v - 1]))
+        for r in table_changes(spark, path, v, v).collect():
+            key = tuple(list(r)[: len(r) - 2])
+            key = tuple(list(key) + [None] * (width - len(key)))
+            if r["_change_type"] in ("insert", "update_postimage"):
+                cnt[key] += 1
+            else:
+                cnt[key] -= 1
+        assert all(c >= 0 for c in cnt.values()), f"over-delete at v{v}"
+        applied = sorted(k for k, c in cnt.items() for _ in range(c) if c > 0)
+        assert applied == pad(states[v]), f"CDF diff mismatch at v{v}"
+    # restore to v1 (one evolution in) then v0 (pre-evolution): schema and
+    # rows rewind exactly
+    t.restore(version=1)
+    rt = DeltaTable(spark, path)
+    assert [f.name for f in rt.schema().fields] == ["id", "v", "tag"]
+    assert state() == states[1]
+    t.restore(version=0)
+    rt = DeltaTable(spark, path)
+    assert [f.name for f in rt.schema().fields] == ["id", "v"]
+    assert state() == states[0]
+    # time travel back over the whole history still replays
+    for v, want in states.items():
+        got = sorted(
+            tuple(r) for r in DeltaTable(spark, path).to_df(version=v).collect()
+        )
+        assert got == want, f"time travel v{v}"
