@@ -39,6 +39,9 @@ from .fs import get_fs
 from .types import cast_partition_value, schema_string_to_struct
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+# minor log compaction (delta-spark >= 3.0): one file holding the
+# RECONCILED actions of the inclusive commit range [start, end]
+_COMPACTED_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
 # V2 ("uuid-named") checkpoint manifest: NNN.checkpoint.<uuid>.{json|parquet}.
 # The single non-numeric middle segment distinguishes it from both classic
@@ -356,17 +359,22 @@ class DeltaLog:
         versions = [
             int(m.group(1)) for f in log_files if (m := _COMMIT_RE.match(f))
         ]
+        compacted_ends = [
+            int(m.group(2)) for f in log_files if (m := _COMPACTED_RE.match(f))
+        ]
         if not versions:
-            # checkpoint-only logs (expired commits) are legal
+            # checkpoint-only / compacted-only logs (expired commits)
             cps = [
                 int(m.group(1))
                 for f in log_files
                 if (m := _CHECKPOINT_RE.match(f)) or (m := _CHECKPOINT_V2_RE.match(f))
-            ]
+            ] + compacted_ends
             if not cps:
                 raise ValueError(f"empty _delta_log at {self.log_dir}")
             return max(cps)
-        return max(versions)
+        # a compacted range can outlive its per-commit JSONs (third-party
+        # maintenance): the table's tip is whichever reaches further
+        return max(max(versions), max(compacted_ends, default=-1))
 
     def snapshot(self, version: int | None = None) -> SnapshotState:
         """Snapshot at `version` (default: latest). Cached per (path, version)."""
@@ -406,24 +414,50 @@ class DeltaLog:
             else:
                 cp_version = -1  # stale _last_checkpoint; fall back to full replay
 
-        # Replay JSON commits after the checkpoint, in version order.
-        replayed = cp_version
+        # Replay after the checkpoint, in version order. Minor-compaction
+        # files (`<s>.<e>.compacted.json`, delta-spark >= 3.0) carrying the
+        # RECONCILED actions of a commit range are preferred whenever one
+        # starts at the next needed version and fits inside the target —
+        # one read replaces e-s+1, and replay still works when third-party
+        # maintenance already removed the per-commit JSONs in the range.
+        commit_by_v = {
+            int(m.group(1)): f
+            for f in log_files
+            if (m := _COMMIT_RE.match(f))
+        }
+        compacted_by_start: dict[int, tuple[int, str]] = {}
         for f in log_files:
-            m = _COMMIT_RE.match(f)
-            if not m:
-                continue
-            v = int(m.group(1))
-            if v <= cp_version or v > version:
-                continue
-            if v != replayed + 1:
-                raise ValueError(
-                    f"gap in _delta_log: expected version {replayed + 1}, found {v}"
-                )
-            for line in self._fs.read_text(_join(self.log_dir, f)).splitlines():
+            m = _COMPACTED_RE.match(f)
+            if m:
+                s, e = int(m.group(1)), int(m.group(2))
+                cur = compacted_by_start.get(s)
+                if cur is None or e > cur[0]:
+                    compacted_by_start[s] = (e, f)
+
+        def _apply_file(fname: str) -> None:
+            for line in self._fs.read_text(_join(self.log_dir, fname)).splitlines():
                 line = line.strip()
                 if line:
                     _apply_action(acc, json.loads(line))
-            replayed = v
+
+        replayed = cp_version
+        while replayed < version:
+            nxt = replayed + 1
+            comp = compacted_by_start.get(nxt)
+            if comp is not None and comp[0] <= version:
+                _apply_file(comp[1])
+                replayed = comp[0]
+            elif nxt in commit_by_v:
+                _apply_file(commit_by_v[nxt])
+                replayed = nxt
+            else:
+                later = [v for v in commit_by_v if v > nxt and v <= version]
+                if later:
+                    raise ValueError(
+                        f"gap in _delta_log: expected version {nxt}, "
+                        f"found {min(later)}"
+                    )
+                break
         if replayed != version:
             if replayed < 0:
                 raise ValueError(
@@ -527,6 +561,22 @@ class DeltaLog:
                     action = json.loads(line)
                     if "protocol" in action:
                         return action["protocol"]
+        # compacted ranges may outlive the per-commit JSONs they replace
+        compacted = sorted(
+            (
+                (int(m.group(2)), f)
+                for f in log_files
+                if (m := _COMPACTED_RE.match(f))
+            ),
+            reverse=True,
+        )
+        for e, f in compacted:
+            if e <= cp_version:
+                break
+            for line in self._fs.read_text(_join(self.log_dir, f)).splitlines():
+                line = line.strip()
+                if line and "protocol" in (action := json.loads(line)):
+                    return action["protocol"]
         if cp_version >= 0:
             parts = _checkpoint_parts(log_files, cp_version)
             v2_manifests = sorted(

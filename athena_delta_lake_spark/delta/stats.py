@@ -128,15 +128,138 @@ def _file_matches_stats(
     return True  # != can't be proven false by min/max alone (unless mn==mx==cv)
 
 
+import re as _re
+
+# supported delta.generationExpression forms for partition-filter
+# derivation — each is MONOTONE non-decreasing in its base column, so a
+# range/equality predicate on the base column implies one on the
+# generated partition column (delta-spark's generated-column partition
+# filter optimization; the commonest timestamp-partitioned layouts)
+_GEN_CAST_DATE = _re.compile(r"(?i)^\s*CAST\s*\(\s*(\w+)\s+AS\s+DATE\s*\)\s*$")
+_GEN_TO_DATE = _re.compile(r"(?i)^\s*to_date\s*\(\s*(\w+)\s*\)\s*$")
+_GEN_DATE_TRUNC = _re.compile(
+    r"(?i)^\s*date_trunc\s*\(\s*'(year|month|day|hour)'\s*,\s*(\w+)\s*\)\s*$"
+)
+_GEN_YEAR = _re.compile(r"(?i)^\s*year\s*\(\s*(\w+)\s*\)\s*$")
+
+
+def _trunc(unit: str):
+    import datetime
+
+    def g(v):
+        if isinstance(v, datetime.datetime):
+            pass
+        elif isinstance(v, datetime.date):
+            v = datetime.datetime(v.year, v.month, v.day)
+        else:
+            return None
+        u = unit.lower()
+        if u == "hour":
+            return v.replace(minute=0, second=0, microsecond=0)
+        if u == "day":
+            return v.replace(hour=0, minute=0, second=0, microsecond=0)
+        if u == "month":
+            return v.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+        return v.replace(
+            month=1, day=1, hour=0, minute=0, second=0, microsecond=0
+        )
+
+    return g
+
+
+def _to_date(v):
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return v.date()
+    if isinstance(v, datetime.date):
+        return v
+    return None
+
+
+def _year(v):
+    import datetime
+
+    return v.year if isinstance(v, (datetime.date, datetime.datetime)) else None
+
+
+def generated_partition_derivations(snapshot: SnapshotState):
+    """base column -> [(generated partition column, value mapper)] for the
+    supported monotone `delta.generationExpression` forms. A predicate on
+    the base column then implies one on the partition column, so the
+    commonest layout — a table partitioned by `CAST(ts AS DATE)` or
+    `date_trunc('day', ts)` and queried by `ts` ranges — partition-prunes
+    instead of scanning everything."""
+    out: dict[str, list] = {}
+    part_cols = set(snapshot.partition_columns)
+    for f in snapshot.schema.fields:
+        if f.name not in part_cols or not f.metadata:
+            continue
+        expr = f.metadata.get("delta.generationExpression")
+        if not expr:
+            continue
+        for rx, g in (
+            (_GEN_CAST_DATE, _to_date),
+            (_GEN_TO_DATE, _to_date),
+            (_GEN_YEAR, _year),
+        ):
+            m = rx.match(expr)
+            if m:
+                out.setdefault(m.group(1), []).append((f.name, g))
+                break
+        else:
+            m = _GEN_DATE_TRUNC.match(expr)
+            if m:
+                out.setdefault(m.group(2), []).append(
+                    (f.name, _trunc(m.group(1)))
+                )
+    return out
+
+
+def _derive_generated_preds(
+    snapshot: SnapshotState, preds: Sequence[Predicate]
+) -> list[Predicate]:
+    """Extra partition predicates implied by base-column predicates through
+    monotone generation expressions. `=`/`in` map exactly; `<`/`<=` relax
+    to `<=` and `>`/`>=` to `>=` on the truncated value (conservative and
+    correct for non-decreasing mappers); `!=` derives nothing."""
+    derivs = generated_partition_derivations(snapshot)
+    if not derivs:
+        return []
+    types = {f.name: f.dataType for f in snapshot.schema.fields}
+    extra: list[Predicate] = []
+    for col, op, val in preds:
+        for pcol, g in derivs.get(col, ()):
+            if op in {"=", "=="}:
+                gv = g(_coerce(val, types[col]))
+                if gv is not None:
+                    extra.append((pcol, "=", gv))
+            elif op in {"<", "<="}:
+                gv = g(_coerce(val, types[col]))
+                if gv is not None:
+                    extra.append((pcol, "<=", gv))
+            elif op in {">", ">="}:
+                gv = g(_coerce(val, types[col]))
+                if gv is not None:
+                    extra.append((pcol, ">=", gv))
+            elif op == "in":
+                gvs = [g(_coerce(v, types[col])) for v in val]
+                if gvs and all(v is not None for v in gvs):
+                    extra.append((pcol, "in", sorted(set(gvs))))
+    return extra
+
+
 def prune_files(
     snapshot: SnapshotState, predicates: Iterable[Predicate] | None
 ) -> list[AddFile]:
     """Return the subset of live files that can possibly match all predicates.
 
     Partition-column predicates prune on `partitionValues` (exact);
-    data-column predicates prune on per-file min/max stats (conservative).
-    """
+    data-column predicates prune on per-file min/max stats (conservative);
+    predicates on the BASE column of a generated partition column derive
+    partition predicates (generated_partition_derivations)."""
     preds: Sequence[Predicate] = list(predicates or [])
+    preds = preds + _derive_generated_preds(snapshot, preds)
     for col, op, _ in preds:
         if op not in _OPS:
             raise ValueError(f"unsupported predicate op: {op!r}")

@@ -3039,6 +3039,67 @@ def set_domain_metadata(
     )
 
 
+def compact_log(table_path: str, start: int, end: int) -> str:
+    """Minor log compaction (delta-spark >= 3.0 layout): write
+    `<start>.<end>.compacted.json` holding the RECONCILED actions of the
+    inclusive commit range — the final protocol/metaData, net add actions
+    (added in range and not re-removed), remove tombstones, the latest txn
+    per appId, and live domainMetadata. Replay (log.py) prefers the
+    compacted file over the per-commit JSONs whenever the range fits, and
+    keeps working after third-party maintenance deletes those commits.
+    commitInfo/cdc actions are dropped (they carry no snapshot state)."""
+    from .log import DeltaLog, _decode_path
+
+    if not 0 <= start <= end:
+        raise ValueError(f"bad compaction range [{start}, {end}]")
+    log = DeltaLog(table_path)
+    if end > log.latest_version():
+        raise ValueError(
+            f"compaction range end {end} exceeds latest version "
+            f"{log.latest_version()}"
+        )
+    adds: dict[str, dict] = {}
+    removes: dict[str, dict] = {}
+    metadata = None
+    protocol = None
+    txns: dict[str, dict] = {}
+    domains: dict[str, dict] = {}
+    for v in range(start, end + 1):
+        for a in log.commit_actions(v):
+            if "add" in a:
+                p = _decode_path(a["add"]["path"])
+                adds[p] = a
+                removes.pop(p, None)
+            elif "remove" in a:
+                p = _decode_path(a["remove"]["path"])
+                adds.pop(p, None)
+                removes[p] = a
+            elif "metaData" in a:
+                metadata = a
+            elif "protocol" in a:
+                protocol = a
+            elif "txn" in a:
+                txns[a["txn"].get("appId", "")] = a
+            elif "domainMetadata" in a:
+                domains[a["domainMetadata"]["domain"]] = a
+    out = os.path.join(
+        table_path, "_delta_log", f"{start:020d}.{end:020d}.compacted.json"
+    )
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
+        for a in (
+            ([protocol] if protocol else [])
+            + ([metadata] if metadata else [])
+            + list(txns.values())
+            + list(domains.values())
+            + list(removes.values())
+            + list(adds.values())
+        ):
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    os.replace(tmp, out)
+    return out
+
+
 def cleanup_log(table_path: str, retention_hours: float = 168.0) -> dict:
     """Delete commit JSONs already covered by a checkpoint and older than
     the retention window (delta.logRetentionDuration analog). The snapshot

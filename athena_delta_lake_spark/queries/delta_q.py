@@ -1133,3 +1133,76 @@ def g07(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lake.nation_se
         """
     )
+
+
+# --------------------------- g09: generated-column partition-filter pruning
+
+
+def _ensure_events_generated(spark: SparkSession, sf_dir: str) -> str:
+    """events as a Delta table partitioned by a GENERATED column
+    (event_date = CAST(ts AS DATE), delta.generationExpression in the
+    field metadata) — the commonest timestamp-partitioned warehouse
+    layout. The builder asserts the round-5 derivation actually prunes:
+    a `ts` range predicate must shrink the file list via the generated
+    partition column, or the fixture refuses to build."""
+    path = os.path.join(_fixture_root(sf_dir), "lake", "events_gen")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        ev = load(spark, sf_dir, "events")
+        with_date = ev.select(
+            "*",
+            F.to_date("ts").alias(
+                "event_date",
+                metadata={"delta.generationExpression": "CAST(ts AS DATE)"},
+            ),
+        )
+        write_delta(with_date, path, partition_by=["event_date"])
+    from ..delta.log import DeltaLog
+    from ..delta.stats import prune_files
+
+    snap = DeltaLog(path).snapshot()
+    pruned = prune_files(
+        snap, [("ts", ">=", "2024-01-10 06:00:00"), ("ts", "<", "2024-01-13 18:00:00")]
+    )
+    if not (0 < len(pruned) < len(snap.files)):
+        raise AssertionError(
+            "generated-column derivation failed to prune the file list: "
+            f"{len(pruned)} of {len(snap.files)} files survive"
+        )
+    return path
+
+
+@register(
+    "g09_generated_partition_pruning",
+    "delta-core",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(sum(floor(value * 100)) AS BIGINT) AS value_cents
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 06:00:00'
+      AND ts < TIMESTAMP '2024-01-13 18:00:00'
+    GROUP BY 1
+    """,
+    "timestamp-range query over a table partitioned by a GENERATED date "
+    "column: the ts predicate derives a partition predicate "
+    "(delta.generationExpression), pruning files before the scan; results "
+    "hash-match the raw-parquet oracle",
+)
+def g09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_events_generated(spark, sf_dir)
+    t = DeltaTable(spark, path)
+    df = t.to_df(
+        predicates=[
+            ("ts", ">=", "2024-01-10 06:00:00"),
+            ("ts", "<", "2024-01-13 18:00:00"),
+        ]
+    ).filter(
+        "ts >= TIMESTAMP '2024-01-10 06:00:00' "
+        "AND ts < TIMESTAMP '2024-01-13 18:00:00'"
+    )
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+        F.sum(F.floor(F.col("value") * 100)).cast("long").alias("value_cents"),
+    )
