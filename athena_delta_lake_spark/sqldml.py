@@ -833,10 +833,21 @@ def _route_call(pond, p, text: str) -> DataFrame:
         from .delta.writer import cleanup_log
 
         m = cleanup_log(path, retention_hours=float(kw.pop("retention_hours", 168.0)))
+    elif pname == "compact_log":
+        from .delta.writer import compact_log
+
+        start = take("start_version")
+        end = take("end_version")
+        if start is None or end is None:
+            raise ValueError(
+                "CALL compact_log: start_version and end_version required"
+            )
+        out = compact_log(path, int(start), int(end))
+        m = {"compacted": os.path.basename(out)}
     else:
         raise ValueError(
             f"unknown procedure {pname!r} (optimize, vacuum, restore, "
-            "checkpoint, cleanup_log)"
+            "checkpoint, cleanup_log, compact_log)"
         )
     if kw or pos:
         raise ValueError(f"CALL {pname}: unused arguments {pos} {kw}")

@@ -134,3 +134,22 @@ def test_bad_range_rejected(spark, tmp_path):
         compact_log(path, 0, 9)
     with pytest.raises(ValueError, match="bad compaction range"):
         compact_log(path, 2, 1)
+
+
+def test_call_compact_log_procedure(spark, tmp_path):
+    from athena_delta_lake_spark.catalog import DeltaPond
+
+    pond = DeltaPond(spark, str(tmp_path / "pond_lc"))
+    pond.sql("CREATE SCHEMA lake")
+    pond.sql("CREATE TABLE lake.c AS SELECT id FROM range(5)")
+    pond.sql("INSERT INTO lake.c SELECT id + 10 FROM range(5)")
+    pond.sql("INSERT INTO lake.c SELECT id + 20 FROM range(5)")
+    row = pond.sql(
+        "CALL compact_log('lake.c', start_version => 1, end_version => 2)"
+    ).first()
+    assert row["compacted"] == f"{1:020d}.{2:020d}.compacted.json"
+    path = pond.table_path("lake", "c")
+    for v in (1, 2):
+        os.remove(os.path.join(path, "_delta_log", f"{v:020d}.json"))
+    DeltaLog.clear_cache()
+    assert pond.sql("SELECT count(*) AS n FROM lake.c").first()["n"] == 15
