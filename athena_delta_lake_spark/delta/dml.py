@@ -431,6 +431,7 @@ def update(
     for col in set:
         if col not in field_types:
             raise ValueError(f"unknown column: {col}")
+    recompute = _generated_recompute(snap.schema, set)
     # ONE select, not sequential withColumn: SQL UPDATE evaluates every SET
     # expression AND the WHERE against the ORIGINAL row — `SET a = b,
     # b = a` swaps, and a SET that falsifies the predicate must not stop
@@ -449,6 +450,10 @@ def update(
         ],
         *[c for c in df0.columns if c not in field_types],
     )
+    # generated columns whose expression references a SET column are
+    # RECOMPUTED from the updated row (Delta semantics; the generation
+    # invariant also feeds partition pruning, so staleness is corruption)
+    df = _apply_recompute(df, snap.schema, recompute)
     from .writer import _enforce_constraints
 
     _enforce_constraints(df, snap.metadata)
@@ -473,6 +478,7 @@ def update(
                 for f in snap.schema.fields
             ]
         )
+        post = _apply_recompute(post, snap.schema, recompute)
         cdc = _stage_cdc(
             spark, snap, table_path,
             [(pre, "update_preimage"), (post, "update_postimage")],
@@ -535,6 +541,7 @@ def update_mor(
     for col in set:
         if col not in field_types:
             raise ValueError(f"unknown column: {col}")
+    recompute = _generated_recompute(snap.schema, set)
     pre_rows = matched_rows.drop("_file", "_row_idx")
     extra_carried = [c for c in pre_rows.columns if c not in field_types]
     # simultaneous SET evaluation against the original row (SQL UPDATE
@@ -550,6 +557,7 @@ def update_mor(
         ],
         *extra_carried,
     )
+    new_rows = _apply_recompute(new_rows, snap.schema, recompute)
     from .writer import _enforce_constraints
 
     _enforce_constraints(new_rows, snap.metadata)
@@ -583,6 +591,48 @@ def update_mor(
         "rows_updated": pieces.rows_newly_deleted,
         "dv_files_written": pieces.dv_files_written,
     }
+
+
+def _generated_recompute(schema, set_cols) -> dict[str, str]:
+    """Generated columns an UPDATE must RECOMPUTE: those whose
+    `delta.generationExpression` references any SET column. Explicitly
+    SETting a generated column is refused outright — Delta semantics
+    (GENERATED ALWAYS AS), and the generation invariant feeds partition
+    pruning, so a divergent value would be silent corruption."""
+    import re as _re
+
+    from .writer import _generation_expressions
+
+    gens = _generation_expressions(schema)
+    for col in set_cols:
+        if col in gens:
+            raise ValueError(
+                f"cannot UPDATE generated column {col} (GENERATED ALWAYS "
+                f"AS ({gens[col]})); update its base columns instead"
+            )
+    return {
+        g: e
+        for g, e in gens.items()
+        if any(_re.search(rf"\b{_re.escape(c)}\b", e) for c in set_cols)
+    }
+
+
+def _apply_recompute(df: DataFrame, schema, recompute: dict[str, str]) -> DataFrame:
+    """Re-derive the given generated columns from the (already updated)
+    row — a second SELECT so the expressions see the new base values."""
+    if not recompute:
+        return df
+    types = {f.name: f.dataType for f in schema.fields}
+    return df.select(
+        *[
+            (
+                F.expr(recompute[c]).cast(types[c]).alias(c)
+                if c in recompute
+                else F.col(c)
+            )
+            for c in df.columns
+        ]
+    )
 
 
 # ---------------------------------------------------------------------- MERGE
@@ -681,8 +731,14 @@ def _insert_only_merge(
     ins = ins.select(
         *[F.col(f.name).cast(f.dataType) for f in schema.fields]
     )
-    from .writer import _enforce_constraints
+    from .writer import (
+        _apply_generated_columns,
+        _enforce_constraints,
+        _generation_expressions,
+    )
 
+    if _generation_expressions(schema):
+        ins = _apply_generated_columns(ins, schema)
     _enforce_constraints(ins, meta)
     adds = stage_data_files(
         ins,
@@ -1000,6 +1056,13 @@ def merge_upsert(
         new_data = src.limit(0)
     from .writer import _enforce_constraints
 
+    from .writer import _apply_generated_columns, _generation_expressions
+
+    if _generation_expressions(schema):
+        # spec: writers ENFORCE generation expressions — a source feeding
+        # inconsistent values into matched/inserted rows must be rejected,
+        # not trusted (the invariant also backs partition pruning)
+        new_data = _apply_generated_columns(new_data, schema)
     _enforce_constraints(new_data, meta)
     merge_l2p = logical_to_physical(schema, meta.get("configuration"))
     adds = stage_data_files(
@@ -1257,6 +1320,10 @@ def merge_upsert_mor(
 
     new_adds: list[dict] = []
     if new_data is not None:
+        from .writer import _apply_generated_columns, _generation_expressions
+
+        if _generation_expressions(schema):
+            new_data = _apply_generated_columns(new_data, schema)
         _enforce_constraints(new_data, meta)
         new_adds = stage_data_files(
             new_data,

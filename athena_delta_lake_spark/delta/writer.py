@@ -699,9 +699,9 @@ def _apply_generated_columns(
     """Generated columns (delta.generationExpression field metadata): absent
     columns are computed from their expression; provided ones are VERIFIED
     against it (the Delta spec requires writers to enforce, not trust).
-    Note: the DML rewriters do not re-derive generated columns — an UPDATE
-    that touches a base column must set the generated one too (enforced by
-    this check on the next append)."""
+    UPDATE recomputes generated columns whose base columns it touches
+    (dml._generated_recompute); MERGE routes its staged rows back through
+    this verification."""
     from pyspark.sql import functions as F
 
     gens = _generation_expressions(table_schema)

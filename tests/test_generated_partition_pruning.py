@@ -153,3 +153,83 @@ def test_unsupported_expression_ignored(spark, tmp_path):
     # month() is cyclic, NOT monotone: both rows share m=5; no derivation
     pruned = prune_files(snap, [("ts", ">", "2023-12-01 00:00:00")])
     assert len(pruned) == len(snap.files)
+
+
+# ----------------------- generated-column DML enforcement (round 5)
+
+
+def _mk_gen(spark, path):
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.LongType()),
+            T.StructField(
+                "d",
+                T.DateType(),
+                metadata={"delta.generationExpression": "CAST(ts AS DATE)"},
+            ),
+        ]
+    )
+    base = spark.createDataFrame(
+        [("2024-03-01 10:00:00", 1), ("2024-03-02 11:00:00", 2)],
+        "ts string, v long",
+    ).select(F.to_timestamp("ts").alias("ts"), "v")
+    df = base.withColumn("d", F.to_date("ts"))
+    write_delta(spark.createDataFrame(df.collect(), schema), path, partition_by=["d"])
+
+
+def test_update_recomputes_generated_column(spark, tmp_path):
+    from athena_delta_lake_spark.delta.dml import update, update_mor
+
+    path = str(tmp_path / "upd_gen")
+    _mk_gen(spark, path)
+    update(spark, path, {"ts": "timestamp'2024-05-09 01:00:00'"}, "v = 1")
+    rows = {r["v"]: str(r["d"]) for r in DeltaTable(spark, path).to_df().collect()}
+    assert rows[1] == "2024-05-09"  # recomputed AND moved partitions
+    assert rows[2] == "2024-03-02"
+    update_mor(spark, path, {"ts": "timestamp'2024-06-01 02:00:00'"}, "v = 2")
+    rows = {r["v"]: str(r["d"]) for r in DeltaTable(spark, path).to_df().collect()}
+    assert rows[2] == "2024-06-01"
+
+
+def test_update_refuses_generated_column_set(spark, tmp_path):
+    from athena_delta_lake_spark.delta.dml import update
+
+    path = str(tmp_path / "upd_gen2")
+    _mk_gen(spark, path)
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        update(spark, path, {"d": "date'1999-01-01'"}, "v = 1")
+
+
+def test_merge_rejects_inconsistent_generated_values(spark, tmp_path):
+    from athena_delta_lake_spark.delta.dml import merge_upsert
+
+    path = str(tmp_path / "mrg_gen")
+    _mk_gen(spark, path)
+    bad = spark.createDataFrame(
+        [("2024-03-01 10:00:00", 1, "1999-01-01")], "ts string, v long, d string"
+    ).select(
+        F.to_timestamp("ts").alias("ts"), "v", F.to_date("d").alias("d")
+    )
+    with pytest.raises(ValueError, match="generated column"):
+        merge_upsert(spark, path, bad, ["v"])
+    good = spark.createDataFrame(
+        [("2024-07-01 10:00:00", 1, "2024-07-01"), ("2024-08-01 00:00:00", 9, "2024-08-01")],
+        "ts string, v long, d string",
+    ).select(F.to_timestamp("ts").alias("ts"), "v", F.to_date("d").alias("d"))
+    merge_upsert(spark, path, good, ["v"])
+    rows = {r["v"]: str(r["d"]) for r in DeltaTable(spark, path).to_df().collect()}
+    assert rows[1] == "2024-07-01" and rows[9] == "2024-08-01"
+
+
+def test_update_keeps_pruning_invariant(spark, tmp_path):
+    # after the recomputing UPDATE, generated-column pruning still finds
+    # the moved rows (the invariant the derivation depends on holds)
+    from athena_delta_lake_spark.delta.dml import update
+
+    path = str(tmp_path / "upd_gen3")
+    _mk_gen(spark, path)
+    update(spark, path, {"ts": "timestamp'2024-05-09 01:00:00'"}, "v = 1")
+    snap = DeltaLog(path).snapshot()
+    pruned = prune_files(snap, [("ts", "=", "2024-05-09 01:00:00")])
+    assert {f.partition_values["d"] for f in pruned} == {"2024-05-09"}
