@@ -48,7 +48,10 @@ def test_sql_dml_walk_matches_duckdb(spark, tmp_path, seed):
 
     for step in range(14):
         op = rng.choice(
-            ["insert", "delete", "update", "overwrite_part", "insert_vals", "merge"]
+            [
+                "insert", "delete", "update", "update_multi",
+                "overwrite_part", "insert_vals", "merge",
+            ]
         )
         if op == "insert":
             lo = next_id
@@ -78,6 +81,18 @@ def test_sql_dml_walk_matches_duckdb(spark, tmp_path, seed):
         elif op == "update":
             kk = rng.randint(0, 3)
             stmt = f"UPDATE {{t}} SET v = v + 10.5 WHERE k = {kk} AND v < 100"
+            pond.sql(stmt.format(t="lake.f"))
+            con.execute(stmt.format(t="f"))
+        elif op == "update_multi":
+            # cross-referencing multi-column SET: SQL evaluates every SET
+            # expression and the WHERE against the ORIGINAL row (the
+            # round-5 simultaneous-evaluation fix) — and one SET falsifies
+            # the predicate, which must not stop the other column
+            kk = rng.randint(0, 3)
+            stmt = (
+                f"UPDATE {{t}} SET k = CAST((k + 1) % 4 AS INT), "
+                f"v = v + k WHERE k = {kk}"
+            )
             pond.sql(stmt.format(t="lake.f"))
             con.execute(stmt.format(t="f"))
         elif op == "overwrite_part":
