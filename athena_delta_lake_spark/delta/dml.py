@@ -639,23 +639,30 @@ def _apply_recompute(df: DataFrame, schema, recompute: dict[str, str]) -> DataFr
 
 
 def _plan_merge_schema(
-    snap: SnapshotState, source: DataFrame, schema_evolution: bool
+    snap: SnapshotState,
+    source: DataFrame,
+    schema_evolution: bool,
+    allowed_missing: set[str] = frozenset(),
 ):
     """-> (schema, metadata, extra metaData actions | None, src_missing).
 
     Without evolution: the target schema, and a hard error when the source
-    lacks target columns (the pre-round-5 contract). WITH SCHEMA EVOLUTION:
-    source-only columns WIDEN the target schema in the SAME commit (the
-    returned metaData action rides the merge's extra_actions; old files
-    read NULL for the new columns at scan time), and `src_missing` lists
-    target columns the source lacks — updates keep the target's value for
-    them, inserts write NULL."""
+    lacks target columns (the pre-round-5 contract; `allowed_missing` —
+    identity columns, which the WRITER assigns — are exempt). WITH SCHEMA
+    EVOLUTION: source-only columns WIDEN the target schema in the SAME
+    commit (the returned metaData action rides the merge's extra_actions;
+    old files read NULL for the new columns at scan time), and
+    `src_missing` lists target columns the source lacks — updates keep the
+    target's value for them, inserts write NULL."""
     from pyspark.sql import types as T
 
     tcols = {f.name for f in snap.schema.fields}
     missing = [f.name for f in snap.schema.fields if f.name not in source.columns]
-    if missing and not schema_evolution:
-        raise ValueError(f"source is missing target columns: {missing}")
+    if not schema_evolution and [c for c in missing if c not in allowed_missing]:
+        raise ValueError(
+            "source is missing target columns: "
+            f"{[c for c in missing if c not in allowed_missing]}"
+        )
     new_fields = [
         T.StructField(f.name, f.dataType, True)
         for f in source.schema.fields
@@ -667,6 +674,77 @@ def _plan_merge_schema(
 
     schema, md = evolve_schema_metadata(snap, new_fields)
     return schema, md, [{"metaData": md}], set(missing)
+
+
+def _merge_identity_plan(
+    snap: SnapshotState, source: DataFrame, keys, when_not_matched
+) -> tuple[dict, set[str]]:
+    """Identity columns under MERGE (GENERATED ALWAYS AS IDENTITY): the
+    source must NOT supply them (the writer assigns on insert; updates
+    keep the target row's id). Joining ON an identity column is legal for
+    matched-only merges (the source carries EXISTING ids), but INSERT
+    through an identity key would require caller-chosen ids — refused,
+    same contract as write_delta. -> (identity fields, treat-as-missing)."""
+    from .writer import _identity_fields
+
+    ident = _identity_fields(snap.schema)
+    if not ident:
+        return {}, set()
+    for name in ident:
+        if name in keys:
+            if when_not_matched == "insert":
+                raise ValueError(
+                    f"identity column {name} is a merge key: WHEN NOT "
+                    "MATCHED INSERT would need caller-chosen ids "
+                    "(GENERATED ALWAYS); drop the insert clause or merge "
+                    "on a natural key"
+                )
+        elif name in source.columns:
+            raise ValueError(
+                f"identity column {name} is GENERATED ALWAYS; do not "
+                "supply values"
+            )
+    return ident, {n for n in ident if n not in keys}
+
+
+def _assign_merge_identity(
+    ins: DataFrame, schema, ident: dict, keys
+) -> tuple[DataFrame, dict]:
+    """Fresh identity values for a merge's INSERT rows, advancing each
+    column's high-water mark; -> (frame in schema order, identity params
+    for the metaData stamp)."""
+    from .writer import (
+        _IDENTITY_HW,
+        _IDENTITY_START,
+        _IDENTITY_STEP,
+        _assign_identity,
+    )
+
+    params: dict[str, dict] = {}
+    for name, meta in ident.items():
+        if name in keys:
+            continue
+        step = int(meta.get(_IDENTITY_STEP, 1))
+        base = int(meta.get(_IDENTITY_HW, int(meta[_IDENTITY_START]) - step))
+        ins, hw = _assign_identity(ins.drop(name), name, base, step)
+        params[name] = {**meta, _IDENTITY_HW: hw}
+    if params:
+        ins = ins.select(*[f.name for f in schema.fields])
+    return ins, params
+
+
+def _identity_md_action(meta: dict, schema, params: dict) -> dict:
+    """metaData action stamping advanced identity high-water marks into
+    the (possibly evolved) schema — rides the merge commit so a crash
+    between assign and commit never reuses ids."""
+    from .types import struct_to_schema_string
+    from .writer import _with_identity_metadata
+
+    md = dict(meta)
+    md["schemaString"] = struct_to_schema_string(
+        _with_identity_metadata(schema, params)
+    )
+    return {"metaData": md}
 
 
 def _null_fill(df: DataFrame, schema) -> DataFrame:
@@ -709,7 +787,7 @@ def _normalize_matched_clauses(
 
 def _insert_only_merge(
     spark, snap, table_path: str, src, keys,
-    schema=None, meta=None, extra_actions=None,
+    schema=None, meta=None, extra_actions=None, ident=None,
 ) -> dict:
     """Delta's insert-only MERGE fast path (no matched-action clause):
     target files are never read-modified-rewritten — source rows whose
@@ -731,6 +809,9 @@ def _insert_only_merge(
     ins = ins.select(
         *[F.col(f.name).cast(f.dataType) for f in schema.fields]
     )
+    ident_params: dict = {}
+    if ident:
+        ins, ident_params = _assign_merge_identity(ins, schema, ident, keys)
     from .writer import (
         _apply_generated_columns,
         _enforce_constraints,
@@ -752,13 +833,16 @@ def _insert_only_merge(
     # no cdc files here even when CDF is on: an insert-only commit is
     # EXACTLY derivable from its add actions (spec-allowed omission), so
     # writing change files would double the write for nothing
+    extra = list(extra_actions or [])
+    if ident_params:
+        extra = [_identity_md_action(meta, schema, ident_params)]
     commit_rewrite(
         table_path,
         "MERGE",
         adds,
         [],
         operation_parameters={"insertOnly": True},
-        extra_actions=extra_actions,
+        extra_actions=extra or None,
         base_version=snap.version,
     )
     return {"files_removed": 0, "files_added": len(adds), "source_rows": None}
@@ -864,9 +948,13 @@ def merge_upsert(
         raise ValueError("not_matched_by_source must be 'delete' or None")
     table_path = os.path.abspath(table_path)
     snap = DeltaLog(table_path).snapshot()
-    schema, meta, evolved_md, src_missing = _plan_merge_schema(
-        snap, source, schema_evolution
+    ident, ident_missing = _merge_identity_plan(
+        snap, source, keys, when_not_matched
     )
+    schema, meta, evolved_md, src_missing = _plan_merge_schema(
+        snap, source, schema_evolution, allowed_missing=ident_missing
+    )
+    src_missing |= ident_missing  # updates keep the target row's identity
     target_cols = [f.name for f in schema.fields]
     # coerce the source to the TARGET schema up front (Delta's implicit
     # source-to-target casting): every staged piece then matches the
@@ -892,7 +980,7 @@ def merge_upsert(
             raise ValueError("MERGE with no action clauses")
         return _insert_only_merge(
             spark, snap, table_path, src, keys,
-            schema=schema, meta=meta, extra_actions=evolved_md,
+            schema=schema, meta=meta, extra_actions=evolved_md, ident=ident,
         )
 
     src_keys = src.select(*keys).distinct()
@@ -1041,8 +1129,11 @@ def merge_upsert(
         cdc_frames.append(
             (target_rows.join(src_keys, keys, "left_anti"), "delete")
         )
+    ident_params: dict = {}
     if when_not_matched == "insert":
         ins = src.join(matched_keys, keys, "left_anti")
+        if ident:
+            ins, ident_params = _assign_merge_identity(ins, schema, ident, keys)
         if cdf:
             cdc_frames.append((ins, "insert"))
         for c in rt_extras:  # inserts are NEW rows: fresh ids from the add
@@ -1087,13 +1178,18 @@ def merge_upsert(
                     (_read_cow(spark, snap, untouched), "delete")
                 )
         cdc = _stage_cdc(spark, snap, table_path, cdc_frames, schema=schema) or None
+    md_actions = list(evolved_md or [])
+    if ident_params:
+        # a single final metaData wins over the evolution one (last-writer
+        # within the commit): evolved schema + advanced identity HWMs
+        md_actions = [_identity_md_action(meta, schema, ident_params)]
     commit_rewrite(
         table_path,
         "MERGE",
         adds,
         [f.path for f in remove_files],
         operation_parameters={"matchedPredicate": " AND ".join(keys)},
-        extra_actions=(evolved_md or []) + (cdc or []) or None,
+        extra_actions=md_actions + (cdc or []) or None,
         expected_states={f.path: file_fingerprint(f) for f in remove_files},
         base_version=snap.version,
     )
@@ -1137,9 +1233,13 @@ def merge_upsert_mor(
         raise ValueError("not_matched_by_source must be 'delete' or None")
     table_path = os.path.abspath(table_path)
     snap = DeltaLog(table_path).snapshot()
-    schema, meta, evolved_md, src_missing = _plan_merge_schema(
-        snap, source, schema_evolution
+    ident, ident_missing = _merge_identity_plan(
+        snap, source, keys, when_not_matched
     )
+    schema, meta, evolved_md, src_missing = _plan_merge_schema(
+        snap, source, schema_evolution, allowed_missing=ident_missing
+    )
+    src_missing |= ident_missing  # updates keep the target row's identity
     target_cols = [f.name for f in schema.fields]
     # coerce the source to the TARGET schema up front (Delta's implicit
     # source-to-target casting); evolution semantics as in merge_upsert
@@ -1165,7 +1265,7 @@ def merge_upsert_mor(
             raise ValueError("MERGE with no action clauses")
         return _insert_only_merge(
             spark, snap, table_path, src, keys,
-            schema=schema, meta=meta, extra_actions=evolved_md,
+            schema=schema, meta=meta, extra_actions=evolved_md, ident=ident,
         )
 
     src_keys = src.select(*keys).distinct()
@@ -1298,12 +1398,15 @@ def merge_upsert_mor(
         matched_keys = (
             tagged.select(*keys).join(src_keys, keys, "left_semi").distinct()
         )
+    ident_params: dict = {}
     if when_not_matched == "insert":
         ins = (
             src.join(matched_keys, keys, "left_anti")
             if matched_keys is not None
             else src
         )
+        if ident:
+            ins, ident_params = _assign_merge_identity(ins, schema, ident, keys)
         if cdf:
             cdc_frames.append((ins, "insert"))
         if touched and _rt_on(snap):
@@ -1362,8 +1465,11 @@ def merge_upsert_mor(
         extra = list(extra or []) + _stage_cdc(
             spark, snap, table_path, cdc_frames, schema=schema
         )
-    if evolved_md:
-        extra = evolved_md + list(extra or [])
+    md_actions = list(evolved_md or [])
+    if ident_params:
+        md_actions = [_identity_md_action(meta, schema, ident_params)]
+    if md_actions:
+        extra = md_actions + list(extra or [])
     commit_rewrite(
         table_path,
         "MERGE",

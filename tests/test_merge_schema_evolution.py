@@ -174,3 +174,65 @@ def test_insert_by_name_auto_merge(spark, tmp_path):
         spark.conf.set("spark.databricks.delta.schema.autoMerge.enabled", old)
     rows = {r["id"]: r["tag"] for r in pond.sql("SELECT id, tag FROM lake.t2").collect()}
     assert rows[200] == "y" and rows[0] is None
+
+
+# --------------------------- identity columns through MERGE (round 5)
+
+
+@pytest.fixture
+def ident_tbl(spark, tmp_path):
+    path = str(tmp_path / "ident")
+    write_delta(
+        spark.createDataFrame([("a", 1.0), ("b", 2.0)], "name string, v double"),
+        path,
+        identity_columns={"rid": (100, 10)},
+    )
+    return path
+
+
+def test_merge_assigns_identity_on_insert(spark, ident_tbl):
+    src = spark.createDataFrame(
+        [("b", 20.0), ("c", 3.0), ("d", 4.0)], "name string, v double"
+    )
+    merge_upsert(spark, ident_tbl, src, ["name"])
+    rows = {r["name"]: r["rid"] for r in DeltaTable(spark, ident_tbl).to_df().collect()}
+    assert rows["b"] == 110  # updated row KEEPS its identity
+    assert len(set(rows.values())) == 4  # fresh unique ids for c, d
+    # high-water mark advanced in the merge commit's metaData: a later
+    # append through write_delta must not collide
+    write_delta(
+        spark.createDataFrame([("e", 9.0)], "name string, v double"),
+        ident_tbl,
+        mode="append",
+    )
+    rows2 = {r["name"]: r["rid"] for r in DeltaTable(spark, ident_tbl).to_df().collect()}
+    assert len(set(rows2.values())) == 5
+
+
+def test_merge_mor_assigns_identity(spark, ident_tbl):
+    src = spark.createDataFrame([("b", 99.0), ("z", 1.0)], "name string, v double")
+    merge_upsert_mor(spark, ident_tbl, src, ["name"])
+    rows = {r["name"]: (r["rid"], r["v"]) for r in DeltaTable(spark, ident_tbl).to_df().collect()}
+    assert rows["b"][0] == 110 and rows["b"][1] == 99.0
+    assert len({rid for rid, _ in rows.values()}) == 3
+
+
+def test_merge_refuses_supplied_identity(spark, ident_tbl):
+    bad = spark.createDataFrame([("x", 7, 5.0)], "name string, rid long, v double")
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        merge_upsert(spark, ident_tbl, bad, ["name"])
+
+
+def test_merge_on_identity_key(spark, ident_tbl):
+    # matched-only merge ON the identity column is legal (existing ids)
+    src = spark.createDataFrame([(110, -1.0)], "rid long, v double")
+    merge_upsert(
+        spark, ident_tbl, src.withColumn("name", __import__("pyspark").sql.functions.lit("bb")),
+        ["rid"], when_not_matched=None,
+    )
+    rows = {r["rid"]: r["name"] for r in DeltaTable(spark, ident_tbl).to_df().collect()}
+    assert rows[110] == "bb"
+    # but INSERT through an identity key is refused (ids are assigned)
+    with pytest.raises(ValueError, match="merge key"):
+        merge_upsert(spark, ident_tbl, src.withColumn(
+            "name", __import__("pyspark").sql.functions.lit("x")), ["rid"])
