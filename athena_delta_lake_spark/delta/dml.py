@@ -1678,14 +1678,36 @@ def restore_table(
 # --------------------------------------------------------------------- VACUUM
 
 
+def retention_hours_from_interval(raw: str | None) -> float | None:
+    """Delta interval table properties ('interval 7 days', 'interval 168
+    hours', 'interval 2 weeks') -> hours, or None when absent/unparsable."""
+    import re as _re
+
+    if not raw:
+        return None
+    m = _re.match(
+        r"(?i)^\s*interval\s+(\d+(?:\.\d+)?)\s+"
+        r"(minute|hour|day|week)s?\s*$",
+        str(raw),
+    )
+    if not m:
+        return None
+    n = float(m.group(1))
+    return n * {"minute": 1 / 60, "hour": 1.0, "day": 24.0, "week": 168.0}[
+        m.group(2).lower()
+    ]
+
+
 def vacuum(
     table_path: str,
-    retention_hours: float = 168.0,
+    retention_hours: float | None = None,
     dry_run: bool = False,
 ) -> dict:
     """Physically delete data files no longer referenced by the CURRENT
-    snapshot and older than the retention window (default 7 days — the
-    window protects in-flight readers and time travel within it).
+    snapshot and older than the retention window — the window protects
+    in-flight readers and time travel within it. When `retention_hours`
+    is None, the table's `delta.deletedFileRetentionDuration` property
+    applies, else the spec default of 7 days.
 
     Returns {"files": [...], "deleted": bool}. Metadata-only scan: walks
     the storage listing against the live-file set; never reads data."""
@@ -1693,6 +1715,14 @@ def vacuum(
 
     table_path = os.path.abspath(table_path)
     snap = DeltaLog(table_path).snapshot()
+    if retention_hours is None:
+        retention_hours = retention_hours_from_interval(
+            (snap.metadata.get("configuration") or {}).get(
+                "delta.deletedFileRetentionDuration"
+            )
+        )
+        if retention_hours is None:
+            retention_hours = 168.0
     # AddFile.path is already URL-decoded by replay — it IS the physical
     # relative path; unquoting again would mis-key any name containing a
     # literal %xx (e.g. hive-escaped `grp=a%3Db/`) and vacuum live files.

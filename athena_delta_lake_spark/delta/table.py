@@ -287,7 +287,9 @@ class DeltaTable:
 
         return restore_table(self.path, version, timestamp_millis)
 
-    def vacuum(self, retention_hours: float = 168.0, dry_run: bool = False) -> dict:
+    def vacuum(
+        self, retention_hours: float | None = None, dry_run: bool = False
+    ) -> dict:
         from .dml import vacuum
 
         return vacuum(self.path, retention_hours, dry_run)

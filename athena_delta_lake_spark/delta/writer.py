@@ -3100,14 +3100,28 @@ def compact_log(table_path: str, start: int, end: int) -> str:
     return out
 
 
-def cleanup_log(table_path: str, retention_hours: float = 168.0) -> dict:
+def cleanup_log(table_path: str, retention_hours: float | None = None) -> dict:
     """Delete commit JSONs already covered by a checkpoint and older than
-    the retention window (delta.logRetentionDuration analog). The snapshot
-    keeps replaying from the checkpoint; time travel to cleaned versions
-    is gone — same contract as Delta's metadata cleanup. Never touches the
-    checkpoint itself, `_last_checkpoint`, or post-checkpoint commits."""
+    the retention window. When `retention_hours` is None the table's
+    `delta.logRetentionDuration` property applies, else the 7-day default.
+    The snapshot keeps replaying from the checkpoint; time travel to
+    cleaned versions is gone — same contract as Delta's metadata cleanup.
+    Never touches the checkpoint itself, `_last_checkpoint`, or
+    post-checkpoint commits."""
     table_path = os.path.abspath(table_path)
     log_dir = os.path.join(table_path, "_delta_log")
+    if retention_hours is None:
+        from .dml import retention_hours_from_interval
+
+        try:
+            cfg = DeltaLog(table_path).snapshot().metadata.get("configuration")
+        except (FileNotFoundError, ValueError):
+            cfg = None
+        retention_hours = retention_hours_from_interval(
+            (cfg or {}).get("delta.logRetentionDuration")
+        )
+        if retention_hours is None:
+            retention_hours = 168.0
     last_cp = -1
     for name in os.listdir(log_dir):
         if ".checkpoint" in name and name.endswith(".parquet"):

@@ -818,8 +818,12 @@ def _route_call(pond, p, text: str) -> DataFrame:
         size = take("target_file_size", 128 * 1024 * 1024)
         m = dml.compact(pond.spark, path, target_file_size=int(size), zorder_by=zo)
     elif pname == "vacuum":
-        hours = take("retention_hours", 168.0)
-        m = dml.vacuum(path, retention_hours=float(hours), dry_run=bool(kw.pop("dry_run", False)))
+        hours = take("retention_hours")
+        m = dml.vacuum(
+            path,
+            retention_hours=None if hours is None else float(hours),
+            dry_run=bool(kw.pop("dry_run", False)),
+        )
     elif pname == "restore":
         m = dml.restore_table(
             path,
@@ -832,7 +836,8 @@ def _route_call(pond, p, text: str) -> DataFrame:
     elif pname == "cleanup_log":
         from .delta.writer import cleanup_log
 
-        m = cleanup_log(path, retention_hours=float(kw.pop("retention_hours", 168.0)))
+        h = kw.pop("retention_hours", None)
+        m = cleanup_log(path, retention_hours=None if h is None else float(h))
     elif pname == "compact_log":
         from .delta.writer import compact_log
 
@@ -1345,6 +1350,7 @@ _DESCRIBE_DETAIL_RE = re.compile(
 )
 _OPTIMIZE_RE = re.compile(
     r"(?is)^\s*OPTIMIZE\s+([\w.`]+)"
+    r"(?:\s+WHERE\s+(.+?))?"
     r"(?:\s+ZORDER\s+BY\s*\(\s*([\w`,\s]+?)\s*\))?\s*;?\s*$"
 )
 _VACUUM_RE = re.compile(
@@ -1479,17 +1485,29 @@ def _route_maintenance_sugar(pond, query: str) -> DataFrame | None:
     m = _OPTIMIZE_RE.match(query)
     if m:
         path = _target(pond, m.group(1).replace("`", "").split("."))
+        preds = None
+        if m.group(2):
+            # OPTIMIZE ... WHERE <pred>: scope compaction to the matching
+            # files (partition predicates exact, stats conservative)
+            from .delta.dml import _normalize_where
+
+            preds, _cond, fully = _normalize_where(m.group(2).strip())
+            if not fully or not preds:
+                raise ValueError(
+                    "OPTIMIZE WHERE supports simple AND-ed comparisons on "
+                    f"table columns; cannot use {m.group(2).strip()!r}"
+                )
         zo = (
-            [c.strip(" `") for c in m.group(2).split(",")]
-            if m.group(2)
+            [c.strip(" `") for c in m.group(3).split(",")]
+            if m.group(3)
             else None
         )
-        res = _dml.compact(pond.spark, path, zorder_by=zo)
+        res = _dml.compact(pond.spark, path, predicates=preds, zorder_by=zo)
         return _metrics_df(pond.spark, {"operation": "optimize", **res})
     m = _VACUUM_RE.match(query)
     if m:
         path = _target(pond, m.group(1).replace("`", "").split("."))
-        hours = float(m.group(2)) if m.group(2) else 168.0
+        hours = float(m.group(2)) if m.group(2) else None
         res = _dml.vacuum(path, retention_hours=hours, dry_run=bool(m.group(3)))
         return _metrics_df(
             pond.spark,

@@ -452,3 +452,62 @@ def test_sql_clone_collisions_both_directions(pond):
     pond.create_view("cl_view", "SELECT id FROM lake.cl_a")
     with pytest.raises(ValueError, match="view named"):
         pond.sql("CREATE TABLE lake.cl_view CLONE lake.cl_a")
+
+
+# ------------------------- OPTIMIZE WHERE + retention properties (round 5)
+
+
+def test_optimize_where_scopes_compaction(pond):
+    pond.sql(
+        "CREATE TABLE lake.ow PARTITIONED BY (k) AS "
+        "SELECT id, CAST(id % 2 AS INT) AS k FROM range(40)"
+    )
+    for i in range(2):  # several small files per partition
+        pond.sql(f"INSERT INTO lake.ow SELECT id + {100 * (i + 1)}, CAST(id % 2 AS INT) FROM range(10)")
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    path = pond.table_path("lake", "ow")
+    before = {f.path for f in DeltaLog(path).snapshot().files}
+    pond.sql("OPTIMIZE lake.ow WHERE k = 0")
+    after = {f.path for f in DeltaLog(path).snapshot().files}
+    # k=1 files untouched; k=0 partition compacted
+    assert {p for p in before if "k=1" in p} == {p for p in after if "k=1" in p}
+    assert {p for p in before if "k=0" in p} != {p for p in after if "k=0" in p}
+    assert pond.sql("SELECT count(*) AS n FROM lake.ow").first()["n"] == 60
+
+
+def test_optimize_where_rejects_complex_predicates(pond):
+    pond.sql("CREATE TABLE lake.ow2 AS SELECT id FROM range(5)")
+    with pytest.raises(ValueError, match="OPTIMIZE WHERE"):
+        pond.sql("OPTIMIZE lake.ow2 WHERE id + 1 = length('ab')")
+
+
+def test_vacuum_honors_retention_property(pond):
+    import os
+    import time
+
+    pond.sql(
+        "CREATE TABLE lake.vr AS SELECT id FROM range(10)"
+    )
+    pond.sql(
+        "ALTER TABLE lake.vr SET TBLPROPERTIES "
+        "('delta.deletedFileRetentionDuration' = 'interval 0 hours')"
+    )
+    pond.sql("DELETE FROM lake.vr WHERE id < 5")
+    time.sleep(0.1)
+    # no RETAIN clause: the table property (0 hours) applies, so the
+    # removed files delete immediately
+    res = pond.sql("VACUUM lake.vr").first()
+    assert res["numFiles"] >= 1 and res["deleted"] == 1
+    assert pond.sql("SELECT count(*) AS n FROM lake.vr").first()["n"] == 5
+
+
+def test_retention_interval_parser():
+    from athena_delta_lake_spark.delta.dml import retention_hours_from_interval
+
+    assert retention_hours_from_interval("interval 7 days") == 168.0
+    assert retention_hours_from_interval("INTERVAL 1 week") == 168.0
+    assert retention_hours_from_interval("interval 30 minutes") == 0.5
+    assert retention_hours_from_interval("interval 12 hours") == 12.0
+    assert retention_hours_from_interval("7 days") is None
+    assert retention_hours_from_interval(None) is None
