@@ -41,10 +41,14 @@ def table_changes(
     table_path: str,
     starting_version: int = 0,
     ending_version: int | None = None,
+    include_timestamp: bool = False,
 ) -> DataFrame:
     """Rows changed in commits [starting_version, ending_version], with
-    `_change_type` ('insert' | 'delete') and `_commit_version` columns —
-    the `table_changes(...)` TVF shape."""
+    `_change_type` and `_commit_version` columns — the `table_changes(...)`
+    TVF shape. `include_timestamp` adds `_commit_timestamp` (each commit's
+    authoritative time — inCommitTimestamp when present, else file mtime —
+    as a session-timezone value, matching real CDF's third metadata
+    column; opt-in to keep the long-standing two-column shape stable)."""
     log = DeltaLog(table_path)
     end = log.latest_version() if ending_version is None else ending_version
     pieces: list[DataFrame] = []
@@ -116,13 +120,40 @@ def table_changes(
     if not pieces:
         schema = log.snapshot(end).schema
         empty = spark.createDataFrame([], schema)
-        return empty.withColumn(
+        out = empty.withColumn(
             "_change_type", F.lit("").cast("string")
         ).withColumn("_commit_version", F.lit(0).cast("int")).limit(0)
+        if include_timestamp:
+            out = out.withColumn(
+                "_commit_timestamp", F.lit(None).cast("timestamp")
+            )
+        return out
     out = pieces[0]
     for p in pieces[1:]:
         # allowMissingColumns: schema evolution mid-range reads NULL
         out = out.unionByName(p, allowMissingColumns=True)
+    if include_timestamp:
+        # one tiny broadcast map version -> authoritative commit time
+        # (session-tz naive, what a Spark timestamp column expects);
+        # versions whose commit JSON is gone (compacted/cleaned) read NULL
+        from ..sqldml import _millis_to_naive_ts
+
+        ts_rows = []
+        for v in range(starting_version, end + 1):
+            try:
+                ts_rows.append(
+                    (v, _millis_to_naive_ts(spark, log.commit_timestamp(v)))
+                )
+            except FileNotFoundError:
+                continue
+        cols = list(out.columns)
+        ts_df = spark.createDataFrame(
+            ts_rows or [(None, None)],
+            "_commit_version int, _commit_timestamp timestamp",
+        ).filter(F.col("_commit_version").isNotNull())
+        out = out.join(F.broadcast(ts_df), "_commit_version", "left").select(
+            *cols, "_commit_timestamp"
+        )
     return out
 
 

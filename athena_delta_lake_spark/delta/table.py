@@ -482,12 +482,17 @@ class DeltaTable:
         return set_domain_metadata(self.path, domain, configuration, removed)
 
     def table_changes(
-        self, starting_version: int = 0, ending_version: int | None = None
+        self,
+        starting_version: int = 0,
+        ending_version: int | None = None,
+        include_timestamp: bool = False,
     ) -> "DataFrame":
-        """Row-level changes between commits (CDF analog; see delta/cdf.py):
-        adds `_change_type` ('insert'|'delete') and `_commit_version`."""
+        """Row-level changes between commits (see delta/cdf.py): adds
+        `_change_type` and `_commit_version`, plus `_commit_timestamp`
+        when include_timestamp is set."""
         from .cdf import table_changes
 
         return table_changes(
-            self.spark, self.path, starting_version, ending_version
+            self.spark, self.path, starting_version, ending_version,
+            include_timestamp=include_timestamp,
         )

@@ -416,3 +416,29 @@ def test_streaming_change_feed_prefers_cdc(spark, tmp_path):
         ("update_postimage", 1): 4,
         ("delete", 2): 2,
     }
+
+
+def test_commit_timestamp_column_opt_in(spark, tmp_path):
+    import datetime
+
+    path = str(tmp_path / "cts")
+    write_delta(
+        spark.createDataFrame([(i, float(i)) for i in range(6)], "id long, v double"),
+        path,
+        configuration=CDF_CONF,
+    )
+    update(spark, path, {"v": "v + 1"}, "id = 2")
+    # default shape unchanged (two metadata columns)
+    ch = table_changes(spark, path, 0, 1)
+    assert "_commit_timestamp" not in ch.columns
+    # opt-in adds the commit's authoritative time per version
+    cht = table_changes(spark, path, 0, 1, include_timestamp=True)
+    rows = cht.select("_commit_version", "_commit_timestamp").distinct().collect()
+    by_v = {r["_commit_version"]: r["_commit_timestamp"] for r in rows}
+    assert set(by_v) == {0, 1}
+    assert all(isinstance(t, datetime.datetime) for t in by_v.values())
+    assert by_v[0] <= by_v[1]
+    want0 = DeltaLog(path).commit_timestamp(0)
+    from athena_delta_lake_spark.sqldml import _naive_ts_to_millis
+
+    assert abs(_naive_ts_to_millis(spark, by_v[0]) - want0) < 2000
