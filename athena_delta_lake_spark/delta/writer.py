@@ -559,6 +559,7 @@ def commit_rewrite(
     extra_actions: list[dict] | None = None,
     expected_states: dict | None = None,
     base_version: int | None = None,
+    require_serial: bool = False,
 ) -> int:
     """Commit a file-rewrite transaction: `remove` the replaced files and
     `add` their rewrites in ONE atomic version — the copy-on-write commit
@@ -632,12 +633,18 @@ def commit_rewrite(
     if data_change and remove_paths:
         _check_append_only(table_config, operation)
     for _attempt in range(_MAX_COMMIT_RETRIES + 1):
-        if row_tracking and adds and base_version is not None and version != base_version + 1:
-            # id ranges were sized against the planning snapshot's high-
-            # water mark; any interleaved commit may have moved it
+        if (
+            (require_serial or (row_tracking and adds))
+            and base_version is not None
+            and version != base_version + 1
+        ):
+            # values were sized against the planning snapshot's high-water
+            # mark (row-tracking id ranges / identity assignments) — any
+            # interleaved commit may have moved it, so blind retry would
+            # double-assign; the caller must re-plan
             raise ConcurrentWriteError(
-                f"{operation} raced a concurrent commit on a row-tracking "
-                "table; re-run against the new snapshot"
+                f"{operation} raced a concurrent commit on {table_path}; "
+                "re-run against the new snapshot"
             ) from None
         if base_version is not None and version != base_version + 1:
             # commits landed since the rewrite was planned (seen either via
