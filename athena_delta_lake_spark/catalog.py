@@ -414,7 +414,13 @@ class DeltaPond:
 
     def _bind_table_changes(self, arg_sqls: list[str]) -> str:
         """`table_changes('schema.table', start [, end])` TVF: bind the
-        change-data-feed rows for that commit range as a view."""
+        change-data-feed rows for that commit range as a view — with ALL
+        THREE Delta TVF metadata columns (`_change_type`,
+        `_commit_version`, `_commit_timestamp`), matching the delta-spark
+        `table_changes` contract so ported CDC jobs that select
+        `_commit_timestamp` work on day one. (The Python-level
+        `DeltaTable.table_changes` keeps `include_timestamp` opt-in for
+        shape stability; the SQL surface is where the contract lives.)"""
         from .delta.cdf import table_changes
 
         if not 2 <= len(arg_sqls) <= 3:
@@ -431,7 +437,13 @@ class DeltaPond:
             raise ValueError(f"bad table name in table_changes: {name!r}")
         start = int(arg_sqls[1])
         end = int(arg_sqls[2]) if len(arg_sqls) == 3 else None
-        df = table_changes(self.spark, self.table_path(schema, table), start, end)
+        df = table_changes(
+            self.spark,
+            self.table_path(schema, table),
+            start,
+            end,
+            include_timestamp=True,
+        )
         view = f"__pond_cdf__{schema}__{table}__{start}_{end}"
         df.createOrReplaceTempView(view)
         return view

@@ -265,40 +265,89 @@ def _dv_diff_rows(
     merge-on-read DML newly deleted — read from the PREVIOUS snapshot,
     whose scan still shows them. `resurrect=True` (inserts): old minus new
     — rows a RESTORE un-deleted by rolling the DV back — read from the NEW
-    snapshot, where they are live again."""
-    import os
+    snapshot, where they are live again.
 
-    from .deletion_vectors import read_dv_positions
-    from .reader import read_files_with_index
+    Scale: only the tiny DV *descriptors* route through the driver; the
+    bitmaps are parsed and diffed EXECUTOR-side via `mapInPandas` (one
+    task per file batch, mirroring reader._deleted_positions_df and the DV
+    write path dml.py `_build_dvs`), so `table_changes` over a third-party
+    MOR table with 10^8 newly-DV'd rows never materializes a row-index
+    list on the driver. Driver-side work is O(candidate files): a
+    descriptor-equality prefilter skips files whose DV did not change."""
+    import json as _json
+
+    from .reader import _join_path, _strip_scheme, read_files_with_index
 
     prev = log.snapshot(v - 1)
     snap = log.snapshot(v)
     prev_by = {f.path: f for f in prev.files}
     new_by = {f.path: f for f in snap.files}
 
-    def _positions(f) -> set[int]:
-        if f is None or f.deletion_vector is None:
-            return set()
-        return set(read_dv_positions(log.table_path, f.deletion_vector))
-
-    rows: list[tuple[str, int]] = []
+    desc_rows: list[tuple[str, str, str]] = []
     read_targets = []
     for p in paths:
         pf, nf = prev_by.get(p), new_by.get(p)
         if pf is None or nf is None:
             continue
-        if resurrect:
-            changed = _positions(pf) - _positions(nf)
-        else:
-            changed = _positions(nf) - _positions(pf)
-        if changed:
-            full = os.path.abspath(os.path.join(log.table_path, p))
-            rows.extend((full, i) for i in sorted(changed))
-            read_targets.append(nf if resurrect else pf)
-    if not rows:
+        od, nd = pf.deletion_vector, nf.deletion_vector
+        if od == nd:
+            continue  # identical descriptor -> identical bitmap -> no diff
+        # set-difference direction makes one side provably empty without
+        # touching any bitmap: old - new needs old nonempty, new - old
+        # needs new nonempty
+        if resurrect and od is None:
+            continue
+        if not resurrect and nd is None:
+            continue
+        full = _join_path(log.table_path, p)
+        if "://" not in full:
+            import os as _os
+
+            full = _os.path.abspath(full)
+        desc_rows.append(
+            (
+                full,
+                _json.dumps(od) if od else "null",
+                _json.dumps(nd) if nd else "null",
+            )
+        )
+        read_targets.append(nf if resurrect else pf)
+    if not desc_rows:
         return None
     _require_present(log, v, [f.path for f in read_targets])
-    pos_df = spark.createDataFrame(rows, "_file string, _row_idx long")
+    desc = spark.createDataFrame(desc_rows, "full string, old string, new string")
+    if len(desc_rows) > 1:
+        desc = desc.repartition(min(len(desc_rows), 64))
+    tp = log.table_path.rstrip("/")
+    want_old_minus_new = resurrect
+
+    def diff(batches):
+        import json as _j
+
+        import pandas as _pd
+
+        from athena_delta_lake_spark.delta.deletion_vectors import (
+            read_dv_positions,
+        )
+
+        def _pos(s: str) -> set[int]:
+            d = _j.loads(s)
+            return set(read_dv_positions(tp, d)) if d else set()
+
+        for pdf in batches:
+            for full, o, n in zip(pdf["full"], pdf["old"], pdf["new"]):
+                old, new = _pos(o), _pos(n)
+                changed = old - new if want_old_minus_new else new - old
+                yield _pd.DataFrame(
+                    {
+                        "_file": _pd.Series([full] * len(changed)),
+                        "_row_idx": _pd.Series(sorted(changed), dtype="int64"),
+                    }
+                )
+
+    pos_df = desc.mapInPandas(diff, "_file string, _row_idx long").withColumn(
+        "_file", _strip_scheme(F.col("_file"))
+    )
     base = read_files_with_index(
         spark, snap if resurrect else prev, read_targets
     )

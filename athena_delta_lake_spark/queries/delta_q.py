@@ -991,6 +991,101 @@ def g06(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------- g10: CDF TVF three-column metadata contract
+
+
+def _ensure_cdf_ts_pond(spark: SparkSession, sf_dir: str) -> DeltaPond:
+    """supplier with delta.enableChangeDataFeed, DML'd through pond.sql,
+    then DETERMINISTIC inCommitTimestamps injected into each commit's
+    commitInfo (exactly what a writer with the inCommitTimestamp feature
+    records, and what log.commit_timestamp prefers over file mtime) — so
+    the TVF's `_commit_timestamp` column is oracle-checkable to the
+    second instead of being wall-clock noise."""
+    import json
+
+    root = os.path.join(_fixture_root(sf_dir), "pond_cdfts")
+    pond = DeltaPond(spark, root)
+    path = os.path.join(root, "lake", "sup_ts")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        write_delta(
+            load(spark, sf_dir, "supplier").select(
+                "s_suppkey", "s_nationkey", "s_acctbal"
+            ),
+            path,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+    t = DeltaTable(spark, path)
+    if t.version() < 1:  # heal half-built fixtures version by version
+        pond.sql("DELETE FROM lake.sup_ts WHERE s_nationkey < 10")
+    if t.version() < 2:
+        pond.sql(
+            "UPDATE lake.sup_ts SET s_acctbal = s_acctbal + 50 "
+            "WHERE s_suppkey % 7 = 0"
+        )
+    base = 1_700_000_000_000  # 2023-11-14T22:13:20Z; no DST boundary nearby
+    log_dir = os.path.join(path, "_delta_log")
+    for v in range(3):
+        want = base + v * 86_400_000
+        fp = os.path.join(log_dir, f"{v:020d}.json")
+        with open(fp) as f:
+            lines = [json.loads(ln) for ln in f if ln.strip()]
+        cis = [a for a in lines if "commitInfo" in a]
+        if cis and cis[0]["commitInfo"].get("inCommitTimestamp") == want:
+            continue  # already injected (idempotent re-runs)
+        if cis:
+            cis[0]["commitInfo"]["inCommitTimestamp"] = want
+        else:
+            lines.insert(0, {"commitInfo": {"inCommitTimestamp": want}})
+        with open(fp, "w") as f:
+            for a in lines:
+                f.write(json.dumps(a) + "\n")
+    return pond
+
+
+@register(
+    "g10_cdf_commit_timestamp",
+    "delta-core",
+    """
+    WITH del AS (
+      SELECT 1 AS v, 'delete' AS ct, s_suppkey AS k
+      FROM supplier WHERE s_nationkey < 10
+    ), pre AS (
+      SELECT 2 AS v, 'update_preimage' AS ct, s_suppkey AS k
+      FROM supplier WHERE s_nationkey >= 10 AND s_suppkey % 7 = 0
+    ), post AS (
+      SELECT 2 AS v, 'update_postimage' AS ct, s_suppkey AS k
+      FROM supplier WHERE s_nationkey >= 10 AND s_suppkey % 7 = 0
+    ), chg AS (
+      SELECT * FROM del UNION ALL SELECT * FROM pre
+      UNION ALL SELECT * FROM post
+    )
+    SELECT CAST(v AS INT) AS v, ct AS _change_type, count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS key_sum,
+           CAST(1700000000 + v * 86400 AS BIGINT) AS ts_epoch,
+           CAST(1 AS INT) AS n_ts
+    FROM chg GROUP BY v, ct
+    """,
+    "table_changes(...) via pond.sql emits the full three-column Delta CDF "
+    "metadata contract (_change_type, _commit_version, _commit_timestamp); "
+    "the inCommitTimestamp-backed timestamp hash-matches the oracle's "
+    "reconstruction from commit metadata (unix_timestamp round-trips the "
+    "session-timezone rendering, so the check is timezone-proof)",
+)
+def g10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pond = _ensure_cdf_ts_pond(spark, sf_dir)
+    return pond.sql(
+        """
+        SELECT CAST(_commit_version AS INT) AS v, _change_type,
+               count(*) AS n, CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+               CAST(max(unix_timestamp(_commit_timestamp)) AS BIGINT)
+                 AS ts_epoch,
+               CAST(count(DISTINCT _commit_timestamp) AS INT) AS n_ts
+        FROM table_changes('lake.sup_ts', 1, 2)
+        GROUP BY 1, 2
+        """
+    )
+
+
 # ----------------------------------- g08: SQL CLONE (diverged, time-travel)
 
 

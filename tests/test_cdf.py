@@ -2,6 +2,8 @@
 derived from the copy-on-write log (no reference analog — read-only
 connector, DeltaMetadataHandler.scala:99)."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -189,3 +191,125 @@ def test_cdf_mor_update_and_merge_exact_rows(spark, tmp_path):
     )  # v3
     ch3 = table_changes(spark, path, 3, 3).collect()
     assert [(r["id"], r["_change_type"]) for r in ch3] == [(10, "delete")]
+
+
+def test_cdf_third_party_mor_layout(spark, tmp_path):
+    """table_changes over a HAND-BUILT third-party MOR table (no cdc
+    actions, DV descriptors written straight into the log — nothing from
+    this engine's writer): the DV-diff fallback must emit exactly the
+    newly-DV'd rows as deletes, and a DV shrink (RESTORE-style bare
+    re-add) as resurrect inserts — computed executor-side (the bitmap
+    parse/diff runs in mapInPandas; delta/cdf.py _dv_diff_rows)."""
+    import json
+
+    from athena_delta_lake_spark.delta.cdf import table_changes
+    from athena_delta_lake_spark.delta.deletion_vectors import write_dv_file
+
+    path = str(tmp_path / "third_party_mor")
+    os.makedirs(path)
+    spark.range(20).selectExpr("id", "id * 10 as v").coalesce(1).write.parquet(
+        str(tmp_path / "stage")
+    )
+    data_file = next(
+        f for f in os.listdir(str(tmp_path / "stage")) if f.endswith(".parquet")
+    )
+    os.rename(
+        os.path.join(str(tmp_path / "stage"), data_file),
+        os.path.join(path, "part-000.parquet"),
+    )
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    log_dir = os.path.join(path, "_delta_log")
+    os.makedirs(log_dir)
+
+    def commit(version, actions):
+        with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+
+    base_add = {
+        "path": "part-000.parquet",
+        "partitionValues": {},
+        "size": os.path.getsize(os.path.join(path, "part-000.parquet")),
+        "modificationTime": 1,
+        "dataChange": True,
+    }
+    commit(
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+            {
+                "metaData": {
+                    "id": "3p",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_str,
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            },
+            {"add": base_add},
+        ],
+    )
+    # v1: third-party MOR delete of rows 3,7,11 (remove + re-add with DV)
+    dv1 = write_dv_file(path, [3, 7, 11])
+    commit(
+        1,
+        [
+            {"remove": {"path": "part-000.parquet", "dataChange": True}},
+            {"add": {**base_add, "deletionVector": dv1}},
+        ],
+    )
+    # v2: DV grows to {3,7,11,15} (incremental MOR delete)
+    dv2 = write_dv_file(path, [3, 7, 11, 15])
+    commit(
+        2,
+        [
+            {"remove": {"path": "part-000.parquet", "dataChange": True}},
+            {"add": {**base_add, "deletionVector": dv2}},
+        ],
+    )
+    # v3: RESTORE-style bare re-add shrinking the DV back to {3}
+    dv3 = write_dv_file(path, [3])
+    commit(3, [{"add": {**base_add, "deletionVector": dv3}}])
+
+    ch1 = table_changes(spark, path, 1, 1).collect()
+    assert sorted((r["id"], r["_change_type"]) for r in ch1) == [
+        (3, "delete"),
+        (7, "delete"),
+        (11, "delete"),
+    ]
+    ch2 = table_changes(spark, path, 2, 2).collect()
+    assert [(r["id"], r["_change_type"]) for r in ch2] == [(15, "delete")]
+    ch3 = table_changes(spark, path, 3, 3).collect()
+    assert sorted((r["id"], r["_change_type"]) for r in ch3) == [
+        (7, "insert"),
+        (11, "insert"),
+        (15, "insert"),
+    ]
+    # cumulative feed reconstructs the final live set
+    full = table_changes(spark, path, 0, 3)
+    net = (
+        full.groupBy("id")
+        .agg(
+            F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(-1)).alias(
+                "n"
+            )
+        )
+        .filter("n > 0")
+    )
+    live = sorted(r["id"] for r in net.collect())
+    assert live == [i for i in range(20) if i != 3]
