@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 
 from .log import AddFile, DeltaLog, SnapshotState
 from .reader import read_files
-from .stats import Predicate, prune_files
+from .stats import Predicate, prune_files_auto
 from .writer import (
     commit_rewrite,
     file_fingerprint,
@@ -135,7 +135,7 @@ def delete(spark: SparkSession, table_path: str, where) -> dict:
     table_path = os.path.abspath(table_path)
     snap = DeltaLog(table_path).snapshot()
     preds, cond, fully_parsed = _normalize_where(where)
-    candidates = prune_files(snap, preds) if preds else list(snap.files)
+    candidates = prune_files_auto(spark, snap, preds) if preds else list(snap.files)
     if not candidates:
         return {"files_removed": 0, "files_added": 0, "rows_deleted": 0}
 
@@ -212,7 +212,7 @@ def delete_mor(spark: SparkSession, table_path: str, where) -> dict:
     table_path = os.path.abspath(table_path)
     snap = DeltaLog(table_path).snapshot()
     preds, cond, _fully_parsed = _normalize_where(where)
-    candidates = prune_files(snap, preds) if preds else list(snap.files)
+    candidates = prune_files_auto(spark, snap, preds) if preds else list(snap.files)
     if not candidates:
         return {"files_removed": 0, "files_added": 0, "rows_deleted": 0}
 
@@ -421,7 +421,7 @@ def update(
     table_path = os.path.abspath(table_path)
     snap = DeltaLog(table_path).snapshot()
     preds, cond, _ = _normalize_where(where) if where is not None else ([], F.lit(True), True)
-    candidates = prune_files(snap, preds) if preds else list(snap.files)
+    candidates = prune_files_auto(spark, snap, preds) if preds else list(snap.files)
     if not candidates:
         return {"files_removed": 0, "files_added": 0}
 
@@ -516,7 +516,7 @@ def update_mor(
     preds, cond, _ = (
         _normalize_where(where) if where is not None else ([], F.lit(True), True)
     )
-    candidates = prune_files(snap, preds) if preds else list(snap.files)
+    candidates = prune_files_auto(spark, snap, preds) if preds else list(snap.files)
     if not candidates:
         return {"files_removed": 0, "files_added": 0, "rows_updated": 0}
 
@@ -1527,7 +1527,7 @@ def compact(
                 cols = None
             if cols:
                 zorder_by = list(cols)
-    files = prune_files(snap, predicates) if predicates else list(snap.files)
+    files = prune_files_auto(spark, snap, predicates) if predicates else list(snap.files)
 
     groups: dict[tuple, list[AddFile]] = {}
     for f in files:
@@ -1893,7 +1893,7 @@ def _physical_readd(f: AddFile, l2p) -> dict:
         return {l2p.get(k, k): v for k, v in d.items()}
 
     add = {
-        "path": quote(f.path, safe="/"),
+        "path": quote(f.path, safe="/="),
         "partitionValues": _phys(f.partition_values) or {},
         "size": f.size,
         "modificationTime": f.modification_time,

@@ -82,6 +82,19 @@ class LocalFS:
             for batch in pf.iter_batches(columns=cols):
                 yield from batch.to_pylist()
 
+    def read_checkpoint_batches(self, paths: list[str], columns: list[str]):
+        """Yield pyarrow RecordBatches of checkpoint actions — the
+        COLUMNAR fast path: log.py folds the dense `add` column via
+        per-field array extraction instead of per-row nested dicts
+        (to_pylist was ~10x the cost of the columnar fold at 10^6 adds,
+        tools/meta_scale.py)."""
+        import pyarrow.parquet as pq
+
+        for p in paths:
+            pf = pq.ParquetFile(strip_file_scheme(p))
+            cols = [c for c in columns if c in pf.schema_arrow.names]
+            yield from pf.iter_batches(columns=cols)
+
 
 class HadoopFS:
     """Hadoop FileSystem via the Spark JVM — any configured scheme."""

@@ -58,16 +58,40 @@ def _join(*parts: str) -> str:
 
 @dataclass(frozen=True)
 class AddFile:
-    """A live data file in a snapshot (Delta `add` action)."""
+    """A live data file in a snapshot (Delta `add` action).
+
+    `stats_raw` holds the stats JSON *unparsed* (string) straight from the
+    log; `.stats` parses lazily on first touch and caches. At 10^6 files
+    eager parsing was ~40% of replay wall-time and most of the driver RSS
+    (measured, tools/meta_scale.py) — a partition-pruned scan never needs
+    the data-column stats of the files it skips."""
 
     path: str  # relative to the table root (URL-decoded)
     partition_values: dict[str, str | None]
     size: int
     modification_time: int
-    stats: dict | None = None  # parsed stats JSON: numRecords/minValues/maxValues/nullCount
+    stats_raw: str | dict | None = None  # raw stats JSON (or pre-parsed dict)
     deletion_vector: dict | None = None  # DV descriptor (deletionVectors feature)
     base_row_id: int | None = None  # rowTracking: first fresh row id of the file
     default_row_commit_version: int | None = None  # rowTracking
+
+    @property
+    def stats(self) -> dict | None:
+        """Parsed stats (numRecords/minValues/maxValues/nullCount), lazily
+        decoded from stats_raw and cached per instance."""
+        d = self.__dict__
+        if "_stats_cache" not in d:
+            object.__setattr__(self, "_stats_cache", _parse_stats(self.stats_raw))
+        return d["_stats_cache"]
+
+    def stats_json(self) -> str | None:
+        """Stats as a compact JSON string — zero-parse passthrough when
+        replay kept the original log text (checkpoint writes, distributed
+        pruning)."""
+        raw = self.stats_raw
+        if raw is None or isinstance(raw, str):
+            return raw or None
+        return json.dumps(raw, separators=(",", ":"))
 
 
 @dataclass
@@ -187,6 +211,8 @@ def _parse_stats(raw) -> dict | None:
 
 
 def _decode_path(p: str) -> str:
+    if "%" not in p:  # overwhelmingly common; unquote costs ~4.5s/10^6 paths
+        return p
     from urllib.parse import unquote
 
     return unquote(p)
@@ -213,7 +239,7 @@ def _apply_action(acc: _ReplayAccumulator, action: dict) -> None:
             partition_values=pv,
             size=int(a.get("size", 0)),
             modification_time=int(a.get("modificationTime", 0)),
-            stats=_parse_stats(a.get("stats")),
+            stats_raw=a.get("stats") or None,
             deletion_vector=a.get("deletionVector") or None,
             base_row_id=(
                 int(a["baseRowId"]) if a.get("baseRowId") is not None else None
@@ -244,17 +270,83 @@ def _apply_action(acc: _ReplayAccumulator, action: dict) -> None:
     # commitInfo / cdc are no-ops for snapshot state
 
 
+def _fold_checkpoint_batch(batch, acc: _ReplayAccumulator) -> None:
+    """Fold one pyarrow RecordBatch of checkpoint actions, columnar.
+
+    Rare action columns (metaData/protocol/txn/remove/domainMetadata) are
+    drop_null()'d then folded row-wise; the dense `add` column is unpacked
+    FIELD-WISE (one to_pylist per subcolumn of flat type) instead of one
+    nested dict per row — the difference between O(rows x schema-width)
+    Python dict churn and a handful of flat list conversions. Safe to
+    reorder across action kinds: a checkpoint is reconciled, so one path
+    appears in at most one action."""
+    names = batch.schema.names
+    for col in ("metaData", "protocol", "txn", "domainMetadata", "remove"):
+        if col not in names:
+            continue
+        arr = batch.column(names.index(col))
+        if arr.null_count == len(arr):
+            continue
+        for v in arr.drop_null().to_pylist():
+            _apply_action(acc, {col: v})
+    if "add" not in names:
+        return
+    arr = batch.column(names.index("add"))
+    if arr.null_count == len(arr):
+        return
+    valid = arr.drop_null()
+    sub = {f.name for f in valid.type}
+
+    def _field(name, default=None):
+        if name in sub:
+            return valid.field(name).to_pylist()
+        return [default] * len(valid)
+
+    paths = _field("path")
+    pvs = _field("partitionValues")
+    sizes = _field("size")
+    mts = _field("modificationTime")
+    stats = _field("stats")
+    dvs = _field("deletionVector")
+    brs = _field("baseRowId")
+    dcvs = _field("defaultRowCommitVersion")
+    adds, removed = acc.adds, acc.removed
+    for i in range(len(paths)):
+        path = _decode_path(paths[i])
+        removed.discard(path)
+        pv = pvs[i] or {}
+        if isinstance(pv, list):  # pyarrow map type -> [(k, v), ...]
+            pv = dict(pv)
+        adds[path] = AddFile(
+            path=path,
+            partition_values=pv,
+            size=int(sizes[i] or 0),
+            modification_time=int(mts[i] or 0),
+            stats_raw=stats[i] or None,
+            deletion_vector=dvs[i] or None,
+            base_row_id=int(brs[i]) if brs[i] is not None else None,
+            default_row_commit_version=(
+                int(dcvs[i]) if dcvs[i] is not None else None
+            ),
+        )
+
+
 def _read_checkpoint(fs, log_dir: str, parts: list[str], acc: _ReplayAccumulator) -> None:
     """Fold a (possibly multi-part) Parquet checkpoint into the accumulator.
 
     Checkpoint rows have one non-null column among add/remove/metaData/
-    protocol/txn. Local: pyarrow record batches (bounded memory); remote:
-    read through Spark (see fs.HadoopFS.read_checkpoint_rows).
+    protocol/txn. Local: pyarrow record batches folded COLUMNAR (bounded
+    memory, no per-row dicts for the dense add column); remote: read
+    through Spark (see fs.HadoopFS.read_checkpoint_rows).
     """
     paths = [_join(log_dir, part) for part in parts]
-    for row in fs.read_checkpoint_rows(
-        paths, ["add", "remove", "metaData", "protocol", "txn", "domainMetadata"]
-    ):
+    cols = ["add", "remove", "metaData", "protocol", "txn", "domainMetadata"]
+    reader = getattr(fs, "read_checkpoint_batches", None)
+    if reader is not None:
+        for batch in reader(paths, cols):
+            _fold_checkpoint_batch(batch, acc)
+        return
+    for row in fs.read_checkpoint_rows(paths, cols):
         action = {k: v for k, v in row.items() if v is not None}
         if action:
             _apply_action(acc, action)
@@ -505,7 +597,7 @@ class DeltaLog:
                     partition_values=_remap(f.partition_values) or {},
                     size=f.size,
                     modification_time=f.modification_time,
-                    stats=stats,
+                    stats_raw=stats,
                     deletion_vector=f.deletion_vector,
                     base_row_id=f.base_row_id,
                     default_row_commit_version=f.default_row_commit_version,

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .log import AddFile, SnapshotState, typed_partition_values
-from .stats import Predicate, prune_files
+from .stats import Predicate, prune_files_auto
 
 
 def _join_path(base: str, rel: str) -> str:
@@ -75,9 +75,15 @@ def read_snapshot(
 
     `predicates` prune files driver-side (partition values + stats); they are
     NOT applied row-level here — pass the same condition to `.filter()` (or
-    use `DeltaTable.to_df(where=...)`) for exact semantics.
+    use `DeltaTable.to_df(where=...)`) for exact semantics. Past
+    `stats.distributed_prune_threshold()` files the predicate evaluation
+    itself runs as a Spark job over the file metadata
+    (prune_files_distributed) so million-file tables have no
+    O(files × predicates) driver loop.
     """
-    return read_files(spark, snapshot, prune_files(snapshot, predicates), columns)
+    return read_files(
+        spark, snapshot, prune_files_auto(spark, snapshot, predicates), columns
+    )
 
 
 def _physical_rename(dt: T.DataType) -> T.DataType:

@@ -249,6 +249,186 @@ def _derive_generated_preds(
     return extra
 
 
+class UnsupportedDistributedPrune(Exception):
+    """A predicate this engine can only evaluate driver-side (exotic
+    column type / non-identifier column name) — callers fall back to the
+    Python prune loop."""
+
+
+# column types whose string->type Spark cast provably agrees with
+# cast_partition_value / _coerce on well-formed Delta metadata values
+_SAFE_PRUNE_TYPES = (
+    T.StringType,
+    T.IntegerType,
+    T.LongType,
+    T.ShortType,
+    T.ByteType,
+    T.DoubleType,
+    T.FloatType,
+    T.BooleanType,
+    T.DateType,
+    T.TimestampType,
+    T.TimestampNTZType,
+    T.DecimalType,
+)
+
+_IDENT_RE = _re.compile(r"[A-Za-z0-9_]+")
+
+
+def distributed_prune_threshold() -> int:
+    """File count above which read_snapshot routes pruning through Spark
+    instead of the driver-side Python loop (env-tunable; the Python loop
+    is faster below ~1e5 files because it skips a job round-trip)."""
+    import os
+
+    return int(os.environ.get("ADLS_DISTRIBUTED_PRUNE_FILES", "100000"))
+
+
+def prune_files_auto(
+    spark, snapshot: SnapshotState, predicates: Iterable[Predicate] | None
+) -> list[AddFile]:
+    """prune_files, routed through the DISTRIBUTED path when the file
+    count crosses distributed_prune_threshold() — the metadata-plane
+    scale valve: a million-file table evaluates its predicate matrix as
+    one vectorized Spark filter over the file-metadata DataFrame instead
+    of an O(files × predicates) driver loop. Falls back to the Python
+    loop for predicate shapes the Spark path cannot express exactly."""
+    preds = list(predicates or [])
+    if (
+        spark is not None
+        and preds
+        and len(snapshot.files) >= distributed_prune_threshold()
+    ):
+        try:
+            return prune_files_distributed(spark, snapshot, preds)
+        except UnsupportedDistributedPrune:
+            pass
+    return prune_files(snapshot, preds)
+
+
+def _part_match_expr(pv, dt: T.DataType, op: str, val):
+    """Spark expression mirroring _file_matches_partition (EXACT 3VL)."""
+    from pyspark.sql import functions as F
+
+    if op == "in":
+        vals = [v for v in (_coerce(x, dt) for x in val) if v is not None]
+        if not vals:
+            return F.lit(False)
+        return F.coalesce(pv.isin(vals), F.lit(False))
+    cv = _coerce(val, dt)
+    if cv is None:
+        return pv.isNull() if op in {"=", "=="} else F.lit(False)
+    lit = F.lit(cv)
+    core = {
+        "=": pv == lit,
+        "==": pv == lit,
+        "!=": pv != lit,
+        "<": pv < lit,
+        "<=": pv <= lit,
+        ">": pv > lit,
+        ">=": pv >= lit,
+    }[op]
+    return F.coalesce(core, F.lit(False))
+
+
+def _stats_match_expr(stats_col, col: str, dt: T.DataType, op: str, val):
+    """Spark expression mirroring _file_matches_stats (CONSERVATIVE:
+    missing/unparseable stats keep the file)."""
+    from pyspark.sql import functions as F
+
+    mn = F.get_json_object(stats_col, f"$.minValues.{col}").cast(dt)
+    mx = F.get_json_object(stats_col, f"$.maxValues.{col}").cast(dt)
+    no_stats = mn.isNull() | mx.isNull()
+    if op == "in":
+        vals = [v for v in (_coerce(x, dt) for x in val) if v is not None]
+        inner = F.lit(False)
+        for v in vals:
+            inner = inner | ((mn <= F.lit(v)) & (F.lit(v) <= mx))
+        return F.when(no_stats, F.lit(True)).otherwise(
+            F.coalesce(inner, F.lit(False))
+        )
+    cv = _coerce(val, dt)
+    if cv is None or op == "!=":
+        return F.lit(True)
+    lit = F.lit(cv)
+    core = {
+        "=": (mn <= lit) & (lit <= mx),
+        "==": (mn <= lit) & (lit <= mx),
+        "<": mn < lit,
+        "<=": mn <= lit,
+        ">": mx > lit,
+        ">=": mx >= lit,
+    }[op]
+    return F.when(no_stats, F.lit(True)).otherwise(
+        F.coalesce(core, F.lit(True))
+    )
+
+
+def prune_files_distributed(
+    spark, snapshot: SnapshotState, predicates: Iterable[Predicate] | None
+) -> list[AddFile]:
+    """prune_files evaluated as ONE Spark filter over a file-metadata
+    DataFrame (arrow-built from the snapshot: index, predicate-relevant
+    partition-value strings, raw stats JSON) — same answers as the Python
+    loop (equality-tested), but the per-file predicate work runs
+    vectorized across executors and only SURVIVOR indexes return to the
+    driver. This is the prune half of the metadata-plane scale story; the
+    replay half stays pyarrow-batched in log.py."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    preds: Sequence[Predicate] = list(predicates or [])
+    preds = preds + _derive_generated_preds(snapshot, preds)
+    for col, op, _ in preds:
+        if op not in _OPS:
+            raise ValueError(f"unsupported predicate op: {op!r}")
+    if not preds or not snapshot.files:
+        return snapshot.files
+    schema_types = {f.name: f.dataType for f in snapshot.schema.fields}
+    part_cols = set(snapshot.partition_columns)
+    live = [(c, op, v) for c, op, v in preds if c in schema_types]
+    for col, _, _ in live:
+        dt = schema_types[col]
+        if not isinstance(dt, _SAFE_PRUNE_TYPES) or not _IDENT_RE.fullmatch(col):
+            raise UnsupportedDistributedPrune(col)
+    if not live:
+        return snapshot.files
+
+    files = snapshot.files
+    need_pv = sorted({c for c, _, _ in live if c in part_cols})
+    need_stats = any(c not in part_cols for c, _, _ in live)
+    data: dict[str, list] = {"_idx": list(range(len(files)))}
+    fields = [T.StructField("_idx", T.LongType(), False)]
+    for c in need_pv:
+        data[f"_pv_{c}"] = [
+            None
+            if (raw := f.partition_values.get(c)) is None
+            or raw == "__HIVE_DEFAULT_PARTITION__"
+            else raw
+            for f in files
+        ]
+        fields.append(T.StructField(f"_pv_{c}", T.StringType(), True))
+    if need_stats:
+        # raw log text straight through — the driver never parses stats
+        # here; get_json_object extracts min/max executor-side
+        data["_stats"] = [f.stats_json() for f in files]
+        fields.append(T.StructField("_stats", T.StringType(), True))
+    meta = spark.createDataFrame(pd.DataFrame(data), T.StructType(fields))
+    cond = F.lit(True)
+    for col, op, val in live:
+        dt = schema_types[col]
+        if col in part_cols:
+            cond = cond & _part_match_expr(
+                F.col(f"_pv_{col}").cast(dt), dt, op, val
+            )
+        else:
+            cond = cond & _stats_match_expr(F.col("_stats"), col, dt, op, val)
+    keep = sorted(
+        r["_idx"] for r in meta.filter(cond).select("_idx").collect()
+    )
+    return [files[i] for i in keep]
+
+
 def prune_files(
     snapshot: SnapshotState, predicates: Iterable[Predicate] | None
 ) -> list[AddFile]:

@@ -14,7 +14,7 @@ from pyspark.sql import types as T
 
 from .log import DeltaLog, SnapshotState
 from .reader import read_snapshot
-from .stats import Predicate, prune_files
+from .stats import Predicate, prune_files_auto
 from .writer import write_checkpoint, write_delta
 
 
@@ -82,7 +82,7 @@ class DeltaTable:
     def pruned_files(
         self, predicates: list[Predicate] | None = None, version: int | None = None
     ):
-        return prune_files(self.snapshot(version), predicates)
+        return prune_files_auto(self.spark, self.snapshot(version), predicates)
 
     # -- scan (reference: readWithConstraint, DeltaRecordHandler.scala:116-155)
     def to_df(
@@ -158,12 +158,12 @@ class DeltaTable:
             preds = _parse_where(where)
             if not preds or not _partition_only(preds, snap):
                 return self.to_df(version=version, where=where).count()
-            files = prune_files(snap, preds)
+            files = prune_files_auto(self.spark, snap, preds)
         elif where:
             preds = list(where)
             if not _partition_only(preds, snap):
                 return self.to_df(version=version, where=where).count()
-            files = prune_files(snap, preds)
+            files = prune_files_auto(self.spark, snap, preds)
         else:
             files = snap.files
         total = 0
@@ -355,7 +355,7 @@ class DeltaTable:
             preds = list(where)
             if not _partition_only(preds, snap):
                 return _scan()
-        files = prune_files(snap, preds) if preds else snap.files
+        files = prune_files_auto(self.spark, snap, preds) if preds else snap.files
         if not files:
             return (None, None)
         dt = snap.schema[col].dataType

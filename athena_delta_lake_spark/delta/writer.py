@@ -447,7 +447,7 @@ def stage_data_files(
             from urllib.parse import quote
 
             add = {
-                "path": quote(rel_path.replace(os.sep, "/"), safe="/"),
+                "path": quote(rel_path.replace(os.sep, "/"), safe="/="),
                 "partitionValues": _partition_values_from_relpath(
                     rel_path.replace(os.sep, "/"), partition_by
                 ),
@@ -524,7 +524,7 @@ def stage_cdc_files(
             cdcs.append(
                 {
                     "cdc": {
-                        "path": quote(rel_path.replace(os.sep, "/"), safe="/"),
+                        "path": quote(rel_path.replace(os.sep, "/"), safe="/="),
                         "partitionValues": _partition_values_from_relpath(
                             (
                                 os.path.join(rel_dir, fname) if rel_dir else fname
@@ -607,7 +607,7 @@ def commit_rewrite(
                     # physical names); the log stores percent-encoded paths
                     # (replay unquotes, log.py:_decode_path) — without this
                     # a remove of e.g. `grp=a%3Db/...` would silently miss
-                    "path": quote(p, safe="/"),
+                    "path": quote(p, safe="/="),
                     "deletionTimestamp": now,
                     "dataChange": data_change,
                 }
@@ -1206,7 +1206,7 @@ def write_delta(
         from pyspark.sql import functions as F
 
         from .dml import _normalize_where, _partition_only, _read_cow
-        from .stats import prune_files
+        from .stats import prune_files_auto
 
         preds, rw_cond, fully_parsed = _normalize_where(replace_where)
         # incoming rows must satisfy the predicate even on a table's FIRST
@@ -1221,7 +1221,11 @@ def write_delta(
                 f"satisfy the predicate {replace_where!r}"
             )
     if replace_where is not None and prior is not None:
-        rw_candidates = prune_files(prior, preds) if preds else list(prior.files)
+        rw_candidates = (
+            prune_files_auto(df.sparkSession, prior, preds)
+            if preds
+            else list(prior.files)
+        )
         if rw_candidates and not (fully_parsed and _partition_only(preds, prior)):
             # boundary files may hold rows OUTSIDE the predicate: rewrite
             # them keeping only the non-matching rows (NULL predicate
@@ -1382,7 +1386,7 @@ def write_delta(
                 {
                     "remove": {
                         # f.path is URL-decoded; the log stores encoded paths
-                        "path": quote(f.path, safe="/"),
+                        "path": quote(f.path, safe="/="),
                         "deletionTimestamp": now,
                         "dataChange": True,
                     }
@@ -1819,14 +1823,23 @@ def write_checkpoint(
         return {cp_l2p.get(k, k): v for k, v in d.items()}
 
     for f in snap.files:
-        stats = f.stats
-        if stats and cp_l2p:
-            stats = {
-                **stats,
-                "minValues": _phys_keys(stats.get("minValues")),
-                "maxValues": _phys_keys(stats.get("maxValues")),
-                "nullCount": _phys_keys(stats.get("nullCount")),
-            }
+        if cp_l2p:
+            stats = f.stats
+            if stats:
+                stats = {
+                    **stats,
+                    "minValues": _phys_keys(stats.get("minValues")),
+                    "maxValues": _phys_keys(stats.get("maxValues")),
+                    "nullCount": _phys_keys(stats.get("nullCount")),
+                }
+            stats_str = (
+                json.dumps(stats, separators=(",", ":")) if stats else None
+            )
+        else:
+            # zero-parse passthrough of the raw log text (the common,
+            # unmapped case — at 10^6 adds parse+re-dump dominated the
+            # checkpoint write, tools/meta_scale.py)
+            stats_str = f.stats_json()
         rows.append(
             {
                 "protocol": None,
@@ -1836,14 +1849,12 @@ def write_checkpoint(
                     # snapshot paths are URL-decoded; checkpoints store the
                     # same percent-encoded form as commit JSONs (replay
                     # unquotes both identically)
-                    "path": _quote(f.path, safe="/"),
+                    "path": _quote(f.path, safe="/="),
                     "partitionValues": _phys_keys(f.partition_values) or {},
                     "size": f.size,
                     "modificationTime": f.modification_time,
                     "dataChange": False,
-                    "stats": json.dumps(stats, separators=(",", ":"))
-                    if stats
-                    else None,
+                    "stats": stats_str,
                     "deletionVector": f.deletion_vector,
                     "baseRowId": f.base_row_id,
                     "defaultRowCommitVersion": f.default_row_commit_version,
@@ -2060,7 +2071,7 @@ def convert_to_delta(
     for rel in sorted(rel_files):
         full = os.path.join(table_path, rel)
         add = {
-            "path": quote(rel, safe="/"),
+            "path": quote(rel, safe="/="),
             "partitionValues": _partition_values_from_relpath(rel, partition_by),
             "size": os.path.getsize(full),
             "modificationTime": int(os.path.getmtime(full) * 1000),
@@ -2285,7 +2296,7 @@ def clone_table(
         adds.append(
             {
                 "add": {
-                    "path": quote(path, safe="/"),
+                    "path": quote(path, safe="/="),
                     "partitionValues": _phys(f.partition_values) or {},
                     "size": f.size,
                     "modificationTime": f.modification_time,
@@ -2566,7 +2577,7 @@ def enable_row_tracking(table_path: str) -> int:
         backfill.append(
             {
                 "add": {
-                    "path": quote(f.path, safe="/"),
+                    "path": quote(f.path, safe="/="),
                     "partitionValues": _phys(f.partition_values) or {},
                     "size": f.size,
                     "modificationTime": f.modification_time,

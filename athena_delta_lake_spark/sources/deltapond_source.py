@@ -323,12 +323,37 @@ class DeltaPondStreamReader(DataSourceStreamReader):
                 if f.name not in ("_change_type", "_commit_version")
             ]
         )
-        # admission control (Delta's maxFilesPerTrigger analog): cap how
-        # many commits one microbatch consumes, so a backfill from an old
-        # startingVersion proceeds in bounded increments instead of one
-        # giant first batch
+        # admission control: cap what one microbatch consumes, so a
+        # backfill from an old startingVersion (or one giant backfill
+        # commit) proceeds in bounded increments instead of one unbounded
+        # first batch.
+        #   maxCommitsPerTrigger — whole commits per batch
+        #   maxFilesPerTrigger / maxBytesPerTrigger — Delta parity: add-
+        #     file / byte caps that SPLIT a large commit across batches
+        #     (offset = {"version": v, "index": files-of-v-consumed};
+        #     file order within a commit is the stable action order of
+        #     the commit JSON, so restarts mid-commit replay exactly-once)
         mcpt = options.get("maxCommitsPerTrigger")
         self._max_commits = int(mcpt) if mcpt is not None else None
+        mfpt = options.get("maxFilesPerTrigger")
+        self._max_files = int(mfpt) if mfpt is not None else None
+        mbpt = options.get("maxBytesPerTrigger")
+        self._max_bytes = int(mbpt) if mbpt is not None else None
+        self._add_sizes_cache: dict[int, list[int]] = {}
+        # Trigger.AvailableNow interop: the engine captures ONE
+        # latestOffset() (before initialOffset) as the terminal target and
+        # never asks again — the Python DataSource API (Spark 4.1) exposes
+        # no ReadLimit/prepareForTriggerAvailableNow hook, so per-batch
+        # caps CANNOT bound an engine-driven availableNow drain. Set
+        # availableNow=true alongside .trigger(availableNow=True) to
+        # bypass the caps for that run (whole backlog, one batch, clean
+        # self-termination). For BOUNDED catch-up with caps, run repeated
+        # once-triggers against a checkpoint instead — each run consumes
+        # one capped batch exactly-once (tests/test_deltapond_source.py::
+        # test_stream_source_bounded_catchup_via_once_triggers).
+        self._available_now = (
+            str(options.get("availableNow", "false")).lower() == "true"
+        )
         # schema-change safety: a mid-stream metaData action whose schema
         # diverges from the one this stream reads with FAILS the stream
         # (silent NULL-fill was the round-4 wrong-answer risk). Columns
@@ -337,11 +362,13 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         self._allow_addition = (
             str(options.get("allowColumnAddition", "false")).lower() == "true"
         )
-        # highest version this reader KNOWS the engine has reached (from
-        # initialOffset/partitions/commit). None after a checkpoint restart
-        # until the engine tells us — then the cap is skipped for one
-        # trigger rather than ever moving an offset backward.
-        self._position: int | None = None
+        # furthest offset this reader KNOWS the engine has reached (from
+        # initialOffset/partitions/commit), as (version, files_consumed)
+        # with files_consumed=None meaning "version fully consumed". None
+        # after a checkpoint restart until the engine tells us — then the
+        # cap is skipped for one trigger rather than ever moving an
+        # offset backward.
+        self._position: tuple[int, int | None] | None = None
 
     def _trace(self, msg: str) -> None:
         import os as _os
@@ -350,21 +377,61 @@ class DeltaPondStreamReader(DataSourceStreamReader):
             with open("/tmp/dp_calls.log", "a") as f:
                 f.write(f"pid={_os.getpid()} id={id(self)} {msg}\n")
 
-    def _advance(self, v: int) -> None:
-        self._position = v if self._position is None else max(self._position, v)
+    @staticmethod
+    def _off_key(pos: tuple[int, int | None]) -> tuple[int, float]:
+        v, i = pos
+        return (v, float("inf") if i is None else i)
+
+    @staticmethod
+    def _parse_offset(off: dict) -> tuple[int, int | None]:
+        return (int(off["version"]), None) if "index" not in off else (
+            int(off["version"]),
+            int(off["index"]),
+        )
+
+    @staticmethod
+    def _to_offset(pos: tuple[int, int | None]) -> dict:
+        v, i = pos
+        return {"version": v} if i is None else {"version": v, "index": i}
+
+    def _advance(self, pos: tuple[int, int | None]) -> None:
+        if self._position is None or self._off_key(pos) > self._off_key(
+            self._position
+        ):
+            self._position = pos
+
+    def _commit_add_sizes(self, log: DeltaLog, v: int) -> list[int]:
+        """Sizes of commit v's dataChange add files, in the STABLE action
+        order of the commit JSON — the unit the file/byte caps admit.
+        Tiny per-trigger cache; pruned so it never outlives the window."""
+        if v not in self._add_sizes_cache:
+            if len(self._add_sizes_cache) > 64:
+                self._add_sizes_cache.clear()
+            self._add_sizes_cache[v] = [
+                int(a["add"].get("size", 0))
+                for a in log.commit_actions(v)
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+        return self._add_sizes_cache[v]
 
     def initialOffset(self) -> dict:
         if self._starting == "latest":
             v = DeltaLog(self._path).latest_version()
         else:
             v = int(self._starting) - 1
-        self._advance(v)
+        self._advance((v, None))
         self._trace(f"initialOffset -> {v}")
         return {"version": v}
 
     def latestOffset(self) -> dict:
-        latest = DeltaLog(self._path).latest_version()
-        if self._max_commits is None:
+        log = DeltaLog(self._path)
+        latest = log.latest_version()
+        capped = (
+            self._max_commits is not None
+            or self._max_files is not None
+            or self._max_bytes is not None
+        ) and not self._available_now
+        if not capped:
             return {"version": latest}
         if self._position is None:
             # First call of a FRESH start (this API gives latestOffset no
@@ -379,12 +446,67 @@ class DeltaPondStreamReader(DataSourceStreamReader):
                 if self._starting == "latest"
                 else int(self._starting) - 1
             )
-            self._advance(floor)
+            self._advance((floor, None))
             self._trace(f"latestOffset floor -> {floor}")
             return {"version": floor}
-        out = min(latest, self._position + self._max_commits)
-        self._trace(f"latestOffset capped pos={self._position} -> {out}")
-        return {"version": out}
+        v0, i0 = self._position
+        max_v = latest
+        if self._max_commits is not None:
+            # a partially-consumed commit counts toward the commit budget
+            max_v = min(latest, v0 + self._max_commits - (1 if i0 is not None else 0))
+            max_v = max(max_v, v0)  # never move backward
+        if self._max_files is None and self._max_bytes is None:
+            out = (max_v, None) if max_v > v0 else (v0, i0)
+            self._trace(f"latestOffset capped pos={self._position} -> {out}")
+            return self._to_offset(out)
+        # file/byte admission: walk add lists in order, splitting a large
+        # commit at the cap. Always admit at least one file per trigger
+        # (a single file bigger than maxBytes still makes progress). In
+        # CDF mode commits are never split (one commit's changes are
+        # derived as a unit) — caps bound how MANY commits are admitted.
+        files = 0
+        bytes_ = 0
+        end = (v0, i0)
+        start_v = v0 if i0 is not None else v0 + 1
+        for v in range(start_v, max_v + 1):
+            sizes = self._commit_add_sizes(log, v)
+            skip = i0 if (v == v0 and i0 is not None) else 0
+            pending = sizes[skip:]
+            if self._cdf:
+                if files > 0 and (
+                    (self._max_files is not None and files + len(pending) > self._max_files)
+                    or (self._max_bytes is not None and bytes_ + sum(pending) > self._max_bytes)
+                ):
+                    break
+                files += len(pending)
+                bytes_ += sum(pending)
+                end = (v, None)
+                if (self._max_files is not None and files >= self._max_files) or (
+                    self._max_bytes is not None and bytes_ >= self._max_bytes
+                ):
+                    break
+                continue
+            taken = 0
+            for sz in pending:
+                if files > 0 and (
+                    (self._max_files is not None and files >= self._max_files)
+                    or (self._max_bytes is not None and bytes_ >= self._max_bytes)
+                ):
+                    break
+                files += 1
+                bytes_ += sz
+                taken += 1
+            if taken == len(pending):
+                end = (v, None)
+            else:
+                end = (v, skip + taken)
+                break
+            if (self._max_files is not None and files >= self._max_files) or (
+                self._max_bytes is not None and bytes_ >= self._max_bytes
+            ):
+                break
+        self._trace(f"latestOffset capped pos={self._position} -> {end}")
+        return self._to_offset(end)
 
     def _check_schema_change(self, md: dict, v: int) -> None:
         """Fail fast (with a restart message) when commit v's metaData
@@ -428,49 +550,61 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         )
 
     def partitions(self, start: dict, end: dict):
-        self._advance(int(end["version"]))
+        sv, si = self._parse_offset(start)
+        ev, ei = self._parse_offset(end)
+        self._advance((ev, ei))
         log = DeltaLog(self._path)
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+        # versions this batch touches: a partially-consumed start version
+        # is re-entered (from its recorded file index); a partial end
+        # version is entered up to its index
+        first_v = sv if si is not None else sv + 1
+        for v in range(first_v, ev + 1):
             for action in log.commit_actions(v):
                 if "metaData" in action:
                     self._check_schema_change(action["metaData"], v)
         if self._cdf:
-            return self._cdf_partitions(
-                log, int(start["version"]) + 1, int(end["version"])
-            )
+            return self._cdf_partitions(log, first_v, ev)
         # column mapping: raw add actions key partitionValues physically
         p2l = {
             (f.metadata or {}).get("delta.columnMapping.physicalName", f.name): f.name
             for f in self._schema.fields
         }
         parts = []
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+        for v in range(first_v, ev + 1):
+            adds = []
             for action in log.commit_actions(v):
                 if "add" in action:
                     a = action["add"]
                     if a.get("dataChange", True):
-                        from ..delta.log import _decode_path
-
-                        pv = {
-                            p2l.get(k, k): val
-                            for k, val in (a.get("partitionValues") or {}).items()
-                        }
-                        parts.append(
-                            DeltaScanPartition(
-                                file_path=os.path.join(
-                                    self._path, _decode_path(a["path"])
-                                ),
-                                partition_values=dict(pv),
-                                dv=a.get("deletionVector") or None,
-                                table_path=self._path,
-                            )
-                        )
+                        adds.append(a)
                 elif "remove" in action and not self._ignore_changes:
                     if action["remove"].get("dataChange", True):
                         raise RuntimeError(
                             f"commit {v} rewrites/deletes data; set "
                             "ignoreChanges or ignoreDeletes to stream past it"
                         )
+            # slice the stable-ordered add list to this batch's window
+            # (exactly-once across restarts: the same offsets always
+            # reproduce the same slice)
+            lo = si if (v == sv and si is not None) else 0
+            hi = ei if (v == ev and ei is not None) else len(adds)
+            for a in adds[lo:hi]:
+                from ..delta.log import _decode_path
+
+                pv = {
+                    p2l.get(k, k): val
+                    for k, val in (a.get("partitionValues") or {}).items()
+                }
+                parts.append(
+                    DeltaScanPartition(
+                        file_path=os.path.join(
+                            self._path, _decode_path(a["path"])
+                        ),
+                        partition_values=dict(pv),
+                        dv=a.get("deletionVector") or None,
+                        table_path=self._path,
+                    )
+                )
         return parts
 
     def _cdf_partitions(self, log, lo: int, hi: int):
@@ -616,7 +750,7 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        self._advance(int(end["version"]))
+        self._advance(self._parse_offset(end))
 
 
 # --------------------------------------------------------------- write path
@@ -715,7 +849,7 @@ def _write_task_files(
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         pq.write_table(part, dst, compression="snappy")
         add = {
-            "path": quote(rel_path, safe="/"),
+            "path": quote(rel_path, safe="/="),
             "partitionValues": {
                 c: (None if combo[c] is None else str(combo[c]))
                 for c in partition_by
@@ -801,7 +935,7 @@ def _commit_adds(
             actions.append(
                 {
                     "remove": {
-                        "path": quote(f.path, safe="/"),
+                        "path": quote(f.path, safe="/="),
                         "deletionTimestamp": now,
                         "dataChange": True,
                     }

@@ -430,3 +430,172 @@ def test_stream_backfill_across_historic_addition_ok(spark, tmp_path):
         for r in spark.sql("SELECT id, tag FROM sc_backfill_out").collect()
     }
     assert (100, "x") in rows and (0, None) in rows and len(rows) == 4
+
+
+def test_stream_source_max_files_splits_large_commit(spark, tmp_path):
+    """maxFilesPerTrigger SPLITS one giant backfill commit across
+    microbatches (offset = (version, file index)) — one commit no longer
+    equals one unbounded microbatch (round-6 ask #4)."""
+    src = str(tmp_path / "src")
+    # one commit with 12 files (repartition(12)), then a 3-file commit
+    write_delta(spark.range(120).selectExpr("id").repartition(12), src)
+    write_delta(
+        spark.range(120, 150).selectExpr("id").repartition(3), src
+    )
+    q = (
+        spark.readStream.format("deltapond")
+        .option("startingVersion", 0)
+        .option("maxFilesPerTrigger", 4)
+        .load(src)
+        .writeStream.format("memory")
+        .queryName("dp_maxfiles")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select id from dp_maxfiles")
+        assert got.count() == 150
+        assert got.distinct().count() == 150
+        # 15 files / 4 per trigger -> at least ceil(15/4)=4 non-empty
+        # batches (plus the empty floor batch)
+        assert q.lastProgress["batchId"] + 1 >= 4
+    finally:
+        q.stop()
+
+
+def test_stream_source_max_bytes_caps_batches(spark, tmp_path):
+    """maxBytesPerTrigger admits files until the byte budget is reached,
+    always making progress even when one file exceeds the budget."""
+    src = str(tmp_path / "src")
+    write_delta(spark.range(100).selectExpr("id").repartition(5), src)
+    q = (
+        spark.readStream.format("deltapond")
+        .option("startingVersion", 0)
+        .option("maxBytesPerTrigger", 1)  # < any single file
+        .load(src)
+        .writeStream.format("memory")
+        .queryName("dp_maxbytes")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select id from dp_maxbytes")
+        assert got.count() == 100
+        assert got.distinct().count() == 100
+        # 1-byte budget -> one file per batch -> >= 5 non-empty batches
+        assert q.lastProgress["batchId"] + 1 >= 5
+    finally:
+        q.stop()
+
+
+def test_stream_source_restart_mid_commit(spark, tmp_path):
+    """Checkpoint restart while PARTWAY through a split commit resumes at
+    the recorded (version, index) offset: no duplicates, no loss."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    cp = str(tmp_path / "cp")
+    write_delta(spark.range(80).selectExpr("id").repartition(8), src)
+
+    def start(stop_after_first_batch):
+        q = (
+            spark.readStream.format("deltapond")
+            .option("startingVersion", 0)
+            .option("maxFilesPerTrigger", 3)
+            .load(src)
+            .writeStream.format("deltapond")
+            .option("checkpointLocation", cp)
+            .start(sink)
+        )
+        if stop_after_first_batch:
+            import time
+
+            # wait for SOME progress, then stop mid-backlog
+            for _ in range(200):
+                lp = q.lastProgress
+                if lp is not None and lp["batchId"] >= 1:
+                    break
+                time.sleep(0.1)
+            q.stop()
+        return q
+
+    start(stop_after_first_batch=True)
+    mid = DeltaTable(spark, sink).to_df().count()
+    assert mid < 80  # genuinely stopped partway (3 files/batch of 8)
+    q = start(stop_after_first_batch=False)
+    q.processAllAvailable()
+    q.stop()
+    got = DeltaTable(spark, sink).to_df()
+    assert got.count() == 80
+    assert got.select("id").distinct().count() == 80
+
+
+def test_stream_source_available_now_drains_and_stops(spark, tmp_path):
+    """trigger(availableNow=True) + the availableNow=true source option:
+    the whole backlog drains and the query STOPS on its own. (The Spark
+    4.1 Python DataSource API exposes no ReadLimit hook, so per-batch
+    caps cannot bound an engine-driven availableNow run — the option
+    documents and implements the only correct interop: caps bypassed.)"""
+    src = str(tmp_path / "src")
+    for i in range(3):
+        write_delta(
+            spark.range(i * 40, (i + 1) * 40).selectExpr("id").repartition(4),
+            src,
+        )
+    q = (
+        spark.readStream.format("deltapond")
+        .option("startingVersion", 0)
+        .option("maxFilesPerTrigger", 4)
+        .option("availableNow", "true")
+        .load(src)
+        .writeStream.format("memory")
+        .queryName("dp_avnow")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive  # self-terminated
+    got = spark.sql("select id from dp_avnow")
+    assert got.count() == 120
+    assert got.distinct().count() == 120
+
+
+def test_stream_source_bounded_catchup_via_once_triggers(spark, tmp_path):
+    """AvailableNow-STYLE bounded catch-up that the Python DS API can
+    express: repeated once-triggers against one checkpoint. Each run
+    consumes at most maxFilesPerTrigger files (exactly-once via the
+    (version, index) offsets), terminates, and the backlog drains over
+    several runs."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    cp = str(tmp_path / "cp")
+    write_delta(spark.range(90).selectExpr("id").repartition(9), src)
+
+    counts = []
+    for _ in range(20):
+        q = (
+            spark.readStream.format("deltapond")
+            .option("startingVersion", 0)
+            .option("maxFilesPerTrigger", 3)
+            .load(src)
+            .writeStream.format("deltapond")
+            .option("checkpointLocation", cp)
+            .trigger(once=True)
+            .start(sink)
+        )
+        q.awaitTermination(120)
+        n = DeltaTable(spark, sink).to_df().count()
+        counts.append(n)
+        if n == 90:
+            break
+    assert counts[-1] == 90, counts
+    # each once-run advanced by at most the cap (3 of 9 files; round-
+    # robin repartition makes files ~10 rows, not exactly 10), never one
+    # unbounded batch
+    steps = [b - a for a, b in zip([0] + counts, counts)]
+    assert max(steps) <= 40, steps
+    assert len([s for s in steps if s > 0]) >= 3
+    got = DeltaTable(spark, sink).to_df()
+    assert got.select("id").distinct().count() == 90
