@@ -29,6 +29,19 @@ def _join(*parts: str) -> str:
     return "/".join(p.rstrip("/") for p in parts)
 
 
+def _parse_byte_conf(raw: str) -> int:
+    """Spark size-conf values: '10485760', '10m', '10MB', '1g', '-1'."""
+    s = str(raw).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("tb", 1 << 40), ("k", 1 << 10), ("m", 1 << 20),
+                      ("g", 1 << 30), ("t", 1 << 40), ("b", 1)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(float(s) * mult)
+
+
 class DeltaPond:
     """In-process catalog facade (reference entry point analogue,
     DeltaCompositeHandler.scala:5 — but a Python object, not a Lambda)."""
@@ -99,8 +112,62 @@ class DeltaPond:
         """Read any table: Delta via native snapshot, else plain parquet."""
         p = self.table_path(schema, table)
         if self._is_delta_dir(p):
-            return DeltaTable(self.spark, p).to_df()
+            dt = DeltaTable(self.spark, p)
+            return self._maybe_broadcast_hint(dt, dt.to_df())
         return self.spark.read.parquet(p)
+
+    def _maybe_broadcast_hint(self, dt: DeltaTable, df: DataFrame) -> DataFrame:
+        """Deterministic stats-driven broadcast planning: a table the user
+        has `ANALYZE TABLE … COMPUTE STATISTICS`'d (pond.stats.* in its
+        configuration) gets a broadcast hint when its CURRENT snapshot's
+        LIVE bytes fit under spark.sql.autoBroadcastJoinThreshold —
+        physical file bytes (what Catalyst's estimate sees) scaled by the
+        live-row fraction the LOG knows and Catalyst cannot: a
+        merge-on-read dim whose rows are mostly deletion-vector'd keeps
+        its large physical files, so Spark's native estimate refuses to
+        broadcast exactly the dims that have shrunk below the threshold.
+        Stats come fresh from the current snapshot (staleness-proof);
+        ANALYZE is the opt-in switch. The hint on a standalone scan is a
+        no-op."""
+        try:
+            snap = dt.snapshot()
+            cfg = snap.metadata.get("configuration") or {}
+            if "pond.stats.sizeInBytes" not in cfg:
+                return df
+            thr = _parse_byte_conf(
+                self.spark.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold", "10485760"
+                )
+            )
+            if thr <= 0:
+                return df  # -1 disables broadcast; honor it
+            factor = float(
+                self.spark.conf.get(
+                    "spark.sql.sources.fileCompressionFactor", "1.0"
+                )
+            )
+            total_rows = 0
+            dv_rows = 0
+            have_counts = True
+            for f in snap.files:
+                nr = (f.stats or {}).get("numRecords")
+                if nr is None:
+                    have_counts = False
+                    break
+                total_rows += int(nr)
+                if f.deletion_vector:
+                    dv_rows += int(f.deletion_vector.get("cardinality") or 0)
+            live_frac = (
+                (total_rows - dv_rows) / total_rows
+                if have_counts and total_rows
+                else 1.0
+            )
+            size = sum(f.size for f in snap.files) * factor * live_frac
+            if size <= thr:
+                return df.hint("broadcast")
+        except Exception:
+            pass  # stats are advisory; never fail a read over them
+        return df
 
     def create_schema(self, schema: str) -> None:
         """Storage-layout catalog: a schema IS a top-level directory."""

@@ -121,7 +121,12 @@ def _partition_only(preds: list[Predicate], snap: SnapshotState) -> bool:
 # --------------------------------------------------------------------- DELETE
 
 
-def delete(spark: SparkSession, table_path: str, where) -> dict:
+def delete(
+    spark: SparkSession,
+    table_path: str,
+    where,
+    isolation: str = "write_serializable",
+) -> dict:
     """DELETE FROM table WHERE ... (rows where the condition is TRUE).
 
     Fast path: when the whole condition is partition predicates, matching
@@ -150,6 +155,8 @@ def delete(spark: SparkSession, table_path: str, where) -> dict:
             operation_parameters={"predicate": str(where)},
             expected_states={f.path: file_fingerprint(f) for f in candidates},
             base_version=snap.version,
+            isolation=isolation,
+            read_predicates=preds or None,
         )
         return {
             "files_removed": len(candidates),
@@ -180,6 +187,8 @@ def delete(spark: SparkSession, table_path: str, where) -> dict:
         extra_actions=cdc,
         expected_states={f.path: file_fingerprint(f) for f in candidates},
         base_version=snap.version,
+        isolation=isolation,
+        read_predicates=preds or None,
     )
     before, after = _num_records(candidates), _adds_num_records(adds)
     return {
@@ -189,7 +198,12 @@ def delete(spark: SparkSession, table_path: str, where) -> dict:
     }
 
 
-def delete_mor(spark: SparkSession, table_path: str, where) -> dict:
+def delete_mor(
+    spark: SparkSession,
+    table_path: str,
+    where,
+    isolation: str = "write_serializable",
+) -> dict:
     """Merge-on-read DELETE: write deletion vectors instead of rewriting
     files. Cost is O(matched rows) — a delete of 100 rows from a 1 GB file
     writes a ~few-hundred-byte DV blob, not a new 1 GB file; the physical
@@ -243,6 +257,8 @@ def delete_mor(spark: SparkSession, table_path: str, where) -> dict:
         [f.path for f, _idx in pieces.touched],
         operation_parameters={"predicate": str(where), "mode": "merge-on-read"},
         extra_actions=extra or None,
+        isolation=isolation,
+        read_predicates=preds or None,
         expected_states={
             f.path: file_fingerprint(f) for f, _idx in pieces.touched
         },
@@ -410,6 +426,7 @@ def update(
     table_path: str,
     set: dict[str, str],
     where=None,
+    isolation: str = "write_serializable",
 ) -> dict:
     """UPDATE table SET col = <sql expr> [, ...] WHERE ... .
 
@@ -492,6 +509,8 @@ def update(
         extra_actions=cdc,
         expected_states={f.path: file_fingerprint(f) for f in candidates},
         base_version=snap.version,
+        isolation=isolation,
+        read_predicates=preds or None,
     )
     return {"files_removed": len(candidates), "files_added": len(adds)}
 
@@ -501,6 +520,7 @@ def update_mor(
     table_path: str,
     set: dict[str, str],
     where=None,
+    isolation: str = "write_serializable",
 ) -> dict:
     """Merge-on-read UPDATE: deletion-vector the OLD version of every
     matched row and append the updated versions as new files — one commit.
@@ -580,6 +600,8 @@ def update_mor(
         [f.path for f, _idx in pieces.touched],
         operation_parameters={"predicate": str(where), "mode": "merge-on-read"},
         extra_actions=extra or None,
+        isolation=isolation,
+        read_predicates=preds or None,
         expected_states={
             f.path: file_fingerprint(f) for f, _idx in pieces.touched
         },
@@ -788,6 +810,7 @@ def _normalize_matched_clauses(
 def _insert_only_merge(
     spark, snap, table_path: str, src, keys,
     schema=None, meta=None, extra_actions=None, ident=None,
+    isolation: str = "write_serializable",
 ) -> dict:
     """Delta's insert-only MERGE fast path (no matched-action clause):
     target files are never read-modified-rewritten — source rows whose
@@ -844,6 +867,8 @@ def _insert_only_merge(
         operation_parameters={"insertOnly": True},
         extra_actions=extra or None,
         base_version=snap.version,
+        isolation=isolation,
+        read_predicates=None,
     )
     return {"files_removed": 0, "files_added": len(adds), "source_rows": None}
 
@@ -906,6 +931,7 @@ def merge_upsert(
     matched_condition: str | None = None,
     matched_clauses: list[tuple[str | None, str]] | None = None,
     schema_evolution: bool = False,
+    isolation: str = "write_serializable",
 ) -> dict:
     """MERGE INTO table USING source ON keys — full clause semantics:
 
@@ -981,6 +1007,7 @@ def merge_upsert(
         return _insert_only_merge(
             spark, snap, table_path, src, keys,
             schema=schema, meta=meta, extra_actions=evolved_md, ident=ident,
+            isolation=isolation,
         )
 
     src_keys = src.select(*keys).distinct()
@@ -1192,6 +1219,8 @@ def merge_upsert(
         extra_actions=md_actions + (cdc or []) or None,
         expected_states={f.path: file_fingerprint(f) for f in remove_files},
         base_version=snap.version,
+        isolation=isolation,
+        read_predicates=None,
     )
     return {
         "files_removed": len(remove_files),
@@ -1212,6 +1241,7 @@ def merge_upsert_mor(
     matched_condition: str | None = None,
     matched_clauses: list[tuple[str | None, str]] | None = None,
     schema_evolution: bool = False,
+    isolation: str = "write_serializable",
 ) -> dict:
     """Merge-on-read MERGE: same clause semantics as merge_upsert
     (including ordered multi-clause `matched_clauses`), but matched target
@@ -1266,6 +1296,7 @@ def merge_upsert_mor(
         return _insert_only_merge(
             spark, snap, table_path, src, keys,
             schema=schema, meta=meta, extra_actions=evolved_md, ident=ident,
+            isolation=isolation,
         )
 
     src_keys = src.select(*keys).distinct()
@@ -1482,6 +1513,8 @@ def merge_upsert_mor(
         extra_actions=extra,
         expected_states={f.path: file_fingerprint(f) for f in removes},
         base_version=snap.version,
+        isolation=isolation,
+        read_predicates=None,
     )
     return {
         "files_removed": len(removes) - len(dv_adds),

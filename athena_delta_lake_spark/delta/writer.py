@@ -541,6 +541,78 @@ def stage_cdc_files(
     return cdcs
 
 
+def _serializable_read_conflict(
+    table_path: str,
+    base_version: int,
+    now_snap,
+    read_predicates: list | None,
+) -> bool:
+    """True when any commit in (base_version, now] ADDED dataChange files
+    that can match `read_predicates` — the Serializable read-set
+    stability check (a concurrent append racing a MERGE's NOT-MATCHED
+    scan is the canonical write-skew). Walks the interleaved commits'
+    raw actions so dataChange=false rewrites (OPTIMIZE) never conflict;
+    partitionValues/stats keys are remapped physical->logical under
+    column mapping, mirroring log replay, before the same prune logic
+    that planned the DML's read decides overlap. O(interleaved adds) —
+    bounded by what landed during the race window."""
+    from .log import AddFile, DeltaLog, SnapshotState, _decode_path
+    from .stats import prune_files
+
+    log = DeltaLog(table_path)
+    p2l = {
+        (f.metadata or {}).get("delta.columnMapping.physicalName", f.name): f.name
+        for f in now_snap.schema.fields
+    }
+
+    def _remap_stats(raw):
+        if raw is None or p2l == {n: n for n in p2l}:
+            return raw
+        import json as _json
+
+        try:
+            st = _json.loads(raw) if isinstance(raw, str) else dict(raw)
+        except (ValueError, TypeError):
+            return None
+        for sec in ("minValues", "maxValues", "nullCount"):
+            if isinstance(st.get(sec), dict):
+                st[sec] = {p2l.get(k, k): v for k, v in st[sec].items()}
+        return st
+
+    new_adds: list[AddFile] = []
+    for v in range(base_version + 1, now_snap.version + 1):
+        for action in log.commit_actions(v):
+            add = action.get("add")
+            if not add or not add.get("dataChange", True):
+                continue
+            pv = add.get("partitionValues") or {}
+            if isinstance(pv, list):
+                pv = dict(pv)
+            new_adds.append(
+                AddFile(
+                    path=_decode_path(add["path"]),
+                    partition_values={p2l.get(k, k): val for k, val in pv.items()},
+                    size=int(add.get("size", 0)),
+                    modification_time=int(add.get("modificationTime", 0)),
+                    stats_raw=_remap_stats(add.get("stats")),
+                )
+            )
+    if not new_adds:
+        return False
+    if not read_predicates:
+        return True  # the DML read the whole table: any new row is skew
+    probe = SnapshotState(
+        version=now_snap.version,
+        metadata=now_snap.metadata,
+        protocol=now_snap.protocol,
+        schema=now_snap.schema,
+        partition_columns=now_snap.partition_columns,
+        files=new_adds,
+        table_path=table_path,
+    )
+    return bool(prune_files(probe, read_predicates))
+
+
 def cdf_enabled(config: dict | None) -> bool:
     """delta.enableChangeDataFeed=true on the table configuration."""
     return (
@@ -560,6 +632,8 @@ def commit_rewrite(
     expected_states: dict | None = None,
     base_version: int | None = None,
     require_serial: bool = False,
+    isolation: str = "write_serializable",
+    read_predicates: list | None = None,
 ) -> int:
     """Commit a file-rewrite transaction: `remove` the replaced files and
     `add` their rewrites in ONE atomic version — the copy-on-write commit
@@ -584,7 +658,18 @@ def commit_rewrite(
     winner (e.g. a concurrent merge-on-read DELETE growing the file's
     deletion vector) is a write-write conflict the plain liveness check
     would miss, silently dropping the winner's
-    deletions."""
+    deletions.
+
+    `isolation`: the default `write_serializable` admits commuting
+    rewrites whose removed files are untouched (delta-spark's default).
+    `serializable` ADDITIONALLY refuses when any interleaved commit
+    ADDED dataChange files that can match `read_predicates` (the file-
+    prune triples of the DML's read) — the write-skew delta-spark
+    refuses under Serializable: a concurrent append slipping rows past a
+    running MERGE's NOT-MATCHED scan. `read_predicates=None` under
+    serializable means the DML read the WHOLE table: any concurrent
+    dataChange add conflicts. dataChange=false adds (OPTIMIZE) never
+    conflict — they move bytes, not rows."""
     now = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -654,7 +739,8 @@ def commit_rewrite(
             # write-write conflict on the same files) — then it commutes.
             # remove_paths come from AddFile.path (already URL-decoded),
             # matching the decoded paths in the snapshot's file list.
-            now_files = {f.path: f for f in DeltaLog(table_path).snapshot().files}
+            now_snap = DeltaLog(table_path).snapshot()
+            now_files = {f.path: f for f in now_snap.files}
             conflict = any(p not in now_files for p in remove_paths)
             if not conflict and expected_states:
                 conflict = any(
@@ -666,6 +752,14 @@ def commit_rewrite(
                 raise ConcurrentWriteError(
                     f"{operation} conflicts with a concurrent commit that "
                     "touched the same files; re-run against the new snapshot"
+                ) from None
+            if isolation == "serializable" and _serializable_read_conflict(
+                table_path, base_version, now_snap, read_predicates
+            ):
+                raise ConcurrentWriteError(
+                    f"{operation} (isolation=serializable) conflicts with a "
+                    "concurrent commit that added rows matching its read "
+                    "predicate; re-run against the new snapshot"
                 ) from None
         try:
             _stamp_ict(actions, log_dir, version, table_config)

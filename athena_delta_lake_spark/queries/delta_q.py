@@ -1086,6 +1086,55 @@ def g10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------- g11: ANALYZE TABLE stats + broadcast-hinted join
+
+
+def _ensure_analyze_pond(spark: SparkSession, sf_dir: str) -> DeltaPond:
+    """orders shrunk to a tiny live set by a merge-on-read DELETE (files
+    keep their physical size; only the log knows the live row count),
+    then ANALYZE TABLE — the table binding applies a broadcast hint from
+    log-derived live bytes (catalog._maybe_broadcast_hint), which
+    Catalyst's physical-bytes estimate cannot do."""
+    root = os.path.join(_fixture_root(sf_dir), "pond_analyze")
+    pond = DeltaPond(spark, root)
+    path = os.path.join(root, "lake", "an_ord")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        from ..delta.dml import delete_mor
+
+        write_delta(load(spark, sf_dir, "orders"), path)
+        delete_mor(spark, path, "o_orderkey % 97 != 0")
+        pond.sql("ANALYZE TABLE lake.an_ord COMPUTE STATISTICS")
+    return pond
+
+
+@register(
+    "g11_analyze_broadcast",
+    "delta-core",
+    """
+    SELECT c.c_mktsegment AS seg, count(*) AS n,
+           CAST(sum(floor(o.o_totalprice)) AS BIGINT) AS tot
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 97 = 0
+    GROUP BY seg
+    """,
+    "ANALYZE TABLE … COMPUTE STATISTICS stores log-derived rowCount/"
+    "sizeInBytes (zero scan; DV-aware) and pond.sql binds the analyzed "
+    "MOR-shrunk dim with a broadcast hint — the joined result "
+    "hash-matches the oracle's reconstruction",
+)
+def g11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pond = _ensure_analyze_pond(spark, sf_dir)
+    load(spark, sf_dir, "customer").createOrReplaceTempView("an_cust")
+    return pond.sql(
+        """
+        SELECT c.c_mktsegment AS seg, count(*) AS n,
+               CAST(sum(floor(o.o_totalprice)) AS BIGINT) AS tot
+        FROM an_cust c JOIN lake.an_ord o ON o.o_custkey = c.c_custkey
+        GROUP BY seg
+        """
+    )
+
+
 # ----------------------------------- g08: SQL CLONE (diverged, time-travel)
 
 

@@ -1353,6 +1353,10 @@ _OPTIMIZE_RE = re.compile(
     r"(?:\s+WHERE\s+(.+?))?"
     r"(?:\s+ZORDER\s+BY\s*\(\s*([\w`,\s]+?)\s*\))?\s*;?\s*$"
 )
+_ANALYZE_RE = re.compile(
+    r"(?is)^\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS"
+    r"(\s+NOSCAN)?\s*;?\s*$"
+)
 _VACUUM_RE = re.compile(
     r"(?is)^\s*VACUUM\s+([\w.`]+)"
     r"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?(\s+DRY\s+RUN)?\s*;?\s*$"
@@ -1504,6 +1508,9 @@ def _route_maintenance_sugar(pond, query: str) -> DataFrame | None:
         )
         res = _dml.compact(pond.spark, path, predicates=preds, zorder_by=zo)
         return _metrics_df(pond.spark, {"operation": "optimize", **res})
+    m = _ANALYZE_RE.match(query)
+    if m:
+        return _route_analyze(pond, m)
     m = _VACUUM_RE.match(query)
     if m:
         path = _target(pond, m.group(1).replace("`", "").split("."))
@@ -1552,6 +1559,56 @@ def _route_maintenance_sugar(pond, query: str) -> DataFrame | None:
             )
         return _metrics_df(pond.spark, {"operation": "restore", **res})
     return None
+
+
+def _route_analyze(pond, m) -> DataFrame:
+    """ANALYZE TABLE t COMPUTE STATISTICS [NOSCAN]: store rowCount /
+    sizeInBytes as table properties (`pond.stats.*`) so pond.sql's table
+    binding can make DETERMINISTIC broadcast decisions (catalog.py
+    _maybe_broadcast_hint) instead of relying on Catalyst's estimate —
+    which degrades to 'unknown/huge' the moment a scan carries a DV
+    anti-join or a multi-piece union, exactly the dims that should
+    broadcast. Both numbers come straight from the transaction log
+    (per-file size + numRecords stats): ZERO data scan; the scan
+    fallback runs only when some file lacks numRecords and NOSCAN was
+    not given."""
+    from .delta.log import DeltaLog
+    from .delta.reader import read_snapshot
+    from .delta.writer import set_table_properties
+
+    path = _target(pond, m.group(1).replace("`", "").split("."))
+    snap = DeltaLog(path).snapshot()
+    size = sum(f.size for f in snap.files)
+    dv_removed = 0
+    n_rows: int | None = 0
+    for f in snap.files:
+        nr = (f.stats or {}).get("numRecords")
+        if nr is None:
+            n_rows = None
+            break
+        n_rows += int(nr)
+        if f.deletion_vector:
+            dv_removed += int(f.deletion_vector.get("cardinality") or 0)
+    if n_rows is not None:
+        n_rows -= dv_removed
+    elif not m.group(2):  # no per-file counts and not NOSCAN: count once
+        n_rows = read_snapshot(pond.spark, snap).count()
+    props = {
+        "pond.stats.sizeInBytes": str(size),
+        "pond.stats.analyzedVersion": str(snap.version),
+    }
+    if n_rows is not None:
+        props["pond.stats.numRows"] = str(n_rows)
+    version = set_table_properties(path, props)
+    return _metrics_df(
+        pond.spark,
+        {
+            "operation": "analyze_table",
+            "version": version,
+            "sizeInBytes": size,
+            "numRows": n_rows,
+        },
+    )
 
 
 def _route_describe_history(pond, name: str) -> DataFrame:

@@ -1,0 +1,129 @@
+"""ANALYZE TABLE … COMPUTE STATISTICS + stats-driven broadcast planning
+(round-6 ask #6): pond tables bind as temp views with no catalog stats,
+and Catalyst's size estimate degrades to unknown/huge on exactly the
+scans that most deserve broadcasting (DV anti-joins) — so multi-join
+pond.sql queries relied on AQE alone. The ANALYZE route stores
+rowCount/sizeInBytes from the LOG (zero scan) and binding applies a
+broadcast hint when the current snapshot fits under
+spark.sql.autoBroadcastJoinThreshold."""
+
+import os
+
+import pytest
+
+from athena_delta_lake_spark import write_delta
+from athena_delta_lake_spark.catalog import DeltaPond, _parse_byte_conf
+
+
+@pytest.fixture()
+def pond(spark, tmp_path):
+    root = str(tmp_path / "pond")
+    fact = spark.range(200000).selectExpr(
+        "id", "cast(id % 40 as long) as dim_id", "cast(id as double) as v",
+        "sha2(cast(id as string), 256) as pad",
+    )
+    # MOR-shrunk dim: 50k physical rows with random-ish payload (parquet
+    # bytes well above the test's broadcast threshold), then a
+    # merge-on-read DELETE that deletion-vectors all but 40 rows — the
+    # files keep their size, so Catalyst's estimate stays big while the
+    # log knows the live table is tiny
+    dim = spark.range(50000).selectExpr(
+        "id as dim_id",
+        "concat('name_', id) as name",
+        "sha2(cast(id as string), 256) as pad1",
+        "sha2(cast(id + 1 as string), 256) as pad2",
+    )
+    write_delta(fact, f"{root}/lake/fact")
+    write_delta(dim.coalesce(2), f"{root}/lake/dim")
+    from athena_delta_lake_spark.delta.dml import delete_mor
+
+    delete_mor(spark, f"{root}/lake/dim", "dim_id >= 40")
+    return DeltaPond(spark, root)
+
+
+JOIN_SQL = """
+    SELECT d.name, count(*) AS n, sum(f.v) AS sv
+    FROM lake.fact f JOIN lake.dim d ON f.dim_id = d.dim_id
+    GROUP BY d.name
+"""
+
+
+def _plan(pond, sql):
+    return pond.sql(sql)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_analyze_computes_log_stats(spark, pond):
+    row = pond.sql("ANALYZE TABLE lake.dim COMPUTE STATISTICS").first()
+    assert row["operation"] == "analyze_table"
+    assert row["numRows"] == 40  # 50k minus the DV'd rows, no scan needed
+    assert int(row["sizeInBytes"]) > 0
+    props = {
+        r["key"]: r["value"]
+        for r in pond.sql("SHOW TBLPROPERTIES lake.dim").collect()
+    }
+    assert props["pond.stats.numRows"] == "40"
+    assert int(props["pond.stats.sizeInBytes"]) > 0
+    assert "pond.stats.analyzedVersion" in props
+
+
+def test_join_flips_to_broadcast_without_aqe(spark, pond):
+    """The dimension-fact join must plan a BroadcastHashJoin after
+    ANALYZE, with AQE disabled — deterministic planning, not a runtime
+    rescue. The threshold sits between the dim's PHYSICAL bytes (what
+    Catalyst estimates from) and its LIVE bytes (what the log knows
+    after the MOR delete), so only the stats-driven hint can flip it."""
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    import os as _os
+
+    def phys(tbl):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in _os.walk(pond.root + "/lake/" + tbl)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    thr = 100 * 1024
+    # premise: both sides' PHYSICAL bytes exceed the threshold, only the
+    # dim's LIVE bytes (40 of 50k rows) are under it
+    assert phys("dim") > thr and phys("fact") > thr
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thr))
+    try:
+        before = _plan(pond, JOIN_SQL)
+        assert "BroadcastHashJoin" not in before, (
+            "premise broken: Catalyst broadcast the un-analyzed MOR dim "
+            "despite physical bytes above the threshold"
+        )
+        pond.sql("ANALYZE TABLE lake.dim COMPUTE STATISTICS")
+        after = _plan(pond, JOIN_SQL)
+        assert "BroadcastHashJoin" in after, after
+        # and the result is unchanged by the hint
+        got = {r["name"]: r["n"] for r in pond.sql(JOIN_SQL).collect()}
+        assert len(got) == 40 and got["name_0"] == 5000
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+
+def test_hint_respects_disabled_broadcast(spark, pond):
+    pond.sql("ANALYZE TABLE lake.dim COMPUTE STATISTICS")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert "BroadcastHashJoin" not in _plan(pond, JOIN_SQL)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+
+def test_parse_byte_conf():
+    assert _parse_byte_conf("10485760") == 10 * 1024 * 1024
+    assert _parse_byte_conf("10m") == 10 * 1024 * 1024
+    assert _parse_byte_conf("10MB") == 10 * 1024 * 1024
+    assert _parse_byte_conf("1g") == 1 << 30
+    assert _parse_byte_conf("512b") == 512
+    assert _parse_byte_conf("-1") == -1
