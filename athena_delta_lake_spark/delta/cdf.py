@@ -51,7 +51,14 @@ def table_changes(
     column; opt-in to keep the long-standing two-column shape stable)."""
     log = DeltaLog(table_path)
     end = log.latest_version() if ending_version is None else ending_version
-    pieces: list[DataFrame] = []
+    end_fields = log.snapshot(end).schema.fields
+    # pieces carry the schema FIELDS of the era they were read with, so a
+    # mid-range RENAME COLUMN (column mapping: logical name changes,
+    # physical identity doesn't) aligns to the ending snapshot's names
+    # before the union — without this, rows from the old-name era union
+    # into a separate NULL-filled column (found by the round-6 DML fuzz:
+    # RESTORE across a rename boundary over-deleted in the change feed).
+    pieces: list[tuple[DataFrame, list]] = []
     for v in range(starting_version, end + 1):
         actions = log.commit_actions(v)
         cdc_actions = [a["cdc"] for a in actions if "cdc" in a]
@@ -59,7 +66,12 @@ def table_changes(
             # spec: a commit WITH cdc actions is described by them ALONE
             piece = _read_cdc_files(spark, log, v, cdc_actions)
             if piece is not None:
-                pieces.append(piece.withColumn("_commit_version", F.lit(v)))
+                pieces.append(
+                    (
+                        piece.withColumn("_commit_version", F.lit(v)),
+                        log.snapshot(v).schema.fields,
+                    )
+                )
             continue
         add_paths = {
             _decode_path(a["add"]["path"])
@@ -85,8 +97,11 @@ def table_changes(
             dv_piece = _dv_diff_rows(spark, log, v, sorted(common))
             if dv_piece is not None:
                 pieces.append(
-                    dv_piece.withColumn("_change_type", F.lit("delete"))
-                    .withColumn("_commit_version", F.lit(v))
+                    (
+                        dv_piece.withColumn("_change_type", F.lit("delete"))
+                        .withColumn("_commit_version", F.lit(v)),
+                        log.snapshot(v - 1).schema.fields,
+                    )
                 )
             # a SHRINKING deletion vector (RESTORE rolling a MOR delete
             # back) RESURRECTS rows: old-DV minus new-DV positions are
@@ -94,8 +109,11 @@ def table_changes(
             res_piece = _dv_diff_rows(spark, log, v, sorted(common), resurrect=True)
             if res_piece is not None:
                 pieces.append(
-                    res_piece.withColumn("_change_type", F.lit("insert"))
-                    .withColumn("_commit_version", F.lit(v))
+                    (
+                        res_piece.withColumn("_change_type", F.lit("insert"))
+                        .withColumn("_commit_version", F.lit(v)),
+                        log.snapshot(v).schema.fields,
+                    )
                 )
             add_paths -= common
             remove_paths -= common
@@ -104,18 +122,24 @@ def table_changes(
             files = [f for f in snap.files if f.path in add_paths]
             _require_present(log, v, [f.path for f in files])
             pieces.append(
-                read_files(spark, snap, files)
-                .withColumn("_change_type", F.lit("insert"))
-                .withColumn("_commit_version", F.lit(v))
+                (
+                    read_files(spark, snap, files)
+                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", F.lit(v)),
+                    snap.schema.fields,
+                )
             )
         if remove_paths and v > 0:
             prev = log.snapshot(v - 1)
             files = [f for f in prev.files if f.path in remove_paths]
             _require_present(log, v, [f.path for f in files])
             pieces.append(
-                read_files(spark, prev, files)
-                .withColumn("_change_type", F.lit("delete"))
-                .withColumn("_commit_version", F.lit(v))
+                (
+                    read_files(spark, prev, files)
+                    .withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_commit_version", F.lit(v)),
+                    prev.schema.fields,
+                )
             )
     if not pieces:
         schema = log.snapshot(end).schema
@@ -128,9 +152,13 @@ def table_changes(
                 "_commit_timestamp", F.lit(None).cast("timestamp")
             )
         return out
-    out = pieces[0]
-    for p in pieces[1:]:
-        # allowMissingColumns: schema evolution mid-range reads NULL
+    aligned = [
+        _align_piece_names(p, fields, end_fields) for p, fields in pieces
+    ]
+    out = aligned[0]
+    for p in aligned[1:]:
+        # allowMissingColumns: columns genuinely ADDED/DROPPED mid-range
+        # read NULL outside their era (renames were aligned above)
         out = out.unionByName(p, allowMissingColumns=True)
     if include_timestamp:
         # one tiny broadcast map version -> authoritative commit time
@@ -155,6 +183,34 @@ def table_changes(
             *cols, "_commit_timestamp"
         )
     return out
+
+
+def _phys_name(f) -> str:
+    return (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+
+
+def _align_piece_names(df: DataFrame, era_fields: list, end_fields: list):
+    """Rename a change-feed piece's data columns from its ERA's logical
+    names to the ENDING snapshot's, matched through the column-mapping
+    PHYSICAL identity (a RENAME COLUMN changes only the logical name).
+    Columns whose physical identity no longer exists at the end keep
+    their era name (the union NULL-fills — genuine drops, not renames)."""
+    end_by_phys = {_phys_name(f): f.name for f in end_fields}
+    renames = [
+        (f.name, tgt)
+        for f in era_fields
+        if (tgt := end_by_phys.get(_phys_name(f))) is not None
+        and tgt != f.name
+    ]
+    if not renames:
+        return df
+    # two-phase through temp names: a simultaneous swap (a->b, b->a)
+    # must not clobber mid-sequence
+    for i, (src, _tgt) in enumerate(renames):
+        df = df.withColumnRenamed(src, f"__cdf_align_{i}")
+    for i, (_src, tgt) in enumerate(renames):
+        df = df.withColumnRenamed(f"__cdf_align_{i}", tgt)
+    return df
 
 
 def _require_present(log: DeltaLog, version: int, rel_paths: list[str]) -> None:

@@ -313,3 +313,40 @@ def test_cdf_third_party_mor_layout(spark, tmp_path):
     )
     live = sorted(r["id"] for r in net.collect())
     assert live == [i for i in range(20) if i != 3]
+
+
+def test_cdf_across_rename_boundary_aligns_columns(spark, tmp_path):
+    """A RENAME COLUMN (column mapping) mid-range must NOT split the
+    change feed into two NULL-filled columns: pieces read with the old
+    logical name align to the ending snapshot's name through the
+    physical identity (found by the round-6 DML fuzz as an over-delete
+    in the apply-diff invariant; delta/cdf.py _align_piece_names)."""
+    from athena_delta_lake_spark.delta.cdf import table_changes
+    from athena_delta_lake_spark.delta.writer import rename_column
+    from athena_delta_lake_spark.delta.dml import delete
+    from athena_delta_lake_spark.delta.writer import enable_column_mapping
+
+    path = str(tmp_path / "ren")
+    write_delta(
+        spark.range(10).selectExpr("id", "cast(id as double) as v"), path
+    )  # v0: insert under the old name
+    enable_column_mapping(path)  # v1
+    rename_column(path, "v", "val")  # v2 (logical rename, physical stays)
+    delete(spark, path, "id >= 7")  # v3: deletes read the val-era schema
+    ch = table_changes(spark, path, 0, 3)
+    assert "val" in ch.columns and "v" not in ch.columns
+    rows = ch.collect()
+    # every change row carries a real value in the ALIGNED column
+    assert all(r["val"] is not None for r in rows)
+    ins = sorted(r["id"] for r in rows if r["_change_type"] == "insert")
+    dels = sorted(r["id"] for r in rows if r["_change_type"] == "delete")
+    assert ins == list(range(10)) and dels == [7, 8, 9]
+    # apply-diff reconstructs the live state with aligned values
+    from collections import Counter
+
+    cnt = Counter()
+    for r in rows:
+        key = (r["id"], r["val"])
+        cnt[key] += 1 if r["_change_type"] == "insert" else -1
+    live = sorted(k for k, c in cnt.items() if c > 0)
+    assert live == [(i, float(i)) for i in range(7)]

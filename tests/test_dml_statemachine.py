@@ -38,7 +38,7 @@ def _model_state(model: pd.DataFrame) -> list[tuple]:
     )
 
 
-@pytest.mark.parametrize("seed", [7, 23, 31, 45, 58, 66, 81, 99])
+@pytest.mark.parametrize("seed", [7, 23, 31, 45, 58, 66, 81, 99, 12, 37, 54, 73])
 def test_random_dml_walk_matches_model(spark, tmp_path, seed):
     rng = random.Random(seed)
     path = str(tmp_path / f"walk_{seed}")
@@ -74,10 +74,20 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
     from athena_delta_lake_spark.delta.writer import enable_row_tracking
 
     enable_row_tracking(path)
+    # seeds % 4 == 0 start with COLUMN MAPPING already on, so those even
+    # seeds soak CDF x column mapping together from step 0 (the round-5
+    # interaction-bug class the round-6 advice flags)
+    if seed % 4 == 0:
+        enable_column_mapping(path)
+    # whether a merge WITH SCHEMA EVOLUTION has added the `extra` column
+    # (appends/replace_where must then carry it; RESTORE rewinds it)
+    has_extra = False
     # history: version -> (state, vname, vtype) so mid-walk RESTORE can
     # rewind the model AND the schema trackers
     history = {
-        DeltaTable(spark, path).version(): (_model_state(model), vname, vtype)
+        DeltaTable(spark, path).version(): (
+            _model_state(model), vname, vtype, False,
+        )
     }
 
     for step in range(16):
@@ -86,14 +96,19 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
                 "append", "delete_cow", "delete_mor", "update", "update_mor",
                 "merge", "merge_mor", "optimize", "checkpoint", "rename",
                 "clone", "replace_where", "widen", "restore",
-                "deep_of_shallow",
+                "deep_of_shallow", "merge_evolve", "optimize_where",
             ]
         )
         t = DeltaTable(spark, path)
         if op == "append":
             rows = fresh_rows(rng.randint(5, 25))
+            schema_s = f"id long, k long, {vname} {vtype}"
+            data = rows
+            if has_extra:
+                schema_s += ", extra double"
+                data = [(*r, None) for r in rows]
             write_delta(
-                spark.createDataFrame(rows, f"id long, k long, {vname} {vtype}"),
+                spark.createDataFrame(data, schema_s),
                 path,
                 mode="append",
             )
@@ -121,9 +136,13 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
         elif op in ("merge", "merge_mor"):
             lo = rng.randint(0, max(next_id - 10, 1))
             src_rows = [(i, i % 5, -1.0) for i in range(lo, lo + 15)]
-            src = spark.createDataFrame(
-                src_rows, f"id long, k long, {vname} {vtype}"
-            )
+            schema_s = f"id long, k long, {vname} {vtype}"
+            if has_extra:
+                schema_s += ", extra double"
+                src_rows_w = [(*r, None) for r in src_rows]
+            else:
+                src_rows_w = src_rows
+            src = spark.createDataFrame(src_rows_w, schema_s)
             t.merge(src, keys=["id"], mode="mor" if op == "merge_mor" else "cow")
             present = set(model.id)
             for i, k, v in src_rows:
@@ -137,6 +156,34 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
             next_id = max(next_id, lo + 15)
         elif op == "optimize":
             t.compact(target_file_size=1 << 30)
+        elif op == "optimize_where":
+            # scoped compaction: dataChange=false — state AND change feed
+            # must be untouched (the apply-diff invariant below checks)
+            t.compact(target_file_size=1 << 30, predicates=[("k", "=", rng.randint(0, 4))])
+        elif op == "merge_evolve":
+            # MERGE WITH SCHEMA EVOLUTION: source carries a NEW column;
+            # matched rows update, unmatched insert, schema gains `extra`
+            lo = rng.randint(0, max(next_id - 5, 1))
+            src_rows = [(i, i % 5, -2.0, float(i)) for i in range(lo, lo + 8)]
+            src = spark.createDataFrame(
+                src_rows, f"id long, k long, {vname} {vtype}, extra double"
+            )
+            t.merge(
+                src, keys=["id"],
+                mode=rng.choice(["cow", "mor"]),
+                schema_evolution=True,
+            )
+            present = set(model.id)
+            for i, k, v, _e in src_rows:
+                if i in present:
+                    model.loc[model.id == i, ["k", "v"]] = [i % 5, v]
+                else:
+                    model = pd.concat(
+                        [model, pd.DataFrame([(i, k, v)], columns=["id", "k", "v"])],
+                        ignore_index=True,
+                    )
+            next_id = max(next_id, lo + 8)
+            has_extra = True
         elif op == "checkpoint":
             write_checkpoint(path, v2=rng.random() < 0.5)
         elif op == "rename":
@@ -164,15 +211,20 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
             # schema trackers (rename/widen) rewind with it
             target = rng.choice(sorted(history))
             DeltaTable(spark, path).restore(version=target)
-            want_state, vname, vtype = history[target]
+            want_state, vname, vtype, has_extra = history[target]
             model = pd.DataFrame(want_state, columns=["id", "k", "v"])
         elif op == "replace_where":
             # partition-scoped selective overwrite: replace exactly k=kk
             kk = rng.randint(0, 4)
             nonlocal_rows = fresh_rows(rng.randint(3, 10))
             repl = [(i, kk, float(v)) for i, _k, v in nonlocal_rows]
+            schema_s = f"id long, k long, {vname} {vtype}"
+            data = repl
+            if has_extra:
+                schema_s += ", extra double"
+                data = [(*r, None) for r in repl]
             write_delta(
-                spark.createDataFrame(repl, f"id long, k long, {vname} {vtype}"),
+                spark.createDataFrame(data, schema_s),
                 path,
                 mode="overwrite",
                 replace_where=f"k = {kk}",
@@ -198,7 +250,7 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
 
         from athena_delta_lake_spark.delta.cdf import table_changes
 
-        prev_v, (prev_state, _vn, _vt) = max(history.items())
+        prev_v, (prev_state, _vn, _vt, _he) = max(history.items())
         new_v = DeltaTable(spark, path).version()
         if new_v > prev_v:
             cnt = Counter(prev_state)
@@ -218,7 +270,9 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
                 f"CDF diff does not reconstruct state after step {step} "
                 f"op {op} (seed {seed})"
             )
-        history[DeltaTable(spark, path).version()] = (want, vname, vtype)
+        history[DeltaTable(spark, path).version()] = (
+            want, vname, vtype, has_extra,
+        )
 
     # row tracking held through every op: ids all present and unique
     rid_rows = (
@@ -240,7 +294,7 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
 
     # time travel to every recorded version still replays exactly
     DeltaLog.clear_cache()
-    for v, (want, _vn, _vt) in history.items():
+    for v, (want, _vn, _vt, _he) in history.items():
         tdf = DeltaTable(spark, path).to_df(version=v)
         got = sorted(
             tuple(r) for r in tdf.select(*tdf.columns[:3]).collect()
