@@ -44,7 +44,7 @@ ALLOWLIST: dict[str, set[str]] = {
 # plan is built without running a streaming query
 DEFAULT_PREFIXES = (
     "q", "a", "b0", "w", "f", "s0", "j", "x", "d01", "d02", "d08", "d11",
-    "d12", "p02", "p03", "p07", "m01", "m03", "n01", "n07", "g0",
+    "d12", "p02", "p03", "p07", "m01", "m03", "n01", "n07", "g0", "g1",
 )
 
 
