@@ -599,3 +599,40 @@ def test_stream_source_bounded_catchup_via_once_triggers(spark, tmp_path):
     assert len([s for s in steps if s > 0]) >= 3
     got = DeltaTable(spark, sink).to_df()
     assert got.select("id").distinct().count() == 90
+
+
+def test_stream_cdf_mode_caps_admit_whole_commits(spark, tmp_path):
+    """readChangeFeed + maxFilesPerTrigger: CDF commits are never split
+    (one commit's changes derive as a unit) — the cap bounds how many
+    COMMITS are admitted per batch instead."""
+    src = str(tmp_path / "src")
+    for i in range(4):
+        write_delta(
+            spark.range(i * 20, (i + 1) * 20).selectExpr("id").repartition(2),
+            src,
+        )
+    q = (
+        spark.readStream.format("deltapond")
+        .option("startingVersion", 0)
+        .option("readChangeFeed", "true")
+        .option("maxFilesPerTrigger", 2)
+        .load(src)
+        .writeStream.format("memory")
+        .queryName("dp_cdf_cap")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from dp_cdf_cap")
+        assert got.count() == 80
+        assert got.filter("_change_type = 'insert'").count() == 80
+        by_v = dict(
+            (r["_commit_version"], r["count"])
+            for r in got.groupBy("_commit_version").count().collect()
+        )
+        assert by_v == {0: 20, 1: 20, 2: 20, 3: 20}
+        # 4 commits x 2 files at cap 2 -> at least 4 non-empty batches
+        assert q.lastProgress["batchId"] + 1 >= 4
+    finally:
+        q.stop()
