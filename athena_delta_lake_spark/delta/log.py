@@ -444,6 +444,11 @@ def _read_v2_checkpoint(fs, log_dir: str, manifest: str, acc: _ReplayAccumulator
         for p in sidecars
     ]
     if paths:
+        reader = getattr(fs, "read_checkpoint_batches", None)
+        if reader is not None:  # columnar fold, same as classic checkpoints
+            for batch in reader(paths, ["add", "remove"]):
+                _fold_checkpoint_batch(batch, acc)
+            return
         for row in fs.read_checkpoint_rows(paths, ["add", "remove"]):
             action = {k: v for k, v in row.items() if v is not None}
             if action:

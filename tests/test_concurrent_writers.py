@@ -59,7 +59,7 @@ def test_concurrent_writer_races(spark, tmp_path, seed):
             op = rng.choice(
                 [
                     "append", "append", "delete_own", "delete_shared",
-                    "optimize", "add_constraint",
+                    "optimize", "add_constraint", "delete_serial",
                 ]
             )
             try:
@@ -85,6 +85,29 @@ def test_concurrent_writer_races(spark, tmp_path, seed):
                     mode = rng.choice(["cow", "mor"])
                     t.delete(
                         where=f"id in ({','.join(map(str, victims))})", mode=mode
+                    )
+                    results[tid]["deleted"].update(victims)
+                elif op == "delete_serial":
+                    # serializable isolation under real contention: a
+                    # concurrent append matching the predicate forces a
+                    # clean ConcurrentWriteError, never a wrong answer
+                    if not results[tid]["appended"]:
+                        continue
+                    victims = set(
+                        rng.sample(
+                            sorted(results[tid]["appended"]),
+                            min(4, len(results[tid]["appended"])),
+                        )
+                    )
+                    from athena_delta_lake_spark.delta.dml import (
+                        delete as _ser_delete,
+                    )
+
+                    _ser_delete(
+                        spark,
+                        path,
+                        f"id in ({','.join(map(str, victims))})",
+                        isolation="serializable",
                     )
                     results[tid]["deleted"].update(victims)
                 elif op == "delete_shared":
