@@ -210,23 +210,35 @@ class DeltaTable:
         return write_checkpoint(self.path)
 
     # -- DML (absent from the reference; dml.py has the scale rationale)
-    def delete(self, where, mode: str = "cow") -> dict:
+    def delete(
+        self, where, mode: str = "cow", isolation: str = "write_serializable"
+    ) -> dict:
         """mode='cow' rewrites files without matched rows; mode='mor'
-        writes deletion vectors (O(matched rows), purged by compact())."""
+        writes deletion vectors (O(matched rows), purged by compact()).
+        isolation='serializable' additionally refuses concurrent commits
+        that ADDED rows matching the predicate (writer.commit_rewrite)."""
         from .dml import delete, delete_mor
 
         if mode in ("mor", "merge-on-read", "dv"):
-            return delete_mor(self.spark, self.path, where)
-        return delete(self.spark, self.path, where)
+            return delete_mor(self.spark, self.path, where, isolation=isolation)
+        return delete(self.spark, self.path, where, isolation=isolation)
 
-    def update(self, set: dict[str, str], where=None, mode: str = "cow") -> dict:
+    def update(
+        self,
+        set: dict[str, str],
+        where=None,
+        mode: str = "cow",
+        isolation: str = "write_serializable",
+    ) -> dict:
         """mode='cow' rewrites candidate files; mode='mor' deletion-vectors
         the old row versions and appends only the updated rows."""
         from .dml import update, update_mor
 
         if mode in ("mor", "merge-on-read", "dv"):
-            return update_mor(self.spark, self.path, set, where)
-        return update(self.spark, self.path, set, where)
+            return update_mor(
+                self.spark, self.path, set, where, isolation=isolation
+            )
+        return update(self.spark, self.path, set, where, isolation=isolation)
 
     def merge(
         self,
@@ -240,6 +252,7 @@ class DeltaTable:
         mode: str = "cow",
         matched_clauses: list[tuple[str | None, str]] | None = None,
         schema_evolution: bool = False,
+        isolation: str = "write_serializable",
     ) -> dict:
         """mode='cow' rewrites touched files; mode='mor' deletion-vectors
         matched target rows and appends only new row versions.
@@ -266,6 +279,7 @@ class DeltaTable:
             matched_condition,
             matched_clauses=matched_clauses,
             schema_evolution=schema_evolution,
+            isolation=isolation,
         )
 
     def compact(
