@@ -146,11 +146,13 @@ class DeltaPond:
                     "spark.sql.sources.fileCompressionFactor", "1.0"
                 )
             )
+            from .delta.log import _fast_num_records
+
             total_rows = 0
             dv_rows = 0
             have_counts = True
             for f in snap.files:
-                nr = (f.stats or {}).get("numRecords")
+                nr = _fast_num_records(f)  # regex, no per-file JSON parse
                 if nr is None:
                     have_counts = False
                     break
