@@ -256,7 +256,11 @@ class UnsupportedDistributedPrune(Exception):
 
 
 # column types whose string->type Spark cast provably agrees with
-# cast_partition_value / _coerce on well-formed Delta metadata values
+# cast_partition_value / _coerce on well-formed Delta metadata values.
+# DecimalType is deliberately EXCLUDED: _coerce passes string literals
+# through untouched, so the Python path's Decimal-vs-str comparison
+# semantics differ from Spark's cast-coercing comparison — decimal
+# predicates fall back to the driver loop.
 _SAFE_PRUNE_TYPES = (
     T.StringType,
     T.IntegerType,
@@ -269,7 +273,6 @@ _SAFE_PRUNE_TYPES = (
     T.DateType,
     T.TimestampType,
     T.TimestampNTZType,
-    T.DecimalType,
 )
 
 _IDENT_RE = _re.compile(r"[A-Za-z0-9_]+")

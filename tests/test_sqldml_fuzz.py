@@ -29,7 +29,7 @@ def _duck_state(con):
     )
 
 
-@pytest.mark.parametrize("seed", [11, 42, 77])
+@pytest.mark.parametrize("seed", [11, 42, 77, 120, 121])
 def test_sql_dml_walk_matches_duckdb(spark, tmp_path, seed):
     rng = random.Random(seed)
     pond = DeltaPond(spark, str(tmp_path / "pond"))
