@@ -141,35 +141,54 @@ class DeltaPond:
             )
             if thr <= 0:
                 return df  # -1 disables broadcast; honor it
+            av = cfg.get("pond.stats.analyzedVersion")
+            if av is None:
+                return df
+            if int(av) != snap.version and not self._stats_still_fresh(
+                dt, int(av), snap.version
+            ):
+                # STALE stats never drive planning (a grown table must
+                # not broadcast on old numbers), and the bind must not
+                # pay an O(files) sweep either — the user re-ANALYZEs
+                # (zero-scan, log-only) to re-enable the hint.
+                return df
             factor = float(
                 self.spark.conf.get(
                     "spark.sql.sources.fileCompressionFactor", "1.0"
                 )
             )
-            from .delta.log import _fast_num_records
-
-            total_rows = 0
-            dv_rows = 0
-            have_counts = True
-            for f in snap.files:
-                nr = _fast_num_records(f)  # regex, no per-file JSON parse
-                if nr is None:
-                    have_counts = False
-                    break
-                total_rows += int(nr)
-                if f.deletion_vector:
-                    dv_rows += int(f.deletion_vector.get("cardinality") or 0)
-            live_frac = (
-                (total_rows - dv_rows) / total_rows
-                if have_counts and total_rows
-                else 1.0
+            live_bytes = int(
+                cfg.get("pond.stats.liveBytes", cfg["pond.stats.sizeInBytes"])
             )
-            size = sum(f.size for f in snap.files) * factor * live_frac
-            if size <= thr:
+            if live_bytes * factor <= thr:
                 return df.hint("broadcast")
         except Exception:
             pass  # stats are advisory; never fail a read over them
         return df
+
+    @staticmethod
+    def _stats_still_fresh(dt: DeltaTable, analyzed_v: int, cur_v: int) -> bool:
+        """ANALYZE's own SET TBLPROPERTIES commit (and any other
+        metadata-only commit — COMMENT, protocol upgrade) bumps the
+        version without changing data, so `analyzedVersion == snapshot
+        version` can never literally hold. Fresh = no dataChange
+        add/remove landed since ANALYZE, verified by reading the (few)
+        intervening commit JSONs — capped so a long-drifted table costs
+        O(1), not O(commits), per bind."""
+        if cur_v - analyzed_v > 5:
+            return False
+        from .delta.log import DeltaLog
+
+        log = DeltaLog(dt.path)
+        for v in range(analyzed_v + 1, cur_v + 1):
+            for a in log.commit_actions(v):
+                add = a.get("add")
+                if add is not None and add.get("dataChange", True):
+                    return False
+                rem = a.get("remove")
+                if rem is not None and rem.get("dataChange", True):
+                    return False
+        return True
 
     def create_schema(self, schema: str) -> None:
         """Storage-layout catalog: a schema IS a top-level directory."""

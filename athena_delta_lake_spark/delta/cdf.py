@@ -204,6 +204,19 @@ def _align_piece_names(df: DataFrame, era_fields: list, end_fields: list):
     ]
     if not renames:
         return df
+    # a column DROPPED by the end of the range whose name collides with a
+    # rename target (DROP COLUMN b; RENAME a TO b) would duplicate the
+    # name after renaming — drop the dead column: its physical identity
+    # has no representation under the end schema, and keeping it would
+    # fail the whole union (COLUMN_ALREADY_EXISTS)
+    targets = {tgt for _src, tgt in renames}
+    dead_collisions = [
+        f.name
+        for f in era_fields
+        if _phys_name(f) not in end_by_phys and f.name in targets
+    ]
+    if dead_collisions:
+        df = df.drop(*dead_collisions)
     # two-phase through temp names: a simultaneous swap (a->b, b->a)
     # must not clobber mid-sequence
     for i, (src, _tgt) in enumerate(renames):
@@ -370,7 +383,40 @@ def _dv_diff_rows(
         read_targets.append(nf if resurrect else pf)
     if not desc_rows:
         return None
-    _require_present(log, v, [f.path for f in read_targets])
+    # missing read targets (VACUUMed): only an error if this DIRECTION
+    # actually contributes rows — a descriptor change with an empty diff
+    # (e.g. the delete direction of a pure DV shrink) must not fail the
+    # range. Deciding that needs the bitmaps; parse them driver-side for
+    # the MISSING files only (bounded by the exceptional case).
+    from .deletion_vectors import read_dv_positions
+    from .log import _join as _ljoin
+
+    keep_idx = []
+    for i, f in enumerate(read_targets):
+        if log._fs.exists(_ljoin(log.table_path, f.path)):
+            keep_idx.append(i)
+            continue
+        try:
+            old = (
+                set(read_dv_positions(log.table_path, _json.loads(desc_rows[i][1])))
+                if desc_rows[i][1] != "null"
+                else set()
+            )
+            new = (
+                set(read_dv_positions(log.table_path, _json.loads(desc_rows[i][2])))
+                if desc_rows[i][2] != "null"
+                else set()
+            )
+        except FileNotFoundError:
+            _require_present(log, v, [f.path])  # DV blob gone too: error
+            raise
+        if (old - new) if resurrect else (new - old):
+            _require_present(log, v, [f.path])  # raises with context
+        # provably-empty direction: skip the vacuumed file silently
+    if not keep_idx:
+        return None
+    desc_rows = [desc_rows[i] for i in keep_idx]
+    read_targets = [read_targets[i] for i in keep_idx]
     desc = spark.createDataFrame(desc_rows, "full string, old string, new string")
     if len(desc_rows) > 1:
         desc = desc.repartition(min(len(desc_rows), 64))

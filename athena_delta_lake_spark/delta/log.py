@@ -258,6 +258,12 @@ def _fast_num_records(f: "AddFile"):
     if not isinstance(raw, str) or "_stats_cache" in f.__dict__:
         st = f.stats
         return None if st is None else st.get("numRecords")
+    # the regex is only unambiguous when the key appears once — a data
+    # column literally named numRecords would surface inside
+    # minValues/maxValues/nullCount too; fall back to the real parse then
+    if raw.count('"numRecords"') != 1:
+        st = f.stats
+        return None if st is None else st.get("numRecords")
     m = _NUM_RECORDS_RE.search(raw)
     return int(m.group(1)) if m else None
 

@@ -580,27 +580,37 @@ def _serializable_read_conflict(
         return st
 
     new_adds: list[AddFile] = []
+    removed_paths: set[str] = set()
     for v in range(base_version + 1, now_snap.version + 1):
         for action in log.commit_actions(v):
             add = action.get("add")
-            if not add or not add.get("dataChange", True):
-                continue
-            pv = add.get("partitionValues") or {}
-            if isinstance(pv, list):
-                pv = dict(pv)
-            new_adds.append(
-                AddFile(
-                    path=_decode_path(add["path"]),
-                    partition_values={p2l.get(k, k): val for k, val in pv.items()},
-                    size=int(add.get("size", 0)),
-                    modification_time=int(add.get("modificationTime", 0)),
-                    stats_raw=_remap_stats(add.get("stats")),
+            if add is not None and add.get("dataChange", True):
+                pv = add.get("partitionValues") or {}
+                if isinstance(pv, list):
+                    pv = dict(pv)
+                new_adds.append(
+                    AddFile(
+                        path=_decode_path(add["path"]),
+                        partition_values={
+                            p2l.get(k, k): val for k, val in pv.items()
+                        },
+                        size=int(add.get("size", 0)),
+                        modification_time=int(add.get("modificationTime", 0)),
+                        stats_raw=_remap_stats(add.get("stats")),
+                    )
                 )
-            )
-    if not new_adds:
+                continue
+            rem = action.get("remove")
+            if rem is not None and rem.get("dataChange", True):
+                removed_paths.add(_decode_path(rem["path"]))
+    # a MOR rewrite removes+re-adds the same path: the re-add covers it
+    # above; treat only NET removals as read-set deletions
+    removed_paths -= {f.path for f in new_adds}
+    if not new_adds and not removed_paths:
         return False
     if not read_predicates:
-        return True  # the DML read the whole table: any new row is skew
+        # the DML read the whole table: any concurrent row change is skew
+        return bool(new_adds or removed_paths)
     probe = SnapshotState(
         version=now_snap.version,
         metadata=now_snap.metadata,
@@ -610,7 +620,19 @@ def _serializable_read_conflict(
         files=new_adds,
         table_path=table_path,
     )
-    return bool(prune_files(probe, read_predicates))
+    if prune_files(probe, read_predicates):
+        return True
+    if removed_paths:
+        # concurrent REMOVE-only commits (e.g. a partition fast-path
+        # DELETE) delete rows out of the DML's read set without touching
+        # its rewritten files — serializability requires refusing those
+        # too (delta-spark's ConcurrentDeleteReadException analogue):
+        # conflict iff a removed file could have matched the read
+        # predicate in the BASE snapshot the DML planned against.
+        base_snap = log.snapshot(base_version)
+        read_set = {f.path for f in prune_files(base_snap, read_predicates)}
+        return bool(removed_paths & read_set)
+    return False
 
 
 def cdf_enabled(config: dict | None) -> bool:
@@ -670,6 +692,13 @@ def commit_rewrite(
     serializable means the DML read the WHOLE table: any concurrent
     dataChange add conflicts. dataChange=false adds (OPTIMIZE) never
     conflict — they move bytes, not rows."""
+    if isolation not in ("write_serializable", "serializable"):
+        # a typo silently downgrading a correctness switch would be the
+        # worst failure mode — refuse unknown literals loudly
+        raise ValueError(
+            f"unknown isolation level {isolation!r}; use "
+            "'write_serializable' (default) or 'serializable'"
+        )
     now = int(time.time() * 1000)
     actions: list[dict] = [
         {

@@ -456,7 +456,14 @@ class DeltaPondStreamReader(DataSourceStreamReader):
             max_v = min(latest, v0 + self._max_commits - (1 if i0 is not None else 0))
             max_v = max(max_v, v0)  # never move backward
         if self._max_files is None and self._max_bytes is None:
-            out = (max_v, None) if max_v > v0 else (v0, i0)
+            # a mid-commit position (checkpointed under file/byte caps,
+            # restarted with only a commit cap) must still FINISH its
+            # partial commit — (v0, None) — or the stream stalls forever
+            # when max_v == v0
+            if max_v > v0 or i0 is not None:
+                out = (max_v, None)
+            else:
+                out = (v0, i0)
             self._trace(f"latestOffset capped pos={self._position} -> {out}")
             return self._to_offset(out)
         # file/byte admission: walk add lists in order, splitting a large

@@ -1576,39 +1576,48 @@ def _route_analyze(pond, m) -> DataFrame:
     from .delta.reader import read_snapshot
     from .delta.writer import set_table_properties
 
+    from .delta.log import _fast_num_records
+
     path = _target(pond, m.group(1).replace("`", "").split("."))
     snap = DeltaLog(path).snapshot()
     size = sum(f.size for f in snap.files)
+    total_rows = 0
     dv_removed = 0
     n_rows: int | None = 0
     for f in snap.files:
-        nr = (f.stats or {}).get("numRecords")
+        nr = _fast_num_records(f)
         if nr is None:
             n_rows = None
             break
-        n_rows += int(nr)
+        total_rows += int(nr)
         if f.deletion_vector:
             dv_removed += int(f.deletion_vector.get("cardinality") or 0)
     if n_rows is not None:
-        n_rows -= dv_removed
+        n_rows = total_rows - dv_removed
     elif not m.group(2):  # no per-file counts and not NOSCAN: count once
         n_rows = read_snapshot(pond.spark, snap).count()
+    # LIVE bytes: physical bytes scaled by the live-row fraction — the
+    # number the broadcast hint plans with (a MOR-shrunk dim keeps big
+    # physical files; the log knows the live table is tiny)
+    live_frac = (
+        (total_rows - dv_removed) / total_rows if total_rows else 1.0
+    )
     props = {
         "pond.stats.sizeInBytes": str(size),
+        "pond.stats.liveBytes": str(int(size * live_frac)),
         "pond.stats.analyzedVersion": str(snap.version),
     }
     if n_rows is not None:
         props["pond.stats.numRows"] = str(n_rows)
     version = set_table_properties(path, props)
-    return _metrics_df(
-        pond.spark,
-        {
-            "operation": "analyze_table",
-            "version": version,
-            "sizeInBytes": size,
-            "numRows": n_rows,
-        },
-    )
+    metrics = {
+        "operation": "analyze_table",
+        "version": version,
+        "sizeInBytes": size,
+    }
+    if n_rows is not None:  # never render a literal string "None"
+        metrics["numRows"] = n_rows
+    return _metrics_df(pond.spark, metrics)
 
 
 def _route_describe_history(pond, name: str) -> DataFrame:

@@ -350,3 +350,120 @@ def test_cdf_across_rename_boundary_aligns_columns(spark, tmp_path):
         cnt[key] += 1 if r["_change_type"] == "insert" else -1
     live = sorted(k for k, c in cnt.items() if c > 0)
     assert live == [(i, float(i)) for i in range(7)]
+
+
+def test_cdf_drop_then_rename_collision(spark, tmp_path):
+    """DROP COLUMN b then RENAME a TO b inside one change-feed range:
+    the dead era-b column (physical identity gone at end) must be
+    dropped from old pieces instead of colliding with the rename target
+    (COLUMN_ALREADY_EXISTS on the union)."""
+    from athena_delta_lake_spark.delta.cdf import table_changes
+    from athena_delta_lake_spark.delta.writer import (
+        drop_column,
+        enable_column_mapping,
+        rename_column,
+    )
+
+    path = str(tmp_path / "dropren")
+    write_delta(
+        spark.range(6).selectExpr(
+            "id", "cast(id as double) as a", "id * 10 as b"
+        ),
+        path,
+    )  # v0
+    enable_column_mapping(path)  # v1
+    drop_column(path, "b")  # v2
+    rename_column(path, "a", "b")  # v3
+    delete(spark, path, "id >= 4")  # v4
+    ch = table_changes(spark, path, 0, 4)
+    assert sorted(c for c in ch.columns if not c.startswith("_")) == ["b", "id"]
+    rows = ch.collect()
+    # era-a values flow into the aligned 'b' column; the dropped old b
+    # (id*10) is gone, so every b value equals the double a value
+    assert all(r["b"] == float(r["id"]) for r in rows)
+    dels = sorted(r["id"] for r in rows if r["_change_type"] == "delete")
+    assert dels == [4, 5]
+
+
+def test_cdf_vacuumed_file_with_empty_direction_diff(spark, tmp_path):
+    """A same-path re-add whose DV changed DESCRIPTOR but not content
+    (same positions, new blob) contributes nothing in either direction —
+    a VACUUMed data file must then NOT fail the range (the old code
+    raised DELTA_CHANGE_DATA_FILE_NOT_FOUND before computing the
+    diff)."""
+    import json
+
+    from athena_delta_lake_spark.delta.cdf import table_changes
+    from athena_delta_lake_spark.delta.deletion_vectors import write_dv_file
+
+    path = str(tmp_path / "vac")
+    os.makedirs(path)
+    spark.range(10).selectExpr("id").coalesce(1).write.parquet(
+        str(tmp_path / "stage")
+    )
+    data_file = next(
+        f for f in os.listdir(str(tmp_path / "stage")) if f.endswith(".parquet")
+    )
+    os.rename(
+        os.path.join(str(tmp_path / "stage"), data_file),
+        os.path.join(path, "part-000.parquet"),
+    )
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    log_dir = os.path.join(path, "_delta_log")
+    os.makedirs(log_dir)
+
+    def commit(version, actions):
+        with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+
+    base_add = {
+        "path": "part-000.parquet",
+        "partitionValues": {},
+        "size": os.path.getsize(os.path.join(path, "part-000.parquet")),
+        "modificationTime": 1,
+        "dataChange": True,
+    }
+    dv1 = write_dv_file(path, [2, 5])
+    dv2 = write_dv_file(path, [2, 5])  # same content, different blob
+    commit(
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+            {
+                "metaData": {
+                    "id": "vac",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_str,
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            },
+            {"add": {**base_add, "deletionVector": dv1}},
+        ],
+    )
+    commit(
+        1,
+        [
+            {"remove": {"path": "part-000.parquet", "dataChange": True}},
+            {"add": {**base_add, "deletionVector": dv2}},
+        ],
+    )
+    os.remove(os.path.join(path, "part-000.parquet"))  # "VACUUMed"
+    # content-identical DV swap: no changes, and no spurious
+    # FILE_NOT_FOUND despite the missing data file
+    assert table_changes(spark, path, 1, 1).count() == 0

@@ -246,3 +246,28 @@ def test_files_df_distributed_metadata(spark, tmp_path):
         for r in fdf.groupBy("partition_values").count().withColumnRenamed("count", "n").collect()
     }
     assert set(per_part) == {"0", "1", "2", "3"}
+
+
+def test_fast_num_records_ambiguous_key_falls_back():
+    """A data column literally named numRecords makes the regex
+    ambiguous — _fast_num_records must fall back to a real JSON parse
+    and return the TOP-LEVEL count."""
+    from athena_delta_lake_spark.delta.log import AddFile, _fast_num_records
+
+    tricky = (
+        '{"minValues":{"numRecords":3},"maxValues":{"numRecords":9},'
+        '"numRecords":100000,"nullCount":{"numRecords":0}}'
+    )
+    f = AddFile(
+        path="p", partition_values={}, size=1, modification_time=1,
+        stats_raw=tricky,
+    )
+    assert _fast_num_records(f) == 100000
+    plain = AddFile(
+        path="p", partition_values={}, size=1, modification_time=1,
+        stats_raw='{"numRecords":42,"minValues":{"id":0}}',
+    )
+    assert _fast_num_records(plain) == 42
+    assert _fast_num_records(
+        AddFile(path="p", partition_values={}, size=1, modification_time=1)
+    ) is None

@@ -636,3 +636,30 @@ def test_stream_cdf_mode_caps_admit_whole_commits(spark, tmp_path):
         assert q.lastProgress["batchId"] + 1 >= 4
     finally:
         q.stop()
+
+
+def test_mid_commit_position_with_commit_cap_only_finishes_commit(spark, tmp_path):
+    """Finding from round-6 review: a checkpointed mid-commit offset
+    (written under file caps) restarted with ONLY maxCommitsPerTrigger
+    must FINISH the partial commit, not stall forever returning the same
+    offset."""
+    from athena_delta_lake_spark.sources.deltapond_source import (
+        DeltaPondStreamReader,
+    )
+
+    src = str(tmp_path / "src")
+    write_delta(spark.range(40).selectExpr("id").repartition(4), src)  # v0
+    write_delta(spark.range(40, 50).selectExpr("id"), src)  # v1
+    snap = DeltaTable(spark, src).snapshot()
+    r = DeltaPondStreamReader(
+        {"path": src, "startingVersion": "0", "maxCommitsPerTrigger": "1"},
+        snap.schema,
+    )
+    # simulate checkpoint recovery: engine replays the last planned batch
+    r.commit({"version": 0, "index": 2})  # 2 of 4 files of v0 consumed
+    off = r.latestOffset()
+    assert off == {"version": 0}, off  # finish commit 0 first
+    parts = r.partitions({"version": 0, "index": 2}, off)
+    assert len(parts) == 2  # exactly the remaining files of v0
+    r.commit(off)
+    assert r.latestOffset() == {"version": 1}

@@ -146,3 +146,40 @@ def test_serializable_delete_refuses_overlapping_append(
     # rerun against the new snapshot: now it sees the racer's row too
     delete(spark, path, "k = 2 and id >= 0", isolation="serializable")
     assert DeltaTable(spark, path).to_df().filter("k = 2").count() == 0
+
+
+def test_serializable_merge_refuses_concurrent_remove_only_commit(
+    spark, tmp_path, monkeypatch
+):
+    """Write-skew via DELETION: a partition fast-path DELETE commits
+    remove-only actions (no adds) while a serializable MERGE's read is
+    in flight — the merge read rows that are now gone, so Serializable
+    must refuse (ConcurrentDeleteRead analogue), even though the merge's
+    own rewritten files are untouched."""
+    from athena_delta_lake_spark.delta.dml import delete, merge_upsert
+
+    path = str(tmp_path / "m3")
+    _mk(spark, path, partitioned=True)
+    src = spark.createDataFrame([(5, 1, -5.0)], "id long, k long, v double")
+
+    def racer():
+        delete(spark, path, "k = 3")  # metadata-only partition delete
+
+    _race_on_stage(monkeypatch, racer)
+    with pytest.raises(ConcurrentWriteError, match="read predicate"):
+        merge_upsert(spark, path, src, keys=["id"], isolation="serializable")
+    monkeypatch.undo()
+    df = DeltaTable(spark, path).to_df()
+    assert df.filter("k = 3").count() == 0  # winner's delete held
+    assert df.filter("v = -5.0").count() == 0  # loser changed nothing
+
+
+def test_unknown_isolation_literal_raises(spark, tmp_path):
+    """A typo in the isolation level must fail loudly, never silently
+    downgrade a correctness switch to the default."""
+    from athena_delta_lake_spark.delta.dml import delete
+
+    path = str(tmp_path / "iso")
+    _mk(spark, path, partitioned=False)
+    with pytest.raises(ValueError, match="unknown isolation"):
+        delete(spark, path, "id < 5", isolation="Serializable")
