@@ -1616,6 +1616,44 @@ def compact(
     }
 
 
+def reorg_purge(spark: SparkSession, table_path: str) -> dict:
+    """REORG TABLE … APPLY (PURGE): rewrite ONLY the files carrying
+    deletion vectors, materializing soft-deleted rows into clean parquet
+    (after which VACUUM can reap the DV blobs). Unlike OPTIMIZE it never
+    touches DV-free files — the minimal-I/O way to get a MOR-heavy table
+    back to pure parquet for readers without DV support. dataChange=false:
+    no logical rows change, streams skip the commit."""
+    table_path = os.path.abspath(table_path)
+    snap = DeltaLog(table_path).snapshot()
+    victims = [f for f in snap.files if f.deletion_vector]
+    if not victims:
+        return {"files_removed": 0, "files_added": 0}
+    df = _read_cow(spark, snap, victims)
+    part_cols = snap.partition_columns
+    if part_cols:
+        parts = {
+            tuple(sorted((f.partition_values or {}).items())) for f in victims
+        }
+        df = df.repartition(len(parts), *[F.col(c) for c in part_cols])
+    else:
+        total = sum(f.size for f in victims)
+        df = df.coalesce(max(1, -(-total // (128 * 1024 * 1024))))
+    adds = stage_data_files(
+        df, table_path, part_cols, _data_schema(snap), l2p=_l2p(snap)
+    )
+    commit_rewrite(
+        table_path,
+        "REORG",
+        adds,
+        [f.path for f in victims],
+        data_change=False,
+        operation_parameters={"applyPurge": "true"},
+        expected_states={f.path: file_fingerprint(f) for f in victims},
+        base_version=snap.version,
+    )
+    return {"files_removed": len(victims), "files_added": len(adds)}
+
+
 # -------------------------------------------------------------------- RESTORE
 
 

@@ -830,6 +830,8 @@ def _route_call(pond, p, text: str) -> DataFrame:
             version=take("version"),
             timestamp_millis=kw.pop("timestamp_millis", None),
         )
+    elif pname == "reorg_purge":
+        m = dml.reorg_purge(pond.spark, path)
     elif pname == "checkpoint":
         v = write_checkpoint(path, v2=bool(kw.pop("v2", False)))
         m = {"checkpoint_version": v}
@@ -852,7 +854,7 @@ def _route_call(pond, p, text: str) -> DataFrame:
     else:
         raise ValueError(
             f"unknown procedure {pname!r} (optimize, vacuum, restore, "
-            "checkpoint, cleanup_log, compact_log)"
+            "reorg_purge, checkpoint, cleanup_log, compact_log)"
         )
     if kw or pos:
         raise ValueError(f"CALL {pname}: unused arguments {pos} {kw}")
@@ -1353,6 +1355,9 @@ _OPTIMIZE_RE = re.compile(
     r"(?:\s+WHERE\s+(.+?))?"
     r"(?:\s+ZORDER\s+BY\s*\(\s*([\w`,\s]+?)\s*\))?\s*;?\s*$"
 )
+_REORG_RE = re.compile(
+    r"(?is)^\s*REORG\s+TABLE\s+([\w.`]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$"
+)
 _ANALYZE_RE = re.compile(
     r"(?is)^\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS"
     r"(\s+NOSCAN)?\s*;?\s*$"
@@ -1508,6 +1513,11 @@ def _route_maintenance_sugar(pond, query: str) -> DataFrame | None:
         )
         res = _dml.compact(pond.spark, path, predicates=preds, zorder_by=zo)
         return _metrics_df(pond.spark, {"operation": "optimize", **res})
+    m = _REORG_RE.match(query)
+    if m:
+        path = _target(pond, m.group(1).replace("`", "").split("."))
+        res = _dml.reorg_purge(pond.spark, path)
+        return _metrics_df(pond.spark, {"operation": "reorg_purge", **res})
     m = _ANALYZE_RE.match(query)
     if m:
         return _route_analyze(pond, m)

@@ -511,3 +511,46 @@ def test_retention_interval_parser():
     assert retention_hours_from_interval("interval 12 hours") == 12.0
     assert retention_hours_from_interval("7 days") is None
     assert retention_hours_from_interval(None) is None
+
+
+def test_reorg_table_apply_purge(spark, tmp_path):
+    """REORG TABLE t APPLY (PURGE): rewrites ONLY deletion-vector'd
+    files (materializing the soft deletes), leaves DV-free files
+    byte-identical, changes no logical rows, and the commit is
+    dataChange=false (invisible to the change feed)."""
+    from athena_delta_lake_spark import DeltaTable, write_delta
+    from athena_delta_lake_spark.catalog import DeltaPond
+    from athena_delta_lake_spark.delta.dml import delete_mor
+
+    root = str(tmp_path / "pond")
+    path = f"{root}/lake/t"
+    write_delta(
+        spark.range(100).selectExpr("id", "cast(id % 4 as int) as k"),
+        path,
+        partition_by=["k"],
+    )
+    delete_mor(spark, path, "id % 10 = 0 and k in (0, 2)")  # DVs on 2 parts
+    t = DeltaTable(spark, path)
+    before = {f.path: f for f in t.snapshot().files}
+    dv_paths = {p for p, f in before.items() if f.deletion_vector}
+    assert dv_paths  # premise: some files carry DVs
+    pond = DeltaPond(spark, root)
+    row = pond.sql("REORG TABLE lake.t APPLY (PURGE)").first()
+    assert row["operation"] == "reorg_purge"
+    assert int(row["files_removed"]) == len(dv_paths)
+    after = {f.path: f for f in t.snapshot().files}
+    # untouched DV-free files survive identically; no DVs remain
+    for p, f in before.items():
+        if p not in dv_paths:
+            assert p in after
+    assert not any(f.deletion_vector for f in after.values())
+    # logical content unchanged
+    assert t.to_df().count() == 90
+    assert t.to_df().filter("id % 10 = 0 and k in (0, 2)").count() == 0
+    # dataChange=false: the REORG version emits no changes
+    v = t.version()
+    assert t.table_changes(v, v).count() == 0
+    # idempotent: nothing left to purge
+    assert int(
+        pond.sql("REORG TABLE lake.t APPLY (PURGE)").first()["files_removed"]
+    ) == 0
