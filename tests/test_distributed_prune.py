@@ -31,6 +31,7 @@ def snap(spark, tmp_path_factory):
         "cast(id as double) / 3 AS v",
         "date_add(date'2024-01-01', cast(id % 50 as int)) AS d",
         "concat('s', lpad(cast(id % 40 as string), 3, '0')) AS s",
+        "timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,cast(id % 72 as int),0,0) AS ts",
     )
     write_delta(df.repartitionByRange(12, "id"), path, partition_by=["k"])
     return DeltaLog(path).snapshot()
@@ -52,6 +53,9 @@ PREDS = [
     [("d", "=", "2024-01-20")],
     [("d", "<", datetime.date(2024, 1, 10))],
     [("s", ">=", "s030")],
+    [("ts", "<", "2024-03-02 00:00:00")],
+    [("ts", ">=", datetime.datetime(2024, 3, 3, 12, 0, 0))],
+    [("ts", "=", "2024-03-01 05:00:00")],
     [("s", "in", ["s001", "s039"])],
     [("k", "=", 3), ("id", ">", 400)],
     [("k", "in", [0, 5]), ("d", ">=", "2024-02-01"), ("v", "<", 200.0)],
