@@ -38,7 +38,7 @@ def _model_state(model: pd.DataFrame) -> list[tuple]:
     )
 
 
-@pytest.mark.parametrize("seed", [7, 23, 31, 45, 58, 66, 81, 99, 12, 37, 54, 73])
+@pytest.mark.parametrize("seed", [7, 23, 31, 45, 58, 66, 81, 99, 12, 37, 54, 73, 140, 141, 156, 163])
 def test_random_dml_walk_matches_model(spark, tmp_path, seed):
     rng = random.Random(seed)
     path = str(tmp_path / f"walk_{seed}")

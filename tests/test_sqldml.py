@@ -554,3 +554,29 @@ def test_reorg_table_apply_purge(spark, tmp_path):
     assert int(
         pond.sql("REORG TABLE lake.t APPLY (PURGE)").first()["files_removed"]
     ) == 0
+
+
+def test_reorg_purge_preserves_row_ids(spark, tmp_path):
+    """REORG must carry materialized row ids through the rewrite exactly
+    like OPTIMIZE does — surviving rows keep their stable _row_id."""
+    from athena_delta_lake_spark import DeltaTable, write_delta
+    from athena_delta_lake_spark.delta.dml import delete_mor, reorg_purge
+    from athena_delta_lake_spark.delta.writer import enable_row_tracking
+
+    path = str(tmp_path / "rt")
+    write_delta(spark.range(40).selectExpr("id"), path)
+    enable_row_tracking(path)
+    t = DeltaTable(spark, path)
+    before = {
+        r["id"]: r["_row_id"]
+        for r in t.to_df_with_row_ids().select("id", "_row_id").collect()
+    }
+    delete_mor(spark, path, "id % 4 = 0")
+    reorg_purge(spark, path)
+    after = {
+        r["id"]: r["_row_id"]
+        for r in t.to_df_with_row_ids().select("id", "_row_id").collect()
+    }
+    assert set(after) == {i for i in range(40) if i % 4 != 0}
+    assert all(after[i] == before[i] for i in after)  # ids survived
+    assert len(set(after.values())) == len(after)  # still unique
