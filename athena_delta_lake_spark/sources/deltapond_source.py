@@ -309,6 +309,28 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         self._path = _table_path(options)
         self._schema = schema
         self._starting = str(options.get("startingVersion", "latest"))
+        # startingTimestamp (Delta parity): begin at the first commit
+        # whose authoritative timestamp (inCommitTimestamp when present,
+        # else file mtime) is >= the given time. Accepts epoch millis or
+        # an ISO string interpreted as UTC (the worker process has no
+        # SparkSession to read a session timezone from).
+        st = options.get("startingTimestamp")
+        if st is not None and "startingVersion" in options:
+            raise ValueError(
+                "startingVersion and startingTimestamp are mutually exclusive"
+            )
+        self._starting_ts: int | None = None
+        if st is not None:
+            s = str(st)
+            if s.lstrip("-").isdigit():
+                self._starting_ts = int(s)
+            else:
+                import datetime as _dt
+
+                d = _dt.datetime.fromisoformat(s)
+                if d.tzinfo is None:
+                    d = d.replace(tzinfo=_dt.timezone.utc)
+                self._starting_ts = int(d.timestamp() * 1000)
         self._ignore_changes = (
             str(options.get("ignoreChanges", "false")).lower() == "true"
             or str(options.get("ignoreDeletes", "false")).lower() == "true"
@@ -414,11 +436,30 @@ class DeltaPondStreamReader(DataSourceStreamReader):
             ]
         return self._add_sizes_cache[v]
 
-    def initialOffset(self) -> dict:
+    def _floor_version(self, log: DeltaLog) -> int:
+        """The version v such that this stream emits commits > v."""
+        if self._starting_ts is not None:
+            latest = log.latest_version()
+            if log.commit_timestamp(latest) < self._starting_ts:
+                raise ValueError(
+                    f"startingTimestamp {self._starting_ts} is after the "
+                    f"latest commit of {self._path} (v{latest}); use "
+                    "startingVersion='latest' to tail only new commits"
+                )
+            lo, hi = 0, latest  # commit timestamps are non-decreasing
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if log.commit_timestamp(mid) >= self._starting_ts:
+                    hi = mid
+                else:
+                    lo = mid + 1
+            return lo - 1
         if self._starting == "latest":
-            v = DeltaLog(self._path).latest_version()
-        else:
-            v = int(self._starting) - 1
+            return log.latest_version()
+        return int(self._starting) - 1
+
+    def initialOffset(self) -> dict:
+        v = self._floor_version(DeltaLog(self._path))
         self._advance((v, None))
         self._trace(f"initialOffset -> {v}")
         return {"version": v}
@@ -441,11 +482,7 @@ class DeltaPondStreamReader(DataSourceStreamReader):
             # partitions()/commit() during recovery before ever asking for
             # a new offset (verified empirically), so position is known and
             # this branch cannot move offsets backward.
-            floor = (
-                latest
-                if self._starting == "latest"
-                else int(self._starting) - 1
-            )
+            floor = self._floor_version(log)
             self._advance((floor, None))
             self._trace(f"latestOffset floor -> {floor}")
             return {"version": floor}

@@ -663,3 +663,84 @@ def test_mid_commit_position_with_commit_cap_only_finishes_commit(spark, tmp_pat
     assert len(parts) == 2  # exactly the remaining files of v0
     r.commit(off)
     assert r.latestOffset() == {"version": 1}
+
+
+def _inject_icts(path, base_ms):
+    """Deterministic inCommitTimestamps: commit v gets base + v hours."""
+    import json
+
+    log_dir = os.path.join(path, "_delta_log")
+    for f in sorted(os.listdir(log_dir)):
+        if not (f.endswith(".json") and f[0].isdigit()):
+            continue
+        v = int(f.split(".")[0])
+        fp = os.path.join(log_dir, f)
+        with open(fp) as fh:
+            lines = [json.loads(ln) for ln in fh if ln.strip()]
+        cis = [a for a in lines if "commitInfo" in a]
+        if cis:
+            cis[0]["commitInfo"]["inCommitTimestamp"] = base_ms + v * 3_600_000
+        else:
+            lines.insert(
+                0,
+                {"commitInfo": {"inCommitTimestamp": base_ms + v * 3_600_000}},
+            )
+        with open(fp, "w") as fh:
+            for a in lines:
+                fh.write(json.dumps(a) + "\n")
+
+
+def test_stream_starting_timestamp(spark, tmp_path):
+    """startingTimestamp (Delta parity): the stream begins at the first
+    commit at-or-after the given time (ICT-backed), mutually exclusive
+    with startingVersion, and errors when past the latest commit."""
+    src = str(tmp_path / "src")
+    for i in range(3):
+        write_delta(spark.range(i * 10, (i + 1) * 10).selectExpr("id"), src)
+    base = 1_700_000_000_000
+    _inject_icts(src, base)  # v0=base, v1=+1h, v2=+2h
+
+    def run(ts):
+        q = (
+            spark.readStream.format("deltapond")
+            .option("startingTimestamp", str(ts))
+            .load(src)
+            .writeStream.format("memory")
+            .queryName("dp_sts")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return sorted(
+                r["id"] for r in spark.sql("select id from dp_sts").collect()
+            )
+        finally:
+            q.stop()
+
+    # between v0 and v1 -> commits 1 and 2
+    assert run(base + 1) == list(range(10, 30))
+    # exactly v1's timestamp -> at-or-after includes v1
+    assert run(base + 3_600_000) == list(range(10, 30))
+    # before v0 -> everything
+    assert run(base - 5) == list(range(30))
+    # after the latest commit -> stream start fails
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="after the latest"):
+        run(base + 10 * 3_600_000)
+    # mutually exclusive with startingVersion
+    with pytest.raises(Exception, match="mutually exclusive"):
+        q = (
+            spark.readStream.format("deltapond")
+            .option("startingVersion", 0)
+            .option("startingTimestamp", str(base))
+            .load(src)
+            .writeStream.format("memory")
+            .queryName("dp_sts_x")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
