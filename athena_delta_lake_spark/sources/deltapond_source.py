@@ -331,9 +331,16 @@ class DeltaPondStreamReader(DataSourceStreamReader):
                 if d.tzinfo is None:
                     d = d.replace(tzinfo=_dt.timezone.utc)
                 self._starting_ts = int(d.timestamp() * 1000)
+        # Delta distinguishes these: ignoreDeletes skips DELETE-only
+        # commits (removes, no adds); ignoreChanges additionally streams
+        # past rewrites (UPDATE/MERGE/partial DELETE), RE-EMITTING the
+        # rewritten files' rows. Conflating them would silently duplicate
+        # update rows for users who only opted into deletes.
         self._ignore_changes = (
             str(options.get("ignoreChanges", "false")).lower() == "true"
-            or str(options.get("ignoreDeletes", "false")).lower() == "true"
+        )
+        self._ignore_deletes = self._ignore_changes or (
+            str(options.get("ignoreDeletes", "false")).lower() == "true"
         )
         # change-feed mode: emit (row, _change_type, _commit_version) for
         # every data-changing commit instead of raising on rewrites
@@ -616,17 +623,28 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         parts = []
         for v in range(first_v, ev + 1):
             adds = []
+            has_removes = False
             for action in log.commit_actions(v):
                 if "add" in action:
                     a = action["add"]
                     if a.get("dataChange", True):
                         adds.append(a)
-                elif "remove" in action and not self._ignore_changes:
+                elif "remove" in action:
                     if action["remove"].get("dataChange", True):
-                        raise RuntimeError(
-                            f"commit {v} rewrites/deletes data; set "
-                            "ignoreChanges or ignoreDeletes to stream past it"
-                        )
+                        has_removes = True
+            if has_removes and not self._ignore_changes:
+                if self._ignore_deletes and not adds:
+                    continue  # pure delete: skipped by explicit opt-in
+                raise RuntimeError(
+                    f"commit {v} {'rewrites' if adds else 'deletes'} data; "
+                    + (
+                        "set ignoreChanges to stream past rewrites "
+                        "(rewritten files' rows are re-emitted)"
+                        if adds
+                        else "set ignoreDeletes (or ignoreChanges) to "
+                        "stream past delete-only commits"
+                    )
+                )
             # slice the stable-ordered add list to this batch's window
             # (exactly-once across restarts: the same offsets always
             # reproduce the same slice)

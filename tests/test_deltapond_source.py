@@ -136,7 +136,42 @@ def test_stream_source_rejects_rewrites_unless_opted_in(spark, tmp_path):
 
     with pytest.raises(StreamingQueryException, match="ignoreChanges"):
         run({})
-    run({"ignoreDeletes": "true"})  # opted in: streams past the rewrite
+    # a REWRITE (delete with kept-row re-adds) needs ignoreChanges;
+    # ignoreDeletes alone must NOT silently re-emit rewritten rows
+    with pytest.raises(StreamingQueryException, match="ignoreChanges"):
+        run({"ignoreDeletes": "true"})
+    run({"ignoreChanges": "true"})  # opted in: streams past the rewrite
+
+
+def test_stream_ignore_deletes_skips_delete_only_commits(spark, tmp_path):
+    """Delta parity: ignoreDeletes covers DELETE-only commits (a
+    partition fast-path delete writes removes with no adds) without
+    opting into rewrite re-emission."""
+    from athena_delta_lake_spark.delta.dml import delete
+
+    src = str(tmp_path / "srcdel")
+    write_delta(
+        spark.range(20).selectExpr("id", "id % 2 as k"), src,
+        partition_by=["k"],
+    )
+    delete(spark, src, "k = 1")  # metadata-only: removes, no adds
+
+    q = (
+        spark.readStream.format("deltapond")
+        .option("startingVersion", 0)
+        .option("ignoreDeletes", "true")
+        .load(src)
+        .writeStream.format("memory")
+        .queryName("dp_igdel")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r["id"] for r in spark.sql("select id from dp_igdel").collect())
+        assert got == list(range(20))  # v0 inserts; delete commit skipped
+    finally:
+        q.stop()
 
 
 def test_batch_write_roundtrip_and_overwrite(spark, tmp_path):
