@@ -364,10 +364,23 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         #     the commit JSON, so restarts mid-commit replay exactly-once)
         mcpt = options.get("maxCommitsPerTrigger")
         self._max_commits = int(mcpt) if mcpt is not None else None
-        mfpt = options.get("maxFilesPerTrigger")
-        self._max_files = int(mfpt) if mfpt is not None else None
+        # Delta's default rate limit: 1000 files per trigger — a
+        # million-file backfill drains in bounded batches out of the box
+        # instead of one giant microbatch. "none"/-1 disables.
+        mfpt = options.get("maxFilesPerTrigger", "1000")
+        self._max_files = (
+            None
+            if str(mfpt).lower() in ("none", "-1")
+            else int(mfpt)
+        )
         mbpt = options.get("maxBytesPerTrigger")
         self._max_bytes = int(mbpt) if mbpt is not None else None
+        # skipChangeCommits (modern Delta): silently SKIP any commit that
+        # rewrites/deletes data instead of erroring or re-emitting —
+        # supersedes ignoreChanges' duplication semantics
+        self._skip_change_commits = (
+            str(options.get("skipChangeCommits", "false")).lower() == "true"
+        )
         self._add_sizes_cache: dict[int, list[int]] = {}
         # Trigger.AvailableNow interop: the engine captures ONE
         # latestOffset() (before initialOffset) as the terminal target and
@@ -632,6 +645,8 @@ class DeltaPondStreamReader(DataSourceStreamReader):
                 elif "remove" in action:
                     if action["remove"].get("dataChange", True):
                         has_removes = True
+            if has_removes and self._skip_change_commits:
+                continue  # change commits silently skipped by opt-in
             if has_removes and not self._ignore_changes:
                 if self._ignore_deletes and not adds:
                     continue  # pure delete: skipped by explicit opt-in

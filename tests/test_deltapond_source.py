@@ -779,3 +779,68 @@ def test_stream_starting_timestamp(spark, tmp_path):
             q.processAllAvailable()
         finally:
             q.stop()
+
+
+def test_stream_skip_change_commits(spark, tmp_path):
+    """skipChangeCommits (modern Delta): rewrite commits are silently
+    skipped — no error, no row re-emission."""
+    from athena_delta_lake_spark.delta.dml import delete, update
+
+    src = str(tmp_path / "srcskip")
+    write_delta(spark.range(20).selectExpr("id", "id % 2 as k"), src)  # v0
+    update(spark, src, {"k": "k + 10"}, "id < 5")  # v1: rewrite
+    delete(spark, src, "id >= 18")  # v2: rewrite
+    write_delta(
+        spark.range(100, 105).selectExpr("id", "id % 2 as k"), src
+    )  # v3: append
+    q = (
+        spark.readStream.format("deltapond")
+        .option("startingVersion", 0)
+        .option("skipChangeCommits", "true")
+        .load(src)
+        .writeStream.format("memory")
+        .queryName("dp_skip")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r["id"] for r in spark.sql("select id from dp_skip").collect())
+        # v0 inserts + v3 appends only; both rewrites skipped wholesale
+        assert got == list(range(20)) + list(range(100, 105))
+    finally:
+        q.stop()
+
+
+def test_stream_default_rate_limit_bounds_batches(spark, tmp_path):
+    """The source ships with Delta's default maxFilesPerTrigger=1000;
+    maxFilesPerTrigger='none' disables it (one giant batch)."""
+    from athena_delta_lake_spark.sources.deltapond_source import (
+        DeltaPondStreamReader,
+    )
+
+    src = str(tmp_path / "srcrate")
+    write_delta(spark.range(40).selectExpr("id").repartition(4), src)
+    snap = DeltaTable(spark, src).snapshot()
+    r = DeltaPondStreamReader({"path": src, "startingVersion": "0"}, snap.schema)
+    assert r._max_files == 1000  # default engaged
+    r2 = DeltaPondStreamReader(
+        {"path": src, "startingVersion": "0", "maxFilesPerTrigger": "none"},
+        snap.schema,
+    )
+    assert r2._max_files is None
+    # and the default still drains everything
+    q = (
+        spark.readStream.format("deltapond")
+        .option("startingVersion", 0)
+        .load(src)
+        .writeStream.format("memory")
+        .queryName("dp_rate_def")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select count(*) from dp_rate_def").first()[0] == 40
+    finally:
+        q.stop()
