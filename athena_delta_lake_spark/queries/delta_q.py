@@ -1135,6 +1135,56 @@ def g11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------- g12: REORG TABLE APPLY (PURGE) content stability
+
+
+def _ensure_reorg_pond(spark: SparkSession, sf_dir: str) -> DeltaPond:
+    """part table: MOR delete (deletion vectors), then REORG TABLE …
+    APPLY (PURGE) via pond.sql — the DV'd files rewrite to clean parquet
+    with zero logical change, and no DV descriptors remain."""
+    root = os.path.join(_fixture_root(sf_dir), "pond_reorg")
+    pond = DeltaPond(spark, root)
+    path = os.path.join(root, "lake", "part_rg")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        from ..delta.dml import delete_mor
+
+        write_delta(load(spark, sf_dir, "part"), path)
+        delete_mor(spark, path, "p_size > 40")
+        pond.sql("REORG TABLE lake.part_rg APPLY (PURGE)")
+    return pond
+
+
+@register(
+    "g12_reorg_purge",
+    "delta-core",
+    """
+    SELECT p_brand, count(*) AS n,
+           CAST(sum(p_partkey) AS BIGINT) AS key_sum,
+           CAST(sum(p_size) AS BIGINT) AS size_sum
+    FROM part WHERE p_size <= 40
+    GROUP BY p_brand
+    """,
+    "REORG TABLE … APPLY (PURGE) materializes deletion-vector'd rows "
+    "into clean parquet with ZERO logical change (dataChange=false) and "
+    "leaves no DVs behind; post-REORG content hash-matches the oracle",
+)
+def g12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pond = _ensure_reorg_pond(spark, sf_dir)
+    path = os.path.join(_fixture_root(sf_dir), "pond_reorg", "lake", "part_rg")
+    snap = DeltaTable(spark, path).snapshot()
+    assert not any(f.deletion_vector for f in snap.files), (
+        "REORG left deletion vectors behind"
+    )
+    return pond.sql(
+        """
+        SELECT p_brand, count(*) AS n,
+               CAST(sum(p_partkey) AS BIGINT) AS key_sum,
+               CAST(sum(p_size) AS BIGINT) AS size_sum
+        FROM lake.part_rg GROUP BY p_brand
+        """
+    )
+
+
 # ----------------------------------- g08: SQL CLONE (diverged, time-travel)
 
 

@@ -97,6 +97,7 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
                 "merge", "merge_mor", "optimize", "checkpoint", "rename",
                 "clone", "replace_where", "widen", "restore",
                 "deep_of_shallow", "merge_evolve", "optimize_where",
+                "reorg",
             ]
         )
         t = DeltaTable(spark, path)
@@ -160,6 +161,12 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
             # scoped compaction: dataChange=false — state AND change feed
             # must be untouched (the apply-diff invariant below checks)
             t.compact(target_file_size=1 << 30, predicates=[("k", "=", rng.randint(0, 4))])
+        elif op == "reorg":
+            # REORG APPLY (PURGE): rewrites only DV'd files; also
+            # dataChange=false and row-id-preserving
+            from athena_delta_lake_spark.delta.dml import reorg_purge
+
+            reorg_purge(spark, path)
         elif op == "merge_evolve":
             # MERGE WITH SCHEMA EVOLUTION: source carries a NEW column;
             # matched rows update, unmatched insert, schema gains `extra`
