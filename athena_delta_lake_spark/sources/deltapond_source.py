@@ -364,13 +364,18 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         #     the commit JSON, so restarts mid-commit replay exactly-once)
         mcpt = options.get("maxCommitsPerTrigger")
         self._max_commits = int(mcpt) if mcpt is not None else None
-        # Delta's default rate limit: 1000 files per trigger — a
-        # million-file backfill drains in bounded batches out of the box
-        # instead of one giant microbatch. "none"/-1 disables.
-        mfpt = options.get("maxFilesPerTrigger", "1000")
+        # NO default file cap, deliberately diverging from delta-spark's
+        # default-1000: its engine exposes ReadLimit/availableNow APIs
+        # that let a capped source still drain fully under
+        # Trigger.AvailableNow; the Python DataSource API does not, so a
+        # default cap would make plain availableNow streams silently
+        # return ZERO rows (the engine captures the empty floor offset as
+        # its terminal target). Backfills SHOULD set an explicit cap —
+        # see the admission-control options above.
+        mfpt = options.get("maxFilesPerTrigger")
         self._max_files = (
             None
-            if str(mfpt).lower() in ("none", "-1")
+            if mfpt is None or str(mfpt).lower() in ("none", "-1")
             else int(mfpt)
         )
         mbpt = options.get("maxBytesPerTrigger")

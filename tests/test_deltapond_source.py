@@ -812,9 +812,12 @@ def test_stream_skip_change_commits(spark, tmp_path):
         q.stop()
 
 
-def test_stream_default_rate_limit_bounds_batches(spark, tmp_path):
-    """The source ships with Delta's default maxFilesPerTrigger=1000;
-    maxFilesPerTrigger='none' disables it (one giant batch)."""
+def test_stream_no_default_cap_keeps_available_now_working(spark, tmp_path):
+    """Deliberate divergence from delta-spark's default-1000 file cap:
+    the Python DS API has no ReadLimit hook, so a default cap would make
+    a PLAIN trigger(availableNow=True) stream capture the empty floor
+    offset and return zero rows. Uncapped by default; explicit caps (and
+    'none'/-1) parse as expected; plain availableNow drains fully."""
     from athena_delta_lake_spark.sources.deltapond_source import (
         DeltaPondStreamReader,
     )
@@ -823,24 +826,23 @@ def test_stream_default_rate_limit_bounds_batches(spark, tmp_path):
     write_delta(spark.range(40).selectExpr("id").repartition(4), src)
     snap = DeltaTable(spark, src).snapshot()
     r = DeltaPondStreamReader({"path": src, "startingVersion": "0"}, snap.schema)
-    assert r._max_files == 1000  # default engaged
+    assert r._max_files is None  # no silent default
     r2 = DeltaPondStreamReader(
         {"path": src, "startingVersion": "0", "maxFilesPerTrigger": "none"},
         snap.schema,
     )
     assert r2._max_files is None
-    # and the default still drains everything
+    # plain availableNow, no options: must drain everything and stop
     q = (
         spark.readStream.format("deltapond")
         .option("startingVersion", 0)
         .load(src)
         .writeStream.format("memory")
-        .queryName("dp_rate_def")
+        .queryName("dp_avnow_plain")
         .outputMode("append")
+        .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.processAllAvailable()
-        assert spark.sql("select count(*) from dp_rate_def").first()[0] == 40
-    finally:
-        q.stop()
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert spark.sql("select count(*) from dp_avnow_plain").first()[0] == 40
