@@ -1533,6 +1533,9 @@ def compact(
     target_file_size: int = 128 * 1024 * 1024,
     predicates: list[Predicate] | None = None,
     zorder_by: list[str] | None = None,
+    dv_only: bool = False,
+    operation: str = "OPTIMIZE",
+    operation_parameters: dict | None = None,
 ) -> dict:
     """OPTIMIZE (bin-packing): merge small files within each partition.
 
@@ -1568,13 +1571,22 @@ def compact(
         # materializes the deletion vector (read_files applies DVs), i.e.
         # OPTIMIZE doubles as REORG ... APPLY (PURGE); a ZORDER rewrite
         # re-clusters everything it scopes
-        if f.size < target_file_size or f.deletion_vector or zorder_by:
-            key = tuple(sorted((f.partition_values or {}).items()))
-            groups.setdefault(key, []).append(f)
+        # dv_only (REORG … APPLY (PURGE)): victims are EXACTLY the
+        # DV-carrying files — no small-file merging, minimal I/O
+        if dv_only:
+            if not f.deletion_vector:
+                continue
+        elif not (f.size < target_file_size or f.deletion_vector or zorder_by):
+            continue
+        key = tuple(sorted((f.partition_values or {}).items()))
+        groups.setdefault(key, []).append(f)
     to_compact = {
         k: v
         for k, v in groups.items()
-        if len(v) >= 2 or zorder_by or any(f.deletion_vector for f in v)
+        if len(v) >= 2
+        or zorder_by
+        or dv_only
+        or any(f.deletion_vector for f in v)
     }
     if not to_compact:
         return {"groups": 0, "files_removed": 0, "files_added": 0}
@@ -1601,11 +1613,15 @@ def compact(
     )
     commit_rewrite(
         table_path,
-        "OPTIMIZE",
+        operation,
         adds,
         [f.path for f in victims],
         data_change=False,
-        operation_parameters={"targetSize": str(target_file_size)},
+        operation_parameters=(
+            operation_parameters
+            if operation_parameters is not None
+            else {"targetSize": str(target_file_size)}
+        ),
         expected_states={f.path: file_fingerprint(f) for f in victims},
         base_version=snap.version,
     )
@@ -1616,42 +1632,32 @@ def compact(
     }
 
 
-def reorg_purge(spark: SparkSession, table_path: str) -> dict:
-    """REORG TABLE … APPLY (PURGE): rewrite ONLY the files carrying
-    deletion vectors, materializing soft-deleted rows into clean parquet
-    (after which VACUUM can reap the DV blobs). Unlike OPTIMIZE it never
-    touches DV-free files — the minimal-I/O way to get a MOR-heavy table
-    back to pure parquet for readers without DV support. dataChange=false:
-    no logical rows change, streams skip the commit."""
-    table_path = os.path.abspath(table_path)
-    snap = DeltaLog(table_path).snapshot()
-    victims = [f for f in snap.files if f.deletion_vector]
-    if not victims:
-        return {"files_removed": 0, "files_added": 0}
-    df = _read_cow(spark, snap, victims)
-    part_cols = snap.partition_columns
-    if part_cols:
-        parts = {
-            tuple(sorted((f.partition_values or {}).items())) for f in victims
-        }
-        df = df.repartition(len(parts), *[F.col(c) for c in part_cols])
-    else:
-        total = sum(f.size for f in victims)
-        df = df.coalesce(max(1, -(-total // (128 * 1024 * 1024))))
-    adds = stage_data_files(
-        df, table_path, part_cols, _data_schema(snap), l2p=_l2p(snap)
-    )
-    commit_rewrite(
+def reorg_purge(
+    spark: SparkSession,
+    table_path: str,
+    predicates: list[Predicate] | None = None,
+) -> dict:
+    """REORG TABLE … [WHERE pred] APPLY (PURGE): rewrite ONLY the files
+    carrying deletion vectors (optionally scoped by `predicates`),
+    materializing soft-deleted rows into clean parquet (after which
+    VACUUM can reap the DV blobs). Unlike OPTIMIZE it never touches
+    DV-free files — the minimal-I/O way to get a MOR-heavy table back to
+    pure parquet for readers without DV support. dataChange=false: no
+    logical rows change, streams skip the commit. Shares compact's
+    rewrite machinery (one copy of the row-id-carrying copy-on-write
+    recipe), differing only in victim selection."""
+    res = compact(
+        spark,
         table_path,
-        "REORG",
-        adds,
-        [f.path for f in victims],
-        data_change=False,
+        predicates=predicates,
+        dv_only=True,
+        operation="REORG",
         operation_parameters={"applyPurge": "true"},
-        expected_states={f.path: file_fingerprint(f) for f in victims},
-        base_version=snap.version,
     )
-    return {"files_removed": len(victims), "files_added": len(adds)}
+    return {
+        "files_removed": res["files_removed"],
+        "files_added": res["files_added"],
+    }
 
 
 # -------------------------------------------------------------------- RESTORE

@@ -1356,7 +1356,9 @@ _OPTIMIZE_RE = re.compile(
     r"(?:\s+ZORDER\s+BY\s*\(\s*([\w`,\s]+?)\s*\))?\s*;?\s*$"
 )
 _REORG_RE = re.compile(
-    r"(?is)^\s*REORG\s+TABLE\s+([\w.`]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$"
+    r"(?is)^\s*REORG\s+TABLE\s+([\w.`]+)"
+    r"(?:\s+WHERE\s+(.+?))?"
+    r"\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$"
 )
 _ANALYZE_RE = re.compile(
     r"(?is)^\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS"
@@ -1516,7 +1518,17 @@ def _route_maintenance_sugar(pond, query: str) -> DataFrame | None:
     m = _REORG_RE.match(query)
     if m:
         path = _target(pond, m.group(1).replace("`", "").split("."))
-        res = _dml.reorg_purge(pond.spark, path)
+        preds = None
+        if m.group(2):
+            from .delta.dml import _normalize_where
+
+            preds, _cond, fully = _normalize_where(m.group(2).strip())
+            if not fully or not preds:
+                raise ValueError(
+                    "REORG ... WHERE supports simple AND-ed comparisons on "
+                    f"table columns; cannot use {m.group(2).strip()!r}"
+                )
+        res = _dml.reorg_purge(pond.spark, path, predicates=preds)
         return _metrics_df(pond.spark, {"operation": "reorg_purge", **res})
     m = _ANALYZE_RE.match(query)
     if m:

@@ -580,3 +580,35 @@ def test_reorg_purge_preserves_row_ids(spark, tmp_path):
     assert set(after) == {i for i in range(40) if i % 4 != 0}
     assert all(after[i] == before[i] for i in after)  # ids survived
     assert len(set(after.values())) == len(after)  # still unique
+
+
+def test_reorg_where_scopes_purge(spark, tmp_path):
+    """REORG TABLE t WHERE pred APPLY (PURGE): only DV'd files matching
+    the predicate rewrite; DV'd files outside the scope keep their DVs."""
+    from athena_delta_lake_spark import DeltaTable, write_delta
+    from athena_delta_lake_spark.catalog import DeltaPond
+    from athena_delta_lake_spark.delta.dml import delete_mor
+
+    root = str(tmp_path / "pond")
+    path = f"{root}/lake/t"
+    write_delta(
+        spark.range(100).selectExpr("id", "cast(id % 4 as int) as k"),
+        path,
+        partition_by=["k"],
+    )
+    delete_mor(spark, path, "id % 5 = 0")  # DVs across all partitions
+    pond = DeltaPond(spark, root)
+    row = pond.sql("REORG TABLE lake.t WHERE k = 1 APPLY (PURGE)").first()
+    assert int(row["files_removed"]) >= 1
+    snap = DeltaTable(spark, path).snapshot()
+    for f in snap.files:
+        has_dv = f.deletion_vector is not None
+        in_scope = f.partition_values.get("k") == "1"
+        assert not (in_scope and has_dv)  # scoped partition fully purged
+    # other partitions keep their DVs (untouched by the scoped REORG)
+    assert any(
+        f.deletion_vector
+        for f in snap.files
+        if f.partition_values.get("k") != "1"
+    )
+    assert DeltaTable(spark, path).to_df().count() == 80
