@@ -1,6 +1,7 @@
 """Native Delta Lake core: log replay, snapshot, pruning, scan, write."""
 
 from .dml import compact, delete, delete_mor, merge_upsert, restore_table, update, vacuum
+from .features import drop_feature
 from .log import AddFile, DeltaLog, SnapshotState
 from .reader import read_files, read_snapshot
 from .stats import prune_files
@@ -37,6 +38,7 @@ __all__ = [
     "enable_column_mapping",
     "enable_row_tracking",
     "delete_mor",
+    "drop_feature",
     "merge_upsert",
     "prune_files",
     "read_files",

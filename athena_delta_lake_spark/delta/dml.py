@@ -387,19 +387,16 @@ def _dv_pieces(
     extra = None
     features = set(snap.protocol.get("readerFeatures") or [])
     if "deletionVectors" not in features:
-        extra = [
-            {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": sorted(features | {"deletionVectors"}),
-                    "writerFeatures": sorted(
-                        set(snap.protocol.get("writerFeatures") or [])
-                        | {"deletionVectors"}
-                    ),
-                }
-            }
-        ]
+        # _protocol_upgrade_action (not a hand-rolled dict): a LEGACY
+        # protocol's implied features (e.g. changeDataFeed at
+        # minWriterVersion 4) must be enumerated when moving to the
+        # table-features form, or external writers stop honoring them
+        from .writer import _protocol_upgrade_action
+
+        up = _protocol_upgrade_action(
+            snap.protocol, reader_features=("deletionVectors",)
+        )
+        extra = [up] if up else None
 
     out = _DvPieces()
     out.touched = touched

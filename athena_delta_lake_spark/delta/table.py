@@ -452,6 +452,13 @@ class DeltaTable:
 
         return drop_column(self.path, name)
 
+    def drop_feature(self, feature: str, truncate_history: bool = False) -> dict:
+        """ALTER TABLE ... DROP FEATURE (protocol downgrade; see
+        delta/features.py for the trace rules)."""
+        from .features import drop_feature
+
+        return drop_feature(self.path, feature, truncate_history)
+
     def clone(
         self, dst_path: str, version: int | None = None, shallow: bool = True
     ) -> "DeltaTable":

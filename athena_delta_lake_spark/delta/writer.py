@@ -932,12 +932,29 @@ def add_check_constraint(
     )
     md = dict(snap.metadata)
     md["configuration"] = {**(md.get("configuration") or {}), key: expr}
+    # spec: CHECK constraints are a writer concern — legacy minWriterVersion
+    # 3 (or the checkConstraints table feature) so a pre-constraint writer
+    # stops cleanly instead of inserting unvalidated rows
+    proto = snap.protocol or {}
+    extra = None
+    if proto.get("writerFeatures") is not None:
+        extra = _protocol_upgrade_action(
+            proto, writer_features=("checkConstraints",)
+        )
+    elif int(proto.get("minWriterVersion", 1)) < 3:
+        extra = {
+            "protocol": {
+                "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+                "minWriterVersion": 3,
+            }
+        }
     return _commit_metadata_change(
         table_path,
         "ADD CONSTRAINT",
         {"name": name, "expr": expr},
         md,
         snap.version + 1,
+        extra_actions=[extra] if extra else None,
     )
 
 

@@ -24,6 +24,7 @@ TRUNCATE is a pure metadata commit.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 
@@ -1360,6 +1361,10 @@ _REORG_RE = re.compile(
     r"(?:\s+WHERE\s+(.+?))?"
     r"\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$"
 )
+_DROP_FEATURE_RE = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+FEATURE\s+`?(\w+)`?"
+    r"(\s+TRUNCATE\s+HISTORY)?\s*;?\s*$"
+)
 _ANALYZE_RE = re.compile(
     r"(?is)^\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS"
     r"(\s+NOSCAN)?\s*;?\s*$"
@@ -1530,6 +1535,22 @@ def _route_maintenance_sugar(pond, query: str) -> DataFrame | None:
                 )
         res = _dml.reorg_purge(pond.spark, path, predicates=preds)
         return _metrics_df(pond.spark, {"operation": "reorg_purge", **res})
+    m = _DROP_FEATURE_RE.match(query)
+    if m:
+        from .delta.features import drop_feature
+
+        path = _target(pond, m.group(1).replace("`", "").split("."))
+        res = drop_feature(path, m.group(2), truncate_history=bool(m.group(3)))
+        return _metrics_df(
+            pond.spark,
+            {
+                "operation": "drop_feature",
+                "feature": m.group(2),
+                "version": res["version"],
+                "protocol": json.dumps(res["protocol"]),
+                "truncated_entries": len(res["truncated"]),
+            },
+        )
     m = _ANALYZE_RE.match(query)
     if m:
         return _route_analyze(pond, m)
