@@ -1400,3 +1400,74 @@ def g09(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").cast("long").alias("id_sum"),
         F.sum(F.floor(F.col("value") * 100)).cast("long").alias("value_cents"),
     )
+
+
+# ------------- g13: DROP FEATURE protocol downgrade, content stability
+
+
+def _ensure_drop_feature_pond(spark: SparkSession, sf_dir: str) -> DeltaPond:
+    """orders table through the full feature-retirement lifecycle, all
+    text-routed via pond.sql: created with CDF on (legacy minWriterVersion
+    4), MOR DELETE (deletionVectors reader+writer feature), REORG … APPLY
+    (PURGE), DROP FEATURE changeDataFeed (writer-only: immediate), DROP
+    FEATURE deletionVectors TRUNCATE HISTORY (reader+writer: checkpoints
+    the drop commit and deletes the DV-tainted history). The surviving
+    rows must hash-match the oracle and the protocol must carry neither
+    feature."""
+    root = os.path.join(_fixture_root(sf_dir), "pond_dropfeat")
+    pond = DeltaPond(spark, root)
+    path = os.path.join(root, "lake", "ord_df")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        from ..delta.dml import delete_mor
+
+        write_delta(
+            load(spark, sf_dir, "orders"),
+            path,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        delete_mor(spark, path, "o_orderstatus = 'F'")
+        pond.sql("REORG TABLE lake.ord_df APPLY (PURGE)")
+        pond.sql("ALTER TABLE lake.ord_df DROP FEATURE changeDataFeed")
+        pond.sql(
+            "ALTER TABLE lake.ord_df DROP FEATURE deletionVectors "
+            "TRUNCATE HISTORY"
+        )
+    return pond
+
+
+@register(
+    "g13_drop_feature",
+    "delta-core",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS price_cents
+    FROM orders WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    """,
+    "ALTER TABLE … DROP FEATURE retires changeDataFeed (writer-only, "
+    "immediate) and deletionVectors (reader+writer, TRUNCATE HISTORY) "
+    "with ZERO content change: the downgraded protocol names neither "
+    "feature, no retained log entry carries a DV descriptor, and the "
+    "post-downgrade scan hash-matches the oracle",
+)
+def g13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pond = _ensure_drop_feature_pond(spark, sf_dir)
+    path = os.path.join(
+        _fixture_root(sf_dir), "pond_dropfeat", "lake", "ord_df"
+    )
+    proto = DeltaTable(spark, path).snapshot().protocol
+    feats = set(proto.get("readerFeatures") or []) | set(
+        proto.get("writerFeatures") or []
+    )
+    assert not ({"changeDataFeed", "deletionVectors"} & feats), (
+        f"DROP FEATURE left features on the protocol: {sorted(feats)}"
+    )
+    return pond.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS price_cents
+        FROM lake.ord_df GROUP BY o_orderpriority
+        """
+    )
