@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from .features import _explicit_feature_sets
 from .log import DeltaLog, SnapshotState
 from .reader import read_snapshot
 from .stats import Predicate, prune_files_auto
@@ -488,6 +489,11 @@ class DeltaTable:
             "minWriterVersion": snap.protocol.get("minWriterVersion"),
             "readerFeatures": snap.protocol.get("readerFeatures"),
             "writerFeatures": snap.protocol.get("writerFeatures"),
+            # delta-spark's DESCRIBE DETAIL tableFeatures column: every
+            # feature the protocol carries, legacy implications enumerated
+            "tableFeatures": sorted(
+                set.union(*_explicit_feature_sets(snap.protocol))
+            ),
             "version": snap.version,
             "domainMetadata": dict(snap.domain_metadata),
         }

@@ -1477,6 +1477,7 @@ def _route_describe_detail(pond, name: str) -> DataFrame:
         properties=_json.dumps(d["properties"], sort_keys=True),
         minReaderVersion=int(d["minReaderVersion"] or 1),
         minWriterVersion=int(d["minWriterVersion"] or 1),
+        tableFeatures=list(d["tableFeatures"]),
         version=int(d["version"]),
     )
     return pond.spark.createDataFrame(
@@ -1484,7 +1485,7 @@ def _route_describe_detail(pond, name: str) -> DataFrame:
         "format string, id string, location string, "
         "partitionColumns array<string>, numFiles long, sizeInBytes long, "
         "properties string, minReaderVersion int, minWriterVersion int, "
-        "version long",
+        "tableFeatures array<string>, version long",
     )
 
 

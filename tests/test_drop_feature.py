@@ -316,3 +316,20 @@ def test_sql_drop_feature_truncate_history(spark, tmp_path):
     r, w, _ = _features(path)
     assert "deletionVectors" not in r | w
     assert pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"] == 35
+
+
+def test_describe_detail_table_features(spark, tmp_path):
+    """DESCRIBE DETAIL exposes delta-spark's tableFeatures column with
+    legacy implications enumerated: a (1,4) CDF table shows changeDataFeed
+    even though the protocol has no explicit feature list."""
+    root = str(tmp_path / "pond")
+    path = f"{root}/lake/t"
+    write_delta(
+        spark.range(10).selectExpr("id"),
+        path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    assert "changeDataFeed" in DeltaTable(spark, path).detail()["tableFeatures"]
+    pond = DeltaPond(spark, root)
+    row = pond.sql("DESCRIBE DETAIL lake.t").first()
+    assert "changeDataFeed" in row["tableFeatures"]
