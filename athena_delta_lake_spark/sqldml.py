@@ -1367,7 +1367,8 @@ _DROP_FEATURE_RE = re.compile(
 )
 _ANALYZE_RE = re.compile(
     r"(?is)^\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS"
-    r"(\s+NOSCAN)?\s*;?\s*$"
+    r"(\s+NOSCAN)?"
+    r"(?:\s+FOR\s+(ALL\s+COLUMNS|COLUMNS\s+[\w`,\s]+?))?\s*;?\s*$"
 )
 _VACUUM_RE = re.compile(
     r"(?is)^\s*VACUUM\s+([\w.`]+)"
@@ -1554,6 +1555,14 @@ def _route_maintenance_sugar(pond, query: str) -> DataFrame | None:
         )
     m = _ANALYZE_RE.match(query)
     if m:
+        if m.group(3):
+            if m.group(2):
+                raise ValueError(
+                    "NOSCAN cannot be combined with FOR COLUMNS "
+                    "(column statistics require reading the column)"
+                )
+            path = _target(pond, m.group(1).replace("`", "").split("."))
+            return _route_analyze_columns(pond, path, m.group(3))
         return _route_analyze(pond, m)
     m = _VACUUM_RE.match(query)
     if m:
@@ -1662,6 +1671,147 @@ def _route_analyze(pond, m) -> DataFrame:
     if n_rows is not None:  # never render a literal string "None"
         metrics["numRows"] = n_rows
     return _metrics_df(pond.spark, metrics)
+
+
+def _route_analyze_columns(pond, path: str, cols_clause: str) -> DataFrame:
+    """ANALYZE TABLE t COMPUTE STATISTICS FOR [ALL] COLUMNS c1, c2:
+    per-column min / max / nullCount / distinctCount stored as
+    `pond.stats.col.<name>` table properties (Spark's catalog-stats
+    analog for pond tables).
+
+    Scale design: min/max/nullCount come from the transaction log's
+    per-file stats whenever they are PROVABLE (every live file carries
+    stats for the column, none has a deletion vector that could have
+    removed the extreme/null rows, and the type's footer stats are exact
+    — numeric/temporal; partition columns are exact by construction).
+    Only distinctCount — never derivable from per-file stats — and the
+    unprovable columns run a SINGLE column-pruned aggregate scan, so a
+    100 TB ANALYZE reads exactly the requested columns once."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from .delta.log import DeltaLog, typed_partition_values
+    from .delta.reader import read_snapshot
+    from .delta.stats import _coerce, _stats_value
+    from .delta.writer import set_table_properties
+
+    snap = DeltaLog(path).snapshot()
+    field_names = [f.name for f in snap.schema.fields]
+    if re.match(r"(?is)^ALL\s+COLUMNS$", cols_clause.strip()):
+        cols = field_names
+    else:
+        cols = [
+            c.strip(" `")
+            for c in re.sub(r"(?is)^COLUMNS\s+", "", cols_clause.strip()).split(",")
+        ]
+        missing = [c for c in cols if c not in field_names]
+        if missing:
+            raise ValueError(f"no such column(s): {', '.join(missing)}")
+
+    _EXACT_STATS_TYPES = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType, T.DateType,
+        T.TimestampType, T.TimestampNTZType,
+    )
+    out: dict[str, dict] = {c: {} for c in cols}
+    scan_minmax: list[str] = []
+    for c in cols:
+        dt = snap.schema[c].dataType
+        if c in snap.partition_columns:
+            vals = [
+                typed_partition_values(f, snap.schema, [c])[0]
+                for f in snap.files
+                if not (
+                    f.deletion_vector
+                    and str(f.deletion_vector.get("cardinality"))
+                    == str(_fast_num_records_safe(f))
+                )
+            ]
+            nn = [v for v in vals if v is not None]
+            out[c]["min"] = min(nn) if nn else None
+            out[c]["max"] = max(nn) if nn else None
+            # a NULL partition's null count is per-file row counts — only
+            # provable with numRecords everywhere; else scan
+            if any(v is None for v in vals):
+                scan_minmax.append(c)  # recompute nullCount in the scan
+            else:
+                out[c]["nullCount"] = 0
+            continue
+        provable = isinstance(dt, _EXACT_STATS_TYPES) and snap.files and all(
+            not f.deletion_vector
+            and _stats_value(f.stats, "minValues", c) is not None
+            and _stats_value(f.stats, "maxValues", c) is not None
+            and _stats_value(f.stats, "nullCount", c) is not None
+            for f in snap.files
+        )
+        if provable:
+            out[c]["min"] = min(
+                _coerce(_stats_value(f.stats, "minValues", c), dt)
+                for f in snap.files
+            )
+            out[c]["max"] = max(
+                _coerce(_stats_value(f.stats, "maxValues", c), dt)
+                for f in snap.files
+            )
+            out[c]["nullCount"] = sum(
+                int(_stats_value(f.stats, "nullCount", c)) for f in snap.files
+            )
+        else:
+            scan_minmax.append(c)
+
+    # ONE aggregate job: ndv for every column + min/max/nullCount for the
+    # unprovable ones, over a scan pruned to exactly `cols`
+    aggs = [
+        F.approx_count_distinct(c).alias(f"__ndv__{i}")
+        for i, c in enumerate(cols)
+    ]
+    for i, c in enumerate(cols):
+        if c in scan_minmax:
+            aggs += [
+                F.min(c).alias(f"__mn__{i}"),
+                F.max(c).alias(f"__mx__{i}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nc__{i}"),
+            ]
+    row = read_snapshot(pond.spark, snap).select(*cols).agg(*aggs).first()
+    for i, c in enumerate(cols):
+        out[c]["distinctCount"] = int(row[f"__ndv__{i}"] or 0)
+        if c in scan_minmax:
+            out[c]["min"] = row[f"__mn__{i}"]
+            out[c]["max"] = row[f"__mx__{i}"]
+            out[c]["nullCount"] = int(row[f"__nc__{i}"] or 0)
+
+    props = {
+        f"pond.stats.col.{c}": _json.dumps(out[c], default=str, sort_keys=True)
+        for c in cols
+    }
+    props["pond.stats.analyzedVersion"] = str(snap.version)
+    set_table_properties(path, props)
+    rows = [
+        Row(
+            col_name=c,
+            min=None if out[c]["min"] is None else str(out[c]["min"]),
+            max=None if out[c]["max"] is None else str(out[c]["max"]),
+            null_count=int(out[c]["nullCount"]),
+            distinct_count=int(out[c]["distinctCount"]),
+        )
+        for c in cols
+    ]
+    return pond.spark.createDataFrame(
+        rows,
+        "col_name string, min string, max string, "
+        "null_count long, distinct_count long",
+    )
+
+
+def _fast_num_records_safe(f):
+    from .delta.log import _fast_num_records
+
+    try:
+        return _fast_num_records(f)
+    except (ValueError, TypeError):
+        return None
 
 
 def _route_describe_history(pond, name: str) -> DataFrame:

@@ -127,3 +127,69 @@ def test_parse_byte_conf():
     assert _parse_byte_conf("1g") == 1 << 30
     assert _parse_byte_conf("512b") == 512
     assert _parse_byte_conf("-1") == -1
+
+
+def test_analyze_for_columns_metadata_path(spark, tmp_path):
+    """FOR COLUMNS derives min/max/nullCount from log stats (no DVs) and
+    ndv from one pruned scan; properties land as pond.stats.col.*."""
+    import json
+
+    from athena_delta_lake_spark import write_delta
+    from athena_delta_lake_spark.catalog import DeltaPond
+    from athena_delta_lake_spark.delta import DeltaLog
+
+    root = str(tmp_path / "pond")
+    path = f"{root}/lake/t"
+    write_delta(
+        spark.range(100).selectExpr(
+            "id",
+            "CAST(id % 7 AS INT) AS k",
+            "CASE WHEN id % 10 = 0 THEN NULL ELSE concat('s', id) END AS s",
+        ),
+        path,
+        partition_by=["k"],
+    )
+    pond = DeltaPond(spark, root)
+    rows = {
+        r["col_name"]: r
+        for r in pond.sql(
+            "ANALYZE TABLE lake.t COMPUTE STATISTICS FOR COLUMNS id, k, s"
+        ).collect()
+    }
+    assert rows["id"]["min"] == "0" and rows["id"]["max"] == "99"
+    assert rows["id"]["null_count"] == 0
+    assert rows["id"]["distinct_count"] >= 95  # approx ndv of 100
+    assert rows["k"]["min"] == "0" and rows["k"]["max"] == "6"
+    assert rows["k"]["distinct_count"] == 7
+    assert rows["s"]["null_count"] == 10  # string: via the scan path
+    cfg = DeltaLog(path).snapshot().metadata["configuration"]
+    st = json.loads(cfg["pond.stats.col.id"])
+    assert st["min"] == 0 and st["max"] == 99 and st["nullCount"] == 0
+
+
+def test_analyze_for_all_columns_and_noscan_conflict(spark, tmp_path):
+    import pytest
+
+    from athena_delta_lake_spark import write_delta
+    from athena_delta_lake_spark.catalog import DeltaPond
+    from athena_delta_lake_spark.delta.dml import delete_mor
+
+    root = str(tmp_path / "pond")
+    path = f"{root}/lake/t"
+    write_delta(spark.range(50).selectExpr("id", "id % 3 AS k"), path)
+    delete_mor(spark, path, "id >= 40")  # DVs: min/max must NOT trust stats
+    pond = DeltaPond(spark, root)
+    rows = {
+        r["col_name"]: r
+        for r in pond.sql(
+            "ANALYZE TABLE lake.t COMPUTE STATISTICS FOR ALL COLUMNS"
+        ).collect()
+    }
+    assert rows["id"]["max"] == "39"  # scan path sees through the DV
+    assert rows["k"]["max"] == "2"
+    with pytest.raises(ValueError, match="NOSCAN"):
+        pond.sql(
+            "ANALYZE TABLE lake.t COMPUTE STATISTICS NOSCAN FOR COLUMNS id"
+        )
+    with pytest.raises(ValueError, match="no such column"):
+        pond.sql("ANALYZE TABLE lake.t COMPUTE STATISTICS FOR COLUMNS nope")
