@@ -333,3 +333,26 @@ def test_describe_detail_table_features(spark, tmp_path):
     pond = DeltaPond(spark, root)
     row = pond.sql("DESCRIBE DETAIL lake.t").first()
     assert "changeDataFeed" in row["tableFeatures"]
+
+
+def test_vacuum_reaps_orphaned_dv_blobs_after_truncate(spark, tmp_path):
+    """After REORG + DROP FEATURE deletionVectors TRUNCATE HISTORY the DV
+    blobs have no retained remove action pointing at them — VACUUM must
+    still reap them as untracked files."""
+    import glob
+
+    from athena_delta_lake_spark.delta.dml import vacuum
+
+    root = str(tmp_path / "pond")
+    path = f"{root}/lake/t"
+    write_delta(spark.range(100).selectExpr("id", "id % 4 AS k"), path)
+    delete_mor(spark, path, "id % 10 = 0")
+    pond = DeltaPond(spark, root)
+    pond.sql("REORG TABLE lake.t APPLY (PURGE)")
+    pond.sql("ALTER TABLE lake.t DROP FEATURE deletionVectors TRUNCATE HISTORY")
+    assert glob.glob(f"{path}/deletion_vector*.bin") or glob.glob(
+        f"{path}/**/*.bin", recursive=True
+    )
+    vacuum(path, retention_hours=0.0)
+    assert not glob.glob(f"{path}/**/*.bin", recursive=True)
+    assert DeltaTable(spark, path).to_df().count() == 90
