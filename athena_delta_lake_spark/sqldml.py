@@ -326,6 +326,26 @@ def _route_insert(pond, p, text: str) -> DataFrame:
 # ------------------------------------------------------------------- CTAS
 
 
+def _partition_and_cluster_cols(p) -> tuple[list[str], list[str]]:
+    """Split a CREATE TABLE plan's partitioning() transforms into
+    PARTITIONED BY identity columns and CLUSTER BY (liquid clustering)
+    columns — Spark 4 parses both into the same transform list."""
+    part_cols: list[str] = []
+    cluster_cols: list[str] = []
+    for t in _seq(p.partitioning()):
+        s = t.toString()
+        m = re.fullmatch(r"identity\((.+)\)", s)
+        if m:
+            part_cols.append(m.group(1))
+            continue
+        m = re.fullmatch(r"cluster_by\((.+)\)", s)
+        if m:
+            cluster_cols.extend(c.strip(" `") for c in m.group(1).split(","))
+            continue
+        raise ValueError(f"unsupported partition transform: {s}")
+    return part_cols, cluster_cols
+
+
 def _route_ctas(pond, p, text: str) -> DataFrame:
     from .delta.writer import write_delta
 
@@ -352,12 +372,7 @@ def _route_ctas(pond, p, text: str) -> DataFrame:
     if provider is not None and provider.lower() not in ("delta", "deltapond"):
         raise ValueError(f"CTAS USING {provider} unsupported (delta only)")
 
-    part_cols: list[str] = []
-    for t in _seq(p.partitioning()):
-        m = re.fullmatch(r"identity\((.+)\)", t.toString())
-        if not m:
-            raise ValueError(f"unsupported partition transform: {t.toString()}")
-        part_cols.append(m.group(1))
+    part_cols, cluster_cols = _partition_and_cluster_cols(p)
 
     qtext = _span(p.query(), text)
     if qtext is None:
@@ -365,7 +380,12 @@ def _route_ctas(pond, p, text: str) -> DataFrame:
     df = pond.sql(qtext)
     path = os.path.join(pond.root, schema, table)
     os.makedirs(path, exist_ok=True)
-    version = write_delta(df, path, partition_by=part_cols or None)
+    version = write_delta(
+        df,
+        path,
+        partition_by=part_cols or None,
+        liquid_cluster_by=cluster_cols or None,
+    )
     return _metrics_df(
         pond.spark,
         {"operation": "ctas", "version": version, "table": f"{schema}.{table}"},
@@ -398,12 +418,7 @@ def _route_create_table(pond, p, text: str) -> DataFrame:
     provider = _opt(p.tableSpec().provider())
     if provider is not None and provider.lower() not in ("delta", "deltapond"):
         raise ValueError(f"CREATE TABLE USING {provider} unsupported (delta only)")
-    part_cols = []
-    for t in _seq(p.partitioning()):
-        m = re.fullmatch(r"identity\((.+)\)", t.toString())
-        if not m:
-            raise ValueError(f"unsupported partition transform: {t.toString()}")
-        part_cols.append(m.group(1))
+    part_cols, cluster_cols = _partition_and_cluster_cols(p)
     fields = ", ".join(
         f"{c.name()} {c.dataType().sql()}" for c in _seq(p.columns())
     )
@@ -460,6 +475,7 @@ def _route_create_table(pond, p, text: str) -> DataFrame:
         empty,
         path,
         partition_by=part_cols or None,
+        liquid_cluster_by=cluster_cols or None,
         identity_columns=identity or None,
     )
     if identity or defaults:
@@ -1231,6 +1247,15 @@ def _route_show_create_table(pond, p, text: str) -> DataFrame:
     ddl = f"CREATE TABLE {name} (\n" + ",\n".join(cols) + f"\n)\nUSING {using}"
     if part_cols:
         ddl += f"\nPARTITIONED BY ({', '.join(part_cols)})"
+    if pond._is_delta_dir(path):
+        dm = snap.domain_metadata.get("delta.clustering")
+        if dm:
+            try:
+                cc = _json_loads_cols(dm)
+            except ValueError:
+                cc = None
+            if cc:
+                ddl += f"\nCLUSTER BY ({', '.join(cc)})"
     if comment:
         ddl += f"\nCOMMENT '{comment}'"
     shown = {k: v for k, v in sorted(config.items())}
@@ -1240,6 +1265,11 @@ def _route_show_create_table(pond, p, text: str) -> DataFrame:
     return pond.spark.createDataFrame(
         [Row(createtab_stmt=ddl)], "createtab_stmt string"
     )
+
+
+def _json_loads_cols(dm: str) -> list[str] | None:
+    cols = json.loads(dm).get("clusteringColumns")
+    return list(cols) if cols else None
 
 
 def _route_comment_on_table(pond, p, text: str) -> DataFrame:

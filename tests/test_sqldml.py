@@ -612,3 +612,41 @@ def test_reorg_where_scopes_purge(spark, tmp_path):
         if f.partition_values.get("k") != "1"
     )
     assert DeltaTable(spark, path).to_df().count() == 80
+
+
+def test_create_table_cluster_by(spark, tmp_path):
+    """CREATE TABLE ... CLUSTER BY (Spark 4 syntax) persists the liquid
+    clustering policy in the delta.clustering domain; a plain OPTIMIZE
+    re-clusters by it, and SHOW CREATE TABLE renders it back."""
+    import json
+
+    from athena_delta_lake_spark.catalog import DeltaPond
+    from athena_delta_lake_spark.delta import DeltaLog
+
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
+    pond.sql("CREATE SCHEMA lake")
+    pond.sql("CREATE TABLE lake.c1 (id BIGINT, k INT) CLUSTER BY (id, k)")
+    dm = DeltaLog(f"{root}/lake/c1").snapshot().domain_metadata
+    assert json.loads(dm["delta.clustering"])["clusteringColumns"] == ["id", "k"]
+    pond.sql(
+        "CREATE TABLE lake.c2 CLUSTER BY (k) AS "
+        "SELECT id, CAST(id % 5 AS INT) AS k FROM range(100)"
+    )
+    dm2 = DeltaLog(f"{root}/lake/c2").snapshot().domain_metadata
+    assert json.loads(dm2["delta.clustering"])["clusteringColumns"] == ["k"]
+    assert pond.sql("SELECT count(*) AS n FROM lake.c2").first()["n"] == 100
+    # plain OPTIMIZE re-clusters by the remembered policy (no explicit
+    # ZORDER) and leaves content unchanged
+    pond.sql("INSERT INTO lake.c2 SELECT id, CAST(id % 5 AS INT) FROM range(100, 120)")
+    pond.sql("OPTIMIZE lake.c2")
+    assert pond.sql("SELECT count(*) AS n FROM lake.c2").first()["n"] == 120
+    ddl = pond.sql("SHOW CREATE TABLE lake.c2").first()[0]
+    assert "CLUSTER BY (k)" in ddl
+    # CLUSTER BY and PARTITIONED BY both parse; mixing is the writer's call
+    pond.sql(
+        "CREATE TABLE lake.c3 (id BIGINT, k INT) PARTITIONED BY (k)"
+    )
+    assert "delta.clustering" not in DeltaLog(
+        f"{root}/lake/c3"
+    ).snapshot().domain_metadata
