@@ -989,6 +989,41 @@ def _route_alter_columns(pond, p, text: str) -> DataFrame:
     )
 
 
+def _route_cluster_by(pond, p, text: str) -> DataFrame:
+    """ALTER TABLE t CLUSTER BY (cols) | NONE: change (or retire) the
+    liquid-clustering policy — pure domain-metadata commit; the layout
+    actually changes at the next OPTIMIZE, which reads the policy."""
+    from .delta.log import DeltaLog
+    from .delta.writer import set_domain_metadata
+
+    path = _target(pond, _relation_parts(p.table()))
+    spec = p.clusterBySpec()
+    if spec.isDefined():
+        names = [c.toString() for c in _seq(spec.get().columnNames())]
+        snap = DeltaLog(path).snapshot()
+        known = {f.name for f in snap.schema.fields}
+        missing = [n for n in names if n not in known]
+        if missing:
+            raise ValueError(
+                f"CLUSTER BY column(s) not in schema: {', '.join(missing)}"
+            )
+        version = set_domain_metadata(
+            path,
+            "delta.clustering",
+            json.dumps({"clusteringColumns": names}, separators=(",", ":")),
+        )
+        shown = ", ".join(names)
+    else:
+        version = set_domain_metadata(
+            path, "delta.clustering", None, removed=True
+        )
+        shown = "NONE"
+    return _metrics_df(
+        pond.spark,
+        {"operation": "cluster_by", "columns": shown, "version": version},
+    )
+
+
 def _route_set_props(pond, p, text: str) -> DataFrame:
     from .delta.writer import enable_column_mapping, set_table_properties
 
@@ -1911,6 +1946,7 @@ _ROUTES = {
     "ShowColumns": _route_show_columns,
     "CommentOnTable": _route_comment_on_table,
     "CreateTableLikeCommand": _route_create_table_like,
+    "AlterTableClusterBy": _route_cluster_by,
     "ShowCreateTable": _route_show_create_table,
     "AlterViewAs": _route_alter_view_as,
     "RenameTable": _route_rename_table,

@@ -650,3 +650,34 @@ def test_create_table_cluster_by(spark, tmp_path):
     assert "delta.clustering" not in DeltaLog(
         f"{root}/lake/c3"
     ).snapshot().domain_metadata
+
+
+def test_alter_table_cluster_by(spark, tmp_path):
+    """ALTER TABLE ... CLUSTER BY (cols) sets the policy; CLUSTER BY NONE
+    retires it; unknown columns refuse."""
+    import json
+
+    import pytest
+
+    from athena_delta_lake_spark.catalog import DeltaPond
+    from athena_delta_lake_spark.delta import DeltaLog
+
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
+    pond.sql("CREATE SCHEMA lake")
+    pond.sql(
+        "CREATE TABLE lake.t AS SELECT id, CAST(id % 5 AS INT) AS k "
+        "FROM range(60)"
+    )
+    path = f"{root}/lake/t"
+    pond.sql("ALTER TABLE lake.t CLUSTER BY (k, id)")
+    dm = DeltaLog(path).snapshot().domain_metadata
+    assert json.loads(dm["delta.clustering"])["clusteringColumns"] == ["k", "id"]
+    # OPTIMIZE picks the policy up and content is stable
+    pond.sql("OPTIMIZE lake.t")
+    assert pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"] == 60
+    assert "CLUSTER BY (k, id)" in pond.sql("SHOW CREATE TABLE lake.t").first()[0]
+    pond.sql("ALTER TABLE lake.t CLUSTER BY NONE")
+    assert "delta.clustering" not in DeltaLog(path).snapshot().domain_metadata
+    with pytest.raises(ValueError, match="not in schema"):
+        pond.sql("ALTER TABLE lake.t CLUSTER BY (nope)")
