@@ -971,21 +971,154 @@ def _route_drop_columns(pond, p, text: str) -> DataFrame:
 
 
 def _route_alter_columns(pond, p, text: str) -> DataFrame:
+    """ALTER TABLE t ALTER COLUMN c TYPE wider | COMMENT 'txt' |
+    SET/DROP NOT NULL | SET/DROP DEFAULT expr — one spec per column."""
     from .delta.writer import alter_column_type
 
     path = _target(pond, _relation_parts(p.table()))
     version = None
+    op = "alter_column"
     for spec in _seq(p.specs()):
+        col = _field_name(spec.column())
         nd = spec.newDataType()
-        if not nd.isDefined():
-            raise ValueError(
-                "only ALTER COLUMN ... TYPE (type widening) is supported"
+        if nd.isDefined():
+            version = alter_column_type(path, col, nd.get().sql())
+            op = "alter_column_type"
+            continue
+        nc = spec.newComment()
+        if nc.isDefined():
+            version = _alter_field_metadata(
+                path, col, {"comment": nc.get()}, "CHANGE COLUMN COMMENT"
             )
-        version = alter_column_type(
-            path, _field_name(spec.column()), nd.get().sql()
+            op = "alter_column_comment"
+            continue
+        nn = spec.newNullability()
+        if nn.isDefined():
+            version = _alter_column_nullability(pond, path, col, bool(nn.get()))
+            op = "alter_column_nullability"
+            continue
+        if spec.dropDefault():
+            version = _alter_field_metadata(
+                path, col, {"CURRENT_DEFAULT": None}, "DROP DEFAULT"
+            )
+            op = "alter_column_drop_default"
+            continue
+        de = spec.newDefaultExpression()
+        if de.isDefined():
+            version = _alter_column_set_default(
+                pond, path, col, de.get().originalSQL()
+            )
+            op = "alter_column_set_default"
+            continue
+        raise ValueError(f"unsupported ALTER COLUMN spec on {col}")
+    return _metrics_df(pond.spark, {"operation": op, "version": version})
+
+
+def _alter_field_metadata(
+    path: str, col: str, updates: dict, operation: str
+) -> int:
+    """Metadata-only commit mutating one top-level field's metadata keys
+    (None value = remove the key)."""
+    import json as _json
+
+    from .delta.log import DeltaLog
+    from .delta.writer import _commit_metadata_change
+
+    snap = DeltaLog(path).snapshot()
+    if col not in {f.name for f in snap.schema.fields}:
+        raise ValueError(f"no such column: {col}")
+    schema_obj = _json.loads(snap.metadata["schemaString"])
+    for f in schema_obj["fields"]:
+        if f["name"] == col:
+            meta = dict(f.get("metadata") or {})
+            for k, v in updates.items():
+                if v is None:
+                    meta.pop(k, None)
+                else:
+                    meta[k] = v
+            f["metadata"] = meta
+    md = dict(snap.metadata)
+    md["schemaString"] = _json.dumps(schema_obj, separators=(",", ":"))
+    return _commit_metadata_change(
+        path, operation, {"column": col}, md, snap.version + 1
+    )
+
+
+def _alter_column_nullability(pond, path: str, col: str, nullable: bool) -> int:
+    """DROP NOT NULL (relax — always safe) / SET NOT NULL (tighten —
+    must prove no existing NULLs first, one limit(1) probe)."""
+    import json as _json
+
+    from .delta.log import DeltaLog
+    from .delta.reader import read_snapshot
+    from .delta.writer import _commit_metadata_change
+
+    snap = DeltaLog(path).snapshot()
+    if col not in {f.name for f in snap.schema.fields}:
+        raise ValueError(f"no such column: {col}")
+    if not nullable:
+        from pyspark.sql import functions as F
+
+        bad = (
+            read_snapshot(pond.spark, snap)
+            .filter(F.col(col).isNull())
+            .limit(1)
+            .collect()
         )
-    return _metrics_df(
-        pond.spark, {"operation": "alter_column_type", "version": version}
+        if bad:
+            raise ValueError(
+                f"cannot SET NOT NULL on {col}: existing rows hold NULL"
+            )
+    schema_obj = _json.loads(snap.metadata["schemaString"])
+    for f in schema_obj["fields"]:
+        if f["name"] == col:
+            f["nullable"] = nullable
+    md = dict(snap.metadata)
+    md["schemaString"] = _json.dumps(schema_obj, separators=(",", ":"))
+    return _commit_metadata_change(
+        path,
+        "SET NOT NULL" if not nullable else "DROP NOT NULL",
+        {"column": col},
+        md,
+        snap.version + 1,
+    )
+
+
+def _alter_column_set_default(pond, path: str, col: str, sql_text: str) -> int:
+    """SET DEFAULT expr: stamps CURRENT_DEFAULT (governs future inserts;
+    EXISTS_DEFAULT is untouched — it only describes rows written before
+    the column existed) and declares the allowColumnDefaults feature."""
+    import json as _json
+
+    from .delta.log import DeltaLog
+    from .delta.writer import (
+        _commit_metadata_change,
+        _protocol_upgrade_action,
+    )
+
+    snap = DeltaLog(path).snapshot()
+    if col not in {f.name for f in snap.schema.fields}:
+        raise ValueError(f"no such column: {col}")
+    # the default must evaluate (and be constant-foldable) up front
+    pond.spark.sql(f"SELECT {sql_text}").collect()
+    schema_obj = _json.loads(snap.metadata["schemaString"])
+    for f in schema_obj["fields"]:
+        if f["name"] == col:
+            meta = dict(f.get("metadata") or {})
+            meta["CURRENT_DEFAULT"] = sql_text
+            f["metadata"] = meta
+    md = dict(snap.metadata)
+    md["schemaString"] = _json.dumps(schema_obj, separators=(",", ":"))
+    upgrade = _protocol_upgrade_action(
+        snap.protocol, writer_features=("allowColumnDefaults",)
+    )
+    return _commit_metadata_change(
+        path,
+        "SET DEFAULT",
+        {"column": col, "default": sql_text},
+        md,
+        snap.version + 1,
+        extra_actions=[upgrade] if upgrade else None,
     )
 
 

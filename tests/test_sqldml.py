@@ -681,3 +681,77 @@ def test_alter_table_cluster_by(spark, tmp_path):
     assert "delta.clustering" not in DeltaLog(path).snapshot().domain_metadata
     with pytest.raises(ValueError, match="not in schema"):
         pond.sql("ALTER TABLE lake.t CLUSTER BY (nope)")
+
+
+def test_sql_check_constraints_route(spark, tmp_path):
+    """ADD/DROP CONSTRAINT through pond.sql: validation on add, DML
+    enforcement afterwards, IF EXISTS tolerance on drop."""
+    import pytest
+
+    from athena_delta_lake_spark.catalog import DeltaPond
+
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
+    pond.sql("CREATE SCHEMA lake")
+    pond.sql("CREATE TABLE lake.t AS SELECT id FROM range(10)")
+    row = pond.sql(
+        "ALTER TABLE lake.t ADD CONSTRAINT small CHECK (id < 100)"
+    ).first()
+    assert row["operation"] == "add_constraint" and row["name"] == "small"
+    with pytest.raises(ValueError, match="small"):
+        pond.sql("INSERT INTO lake.t VALUES (500)")  # violates
+    with pytest.raises(ValueError, match="violated"):
+        # adding a constraint existing rows break must refuse
+        pond.sql("ALTER TABLE lake.t ADD CONSTRAINT neg CHECK (id < 5)")
+    pond.sql("ALTER TABLE lake.t DROP CONSTRAINT small")
+    pond.sql("INSERT INTO lake.t VALUES (500)")  # now fine
+    assert pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"] == 11
+    with pytest.raises(ValueError, match="no such constraint"):
+        pond.sql("ALTER TABLE lake.t DROP CONSTRAINT small")
+    r = pond.sql("ALTER TABLE lake.t DROP CONSTRAINT IF EXISTS small").first()
+    assert r["operation"] == "drop_constraint_skipped"
+
+
+def test_alter_column_comment_nullability_default(spark, tmp_path):
+    import pytest
+
+    from athena_delta_lake_spark.catalog import DeltaPond
+    from athena_delta_lake_spark.delta import DeltaLog
+
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
+    pond.sql("CREATE SCHEMA lake")
+    pond.sql(
+        "CREATE TABLE lake.t AS SELECT id, "
+        "CASE WHEN id % 2 = 0 THEN NULL ELSE id END AS v FROM range(10)"
+    )
+    path = f"{root}/lake/t"
+
+    pond.sql("ALTER TABLE lake.t ALTER COLUMN v COMMENT 'maybe null'")
+    fld = {f.name: f for f in DeltaLog(path).snapshot().schema.fields}
+    assert fld["v"].metadata.get("comment") == "maybe null"
+    assert "maybe null" in pond.sql("SHOW CREATE TABLE lake.t").first()[0]
+
+    # SET NOT NULL refuses while NULLs exist, works after they go
+    with pytest.raises(ValueError, match="NULL"):
+        pond.sql("ALTER TABLE lake.t ALTER COLUMN v SET NOT NULL")
+    pond.sql("DELETE FROM lake.t WHERE v IS NULL")
+    pond.sql("ALTER TABLE lake.t ALTER COLUMN v SET NOT NULL")
+    fld = {f.name: f for f in DeltaLog(path).snapshot().schema.fields}
+    assert fld["v"].nullable is False
+    pond.sql("ALTER TABLE lake.t ALTER COLUMN v DROP NOT NULL")
+    fld = {f.name: f for f in DeltaLog(path).snapshot().schema.fields}
+    assert fld["v"].nullable is True
+
+    # SET DEFAULT governs future inserts by name; DROP DEFAULT stops that
+    pond.sql("ALTER TABLE lake.t ALTER COLUMN v SET DEFAULT 42")
+    pond.sql("INSERT INTO lake.t (id) VALUES (777)")
+    got = pond.sql("SELECT v FROM lake.t WHERE id = 777").first()["v"]
+    assert got == 42
+    feats = set(
+        DeltaLog(path).snapshot().protocol.get("writerFeatures") or []
+    )
+    assert "allowColumnDefaults" in feats
+    pond.sql("ALTER TABLE lake.t ALTER COLUMN v DROP DEFAULT")
+    fld = {f.name: f for f in DeltaLog(path).snapshot().schema.fields}
+    assert "CURRENT_DEFAULT" not in (fld["v"].metadata or {})
