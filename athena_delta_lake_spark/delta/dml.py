@@ -168,7 +168,8 @@ def delete(
     kept = df.filter(~F.coalesce(cond, F.lit(False)))  # NULL predicate keeps
     data_schema = _data_schema(snap)
     adds = stage_data_files(
-        kept, table_path, part_cols, data_schema, l2p=_l2p(snap)
+        kept, table_path, part_cols, data_schema, l2p=_l2p(snap),
+        config=snap.metadata.get("configuration"),
     )
     cdc = None
     if _cdf_on(snap):
@@ -472,7 +473,8 @@ def update(
 
     _enforce_constraints(df, snap.metadata)
     adds = stage_data_files(
-        df, table_path, snap.partition_columns, _data_schema(snap), l2p=_l2p(snap)
+        df, table_path, snap.partition_columns, _data_schema(snap),
+        l2p=_l2p(snap), config=snap.metadata.get("configuration"),
     )
     cdc = None
     if _cdf_on(snap):
@@ -580,7 +582,7 @@ def update_mor(
     _enforce_constraints(new_rows, snap.metadata)
     new_adds = stage_data_files(
         new_rows, table_path, snap.partition_columns, _data_schema(snap),
-        l2p=_l2p(snap),
+        l2p=_l2p(snap), config=snap.metadata.get("configuration"),
     )
 
     pieces = _dv_pieces(table_path, snap, staged)
@@ -849,6 +851,7 @@ def _insert_only_merge(
             [f for f in schema.fields if f.name not in snap.partition_columns]
         ),
         l2p=logical_to_physical(schema, meta.get("configuration")),
+        config=meta.get("configuration"),
     )
     # no cdc files here even when CDF is on: an insert-only commit is
     # EXACTLY derivable from its add actions (spec-allowed omission), so
@@ -1188,6 +1191,7 @@ def merge_upsert(
             [f for f in schema.fields if f.name not in snap.partition_columns]
         ),
         l2p=merge_l2p,
+        config=meta.get("configuration"),
     )
     cdc = None
     if cdf:
@@ -1468,6 +1472,7 @@ def merge_upsert_mor(
                 ]
             ),
             l2p=logical_to_physical(schema, meta.get("configuration")),
+            config=meta.get("configuration"),
         )
 
     pieces = None
@@ -1606,7 +1611,8 @@ def compact(
         total = sum(f.size for f in victims)
         df = df.coalesce(max(1, -(-total // target_file_size)))
     adds = stage_data_files(
-        df, table_path, part_cols, _data_schema(snap), l2p=_l2p(snap)
+        df, table_path, part_cols, _data_schema(snap), l2p=_l2p(snap),
+        config=snap.metadata.get("configuration"),
     )
     commit_rewrite(
         table_path,

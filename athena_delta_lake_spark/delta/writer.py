@@ -66,11 +66,42 @@ def _json_safe(v):
     return v
 
 
-def _file_stats(local_path: str, data_schema: T.StructType) -> dict:
-    """Aggregate Parquet row-group footer stats into Delta stats JSON."""
+def _data_skipping_cols(
+    data_schema: T.StructType, config: dict | None
+) -> set[str] | None:
+    """Columns whose per-file stats go in the log — Delta's
+    `delta.dataSkippingStatsColumns` (explicit list) else
+    `delta.dataSkippingNumIndexedCols` (first N schema columns, default
+    32, -1 = all). None = no restriction. The point at scale: a 500-column
+    table at 10^6 files writes ~1.5 GB of stats JSON per indexed column
+    family; capping to the columns queries actually filter on keeps log
+    replay and checkpoint size bounded."""
+    cfg = config or {}
+    explicit = cfg.get("delta.dataSkippingStatsColumns")
+    if explicit:
+        return {c.strip(" `") for c in str(explicit).split(",") if c.strip()}
+    try:
+        n = int(cfg.get("delta.dataSkippingNumIndexedCols", 32))
+    except (TypeError, ValueError):
+        n = 32
+    if n < 0 or n >= len(data_schema.fields):
+        return None
+    return {f.name for f in data_schema.fields[:n]}
+
+
+def _file_stats(
+    local_path: str,
+    data_schema: T.StructType,
+    allowed: set[str] | None = None,
+) -> dict:
+    """Aggregate Parquet row-group footer stats into Delta stats JSON.
+    `allowed` (from _data_skipping_cols) restricts which columns get
+    min/max/nullCount; numRecords is always recorded."""
     import pyarrow.parquet as pq
 
     stats_cols = {f.name for f in data_schema.fields if isinstance(f.dataType, _STATS_SAFE_TYPES)}
+    if allowed is not None:
+        stats_cols &= allowed
     md = pq.ParquetFile(local_path).metadata
     mins: dict = {}
     maxs: dict = {}
@@ -344,6 +375,7 @@ def stage_data_files(
     data_schema: T.StructType,
     collect_stats: bool = True,
     l2p: dict[str, str] | None = None,
+    config: dict | None = None,
 ) -> list[dict]:
     """Write `df` as new parquet data files under `table_path` (hive layout
     when partitioned) and return the corresponding `add` actions — NOT yet
@@ -353,7 +385,16 @@ def stage_data_files(
     `l2p` (from logical_to_physical) activates the column-mapping write
     convention: data files, hive partition dirs, `partitionValues` keys and
     stats keys all use PHYSICAL column names (the log replayer normalizes
-    them back to logical at read time, log.py)."""
+    them back to logical at read time, log.py).
+
+    `config` (table configuration) bounds which columns get stats
+    (delta.dataSkippingStatsColumns / NumIndexedCols — see
+    _data_skipping_cols)."""
+    # resolve the stats-column cap against LOGICAL names, then map to
+    # physical (the user configures logical names; stats keys are physical)
+    allowed = _data_skipping_cols(data_schema, config)
+    if allowed is not None and l2p:
+        allowed = {l2p.get(c, c) for c in allowed}
     if l2p:
         df = df.toDF(*[l2p.get(c, c) for c in df.columns])
         partition_by = [l2p.get(c, c) for c in partition_by]
@@ -388,6 +429,7 @@ def stage_data_files(
             for f in data_schema.fields
             if isinstance(f.dataType, _STATS_SAFE_TYPES)
             and f.name not in partition_by
+            and (allowed is None or f.name in allowed)
         ]
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in safe:
@@ -439,7 +481,11 @@ def stage_data_files(
                     "nullCount": {},
                 }
             else:
-                stats = _file_stats(src, data_schema) if collect_stats else None
+                stats = (
+                    _file_stats(src, data_schema, allowed)
+                    if collect_stats
+                    else None
+                )
             shutil.move(src, dst)
             # Delta spec: add.path is URL-encoded relative to the table root;
             # the replayer (log.py:_decode_path) unquotes it back to the
@@ -1341,6 +1387,10 @@ def write_delta(
     # replaceWhere scoping: which files does this overwrite actually
     # replace, and which boundary rows must survive via a rewrite
     rw_candidates = None
+    prior_md = prior.metadata if prior is not None else {}
+    prior_config = dict(prior_md.get("configuration") or {})
+    effective_config = {**prior_config, **(configuration or {})}
+
     rw_survivor_adds: list[dict] = []
     if replace_where is not None:
         from pyspark.sql import functions as F
@@ -1382,11 +1432,12 @@ def write_delta(
                 data_schema,
                 collect_stats,
                 l2p=mapping_l2p,
+                config=effective_config,
             )
 
     adds = stage_data_files(
         df, table_path, partition_by, data_schema, collect_stats,
-        l2p=mapping_l2p,
+        l2p=mapping_l2p, config=effective_config,
     )
     now = int(time.time() * 1000)
 
@@ -1423,9 +1474,6 @@ def write_delta(
             }
         )
 
-    prior_md = prior.metadata if prior is not None else {}
-    prior_config = dict(prior_md.get("configuration") or {})
-    effective_config = {**prior_config, **(configuration or {})}
     ict_newly_enabled = _ict_enabled(effective_config) and not _ict_enabled(
         prior_config
     )

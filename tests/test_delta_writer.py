@@ -162,3 +162,97 @@ def test_metadata_only_count(spark, tmp_path):
     assert t.count() == 400  # DV cardinality subtracted
     assert t.count(version=0) == 500
     assert t.count() == t.to_df().count()
+
+
+def test_data_skipping_stats_columns(spark, tmp_path):
+    """delta.dataSkippingNumIndexedCols / dataSkippingStatsColumns bound
+    which columns carry per-file stats (log-size control on wide tables);
+    pruning still works on indexed columns and stays CORRECT (no pruning,
+    not wrong pruning) on unindexed ones."""
+    import json
+
+    from athena_delta_lake_spark import DeltaTable, write_delta
+    from athena_delta_lake_spark.delta import DeltaLog
+
+    df = spark.range(100).selectExpr(
+        "id AS a", "id * 2 AS b", "id * 3 AS c", "id * 4 AS d"
+    )
+    p1 = str(tmp_path / "t1")
+    write_delta(
+        df.repartition(4),
+        p1,
+        configuration={"delta.dataSkippingNumIndexedCols": "2"},
+    )
+    for f in DeltaLog(p1).snapshot().files:
+        st = f.stats
+        assert set(st["minValues"]) == {"a", "b"}
+        assert set(st["nullCount"]) == {"a", "b"}
+        assert st["numRecords"] > 0  # always recorded
+    t = DeltaTable(spark, p1)
+    # indexed column: stats prune; unindexed: all files survive, rows exact
+    assert len(t.pruned_files([("a", ">", 1000)])) == 0
+    assert len(t.pruned_files([("c", ">", 1000)])) == 4
+    assert t.to_df(where="c > 270").count() == 9  # 91..99
+
+    p2 = str(tmp_path / "t2")
+    write_delta(
+        df.repartition(2),
+        p2,
+        configuration={"delta.dataSkippingStatsColumns": "b, d"},
+    )
+    for f in DeltaLog(p2).snapshot().files:
+        st = f.stats
+        assert set(st["minValues"]) == {"b", "d"}
+
+    # default (32) keeps stats on every column of a narrow table
+    p3 = str(tmp_path / "t3")
+    write_delta(df.repartition(2), p3)
+    for f in DeltaLog(p3).snapshot().files:
+        assert set(f.stats["minValues"]) == {"a", "b", "c", "d"}
+
+
+def test_data_skipping_cols_with_column_mapping(spark, tmp_path):
+    """The stats cap is configured in LOGICAL names but stats keys are
+    PHYSICAL under column mapping — renamed columns keep their cap."""
+    import json
+
+    from athena_delta_lake_spark import write_delta
+    from athena_delta_lake_spark.delta import DeltaLog
+    from athena_delta_lake_spark.delta.writer import (
+        enable_column_mapping,
+        rename_column,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.range(20).selectExpr("id AS a", "id * 2 AS b"),
+        path,
+        configuration={"delta.dataSkippingStatsColumns": "b"},
+    )
+    enable_column_mapping(path)
+    rename_column(path, "b", "bee")
+    from athena_delta_lake_spark.delta.writer import set_table_properties
+
+    set_table_properties(path, {"delta.dataSkippingStatsColumns": "bee"})
+    write_delta(
+        spark.range(20, 40).selectExpr("id AS a", "id * 2 AS bee"),
+        path,
+        mode="append",
+    )
+    snap = DeltaLog(path).snapshot()
+    # replay shows stats under the LOGICAL name; only bee is indexed
+    for f in snap.files:
+        assert set(f.stats["minValues"]) == {"bee"}
+    # and the on-disk add actions keyed them by the PHYSICAL name ("b")
+    import glob
+    import os
+
+    last = sorted(glob.glob(os.path.join(path, "_delta_log", "*.json")))[-1]
+    raw_adds = [
+        json.loads(json.loads(line)["add"]["stats"])
+        for line in open(last)
+        if '"add"' in line
+    ]
+    assert raw_adds and all(
+        set(st["minValues"]) == {"b"} for st in raw_adds
+    )
