@@ -1010,6 +1010,17 @@ def _route_alter_columns(pond, p, text: str) -> DataFrame:
             )
             op = "alter_column_set_default"
             continue
+        np = spec.newPosition()
+        if np.isDefined():
+            inner = np.get().position()
+            after = (
+                inner.column()
+                if inner.getClass().getSimpleName() == "After"
+                else None  # First
+            )
+            version = _alter_column_position(path, col, after)
+            op = "alter_column_position"
+            continue
         raise ValueError(f"unsupported ALTER COLUMN spec on {col}")
     return _metrics_df(pond.spark, {"operation": op, "version": version})
 
@@ -1041,6 +1052,40 @@ def _alter_field_metadata(
     md["schemaString"] = _json.dumps(schema_obj, separators=(",", ":"))
     return _commit_metadata_change(
         path, operation, {"column": col}, md, snap.version + 1
+    )
+
+
+def _alter_column_position(path: str, col: str, after: str | None) -> int:
+    """ALTER COLUMN c FIRST | AFTER x: reorder top-level columns —
+    metadata-only (readers project by name; parquet layout is untouched,
+    which is why this is safe at any table size)."""
+    import json as _json
+
+    from .delta.log import DeltaLog
+    from .delta.writer import _commit_metadata_change
+
+    snap = DeltaLog(path).snapshot()
+    names = [f.name for f in snap.schema.fields]
+    if col not in names:
+        raise ValueError(f"no such column: {col}")
+    if after is not None and after not in names:
+        raise ValueError(f"no such column: {after}")
+    if after == col:
+        raise ValueError(f"cannot position {col} after itself")
+    schema_obj = _json.loads(snap.metadata["schemaString"])
+    by_name = {f["name"]: f for f in schema_obj["fields"]}
+    order = [n for n in names if n != col]
+    idx = 0 if after is None else order.index(after) + 1
+    order.insert(idx, col)
+    schema_obj["fields"] = [by_name[n] for n in order]
+    md = dict(snap.metadata)
+    md["schemaString"] = _json.dumps(schema_obj, separators=(",", ":"))
+    return _commit_metadata_change(
+        path,
+        "CHANGE COLUMN POSITION",
+        {"column": col, "position": "FIRST" if after is None else f"AFTER {after}"},
+        md,
+        snap.version + 1,
     )
 
 

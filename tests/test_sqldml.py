@@ -755,3 +755,38 @@ def test_alter_column_comment_nullability_default(spark, tmp_path):
     pond.sql("ALTER TABLE lake.t ALTER COLUMN v DROP DEFAULT")
     fld = {f.name: f for f in DeltaLog(path).snapshot().schema.fields}
     assert "CURRENT_DEFAULT" not in (fld["v"].metadata or {})
+
+
+def test_alter_column_position(spark, tmp_path):
+    """ALTER COLUMN ... FIRST / AFTER x: metadata-only reorder; reads,
+    INSERT by position and time travel all follow the new order."""
+    import pytest
+
+    from athena_delta_lake_spark.catalog import DeltaPond
+    from athena_delta_lake_spark.delta import DeltaLog
+
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
+    pond.sql("CREATE SCHEMA lake")
+    pond.sql(
+        "CREATE TABLE lake.t AS SELECT id AS a, id * 2 AS b, id * 3 AS c "
+        "FROM range(5)"
+    )
+    path = f"{root}/lake/t"
+    pond.sql("ALTER TABLE lake.t ALTER COLUMN c FIRST")
+    assert [f.name for f in DeltaLog(path).snapshot().schema.fields] == [
+        "c", "a", "b",
+    ]
+    pond.sql("ALTER TABLE lake.t ALTER COLUMN c AFTER a")
+    assert [f.name for f in DeltaLog(path).snapshot().schema.fields] == [
+        "a", "c", "b",
+    ]
+    row = pond.sql("SELECT * FROM lake.t WHERE a = 2").first()
+    assert (row["a"], row["c"], row["b"]) == (2, 6, 4)
+    assert list(row.asDict()) == ["a", "c", "b"]
+    # INSERT by position follows the CURRENT order
+    pond.sql("INSERT INTO lake.t VALUES (100, 300, 200)")
+    got = pond.sql("SELECT a, b, c FROM lake.t WHERE a = 100").first()
+    assert (got["a"], got["b"], got["c"]) == (100, 200, 300)
+    with pytest.raises(ValueError, match="no such column"):
+        pond.sql("ALTER TABLE lake.t ALTER COLUMN a AFTER zz")
