@@ -937,12 +937,26 @@ def _route_add_columns(pond, p, text: str) -> DataFrame:
 
     path = _target(pond, _relation_parts(p.table()))
     fields = []
+    positions: list[tuple[str, str | None]] = []  # (col, after|None=FIRST)
     for c in _seq(p.columnsToAdd()):
         name = _seq(c.name())
         if len(name) != 1:
             raise ValueError("nested ADD COLUMNS unsupported")
         fields.append(f"{name[0]} {c.dataType().sql()}")
+        pos = c.position()
+        if pos.isDefined():
+            inner = pos.get().position()
+            positions.append(
+                (
+                    name[0],
+                    inner.column()
+                    if inner.getClass().getSimpleName() == "After"
+                    else None,
+                )
+            )
     version = add_columns(path, T.StructType.fromDDL(", ".join(fields)))
+    for col, after in positions:  # appended at the end; move into place
+        version = _alter_column_position(path, col, after)
     return _metrics_df(
         pond.spark, {"operation": "add_columns", "version": version}
     )

@@ -790,3 +790,19 @@ def test_alter_column_position(spark, tmp_path):
     assert (got["a"], got["b"], got["c"]) == (100, 200, 300)
     with pytest.raises(ValueError, match="no such column"):
         pond.sql("ALTER TABLE lake.t ALTER COLUMN a AFTER zz")
+
+
+def test_add_columns_with_position(spark, tmp_path):
+    from athena_delta_lake_spark.catalog import DeltaPond
+    from athena_delta_lake_spark.delta import DeltaLog
+
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
+    pond.sql("CREATE SCHEMA lake")
+    pond.sql("CREATE TABLE lake.t AS SELECT id AS a, id * 2 AS b FROM range(4)")
+    pond.sql("ALTER TABLE lake.t ADD COLUMNS (x INT AFTER a, y STRING FIRST)")
+    names = [f.name for f in DeltaLog(f"{root}/lake/t").snapshot().schema.fields]
+    assert names == ["y", "a", "x", "b"]
+    row = pond.sql("SELECT * FROM lake.t WHERE a = 1").first()
+    assert list(row.asDict()) == ["y", "a", "x", "b"]
+    assert row["x"] is None and row["y"] is None and row["b"] == 2
