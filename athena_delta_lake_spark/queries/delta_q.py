@@ -1471,3 +1471,91 @@ def g13(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lake.ord_df GROUP BY o_orderpriority
         """
     )
+
+
+# ---------------- g14: ALTER-surface DDL lifecycle, content stability
+
+
+def _ensure_ddl_pond(spark: SparkSession, sf_dir: str) -> DeltaPond:
+    """customer through the round-6 ALTER surface, all text-routed:
+    ADD COLUMNS with AFTER/FIRST positions, SET DEFAULT (applied to a
+    by-name INSERT), ADD/enforce CHECK CONSTRAINT, COMMENT, SET NOT NULL
+    and column reorder — every step a metadata-only commit except the
+    default-bearing insert."""
+    root = os.path.join(_fixture_root(sf_dir), "pond_ddl")
+    pond = DeltaPond(spark, root)
+    path = os.path.join(root, "lake", "cust_ddl")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        load(spark, sf_dir, "customer").createOrReplaceTempView("cust_src")
+        pond.sql("CREATE SCHEMA IF NOT EXISTS lake")
+        pond.sql(
+            "CREATE TABLE lake.cust_ddl AS SELECT c_custkey, c_name, "
+            "c_nationkey, c_acctbal FROM cust_src"
+        )
+        pond.sql(
+            "ALTER TABLE lake.cust_ddl ADD COLUMNS "
+            "(segment STRING AFTER c_name)"
+        )
+        pond.sql(
+            "ALTER TABLE lake.cust_ddl ALTER COLUMN segment "
+            "SET DEFAULT 'GENERAL'"
+        )
+        pond.sql(
+            "INSERT INTO lake.cust_ddl (c_custkey, c_name, c_nationkey, "
+            "c_acctbal) SELECT c_custkey + 1000000, c_name, c_nationkey, "
+            "c_acctbal FROM cust_src WHERE c_custkey % 100 = 0"
+        )
+        pond.sql(
+            "ALTER TABLE lake.cust_ddl ADD CONSTRAINT bal_floor "
+            "CHECK (c_acctbal > -100000)"
+        )
+        pond.sql(
+            "ALTER TABLE lake.cust_ddl ALTER COLUMN c_acctbal "
+            "COMMENT 'account balance'"
+        )
+        pond.sql("ALTER TABLE lake.cust_ddl ALTER COLUMN c_custkey SET NOT NULL")
+        pond.sql("ALTER TABLE lake.cust_ddl ALTER COLUMN c_nationkey FIRST")
+    return pond
+
+
+@register(
+    "g14_ddl_lifecycle",
+    "delta-core",
+    """
+    SELECT coalesce(segment, 'NONE') AS seg, count(*) AS n,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+           CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS bal_cents
+    FROM (
+      SELECT c_custkey, CAST(NULL AS VARCHAR) AS segment, c_acctbal
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000, 'GENERAL', c_acctbal
+      FROM customer WHERE c_custkey % 100 = 0
+    ) GROUP BY 1
+    """,
+    "the SQL ALTER surface (positioned ADD COLUMNS, SET DEFAULT driving "
+    "a by-name INSERT, CHECK constraint, COMMENT, SET NOT NULL, column "
+    "reorder) leaves content exactly derivable: pre-existing rows read "
+    "NULL for the added column, defaulted inserts read 'GENERAL', and "
+    "the final scan hash-matches the oracle reconstruction",
+)
+def g14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pond = _ensure_ddl_pond(spark, sf_dir)
+    path = os.path.join(_fixture_root(sf_dir), "pond_ddl", "lake", "cust_ddl")
+    fields = DeltaTable(spark, path).snapshot().schema.fields
+    assert [f.name for f in fields] == [
+        "c_nationkey", "c_custkey", "c_name", "segment", "c_acctbal",
+    ], "column reorder not reflected in the schema"
+    assert not next(f for f in fields if f.name == "c_custkey").nullable
+    assert (
+        next(f for f in fields if f.name == "c_acctbal").metadata.get("comment")
+        == "account balance"
+    )
+    return pond.sql(
+        """
+        SELECT coalesce(segment, 'NONE') AS seg, count(*) AS n,
+               CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+               CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS bal_cents
+        FROM lake.cust_ddl GROUP BY coalesce(segment, 'NONE')
+        """
+    )
