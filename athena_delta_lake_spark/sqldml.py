@@ -346,7 +346,7 @@ def _partition_and_cluster_cols(p) -> tuple[list[str], list[str]]:
     return part_cols, cluster_cols
 
 
-def _route_ctas(pond, p, text: str) -> DataFrame:
+def _route_ctas(pond, p, text: str, replace: bool = False) -> DataFrame:
     from .delta.writer import write_delta
 
     parts = _seq(p.name().nameParts())
@@ -360,13 +360,18 @@ def _route_ctas(pond, p, text: str) -> DataFrame:
     if f"{schema}.{table}" in pond.list_views() or table in pond.list_views():
         raise ValueError(f"a view named {schema}.{table} already exists")
     exists = table in pond.list_tables(schema)
-    if exists:
+    if exists and not replace:
         if p.ignoreIfExists():
             return _metrics_df(
                 pond.spark,
                 {"operation": "ctas_skipped", "table": f"{schema}.{table}"},
             )
         raise ValueError(f"table {schema}.{table} already exists")
+    if replace and not exists and not p.orCreate():
+        raise ValueError(
+            f"table {schema}.{table} does not exist "
+            "(REPLACE TABLE without OR CREATE)"
+        )
 
     provider = _opt(p.tableSpec().provider())
     if provider is not None and provider.lower() not in ("delta", "deltapond"):
@@ -383,18 +388,32 @@ def _route_ctas(pond, p, text: str) -> DataFrame:
     version = write_delta(
         df,
         path,
+        mode="overwrite" if (replace and exists) else "append",
         partition_by=part_cols or None,
         liquid_cluster_by=cluster_cols or None,
     )
     return _metrics_df(
         pond.spark,
-        {"operation": "ctas", "version": version, "table": f"{schema}.{table}"},
+        {
+            "operation": "replace_table_as_select" if replace else "ctas",
+            "version": version,
+            "table": f"{schema}.{table}",
+        },
     )
 
 
-def _route_create_table(pond, p, text: str) -> DataFrame:
+def _route_replace_ctas(pond, p, text: str) -> DataFrame:
+    """[CREATE OR] REPLACE TABLE t AS SELECT ...: Delta's canonical
+    full-table rewrite — new schema/partitioning/data in ONE commit, old
+    versions still time-travelable (write_delta overwrite keeps history)."""
+    return _route_ctas(pond, p, text, replace=True)
+
+
+def _route_create_table(pond, p, text: str, replace: bool = False) -> DataFrame:
     """CREATE TABLE name (cols...) [PARTITIONED BY ...]: an empty Delta
-    table committing just the schema (commit 0 has metaData, no adds)."""
+    table committing just the schema (commit 0 has metaData, no adds).
+    replace=True ([CREATE OR] REPLACE TABLE): the declared schema and an
+    empty file set overwrite the existing table in one commit."""
     from pyspark.sql import types as T
 
     from .delta.writer import write_delta
@@ -408,13 +427,19 @@ def _route_create_table(pond, p, text: str) -> DataFrame:
         raise _NotPond(schema)
     if f"{schema}.{table}" in pond.list_views() or table in pond.list_views():
         raise ValueError(f"a view named {schema}.{table} already exists")
-    if table in pond.list_tables(schema):
+    exists = table in pond.list_tables(schema)
+    if exists and not replace:
         if p.ignoreIfExists():
             return _metrics_df(
                 pond.spark,
                 {"operation": "create_skipped", "table": f"{schema}.{table}"},
             )
         raise ValueError(f"table {schema}.{table} already exists")
+    if replace and not exists and not p.orCreate():
+        raise ValueError(
+            f"table {schema}.{table} does not exist "
+            "(REPLACE TABLE without OR CREATE)"
+        )
     provider = _opt(p.tableSpec().provider())
     if provider is not None and provider.lower() not in ("delta", "deltapond"):
         raise ValueError(f"CREATE TABLE USING {provider} unsupported (delta only)")
@@ -474,6 +499,7 @@ def _route_create_table(pond, p, text: str) -> DataFrame:
     version = write_delta(
         empty,
         path,
+        mode="overwrite" if (replace and exists) else "append",
         partition_by=part_cols or None,
         liquid_cluster_by=cluster_cols or None,
         identity_columns=identity or None,
@@ -511,8 +537,16 @@ def _route_create_table(pond, p, text: str) -> DataFrame:
             )
     return _metrics_df(
         pond.spark,
-        {"operation": "create_table", "version": version, "table": f"{schema}.{table}"},
+        {
+            "operation": "replace_table" if replace else "create_table",
+            "version": version,
+            "table": f"{schema}.{table}",
+        },
     )
+
+
+def _route_replace_table(pond, p, text: str) -> DataFrame:
+    return _route_create_table(pond, p, text, replace=True)
 
 
 def _constraint_table(node):
@@ -2139,6 +2173,8 @@ _ROUTES = {
     "CommentOnTable": _route_comment_on_table,
     "CreateTableLikeCommand": _route_create_table_like,
     "AlterTableClusterBy": _route_cluster_by,
+    "ReplaceTableAsSelect": _route_replace_ctas,
+    "ReplaceTable": _route_replace_table,
     "ShowCreateTable": _route_show_create_table,
     "AlterViewAs": _route_alter_view_as,
     "RenameTable": _route_rename_table,

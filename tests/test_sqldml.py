@@ -806,3 +806,43 @@ def test_add_columns_with_position(spark, tmp_path):
     row = pond.sql("SELECT * FROM lake.t WHERE a = 1").first()
     assert list(row.asDict()) == ["y", "a", "x", "b"]
     assert row["x"] is None and row["y"] is None and row["b"] == 2
+
+
+def test_create_or_replace_table(spark, tmp_path):
+    """CREATE OR REPLACE TABLE: schema/partitioning/data replaced in one
+    commit, history preserved; bare REPLACE TABLE demands existence."""
+    import pytest
+
+    from athena_delta_lake_spark import DeltaTable
+    from athena_delta_lake_spark.catalog import DeltaPond
+
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
+    pond.sql("CREATE SCHEMA lake")
+    with pytest.raises(ValueError, match="does not exist"):
+        pond.sql("REPLACE TABLE lake.t AS SELECT 1 AS x")
+    # OR CREATE tolerates absence (creates)
+    pond.sql("CREATE OR REPLACE TABLE lake.t AS SELECT id, id * 2 AS v FROM range(10)")
+    assert pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"] == 10
+    # full replace: different schema AND partitioning
+    pond.sql(
+        "CREATE OR REPLACE TABLE lake.t PARTITIONED BY (k) AS "
+        "SELECT id, CAST(id % 3 AS INT) AS k, 'x' AS s FROM range(6)"
+    )
+    t = DeltaTable(spark, f"{root}/lake/t")
+    assert [f.name for f in t.schema().fields] == ["id", "k", "s"]
+    assert t.partition_columns() == ["k"]
+    assert t.to_df().count() == 6
+    # old version still time-travels
+    assert t.to_df(version=0).count() == 10
+    # bare REPLACE now works (table exists)
+    pond.sql("REPLACE TABLE lake.t AS SELECT 7 AS only_col")
+    assert pond.sql("SELECT only_col FROM lake.t").first()["only_col"] == 7
+    # column-definition form replaces with an empty declared schema
+    pond.sql("CREATE OR REPLACE TABLE lake.t (a BIGINT, b STRING)")
+    assert pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"] == 0
+    assert [f.name for f in DeltaTable(spark, f"{root}/lake/t").schema().fields] == ["a", "b"]
+    # a view name still refuses
+    pond.sql("CREATE VIEW vw AS SELECT 1 AS one")
+    with pytest.raises(ValueError, match="view"):
+        pond.sql("CREATE OR REPLACE TABLE lake.vw AS SELECT 1 AS x")
