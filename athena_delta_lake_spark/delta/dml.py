@@ -1993,3 +1993,25 @@ def _physical_readd(f: AddFile, l2p) -> dict:
         add["baseRowId"] = f.base_row_id
         add["defaultRowCommitVersion"] = f.default_row_commit_version
     return add
+
+
+def truncate_table(table_path: str) -> dict:
+    """TRUNCATE TABLE: remove every live file in one metadata-only commit
+    — zero data I/O at any table size (the file contents are never read;
+    VACUUM reaps them after retention). Schema, partitioning, properties
+    and history are untouched; with CDF enabled the remove-only commit is
+    exactly derivable (spec-allowed omission of change files)."""
+    table_path = os.path.abspath(table_path)
+    snap = DeltaLog(table_path).snapshot()
+    if not snap.files:
+        return {"files_removed": 0}
+    commit_rewrite(
+        table_path,
+        "TRUNCATE",
+        [],
+        [f.path for f in snap.files],
+        data_change=True,
+        expected_states={f.path: file_fingerprint(f) for f in snap.files},
+        base_version=snap.version,
+    )
+    return {"files_removed": len(snap.files)}

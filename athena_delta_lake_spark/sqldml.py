@@ -657,11 +657,14 @@ def _route_update(pond, p, text: str) -> DataFrame:
 
 
 def _route_truncate(pond, p, text: str) -> DataFrame:
+    """TRUNCATE TABLE t: one remove-only commit dropping every live file
+    — zero data I/O at any table size (was delete(where='true'), which
+    REWROTE the whole table; schema/history/properties untouched)."""
     from .delta import dml
 
     alias, rel = _unalias(p.table())
     path = _target(pond, _relation_parts(rel))
-    m = dml.delete(pond.spark, path, where="true")
+    m = dml.truncate_table(path)
     return _metrics_df(pond.spark, {"operation": "truncate", **m})
 
 

@@ -846,3 +846,41 @@ def test_create_or_replace_table(spark, tmp_path):
     pond.sql("CREATE VIEW vw AS SELECT 1 AS one")
     with pytest.raises(ValueError, match="view"):
         pond.sql("CREATE OR REPLACE TABLE lake.vw AS SELECT 1 AS x")
+
+
+def test_truncate_table(spark, tmp_path):
+    """TRUNCATE TABLE: all rows gone, zero data I/O (remove-only commit),
+    schema/history preserved, CDF stream sees the deletes derivably."""
+    import json
+    import os
+
+    from athena_delta_lake_spark import DeltaTable
+    from athena_delta_lake_spark.catalog import DeltaPond
+
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
+    pond.sql("CREATE SCHEMA lake")
+    pond.sql(
+        "CREATE TABLE lake.t AS SELECT id, CAST(id % 3 AS INT) AS k "
+        "FROM range(30)"
+    )
+    path = f"{root}/lake/t"
+    row = pond.sql("TRUNCATE TABLE lake.t").first()
+    assert row["operation"] == "truncate" and int(row["files_removed"]) >= 1
+    assert pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"] == 0
+    t = DeltaTable(spark, path)
+    assert [f.name for f in t.schema().fields] == ["id", "k"]
+    assert t.to_df(version=0).count() == 30  # history intact
+    # the truncate commit is remove-only: no add actions, no data writes
+    last = sorted(
+        f for f in os.listdir(f"{path}/_delta_log") if f.endswith(".json")
+    )[-1]
+    actions = [json.loads(l) for l in open(f"{path}/_delta_log/{last}")]
+    assert any("remove" in a for a in actions)
+    assert not any("add" in a for a in actions)
+    # idempotent-ish: truncating an empty table is a no-op
+    r2 = pond.sql("TRUNCATE TABLE lake.t").first()
+    assert int(r2["files_removed"]) == 0
+    # table stays writable
+    pond.sql("INSERT INTO lake.t VALUES (100, 1)")
+    assert pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"] == 1
