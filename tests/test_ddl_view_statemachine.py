@@ -76,6 +76,7 @@ def test_ddl_view_walk(spark, tmp_path, seed):
                 "create", "replace", "alter_as", "rename_view", "drop",
                 "insert", "delete", "rename_table", "comment",
                 "collide_table", "collide_view", "show_create",
+                "replace_table", "truncate",
             ]
         )
         if op == "create":
@@ -125,6 +126,20 @@ def test_ddl_view_walk(spark, tmp_path, seed):
                 with pytest.raises(Exception):
                     _read_view(pond, name, views[name])
             pond.sql(f"ALTER TABLE lake.tmp_{table} RENAME TO lake.{table}")
+        elif op == "replace_table":
+            # CREATE OR REPLACE TABLE over the base: same logical schema,
+            # filtered content — every live view must re-resolve against
+            # the REPLACED data on the very next read
+            cut = rng.randint(0, next_id)
+            pond.sql(
+                f"CREATE OR REPLACE TABLE lake.{table} AS "
+                f"SELECT id, k, v FROM lake.{table} WHERE id < {cut}"
+            )
+            # REPLACE resets metadata not re-specified (delta-spark
+            # parity): the comment is gone
+            comment = None
+        elif op == "truncate":
+            pond.sql(f"TRUNCATE TABLE lake.{table}")
         elif op == "comment":
             comment = f"walk step {step}"
             pond.sql(f"COMMENT ON TABLE lake.{table} IS '{comment}'")
