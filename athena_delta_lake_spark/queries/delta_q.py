@@ -1559,3 +1559,62 @@ def g14(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lake.cust_ddl GROUP BY coalesce(segment, 'NONE')
         """
     )
+
+
+# ------------- g15: REPLACE TABLE / TRUNCATE lifecycle, time-travel exact
+
+
+def _ensure_replace_pond(spark: SparkSession, sf_dir: str) -> DeltaPond:
+    """supplier through CREATE OR REPLACE TABLE and TRUNCATE, text-routed:
+    v0 CTAS (full supplier), v1 TRUNCATE (remove-only commit), v2 refill
+    with a filtered subset, v3 CREATE OR REPLACE swapping to an aggregated
+    shape (schema replaced in the same commit). Every prior version stays
+    time-travelable."""
+    root = os.path.join(_fixture_root(sf_dir), "pond_replace")
+    pond = DeltaPond(spark, root)
+    path = os.path.join(root, "lake", "sup_rp")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        load(spark, sf_dir, "supplier").createOrReplaceTempView("sup_rpsrc")
+        pond.sql("CREATE SCHEMA IF NOT EXISTS lake")
+        pond.sql("CREATE TABLE lake.sup_rp AS SELECT * FROM sup_rpsrc")
+        pond.sql("TRUNCATE TABLE lake.sup_rp")
+        pond.sql(
+            "INSERT INTO lake.sup_rp SELECT * FROM sup_rpsrc "
+            "WHERE s_nationkey < 10"
+        )
+        pond.sql(
+            "CREATE OR REPLACE TABLE lake.sup_rp AS "
+            "SELECT s_nationkey, count(*) AS n_sup, "
+            "CAST(round(sum(s_acctbal) * 100) AS BIGINT) AS bal_cents "
+            "FROM lake.sup_rp GROUP BY s_nationkey"
+        )
+    return pond
+
+
+@register(
+    "g15_replace_truncate",
+    "delta-core",
+    """
+    SELECT s_nationkey, count(*) AS n_sup,
+           CAST(round(sum(s_acctbal) * 100) AS BIGINT) AS bal_cents
+    FROM supplier WHERE s_nationkey < 10
+    GROUP BY s_nationkey
+    """,
+    "TRUNCATE is a remove-only commit and CREATE OR REPLACE TABLE swaps "
+    "schema+data in one commit with history preserved: the final "
+    "aggregated table hash-matches the oracle over the refilled subset, "
+    "and versions 0-2 still time-travel to their exact row counts",
+)
+def g15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pond = _ensure_replace_pond(spark, sf_dir)
+    path = os.path.join(_fixture_root(sf_dir), "pond_replace", "lake", "sup_rp")
+    t = DeltaTable(spark, path)
+    full = load(spark, sf_dir, "supplier").count()
+    assert t.to_df(version=0).count() == full          # pre-truncate
+    assert t.to_df(version=1).count() == 0             # truncated
+    sub = t.to_df(version=2).count()
+    assert 0 < sub < full                              # refilled subset
+    assert [f.name for f in t.schema().fields] == [
+        "s_nationkey", "n_sup", "bal_cents",
+    ]
+    return pond.sql("SELECT * FROM lake.sup_rp")

@@ -48,11 +48,45 @@ def _opt(o):
 
 
 def _span(node, text: str) -> str | None:
-    o = node.origin()
-    si, pi = o.startIndex(), o.stopIndex()
-    if si.isDefined() and pi.isDefined():
-        return text[si.get() : pi.get() + 1]
-    return None
+    """Source text of a parsed query subtree. The TOP node's origin alone
+    is not enough: for `SELECT ... GROUP BY k` the Aggregate's origin
+    starts at 'GROUP', for `... ORDER BY k` the Sort's at 'ORDER', and no
+    plan node at all carries the SELECT keyword of an aggregate-only query
+    (the select list lives in expression origins). So: min(start)/
+    max(stop) over plan nodes AND their expressions, then extend the start
+    back to the query-introducing keyword when the fragment doesn't
+    already begin with one."""
+    lo = hi = None
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        o = n.origin()
+        si, pi = o.startIndex(), o.stopIndex()
+        if si.isDefined() and pi.isDefined():
+            s, p = si.get(), pi.get()
+            lo = s if lo is None or s < lo else lo
+            hi = p if hi is None or p > hi else hi
+        kids = n.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+        try:
+            exprs = n.expressions()
+            for i in range(exprs.size()):
+                stack.append(exprs.apply(i))
+        except Exception:
+            pass  # expression-less node shapes
+    if lo is None:
+        return None
+    frag = text[lo : hi + 1]
+    if not re.match(r"(?is)^\s*(SELECT|WITH|VALUES|TABLE|FROM|\()", frag):
+        last = None
+        for km in re.finditer(
+            r"(?is)\b(SELECT|WITH|VALUES|TABLE)\b", text[:lo]
+        ):
+            last = km
+        if last is not None:
+            lo = last.start()
+    return text[lo : hi + 1]
 
 
 def _unalias(node) -> tuple[str | None, object]:

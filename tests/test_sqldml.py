@@ -884,3 +884,37 @@ def test_truncate_table(spark, tmp_path):
     # table stays writable
     pond.sql("INSERT INTO lake.t VALUES (100, 1)")
     assert pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"] == 1
+
+
+def test_insert_and_ctas_with_group_by(spark, tmp_path):
+    """Regression: query-span recovery must survive aggregate-only and
+    sorted queries — the Aggregate/Sort plan origins start at GROUP/ORDER
+    and no plan node carries the SELECT keyword (it lives in expression
+    origins)."""
+    from athena_delta_lake_spark.catalog import DeltaPond
+
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
+    pond.sql("CREATE SCHEMA lake")
+    pond.sql(
+        "CREATE TABLE lake.src AS SELECT id, CAST(id % 3 AS INT) AS k "
+        "FROM range(30)"
+    )
+    pond.sql("CREATE TABLE lake.agg (k INT, n BIGINT)")
+    pond.sql(
+        "INSERT INTO lake.agg SELECT k, count(*) AS n FROM lake.src "
+        "GROUP BY k"
+    )
+    assert sorted(
+        (r["k"], r["n"]) for r in pond.sql("SELECT * FROM lake.agg").collect()
+    ) == [(0, 10), (1, 10), (2, 10)]
+    pond.sql(
+        "CREATE TABLE lake.agg2 AS SELECT k, count(*) AS n FROM lake.src "
+        "GROUP BY k ORDER BY k DESC"
+    )
+    assert pond.sql("SELECT count(*) AS n FROM lake.agg2").first()["n"] == 3
+    pond.sql(
+        "CREATE OR REPLACE TABLE lake.agg AS WITH c AS "
+        "(SELECT k FROM lake.src) SELECT k, count(*) AS n FROM c GROUP BY k"
+    )
+    assert pond.sql("SELECT count(*) AS n FROM lake.agg").first()["n"] == 3
