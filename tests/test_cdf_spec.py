@@ -442,3 +442,36 @@ def test_commit_timestamp_column_opt_in(spark, tmp_path):
     from athena_delta_lake_spark.sqldml import _naive_ts_to_millis
 
     assert abs(_naive_ts_to_millis(spark, by_v[0]) - want0) < 2000
+
+
+def test_cdf_truncate_and_replace_commits(spark, tmp_path):
+    """TRUNCATE (remove-only) and CREATE OR REPLACE (remove+add overwrite)
+    commits are exactly derivable: truncate emits a delete per prior row,
+    replace emits deletes of the old content plus inserts of the new."""
+    from athena_delta_lake_spark import DeltaTable, write_delta
+    from athena_delta_lake_spark.catalog import DeltaPond
+
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
+    pond.sql("CREATE SCHEMA lake")
+    path = f"{root}/lake/t"
+    write_delta(
+        spark.range(10).selectExpr("id"),
+        path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    pond.sql("TRUNCATE TABLE lake.t")  # v1
+    pond.sql("INSERT INTO lake.t SELECT id FROM range(3)")  # v2
+    pond.sql(
+        "CREATE OR REPLACE TABLE lake.t AS SELECT id * 10 AS id FROM range(2)"
+    )  # v3
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in DeltaTable(spark, path).table_changes(1, 3).collect()
+    )
+    assert got == sorted(
+        [(1, "delete", i) for i in range(10)]
+        + [(2, "insert", i) for i in range(3)]
+        + [(3, "delete", i) for i in range(3)]
+        + [(3, "insert", 0), (3, "insert", 10)]
+    )
