@@ -1538,7 +1538,20 @@ def _route_show_create_table(pond, p, text: str) -> DataFrame:
         c = f"  {f.name} {f.dataType.simpleString().upper()}"
         if not f.nullable:
             c += " NOT NULL"
-        fc = (f.metadata or {}).get("comment")
+        meta = f.metadata or {}
+        gen = meta.get("delta.generationExpression")
+        if gen:
+            c += f" GENERATED ALWAYS AS ({gen})"
+        elif "delta.identity.start" in meta:
+            c += (
+                " GENERATED ALWAYS AS IDENTITY (START WITH "
+                f"{meta['delta.identity.start']} INCREMENT BY "
+                f"{meta.get('delta.identity.step', 1)})"
+            )
+        dflt = meta.get("CURRENT_DEFAULT")
+        if dflt:
+            c += f" DEFAULT {dflt}"
+        fc = meta.get("comment")
         if fc:
             c += f" COMMENT '{fc}'"
         cols.append(c)

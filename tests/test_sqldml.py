@@ -918,3 +918,24 @@ def test_insert_and_ctas_with_group_by(spark, tmp_path):
         "(SELECT k FROM lake.src) SELECT k, count(*) AS n FROM c GROUP BY k"
     )
     assert pond.sql("SELECT count(*) AS n FROM lake.agg").first()["n"] == 3
+
+
+def test_show_create_table_renders_defaults_generated_identity(spark, tmp_path):
+    from athena_delta_lake_spark.catalog import DeltaPond
+
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
+    pond.sql("CREATE SCHEMA lake")
+    pond.sql(
+        "CREATE TABLE lake.t ("
+        "  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 5 INCREMENT BY 2),"
+        "  v DOUBLE NOT NULL,"
+        "  v2 DOUBLE GENERATED ALWAYS AS (v * 2),"
+        "  s STRING DEFAULT 'none'"
+        ")"
+    )
+    ddl = pond.sql("SHOW CREATE TABLE lake.t").first()[0]
+    assert "GENERATED ALWAYS AS IDENTITY (START WITH 5 INCREMENT BY 2)" in ddl
+    assert "GENERATED ALWAYS AS (v * 2)" in ddl
+    assert "DEFAULT 'none'" in ddl
+    assert "v DOUBLE NOT NULL" in ddl
