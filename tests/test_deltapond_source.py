@@ -846,3 +846,76 @@ def test_stream_no_default_cap_keeps_available_now_working(spark, tmp_path):
     q.awaitTermination(120)
     assert not q.isActive
     assert spark.sql("select count(*) from dp_avnow_plain").first()[0] == 40
+
+
+def test_stream_truncate_and_replace_commits(spark, tmp_path):
+    """TRUNCATE is a delete-only commit (ignoreDeletes suffices);
+    CREATE OR REPLACE is a remove+add rewrite (needs ignoreChanges, which
+    re-emits the replacement rows). Without either option the stream must
+    fail fast instead of silently skipping."""
+    from athena_delta_lake_spark.catalog import DeltaPond
+
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
+    pond.sql("CREATE SCHEMA lake")
+    src = f"{root}/lake/s"
+    write_delta(spark.range(10).selectExpr("id"), src)
+    pond.sql("TRUNCATE TABLE lake.s")                           # v1: removes only
+    pond.sql("INSERT INTO lake.s SELECT id FROM range(50, 53)")  # v2
+
+    q = (
+        spark.readStream.format("deltapond")
+        .option("startingVersion", 0)
+        .option("ignoreDeletes", "true")
+        .load(src)
+        .writeStream.format("memory")
+        .queryName("dp_trunc")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r["id"] for r in spark.sql("select id from dp_trunc").collect())
+        assert got == list(range(10)) + [50, 51, 52]
+    finally:
+        q.stop()
+
+    # REPLACE: remove+add — ignoreDeletes is NOT enough
+    pond.sql("CREATE OR REPLACE TABLE lake.s AS SELECT id * 100 AS id FROM range(2)")
+    q2 = (
+        spark.readStream.format("deltapond")
+        .option("startingVersion", 1)
+        .option("ignoreDeletes", "true")
+        .load(src)
+        .writeStream.format("memory")
+        .queryName("dp_repl_fail")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        failed = False
+        try:
+            q2.processAllAvailable()
+        except Exception as e:
+            failed = True
+            assert "ignoreChanges" in str(e)
+        assert failed, "stream over a rewrite commit must fail without ignoreChanges"
+    finally:
+        q2.stop()
+
+    q3 = (
+        spark.readStream.format("deltapond")
+        .option("startingVersion", 2)
+        .option("ignoreChanges", "true")
+        .load(src)
+        .writeStream.format("memory")
+        .queryName("dp_repl_ok")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q3.processAllAvailable()
+        got = sorted(r["id"] for r in spark.sql("select id from dp_repl_ok").collect())
+        assert got == [0, 50, 51, 52, 100]  # v2 inserts + replacement rows
+    finally:
+        q3.stop()
