@@ -523,11 +523,16 @@ class DeltaPond:
             schema, table = parts
         else:
             raise ValueError(f"bad table name in table_changes: {name!r}")
-        start = int(arg_sqls[1])
-        end = int(arg_sqls[2]) if len(arg_sqls) == 3 else None
+        path = self.table_path(schema, table)
+        start = self._cdf_version_bound(path, arg_sqls[1], is_start=True)
+        end = (
+            self._cdf_version_bound(path, arg_sqls[2], is_start=False)
+            if len(arg_sqls) == 3
+            else None
+        )
         df = table_changes(
             self.spark,
-            self.table_path(schema, table),
+            path,
             start,
             end,
             include_timestamp=True,
@@ -535,6 +540,59 @@ class DeltaPond:
         view = f"__pond_cdf__{schema}__{table}__{start}_{end}"
         df.createOrReplaceTempView(view)
         return view
+
+    def _cdf_version_bound(self, path: str, raw: str, is_start: bool) -> int:
+        """A table_changes bound: an unquoted integer is a version; a
+        quoted value is a timestamp (delta-spark contract), resolved
+        against each commit's authoritative time (inCommitTimestamp when
+        present, else file mtime; commit times are non-decreasing, so a
+        binary search suffices). Start = first commit at-or-after the
+        time; end = last commit at-or-before it."""
+        from .delta.log import DeltaLog
+        from .sqldml import _naive_ts_to_millis
+
+        s = raw.strip()
+        if s[:1] not in "'\"":
+            return int(s)
+        body = s.strip("'\"").strip()
+        import datetime as _dt
+
+        try:
+            ts = _naive_ts_to_millis(self.spark, _dt.datetime.fromisoformat(body))
+        except ValueError:
+            raise ValueError(
+                f"table_changes bound {body!r} is neither a version "
+                "(unquoted integer) nor a timestamp string"
+            ) from None
+        log = DeltaLog(path)
+        latest = log.latest_version()
+        if is_start:
+            if log.commit_timestamp(latest) < ts:
+                raise ValueError(
+                    f"starting timestamp {body!r} is after the latest "
+                    f"commit of {path} (v{latest})"
+                )
+            lo, hi = 0, latest
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if log.commit_timestamp(mid) >= ts:
+                    hi = mid
+                else:
+                    lo = mid + 1
+            return lo
+        if log.commit_timestamp(0) > ts:
+            raise ValueError(
+                f"ending timestamp {body!r} is before the first commit "
+                f"of {path}"
+            )
+        lo, hi = 0, latest
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if log.commit_timestamp(mid) <= ts:
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
 
     def sql(self, query: str, _max_resolves: int = 20) -> DataFrame:
         """Plain SQL over the pond with tables resolved lazily AT

@@ -467,3 +467,71 @@ def test_cdf_vacuumed_file_with_empty_direction_diff(spark, tmp_path):
     # content-identical DV swap: no changes, and no spurious
     # FILE_NOT_FOUND despite the missing data file
     assert table_changes(spark, path, 1, 1).count() == 0
+
+
+def test_table_changes_tvf_timestamp_bounds(spark, tmp_path):
+    """table_changes('t', '<ts>' [, '<ts>']): quoted bounds are
+    timestamps (delta-spark contract) resolved against each commit's
+    authoritative time; unquoted integers stay versions."""
+    import datetime as dt
+
+    import pytest
+
+    from athena_delta_lake_spark import write_delta
+    from athena_delta_lake_spark.catalog import DeltaPond
+    from athena_delta_lake_spark.delta import DeltaLog
+
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
+    pond.sql("CREATE SCHEMA lake")
+    path = f"{root}/lake/t"
+    write_delta(
+        spark.range(3).selectExpr("id"),
+        path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    pond.sql("INSERT INTO lake.t VALUES (10)")  # v1
+    pond.sql("INSERT INTO lake.t VALUES (20)")  # v2
+    log = DeltaLog(path)
+    tz = dt.timezone.utc
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def iso(v, off_ms):
+        return (
+            dt.datetime.fromtimestamp(
+                (log.commit_timestamp(v) + off_ms) / 1000.0, tz
+            )
+            .replace(tzinfo=None)
+            .isoformat(sep=" ", timespec="milliseconds")
+        )
+
+    # start at (just before) v1's time -> v1..latest
+    got = sorted(
+        r["id"]
+        for r in pond.sql(
+            f"SELECT id FROM table_changes('lake.t', '{iso(1, -1)}')"
+        ).collect()
+    )
+    assert got == [10, 20]
+    # bounded [v1, v1] via end timestamp just before v2
+    got = sorted(
+        r["id"]
+        for r in pond.sql(
+            "SELECT id FROM table_changes('lake.t', "
+            f"'{iso(1, -1)}', '{iso(2, -1)}')"
+        ).collect()
+    )
+    assert got == [10]
+    # mixed: version start, timestamp end
+    got = sorted(
+        r["id"]
+        for r in pond.sql(
+            f"SELECT id FROM table_changes('lake.t', 0, '{iso(1, 1)}')"
+        ).collect()
+    )
+    assert got == [0, 1, 2, 10]
+    # start after the latest commit refuses
+    with pytest.raises(Exception, match="after the latest"):
+        pond.sql(
+            f"SELECT id FROM table_changes('lake.t', '{iso(2, 60_000)}')"
+        ).collect()
