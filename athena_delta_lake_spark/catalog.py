@@ -29,6 +29,23 @@ def _join(*parts: str) -> str:
     return "/".join(p.rstrip("/") for p in parts)
 
 
+def _earliest_commit_version(table_path: str) -> int:
+    """Smallest version with a retained commit JSON — after log-retention
+    cleanup or DROP FEATURE ... TRUNCATE HISTORY, versions below it have
+    no commit file (and so no commit timestamp)."""
+    import re as _re
+
+    log_dir = os.path.join(table_path, "_delta_log")
+    versions = [
+        int(m.group(1))
+        for name in os.listdir(log_dir)
+        if (m := _re.match(r"^(\d{20})\.json$", name))
+    ]
+    if not versions:
+        raise FileNotFoundError(f"no commit JSON in {log_dir}")
+    return min(versions)
+
+
 def _parse_byte_conf(raw: str) -> int:
     """Spark size-conf values: '10485760', '10m', '10MB', '1g', '-1'."""
     s = str(raw).strip().lower()
@@ -566,13 +583,14 @@ class DeltaPond:
             ) from None
         log = DeltaLog(path)
         latest = log.latest_version()
+        earliest = _earliest_commit_version(path)
         if is_start:
             if log.commit_timestamp(latest) < ts:
                 raise ValueError(
                     f"starting timestamp {body!r} is after the latest "
                     f"commit of {path} (v{latest})"
                 )
-            lo, hi = 0, latest
+            lo, hi = earliest, latest
             while lo < hi:
                 mid = (lo + hi) // 2
                 if log.commit_timestamp(mid) >= ts:
@@ -580,12 +598,12 @@ class DeltaPond:
                 else:
                     lo = mid + 1
             return lo
-        if log.commit_timestamp(0) > ts:
+        if log.commit_timestamp(earliest) > ts:
             raise ValueError(
-                f"ending timestamp {body!r} is before the first commit "
-                f"of {path}"
+                f"ending timestamp {body!r} is before the earliest "
+                f"retained commit of {path} (v{earliest})"
             )
-        lo, hi = 0, latest
+        lo, hi = earliest, latest
         while lo < hi:
             mid = (lo + hi + 1) // 2
             if log.commit_timestamp(mid) <= ts:

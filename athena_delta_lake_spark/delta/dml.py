@@ -169,7 +169,7 @@ def delete(
     data_schema = _data_schema(snap)
     adds = stage_data_files(
         kept, table_path, part_cols, data_schema, l2p=_l2p(snap),
-        config=snap.metadata.get("configuration"),
+        config=snap.metadata.get("configuration"), full_schema=snap.schema,
     )
     cdc = None
     if _cdf_on(snap):
@@ -474,7 +474,7 @@ def update(
     _enforce_constraints(df, snap.metadata)
     adds = stage_data_files(
         df, table_path, snap.partition_columns, _data_schema(snap),
-        l2p=_l2p(snap), config=snap.metadata.get("configuration"),
+        l2p=_l2p(snap), config=snap.metadata.get("configuration"), full_schema=snap.schema,
     )
     cdc = None
     if _cdf_on(snap):
@@ -582,7 +582,7 @@ def update_mor(
     _enforce_constraints(new_rows, snap.metadata)
     new_adds = stage_data_files(
         new_rows, table_path, snap.partition_columns, _data_schema(snap),
-        l2p=_l2p(snap), config=snap.metadata.get("configuration"),
+        l2p=_l2p(snap), config=snap.metadata.get("configuration"), full_schema=snap.schema,
     )
 
     pieces = _dv_pieces(table_path, snap, staged)
@@ -852,6 +852,7 @@ def _insert_only_merge(
         ),
         l2p=logical_to_physical(schema, meta.get("configuration")),
         config=meta.get("configuration"),
+        full_schema=schema,
     )
     # no cdc files here even when CDF is on: an insert-only commit is
     # EXACTLY derivable from its add actions (spec-allowed omission), so
@@ -1192,6 +1193,7 @@ def merge_upsert(
         ),
         l2p=merge_l2p,
         config=meta.get("configuration"),
+        full_schema=schema,
     )
     cdc = None
     if cdf:
@@ -1473,6 +1475,7 @@ def merge_upsert_mor(
             ),
             l2p=logical_to_physical(schema, meta.get("configuration")),
             config=meta.get("configuration"),
+            full_schema=schema,
         )
 
     pieces = None
@@ -1612,7 +1615,7 @@ def compact(
         df = df.coalesce(max(1, -(-total // target_file_size)))
     adds = stage_data_files(
         df, table_path, part_cols, _data_schema(snap), l2p=_l2p(snap),
-        config=snap.metadata.get("configuration"),
+        config=snap.metadata.get("configuration"), full_schema=snap.schema,
     )
     commit_rewrite(
         table_path,

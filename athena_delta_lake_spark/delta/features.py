@@ -276,17 +276,47 @@ _COMPACTED_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.|$)")
 
 # Substrings whose presence in a retained commit JSON means a reader of
-# that version needs the feature.
+# that version needs the feature. CRITICAL ENCODING DETAIL: schema traces
+# live inside metaData.schemaString, which is an escaped JSON string in
+# the commit file — on disk the text is \"timestamp_ntz\" (backslash
+# before each quote), so each schema-level marker needs BOTH the escaped
+# form (our writer, every spec-compliant one-line writer) and the plain
+# form (defensive, e.g. a pretty-printing third-party log).
+# `deletionVector` is a top-level action field — plain form only.
 _HISTORY_MARKERS: dict[str, tuple[str, ...]] = {
     "deletionVectors": ('"deletionVector"',),
-    "columnMapping": ('"delta.columnMapping.mode":"name"',),
-    "variantType": ('"variant"',),
-    "timestampNtz": ('"timestamp_ntz"',),
-    "typeWidening": ('"delta.typeChanges"',),
+    "variantType": ('\\"variant\\"', '"variant"'),
+    "timestampNtz": ('\\"timestamp_ntz\\"', '"timestamp_ntz"'),
+    "typeWidening": ('\\"delta.typeChanges\\"', '"delta.typeChanges"'),
+    # columnMapping: the mode key (any mode — 'id' counts, delta spec has
+    # two mapping modes) plus the per-field physicalName stamp inside the
+    # escaped schemaString; the mode hit is value-checked below so
+    # mode=none does not force truncation
+    "columnMapping": (
+        "delta.columnMapping.physicalName",
+        "delta.columnMapping.mode",
+    ),
 }
 
 
-def _history_traces(feature: str, log_dir: str, current: int) -> list[str]:
+def _mapping_mode_traced(text: str) -> bool:
+    """True when any metaData line in `text` carries a non-'none' column
+    mapping mode (unparseable lines count as traced — safe direction)."""
+    for line in text.splitlines():
+        if "delta.columnMapping.mode" not in line:
+            continue
+        try:
+            md = json.loads(line).get("metaData") or {}
+        except ValueError:
+            return True
+        if (md.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        ) != "none":
+            return True
+    return False
+
+
+def _history_traces(feature: str, log_dir: str) -> list[str]:
     """Retained log entries BEFORE the drop commit that carry `feature`
     (plane 3). Scans commit / compacted JSON textually (the markers are
     exact spec field names, quoted; a user string VALUE echoed into
@@ -301,7 +331,13 @@ def _history_traces(feature: str, log_dir: str, current: int) -> list[str]:
         if m and markers:
             with open(os.path.join(log_dir, name), encoding="utf-8") as fh:
                 text = fh.read()
-            if any(mk in text for mk in markers):
+            if feature == "columnMapping":
+                if "delta.columnMapping.physicalName" in text or (
+                    "delta.columnMapping.mode" in text
+                    and _mapping_mode_traced(text)
+                ):
+                    hits.append(name)
+            elif any(mk in text for mk in markers):
                 hits.append(name)
             continue
         cm = _CHECKPOINT_RE.match(name)
@@ -447,7 +483,7 @@ def drop_feature(
         )
     log_dir = os.path.join(table_path, "_delta_log")
     if feature in _READER_WRITER and not truncate_history:
-        traces = _history_traces(feature, log_dir, snap.version)
+        traces = _history_traces(feature, log_dir)
         if traces:
             raise ValueError(
                 f"cannot drop reader feature {feature!r}: retained history "

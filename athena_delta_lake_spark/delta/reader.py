@@ -296,6 +296,21 @@ def _read_with_meta(
         for c, v in zip(part_cols, pvals):
             piece = piece.withColumn(c, F.lit(v).cast(type_by_name[c]))
         pieces.append(piece)
+    if not pieces:
+        # empty snapshot (e.g. freshly TRUNCATEd): correct schema, 0 rows
+        empty_schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in data_fields]
+            + [
+                T.StructField(f.name, f.dataType, True)
+                for f in (extra_fields or [])
+            ]
+            + [
+                T.StructField("_dv_fp", T.StringType(), True),
+                T.StructField("_dv_idx", T.LongType(), True),
+            ]
+            + [T.StructField(c, type_by_name[c], True) for c in part_cols]
+        )
+        return spark.createDataFrame([], empty_schema)
     df = pieces[0]
     for p in pieces[1:]:
         df = df.unionByName(p)

@@ -376,6 +376,7 @@ def stage_data_files(
     collect_stats: bool = True,
     l2p: dict[str, str] | None = None,
     config: dict | None = None,
+    full_schema: T.StructType | None = None,
 ) -> list[dict]:
     """Write `df` as new parquet data files under `table_path` (hive layout
     when partitioned) and return the corresponding `add` actions — NOT yet
@@ -390,9 +391,11 @@ def stage_data_files(
     `config` (table configuration) bounds which columns get stats
     (delta.dataSkippingStatsColumns / NumIndexedCols — see
     _data_skipping_cols)."""
-    # resolve the stats-column cap against LOGICAL names, then map to
-    # physical (the user configures logical names; stats keys are physical)
-    allowed = _data_skipping_cols(data_schema, config)
+    # resolve the stats-column cap against LOGICAL names and the FULL
+    # table schema (Delta's NumIndexedCols counts partition columns in
+    # schema order too), then map to physical (the user configures
+    # logical names; stats keys are physical)
+    allowed = _data_skipping_cols(full_schema or data_schema, config)
     if allowed is not None and l2p:
         allowed = {l2p.get(c, c) for c in allowed}
     if l2p:
@@ -1085,6 +1088,7 @@ def write_delta(
     liquid_cluster_by: list[str] | None = None,
     identity_columns: dict[str, tuple[int, int]] | None = None,
     replace_where: str | list | None = None,
+    replace_table: bool = False,
 ) -> int:
     """Write `df` to a Delta table at `table_path`. Returns committed version.
 
@@ -1154,6 +1158,8 @@ def write_delta(
         raise ValueError(f"unsupported mode: {mode}")
     if replace_where is not None and mode != "overwrite":
         raise ValueError("replace_where requires mode='overwrite'")
+    if replace_table and mode != "overwrite":
+        raise ValueError("replace_table requires mode='overwrite'")
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version go together")
     table_path = os.path.abspath(table_path)
@@ -1381,7 +1387,10 @@ def write_delta(
     if zorder_by:
         df = zorder_dataframe(df, zorder_by)
 
-    if prior is not None:
+    if prior is not None and not replace_table:
+        # REPLACE TABLE resets constraints with the rest of the prior
+        # configuration — the old CHECK may reference columns the new
+        # schema does not even have
         _enforce_constraints(df, prior.metadata)
 
     # replaceWhere scoping: which files does this overwrite actually
@@ -1389,7 +1398,18 @@ def write_delta(
     rw_candidates = None
     prior_md = prior.metadata if prior is not None else {}
     prior_config = dict(prior_md.get("configuration") or {})
-    effective_config = {**prior_config, **(configuration or {})}
+    # REPLACE TABLE (delta-spark parity): properties, constraints and
+    # identity/CDF switches not re-specified in the REPLACE do NOT
+    # survive — start from the given configuration alone, and prior
+    # metadata domains (clustering policy, row-id high-water mark) get
+    # tombstones unless this commit re-creates them — a stale
+    # delta.clustering naming dropped columns would crash the next
+    # OPTIMIZE and ghost-render in SHOW CREATE TABLE
+    effective_config = (
+        dict(configuration or {})
+        if replace_table
+        else {**prior_config, **(configuration or {})}
+    )
 
     rw_survivor_adds: list[dict] = []
     if replace_where is not None:
@@ -1433,11 +1453,12 @@ def write_delta(
                 collect_stats,
                 l2p=mapping_l2p,
                 config=effective_config,
+                full_schema=schema,
             )
 
     adds = stage_data_files(
         df, table_path, partition_by, data_schema, collect_stats,
-        l2p=mapping_l2p, config=effective_config,
+        l2p=mapping_l2p, config=effective_config, full_schema=schema,
     )
     now = int(time.time() * 1000)
 
@@ -1473,6 +1494,22 @@ def write_delta(
                 }
             }
         )
+    if replace_table and prior is not None:
+        # REPLACE TABLE: prior metadata domains die unless this commit
+        # re-creates them — a stale delta.clustering naming dropped
+        # columns would crash the next OPTIMIZE and ghost-render in
+        # SHOW CREATE TABLE; a stale row-id high-water mark belongs to
+        # the replaced data
+        recreated = {"delta.clustering"} if liquid_cluster_by else set()
+        if _row_tracking_enabled(effective_config):
+            recreated.add("delta.rowTracking")
+        doomed = sorted(set(prior.domain_metadata) - recreated)
+        if doomed:
+            needed_writer_features.add("domainMetadata")
+        for domain in doomed:
+            actions.append(
+                {"domainMetadata": {"domain": domain, "removed": True}}
+            )
 
     ict_newly_enabled = _ict_enabled(effective_config) and not _ict_enabled(
         prior_config
@@ -2346,15 +2383,40 @@ def evolve_schema_metadata(
     return evolved, md
 
 
-def add_columns(table_path: str, columns: T.StructType | list) -> int:
+def add_columns(
+    table_path: str,
+    columns: T.StructType | list,
+    positions: list[tuple[str, str | None]] | None = None,
+) -> int:
     """ALTER TABLE ... ADD COLUMNS: append nullable fields to the schema in
     a metadata-only commit — zero data I/O; existing files read NULL for
     the new columns (the same replay semantics as merge_schema appends,
-    without writing any rows)."""
+    without writing any rows).
+
+    `positions`: (column, after|None-for-FIRST) pairs folded into the SAME
+    commit, so a positioned ADD COLUMNS is atomic — no intermediate
+    appended-at-end schema for concurrent readers or the streaming
+    schema-change guard to trip on."""
     snap = DeltaLog(table_path).snapshot()
     now = int(time.time() * 1000)
     evolved, md = evolve_schema_metadata(snap, columns)
     new_fields = evolved.fields[len(snap.schema.fields):]
+    if positions:
+        order = [f.name for f in evolved.fields]
+        for col, after in positions:
+            if col not in order or (after is not None and after not in order):
+                raise ValueError(
+                    f"ADD COLUMNS position references unknown column: "
+                    f"{after if col in order else col}"
+                )
+            order.remove(col)
+            idx = 0 if after is None else order.index(after) + 1
+            order.insert(idx, col)
+        by_name = {f.name: f for f in evolved.fields}
+        md = dict(md)
+        md["schemaString"] = struct_to_schema_string(
+            T.StructType([by_name[n] for n in order])
+        )
     version = snap.version + 1
     log_dir = os.path.join(table_path, "_delta_log")
     actions = [

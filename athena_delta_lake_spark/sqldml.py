@@ -81,12 +81,49 @@ def _span(node, text: str) -> str | None:
     if not re.match(r"(?is)^\s*(SELECT|WITH|VALUES|TABLE|FROM|\()", frag):
         last = None
         for km in re.finditer(
-            r"(?is)\b(SELECT|WITH|VALUES|TABLE)\b", text[:lo]
+            r"(?is)\b(SELECT|WITH|VALUES|TABLE)\b",
+            _mask_comments_and_strings(text[:lo]),
         ):
             last = km
         if last is not None:
             lo = last.start()
     return text[lo : hi + 1]
+
+
+def _mask_comments_and_strings(text: str) -> str:
+    """Same-length copy with /*...*/ and -- comments and '...' literals
+    blanked, so keyword scans never anchor inside them."""
+    out = list(text)
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "\\":
+                    j += 2
+                    continue
+                if text[j] == "'":
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = " "
+            i = j + 1
+        elif text.startswith("/*", i):
+            j = text.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+        elif text.startswith("--", i):
+            j = text.find("\n", i)
+            j = n if j < 0 else j
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+        else:
+            i += 1
+    return "".join(out)
 
 
 def _unalias(node) -> tuple[str | None, object]:
@@ -425,6 +462,7 @@ def _route_ctas(pond, p, text: str, replace: bool = False) -> DataFrame:
         mode="overwrite" if (replace and exists) else "append",
         partition_by=part_cols or None,
         liquid_cluster_by=cluster_cols or None,
+        replace_table=replace and exists,
     )
     return _metrics_df(
         pond.spark,
@@ -537,6 +575,7 @@ def _route_create_table(pond, p, text: str, replace: bool = False) -> DataFrame:
         partition_by=part_cols or None,
         liquid_cluster_by=cluster_cols or None,
         identity_columns=identity or None,
+        replace_table=replace and exists,
     )
     if identity or defaults:
         from .delta.log import DeltaLog
@@ -1025,9 +1064,11 @@ def _route_add_columns(pond, p, text: str) -> DataFrame:
                     else None,
                 )
             )
-    version = add_columns(path, T.StructType.fromDDL(", ".join(fields)))
-    for col, after in positions:  # appended at the end; move into place
-        version = _alter_column_position(path, col, after)
+    version = add_columns(
+        path,
+        T.StructType.fromDDL(", ".join(fields)),
+        positions=positions or None,
+    )
     return _metrics_df(
         pond.spark, {"operation": "add_columns", "version": version}
     )
@@ -1115,15 +1156,13 @@ def _alter_field_metadata(
 ) -> int:
     """Metadata-only commit mutating one top-level field's metadata keys
     (None value = remove the key)."""
-    import json as _json
-
     from .delta.log import DeltaLog
     from .delta.writer import _commit_metadata_change
 
     snap = DeltaLog(path).snapshot()
     if col not in {f.name for f in snap.schema.fields}:
         raise ValueError(f"no such column: {col}")
-    schema_obj = _json.loads(snap.metadata["schemaString"])
+    schema_obj = json.loads(snap.metadata["schemaString"])
     for f in schema_obj["fields"]:
         if f["name"] == col:
             meta = dict(f.get("metadata") or {})
@@ -1134,7 +1173,7 @@ def _alter_field_metadata(
                     meta[k] = v
             f["metadata"] = meta
     md = dict(snap.metadata)
-    md["schemaString"] = _json.dumps(schema_obj, separators=(",", ":"))
+    md["schemaString"] = json.dumps(schema_obj, separators=(",", ":"))
     return _commit_metadata_change(
         path, operation, {"column": col}, md, snap.version + 1
     )
@@ -1144,8 +1183,6 @@ def _alter_column_position(path: str, col: str, after: str | None) -> int:
     """ALTER COLUMN c FIRST | AFTER x: reorder top-level columns —
     metadata-only (readers project by name; parquet layout is untouched,
     which is why this is safe at any table size)."""
-    import json as _json
-
     from .delta.log import DeltaLog
     from .delta.writer import _commit_metadata_change
 
@@ -1157,14 +1194,14 @@ def _alter_column_position(path: str, col: str, after: str | None) -> int:
         raise ValueError(f"no such column: {after}")
     if after == col:
         raise ValueError(f"cannot position {col} after itself")
-    schema_obj = _json.loads(snap.metadata["schemaString"])
+    schema_obj = json.loads(snap.metadata["schemaString"])
     by_name = {f["name"]: f for f in schema_obj["fields"]}
     order = [n for n in names if n != col]
     idx = 0 if after is None else order.index(after) + 1
     order.insert(idx, col)
     schema_obj["fields"] = [by_name[n] for n in order]
     md = dict(snap.metadata)
-    md["schemaString"] = _json.dumps(schema_obj, separators=(",", ":"))
+    md["schemaString"] = json.dumps(schema_obj, separators=(",", ":"))
     return _commit_metadata_change(
         path,
         "CHANGE COLUMN POSITION",
@@ -1177,8 +1214,6 @@ def _alter_column_position(path: str, col: str, after: str | None) -> int:
 def _alter_column_nullability(pond, path: str, col: str, nullable: bool) -> int:
     """DROP NOT NULL (relax — always safe) / SET NOT NULL (tighten —
     must prove no existing NULLs first, one limit(1) probe)."""
-    import json as _json
-
     from .delta.log import DeltaLog
     from .delta.reader import read_snapshot
     from .delta.writer import _commit_metadata_change
@@ -1199,12 +1234,12 @@ def _alter_column_nullability(pond, path: str, col: str, nullable: bool) -> int:
             raise ValueError(
                 f"cannot SET NOT NULL on {col}: existing rows hold NULL"
             )
-    schema_obj = _json.loads(snap.metadata["schemaString"])
+    schema_obj = json.loads(snap.metadata["schemaString"])
     for f in schema_obj["fields"]:
         if f["name"] == col:
             f["nullable"] = nullable
     md = dict(snap.metadata)
-    md["schemaString"] = _json.dumps(schema_obj, separators=(",", ":"))
+    md["schemaString"] = json.dumps(schema_obj, separators=(",", ":"))
     return _commit_metadata_change(
         path,
         "SET NOT NULL" if not nullable else "DROP NOT NULL",
@@ -1218,8 +1253,6 @@ def _alter_column_set_default(pond, path: str, col: str, sql_text: str) -> int:
     """SET DEFAULT expr: stamps CURRENT_DEFAULT (governs future inserts;
     EXISTS_DEFAULT is untouched — it only describes rows written before
     the column existed) and declares the allowColumnDefaults feature."""
-    import json as _json
-
     from .delta.log import DeltaLog
     from .delta.writer import (
         _commit_metadata_change,
@@ -1231,14 +1264,14 @@ def _alter_column_set_default(pond, path: str, col: str, sql_text: str) -> int:
         raise ValueError(f"no such column: {col}")
     # the default must evaluate (and be constant-foldable) up front
     pond.spark.sql(f"SELECT {sql_text}").collect()
-    schema_obj = _json.loads(snap.metadata["schemaString"])
+    schema_obj = json.loads(snap.metadata["schemaString"])
     for f in schema_obj["fields"]:
         if f["name"] == col:
             meta = dict(f.get("metadata") or {})
             meta["CURRENT_DEFAULT"] = sql_text
             f["metadata"] = meta
     md = dict(snap.metadata)
-    md["schemaString"] = _json.dumps(schema_obj, separators=(",", ":"))
+    md["schemaString"] = json.dumps(schema_obj, separators=(",", ":"))
     upgrade = _protocol_upgrade_action(
         snap.protocol, writer_features=("allowColumnDefaults",)
     )
@@ -2028,8 +2061,6 @@ def _route_analyze_columns(pond, path: str, cols_clause: str) -> DataFrame:
     Only distinctCount — never derivable from per-file stats — and the
     unprovable columns run a SINGLE column-pruned aggregate scan, so a
     100 TB ANALYZE reads exactly the requested columns once."""
-    import json as _json
-
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -2124,7 +2155,7 @@ def _route_analyze_columns(pond, path: str, cols_clause: str) -> DataFrame:
             out[c]["nullCount"] = int(row[f"__nc__{i}"] or 0)
 
     props = {
-        f"pond.stats.col.{c}": _json.dumps(out[c], default=str, sort_keys=True)
+        f"pond.stats.col.{c}": json.dumps(out[c], default=str, sort_keys=True)
         for c in cols
     }
     props["pond.stats.analyzedVersion"] = str(snap.version)

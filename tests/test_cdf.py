@@ -535,3 +535,35 @@ def test_table_changes_tvf_timestamp_bounds(spark, tmp_path):
         pond.sql(
             f"SELECT id FROM table_changes('lake.t', '{iso(2, 60_000)}')"
         ).collect()
+
+
+def test_table_changes_timestamp_bound_after_truncated_history(spark, tmp_path):
+    """Timestamp bounds must resolve within the RETAINED version range —
+    after DROP FEATURE ... TRUNCATE HISTORY the early commit JSONs are
+    gone (regression: binary search probed version 0 unconditionally)."""
+    from athena_delta_lake_spark import write_delta
+    from athena_delta_lake_spark.catalog import DeltaPond
+    from athena_delta_lake_spark.delta.dml import delete_mor, reorg_purge
+
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
+    pond.sql("CREATE SCHEMA lake")
+    path = f"{root}/lake/t"
+    write_delta(
+        spark.range(20).selectExpr("id"),
+        path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delete_mor(spark, path, "id < 5")
+    reorg_purge(spark, path)
+    pond.sql(
+        "ALTER TABLE lake.t DROP FEATURE deletionVectors TRUNCATE HISTORY"
+    )
+    pond.sql("INSERT INTO lake.t VALUES (99)")
+    got = sorted(
+        r["id"]
+        for r in pond.sql(
+            "SELECT id FROM table_changes('lake.t', '1970-01-01')"
+        ).collect()
+    )
+    assert got == [99]  # only post-truncation changes are derivable

@@ -256,3 +256,23 @@ def test_data_skipping_cols_with_column_mapping(spark, tmp_path):
     assert raw_adds and all(
         set(st["minValues"]) == {"b"} for st in raw_adds
     )
+
+
+def test_data_skipping_num_indexed_counts_partition_columns(spark, tmp_path):
+    """Delta positional semantics: NumIndexedCols counts the FULL table
+    schema — a leading partition column consumes an index slot even
+    though partition values never need file stats."""
+    from athena_delta_lake_spark import write_delta
+    from athena_delta_lake_spark.delta import DeltaLog
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.range(40).selectExpr("CAST(id % 2 AS INT) AS p", "id AS a", "id * 2 AS b"),
+        path,
+        partition_by=["p"],
+        configuration={"delta.dataSkippingNumIndexedCols": "2"},
+    )
+    for f in DeltaLog(path).snapshot().files:
+        # slots: p (partition, no file stats) + a; b is past the cap
+        assert set(f.stats["minValues"]) == {"a"}
+        assert f.stats["numRecords"] > 0

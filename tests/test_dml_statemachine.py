@@ -97,11 +97,19 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
                 "merge", "merge_mor", "optimize", "checkpoint", "rename",
                 "clone", "replace_where", "widen", "restore",
                 "deep_of_shallow", "merge_evolve", "optimize_where",
-                "reorg",
+                "reorg", "truncate",
             ]
         )
         t = DeltaTable(spark, path)
-        if op == "append":
+        if op == "truncate":
+            # remove-only commit: all rows gone, zero data I/O; with CDF
+            # on, the apply-diff invariant below must see a pure-delete
+            # change set derived from the removes
+            from athena_delta_lake_spark.delta.dml import truncate_table
+
+            truncate_table(path)
+            model = model.iloc[0:0]
+        elif op == "append":
             rows = fresh_rows(rng.randint(5, 25))
             schema_s = f"id long, k long, {vname} {vtype}"
             data = rows

@@ -356,3 +356,47 @@ def test_vacuum_reaps_orphaned_dv_blobs_after_truncate(spark, tmp_path):
     vacuum(path, retention_hours=0.0)
     assert not glob.glob(f"{path}/**/*.bin", recursive=True)
     assert DeltaTable(spark, path).to_df().count() == 90
+
+
+def test_drop_timestamp_ntz_sees_escaped_history_traces(spark, tmp_path):
+    """Schema traces live inside metaData.schemaString, an ESCAPED JSON
+    string in the commit file — the history scan must match the escaped
+    form, or a reader+writer feature drops while retained history still
+    needs it (regression: markers with plain quotes never matched)."""
+    from athena_delta_lake_spark.catalog import DeltaPond
+
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
+    pond.sql("CREATE SCHEMA lake")
+    path = f"{root}/lake/t"
+    write_delta(
+        spark.range(5).selectExpr(
+            "id", "CAST(timestamp'2024-01-01 00:00:00' AS TIMESTAMP_NTZ) AS ts"
+        ),
+        path,
+    )
+    r, w, _ = _features(path)
+    assert "timestampNtz" in r
+    # REPLACE swaps to a schema without the NTZ column: the CURRENT
+    # snapshot is trace-free, but v0's schemaString still carries it
+    pond.sql("CREATE OR REPLACE TABLE lake.t AS SELECT id FROM range(3)")
+    with pytest.raises(ValueError, match="TRUNCATE HISTORY"):
+        drop_feature(path, "timestampNtz")
+    drop_feature(path, "timestampNtz", truncate_history=True)
+    r2, w2, _ = _features(path)
+    assert "timestampNtz" not in r2 | w2
+    assert DeltaTable(spark, path).to_df().count() == 3
+
+
+def test_drop_column_mapping_detects_physical_name_history(spark, tmp_path):
+    """A mapped schemaString (escaped physicalName stamps) in retained
+    history forces TRUNCATE HISTORY even if the mode hit alone were
+    missed; covers id-mode-like histories where the mode string differs."""
+    path = str(tmp_path / "t")
+    _write(spark, path)
+    enable_column_mapping(path)
+    write_delta(
+        spark.range(50, 55).selectExpr("id", "id % 5 AS k"), path, mode="append"
+    )
+    with pytest.raises(ValueError, match="TRUNCATE HISTORY"):
+        drop_feature(path, "columnMapping")

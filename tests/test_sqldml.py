@@ -939,3 +939,73 @@ def test_show_create_table_renders_defaults_generated_identity(spark, tmp_path):
     assert "GENERATED ALWAYS AS (v * 2)" in ddl
     assert "DEFAULT 'none'" in ddl
     assert "v DOUBLE NOT NULL" in ddl
+
+
+def test_replace_table_resets_constraints_properties_and_domains(spark, tmp_path):
+    """REPLACE resets what the statement does not re-specify (delta-spark
+    parity): prior CHECK constraints must not block (or haunt) the new
+    schema, prior TBLPROPERTIES are gone, and a stale clustering domain
+    must not crash the next OPTIMIZE on dropped columns."""
+    import json
+
+    import pytest
+
+    from athena_delta_lake_spark.catalog import DeltaPond
+    from athena_delta_lake_spark.delta import DeltaLog
+
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
+    pond.sql("CREATE SCHEMA lake")
+    pond.sql(
+        "CREATE TABLE lake.t CLUSTER BY (k) AS "
+        "SELECT id, CAST(id % 3 AS INT) AS k FROM range(30)"
+    )
+    pond.sql("ALTER TABLE lake.t ADD CONSTRAINT small CHECK (id < 100)")
+    pond.sql("ALTER TABLE lake.t SET TBLPROPERTIES ('user.prop' = 'x')")
+    path = f"{root}/lake/t"
+    # the new schema has NEITHER id NOR k: a surviving constraint would
+    # crash the replace, a surviving clustering domain the next OPTIMIZE
+    pond.sql("CREATE OR REPLACE TABLE lake.t AS SELECT 'a' AS name")
+    snap = DeltaLog(path).snapshot()
+    cfg = snap.metadata.get("configuration") or {}
+    assert not any(k.startswith("delta.constraints.") for k in cfg)
+    assert "user.prop" not in cfg
+    assert "delta.clustering" not in snap.domain_metadata
+    assert "CLUSTER BY" not in pond.sql("SHOW CREATE TABLE lake.t").first()[0]
+    pond.sql("OPTIMIZE lake.t")  # must not reference the dropped column k
+    # the constraint is really gone: a row the OLD constraint would have
+    # rejected (if columns matched) inserts fine, and re-adding works
+    pond.sql("INSERT INTO lake.t VALUES ('b')")
+    assert pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"] == 2
+    # re-specified metadata DOES apply
+    pond.sql(
+        "CREATE OR REPLACE TABLE lake.t CLUSTER BY (n2) AS "
+        "SELECT id AS n2 FROM range(5)"
+    )
+    dm = DeltaLog(path).snapshot().domain_metadata
+    assert json.loads(dm["delta.clustering"])["clusteringColumns"] == ["n2"]
+
+
+def test_span_fallback_ignores_comments_and_literals(spark, tmp_path):
+    """The query-span keyword fallback must not anchor at SELECT/VALUES
+    keywords inside comments or string literals."""
+    from athena_delta_lake_spark.catalog import DeltaPond
+
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
+    pond.sql("CREATE SCHEMA lake")
+    pond.sql(
+        "CREATE TABLE lake.src AS SELECT id, CAST(id % 3 AS INT) AS k "
+        "FROM range(12)"
+    )
+    pond.sql("CREATE TABLE lake.agg (k INT, n BIGINT)")
+    pond.sql(
+        "INSERT INTO lake.agg SELECT /* old VALUES */ k, count(*) AS n "
+        "FROM lake.src GROUP BY k"
+    )
+    assert pond.sql("SELECT count(*) AS n FROM lake.agg").first()["n"] == 3
+    pond.sql(
+        "INSERT INTO lake.agg SELECT k, count(*) -- TABLE trailer\n"
+        "FROM lake.src GROUP BY k"
+    )
+    assert pond.sql("SELECT count(*) AS n FROM lake.agg").first()["n"] == 6
