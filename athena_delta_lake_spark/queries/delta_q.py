@@ -1618,3 +1618,47 @@ def g15(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_nationkey", "n_sup", "bal_cents",
     ]
     return pond.sql("SELECT * FROM lake.sup_rp")
+
+
+# ------------------- g16: ANALYZE ... FOR COLUMNS column-level statistics
+
+
+@register(
+    "g16_analyze_columns",
+    "delta-core",
+    """
+    SELECT col_name,
+           CAST(mn AS BIGINT) AS min_val, CAST(mx AS BIGINT) AS max_val,
+           null_count
+    FROM (
+      SELECT 'p_partkey' AS col_name, min(p_partkey) AS mn,
+             max(p_partkey) AS mx,
+             CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_count
+      FROM part
+      UNION ALL
+      SELECT 'p_size', min(p_size), max(p_size),
+             CAST(sum(CASE WHEN p_size IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM part
+    )
+    """,
+    "ANALYZE TABLE ... FOR COLUMNS derives min/max/nullCount from the "
+    "transaction log's per-file stats (zero data scan for provable "
+    "columns) and hash-matches the oracle's full-scan aggregates",
+)
+def g16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = os.path.join(_fixture_root(sf_dir), "pond_analyze_cols")
+    pond = DeltaPond(spark, root)
+    path = os.path.join(root, "lake", "part_ac")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        write_delta(load(spark, sf_dir, "part"), path)
+    out = pond.sql(
+        "ANALYZE TABLE lake.part_ac COMPUTE STATISTICS "
+        "FOR COLUMNS p_partkey, p_size"
+    )
+    return out.selectExpr(
+        "col_name",
+        "CAST(min AS BIGINT) AS min_val",
+        "CAST(max AS BIGINT) AS max_val",
+        "null_count",
+    )
