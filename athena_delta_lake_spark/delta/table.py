@@ -496,7 +496,20 @@ class DeltaTable:
             ),
             "version": snap.version,
             "domainMetadata": dict(snap.domain_metadata),
+            "clusteringColumns": self._clustering_columns(snap),
         }
+
+    @staticmethod
+    def _clustering_columns(snap) -> list[str]:
+        import json as _json
+
+        dm = snap.domain_metadata.get("delta.clustering")
+        if not dm:
+            return []
+        try:
+            return list(_json.loads(dm).get("clusteringColumns") or [])
+        except (ValueError, TypeError):
+            return []
 
     def set_domain_metadata(
         self,

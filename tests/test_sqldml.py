@@ -1009,3 +1009,21 @@ def test_span_fallback_ignores_comments_and_literals(spark, tmp_path):
         "FROM lake.src GROUP BY k"
     )
     assert pond.sql("SELECT count(*) AS n FROM lake.agg").first()["n"] == 6
+
+
+def test_describe_detail_clustering_columns(spark, tmp_path):
+    from athena_delta_lake_spark import DeltaTable
+    from athena_delta_lake_spark.catalog import DeltaPond
+
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
+    pond.sql("CREATE SCHEMA lake")
+    pond.sql(
+        "CREATE TABLE lake.t CLUSTER BY (k) AS "
+        "SELECT id, CAST(id % 2 AS INT) AS k FROM range(8)"
+    )
+    d = DeltaTable(spark, f"{root}/lake/t").detail()
+    assert d["clusteringColumns"] == ["k"]
+    pond.sql("ALTER TABLE lake.t CLUSTER BY NONE")
+    d2 = DeltaTable(spark, f"{root}/lake/t").detail()
+    assert d2["clusteringColumns"] == []
