@@ -1738,6 +1738,25 @@ def restore_table(
         if target.metadata != current.metadata
         else None
     )
+    # reinstating the target metaData can re-enable features a DROP
+    # FEATURE removed from the protocol since (delta.enableChangeDataFeed,
+    # a mapped schema, re-added DV'd files): the restore commit must
+    # re-declare them or later writers silently maintain undeclared state
+    from .features import _explicit_feature_sets, metadata_implied_features
+    from .writer import _protocol_upgrade_action
+
+    need_r, need_w = metadata_implied_features(target.metadata, target.files)
+    have_r, have_w = _explicit_feature_sets(current.protocol)
+    need_r -= have_r
+    need_w -= have_w
+    if need_r or need_w:
+        upgrade = _protocol_upgrade_action(
+            current.protocol,
+            reader_features=tuple(sorted(need_r)),
+            writer_features=tuple(sorted(need_w)),
+        )
+        if upgrade is not None:
+            extra = [upgrade] + (extra or [])
     cur_by = {f.path: f for f in current.files}
     new_version = commit_rewrite(
         table_path,

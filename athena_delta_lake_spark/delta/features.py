@@ -515,3 +515,55 @@ def drop_feature(
     if truncate_history:
         truncated = _truncate_history(table_path, version)
     return {"version": version, "protocol": new_proto, "truncated": truncated}
+
+
+def metadata_implied_features(
+    metadata: dict, files=None
+) -> tuple[set[str], set[str]]:
+    """(reader_features, writer_features) a table with this metaData (and
+    optionally these live files) REQUIRES writers/readers to implement.
+    Used by RESTORE: reinstating an old metaData can re-enable a feature
+    (delta.enableChangeDataFeed=true, a mapped schema, ...) that a DROP
+    FEATURE removed from the protocol since — the restore commit must
+    re-declare it, or subsequent writers maintain feature state the
+    protocol never announced."""
+    config = metadata.get("configuration") or {}
+    schema_obj = json.loads(metadata.get("schemaString") or "{}")
+    r: set[str] = set()
+    w: set[str] = set()
+    if config.get("delta.enableChangeDataFeed", "").lower() == "true":
+        w.add("changeDataFeed")
+    if config.get("delta.enableDeletionVectors", "").lower() == "true":
+        r.add("deletionVectors")
+    if config.get("delta.enableRowTracking", "").lower() == "true":
+        w |= {"rowTracking", "domainMetadata"}
+    if config.get("delta.enableInCommitTimestamps", "").lower() == "true":
+        w.add("inCommitTimestamp")
+    if config.get("delta.columnMapping.mode", "none") != "none":
+        r.add("columnMapping")
+    if config.get("delta.appendOnly", "").lower() == "true":
+        w.add("appendOnly")
+    if any(k.startswith(_CONSTRAINT_PREFIX) for k in config):
+        w.add("checkConstraints")
+    for f in _walk_fields(schema_obj):
+        meta = f.get("metadata") or {}
+        if "delta.generationExpression" in meta:
+            w.add("generatedColumns")
+        if any(k.startswith("delta.identity.") for k in meta):
+            w.add("identityColumns")
+        if "CURRENT_DEFAULT" in meta:
+            w.add("allowColumnDefaults")
+        if "delta.invariants" in meta:
+            w.add("invariants")
+        if "delta.typeChanges" in meta:
+            r.add("typeWidening")
+    types = set(_type_names(schema_obj))
+    if "variant" in types:
+        r.add("variantType")
+    if "timestamp_ntz" in types:
+        r.add("timestampNtz")
+    if files is not None and any(
+        getattr(f, "deletion_vector", None) for f in files
+    ):
+        r.add("deletionVectors")
+    return r, w | r

@@ -400,3 +400,37 @@ def test_drop_column_mapping_detects_physical_name_history(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="TRUNCATE HISTORY"):
         drop_feature(path, "columnMapping")
+
+
+def test_restore_redeclares_features_reinstated_by_metadata(spark, tmp_path):
+    """RESTORE to a version whose metaData re-enables a feature the
+    protocol has since dropped must re-declare the feature in the restore
+    commit — otherwise later writers maintain CDF/DV/mapping state the
+    protocol never announced (spec violation an external writer would
+    miss)."""
+    import glob
+
+    from athena_delta_lake_spark.delta.dml import restore_table, update
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.range(10).selectExpr("id"),
+        path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    write_delta(spark.range(10, 15).selectExpr("id"), path, mode="append")
+    drop_feature(path, "changeDataFeed")
+    restore_table(path, version=1)
+    _, w, _ = _features(path)
+    assert "changeDataFeed" in w
+    update(spark, path, set={"id": "id + 100"}, where="id = 3")
+    assert glob.glob(f"{path}/_change_data/*")  # CDF maintained, declared
+    # a plain restore on a legacy-protocol table keeps the legacy pair
+    p2 = str(tmp_path / "plain")
+    write_delta(spark.range(5).selectExpr("id"), p2)
+    write_delta(spark.range(5, 8).selectExpr("id"), p2, mode="append")
+    restore_table(p2, version=0)
+    assert DeltaLog(p2).snapshot().protocol == {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+    }
