@@ -1089,6 +1089,7 @@ def write_delta(
     identity_columns: dict[str, tuple[int, int]] | None = None,
     replace_where: str | list | None = None,
     replace_table: bool = False,
+    description: str | None = None,
 ) -> int:
     """Write `df` to a Delta table at `table_path`. Returns committed version.
 
@@ -1586,6 +1587,12 @@ def write_delta(
             if identity_params
             else schema
         )
+        # the table comment: an explicit `description` wins; otherwise a
+        # prior comment survives schema/config-changing commits (REPLACE
+        # resets it like the rest of the unspecified metadata)
+        desc = description
+        if desc is None and not replace_table:
+            desc = prior_md.get("description")
         actions.append(
             {
                 "metaData": {
@@ -1594,6 +1601,7 @@ def write_delta(
                     "schemaString": struct_to_schema_string(md_schema),
                     "partitionColumns": partition_by,
                     "configuration": effective_config,
+                    **({"description": desc} if desc is not None else {}),
                     "createdTime": prior_md.get("createdTime", now),
                 }
             }

@@ -417,6 +417,35 @@ def _partition_and_cluster_cols(p) -> tuple[list[str], list[str]]:
     return part_cols, cluster_cols
 
 
+
+def _table_spec_props(p) -> tuple[dict | None, str | None, bool]:
+    """(TBLPROPERTIES, COMMENT, wants_column_mapping) from a
+    CREATE/REPLACE TABLE plan's tableSpec (previously silently dropped).
+    delta.columnMapping.mode is split out: enabling mapping needs the
+    dedicated DDL path (field ids + physical names + protocol feature),
+    exactly like SET TBLPROPERTIES routes it."""
+    ts = p.tableSpec()
+    jmap = ts.properties()
+    props = {
+        str(k): str(jmap.get(k).get()) for k in _seq(jmap.keys().toList())
+    }
+    mapping = False
+    mode = props.pop("delta.columnMapping.mode", None)
+    if mode is not None:
+        if mode != "name":
+            raise ValueError(
+                f"delta.columnMapping.mode={mode!r} unsupported "
+                "('name' is the only supported mapping mode)"
+            )
+        mapping = True
+    comment = _opt(ts.comment())
+    return (
+        (props or None),
+        (str(comment) if comment is not None else None),
+        mapping,
+    )
+
+
 def _route_ctas(pond, p, text: str, replace: bool = False) -> DataFrame:
     from .delta.writer import write_delta
 
@@ -456,6 +485,7 @@ def _route_ctas(pond, p, text: str, replace: bool = False) -> DataFrame:
     df = pond.sql(qtext)
     path = os.path.join(pond.root, schema, table)
     os.makedirs(path, exist_ok=True)
+    props, comment, mapping = _table_spec_props(p)
     version = write_delta(
         df,
         path,
@@ -463,7 +493,13 @@ def _route_ctas(pond, p, text: str, replace: bool = False) -> DataFrame:
         partition_by=part_cols or None,
         liquid_cluster_by=cluster_cols or None,
         replace_table=replace and exists,
+        configuration=props,
+        description=comment,
     )
+    if mapping:
+        from .delta.writer import enable_column_mapping
+
+        version = enable_column_mapping(path)
     return _metrics_df(
         pond.spark,
         {
@@ -568,6 +604,7 @@ def _route_create_table(pond, p, text: str, replace: bool = False) -> DataFrame:
     empty = pond.spark.createDataFrame(
         [], T.StructType([f for f in st.fields if f.name not in identity])
     )
+    props, comment, mapping = _table_spec_props(p)
     version = write_delta(
         empty,
         path,
@@ -576,7 +613,13 @@ def _route_create_table(pond, p, text: str, replace: bool = False) -> DataFrame:
         liquid_cluster_by=cluster_cols or None,
         identity_columns=identity or None,
         replace_table=replace and exists,
+        configuration=props,
+        description=comment,
     )
+    if mapping:
+        from .delta.writer import enable_column_mapping
+
+        version = enable_column_mapping(path)
     if identity or defaults:
         from .delta.log import DeltaLog
         from .delta.types import struct_to_schema_string

@@ -1027,3 +1027,43 @@ def test_describe_detail_clustering_columns(spark, tmp_path):
     pond.sql("ALTER TABLE lake.t CLUSTER BY NONE")
     d2 = DeltaTable(spark, f"{root}/lake/t").detail()
     assert d2["clusteringColumns"] == []
+
+
+def test_create_table_tblproperties_and_comment(spark, tmp_path):
+    """TBLPROPERTIES and COMMENT in CREATE TABLE / CTAS land in the
+    metaData (regression: silently dropped); delta.columnMapping.mode in
+    TBLPROPERTIES routes through the dedicated mapping-enable DDL; the
+    comment survives later schema evolution; REPLACE resets both."""
+    from athena_delta_lake_spark.catalog import DeltaPond
+    from athena_delta_lake_spark.delta import DeltaLog
+
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
+    pond.sql("CREATE SCHEMA lake")
+    pond.sql(
+        "CREATE TABLE lake.t (id BIGINT) TBLPROPERTIES "
+        "('delta.enableChangeDataFeed'='true', 'u.p'='1') COMMENT 'my table'"
+    )
+    md = DeltaLog(f"{root}/lake/t").snapshot().metadata
+    assert md["configuration"]["delta.enableChangeDataFeed"] == "true"
+    assert md["configuration"]["u.p"] == "1"
+    assert md["description"] == "my table"
+    pond.sql("CREATE TABLE lake.t2 TBLPROPERTIES ('a'='2') COMMENT 'c2' AS SELECT 1 AS x")
+    pond.sql("ALTER TABLE lake.t2 ADD COLUMNS (y INT)")
+    md2 = DeltaLog(f"{root}/lake/t2").snapshot().metadata
+    assert md2["description"] == "c2"  # survives schema evolution
+    assert md2["configuration"]["a"] == "2"
+    # mapping at creation: ids + physical names stamped, feature declared
+    pond.sql(
+        "CREATE TABLE lake.t3 (id BIGINT) TBLPROPERTIES "
+        "('delta.columnMapping.mode'='name')"
+    )
+    snap3 = DeltaLog(f"{root}/lake/t3").snapshot()
+    assert snap3.metadata["configuration"]["delta.columnMapping.mode"] == "name"
+    assert "delta.columnMapping.physicalName" in str(snap3.metadata["schemaString"])
+    assert "columnMapping" in (snap3.protocol.get("readerFeatures") or [])
+    # REPLACE resets unspecified comment/properties
+    pond.sql("CREATE OR REPLACE TABLE lake.t2 AS SELECT 1 AS z")
+    md2b = DeltaLog(f"{root}/lake/t2").snapshot().metadata
+    assert md2b.get("description") is None
+    assert "a" not in (md2b.get("configuration") or {})
