@@ -1733,9 +1733,28 @@ def restore_table(
             add["deletionVector"] = f.deletion_vector
         adds.append({"add": add})
 
+    from .writer import _ict_enabled
+
+    restored_md = target.metadata
+    ict_config = None
+    tgt_cfg = target.metadata.get("configuration") or {}
+    cur_cfg = current.metadata.get("configuration") or {}
+    if _ict_enabled(tgt_cfg) and not _ict_enabled(cur_cfg):
+        # re-enabling in-commit timestamps: the reinstated enablement
+        # markers must point at THIS commit (commits made while ICT was
+        # off carry none), and the restore commit itself must be stamped
+        cfg = dict(tgt_cfg)
+        cfg["delta.inCommitTimestampEnablementVersion"] = str(
+            current.version + 1
+        )
+        cfg["delta.inCommitTimestampEnablementTimestamp"] = str(
+            int(__import__("time").time() * 1000)
+        )
+        restored_md = {**target.metadata, "configuration": cfg}
+        ict_config = cfg
     extra = (
-        [{"metaData": target.metadata}]
-        if target.metadata != current.metadata
+        [{"metaData": restored_md}]
+        if restored_md != current.metadata
         else None
     )
     # reinstating the target metaData can re-enable features a DROP
@@ -1757,6 +1776,24 @@ def restore_table(
         )
         if upgrade is not None:
             extra = [upgrade] + (extra or [])
+    # row tracking: a restore that brings the feature back must also bring
+    # back the id high-water-mark domain (a dropped domain would restart
+    # baseRowId assignment at 0, colliding with the restored files' ids)
+    if (
+        "delta.rowTracking" in target.domain_metadata
+        and "delta.rowTracking" not in current.domain_metadata
+    ):
+        extra = (extra or []) + [
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": target.domain_metadata[
+                        "delta.rowTracking"
+                    ],
+                    "removed": False,
+                }
+            }
+        ]
     cur_by = {f.path: f for f in current.files}
     new_version = commit_rewrite(
         table_path,
@@ -1767,6 +1804,7 @@ def restore_table(
         extra_actions=extra,
         expected_states={p: file_fingerprint(cur_by[p]) for p in to_remove},
         base_version=current.version,
+        ict_config=ict_config,
     )
     return {
         "restored_to": target.version,

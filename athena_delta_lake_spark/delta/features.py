@@ -531,17 +531,20 @@ def metadata_implied_features(
     schema_obj = json.loads(metadata.get("schemaString") or "{}")
     r: set[str] = set()
     w: set[str] = set()
-    if config.get("delta.enableChangeDataFeed", "").lower() == "true":
+    def _on(key):  # str(): third-party logs may carry JSON booleans
+        return str(config.get(key, "")).lower() == "true"
+
+    if _on("delta.enableChangeDataFeed"):
         w.add("changeDataFeed")
-    if config.get("delta.enableDeletionVectors", "").lower() == "true":
+    if _on("delta.enableDeletionVectors"):
         r.add("deletionVectors")
-    if config.get("delta.enableRowTracking", "").lower() == "true":
+    if _on("delta.enableRowTracking"):
         w |= {"rowTracking", "domainMetadata"}
-    if config.get("delta.enableInCommitTimestamps", "").lower() == "true":
+    if _on("delta.enableInCommitTimestamps"):
         w.add("inCommitTimestamp")
-    if config.get("delta.columnMapping.mode", "none") != "none":
+    if str(config.get("delta.columnMapping.mode", "none")) != "none":
         r.add("columnMapping")
-    if config.get("delta.appendOnly", "").lower() == "true":
+    if _on("delta.appendOnly"):
         w.add("appendOnly")
     if any(k.startswith(_CONSTRAINT_PREFIX) for k in config):
         w.add("checkConstraints")

@@ -705,6 +705,7 @@ def commit_rewrite(
     require_serial: bool = False,
     isolation: str = "write_serializable",
     read_predicates: list | None = None,
+    ict_config: dict | None = None,
 ) -> int:
     """Commit a file-rewrite transaction: `remove` the replaced files and
     `add` their rewrites in ONE atomic version — the copy-on-write commit
@@ -840,7 +841,15 @@ def commit_rewrite(
                     "predicate; re-run against the new snapshot"
                 ) from None
         try:
-            _stamp_ict(actions, log_dir, version, table_config)
+            # ict_config: a commit that REINSTATES an ICT-enabled
+            # configuration (RESTORE) must itself carry the in-commit
+            # timestamp its refreshed enablement markers promise
+            _stamp_ict(
+                actions,
+                log_dir,
+                version,
+                table_config if ict_config is None else ict_config,
+            )
             _atomic_commit(log_dir, version, actions)
             DeltaLog.clear_cache()
             _maybe_auto_checkpoint(table_path, version, table_config)

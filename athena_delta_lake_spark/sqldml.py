@@ -418,31 +418,62 @@ def _partition_and_cluster_cols(p) -> tuple[list[str], list[str]]:
 
 
 
-def _table_spec_props(p) -> tuple[dict | None, str | None, bool]:
-    """(TBLPROPERTIES, COMMENT, wants_column_mapping) from a
-    CREATE/REPLACE TABLE plan's tableSpec (previously silently dropped).
-    delta.columnMapping.mode is split out: enabling mapping needs the
-    dedicated DDL path (field ids + physical names + protocol feature),
-    exactly like SET TBLPROPERTIES routes it."""
+def _table_spec_props(p) -> tuple[dict | None, str | None, list]:
+    """(TBLPROPERTIES, COMMENT, post_create_steps) from a CREATE/REPLACE
+    TABLE plan's tableSpec (previously silently dropped).
+
+    Feature-bearing properties cannot ride write_delta's plain
+    configuration — they need their dedicated DDL paths (protocol
+    feature declaration, field-id stamping, row-id backfill, existing-row
+    validation), exactly like SET TBLPROPERTIES routes them — so they
+    come back as post-create callables. The CREATE is therefore 1+N
+    commits for N such properties (documented divergence from
+    delta-spark's single commit; a crash in between leaves the property
+    un-applied, never an undeclared feature)."""
     ts = p.tableSpec()
     jmap = ts.properties()
     props = {
         str(k): str(jmap.get(k).get()) for k in _seq(jmap.keys().toList())
     }
-    mapping = False
+    steps = []
     mode = props.pop("delta.columnMapping.mode", None)
-    if mode is not None:
+    if mode is not None and mode != "none":
         if mode != "name":
             raise ValueError(
                 f"delta.columnMapping.mode={mode!r} unsupported "
                 "('name' is the only supported mapping mode)"
             )
-        mapping = True
+
+        def _enable_mapping(pond, path):
+            from .delta.writer import enable_column_mapping
+
+            return enable_column_mapping(path)
+
+        steps.append(_enable_mapping)
+    if str(props.get("delta.enableRowTracking", "")).lower() == "true":
+        props.pop("delta.enableRowTracking")
+
+        def _enable_rt(pond, path):
+            from .delta.writer import enable_row_tracking
+
+            return enable_row_tracking(path)
+
+        steps.append(_enable_rt)
+    constraint_keys = [k for k in props if k.startswith("delta.constraints.")]
+    for key in constraint_keys:
+        cname, cexpr = key[len("delta.constraints."):], props.pop(key)
+
+        def _add_con(pond, path, _n=cname, _e=cexpr):
+            from .delta.writer import add_check_constraint
+
+            return add_check_constraint(pond.spark, path, _n, _e)
+
+        steps.append(_add_con)
     comment = _opt(ts.comment())
     return (
         (props or None),
         (str(comment) if comment is not None else None),
-        mapping,
+        steps,
     )
 
 
@@ -485,7 +516,7 @@ def _route_ctas(pond, p, text: str, replace: bool = False) -> DataFrame:
     df = pond.sql(qtext)
     path = os.path.join(pond.root, schema, table)
     os.makedirs(path, exist_ok=True)
-    props, comment, mapping = _table_spec_props(p)
+    props, comment, steps = _table_spec_props(p)
     version = write_delta(
         df,
         path,
@@ -496,10 +527,8 @@ def _route_ctas(pond, p, text: str, replace: bool = False) -> DataFrame:
         configuration=props,
         description=comment,
     )
-    if mapping:
-        from .delta.writer import enable_column_mapping
-
-        version = enable_column_mapping(path)
+    for step in steps:
+        version = step(pond, path)
     return _metrics_df(
         pond.spark,
         {
@@ -604,7 +633,7 @@ def _route_create_table(pond, p, text: str, replace: bool = False) -> DataFrame:
     empty = pond.spark.createDataFrame(
         [], T.StructType([f for f in st.fields if f.name not in identity])
     )
-    props, comment, mapping = _table_spec_props(p)
+    props, comment, steps = _table_spec_props(p)
     version = write_delta(
         empty,
         path,
@@ -616,10 +645,8 @@ def _route_create_table(pond, p, text: str, replace: bool = False) -> DataFrame:
         configuration=props,
         description=comment,
     )
-    if mapping:
-        from .delta.writer import enable_column_mapping
-
-        version = enable_column_mapping(path)
+    for step in steps:
+        version = step(pond, path)
     if identity or defaults:
         from .delta.log import DeltaLog
         from .delta.types import struct_to_schema_string
@@ -1896,6 +1923,7 @@ def _route_describe_detail(pond, name: str) -> DataFrame:
         minReaderVersion=int(d["minReaderVersion"] or 1),
         minWriterVersion=int(d["minWriterVersion"] or 1),
         tableFeatures=list(d["tableFeatures"]),
+        clusteringColumns=list(d["clusteringColumns"]),
         version=int(d["version"]),
     )
     return pond.spark.createDataFrame(
@@ -1903,7 +1931,8 @@ def _route_describe_detail(pond, name: str) -> DataFrame:
         "format string, id string, location string, "
         "partitionColumns array<string>, numFiles long, sizeInBytes long, "
         "properties string, minReaderVersion int, minWriterVersion int, "
-        "tableFeatures array<string>, version long",
+        "tableFeatures array<string>, clusteringColumns array<string>, "
+        "version long",
     )
 
 

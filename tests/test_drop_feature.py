@@ -434,3 +434,60 @@ def test_restore_redeclares_features_reinstated_by_metadata(spark, tmp_path):
         "minReaderVersion": 1,
         "minWriterVersion": 2,
     }
+
+
+def test_restore_reinstates_row_tracking_high_water_mark(spark, tmp_path):
+    """RESTORE bringing row tracking back must also bring back the
+    delta.rowTracking high-water-mark domain — otherwise the next append
+    restarts baseRowId at 0 and collides with the restored files' ids."""
+    from athena_delta_lake_spark.delta.dml import restore_table
+
+    path = str(tmp_path / "t")
+    _write(spark, path)
+    enable_row_tracking(path)
+    write_delta(
+        spark.range(50, 80).selectExpr("id", "id % 5 AS k"), path, mode="append"
+    )
+    drop_feature(path, "rowTracking")
+    restore_table(path, version=2)  # row-tracked state
+    snap = DeltaLog(path).snapshot()
+    assert "delta.rowTracking" in snap.domain_metadata
+    write_delta(
+        spark.range(80, 90).selectExpr("id", "id % 5 AS k"), path, mode="append"
+    )
+    t = DeltaTable(spark, path)
+    ids = [r["_row_id"] for r in t.to_df_with_row_ids().collect()]
+    assert len(ids) == len(set(ids)), "duplicate row ids after restore"
+    assert len(ids) == 90
+
+
+def test_restore_refreshes_ict_enablement(spark, tmp_path):
+    """RESTORE re-enabling in-commit timestamps must refresh the
+    enablement markers to the restore commit and stamp the restore commit
+    itself — commits made while ICT was off carry no inCommitTimestamp."""
+    import json
+
+    from athena_delta_lake_spark.delta.dml import restore_table
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.range(10).selectExpr("id"),
+        path,
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    write_delta(spark.range(10, 15).selectExpr("id"), path, mode="append")
+    drop_feature(path, "inCommitTimestamp")
+    write_delta(spark.range(15, 18).selectExpr("id"), path, mode="append")
+    res = restore_table(path, version=1)
+    v = res["committed_version"]
+    snap = DeltaLog(path).snapshot()
+    cfg = snap.metadata["configuration"]
+    assert cfg["delta.inCommitTimestampEnablementVersion"] == str(v)
+    # the restore commit itself carries an inCommitTimestamp
+    line = open(
+        f"{path}/_delta_log/{v:020d}.json"
+    ).readline()
+    ci = json.loads(line)["commitInfo"]
+    assert "inCommitTimestamp" in ci
+    # and the timestamp resolver works across the mixed history
+    assert DeltaLog(path).commit_timestamp(v) == int(ci["inCommitTimestamp"])

@@ -1067,3 +1067,46 @@ def test_create_table_tblproperties_and_comment(spark, tmp_path):
     md2b = DeltaLog(f"{root}/lake/t2").snapshot().metadata
     assert md2b.get("description") is None
     assert "a" not in (md2b.get("configuration") or {})
+
+
+def test_create_table_feature_properties_route_properly(spark, tmp_path):
+    """Feature-bearing TBLPROPERTIES at creation must go through their
+    dedicated DDL paths: row tracking declares its features and backfills
+    ids; constraints validate and declare checkConstraints; mode 'none'
+    is the legal no-op."""
+    import pytest
+
+    from athena_delta_lake_spark import DeltaTable
+    from athena_delta_lake_spark.catalog import DeltaPond
+    from athena_delta_lake_spark.delta import DeltaLog
+
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
+    pond.sql("CREATE SCHEMA lake")
+    pond.sql(
+        "CREATE TABLE lake.rt TBLPROPERTIES ('delta.enableRowTracking'='true') "
+        "AS SELECT id FROM range(20)"
+    )
+    snap = DeltaLog(f"{root}/lake/rt").snapshot()
+    feats = set(snap.protocol.get("writerFeatures") or [])
+    assert {"rowTracking", "domainMetadata"} <= feats
+    assert "delta.rowTracking" in snap.domain_metadata
+    ids = [
+        r["_row_id"]
+        for r in DeltaTable(spark, f"{root}/lake/rt").to_df_with_row_ids().collect()
+    ]
+    assert len(set(ids)) == 20
+    pond.sql(
+        "CREATE TABLE lake.ck TBLPROPERTIES "
+        "('delta.constraints.pos'='id >= 0') AS SELECT id FROM range(5)"
+    )
+    snap2 = DeltaLog(f"{root}/lake/ck").snapshot()
+    assert snap2.metadata["configuration"]["delta.constraints.pos"] == "id >= 0"
+    with pytest.raises(ValueError, match="pos"):
+        pond.sql("INSERT INTO lake.ck VALUES (-1)")
+    pond.sql(
+        "CREATE TABLE lake.nm (id BIGINT) TBLPROPERTIES "
+        "('delta.columnMapping.mode'='none')"
+    )  # legal no-op
+    row = pond.sql("DESCRIBE DETAIL lake.rt").first()
+    assert row["clusteringColumns"] == []
