@@ -265,7 +265,19 @@ def _fast_num_records(f: "AddFile"):
         st = f.stats
         return None if st is None else st.get("numRecords")
     m = _NUM_RECORDS_RE.search(raw)
-    return int(m.group(1)) if m else None
+    if m is None:
+        return None
+    # the single occurrence must also be TOP-LEVEL: stats with no real
+    # numRecords but a data column literally named numRecords inside
+    # exactly one nested section (say, only nullCount) would otherwise
+    # return that column's stat as the file row count. Top-level keys
+    # precede the first nested object's '{'; a match at or past it is
+    # nested — use the real parse.
+    first_nested = raw.find("{", 1)
+    if first_nested != -1 and m.start() > first_nested:
+        st = f.stats
+        return None if st is None else st.get("numRecords")
+    return int(m.group(1))
 
 
 def _decode_path(p: str) -> str:

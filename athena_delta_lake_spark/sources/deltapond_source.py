@@ -386,7 +386,7 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         self._skip_change_commits = (
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
-        self._add_sizes_cache: dict[int, list[int]] = {}
+        self._add_sizes_cache: dict[int, tuple[list[int], bool]] = {}
         # Trigger.AvailableNow interop: the engine captures ONE
         # latestOffset() (before initialOffset) as the terminal target and
         # never asks again — the Python DataSource API (Spark 4.1) exposes
@@ -447,19 +447,29 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         ):
             self._position = pos
 
-    def _commit_add_sizes(self, log: DeltaLog, v: int) -> list[int]:
-        """Sizes of commit v's dataChange add files, in the STABLE action
-        order of the commit JSON — the unit the file/byte caps admit.
-        Tiny per-trigger cache; pruned so it never outlives the window."""
+    def _commit_admission(self, log: DeltaLog, v: int) -> tuple[list[int], bool]:
+        """(sizes of commit v's dataChange add files in the STABLE action
+        order of the commit JSON — the unit the file/byte caps admit,
+        whether the commit carries dataChange removes). The remove flag
+        lets the admission walk treat commits that partitions() will skip
+        wholesale (skipChangeCommits) as zero-cost, so a trigger's budget
+        is never consumed by rows that are never emitted. Tiny per-trigger
+        cache; pruned so it never outlives the window."""
         if v not in self._add_sizes_cache:
             if len(self._add_sizes_cache) > 64:
                 self._add_sizes_cache.clear()
-            self._add_sizes_cache[v] = [
-                int(a["add"].get("size", 0))
-                for a in log.commit_actions(v)
-                if "add" in a and a["add"].get("dataChange", True)
-            ]
+            sizes = []
+            has_dc_removes = False
+            for a in log.commit_actions(v):
+                if "add" in a and a["add"].get("dataChange", True):
+                    sizes.append(int(a["add"].get("size", 0)))
+                elif "remove" in a and a["remove"].get("dataChange", True):
+                    has_dc_removes = True
+            self._add_sizes_cache[v] = (sizes, has_dc_removes)
         return self._add_sizes_cache[v]
+
+    def _commit_add_sizes(self, log: DeltaLog, v: int) -> list[int]:
+        return self._commit_admission(log, v)[0]
 
     def _floor_version(self, log: DeltaLog) -> int:
         """The version v such that this stream emits commits > v."""
@@ -538,7 +548,17 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         end = (v0, i0)
         start_v = v0 if i0 is not None else v0 + 1
         for v in range(start_v, max_v + 1):
-            sizes = self._commit_add_sizes(log, v)
+            sizes, has_dc_removes = self._commit_admission(log, v)
+            if (
+                not self._cdf
+                and self._skip_change_commits
+                and has_dc_removes
+            ):
+                # partitions() will skip this commit entirely — admit it
+                # as a zero-cost whole commit so the trigger's budget is
+                # spent on rows that are actually emitted
+                end = (v, None)
+                continue
             skip = i0 if (v == v0 and i0 is not None) else 0
             pending = sizes[skip:]
             if self._cdf:

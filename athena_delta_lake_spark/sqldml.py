@@ -2082,11 +2082,13 @@ def _route_analyze(pond, m) -> DataFrame:
     size = sum(f.size for f in snap.files)
     total_rows = 0
     dv_removed = 0
+    counts_complete = True  # every live file yielded a numRecords stat
     n_rows: int | None = 0
     for f in snap.files:
         nr = _fast_num_records(f)
         if nr is None:
             n_rows = None
+            counts_complete = False
             break
         total_rows += int(nr)
         if f.deletion_vector:
@@ -2097,9 +2099,16 @@ def _route_analyze(pond, m) -> DataFrame:
         n_rows = read_snapshot(pond.spark, snap).count()
     # LIVE bytes: physical bytes scaled by the live-row fraction — the
     # number the broadcast hint plans with (a MOR-shrunk dim keeps big
-    # physical files; the log knows the live table is tiny)
+    # physical files; the log knows the live table is tiny). The fraction
+    # is only meaningful when the per-file loop COMPLETED: on an early
+    # break total_rows/dv_removed cover only a prefix of the files, and
+    # applying that partial fraction to the FULL physical size could
+    # drastically underestimate live bytes and mis-fire the broadcast
+    # hint on a genuinely large table — fall back to physical size.
     live_frac = (
-        (total_rows - dv_removed) / total_rows if total_rows else 1.0
+        (total_rows - dv_removed) / total_rows
+        if total_rows and counts_complete
+        else 1.0
     )
     props = {
         "pond.stats.sizeInBytes": str(size),
@@ -2164,6 +2173,19 @@ def _route_analyze_columns(pond, path: str, cols_clause: str) -> DataFrame:
     for c in cols:
         dt = snap.schema[c].dataType
         if c in snap.partition_columns:
+            # A file is excluded as fully-dead only when its DV
+            # cardinality PROVABLY equals its row count. A DV-carrying
+            # file with no numRecords stat is unprovable either way —
+            # its partition value may have zero live rows, so the
+            # log-derived extreme can't be trusted: route the column
+            # through the scan fallback instead.
+            unprovable = any(
+                f.deletion_vector and _fast_num_records_safe(f) is None
+                for f in snap.files
+            )
+            if unprovable:
+                scan_minmax.append(c)
+                continue
             vals = [
                 typed_partition_values(f, snap.schema, [c])[0]
                 for f in snap.files
