@@ -209,9 +209,7 @@ class DeltaPond:
 
     def create_schema(self, schema: str) -> None:
         """Storage-layout catalog: a schema IS a top-level directory."""
-        import os
-
-        os.makedirs(_join(self.root, schema), exist_ok=True)
+        self._fs.mkdirs(_join(self.root, schema))
 
     def create_table(
         self,
@@ -224,14 +222,12 @@ class DeltaPond:
         """Write `df` as a Delta table under <root>/<schema>/<table> — the
         catalog CRUD the read-only reference lacked (its tables had to be
         created by an external writer)."""
-        import os
-
         from .delta.writer import write_delta
 
         if schema not in self.list_schemas():
             raise ValueError(f"no such schema: {schema}")
         path = _join(self.root, schema, table)
-        os.makedirs(path, exist_ok=True)
+        self._fs.mkdirs(path)
         write_delta(df, path, mode=mode, partition_by=partition_by)
         return DeltaTable(self.spark, path)
 

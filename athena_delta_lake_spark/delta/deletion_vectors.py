@@ -183,6 +183,22 @@ def serialize_roaring64(positions: list[int]) -> bytes:
 # ----------------------------------------------------------- DV file blobs
 
 
+def _open_binary(path: str, mode: str):
+    """Open a DV blob for 'rb'/'wb' on any scheme — plain open() locally,
+    pyarrow.fs for URI paths. DV blobs are read AND written executor-side
+    (dml._stage_dvs / the scan's DV anti-join), where the JVM Hadoop
+    facade is unreachable — pyarrow.fs is the process-local equivalent
+    (LocalFileSystem, S3FileSystem, HadoopFileSystem where libhdfs is
+    present); an unsupported scheme fails loudly with pyarrow's error."""
+    if "://" in path and not path.startswith("file://"):
+        import pyarrow.fs as pafs
+
+        fs, p = pafs.FileSystem.from_uri(path)
+        return fs.open_input_file(p) if mode == "rb" else fs.open_output_stream(p)
+    p = path[len("file://") :] if path.startswith("file://") else path
+    return open(p, mode)
+
+
 def write_dv_file(table_path: str, positions: list[int]) -> dict:
     """Write a deletion-vector .bin file under `table_path` and return the
     `deletionVector` descriptor (storageType `u`) for the add action."""
@@ -201,7 +217,7 @@ def write_dv_file_multi(
     full = os.path.join(table_path, fname)
     encoded = z85_encode(uid.bytes)
     descs: list[dict] = []
-    with open(full, "wb") as f:
+    with _open_binary(full, "wb") as f:
         f.write(b"\x01")  # format version
         for positions in positions_lists:
             bitmap = serialize_roaring64(positions)
@@ -247,7 +263,7 @@ def read_dv_positions(table_path: str, descriptor: dict) -> list[int]:
     full = dv_absolute_path(table_path, descriptor)
     size = int(descriptor["sizeInBytes"])
     offset = int(descriptor.get("offset", 1))
-    with open(full, "rb") as f:
+    with _open_binary(full, "rb") as f:
         f.seek(offset)
         (stored_size,) = struct.unpack(">i", f.read(4))
         if stored_size != size:

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .fs import normalize_table_path
 from .log import AddFile, DeltaLog, SnapshotState
 from .reader import read_files
 from .stats import Predicate, prune_files_auto
@@ -137,7 +138,7 @@ def delete(
         raise ValueError(
             "delete() requires a condition; use where='true' to delete all"
         )
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_path(table_path)
     snap = DeltaLog(table_path).snapshot()
     preds, cond, fully_parsed = _normalize_where(where)
     candidates = prune_files_auto(spark, snap, preds) if preds else list(snap.files)
@@ -224,7 +225,7 @@ def delete_mor(
         raise ValueError(
             "delete_mor() requires a condition; use where='true' to delete all"
         )
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_path(table_path)
     snap = DeltaLog(table_path).snapshot()
     preds, cond, _fully_parsed = _normalize_where(where)
     candidates = prune_files_auto(spark, snap, preds) if preds else list(snap.files)
@@ -326,10 +327,15 @@ def _stage_dvs(
 
         import pandas as _pd
 
+        from .reader import _strip_scheme_py
+
+        # `_file` is scheme-stripped (reader._strip_scheme); strip the
+        # table path the same way so relpath works on URI tables
+        base = _strip_scheme_py(tp)
         rows_by_file: dict[str, set[int]] = {}
         for pdf in iterator:
             for fp, idx in zip(pdf["_file"], pdf["_row_idx"]):
-                rel = _os.path.relpath(fp, tp).replace(_os.sep, "/")
+                rel = _os.path.relpath(fp, base).replace(_os.sep, "/")
                 rows_by_file.setdefault(rel, set()).add(int(idx))
         if not rows_by_file:
             return
@@ -433,7 +439,7 @@ def update(
     through unchanged. Updating a partition column moves rows between
     partition directories automatically (the staged write re-partitions).
     """
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_path(table_path)
     snap = DeltaLog(table_path).snapshot()
     preds, cond, _ = _normalize_where(where) if where is not None else ([], F.lit(True), True)
     candidates = prune_files_auto(spark, snap, preds) if preds else list(snap.files)
@@ -530,7 +536,7 @@ def update_mor(
     DVs). Same DV/protocol mechanics as delete_mor (shared `_dv_pieces`)."""
     from .reader import read_files_with_index
 
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_path(table_path)
     snap = DeltaLog(table_path).snapshot()
     preds, cond, _ = (
         _normalize_where(where) if where is not None else ([], F.lit(True), True)
@@ -810,6 +816,7 @@ def _insert_only_merge(
     spark, snap, table_path: str, src, keys,
     schema=None, meta=None, extra_actions=None, ident=None,
     isolation: str = "write_serializable",
+    on_condition: str | None = None,
 ) -> dict:
     """Delta's insert-only MERGE fast path (no matched-action clause):
     target files are never read-modified-rewritten — source rows whose
@@ -819,9 +826,17 @@ def _insert_only_merge(
     anti-join. Like any blind append, a concurrent writer inserting the
     same key between plan and commit is not detected."""
     live = list(snap.files)
-    if live:
+    if live and on_condition is None:
         tgt_keys = _read_cow(spark, snap, live).select(*keys).distinct()
         ins = src.join(tgt_keys, keys, "left_anti")
+    elif live:
+        # residual ON conjuncts: match on the FULL pair condition (the
+        # residual may reference any target column, so no key-only scan)
+        ins = src.alias("s").join(
+            _read_cow(spark, snap, live).alias("t"),
+            _pair_condition(keys, on_condition),
+            "left_anti",
+        )
     else:
         ins = src
     schema = schema if schema is not None else snap.schema
@@ -920,6 +935,51 @@ def _matched_clause_index(clauses: list[tuple[str | None, str]]):
     return F.coalesce(*whens, F.lit(-1))
 
 
+def _apply_source_keys(
+    source: DataFrame, keys: list[str], source_keys: list[str] | None
+) -> DataFrame:
+    """Differently-named equi-keys (`ON t.id = s.src_id`): rename the
+    source's key columns to the TARGET names up front, so every
+    downstream join/semi/anti plans on one uniform key list. Refuses the
+    genuinely ambiguous case where the source carries BOTH the mapped
+    key and a different column already named like the target key."""
+    if source_keys is None:
+        return source
+    if len(source_keys) != len(keys):
+        raise ValueError(
+            f"source_keys ({source_keys}) must pair 1:1 with keys ({keys})"
+        )
+    ren = {sk: tk for sk, tk in zip(source_keys, keys) if sk != tk}
+    if not ren:
+        return source
+    for sk, tk in ren.items():
+        if sk not in source.columns:
+            raise ValueError(f"merge source key not in source: {sk}")
+        if tk in source.columns:
+            raise ValueError(
+                f"ambiguous MERGE source: ON maps {sk} onto target key "
+                f"{tk}, but the source also has its own column {tk} — "
+                "rename or drop one of them"
+            )
+    return source.select(
+        *[F.col(c).alias(ren.get(c, c)) for c in source.columns]
+    )
+
+
+def _pair_condition(keys: list[str], on_condition: str | None):
+    """Join condition over frames aliased `t` (target) and `s` (source):
+    the equi-keys AND the residual ON conjuncts (arbitrary SQL over
+    t.<col>/s.<col> — range bounds, partition pins, expressions)."""
+    cond = None
+    for k in keys:
+        eq = F.col(f"t.{k}") == F.col(f"s.{k}")
+        cond = eq if cond is None else (cond & eq)
+    if on_condition:
+        resid = F.expr(on_condition)
+        cond = resid if cond is None else (cond & resid)
+    return cond
+
+
 def merge_upsert(
     spark: SparkSession,
     table_path: str,
@@ -933,6 +993,8 @@ def merge_upsert(
     matched_clauses: list[tuple[str | None, str]] | None = None,
     schema_evolution: bool = False,
     isolation: str = "write_serializable",
+    source_keys: list[str] | None = None,
+    on_condition: str | None = None,
 ) -> dict:
     """MERGE INTO table USING source ON keys — full clause semantics:
 
@@ -965,6 +1027,20 @@ def merge_upsert(
     table whose keys all land in one partition rewrites one partition.
     `broadcast_keys` hints the key set broadcast-able (the common case:
     source << target); set False to let AQE choose for huge sources.
+
+    source_keys: differently-named equi-keys — source_keys[i] in the
+    source matches keys[i] in the target (`ON t.id = s.src_id`); the
+    source is renamed to target names up front (_apply_source_keys).
+
+    on_condition: residual ON conjuncts beyond the equi-keys (`AND t.ds
+    BETWEEN s.lo AND s.hi`), arbitrary SQL over t.<col>/s.<col>. TRUE ON
+    semantics, not a matched-clause filter: a (target, source) pair is
+    matched only when equi-keys AND residual hold, so a source row whose
+    key exists but whose residual fails is NOT MATCHED and inserts.
+    Matched-pair work then plans on the full pair condition (the
+    equi-keys still drive the hash join; the residual evaluates as a
+    post-join filter, exactly how Spark executes mixed equi/non-equi
+    joins).
     """
     clauses = _normalize_matched_clauses(
         when_matched, matched_condition, matched_clauses
@@ -973,7 +1049,8 @@ def merge_upsert(
         raise ValueError("when_not_matched must be 'insert' or None")
     if not_matched_by_source not in ("delete", None):
         raise ValueError("not_matched_by_source must be 'delete' or None")
-    table_path = os.path.abspath(table_path)
+    source = _apply_source_keys(source, keys, source_keys)
+    table_path = normalize_table_path(table_path)
     snap = DeltaLog(table_path).snapshot()
     ident, ident_missing = _merge_identity_plan(
         snap, source, keys, when_not_matched
@@ -998,6 +1075,28 @@ def merge_upsert(
             for f in schema.fields
         ]
     )
+    # the residual may reference source-only columns (`s.lo`, `s.hi` of a
+    # range merge): keep them alongside the coerced schema columns for
+    # the pair joins; every staged piece selects schema columns
+    # explicitly, so the extras never reach the written files
+    extra_src = (
+        [c for c in source.columns if c not in target_cols]
+        if on_condition
+        else []
+    )
+    src_pair = (
+        source.select(
+            *[
+                F.col(f.name).cast(f.dataType)
+                if f.name in source.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ],
+            *[F.col(c) for c in extra_src],
+        )
+        if extra_src
+        else src
+    )
     for k in keys:
         if k not in target_cols or k in src_missing:
             raise ValueError(f"merge key not in table schema: {k}")
@@ -1006,11 +1105,12 @@ def merge_upsert(
         if when_not_matched != "insert":
             raise ValueError("MERGE with no action clauses")
         return _insert_only_merge(
-            spark, snap, table_path, src, keys,
+            spark, snap, table_path, src_pair, keys,
             schema=schema, meta=meta, extra_actions=evolved_md, ident=ident,
-            isolation=isolation,
+            isolation=isolation, on_condition=on_condition,
         )
 
+    pair = _pair_condition(keys, on_condition) if on_condition else None
     src_keys = src.select(*keys).distinct()
     if broadcast_keys:
         src_keys = F.broadcast(src_keys)
@@ -1027,12 +1127,26 @@ def merge_upsert(
         # duplicating keys (caught by the randomized DML state machine).
         from .reader import read_files_with_index
 
-        tagged = read_files_with_index(spark, snap, live).select(
-            *keys, F.col("_file").alias("__file")
-        )
+        if pair is None:
+            probe = read_files_with_index(spark, snap, live).select(
+                *keys, F.col("_file").alias("__file")
+            )
+            hit_files = probe.join(src_keys, keys, "left_semi")
+        else:
+            # the residual may reference any target column: keep the full
+            # row (Catalyst prunes the scan to the referenced columns)
+            probe = read_files_with_index(spark, snap, live).withColumnRenamed(
+                "_file", "__file"
+            )
+            hit_files = probe.alias("t").join(
+                F.broadcast(src_pair.alias("s"))
+                if broadcast_keys
+                else src_pair.alias("s"),
+                pair,
+                "left_semi",
+            )
         touched_names = _touched_basenames(
-            tagged.join(src_keys, keys, "left_semi").select("__file").distinct(),
-            by_basename,
+            hit_files.select("__file").distinct(), by_basename
         )
     touched = [by_basename[n] for n in touched_names if n in by_basename]
 
@@ -1047,7 +1161,14 @@ def merge_upsert(
         target_rows = _null_fill(_read_cow(spark, snap, touched), schema)
         if not_matched_by_source != "delete":
             # unmatched target rows survive the rewrite
-            pieces.append(target_rows.join(src_keys, keys, "left_anti"))
+            if pair is None:
+                pieces.append(target_rows.join(src_keys, keys, "left_anti"))
+            else:
+                pieces.append(
+                    target_rows.alias("t").join(
+                        src_pair.alias("s"), pair, "left_anti"
+                    )
+                )
         matched_keys = (
             target_rows.select(*keys).join(src_keys, keys, "left_semi").distinct()
         )
@@ -1061,18 +1182,37 @@ def merge_upsert(
         # target row several ways (or both keep and delete it, for a
         # conditional clause) — nondeterministic. Delta raises here
         # (DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE); so do we.
-        ambiguous = (
-            src.join(matched_keys, keys, "left_semi")
-            .groupBy(*keys)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .count()
-        )
+        if pair is None:
+            ambiguous = (
+                src.join(matched_keys, keys, "left_semi")
+                .groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+        else:
+            # pair-accurate under a residual: two source rows sharing a
+            # key may legitimately match DISJOINT target rows (range
+            # bucketing) — count matching source rows per target ROW, not
+            # per key. The monotonic tag is consistent within one action.
+            ambiguous = (
+                target_rows.withColumn(
+                    "__tid", F.monotonically_increasing_id()
+                )
+                .alias("t")
+                .join(src_pair.alias("s"), pair, "inner")
+                .groupBy("__tid")
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
         if ambiguous:
             raise ValueError(
-                "MERGE: multiple source rows match the same target key; "
-                "the update would be nondeterministic"
+                "MERGE: multiple source rows match the same target "
+                + ("row" if pair is not None else "key")
+                + "; the update would be nondeterministic"
             )
     from .writer import MATERIALIZED_RCV_COL, MATERIALIZED_ROW_ID_COL
 
@@ -1087,11 +1227,24 @@ def merge_upsert(
         # no matched-action clause (reachable only under NOT MATCHED BY
         # SOURCE DELETE): matched target rows keep the target version;
         # unmatched rows in touched files are the ones being deleted
-        pieces.append(target_rows.join(src_keys, keys, "left_semi"))
+        pieces.append(
+            target_rows.join(src_keys, keys, "left_semi")
+            if pair is None
+            else target_rows.alias("t").join(
+                src_pair.alias("s"), pair, "left_semi"
+            )
+        )
     if cdf and touched and clauses and not needs_per_row:
         # the single unconditional DELETE clause: matched rows vanish
         cdc_frames.append(
-            (target_rows.join(src_keys, keys, "left_semi"), "delete")
+            (
+                target_rows.join(src_keys, keys, "left_semi")
+                if pair is None
+                else target_rows.alias("t").join(
+                    src_pair.alias("s"), pair, "left_semi"
+                ),
+                "delete",
+            )
         )
     if touched and needs_per_row:
         # per-TARGET-ROW, first-match-wins clause application: each matched
@@ -1102,13 +1255,23 @@ def merge_upsert(
         # TARGET version. (Duplicate target keys each resolve independently
         # — a per-source-key semi-join would silently collapse them.)
         non_keys = [c for c in target_cols if c not in keys]
-        joined = target_rows.alias("t").join(src.alias("s"), keys, "inner")
+        if pair is None:
+            joined = target_rows.alias("t").join(src.alias("s"), keys, "inner")
+            tgt_keys_sel = [F.col(k) for k in keys]
+            src_keys_sel = [F.col(k) for k in keys]
+        else:
+            # expression join keeps BOTH sides' key columns: qualify them
+            joined = target_rows.alias("t").join(
+                src_pair.alias("s"), pair, "inner"
+            )
+            tgt_keys_sel = [F.col(f"t.{k}").alias(k) for k in keys]
+            src_keys_sel = [F.col(f"s.{k}").alias(k) for k in keys]
         applied = joined.withColumn("__clause", _matched_clause_index(clauses))
         carried = [F.col(f"t.{c}").alias(c) for c in rt_extras]
-        tgt_version = [F.col(k) for k in keys] + [
+        tgt_version = tgt_keys_sel + [
             F.col(f"t.{c}").alias(c) for c in non_keys
         ] + carried
-        src_version = [F.col(k) for k in keys] + [
+        src_version = src_keys_sel + [
             # UPDATE SET * assigns only source-present columns; under
             # schema evolution a target column the source lacks keeps
             # the TARGET row's value
@@ -1155,11 +1318,28 @@ def merge_upsert(
     if cdf and touched and not_matched_by_source == "delete":
         # unmatched rows of TOUCHED files are dropped by not re-adding them
         cdc_frames.append(
-            (target_rows.join(src_keys, keys, "left_anti"), "delete")
+            (
+                target_rows.join(src_keys, keys, "left_anti")
+                if pair is None
+                else target_rows.alias("t").join(
+                    src_pair.alias("s"), pair, "left_anti"
+                ),
+                "delete",
+            )
         )
     ident_params: dict = {}
     if when_not_matched == "insert":
-        ins = src.join(matched_keys, keys, "left_anti")
+        if pair is None:
+            ins = src.join(matched_keys, keys, "left_anti")
+        elif touched:
+            # TRUE ON semantics: a source row inserts unless some target
+            # row matches it under the FULL pair condition (key equal AND
+            # residual true). Touched files hold every such target row.
+            ins = src_pair.alias("s").join(
+                target_rows.alias("t"), pair, "left_anti"
+            ).select(*[F.col(f.name) for f in schema.fields])
+        else:
+            ins = src
         if ident:
             ins, ident_params = _assign_merge_identity(ins, schema, ident, keys)
         if cdf:
@@ -1218,7 +1398,10 @@ def merge_upsert(
         "MERGE",
         adds,
         [f.path for f in remove_files],
-        operation_parameters={"matchedPredicate": " AND ".join(keys)},
+        operation_parameters={
+            "matchedPredicate": " AND ".join(keys)
+            + (f" AND {on_condition}" if on_condition else "")
+        },
         extra_actions=md_actions + (cdc or []) or None,
         expected_states={f.path: file_fingerprint(f) for f in remove_files},
         base_version=snap.version,
@@ -1245,6 +1428,8 @@ def merge_upsert_mor(
     matched_clauses: list[tuple[str | None, str]] | None = None,
     schema_evolution: bool = False,
     isolation: str = "write_serializable",
+    source_keys: list[str] | None = None,
+    on_condition: str | None = None,
 ) -> dict:
     """Merge-on-read MERGE: same clause semantics as merge_upsert
     (including ordered multi-clause `matched_clauses`), but matched target
@@ -1264,7 +1449,14 @@ def merge_upsert_mor(
         raise ValueError("when_not_matched must be 'insert' or None")
     if not_matched_by_source not in ("delete", None):
         raise ValueError("not_matched_by_source must be 'delete' or None")
-    table_path = os.path.abspath(table_path)
+    if on_condition is not None:
+        raise ValueError(
+            "merge-on-read MERGE does not support residual ON conjuncts "
+            "yet; use merge_upsert (copy-on-write), which plans the full "
+            "pair condition"
+        )
+    source = _apply_source_keys(source, keys, source_keys)
+    table_path = normalize_table_path(table_path)
     snap = DeltaLog(table_path).snapshot()
     ident, ident_missing = _merge_identity_plan(
         snap, source, keys, when_not_matched
@@ -1554,7 +1746,7 @@ def compact(
     is rewritten with the victims laid out by the bit-interleaved Z-value
     (writer.zorder_dataframe), so min/max stats prune on every listed
     column afterwards."""
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_path(table_path)
     snap = DeltaLog(table_path).snapshot()
     if zorder_by is None:
         # liquid-clustering semantics: a table written with
@@ -1688,7 +1880,7 @@ def restore_table(
 
     if (version is None) == (timestamp_millis is None):
         raise ValueError("provide exactly one of version / timestamp_millis")
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_path(table_path)
     log = DeltaLog(table_path)
     target = (
         log.snapshot(version)
@@ -1852,8 +2044,10 @@ def vacuum(
     Returns {"files": [...], "deleted": bool}. Metadata-only scan: walks
     the storage listing against the live-file set; never reads data."""
     from .deletion_vectors import dv_absolute_path
+    from .fs import get_fs, normalize_table_path, strip_file_scheme
 
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_path(table_path)
+    fs = get_fs(table_path)
     snap = DeltaLog(table_path).snapshot()
     if retention_hours is None:
         retention_hours = retention_hours_from_interval(
@@ -1868,37 +2062,57 @@ def vacuum(
     # literal %xx (e.g. hive-escaped `grp=a%3Db/`) and vacuum live files.
     live = {f.path for f in snap.files}
     # DV blobs referenced by the current snapshot are live too
+    base = strip_file_scheme(table_path).rstrip("/")
     for f in snap.files:
         if f.deletion_vector:
             p = dv_absolute_path(table_path, f.deletion_vector)
             if p:
-                live.add(os.path.relpath(p, table_path).replace(os.sep, "/"))
-    cutoff = time.time() - retention_hours * 3600.0
+                p = strip_file_scheme(p)
+                rel = p[len(base) + 1 :] if p.startswith(base + "/") else p
+                live.add(rel.replace(os.sep, "/"))
+    cutoff_ms = (time.time() - retention_hours * 3600.0) * 1000.0
 
     doomed: list[str] = []
-    for root, dirs, names in os.walk(table_path):
-        if "_delta_log" in dirs:
-            dirs.remove("_delta_log")
-        for name in names:
-            is_dv = name.startswith("deletion_vector_") and name.endswith(".bin")
-            if not name.endswith(".parquet") and not is_dv:
-                continue
-            full = os.path.join(root, name)
-            rel = os.path.relpath(full, table_path).replace(os.sep, "/")
-            if rel in live:
-                continue
-            if os.path.getmtime(full) >= cutoff:
-                continue
-            doomed.append(rel)
+    seen_dirs: set[str] = set()
+    for rel, _size, mtime_ms in fs.walk_files(table_path):
+        if rel.startswith("_delta_log/"):
+            continue
+        if "/" in rel:
+            # the full ancestor chain, so bottom-up pruning reaches
+            # every directory left empty by the deletes
+            parts = rel.split("/")[:-1]
+            for i in range(1, len(parts) + 1):
+                seen_dirs.add("/".join(parts[:i]))
+        name = rel.rsplit("/", 1)[-1]
+        is_dv = name.startswith("deletion_vector_") and name.endswith(".bin")
+        if not name.endswith(".parquet") and not is_dv:
+            continue
+        if rel in live:
+            continue
+        if mtime_ms >= cutoff_ms:
+            continue
+        doomed.append(rel)
     if not dry_run:
         for rel in doomed:
-            os.remove(os.path.join(table_path, rel))
-        # prune now-empty partition dirs
-        for root, dirs, names in os.walk(table_path, topdown=False):
-            if "_delta_log" in root:
+            fs.delete(os.path.join(table_path, rel))
+        # prune now-empty partition dirs, deepest first (object stores
+        # have no real dirs — delete is a no-op there; local/HDFS get a
+        # clean tree)
+        still_live_dirs = {
+            r.rsplit("/", 1)[0]
+            for r, _s, _m in fs.walk_files(table_path)
+            if "/" in r
+        }
+        for d in sorted(seen_dirs, key=lambda s: -s.count("/")):
+            if d.startswith("_delta_log"):
                 continue
-            if not dirs and not names and root != table_path:
-                os.rmdir(root)
+            if d not in still_live_dirs and not any(
+                other.startswith(d + "/") for other in still_live_dirs
+            ):
+                try:
+                    fs.delete(os.path.join(table_path, d))
+                except (OSError, FileNotFoundError):
+                    pass
     return {"files": sorted(doomed), "deleted": not dry_run}
 
 
@@ -2061,7 +2275,7 @@ def truncate_table(table_path: str) -> dict:
     VACUUM reaps them after retention). Schema, partitioning, properties
     and history are untouched; with CDF enabled the remove-only commit is
     exactly derivable (spec-allowed omission of change files)."""
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_path(table_path)
     snap = DeltaLog(table_path).snapshot()
     if not snap.files:
         return {"files_removed": 0}

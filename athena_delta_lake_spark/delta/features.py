@@ -63,6 +63,10 @@ _CONTROLLING_PROPS: dict[str, tuple[str, ...]] = {
         "delta.inCommitTimestampEnablementVersion",
         "delta.inCommitTimestampEnablementTimestamp",
     ),
+    # removable ONLY with TRUNCATE HISTORY (enforced in drop_feature)
+    "checkpointProtection": (
+        "delta.requireCheckpointProtectionBeforeVersion",
+    ),
 }
 
 # Reader+writer features: dropping them changes what READERS of retained
@@ -323,14 +327,18 @@ def _history_traces(feature: str, log_dir: str) -> list[str]:
     min/max stats could in principle collide, which only errs toward
     requiring TRUNCATE HISTORY — the safe direction) and checkpoint
     parquet for live DV descriptors."""
+    from .fs import get_fs
+
+    fs = get_fs(log_dir)
     hits: list[str] = []
     markers = _HISTORY_MARKERS.get(feature, ())
-    names = sorted(os.listdir(log_dir)) if os.path.isdir(log_dir) else []
+    names = (
+        [fi.name for fi in fs.listdir(log_dir)] if fs.is_dir(log_dir) else []
+    )
     for name in names:
         m = _JSON_NAME_RE.match(name) or _COMPACTED_RE.match(name)
         if m and markers:
-            with open(os.path.join(log_dir, name), encoding="utf-8") as fh:
-                text = fh.read()
+            text = fs.read_text(os.path.join(log_dir, name))
             if feature == "columnMapping":
                 if "delta.columnMapping.physicalName" in text or (
                     "delta.columnMapping.mode" in text
@@ -347,10 +355,16 @@ def _history_traces(feature: str, log_dir: str) -> list[str]:
             ):
                 hits.append(name)  # uuid-named v2 manifest
             elif feature == "deletionVectors":
+                import io
+
                 import pyarrow.parquet as pq
 
                 try:
-                    pf = pq.ParquetFile(os.path.join(log_dir, name))
+                    pf = pq.ParquetFile(
+                        io.BytesIO(
+                            fs.read_bytes(os.path.join(log_dir, name))
+                        )
+                    )
                     if any(c.name == "add" for c in pf.schema_arrow):
                         tbl = pf.read(columns=["add"]).flatten()
                         dv = [
@@ -362,11 +376,11 @@ def _history_traces(feature: str, log_dir: str) -> list[str]:
                             hits.append(name)
                 except (OSError, ValueError):
                     hits.append(name)  # unreadable: assume traces
-    if feature == "v2Checkpoint" and os.path.isdir(
+    if feature == "v2Checkpoint" and fs.is_dir(
         os.path.join(log_dir, "_sidecars")
     ):
         # sidecars are only ever referenced by v2 manifests
-        if os.listdir(os.path.join(log_dir, "_sidecars")):
+        if fs.listdir(os.path.join(log_dir, "_sidecars")):
             hits.append("_sidecars/")
     return hits
 
@@ -377,10 +391,13 @@ def _truncate_history(table_path: str, keep_version: int) -> list[str]:
     ranges, old checkpoints, v2 manifests and their sidecars. Time travel
     to earlier versions is gone; that is the point (their actions may
     carry the dropped feature)."""
+    from .fs import get_fs
+
     write_checkpoint(table_path)  # classic checkpoint at latest == keep_version
     log_dir = os.path.join(table_path, "_delta_log")
+    fs = get_fs(log_dir)
     removed: list[str] = []
-    for name in sorted(os.listdir(log_dir)):
+    for name in [fi.name for fi in fs.listdir(log_dir)]:
         doomed = False
         m = _JSON_NAME_RE.match(name)
         if m and int(m.group(1)) < keep_version:
@@ -398,14 +415,14 @@ def _truncate_history(table_path: str, keep_version: int) -> list[str]:
         ):
             doomed = True
         if doomed:
-            os.remove(os.path.join(log_dir, name))
+            fs.delete(os.path.join(log_dir, name))
             removed.append(name)
     sidecars = os.path.join(log_dir, "_sidecars")
-    if os.path.isdir(sidecars):
-        for name in os.listdir(sidecars):
-            os.remove(os.path.join(sidecars, name))
-            removed.append(f"_sidecars/{name}")
-        os.rmdir(sidecars)
+    if fs.is_dir(sidecars):
+        for fi in fs.listdir(sidecars):
+            fs.delete(os.path.join(sidecars, fi.name))
+            removed.append(f"_sidecars/{fi.name}")
+        fs.delete(sidecars)
     DeltaLog.clear_cache()
     return removed
 
@@ -463,10 +480,29 @@ def drop_feature(
 ) -> dict:
     """ALTER TABLE ... DROP FEATURE `feature` [TRUNCATE HISTORY].
 
-    Returns {"version", "protocol", "truncated": [...]}. Raises ValueError
-    when the feature is absent, not removable, or still traced (with the
-    concrete blocking traces in the message)."""
-    table_path = os.path.abspath(table_path)
+    Dropping a reader+writer feature whose retained history still carries
+    it follows the public Delta 4.0 `checkpointProtection` path when
+    TRUNCATE HISTORY is not given: the drop commit removes the feature,
+    adds the `checkpointProtection` writer feature plus
+    `delta.requireCheckpointProtectionBeforeVersion = <drop version>`,
+    and a PROTECTING CHECKPOINT is written at the drop version — current
+    readers replay from it and never touch pre-drop actions, while time
+    travel below the boundary keeps working through the retained commits
+    (whose per-version protocol still declares the feature). History
+    survives; nothing is deleted. Metadata cleanup stays compliant
+    because cleanup_log only ever deletes commits below an EXISTING
+    checkpoint and never deletes checkpoints themselves.
+
+    TRUNCATE HISTORY keeps the destructive pre-4.0 path: checkpoint the
+    drop, then delete every earlier log entry.
+
+    Returns {"version", "protocol", "truncated": [...],
+    "checkpoint_protection": <boundary version | None>}. Raises
+    ValueError when the feature is absent, not removable, or blocked by
+    live snapshot state (with the concrete blockers in the message)."""
+    from .fs import normalize_table_path
+
+    table_path = normalize_table_path(table_path)
     snap = DeltaLog(table_path).snapshot()
     reader, writer = _explicit_feature_sets(snap.protocol)
     if feature not in reader | writer:
@@ -476,25 +512,32 @@ def drop_feature(
         )
     if feature not in _DROPPABLE:
         raise ValueError(f"feature {feature!r} is not removable")
+    if feature == "checkpointProtection" and not truncate_history:
+        raise ValueError(
+            "checkpointProtection can only be dropped with TRUNCATE "
+            "HISTORY (spec: the protection must hold while protected "
+            "checkpoints may still be replayed from)"
+        )
     blockers = _snapshot_blockers(feature, snap)
     if blockers:
         raise ValueError(
             f"cannot drop feature {feature!r}: " + "; ".join(blockers)
         )
     log_dir = os.path.join(table_path, "_delta_log")
+    protect_at: int | None = None
     if feature in _READER_WRITER and not truncate_history:
-        traces = _history_traces(feature, log_dir)
-        if traces:
-            raise ValueError(
-                f"cannot drop reader feature {feature!r}: retained history "
-                f"still carries it ({traces[0]}"
-                + (f" and {len(traces) - 1} more" if len(traces) > 1 else "")
-                + ") — readers time-traveling there would need the "
-                "feature. Re-run with TRUNCATE HISTORY to checkpoint the "
-                "drop and delete prior log entries."
-            )
+        if _history_traces(feature, log_dir):
+            protect_at = snap.version + 1  # the drop commit itself
     md = _stripped_metadata(feature, snap)
-    new_proto = _normalized_protocol(reader - {feature}, writer - {feature})
+    new_writer = writer - {feature}
+    if protect_at is not None:
+        new_writer |= {"checkpointProtection"}
+        config = dict(md.get("configuration") or {})
+        config["delta.requireCheckpointProtectionBeforeVersion"] = str(
+            protect_at
+        )
+        md["configuration"] = config
+    new_proto = _normalized_protocol(reader - {feature}, new_writer)
     extra = [{"protocol": new_proto}]
     # feature-owned domains die with the feature (tombstones, so replay
     # from any base drops them too)
@@ -514,7 +557,14 @@ def drop_feature(
     truncated: list[str] = []
     if truncate_history:
         truncated = _truncate_history(table_path, version)
-    return {"version": version, "protocol": new_proto, "truncated": truncated}
+    elif protect_at is not None:
+        write_checkpoint(table_path)  # the protecting checkpoint
+    return {
+        "version": version,
+        "protocol": new_proto,
+        "truncated": truncated,
+        "checkpoint_protection": protect_at,
+    }
 
 
 def metadata_implied_features(

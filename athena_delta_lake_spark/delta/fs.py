@@ -13,17 +13,32 @@ implementations behind one interface:
   (spark.read.parquet -> collect), which both avoids shipping bytes through
   py4j and scales to checkpoints larger than driver py4j buffers.
 
-Only the METADATA path needs this facade — data files are always read by
-Spark's own readers, which are scheme-agnostic already. The write path
-(writer.py) is local/HDFS-oriented; object-store writes need a
-put-if-absent commit primitive (S3 conditional puts / DynamoDB
-coordination in production Delta) and are out of scope, matching the
-read-only reference.
+Data files are always read by Spark's own readers, which are
+scheme-agnostic already; this facade carries the METADATA reads (log
+replay + catalog) AND, since round 7, the engine-side WRITES — commit
+JSON (put-if-absent), checkpoints, _last_checkpoint, staged-file
+promotion, clone copies, VACUUM/log-cleanup deletes — so write_delta /
+DML / OPTIMIZE / VACUUM work on any scheme the Spark runtime has a
+connector for, matching the reference's object-store habitat
+(/root/reference/src/.../Config.scala:4 `data_bucket`; build.sbt
+hadoop-aws + S3 SDK).
+
+Atomicity note (same stance as delta-spark's LogStore docs): the commit
+primitive is `FileSystem.create(path, overwrite=false)`. That is atomic
+on HDFS/ABFS/GCS and on local files (LocalFS uses O_EXCL directly); on
+plain S3A it degrades to check-then-write, so concurrent writers to one
+table on S3 need an external coordination layer exactly as production
+Delta does (S3 conditional puts / DynamoDB LogStore).
+
+`ADLS_FORCE_HADOOP_FS=1` routes even local/file:// paths through the
+HadoopFS implementation — the test lever proving the JVM connector path
+end-to-end without a real object store in the sandbox.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass
 
 _LOCAL_SCHEMES = ("file",)
@@ -39,6 +54,26 @@ def strip_file_scheme(path: str) -> str:
     if path.startswith("file://"):
         return path[len("file://") :]
     return path
+
+
+def is_uri(path: str) -> bool:
+    """True when `path` carries any scheme (file://, s3a://, hdfs://...)."""
+    return "://" in path
+
+
+def is_remote(path: str) -> bool:
+    """True when `path` needs a non-local filesystem implementation."""
+    s = _scheme(path)
+    return s is not None and s not in _LOCAL_SCHEMES
+
+
+def normalize_table_path(path: str) -> str:
+    """The write-side replacement for os.path.abspath: absolute-ize bare
+    local paths, pass URIs through untouched (abspath would mangle the
+    scheme) minus any trailing slash."""
+    if is_uri(path):
+        return path.rstrip("/")
+    return os.path.abspath(path)
 
 
 @dataclass(frozen=True)
@@ -95,6 +130,60 @@ class LocalFS:
             cols = [c for c in columns if c in pf.schema_arrow.names]
             yield from pf.iter_batches(columns=cols)
 
+    # ------------------------------------------------------ write surface
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(strip_file_scheme(path), exist_ok=True)
+
+    def create_atomic(self, path: str, data: bytes) -> None:
+        """Put-if-absent — the Delta optimistic-concurrency commit
+        primitive. Raises FileExistsError when `path` already exists."""
+        fd = os.open(
+            strip_file_scheme(path),
+            os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+            0o644,
+        )
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        with open(strip_file_scheme(path), "wb") as f:
+            f.write(data)
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(strip_file_scheme(path), "rb") as f:
+            return f.read()
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        p = strip_file_scheme(path)
+        if recursive and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        elif os.path.isdir(p):
+            os.rmdir(p)
+        else:
+            os.remove(p)
+
+    def move(self, src: str, dst: str) -> None:
+        """Move a file within ONE filesystem (staging promotion)."""
+        shutil.move(strip_file_scheme(src), strip_file_scheme(dst))
+
+    def copy(self, src: str, dst: str) -> None:
+        shutil.copy2(strip_file_scheme(src), strip_file_scheme(dst))
+
+    def walk_files(self, path: str):
+        """Yield (path-relative-to-`path`, size, mtime_ms) for every file
+        under `path`, '/'-separated, depth-first."""
+        root_p = strip_file_scheme(path)
+        for root, _dirs, files in os.walk(root_p):
+            for name in files:
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, root_p).replace(os.sep, "/")
+                st = os.stat(full)
+                yield rel, st.st_size, int(st.st_mtime * 1000)
+
+    def getsize(self, path: str) -> int:
+        return os.path.getsize(strip_file_scheme(path))
+
 
 class HadoopFS:
     """Hadoop FileSystem via the Spark JVM — any configured scheme."""
@@ -111,7 +200,13 @@ class HadoopFS:
     def listdir(self, path: str) -> list[FileInfo]:
         fs, jpath = self._fs_path(path)
         out = []
-        for st in fs.listStatus(jpath):
+        try:
+            statuses = fs.listStatus(jpath)
+        except Exception as e:  # uniform not-found semantics with LocalFS
+            if "FileNotFound" in str(e) or "does not exist" in str(e):
+                raise FileNotFoundError(path) from None
+            raise
+        for st in statuses:
             out.append(
                 FileInfo(
                     st.getPath().getName(),
@@ -123,7 +218,12 @@ class HadoopFS:
 
     def read_text(self, path: str) -> str:
         fs, jpath = self._fs_path(path)
-        stream = fs.open(jpath)
+        try:
+            stream = fs.open(jpath)
+        except Exception as e:  # uniform not-found semantics across impls
+            if "FileNotFound" in str(e) or "does not exist" in str(e):
+                raise FileNotFoundError(path) from None
+            raise
         try:
             util = self._jvm.org.apache.commons.io.IOUtils
             data = util.toByteArray(stream)
@@ -145,18 +245,113 @@ class HadoopFS:
         for row in df.select(*cols).collect():
             yield row.asDict(recursive=True)
 
+    # ------------------------------------------------------ write surface
+
+    def mkdirs(self, path: str) -> None:
+        fs, jpath = self._fs_path(path)
+        fs.mkdirs(jpath)
+
+    def create_atomic(self, path: str, data: bytes) -> None:
+        """Put-if-absent via FileSystem.create(path, overwrite=false) —
+        atomic on HDFS/ABFS/GCS and local; check-then-write on plain S3A
+        (see module docstring). Raises FileExistsError when the target
+        exists, mapping Hadoop's FileAlreadyExistsException."""
+        fs, jpath = self._fs_path(path)
+        try:
+            stream = fs.create(jpath, False)
+        except Exception as e:  # py4j Py4JJavaError
+            if "AlreadyExists" in str(e) or "already exists" in str(e):
+                raise FileExistsError(path) from None
+            raise
+        ok = False
+        try:
+            stream.write(bytearray(data))
+            ok = True
+        finally:
+            stream.close()
+            if not ok:
+                # never leave a torn commit file behind a failed write
+                try:
+                    fs.delete(jpath, False)
+                except Exception:
+                    pass
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        fs, jpath = self._fs_path(path)
+        stream = fs.create(jpath, True)
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+
+    def read_bytes(self, path: str) -> bytes:
+        fs, jpath = self._fs_path(path)
+        try:
+            stream = fs.open(jpath)
+        except Exception as e:
+            if "FileNotFound" in str(e) or "does not exist" in str(e):
+                raise FileNotFoundError(path) from None
+            raise
+        try:
+            util = self._jvm.org.apache.commons.io.IOUtils
+            return bytes(util.toByteArray(stream))
+        finally:
+            stream.close()
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        fs, jpath = self._fs_path(path)
+        fs.delete(jpath, recursive)
+
+    def move(self, src: str, dst: str) -> None:
+        """FileSystem.rename — metadata-only on HDFS/ABFS, copy+delete
+        under the hood on S3A (the connector handles it)."""
+        fs, jsrc = self._fs_path(src)
+        _fs2, jdst = self._fs_path(dst)
+        if not fs.rename(jsrc, jdst):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def copy(self, src: str, dst: str) -> None:
+        fs, jsrc = self._fs_path(src)
+        fs2, jdst = self._fs_path(dst)
+        util = self._jvm.org.apache.hadoop.fs.FileUtil
+        if not util.copy(fs, jsrc, fs2, jdst, False, True, self._conf):
+            raise OSError(f"copy failed: {src} -> {dst}")
+
+    def walk_files(self, path: str):
+        """Yield (path-relative-to-`path`, size, mtime_ms) for every file
+        under `path` — ONE recursive listFiles call (object stores serve
+        this as a flat prefix listing; no per-directory round trips)."""
+        fs, jpath = self._fs_path(path)
+        base = jpath.toUri().getPath().rstrip("/")
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            st = it.next()
+            full = st.getPath().toUri().getPath()
+            rel = full[len(base) + 1 :] if full.startswith(base + "/") else full
+            yield rel, st.getLen(), st.getModificationTime()
+
+    def getsize(self, path: str) -> int:
+        fs, jpath = self._fs_path(path)
+        return fs.getFileStatus(jpath).getLen()
+
 
 def get_fs(path: str, spark=None):
     """Pick the implementation for `path`. Non-file schemes require a
-    SparkSession (for the JVM Hadoop connectors)."""
+    SparkSession (for the JVM Hadoop connectors). ADLS_FORCE_HADOOP_FS=1
+    forces HadoopFS even for local paths — the sandbox test lever for the
+    object-store code path (Hadoop's LocalFileSystem serves file://)."""
     scheme = _scheme(path)
-    if scheme is None or scheme in _LOCAL_SCHEMES:
+    if (
+        scheme is None or scheme in _LOCAL_SCHEMES
+    ) and os.environ.get("ADLS_FORCE_HADOOP_FS") != "1":
         return LocalFS()
     if spark is None:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
         if spark is None:
+            if scheme is None or scheme in _LOCAL_SCHEMES:
+                return LocalFS()  # forced-Hadoop is best-effort pre-session
             raise ValueError(
                 f"reading {path!r} requires an active SparkSession "
                 "(Hadoop filesystem connectors live in the JVM)"
@@ -164,4 +359,13 @@ def get_fs(path: str, spark=None):
     return HadoopFS(spark)
 
 
-__all__ = ["FileInfo", "LocalFS", "HadoopFS", "get_fs", "strip_file_scheme"]
+__all__ = [
+    "FileInfo",
+    "LocalFS",
+    "HadoopFS",
+    "get_fs",
+    "strip_file_scheme",
+    "is_uri",
+    "is_remote",
+    "normalize_table_path",
+]

@@ -254,13 +254,17 @@ class DeltaTable:
         matched_clauses: list[tuple[str | None, str]] | None = None,
         schema_evolution: bool = False,
         isolation: str = "write_serializable",
+        source_keys: list[str] | None = None,
+        on_condition: str | None = None,
     ) -> dict:
         """mode='cow' rewrites touched files; mode='mor' deletion-vectors
         matched target rows and appends only new row versions.
         matched_clauses: ordered (condition|None, 'update'|'delete') list,
         first-match-wins per target row (multi-clause WHEN MATCHED).
         schema_evolution: MERGE WITH SCHEMA EVOLUTION — source-only
-        columns widen the target schema in the same commit."""
+        columns widen the target schema in the same commit.
+        source_keys: differently-named equi-keys (ON t.id = s.src_id).
+        on_condition: residual ON conjuncts over t./s. (cow mode only)."""
         from .dml import merge_upsert, merge_upsert_mor
 
         fn = (
@@ -281,6 +285,8 @@ class DeltaTable:
             matched_clauses=matched_clauses,
             schema_evolution=schema_evolution,
             isolation=isolation,
+            source_keys=source_keys,
+            on_condition=on_condition,
         )
 
     def compact(

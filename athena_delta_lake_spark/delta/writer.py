@@ -14,10 +14,18 @@ streaming `foreachBatch` Delta-append sink and the test fixtures:
   change;
 - optional Parquet checkpoint + `_last_checkpoint` (checkpoint()).
 
-Single-writer semantics: commit uses atomic O_EXCL create of the next
-version file, which is exactly Delta's optimistic-concurrency primitive on a
-POSIX/HDFS-like store (on S3 it would be a put-if-absent). Concurrent
-writers race on the version file; the loser retries with a fresh snapshot.
+Single-writer semantics: commit uses an atomic put-if-absent create of the
+next version file — O_EXCL locally, FileSystem.create(path, false) through
+the Hadoop connectors — which is exactly Delta's optimistic-concurrency
+primitive on a POSIX/HDFS-like store. Concurrent writers race on the
+version file; the loser retries with a fresh snapshot. (S3A caveat: see
+fs.py module docstring — same stance as delta-spark's LogStore.)
+
+Every filesystem touch goes through the fs.py facade, so the whole write
+path — commits, staged-file promotion, checkpoints, clones, VACUUM — works
+against any scheme the Spark runtime has a connector for (hdfs://,
+abfss://, s3a://, ...), matching the reference's object-store habitat.
+Local paths keep the plain-os fast path via LocalFS.
 """
 
 from __future__ import annotations
@@ -32,6 +40,7 @@ from typing import Iterable
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from .fs import get_fs, is_uri, normalize_table_path, strip_file_scheme
 from .log import DeltaLog
 from .types import struct_to_schema_string
 
@@ -169,25 +178,28 @@ def _stamp_ict(
         return
     now = int(time.time() * 1000)
     if version > 0:
+        fs = get_fs(log_dir)
         prev_path = os.path.join(log_dir, f"{version - 1:020d}.json")
         try:
-            with open(prev_path) as f:
-                for line in f:
-                    if not line.strip():
-                        continue
-                    a = json.loads(line)
-                    ci = a.get("commitInfo")
-                    if ci and "inCommitTimestamp" in ci:
-                        now = max(now, int(ci["inCommitTimestamp"]) + 1)
-                    break
+            for line in fs.read_text(prev_path).splitlines():
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                ci = a.get("commitInfo")
+                if ci and "inCommitTimestamp" in ci:
+                    now = max(now, int(ci["inCommitTimestamp"]) + 1)
+                break
         except FileNotFoundError:
             # checkpoint-cleaned predecessor: the wall clock alone could
             # step BACKWARDS past earlier ICTs — clamp against the last
             # ICT the checkpoint recorded and the enablement timestamp.
             floor = 0
             try:
-                with open(os.path.join(log_dir, "_last_checkpoint")) as f:
-                    floor = int(json.load(f).get("lastInCommitTimestamp", 0))
+                floor = int(
+                    json.loads(
+                        fs.read_text(os.path.join(log_dir, "_last_checkpoint"))
+                    ).get("lastInCommitTimestamp", 0)
+                )
             except (FileNotFoundError, ValueError, json.JSONDecodeError):
                 pass
             enab = (config or {}).get("delta.inCommitTimestampEnablementTimestamp")
@@ -317,13 +329,15 @@ def _atomic_commit(log_dir: str, version: int, actions: Iterable[dict]) -> None:
         except FileNotFoundError:
             proto = None  # brand-new table: no protocol to honor yet
         _check_write_protocol(proto, table_path)
-    os.makedirs(log_dir, exist_ok=True)
+    fs = get_fs(log_dir)
+    fs.mkdirs(log_dir)
     path = os.path.join(log_dir, f"{version:020d}.json")
-    # O_EXCL = put-if-absent: the Delta optimistic-concurrency commit primitive.
-    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
-    with os.fdopen(fd, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    # put-if-absent: the Delta optimistic-concurrency commit primitive
+    # (O_EXCL locally; FileSystem.create(path, false) via Hadoop).
+    data = "".join(
+        json.dumps(a, separators=(",", ":")) + "\n" for a in actions
+    )
+    fs.create_atomic(path, data.encode("utf-8"))
 
 
 def logical_to_physical(
@@ -409,6 +423,7 @@ def stage_data_files(
                 for f in data_schema.fields
             ]
         )
+    fs = get_fs(table_path, df.sparkSession)
     staging = os.path.join(
         os.path.dirname(table_path), f".staging-{uuid.uuid4().hex}"
     )
@@ -417,98 +432,136 @@ def stage_data_files(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
 
-    # VARIANT columns: Spark annotates them with the parquet VARIANT
-    # logical type, which this container's pyarrow (16.x) cannot even
-    # open the footer of — so per-file stats come from ONE Spark job over
-    # the staging dir instead: numRecords plus min/max/nullCount for every
-    # stats-safe NON-variant column, so data skipping keeps working on
-    # variant tables. Basenames are unique across hive subdirs.
-    variant_stats: dict[str, dict] | None = None
-    if collect_stats and "variantType" in _schema_type_features(data_schema):
-        from pyspark.sql import functions as F
-
-        safe = [
-            f.name
-            for f in data_schema.fields
-            if isinstance(f.dataType, _STATS_SAFE_TYPES)
-            and f.name not in partition_by
-            and (allowed is None or f.name in allowed)
-        ]
-        aggs = [F.count(F.lit(1)).alias("__n")]
-        for c in safe:
-            aggs += [
-                F.min(c).alias(f"__min_{c}"),
-                F.max(c).alias(f"__max_{c}"),
-                F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
-            ]
-        variant_stats = {}
-        for r in (
-            df.sparkSession.read.parquet(staging)
-            .groupBy(F.col("_metadata.file_path").alias("__f"))
-            .agg(*aggs)
-            .collect()
-        ):
-            variant_stats[os.path.basename(r["__f"])] = {
-                "numRecords": int(r["__n"]),
-                "minValues": {
-                    c: _json_safe(r[f"__min_{c}"])
-                    for c in safe
-                    if r[f"__min_{c}"] is not None
-                },
-                "maxValues": {
-                    c: _json_safe(r[f"__max_{c}"])
-                    for c in safe
-                    if r[f"__max_{c}"] is not None
-                },
-                "nullCount": {c: int(r[f"__null_{c}"]) for c in safe},
-            }
+    # Per-file stats: local tables read parquet FOOTERS via pyarrow (no
+    # data scan). Two cases read them through ONE Spark job over the
+    # staging dir instead — numRecords + min/max/nullCount per file via a
+    # _metadata.file_path groupBy: (a) VARIANT columns, whose parquet
+    # logical type this container's pyarrow (16.x) cannot even open the
+    # footer of, and (b) URI tables (hdfs://, s3a://, ...), whose footers
+    # live where only the executors' connectors can read. Basenames are
+    # unique across hive subdirs.
+    spark_stats: dict[str, dict] | None = None
+    if collect_stats and (
+        is_uri(table_path)
+        or "variantType" in _schema_type_features(data_schema)
+    ):
+        spark_stats = _spark_staging_stats(
+            df.sparkSession, staging, data_schema, partition_by, allowed
+        )
 
     now = int(time.time() * 1000)
     adds = []
-    for root, _dirs, files in os.walk(staging):
-        for name in files:
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(root, name)
-            rel_dir = os.path.relpath(root, staging)
-            rel_dir = "" if rel_dir == "." else rel_dir
-            fname = f"part-{uuid.uuid4().hex}.snappy.parquet"
-            rel_path = os.path.join(rel_dir, fname) if rel_dir else fname
-            dst = os.path.join(table_path, rel_path)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            if variant_stats is not None:
-                stats = variant_stats.get(name) or {
-                    "numRecords": 0,
-                    "minValues": {},
-                    "maxValues": {},
-                    "nullCount": {},
-                }
-            else:
-                stats = (
-                    _file_stats(src, data_schema, allowed)
-                    if collect_stats
-                    else None
-                )
-            shutil.move(src, dst)
-            # Delta spec: add.path is URL-encoded relative to the table root;
-            # the replayer (log.py:_decode_path) unquotes it back to the
-            # physical (possibly hive-escaped) file name.
-            from urllib.parse import quote
+    from urllib.parse import quote
 
-            add = {
-                "path": quote(rel_path.replace(os.sep, "/"), safe="/="),
-                "partitionValues": _partition_values_from_relpath(
-                    rel_path.replace(os.sep, "/"), partition_by
-                ),
-                "size": os.path.getsize(dst),
-                "modificationTime": now,
-                "dataChange": True,
+    for rel_src, size, _mt in fs.walk_files(staging):
+        name = rel_src.split("/")[-1]
+        if not name.endswith(".parquet"):
+            continue
+        rel_dir = "/".join(rel_src.split("/")[:-1])
+        fname = f"part-{uuid.uuid4().hex}.snappy.parquet"
+        rel_path = f"{rel_dir}/{fname}" if rel_dir else fname
+        src = os.path.join(staging, rel_src)
+        dst = os.path.join(table_path, rel_path)
+        fs.mkdirs(os.path.dirname(dst))
+        if spark_stats is not None:
+            stats = spark_stats.get(rel_src) or {
+                "numRecords": 0,
+                "minValues": {},
+                "maxValues": {},
+                "nullCount": {},
             }
-            if stats is not None:
-                add["stats"] = json.dumps(stats, separators=(",", ":"))
-            adds.append({"add": add})
-    shutil.rmtree(staging, ignore_errors=True)
+        else:
+            stats = (
+                _file_stats(strip_file_scheme(src), data_schema, allowed)
+                if collect_stats
+                else None
+            )
+        fs.move(src, dst)
+        # Delta spec: add.path is URL-encoded relative to the table root;
+        # the replayer (log.py:_decode_path) unquotes it back to the
+        # physical (possibly hive-escaped) file name.
+        add = {
+            "path": quote(rel_path, safe="/="),
+            "partitionValues": _partition_values_from_relpath(
+                rel_path, partition_by
+            ),
+            "size": size,
+            "modificationTime": now,
+            "dataChange": True,
+        }
+        if stats is not None:
+            add["stats"] = json.dumps(stats, separators=(",", ":"))
+        adds.append({"add": add})
+    try:
+        fs.delete(staging, recursive=True)
+    except (OSError, FileNotFoundError):
+        pass
     return adds
+
+
+def _spark_staging_stats(
+    spark,
+    staging: str,
+    data_schema: T.StructType,
+    partition_by: list[str],
+    allowed: set[str] | None,
+) -> dict[str, dict]:
+    """Per-file stats for every stats-safe non-partition column of the
+    staged parquet files, computed executor-side in ONE grouped job —
+    used where the driver can't read footers (URI tables) or pyarrow
+    can't parse them (VARIANT logical type).
+
+    Keys are paths RELATIVE to `staging`, never basenames: Spark's
+    partitioned writer reuses one task's part-file basename across every
+    `k=v` subdirectory it writes, so basename keys collide and silently
+    attribute one partition's min/max to another file — which poisons
+    pruning and turns later DML into wrong answers (caught by the round-7
+    Hadoop-facade cycle test)."""
+    from pyspark.sql import functions as F
+
+    from .reader import _strip_scheme_py
+
+    # the same scheme-strip is applied to the job's file_path values below
+    # (Spark reports _metadata.file_path as file:/x — single slash)
+    base = _strip_scheme_py(staging).rstrip("/")
+    safe = [
+        f.name
+        for f in data_schema.fields
+        if isinstance(f.dataType, _STATS_SAFE_TYPES)
+        and f.name not in partition_by
+        and (allowed is None or f.name in allowed)
+    ]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in safe:
+        aggs += [
+            F.min(c).alias(f"__min_{c}"),
+            F.max(c).alias(f"__max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+        ]
+    out: dict[str, dict] = {}
+    for r in (
+        spark.read.parquet(staging)
+        .groupBy(F.col("_metadata.file_path").alias("__f"))
+        .agg(*aggs)
+        .collect()
+    ):
+        p = _strip_scheme_py(r["__f"])
+        rel_key = p[len(base) + 1 :] if p.startswith(base + "/") else p
+        out[rel_key] = {
+            "numRecords": int(r["__n"]),
+            "minValues": {
+                c: _json_safe(r[f"__min_{c}"])
+                for c in safe
+                if r[f"__min_{c}"] is not None
+            },
+            "maxValues": {
+                c: _json_safe(r[f"__max_{c}"])
+                for c in safe
+                if r[f"__max_{c}"] is not None
+            },
+            "nullCount": {c: int(r[f"__null_{c}"]) for c in safe},
+        }
+    return out
 
 
 #: reserved CDF column stored INSIDE change data files (spec: Change Data
@@ -542,6 +595,7 @@ def stage_cdc_files(
     if l2p:
         df = df.toDF(*[l2p.get(c, c) for c in df.columns])
         partition_by = [l2p.get(c, c) for c in partition_by]
+    fs = get_fs(table_path, df.sparkSession)
     staging = os.path.join(
         os.path.dirname(table_path), f".staging-cdc-{uuid.uuid4().hex}"
     )
@@ -554,39 +608,37 @@ def stage_cdc_files(
 
     now = int(time.time() * 1000)
     cdcs = []
-    for root, _dirs, files in os.walk(staging):
-        for name in files:
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(root, name)
-            rel_dir = os.path.relpath(root, staging)
-            rel_dir = "" if rel_dir == "." else rel_dir
-            fname = f"cdc-{uuid.uuid4().hex}.snappy.parquet"
-            rel_path = (
-                os.path.join(CDF_DIR, rel_dir, fname)
-                if rel_dir
-                else os.path.join(CDF_DIR, fname)
-            )
-            dst = os.path.join(table_path, rel_path)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.move(src, dst)
-            cdcs.append(
-                {
-                    "cdc": {
-                        "path": quote(rel_path.replace(os.sep, "/"), safe="/="),
-                        "partitionValues": _partition_values_from_relpath(
-                            (
-                                os.path.join(rel_dir, fname) if rel_dir else fname
-                            ).replace(os.sep, "/"),
-                            partition_by,
-                        ),
-                        "size": os.path.getsize(dst),
-                        "modificationTime": now,
-                        "dataChange": False,
-                    }
+    for rel_src, size, _mt in fs.walk_files(staging):
+        name = rel_src.split("/")[-1]
+        if not name.endswith(".parquet"):
+            continue
+        rel_dir = "/".join(rel_src.split("/")[:-1])
+        fname = f"cdc-{uuid.uuid4().hex}.snappy.parquet"
+        rel_path = (
+            f"{CDF_DIR}/{rel_dir}/{fname}" if rel_dir else f"{CDF_DIR}/{fname}"
+        )
+        src = os.path.join(staging, rel_src)
+        dst = os.path.join(table_path, rel_path)
+        fs.mkdirs(os.path.dirname(dst))
+        fs.move(src, dst)
+        cdcs.append(
+            {
+                "cdc": {
+                    "path": quote(rel_path, safe="/="),
+                    "partitionValues": _partition_values_from_relpath(
+                        f"{rel_dir}/{fname}" if rel_dir else fname,
+                        partition_by,
+                    ),
+                    "size": size,
+                    "modificationTime": now,
+                    "dataChange": False,
                 }
-            )
-    shutil.rmtree(staging, ignore_errors=True)
+            }
+        )
+    try:
+        fs.delete(staging, recursive=True)
+    except (OSError, FileNotFoundError):
+        pass
     return cdcs
 
 
@@ -980,7 +1032,7 @@ def add_check_constraint(
     `configuration` — subsequent write_delta / DML calls enforce it."""
     from .reader import read_snapshot
 
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_path(table_path)
     snap = DeltaLog(table_path).snapshot()
     key = f"{_CONSTRAINT_PREFIX}{name}"
     if key in (snap.metadata.get("configuration") or {}):
@@ -1018,7 +1070,7 @@ def add_check_constraint(
 
 def drop_check_constraint(table_path: str, name: str) -> int:
     """ALTER TABLE ... DROP CONSTRAINT name."""
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_path(table_path)
     snap = DeltaLog(table_path).snapshot()
     key = f"{_CONSTRAINT_PREFIX}{name}"
     config = dict(snap.metadata.get("configuration") or {})
@@ -1172,7 +1224,7 @@ def write_delta(
         raise ValueError("replace_table requires mode='overwrite'")
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version go together")
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_path(table_path)
 
     prior = None
     try:
@@ -1753,6 +1805,11 @@ _SUPPORTED_WRITER_FEATURES = {
     "vacuumProtocolCheck",
     "clustering",
     "allowColumnDefaults",  # column DEFAULT values (sqldml CREATE TABLE)
+    # Delta 4.0 reader-feature drops without history truncation: this
+    # writer honors the obligation by construction — cleanup_log only
+    # deletes commits below an existing checkpoint and never deletes or
+    # rewrites checkpoints (delta/features.py:drop_feature)
+    "checkpointProtection",
 }
 _MAX_WRITER_VERSION = 7
 
@@ -1856,6 +1913,28 @@ def file_fingerprint(f) -> tuple:
 class ConcurrentWriteError(RuntimeError):
     """Optimistic-concurrency conflict: another writer committed the version
     this transaction targeted, and the transactions do not commute."""
+
+
+def _write_parquet_table(fs, table, dst: str) -> int:
+    """pq.write_table through the facade: straight to disk for LocalFS;
+    local temp + single upload for Hadoop-served paths (checkpoints are
+    metadata-sized — bounded by add-action rows, not data). Returns the
+    written size in bytes."""
+    import pyarrow.parquet as pq
+
+    from .fs import LocalFS
+
+    if isinstance(fs, LocalFS):
+        p = strip_file_scheme(dst)
+        pq.write_table(table, p)
+        return os.path.getsize(p)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".parquet") as tmp:
+        pq.write_table(table, tmp.name)
+        data = open(tmp.name, "rb").read()
+    fs.write_bytes(dst, data)
+    return len(data)
 
 
 def write_checkpoint(
@@ -2104,6 +2183,7 @@ def write_checkpoint(
             }
         )
     log_dir = os.path.join(table_path, "_delta_log")
+    cp_fs = get_fs(table_path)
     if v2:
         import uuid
 
@@ -2128,7 +2208,7 @@ def write_checkpoint(
             ]
         )
         sidecar_dir = os.path.join(log_dir, "_sidecars")
-        os.makedirs(sidecar_dir, exist_ok=True)
+        cp_fs.mkdirs(sidecar_dir)
         n_parts = max(1, parts or 1)
         chunk = -(-max(len(add_rows), 1) // n_parts)
         sidecar_actions = []
@@ -2137,19 +2217,19 @@ def write_checkpoint(
             if i > 0 and not piece:
                 break
             name = f"{uuid.uuid4()}.parquet"
-            sc_path = os.path.join(sidecar_dir, name)
-            pq.write_table(
+            sc_size = _write_parquet_table(
+                cp_fs,
                 pa.Table.from_pylist(
                     [{"add": a, "remove": None} for a in piece],
                     schema=sidecar_schema,
                 ),
-                sc_path,
+                os.path.join(sidecar_dir, name),
             )
             sidecar_actions.append(
                 {
                     "path": name,
-                    "sizeInBytes": os.path.getsize(sc_path),
-                    "modificationTime": int(os.path.getmtime(sc_path) * 1000),
+                    "sizeInBytes": sc_size,
+                    "modificationTime": int(time.time() * 1000),
                 }
             )
         manifest_schema = pa.schema(
@@ -2201,7 +2281,8 @@ def write_checkpoint(
                 }
             )
         manifest = f"{snap.version:020d}.checkpoint.{uuid.uuid4()}.parquet"
-        pq.write_table(
+        _write_parquet_table(
+            cp_fs,
             pa.Table.from_pylist(mrows, schema=manifest_schema),
             os.path.join(log_dir, manifest),
         )
@@ -2209,7 +2290,7 @@ def write_checkpoint(
     elif parts is None or parts <= 1:
         table = pa.Table.from_pylist(rows, schema=cp_schema)
         cp_path = os.path.join(log_dir, f"{snap.version:020d}.checkpoint.parquet")
-        pq.write_table(table, cp_path)
+        _write_parquet_table(cp_fs, table, cp_path)
         last = {"version": snap.version, "size": len(rows)}
     else:
         chunk = -(-len(rows) // parts)
@@ -2220,7 +2301,7 @@ def write_checkpoint(
                 log_dir,
                 f"{snap.version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet",
             )
-            pq.write_table(table, cp_path)
+            _write_parquet_table(cp_fs, table, cp_path)
         last = {"version": snap.version, "size": len(rows), "parts": parts}
     # Persist the checkpointed commit's inCommitTimestamp: once cleanup_log
     # deletes the predecessor JSONs, _stamp_ict clamps against this instead
@@ -2229,20 +2310,24 @@ def write_checkpoint(
     ict = _commit_ict(log_dir, snap.version)
     if ict is not None:
         last["lastInCommitTimestamp"] = ict
-    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
-        json.dump(last, f)
+    cp_fs.write_bytes(
+        os.path.join(log_dir, "_last_checkpoint"),
+        json.dumps(last).encode("utf-8"),
+    )
     return snap.version
 
 
 def _commit_ict(log_dir: str, version: int) -> int | None:
     """inCommitTimestamp of a commit JSON, or None (absent file / no ICT)."""
     try:
-        with open(os.path.join(log_dir, f"{version:020d}.json")) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                ci = json.loads(line).get("commitInfo")
-                return int(ci["inCommitTimestamp"]) if ci and "inCommitTimestamp" in ci else None
+        text = get_fs(log_dir).read_text(
+            os.path.join(log_dir, f"{version:020d}.json")
+        )
+        for line in text.splitlines():
+            if not line.strip():
+                continue
+            ci = json.loads(line).get("commitInfo")
+            return int(ci["inCommitTimestamp"]) if ci and "inCommitTimestamp" in ci else None
     except (FileNotFoundError, ValueError):
         return None
     return None
@@ -2276,17 +2361,17 @@ def convert_to_delta(
 
     `partition_by=None` auto-detects hive-style `k=v` directory segments.
     The directory must not already be a Delta table."""
-    table_path = os.path.abspath(dir_path)
+    table_path = normalize_table_path(dir_path)
+    fs = get_fs(table_path, spark)
     log_dir = os.path.join(table_path, "_delta_log")
-    if os.path.isdir(log_dir) and os.listdir(log_dir):
+    if fs.is_dir(log_dir) and fs.listdir(log_dir):
         raise ValueError(f"already a Delta table: {table_path}")
 
-    rel_files: list[str] = []
-    for root, _dirs, names in os.walk(table_path):
-        for name in names:
-            if name.endswith(".parquet"):
-                rel = os.path.relpath(os.path.join(root, name), table_path)
-                rel_files.append(rel.replace(os.sep, "/"))
+    sizes: dict[str, int] = {}
+    for rel, size, _mt in fs.walk_files(table_path):
+        if rel.endswith(".parquet"):
+            sizes[rel] = size
+    rel_files = list(sizes)
     if not rel_files:
         raise ValueError(f"no parquet files under {table_path}")
 
@@ -2309,20 +2394,76 @@ def convert_to_delta(
     now = int(time.time() * 1000)
     from urllib.parse import quote
 
+    # URI directories: footer stats come from ONE grouped Spark job (the
+    # driver can't open remote footers with pyarrow), keyed by the path
+    # relative to the table root (basenames need not be unique in a
+    # foreign layout).
+    spark_stats: dict[str, dict] | None = None
+    if collect_stats and is_uri(table_path):
+        from pyspark.sql import functions as F
+
+        from .reader import _strip_scheme_py
+
+        base = _strip_scheme_py(table_path).rstrip("/")
+        safe_cols = [
+            f.name
+            for f in data_schema.fields
+            if isinstance(f.dataType, _STATS_SAFE_TYPES)
+        ]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in safe_cols:
+            aggs += [
+                F.min(c).alias(f"__min_{c}"),
+                F.max(c).alias(f"__max_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            ]
+        spark_stats = {}
+        for r in (
+            spark.read.option("basePath", table_path)
+            .parquet(table_path)
+            .groupBy(F.col("_metadata.file_path").alias("__f"))
+            .agg(*aggs)
+            .collect()
+        ):
+            p = _strip_scheme_py(r["__f"])
+            rel_key = p[len(base) + 1 :] if p.startswith(base + "/") else p
+            spark_stats[rel_key] = {
+                "numRecords": int(r["__n"]),
+                "minValues": {
+                    c: _json_safe(r[f"__min_{c}"])
+                    for c in safe_cols
+                    if r[f"__min_{c}"] is not None
+                },
+                "maxValues": {
+                    c: _json_safe(r[f"__max_{c}"])
+                    for c in safe_cols
+                    if r[f"__max_{c}"] is not None
+                },
+                "nullCount": {c: int(r[f"__null_{c}"]) for c in safe_cols},
+            }
+
     adds = []
     for rel in sorted(rel_files):
         full = os.path.join(table_path, rel)
         add = {
             "path": quote(rel, safe="/="),
             "partitionValues": _partition_values_from_relpath(rel, partition_by),
-            "size": os.path.getsize(full),
-            "modificationTime": int(os.path.getmtime(full) * 1000),
+            "size": sizes[rel],
+            "modificationTime": (
+                now
+                if is_uri(table_path)
+                else int(os.path.getmtime(full) * 1000)
+            ),
             "dataChange": True,
         }
         if collect_stats:
-            add["stats"] = json.dumps(
-                _file_stats(full, data_schema), separators=(",", ":")
+            st = (
+                spark_stats.get(rel)
+                if spark_stats is not None
+                else _file_stats(full, data_schema)
             )
+            if st is not None:
+                add["stats"] = json.dumps(st, separators=(",", ":"))
         adds.append({"add": add})
 
     actions: list[dict] = [
@@ -2490,12 +2631,13 @@ def clone_table(
     clone, keeping relative paths/stats byte-identical — storage-level
     isolation when the source may be vacuumed away.
     """
-    src_path = os.path.abspath(src_path)
-    dst_path = os.path.abspath(dst_path)
+    src_path = normalize_table_path(src_path)
+    dst_path = normalize_table_path(dst_path)
+    fs = get_fs(dst_path)
     norm_src, norm_dst = src_path.rstrip("/") + "/", dst_path.rstrip("/") + "/"
     if norm_src.startswith(norm_dst) or norm_dst.startswith(norm_src):
         raise ValueError("clone source and destination must not be nested")
-    if os.path.isdir(os.path.join(dst_path, "_delta_log")):
+    if fs.is_dir(os.path.join(dst_path, "_delta_log")):
         raise ValueError(f"destination is already a Delta table: {dst_path}")
     snap = DeltaLog(src_path).snapshot(version)
     l2p = logical_to_physical(snap.schema, snap.metadata.get("configuration"))
@@ -2521,10 +2663,11 @@ def clone_table(
                 "nullCount": _phys(stats.get("nullCount")),
             }
         dv = f.deletion_vector
+        absolute = f.path.startswith("/") or is_uri(f.path)
         if shallow:
             path = (
                 f.path
-                if f.path.startswith("/")
+                if absolute
                 else src_path.rstrip("/") + "/" + f.path
             )
             if dv and dv.get("storageType") == "u":
@@ -2534,29 +2677,29 @@ def clone_table(
                     "pathOrInlineDv": dv_absolute_path(src_path, dv),
                 }
         else:
-            if f.path.startswith("/"):
+            if absolute:
                 # deep-cloning a table that itself holds absolute add paths
                 # (e.g. a shallow clone): materialize the bytes under the
                 # clone with a generated RELATIVE path — joining an absolute
-                # path would resolve to the source file itself (copy2 onto
-                # itself -> SameFileError) and leave the clone non-isolated
+                # path would resolve to the source file itself (copy onto
+                # itself) and leave the clone non-isolated
                 src_file = f.path
                 path = f"part-{uuid.uuid4().hex}-{os.path.basename(f.path)}"
             else:
                 src_file = os.path.join(src_path, f.path)
                 path = f.path
             dst_file = os.path.join(dst_path, path)
-            os.makedirs(os.path.dirname(dst_file), exist_ok=True)
-            shutil.copy2(src_file, dst_file)
+            fs.mkdirs(os.path.dirname(dst_file))
+            fs.copy(src_file, dst_file)
             if dv and dv.get("storageType") in ("u", "p"):
                 dv_src = dv_absolute_path(src_path, dv)
                 if dv_src.startswith(src_path.rstrip("/") + "/"):
                     # preserve the relative layout (uuid descriptors may
                     # carry a random dir prefix that resolution re-appends)
-                    rel = os.path.relpath(dv_src, src_path)
+                    rel = dv_src[len(src_path.rstrip("/")) + 1 :]
                     dv_dst = os.path.join(dst_path, rel)
-                    os.makedirs(os.path.dirname(dv_dst), exist_ok=True)
-                    shutil.copy2(dv_src, dv_dst)
+                    fs.mkdirs(os.path.dirname(dv_dst))
+                    fs.copy(dv_src, dv_dst)
                     if dv.get("storageType") == "p":
                         dv = {**dv, "pathOrInlineDv": dv_dst}
                 # an absolute "p" outside the source dir stays shared
@@ -2623,7 +2766,7 @@ def clone_table(
             }
         )
     actions.extend(adds)
-    os.makedirs(os.path.join(dst_path, "_delta_log"), exist_ok=True)
+    fs.mkdirs(os.path.join(dst_path, "_delta_log"))
     _stamp_ict(actions, os.path.join(dst_path, "_delta_log"), 0, md.get("configuration"))
     _atomic_commit(os.path.join(dst_path, "_delta_log"), 0, actions)
     DeltaLog.clear_cache()
@@ -2800,7 +2943,7 @@ def enable_row_tracking(table_path: str) -> int:
     across OPTIMIZE/UPDATE/MERGE while fresh files stay cheap. The
     protocol gains the rowTracking + domainMetadata writer features.
     """
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_path(table_path)
     snap = DeltaLog(table_path).snapshot()
     config = dict(snap.metadata.get("configuration") or {})
     if _row_tracking_enabled(config):
@@ -2898,7 +3041,7 @@ def enable_row_tracking(table_path: str) -> int:
 def set_table_comment(table_path: str, comment: str | None) -> int:
     """COMMENT ON TABLE: set/clear `metaData.description` (the Delta
     spec's table-comment field) as a metadata-only commit."""
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_path(table_path)
     snap = DeltaLog(table_path).snapshot()
     md = dict(snap.metadata)
     if comment:
@@ -2934,7 +3077,7 @@ def set_table_properties(
             "use enable_row_tracking() to turn on row tracking (live files "
             "must be backfilled with baseRowId ranges)"
         )
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_path(table_path)
     snap = DeltaLog(table_path).snapshot()
     prior_config = dict(snap.metadata.get("configuration") or {})
     config = {**prior_config, **{k: str(v) for k, v in properties.items()}}
@@ -2990,7 +3133,7 @@ def set_table_properties(
 
 def unset_table_properties(table_path: str, keys: list[str]) -> int:
     """ALTER TABLE ... UNSET TBLPROPERTIES (IF EXISTS semantics)."""
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_path(table_path)
     snap = DeltaLog(table_path).snapshot()
     config = dict(snap.metadata.get("configuration") or {})
     dropped = [k for k in keys if k in config]
@@ -3026,7 +3169,7 @@ def enable_column_mapping(table_path: str) -> int:
     then pure metadata operations at any table size (no data rewrite),
     which is the only viable shape for a 100 TB table.
     """
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_path(table_path)
     snap = DeltaLog(table_path).snapshot()
     config = dict(snap.metadata.get("configuration") or {})
     if config.get("delta.columnMapping.mode", "none") != "none":
@@ -3076,7 +3219,7 @@ def rename_column(table_path: str, old: str, new: str) -> int:
     storing the physical name and the reader maps it to the new logical
     name. Works for partition columns too (partitionColumns metadata is
     logical; partition dirs/values stay physical)."""
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_path(table_path)
     snap = DeltaLog(table_path).snapshot()
     config = snap.metadata.get("configuration") or {}
     if config.get("delta.columnMapping.mode", "none") == "none":
@@ -3172,7 +3315,7 @@ def alter_column_type(table_path: str, column: str, new_type) -> int:
     and any later rewrite materializes the wide type. Only lossless
     numeric widenings are accepted (byte<short<int<long, float->double,
     int-family->double/decimal, decimal precision growth)."""
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_path(table_path)
     if isinstance(new_type, str):
         new_type = _parse_simple_type(new_type)
     snap = DeltaLog(table_path).snapshot()
@@ -3237,7 +3380,7 @@ def drop_column(table_path: str, name: str) -> int:
     of the schema, so scans never read it; a later add_columns with the
     same logical name gets a FRESH id + physical name and reads NULL from
     old files (never the dropped column's bytes), per the Delta spec."""
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_path(table_path)
     snap = DeltaLog(table_path).snapshot()
     config = snap.metadata.get("configuration") or {}
     if config.get("delta.columnMapping.mode", "none") == "none":
@@ -3370,8 +3513,8 @@ def compact_log(table_path: str, start: int, end: int) -> str:
     out = os.path.join(
         table_path, "_delta_log", f"{start:020d}.{end:020d}.compacted.json"
     )
-    tmp = out + ".tmp"
-    with open(tmp, "w") as f:
+    data = "".join(
+        json.dumps(a, separators=(",", ":")) + "\n"
         for a in (
             ([protocol] if protocol else [])
             + ([metadata] if metadata else [])
@@ -3379,9 +3522,22 @@ def compact_log(table_path: str, start: int, end: int) -> str:
             + list(domains.values())
             + list(removes.values())
             + list(adds.values())
-        ):
-            f.write(json.dumps(a, separators=(",", ":")) + "\n")
-    os.replace(tmp, out)
+        )
+    )
+    # write-to-temp + rename so concurrent replayers never observe a torn
+    # compacted file (rename is atomic on POSIX/HDFS/ABFS; on S3A the
+    # worst case is a brief copy window, and replay falls back to the
+    # per-commit JSONs when the file is unreadable)
+    fs = get_fs(table_path)
+    tmp = out + ".tmp"
+    fs.write_bytes(tmp, data.encode("utf-8"))
+    try:
+        fs.move(tmp, out)
+    except OSError:
+        # Hadoop rename refuses an existing destination: re-compactions
+        # of the same range are idempotent, so replace via delete+rename
+        fs.delete(out)
+        fs.move(tmp, out)
     return out
 
 
@@ -3393,7 +3549,8 @@ def cleanup_log(table_path: str, retention_hours: float | None = None) -> dict:
     cleaned versions is gone — same contract as Delta's metadata cleanup.
     Never touches the checkpoint itself, `_last_checkpoint`, or
     post-checkpoint commits."""
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_path(table_path)
+    fs = get_fs(table_path)
     log_dir = os.path.join(table_path, "_delta_log")
     if retention_hours is None:
         from .dml import retention_hours_from_interval
@@ -3407,22 +3564,22 @@ def cleanup_log(table_path: str, retention_hours: float | None = None) -> dict:
         )
         if retention_hours is None:
             retention_hours = 168.0
+    entries = fs.listdir(log_dir)
     last_cp = -1
-    for name in os.listdir(log_dir):
-        if ".checkpoint" in name and name.endswith(".parquet"):
-            last_cp = max(last_cp, int(name.split(".")[0]))
+    for fi in entries:
+        if ".checkpoint" in fi.name and fi.name.endswith(".parquet"):
+            last_cp = max(last_cp, int(fi.name.split(".")[0]))
     if last_cp < 0:
         return {"removed": [], "checkpoint": None}
-    cutoff = time.time() - retention_hours * 3600.0
+    cutoff_ms = (time.time() - retention_hours * 3600.0) * 1000.0
     removed = []
-    for name in sorted(os.listdir(log_dir)):
-        m = __import__("re").match(r"^(\d{20})\.json$", name)
+    for fi in entries:
+        m = __import__("re").match(r"^(\d{20})\.json$", fi.name)
         if not m or int(m.group(1)) >= last_cp:
             continue
-        full = os.path.join(log_dir, name)
-        if os.path.getmtime(full) >= cutoff:
+        if fi.mtime_ms >= cutoff_ms:
             continue
-        os.remove(full)
-        removed.append(name)
+        fs.delete(os.path.join(log_dir, fi.name))
+        removed.append(fi.name)
     DeltaLog.clear_cache()
     return {"removed": removed, "checkpoint": last_cp}

@@ -1662,3 +1662,237 @@ def g16(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(max AS BIGINT) AS max_val",
         "null_count",
     )
+
+
+# ------- g17: full mutator lifecycle through the Hadoop filesystem facade
+
+
+def _ensure_hadoop_fs_table(spark: SparkSession, sf_dir: str) -> str:
+    """customer through the whole WRITE surface with every filesystem
+    touch routed through the JVM Hadoop connector path (fs.HadoopFS,
+    forced onto file:// by ADLS_FORCE_HADOOP_FS — the same code path
+    hdfs:// / abfss:// / s3a:// take in production): write_delta (v0),
+    merge-on-read DELETE with an executor-written DV blob (v1), append
+    (v2), Parquet checkpoint + _last_checkpoint, OPTIMIZE (v3), VACUUM of
+    the pre-OPTIMIZE bytes. The reference's native habitat is exactly
+    this boundary (an S3 bucket: /root/reference/.../Config.scala:4,
+    build.sbt hadoop-aws) — round 7 makes the engine WRITE there too,
+    where rounds 1-6 only read."""
+    from ..delta.log import DeltaLog
+
+    local = os.path.join(_fixture_root(sf_dir), "hfs", "cust_hfs")
+    uri = "file://" + local
+    if os.path.isdir(os.path.join(local, "_delta_log")):
+        return uri
+    prev = os.environ.get("ADLS_FORCE_HADOOP_FS")
+    os.environ["ADLS_FORCE_HADOOP_FS"] = "1"
+    DeltaLog.clear_cache()
+    try:
+        cust = load(spark, sf_dir, "customer")
+        write_delta(cust.repartition(4), uri)  # v0
+        t = DeltaTable(spark, uri)
+        t.delete(where="c_acctbal < 0", mode="mor")  # v1: DV blobs
+        write_delta(  # v2: append through the facade
+            cust.selectExpr(
+                "c_custkey + 1000000 AS c_custkey",
+                "c_name",
+                "c_nationkey",
+                "c_acctbal",
+                "c_mktsegment",
+            ).where("c_nationkey < 5"),
+            uri,
+        )
+        write_checkpoint(uri)
+        t.compact()  # v3: OPTIMIZE purges the DVs
+        t.vacuum(retention_hours=0.0)  # reap pre-OPTIMIZE parquet + blobs
+    finally:
+        if prev is None:
+            os.environ.pop("ADLS_FORCE_HADOOP_FS", None)
+        else:
+            os.environ["ADLS_FORCE_HADOOP_FS"] = prev
+        DeltaLog.clear_cache()
+    return uri
+
+
+@register(
+    "g17_hadoop_fs_write_cycle",
+    "delta-core",
+    """
+    WITH final_rows AS (
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer WHERE c_acctbal >= 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_nationkey, c_acctbal
+      FROM customer WHERE c_nationkey < 5
+    )
+    SELECT c_nationkey, count(*) AS n,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum
+    FROM final_rows GROUP BY c_nationkey
+    """,
+    "write_delta -> MOR DELETE -> append -> checkpoint -> OPTIMIZE -> "
+    "VACUUM, every filesystem touch through the Hadoop-connector facade "
+    "(file:// forced onto HadoopFS), then read back and hash-matched",
+)
+def g17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uri = _ensure_hadoop_fs_table(spark, sf_dir)
+    t = DeltaTable(spark, uri)
+    snap = t.snapshot()
+    assert not any(f.deletion_vector for f in snap.files), (
+        "OPTIMIZE through the facade left deletion vectors behind"
+    )
+    return (
+        t.to_df()
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c_custkey").cast("bigint").alias("key_sum"),
+        )
+    )
+
+
+# ------ g18: arbitrary MERGE ON — renamed equi-key + target-side residual
+
+
+def _ensure_merge_on_pond(spark: SparkSession, sf_dir: str) -> DeltaPond:
+    """orders through a MERGE whose ON clause exercises both round-7
+    generalizations at once: a DIFFERENTLY-NAMED equi-key
+    (`t.o_orderkey = s.ord_id`) and a residual range conjunct on the
+    TARGET side (`t.o_totalprice < 150000`). True ON semantics: a source
+    row whose key exists but whose target row fails the residual is NOT
+    matched — the target row stays and the source row INSERTS."""
+    root = os.path.join(_fixture_root(sf_dir), "pond_merge_on")
+    pond = DeltaPond(spark, root)
+    path = os.path.join(root, "lake", "ord_mo")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        load(spark, sf_dir, "orders").createOrReplaceTempView("mo_orders")
+        pond.sql("CREATE SCHEMA IF NOT EXISTS lake")
+        pond.sql("CREATE TABLE lake.ord_mo AS SELECT * FROM mo_orders")
+        pond.sql(
+            """
+            MERGE INTO lake.ord_mo t USING (
+              SELECT o_orderkey AS ord_id, o_custkey,
+                     'X' AS o_orderstatus, o_totalprice * 2 AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM mo_orders WHERE o_orderkey % 10 = 0
+            ) s
+            ON t.o_orderkey = s.ord_id AND t.o_totalprice < 150000
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
+    return pond
+
+
+@register(
+    "g18_merge_arbitrary_on",
+    "delta-core",
+    """
+    WITH sel AS (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_orderkey % 10 = 0),
+    final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 AND o_totalprice < 150000
+                  THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'X' FROM sel WHERE o_totalprice >= 150000
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM final GROUP BY o_orderstatus
+    """,
+    "MERGE with differently-named equi-key (t.o_orderkey = s.ord_id) and "
+    "a residual target-side range conjunct in ON — true ON semantics "
+    "(failing pairs keep the target row AND insert the source row), "
+    "hash-matched against the oracle's reconstruction",
+)
+def g18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pond = _ensure_merge_on_pond(spark, sf_dir)
+    return pond.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM lake.ord_mo GROUP BY o_orderstatus
+        """
+    )
+
+
+# -------- g19: checkpointProtection DROP FEATURE (no history truncation)
+
+
+def _ensure_cp_protection_pond(spark: SparkSession, sf_dir: str) -> str:
+    """supplier through the Delta 4.0 checkpointProtection drop: enable
+    columnMapping (clean layout, physical == logical), append under it,
+    then DROP FEATURE columnMapping WITHOUT TRUNCATE HISTORY — the drop
+    commit adds the checkpointProtection writer feature + the
+    requireCheckpointProtectionBeforeVersion boundary and writes the
+    protecting checkpoint; every earlier commit survives, so time travel
+    works on BOTH sides of the boundary (below it the per-version
+    protocol still declares columnMapping)."""
+    from ..delta.features import drop_feature
+    from ..delta.writer import enable_column_mapping
+
+    root = os.path.join(_fixture_root(sf_dir), "pond_cpp")
+    path = os.path.join(root, "lake", "sup_cp")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        sup = load(spark, sf_dir, "supplier")
+        os.makedirs(os.path.join(root, "lake"), exist_ok=True)
+        write_delta(sup, path)  # v0
+        enable_column_mapping(path)  # v1 (reader+writer feature on)
+        write_delta(  # v2: append THROUGH the mapped layout
+            sup.selectExpr(
+                "s_suppkey + 100000 AS s_suppkey",
+                "s_name",
+                "s_nationkey",
+                "s_acctbal",
+            ).where("s_nationkey < 10"),
+            path,
+        )
+        res = drop_feature(path, "columnMapping")  # v3: protected drop
+        assert res["checkpoint_protection"] == 3, res
+        assert res["truncated"] == [], "history must survive"
+    return path
+
+
+@register(
+    "g19_checkpoint_protection_drop",
+    "delta-core",
+    """
+    WITH below AS (
+      SELECT 'v0' AS side, s_nationkey, s_suppkey FROM supplier
+    ), above AS (
+      SELECT 'now' AS side, s_nationkey, s_suppkey FROM supplier
+      UNION ALL
+      SELECT 'now', s_nationkey, s_suppkey + 100000 FROM supplier
+      WHERE s_nationkey < 10
+    )
+    SELECT side, s_nationkey, count(*) AS n,
+           CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+    FROM (SELECT * FROM below UNION ALL SELECT * FROM above)
+    GROUP BY side, s_nationkey
+    """,
+    "DROP FEATURE columnMapping WITHOUT TRUNCATE HISTORY via the Delta "
+    "4.0 checkpointProtection path: time travel below the protection "
+    "boundary (v0, mapped-era protocol) and the current snapshot both "
+    "hash-match the oracle's reconstruction",
+)
+def g19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_cp_protection_pond(spark, sf_dir)
+    t = DeltaTable(spark, path)
+    snap = t.snapshot()
+    cfg = snap.metadata.get("configuration") or {}
+    assert cfg.get("delta.requireCheckpointProtectionBeforeVersion") == "3"
+    feats = set((snap.protocol or {}).get("writerFeatures") or [])
+    assert "checkpointProtection" in feats and "columnMapping" not in feats
+    below = t.to_df(version=0).selectExpr(
+        "'v0' AS side", "s_nationkey", "s_suppkey"
+    )
+    above = t.to_df().selectExpr("'now' AS side", "s_nationkey", "s_suppkey")
+    return (
+        below.unionByName(above)
+        .groupBy("side", "s_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("s_suppkey").cast("bigint").alias("key_sum"),
+        )
+    )

@@ -85,12 +85,16 @@ def _table_path(options) -> str:
     if not path:
         raise ValueError("deltapond requires a path (load(path)/save(path))")
     # SQL DDL (CREATE TABLE ... USING deltapond) hands the option through
-    # as a URI (file:/x or file:///x); normalize to a bare local path
+    # as a URI (file:/x or file:///x); normalize to a bare local path.
+    # Non-file schemes (s3a://, hdfs://...) pass through untouched —
+    # abspath would prepend the cwd to them.
     if path.startswith("file:"):
         rest = path[len("file:"):]
         while rest.startswith("//"):
             rest = rest[1:]
         path = rest
+    if "://" in path:
+        return path.rstrip("/")
     return os.path.abspath(path)
 
 

@@ -29,6 +29,8 @@ import os
 import re
 
 from pyspark.sql import DataFrame, Row
+
+from .delta.fs import normalize_table_path
 from pyspark.sql import functions as F
 
 
@@ -273,7 +275,7 @@ def _dv_mode(path: str) -> bool:
     the table sets delta.enableDeletionVectors=true, else copy-on-write."""
     from .delta.log import DeltaLog
 
-    cfg = DeltaLog(os.path.abspath(path)).snapshot().metadata.get(
+    cfg = DeltaLog(normalize_table_path(path)).snapshot().metadata.get(
         "configuration"
     ) or {}
     return str(cfg.get("delta.enableDeletionVectors", "")).lower() == "true"
@@ -304,7 +306,7 @@ def _route_insert(pond, p, text: str) -> DataFrame:
 
     from .delta.writer import _generation_expressions, _identity_fields
 
-    snap = DeltaLog(os.path.abspath(path)).snapshot()
+    snap = DeltaLog(normalize_table_path(path)).snapshot()
     fields = {f.name: f for f in snap.schema.fields}
     target_cols = [f.name for f in snap.schema.fields]
     # engine-assigned columns (GENERATED ALWAYS AS IDENTITY / (expr)) are
@@ -655,7 +657,7 @@ def _route_create_table(pond, p, text: str, replace: bool = False) -> DataFrame:
             _protocol_upgrade_action,
         )
 
-        snap = DeltaLog(os.path.abspath(path)).snapshot()
+        snap = DeltaLog(normalize_table_path(path)).snapshot()
         order_wrong = [f.name for f in snap.schema.fields] != declared
         upgrade = (
             _protocol_upgrade_action(
@@ -748,7 +750,7 @@ def _route_overwrite_by_expr(pond, p, text: str) -> DataFrame:
     if qtext is None:
         raise ValueError("cannot recover the REPLACE WHERE source query text")
     df = pond.sql(qtext)
-    snap = DeltaLog(os.path.abspath(path)).snapshot()
+    snap = DeltaLog(normalize_table_path(path)).snapshot()
     fields = {f.name: f for f in snap.schema.fields}
     target_cols = [f.name for f in snap.schema.fields]
     if len(df.columns) != len(target_cols):
@@ -814,35 +816,55 @@ def _route_truncate(pond, p, text: str) -> DataFrame:
 # ------------------------------------------------------------------- MERGE
 
 
-def _merge_keys(cond, talias: str | None, salias: str | None) -> list[str]:
-    """Equi-join keys from the ON condition: a conjunction of
-    `t.k = s.k` equalities on identically-named columns (the shape
-    merge_upsert's semi-join touched-file planner needs)."""
+def _merge_on(
+    cond, t_quals: set[str], s_quals: set[str]
+) -> tuple[list[str], list[str], list]:
+    """Decompose the ON condition into (target keys, source keys,
+    residual conjunct nodes).
+
+    An AND-ed `t.a = s.b` column equality oriented by its qualifiers
+    (alias or table name) becomes the key pair (a, b) — differently-named
+    keys included. EVERY other conjunct — non-equality comparisons, range
+    bounds, expressions, literals, unorientable equalities — lands in the
+    residual list, handed to the merge engine's full pair condition
+    (merge_upsert on_condition). At least one key pair is required
+    downstream: the touched-file planner hash-joins on it."""
     kind = _cls(cond)
     if kind == "And":
-        return _merge_keys(cond.left(), talias, salias) + _merge_keys(
-            cond.right(), talias, salias
-        )
-    if kind != "EqualTo":
-        raise ValueError(
-            f"MERGE ON must be AND-ed equality conditions, got {cond.sql()}"
-        )
-    names, quals = [], []
-    for side in (cond.left(), cond.right()):
-        if _cls(side) != "UnresolvedAttribute":
-            raise ValueError(f"MERGE ON side is not a column: {side.sql()}")
-        parts = _seq(side.nameParts())
-        names.append(parts[-1])
-        quals.append(parts[-2] if len(parts) > 1 else None)
-    if names[0] != names[1]:
-        raise ValueError(
-            f"MERGE ON columns must match by name, got {cond.sql()}"
-        )
-    if quals[0] is not None and quals[0] == quals[1]:
-        raise ValueError(
-            f"MERGE ON must compare target vs source, got {cond.sql()}"
-        )
-    return [names[0]]
+        k1, s1, r1 = _merge_on(cond.left(), t_quals, s_quals)
+        k2, s2, r2 = _merge_on(cond.right(), t_quals, s_quals)
+        return k1 + k2, s1 + s2, r1 + r2
+    if kind == "EqualTo":
+        sides = [cond.left(), cond.right()]
+        if all(_cls(x) == "UnresolvedAttribute" for x in sides):
+            info = []
+            for side in sides:
+                parts = _seq(side.nameParts())
+                info.append(
+                    (parts[-1], parts[-2] if len(parts) > 1 else None)
+                )
+            (n0, q0), (n1, q1) = info
+
+            def owner(q):
+                if q is None:
+                    return None
+                if q in t_quals:
+                    return "t"
+                if q in s_quals:
+                    return "s"
+                return None
+
+            o0, o1 = owner(q0), owner(q1)
+            if o0 == "t" and o1 == "s":
+                return [n0], [n1], []
+            if o0 == "s" and o1 == "t":
+                return [n1], [n0], []
+            # same-name equality without two opposing resolvable
+            # qualifiers: the classic `ON t.k = s.k` / bare `ON k = k`
+            # shapes (orientation is irrelevant when the names agree)
+            if n0 == n1 and not (o0 == o1 == "t") and not (o0 == o1 == "s"):
+                return [n0], [n1], []
+    return [], [], [cond]
 
 
 def _route_merge(pond, p, text: str) -> DataFrame:
@@ -865,16 +887,49 @@ def _route_merge(pond, p, text: str) -> DataFrame:
             stext = stext[1:-1]  # exactly the outer subquery parens
         source = pond.sql(stext)
 
-    keys = _merge_keys(p.mergeCondition(), talias, salias)
+    t_quals = {q for q in (talias, _relation_parts(tgt_rel)[-1]) if q}
+    s_quals = {q for q in [salias] if q}
+    if _cls(src_node) == "UnresolvedRelation":
+        s_quals.add(_relation_parts(src_node)[-1])
+    keys, source_keys, residual_nodes = _merge_on(
+        p.mergeCondition(), t_quals, s_quals
+    )
+    if not keys:
+        raise ValueError(
+            "MERGE ON needs at least one t.<col> = s.<col> equality "
+            "(the touched-file planner hash-joins on it); residual "
+            f"conjuncts alone cannot key a merge: "
+            f"{p.mergeCondition().sql()}"
+        )
+    dup = [k for k in set(keys) if keys.count(k) > 1]
+    if dup:
+        raise ValueError(f"MERGE ON maps target key(s) twice: {dup}")
+
+    def _norm(sql: str) -> str:
+        sql = _norm_alias(sql, talias, "t")
+        sql = _norm_alias(sql, salias, "s")
+        for q in t_quals:
+            sql = _norm_alias(sql, q, "t")
+        for q in s_quals:
+            sql = _norm_alias(sql, q, "s")
+        # differently-named source keys were renamed to the TARGET name
+        # before the engine sees the source frame — rewrite references
+        for sk, tk in zip(source_keys, keys):
+            if sk != tk:
+                sql = _sub_outside_quotes(
+                    sql, r"\bs\s*\.\s*" + re.escape(sk) + r"\b", f"s.{tk}"
+                )
+        return sql
+
+    on_condition = (
+        " AND ".join(f"({_norm(c.sql())})" for c in residual_nodes) or None
+    )
 
     def _cond_sql(opt_cond) -> str | None:
         c = _opt(opt_cond)
         if c is None:
             return None
-        sql = c.sql()
-        sql = _norm_alias(sql, talias, "t")
-        sql = _norm_alias(sql, salias, "s")
-        return sql
+        return _norm(c.sql())
 
     clauses: list[tuple[str | None, str]] = []
     for a in _seq(p.matchedActions()):
@@ -907,7 +962,9 @@ def _route_merge(pond, p, text: str) -> DataFrame:
 
     merge_fn = (
         dml.merge_upsert_mor
-        if _dv_mode(path) and (clauses or by_source is None)
+        if _dv_mode(path)
+        and (clauses or by_source is None)
+        and on_condition is None  # residual ON plans through the COW path
         else dml.merge_upsert
     )
     m = merge_fn(
@@ -915,6 +972,8 @@ def _route_merge(pond, p, text: str) -> DataFrame:
         path,
         source,
         keys,
+        source_keys=source_keys,
+        on_condition=on_condition,
         matched_clauses=clauses,  # [] = no matched action (insert-only
         # fast path / by-source-delete keep-matched semantics in dml)
         when_not_matched=when_not_matched,
@@ -1480,7 +1539,7 @@ def _route_show_tblproperties(pond, p, text: str) -> DataFrame:
     from .delta.log import DeltaLog
 
     path = _target(pond, _relation_parts(p.table()))
-    cfg = DeltaLog(os.path.abspath(path)).snapshot().metadata.get(
+    cfg = DeltaLog(normalize_table_path(path)).snapshot().metadata.get(
         "configuration"
     ) or {}
     key = _opt(p.propertyKey())
@@ -1517,7 +1576,7 @@ def _route_create_table_like(pond, p, text: str) -> DataFrame:
         raise ValueError(f"table {schema}.{table} already exists")
     src_path = _target(pond, _ti_parts(p.sourceTable()))
     if pond._is_delta_dir(src_path):
-        snap = DeltaLog(os.path.abspath(src_path)).snapshot()
+        snap = DeltaLog(normalize_table_path(src_path)).snapshot()
         st, part_cols = snap.schema, list(snap.partition_columns)
         config = dict(snap.metadata.get("configuration") or {})
     else:  # plain-parquet source: schema only
@@ -1627,7 +1686,7 @@ def _route_show_create_table(pond, p, text: str) -> DataFrame:
     path = _target(pond, parts)
     name = ".".join(parts) if len(parts) == 2 else parts[0]
     if pond._is_delta_dir(path):
-        snap = DeltaLog(os.path.abspath(path)).snapshot()
+        snap = DeltaLog(normalize_table_path(path)).snapshot()
         st, part_cols = snap.schema, list(snap.partition_columns)
         md = snap.metadata
         config = dict(md.get("configuration") or {})
@@ -1997,6 +2056,11 @@ def _route_maintenance_sugar(pond, query: str) -> DataFrame | None:
                 "version": res["version"],
                 "protocol": json.dumps(res["protocol"]),
                 "truncated_entries": len(res["truncated"]),
+                **(
+                    {"checkpoint_protection": res["checkpoint_protection"]}
+                    if res.get("checkpoint_protection") is not None
+                    else {}
+                ),
             },
         )
     m = _ANALYZE_RE.match(query)

@@ -97,7 +97,7 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
                 "merge", "merge_mor", "optimize", "checkpoint", "rename",
                 "clone", "replace_where", "widen", "restore",
                 "deep_of_shallow", "merge_evolve", "optimize_where",
-                "reorg", "truncate",
+                "reorg", "truncate", "merge_on",
             ]
         )
         t = DeltaTable(spark, path)
@@ -163,6 +163,42 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
                         ignore_index=True,
                     )
             next_id = max(next_id, lo + 15)
+        elif op == "merge_on":
+            # round-7 arbitrary ON: renamed source key + TARGET-side
+            # residual. True ON semantics — a source id whose target rows
+            # all fail the residual INSERTS (possibly duplicating the id;
+            # later plain merges then update every row of that id, which
+            # the model mirrors via boolean-mask assignment).
+            lo = rng.randint(0, max(next_id - 10, 1))
+            thr = rng.randint(0, 200)
+            src_rows = [(i, i % 5, -3.0) for i in range(lo, lo + 12)]
+            schema_s = f"sid long, k long, {vname} {vtype}"
+            if has_extra:
+                schema_s += ", extra double"
+                src_rows_w = [(*r, None) for r in src_rows]
+            else:
+                src_rows_w = src_rows
+            t.merge(
+                spark.createDataFrame(src_rows_w, schema_s),
+                keys=["id"],
+                source_keys=["sid"],
+                on_condition=f"t.{vname} < {thr}",
+                mode="cow",
+            )
+            for i, k, v in src_rows:
+                hit = (model.id == i) & (model.v < thr)
+                if hit.any():
+                    model = model.copy()
+                    model.loc[hit, ["k", "v"]] = [k, v]
+                else:
+                    model = pd.concat(
+                        [
+                            model,
+                            pd.DataFrame([(i, k, v)], columns=["id", "k", "v"]),
+                        ],
+                        ignore_index=True,
+                    )
+            next_id = max(next_id, lo + 12)
         elif op == "optimize":
             t.compact(target_file_size=1 << 30)
         elif op == "optimize_where":

@@ -151,13 +151,48 @@ def test_drop_missing_feature_raises(spark, tmp_path):
 # --------------------------------------- reader+writer: history semantics
 
 
-def test_drop_deletion_vectors_requires_truncate_history(spark, tmp_path):
+def test_drop_deletion_vectors_protected_without_truncate(spark, tmp_path):
+    """Round-7: dropping a traced reader feature WITHOUT TRUNCATE HISTORY
+    takes the Delta 4.0 checkpointProtection path — history survives,
+    time travel works on both sides of the boundary."""
     path = str(tmp_path / "t")
     _write(spark, path)
     delete_mor(spark, path, "id % 10 = 0")
     reorg_purge(spark, path)  # snapshot now DV-free
+    pre_drop = DeltaTable(spark, path).version()
+    pre_counts = {
+        v: DeltaTable(spark, path).to_df(version=v).count()
+        for v in range(pre_drop + 1)
+    }
+    res = drop_feature(path, "deletionVectors")
+    assert res["checkpoint_protection"] == pre_drop + 1
+    assert res["truncated"] == []
+    r, w, _ = _features(path)
+    assert "deletionVectors" not in r | w
+    assert "checkpointProtection" in w
+    snap = DeltaLog(path).snapshot()
+    cfg = snap.metadata.get("configuration") or {}
+    assert cfg["delta.requireCheckpointProtectionBeforeVersion"] == str(
+        pre_drop + 1
+    )
+    # the protecting checkpoint exists at the drop version
+    log_dir = os.path.join(path, "_delta_log")
+    assert os.path.exists(
+        os.path.join(log_dir, f"{pre_drop + 1:020d}.checkpoint.parquet")
+    )
+    # history intact: every pre-drop version still time-travels (the
+    # per-version protocol still declares deletionVectors there)
+    for v, n in pre_counts.items():
+        assert DeltaTable(spark, path).to_df(version=v).count() == n
+    # checkpointProtection itself only drops with TRUNCATE HISTORY
     with pytest.raises(ValueError, match="TRUNCATE HISTORY"):
-        drop_feature(path, "deletionVectors")
+        drop_feature(path, "checkpointProtection")
+    res2 = drop_feature(path, "checkpointProtection", truncate_history=True)
+    assert res2["truncated"]
+    r2, w2, _ = _features(path)
+    assert "checkpointProtection" not in w2
+    cfg2 = DeltaLog(path).snapshot().metadata.get("configuration") or {}
+    assert "delta.requireCheckpointProtectionBeforeVersion" not in cfg2
 
 
 def test_drop_deletion_vectors_truncate_history(spark, tmp_path):
@@ -209,8 +244,6 @@ def test_drop_column_mapping_clean_layout(spark, tmp_path):
     write_delta(
         spark.range(50, 60).selectExpr("id", "id % 5 as k"), path, mode="append"
     )
-    with pytest.raises(ValueError, match="TRUNCATE HISTORY"):
-        drop_feature(path, "columnMapping")
     drop_feature(path, "columnMapping", truncate_history=True)
     snap = DeltaLog(path).snapshot()
     cfg = snap.metadata.get("configuration") or {}
@@ -256,8 +289,6 @@ def test_drop_v2_checkpoint_truncates_manifests(spark, tmp_path):
         ],
     )
     write_checkpoint(path, v2=True)
-    with pytest.raises(ValueError, match="TRUNCATE HISTORY"):
-        drop_feature(path, "v2Checkpoint")
     drop_feature(path, "v2Checkpoint", truncate_history=True)
     log_dir = os.path.join(path, "_delta_log")
     assert not os.path.isdir(os.path.join(log_dir, "_sidecars"))
@@ -380,9 +411,11 @@ def test_drop_timestamp_ntz_sees_escaped_history_traces(spark, tmp_path):
     # REPLACE swaps to a schema without the NTZ column: the CURRENT
     # snapshot is trace-free, but v0's schemaString still carries it
     pond.sql("CREATE OR REPLACE TABLE lake.t AS SELECT id FROM range(3)")
-    with pytest.raises(ValueError, match="TRUNCATE HISTORY"):
-        drop_feature(path, "timestampNtz")
-    drop_feature(path, "timestampNtz", truncate_history=True)
+    # without TRUNCATE HISTORY the escaped trace forces the protected
+    # path (checkpointProtection), proving the scan matched
+    probe = drop_feature(path, "timestampNtz")
+    assert probe["checkpoint_protection"] is not None
+    drop_feature(path, "checkpointProtection", truncate_history=True)
     r2, w2, _ = _features(path)
     assert "timestampNtz" not in r2 | w2
     assert DeltaTable(spark, path).to_df().count() == 3
@@ -398,8 +431,10 @@ def test_drop_column_mapping_detects_physical_name_history(spark, tmp_path):
     write_delta(
         spark.range(50, 55).selectExpr("id", "id % 5 AS k"), path, mode="append"
     )
-    with pytest.raises(ValueError, match="TRUNCATE HISTORY"):
-        drop_feature(path, "columnMapping")
+    res = drop_feature(path, "columnMapping")
+    # the escaped physicalName stamps in history were detected: the drop
+    # went through the protected path instead of a plain downgrade
+    assert res["checkpoint_protection"] is not None
 
 
 def test_restore_redeclares_features_reinstated_by_metadata(spark, tmp_path):

@@ -136,17 +136,27 @@ def test_feature_lifecycle_walk(spark, tmp_path, seed):
             snap = DeltaLog(path).snapshot()
             live_dv = any(f.deletion_vector for f in snap.files)
             try:
-                drop_feature(path, "deletionVectors", truncate_history=truncate)
+                res = drop_feature(
+                    path, "deletionVectors", truncate_history=truncate
+                )
                 assert not live_dv, "drop succeeded over live DVs"
                 assert "deletionVectors" not in _feats(path)
+                if res["checkpoint_protection"] is not None:
+                    # round-7: a traced drop without truncation takes the
+                    # Delta 4.0 checkpointProtection path — history
+                    # survives and the protection is declared
+                    assert not truncate and ever_dv
+                    assert res["truncated"] == []
+                    assert "checkpointProtection" in _feats(path)
+                    cfg = DeltaLog(path).snapshot().metadata.get(
+                        "configuration"
+                    ) or {}
+                    assert cfg.get(
+                        "delta.requireCheckpointProtectionBeforeVersion"
+                    ) == str(res["version"])
             except ValueError as e:
-                msg = str(e)
-                if live_dv:
-                    assert "REORG" in msg
-                else:
-                    # only remaining refusal: history traces sans truncation
-                    assert not truncate and "TRUNCATE HISTORY" in msg
-                    assert ever_dv
+                # only remaining refusal: live DVs in the snapshot
+                assert live_dv and "REORG" in str(e)
         elif op == "drop_mapping" and "columnMapping" in feats:
             try:
                 drop_feature(path, "columnMapping", truncate_history=True)

@@ -1,0 +1,326 @@
+"""Arbitrary MERGE ON (round-7 ask #2): differently-named equi-keys
+(`ON t.id = s.src_id`) and residual non-equi conjuncts (`AND t.ds BETWEEN
+s.lo AND s.hi`) in both the API (merge_upsert source_keys/on_condition)
+and the SQL route (_merge_on decomposition).
+
+Residual semantics are TRUE ON semantics: a (target, source) pair matches
+only when the equi-keys AND the residual hold — a source row whose key
+exists but whose residual fails is NOT MATCHED and inserts (unlike a
+matched-clause condition, under which it would be swallowed)."""
+
+from __future__ import annotations
+
+import pytest
+
+from athena_delta_lake_spark import write_delta
+from athena_delta_lake_spark.catalog import DeltaPond
+from athena_delta_lake_spark.delta.table import DeltaTable
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture
+def pond(spark, tmp_path):
+    p = DeltaPond(spark, str(tmp_path / "pond"))
+    p.sql("CREATE SCHEMA lake")
+    return p
+
+
+# ------------------------------------------------- differently-named keys
+
+
+def test_api_source_keys_rename(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ),
+        path,
+    )
+    t = DeltaTable(spark, path)
+    src = spark.createDataFrame(
+        [(2, "B"), (9, "I")], "src_id long, v string"
+    )
+    t.merge(src, keys=["id"], source_keys=["src_id"])
+    assert _rows(t.to_df(), "id", "v") == [
+        (1, "a"), (2, "B"), (3, "c"), (9, "I"),
+    ]
+
+
+def test_api_source_keys_ambiguous_refused(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"), path)
+    src = spark.createDataFrame(
+        [(1, 7, "x")], "src_id long, id long, v string"
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        DeltaTable(spark, path).merge(
+            src, keys=["id"], source_keys=["src_id"]
+        )
+
+
+def test_api_source_keys_mor(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ).coalesce(1),
+        path,
+    )
+    t = DeltaTable(spark, path)
+    src = spark.createDataFrame([(2, "B"), (5, "E")], "k long, v string")
+    t.merge(src, keys=["id"], source_keys=["k"], mode="mor")
+    assert _rows(t.to_df(), "id", "v") == [
+        (1, "a"), (2, "B"), (3, "c"), (5, "E"),
+    ]
+    assert any(f.deletion_vector for f in t.snapshot().files)
+
+
+# --------------------------------------------------- residual ON conjuncts
+
+
+def test_api_residual_true_on_semantics(spark, tmp_path):
+    """Key matches but residual fails -> the source row INSERTS (true ON
+    semantics), unlike matched_condition which keeps it out entirely."""
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "id long, ts long, v string"
+        ),
+        path,
+    )
+    t = DeltaTable(spark, path)
+    src = spark.createDataFrame(
+        [(1, 11, "A"), (2, 5, "OLD")], "id long, ts long, v string"
+    )
+    # pair matches only when the source is NEWER than the target
+    t.merge(src, keys=["id"], on_condition="s.ts > t.ts")
+    got = _rows(t.to_df(), "id", "ts", "v")
+    # id=1: matched (11 > 10) -> updated; id=2: key exists but 5 < 20 ->
+    # NOT matched -> target row kept AND source row inserted
+    assert got == [(1, 11, "A"), (2, 5, "OLD"), (2, 20, "b")]
+
+
+def test_api_residual_vs_matched_condition_differ(spark, tmp_path):
+    """The same predicate as matched_condition swallows the stale source
+    row — proving the two paths are genuinely different."""
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "id long, ts long, v string"
+        ),
+        path,
+    )
+    t = DeltaTable(spark, path)
+    src = spark.createDataFrame(
+        [(1, 11, "A"), (2, 5, "OLD")], "id long, ts long, v string"
+    )
+    t.merge(src, keys=["id"], matched_condition="s.ts > t.ts")
+    assert _rows(t.to_df(), "id", "ts", "v") == [(1, 11, "A"), (2, 20, "b")]
+
+
+def test_api_residual_range_join_disjoint_not_ambiguous(spark, tmp_path):
+    """Two source rows sharing a key but covering DISJOINT ranges update
+    different target rows — the pair-level ambiguity check must allow it
+    (the key-level check would falsely reject)."""
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [("k", 5, "lo"), ("k", 50, "hi")], "g string, x long, v string"
+        ),
+        path,
+    )
+    t = DeltaTable(spark, path)
+    src = spark.createDataFrame(
+        [("k", 0, 10, "LOW"), ("k", 40, 60, "HIGH")],
+        "g string, lo long, hi long, nv string",
+    )
+    t.merge(
+        src.selectExpr("g", "lo", "hi", "nv as v", "lo as x"),
+        keys=["g"],
+        on_condition="t.x BETWEEN s.lo AND s.hi",
+        when_not_matched=None,
+    )
+    got = {r["x"]: r["v"] for r in t.to_df().collect()}
+    # updates take the source row's values for source-present columns
+    assert got[0] == "LOW" and got[40] == "HIGH"
+
+
+def test_api_residual_overlapping_pairs_ambiguous(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([("k", 5, "a")], "g string, x long, v string"),
+        path,
+    )
+    src = spark.createDataFrame(
+        [("k", 0, 10, "A"), ("k", 3, 7, "B")],
+        "g string, lo long, hi long, v string",
+    ).selectExpr("g", "lo", "hi", "v", "lo as x")
+    with pytest.raises(ValueError, match="multiple source rows"):
+        DeltaTable(spark, path).merge(
+            src,
+            keys=["g"],
+            on_condition="t.x BETWEEN s.lo AND s.hi",
+            when_not_matched=None,
+        )
+
+
+def test_api_residual_insert_only(spark, tmp_path):
+    """Insert-only merge with a residual: dedup window — only rows with
+    no (key, close-enough-ts) match insert."""
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, 100), (2, 200)], "id long, ts long"), path
+    )
+    t = DeltaTable(spark, path)
+    src = spark.createDataFrame(
+        [(1, 101), (2, 900), (3, 50)], "id long, ts long"
+    )
+    t.merge(
+        src,
+        keys=["id"],
+        on_condition="abs(s.ts - t.ts) <= 10",
+        when_matched=None,
+        matched_clauses=[],
+        when_not_matched="insert",
+    )
+    got = _rows(t.to_df(), "id", "ts")
+    # (1,101) matched within the window -> skipped; (2,900) outside ->
+    # inserted; (3,50) new key -> inserted
+    assert got == [(1, 100), (2, 200), (2, 900), (3, 50)]
+
+
+def test_api_residual_by_source_delete(spark, tmp_path):
+    """NOT MATCHED BY SOURCE DELETE under a residual: target rows no pair
+    matches are dropped."""
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 10, "a"), (1, 99, "b"), (2, 10, "c")],
+            "id long, ts long, v string",
+        ).coalesce(1),
+        path,
+    )
+    t = DeltaTable(spark, path)
+    src = spark.createDataFrame([(1, 10, "A")], "id long, ts long, v string")
+    t.merge(
+        src,
+        keys=["id"],
+        on_condition="t.ts = s.ts",
+        when_matched="update",
+        when_not_matched=None,
+        not_matched_by_source="delete",
+    )
+    assert _rows(t.to_df(), "id", "ts", "v") == [(1, 10, "A")]
+
+
+def test_api_mor_refuses_residual(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"), path)
+    with pytest.raises(ValueError, match="merge-on-read"):
+        DeltaTable(spark, path).merge(
+            spark.createDataFrame([(1, "b")], "id long, v string"),
+            keys=["id"],
+            on_condition="t.v <> s.v",
+            mode="mor",
+        )
+
+
+# --------------------------------------------------------------- SQL route
+
+
+def test_sql_merge_differently_named_keys(spark, pond):
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).createOrReplaceTempView("mo_t")
+    pond.sql("CREATE TABLE lake.t AS SELECT * FROM mo_t")
+    spark.createDataFrame(
+        [(2, "B"), (7, "G")], "src_id long, v string"
+    ).createOrReplaceTempView("mo_s")
+    pond.sql(
+        "MERGE INTO lake.t USING mo_s s ON lake.t.id = s.src_id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = _rows(pond.sql("SELECT id, v FROM lake.t"), "id", "v")
+    assert got == [(1, "a"), (2, "B"), (7, "G")]
+
+
+def test_sql_merge_residual_range_conjunct(spark, pond):
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "id long, ts long, v string"
+    ).createOrReplaceTempView("mr_t")
+    pond.sql("CREATE TABLE lake.r AS SELECT * FROM mr_t")
+    spark.createDataFrame(
+        [(1, 11, "A"), (2, 5, "OLD")], "id long, ts long, v string"
+    ).createOrReplaceTempView("mr_s")
+    pond.sql(
+        "MERGE INTO lake.r t USING mr_s s "
+        "ON t.id = s.id AND s.ts > t.ts "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = _rows(pond.sql("SELECT id, ts, v FROM lake.r"), "id", "ts", "v")
+    assert got == [(1, 11, "A"), (2, 5, "OLD"), (2, 20, "b")]
+
+
+def test_sql_merge_renamed_key_plus_residual_and_condition(spark, pond):
+    """Renamed key + residual + a matched-clause condition referencing
+    the renamed source key (must be rewritten to the target name)."""
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+        "id long, ts long, v string",
+    ).createOrReplaceTempView("mx_t")
+    pond.sql("CREATE TABLE lake.x AS SELECT * FROM mx_t")
+    spark.createDataFrame(
+        [(1, 15, "A"), (2, 25, "DEL"), (3, 1, "STALE")],
+        "key long, ts long, v string",
+    ).createOrReplaceTempView("mx_s")
+    pond.sql(
+        "MERGE INTO lake.x t USING mx_s s "
+        "ON t.id = s.key AND s.ts > t.ts "
+        "WHEN MATCHED AND s.key = 2 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = _rows(pond.sql("SELECT id, ts, v FROM lake.x"), "id", "ts", "v")
+    # id=1 matched+updated; id=2 matched by the DELETE clause; id=3 pair
+    # fails residual -> target kept, source inserted
+    assert got == [(1, 15, "A"), (3, 1, "STALE"), (3, 30, "c")]
+
+
+def test_sql_merge_residual_on_dv_table_routes_cow(spark, pond):
+    """A deletion-vector-mode table with a residual ON routes through the
+    COW engine (correct, documented) instead of erroring."""
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "id long, ts long, v string"
+    ).createOrReplaceTempView("md_t")
+    pond.sql(
+        "CREATE TABLE lake.d "
+        "TBLPROPERTIES ('delta.enableDeletionVectors' = 'true') "
+        "AS SELECT * FROM md_t"
+    )
+    spark.createDataFrame(
+        [(1, 99, "NEW")], "id long, ts long, v string"
+    ).createOrReplaceTempView("md_s")
+    pond.sql(
+        "MERGE INTO lake.d t USING md_s s ON t.id = s.id AND s.ts > t.ts "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = _rows(pond.sql("SELECT id, ts, v FROM lake.d"), "id", "ts", "v")
+    assert got == [(1, 99, "NEW"), (2, 20, "b")]
+
+
+def test_sql_merge_no_equi_key_refused(spark, pond):
+    spark.createDataFrame([(1, "a")], "id long, v string").createOrReplaceTempView(
+        "mn_t"
+    )
+    pond.sql("CREATE TABLE lake.n AS SELECT * FROM mn_t")
+    with pytest.raises(ValueError, match="at least one"):
+        pond.sql(
+            "MERGE INTO lake.n t USING mn_t s ON t.id > s.id "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )

@@ -261,8 +261,12 @@ def test_alias_prefix_inside_literal_survives(pond):
 
 
 def test_merge_same_side_on_condition_rejected(pond):
+    """A degenerate same-side ON (t.id = t.id) carries no target-source
+    equi-key: since round 7 it classifies as a residual conjunct, and a
+    merge with ONLY residuals is refused (the touched-file planner needs
+    an equi-key to hash-join on)."""
     _mk(pond)
-    with pytest.raises(ValueError, match="target vs source"):
+    with pytest.raises(ValueError, match="at least one"):
         pond.sql(
             "MERGE INTO lake.t AS t USING (SELECT 1 AS id, 0.0 AS v, 'a' AS ds) s "
             "ON t.id = t.id WHEN MATCHED THEN UPDATE SET *"
