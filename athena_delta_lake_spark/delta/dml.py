@@ -158,6 +158,12 @@ def delete(
             base_version=snap.version,
             isolation=isolation,
             read_predicates=preds or None,
+            operation_metrics={
+                "numRemovedFiles": len(candidates),
+                "numAddedFiles": 0,
+                "numDeletedRows": _num_records(candidates),
+                "numCopiedRows": 0,
+            },
         )
         return {
             "files_removed": len(candidates),
@@ -180,6 +186,8 @@ def delete(
             spark, snap, table_path,
             [(df.filter(F.coalesce(cond, F.lit(False))), "delete")],
         )
+    before, after = _num_records(candidates), _adds_num_records(adds)
+    deleted = None if before is None or after is None else before - after
     commit_rewrite(
         table_path,
         "DELETE",
@@ -191,12 +199,17 @@ def delete(
         base_version=snap.version,
         isolation=isolation,
         read_predicates=preds or None,
+        operation_metrics={
+            "numRemovedFiles": len(candidates),
+            "numAddedFiles": len(adds),
+            "numDeletedRows": deleted,
+            "numCopiedRows": after,
+        },
     )
-    before, after = _num_records(candidates), _adds_num_records(adds)
     return {
         "files_removed": len(candidates),
         "files_added": len(adds),
-        "rows_deleted": None if before is None or after is None else before - after,
+        "rows_deleted": deleted,
     }
 
 
@@ -265,6 +278,12 @@ def delete_mor(
             f.path: file_fingerprint(f) for f, _idx in pieces.touched
         },
         base_version=snap.version,
+        operation_metrics={
+            "numRemovedFiles": len(pieces.full_files),
+            "numAddedFiles": len(pieces.adds),
+            "numDeletedRows": pieces.rows_newly_deleted,
+            "numDeletionVectorsAdded": pieces.dv_files_written,
+        },
     )
     return {
         "files_removed": len(pieces.full_files),
@@ -470,14 +489,26 @@ def update(
             for f in snap.schema.fields
         ],
         *[c for c in df0.columns if c not in field_types],
+        hit.cast("long").alias("__upd_hit"),
     )
     # generated columns whose expression references a SET column are
     # RECOMPUTED from the updated row (Delta semantics; the generation
     # invariant also feeds partition pruning, so staleness is corruption)
     df = _apply_recompute(df, snap.schema, recompute)
+    from pyspark.sql import Observation
+
     from .writer import _enforce_constraints
 
     _enforce_constraints(df, snap.metadata)
+    # operationMetrics ride the staging write job for free (CollectMetrics
+    # node). Attached AFTER the constraint probes above — their limit(1)
+    # actions would otherwise complete the observation with partial counts.
+    obs = Observation()
+    df = df.observe(
+        obs,
+        F.sum("__upd_hit").alias("updated"),
+        F.count(F.lit(1)).alias("total"),
+    ).drop("__upd_hit")
     adds = stage_data_files(
         df, table_path, snap.partition_columns, _data_schema(snap),
         l2p=_l2p(snap), config=snap.metadata.get("configuration"), full_schema=snap.schema,
@@ -505,6 +536,11 @@ def update(
             spark, snap, table_path,
             [(pre, "update_preimage"), (post, "update_postimage")],
         )
+    try:  # filled by the staging job's CollectMetrics node
+        updated = int(obs.get["updated"] or 0)
+        copied = int(obs.get["total"]) - updated
+    except Exception:
+        updated = copied = None
     commit_rewrite(
         table_path,
         "UPDATE",
@@ -516,8 +552,18 @@ def update(
         base_version=snap.version,
         isolation=isolation,
         read_predicates=preds or None,
+        operation_metrics={
+            "numRemovedFiles": len(candidates),
+            "numAddedFiles": len(adds),
+            "numUpdatedRows": updated,
+            "numCopiedRows": copied,
+        },
     )
-    return {"files_removed": len(candidates), "files_added": len(adds)}
+    return {
+        "files_removed": len(candidates),
+        "files_added": len(adds),
+        "rows_updated": updated,
+    }
 
 
 def update_mor(
@@ -611,6 +657,12 @@ def update_mor(
             f.path: file_fingerprint(f) for f, _idx in pieces.touched
         },
         base_version=snap.version,
+        operation_metrics={
+            "numRemovedFiles": len(pieces.full_files),
+            "numAddedFiles": len(pieces.adds) + len(new_adds),
+            "numUpdatedRows": pieces.rows_newly_deleted,
+            "numDeletionVectorsAdded": pieces.dv_files_written,
+        },
     )
     return {
         "files_removed": len(pieces.full_files),
@@ -875,6 +927,7 @@ def _insert_only_merge(
     extra = list(extra_actions or [])
     if ident_params:
         extra = [_identity_md_action(meta, schema, ident_params)]
+    inserted = _adds_num_records(adds)
     commit_rewrite(
         table_path,
         "MERGE",
@@ -885,6 +938,14 @@ def _insert_only_merge(
         base_version=snap.version,
         isolation=isolation,
         read_predicates=None,
+        operation_metrics={
+            "numTargetFilesRemoved": 0,
+            "numTargetFilesAdded": len(adds),
+            "numSourceRows": src.count(),
+            "numTargetRowsInserted": inserted,
+            "numTargetRowsUpdated": 0,
+            "numTargetRowsDeleted": 0,
+        },
     )
     return {"files_removed": 0, "files_added": len(adds), "source_rows": None}
 
@@ -1157,6 +1218,7 @@ def merge_upsert(
         remove_files = list(live)
 
     pieces = []
+    piece_kinds: list[str] = []  # parallel: 'copied' | 'updated' | 'inserted'
     if touched:
         target_rows = _null_fill(_read_cow(spark, snap, touched), schema)
         if not_matched_by_source != "delete":
@@ -1169,6 +1231,7 @@ def merge_upsert(
                         src_pair.alias("s"), pair, "left_anti"
                     )
                 )
+            piece_kinds.append("copied")
         matched_keys = (
             target_rows.select(*keys).join(src_keys, keys, "left_semi").distinct()
         )
@@ -1234,6 +1297,7 @@ def merge_upsert(
                 src_pair.alias("s"), pair, "left_semi"
             )
         )
+        piece_kinds.append("copied")
     if cdf and touched and clauses and not needs_per_row:
         # the single unconditional DELETE clause: matched rows vanish
         cdc_frames.append(
@@ -1285,6 +1349,7 @@ def merge_upsert(
         pieces.append(
             applied.filter(F.col("__clause") == -1).select(*tgt_version)
         )
+        piece_kinds.append("copied")
         update_idx = [i for i, (_c, a) in enumerate(clauses) if a == "update"]
         if update_idx:
             pieces.append(
@@ -1292,6 +1357,7 @@ def merge_upsert(
                     *src_version
                 )
             )
+            piece_kinds.append("updated")
         if cdf:
             delete_idx = [
                 i for i, (_c, a) in enumerate(clauses) if a == "delete"
@@ -1347,12 +1413,18 @@ def merge_upsert(
         for c in rt_extras:  # inserts are NEW rows: fresh ids from the add
             ins = ins.withColumn(c, F.lit(None).cast("long"))
         pieces.append(ins)
+        piece_kinds.append("inserted")
+    _MOP = {"copied": 0, "updated": 1, "inserted": 2}
     if pieces:
-        new_data = pieces[0]
-        for piece in pieces[1:]:
+        tagged_pieces = [
+            p.withColumn("__mop", F.lit(_MOP[k]))
+            for p, k in zip(pieces, piece_kinds)
+        ]
+        new_data = tagged_pieces[0]
+        for piece in tagged_pieces[1:]:
             new_data = new_data.unionByName(piece)
     else:
-        new_data = src.limit(0)
+        new_data = src.limit(0).withColumn("__mop", F.lit(0))
     from .writer import _enforce_constraints
 
     from .writer import _apply_generated_columns, _generation_expressions
@@ -1363,6 +1435,18 @@ def merge_upsert(
         # not trusted (the invariant also backs partition pruning)
         new_data = _apply_generated_columns(new_data, schema)
     _enforce_constraints(new_data, meta)
+    # operationMetrics ride the staging write (CollectMetrics node) —
+    # attached AFTER the constraint probes, whose limit(1) actions would
+    # otherwise complete the observation with partial counts
+    from pyspark.sql import Observation
+
+    m_obs = Observation()
+    new_data = new_data.observe(
+        m_obs,
+        F.sum((F.col("__mop") == 1).cast("long")).alias("updated"),
+        F.sum((F.col("__mop") == 2).cast("long")).alias("inserted"),
+        F.count(F.lit(1)).alias("total"),
+    ).drop("__mop")
     merge_l2p = logical_to_physical(schema, meta.get("configuration"))
     adds = stage_data_files(
         new_data,
@@ -1393,6 +1477,22 @@ def merge_upsert(
         # a single final metaData wins over the evolution one (last-writer
         # within the commit): evolved schema + advanced identity HWMs
         md_actions = [_identity_md_action(meta, schema, ident_params)]
+    try:  # filled by the staging job's CollectMetrics node
+        m = m_obs.get
+        n_updated = int(m["updated"] or 0)
+        n_inserted = int(m["inserted"] or 0)
+        n_copied = int(m["total"]) - n_updated - n_inserted
+    except Exception:
+        n_updated = n_inserted = n_copied = None
+    live_removed = _num_records(remove_files)
+    n_deleted = (
+        live_removed - n_copied - n_updated
+        if live_removed is not None
+        and n_copied is not None
+        and n_updated is not None
+        else None
+    )
+    n_source = src.count()  # Delta reports it; sources are the small side
     commit_rewrite(
         table_path,
         "MERGE",
@@ -1407,11 +1507,20 @@ def merge_upsert(
         base_version=snap.version,
         isolation=isolation,
         read_predicates=None,
+        operation_metrics={
+            "numTargetFilesRemoved": len(remove_files),
+            "numTargetFilesAdded": len(adds),
+            "numSourceRows": n_source,
+            "numTargetRowsInserted": n_inserted,
+            "numTargetRowsUpdated": n_updated,
+            "numTargetRowsDeleted": n_deleted,
+            "numTargetRowsCopied": n_copied,
+        },
     )
     return {
         "files_removed": len(remove_files),
         "files_added": len(adds),
-        "source_rows": None,
+        "source_rows": n_source,
     }
 
 
@@ -1617,9 +1726,9 @@ def merge_upsert_mor(
                     for c in (MATERIALIZED_ROW_ID_COL, MATERIALIZED_RCV_COL)
                 ]
             pieces_new.append(
-                applied.filter(F.col("__clause").isin(update_idx)).select(
-                    *src_version
-                )
+                applied.filter(F.col("__clause").isin(update_idx))
+                .select(*src_version)
+                .withColumn("__mop", F.lit(1))
             )
         matched_keys = (
             tagged.select(*keys).join(src_keys, keys, "left_semi").distinct()
@@ -1640,7 +1749,7 @@ def merge_upsert_mor(
 
             for c in (MATERIALIZED_ROW_ID_COL, MATERIALIZED_RCV_COL):
                 ins = ins.withColumn(c, F.lit(None).cast("long"))
-        pieces_new.append(ins)
+        pieces_new.append(ins.withColumn("__mop", F.lit(2)))
 
     new_data = None
     for p in pieces_new:
@@ -1648,12 +1757,23 @@ def merge_upsert_mor(
     from .writer import _enforce_constraints
 
     new_adds: list[dict] = []
+    m_obs = None
     if new_data is not None:
+        from pyspark.sql import Observation
+
         from .writer import _apply_generated_columns, _generation_expressions
 
         if _generation_expressions(schema):
             new_data = _apply_generated_columns(new_data, schema)
         _enforce_constraints(new_data, meta)
+        # metrics ride the staging write; attached after the constraint
+        # probes (their limit(1) actions would fill partial counts)
+        m_obs = Observation()
+        new_data = new_data.observe(
+            m_obs,
+            F.sum((F.col("__mop") == 1).cast("long")).alias("updated"),
+            F.sum((F.col("__mop") == 2).cast("long")).alias("inserted"),
+        ).drop("__mop")
         new_adds = stage_data_files(
             new_data,
             table_path,
@@ -1679,11 +1799,13 @@ def merge_upsert_mor(
         removes = [f for f, _idx in pieces.touched]
         dv_adds = pieces.adds
         extra = pieces.protocol_extra
+    untouched_live: int | None = 0
     if not_matched_by_source == "delete":
         # untouched files hold ONLY unmatched rows: metadata-only removal
         touched_set = {f.path for f in touched}
         untouched = [f for f in live if f.path not in touched_set]
         removes = removes + untouched
+        untouched_live = _num_records(untouched)
         if cdf and untouched:
             cdc_frames.append((_read_cow(spark, snap, untouched), "delete"))
 
@@ -1698,6 +1820,25 @@ def merge_upsert_mor(
         md_actions = [_identity_md_action(meta, schema, ident_params)]
     if md_actions:
         extra = md_actions + list(extra or [])
+    n_updated = n_inserted = None
+    if m_obs is not None:
+        try:
+            m = m_obs.get
+            n_updated = int(m["updated"] or 0)
+            n_inserted = int(m["inserted"] or 0)
+        except Exception:
+            pass
+    # DV'd rows cover delete-clause hits, update preimages and by-source
+    # deletes in touched files; true deletes = those minus the updated
+    # rows' old versions, plus the live rows of wholesale-removed
+    # untouched files (by-source delete's metadata fast path)
+    dv_rows = pieces.rows_newly_deleted if pieces else 0
+    n_deleted = (
+        dv_rows - n_updated + untouched_live
+        if n_updated is not None and untouched_live is not None
+        else None
+    )
+    n_source = src.count()
     commit_rewrite(
         table_path,
         "MERGE",
@@ -1712,11 +1853,22 @@ def merge_upsert_mor(
         base_version=snap.version,
         isolation=isolation,
         read_predicates=None,
+        operation_metrics={
+            "numTargetFilesRemoved": len(removes) - len(dv_adds),
+            "numTargetFilesAdded": len(dv_adds) + len(new_adds),
+            "numSourceRows": n_source,
+            "numTargetRowsInserted": n_inserted,
+            "numTargetRowsUpdated": n_updated,
+            "numTargetRowsDeleted": n_deleted,
+            "numDeletionVectorsAdded": (
+                pieces.dv_files_written if pieces else 0
+            ),
+        },
     )
     return {
         "files_removed": len(removes) - len(dv_adds),
         "files_added": len(dv_adds) + len(new_adds),
-        "source_rows": None,
+        "source_rows": n_source,
         "dv_files_written": pieces.dv_files_written if pieces else 0,
     }
 

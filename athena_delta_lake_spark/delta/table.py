@@ -70,6 +70,13 @@ class DeltaTable:
     def snapshot(self, version: int | None = None) -> SnapshotState:
         return self.log.snapshot(version)
 
+    def snapshot_light(self, version: int | None = None):
+        """Driver-light snapshot for the 10^7+ file regime: the header
+        replays without materializing checkpoint AddFiles; file metadata
+        is consumed via files_df()/prune_df() where executors read the
+        checkpoint parquet (log.LightSnapshot)."""
+        return self.log.snapshot_light(version)
+
     def schema(self, version: int | None = None) -> T.StructType:
         return self.snapshot(version).schema
 

@@ -758,6 +758,7 @@ def commit_rewrite(
     isolation: str = "write_serializable",
     read_predicates: list | None = None,
     ict_config: dict | None = None,
+    operation_metrics: dict | None = None,
 ) -> int:
     """Commit a file-rewrite transaction: `remove` the replaced files and
     `add` their rewrites in ONE atomic version — the copy-on-write commit
@@ -802,16 +803,19 @@ def commit_rewrite(
             "'write_serializable' (default) or 'serializable'"
         )
     now = int(time.time() * 1000)
-    actions: list[dict] = [
-        {
-            "commitInfo": {
-                "timestamp": now,
-                "operation": operation,
-                "operationParameters": operation_parameters or {},
-                "engineInfo": "athena_delta_lake_spark",
-            }
+    commit_info: dict = {
+        "timestamp": now,
+        "operation": operation,
+        "operationParameters": operation_parameters or {},
+        "engineInfo": "athena_delta_lake_spark",
+    }
+    if operation_metrics:
+        # Delta convention: operationMetrics values are strings; None
+        # values mean "not derivable for this commit" and are omitted
+        commit_info["operationMetrics"] = {
+            k: str(v) for k, v in operation_metrics.items() if v is not None
         }
-    ]
+    actions: list[dict] = [{"commitInfo": commit_info}]
     actions.extend(extra_actions or [])
     from urllib.parse import quote
 

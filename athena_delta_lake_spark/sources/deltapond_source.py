@@ -371,11 +371,16 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         # NO default file cap, deliberately diverging from delta-spark's
         # default-1000: its engine exposes ReadLimit/availableNow APIs
         # that let a capped source still drain fully under
-        # Trigger.AvailableNow; the Python DataSource API does not, so a
-        # default cap would make plain availableNow streams silently
-        # return ZERO rows (the engine captures the empty floor offset as
-        # its terminal target). Backfills SHOULD set an explicit cap —
-        # see the admission-control options above.
+        # Trigger.AvailableNow; the Python DataSource API does not (the
+        # engine calls latestOffset ONCE per availableNow run and
+        # captures it as the terminal — verified empirically, round 7),
+        # so a default cap would turn plain availableNow into
+        # one-capped-batch-per-run. Since round 7 that batch is NON-EMPTY
+        # (the fresh-start latestOffset admits a chunk instead of the
+        # bare floor), and streaming.drain_backlog loops capped
+        # availableNow runs for bounded, checkpointed, exactly-once
+        # catch-up over huge backlogs. Explicit caps remain the
+        # recommended backfill posture.
         mfpt = options.get("maxFilesPerTrigger")
         self._max_files = (
             None
@@ -395,13 +400,13 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         # latestOffset() (before initialOffset) as the terminal target and
         # never asks again — the Python DataSource API (Spark 4.1) exposes
         # no ReadLimit/prepareForTriggerAvailableNow hook, so per-batch
-        # caps CANNOT bound an engine-driven availableNow drain. Set
+        # caps CANNOT chunk a single engine-driven availableNow drain.
+        # With caps, each availableNow run drains exactly ONE capped
+        # batch (non-empty since round 7); streaming.drain_backlog loops
+        # such runs until empty for bounded exactly-once catch-up. Set
         # availableNow=true alongside .trigger(availableNow=True) to
-        # bypass the caps for that run (whole backlog, one batch, clean
-        # self-termination). For BOUNDED catch-up with caps, run repeated
-        # once-triggers against a checkpoint instead — each run consumes
-        # one capped batch exactly-once (tests/test_deltapond_source.py::
-        # test_stream_source_bounded_catchup_via_once_triggers).
+        # bypass the caps for a run (whole backlog, one batch, clean
+        # self-termination).
         self._available_now = (
             str(options.get("availableNow", "false")).lower() == "true"
         )
@@ -515,16 +520,21 @@ class DeltaPondStreamReader(DataSourceStreamReader):
             return {"version": latest}
         if self._position is None:
             # First call of a FRESH start (this API gives latestOffset no
-            # start offset, and it can run before initialOffset): return
-            # the stream's floor — an empty first batch — so the cap can
-            # engage next trigger. On checkpoint RESTARTS the engine calls
-            # partitions()/commit() during recovery before ever asking for
-            # a new offset (verified empirically), so position is known and
-            # this branch cannot move offsets backward.
+            # start offset, and it can run before initialOffset): anchor
+            # at the stream's floor and fall through to the admission
+            # walk, so the FIRST offset already admits one capped chunk.
+            # Returning the bare floor here (as before round 7) made
+            # Trigger.AvailableNow capture an EMPTY terminal offset and
+            # drain zero rows silently — now each availableNow run drains
+            # exactly one bounded batch (see streaming.drain_backlog for
+            # the loop-until-empty catch-up). On checkpoint RESTARTS the
+            # engine calls partitions()/commit() during recovery before
+            # ever asking for a new offset (verified empirically), so
+            # position is known and this branch cannot move offsets
+            # backward.
             floor = self._floor_version(log)
             self._advance((floor, None))
-            self._trace(f"latestOffset floor -> {floor}")
-            return {"version": floor}
+            self._trace(f"latestOffset fresh floor {floor}, admitting")
         v0, i0 = self._position
         max_v = latest
         if self._max_commits is not None:

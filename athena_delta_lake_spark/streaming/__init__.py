@@ -197,3 +197,60 @@ __all__ = [
     "delta_append_sink",
     "running_totals",
 ]
+
+
+def drain_backlog(
+    spark: SparkSession,
+    source_path: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1000,
+    reader_options: dict | None = None,
+    max_runs: int = 10_000,
+) -> dict:
+    """Bounded catch-up over a deltapond backlog: repeatedly run a plain
+    Trigger.AvailableNow query against ONE checkpoint until the source is
+    drained, each run consuming at most `max_files_per_trigger` add files
+    (or the byte budget in `reader_options`). The deltapond sink keeps it
+    exactly-once across runs (offsets + batch-id txn dedup), so a crash
+    between runs resumes where it stopped.
+
+    Why a loop of runs instead of one run of many batches: Spark's Python
+    DataSource API (4.1) exposes no ReadLimit /
+    prepareForTriggerAvailableNow hook, and the engine provably calls the
+    source's latestOffset exactly ONCE per availableNow run — before
+    initialOffset — capturing it as the terminal offset (empirically:
+    batches==1 regardless of backlog). A capped source therefore drains
+    exactly one bounded batch per run, and looping runs IS the bounded
+    availableNow catch-up: a 100 TB backfill proceeds in
+    restartable, checkpointed increments instead of one giant
+    all-or-nothing batch.
+
+    Returns {"runs": N, "rows": total_rows_written}.
+    """
+    total_rows = 0
+    runs = 0
+    for _ in range(max_runs):
+        reader = (
+            spark.readStream.format("deltapond")
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+        )
+        for k, v in (reader_options or {}).items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load(source_path)
+            .writeStream.format("deltapond")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start(sink_path)
+        )
+        q.awaitTermination()
+        runs += 1
+        progress = q.lastProgress
+        batch_rows = (
+            int(progress["numInputRows"]) if progress is not None else 0
+        )
+        total_rows += batch_rows
+        if batch_rows == 0:
+            break  # drained: the capped admission found nothing new
+    return {"runs": runs, "rows": total_rows}

@@ -919,3 +919,79 @@ def test_stream_truncate_and_replace_commits(spark, tmp_path):
         assert got == [0, 50, 51, 52, 100]  # v2 inserts + replacement rows
     finally:
         q3.stop()
+
+
+def test_bounded_catchup_drains_5000_file_backlog(spark, tmp_path):
+    """Round-7 ask #5: a 5000-file backlog streams in BOUNDED batches
+    under plain Trigger.AvailableNow — each run drains exactly one capped
+    batch (the first latestOffset now admits a chunk instead of the empty
+    floor, so availableNow no longer captures a zero-row terminal), and
+    streaming.drain_backlog loops runs until empty with exactly-once
+    totals."""
+    from athena_delta_lake_spark.streaming import drain_backlog
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    cp = str(tmp_path / "cp")
+    # 5 commits x 1000 files = a 5000-file backlog of 10000 rows
+    for i in range(5):
+        write_delta(
+            spark.range(i * 2000, (i + 1) * 2000)
+            .selectExpr("id")
+            .repartition(1000),
+            src,
+        )
+    snap = DeltaTable(spark, src).snapshot()
+    n_files = len(snap.files)
+    assert n_files > 4000  # empty repartition slots write no file
+
+    res = drain_backlog(
+        spark,
+        src,
+        sink,
+        cp,
+        max_files_per_trigger=1000,
+        reader_options={"startingVersion": 0},
+    )
+    # ~1000 files per run -> ceil(n/1000) productive runs + 1 empty probe
+    # (a run may admit slightly more than the cap when it finishes the
+    # commit it lands in mid-budget, hence <=)
+    assert 2 <= res["runs"] <= -(-n_files // 1000) + 2, (res, n_files)
+    assert res["rows"] == 10_000, res
+    out = DeltaTable(spark, sink).to_df()
+    assert out.count() == 10_000
+    assert out.distinct().count() == 10_000  # exactly-once
+
+    # re-invoking against the same checkpoint is a no-op (idempotent)
+    res2 = drain_backlog(
+        spark, src, sink, cp, max_files_per_trigger=1000,
+        reader_options={"startingVersion": 0},
+    )
+    assert res2 == {"runs": 1, "rows": 0}
+    assert DeltaTable(spark, sink).to_df().count() == 10_000
+
+
+def test_availablenow_with_caps_drains_one_bounded_batch(spark, tmp_path):
+    """The round-6 trap is gone: caps + plain availableNow no longer
+    silently produce ZERO rows — the run drains exactly one capped
+    batch."""
+    src = str(tmp_path / "src")
+    for i in range(4):
+        write_delta(
+            spark.range(i * 30, (i + 1) * 30).selectExpr("id").repartition(3),
+            src,
+        )
+    q = (
+        spark.readStream.format("deltapond")
+        .option("startingVersion", 0)
+        .option("maxFilesPerTrigger", 3)
+        .load(src)
+        .writeStream.format("memory")
+        .queryName("an_cap_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(*) AS n FROM an_cap_out").first()["n"]
+    assert n == 30  # one 3-file commit, not 0 and not the whole backlog

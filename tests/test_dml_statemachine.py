@@ -32,6 +32,22 @@ def _table_state(spark, path) -> list[tuple]:
     return sorted(tuple(r) for r in df.select(*df.columns[:3]).collect())
 
 
+def _last_op_metrics(path: str) -> dict:
+    """operationMetrics of the LATEST commit's commitInfo (round-7 DML
+    metrics parity: numSourceRows / numTargetRowsInserted/Updated/Deleted
+    per Delta convention, asserted against the model's own delta)."""
+    import json
+    import os
+
+    v = DeltaLog(path).latest_version()
+    with open(os.path.join(path, "_delta_log", f"{v:020d}.json")) as f:
+        for line in f:
+            ci = json.loads(line).get("commitInfo")
+            if ci is not None:
+                return ci.get("operationMetrics") or {}
+    return {}
+
+
 def _model_state(model: pd.DataFrame) -> list[tuple]:
     return sorted(
         (int(r.id), int(r.k), float(r.v)) for r in model.itertuples(index=False)
@@ -154,6 +170,13 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
             src = spark.createDataFrame(src_rows_w, schema_s)
             t.merge(src, keys=["id"], mode="mor" if op == "merge_mor" else "cow")
             present = set(model.id)
+            want_updated = int(model.id.isin({r[0] for r in src_rows}).sum())
+            want_inserted = sum(1 for r in src_rows if r[0] not in present)
+            m = _last_op_metrics(path)
+            assert m.get("numSourceRows") == str(len(src_rows)), m
+            assert m.get("numTargetRowsInserted") == str(want_inserted), m
+            assert m.get("numTargetRowsUpdated") == str(want_updated), m
+            assert m.get("numTargetRowsDeleted") in (None, "0"), m
             for i, k, v in src_rows:
                 if i in present:
                     model.loc[model.id == i, ["k", "v"]] = [i % 5, v]

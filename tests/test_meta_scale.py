@@ -71,3 +71,29 @@ def test_checkpointed_prune_equality(spark, synth):
     py = prune_files(snap, PREDS)
     dist = prune_files_distributed(spark, snap, PREDS)
     assert [f.path for f in dist] == [f.path for f in py]
+
+
+def test_light_snapshot_equality_on_synthetic_log(spark, synth):
+    """snapshot_light == classic snapshot on the synthetic checkpointed
+    log (round-7 ask #6) — file set, header, and prune answers."""
+    # reuse the checkpoint test_checkpoint_roundtrip_multipart wrote (a
+    # second part-set at the same version would collide); write one only
+    # when this test runs in isolation
+    import os as _os
+
+    if not any(
+        ".checkpoint." in n
+        for n in _os.listdir(_os.path.join(synth, "_delta_log"))
+    ):
+        write_checkpoint(synth, parts=2)
+    DeltaLog.clear_cache()
+    log = DeltaLog(synth)
+    snap = log.snapshot()
+    light = log.snapshot_light()
+    assert light.version == snap.version
+    assert light.metadata == snap.metadata
+    assert len(light.overlay_adds) == 0  # checkpoint covers everything
+    assert light.files_df(spark).count() == snap.num_files
+    want = sorted(f.path for f in prune_files(snap, PREDS))
+    got = sorted(r["path"] for r in light.prune_df(spark, PREDS).collect())
+    assert got == want

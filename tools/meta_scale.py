@@ -18,7 +18,15 @@ reference's one known scalability bug was exactly metadata-plane
 behavior at the 100 TB file-count regime instead of asserting it.
 
 Usage: python tools/meta_scale.py [n_files] [adds_per_commit]
+       python tools/meta_scale.py [n_files] [adds_per_commit] --light
 Prints one JSON line with the measurements (recorded in PERF_TRIAGE_r6).
+
+--light (round-7 ask #6): measure the DRIVER-LIGHT snapshot path
+(DeltaLog.snapshot_light + LightSnapshot.files_df/prune_df) in a FRESH
+process against a table prepared by a prior normal run — peak RSS then
+reflects only the light path, which holds no AddFiles: O(header + tail)
+driver memory at ANY file count. The classic path measured 8.6 GiB RSS
+at 10^7 adds; the light path's bar is < 2 GiB.
 """
 
 from __future__ import annotations
@@ -116,11 +124,15 @@ def build_log(root: str, n_files: int, per_commit: int) -> str:
 
 
 def main() -> int:
-    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    per_commit = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    light_mode = "--light" in sys.argv
+    n_files = int(args[0]) if args else 100_000
+    per_commit = int(args[1]) if len(args) > 1 else 2_000
     out: dict = {"n_files": n_files, "adds_per_commit": per_commit}
 
     root = os.environ.get("ADLS_META_SCALE_ROOT", "/tmp/adls_meta_scale")
+    if light_mode:
+        return light_main(root, n_files, out)
     t0 = time.time()
     path = build_log(root, n_files, per_commit)
     out["build_log_s"] = round(time.time() - t0, 2)
@@ -183,6 +195,51 @@ def main() -> int:
     fdf_count = snap.files_df(spark).count()
     out["files_df_s"] = round(time.time() - t0, 2)
     assert fdf_count == n_files
+    out["rss_final_mib"] = round(rss_mib(), 1)
+    spark.stop()
+    print(json.dumps(out))
+    return 0
+
+
+def light_main(root: str, n_files: int, out: dict) -> int:
+    """Measure snapshot_light + files_df + prune_df against the table a
+    prior normal run prepared (checkpoint included) — fresh process, so
+    RSS is the light path's own footprint."""
+    from athena_delta_lake_spark import get_spark
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    path = os.path.join(root, "meta_scale_tbl")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        print(
+            json.dumps({"error": "run the normal mode first to build the "
+                        "table + checkpoint"}),
+        )
+        return 1
+    out["mode"] = "light"
+    out["rss_before_mib"] = round(rss_mib(), 1)
+    t0 = time.time()
+    light = DeltaLog(path).snapshot_light()
+    out["snapshot_light_s"] = round(time.time() - t0, 2)
+    out["rss_after_light_mib"] = round(rss_mib(), 1)
+    out["overlay_adds"] = len(light.overlay_adds)
+    out["checkpoint_parts"] = len(light.checkpoint_paths)
+
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        shuffle_partitions=16,
+    )
+    t0 = time.time()
+    n = light.files_df(spark).count()
+    out["files_df_count_s"] = round(time.time() - t0, 2)
+    assert n == n_files, (n, n_files)
+    preds = [
+        ("day", ">=", "2024-03-01"),
+        ("day", "<", "2024-04-01"),
+        ("id", ">=", 1_000_000_000),
+    ]
+    t0 = time.time()
+    out["prune_df_survivors"] = light.prune_df(spark, preds).count()
+    out["prune_df_s"] = round(time.time() - t0, 2)
     out["rss_final_mib"] = round(rss_mib(), 1)
     spark.stop()
     print(json.dumps(out))
