@@ -839,21 +839,42 @@ def _normalize_matched_clauses(
     when_matched: str,
     matched_condition: str | None,
     matched_clauses,
-) -> list[tuple[str | None, str]]:
-    """-> ordered [(condition|None, 'update'|'delete'), ...] with
-    first-match-wins semantics. `matched_clauses` (the multi-clause form)
-    and the legacy single-clause args are mutually exclusive."""
+) -> tuple[list[tuple[str | None, str]], list[dict | None]]:
+    """-> (ordered [(condition|None, 'update'|'delete'), ...],
+    parallel [assignments|None, ...]) with first-match-wins semantics.
+
+    A matched_clauses entry may be (condition, action) — UPDATE SET * /
+    DELETE — or (condition, 'update', {col: sql_expr}) for per-column
+    `UPDATE SET col = expr` (round 7): assigned expressions see t./s.
+    aliases, unassigned columns keep the TARGET row's value.
+    `matched_clauses` and the legacy single-clause args are mutually
+    exclusive."""
     if matched_clauses is not None:
         if matched_condition is not None:
             raise ValueError(
                 "pass conditions inside matched_clauses, not matched_condition"
             )
-        clauses = [tuple(c) for c in matched_clauses]
+        entries = [tuple(c) for c in matched_clauses]
     else:
-        clauses = [(matched_condition, when_matched)]
-    for cond_s, act in clauses:
+        entries = [(matched_condition, when_matched)]
+    clauses: list[tuple[str | None, str]] = []
+    assigns: list[dict | None] = []
+    for e in entries:
+        if len(e) == 2:
+            cond_s, act = e
+            a = None
+        elif len(e) == 3:
+            cond_s, act, a = e
+            if a is not None and act != "update":
+                raise ValueError(
+                    "assignments only apply to 'update' matched clauses"
+                )
+        else:
+            raise ValueError(f"bad matched clause shape: {e!r}")
         if act not in ("update", "delete"):
             raise ValueError(f"matched clause action must be update|delete: {act!r}")
+        clauses.append((cond_s, act))
+        assigns.append(dict(a) if a else None)
     # every clause after an UNconditional one is dead (first match wins)
     for cond_s, _act in clauses[:-1]:
         if cond_s is None:
@@ -861,7 +882,7 @@ def _normalize_matched_clauses(
                 "only the last matched clause may be unconditional "
                 "(earlier clauses would shadow everything after them)"
             )
-    return clauses
+    return clauses, assigns
 
 
 def _insert_only_merge(
@@ -1103,7 +1124,7 @@ def merge_upsert(
     post-join filter, exactly how Spark executes mixed equi/non-equi
     joins).
     """
-    clauses = _normalize_matched_clauses(
+    clauses, clause_assigns = _normalize_matched_clauses(
         when_matched, matched_condition, matched_clauses
     )
     if when_not_matched not in ("insert", None):
@@ -1346,15 +1367,54 @@ def merge_upsert(
             )
             for c in non_keys
         ] + carried
+        field_types2 = {f.name: f.dataType for f in schema.fields}
+
+        def _assigned_version(a: dict):
+            # per-column UPDATE SET col = expr: assigned expressions see
+            # t./s.; every unassigned column keeps the TARGET row's value
+            for col_ in a:
+                if col_ not in field_types2:
+                    raise ValueError(f"SET on unknown column: {col_}")
+            out = []
+            for k_, base in zip(keys, tgt_keys_sel):
+                out.append(
+                    F.expr(a[k_]).cast(field_types2[k_]).alias(k_)
+                    if k_ in a
+                    else base
+                )
+            for c in non_keys:
+                out.append(
+                    F.expr(a[c]).cast(field_types2[c]).alias(c)
+                    if c in a
+                    else F.col(f"t.{c}").alias(c)
+                )
+            return out + carried
+
         pieces.append(
             applied.filter(F.col("__clause") == -1).select(*tgt_version)
         )
         piece_kinds.append("copied")
-        update_idx = [i for i, (_c, a) in enumerate(clauses) if a == "update"]
+        update_idx = [
+            i
+            for i, (_c, a) in enumerate(clauses)
+            if a == "update" and clause_assigns[i] is None
+        ]
+        assigned_idx = [
+            i
+            for i, (_c, a) in enumerate(clauses)
+            if a == "update" and clause_assigns[i] is not None
+        ]
         if update_idx:
             pieces.append(
                 applied.filter(F.col("__clause").isin(update_idx)).select(
                     *src_version
+                )
+            )
+            piece_kinds.append("updated")
+        for i in assigned_idx:
+            pieces.append(
+                applied.filter(F.col("__clause") == i).select(
+                    *_assigned_version(clause_assigns[i])
                 )
             )
             piece_kinds.append("updated")
@@ -1377,6 +1437,17 @@ def merge_upsert(
                 )
                 cdc_frames.append(
                     (upd.select(*src_version), "update_postimage")
+                )
+            for i in assigned_idx:
+                upd = applied.filter(F.col("__clause") == i)
+                cdc_frames.append(
+                    (upd.select(*tgt_version), "update_preimage")
+                )
+                cdc_frames.append(
+                    (
+                        upd.select(*_assigned_version(clause_assigns[i])),
+                        "update_postimage",
+                    )
                 )
     # else: the single unconditional DELETE clause — matched rows simply
     # vanish, no join needed (the anti-join survivor piece above covers
@@ -1551,7 +1622,7 @@ def merge_upsert_mor(
     mechanics shared with delete_mor via `_dv_pieces`."""
     from .reader import read_files_with_index
 
-    clauses = _normalize_matched_clauses(
+    clauses, clause_assigns = _normalize_matched_clauses(
         when_matched, matched_condition, matched_clauses
     )
     if when_not_matched not in ("insert", None):
@@ -1669,7 +1740,36 @@ def merge_upsert_mor(
                 tagged.join(src_keys, keys, "left_anti").select("_file", "_row_idx")
             )
         staged = _stage_dvs(spark, table_path, dv_rows, touched)
-        update_idx = [i for i, (_c, a) in enumerate(clauses) if a == "update"]
+        update_idx = [
+            i
+            for i, (_c, a) in enumerate(clauses)
+            if a == "update" and clause_assigns[i] is None
+        ]
+        assigned_idx = [
+            i
+            for i, (_c, a) in enumerate(clauses)
+            if a == "update" and clause_assigns[i] is not None
+        ]
+        field_types2 = {f.name: f.dataType for f in schema.fields}
+
+        def _assigned_version_mor(a: dict, carried_cols):
+            for col_ in a:
+                if col_ not in field_types2:
+                    raise ValueError(f"SET on unknown column: {col_}")
+            out = []
+            for k_ in keys:
+                out.append(
+                    F.expr(a[k_]).cast(field_types2[k_]).alias(k_)
+                    if k_ in a
+                    else F.col(k_)
+                )
+            for c in non_keys:
+                out.append(
+                    F.expr(a[c]).cast(field_types2[c]).alias(c)
+                    if c in a
+                    else F.col(f"t.{c}").alias(c)
+                )
+            return out + carried_cols
         if cdf:
             tgt_version_cdc = [F.col(k) for k in keys] + [
                 F.col(f"t.{c}").alias(c) for c in non_keys
@@ -1701,6 +1801,19 @@ def merge_upsert_mor(
                 cdc_frames.append(
                     (upd.select(*src_version_cdc), "update_postimage")
                 )
+            for i in assigned_idx:
+                upd = applied.filter(F.col("__clause") == i)
+                cdc_frames.append(
+                    (upd.select(*tgt_version_cdc), "update_preimage")
+                )
+                cdc_frames.append(
+                    (
+                        upd.select(
+                            *_assigned_version_mor(clause_assigns[i], [])
+                        ),
+                        "update_postimage",
+                    )
+                )
             if not_matched_by_source == "delete":
                 cdc_frames.append(
                     (tagged.join(src_keys, keys, "left_anti"), "delete")
@@ -1728,6 +1841,23 @@ def merge_upsert_mor(
             pieces_new.append(
                 applied.filter(F.col("__clause").isin(update_idx))
                 .select(*src_version)
+                .withColumn("__mop", F.lit(1))
+            )
+        for i in assigned_idx:
+            carried_mor = []
+            if rt_mor:
+                from .writer import (
+                    MATERIALIZED_RCV_COL,
+                    MATERIALIZED_ROW_ID_COL,
+                )
+
+                carried_mor = [
+                    F.col(f"t.{c}").alias(c)
+                    for c in (MATERIALIZED_ROW_ID_COL, MATERIALIZED_RCV_COL)
+                ]
+            pieces_new.append(
+                applied.filter(F.col("__clause") == i)
+                .select(*_assigned_version_mor(clause_assigns[i], carried_mor))
                 .withColumn("__mop", F.lit(1))
             )
         matched_keys = (

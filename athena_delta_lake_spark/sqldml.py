@@ -931,17 +931,30 @@ def _route_merge(pond, p, text: str) -> DataFrame:
             return None
         return _norm(c.sql())
 
-    clauses: list[tuple[str | None, str]] = []
+    clauses: list[tuple] = []
     for a in _seq(p.matchedActions()):
         kind = _cls(a)
         if kind == "UpdateStarAction":
             clauses.append((_cond_sql(a.condition()), "update"))
         elif kind == "DeleteAction":
             clauses.append((_cond_sql(a.condition()), "delete"))
+        elif kind == "UpdateAction":
+            # per-column `UPDATE SET col = expr` (round 7): assignment
+            # expressions normalized to t./s. aliases; unassigned columns
+            # keep the target row's value (engine semantics)
+            assigns: dict[str, str] = {}
+            for asg in _seq(a.assignments()):
+                key_parts = (
+                    _seq(asg.key().nameParts())
+                    if _cls(asg.key()) == "UnresolvedAttribute"
+                    else [asg.key().sql().strip("`")]
+                )
+                assigns[key_parts[-1]] = _norm(asg.value().sql())
+            clauses.append((_cond_sql(a.condition()), "update", assigns))
         else:
             raise ValueError(
                 f"unsupported WHEN MATCHED action {kind} "
-                "(UPDATE SET * and DELETE are supported)"
+                "(UPDATE SET */SET col = expr and DELETE are supported)"
             )
 
     when_not_matched = None

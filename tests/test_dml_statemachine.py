@@ -113,7 +113,7 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
                 "merge", "merge_mor", "optimize", "checkpoint", "rename",
                 "clone", "replace_where", "widen", "restore",
                 "deep_of_shallow", "merge_evolve", "optimize_where",
-                "reorg", "truncate", "merge_on",
+                "reorg", "truncate", "merge_on", "merge_assign",
             ]
         )
         t = DeltaTable(spark, path)
@@ -186,6 +186,42 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
                         ignore_index=True,
                     )
             next_id = max(next_id, lo + 15)
+        elif op == "merge_assign":
+            # round-7 per-column UPDATE SET col = expr: assigned columns
+            # mix t./s. expressions, unassigned keep the TARGET value —
+            # over CDF/row-tracking/mapping state like every other op
+            lo = rng.randint(0, max(next_id - 8, 1))
+            src_rows = [(i, (i + 1) % 5, 7.0) for i in range(lo, lo + 10)]
+            schema_s = f"id long, k long, {vname} {vtype}"
+            if has_extra:
+                schema_s += ", extra double"
+                src_rows_w = [(*r, None) for r in src_rows]
+            else:
+                src_rows_w = src_rows
+            t.merge(
+                spark.createDataFrame(src_rows_w, schema_s),
+                keys=["id"],
+                matched_clauses=[
+                    (None, "update", {vname: f"t.{vname} + s.{vname}"})
+                ],
+                when_not_matched="insert",
+                mode=rng.choice(["cow", "mor"]),
+            )
+            present = set(model.id)
+            for i, k, v in src_rows:
+                if i in present:
+                    # assigned: v += 7; unassigned k keeps TARGET value
+                    model = model.copy()
+                    model.loc[model.id == i, "v"] += v
+                else:
+                    model = pd.concat(
+                        [
+                            model,
+                            pd.DataFrame([(i, k, v)], columns=["id", "k", "v"]),
+                        ],
+                        ignore_index=True,
+                    )
+            next_id = max(next_id, lo + 10)
         elif op == "merge_on":
             # round-7 arbitrary ON: renamed source key + TARGET-side
             # residual. True ON semantics — a source id whose target rows

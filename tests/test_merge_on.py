@@ -324,3 +324,94 @@ def test_sql_merge_no_equi_key_refused(spark, pond):
             "MERGE INTO lake.n t USING mn_t s ON t.id > s.id "
             "WHEN MATCHED THEN UPDATE SET *"
         )
+
+
+# ----------------------------------- per-column UPDATE SET col = expr (r7)
+
+
+def test_api_merge_assignments_cow(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+            "id long, n long, v string",
+        ),
+        path,
+    )
+    t = DeltaTable(spark, path)
+    src = spark.createDataFrame(
+        [(1, 5, "X"), (9, 9, "NEW")], "id long, n long, v string"
+    )
+    # assigned expr mixes both sides; unassigned v keeps the TARGET value
+    t.merge(
+        src,
+        keys=["id"],
+        matched_clauses=[(None, "update", {"n": "t.n + s.n"})],
+        when_not_matched="insert",
+    )
+    got = _rows(t.to_df(), "id", "n", "v")
+    assert got == [(1, 15, "a"), (2, 20, "b"), (3, 30, "c"), (9, 9, "NEW")]
+
+
+def test_api_merge_assignments_mor_and_conditional(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, 40, "z")],
+            "id long, n long, v string",
+        ).coalesce(1),
+        path,
+    )
+    t = DeltaTable(spark, path)
+    src = spark.createDataFrame(
+        [(1, 100, "u"), (2, 200, "d"), (3, 300, "u")],
+        "id long, n long, v string",
+    )
+    t.merge(
+        src,
+        keys=["id"],
+        matched_clauses=[
+            ("s.v = 'd'", "delete"),
+            (None, "update", {"v": "upper(s.v)", "n": "s.n - t.n"}),
+        ],
+        when_not_matched=None,
+        mode="mor",
+    )
+    got = _rows(t.to_df(), "id", "n", "v")
+    assert got == [(1, 90, "U"), (3, 270, "U"), (4, 40, "z")]
+    assert any(f.deletion_vector for f in t.snapshot().files)
+
+
+def test_sql_merge_per_column_set(spark, pond):
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "id long, n long"
+    ).createOrReplaceTempView("pcs_t")
+    pond.sql("CREATE TABLE lake.pc AS SELECT * FROM pcs_t")
+    spark.createDataFrame(
+        [(1, 7), (5, 50)], "id long, n long"
+    ).createOrReplaceTempView("pcs_s")
+    pond.sql(
+        "MERGE INTO lake.pc t USING pcs_s s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET n = t.n + s.n "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = _rows(pond.sql("SELECT id, n FROM lake.pc"), "id", "n")
+    assert got == [(1, 17), (2, 20), (5, 50)]
+
+
+def test_sql_merge_per_column_set_with_renamed_key(spark, pond):
+    """Assignments referencing the renamed source key are rewritten to
+    the target name (the source frame is renamed before the engine)."""
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "id long, n long"
+    ).createOrReplaceTempView("pcr_t")
+    pond.sql("CREATE TABLE lake.pr AS SELECT * FROM pcr_t")
+    spark.createDataFrame(
+        [(1, 3)], "sid long, n long"
+    ).createOrReplaceTempView("pcr_s")
+    pond.sql(
+        "MERGE INTO lake.pr t USING pcr_s s ON t.id = s.sid "
+        "WHEN MATCHED THEN UPDATE SET n = s.sid * 100 + s.n"
+    )
+    got = _rows(pond.sql("SELECT id, n FROM lake.pr"), "id", "n")
+    assert got == [(1, 103), (2, 20)]
