@@ -189,11 +189,19 @@ def _open_binary(path: str, mode: str):
     (dml._stage_dvs / the scan's DV anti-join), where the JVM Hadoop
     facade is unreachable — pyarrow.fs is the process-local equivalent
     (LocalFileSystem, S3FileSystem, HadoopFileSystem where libhdfs is
-    present); an unsupported scheme fails loudly with pyarrow's error."""
+    present); an unsupported scheme fails loudly with pyarrow's error.
+
+    Hadoop scheme aliases map to the pyarrow-native scheme (s3a/s3n ->
+    s3, abfss/wasbs -> abfs): Spark configs name the Hadoop connector,
+    but the bytes live in the same store pyarrow reaches natively."""
     if "://" in path and not path.startswith("file://"):
         import pyarrow.fs as pafs
 
-        fs, p = pafs.FileSystem.from_uri(path)
+        scheme, rest = path.split("://", 1)
+        scheme = {"s3a": "s3", "s3n": "s3", "abfss": "abfs", "wasbs": "abfs", "wasb": "abfs"}.get(
+            scheme, scheme
+        )
+        fs, p = pafs.FileSystem.from_uri(f"{scheme}://{rest}")
         return fs.open_input_file(p) if mode == "rb" else fs.open_output_stream(p)
     p = path[len("file://") :] if path.startswith("file://") else path
     return open(p, mode)

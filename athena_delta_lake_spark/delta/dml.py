@@ -463,7 +463,7 @@ def update(
     preds, cond, _ = _normalize_where(where) if where is not None else ([], F.lit(True), True)
     candidates = prune_files_auto(spark, snap, preds) if preds else list(snap.files)
     if not candidates:
-        return {"files_removed": 0, "files_added": 0}
+        return {"files_removed": 0, "files_added": 0, "rows_updated": 0}
 
     df0 = _read_cow(spark, snap, candidates)
     field_types = {f.name: f.dataType for f in snap.schema.fields}
@@ -1950,7 +1950,9 @@ def merge_upsert_mor(
         md_actions = [_identity_md_action(meta, schema, ident_params)]
     if md_actions:
         extra = md_actions + list(extra or [])
-    n_updated = n_inserted = None
+    # no new-row pieces (delete-only merge) means ZERO updates/inserts —
+    # known, not unknown; the observation refines the counts otherwise
+    n_updated = n_inserted = 0 if m_obs is None else None
     if m_obs is not None:
         try:
             m = m_obs.get
@@ -2393,7 +2395,10 @@ def vacuum(
             ):
                 try:
                     fs.delete(os.path.join(table_path, d))
-                except (OSError, FileNotFoundError):
+                except Exception:
+                    # best-effort: HadoopFS raises Py4JJavaError (not
+                    # OSError) for a non-empty dir; empty-dir pruning must
+                    # never fail a VACUUM whose deletes already happened
                     pass
     return {"files": sorted(doomed), "deleted": not dry_run}
 

@@ -359,11 +359,17 @@ def _history_traces(feature: str, log_dir: str) -> list[str]:
 
                 import pyarrow.parquet as pq
 
+                from .fs import LocalFS, strip_file_scheme
+
                 try:
+                    # LocalFS: memory-mapped, column-pruned read — never
+                    # slurp a GB-scale checkpoint just to inspect one
+                    # column; remote paths pay the byte read (rare op)
+                    full = os.path.join(log_dir, name)
                     pf = pq.ParquetFile(
-                        io.BytesIO(
-                            fs.read_bytes(os.path.join(log_dir, name))
-                        )
+                        strip_file_scheme(full)
+                        if isinstance(fs, LocalFS)
+                        else io.BytesIO(fs.read_bytes(full))
                     )
                     if any(c.name == "add" for c in pf.schema_arrow):
                         tbl = pf.read(columns=["add"]).flatten()

@@ -107,7 +107,9 @@ class LocalFS:
     def is_dir(self, path: str) -> bool:
         return os.path.isdir(strip_file_scheme(path))
 
-    def read_checkpoint_rows(self, paths: list[str], columns: list[str]):
+    def read_checkpoint_rows(
+        self, paths: list[str], columns: list[str], drop_all_null: bool = False
+    ):
         """Yield checkpoint action rows as dicts (pyarrow, batched)."""
         import pyarrow.parquet as pq
 
@@ -115,7 +117,12 @@ class LocalFS:
             pf = pq.ParquetFile(strip_file_scheme(p))
             cols = [c for c in columns if c in pf.schema_arrow.names]
             for batch in pf.iter_batches(columns=cols):
-                yield from batch.to_pylist()
+                for row in batch.to_pylist():
+                    if drop_all_null and not any(
+                        v is not None for v in row.values()
+                    ):
+                        continue
+                    yield row
 
     def read_checkpoint_batches(self, paths: list[str], columns: list[str]):
         """Yield pyarrow RecordBatches of checkpoint actions — the
@@ -239,10 +246,25 @@ class HadoopFS:
         fs, jpath = self._fs_path(path)
         return bool(fs.exists(jpath) and fs.getFileStatus(jpath).isDirectory())
 
-    def read_checkpoint_rows(self, paths: list[str], columns: list[str]):
+    def read_checkpoint_rows(
+        self, paths: list[str], columns: list[str], drop_all_null: bool = False
+    ):
+        """drop_all_null: filter out rows where EVERY requested column is
+        null BEFORE collecting — the header-only fold of snapshot_light
+        needs ~5 rows of a 10^7-row checkpoint, not 10^7 null Rows shipped
+        through py4j."""
+        from pyspark.sql import functions as F
+
         df = self.spark.read.parquet(*paths)
         cols = [c for c in columns if c in df.columns]
-        for row in df.select(*cols).collect():
+        out = df.select(*cols)
+        if drop_all_null and cols:
+            keep = None
+            for c in cols:
+                e = F.col(c).isNotNull()
+                keep = e if keep is None else (keep | e)
+            out = out.filter(keep)
+        for row in out.collect():
             yield row.asDict(recursive=True)
 
     # ------------------------------------------------------ write surface
@@ -252,29 +274,36 @@ class HadoopFS:
         fs.mkdirs(jpath)
 
     def create_atomic(self, path: str, data: bytes) -> None:
-        """Put-if-absent via FileSystem.create(path, overwrite=false) —
-        atomic on HDFS/ABFS/GCS and local; check-then-write on plain S3A
-        (see module docstring). Raises FileExistsError when the target
-        exists, mapping Hadoop's FileAlreadyExistsException."""
+        """Put-if-absent with NO torn-commit window: the bytes are fully
+        written to a temp sibling, then FileSystem.rename'd into place —
+        Hadoop rename refuses an existing destination and is atomic on
+        HDFS/ABFS/GCS, so a concurrent replayer either sees the complete
+        file or no file (the same temp+rename protocol as delta-spark's
+        HDFSLogStore; plain S3A degrades to copy+delete, see module
+        docstring). Raises FileExistsError when the target exists."""
+        import uuid as _uuid
+
         fs, jpath = self._fs_path(path)
-        try:
-            stream = fs.create(jpath, False)
-        except Exception as e:  # py4j Py4JJavaError
-            if "AlreadyExists" in str(e) or "already exists" in str(e):
-                raise FileExistsError(path) from None
-            raise
-        ok = False
+        if fs.exists(jpath):  # cheap early refusal; rename still decides
+            raise FileExistsError(path)
+        tmp = f"{path}.tmp-{_uuid.uuid4().hex}"
+        _fs2, jtmp = self._fs_path(tmp)
+        stream = fs.create(jtmp, True)
         try:
             stream.write(bytearray(data))
-            ok = True
         finally:
             stream.close()
-            if not ok:
-                # never leave a torn commit file behind a failed write
+        renamed = False
+        try:
+            renamed = bool(fs.rename(jtmp, jpath))
+        finally:
+            if not renamed:
                 try:
-                    fs.delete(jpath, False)
+                    fs.delete(jtmp, False)
                 except Exception:
                     pass
+        if not renamed:
+            raise FileExistsError(path)
 
     def write_bytes(self, path: str, data: bytes) -> None:
         fs, jpath = self._fs_path(path)

@@ -208,6 +208,12 @@ class LightSnapshot:
     checkpoint_paths: list[str]  # absolute parquet paths (parts/sidecars)
     overlay_adds: list  # AddFile list from tail commits (mapped-normalized)
     dead_paths: set  # removed-or-replaced since the checkpoint
+    # overlay stats in their ORIGINAL (physical-keyed) log form: files_df
+    # exposes stats under PHYSICAL column names uniformly — checkpoint
+    # rows are stored that way, and rewriting 10^7 JSON blobs
+    # executor-side to rename keys would defeat the point. prune_df maps
+    # logical predicate columns to physical stats keys instead.
+    overlay_raw_stats: list = None
 
     def files_df(self, spark):
         """Live-file metadata as a DataFrame: checkpoint adds read
@@ -279,19 +285,22 @@ class LightSnapshot:
                 df = df.join(F.broadcast(dead), "path", "left_anti")
             pieces.append(df)
         if self.overlay_adds:
+            raw = self.overlay_raw_stats or [
+                f.stats_json() for f in self.overlay_adds
+            ]
             rows = [
                 (
                     f.path,
                     f.partition_values or {},
                     f.size,
                     f.modification_time,
-                    f.stats_json(),
+                    raw[i],
                     int(f.deletion_vector["cardinality"])
                     if f.deletion_vector
                     and "cardinality" in f.deletion_vector
                     else None,
                 )
-                for f in self.overlay_adds
+                for i, f in enumerate(self.overlay_adds)
             ]
             pieces.append(spark.createDataFrame(rows, out_schema))
         if not pieces:
@@ -331,6 +340,10 @@ class LightSnapshot:
             return self.files_df(spark)
         schema_types = {f.name: f.dataType for f in self.schema.fields}
         part_cols = set(self.partition_columns)
+        # stats keys are PHYSICAL (the log's own form; see files_df) —
+        # map the predicate's logical column name for the JSON lookup
+        p2l = self._physical_to_logical() or {}
+        l2p = {v: k for k, v in p2l.items()}
         cond = F.lit(True)
         for col, op, val in preds:
             if op not in _OPS:
@@ -349,7 +362,7 @@ class LightSnapshot:
                 cond = cond & _part_match_expr(pv.cast(dt), dt, op, val)
             else:
                 cond = cond & _stats_match_expr(
-                    F.col("stats"), col, dt, op, val
+                    F.col("stats"), l2p.get(col, col), dt, op, val
                 )
         return self.files_df(spark).filter(cond)
 
@@ -612,7 +625,11 @@ def _read_checkpoint(
         for batch in reader(paths, cols):
             _fold_checkpoint_batch(batch, acc)
         return
-    for row in fs.read_checkpoint_rows(paths, cols):
+    # remote row path: header-only folds push the all-null filter into
+    # the Spark read (a 10^7-row checkpoint has ~5 header rows)
+    for row in fs.read_checkpoint_rows(
+        paths, cols, drop_all_null=not include_files
+    ):
         action = {k: v for k, v in row.items() if v is not None}
         if action:
             _apply_action(acc, action)
@@ -1006,6 +1023,7 @@ class DeltaLog:
         # (checkpoint rows are normalized lazily inside files_df)
         config = acc.metadata.get("configuration") or {}
         overlay = list(acc.adds.values())
+        overlay_raw_stats = [f.stats_json() for f in overlay]
         if config.get("delta.columnMapping.mode", "none") != "none":
             p2l = {
                 (f.metadata or {}).get(
@@ -1056,6 +1074,7 @@ class DeltaLog:
             checkpoint_paths=checkpoint_paths,
             overlay_adds=overlay,
             dead_paths=set(acc.removed) | {f.path for f in overlay},
+            overlay_raw_stats=overlay_raw_stats,
         )
 
     def latest_protocol(self) -> dict | None:

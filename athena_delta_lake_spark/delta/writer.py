@@ -2404,47 +2404,11 @@ def convert_to_delta(
     # foreign layout).
     spark_stats: dict[str, dict] | None = None
     if collect_stats and is_uri(table_path):
-        from pyspark.sql import functions as F
-
-        from .reader import _strip_scheme_py
-
-        base = _strip_scheme_py(table_path).rstrip("/")
-        safe_cols = [
-            f.name
-            for f in data_schema.fields
-            if isinstance(f.dataType, _STATS_SAFE_TYPES)
-        ]
-        aggs = [F.count(F.lit(1)).alias("__n")]
-        for c in safe_cols:
-            aggs += [
-                F.min(c).alias(f"__min_{c}"),
-                F.max(c).alias(f"__max_{c}"),
-                F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
-            ]
-        spark_stats = {}
-        for r in (
-            spark.read.option("basePath", table_path)
-            .parquet(table_path)
-            .groupBy(F.col("_metadata.file_path").alias("__f"))
-            .agg(*aggs)
-            .collect()
-        ):
-            p = _strip_scheme_py(r["__f"])
-            rel_key = p[len(base) + 1 :] if p.startswith(base + "/") else p
-            spark_stats[rel_key] = {
-                "numRecords": int(r["__n"]),
-                "minValues": {
-                    c: _json_safe(r[f"__min_{c}"])
-                    for c in safe_cols
-                    if r[f"__min_{c}"] is not None
-                },
-                "maxValues": {
-                    c: _json_safe(r[f"__max_{c}"])
-                    for c in safe_cols
-                    if r[f"__max_{c}"] is not None
-                },
-                "nullCount": {c: int(r[f"__null_{c}"]) for c in safe_cols},
-            }
+        # same grouped executor-side job as staged writes use — keys are
+        # paths relative to the table root (rel_files' form)
+        spark_stats = _spark_staging_stats(
+            spark, table_path, data_schema, partition_by, None
+        )
 
     adds = []
     for rel in sorted(rel_files):

@@ -200,3 +200,34 @@ def test_light_path_with_plus_and_percent(spark, tmp_path):
     )
     write_checkpoint(path)
     _assert_equal(spark, path)
+
+
+def test_light_prune_uses_physical_stats_keys_on_mapped_table(spark, tmp_path):
+    """Checkpoint stats are keyed by PHYSICAL column names on mapped
+    tables; prune_df must translate the logical predicate column or it
+    silently keeps every file (round-7 review finding)."""
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(400)], "id long, v double"
+        ).repartitionByRange(8, "id"),
+        path,
+    )
+    enable_column_mapping(path)
+    rename_column(path, "id", "ident")  # physical name stays the old uuid-less form
+    write_checkpoint(path)
+    write_delta(
+        spark.createDataFrame(
+            [(1000 + i, 0.0) for i in range(20)], "ident long, v double"
+        ).repartitionByRange(2, "ident"),
+        path,
+    )
+    log = DeltaLog(path)
+    snap = log.snapshot()
+    light = log.snapshot_light()
+    preds = [("ident", ">", 900)]
+    want = sorted(f.path for f in prune_files(snap, preds))
+    got = sorted(r["path"] for r in light.prune_df(spark, preds).collect())
+    assert got == want
+    # the prune genuinely skipped checkpoint-resident files
+    assert len(got) < snap.num_files
