@@ -890,6 +890,7 @@ def _insert_only_merge(
     schema=None, meta=None, extra_actions=None, ident=None,
     isolation: str = "write_serializable",
     on_condition: str | None = None,
+    not_matched_condition: str | None = None,
 ) -> dict:
     """Delta's insert-only MERGE fast path (no matched-action clause):
     target files are never read-modified-rewritten — source rows whose
@@ -898,6 +899,10 @@ def _insert_only_merge(
     and the only target read is the column-pruned key scan feeding the
     anti-join. Like any blind append, a concurrent writer inserting the
     same key between plan and commit is not detected."""
+    if not_matched_condition is not None:
+        src = src.alias("s").filter(
+            F.coalesce(F.expr(not_matched_condition), F.lit(False))
+        )
     live = list(snap.files)
     if live and on_condition is None:
         tgt_keys = _read_cow(spark, snap, live).select(*keys).distinct()
@@ -1077,6 +1082,7 @@ def merge_upsert(
     isolation: str = "write_serializable",
     source_keys: list[str] | None = None,
     on_condition: str | None = None,
+    not_matched_condition: str | None = None,
 ) -> dict:
     """MERGE INTO table USING source ON keys — full clause semantics:
 
@@ -1096,7 +1102,10 @@ def merge_upsert(
       delete, everything else upserts). Rows matching no clause keep the
       target version. Mutually exclusive with matched_condition.
     - when_not_matched: 'insert' (add source rows whose keys are absent
-      from the target) or None (ignore them);
+      from the target) or None (ignore them); not_matched_condition
+      optionally gates the insert (`WHEN NOT MATCHED AND <cond> THEN
+      INSERT`, SQL over `s.<col>` — unmatched source rows failing it are
+      simply dropped);
     - not_matched_by_source: None (keep target rows no source key matches
       — the default) or 'delete' (drop them: full-sync semantics).
       Deleting by-source means files with NO matched keys are removed
@@ -1190,6 +1199,7 @@ def merge_upsert(
             spark, snap, table_path, src_pair, keys,
             schema=schema, meta=meta, extra_actions=evolved_md, ident=ident,
             isolation=isolation, on_condition=on_condition,
+            not_matched_condition=not_matched_condition,
         )
 
     pair = _pair_condition(keys, on_condition) if on_condition else None
@@ -1477,6 +1487,11 @@ def merge_upsert(
             ).select(*[F.col(f.name) for f in schema.fields])
         else:
             ins = src
+        if not_matched_condition is not None:
+            # conditional insert: the condition sees only the source row
+            ins = ins.alias("s").filter(
+                F.coalesce(F.expr(not_matched_condition), F.lit(False))
+            )
         if ident:
             ins, ident_params = _assign_merge_identity(ins, schema, ident, keys)
         if cdf:
@@ -1610,6 +1625,7 @@ def merge_upsert_mor(
     isolation: str = "write_serializable",
     source_keys: list[str] | None = None,
     on_condition: str | None = None,
+    not_matched_condition: str | None = None,
 ) -> dict:
     """Merge-on-read MERGE: same clause semantics as merge_upsert
     (including ordered multi-clause `matched_clauses`), but matched target
@@ -1672,6 +1688,7 @@ def merge_upsert_mor(
             spark, snap, table_path, src, keys,
             schema=schema, meta=meta, extra_actions=evolved_md, ident=ident,
             isolation=isolation,
+            not_matched_condition=not_matched_condition,
         )
 
     src_keys = src.select(*keys).distinct()
@@ -1870,6 +1887,10 @@ def merge_upsert_mor(
             if matched_keys is not None
             else src
         )
+        if not_matched_condition is not None:
+            ins = ins.alias("s").filter(
+                F.coalesce(F.expr(not_matched_condition), F.lit(False))
+            )
         if ident:
             ins, ident_params = _assign_merge_identity(ins, schema, ident, keys)
         if cdf:

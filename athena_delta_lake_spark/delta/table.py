@@ -263,6 +263,7 @@ class DeltaTable:
         isolation: str = "write_serializable",
         source_keys: list[str] | None = None,
         on_condition: str | None = None,
+        not_matched_condition: str | None = None,
     ) -> dict:
         """mode='cow' rewrites touched files; mode='mor' deletion-vectors
         matched target rows and appends only new row versions.
@@ -294,6 +295,7 @@ class DeltaTable:
             isolation=isolation,
             source_keys=source_keys,
             on_condition=on_condition,
+            not_matched_condition=not_matched_condition,
         )
 
     def compact(

@@ -958,12 +958,16 @@ def _route_merge(pond, p, text: str) -> DataFrame:
             )
 
     when_not_matched = None
+    not_matched_condition = None
     for a in _seq(p.notMatchedActions()):
-        if _cls(a) != "InsertStarAction" or _opt(a.condition()) is not None:
+        if _cls(a) != "InsertStarAction":
             raise ValueError(
                 "unsupported WHEN NOT MATCHED action (INSERT * only)"
             )
         when_not_matched = "insert"
+        # WHEN NOT MATCHED AND <cond> THEN INSERT * — the condition sees
+        # the source row only (round 7)
+        not_matched_condition = _cond_sql(a.condition())
 
     by_source = None
     for a in _seq(p.notMatchedBySourceActions()):
@@ -987,6 +991,7 @@ def _route_merge(pond, p, text: str) -> DataFrame:
         keys,
         source_keys=source_keys,
         on_condition=on_condition,
+        not_matched_condition=not_matched_condition,
         matched_clauses=clauses,  # [] = no matched action (insert-only
         # fast path / by-source-delete keep-matched semantics in dml)
         when_not_matched=when_not_matched,

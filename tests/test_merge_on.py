@@ -415,3 +415,56 @@ def test_sql_merge_per_column_set_with_renamed_key(spark, pond):
     )
     got = _rows(pond.sql("SELECT id, n FROM lake.pr"), "id", "n")
     assert got == [(1, 103), (2, 20)]
+
+
+# -------------------------------- WHEN NOT MATCHED AND cond THEN INSERT
+
+
+def test_api_conditional_insert(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, 10)], "id long, n long"), path
+    )
+    t = DeltaTable(spark, path)
+    src = spark.createDataFrame(
+        [(1, 99), (2, 5), (3, 50)], "id long, n long"
+    )
+    t.merge(src, keys=["id"], not_matched_condition="s.n >= 10")
+    got = _rows(t.to_df(), "id", "n")
+    # id=1 matched -> updated; id=2 unmatched but n<10 -> dropped;
+    # id=3 unmatched and n>=10 -> inserted
+    assert got == [(1, 99), (3, 50)]
+
+
+def test_api_conditional_insert_only_fast_path(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, 10)], "id long, n long"), path)
+    t = DeltaTable(spark, path)
+    src = spark.createDataFrame(
+        [(1, 99), (2, 5), (3, 50)], "id long, n long"
+    )
+    t.merge(
+        src,
+        keys=["id"],
+        when_matched=None,
+        matched_clauses=[],
+        not_matched_condition="s.n >= 10",
+    )
+    assert _rows(t.to_df(), "id", "n") == [(1, 10), (3, 50)]
+
+
+def test_sql_conditional_insert(spark, pond):
+    spark.createDataFrame([(1, 10)], "id long, n long").createOrReplaceTempView(
+        "ci_t"
+    )
+    pond.sql("CREATE TABLE lake.ci AS SELECT * FROM ci_t")
+    spark.createDataFrame(
+        [(1, 99), (2, 5), (3, 50)], "id long, n long"
+    ).createOrReplaceTempView("ci_s")
+    pond.sql(
+        "MERGE INTO lake.ci t USING ci_s s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND s.n >= 10 THEN INSERT *"
+    )
+    got = _rows(pond.sql("SELECT id, n FROM lake.ci"), "id", "n")
+    assert got == [(1, 99), (3, 50)]
