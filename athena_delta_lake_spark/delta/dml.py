@@ -1146,8 +1146,26 @@ def merge_upsert(
     ident, ident_missing = _merge_identity_plan(
         snap, source, keys, when_not_matched
     )
+    # assignment-only merges (every matched clause is DELETE or a
+    # per-column SET, and nothing inserts) never copy whole source rows —
+    # a NARROW source carrying just the keys + referenced columns is the
+    # natural shape ("flag these ids"); missing target columns read NULL
+    # in the coerced source and are never written
+    assignment_only = (
+        when_not_matched != "insert"
+        and bool(clauses)
+        and all(
+            a == "delete" or clause_assigns[i] is not None
+            for i, (_c, a) in enumerate(clauses)
+        )
+    )
+    allowed_missing = set(ident_missing)
+    if assignment_only:
+        allowed_missing |= {
+            f.name for f in snap.schema.fields if f.name not in source.columns
+        }
     schema, meta, evolved_md, src_missing = _plan_merge_schema(
-        snap, source, schema_evolution, allowed_missing=ident_missing
+        snap, source, schema_evolution, allowed_missing=allowed_missing
     )
     src_missing |= ident_missing  # updates keep the target row's identity
     target_cols = [f.name for f in schema.fields]
@@ -1657,8 +1675,16 @@ def merge_upsert_mor(
     ident, ident_missing = _merge_identity_plan(
         snap, source, keys, when_not_matched
     )
+    allowed_missing = set(ident_missing)
+    if when_not_matched != "insert" and clauses and all(
+        a == "delete" or clause_assigns[i] is not None
+        for i, (_c, a) in enumerate(clauses)
+    ):
+        allowed_missing |= {
+            f.name for f in snap.schema.fields if f.name not in source.columns
+        }
     schema, meta, evolved_md, src_missing = _plan_merge_schema(
-        snap, source, schema_evolution, allowed_missing=ident_missing
+        snap, source, schema_evolution, allowed_missing=allowed_missing
     )
     src_missing |= ident_missing  # updates keep the target row's identity
     target_cols = [f.name for f in schema.fields]

@@ -531,13 +531,17 @@ def test_stream_source_restart_mid_commit(spark, tmp_path):
     src = str(tmp_path / "src")
     sink = str(tmp_path / "sink")
     cp = str(tmp_path / "cp")
-    write_delta(spark.range(80).selectExpr("id").repartition(8), src)
+    # 40 files at 2/trigger: 20 batches — stopping after the FIRST
+    # progress is robustly mid-backlog even on a loaded host (the old
+    # 8-file/3-per-trigger shape raced the drain under full-suite load,
+    # and round 7's non-empty first batch finishes one batch sooner)
+    write_delta(spark.range(80).selectExpr("id").repartition(40), src)
 
     def start(stop_after_first_batch):
         q = (
             spark.readStream.format("deltapond")
             .option("startingVersion", 0)
-            .option("maxFilesPerTrigger", 3)
+            .option("maxFilesPerTrigger", 2)
             .load(src)
             .writeStream.format("deltapond")
             .option("checkpointLocation", cp)
@@ -549,7 +553,7 @@ def test_stream_source_restart_mid_commit(spark, tmp_path):
             # wait for SOME progress, then stop mid-backlog
             for _ in range(200):
                 lp = q.lastProgress
-                if lp is not None and lp["batchId"] >= 1:
+                if lp is not None and lp["batchId"] >= 0:
                     break
                 time.sleep(0.1)
             q.stop()
@@ -557,7 +561,7 @@ def test_stream_source_restart_mid_commit(spark, tmp_path):
 
     start(stop_after_first_batch=True)
     mid = DeltaTable(spark, sink).to_df().count()
-    assert mid < 80  # genuinely stopped partway (3 files/batch of 8)
+    assert mid < 80  # genuinely stopped partway
     q = start(stop_after_first_batch=False)
     q.processAllAvailable()
     q.stop()

@@ -134,13 +134,16 @@ def test_merge_insert_only(pond, spark):
     assert pond.sql("SELECT sum(v) AS s FROM lake.t").first()["s"] == before + 1.0
 
 
-def test_merge_unsupported_action_raises(pond):
+def test_merge_narrow_source_assignment_and_no_key_refused(pond):
+    """Since round 7 a per-column SET with a NARROW source (keys only)
+    is the supported 'flag these ids' shape; an ON clause with no
+    orientable equality is still refused."""
     _mk(pond)
-    with pytest.raises(ValueError, match="unsupported WHEN MATCHED"):
-        pond.sql(
-            "MERGE INTO lake.t USING (SELECT 1 AS id) s ON t.id = s.id "
-            "WHEN MATCHED THEN UPDATE SET v = 1.0"
-        )
+    pond.sql(
+        "MERGE INTO lake.t USING (SELECT CAST(1 AS BIGINT) AS id) s "
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = 1.0"
+    )
+    assert pond.sql("SELECT v FROM lake.t WHERE id = 1").first()["v"] == 1.0
     with pytest.raises(ValueError, match="equality"):
         pond.sql(
             "MERGE INTO lake.t USING (SELECT 1 AS id, 0.0 AS v, 'a' AS ds) s "
