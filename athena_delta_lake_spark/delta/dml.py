@@ -885,6 +885,34 @@ def _normalize_matched_clauses(
     return clauses, assigns
 
 
+def _assignment_allowed_missing(
+    snap, source, clauses, clause_assigns, when_not_matched
+) -> set[str]:
+    """Target columns a NARROW source may omit: only when every matched
+    clause is DELETE or a per-column SET and nothing inserts (whole
+    source rows are then never copied). Columns the SET expressions
+    reference as `s.<col>` stay REQUIRED — backfilling them as NULL
+    would silently null the assigned values (round-7 review finding)."""
+    import re as _re
+
+    if when_not_matched == "insert" or not clauses:
+        return set()
+    if any(
+        a != "delete" and clause_assigns[i] is None
+        for i, (_c, a) in enumerate(clauses)
+    ):
+        return set()
+    referenced: set[str] = set()
+    for assigns in clause_assigns:
+        for expr in (assigns or {}).values():
+            referenced |= set(_re.findall(r"\bs\s*\.\s*(\w+)", expr))
+    return {
+        f.name
+        for f in snap.schema.fields
+        if f.name not in source.columns and f.name not in referenced
+    }
+
+
 def _insert_only_merge(
     spark, snap, table_path: str, src, keys,
     schema=None, meta=None, extra_actions=None, ident=None,
@@ -899,7 +927,10 @@ def _insert_only_merge(
     and the only target read is the column-pruned key scan feeding the
     anti-join. Like any blind append, a concurrent writer inserting the
     same key between plan and commit is not detected."""
+    n_source_rows = None  # counted lazily at commit (Delta convention:
+    # numSourceRows is the FULL source, not the post-condition survivors)
     if not_matched_condition is not None:
+        n_source_rows = src.count()
         src = src.alias("s").filter(
             F.coalesce(F.expr(not_matched_condition), F.lit(False))
         )
@@ -967,7 +998,9 @@ def _insert_only_merge(
         operation_metrics={
             "numTargetFilesRemoved": 0,
             "numTargetFilesAdded": len(adds),
-            "numSourceRows": src.count(),
+            "numSourceRows": (
+                n_source_rows if n_source_rows is not None else src.count()
+            ),
             "numTargetRowsInserted": inserted,
             "numTargetRowsUpdated": 0,
             "numTargetRowsDeleted": 0,
@@ -1146,24 +1179,18 @@ def merge_upsert(
     ident, ident_missing = _merge_identity_plan(
         snap, source, keys, when_not_matched
     )
-    # assignment-only merges (every matched clause is DELETE or a
-    # per-column SET, and nothing inserts) never copy whole source rows —
-    # a NARROW source carrying just the keys + referenced columns is the
-    # natural shape ("flag these ids"); missing target columns read NULL
-    # in the coerced source and are never written
-    assignment_only = (
-        when_not_matched != "insert"
-        and bool(clauses)
-        and all(
-            a == "delete" or clause_assigns[i] is not None
-            for i, (_c, a) in enumerate(clauses)
+    if not_matched_condition is not None and when_not_matched != "insert":
+        raise ValueError(
+            "not_matched_condition requires when_not_matched='insert' "
+            "(the condition gates inserts; without them it would be "
+            "silently dead)"
         )
+    # assignment-only merges never copy whole source rows — a NARROW
+    # source carrying just the keys + referenced columns is the natural
+    # shape ("flag these ids"); see _assignment_allowed_missing
+    allowed_missing = set(ident_missing) | _assignment_allowed_missing(
+        snap, source, clauses, clause_assigns, when_not_matched
     )
-    allowed_missing = set(ident_missing)
-    if assignment_only:
-        allowed_missing |= {
-            f.name for f in snap.schema.fields if f.name not in source.columns
-        }
     schema, meta, evolved_md, src_missing = _plan_merge_schema(
         snap, source, schema_evolution, allowed_missing=allowed_missing
     )
@@ -1675,14 +1702,15 @@ def merge_upsert_mor(
     ident, ident_missing = _merge_identity_plan(
         snap, source, keys, when_not_matched
     )
-    allowed_missing = set(ident_missing)
-    if when_not_matched != "insert" and clauses and all(
-        a == "delete" or clause_assigns[i] is not None
-        for i, (_c, a) in enumerate(clauses)
-    ):
-        allowed_missing |= {
-            f.name for f in snap.schema.fields if f.name not in source.columns
-        }
+    if not_matched_condition is not None and when_not_matched != "insert":
+        raise ValueError(
+            "not_matched_condition requires when_not_matched='insert' "
+            "(the condition gates inserts; without them it would be "
+            "silently dead)"
+        )
+    allowed_missing = set(ident_missing) | _assignment_allowed_missing(
+        snap, source, clauses, clause_assigns, when_not_matched
+    )
     schema, meta, evolved_md, src_missing = _plan_merge_schema(
         snap, source, schema_evolution, allowed_missing=allowed_missing
     )

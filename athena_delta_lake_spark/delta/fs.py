@@ -24,11 +24,14 @@ connector for, matching the reference's object-store habitat
 hadoop-aws + S3 SDK).
 
 Atomicity note (same stance as delta-spark's LogStore docs): the commit
-primitive is `FileSystem.create(path, overwrite=false)`. That is atomic
-on HDFS/ABFS/GCS and on local files (LocalFS uses O_EXCL directly); on
-plain S3A it degrades to check-then-write, so concurrent writers to one
-table on S3 need an external coordination layer exactly as production
-Delta does (S3 conditional puts / DynamoDB LogStore).
+primitive is write-to-temp + `FileContext.rename(..., Options.Rename.NONE)`
+(LocalFS uses O_EXCL directly) — complete-or-absent visibility for
+concurrent replayers AND a contract-guaranteed no-overwrite check
+(FileSystem.rename on RawLocalFileSystem is POSIX rename(2), which
+silently replaces). Atomic on HDFS/ABFS/local; on plain S3A the rename
+degrades to copy+delete, so concurrent writers to one table on S3 need
+an external coordination layer exactly as production Delta does (S3
+conditional puts / DynamoDB LogStore).
 
 `ADLS_FORCE_HADOOP_FS=1` routes even local/file:// paths through the
 HadoopFS implementation — the test lever proving the JVM connector path
@@ -275,12 +278,15 @@ class HadoopFS:
 
     def create_atomic(self, path: str, data: bytes) -> None:
         """Put-if-absent with NO torn-commit window: the bytes are fully
-        written to a temp sibling, then FileSystem.rename'd into place —
-        Hadoop rename refuses an existing destination and is atomic on
-        HDFS/ABFS/GCS, so a concurrent replayer either sees the complete
-        file or no file (the same temp+rename protocol as delta-spark's
-        HDFSLogStore; plain S3A degrades to copy+delete, see module
-        docstring). Raises FileExistsError when the target exists."""
+        written to a temp sibling, then renamed into place with
+        FileContext.rename(..., Options.Rename.NONE) — the delta-spark
+        HDFSLogStore protocol. FileContext (unlike FileSystem.rename,
+        which on RawLocalFileSystem is POSIX rename(2) and silently
+        REPLACES an existing destination) contract-guarantees the
+        no-overwrite check and throws FileAlreadyExistsException for the
+        OCC loser; a concurrent replayer either sees the complete file or
+        no file. Plain S3A degrades to copy+delete (module docstring).
+        Raises FileExistsError when the target exists."""
         import uuid as _uuid
 
         fs, jpath = self._fs_path(path)
@@ -293,17 +299,27 @@ class HadoopFS:
             stream.write(bytearray(data))
         finally:
             stream.close()
-        renamed = False
+        ok = False
         try:
-            renamed = bool(fs.rename(jtmp, jpath))
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                jpath.toUri(), self._conf
+            )
+            rename_cls = self._jvm.org.apache.hadoop.fs.Options.Rename
+            gw = self.spark.sparkContext._gateway
+            opts = gw.new_array(rename_cls, 1)
+            opts[0] = rename_cls.NONE
+            fc.rename(jtmp, jpath, opts)
+            ok = True
+        except Exception as e:
+            if "AlreadyExists" in str(e) or "already exists" in str(e):
+                raise FileExistsError(path) from None
+            raise
         finally:
-            if not renamed:
+            if not ok:
                 try:
                     fs.delete(jtmp, False)
                 except Exception:
                     pass
-        if not renamed:
-            raise FileExistsError(path)
 
     def write_bytes(self, path: str, data: bytes) -> None:
         fs, jpath = self._fs_path(path)

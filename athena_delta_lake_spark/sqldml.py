@@ -959,15 +959,24 @@ def _route_merge(pond, p, text: str) -> DataFrame:
 
     when_not_matched = None
     not_matched_condition = None
+    nm_conds: list[str | None] = []
     for a in _seq(p.notMatchedActions()):
         if _cls(a) != "InsertStarAction":
             raise ValueError(
                 "unsupported WHEN NOT MATCHED action (INSERT * only)"
             )
         when_not_matched = "insert"
-        # WHEN NOT MATCHED AND <cond> THEN INSERT * — the condition sees
-        # the source row only (round 7)
-        not_matched_condition = _cond_sql(a.condition())
+        nm_conds.append(_cond_sql(a.condition()))
+    if nm_conds:
+        # Every clause inserts the SAME row (INSERT *), so first-match
+        # semantics over N clauses reduce exactly to OR-ing their
+        # conditions; one unconditional clause makes the insert
+        # unconditional.
+        not_matched_condition = (
+            None
+            if any(c is None for c in nm_conds)
+            else " OR ".join(f"({c})" for c in nm_conds)
+        )
 
     by_source = None
     for a in _seq(p.notMatchedBySourceActions()):

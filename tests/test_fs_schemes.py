@@ -265,3 +265,20 @@ def test_log_compaction_and_cleanup_via_hadoop_fs(spark, tmp_path, hadoop_write)
     assert res["checkpoint"] == 3
     DeltaLog.clear_cache()
     assert DeltaTable(spark, uri).to_df().count() == 40
+
+
+def test_create_atomic_never_overwrites_via_hadoop_fs(spark, tmp_path, hadoop_write):
+    """Second-review finding: FileSystem.rename on RawLocalFileSystem is
+    POSIX rename(2) and silently REPLACES — the commit primitive must use
+    FileContext rename with Options.Rename.NONE so the OCC loser fails
+    AND the winner's bytes survive."""
+    fs = get_fs(str(tmp_path), spark)
+    target = str(tmp_path / "c" / "00000000000000000001.json")
+    fs.mkdirs(str(tmp_path / "c"))
+    fs.create_atomic(target, b"winner")
+    with pytest.raises(FileExistsError):
+        fs.create_atomic(target, b"loser")
+    assert fs.read_bytes(target) == b"winner"  # never clobbered
+    # no temp litter left behind by the losing attempt
+    leftovers = [r for r, _s, _m in fs.walk_files(str(tmp_path / "c"))]
+    assert leftovers == ["00000000000000000001.json"]

@@ -468,3 +468,62 @@ def test_sql_conditional_insert(spark, pond):
     )
     got = _rows(pond.sql("SELECT id, n FROM lake.ci"), "id", "n")
     assert got == [(1, 99), (3, 50)]
+
+
+def test_sql_multiple_conditional_inserts_or_semantics(spark, pond):
+    """Second-review finding: N conditional WHEN NOT MATCHED INSERT *
+    clauses reduce to OR-ed conditions (each inserts the same row), not
+    last-clause-wins."""
+    spark.createDataFrame([(1, 10, 0)], "id long, n long, flag int").createOrReplaceTempView(
+        "mo2_t"
+    )
+    pond.sql("CREATE TABLE lake.m2 AS SELECT * FROM mo2_t")
+    spark.createDataFrame(
+        [(2, 50, 0), (3, 5, 1), (4, 5, 0)], "id long, n long, flag int"
+    ).createOrReplaceTempView("mo2_s")
+    pond.sql(
+        "MERGE INTO lake.m2 t USING mo2_s s ON t.id = s.id "
+        "WHEN NOT MATCHED AND s.n >= 10 THEN INSERT * "
+        "WHEN NOT MATCHED AND s.flag = 1 THEN INSERT *"
+    )
+    got = _rows(pond.sql("SELECT id FROM lake.m2"), "id")
+    # id=2 (n>=10) and id=3 (flag) insert; id=4 matches neither
+    assert got == [(1,), (2,), (3,)]
+
+
+def test_assignment_referencing_missing_source_col_refused(spark, tmp_path):
+    """Second-review finding: a narrow source may omit only columns the
+    SET expressions do NOT reference — 'SET v = s.v' with no source v
+    must raise, not silently write NULL."""
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, 9.0)], "id long, v double"), path
+    )
+    src = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="missing target columns"):
+        DeltaTable(spark, path).merge(
+            src,
+            keys=["id"],
+            matched_clauses=[(None, "update", {"v": "s.v"})],
+            when_not_matched=None,
+        )
+    # ...while an assignment NOT referencing s.v works with the same source
+    DeltaTable(spark, path).merge(
+        src,
+        keys=["id"],
+        matched_clauses=[(None, "update", {"v": "t.v + 1"})],
+        when_not_matched=None,
+    )
+    assert DeltaTable(spark, path).to_df().first()["v"] == 10.0
+
+
+def test_dead_not_matched_condition_refused(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, 9.0)], "id long, v double"), path)
+    with pytest.raises(ValueError, match="not_matched_condition"):
+        DeltaTable(spark, path).merge(
+            spark.createDataFrame([(1, 0.0)], "id long, v double"),
+            keys=["id"],
+            when_not_matched=None,
+            not_matched_condition="s.v > 0",
+        )
