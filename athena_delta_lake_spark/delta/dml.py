@@ -1009,7 +1009,7 @@ def _insert_only_merge(
     return {"files_removed": 0, "files_added": len(adds), "source_rows": None}
 
 
-# Touched-file detection holds O(touched files) basenames on the driver —
+# Touched-file detection holds O(touched files) path strings on the driver —
 # the same planning-metadata class Delta's own implementation keeps. The
 # cap bounds that: a MERGE touching more files than this almost certainly
 # means mis-specified join keys, and the driver should fail fast instead
@@ -1019,10 +1019,30 @@ _MERGE_TOUCHED_FILES_CAP = int(
 )
 
 
-def _touched_basenames(files_df: DataFrame, by_basename: dict) -> set[str]:
-    """Basenames of the (distinct) file paths in `files_df.__file`,
+def _live_files_by_path(snap) -> dict:
+    """Live AddFiles keyed by scheme-stripped ABSOLUTE path — the same
+    normalization the scan applies to `_metadata.file_path` (reader's
+    `_strip_scheme` / `_base_ids_df`), so scan-time `__file` values map
+    back 1:1. Never key by basename: foreign writers (Spark's own
+    dynamic-partition staging included) legitimately reuse one part-file
+    basename across every `k=v` subdirectory, and a basename map
+    last-wins — a MERGE would resolve the matched file to a *different
+    partition's* file, skip the rewrite, and insert its source rows as
+    "not matched", silently duplicating keys."""
+    from .reader import _join_path, _strip_scheme_py
+
+    return {
+        _strip_scheme_py(_join_path(snap.table_path, f.path)): f
+        for f in snap.files
+    }
+
+
+def _touched_paths(files_df: DataFrame, by_path: dict) -> set[str]:
+    """Scheme-stripped paths of the (distinct) files in `files_df.__file`,
     streamed via toLocalIterator (never one monolithic collect), failing
-    fast once the cap is exceeded."""
+    fast once the cap is exceeded. `_metadata.file_path` percent-encodes
+    special characters; AddFile paths are stored decoded — fall back to
+    the unquoted form when the raw one misses."""
     from urllib.parse import unquote
 
     out: set[str] = set()
@@ -1034,10 +1054,10 @@ def _touched_basenames(files_df: DataFrame, by_basename: dict) -> set[str]:
                 "Check the merge keys, or raise "
                 "ADLS_MERGE_TOUCHED_FILES_CAP."
             )
-        name = os.path.basename(r["__file"])
-        if name not in by_basename:
-            name = os.path.basename(unquote(r["__file"]))
-        out.add(name)
+        p = r["__file"]
+        if p not in by_path:
+            p = unquote(p)
+        out.add(p)
     return out
 
 
@@ -1233,6 +1253,17 @@ def merge_upsert(
         if extra_src
         else src
     )
+    # Materialize the coerced source ONCE (lazy localCheckpoint: computed
+    # at the first action, reused by every later one — no extra job).
+    # MERGE evaluates the source in several independent actions (key
+    # probe, ambiguity check, staged pieces, numSourceRows); a
+    # non-deterministic source — rand(), LIMIT without ORDER, a view over
+    # concurrently-changing data — would otherwise be re-evaluated per
+    # action and could yield internally inconsistent pieces (a row
+    # counted matched but never rewritten). Same rationale as
+    # delta-spark's materializeSource.
+    src_pair = src_pair.localCheckpoint(eager=False)
+    src = src_pair.select(*target_cols) if extra_src else src_pair
     for k in keys:
         if k not in target_cols or k in src_missing:
             raise ValueError(f"merge key not in table schema: {k}")
@@ -1253,7 +1284,7 @@ def merge_upsert(
         src_keys = F.broadcast(src_keys)
 
     live = list(snap.files)
-    by_basename = {os.path.basename(f.path): f for f in live}
+    by_path = _live_files_by_path(snap)
     touched_names = set()
     if live:
         # Tag rows with their source file AT SCAN TIME (_metadata.file_path
@@ -1282,10 +1313,10 @@ def merge_upsert(
                 pair,
                 "left_semi",
             )
-        touched_names = _touched_basenames(
-            hit_files.select("__file").distinct(), by_basename
+        touched_names = _touched_paths(
+            hit_files.select("__file").distinct(), by_path
         )
-    touched = [by_basename[n] for n in touched_names if n in by_basename]
+    touched = [by_path[n] for n in touched_names if n in by_path]
 
     remove_files = list(touched)
     if not_matched_by_source == "delete":
@@ -1726,6 +1757,9 @@ def merge_upsert_mor(
             for f in schema.fields
         ]
     )
+    # materialize once — same non-deterministic-source rationale as
+    # merge_upsert (lazy localCheckpoint, reused by every action)
+    src = src.localCheckpoint(eager=False)
     for k in keys:
         if k not in target_cols or k in src_missing:
             raise ValueError(f"merge key not in table schema: {k}")
@@ -1750,17 +1784,17 @@ def merge_upsert_mor(
         src_keys = F.broadcast(src_keys)
 
     live = list(snap.files)
-    by_basename = {os.path.basename(f.path): f for f in live}
+    by_path = _live_files_by_path(snap)
     touched_names: set[str] = set()
     if live:
         probe = read_files_with_index(spark, snap, live).select(
             *keys, F.col("_file").alias("__file")
         )
-        touched_names = _touched_basenames(
+        touched_names = _touched_paths(
             probe.join(src_keys, keys, "left_semi").select("__file").distinct(),
-            by_basename,
+            by_path,
         )
-    touched = [by_basename[n] for n in touched_names if n in by_basename]
+    touched = [by_path[n] for n in touched_names if n in by_path]
 
     needs_per_row = any(a == "update" for _c, a in clauses) or any(
         c is not None for c, _a in clauses
