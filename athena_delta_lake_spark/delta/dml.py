@@ -122,6 +122,47 @@ def _partition_only(preds: list[Predicate], snap: SnapshotState) -> bool:
 # --------------------------------------------------------------------- DELETE
 
 
+def _light_planning_candidates(spark, table_path: str, preds):
+    """(snapshot, candidates) via the DRIVER-LIGHT planning path, or None
+    to plan classically. Engages past log.light_planning_threshold
+    (`_last_checkpoint` size, default 10^6 files): candidate selection
+    runs executor-side over the checkpoint parquet (LightSnapshot.
+    prune_df) and only the survivors are materialized as AddFiles, so a
+    predicate DELETE/UPDATE on a 10^7-file table never builds the classic
+    driver-resident snapshot. Declines (returns None) when any predicate
+    column's type or op is outside the executor-prune's exact domain —
+    partition predicates must prune EXACTLY there (the metadata-only
+    DELETE fast path removes every candidate wholesale), and e.g.
+    DecimalType coercion differs between the two evaluators — or when
+    survivors exceed log.light_collect_cap (an unselective predicate
+    gains nothing from light planning)."""
+    from .stats import _OPS, _SAFE_PRUNE_TYPES
+
+    if not preds:
+        return None
+    log = DeltaLog(table_path)
+    if not log.light_planning_engaged(None):
+        return None
+    light = log.snapshot_light()
+    types = {f.name: f.dataType for f in light.schema.fields}
+    for col, op, _val in preds:
+        dt = types.get(col)
+        if (
+            op not in _OPS
+            or dt is None
+            or not isinstance(dt, _SAFE_PRUNE_TYPES)
+        ):
+            return None
+    from .log import light_collect_cap
+
+    files = light.collect_pruned_add_files(
+        spark, preds, cap=light_collect_cap()
+    )
+    if files is None:
+        return None
+    return light.to_snapshot_state(files), files
+
+
 def delete(
     spark: SparkSession,
     table_path: str,
@@ -139,9 +180,15 @@ def delete(
             "delete() requires a condition; use where='true' to delete all"
         )
     table_path = normalize_table_path(table_path)
-    snap = DeltaLog(table_path).snapshot()
     preds, cond, fully_parsed = _normalize_where(where)
-    candidates = prune_files_auto(spark, snap, preds) if preds else list(snap.files)
+    light = _light_planning_candidates(spark, table_path, preds)
+    if light is not None:
+        snap, candidates = light
+    else:
+        snap = DeltaLog(table_path).snapshot()
+        candidates = (
+            prune_files_auto(spark, snap, preds) if preds else list(snap.files)
+        )
     if not candidates:
         return {"files_removed": 0, "files_added": 0, "rows_deleted": 0}
 
@@ -239,9 +286,15 @@ def delete_mor(
             "delete_mor() requires a condition; use where='true' to delete all"
         )
     table_path = normalize_table_path(table_path)
-    snap = DeltaLog(table_path).snapshot()
     preds, cond, _fully_parsed = _normalize_where(where)
-    candidates = prune_files_auto(spark, snap, preds) if preds else list(snap.files)
+    light = _light_planning_candidates(spark, table_path, preds)
+    if light is not None:
+        snap, candidates = light
+    else:
+        snap = DeltaLog(table_path).snapshot()
+        candidates = (
+            prune_files_auto(spark, snap, preds) if preds else list(snap.files)
+        )
     if not candidates:
         return {"files_removed": 0, "files_added": 0, "rows_deleted": 0}
 
@@ -459,9 +512,15 @@ def update(
     partition directories automatically (the staged write re-partitions).
     """
     table_path = normalize_table_path(table_path)
-    snap = DeltaLog(table_path).snapshot()
     preds, cond, _ = _normalize_where(where) if where is not None else ([], F.lit(True), True)
-    candidates = prune_files_auto(spark, snap, preds) if preds else list(snap.files)
+    light = _light_planning_candidates(spark, table_path, preds)
+    if light is not None:
+        snap, candidates = light
+    else:
+        snap = DeltaLog(table_path).snapshot()
+        candidates = (
+            prune_files_auto(spark, snap, preds) if preds else list(snap.files)
+        )
     if not candidates:
         return {"files_removed": 0, "files_added": 0, "rows_updated": 0}
 
@@ -583,11 +642,17 @@ def update_mor(
     from .reader import read_files_with_index
 
     table_path = normalize_table_path(table_path)
-    snap = DeltaLog(table_path).snapshot()
     preds, cond, _ = (
         _normalize_where(where) if where is not None else ([], F.lit(True), True)
     )
-    candidates = prune_files_auto(spark, snap, preds) if preds else list(snap.files)
+    light = _light_planning_candidates(spark, table_path, preds)
+    if light is not None:
+        snap, candidates = light
+    else:
+        snap = DeltaLog(table_path).snapshot()
+        candidates = (
+            prune_files_auto(spark, snap, preds) if preds else list(snap.files)
+        )
     if not candidates:
         return {"files_removed": 0, "files_added": 0, "rows_updated": 0}
 

@@ -23,15 +23,35 @@ connector for, matching the reference's object-store habitat
 (/root/reference/src/.../Config.scala:4 `data_bucket`; build.sbt
 hadoop-aws + S3 SDK).
 
-Atomicity note (same stance as delta-spark's LogStore docs): the commit
-primitive is write-to-temp + `FileContext.rename(..., Options.Rename.NONE)`
-(LocalFS uses O_EXCL directly) — complete-or-absent visibility for
-concurrent replayers AND a contract-guaranteed no-overwrite check
-(FileSystem.rename on RawLocalFileSystem is POSIX rename(2), which
-silently replaces). Atomic on HDFS/ABFS/local; on plain S3A the rename
-degrades to copy+delete, so concurrent writers to one table on S3 need
-an external coordination layer exactly as production Delta does (S3
-conditional puts / DynamoDB LogStore).
+Commit atomicity matrix (the put-if-absent primitive behind optimistic
+concurrency — see atomic_put_capability for the probe):
+
+  scheme                capability          mechanism
+  ------                ----------          ---------
+  local / file://       native-exclusive    os.open(O_EXCL)
+  hdfs / viewfs         atomic-rename       temp + FileContext.rename(NONE)
+  abfs(s)               atomic-rename       temp + FileContext.rename(NONE)
+  s3 / s3a / s3n, gs,   conditional-put     registered put-if-absent hook
+   oss, cos, ...                            (register_put_if_absent; a
+                                            boto3-backed S3 If-None-Match
+                                            implementation auto-registers
+                                            when boto3 is importable —
+                                            the primitive delta-rs uses)
+  same, no hook         non-atomic-rename   temp + rename DEGRADES to
+                                            copy+delete: two concurrent
+                                            committers can both "win".
+                                            Policy via ADLS_NONATOMIC_COMMIT:
+                                            warn (default, once per scheme)
+                                            | refuse | allow.
+
+FileContext.rename(..., Options.Rename.NONE) (LocalFS uses O_EXCL
+directly) gives complete-or-absent visibility for concurrent replayers
+AND a contract-guaranteed no-overwrite check — FileSystem.rename on
+RawLocalFileSystem is POSIX rename(2), which silently replaces. Single-
+writer S3 is always safe (set ADLS_NONATOMIC_COMMIT=allow); concurrent
+S3 writers need the conditional-put hook or an external coordination
+layer, the same stance as delta-spark's LogStore docs (S3 conditional
+puts / DynamoDB LogStore).
 
 `ADLS_FORCE_HADOOP_FS=1` routes even local/file:// paths through the
 HadoopFS implementation — the test lever proving the JVM connector path
@@ -45,6 +65,104 @@ import shutil
 from dataclasses import dataclass
 
 _LOCAL_SCHEMES = ("file",)
+
+# Schemes whose FileContext.rename(NONE) is a true atomic metadata
+# operation (HDFS semantics). Everything else either needs a registered
+# put-if-absent hook or degrades to copy+delete (see module docstring).
+_ATOMIC_RENAME_SCHEMES = {"file", "hdfs", "viewfs", "abfs", "abfss"}
+
+# scheme -> put_if_absent(path, data) raising FileExistsError on conflict.
+# The pluggable conditional-PUT layer: object stores expose a native
+# exclusive-create (S3 If-None-Match, GCS if-generation-match=0) that no
+# Hadoop rename can emulate; registering one here upgrades commits on
+# that scheme from non-atomic-rename to conditional-put.
+_PUT_IF_ABSENT: dict = {}
+
+
+def register_put_if_absent(scheme: str, fn) -> None:
+    """Register `fn(path: str, data: bytes)` as the commit primitive for
+    `scheme`. Must write all-or-nothing and raise FileExistsError when
+    the object already exists (the optimistic-concurrency loser signal)."""
+    _PUT_IF_ABSENT[scheme] = fn
+
+
+def _s3_put_if_absent(path: str, data: bytes) -> None:
+    """S3-native conditional PUT (If-None-Match: *): atomic put-if-absent
+    without any rename, the primitive delta-rs builds its S3 commits on.
+    Registered automatically for s3/s3a/s3n when boto3 is importable."""
+    import boto3
+    from botocore.exceptions import ClientError
+
+    rest = path.split("://", 1)[1]
+    bucket, _, key = rest.partition("/")
+    try:
+        boto3.client("s3").put_object(
+            Bucket=bucket, Key=key, Body=data, IfNoneMatch="*"
+        )
+    except ClientError as e:
+        code = e.response.get("Error", {}).get("Code")
+        if code in ("PreconditionFailed", "412"):
+            raise FileExistsError(path) from None
+        raise
+
+
+try:  # pragma: no cover - boto3 absent in the sandbox
+    import boto3 as _boto3  # noqa: F401
+
+    for _s in ("s3", "s3a", "s3n"):
+        _PUT_IF_ABSENT.setdefault(_s, _s3_put_if_absent)
+except ImportError:
+    pass
+
+
+def atomic_put_capability(path: str) -> str:
+    """How safe a concurrent commit to `path` is — pure scheme probe:
+
+    - 'native-exclusive': local O_EXCL (LocalFS);
+    - 'conditional-put': a registered put-if-absent hook serves the scheme;
+    - 'atomic-rename': FileContext.rename(NONE) is atomic there;
+    - 'non-atomic-rename': rename degrades to copy+delete — concurrent
+      writers can both win; policy below decides warn/refuse/allow."""
+    scheme = _scheme(path)
+    if scheme is None or (
+        scheme in _LOCAL_SCHEMES
+        and os.environ.get("ADLS_FORCE_HADOOP_FS") != "1"
+    ):
+        return "native-exclusive"
+    if scheme in _PUT_IF_ABSENT:
+        return "conditional-put"
+    if scheme in _ATOMIC_RENAME_SCHEMES:
+        return "atomic-rename"
+    return "non-atomic-rename"
+
+
+_WARNED_SCHEMES: set = set()
+
+
+def _nonatomic_commit_policy(path: str) -> None:
+    """Refuse-or-warn gate for schemes whose commit degrades to a
+    non-atomic copy+delete rename. ADLS_NONATOMIC_COMMIT: 'warn'
+    (default; once per scheme), 'refuse', or 'allow' (documented
+    single-writer deployments)."""
+    policy = os.environ.get("ADLS_NONATOMIC_COMMIT", "warn")
+    if policy == "allow":
+        return
+    scheme = _scheme(path) or "file"
+    msg = (
+        f"commit to {scheme}:// uses a NON-ATOMIC rename (copy+delete): "
+        "two concurrent writers can both win the same table version. "
+        "Safe only with a single writer. Register a conditional-PUT "
+        "primitive (fs.register_put_if_absent — boto3 enables the S3 "
+        "If-None-Match path automatically) or set "
+        "ADLS_NONATOMIC_COMMIT=allow to acknowledge single-writer mode."
+    )
+    if policy == "refuse":
+        raise OSError(msg)
+    if scheme not in _WARNED_SCHEMES:
+        _WARNED_SCHEMES.add(scheme)
+        import warnings
+
+        warnings.warn(msg, stacklevel=3)
 
 
 def _scheme(path: str) -> str | None:
@@ -286,9 +404,20 @@ class HadoopFS:
         no-overwrite check and throws FileAlreadyExistsException for the
         OCC loser; a concurrent replayer either sees the complete file or
         no file. Plain S3A degrades to copy+delete (module docstring).
-        Raises FileExistsError when the target exists."""
+        Raises FileExistsError when the target exists.
+
+        Dispatch order: a registered put-if-absent hook for the scheme
+        (conditional-put — S3 If-None-Match class primitives) wins; else
+        the rename protocol, gated by _nonatomic_commit_policy on schemes
+        where rename degrades to copy+delete."""
         import uuid as _uuid
 
+        hook = _PUT_IF_ABSENT.get(_scheme(path) or "")
+        if hook is not None:
+            hook(path, data)
+            return
+        if atomic_put_capability(path) == "non-atomic-rename":
+            _nonatomic_commit_policy(path)
         fs, jpath = self._fs_path(path)
         if fs.exists(jpath):  # cheap early refusal; rename still decides
             raise FileExistsError(path)
@@ -406,6 +535,8 @@ def get_fs(path: str, spark=None):
 
 __all__ = [
     "FileInfo",
+    "atomic_put_capability",
+    "register_put_if_absent",
     "LocalFS",
     "HadoopFS",
     "get_fs",

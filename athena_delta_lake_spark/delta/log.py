@@ -215,28 +215,39 @@ class LightSnapshot:
     # logical predicate columns to physical stats keys instead.
     overlay_raw_stats: list = None
 
-    def files_df(self, spark):
+    def files_df(self, spark, full: bool = False):
         """Live-file metadata as a DataFrame: checkpoint adds read
         executor-side, minus the dead overlay, plus the tail adds —
         columns (path, partition_values, size, modification_time, stats,
-        dv_cardinality), partition keys normalized to LOGICAL names."""
+        dv_cardinality), partition keys normalized to LOGICAL names.
+
+        `full=True` appends the columns needed to reconstruct COMPLETE
+        AddFiles driver-side (collect_pruned_add_files): the whole
+        deletion-vector descriptor as JSON plus the row-tracking fields —
+        kept off the default projection so audits and the distributed
+        prune never pay for them."""
         from pyspark.sql import functions as F
         from pyspark.sql import types as ST
 
-        out_schema = ST.StructType(
-            [
-                ST.StructField("path", ST.StringType(), False),
-                ST.StructField(
-                    "partition_values",
-                    ST.MapType(ST.StringType(), ST.StringType(), True),
-                    True,
-                ),
-                ST.StructField("size", ST.LongType(), True),
-                ST.StructField("modification_time", ST.LongType(), True),
-                ST.StructField("stats", ST.StringType(), True),
-                ST.StructField("dv_cardinality", ST.LongType(), True),
+        out_fields = [
+            ST.StructField("path", ST.StringType(), False),
+            ST.StructField(
+                "partition_values",
+                ST.MapType(ST.StringType(), ST.StringType(), True),
+                True,
+            ),
+            ST.StructField("size", ST.LongType(), True),
+            ST.StructField("modification_time", ST.LongType(), True),
+            ST.StructField("stats", ST.StringType(), True),
+            ST.StructField("dv_cardinality", ST.LongType(), True),
+        ]
+        if full:
+            out_fields += [
+                ST.StructField("dv_json", ST.StringType(), True),
+                ST.StructField("base_row_id", ST.LongType(), True),
+                ST.StructField("default_rcv", ST.LongType(), True),
             ]
-        )
+        out_schema = ST.StructType(out_fields)
         pieces = []
         if self.checkpoint_paths:
             cp = spark.read.parquet(*self.checkpoint_paths)
@@ -250,7 +261,7 @@ class LightSnapshot:
                     return c.cast(cast) if cast else c
                 return F.lit(None).cast(cast or "string")
 
-            df = cp.where(F.col("add").isNotNull()).select(
+            cols = [
                 # url_decode is form-decoding ('+' -> space); log paths
                 # are percent-encoded with literal '+' allowed — shield it
                 F.url_decode(
@@ -265,7 +276,20 @@ class LightSnapshot:
                     if "deletionVector" in add_fields
                     else F.lit(None).cast("long")
                 ).alias("dv_cardinality"),
-            )
+            ]
+            if full:
+                cols += [
+                    (
+                        F.to_json(F.col("add.deletionVector"))
+                        if "deletionVector" in add_fields
+                        else F.lit(None).cast("string")
+                    ).alias("dv_json"),
+                    _af("baseRowId", "long").alias("base_row_id"),
+                    _af("defaultRowCommitVersion", "long").alias(
+                        "default_rcv"
+                    ),
+                ]
+            df = cp.where(F.col("add").isNotNull()).select(*cols)
             p2l = self._physical_to_logical()
             if p2l:
                 m = F.create_map(
@@ -300,6 +324,17 @@ class LightSnapshot:
                     and "cardinality" in f.deletion_vector
                     else None,
                 )
+                + (
+                    (
+                        json.dumps(f.deletion_vector)
+                        if f.deletion_vector
+                        else None,
+                        f.base_row_id,
+                        f.default_row_commit_version,
+                    )
+                    if full
+                    else ()
+                )
                 for i, f in enumerate(self.overlay_adds)
             ]
             pieces.append(spark.createDataFrame(rows, out_schema))
@@ -321,7 +356,7 @@ class LightSnapshot:
             for f in self.schema.fields
         }
 
-    def prune_df(self, spark, predicates):
+    def prune_df(self, spark, predicates, full: bool = False):
         """files_df filtered by data-skipping predicates, evaluated
         ENTIRELY executor-side (the distributed-prune expressions over
         partition values + raw stats JSON) — no file list ever reaches
@@ -337,7 +372,7 @@ class LightSnapshot:
 
         preds = list(predicates or [])
         if not preds:
-            return self.files_df(spark)
+            return self.files_df(spark, full=full)
         schema_types = {f.name: f.dataType for f in self.schema.fields}
         part_cols = set(self.partition_columns)
         # stats keys are PHYSICAL (the log's own form; see files_df) —
@@ -364,7 +399,75 @@ class LightSnapshot:
                 cond = cond & _stats_match_expr(
                     F.col("stats"), l2p.get(col, col), dt, op, val
                 )
-        return self.files_df(spark).filter(cond)
+        return self.files_df(spark, full=full).filter(cond)
+
+    def collect_pruned_add_files(
+        self, spark, predicates=None, cap: int | None = None, full_df=None
+    ):
+        """The bridge from executor-side pruning back to classic planning:
+        prune_df's SURVIVORS materialized driver-side as complete AddFile
+        objects (stats, DV descriptor, row-tracking fields — remapped to
+        logical names on mapped tables, byte-equivalent to classic-replay
+        AddFiles). Streams via toLocalIterator; returns None once more
+        than `cap` survivors appear, signalling the caller to fall back to
+        the classic snapshot rather than flood the driver. `full_df`
+        overrides the pruned frame (callers that already filtered a
+        full=True prune_df further, e.g. the stat-less remainder of a
+        metadata count)."""
+        if full_df is None:
+            full_df = self.prune_df(spark, predicates, full=True)
+        p2l = self._physical_to_logical()
+
+        def _remap_stats(raw: str | None):
+            if raw is None or not p2l:
+                return raw
+            try:
+                stats = json.loads(raw)
+            except (ValueError, TypeError):
+                return raw
+            for k in ("minValues", "maxValues", "nullCount"):
+                d = stats.get(k)
+                if d:
+                    stats[k] = {p2l.get(c, c): v for c, v in d.items()}
+            return stats
+
+        out = []
+        for r in full_df.toLocalIterator():
+            if cap is not None and len(out) >= cap:
+                return None
+            out.append(
+                AddFile(
+                    path=r["path"],
+                    partition_values=dict(r["partition_values"] or {}),
+                    size=r["size"],
+                    modification_time=r["modification_time"],
+                    stats_raw=_remap_stats(r["stats"]),
+                    deletion_vector=(
+                        json.loads(r["dv_json"]) if r["dv_json"] else None
+                    ),
+                    base_row_id=r["base_row_id"],
+                    default_row_commit_version=r["default_rcv"],
+                )
+            )
+        return out
+
+    def to_snapshot_state(self, files) -> "SnapshotState":
+        """A classic-shaped SnapshotState over an EXPLICIT file list
+        (normally collect_pruned_add_files survivors): every downstream
+        consumer — read_files, the DML rewriters, commit construction —
+        plans against it exactly as against a full classic snapshot,
+        driver memory bounded by the survivor count."""
+        return SnapshotState(
+            version=self.version,
+            metadata=self.metadata,
+            protocol=self.protocol,
+            schema=self.schema,
+            partition_columns=list(self.partition_columns),
+            files=list(files),
+            table_path=self.table_path,
+            txns=dict(self.txns),
+            domain_metadata=dict(self.domain_metadata),
+        )
 
 
 @dataclass
@@ -693,6 +796,26 @@ def _read_v2_checkpoint(
             if action:
                 _apply_action(acc, action)
     return paths
+
+
+def light_planning_threshold() -> int:
+    """File count past which ordinary planning (to_df / DML candidate
+    selection) auto-routes through the driver-light snapshot instead of
+    materializing every AddFile driver-side. 0 disables. The default sits
+    where the classic snapshot's measured cost curve turns hostile
+    (~0.9 GiB driver RSS at 10^6 adds, 8.6 GiB at 10^7 — PERF_TRIAGE_r6/7)."""
+    import os
+
+    return int(os.environ.get("ADLS_LIGHT_PLANNING_FILES", "1000000"))
+
+
+def light_collect_cap() -> int:
+    """Max pruned survivors the light planning path will materialize
+    driver-side before falling back to the classic snapshot (a predicate
+    this unselective gains nothing from light planning)."""
+    import os
+
+    return int(os.environ.get("ADLS_LIGHT_COLLECT_CAP", "2000000"))
 
 
 def _read_last_checkpoint(fs, log_dir: str) -> dict | None:
@@ -1076,6 +1199,24 @@ class DeltaLog:
             dead_paths=set(acc.removed) | {f.path for f in overlay},
             overlay_raw_stats=overlay_raw_stats,
         )
+
+    def light_planning_engaged(self, version: int | None = None) -> bool:
+        """True when planning should route through the driver-light
+        snapshot: `_last_checkpoint` reports more actions than
+        ADLS_LIGHT_PLANNING_FILES (default 10^6) and the requested version
+        is at or past that checkpoint (the shape snapshot_light replays as
+        header + small JSON tail). One tiny file read — no listing, no
+        replay — so the check is free on every query."""
+        thr = light_planning_threshold()
+        if thr <= 0:
+            return False
+        try:
+            last_cp = _read_last_checkpoint(self._fs, self.log_dir)
+        except Exception:
+            return False
+        if not last_cp or int(last_cp.get("size") or 0) < thr:
+            return False
+        return version is None or version >= int(last_cp.get("version", -1))
 
     def latest_protocol(self) -> dict | None:
         """The table's CURRENT protocol action, read WITHOUT reader-side

@@ -92,6 +92,31 @@ class DeltaTable:
     ):
         return prune_files_auto(self.spark, self.snapshot(version), predicates)
 
+    def _planning_snapshot(
+        self,
+        predicates: list[Predicate] | None,
+        version: int | None = None,
+    ) -> SnapshotState:
+        """The snapshot scans plan against. Below the light-planning
+        threshold (log.light_planning_threshold, default 10^6 files by
+        `_last_checkpoint`): the ordinary classic snapshot. Above it: the
+        driver-light path — header-only replay, predicate pruning runs
+        EXECUTOR-side over the checkpoint parquet, and only the pruned
+        survivors are materialized as AddFiles (measured at 10^7 adds:
+        1.2 s / 123 MiB RSS vs 270 s / 8.6 GiB classic, identical
+        survivors — PERF_TRIAGE_r7). Falls back to classic when the
+        predicate leaves more than log.light_collect_cap survivors."""
+        from .log import light_collect_cap
+
+        if self.log.light_planning_engaged(version):
+            light = self.log.snapshot_light(version)
+            files = light.collect_pruned_add_files(
+                self.spark, predicates, cap=light_collect_cap()
+            )
+            if files is not None:
+                return light.to_snapshot_state(files)
+        return self.snapshot(version)
+
     # -- scan (reference: readWithConstraint, DeltaRecordHandler.scala:116-155)
     def to_df(
         self,
@@ -113,11 +138,14 @@ class DeltaTable:
         if isinstance(where, str):
             preds = _parse_where(where)
             df = read_snapshot(
-                self.spark, self.snapshot(version), preds, columns
+                self.spark, self._planning_snapshot(preds, version), preds,
+                columns,
             )
             return df.filter(where)
         preds = where if where is not None else predicates
-        df = read_snapshot(self.spark, self.snapshot(version), preds, columns)
+        df = read_snapshot(
+            self.spark, self._planning_snapshot(preds, version), preds, columns
+        )
         if where:
             from pyspark.sql import functions as F
 
@@ -160,6 +188,10 @@ class DeltaTable:
         """
         from .reader import read_files
 
+        if self.log.light_planning_engaged(version):
+            n = self._count_light(version, where)
+            if n is not None:
+                return n
         snap = self.snapshot(version)
         preds: list[Predicate] | None
         if isinstance(where, str):
@@ -189,6 +221,65 @@ class DeltaTable:
             if isinstance(where, str):
                 df = df.filter(where)
             total += df.count()
+        return total
+
+    def _count_light(self, version, where) -> int | None:
+        """Driver-light metadata count: numRecords minus DV cardinality
+        summed EXECUTOR-side over the (pruned) files_df — the driver never
+        sees a file list, so counting a 10^7-file table costs O(1) driver
+        memory. Returns None to fall back classic when a predicate column
+        sits outside the executor-prune's exact domain; data-column
+        predicates route through to_df (itself light-planned). Stat-less
+        survivors (no numRecords) are collected individually and scanned,
+        exactly as the classic path does."""
+        from pyspark.sql import functions as F
+
+        from .log import light_collect_cap
+        from .reader import read_files
+        from .stats import _SAFE_PRUNE_TYPES
+
+        light = self.log.snapshot_light(version)
+        if isinstance(where, str):
+            preds = _parse_where(where)
+            if not preds:
+                return self.to_df(version=version, where=where).count()
+        elif where:
+            preds = list(where)
+        else:
+            preds = None
+        if preds:
+            pc = set(light.partition_columns)
+            types = {f.name: f.dataType for f in light.schema.fields}
+            if not all(
+                c in pc and isinstance(types.get(c), _SAFE_PRUNE_TYPES)
+                for c, _op, _v in preds
+            ):
+                if any(c not in pc for c, _op, _v in preds):
+                    # data predicate: exact row-level semantics via the
+                    # (light-planned) filtered scan
+                    return self.to_df(version=version, where=where).count()
+                return None  # unsafe partition type: classic is exact
+        df = light.prune_df(self.spark, preds, full=True)
+        nr = F.get_json_object("stats", "$.numRecords").cast("long")
+        agg = df.select(
+            F.sum(nr).alias("nr"),
+            F.sum(F.coalesce(F.col("dv_cardinality"), F.lit(0))).alias("dv"),
+            F.count(F.lit(1)).alias("files"),
+            F.count(nr).alias("with_stats"),
+        ).collect()[0]
+        total = int(agg["nr"] or 0) - int(agg["dv"] or 0)
+        if agg["files"] > agg["with_stats"]:
+            scan = self.log.snapshot_light(version).collect_pruned_add_files(
+                self.spark,
+                cap=light_collect_cap(),
+                full_df=df.filter(nr.isNull()),
+            )
+            if scan is None:
+                return None
+            sdf = read_files(self.spark, light.to_snapshot_state(scan), scan)
+            if isinstance(where, str):
+                sdf = sdf.filter(where)
+            total += sdf.count()
         return total
 
     # -- write path (absent from the reference; SURVEY §2.C)

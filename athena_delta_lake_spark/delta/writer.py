@@ -14,12 +14,16 @@ streaming `foreachBatch` Delta-append sink and the test fixtures:
   change;
 - optional Parquet checkpoint + `_last_checkpoint` (checkpoint()).
 
-Single-writer semantics: commit uses an atomic put-if-absent create of the
-next version file — O_EXCL locally, FileSystem.create(path, false) through
-the Hadoop connectors — which is exactly Delta's optimistic-concurrency
-primitive on a POSIX/HDFS-like store. Concurrent writers race on the
-version file; the loser retries with a fresh snapshot. (S3A caveat: see
-fs.py module docstring — same stance as delta-spark's LogStore.)
+Commit semantics: an atomic put-if-absent create of the next version file
+— O_EXCL locally; write-to-temp + FileContext.rename(Options.Rename.NONE)
+through the Hadoop connectors (FileSystem.rename is NOT safe here: on
+RawLocalFileSystem it is POSIX rename(2) and silently replaces); a
+registered conditional-PUT hook on object stores (fs.register_put_if_absent,
+S3 If-None-Match auto-registered when boto3 is present). That is exactly
+Delta's optimistic-concurrency primitive: concurrent writers race on the
+version file; the loser gets FileExistsError and retries with a fresh
+snapshot. Capability matrix + non-atomic-rename warn/refuse policy: fs.py
+module docstring.
 
 Every filesystem touch goes through the fs.py facade, so the whole write
 path — commits, staged-file promotion, checkpoints, clones, VACUUM — works

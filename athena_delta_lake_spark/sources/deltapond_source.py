@@ -312,6 +312,7 @@ class DeltaPondStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema: T.StructType):
         self._path = _table_path(options)
         self._schema = schema
+        self._warned_backlog = False
         self._starting = str(options.get("startingVersion", "latest"))
         # startingTimestamp (Delta parity): begin at the first commit
         # whose authoritative timestamp (inCommitTimestamp when present,
@@ -508,6 +509,42 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         self._trace(f"initialOffset -> {v}")
         return {"version": v}
 
+    def _warn_unbounded_backlog(self, log: DeltaLog, latest: int) -> None:
+        """Loud one-shot warning when an UNCAPPED fresh start is about to
+        admit a huge backlog as one batch (round-8 ask #6): counting
+        stops at the threshold (ADLS_STREAM_BACKLOG_WARN_FILES, default
+        10^4; 0 disables), so the probe costs O(threshold) even on a
+        million-file backlog. Checkpoint restarts never warn — recovery
+        sets _position before any new offset is asked for."""
+        if self._warned_backlog or self._position is not None:
+            return
+        self._warned_backlog = True
+        thr = int(
+            os.environ.get("ADLS_STREAM_BACKLOG_WARN_FILES", "10000")
+        )
+        if thr <= 0:
+            return
+        files = 0
+        for v in range(self._floor_version(log) + 1, latest + 1):
+            sizes, _ = self._commit_admission(log, v)
+            files += len(sizes)
+            if files > thr:
+                import warnings
+
+                warnings.warn(
+                    f"deltapond stream over {self._path} starts with an "
+                    f"unbounded first batch of more than {thr} files and "
+                    "no admission cap — one microbatch will process the "
+                    "entire backlog. Set maxFilesPerTrigger/"
+                    "maxBytesPerTrigger (bounded batches), or catch up "
+                    "via streaming.drain_backlog (bounded exactly-once "
+                    "availableNow runs). Raise/disable this check with "
+                    "ADLS_STREAM_BACKLOG_WARN_FILES.",
+                    stacklevel=2,
+                )
+                self._trace(f"backlog warn: >{thr} files pending")
+                return
+
     def latestOffset(self) -> dict:
         log = DeltaLog(self._path)
         latest = log.latest_version()
@@ -517,6 +554,7 @@ class DeltaPondStreamReader(DataSourceStreamReader):
             or self._max_bytes is not None
         ) and not self._available_now
         if not capped:
+            self._warn_unbounded_backlog(log, latest)
             return {"version": latest}
         if self._position is None:
             # First call of a FRESH start (this API gives latestOffset no

@@ -999,3 +999,141 @@ def test_availablenow_with_caps_drains_one_bounded_batch(spark, tmp_path):
     q.awaitTermination(120)
     n = spark.sql("SELECT count(*) AS n FROM an_cap_out").first()["n"]
     assert n == 30  # one 3-file commit, not 0 and not the whole backlog
+
+
+def test_backlog_warning_on_unbounded_first_batch(spark, tmp_path, monkeypatch):
+    """Round-8 ask #6: an UNCAPPED fresh start over a backlog of more
+    than ADLS_STREAM_BACKLOG_WARN_FILES pending files warns loudly
+    (pointing at drain_backlog / maxFilesPerTrigger) instead of silently
+    admitting everything — and still admits everything (semantics
+    unchanged). Synthesized 20k-file metadata-only log: the probe is
+    O(threshold), not O(backlog)."""
+    import json as _json
+    import os as _os
+    import warnings as _w
+
+    from athena_delta_lake_spark.sources.deltapond_source import (
+        DeltaPondStreamReader,
+    )
+
+    root = str(tmp_path / "backlog")
+    log_dir = _os.path.join(root, "_delta_log")
+    _os.makedirs(log_dir)
+    schema_str = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    per_commit, n_commits = 2000, 10  # 20_000 add actions
+    for v in range(n_commits):
+        actions = []
+        if v == 0:
+            actions += [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {
+                    "metaData": {
+                        "id": "backlog",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_str,
+                        "partitionColumns": [],
+                        "configuration": {},
+                    }
+                },
+            ]
+        actions += [
+            {
+                "add": {
+                    "path": f"part-{v:03d}-{i:05d}.parquet",
+                    "partitionValues": {},
+                    "size": 1024,
+                    "modificationTime": 1,
+                    "dataChange": True,
+                }
+            }
+            for i in range(per_commit)
+        ]
+        with open(_os.path.join(log_dir, f"{v:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    DeltaLog.clear_cache()
+    schema = DeltaLog(root).snapshot().schema
+
+    r = DeltaPondStreamReader({"path": root, "startingVersion": "0"}, schema)
+    with pytest.warns(UserWarning, match="drain_backlog"):
+        off = r.latestOffset()
+    assert off == {"version": n_commits - 1}  # still admits the backlog
+    with _w.catch_warnings():  # one-shot: no second warning
+        _w.simplefilter("error")
+        assert r.latestOffset() == {"version": n_commits - 1}
+
+    # capped readers never warn (admission already bounded)
+    rc = DeltaPondStreamReader(
+        {"path": root, "startingVersion": "0", "maxFilesPerTrigger": "500"},
+        schema,
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        rc.latestOffset()
+
+    # checkpoint restarts never warn (position known before new offsets)
+    rr = DeltaPondStreamReader({"path": root, "startingVersion": "0"}, schema)
+    rr.commit({"version": 3})
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert rr.latestOffset() == {"version": n_commits - 1}
+
+    # default startingVersion='latest' has no backlog: no warning
+    rl = DeltaPondStreamReader({"path": root}, schema)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        rl.latestOffset()
+
+
+def test_backlog_warning_threshold_env_and_results_unchanged(
+    spark, tmp_path, monkeypatch
+):
+    """With the threshold lowered below a small REAL backlog, the stream
+    still drains exactly-once (warning is advisory only)."""
+    import warnings as _w
+
+    from athena_delta_lake_spark.sources.deltapond_source import (
+        DeltaPondStreamReader,
+    )
+
+    src = str(tmp_path / "wsrc")
+    write_delta(spark.range(40).selectExpr("id").repartition(8), src)
+    write_delta(spark.range(40, 60).selectExpr("id").repartition(4), src)
+    monkeypatch.setenv("ADLS_STREAM_BACKLOG_WARN_FILES", "5")
+    snap = DeltaTable(spark, src).snapshot()
+    r = DeltaPondStreamReader({"path": src, "startingVersion": "0"}, snap.schema)
+    with pytest.warns(UserWarning, match="maxFilesPerTrigger"):
+        r.latestOffset()
+
+    q = (
+        spark.readStream.format("deltapond")
+        .option("startingVersion", 0)
+        .load(src)
+        .writeStream.format("memory")
+        .queryName("dp_backlog_warn")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    got = spark.sql(
+        "select count(*) c, count(distinct id) d from dp_backlog_warn"
+    ).first()
+    assert (got["c"], got["d"]) == (60, 60)
+
+    monkeypatch.setenv("ADLS_STREAM_BACKLOG_WARN_FILES", "0")  # disable
+    r2 = DeltaPondStreamReader({"path": src, "startingVersion": "0"}, snap.schema)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        r2.latestOffset()

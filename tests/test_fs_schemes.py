@@ -282,3 +282,92 @@ def test_create_atomic_never_overwrites_via_hadoop_fs(spark, tmp_path, hadoop_wr
     # no temp litter left behind by the losing attempt
     leftovers = [r for r, _s, _m in fs.walk_files(str(tmp_path / "c"))]
     assert leftovers == ["00000000000000000001.json"]
+
+
+# ---------------------------------------------------------------- round 8:
+# commit-capability probe + pluggable conditional-PUT + non-atomic policy
+
+
+def test_atomic_put_capability_matrix(monkeypatch):
+    from athena_delta_lake_spark.delta import fs as fsm
+
+    assert fsm.atomic_put_capability("/tmp/x") == "native-exclusive"
+    assert fsm.atomic_put_capability("file:///tmp/x") == "native-exclusive"
+    assert fsm.atomic_put_capability("hdfs://nn/x") == "atomic-rename"
+    assert fsm.atomic_put_capability("viewfs://ns/x") == "atomic-rename"
+    assert fsm.atomic_put_capability("abfss://c@a.dfs/x") == "atomic-rename"
+    # forced-Hadoop file:// still renames atomically (LocalFileSystem)
+    monkeypatch.setenv("ADLS_FORCE_HADOOP_FS", "1")
+    assert fsm.atomic_put_capability("file:///tmp/x") == "atomic-rename"
+    monkeypatch.delenv("ADLS_FORCE_HADOOP_FS")
+    # s3: conditional-put when a hook serves it (boto3 auto-registers in
+    # this container), non-atomic-rename otherwise
+    if "s3a" in fsm._PUT_IF_ABSENT:
+        assert fsm.atomic_put_capability("s3a://b/k") == "conditional-put"
+    monkeypatch.setattr(fsm, "_PUT_IF_ABSENT", {})
+    assert fsm.atomic_put_capability("s3a://b/k") == "non-atomic-rename"
+    assert fsm.atomic_put_capability("gs://b/k") == "non-atomic-rename"
+
+
+def test_registered_hook_serves_create_atomic(spark, monkeypatch):
+    """create_atomic dispatches to the registered put-if-absent for the
+    scheme BEFORE touching any Hadoop connector — a second put of the
+    same path surfaces FileExistsError (the OCC loser signal)."""
+    from athena_delta_lake_spark.delta import fs as fsm
+
+    store: dict[str, bytes] = {}
+
+    def fake_put(path, data):
+        if path in store:
+            raise FileExistsError(path)
+        store[path] = data
+
+    monkeypatch.setattr(fsm, "_PUT_IF_ABSENT", {"mock": fake_put})
+    h = fsm.HadoopFS(spark)
+    h.create_atomic("mock://bucket/t/_delta_log/0.json", b"v0")
+    assert store["mock://bucket/t/_delta_log/0.json"] == b"v0"
+    with pytest.raises(FileExistsError):
+        h.create_atomic("mock://bucket/t/_delta_log/0.json", b"again")
+
+
+def test_nonatomic_commit_policy(monkeypatch):
+    from athena_delta_lake_spark.delta import fs as fsm
+
+    monkeypatch.setattr(fsm, "_WARNED_SCHEMES", set())
+    monkeypatch.setenv("ADLS_NONATOMIC_COMMIT", "refuse")
+    with pytest.raises(OSError, match="NON-ATOMIC"):
+        fsm._nonatomic_commit_policy("s3a://b/t/_delta_log/5.json")
+    monkeypatch.setenv("ADLS_NONATOMIC_COMMIT", "warn")
+    with pytest.warns(UserWarning, match="NON-ATOMIC"):
+        fsm._nonatomic_commit_policy("s3a://b/t/_delta_log/5.json")
+    # once per scheme only
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        fsm._nonatomic_commit_policy("s3a://b/t/_delta_log/6.json")
+    monkeypatch.setenv("ADLS_NONATOMIC_COMMIT", "allow")
+    monkeypatch.setattr(fsm, "_WARNED_SCHEMES", set())
+    fsm._nonatomic_commit_policy("s3a://b/t/_delta_log/7.json")  # no-op
+
+
+def test_s3_conditional_put_maps_412(monkeypatch):
+    """The boto3-backed S3 hook translates PreconditionFailed (the
+    If-None-Match loser) into FileExistsError — exercised against a
+    stubbed S3 client, no network."""
+    boto3 = pytest.importorskip("boto3")
+    from botocore.stub import Stubber
+
+    from athena_delta_lake_spark.delta import fs as fsm
+
+    client = boto3.client("s3", region_name="us-east-1")
+    stub = Stubber(client)
+    stub.add_client_error(
+        "put_object", service_error_code="PreconditionFailed",
+        http_status_code=412,
+    )
+    stub.activate()
+    monkeypatch.setattr(boto3, "client", lambda *_a, **_k: client)
+    with pytest.raises(FileExistsError):
+        fsm._s3_put_if_absent("s3a://bucket/t/_delta_log/3.json", b"x")
+    stub.deactivate()

@@ -1,0 +1,241 @@
+"""Auto-routed driver-light planning (round-8 ask #3).
+
+Past ADLS_LIGHT_PLANNING_FILES (default 10^6, read from
+`_last_checkpoint`'s action count), ordinary `to_df(where=...)` and
+predicate DELETE/UPDATE stop materializing the classic driver-resident
+snapshot: pruning runs executor-side over the checkpoint parquet
+(LightSnapshot.prune_df) and only the survivors come back as AddFiles.
+These tests force the threshold low and assert the light path is
+RESULT-IDENTICAL to classic on every surface it touches — scan, DELETE
+(cow+mor), UPDATE, column-mapped stats remapping, DV descriptor
+reconstruction, and the collect-cap fallback.
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_delta_lake_spark import DeltaTable, write_delta
+from athena_delta_lake_spark.delta.log import DeltaLog
+from athena_delta_lake_spark.delta.writer import (
+    enable_column_mapping,
+    rename_column,
+    write_checkpoint,
+)
+
+
+def _mk_table(spark, path, mapped=False, dv=False):
+    df = spark.createDataFrame(
+        [(i, i % 8, float(i), f"s{i}") for i in range(400)],
+        "id long, part int, v double, name string",
+    )
+    write_delta(df, path, partition_by=["part"])
+    if mapped:
+        enable_column_mapping(path)
+        rename_column(path, "v", "val")
+        rename_column(path, "val", "v")  # same logical name, mapped physical
+    if dv:
+        DeltaTable(spark, path).delete(where="id % 37 = 0", mode="mor")
+    write_checkpoint(path)
+    # a post-checkpoint tail: overlay adds + dead paths both exercised
+    write_delta(
+        spark.createDataFrame(
+            [(1000 + i, i % 8, -1.0, "tail") for i in range(16)],
+            "id long, part int, v double, name string",
+        ),
+        path,
+        mode="append",
+    )
+    DeltaLog.clear_cache()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("mapped,dv", [(False, False), (True, True)])
+def test_light_to_df_equals_classic(spark, tmp_path, monkeypatch, mapped, dv):
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, mapped=mapped, dv=dv)
+    t = DeltaTable(spark, path)
+    queries = [
+        ("part = 3 AND id < 200", None),
+        ("v >= 100.0", ["id", "v"]),
+        (None, None),
+    ]
+    classic = []
+    for where, cols in queries:
+        assert not t.log.light_planning_engaged()
+        classic.append(_rows(t.to_df(where=where, columns=cols)))
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "5")
+    assert t.log.light_planning_engaged()
+    for (where, cols), want in zip(queries, classic):
+        got = _rows(t.to_df(where=where, columns=cols))
+        assert got == want, (where, cols)
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_light_delete_equals_classic(spark, tmp_path, monkeypatch, mode):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (a, b):
+        _mk_table(spark, p)
+    DeltaTable(spark, a).delete(where="part = 2 AND id < 150", mode=mode)
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "5")
+    assert DeltaLog(b).light_planning_engaged()
+    res = DeltaTable(spark, b).delete(where="part = 2 AND id < 150", mode=mode)
+    assert _rows(DeltaTable(spark, a).to_df()) == _rows(
+        DeltaTable(spark, b).to_df()
+    )
+    assert res["rows_deleted"] == 19  # 150/8 ids in part 2, minus none
+
+
+def test_light_partition_fastpath_delete(spark, tmp_path, monkeypatch):
+    """Partition-only DELETE stays metadata-only (zero adds) on the light
+    path — prune_df's partition pruning is exact there."""
+    path = str(tmp_path / "fast")
+    _mk_table(spark, path)
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "5")
+    res = DeltaTable(spark, path).delete(where="part = 5")
+    assert res["files_added"] == 0
+    assert DeltaTable(spark, path).to_df().filter("part = 5").count() == 0
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_light_update_equals_classic(spark, tmp_path, monkeypatch, mode):
+    a, b = str(tmp_path / "ua"), str(tmp_path / "ub")
+    for p in (a, b):
+        _mk_table(spark, p)
+    DeltaTable(spark, a).update({"v": "v + 0.5"}, where="part = 1", mode=mode)
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "5")
+    DeltaTable(spark, b).update({"v": "v + 0.5"}, where="part = 1", mode=mode)
+    assert _rows(DeltaTable(spark, a).to_df()) == _rows(
+        DeltaTable(spark, b).to_df()
+    )
+
+
+def test_light_collect_cap_falls_back_classic(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "cap")
+    _mk_table(spark, path)
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "5")
+    monkeypatch.setenv("ADLS_LIGHT_COLLECT_CAP", "1")
+    t = DeltaTable(spark, path)
+    # still correct — just served by the classic snapshot
+    assert t.to_df(where="part = 3").count() == t.to_df().filter(
+        "part = 3"
+    ).count()
+    res = t.delete(where="part = 3 AND id < 100")
+    assert t.to_df().filter("part = 3 AND id < 100").count() == 0
+    assert res["rows_deleted"] > 0
+
+
+def test_light_declines_on_unsafe_predicate_type(spark, tmp_path, monkeypatch):
+    """Decimal predicate columns are outside the executor-prune's exact
+    domain: the light path must decline and classic planning answer."""
+    path = str(tmp_path / "dec")
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(100)], "id long, part int"
+    ).withColumn("d", F.col("id").cast("decimal(10,2)"))
+    write_delta(df, path, partition_by=["part"])
+    write_checkpoint(path)
+    DeltaLog.clear_cache()
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
+    from athena_delta_lake_spark.delta.dml import _light_planning_candidates
+
+    assert (
+        _light_planning_candidates(spark, path, [("d", "<", 50)]) is None
+    )
+    t = DeltaTable(spark, path)
+    res = t.delete(where="d < 50")
+    assert res["rows_deleted"] == 50
+    assert t.to_df().count() == 50
+
+
+def test_light_snapshot_state_matches_classic_addfiles(spark, tmp_path):
+    """collect_pruned_add_files survivors are byte-equivalent to classic
+    replay AddFiles (path, partition values, stats keys remapped to
+    logical names, DV descriptor, row-tracking fields)."""
+    path = str(tmp_path / "eq")
+    _mk_table(spark, path, mapped=True, dv=True)
+    light = DeltaLog(path).snapshot_light()
+    got = {
+        f.path: f
+        for f in light.collect_pruned_add_files(spark, [("part", "=", 1)])
+    }
+    classic = DeltaLog(path).snapshot()
+    from athena_delta_lake_spark.delta.stats import prune_files
+
+    want = {f.path: f for f in prune_files(classic, [("part", "=", 1)])}
+    assert set(got) == set(want)
+    for p, g in got.items():
+        w = want[p]
+        assert g.partition_values == w.partition_values, p
+        assert g.size == w.size and g.modification_time == w.modification_time
+        assert (g.deletion_vector or {}) == (w.deletion_vector or {}), p
+        assert g.base_row_id == w.base_row_id
+        assert g.default_row_commit_version == w.default_row_commit_version
+        gs, ws = g.stats, w.stats
+        assert (gs or {}).get("numRecords") == (ws or {}).get("numRecords")
+        for k in ("minValues", "maxValues", "nullCount"):
+            assert (gs or {}).get(k) == (ws or {}).get(k), (p, k)
+
+
+def test_light_count_equals_classic(spark, tmp_path, monkeypatch):
+    """count() past the threshold sums numRecords - DV cardinality
+    executor-side — no file list on the driver — and matches classic on
+    every shape: bare, partition pred, data pred (scan route), DV'd
+    files, and a stat-less foreign add (individual scan route)."""
+    import json as _json
+    import os as _os
+
+    path = str(tmp_path / "cnt")
+    _mk_table(spark, path, dv=True)
+    t = DeltaTable(spark, path)
+    shapes = [None, [("part", "=", 3)], "part = 3", "v >= 100.0",
+              "part = 2 AND id < 100"]
+    classic = [t.count(where=w) for w in shapes]
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "5")
+    assert t.log.light_planning_engaged()
+    for w, want in zip(shapes, classic):
+        assert t.count(where=w) == want, w
+
+    # stat-less foreign add: drop in a parquet file via hand-written
+    # commit (no stats) — count must scan exactly that file
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fp = _os.path.join(path, "foreign.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([9001, 9002], pa.int64()),
+                "v": pa.array([1.0, 2.0], pa.float64()),
+                "name": pa.array(["a", "b"], pa.string()),
+            }
+        ),
+        fp,
+    )
+    v = DeltaLog(path).latest_version() + 1
+    with open(_os.path.join(path, "_delta_log", f"{v:020d}.json"), "w") as f:
+        f.write(
+            _json.dumps(
+                {
+                    "add": {
+                        "path": "foreign.parquet",
+                        "partitionValues": {"part": "7"},
+                        "size": _os.path.getsize(fp),
+                        "modificationTime": 1,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    DeltaLog.clear_cache()
+    monkeypatch.delenv("ADLS_LIGHT_PLANNING_FILES")
+    want = DeltaTable(spark, path).count()
+    want7 = DeltaTable(spark, path).count(where=[("part", "=", 7)])
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "5")
+    assert DeltaTable(spark, path).count() == want
+    assert DeltaTable(spark, path).count(where=[("part", "=", 7)]) == want7
+    assert want7 >= 2  # includes the stat-less foreign rows

@@ -19,6 +19,7 @@ behavior at the 100 TB file-count regime instead of asserting it.
 
 Usage: python tools/meta_scale.py [n_files] [adds_per_commit]
        python tools/meta_scale.py [n_files] [adds_per_commit] --light
+       python tools/meta_scale.py [n_files] [adds_per_commit] --plan [--check-classic]
 Prints one JSON line with the measurements (recorded in PERF_TRIAGE_r6).
 
 --light (round-7 ask #6): measure the DRIVER-LIGHT snapshot path
@@ -27,6 +28,16 @@ process against a table prepared by a prior normal run — peak RSS then
 reflects only the light path, which holds no AddFiles: O(header + tail)
 driver memory at ANY file count. The classic path measured 8.6 GiB RSS
 at 10^7 adds; the light path's bar is < 2 GiB.
+
+--plan (round-8 ask #3): measure the AUTO-ROUTED light planning wiring in
+a fresh process — ordinary DeltaTable.to_df predicate planning
+(_planning_snapshot) and a partition-predicate DELETE, both served by
+collect_pruned_add_files past the ADLS_LIGHT_PLANNING_FILES threshold —
+asserting driver RSS stays under 2 GiB at any file count. The DELETE's
+commit is removed afterwards so the prepared table stays reusable.
+--check-classic additionally loads the CLASSIC snapshot (expensive:
+~270 s / 8.6 GiB at 10^7) and asserts the light survivors are identical;
+run it at 10^6 where the classic path is cheap.
 """
 
 from __future__ import annotations
@@ -133,6 +144,8 @@ def main() -> int:
     root = os.environ.get("ADLS_META_SCALE_ROOT", "/tmp/adls_meta_scale")
     if light_mode:
         return light_main(root, n_files, out)
+    if "--plan" in sys.argv:
+        return plan_main(root, n_files, out, "--check-classic" in sys.argv)
     t0 = time.time()
     path = build_log(root, n_files, per_commit)
     out["build_log_s"] = round(time.time() - t0, 2)
@@ -241,6 +254,80 @@ def light_main(root: str, n_files: int, out: dict) -> int:
     out["prune_df_survivors"] = light.prune_df(spark, preds).count()
     out["prune_df_s"] = round(time.time() - t0, 2)
     out["rss_final_mib"] = round(rss_mib(), 1)
+    spark.stop()
+    print(json.dumps(out))
+    return 0
+
+
+def plan_main(root: str, n_files: int, out: dict, check_classic: bool) -> int:
+    """Measure the auto-routed light PLANNING wiring (to_df +
+    predicate DELETE) against the prepared table — fresh process, RSS
+    asserted < 2 GiB regardless of file count."""
+    from athena_delta_lake_spark import DeltaTable, get_spark
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    path = os.path.join(root, "meta_scale_tbl")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        print(
+            json.dumps({"error": "run the normal mode first to build the "
+                        "table + checkpoint"}),
+        )
+        return 1
+    out["mode"] = "plan"
+    os.environ.setdefault("ADLS_LIGHT_PLANNING_FILES", "1000000")
+    out["rss_before_mib"] = round(rss_mib(), 1)
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        shuffle_partitions=16,
+    )
+    t = DeltaTable(spark, path)
+    out["light_engaged"] = bool(t.log.light_planning_engaged())
+
+    # ordinary to_df predicate planning: exactly what to_df(where=...)
+    # executes before the scan itself (the scan reads only survivors, so
+    # planning is the driver-memory-bearing part at 10^7 files)
+    preds = [("day", "=", "2024-03-15"), ("id", ">=", 1_000_000_000)]
+    t0 = time.time()
+    snap = t._planning_snapshot(preds)
+    out["to_df_planning_s"] = round(time.time() - t0, 2)
+    out["planning_survivors"] = len(snap.files)
+    out["rss_after_plan_mib"] = round(rss_mib(), 1)
+
+    # predicate DELETE: partition-only -> metadata-only commit (no data
+    # I/O, which is what lets this run on a synthetic metadata-only log)
+    v_before = DeltaLog(path).latest_version()
+    t0 = time.time()
+    res = t.delete(where="day = '2024-06-01'")
+    out["delete_s"] = round(time.time() - t0, 2)
+    out["delete_files_removed"] = res["files_removed"]
+    out["delete_files_added"] = res["files_added"]
+    out["rss_after_delete_mib"] = round(rss_mib(), 1)
+    peak = max(out["rss_after_plan_mib"], out["rss_after_delete_mib"])
+    out["rss_under_2gib"] = bool(peak < 2048)
+    assert out["light_engaged"], "light planning did not engage"
+    assert res["files_added"] == 0, "partition delete must be metadata-only"
+    assert peak < 2048, f"driver RSS {peak} MiB breaches the 2 GiB bar"
+
+    # leave the prepared table unchanged for later runs
+    os.remove(
+        os.path.join(path, "_delta_log", f"{v_before + 1:020d}.json")
+    )
+    DeltaLog.clear_cache()
+
+    if check_classic:
+        from athena_delta_lake_spark.delta.stats import prune_files
+
+        t0 = time.time()
+        classic = DeltaLog(path).snapshot()
+        out["classic_replay_s"] = round(time.time() - t0, 2)
+        want = sorted(f.path for f in prune_files(classic, preds))
+        got = sorted(f.path for f in snap.files)
+        assert got == want, (
+            f"light planning survivors diverge from classic: "
+            f"{len(got)} vs {len(want)}"
+        )
+        out["classic_equality"] = "identical"
+        out["rss_after_classic_mib"] = round(rss_mib(), 1)
     spark.stop()
     print(json.dumps(out))
     return 0
