@@ -163,6 +163,19 @@ def _light_planning_candidates(spark, table_path: str, preds):
     return light.to_snapshot_state(files), files
 
 
+def _plan_candidates(spark, table_path: str, preds):
+    """(snapshot, candidate files) — THE candidate-selection entry every
+    DML rewriter uses: driver-light past the threshold
+    (_light_planning_candidates), classic snapshot + prune otherwise."""
+    light = _light_planning_candidates(spark, table_path, preds)
+    if light is not None:
+        return light
+    snap = DeltaLog(table_path).snapshot()
+    return snap, (
+        prune_files_auto(spark, snap, preds) if preds else list(snap.files)
+    )
+
+
 def delete(
     spark: SparkSession,
     table_path: str,
@@ -181,14 +194,7 @@ def delete(
         )
     table_path = normalize_table_path(table_path)
     preds, cond, fully_parsed = _normalize_where(where)
-    light = _light_planning_candidates(spark, table_path, preds)
-    if light is not None:
-        snap, candidates = light
-    else:
-        snap = DeltaLog(table_path).snapshot()
-        candidates = (
-            prune_files_auto(spark, snap, preds) if preds else list(snap.files)
-        )
+    snap, candidates = _plan_candidates(spark, table_path, preds)
     if not candidates:
         return {"files_removed": 0, "files_added": 0, "rows_deleted": 0}
 
@@ -287,14 +293,7 @@ def delete_mor(
         )
     table_path = normalize_table_path(table_path)
     preds, cond, _fully_parsed = _normalize_where(where)
-    light = _light_planning_candidates(spark, table_path, preds)
-    if light is not None:
-        snap, candidates = light
-    else:
-        snap = DeltaLog(table_path).snapshot()
-        candidates = (
-            prune_files_auto(spark, snap, preds) if preds else list(snap.files)
-        )
+    snap, candidates = _plan_candidates(spark, table_path, preds)
     if not candidates:
         return {"files_removed": 0, "files_added": 0, "rows_deleted": 0}
 
@@ -312,6 +311,7 @@ def delete_mor(
         candidates,
     )
     if not staged:
+        _release_materialized(matched)
         return {"files_removed": 0, "files_added": 0, "rows_deleted": 0}
 
     pieces = _dv_pieces(table_path, snap, staged)
@@ -338,6 +338,7 @@ def delete_mor(
             "numDeletionVectorsAdded": pieces.dv_files_written,
         },
     )
+    _release_materialized(matched)
     return {
         "files_removed": len(pieces.full_files),
         "files_added": len(pieces.adds),
@@ -513,14 +514,7 @@ def update(
     """
     table_path = normalize_table_path(table_path)
     preds, cond, _ = _normalize_where(where) if where is not None else ([], F.lit(True), True)
-    light = _light_planning_candidates(spark, table_path, preds)
-    if light is not None:
-        snap, candidates = light
-    else:
-        snap = DeltaLog(table_path).snapshot()
-        candidates = (
-            prune_files_auto(spark, snap, preds) if preds else list(snap.files)
-        )
+    snap, candidates = _plan_candidates(spark, table_path, preds)
     if not candidates:
         return {"files_removed": 0, "files_added": 0, "rows_updated": 0}
 
@@ -645,14 +639,7 @@ def update_mor(
     preds, cond, _ = (
         _normalize_where(where) if where is not None else ([], F.lit(True), True)
     )
-    light = _light_planning_candidates(spark, table_path, preds)
-    if light is not None:
-        snap, candidates = light
-    else:
-        snap = DeltaLog(table_path).snapshot()
-        candidates = (
-            prune_files_auto(spark, snap, preds) if preds else list(snap.files)
-        )
+    snap, candidates = _plan_candidates(spark, table_path, preds)
     if not candidates:
         return {"files_removed": 0, "files_added": 0, "rows_updated": 0}
 
@@ -671,6 +658,7 @@ def update_mor(
         spark, table_path, matched_rows.select("_file", "_row_idx"), candidates
     )
     if not staged:
+        _release_materialized(matched_rows)
         return {"files_removed": 0, "files_added": 0, "rows_updated": 0}
 
     field_types = {f.name: f.dataType for f in snap.schema.fields}
@@ -729,6 +717,7 @@ def update_mor(
             "numDeletionVectorsAdded": pieces.dv_files_written,
         },
     )
+    _release_materialized(matched_rows)
     return {
         "files_removed": len(pieces.full_files),
         "files_added": len(pieces.adds) + len(new_adds),
@@ -1126,6 +1115,22 @@ def _touched_paths(files_df: DataFrame, by_path: dict) -> set[str]:
     return out
 
 
+def _release_materialized(df: DataFrame) -> None:
+    """Free the executor storage blocks of a localCheckpoint'd DataFrame.
+    PySpark exposes no unpersist counterpart for checkpoints — without
+    this, every MERGE leaves one materialized copy of its source in
+    executor MEMORY_AND_DISK until driver GC + ContextCleaner get around
+    to it, which under sustained foreachBatch merges fills storage memory
+    and evicts useful cache. The LogicalRDD backing the checkpoint is
+    reachable from the plan; unpersisting it drops the blocks
+    immediately (verified against getRDDStorageInfo). Best-effort: an
+    unmaterialized or already-collected checkpoint is a no-op."""
+    try:
+        df._jdf.queryExecution().optimizedPlan().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _matched_clause_index(clauses: list[tuple[str | None, str]]):
     """Column: index of the FIRST clause whose condition is TRUE for this
     matched (target, source) row pair, or -1 when none applies (the
@@ -1329,426 +1334,431 @@ def merge_upsert(
     # delta-spark's materializeSource.
     src_pair = src_pair.localCheckpoint(eager=False)
     src = src_pair.select(*target_cols) if extra_src else src_pair
-    for k in keys:
-        if k not in target_cols or k in src_missing:
-            raise ValueError(f"merge key not in table schema: {k}")
+    try:
+        for k in keys:
+            if k not in target_cols or k in src_missing:
+                raise ValueError(f"merge key not in table schema: {k}")
 
-    if not clauses and not_matched_by_source is None:
-        if when_not_matched != "insert":
-            raise ValueError("MERGE with no action clauses")
-        return _insert_only_merge(
-            spark, snap, table_path, src_pair, keys,
-            schema=schema, meta=meta, extra_actions=evolved_md, ident=ident,
-            isolation=isolation, on_condition=on_condition,
-            not_matched_condition=not_matched_condition,
-        )
-
-    pair = _pair_condition(keys, on_condition) if on_condition else None
-    src_keys = src.select(*keys).distinct()
-    if broadcast_keys:
-        src_keys = F.broadcast(src_keys)
-
-    live = list(snap.files)
-    by_path = _live_files_by_path(snap)
-    touched_names = set()
-    if live:
-        # Tag rows with their source file AT SCAN TIME (_metadata.file_path
-        # via read_files_with_index). input_file_name() is NOT usable here:
-        # it returns '' for rows that crossed the deletion-vector anti-join,
-        # so merges touching DV'd files silently missed them — the target
-        # rows survived unrewritten while the source rows inserted,
-        # duplicating keys (caught by the randomized DML state machine).
-        from .reader import read_files_with_index
-
-        if pair is None:
-            probe = read_files_with_index(spark, snap, live).select(
-                *keys, F.col("_file").alias("__file")
+        if not clauses and not_matched_by_source is None:
+            if when_not_matched != "insert":
+                raise ValueError("MERGE with no action clauses")
+            return _insert_only_merge(
+                spark, snap, table_path, src_pair, keys,
+                schema=schema, meta=meta, extra_actions=evolved_md, ident=ident,
+                isolation=isolation, on_condition=on_condition,
+                not_matched_condition=not_matched_condition,
             )
-            hit_files = probe.join(src_keys, keys, "left_semi")
-        else:
-            # the residual may reference any target column: keep the full
-            # row (Catalyst prunes the scan to the referenced columns)
-            probe = read_files_with_index(spark, snap, live).withColumnRenamed(
-                "_file", "__file"
-            )
-            hit_files = probe.alias("t").join(
-                F.broadcast(src_pair.alias("s"))
-                if broadcast_keys
-                else src_pair.alias("s"),
-                pair,
-                "left_semi",
-            )
-        touched_names = _touched_paths(
-            hit_files.select("__file").distinct(), by_path
-        )
-    touched = [by_path[n] for n in touched_names if n in by_path]
 
-    remove_files = list(touched)
-    if not_matched_by_source == "delete":
-        # untouched files hold ONLY unmatched rows: remove them wholesale,
-        # no data I/O (the metadata fast path)
-        remove_files = list(live)
+        pair = _pair_condition(keys, on_condition) if on_condition else None
+        src_keys = src.select(*keys).distinct()
+        if broadcast_keys:
+            src_keys = F.broadcast(src_keys)
 
-    pieces = []
-    piece_kinds: list[str] = []  # parallel: 'copied' | 'updated' | 'inserted'
-    if touched:
-        target_rows = _null_fill(_read_cow(spark, snap, touched), schema)
-        if not_matched_by_source != "delete":
-            # unmatched target rows survive the rewrite
+        live = list(snap.files)
+        by_path = _live_files_by_path(snap)
+        touched_names = set()
+        if live:
+            # Tag rows with their source file AT SCAN TIME (_metadata.file_path
+            # via read_files_with_index). input_file_name() is NOT usable here:
+            # it returns '' for rows that crossed the deletion-vector anti-join,
+            # so merges touching DV'd files silently missed them — the target
+            # rows survived unrewritten while the source rows inserted,
+            # duplicating keys (caught by the randomized DML state machine).
+            from .reader import read_files_with_index
+
             if pair is None:
-                pieces.append(target_rows.join(src_keys, keys, "left_anti"))
-            else:
-                pieces.append(
-                    target_rows.alias("t").join(
-                        src_pair.alias("s"), pair, "left_anti"
-                    )
+                probe = read_files_with_index(spark, snap, live).select(
+                    *keys, F.col("_file").alias("__file")
                 )
-            piece_kinds.append("copied")
-        matched_keys = (
-            target_rows.select(*keys).join(src_keys, keys, "left_semi").distinct()
-        )
-    else:
-        matched_keys = src.select(*keys).limit(0)
-    needs_per_row = any(a == "update" for _c, a in clauses) or any(
-        c is not None for c, _a in clauses
-    )
-    if touched and needs_per_row:
-        # multiple source rows hitting one target key would update the same
-        # target row several ways (or both keep and delete it, for a
-        # conditional clause) — nondeterministic. Delta raises here
-        # (DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE); so do we.
-        if pair is None:
-            ambiguous = (
-                src.join(matched_keys, keys, "left_semi")
-                .groupBy(*keys)
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .count()
+                hit_files = probe.join(src_keys, keys, "left_semi")
+            else:
+                # the residual may reference any target column: keep the full
+                # row (Catalyst prunes the scan to the referenced columns)
+                probe = read_files_with_index(spark, snap, live).withColumnRenamed(
+                    "_file", "__file"
+                )
+                hit_files = probe.alias("t").join(
+                    F.broadcast(src_pair.alias("s"))
+                    if broadcast_keys
+                    else src_pair.alias("s"),
+                    pair,
+                    "left_semi",
+                )
+            touched_names = _touched_paths(
+                hit_files.select("__file").distinct(), by_path
+            )
+        touched = [by_path[n] for n in touched_names if n in by_path]
+
+        remove_files = list(touched)
+        if not_matched_by_source == "delete":
+            # untouched files hold ONLY unmatched rows: remove them wholesale,
+            # no data I/O (the metadata fast path)
+            remove_files = list(live)
+
+        pieces = []
+        piece_kinds: list[str] = []  # parallel: 'copied' | 'updated' | 'inserted'
+        if touched:
+            target_rows = _null_fill(_read_cow(spark, snap, touched), schema)
+            if not_matched_by_source != "delete":
+                # unmatched target rows survive the rewrite
+                if pair is None:
+                    pieces.append(target_rows.join(src_keys, keys, "left_anti"))
+                else:
+                    pieces.append(
+                        target_rows.alias("t").join(
+                            src_pair.alias("s"), pair, "left_anti"
+                        )
+                    )
+                piece_kinds.append("copied")
+            matched_keys = (
+                target_rows.select(*keys).join(src_keys, keys, "left_semi").distinct()
             )
         else:
-            # pair-accurate under a residual: two source rows sharing a
-            # key may legitimately match DISJOINT target rows (range
-            # bucketing) — count matching source rows per target ROW, not
-            # per key. The monotonic tag is consistent within one action.
-            ambiguous = (
-                target_rows.withColumn(
-                    "__tid", F.monotonically_increasing_id()
-                )
-                .alias("t")
-                .join(src_pair.alias("s"), pair, "inner")
-                .groupBy("__tid")
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .count()
-            )
-        if ambiguous:
-            raise ValueError(
-                "MERGE: multiple source rows match the same target "
-                + ("row" if pair is not None else "key")
-                + "; the update would be nondeterministic"
-            )
-    from .writer import MATERIALIZED_RCV_COL, MATERIALIZED_ROW_ID_COL
-
-    rt_extras = (
-        [MATERIALIZED_ROW_ID_COL, MATERIALIZED_RCV_COL]
-        if (touched and _rt_on(snap))
-        else []
-    )
-    cdf = _cdf_on(snap)
-    cdc_frames: list[tuple[DataFrame, str]] = []
-    if touched and not clauses:
-        # no matched-action clause (reachable only under NOT MATCHED BY
-        # SOURCE DELETE): matched target rows keep the target version;
-        # unmatched rows in touched files are the ones being deleted
-        pieces.append(
-            target_rows.join(src_keys, keys, "left_semi")
-            if pair is None
-            else target_rows.alias("t").join(
-                src_pair.alias("s"), pair, "left_semi"
-            )
+            matched_keys = src.select(*keys).limit(0)
+        needs_per_row = any(a == "update" for _c, a in clauses) or any(
+            c is not None for c, _a in clauses
         )
-        piece_kinds.append("copied")
-    if cdf and touched and clauses and not needs_per_row:
-        # the single unconditional DELETE clause: matched rows vanish
-        cdc_frames.append(
-            (
+        if touched and needs_per_row:
+            # multiple source rows hitting one target key would update the same
+            # target row several ways (or both keep and delete it, for a
+            # conditional clause) — nondeterministic. Delta raises here
+            # (DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE); so do we.
+            if pair is None:
+                ambiguous = (
+                    src.join(matched_keys, keys, "left_semi")
+                    .groupBy(*keys)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .count()
+                )
+            else:
+                # pair-accurate under a residual: two source rows sharing a
+                # key may legitimately match DISJOINT target rows (range
+                # bucketing) — count matching source rows per target ROW, not
+                # per key. The monotonic tag is consistent within one action.
+                ambiguous = (
+                    target_rows.withColumn(
+                        "__tid", F.monotonically_increasing_id()
+                    )
+                    .alias("t")
+                    .join(src_pair.alias("s"), pair, "inner")
+                    .groupBy("__tid")
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .count()
+                )
+            if ambiguous:
+                raise ValueError(
+                    "MERGE: multiple source rows match the same target "
+                    + ("row" if pair is not None else "key")
+                    + "; the update would be nondeterministic"
+                )
+        from .writer import MATERIALIZED_RCV_COL, MATERIALIZED_ROW_ID_COL
+
+        rt_extras = (
+            [MATERIALIZED_ROW_ID_COL, MATERIALIZED_RCV_COL]
+            if (touched and _rt_on(snap))
+            else []
+        )
+        cdf = _cdf_on(snap)
+        cdc_frames: list[tuple[DataFrame, str]] = []
+        if touched and not clauses:
+            # no matched-action clause (reachable only under NOT MATCHED BY
+            # SOURCE DELETE): matched target rows keep the target version;
+            # unmatched rows in touched files are the ones being deleted
+            pieces.append(
                 target_rows.join(src_keys, keys, "left_semi")
                 if pair is None
                 else target_rows.alias("t").join(
                     src_pair.alias("s"), pair, "left_semi"
-                ),
-                "delete",
+                )
             )
-        )
-    if touched and needs_per_row:
-        # per-TARGET-ROW, first-match-wins clause application: each matched
-        # (target, source) pair gets the index of the first clause whose
-        # condition holds; update-clause rows take the SOURCE's values but
-        # keep the TARGET row's identity (row tracking: same id, new commit
-        # version), delete-clause rows vanish, no-clause rows keep the
-        # TARGET version. (Duplicate target keys each resolve independently
-        # — a per-source-key semi-join would silently collapse them.)
-        non_keys = [c for c in target_cols if c not in keys]
-        if pair is None:
-            joined = target_rows.alias("t").join(src.alias("s"), keys, "inner")
-            tgt_keys_sel = [F.col(k) for k in keys]
-            src_keys_sel = [F.col(k) for k in keys]
-        else:
-            # expression join keeps BOTH sides' key columns: qualify them
-            joined = target_rows.alias("t").join(
-                src_pair.alias("s"), pair, "inner"
+            piece_kinds.append("copied")
+        if cdf and touched and clauses and not needs_per_row:
+            # the single unconditional DELETE clause: matched rows vanish
+            cdc_frames.append(
+                (
+                    target_rows.join(src_keys, keys, "left_semi")
+                    if pair is None
+                    else target_rows.alias("t").join(
+                        src_pair.alias("s"), pair, "left_semi"
+                    ),
+                    "delete",
+                )
             )
-            tgt_keys_sel = [F.col(f"t.{k}").alias(k) for k in keys]
-            src_keys_sel = [F.col(f"s.{k}").alias(k) for k in keys]
-        applied = joined.withColumn("__clause", _matched_clause_index(clauses))
-        carried = [F.col(f"t.{c}").alias(c) for c in rt_extras]
-        tgt_version = tgt_keys_sel + [
-            F.col(f"t.{c}").alias(c) for c in non_keys
-        ] + carried
-        src_version = src_keys_sel + [
-            # UPDATE SET * assigns only source-present columns; under
-            # schema evolution a target column the source lacks keeps
-            # the TARGET row's value
-            (
-                F.col(f"t.{c}").alias(c)
-                if c in src_missing
-                else F.col(f"s.{c}").alias(c)
-            )
-            for c in non_keys
-        ] + carried
-        field_types2 = {f.name: f.dataType for f in schema.fields}
+        if touched and needs_per_row:
+            # per-TARGET-ROW, first-match-wins clause application: each matched
+            # (target, source) pair gets the index of the first clause whose
+            # condition holds; update-clause rows take the SOURCE's values but
+            # keep the TARGET row's identity (row tracking: same id, new commit
+            # version), delete-clause rows vanish, no-clause rows keep the
+            # TARGET version. (Duplicate target keys each resolve independently
+            # — a per-source-key semi-join would silently collapse them.)
+            non_keys = [c for c in target_cols if c not in keys]
+            if pair is None:
+                joined = target_rows.alias("t").join(src.alias("s"), keys, "inner")
+                tgt_keys_sel = [F.col(k) for k in keys]
+                src_keys_sel = [F.col(k) for k in keys]
+            else:
+                # expression join keeps BOTH sides' key columns: qualify them
+                joined = target_rows.alias("t").join(
+                    src_pair.alias("s"), pair, "inner"
+                )
+                tgt_keys_sel = [F.col(f"t.{k}").alias(k) for k in keys]
+                src_keys_sel = [F.col(f"s.{k}").alias(k) for k in keys]
+            applied = joined.withColumn("__clause", _matched_clause_index(clauses))
+            carried = [F.col(f"t.{c}").alias(c) for c in rt_extras]
+            tgt_version = tgt_keys_sel + [
+                F.col(f"t.{c}").alias(c) for c in non_keys
+            ] + carried
+            src_version = src_keys_sel + [
+                # UPDATE SET * assigns only source-present columns; under
+                # schema evolution a target column the source lacks keeps
+                # the TARGET row's value
+                (
+                    F.col(f"t.{c}").alias(c)
+                    if c in src_missing
+                    else F.col(f"s.{c}").alias(c)
+                )
+                for c in non_keys
+            ] + carried
+            field_types2 = {f.name: f.dataType for f in schema.fields}
 
-        def _assigned_version(a: dict):
-            # per-column UPDATE SET col = expr: assigned expressions see
-            # t./s.; every unassigned column keeps the TARGET row's value
-            for col_ in a:
-                if col_ not in field_types2:
-                    raise ValueError(f"SET on unknown column: {col_}")
-            out = []
-            for k_, base in zip(keys, tgt_keys_sel):
-                out.append(
-                    F.expr(a[k_]).cast(field_types2[k_]).alias(k_)
-                    if k_ in a
-                    else base
-                )
-            for c in non_keys:
-                out.append(
-                    F.expr(a[c]).cast(field_types2[c]).alias(c)
-                    if c in a
-                    else F.col(f"t.{c}").alias(c)
-                )
-            return out + carried
+            def _assigned_version(a: dict):
+                # per-column UPDATE SET col = expr: assigned expressions see
+                # t./s.; every unassigned column keeps the TARGET row's value
+                for col_ in a:
+                    if col_ not in field_types2:
+                        raise ValueError(f"SET on unknown column: {col_}")
+                out = []
+                for k_, base in zip(keys, tgt_keys_sel):
+                    out.append(
+                        F.expr(a[k_]).cast(field_types2[k_]).alias(k_)
+                        if k_ in a
+                        else base
+                    )
+                for c in non_keys:
+                    out.append(
+                        F.expr(a[c]).cast(field_types2[c]).alias(c)
+                        if c in a
+                        else F.col(f"t.{c}").alias(c)
+                    )
+                return out + carried
 
-        pieces.append(
-            applied.filter(F.col("__clause") == -1).select(*tgt_version)
-        )
-        piece_kinds.append("copied")
-        update_idx = [
-            i
-            for i, (_c, a) in enumerate(clauses)
-            if a == "update" and clause_assigns[i] is None
-        ]
-        assigned_idx = [
-            i
-            for i, (_c, a) in enumerate(clauses)
-            if a == "update" and clause_assigns[i] is not None
-        ]
-        if update_idx:
             pieces.append(
-                applied.filter(F.col("__clause").isin(update_idx)).select(
-                    *src_version
-                )
+                applied.filter(F.col("__clause") == -1).select(*tgt_version)
             )
-            piece_kinds.append("updated")
-        for i in assigned_idx:
-            pieces.append(
-                applied.filter(F.col("__clause") == i).select(
-                    *_assigned_version(clause_assigns[i])
-                )
-            )
-            piece_kinds.append("updated")
-        if cdf:
-            delete_idx = [
-                i for i, (_c, a) in enumerate(clauses) if a == "delete"
+            piece_kinds.append("copied")
+            update_idx = [
+                i
+                for i, (_c, a) in enumerate(clauses)
+                if a == "update" and clause_assigns[i] is None
             ]
-            if delete_idx:
-                cdc_frames.append(
-                    (
-                        applied.filter(F.col("__clause").isin(delete_idx))
-                        .select(*tgt_version),
-                        "delete",
-                    )
-                )
+            assigned_idx = [
+                i
+                for i, (_c, a) in enumerate(clauses)
+                if a == "update" and clause_assigns[i] is not None
+            ]
             if update_idx:
-                upd = applied.filter(F.col("__clause").isin(update_idx))
-                cdc_frames.append(
-                    (upd.select(*tgt_version), "update_preimage")
-                )
-                cdc_frames.append(
-                    (upd.select(*src_version), "update_postimage")
-                )
-            for i in assigned_idx:
-                upd = applied.filter(F.col("__clause") == i)
-                cdc_frames.append(
-                    (upd.select(*tgt_version), "update_preimage")
-                )
-                cdc_frames.append(
-                    (
-                        upd.select(*_assigned_version(clause_assigns[i])),
-                        "update_postimage",
+                pieces.append(
+                    applied.filter(F.col("__clause").isin(update_idx)).select(
+                        *src_version
                     )
                 )
-    # else: the single unconditional DELETE clause — matched rows simply
-    # vanish, no join needed (the anti-join survivor piece above covers
-    # unmatched target rows)
-    if cdf and touched and not_matched_by_source == "delete":
-        # unmatched rows of TOUCHED files are dropped by not re-adding them
-        cdc_frames.append(
-            (
-                target_rows.join(src_keys, keys, "left_anti")
-                if pair is None
-                else target_rows.alias("t").join(
-                    src_pair.alias("s"), pair, "left_anti"
-                ),
-                "delete",
-            )
-        )
-    ident_params: dict = {}
-    if when_not_matched == "insert":
-        if pair is None:
-            ins = src.join(matched_keys, keys, "left_anti")
-        elif touched:
-            # TRUE ON semantics: a source row inserts unless some target
-            # row matches it under the FULL pair condition (key equal AND
-            # residual true). Touched files hold every such target row.
-            ins = src_pair.alias("s").join(
-                target_rows.alias("t"), pair, "left_anti"
-            ).select(*[F.col(f.name) for f in schema.fields])
-        else:
-            ins = src
-        if not_matched_condition is not None:
-            # conditional insert: the condition sees only the source row
-            ins = ins.alias("s").filter(
-                F.coalesce(F.expr(not_matched_condition), F.lit(False))
-            )
-        if ident:
-            ins, ident_params = _assign_merge_identity(ins, schema, ident, keys)
-        if cdf:
-            cdc_frames.append((ins, "insert"))
-        for c in rt_extras:  # inserts are NEW rows: fresh ids from the add
-            ins = ins.withColumn(c, F.lit(None).cast("long"))
-        pieces.append(ins)
-        piece_kinds.append("inserted")
-    _MOP = {"copied": 0, "updated": 1, "inserted": 2}
-    if pieces:
-        tagged_pieces = [
-            p.withColumn("__mop", F.lit(_MOP[k]))
-            for p, k in zip(pieces, piece_kinds)
-        ]
-        new_data = tagged_pieces[0]
-        for piece in tagged_pieces[1:]:
-            new_data = new_data.unionByName(piece)
-    else:
-        new_data = src.limit(0).withColumn("__mop", F.lit(0))
-    from .writer import _enforce_constraints
-
-    from .writer import _apply_generated_columns, _generation_expressions
-
-    if _generation_expressions(schema):
-        # spec: writers ENFORCE generation expressions — a source feeding
-        # inconsistent values into matched/inserted rows must be rejected,
-        # not trusted (the invariant also backs partition pruning)
-        new_data = _apply_generated_columns(new_data, schema)
-    _enforce_constraints(new_data, meta)
-    # operationMetrics ride the staging write (CollectMetrics node) —
-    # attached AFTER the constraint probes, whose limit(1) actions would
-    # otherwise complete the observation with partial counts
-    from pyspark.sql import Observation
-
-    m_obs = Observation()
-    new_data = new_data.observe(
-        m_obs,
-        F.sum((F.col("__mop") == 1).cast("long")).alias("updated"),
-        F.sum((F.col("__mop") == 2).cast("long")).alias("inserted"),
-        F.count(F.lit(1)).alias("total"),
-    ).drop("__mop")
-    merge_l2p = logical_to_physical(schema, meta.get("configuration"))
-    adds = stage_data_files(
-        new_data,
-        table_path,
-        snap.partition_columns,
-        T.StructType(
-            [f for f in schema.fields if f.name not in snap.partition_columns]
-        ),
-        l2p=merge_l2p,
-        config=meta.get("configuration"),
-        full_schema=schema,
-    )
-    cdc = None
-    if cdf:
-        if not_matched_by_source == "delete":
-            # untouched files removed wholesale: a commit WITH cdc actions
-            # must describe ALL its changes through them, so their rows
-            # join the change set too
-            touched_set = {f.path for f in touched}
-            untouched = [f for f in live if f.path not in touched_set]
-            if untouched:
-                cdc_frames.append(
-                    (_read_cow(spark, snap, untouched), "delete")
+                piece_kinds.append("updated")
+            for i in assigned_idx:
+                pieces.append(
+                    applied.filter(F.col("__clause") == i).select(
+                        *_assigned_version(clause_assigns[i])
+                    )
                 )
-        cdc = _stage_cdc(spark, snap, table_path, cdc_frames, schema=schema) or None
-    md_actions = list(evolved_md or [])
-    if ident_params:
-        # a single final metaData wins over the evolution one (last-writer
-        # within the commit): evolved schema + advanced identity HWMs
-        md_actions = [_identity_md_action(meta, schema, ident_params)]
-    try:  # filled by the staging job's CollectMetrics node
-        m = m_obs.get
-        n_updated = int(m["updated"] or 0)
-        n_inserted = int(m["inserted"] or 0)
-        n_copied = int(m["total"]) - n_updated - n_inserted
-    except Exception:
-        n_updated = n_inserted = n_copied = None
-    live_removed = _num_records(remove_files)
-    n_deleted = (
-        live_removed - n_copied - n_updated
-        if live_removed is not None
-        and n_copied is not None
-        and n_updated is not None
-        else None
-    )
-    n_source = src.count()  # Delta reports it; sources are the small side
-    commit_rewrite(
-        table_path,
-        "MERGE",
-        adds,
-        [f.path for f in remove_files],
-        operation_parameters={
-            "matchedPredicate": " AND ".join(keys)
-            + (f" AND {on_condition}" if on_condition else "")
-        },
-        extra_actions=md_actions + (cdc or []) or None,
-        expected_states={f.path: file_fingerprint(f) for f in remove_files},
-        base_version=snap.version,
-        isolation=isolation,
-        read_predicates=None,
-        operation_metrics={
-            "numTargetFilesRemoved": len(remove_files),
-            "numTargetFilesAdded": len(adds),
-            "numSourceRows": n_source,
-            "numTargetRowsInserted": n_inserted,
-            "numTargetRowsUpdated": n_updated,
-            "numTargetRowsDeleted": n_deleted,
-            "numTargetRowsCopied": n_copied,
-        },
-    )
-    return {
-        "files_removed": len(remove_files),
-        "files_added": len(adds),
-        "source_rows": n_source,
-    }
+                piece_kinds.append("updated")
+            if cdf:
+                delete_idx = [
+                    i for i, (_c, a) in enumerate(clauses) if a == "delete"
+                ]
+                if delete_idx:
+                    cdc_frames.append(
+                        (
+                            applied.filter(F.col("__clause").isin(delete_idx))
+                            .select(*tgt_version),
+                            "delete",
+                        )
+                    )
+                if update_idx:
+                    upd = applied.filter(F.col("__clause").isin(update_idx))
+                    cdc_frames.append(
+                        (upd.select(*tgt_version), "update_preimage")
+                    )
+                    cdc_frames.append(
+                        (upd.select(*src_version), "update_postimage")
+                    )
+                for i in assigned_idx:
+                    upd = applied.filter(F.col("__clause") == i)
+                    cdc_frames.append(
+                        (upd.select(*tgt_version), "update_preimage")
+                    )
+                    cdc_frames.append(
+                        (
+                            upd.select(*_assigned_version(clause_assigns[i])),
+                            "update_postimage",
+                        )
+                    )
+        # else: the single unconditional DELETE clause — matched rows simply
+        # vanish, no join needed (the anti-join survivor piece above covers
+        # unmatched target rows)
+        if cdf and touched and not_matched_by_source == "delete":
+            # unmatched rows of TOUCHED files are dropped by not re-adding them
+            cdc_frames.append(
+                (
+                    target_rows.join(src_keys, keys, "left_anti")
+                    if pair is None
+                    else target_rows.alias("t").join(
+                        src_pair.alias("s"), pair, "left_anti"
+                    ),
+                    "delete",
+                )
+            )
+        ident_params: dict = {}
+        if when_not_matched == "insert":
+            if pair is None:
+                ins = src.join(matched_keys, keys, "left_anti")
+            elif touched:
+                # TRUE ON semantics: a source row inserts unless some target
+                # row matches it under the FULL pair condition (key equal AND
+                # residual true). Touched files hold every such target row.
+                ins = src_pair.alias("s").join(
+                    target_rows.alias("t"), pair, "left_anti"
+                ).select(*[F.col(f.name) for f in schema.fields])
+            else:
+                ins = src
+            if not_matched_condition is not None:
+                # conditional insert: the condition sees only the source row
+                ins = ins.alias("s").filter(
+                    F.coalesce(F.expr(not_matched_condition), F.lit(False))
+                )
+            if ident:
+                ins, ident_params = _assign_merge_identity(ins, schema, ident, keys)
+            if cdf:
+                cdc_frames.append((ins, "insert"))
+            for c in rt_extras:  # inserts are NEW rows: fresh ids from the add
+                ins = ins.withColumn(c, F.lit(None).cast("long"))
+            pieces.append(ins)
+            piece_kinds.append("inserted")
+        _MOP = {"copied": 0, "updated": 1, "inserted": 2}
+        if pieces:
+            tagged_pieces = [
+                p.withColumn("__mop", F.lit(_MOP[k]))
+                for p, k in zip(pieces, piece_kinds)
+            ]
+            new_data = tagged_pieces[0]
+            for piece in tagged_pieces[1:]:
+                new_data = new_data.unionByName(piece)
+        else:
+            new_data = src.limit(0).withColumn("__mop", F.lit(0))
+        from .writer import _enforce_constraints
+
+        from .writer import _apply_generated_columns, _generation_expressions
+
+        if _generation_expressions(schema):
+            # spec: writers ENFORCE generation expressions — a source feeding
+            # inconsistent values into matched/inserted rows must be rejected,
+            # not trusted (the invariant also backs partition pruning)
+            new_data = _apply_generated_columns(new_data, schema)
+        _enforce_constraints(new_data, meta)
+        # operationMetrics ride the staging write (CollectMetrics node) —
+        # attached AFTER the constraint probes, whose limit(1) actions would
+        # otherwise complete the observation with partial counts
+        from pyspark.sql import Observation
+
+        m_obs = Observation()
+        new_data = new_data.observe(
+            m_obs,
+            F.sum((F.col("__mop") == 1).cast("long")).alias("updated"),
+            F.sum((F.col("__mop") == 2).cast("long")).alias("inserted"),
+            F.count(F.lit(1)).alias("total"),
+        ).drop("__mop")
+        merge_l2p = logical_to_physical(schema, meta.get("configuration"))
+        adds = stage_data_files(
+            new_data,
+            table_path,
+            snap.partition_columns,
+            T.StructType(
+                [f for f in schema.fields if f.name not in snap.partition_columns]
+            ),
+            l2p=merge_l2p,
+            config=meta.get("configuration"),
+            full_schema=schema,
+        )
+        cdc = None
+        if cdf:
+            if not_matched_by_source == "delete":
+                # untouched files removed wholesale: a commit WITH cdc actions
+                # must describe ALL its changes through them, so their rows
+                # join the change set too
+                touched_set = {f.path for f in touched}
+                untouched = [f for f in live if f.path not in touched_set]
+                if untouched:
+                    cdc_frames.append(
+                        (_read_cow(spark, snap, untouched), "delete")
+                    )
+            cdc = _stage_cdc(spark, snap, table_path, cdc_frames, schema=schema) or None
+        md_actions = list(evolved_md or [])
+        if ident_params:
+            # a single final metaData wins over the evolution one (last-writer
+            # within the commit): evolved schema + advanced identity HWMs
+            md_actions = [_identity_md_action(meta, schema, ident_params)]
+        try:  # filled by the staging job's CollectMetrics node
+            m = m_obs.get
+            n_updated = int(m["updated"] or 0)
+            n_inserted = int(m["inserted"] or 0)
+            n_copied = int(m["total"]) - n_updated - n_inserted
+        except Exception:
+            n_updated = n_inserted = n_copied = None
+        live_removed = _num_records(remove_files)
+        n_deleted = (
+            live_removed - n_copied - n_updated
+            if live_removed is not None
+            and n_copied is not None
+            and n_updated is not None
+            else None
+        )
+        n_source = src.count()  # Delta reports it; sources are the small side
+        commit_rewrite(
+            table_path,
+            "MERGE",
+            adds,
+            [f.path for f in remove_files],
+            operation_parameters={
+                "matchedPredicate": " AND ".join(keys)
+                + (f" AND {on_condition}" if on_condition else "")
+            },
+            extra_actions=md_actions + (cdc or []) or None,
+            expected_states={f.path: file_fingerprint(f) for f in remove_files},
+            base_version=snap.version,
+            isolation=isolation,
+            read_predicates=None,
+            operation_metrics={
+                "numTargetFilesRemoved": len(remove_files),
+                "numTargetFilesAdded": len(adds),
+                "numSourceRows": n_source,
+                "numTargetRowsInserted": n_inserted,
+                "numTargetRowsUpdated": n_updated,
+                "numTargetRowsDeleted": n_deleted,
+                "numTargetRowsCopied": n_copied,
+            },
+        )
+        return {
+            "files_removed": len(remove_files),
+            "files_added": len(adds),
+            "source_rows": n_source,
+        }
+    finally:
+        # free the materialized source blocks (localCheckpoint has no
+        # public unpersist; see _release_materialized)
+        _release_materialized(src_pair)
 
 
 def merge_upsert_mor(
@@ -1825,358 +1835,366 @@ def merge_upsert_mor(
     # materialize once — same non-deterministic-source rationale as
     # merge_upsert (lazy localCheckpoint, reused by every action)
     src = src.localCheckpoint(eager=False)
-    for k in keys:
-        if k not in target_cols or k in src_missing:
-            raise ValueError(f"merge key not in table schema: {k}")
+    pinned = [src]  # every materialized frame to free in the finally
+    try:
+        for k in keys:
+            if k not in target_cols or k in src_missing:
+                raise ValueError(f"merge key not in table schema: {k}")
 
-    if not clauses:
-        if not_matched_by_source == "delete":
-            raise ValueError(
-                "merge-on-read MERGE with only NOT MATCHED BY SOURCE DELETE "
-                "is unsupported; use merge_upsert (copy-on-write)"
-            )
-        if when_not_matched != "insert":
-            raise ValueError("MERGE with no action clauses")
-        return _insert_only_merge(
-            spark, snap, table_path, src, keys,
-            schema=schema, meta=meta, extra_actions=evolved_md, ident=ident,
-            isolation=isolation,
-            not_matched_condition=not_matched_condition,
-        )
-
-    src_keys = src.select(*keys).distinct()
-    if broadcast_keys:
-        src_keys = F.broadcast(src_keys)
-
-    live = list(snap.files)
-    by_path = _live_files_by_path(snap)
-    touched_names: set[str] = set()
-    if live:
-        probe = read_files_with_index(spark, snap, live).select(
-            *keys, F.col("_file").alias("__file")
-        )
-        touched_names = _touched_paths(
-            probe.join(src_keys, keys, "left_semi").select("__file").distinct(),
-            by_path,
-        )
-    touched = [by_path[n] for n in touched_names if n in by_path]
-
-    needs_per_row = any(a == "update" for _c, a in clauses) or any(
-        c is not None for c, _a in clauses
-    )
-    if touched and needs_per_row:
-        tgt_keys = (
-            read_files_with_index(spark, snap, touched).select(*keys).distinct()
-        )
-        ambiguous = (
-            src.join(tgt_keys, keys, "left_semi")
-            .groupBy(*keys)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .count()
-        )
-        if ambiguous:
-            raise ValueError(
-                "MERGE: multiple source rows match the same target key; "
-                "the update would be nondeterministic"
+        if not clauses:
+            if not_matched_by_source == "delete":
+                raise ValueError(
+                    "merge-on-read MERGE with only NOT MATCHED BY SOURCE DELETE "
+                    "is unsupported; use merge_upsert (copy-on-write)"
+                )
+            if when_not_matched != "insert":
+                raise ValueError("MERGE with no action clauses")
+            return _insert_only_merge(
+                spark, snap, table_path, src, keys,
+                schema=schema, meta=meta, extra_actions=evolved_md, ident=ident,
+                isolation=isolation,
+                not_matched_condition=not_matched_condition,
             )
 
-    non_keys = [c for c in target_cols if c not in keys]
+        src_keys = src.select(*keys).distinct()
+        if broadcast_keys:
+            src_keys = F.broadcast(src_keys)
 
-    pieces_new: list[DataFrame] = []
-    staged: list = []
-    matched_keys = None
-    cdf = _cdf_on(snap)
-    cdc_frames: list[tuple[DataFrame, str]] = []
-    if touched:
-        rt_mor = _rt_on(snap)
-        tagged = read_files_with_index(
-            spark, snap, touched,
-            extra_fields=_rt_extra_fields() if rt_mor else None,
-        )
-        if rt_mor:
-            tagged = _resolve_row_ids(spark, snap, touched, tagged)
-        tagged = _null_fill(tagged, schema).localCheckpoint(eager=True)
-        joined = tagged.alias("t").join(src.alias("s"), keys, "inner")
-        # first-match-wins clause index per (target, source) pair: ANY
-        # applying clause deletion-vectors the old row version; update
-        # clauses additionally append the source version below
-        applied = joined.withColumn("__clause", _matched_clause_index(clauses))
-        clause_rows = applied.filter(F.col("__clause") != -1)
-        dv_rows = clause_rows.select("_file", "_row_idx")
-        if not_matched_by_source == "delete":
-            dv_rows = dv_rows.unionByName(
-                tagged.join(src_keys, keys, "left_anti").select("_file", "_row_idx")
+        live = list(snap.files)
+        by_path = _live_files_by_path(snap)
+        touched_names: set[str] = set()
+        if live:
+            probe = read_files_with_index(spark, snap, live).select(
+                *keys, F.col("_file").alias("__file")
             )
-        staged = _stage_dvs(spark, table_path, dv_rows, touched)
-        update_idx = [
-            i
-            for i, (_c, a) in enumerate(clauses)
-            if a == "update" and clause_assigns[i] is None
-        ]
-        assigned_idx = [
-            i
-            for i, (_c, a) in enumerate(clauses)
-            if a == "update" and clause_assigns[i] is not None
-        ]
-        field_types2 = {f.name: f.dataType for f in schema.fields}
+            touched_names = _touched_paths(
+                probe.join(src_keys, keys, "left_semi").select("__file").distinct(),
+                by_path,
+            )
+        touched = [by_path[n] for n in touched_names if n in by_path]
 
-        def _assigned_version_mor(a: dict, carried_cols):
-            for col_ in a:
-                if col_ not in field_types2:
-                    raise ValueError(f"SET on unknown column: {col_}")
-            out = []
-            for k_ in keys:
-                out.append(
-                    F.expr(a[k_]).cast(field_types2[k_]).alias(k_)
-                    if k_ in a
-                    else F.col(k_)
+        needs_per_row = any(a == "update" for _c, a in clauses) or any(
+            c is not None for c, _a in clauses
+        )
+        if touched and needs_per_row:
+            tgt_keys = (
+                read_files_with_index(spark, snap, touched).select(*keys).distinct()
+            )
+            ambiguous = (
+                src.join(tgt_keys, keys, "left_semi")
+                .groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if ambiguous:
+                raise ValueError(
+                    "MERGE: multiple source rows match the same target key; "
+                    "the update would be nondeterministic"
                 )
-            for c in non_keys:
-                out.append(
-                    F.expr(a[c]).cast(field_types2[c]).alias(c)
-                    if c in a
-                    else F.col(f"t.{c}").alias(c)
+
+        non_keys = [c for c in target_cols if c not in keys]
+
+        pieces_new: list[DataFrame] = []
+        staged: list = []
+        matched_keys = None
+        cdf = _cdf_on(snap)
+        cdc_frames: list[tuple[DataFrame, str]] = []
+        if touched:
+            rt_mor = _rt_on(snap)
+            tagged = read_files_with_index(
+                spark, snap, touched,
+                extra_fields=_rt_extra_fields() if rt_mor else None,
+            )
+            if rt_mor:
+                tagged = _resolve_row_ids(spark, snap, touched, tagged)
+            tagged = _null_fill(tagged, schema).localCheckpoint(eager=True)
+            pinned.append(tagged)
+            joined = tagged.alias("t").join(src.alias("s"), keys, "inner")
+            # first-match-wins clause index per (target, source) pair: ANY
+            # applying clause deletion-vectors the old row version; update
+            # clauses additionally append the source version below
+            applied = joined.withColumn("__clause", _matched_clause_index(clauses))
+            clause_rows = applied.filter(F.col("__clause") != -1)
+            dv_rows = clause_rows.select("_file", "_row_idx")
+            if not_matched_by_source == "delete":
+                dv_rows = dv_rows.unionByName(
+                    tagged.join(src_keys, keys, "left_anti").select("_file", "_row_idx")
                 )
-            return out + carried_cols
-        if cdf:
-            tgt_version_cdc = [F.col(k) for k in keys] + [
-                F.col(f"t.{c}").alias(c) for c in non_keys
+            staged = _stage_dvs(spark, table_path, dv_rows, touched)
+            update_idx = [
+                i
+                for i, (_c, a) in enumerate(clauses)
+                if a == "update" and clause_assigns[i] is None
             ]
-            src_version_cdc = [F.col(k) for k in keys] + [
-                (
-                    F.col(f"t.{c}").alias(c)
-                    if c in src_missing
-                    else F.col(f"s.{c}").alias(c)
-                )
-                for c in non_keys
+            assigned_idx = [
+                i
+                for i, (_c, a) in enumerate(clauses)
+                if a == "update" and clause_assigns[i] is not None
             ]
-            delete_idx = [
-                i for i, (_c, a) in enumerate(clauses) if a == "delete"
-            ]
-            if delete_idx:
-                cdc_frames.append(
-                    (
-                        applied.filter(F.col("__clause").isin(delete_idx))
-                        .select(*tgt_version_cdc),
-                        "delete",
+            field_types2 = {f.name: f.dataType for f in schema.fields}
+
+            def _assigned_version_mor(a: dict, carried_cols):
+                for col_ in a:
+                    if col_ not in field_types2:
+                        raise ValueError(f"SET on unknown column: {col_}")
+                out = []
+                for k_ in keys:
+                    out.append(
+                        F.expr(a[k_]).cast(field_types2[k_]).alias(k_)
+                        if k_ in a
+                        else F.col(k_)
                     )
-                )
+                for c in non_keys:
+                    out.append(
+                        F.expr(a[c]).cast(field_types2[c]).alias(c)
+                        if c in a
+                        else F.col(f"t.{c}").alias(c)
+                    )
+                return out + carried_cols
+            if cdf:
+                tgt_version_cdc = [F.col(k) for k in keys] + [
+                    F.col(f"t.{c}").alias(c) for c in non_keys
+                ]
+                src_version_cdc = [F.col(k) for k in keys] + [
+                    (
+                        F.col(f"t.{c}").alias(c)
+                        if c in src_missing
+                        else F.col(f"s.{c}").alias(c)
+                    )
+                    for c in non_keys
+                ]
+                delete_idx = [
+                    i for i, (_c, a) in enumerate(clauses) if a == "delete"
+                ]
+                if delete_idx:
+                    cdc_frames.append(
+                        (
+                            applied.filter(F.col("__clause").isin(delete_idx))
+                            .select(*tgt_version_cdc),
+                            "delete",
+                        )
+                    )
+                if update_idx:
+                    upd = applied.filter(F.col("__clause").isin(update_idx))
+                    cdc_frames.append(
+                        (upd.select(*tgt_version_cdc), "update_preimage")
+                    )
+                    cdc_frames.append(
+                        (upd.select(*src_version_cdc), "update_postimage")
+                    )
+                for i in assigned_idx:
+                    upd = applied.filter(F.col("__clause") == i)
+                    cdc_frames.append(
+                        (upd.select(*tgt_version_cdc), "update_preimage")
+                    )
+                    cdc_frames.append(
+                        (
+                            upd.select(
+                                *_assigned_version_mor(clause_assigns[i], [])
+                            ),
+                            "update_postimage",
+                        )
+                    )
+                if not_matched_by_source == "delete":
+                    cdc_frames.append(
+                        (tagged.join(src_keys, keys, "left_anti"), "delete")
+                    )
             if update_idx:
-                upd = applied.filter(F.col("__clause").isin(update_idx))
-                cdc_frames.append(
-                    (upd.select(*tgt_version_cdc), "update_preimage")
-                )
-                cdc_frames.append(
-                    (upd.select(*src_version_cdc), "update_postimage")
+                src_version = [F.col(k) for k in keys] + [
+                    (
+                        F.col(f"t.{c}").alias(c)
+                        if c in src_missing
+                        else F.col(f"s.{c}").alias(c)
+                    )
+                    for c in non_keys
+                ]
+                if rt_mor:
+                    from .writer import (
+                        MATERIALIZED_RCV_COL,
+                        MATERIALIZED_ROW_ID_COL,
+                    )
+
+                    # updated rows keep the TARGET row's identity
+                    src_version += [
+                        F.col(f"t.{c}").alias(c)
+                        for c in (MATERIALIZED_ROW_ID_COL, MATERIALIZED_RCV_COL)
+                    ]
+                pieces_new.append(
+                    applied.filter(F.col("__clause").isin(update_idx))
+                    .select(*src_version)
+                    .withColumn("__mop", F.lit(1))
                 )
             for i in assigned_idx:
-                upd = applied.filter(F.col("__clause") == i)
-                cdc_frames.append(
-                    (upd.select(*tgt_version_cdc), "update_preimage")
-                )
-                cdc_frames.append(
-                    (
-                        upd.select(
-                            *_assigned_version_mor(clause_assigns[i], [])
-                        ),
-                        "update_postimage",
+                carried_mor = []
+                if rt_mor:
+                    from .writer import (
+                        MATERIALIZED_RCV_COL,
+                        MATERIALIZED_ROW_ID_COL,
                     )
-                )
-            if not_matched_by_source == "delete":
-                cdc_frames.append(
-                    (tagged.join(src_keys, keys, "left_anti"), "delete")
-                )
-        if update_idx:
-            src_version = [F.col(k) for k in keys] + [
-                (
-                    F.col(f"t.{c}").alias(c)
-                    if c in src_missing
-                    else F.col(f"s.{c}").alias(c)
-                )
-                for c in non_keys
-            ]
-            if rt_mor:
-                from .writer import (
-                    MATERIALIZED_RCV_COL,
-                    MATERIALIZED_ROW_ID_COL,
-                )
 
-                # updated rows keep the TARGET row's identity
-                src_version += [
-                    F.col(f"t.{c}").alias(c)
-                    for c in (MATERIALIZED_ROW_ID_COL, MATERIALIZED_RCV_COL)
-                ]
-            pieces_new.append(
-                applied.filter(F.col("__clause").isin(update_idx))
-                .select(*src_version)
-                .withColumn("__mop", F.lit(1))
-            )
-        for i in assigned_idx:
-            carried_mor = []
-            if rt_mor:
-                from .writer import (
-                    MATERIALIZED_RCV_COL,
-                    MATERIALIZED_ROW_ID_COL,
+                    carried_mor = [
+                        F.col(f"t.{c}").alias(c)
+                        for c in (MATERIALIZED_ROW_ID_COL, MATERIALIZED_RCV_COL)
+                    ]
+                pieces_new.append(
+                    applied.filter(F.col("__clause") == i)
+                    .select(*_assigned_version_mor(clause_assigns[i], carried_mor))
+                    .withColumn("__mop", F.lit(1))
                 )
-
-                carried_mor = [
-                    F.col(f"t.{c}").alias(c)
-                    for c in (MATERIALIZED_ROW_ID_COL, MATERIALIZED_RCV_COL)
-                ]
-            pieces_new.append(
-                applied.filter(F.col("__clause") == i)
-                .select(*_assigned_version_mor(clause_assigns[i], carried_mor))
-                .withColumn("__mop", F.lit(1))
+            matched_keys = (
+                tagged.select(*keys).join(src_keys, keys, "left_semi").distinct()
             )
-        matched_keys = (
-            tagged.select(*keys).join(src_keys, keys, "left_semi").distinct()
+        ident_params: dict = {}
+        if when_not_matched == "insert":
+            ins = (
+                src.join(matched_keys, keys, "left_anti")
+                if matched_keys is not None
+                else src
+            )
+            if not_matched_condition is not None:
+                ins = ins.alias("s").filter(
+                    F.coalesce(F.expr(not_matched_condition), F.lit(False))
+                )
+            if ident:
+                ins, ident_params = _assign_merge_identity(ins, schema, ident, keys)
+            if cdf:
+                cdc_frames.append((ins, "insert"))
+            if touched and _rt_on(snap):
+                from .writer import MATERIALIZED_RCV_COL, MATERIALIZED_ROW_ID_COL
+
+                for c in (MATERIALIZED_ROW_ID_COL, MATERIALIZED_RCV_COL):
+                    ins = ins.withColumn(c, F.lit(None).cast("long"))
+            pieces_new.append(ins.withColumn("__mop", F.lit(2)))
+
+        new_data = None
+        for p in pieces_new:
+            new_data = p if new_data is None else new_data.unionByName(p)
+        from .writer import _enforce_constraints
+
+        new_adds: list[dict] = []
+        m_obs = None
+        if new_data is not None:
+            from pyspark.sql import Observation
+
+            from .writer import _apply_generated_columns, _generation_expressions
+
+            if _generation_expressions(schema):
+                new_data = _apply_generated_columns(new_data, schema)
+            _enforce_constraints(new_data, meta)
+            # metrics ride the staging write; attached after the constraint
+            # probes (their limit(1) actions would fill partial counts)
+            m_obs = Observation()
+            new_data = new_data.observe(
+                m_obs,
+                F.sum((F.col("__mop") == 1).cast("long")).alias("updated"),
+                F.sum((F.col("__mop") == 2).cast("long")).alias("inserted"),
+            ).drop("__mop")
+            new_adds = stage_data_files(
+                new_data,
+                table_path,
+                snap.partition_columns,
+                T.StructType(
+                    [
+                        f
+                        for f in schema.fields
+                        if f.name not in snap.partition_columns
+                    ]
+                ),
+                l2p=logical_to_physical(schema, meta.get("configuration")),
+                config=meta.get("configuration"),
+                full_schema=schema,
+            )
+
+        pieces = None
+        removes: list[AddFile] = []
+        dv_adds: list[dict] = []
+        extra = None
+        if staged:
+            pieces = _dv_pieces(table_path, snap, staged)
+            removes = [f for f, _idx in pieces.touched]
+            dv_adds = pieces.adds
+            extra = pieces.protocol_extra
+        untouched_live: int | None = 0
+        if not_matched_by_source == "delete":
+            # untouched files hold ONLY unmatched rows: metadata-only removal
+            touched_set = {f.path for f in touched}
+            untouched = [f for f in live if f.path not in touched_set]
+            removes = removes + untouched
+            untouched_live = _num_records(untouched)
+            if cdf and untouched:
+                cdc_frames.append((_read_cow(spark, snap, untouched), "delete"))
+
+        if not removes and not dv_adds and not new_adds:
+            return {"files_removed": 0, "files_added": 0, "source_rows": None}
+        if cdf and cdc_frames:
+            extra = list(extra or []) + _stage_cdc(
+                spark, snap, table_path, cdc_frames, schema=schema
+            )
+        md_actions = list(evolved_md or [])
+        if ident_params:
+            md_actions = [_identity_md_action(meta, schema, ident_params)]
+        if md_actions:
+            extra = md_actions + list(extra or [])
+        # no new-row pieces (delete-only merge) means ZERO updates/inserts —
+        # known, not unknown; the observation refines the counts otherwise
+        n_updated = n_inserted = 0 if m_obs is None else None
+        if m_obs is not None:
+            try:
+                m = m_obs.get
+                n_updated = int(m["updated"] or 0)
+                n_inserted = int(m["inserted"] or 0)
+            except Exception:
+                pass
+        # DV'd rows cover delete-clause hits, update preimages and by-source
+        # deletes in touched files; true deletes = those minus the updated
+        # rows' old versions, plus the live rows of wholesale-removed
+        # untouched files (by-source delete's metadata fast path)
+        dv_rows = pieces.rows_newly_deleted if pieces else 0
+        n_deleted = (
+            dv_rows - n_updated + untouched_live
+            if n_updated is not None and untouched_live is not None
+            else None
         )
-    ident_params: dict = {}
-    if when_not_matched == "insert":
-        ins = (
-            src.join(matched_keys, keys, "left_anti")
-            if matched_keys is not None
-            else src
-        )
-        if not_matched_condition is not None:
-            ins = ins.alias("s").filter(
-                F.coalesce(F.expr(not_matched_condition), F.lit(False))
-            )
-        if ident:
-            ins, ident_params = _assign_merge_identity(ins, schema, ident, keys)
-        if cdf:
-            cdc_frames.append((ins, "insert"))
-        if touched and _rt_on(snap):
-            from .writer import MATERIALIZED_RCV_COL, MATERIALIZED_ROW_ID_COL
-
-            for c in (MATERIALIZED_ROW_ID_COL, MATERIALIZED_RCV_COL):
-                ins = ins.withColumn(c, F.lit(None).cast("long"))
-        pieces_new.append(ins.withColumn("__mop", F.lit(2)))
-
-    new_data = None
-    for p in pieces_new:
-        new_data = p if new_data is None else new_data.unionByName(p)
-    from .writer import _enforce_constraints
-
-    new_adds: list[dict] = []
-    m_obs = None
-    if new_data is not None:
-        from pyspark.sql import Observation
-
-        from .writer import _apply_generated_columns, _generation_expressions
-
-        if _generation_expressions(schema):
-            new_data = _apply_generated_columns(new_data, schema)
-        _enforce_constraints(new_data, meta)
-        # metrics ride the staging write; attached after the constraint
-        # probes (their limit(1) actions would fill partial counts)
-        m_obs = Observation()
-        new_data = new_data.observe(
-            m_obs,
-            F.sum((F.col("__mop") == 1).cast("long")).alias("updated"),
-            F.sum((F.col("__mop") == 2).cast("long")).alias("inserted"),
-        ).drop("__mop")
-        new_adds = stage_data_files(
-            new_data,
+        n_source = src.count()
+        commit_rewrite(
             table_path,
-            snap.partition_columns,
-            T.StructType(
-                [
-                    f
-                    for f in schema.fields
-                    if f.name not in snap.partition_columns
-                ]
-            ),
-            l2p=logical_to_physical(schema, meta.get("configuration")),
-            config=meta.get("configuration"),
-            full_schema=schema,
+            "MERGE",
+            dv_adds + new_adds,
+            [f.path for f in removes],
+            operation_parameters={
+                "matchedPredicate": " AND ".join(keys),
+                "mode": "merge-on-read",
+            },
+            extra_actions=extra,
+            expected_states={f.path: file_fingerprint(f) for f in removes},
+            base_version=snap.version,
+            isolation=isolation,
+            read_predicates=None,
+            operation_metrics={
+                "numTargetFilesRemoved": len(removes) - len(dv_adds),
+                "numTargetFilesAdded": len(dv_adds) + len(new_adds),
+                "numSourceRows": n_source,
+                "numTargetRowsInserted": n_inserted,
+                "numTargetRowsUpdated": n_updated,
+                "numTargetRowsDeleted": n_deleted,
+                "numDeletionVectorsAdded": (
+                    pieces.dv_files_written if pieces else 0
+                ),
+            },
         )
-
-    pieces = None
-    removes: list[AddFile] = []
-    dv_adds: list[dict] = []
-    extra = None
-    if staged:
-        pieces = _dv_pieces(table_path, snap, staged)
-        removes = [f for f, _idx in pieces.touched]
-        dv_adds = pieces.adds
-        extra = pieces.protocol_extra
-    untouched_live: int | None = 0
-    if not_matched_by_source == "delete":
-        # untouched files hold ONLY unmatched rows: metadata-only removal
-        touched_set = {f.path for f in touched}
-        untouched = [f for f in live if f.path not in touched_set]
-        removes = removes + untouched
-        untouched_live = _num_records(untouched)
-        if cdf and untouched:
-            cdc_frames.append((_read_cow(spark, snap, untouched), "delete"))
-
-    if not removes and not dv_adds and not new_adds:
-        return {"files_removed": 0, "files_added": 0, "source_rows": None}
-    if cdf and cdc_frames:
-        extra = list(extra or []) + _stage_cdc(
-            spark, snap, table_path, cdc_frames, schema=schema
-        )
-    md_actions = list(evolved_md or [])
-    if ident_params:
-        md_actions = [_identity_md_action(meta, schema, ident_params)]
-    if md_actions:
-        extra = md_actions + list(extra or [])
-    # no new-row pieces (delete-only merge) means ZERO updates/inserts —
-    # known, not unknown; the observation refines the counts otherwise
-    n_updated = n_inserted = 0 if m_obs is None else None
-    if m_obs is not None:
-        try:
-            m = m_obs.get
-            n_updated = int(m["updated"] or 0)
-            n_inserted = int(m["inserted"] or 0)
-        except Exception:
-            pass
-    # DV'd rows cover delete-clause hits, update preimages and by-source
-    # deletes in touched files; true deletes = those minus the updated
-    # rows' old versions, plus the live rows of wholesale-removed
-    # untouched files (by-source delete's metadata fast path)
-    dv_rows = pieces.rows_newly_deleted if pieces else 0
-    n_deleted = (
-        dv_rows - n_updated + untouched_live
-        if n_updated is not None and untouched_live is not None
-        else None
-    )
-    n_source = src.count()
-    commit_rewrite(
-        table_path,
-        "MERGE",
-        dv_adds + new_adds,
-        [f.path for f in removes],
-        operation_parameters={
-            "matchedPredicate": " AND ".join(keys),
-            "mode": "merge-on-read",
-        },
-        extra_actions=extra,
-        expected_states={f.path: file_fingerprint(f) for f in removes},
-        base_version=snap.version,
-        isolation=isolation,
-        read_predicates=None,
-        operation_metrics={
-            "numTargetFilesRemoved": len(removes) - len(dv_adds),
-            "numTargetFilesAdded": len(dv_adds) + len(new_adds),
-            "numSourceRows": n_source,
-            "numTargetRowsInserted": n_inserted,
-            "numTargetRowsUpdated": n_updated,
-            "numTargetRowsDeleted": n_deleted,
-            "numDeletionVectorsAdded": (
-                pieces.dv_files_written if pieces else 0
-            ),
-        },
-    )
-    return {
-        "files_removed": len(removes) - len(dv_adds),
-        "files_added": len(dv_adds) + len(new_adds),
-        "source_rows": n_source,
-        "dv_files_written": pieces.dv_files_written if pieces else 0,
-    }
+        return {
+            "files_removed": len(removes) - len(dv_adds),
+            "files_added": len(dv_adds) + len(new_adds),
+            "source_rows": n_source,
+            "dv_files_written": pieces.dv_files_written if pieces else 0,
+        }
+    finally:
+        # free the materialized frames (localCheckpoint has no public
+        # unpersist; see _release_materialized)
+        for _df in pinned:
+            _release_materialized(_df)
 
 
 # ------------------------------------------------------------------- OPTIMIZE

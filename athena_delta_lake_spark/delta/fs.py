@@ -34,9 +34,12 @@ concurrency — see atomic_put_capability for the probe):
   s3 / s3a / s3n, gs,   conditional-put     registered put-if-absent hook
    oss, cos, ...                            (register_put_if_absent; a
                                             boto3-backed S3 If-None-Match
-                                            implementation auto-registers
-                                            when boto3 is importable —
-                                            the primitive delta-rs uses)
+                                            implementation — the primitive
+                                            delta-rs uses — registers when
+                                            ADLS_S3_CONDITIONAL_PUT=1;
+                                            opt-in because boto3's
+                                            endpoint/credential chain need
+                                            not match fs.s3a.* config)
   same, no hook         non-atomic-rename   temp + rename DEGRADES to
                                             copy+delete: two concurrent
                                             committers can both "win".
@@ -89,7 +92,13 @@ def register_put_if_absent(scheme: str, fn) -> None:
 def _s3_put_if_absent(path: str, data: bytes) -> None:
     """S3-native conditional PUT (If-None-Match: *): atomic put-if-absent
     without any rename, the primitive delta-rs builds its S3 commits on.
-    Registered automatically for s3/s3a/s3n when boto3 is importable."""
+    Registered for s3/s3a/s3n when ADLS_S3_CONDITIONAL_PUT=1 and boto3
+    is importable — OPT-IN, never automatic: boto3 resolves endpoint and
+    credentials from the AWS default chain, which need not agree with
+    the cluster's Hadoop config (fs.s3a.endpoint / per-bucket
+    credentials); hijacking every S3 commit on mere importability would
+    break MinIO/Ceph deployments or, worse, land commits in a same-named
+    bucket on real AWS while the data files went elsewhere."""
     import boto3
     from botocore.exceptions import ClientError
 
@@ -100,19 +109,38 @@ def _s3_put_if_absent(path: str, data: bytes) -> None:
             Bucket=bucket, Key=key, Body=data, IfNoneMatch="*"
         )
     except ClientError as e:
-        code = e.response.get("Error", {}).get("Code")
-        if code in ("PreconditionFailed", "412"):
+        code = str(e.response.get("Error", {}).get("Code"))
+        status = (
+            e.response.get("ResponseMetadata", {}).get("HTTPStatusCode")
+        )
+        # 412 PreconditionFailed: the object exists — the plain OCC loser.
+        # 409 ConditionalRequestConflict: a CONCURRENT conditional PUT is
+        # racing this one; surfacing it as FileExistsError routes the
+        # caller into the same retry-at-next-version loop (it re-reads
+        # the log, sees whichever writer won, and retries), instead of
+        # aborting the whole DML with a raw S3 error.
+        if code in ("PreconditionFailed", "ConditionalRequestConflict") or (
+            status in (412, 409)
+        ):
             raise FileExistsError(path) from None
         raise
 
 
-try:  # pragma: no cover - boto3 absent in the sandbox
-    import boto3 as _boto3  # noqa: F401
-
+def _maybe_register_s3_hook() -> None:
+    """Opt-in S3 conditional-put registration (ADLS_S3_CONDITIONAL_PUT=1).
+    Re-invoked by get_fs so the env var works even when set after
+    import."""
+    if os.environ.get("ADLS_S3_CONDITIONAL_PUT") != "1":
+        return
+    try:
+        import boto3 as _boto3  # noqa: F401
+    except ImportError:
+        return
     for _s in ("s3", "s3a", "s3n"):
         _PUT_IF_ABSENT.setdefault(_s, _s3_put_if_absent)
-except ImportError:
-    pass
+
+
+_maybe_register_s3_hook()
 
 
 def atomic_put_capability(path: str) -> str:
@@ -152,8 +180,8 @@ def _nonatomic_commit_policy(path: str) -> None:
         f"commit to {scheme}:// uses a NON-ATOMIC rename (copy+delete): "
         "two concurrent writers can both win the same table version. "
         "Safe only with a single writer. Register a conditional-PUT "
-        "primitive (fs.register_put_if_absent — boto3 enables the S3 "
-        "If-None-Match path automatically) or set "
+        "primitive (fs.register_put_if_absent; ADLS_S3_CONDITIONAL_PUT=1 "
+        "enables the boto3 S3 If-None-Match path) or set "
         "ADLS_NONATOMIC_COMMIT=allow to acknowledge single-writer mode."
     )
     if policy == "refuse":
@@ -514,6 +542,7 @@ def get_fs(path: str, spark=None):
     SparkSession (for the JVM Hadoop connectors). ADLS_FORCE_HADOOP_FS=1
     forces HadoopFS even for local paths — the sandbox test lever for the
     object-store code path (Hadoop's LocalFileSystem serves file://)."""
+    _maybe_register_s3_hook()
     scheme = _scheme(path)
     if (
         scheme is None or scheme in _LOCAL_SCHEMES

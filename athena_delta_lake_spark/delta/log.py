@@ -366,6 +366,7 @@ class LightSnapshot:
         from .stats import (
             _OPS,
             _SAFE_PRUNE_TYPES,
+            _derive_generated_preds,
             _part_match_expr,
             _stats_match_expr,
         )
@@ -373,6 +374,13 @@ class LightSnapshot:
         preds = list(predicates or [])
         if not preds:
             return self.files_df(spark, full=full)
+        # same derivation both classic prune paths apply: a base-column
+        # predicate implies a partition predicate through a monotone
+        # generation expression (CAST(ts AS DATE) layouts) — without it
+        # the light path would stats-scan every partition exactly in the
+        # 10^7-file regime it exists for (widening-only, so skipping it
+        # would be slow, not wrong)
+        preds = preds + _derive_generated_preds(self, preds)
         schema_types = {f.name: f.dataType for f in self.schema.fields}
         part_cols = set(self.partition_columns)
         # stats keys are PHYSICAL (the log's own form; see files_df) —

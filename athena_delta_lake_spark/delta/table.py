@@ -33,6 +33,15 @@ def _parse_where(expr: str) -> list[Predicate]:
     don't match the simple form (functions, OR branches, subexpressions)
     are skipped — exactness comes from the row filter applied afterwards.
     """
+    return _parse_where_full(expr)[0]
+
+
+def _parse_where_full(expr: str) -> tuple[list[Predicate], bool]:
+    """(preds, fully_parsed). fully_parsed is True only when EVERY
+    conjunct of a pure-AND expression matched the simple form — the
+    precondition for answering from metadata alone (a dropped conjunct
+    like `id % 2 = 1` would otherwise silently inflate a metadata count
+    or widen a wholesale delete)."""
     import re
 
     global _WHERE_CONJUNCT
@@ -42,11 +51,13 @@ def _parse_where(expr: str) -> list[Predicate]:
             r"^\s*(\w+)\s*(=|==|!=|<>|<=|>=|<|>)\s*" + lit + r"\s*$"
         )
     if re.search(r"\bOR\b", expr, flags=re.IGNORECASE):
-        return []  # OR disjuncts can't be pruned conjunct-by-conjunct
+        return [], False  # OR disjuncts can't be pruned conjunct-by-conjunct
     preds: list[Predicate] = []
+    fully = True
     for part in re.split(r"\bAND\b", expr, flags=re.IGNORECASE):
         m = _WHERE_CONJUNCT.match(part)
         if not m:
+            fully = False
             continue
         col, op, raw = m.groups()
         val: object
@@ -57,7 +68,7 @@ def _parse_where(expr: str) -> list[Predicate]:
         else:
             val = float(raw)
         preds.append((col, "!=" if op == "<>" else op, val))
-    return preds
+    return preds, fully
 
 
 class DeltaTable:
@@ -195,8 +206,11 @@ class DeltaTable:
         snap = self.snapshot(version)
         preds: list[Predicate] | None
         if isinstance(where, str):
-            preds = _parse_where(where)
-            if not preds or not _partition_only(preds, snap):
+            preds, fully = _parse_where_full(where)
+            # metadata-only counting needs the WHOLE expression captured
+            # as partition predicates — a dropped conjunct (id % 2 = 1)
+            # would silently inflate the count
+            if not preds or not fully or not _partition_only(preds, snap):
                 return self.to_df(version=version, where=where).count()
             files = prune_files_auto(self.spark, snap, preds)
         elif where:
@@ -240,8 +254,10 @@ class DeltaTable:
 
         light = self.log.snapshot_light(version)
         if isinstance(where, str):
-            preds = _parse_where(where)
-            if not preds:
+            preds, fully = _parse_where_full(where)
+            # same guard as the classic path: a metadata-only answer
+            # needs the WHOLE expression captured as predicates
+            if not preds or not fully:
                 return self.to_df(version=version, where=where).count()
         elif where:
             preds = list(where)
@@ -269,7 +285,7 @@ class DeltaTable:
         ).collect()[0]
         total = int(agg["nr"] or 0) - int(agg["dv"] or 0)
         if agg["files"] > agg["with_stats"]:
-            scan = self.log.snapshot_light(version).collect_pruned_add_files(
+            scan = light.collect_pruned_add_files(
                 self.spark,
                 cap=light_collect_cap(),
                 full_df=df.filter(nr.isNull()),

@@ -313,6 +313,11 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         self._path = _table_path(options)
         self._schema = schema
         self._warned_backlog = False
+        # engine-driven progress BEFORE the first new offset is asked for
+        # == checkpoint recovery (fresh starts ask latestOffset first);
+        # this, not _position, gates the backlog warning — initialOffset
+        # also sets _position on genuinely fresh starts
+        self._engine_recovered = False
         self._starting = str(options.get("startingVersion", "latest"))
         # startingTimestamp (Delta parity): begin at the first commit
         # whose authoritative timestamp (inCommitTimestamp when present,
@@ -515,8 +520,11 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         stops at the threshold (ADLS_STREAM_BACKLOG_WARN_FILES, default
         10^4; 0 disables), so the probe costs O(threshold) even on a
         million-file backlog. Checkpoint restarts never warn — recovery
-        sets _position before any new offset is asked for."""
-        if self._warned_backlog or self._position is not None:
+        calls partitions()/commit() (setting _engine_recovered) before
+        any new offset is asked for, while a fresh start's first engine
+        calls are initialOffset/latestOffset (which also set _position,
+        so _position must NOT gate this)."""
+        if self._warned_backlog or self._engine_recovered:
             return
         self._warned_backlog = True
         thr = int(
@@ -525,7 +533,12 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         if thr <= 0:
             return
         files = 0
-        for v in range(self._floor_version(log) + 1, latest + 1):
+        floor = (
+            self._position[0]
+            if self._position is not None
+            else self._floor_version(log)
+        )
+        for v in range(floor + 1, latest + 1):
             sizes, _ = self._commit_admission(log, v)
             files += len(sizes)
             if files > thr:
@@ -694,6 +707,7 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         sv, si = self._parse_offset(start)
         ev, ei = self._parse_offset(end)
         self._advance((ev, ei))
+        self._engine_recovered = True
         log = DeltaLog(self._path)
         # versions this batch touches: a partially-consumed start version
         # is re-entered (from its recorded file index); a partial end
@@ -904,6 +918,7 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
+        self._engine_recovered = True
         self._advance(self._parse_offset(end))
 
 

@@ -1065,6 +1065,10 @@ def test_backlog_warning_on_unbounded_first_batch(spark, tmp_path, monkeypatch):
     schema = DeltaLog(root).snapshot().schema
 
     r = DeltaPondStreamReader({"path": root, "startingVersion": "0"}, schema)
+    # the REAL engine flow populates start offsets first — the warning
+    # must survive initialOffset() having set _position (round-8 review
+    # finding: gating on _position alone made the feature dead)
+    r.initialOffset()
     with pytest.warns(UserWarning, match="drain_backlog"):
         off = r.latestOffset()
     assert off == {"version": n_commits - 1}  # still admits the backlog
@@ -1112,6 +1116,7 @@ def test_backlog_warning_threshold_env_and_results_unchanged(
     monkeypatch.setenv("ADLS_STREAM_BACKLOG_WARN_FILES", "5")
     snap = DeltaTable(spark, src).snapshot()
     r = DeltaPondStreamReader({"path": src, "startingVersion": "0"}, snap.schema)
+    r.initialOffset()  # engine populates start offsets first
     with pytest.warns(UserWarning, match="maxFilesPerTrigger"):
         r.latestOffset()
 

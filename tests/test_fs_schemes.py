@@ -300,12 +300,17 @@ def test_atomic_put_capability_matrix(monkeypatch):
     monkeypatch.setenv("ADLS_FORCE_HADOOP_FS", "1")
     assert fsm.atomic_put_capability("file:///tmp/x") == "atomic-rename"
     monkeypatch.delenv("ADLS_FORCE_HADOOP_FS")
-    # s3: conditional-put when a hook serves it (boto3 auto-registers in
-    # this container), non-atomic-rename otherwise
-    if "s3a" in fsm._PUT_IF_ABSENT:
-        assert fsm.atomic_put_capability("s3a://b/k") == "conditional-put"
+    # s3: non-atomic-rename by default; conditional-put only once the
+    # boto3 hook is OPT-IN registered (ADLS_S3_CONDITIONAL_PUT=1 — never
+    # on mere importability, since boto3's endpoint/credential chain need
+    # not match the cluster's fs.s3a.* config)
     monkeypatch.setattr(fsm, "_PUT_IF_ABSENT", {})
     assert fsm.atomic_put_capability("s3a://b/k") == "non-atomic-rename"
+    assert fsm.atomic_put_capability("gs://b/k") == "non-atomic-rename"
+    monkeypatch.setenv("ADLS_S3_CONDITIONAL_PUT", "1")
+    fsm._maybe_register_s3_hook()
+    assert fsm.atomic_put_capability("s3a://b/k") == "conditional-put"
+    assert fsm.atomic_put_capability("s3://b/k") == "conditional-put"
     assert fsm.atomic_put_capability("gs://b/k") == "non-atomic-rename"
 
 
@@ -366,8 +371,17 @@ def test_s3_conditional_put_maps_412(monkeypatch):
         "put_object", service_error_code="PreconditionFailed",
         http_status_code=412,
     )
+    # 409 ConditionalRequestConflict: a RACING conditional PUT — must
+    # also surface as FileExistsError so the OCC loop retries instead of
+    # aborting the DML with a raw S3 error
+    stub.add_client_error(
+        "put_object", service_error_code="ConditionalRequestConflict",
+        http_status_code=409,
+    )
     stub.activate()
     monkeypatch.setattr(boto3, "client", lambda *_a, **_k: client)
+    with pytest.raises(FileExistsError):
+        fsm._s3_put_if_absent("s3a://bucket/t/_delta_log/3.json", b"x")
     with pytest.raises(FileExistsError):
         fsm._s3_put_if_absent("s3a://bucket/t/_delta_log/3.json", b"x")
     stub.deactivate()

@@ -233,3 +233,41 @@ def test_update_keeps_pruning_invariant(spark, tmp_path):
     snap = DeltaLog(path).snapshot()
     pruned = prune_files(snap, [("ts", "=", "2024-05-09 01:00:00")])
     assert {f.partition_values["d"] for f in pruned} == {"2024-05-09"}
+
+
+def test_light_prune_df_derives_generated_preds(spark, tmp_path):
+    """Round-8 review finding: LightSnapshot.prune_df must apply the same
+    generated-partition derivation as both classic prune paths — a
+    base-column predicate on a CAST(ts AS DATE)-partitioned table prunes
+    to the implied partitions on the light path too."""
+    from athena_delta_lake_spark.delta.writer import write_checkpoint
+
+    path = str(tmp_path / "glight")
+    snap = _gen_table(spark, path, "CAST(ts AS DATE)")
+    write_checkpoint(path)
+    DeltaLog.clear_cache()
+    light = DeltaLog(path).snapshot_light()
+    for preds in (
+        [("ts", "=", "2024-03-02 12:30:00")],
+        [("ts", ">=", "2024-03-04 06:00:00")],
+    ):
+        want = sorted(f.path for f in prune_files(snap, preds))
+        got = sorted(
+            r["path"] for r in light.prune_df(spark, preds).collect()
+        )
+        assert got == want, preds
+    # and through the auto-routed DML candidate selection
+    from athena_delta_lake_spark.delta.dml import _light_planning_candidates
+
+    import os
+
+    os.environ["ADLS_LIGHT_PLANNING_FILES"] = "1"
+    try:
+        out = _light_planning_candidates(
+            spark, path, [("ts", "=", "2024-03-02 12:30:00")]
+        )
+        assert out is not None
+        _snap, cands = out
+        assert _days(cands) == ["2024-03-02"]
+    finally:
+        del os.environ["ADLS_LIGHT_PLANNING_FILES"]

@@ -350,3 +350,55 @@ def test_foreign_layout_dml_walk(spark, tmp_path, seed):
         assert state() == want, (
             f"divergence after step {step} op {op}/{mode} (seed {seed})"
         )
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_merge_source_blocks_released(spark, tmp_path, mode):
+    """The materialized (localCheckpoint'd) merge source must not leak
+    executor storage blocks after the merge returns — a streaming
+    foreachBatch issuing one merge per micro-batch would otherwise
+    accumulate one dead copy per batch until driver GC."""
+    from athena_delta_lake_spark import write_delta
+
+    sc = spark.sparkContext
+
+    def n_blocks():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    path = str(tmp_path / f"rel_{mode}")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "id long, v double"
+        ),
+        path,
+    )
+    t = DeltaTable(spark, path)
+    before = n_blocks()
+    for batch in range(3):
+        src = spark.createDataFrame(
+            [(i, 100.0 + batch) for i in range(batch * 5, batch * 5 + 10)],
+            "id long, v double",
+        )
+        t.merge(src, keys=["id"], mode=mode)
+    assert n_blocks() <= before, (before, n_blocks())
+    assert t.to_df().count() == 50
+
+
+def test_count_partial_parse_falls_back_to_scan(spark, tmp_path):
+    """count(where=<string with an unparseable conjunct>) must scan, not
+    answer from metadata with only the parsed conjuncts — 'part = 3 AND
+    id % 2 = 1' used to return every part=3 row (~2x too high)."""
+    from athena_delta_lake_spark import write_delta
+
+    path = str(tmp_path / "cntfix")
+    write_delta(
+        spark.createDataFrame(
+            [(i, i % 4) for i in range(400)], "id long, part int"
+        ),
+        path,
+        partition_by=["part"],
+    )
+    t = DeltaTable(spark, path)
+    # part=3 holds ids ≡ 3 (mod 4); the unparseable conjunct keeps half
+    assert t.count(where="part = 3 AND id % 8 = 3") == 50
+    assert t.count(where="part = 3") == 100  # metadata path still exact
