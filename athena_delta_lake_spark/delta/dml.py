@@ -54,18 +54,15 @@ def _normalize_where(where) -> tuple[list[Predicate], "F.Column", bool]:
     condition (every conjunct captured) — the precondition for the
     no-rewrite fast path on partition-only predicates.
     """
-    from .table import _parse_where
+    from .table import _parse_where_full
 
     if isinstance(where, str):
-        preds = _parse_where(where)
-        import re
-
-        n_conjuncts = (
-            0
-            if re.search(r"\bOR\b", where, flags=re.IGNORECASE)
-            else len(re.split(r"\bAND\b", where, flags=re.IGNORECASE))
-        )
-        return preds, F.expr(where), len(preds) == n_conjuncts
+        # single source of truth for the fully-parsed flag (a hand-rolled
+        # conjunct recount disagreed with it on OR expressions: both see
+        # zero preds, but 0 == 0 read as "fully parsed" — harmless only
+        # while every consumer also required non-empty preds)
+        preds, fully = _parse_where_full(where)
+        return preds, F.expr(where), fully
     preds = list(where or [])
     cond = F.lit(True)
     for col, op, val in preds:
@@ -304,47 +301,49 @@ def delete_mor(
         # the matched rows feed both the DV build and the cdc files —
         # pin them so the two sides can never diverge
         matched = matched.localCheckpoint(eager=True)
-    staged = _stage_dvs(
-        spark,
-        table_path,
-        matched.select("_file", "_row_idx"),
-        candidates,
-    )
-    if not staged:
-        _release_materialized(matched)
-        return {"files_removed": 0, "files_added": 0, "rows_deleted": 0}
+    try:
+        staged = _stage_dvs(
+            spark,
+            table_path,
+            matched.select("_file", "_row_idx"),
+            candidates,
+        )
+        if not staged:
+            return {"files_removed": 0, "files_added": 0, "rows_deleted": 0}
 
-    pieces = _dv_pieces(table_path, snap, staged)
-    extra = list(pieces.protocol_extra or [])
-    if cdf:
-        extra += _stage_cdc(spark, snap, table_path, [(matched, "delete")])
-    commit_rewrite(
-        table_path,
-        "DELETE",
-        pieces.adds,
-        [f.path for f, _idx in pieces.touched],
-        operation_parameters={"predicate": str(where), "mode": "merge-on-read"},
-        extra_actions=extra or None,
-        isolation=isolation,
-        read_predicates=preds or None,
-        expected_states={
-            f.path: file_fingerprint(f) for f, _idx in pieces.touched
-        },
-        base_version=snap.version,
-        operation_metrics={
-            "numRemovedFiles": len(pieces.full_files),
-            "numAddedFiles": len(pieces.adds),
-            "numDeletedRows": pieces.rows_newly_deleted,
-            "numDeletionVectorsAdded": pieces.dv_files_written,
-        },
-    )
-    _release_materialized(matched)
-    return {
-        "files_removed": len(pieces.full_files),
-        "files_added": len(pieces.adds),
-        "rows_deleted": pieces.rows_newly_deleted,
-        "dv_files_written": pieces.dv_files_written,
-    }
+        pieces = _dv_pieces(table_path, snap, staged)
+        extra = list(pieces.protocol_extra or [])
+        if cdf:
+            extra += _stage_cdc(spark, snap, table_path, [(matched, "delete")])
+        commit_rewrite(
+            table_path,
+            "DELETE",
+            pieces.adds,
+            [f.path for f, _idx in pieces.touched],
+            operation_parameters={"predicate": str(where), "mode": "merge-on-read"},
+            extra_actions=extra or None,
+            isolation=isolation,
+            read_predicates=preds or None,
+            expected_states={
+                f.path: file_fingerprint(f) for f, _idx in pieces.touched
+            },
+            base_version=snap.version,
+            operation_metrics={
+                "numRemovedFiles": len(pieces.full_files),
+                "numAddedFiles": len(pieces.adds),
+                "numDeletedRows": pieces.rows_newly_deleted,
+                "numDeletionVectorsAdded": pieces.dv_files_written,
+            },
+        )
+        return {
+            "files_removed": len(pieces.full_files),
+            "files_added": len(pieces.adds),
+            "rows_deleted": pieces.rows_newly_deleted,
+            "dv_files_written": pieces.dv_files_written,
+        }
+    finally:
+        if cdf:  # matched is only materialized under CDF
+            _release_materialized(matched)
 
 
 class _DvPieces:
@@ -654,76 +653,78 @@ def update_mor(
         matched_rows = _resolve_row_ids(spark, snap, candidates, matched_rows)
     matched_rows = matched_rows.localCheckpoint(eager=True)
 
-    staged = _stage_dvs(
-        spark, table_path, matched_rows.select("_file", "_row_idx"), candidates
-    )
-    if not staged:
-        _release_materialized(matched_rows)
-        return {"files_removed": 0, "files_added": 0, "rows_updated": 0}
-
-    field_types = {f.name: f.dataType for f in snap.schema.fields}
-    for col in set:
-        if col not in field_types:
-            raise ValueError(f"unknown column: {col}")
-    recompute = _generated_recompute(snap.schema, set)
-    pre_rows = matched_rows.drop("_file", "_row_idx")
-    extra_carried = [c for c in pre_rows.columns if c not in field_types]
-    # simultaneous SET evaluation against the original row (SQL UPDATE
-    # semantics — same rule as the copy-on-write path above)
-    new_rows = pre_rows.select(
-        *[
-            (
-                F.expr(set[f.name]).cast(f.dataType)
-                if f.name in set
-                else F.col(f.name)
-            ).alias(f.name)
-            for f in snap.schema.fields
-        ],
-        *extra_carried,
-    )
-    new_rows = _apply_recompute(new_rows, snap.schema, recompute)
-    from .writer import _enforce_constraints
-
-    _enforce_constraints(new_rows, snap.metadata)
-    new_adds = stage_data_files(
-        new_rows, table_path, snap.partition_columns, _data_schema(snap),
-        l2p=_l2p(snap), config=snap.metadata.get("configuration"), full_schema=snap.schema,
-    )
-
-    pieces = _dv_pieces(table_path, snap, staged)
-    extra = list(pieces.protocol_extra or [])
-    if _cdf_on(snap):
-        extra += _stage_cdc(
-            spark, snap, table_path,
-            [(pre_rows, "update_preimage"), (new_rows, "update_postimage")],
+    try:
+        staged = _stage_dvs(
+            spark, table_path, matched_rows.select("_file", "_row_idx"), candidates
         )
-    commit_rewrite(
-        table_path,
-        "UPDATE",
-        pieces.adds + new_adds,
-        [f.path for f, _idx in pieces.touched],
-        operation_parameters={"predicate": str(where), "mode": "merge-on-read"},
-        extra_actions=extra or None,
-        isolation=isolation,
-        read_predicates=preds or None,
-        expected_states={
-            f.path: file_fingerprint(f) for f, _idx in pieces.touched
-        },
-        base_version=snap.version,
-        operation_metrics={
-            "numRemovedFiles": len(pieces.full_files),
-            "numAddedFiles": len(pieces.adds) + len(new_adds),
-            "numUpdatedRows": pieces.rows_newly_deleted,
-            "numDeletionVectorsAdded": pieces.dv_files_written,
-        },
-    )
-    _release_materialized(matched_rows)
-    return {
-        "files_removed": len(pieces.full_files),
-        "files_added": len(pieces.adds) + len(new_adds),
-        "rows_updated": pieces.rows_newly_deleted,
-        "dv_files_written": pieces.dv_files_written,
-    }
+        if not staged:
+            return {"files_removed": 0, "files_added": 0, "rows_updated": 0}
+
+        field_types = {f.name: f.dataType for f in snap.schema.fields}
+        for col in set:
+            if col not in field_types:
+                raise ValueError(f"unknown column: {col}")
+        recompute = _generated_recompute(snap.schema, set)
+        pre_rows = matched_rows.drop("_file", "_row_idx")
+        extra_carried = [c for c in pre_rows.columns if c not in field_types]
+        # simultaneous SET evaluation against the original row (SQL UPDATE
+        # semantics — same rule as the copy-on-write path above)
+        new_rows = pre_rows.select(
+            *[
+                (
+                    F.expr(set[f.name]).cast(f.dataType)
+                    if f.name in set
+                    else F.col(f.name)
+                ).alias(f.name)
+                for f in snap.schema.fields
+            ],
+            *extra_carried,
+        )
+        new_rows = _apply_recompute(new_rows, snap.schema, recompute)
+        from .writer import _enforce_constraints
+
+        _enforce_constraints(new_rows, snap.metadata)
+        new_adds = stage_data_files(
+            new_rows, table_path, snap.partition_columns, _data_schema(snap),
+            l2p=_l2p(snap), config=snap.metadata.get("configuration"), full_schema=snap.schema,
+        )
+
+        pieces = _dv_pieces(table_path, snap, staged)
+        extra = list(pieces.protocol_extra or [])
+        if _cdf_on(snap):
+            extra += _stage_cdc(
+                spark, snap, table_path,
+                [(pre_rows, "update_preimage"), (new_rows, "update_postimage")],
+            )
+        commit_rewrite(
+            table_path,
+            "UPDATE",
+            pieces.adds + new_adds,
+            [f.path for f, _idx in pieces.touched],
+            operation_parameters={"predicate": str(where), "mode": "merge-on-read"},
+            extra_actions=extra or None,
+            isolation=isolation,
+            read_predicates=preds or None,
+            expected_states={
+                f.path: file_fingerprint(f) for f, _idx in pieces.touched
+            },
+            base_version=snap.version,
+            operation_metrics={
+                "numRemovedFiles": len(pieces.full_files),
+                "numAddedFiles": len(pieces.adds) + len(new_adds),
+                "numUpdatedRows": pieces.rows_newly_deleted,
+                "numDeletionVectorsAdded": pieces.dv_files_written,
+            },
+        )
+        return {
+            "files_removed": len(pieces.full_files),
+            "files_added": len(pieces.adds) + len(new_adds),
+            "rows_updated": pieces.rows_newly_deleted,
+            "dv_files_written": pieces.dv_files_written,
+        }
+    finally:
+        # free the pinned matched rows even when validation/commit raises
+        _release_materialized(matched_rows)
 
 
 def _generated_recompute(schema, set_cols) -> dict[str, str]:

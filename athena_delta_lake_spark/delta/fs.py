@@ -118,9 +118,12 @@ def _s3_put_if_absent(path: str, data: bytes) -> None:
         # racing this one; surfacing it as FileExistsError routes the
         # caller into the same retry-at-next-version loop (it re-reads
         # the log, sees whichever writer won, and retries), instead of
-        # aborting the whole DML with a raw S3 error.
+        # aborting the whole DML with a raw S3 error. Deliberately NOT
+        # a bare status==409 check: other 409s (OperationAborted, bucket
+        # conflicts) are real failures that must surface, not loop as
+        # phantom OCC losses.
         if code in ("PreconditionFailed", "ConditionalRequestConflict") or (
-            status in (412, 409)
+            status == 412
         ):
             raise FileExistsError(path) from None
         raise

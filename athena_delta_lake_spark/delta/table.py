@@ -485,8 +485,11 @@ class DeltaTable:
 
         preds: list[Predicate] | None = None
         if isinstance(where, str):
-            preds = _parse_where(where)
-            if not preds or not _partition_only(preds, snap):
+            preds, fully = _parse_where_full(where)
+            # a dropped conjunct makes the candidate set inexact — the
+            # metadata answer would cover the WHOLE partition (same guard
+            # as count())
+            if not preds or not fully or not _partition_only(preds, snap):
                 return _scan()
         elif where:
             preds = list(where)
