@@ -1177,6 +1177,52 @@ def _apply_source_keys(
     )
 
 
+def _merge_key_range_candidates(snap, src: DataFrame, keys: list[str], live):
+    """Touched-file candidates pruned by the SOURCE's key min/max —
+    delta-spark's merge touched-file pruning. The probe semi-join then
+    scans only files whose per-file stats ranges intersect the source's
+    key ranges, instead of every live file: a MERGE of one day's upserts
+    into a 100 TB key-clustered table reads that day's files, not the
+    table. Conservative by construction: pruning is min/max-stats based
+    (files lacking stats always survive), equi-match on ALL keys requires
+    intersecting EVERY key's range, and the residual ON form still
+    conjoins the equi-keys (_pair_condition) — so the returned list is
+    always a superset of the truly-touched files, and the exact semi-join
+    downstream decides membership. One tiny agg job over the
+    already-materialized source; bails to the full live list when no key
+    type is prunable or any key range is unbounded (all-NULL)."""
+    from .stats import _SAFE_PRUNE_TYPES, prune_files
+
+    if len(live) <= 4:
+        return live
+    types = {f.name: f.dataType for f in snap.schema.fields}
+    prunable = [
+        k for k in keys if isinstance(types.get(k), _SAFE_PRUNE_TYPES)
+    ]
+    if not prunable:
+        return live
+    aggs = []
+    for k in prunable:
+        aggs += [F.min(k).alias(f"__mn_{k}"), F.max(k).alias(f"__mx_{k}")]
+    r = src.agg(*aggs).first()
+    import datetime
+    import decimal
+
+    scalar = (int, float, str, bool, datetime.date, datetime.datetime,
+              decimal.Decimal)
+    preds = []
+    for k in prunable:
+        mn, mx = r[f"__mn_{k}"], r[f"__mx_{k}"]
+        # non-scalar bounds can only appear when a caller bypasses the
+        # source coercion (merge casts src to target types first) —
+        # conservative bail, never a crash
+        if isinstance(mn, scalar) and isinstance(mx, scalar):
+            preds += [(k, ">=", mn), (k, "<=", mx)]
+    if not preds:
+        return live
+    return prune_files(snap, preds)
+
+
 def _pair_condition(keys: list[str], on_condition: str | None):
     """Join condition over frames aliased `t` (target) and `s` (source):
     the equi-keys AND the residual ON conjuncts (arbitrary SQL over
@@ -1367,15 +1413,18 @@ def merge_upsert(
             # duplicating keys (caught by the randomized DML state machine).
             from .reader import read_files_with_index
 
+            # source-key-range pruning: the probe scans only candidate
+            # files whose stats intersect the source's key min/max
+            cands = _merge_key_range_candidates(snap, src, keys, live)
             if pair is None:
-                probe = read_files_with_index(spark, snap, live).select(
+                probe = read_files_with_index(spark, snap, cands).select(
                     *keys, F.col("_file").alias("__file")
                 )
                 hit_files = probe.join(src_keys, keys, "left_semi")
             else:
                 # the residual may reference any target column: keep the full
                 # row (Catalyst prunes the scan to the referenced columns)
-                probe = read_files_with_index(spark, snap, live).withColumnRenamed(
+                probe = read_files_with_index(spark, snap, cands).withColumnRenamed(
                     "_file", "__file"
                 )
                 hit_files = probe.alias("t").join(
@@ -1865,7 +1914,9 @@ def merge_upsert_mor(
         by_path = _live_files_by_path(snap)
         touched_names: set[str] = set()
         if live:
-            probe = read_files_with_index(spark, snap, live).select(
+            # source-key-range pruning, as in the copy-on-write probe
+            cands = _merge_key_range_candidates(snap, src, keys, live)
+            probe = read_files_with_index(spark, snap, cands).select(
                 *keys, F.col("_file").alias("__file")
             )
             touched_names = _touched_paths(

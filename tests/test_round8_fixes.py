@@ -402,3 +402,51 @@ def test_count_partial_parse_falls_back_to_scan(spark, tmp_path):
     # part=3 holds ids ≡ 3 (mod 4); the unparseable conjunct keeps half
     assert t.count(where="part = 3 AND id % 8 = 3") == 50
     assert t.count(where="part = 3") == 100  # metadata path still exact
+
+
+def test_merge_key_range_pruning(spark, tmp_path):
+    """Merge touched-file probing prunes by the SOURCE's key min/max
+    (delta-spark's merge pruning): on a key-clustered table a narrow
+    source probes only the intersecting files — and results are
+    identical to the unpruned semantics."""
+    from athena_delta_lake_spark import write_delta
+    from athena_delta_lake_spark.delta.dml import _merge_key_range_candidates
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    path = str(tmp_path / "krp")
+    df = spark.range(1000).selectExpr("id", "id * 1.0 AS v").repartitionByRange(
+        10, "id"
+    )
+    write_delta(df, path)
+    snap = DeltaLog(path).snapshot()
+    assert len(snap.files) == 10
+    src = spark.createDataFrame([(5, 99.0), (7, 88.0)], "id long, v double")
+    cands = _merge_key_range_candidates(snap, src, ["id"], list(snap.files))
+    assert 1 <= len(cands) < 10  # pruned to the narrow id range
+    # all-NULL key range bails to the full live list (conservative)
+    null_src = spark.createDataFrame(
+        [(None, 1.0)], "id long, v double"
+    )
+    assert len(
+        _merge_key_range_candidates(snap, null_src, ["id"], list(snap.files))
+    ) == 10
+    # unprunable key type (array) bails too
+    asrc = src.selectExpr("array(id) AS id", "v")
+    assert len(
+        _merge_key_range_candidates(snap, asrc, ["id"], list(snap.files))
+    ) == 10
+
+    # end-to-end: pruned merge result == expected (update + insert)
+    t = DeltaTable(spark, path)
+    before = {f.path for f in snap.files}
+    t.merge(
+        spark.createDataFrame(
+            [(5, 99.0), (2000, 1.0)], "id long, v double"
+        ),
+        keys=["id"],
+    )
+    rows = {r["id"]: r["v"] for r in t.to_df().collect()}
+    assert len(rows) == 1001 and rows[5] == 99.0 and rows[2000] == 1.0
+    # only the file containing id=5 was rewritten; the other 9 survive
+    after = {f.path for f in t.snapshot().files}
+    assert len(before & after) == 9
