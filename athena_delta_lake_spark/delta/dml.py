@@ -2275,7 +2275,10 @@ def compact(
     (writer.zorder_dataframe), so min/max stats prune on every listed
     column afterwards."""
     table_path = normalize_table_path(table_path)
-    snap = DeltaLog(table_path).snapshot()
+    # predicate-scoped OPTIMIZE/REORG on a past-threshold table selects
+    # its candidates through the driver-light path too (one hot partition
+    # of a 10^7-file table compacts without the classic snapshot)
+    snap, files = _plan_candidates(spark, table_path, predicates)
     if zorder_by is None:
         # liquid-clustering semantics: a table written with
         # liquid_cluster_by remembers its layout policy in the
@@ -2288,7 +2291,6 @@ def compact(
                 cols = None
             if cols:
                 zorder_by = list(cols)
-    files = prune_files_auto(spark, snap, predicates) if predicates else list(snap.files)
 
     groups: dict[tuple, list[AddFile]] = {}
     for f in files:

@@ -239,3 +239,49 @@ def test_light_count_equals_classic(spark, tmp_path, monkeypatch):
     assert DeltaTable(spark, path).count() == want
     assert DeltaTable(spark, path).count(where=[("part", "=", 7)]) == want7
     assert want7 >= 2  # includes the stat-less foreign rows
+
+
+def test_light_optimize_where_equals_classic(spark, tmp_path, monkeypatch):
+    """Predicate-scoped OPTIMIZE (and REORG PURGE) select candidates
+    through the light path past the threshold — same visible state and
+    same untouched-partition file identity as classic."""
+    a, b = str(tmp_path / "oa"), str(tmp_path / "ob")
+    for p in (a, b):
+        _mk_table(spark, p, dv=True)
+    DeltaTable(spark, a).compact(
+        target_file_size=1 << 30, predicates=[("part", "=", 1)]
+    )
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "5")
+    assert DeltaLog(b).light_planning_engaged()
+    DeltaTable(spark, b).compact(
+        target_file_size=1 << 30, predicates=[("part", "=", 1)]
+    )
+    assert _rows(DeltaTable(spark, a).to_df()) == _rows(
+        DeltaTable(spark, b).to_df()
+    )
+    # untouched partitions keep their exact physical files on BOTH sides
+    for p in (a, b):
+        t = DeltaTable(spark, p)
+        untouched = {
+            f.path
+            for f in t.snapshot().files
+            if f.partition_values.get("part") != "1"
+        }
+        v_before = t.snapshot(t.version() - 1)
+        before = {
+            f.path
+            for f in v_before.files
+            if f.partition_values.get("part") != "1"
+        }
+        assert untouched == before, p
+    # scoped REORG through the light path: remaining DV'd files in the
+    # scope get purged
+    from athena_delta_lake_spark.delta.dml import reorg_purge
+
+    res = reorg_purge(spark, b, predicates=[("part", "=", 5)])
+    snapb = DeltaTable(spark, b).snapshot()
+    assert not any(
+        f.deletion_vector
+        for f in snapb.files
+        if f.partition_values.get("part") == "5"
+    )
