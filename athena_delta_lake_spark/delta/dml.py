@@ -1177,8 +1177,8 @@ def _apply_source_keys(
     )
 
 
-def _merge_key_range_candidates(snap, src: DataFrame, keys: list[str], live):
-    """Touched-file candidates pruned by the SOURCE's key min/max —
+def _merge_key_range_candidates(spark, snap, src: DataFrame, keys: list[str]):
+    """The snapshot's live files pruned by the SOURCE's key min/max —
     delta-spark's merge touched-file pruning. The probe semi-join then
     scans only files whose per-file stats ranges intersect the source's
     key ranges, instead of every live file: a MERGE of one day's upserts
@@ -1190,14 +1190,33 @@ def _merge_key_range_candidates(snap, src: DataFrame, keys: list[str], live):
     always a superset of the truly-touched files, and the exact semi-join
     downstream decides membership. One tiny agg job over the
     already-materialized source; bails to the full live list when no key
-    type is prunable or any key range is unbounded (all-NULL)."""
-    from .stats import _SAFE_PRUNE_TYPES, prune_files
+    type is prunable or no key yields a usable bound (all-NULL).
 
+    Float caveat (silent-wrong-answer class, caught in review): Spark's
+    max() returns NaN whenever any source key is NaN (NaN sorts largest),
+    and the driver prune compares with IEEE semantics where `x <= NaN` is
+    FALSE — a naive `<= NaN` bound would prune EVERY stats-bearing file
+    and turn matched rows into duplicate inserts. Non-finite bounds are
+    therefore dropped PER BOUND: the remaining finite bound stays safe
+    because files containing NaN/inf rows have those stats entries
+    dropped at write (writer._json_safe) and missing stats always
+    conservatively survive. Timestamp keys are excluded outright — this
+    writer records no comparable timestamp stats (INT96 footers /
+    aware-vs-naive mismatch), so the agg would be pure cost with zero
+    files pruned."""
+    from .stats import _SAFE_PRUNE_TYPES, prune_files_auto
+
+    live = list(snap.files)
     if len(live) <= 4:
         return live
     types = {f.name: f.dataType for f in snap.schema.fields}
     prunable = [
-        k for k in keys if isinstance(types.get(k), _SAFE_PRUNE_TYPES)
+        k
+        for k in keys
+        if isinstance(types.get(k), _SAFE_PRUNE_TYPES)
+        and not isinstance(
+            types.get(k), (T.TimestampType, T.TimestampNTZType)
+        )
     ]
     if not prunable:
         return live
@@ -1207,20 +1226,31 @@ def _merge_key_range_candidates(snap, src: DataFrame, keys: list[str], live):
     r = src.agg(*aggs).first()
     import datetime
     import decimal
+    import math
 
     scalar = (int, float, str, bool, datetime.date, datetime.datetime,
               decimal.Decimal)
+
+    def _usable(v) -> bool:
+        # non-scalar bounds can only appear when a caller bypasses the
+        # source coercion (merge casts src to target types first) —
+        # conservative skip, never a crash
+        if not isinstance(v, scalar):
+            return False
+        if isinstance(v, float) and not math.isfinite(v):
+            return False
+        return True
+
     preds = []
     for k in prunable:
         mn, mx = r[f"__mn_{k}"], r[f"__mx_{k}"]
-        # non-scalar bounds can only appear when a caller bypasses the
-        # source coercion (merge casts src to target types first) —
-        # conservative bail, never a crash
-        if isinstance(mn, scalar) and isinstance(mx, scalar):
-            preds += [(k, ">=", mn), (k, "<=", mx)]
+        if _usable(mn):
+            preds.append((k, ">=", mn))
+        if _usable(mx):
+            preds.append((k, "<=", mx))
     if not preds:
         return live
-    return prune_files(snap, preds)
+    return prune_files_auto(spark, snap, preds)
 
 
 def _pair_condition(keys: list[str], on_condition: str | None):
@@ -1415,7 +1445,7 @@ def merge_upsert(
 
             # source-key-range pruning: the probe scans only candidate
             # files whose stats intersect the source's key min/max
-            cands = _merge_key_range_candidates(snap, src, keys, live)
+            cands = _merge_key_range_candidates(spark, snap, src, keys)
             if pair is None:
                 probe = read_files_with_index(spark, snap, cands).select(
                     *keys, F.col("_file").alias("__file")
@@ -1915,7 +1945,7 @@ def merge_upsert_mor(
         touched_names: set[str] = set()
         if live:
             # source-key-range pruning, as in the copy-on-write probe
-            cands = _merge_key_range_candidates(snap, src, keys, live)
+            cands = _merge_key_range_candidates(spark, snap, src, keys)
             probe = read_files_with_index(spark, snap, cands).select(
                 *keys, F.col("_file").alias("__file")
             )

@@ -421,19 +421,19 @@ def test_merge_key_range_pruning(spark, tmp_path):
     snap = DeltaLog(path).snapshot()
     assert len(snap.files) == 10
     src = spark.createDataFrame([(5, 99.0), (7, 88.0)], "id long, v double")
-    cands = _merge_key_range_candidates(snap, src, ["id"], list(snap.files))
+    cands = _merge_key_range_candidates(spark, snap, src, ["id"])
     assert 1 <= len(cands) < 10  # pruned to the narrow id range
     # all-NULL key range bails to the full live list (conservative)
     null_src = spark.createDataFrame(
         [(None, 1.0)], "id long, v double"
     )
     assert len(
-        _merge_key_range_candidates(snap, null_src, ["id"], list(snap.files))
+        _merge_key_range_candidates(spark, snap, null_src, ["id"])
     ) == 10
     # unprunable key type (array) bails too
     asrc = src.selectExpr("array(id) AS id", "v")
     assert len(
-        _merge_key_range_candidates(snap, asrc, ["id"], list(snap.files))
+        _merge_key_range_candidates(spark, snap, asrc, ["id"])
     ) == 10
 
     # end-to-end: pruned merge result == expected (update + insert)
@@ -450,3 +450,37 @@ def test_merge_key_range_pruning(spark, tmp_path):
     # only the file containing id=5 was rewritten; the other 9 survive
     after = {f.path for f in t.snapshot().files}
     assert len(before & after) == 9
+
+
+def test_merge_key_range_pruning_nan_source(spark, tmp_path):
+    """A NaN in a float merge key must NOT poison the pruning bounds:
+    Spark's max() returns NaN (sorts largest) and IEEE `x <= NaN` is
+    FALSE for every file — a naive bound would prune everything and turn
+    matched rows into duplicate inserts. Non-finite bounds are dropped
+    per bound; the merge stays exact."""
+    from athena_delta_lake_spark import write_delta
+
+    path = str(tmp_path / "nan")
+    df = spark.range(1000).selectExpr(
+        "CAST(id AS DOUBLE) AS id", "id * 1.0 AS v"
+    ).repartitionByRange(10, "id")
+    write_delta(df, path)
+    t = DeltaTable(spark, path)
+    src = spark.createDataFrame(
+        [(5.0, -1.0), (float("nan"), -2.0)], "id double, v double"
+    )
+    t.merge(src, keys=["id"])
+    rows = t.to_df().collect()
+    by_id = {}
+    n_nan = 0
+    import math
+
+    for r in rows:
+        if r["id"] is not None and math.isnan(r["id"]):
+            n_nan += 1
+        else:
+            by_id.setdefault(r["id"], []).append(r["v"])
+    # id=5.0 was UPDATED in place (no duplicate), NaN row inserted once
+    assert by_id[5.0] == [-1.0]
+    assert all(len(v) == 1 for v in by_id.values())
+    assert len(by_id) == 1000 and n_nan == 1
