@@ -989,7 +989,14 @@ def _insert_only_merge(
         src = src.alias("s").filter(
             F.coalesce(F.expr(not_matched_condition), F.lit(False))
         )
-    live = list(snap.files)
+    # source-key-range pruning, exactly as in the full-merge probe: a
+    # pruned-out file provably contains no source key (disjoint min/max),
+    # so BOTH anti-join branches are exact over the candidates alone —
+    # the equi-key form directly, and the residual-ON form because
+    # _pair_condition still conjoins the equi-keys. This turns the
+    # dominant cost of a bulk-append MERGE into a key-clustered 100 TB
+    # table from an O(table) key scan into O(intersecting files).
+    live = _merge_key_range_candidates(spark, snap, src, keys)
     if live and on_condition is None:
         tgt_keys = _read_cow(spark, snap, live).select(*keys).distinct()
         ins = src.join(tgt_keys, keys, "left_anti")

@@ -96,14 +96,26 @@ def _file_matches_partition(
     return True
 
 
+def _nonfinite_to_none(v):
+    """Non-finite parsed stats bounds prove NOTHING: IEEE comparisons
+    against NaN are all-false, so a foreign-written file whose stats
+    record NaN min/max (this writer drops them — writer._json_safe) would
+    be PRUNED while it can contain matching rows (NaN == NaN in Spark
+    joins/sorts). Treat NaN and ±inf as missing stats — the file
+    conservatively survives (round-8 ADVICE)."""
+    import math
+
+    return None if isinstance(v, float) and not math.isfinite(v) else v
+
+
 def _file_matches_stats(
     f: AddFile, schema_types: dict[str, T.DataType], pred: Predicate
 ) -> bool:
     """False only when min/max/nullCount stats PROVE no row matches."""
     col, op, val = pred
     dt = schema_types[col]
-    mn = _coerce(_stats_value(f.stats, "minValues", col), dt)
-    mx = _coerce(_stats_value(f.stats, "maxValues", col), dt)
+    mn = _nonfinite_to_none(_coerce(_stats_value(f.stats, "minValues", col), dt))
+    mx = _nonfinite_to_none(_coerce(_stats_value(f.stats, "maxValues", col), dt))
     if op == "in":
         if mn is None or mx is None:
             return True
@@ -341,6 +353,14 @@ def _stats_match_expr(stats_col, col: str, dt: T.DataType, op: str, val):
 
     mn = F.get_json_object(stats_col, f"$.minValues.{col}").cast(dt)
     mx = F.get_json_object(stats_col, f"$.maxValues.{col}").cast(dt)
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        # same rule as _nonfinite_to_none: Spark sorts NaN LARGEST and
+        # compares it unlike IEEE (`NaN <= x` is false, `x <= NaN` true),
+        # so a NaN bound from a foreign writer would prune files that can
+        # match — null out non-finite bounds (missing stats keep the file)
+        inf = F.lit(float("inf"))
+        mn = F.when(F.isnan(mn) | (F.abs(mn) == inf), F.lit(None)).otherwise(mn)
+        mx = F.when(F.isnan(mx) | (F.abs(mx) == inf), F.lit(None)).otherwise(mx)
     no_stats = mn.isNull() | mx.isNull()
     if op == "in":
         vals = [v for v in (_coerce(x, dt) for x in val) if v is not None]

@@ -18,8 +18,11 @@ Commit semantics: an atomic put-if-absent create of the next version file
 — O_EXCL locally; write-to-temp + FileContext.rename(Options.Rename.NONE)
 through the Hadoop connectors (FileSystem.rename is NOT safe here: on
 RawLocalFileSystem it is POSIX rename(2) and silently replaces); a
-registered conditional-PUT hook on object stores (fs.register_put_if_absent,
-S3 If-None-Match auto-registered when boto3 is present). That is exactly
+registered conditional-PUT hook on object stores (fs.register_put_if_absent;
+the built-in S3 If-None-Match hook is OPT-IN — registered only when
+ADLS_S3_CONDITIONAL_PUT=1 and boto3 is importable, never automatically,
+because boto3's endpoint/credential chain need not match the fs.s3a.*
+configuration the Spark connectors use). That is exactly
 Delta's optimistic-concurrency primitive: concurrent writers race on the
 version file; the loser gets FileExistsError and retries with a fresh
 snapshot. Capability matrix + non-atomic-rename warn/refuse policy: fs.py

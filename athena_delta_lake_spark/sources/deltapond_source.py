@@ -318,6 +318,14 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         # this, not _position, gates the backlog warning — initialOffset
         # also sets _position on genuinely fresh starts
         self._engine_recovered = False
+        # initialOffset() ran in THIS process == genuinely fresh stream.
+        # A checkpoint restart whose last batch fully committed before
+        # shutdown replays nothing — its first engine call is
+        # latestOffset(), so _engine_recovered alone cannot identify it
+        # and the backlog warning must also gate on this flag (round-8
+        # ADVICE: the floor-based probe re-counted the whole log and
+        # warned spuriously on every such restart).
+        self._fresh_started = False
         self._starting = str(options.get("startingVersion", "latest"))
         # startingTimestamp (Delta parity): begin at the first commit
         # whose authoritative timestamp (inCommitTimestamp when present,
@@ -509,6 +517,7 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         return int(self._starting) - 1
 
     def initialOffset(self) -> dict:
+        self._fresh_started = True
         v = self._floor_version(DeltaLog(self._path))
         self._advance((v, None))
         self._trace(f"initialOffset -> {v}")
@@ -519,12 +528,20 @@ class DeltaPondStreamReader(DataSourceStreamReader):
         admit a huge backlog as one batch (round-8 ask #6): counting
         stops at the threshold (ADLS_STREAM_BACKLOG_WARN_FILES, default
         10^4; 0 disables), so the probe costs O(threshold) even on a
-        million-file backlog. Checkpoint restarts never warn — recovery
-        calls partitions()/commit() (setting _engine_recovered) before
-        any new offset is asked for, while a fresh start's first engine
-        calls are initialOffset/latestOffset (which also set _position,
-        so _position must NOT gate this)."""
+        million-file backlog. Checkpoint restarts never warn: a restart
+        with uncommitted batches replays partitions()/commit() first
+        (setting _engine_recovered), and a restart whose last batch was
+        fully COMMITTED before shutdown replays nothing — its first call
+        is latestOffset() with no initialOffset() in this process, so the
+        warning additionally requires _fresh_started (round-8 ADVICE: the
+        _floor_version fallback probe both warned spuriously and paid
+        O(threshold) commit reads on every committed restart). The
+        suppressed path does NOT consume the one-shot: under availableNow
+        the engine captures one latestOffset before initialOffset, and a
+        later post-initialization call may still legitimately warn."""
         if self._warned_backlog or self._engine_recovered:
+            return
+        if not self._fresh_started:
             return
         self._warned_backlog = True
         thr = int(
