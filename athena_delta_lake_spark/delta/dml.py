@@ -890,6 +890,127 @@ def _null_fill(df: DataFrame, schema) -> DataFrame:
     return df
 
 
+def _normalize_nmbs(
+    action: str | None, condition: str | None, assigns: dict | None
+) -> tuple[str | None, str | None, dict | None]:
+    """Validate the WHEN NOT MATCHED BY SOURCE clause triple (round-9):
+    action 'delete' | 'update' | None, optional SQL condition over
+    `t.<col>` ONLY (these target rows have no source row — `s.` cannot
+    resolve), and for 'update' the required per-column assignments
+    (`SET col = expr`, expressions over t.<col>; Delta disallows
+    UPDATE SET * here for the same no-source-row reason)."""
+    if action not in (None, "delete", "update"):
+        raise ValueError(
+            "not_matched_by_source must be 'delete', 'update' or None"
+        )
+    if action is None:
+        if condition is not None or assigns:
+            raise ValueError(
+                "not_matched_by_source_condition/assigns need a "
+                "not_matched_by_source action"
+            )
+        return None, None, None
+    if action == "update":
+        if not assigns:
+            raise ValueError(
+                "NOT MATCHED BY SOURCE UPDATE needs per-column assignments "
+                "(there is no source row to copy from)"
+            )
+    elif assigns:
+        raise ValueError(
+            "not_matched_by_source_assigns only applies to 'update'"
+        )
+    return action, condition, dict(assigns) if assigns else None
+
+
+def _nmbs_parsed_preds(condition: str | None) -> list:
+    """Best-effort pruning predicates a NOT MATCHED BY SOURCE condition
+    implies: its parseable `t.<col> op literal` conjuncts with the t.
+    qualifier stripped (outside string literals). Empty when nothing
+    parses — dropping a conjunct only WIDENS the candidate set, and
+    pruning never decides rows (the row-level filter downstream does)."""
+    if condition is None:
+        return []
+    try:
+        from ..sqldml import _sub_outside_quotes
+        from .table import _parse_where
+
+        bare = _sub_outside_quotes(condition, r"\bt\s*\.\s*(?=\w)", "")
+        return _parse_where(bare)
+    except Exception:
+        return []
+
+
+def _nmbs_candidate_files(spark, snap, condition: str | None):
+    """Live files that MAY hold an unmatched target row passing the
+    NOT MATCHED BY SOURCE condition — the conservative rewrite-set
+    extension for conditional/update by-source clauses. The condition's
+    parseable conjuncts drive the same stats prune scans use (a retention
+    merge `t.ts < X THEN DELETE` rewrites only the old files); anything
+    unparseable widens to every live file."""
+    preds = _nmbs_parsed_preds(condition)
+    if not preds:
+        return list(snap.files)
+    return prune_files_auto(spark, snap, preds)
+
+
+def _light_merge_plan(spark, light, src, keys, nmbs, nmbs_cond):
+    """MERGE candidate selection through the DRIVER-LIGHT plane (round-9
+    ask #1): the source's key min/max bounds feed LightSnapshot.prune_df
+    EXECUTOR-side over the checkpoint parquet, and only the intersecting
+    candidates materialize as AddFiles — a keyed upsert into a 10^7-file
+    table plans in O(intersecting files) driver memory instead of the
+    8.6 GiB classic snapshot. Returns the candidate list, or None to fall
+    back to classic planning:
+
+    - no key yields a usable bound (the probe would need every file);
+    - survivors exceed log.light_collect_cap (unselective source);
+    - an UNCONDITIONAL by-source UPDATE (every live file rewrites);
+    - a CONDITIONAL by-source clause whose condition parses no pruning
+      predicate (its reach is every live file).
+
+    An UNCONDITIONAL by-source DELETE stays light: the probe only needs
+    the key candidates, and the wholesale remove list is built by a
+    second metadata-only pass over files_df (_light_all_live_files) —
+    never a classic replay. A conditional by-source clause extends the
+    candidates by the files its parsed predicates can reach."""
+    from .log import light_collect_cap
+
+    if nmbs == "update" and nmbs_cond is None:
+        return None
+    bounds = _source_key_bound_preds(spark, light.schema, src, keys)
+    if not bounds:
+        return None
+    cap = light_collect_cap()
+    cands = light.collect_pruned_add_files(spark, bounds, cap=cap)
+    if cands is None:
+        return None
+    if nmbs is not None and nmbs_cond is not None:
+        preds = _nmbs_parsed_preds(nmbs_cond)
+        if not preds:
+            return None
+        extra = light.collect_pruned_add_files(spark, preds, cap=cap)
+        if extra is None:
+            return None
+        cands = _union_files(cands, extra)
+    return cands
+
+
+def _light_all_live_files(spark, light):
+    """Second metadata-only pass over files_df: EVERY live AddFile,
+    streamed from the executor-side frame (toLocalIterator, no classic
+    replay). Used by the wholesale NOT-MATCHED-BY-SOURCE DELETE under
+    light planning, whose commit must carry one remove action per live
+    file regardless — the driver list is bounded by the commit it is
+    about to write, not by planning overhead."""
+    return light.collect_pruned_add_files(spark, None, cap=None)
+
+
+def _union_files(a: list, b: list) -> list:
+    have = {f.path for f in a}
+    return list(a) + [f for f in b if f.path not in have]
+
+
 def _normalize_matched_clauses(
     when_matched: str,
     matched_condition: str | None,
@@ -1207,26 +1328,47 @@ def _merge_key_range_candidates(spark, snap, src: DataFrame, keys: list[str]):
     therefore dropped PER BOUND: the remaining finite bound stays safe
     because files containing NaN/inf rows have those stats entries
     dropped at write (writer._json_safe) and missing stats always
-    conservatively survive. Timestamp keys are excluded outright — this
-    writer records no comparable timestamp stats (INT96 footers /
-    aware-vs-naive mismatch), so the agg would be pure cost with zero
-    files pruned."""
-    from .stats import _SAFE_PRUNE_TYPES, prune_files_auto
+    conservatively survive.
+
+    TimestampType keys PRUNE (round-9): the writer records aware-UTC
+    isoformat stats for TIMESTAMP_MICROS parquet (session.py pins the
+    output type; _json_safe renders pyarrow's tz-aware footer min/max
+    with its offset), and the collected source bounds — naive wall-clock
+    in the SESSION timezone — are rendered into that same absolute
+    domain here by attaching the session tz and converting to UTC. Files
+    whose stats are naive strings (foreign writers) or absent (legacy
+    INT96 data) compare aware-vs-naive, which both evaluators treat
+    conservatively (driver loop: TypeError -> keep; Spark expression:
+    session-local cast, instant-correct). TimestampNTZType stays
+    excluded: NTZ stats comparability across writers is unproven."""
+    from .stats import prune_files_auto
 
     live = list(snap.files)
     if len(live) <= 4:
         return live
-    types = {f.name: f.dataType for f in snap.schema.fields}
+    preds = _source_key_bound_preds(spark, snap.schema, src, keys)
+    if not preds:
+        return live
+    return prune_files_auto(spark, snap, preds)
+
+
+def _source_key_bound_preds(spark, schema, src: DataFrame, keys: list[str]):
+    """The source's per-key min/max as pruning predicates, or None when no
+    key yields a usable bound — the shared core of merge key-range
+    pruning (see _merge_key_range_candidates for semantics + caveats;
+    the light MERGE planner feeds the same bounds to LightSnapshot.
+    prune_df executor-side)."""
+    from .stats import _SAFE_PRUNE_TYPES
+
+    types = {f.name: f.dataType for f in schema.fields}
     prunable = [
         k
         for k in keys
         if isinstance(types.get(k), _SAFE_PRUNE_TYPES)
-        and not isinstance(
-            types.get(k), (T.TimestampType, T.TimestampNTZType)
-        )
+        and not isinstance(types.get(k), T.TimestampNTZType)
     ]
     if not prunable:
-        return live
+        return None
     aggs = []
     for k in prunable:
         aggs += [F.min(k).alias(f"__mn_{k}"), F.max(k).alias(f"__mx_{k}")]
@@ -1248,16 +1390,27 @@ def _merge_key_range_candidates(spark, snap, src: DataFrame, keys: list[str]):
             return False
         return True
 
+    def _absolute(v):
+        # naive collected timestamp (session-tz wall clock) -> aware UTC,
+        # the domain the writer's stats isoformats parse back into
+        if isinstance(v, datetime.datetime) and v.tzinfo is None:
+            from ..sqldml import _session_tz
+
+            return v.replace(tzinfo=_session_tz(spark)).astimezone(
+                datetime.timezone.utc
+            )
+        return v
+
     preds = []
     for k in prunable:
         mn, mx = r[f"__mn_{k}"], r[f"__mx_{k}"]
+        if isinstance(types.get(k), T.TimestampType):
+            mn, mx = _absolute(mn), _absolute(mx)
         if _usable(mn):
             preds.append((k, ">=", mn))
         if _usable(mx):
             preds.append((k, "<=", mx))
-    if not preds:
-        return live
-    return prune_files_auto(spark, snap, preds)
+    return preds or None
 
 
 def _pair_condition(keys: list[str], on_condition: str | None):
@@ -1290,6 +1443,8 @@ def merge_upsert(
     source_keys: list[str] | None = None,
     on_condition: str | None = None,
     not_matched_condition: str | None = None,
+    not_matched_by_source_condition: str | None = None,
+    not_matched_by_source_assigns: dict[str, str] | None = None,
 ) -> dict:
     """MERGE INTO table USING source ON keys — full clause semantics:
 
@@ -1314,10 +1469,18 @@ def merge_upsert(
       INSERT`, SQL over `s.<col>` — unmatched source rows failing it are
       simply dropped);
     - not_matched_by_source: None (keep target rows no source key matches
-      — the default) or 'delete' (drop them: full-sync semantics).
-      Deleting by-source means files with NO matched keys are removed
-      wholesale as a METADATA-ONLY operation (all their rows are
-      by-definition unmatched) — only matched files get rewritten.
+      — the default), 'delete' (drop them: full-sync semantics) or
+      'update' (rewrite them per not_matched_by_source_assigns — `WHEN
+      NOT MATCHED BY SOURCE THEN UPDATE SET col = expr`, expressions over
+      `t.<col>` only: these rows have no source row).
+      not_matched_by_source_condition optionally gates either action
+      (`AND t.ts < X`, again t.-only — the retention-merge idiom).
+      UNCONDITIONAL delete keeps the metadata fast path: files with NO
+      matched key are removed wholesale with zero data I/O. A condition
+      (or update) instead extends the rewrite set by the files the
+      condition can reach (stats-pruned conservative superset,
+      _nmbs_candidate_files), so a time-bounded retention clause rewrites
+      only the old files, not the table.
 
     Touched-file detection is a semi-join of the target scan (tagged with
     its physical file) against the distinct source keys — only files that
@@ -1345,11 +1508,22 @@ def merge_upsert(
     )
     if when_not_matched not in ("insert", None):
         raise ValueError("when_not_matched must be 'insert' or None")
-    if not_matched_by_source not in ("delete", None):
-        raise ValueError("not_matched_by_source must be 'delete' or None")
+    nmbs, nmbs_cond, nmbs_assigns = _normalize_nmbs(
+        not_matched_by_source,
+        not_matched_by_source_condition,
+        not_matched_by_source_assigns,
+    )
+    # unconditional DELETE is the only by-source shape where untouched
+    # files can be dropped wholesale without reading them
+    nmbs_wholesale = nmbs == "delete" and nmbs_cond is None
     source = _apply_source_keys(source, keys, source_keys)
     table_path = normalize_table_path(table_path)
-    snap = DeltaLog(table_path).snapshot()
+    log = DeltaLog(table_path)
+    # past the light-planning threshold: header-only replay now (schema/
+    # identity/CDF planning never touches files); the candidate files
+    # resolve through the light plane once the source is materialized
+    light = log.snapshot_light() if log.light_planning_engaged(None) else None
+    snap = light.to_snapshot_state([]) if light is not None else log.snapshot()
     ident, ident_missing = _merge_identity_plan(
         snap, source, keys, when_not_matched
     )
@@ -1423,15 +1597,38 @@ def merge_upsert(
             if k not in target_cols or k in src_missing:
                 raise ValueError(f"merge key not in table schema: {k}")
 
-        if not clauses and not_matched_by_source is None:
+        planning = "classic"
+        if light is not None:
+            planned = _light_merge_plan(spark, light, src, keys, nmbs, nmbs_cond)
+            if planned is None:
+                lv = light.version
+                light = None
+                snap = log.snapshot()
+                if snap.version != lv:
+                    # the header this merge planned its schema against is
+                    # stale — a concurrent commit landed mid-plan; retry
+                    # against the new snapshot rather than mixing eras
+                    from .writer import ConcurrentWriteError
+
+                    raise ConcurrentWriteError(
+                        f"version of {table_path} moved during MERGE "
+                        "planning; re-run against the new snapshot"
+                    )
+            else:
+                planning = "light"
+                snap = light.to_snapshot_state(planned)
+
+        if not clauses and nmbs is None:
             if when_not_matched != "insert":
                 raise ValueError("MERGE with no action clauses")
-            return _insert_only_merge(
+            res = _insert_only_merge(
                 spark, snap, table_path, src_pair, keys,
                 schema=schema, meta=meta, extra_actions=evolved_md, ident=ident,
                 isolation=isolation, on_condition=on_condition,
                 not_matched_condition=not_matched_condition,
             )
+            res["planning"] = planning
+            return res
 
         pair = _pair_condition(keys, on_condition) if on_condition else None
         src_keys = src.select(*keys).distinct()
@@ -1475,28 +1672,87 @@ def merge_upsert(
                 hit_files.select("__file").distinct(), by_path
             )
         touched = [by_path[n] for n in touched_names if n in by_path]
+        if nmbs is not None and not nmbs_wholesale and live:
+            # conditional delete / update by source: unmatched rows in
+            # files the probe never matched may still change — extend the
+            # rewrite set by the files the condition can reach
+            touched = _union_files(
+                touched, _nmbs_candidate_files(spark, snap, nmbs_cond)
+            )
 
         remove_files = list(touched)
-        if not_matched_by_source == "delete":
+        if nmbs_wholesale:
             # untouched files hold ONLY unmatched rows: remove them wholesale,
-            # no data I/O (the metadata fast path)
-            remove_files = list(live)
+            # no data I/O (the metadata fast path). Under light planning
+            # `live` holds only the key candidates — the full remove list
+            # streams from files_df (second metadata-only pass)
+            remove_files = (
+                list(live)
+                if light is None
+                else _light_all_live_files(spark, light)
+            )
 
         pieces = []
         piece_kinds: list[str] = []  # parallel: 'copied' | 'updated' | 'inserted'
+        nmbs_updated = None  # by-source UPDATE rows (assigned versions)
+        nmbs_deleted = None  # by-source rows leaving the table (CDF)
         if touched:
             target_rows = _null_fill(_read_cow(spark, snap, touched), schema)
-            if not_matched_by_source != "delete":
+            unmatched = (
+                target_rows.join(src_keys, keys, "left_anti")
+                if pair is None
+                else target_rows.alias("t").join(
+                    src_pair.alias("s"), pair, "left_anti"
+                )
+            )
+            if nmbs is None:
                 # unmatched target rows survive the rewrite
-                if pair is None:
-                    pieces.append(target_rows.join(src_keys, keys, "left_anti"))
-                else:
-                    pieces.append(
-                        target_rows.alias("t").join(
-                            src_pair.alias("s"), pair, "left_anti"
-                        )
-                    )
+                pieces.append(unmatched)
                 piece_kinds.append("copied")
+            elif nmbs == "delete":
+                if nmbs_cond is not None:
+                    # conditional delete: unmatched rows FAILING (or
+                    # null-ing) the condition survive; the rest vanish
+                    um = unmatched.alias("t")
+                    ct = F.coalesce(F.expr(nmbs_cond), F.lit(False))
+                    pieces.append(um.filter(~ct))
+                    piece_kinds.append("copied")
+                    nmbs_deleted = um.filter(ct)
+                else:
+                    nmbs_deleted = unmatched
+                # unconditional: every unmatched row of a rewritten file
+                # is dropped by not re-adding it
+            else:  # 'update': assigned versions keep the row's identity
+                um = unmatched.alias("t")
+                ct = (
+                    F.coalesce(F.expr(nmbs_cond), F.lit(False))
+                    if nmbs_cond is not None
+                    else F.lit(True)
+                )
+                pieces.append(um.filter(~ct))
+                piece_kinds.append("copied")
+                carried_nmbs = [
+                    c for c in target_rows.columns
+                    if c not in {f.name for f in schema.fields}
+                ]
+                field_types_nmbs = {f.name: f.dataType for f in schema.fields}
+                for col_ in nmbs_assigns:
+                    if col_ not in field_types_nmbs:
+                        raise ValueError(f"SET on unknown column: {col_}")
+                nmbs_updated = um.filter(ct)
+                assigned_nmbs = nmbs_updated.select(
+                    *[
+                        F.expr(nmbs_assigns[f.name])
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        if f.name in nmbs_assigns
+                        else F.col(f"t.{f.name}")
+                        for f in schema.fields
+                    ],
+                    *[F.col(f"t.{c}").alias(c) for c in carried_nmbs],
+                )
+                pieces.append(assigned_nmbs)
+                piece_kinds.append("updated")
             matched_keys = (
                 target_rows.select(*keys).join(src_keys, keys, "left_semi").distinct()
             )
@@ -1552,9 +1808,9 @@ def merge_upsert(
         cdf = _cdf_on(snap)
         cdc_frames: list[tuple[DataFrame, str]] = []
         if touched and not clauses:
-            # no matched-action clause (reachable only under NOT MATCHED BY
-            # SOURCE DELETE): matched target rows keep the target version;
-            # unmatched rows in touched files are the ones being deleted
+            # no matched-action clause (reachable only under a NOT MATCHED
+            # BY SOURCE action): matched target rows keep the target
+            # version; only unmatched rows delete/update
             pieces.append(
                 target_rows.join(src_keys, keys, "left_semi")
                 if pair is None
@@ -1696,17 +1952,17 @@ def merge_upsert(
         # else: the single unconditional DELETE clause — matched rows simply
         # vanish, no join needed (the anti-join survivor piece above covers
         # unmatched target rows)
-        if cdf and touched and not_matched_by_source == "delete":
-            # unmatched rows of TOUCHED files are dropped by not re-adding them
+        if cdf and touched and nmbs_deleted is not None:
+            # by-source-deleted rows of REWRITTEN files vanish by not
+            # being re-added — record them as deletes
+            cdc_frames.append((nmbs_deleted, "delete"))
+        if cdf and touched and nmbs_updated is not None:
+            sel_cols = [f.name for f in schema.fields]
             cdc_frames.append(
-                (
-                    target_rows.join(src_keys, keys, "left_anti")
-                    if pair is None
-                    else target_rows.alias("t").join(
-                        src_pair.alias("s"), pair, "left_anti"
-                    ),
-                    "delete",
-                )
+                (nmbs_updated.select(*sel_cols), "update_preimage")
+            )
+            cdc_frames.append(
+                (assigned_nmbs.select(*sel_cols), "update_postimage")
             )
         ident_params: dict = {}
         if when_not_matched == "insert":
@@ -1781,12 +2037,12 @@ def merge_upsert(
         )
         cdc = None
         if cdf:
-            if not_matched_by_source == "delete":
+            if nmbs_wholesale:
                 # untouched files removed wholesale: a commit WITH cdc actions
                 # must describe ALL its changes through them, so their rows
-                # join the change set too
+                # join the change set too (remove_files == all live here)
                 touched_set = {f.path for f in touched}
-                untouched = [f for f in live if f.path not in touched_set]
+                untouched = [f for f in remove_files if f.path not in touched_set]
                 if untouched:
                     cdc_frames.append(
                         (_read_cow(spark, snap, untouched), "delete")
@@ -1841,6 +2097,7 @@ def merge_upsert(
             "files_removed": len(remove_files),
             "files_added": len(adds),
             "source_rows": n_source,
+            "planning": planning,
         }
     finally:
         # free the materialized source blocks (localCheckpoint has no
@@ -1864,6 +2121,8 @@ def merge_upsert_mor(
     source_keys: list[str] | None = None,
     on_condition: str | None = None,
     not_matched_condition: str | None = None,
+    not_matched_by_source_condition: str | None = None,
+    not_matched_by_source_assigns: dict[str, str] | None = None,
 ) -> dict:
     """Merge-on-read MERGE: same clause semantics as merge_upsert
     (including ordered multi-clause `matched_clauses`), but matched target
@@ -1881,8 +2140,12 @@ def merge_upsert_mor(
     )
     if when_not_matched not in ("insert", None):
         raise ValueError("when_not_matched must be 'insert' or None")
-    if not_matched_by_source not in ("delete", None):
-        raise ValueError("not_matched_by_source must be 'delete' or None")
+    nmbs, nmbs_cond, nmbs_assigns = _normalize_nmbs(
+        not_matched_by_source,
+        not_matched_by_source_condition,
+        not_matched_by_source_assigns,
+    )
+    nmbs_wholesale = nmbs == "delete" and nmbs_cond is None
     if on_condition is not None:
         raise ValueError(
             "merge-on-read MERGE does not support residual ON conjuncts "
@@ -1891,7 +2154,11 @@ def merge_upsert_mor(
         )
     source = _apply_source_keys(source, keys, source_keys)
     table_path = normalize_table_path(table_path)
-    snap = DeltaLog(table_path).snapshot()
+    log = DeltaLog(table_path)
+    # light planning, exactly as in merge_upsert: header-only replay for
+    # schema planning, candidates through the light plane post-materialize
+    light = log.snapshot_light() if log.light_planning_engaged(None) else None
+    snap = light.to_snapshot_state([]) if light is not None else log.snapshot()
     ident, ident_missing = _merge_identity_plan(
         snap, source, keys, when_not_matched
     )
@@ -1928,20 +2195,40 @@ def merge_upsert_mor(
             if k not in target_cols or k in src_missing:
                 raise ValueError(f"merge key not in table schema: {k}")
 
+        planning = "classic"
+        if light is not None:
+            planned = _light_merge_plan(spark, light, src, keys, nmbs, nmbs_cond)
+            if planned is None:
+                lv = light.version
+                light = None
+                snap = log.snapshot()
+                if snap.version != lv:
+                    from .writer import ConcurrentWriteError
+
+                    raise ConcurrentWriteError(
+                        f"version of {table_path} moved during MERGE "
+                        "planning; re-run against the new snapshot"
+                    )
+            else:
+                planning = "light"
+                snap = light.to_snapshot_state(planned)
+
         if not clauses:
-            if not_matched_by_source == "delete":
+            if nmbs is not None:
                 raise ValueError(
-                    "merge-on-read MERGE with only NOT MATCHED BY SOURCE DELETE "
-                    "is unsupported; use merge_upsert (copy-on-write)"
+                    "merge-on-read MERGE with only a NOT MATCHED BY SOURCE "
+                    "clause is unsupported; use merge_upsert (copy-on-write)"
                 )
             if when_not_matched != "insert":
                 raise ValueError("MERGE with no action clauses")
-            return _insert_only_merge(
+            res = _insert_only_merge(
                 spark, snap, table_path, src, keys,
                 schema=schema, meta=meta, extra_actions=evolved_md, ident=ident,
                 isolation=isolation,
                 not_matched_condition=not_matched_condition,
             )
+            res["planning"] = planning
+            return res
 
         src_keys = src.select(*keys).distinct()
         if broadcast_keys:
@@ -1961,6 +2248,13 @@ def merge_upsert_mor(
                 by_path,
             )
         touched = [by_path[n] for n in touched_names if n in by_path]
+        if nmbs is not None and not nmbs_wholesale and live:
+            # conditional delete / update by source: unmatched rows in
+            # files the probe never matched may also change — extend the
+            # DV'd/read set by the files the condition can reach
+            touched = _union_files(
+                touched, _nmbs_candidate_files(spark, snap, nmbs_cond)
+            )
 
         needs_per_row = any(a == "update" for _c, a in clauses) or any(
             c is not None for c, _a in clauses
@@ -2007,9 +2301,19 @@ def merge_upsert_mor(
             applied = joined.withColumn("__clause", _matched_clause_index(clauses))
             clause_rows = applied.filter(F.col("__clause") != -1)
             dv_rows = clause_rows.select("_file", "_row_idx")
-            if not_matched_by_source == "delete":
+            nmbs_hit = None  # by-source rows a clause consumes (old versions)
+            if nmbs is not None:
+                unmatched_mor = tagged.join(src_keys, keys, "left_anti").alias(
+                    "t"
+                )
+                ct_mor = (
+                    F.coalesce(F.expr(nmbs_cond), F.lit(False))
+                    if nmbs_cond is not None
+                    else F.lit(True)
+                )
+                nmbs_hit = unmatched_mor.filter(ct_mor)
                 dv_rows = dv_rows.unionByName(
-                    tagged.join(src_keys, keys, "left_anti").select("_file", "_row_idx")
+                    nmbs_hit.select("_file", "_row_idx")
                 )
             staged = _stage_dvs(spark, table_path, dv_rows, touched)
             update_idx = [
@@ -2086,10 +2390,8 @@ def merge_upsert_mor(
                             "update_postimage",
                         )
                     )
-                if not_matched_by_source == "delete":
-                    cdc_frames.append(
-                        (tagged.join(src_keys, keys, "left_anti"), "delete")
-                    )
+                if nmbs == "delete" and nmbs_hit is not None:
+                    cdc_frames.append((nmbs_hit, "delete"))
             if update_idx:
                 src_version = [F.col(k) for k in keys] + [
                     (
@@ -2132,6 +2434,46 @@ def merge_upsert_mor(
                     .select(*_assigned_version_mor(clause_assigns[i], carried_mor))
                     .withColumn("__mop", F.lit(1))
                 )
+            if nmbs == "update" and nmbs_hit is not None:
+                # by-source UPDATE: the DV above consumed the old row
+                # versions; append the assigned versions (same identity)
+                field_types_nmbs = {f.name: f.dataType for f in schema.fields}
+                for col_ in nmbs_assigns:
+                    if col_ not in field_types_nmbs:
+                        raise ValueError(f"SET on unknown column: {col_}")
+                carried_nmbs = []
+                if rt_mor:
+                    from .writer import (
+                        MATERIALIZED_RCV_COL,
+                        MATERIALIZED_ROW_ID_COL,
+                    )
+
+                    carried_nmbs = [
+                        F.col(f"t.{c}").alias(c)
+                        for c in (MATERIALIZED_ROW_ID_COL, MATERIALIZED_RCV_COL)
+                    ]
+                assigned_nmbs_mor = nmbs_hit.select(
+                    *[
+                        F.expr(nmbs_assigns[f.name])
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        if f.name in nmbs_assigns
+                        else F.col(f"t.{f.name}").alias(f.name)
+                        for f in schema.fields
+                    ],
+                    *carried_nmbs,
+                )
+                pieces_new.append(
+                    assigned_nmbs_mor.withColumn("__mop", F.lit(1))
+                )
+                if cdf:
+                    sel = [f.name for f in schema.fields]
+                    cdc_frames.append(
+                        (nmbs_hit.select(*sel), "update_preimage")
+                    )
+                    cdc_frames.append(
+                        (assigned_nmbs_mor.select(*sel), "update_postimage")
+                    )
             matched_keys = (
                 tagged.select(*keys).join(src_keys, keys, "left_semi").distinct()
             )
@@ -2206,17 +2548,27 @@ def merge_upsert_mor(
             dv_adds = pieces.adds
             extra = pieces.protocol_extra
         untouched_live: int | None = 0
-        if not_matched_by_source == "delete":
-            # untouched files hold ONLY unmatched rows: metadata-only removal
+        if nmbs_wholesale:
+            # untouched files hold ONLY unmatched rows: metadata-only
+            # removal. Under light planning `live` holds only the key
+            # candidates — stream the full list from files_df instead
+            all_live = (
+                live if light is None else _light_all_live_files(spark, light)
+            )
             touched_set = {f.path for f in touched}
-            untouched = [f for f in live if f.path not in touched_set]
+            untouched = [f for f in all_live if f.path not in touched_set]
             removes = removes + untouched
             untouched_live = _num_records(untouched)
             if cdf and untouched:
                 cdc_frames.append((_read_cow(spark, snap, untouched), "delete"))
 
         if not removes and not dv_adds and not new_adds:
-            return {"files_removed": 0, "files_added": 0, "source_rows": None}
+            return {
+                "files_removed": 0,
+                "files_added": 0,
+                "source_rows": None,
+                "planning": planning,
+            }
         if cdf and cdc_frames:
             extra = list(extra or []) + _stage_cdc(
                 spark, snap, table_path, cdc_frames, schema=schema
@@ -2278,6 +2630,7 @@ def merge_upsert_mor(
             "files_added": len(dv_adds) + len(new_adds),
             "source_rows": n_source,
             "dv_files_written": pieces.dv_files_written if pieces else 0,
+            "planning": planning,
         }
     finally:
         # free the materialized frames (localCheckpoint has no public

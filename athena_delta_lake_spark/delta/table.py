@@ -371,6 +371,8 @@ class DeltaTable:
         source_keys: list[str] | None = None,
         on_condition: str | None = None,
         not_matched_condition: str | None = None,
+        not_matched_by_source_condition: str | None = None,
+        not_matched_by_source_assigns: dict[str, str] | None = None,
     ) -> dict:
         """mode='cow' rewrites touched files; mode='mor' deletion-vectors
         matched target rows and appends only new row versions.
@@ -379,7 +381,10 @@ class DeltaTable:
         schema_evolution: MERGE WITH SCHEMA EVOLUTION — source-only
         columns widen the target schema in the same commit.
         source_keys: differently-named equi-keys (ON t.id = s.src_id).
-        on_condition: residual ON conjuncts over t./s. (cow mode only)."""
+        on_condition: residual ON conjuncts over t./s. (cow mode only).
+        not_matched_by_source: 'delete' | 'update' (with _assigns) | None;
+        not_matched_by_source_condition gates it (SQL over t.<col> only —
+        the retention idiom `AND t.ts < X`)."""
         from .dml import merge_upsert, merge_upsert_mor
 
         fn = (
@@ -403,6 +408,8 @@ class DeltaTable:
             source_keys=source_keys,
             on_condition=on_condition,
             not_matched_condition=not_matched_condition,
+            not_matched_by_source_condition=not_matched_by_source_condition,
+            not_matched_by_source_assigns=not_matched_by_source_assigns,
         )
 
     def compact(

@@ -841,7 +841,7 @@ def commit_rewrite(
             }
         )
     version = _next_version(table_path)
-    snap_now = DeltaLog(table_path).snapshot()
+    snap_now = _header_snapshot(table_path)
     _check_write_protocol(snap_now.protocol, table_path)
     table_config = snap_now.metadata.get("configuration")
     row_tracking = _row_tracking_enabled(table_config)
@@ -1239,7 +1239,18 @@ def write_delta(
 
     prior = None
     try:
-        prior = DeltaLog(table_path).snapshot()
+        log0 = DeltaLog(table_path)
+        if (
+            mode == "append"
+            and replace_where is None
+            and log0.light_planning_engaged(None)
+        ):
+            # plain appends never consume prior.files (only overwrite /
+            # replaceWhere build remove lists): header-only light replay,
+            # so tailing a 10^7-file table costs O(header), not 8.5 GiB
+            prior = log0.snapshot_light().to_snapshot_state([])
+        else:
+            prior = log0.snapshot()
     except FileNotFoundError:
         pass
     except ValueError:
@@ -1904,6 +1915,21 @@ def _protocol_upgrade_action(
             "writerFeatures": sorted(new_w),
         }
     }
+
+
+def _header_snapshot(table_path: str):
+    """Snapshot for HEADER-ONLY consumers — protocol, metadata, schema,
+    txns, domain metadata; NEVER .files (returned empty past the
+    threshold). Routed through the driver-light replay when light
+    planning is engaged, so the COMMIT path against a 10^7-file table
+    does not pay the classic replay (measured 186 s / 8.5 GiB; round-9
+    finding: every light-planned DML was silently re-paying it inside
+    commit_rewrite — the post-hoc RSS sample missed the freed spike and
+    only the wall clock betrayed it). Classic below the threshold."""
+    log = DeltaLog(table_path)
+    if log.light_planning_engaged(None):
+        return log.snapshot_light().to_snapshot_state([])
+    return log.snapshot()
 
 
 def file_fingerprint(f) -> tuple:

@@ -1992,3 +1992,178 @@ def g20(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             os.environ["ADLS_LIGHT_PLANNING_FILES"] = prev
         DeltaLog.clear_cache()
+
+
+# ------- g21: MERGE candidate selection through the driver-light plane
+
+
+def _ensure_light_merged_table(spark: SparkSession, sf_dir: str) -> str:
+    """orders through the light-planned MERGE lifecycle (round-9 ask #1):
+    write (v0) -> checkpoint -> tail append (v1, the overlay) -> keyed
+    MERGE (v2) whose candidate selection runs through LightSnapshot.
+    prune_df on the SOURCE's key bounds with ADLS_LIGHT_PLANNING_FILES
+    forced to 1 — the same auto-routing a 10^7-file table takes at the
+    default threshold (driver RSS measured by tools/meta_scale.py
+    --merge)."""
+    from ..delta.log import DeltaLog
+
+    path = os.path.join(_fixture_root(sf_dir), "lake", "ord_light_merge")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderdate"
+        )
+        write_delta(o.repartitionByRange(8, "o_orderkey"), path)  # v0
+        write_checkpoint(path)
+        write_delta(  # v1: post-checkpoint overlay commit
+            o.where("o_orderkey % 7 = 0").selectExpr(
+                "o_orderkey + 10000000 AS o_orderkey",
+                "o_totalprice",
+                "o_orderdate",
+            ),
+            path,
+        )
+        o.createOrReplaceTempView("orders_src_g21")
+        src = spark.sql(
+            "SELECT o_orderkey, CAST(-1.0 AS DOUBLE) AS o_totalprice, "
+            "o_orderdate FROM orders_src_g21 WHERE o_orderkey % 97 = 0 "
+            "UNION ALL "
+            "SELECT o_orderkey + 20000000, CAST(-2.0 AS DOUBLE), "
+            "o_orderdate FROM orders_src_g21 WHERE o_orderkey % 101 = 0"
+        )
+        prev = os.environ.get("ADLS_LIGHT_PLANNING_FILES")
+        os.environ["ADLS_LIGHT_PLANNING_FILES"] = "1"
+        try:
+            t = DeltaTable(spark, path)
+            assert t.log.light_planning_engaged()
+            res = t.merge(src, keys=["o_orderkey"])  # v2: light-planned
+            assert res["planning"] == "light", res
+        finally:
+            if prev is None:
+                os.environ.pop("ADLS_LIGHT_PLANNING_FILES", None)
+            else:
+                os.environ["ADLS_LIGHT_PLANNING_FILES"] = prev
+            DeltaLog.clear_cache()
+    return path
+
+
+@register(
+    "g21_light_planned_merge",
+    "delta-core",
+    """
+    WITH live AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice, o_orderdate
+      FROM orders WHERE o_orderkey % 7 = 0
+    ), merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 AND o_orderkey < 10000000
+                  THEN -1.0 ELSE o_totalprice END AS p,
+             o_orderdate
+      FROM live
+      UNION ALL
+      SELECT o_orderkey + 20000000, -2.0, o_orderdate
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           round(sum(p), 2) AS price_sum
+    FROM merged GROUP BY 1
+    """,
+    "keyed MERGE (update + insert) auto-routed through the driver-light "
+    "snapshot: source key bounds prune the checkpoint parquet "
+    "executor-side, only intersecting candidates materialize, results "
+    "hash-match the oracle's reconstruction",
+)
+def g21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_light_merged_table(spark, sf_dir)
+    t = DeltaTable(spark, path)
+    return (
+        t.to_df()
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+        )
+    )
+
+
+# ------- g22: WHEN NOT MATCHED BY SOURCE with conditions + UPDATE
+
+
+def _ensure_nmbs_pond(spark: SparkSession, sf_dir: str) -> DeltaPond:
+    """orders through two SQL MERGEs exercising the round-9 NOT MATCHED BY
+    SOURCE surface: a conditional retention DELETE (`AND t.o_orderdate <
+    X THEN DELETE` — the shape a delta-spark user ports first), then a
+    conditional by-source UPDATE SET. Built once per sf."""
+    root = os.path.join(_fixture_root(sf_dir), "pond_nmbs")
+    pond = DeltaPond(spark, root)
+    path = os.path.join(root, "lake", "ord_nmbs")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        load(spark, sf_dir, "orders").createOrReplaceTempView("orders_src9")
+        pond.sql("CREATE SCHEMA IF NOT EXISTS lake")
+        pond.sql(
+            "CREATE TABLE lake.ord_nmbs AS SELECT o_orderkey, "
+            "o_totalprice, o_orderdate FROM orders_src9"
+        )
+        pond.sql(
+            "MERGE INTO lake.ord_nmbs AS t USING "
+            "(SELECT o_orderkey FROM orders_src9 WHERE o_orderkey % 13 = 0) "
+            "AS s ON t.o_orderkey = s.o_orderkey "
+            "WHEN MATCHED THEN UPDATE SET o_totalprice = -1.0 "
+            "WHEN NOT MATCHED BY SOURCE "
+            "AND t.o_orderdate < DATE '1994-01-01' THEN DELETE"
+        )
+        pond.sql(
+            "MERGE INTO lake.ord_nmbs AS t USING "
+            "(SELECT o_orderkey FROM orders_src9 WHERE o_orderkey % 7 = 0) "
+            "AS s ON t.o_orderkey = s.o_orderkey "
+            "WHEN MATCHED THEN UPDATE SET "
+            "o_totalprice = t.o_totalprice + 1.0 "
+            "WHEN NOT MATCHED BY SOURCE "
+            "AND t.o_orderdate >= DATE '1997-01-01' "
+            "THEN UPDATE SET o_totalprice = 0.0"
+        )
+    return pond
+
+
+@register(
+    "g22_merge_not_matched_by_source",
+    "delta-core",
+    """
+    WITH s1 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN -1.0
+                  ELSE o_totalprice END AS p,
+             o_orderdate
+      FROM orders
+      WHERE o_orderkey % 13 = 0 OR o_orderdate >= DATE '1994-01-01'
+    ), s2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN p + 1.0
+                  WHEN o_orderdate >= DATE '1997-01-01' THEN 0.0
+                  ELSE p END AS p,
+             o_orderdate
+      FROM s1
+    )
+    SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           round(sum(p), 2) AS price_sum
+    FROM s2 GROUP BY 1
+    """,
+    "WHEN NOT MATCHED BY SOURCE with conditions, both actions, through "
+    "the SQL route: conditional retention DELETE (matched rows kept, "
+    "old unmatched rows dropped row-wise) then conditional by-source "
+    "UPDATE SET; oracle reconstructs both merges arithmetically",
+)
+def g22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pond = _ensure_nmbs_pond(spark, sf_dir)
+    return pond.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               round(sum(o_totalprice), 2) AS price_sum
+        FROM lake.ord_nmbs GROUP BY 1
+        """
+    )

@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic, oracle-comparable timestamps.
         .config("spark.sql.session.timeZone", "UTC")
+        # Write parquet timestamps as INT64 micros (the modern
+        # delta-spark/iceberg interop form), NOT the legacy INT96 default:
+        # INT96 footers expose no min/max to pyarrow, so the writer could
+        # never record timestamp stats and time-range queries on event
+        # tables lost all data skipping (merge key-range pruning included).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Parquet scan efficiency: pushdown on, sane split size.
         .config("spark.sql.parquet.filterPushdown", "true")
         # Filter pushdown into Python data sources (the deltapond format

@@ -979,12 +979,45 @@ def _route_merge(pond, p, text: str) -> DataFrame:
         )
 
     by_source = None
-    for a in _seq(p.notMatchedBySourceActions()):
-        if _cls(a) != "DeleteAction" or _opt(a.condition()) is not None:
+    by_source_cond = None
+    by_source_assigns = None
+    nmbs_actions = _seq(p.notMatchedBySourceActions())
+    if len(nmbs_actions) > 1:
+        raise ValueError(
+            "at most one WHEN NOT MATCHED BY SOURCE clause is supported"
+        )
+    for a in nmbs_actions:
+        kind = _cls(a)
+        by_source_cond = _cond_sql(a.condition())
+        if kind == "DeleteAction":
+            by_source = "delete"
+        elif kind == "UpdateAction":
+            by_source = "update"
+            by_source_assigns = {}
+            for asg in _seq(a.assignments()):
+                key_parts = (
+                    _seq(asg.key().nameParts())
+                    if _cls(asg.key()) == "UnresolvedAttribute"
+                    else [asg.key().sql().strip("`")]
+                )
+                by_source_assigns[key_parts[-1]] = _norm(asg.value().sql())
+        else:
+            # UpdateStarAction (SET *) is meaningless here — these target
+            # rows have NO source row to copy from (Delta rejects it too)
             raise ValueError(
-                "unsupported WHEN NOT MATCHED BY SOURCE action (DELETE only)"
+                f"unsupported WHEN NOT MATCHED BY SOURCE action {kind} "
+                "(DELETE and UPDATE SET col = expr are supported)"
             )
-        by_source = "delete"
+        for sqltxt in [by_source_cond or ""] + list(
+            (by_source_assigns or {}).values()
+        ):
+            # quote-masked scan: a string LITERAL containing "s." is fine
+            if _sub_outside_quotes(sqltxt, r"\bs\s*\.\s*(?=\w)", "\0") != sqltxt:
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE expressions cannot "
+                    "reference the source (no source row matches): "
+                    f"{sqltxt}"
+                )
 
     merge_fn = (
         dml.merge_upsert_mor
@@ -1002,9 +1035,11 @@ def _route_merge(pond, p, text: str) -> DataFrame:
         on_condition=on_condition,
         not_matched_condition=not_matched_condition,
         matched_clauses=clauses,  # [] = no matched action (insert-only
-        # fast path / by-source-delete keep-matched semantics in dml)
+        # fast path / by-source keep-matched semantics in dml)
         when_not_matched=when_not_matched,
         not_matched_by_source=by_source,
+        not_matched_by_source_condition=by_source_cond,
+        not_matched_by_source_assigns=by_source_assigns,
         # MERGE WITH SCHEMA EVOLUTION (Spark 4 grammar): source-only
         # columns widen the target schema in the same commit
         schema_evolution=bool(p.withSchemaEvolution()),

@@ -114,6 +114,7 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
                 "clone", "replace_where", "widen", "restore",
                 "deep_of_shallow", "merge_evolve", "optimize_where",
                 "reorg", "truncate", "merge_on", "merge_assign",
+                "merge_by_source",
             ]
         )
         t = DeltaTable(spark, path)
@@ -258,6 +259,55 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
                         ignore_index=True,
                     )
             next_id = max(next_id, lo + 12)
+        elif op == "merge_by_source":
+            # round-9 WHEN NOT MATCHED BY SOURCE: conditional delete or
+            # update of unmatched target rows (retention-merge shape),
+            # over CDF/row-tracking/mapping state like every other op
+            lo = rng.randint(0, max(next_id - 8, 1))
+            src_rows = [(i, i % 5, -6.0) for i in range(lo, lo + 10)]
+            schema_s = f"id long, k long, {vname} {vtype}"
+            if has_extra:
+                schema_s += ", extra double"
+                src_rows_w = [(*r, None) for r in src_rows]
+            else:
+                src_rows_w = src_rows
+            cut = rng.randint(0, next_id)
+            action = rng.choice(["delete", "update"])
+            kwargs = dict(
+                keys=["id"],
+                not_matched_by_source=action,
+                not_matched_by_source_condition=f"t.id >= {cut}",
+                mode=rng.choice(["cow", "mor"]),
+            )
+            if action == "update":
+                kwargs["not_matched_by_source_assigns"] = {
+                    vname: f"t.{vname} - 10"
+                }
+            t.merge(spark.createDataFrame(src_rows_w, schema_s), **kwargs)
+            present = set(model.id)
+            src_ids = {r[0] for r in src_rows}
+            model = model.copy()
+            # matched rows: source version wins (when_matched='update')
+            for i, k, v in src_rows:
+                if i in present:
+                    model.loc[model.id == i, ["k", "v"]] = [k, v]
+            # unmatched rows where the condition holds: by-source action
+            unm = ~model.id.isin(sorted(src_ids)) & (model.id >= cut)
+            if action == "delete":
+                model = model[~unm]
+            else:
+                model.loc[unm, "v"] -= 10
+            # unmatched source ids insert (when_not_matched='insert')
+            for i, k, v in src_rows:
+                if i not in present:
+                    model = pd.concat(
+                        [
+                            model,
+                            pd.DataFrame([(i, k, v)], columns=["id", "k", "v"]),
+                        ],
+                        ignore_index=True,
+                    )
+            next_id = max(next_id, lo + 10)
         elif op == "optimize":
             t.compact(target_file_size=1 << 30)
         elif op == "optimize_where":

@@ -19,6 +19,15 @@ import pytest
 from athena_delta_lake_spark import DeltaTable, write_delta
 
 
+@pytest.fixture
+def pond(spark, tmp_path):
+    from athena_delta_lake_spark.catalog import DeltaPond
+
+    p = DeltaPond(spark, str(tmp_path / "pond"))
+    p.sql("CREATE SCHEMA lake")
+    return p
+
+
 def test_insert_only_merge_prunes_by_source_key_range(spark, tmp_path):
     """The insert-only fast path's target key scan reads only files whose
     stats intersect the source's key min/max — and the result is
@@ -160,6 +169,454 @@ def test_nonfinite_foreign_stats_keep_the_file(spark, tmp_path):
     assert "part-00002.parquet" in {
         f.path for f in prune_files(snap, [("v", "=", 0.5)])
     }
+
+
+def test_merge_key_range_pruning_timestamp_keys(spark, tmp_path):
+    """Timestamp merge keys participate in key-range pruning (round-9 ask
+    #4): the writer records aware-UTC isoformat stats (TIMESTAMP_MICROS
+    parquet, session.py), the source's collected naive bounds are
+    rendered into the same absolute domain, and files outside the
+    source's time range survive the merge BY IDENTITY (never probed,
+    never rewritten)."""
+    import datetime
+
+    from athena_delta_lake_spark.delta.dml import _merge_key_range_candidates
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    path = str(tmp_path / "tskr")
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.range(1000).selectExpr(
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id*3600) AS ts",
+        "id * 1.0 AS v",
+    ).repartitionByRange(10, "ts")
+    write_delta(df, path)
+    snap = DeltaLog(path).snapshot()
+    assert len(snap.files) == 10
+    # every file carries aware-UTC isoformat ts stats
+    assert all(
+        "+00:00" in (f.stats or {}).get("minValues", {}).get("ts", "")
+        for f in snap.files
+    )
+    src = spark.createDataFrame(
+        [
+            (base + datetime.timedelta(hours=500), -1.0),
+            (base + datetime.timedelta(hours=501), -2.0),
+        ],
+        "ts timestamp, v double",
+    )
+    cands = _merge_key_range_candidates(spark, snap, src, ["ts"])
+    assert 1 <= len(cands) < 10, len(cands)  # pruned to the narrow range
+
+    # end-to-end identity: one file rewritten, nine untouched
+    t = DeltaTable(spark, path)
+    before = {f.path for f in snap.files}
+    t.merge(
+        spark.createDataFrame(
+            [
+                (base + datetime.timedelta(hours=500), -1.0),
+                (base + datetime.timedelta(days=400), -9.0),  # insert
+            ],
+            "ts timestamp, v double",
+        ),
+        keys=["ts"],
+    )
+    after = {f.path for f in t.snapshot().files}
+    assert len(before & after) == 9, len(before & after)
+    rows = {r["ts"]: r["v"] for r in t.to_df().collect()}
+    assert len(rows) == 1001
+    assert rows[base + datetime.timedelta(hours=500)] == -1.0
+    assert rows[base + datetime.timedelta(days=400)] == -9.0
+
+    # all-NULL timestamp bounds bail to the full list (conservative)
+    nsrc = spark.createDataFrame(
+        [(None, 0.0)], "ts timestamp, v double"
+    )
+    assert len(_merge_key_range_candidates(spark, snap, nsrc, ["ts"])) == 10
+
+
+def test_timestamp_scan_pruning_stats_recorded(spark, tmp_path):
+    """TIMESTAMP_MICROS output (session.py) gives ordinary time-range
+    scans data skipping too: the distributed prune evaluates aware-UTC
+    stats strings against timestamp predicates exactly."""
+    import datetime
+
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.stats import prune_files_distributed
+
+    path = str(tmp_path / "tsscan")
+    df = spark.range(240).selectExpr(
+        "timestamp'2024-03-01' + make_interval(0,0,0,0,id,0,0) AS ts", "id"
+    ).repartitionByRange(6, "ts")
+    write_delta(df, path)
+    snap = DeltaLog(path).snapshot()
+    lo = datetime.datetime(
+        2024, 3, 8, tzinfo=datetime.timezone.utc
+    )
+    kept = prune_files_distributed(spark, snap, [("ts", ">=", lo)])
+    assert 1 <= len(kept) < len(snap.files)
+    # identity: pruned scan == full-scan filter
+    t = DeltaTable(spark, path)
+    want = t.to_df().filter("ts >= timestamp'2024-03-08'").count()
+    got = t.to_df(predicates=[("ts", ">=", lo)]).filter(
+        "ts >= timestamp'2024-03-08'"
+    ).count()
+    assert got == want == 240 - 7 * 24
+
+
+# ----------------- WHEN NOT MATCHED BY SOURCE: UPDATE + conditions -------
+
+
+def _range_table(spark, path: str, n=1000, files=10):
+    df = spark.range(n).selectExpr("id", "id * 1.0 AS v").repartitionByRange(
+        files, "id"
+    )
+    write_delta(df, path)
+    return DeltaTable(spark, path)
+
+
+def test_nmbs_conditional_delete_cow(spark, tmp_path):
+    """`WHEN NOT MATCHED BY SOURCE AND t.id >= 950 THEN DELETE` (the
+    retention idiom): unmatched rows pass/fail the condition row-wise,
+    and files the condition provably cannot reach survive BY IDENTITY
+    (no wholesale drop, no blanket rewrite)."""
+    path = str(tmp_path / "nmbs_cd")
+    t = _range_table(spark, path)
+    before = {f.path for f in t.snapshot().files}
+    src = spark.createDataFrame([(5, -1.0), (960, -2.0)], "id long, v double")
+    m = t.merge(
+        src,
+        keys=["id"],
+        not_matched_by_source="delete",
+        not_matched_by_source_condition="t.id >= 950",
+    )
+    rows = {r["id"]: r["v"] for r in t.to_df().collect()}
+    # matched rows updated; unmatched >= 950 deleted; the rest kept
+    assert rows[5] == -1.0 and rows[960] == -2.0
+    assert len(rows) == 951  # 0..949 (950 rows) plus matched id=960
+    assert 951 not in rows and 949 in rows
+    after = {f.path for f in t.snapshot().files}
+    # only the probe-touched file (id=5) and the condition-reachable
+    # file (ids 900..999) were rewritten; eight files survive
+    assert len(before & after) == 8, len(before & after)
+    assert m["files_removed"] == 2
+
+
+def test_nmbs_conditional_update_cow(spark, tmp_path):
+    """`WHEN NOT MATCHED BY SOURCE AND t.id >= 990 THEN UPDATE SET
+    v = -t.v` rewrites only condition-reachable files; unmatched rows
+    failing the condition keep their version."""
+    path = str(tmp_path / "nmbs_cu")
+    t = _range_table(spark, path)
+    before = {f.path for f in t.snapshot().files}
+    src = spark.createDataFrame([(5, -1.0), (991, 0.5)], "id long, v double")
+    t.merge(
+        src,
+        keys=["id"],
+        not_matched_by_source="update",
+        not_matched_by_source_condition="t.id >= 990",
+        not_matched_by_source_assigns={"v": "-t.v"},
+    )
+    rows = {r["id"]: r["v"] for r in t.to_df().collect()}
+    assert len(rows) == 1000
+    assert rows[5] == -1.0 and rows[991] == 0.5  # matched: source wins
+    assert rows[990] == -990.0 and rows[999] == -999.0  # by-source updated
+    assert rows[989] == 989.0 and rows[0] == 0.0  # condition false: kept
+    after = {f.path for f in t.snapshot().files}
+    assert len(before & after) == 8, len(before & after)
+
+
+def test_nmbs_unconditional_update_cow(spark, tmp_path):
+    """Unconditional BY SOURCE UPDATE rewrites every live file (inherent:
+    every unmatched row changes) — and every unmatched row is assigned."""
+    path = str(tmp_path / "nmbs_uu")
+    t = _range_table(spark, path, n=100, files=4)
+    src = spark.createDataFrame([(7, -1.0)], "id long, v double")
+    t.merge(
+        src,
+        keys=["id"],
+        not_matched_by_source="update",
+        not_matched_by_source_assigns={"v": "t.v + 1000"},
+    )
+    rows = {r["id"]: r["v"] for r in t.to_df().collect()}
+    assert rows[7] == -1.0
+    assert all(rows[i] == i + 1000.0 for i in range(100) if i != 7)
+
+
+def test_nmbs_conditional_delete_and_update_mor(spark, tmp_path):
+    """The same clause shapes in merge-on-read: old row versions are
+    deletion-vectored in place (no file rewrite) and only assigned
+    versions append."""
+    path = str(tmp_path / "nmbs_mor")
+    t = _range_table(spark, path, n=100, files=4)
+    before = {f.path for f in t.snapshot().files}
+    src = spark.createDataFrame([(7, -1.0)], "id long, v double")
+    t.merge(
+        src,
+        keys=["id"],
+        mode="mor",
+        not_matched_by_source="delete",
+        not_matched_by_source_condition="t.id >= 95",
+    )
+    rows = {r["id"]: r["v"] for r in t.to_df().collect()}
+    assert len(rows) == 95 and rows[7] == -1.0 and 95 not in rows
+    after = {f.path for f in t.snapshot().files}
+    assert before <= after  # DV mode: no data file disappears
+
+    t.merge(
+        spark.createDataFrame([(8, -2.0)], "id long, v double"),
+        keys=["id"],
+        mode="mor",
+        not_matched_by_source="update",
+        not_matched_by_source_condition="t.id < 3",
+        not_matched_by_source_assigns={"v": "t.v - 0.5"},
+    )
+    rows = {r["id"]: r["v"] for r in t.to_df().collect()}
+    assert rows[8] == -2.0
+    assert rows[0] == -0.5 and rows[2] == 1.5  # v = id, assigned v - 0.5
+    assert rows[3] == 3.0  # condition false: kept
+    assert len(rows) == 95
+
+
+def test_nmbs_sql_route(pond, spark):
+    """SQL surface: `WHEN NOT MATCHED BY SOURCE AND <cond> THEN DELETE`
+    and `... THEN UPDATE SET col = expr`; source references inside the
+    by-source clause are rejected (no source row exists there)."""
+    pond.sql(
+        "CREATE TABLE lake.r9 AS "
+        "SELECT id, CAST(id * 2 AS DOUBLE) AS v FROM range(20)"
+    )
+    pond.sql(
+        "MERGE INTO lake.r9 AS tgt "
+        "USING (SELECT 3 AS id, -3.0 AS v) AS s ON tgt.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE AND tgt.id >= 18 THEN DELETE"
+    )
+    rows = {
+        r["id"]: r["v"]
+        for r in pond.sql("SELECT id, v FROM lake.r9").collect()
+    }
+    assert len(rows) == 18 and rows[3] == -3.0 and 18 not in rows
+
+    pond.sql(
+        "MERGE INTO lake.r9 AS tgt "
+        "USING (SELECT 3 AS id, -4.0 AS v) AS s ON tgt.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE AND tgt.id < 2 "
+        "THEN UPDATE SET v = tgt.v + 100"
+    )
+    rows = {
+        r["id"]: r["v"]
+        for r in pond.sql("SELECT id, v FROM lake.r9").collect()
+    }
+    assert rows[3] == -4.0 and rows[0] == 100.0 and rows[1] == 102.0
+    assert rows[2] == 4.0  # condition false: kept
+
+    with pytest.raises(ValueError, match="cannot reference the source"):
+        pond.sql(
+            "MERGE INTO lake.r9 AS tgt "
+            "USING (SELECT 3 AS id, 0.0 AS v) AS s ON tgt.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE"
+        )
+
+
+def test_nmbs_cdf_frames(spark, tmp_path):
+    """CDF rows for by-source actions: conditional delete records the
+    dropped rows; by-source update records pre/postimages."""
+    from athena_delta_lake_spark.delta.cdf import table_changes
+
+    path = str(tmp_path / "nmbs_cdf")
+    write_delta(
+        spark.range(20).selectExpr("id", "id * 2.0 AS v").repartitionByRange(
+            2, "id"
+        ),
+        path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    t = DeltaTable(spark, path)
+    v0 = t.version()
+    t.merge(
+        spark.createDataFrame([(1, -1.0)], "id long, v double"),
+        keys=["id"],
+        not_matched_by_source="delete",
+        not_matched_by_source_condition="t.id >= 18",
+    )
+    ch = table_changes(spark, path, v0 + 1).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], set()).add(r["id"])
+    assert by_type["delete"] == {18, 19}
+    assert by_type["update_preimage"] == {1}
+    assert by_type["update_postimage"] == {1}
+
+    v1 = t.version()
+    t.merge(
+        spark.createDataFrame([(2, -2.0)], "id long, v double"),
+        keys=["id"],
+        not_matched_by_source="update",
+        not_matched_by_source_condition="t.id < 1",
+        not_matched_by_source_assigns={"v": "t.v + 50"},
+    )
+    ch = [r for r in table_changes(spark, path, v1 + 1).collect()]
+    pre = {r["id"]: r["v"] for r in ch if r["_change_type"] == "update_preimage"}
+    post = {r["id"]: r["v"] for r in ch if r["_change_type"] == "update_postimage"}
+    assert pre == {0: 0.0, 2: 4.0} and post == {0: 50.0, 2: -2.0}
+
+
+def test_nmbs_validation_errors(spark, tmp_path):
+    path = str(tmp_path / "nmbs_val")
+    t = _range_table(spark, path, n=10, files=1)
+    src = spark.createDataFrame([(1, 0.0)], "id long, v double")
+    with pytest.raises(ValueError, match="per-column assignments"):
+        t.merge(src, keys=["id"], not_matched_by_source="update")
+    with pytest.raises(ValueError, match="only applies to 'update'"):
+        t.merge(
+            src, keys=["id"], not_matched_by_source="delete",
+            not_matched_by_source_assigns={"v": "0.0"},
+        )
+    with pytest.raises(ValueError, match="need a"):
+        t.merge(src, keys=["id"], not_matched_by_source_condition="t.id > 3")
+    with pytest.raises(ValueError, match="'delete', 'update' or None"):
+        t.merge(src, keys=["id"], not_matched_by_source="upsert")
+
+
+# ----------------------------- light-planned MERGE (round-9 ask #1) ------
+
+
+def _light_merge_table(spark, path: str):
+    """checkpoint + tail-overlay table, the shape light planning replays."""
+    from athena_delta_lake_spark.delta.writer import write_checkpoint
+
+    df = spark.range(1000).selectExpr("id", "id * 1.0 AS v").repartitionByRange(
+        10, "id"
+    )
+    write_delta(df, path)
+    write_checkpoint(path)
+    write_delta(  # tail overlay commit
+        spark.range(1000, 1100).selectExpr("id", "id * 1.0 AS v"), path
+    )
+    return DeltaTable(spark, path)
+
+
+@pytest.fixture
+def force_light(monkeypatch):
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
+    DeltaLog.clear_cache()
+    yield
+    DeltaLog.clear_cache()
+
+
+def test_light_planned_merge_cow_matches_classic(spark, tmp_path, force_light):
+    """MERGE candidate selection through the light plane: same results,
+    same rewrite set as classic planning — and the result dict reports
+    which plane planned it."""
+    import os as _os
+
+    pa = str(tmp_path / "lm_a")
+    pb = str(tmp_path / "lm_b")
+    ta = _light_merge_table(spark, pa)
+    tb = _light_merge_table(spark, pb)
+    src = spark.createDataFrame(
+        [(250, -1.0), (251, -2.0), (5000, -3.0)], "id long, v double"
+    )
+    ra = ta.merge(src, keys=["id"])  # light (threshold forced to 1)
+    assert ra["planning"] == "light", ra
+    _os.environ["ADLS_LIGHT_PLANNING_FILES"] = "0"
+    try:
+        from athena_delta_lake_spark.delta.log import DeltaLog
+
+        DeltaLog.clear_cache()
+        rb = tb.merge(src, keys=["id"])
+    finally:
+        _os.environ["ADLS_LIGHT_PLANNING_FILES"] = "1"
+    assert rb["planning"] == "classic", rb
+    assert (ra["files_removed"], ra["files_added"]) == (
+        rb["files_removed"],
+        rb["files_added"],
+    )
+    rows_a = sorted((r["id"], r["v"]) for r in ta.to_df().collect())
+    rows_b = sorted((r["id"], r["v"]) for r in tb.to_df().collect())
+    assert rows_a == rows_b
+    assert dict(rows_a)[250] == -1.0 and dict(rows_a)[5000] == -3.0
+    assert len(rows_a) == 1101
+    # the probe rewrote only the intersecting file(s), not the table
+    assert ra["files_removed"] <= 2
+
+
+def test_light_planned_merge_insert_only_and_mor(spark, tmp_path, force_light):
+    path = str(tmp_path / "lm_io")
+    t = _light_merge_table(spark, path)
+    res = t.merge(
+        spark.createDataFrame([(10, 0.0), (9999, 1.0)], "id long, v double"),
+        keys=["id"],
+        matched_clauses=[],  # insert-only fast path
+    )
+    assert res["planning"] == "light"
+    assert t.count() == 1101  # 10 matched (no insert), 9999 inserted
+
+    res = t.merge(
+        spark.createDataFrame([(20, -5.0)], "id long, v double"),
+        keys=["id"],
+        mode="mor",
+    )
+    assert res["planning"] == "light"
+    rows = {r["id"]: r["v"] for r in t.to_df().collect()}
+    assert rows[20] == -5.0 and len(rows) == 1101
+
+
+def test_light_planned_merge_nmbs_wholesale_delete(spark, tmp_path, force_light):
+    """Full-sync MERGE under light planning: the wholesale remove list
+    streams from files_df (second metadata-only pass) — every unmatched
+    row is gone, matched rows update, nothing lingers."""
+    path = str(tmp_path / "lm_ws")
+    t = _light_merge_table(spark, path)
+    src = spark.createDataFrame(
+        [(100, -1.0), (1050, -2.0), (7777, -3.0)], "id long, v double"
+    )
+    res = t.merge(src, keys=["id"], not_matched_by_source="delete")
+    assert res["planning"] == "light"
+    rows = sorted((r["id"], r["v"]) for r in t.to_df().collect())
+    assert rows == [(100, -1.0), (1050, -2.0), (7777, -3.0)]
+
+
+def test_light_planned_merge_fallbacks(spark, tmp_path, force_light):
+    """Classic fallback when the light plane cannot bound the work:
+    unconditional by-source UPDATE, unparseable by-source condition."""
+    path = str(tmp_path / "lm_fb")
+    t = _light_merge_table(spark, path)
+    src = spark.createDataFrame([(1, -1.0)], "id long, v double")
+    res = t.merge(
+        src,
+        keys=["id"],
+        not_matched_by_source="update",
+        not_matched_by_source_assigns={"v": "t.v + 1"},
+    )
+    assert res["planning"] == "classic"
+    rows = {r["id"]: r["v"] for r in t.to_df().collect()}
+    assert rows[1] == -1.0 and rows[2] == 3.0 and rows[1099] == 1100.0
+
+    res = t.merge(
+        src,
+        keys=["id"],
+        not_matched_by_source="delete",
+        # OR parses no conjunct -> reach unbounded -> classic
+        not_matched_by_source_condition="t.id >= 1098 OR t.v > 1e12",
+    )
+    assert res["planning"] == "classic"
+    rows = {r["id"]: r["v"] for r in t.to_df().collect()}
+    assert len(rows) == 1098 and 1097 in rows and 1098 not in rows
+
+    # conditional by-source delete WITH a parseable bound stays light
+    res = t.merge(
+        src,
+        keys=["id"],
+        not_matched_by_source="delete",
+        not_matched_by_source_condition="t.id >= 1090",
+    )
+    assert res["planning"] == "light"
+    assert t.count() == 1090 + 0  # ids 0..1089 (1 matched), >=1090 gone
 
 
 def test_backlog_warning_suppressed_on_committed_restart(spark, tmp_path):

@@ -20,6 +20,7 @@ behavior at the 100 TB file-count regime instead of asserting it.
 Usage: python tools/meta_scale.py [n_files] [adds_per_commit]
        python tools/meta_scale.py [n_files] [adds_per_commit] --light
        python tools/meta_scale.py [n_files] [adds_per_commit] --plan [--check-classic]
+       python tools/meta_scale.py [n_files] [adds_per_commit] --merge [--check-classic]
 Prints one JSON line with the measurements (recorded in PERF_TRIAGE_r6).
 
 --light (round-7 ask #6): measure the DRIVER-LIGHT snapshot path
@@ -38,6 +39,15 @@ commit is removed afterwards so the prepared table stays reusable.
 --check-classic additionally loads the CLASSIC snapshot (expensive:
 ~270 s / 8.6 GiB at 10^7) and asserts the light survivors are identical;
 run it at 10^6 where the classic path is cheap.
+
+--merge (round-9 ask #1): measure a KEYED MERGE upsert whose candidate
+selection routes through the light plane — one REAL parquet data file is
+materialized for the single candidate the source's key range intersects,
+the merge runs end-to-end (probe, rewrite, commit), and driver RSS is
+asserted under 2 GiB at any file count. The merge commit + staged files
+are removed afterwards so the prepared table stays reusable.
+--check-classic re-runs the SAME merge through the classic snapshot and
+asserts identical affected rows + removed files; run it at 10^6.
 """
 
 from __future__ import annotations
@@ -66,6 +76,19 @@ def rss_mib() -> float:
     with open("/proc/self/status") as f:
         for line in f:
             if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return float("nan")
+
+
+def hwm_mib() -> float:
+    """PEAK RSS (VmHWM) — the honest memory bar. A transient allocation
+    freed before a point sample (python arenas are munmap'd when empty)
+    is invisible to VmRSS: round 9 found the commit path's classic
+    snapshot replay (8.5 GiB at 10^7 adds) hiding exactly this way
+    behind a 213 MiB post-hoc sample."""
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmHWM:"):
                 return int(line.split()[1]) / 1024.0
     return float("nan")
 
@@ -146,6 +169,8 @@ def main() -> int:
         return light_main(root, n_files, out)
     if "--plan" in sys.argv:
         return plan_main(root, n_files, out, "--check-classic" in sys.argv)
+    if "--merge" in sys.argv:
+        return merge_main(root, n_files, out, "--check-classic" in sys.argv)
     t0 = time.time()
     path = build_log(root, n_files, per_commit)
     out["build_log_s"] = round(time.time() - t0, 2)
@@ -302,7 +327,8 @@ def plan_main(root: str, n_files: int, out: dict, check_classic: bool) -> int:
     out["delete_files_removed"] = res["files_removed"]
     out["delete_files_added"] = res["files_added"]
     out["rss_after_delete_mib"] = round(rss_mib(), 1)
-    peak = max(out["rss_after_plan_mib"], out["rss_after_delete_mib"])
+    peak = round(hwm_mib(), 1)  # PEAK, not a point sample
+    out["rss_peak_mib"] = peak
     out["rss_under_2gib"] = bool(peak < 2048)
     assert out["light_engaged"], "light planning did not engage"
     assert res["files_added"] == 0, "partition delete must be metadata-only"
@@ -328,6 +354,136 @@ def plan_main(root: str, n_files: int, out: dict, check_classic: bool) -> int:
         )
         out["classic_equality"] = "identical"
         out["rss_after_classic_mib"] = round(rss_mib(), 1)
+    spark.stop()
+    print(json.dumps(out))
+    return 0
+
+
+def _materialize_candidate_file(path: str, i: int) -> tuple[str, int, int]:
+    """Write REAL parquet bytes for synthetic add #i (the file the merge
+    source's key range intersects) so the probe/rewrite can scan it.
+    Returns (relpath, lo_id, hi_id)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows_per_file = 100_000
+    day = datetime.date(2024, 1, 1) + datetime.timedelta(days=i % 365)
+    lo = i * rows_per_file
+    rel = f"day={day.isoformat()}/part-{i:07d}.parquet"
+    full = os.path.join(path, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    ids = list(range(lo, lo + rows_per_file))
+    pq.write_table(
+        pa.table({"id": pa.array(ids, pa.int64()),
+                  "v": pa.array([x / 7.0 for x in ids], pa.float64())}),
+        full,
+    )
+    return rel, lo, lo + rows_per_file - 1
+
+
+def merge_main(root: str, n_files: int, out: dict, check_classic: bool) -> int:
+    """Keyed MERGE upsert through the auto-routed light plane against the
+    prepared table — fresh process, RSS asserted < 2 GiB at any file
+    count. The table is metadata-only, so the ONE candidate file the
+    source's key range intersects is materialized as real parquet first;
+    the merge then probes/rewrites exactly that file."""
+    import datetime
+
+    from athena_delta_lake_spark import DeltaTable, get_spark
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    path = os.path.join(root, "meta_scale_tbl")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        print(
+            json.dumps({"error": "run the normal mode first to build the "
+                        "table + checkpoint"}),
+        )
+        return 1
+    out["mode"] = "merge"
+    os.environ.setdefault("ADLS_LIGHT_PLANNING_FILES", "1000000")
+    out["rss_before_mib"] = round(rss_mib(), 1)
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        shuffle_partitions=16,
+    )
+    i = n_files // 2
+    rel, lo, hi = _materialize_candidate_file(path, i)
+    day = datetime.date(2024, 1, 1) + datetime.timedelta(days=i % 365)
+    t = DeltaTable(spark, path)
+    out["light_engaged"] = bool(t.log.light_planning_engaged())
+    v_before = DeltaLog(path).latest_version()
+
+    # keys inside ONE file's recorded id range: the bounds prune to that
+    # file alone (an id far outside would widen the range to half the
+    # table and legitimately fall back past the collect cap)
+    src = spark.createDataFrame(
+        [(lo + 5, -1.0, day), (lo + 7, -2.0, day)],
+        "id long, v double, day date",
+    )
+    t0 = time.time()
+    res = t.merge(src, keys=["id"])
+    out["merge_s"] = round(time.time() - t0, 2)
+    out["merge_planning"] = res.get("planning")
+    out["merge_files_removed"] = res["files_removed"]
+    out["merge_files_added"] = res["files_added"]
+    out["rss_after_merge_mib"] = round(rss_mib(), 1)
+    peak = round(hwm_mib(), 1)  # PEAK, not a point sample
+    out["rss_peak_mib"] = peak
+    out["rss_under_2gib"] = bool(peak < 2048)
+    assert out["light_engaged"], "light planning did not engage"
+    assert res.get("planning") == "light", res
+    assert res["files_removed"] == 1, res  # exactly the candidate file
+
+    # affected-range state for the classic-equality check
+    affected = sorted(
+        (r["id"], r["v"])
+        for r in t.to_df(where=[("id", ">=", lo), ("id", "<=", hi)])
+        .collect()
+    ) if check_classic else None
+
+    def _revert(v_target: int) -> None:
+        """Drop the merge commit + its staged files; restore the table."""
+        log_dir = os.path.join(path, "_delta_log")
+        cpath = os.path.join(log_dir, f"{v_target:020d}.json")
+        with open(cpath) as f:
+            for line in f:
+                a = json.loads(line)
+                if "add" in a:
+                    fp = os.path.join(path, a["add"]["path"])
+                    if os.path.exists(fp):
+                        os.remove(fp)
+        os.remove(cpath)
+        DeltaLog.clear_cache()
+
+    _revert(v_before + 1)
+
+    if check_classic:
+        prev = os.environ.get("ADLS_LIGHT_PLANNING_FILES")
+        os.environ["ADLS_LIGHT_PLANNING_FILES"] = "0"
+        try:
+            t0 = time.time()
+            res_c = DeltaTable(spark, path).merge(src, keys=["id"])
+            out["merge_classic_s"] = round(time.time() - t0, 2)
+            assert res_c.get("planning") == "classic", res_c
+            assert res_c["files_removed"] == res["files_removed"]
+            affected_c = sorted(
+                (r["id"], r["v"])
+                for r in DeltaTable(spark, path)
+                .to_df(where=[("id", ">=", lo), ("id", "<=", hi)])
+                .collect()
+            )
+            assert affected_c == affected, "light/classic merge rows diverge"
+            out["classic_equality"] = "identical"
+            out["rss_after_classic_mib"] = round(rss_mib(), 1)
+        finally:
+            os.environ["ADLS_LIGHT_PLANNING_FILES"] = prev or "1000000"
+            _revert(v_before + 1)
+
+    # remove the materialized candidate parquet (metadata-only table again)
+    os.remove(os.path.join(path, rel))
+    assert peak < 2048, f"driver RSS {peak} MiB breaches the 2 GiB bar"
     spark.stop()
     print(json.dumps(out))
     return 0
