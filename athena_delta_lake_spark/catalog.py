@@ -510,8 +510,12 @@ class DeltaPond:
         from .sqldml import _naive_ts_to_millis
 
         millis = _naive_ts_to_millis(self.spark, ts)
-        snap = dt.log.snapshot_as_of_timestamp(millis)
-        return read_snapshot(self.spark, snap), f"ts{millis}"
+        # resolve the VERSION only, then scan through to_df's
+        # _planning_snapshot — a TIMESTAMP AS OF query on a
+        # past-threshold table plans driver-light exactly like an
+        # ordinary read (round-9: this used to force the classic replay)
+        v = dt.log.version_as_of_timestamp(millis)
+        return dt.to_df(version=v), f"ts{millis}"
 
     def _bind_table_changes(self, arg_sqls: list[str]) -> str:
         """`table_changes('schema.table', start [, end])` TVF: bind the

@@ -1346,13 +1346,24 @@ class DeltaLog:
                 return fi.mtime_ms
         raise FileNotFoundError(f"no commit {version} at {self.log_dir}")
 
-    def snapshot_as_of_timestamp(self, ts_millis: int) -> SnapshotState:
-        """Time travel to the last commit at or before `ts_millis`.
+    def version_as_of_timestamp(self, ts_millis: int) -> int:
+        """The last commit version at or before `ts_millis` — the
+        resolution step of timestamp time travel, WITHOUT materializing a
+        snapshot (callers route the version through their own planning
+        path; pond.sql TIMESTAMP AS OF goes through _planning_snapshot so
+        a past-threshold table never pays the classic replay just to
+        resolve a timestamp). The ICT-enablement config check reads the
+        header-only light snapshot when light planning is engaged.
 
         When the table uses in-commit timestamps, each commit resolves by
         its recorded inCommitTimestamp (pre-enablement commits fall back to
         file mtime per spec); otherwise by commit-file mtime."""
-        use_ict = (self.snapshot().metadata.get("configuration") or {}).get(
+        hdr = (
+            self.snapshot_light()
+            if self.light_planning_engaged(None)
+            else self.snapshot()
+        )
+        use_ict = (hdr.metadata.get("configuration") or {}).get(
             "delta.enableInCommitTimestamps", ""
         ).lower() == "true"
         best = None
@@ -1366,7 +1377,12 @@ class DeltaLog:
                 best = v if best is None else max(best, v)
         if best is None:
             raise ValueError(f"no commit at or before {ts_millis}")
-        return self.snapshot(best)
+        return best
+
+    def snapshot_as_of_timestamp(self, ts_millis: int) -> SnapshotState:
+        """Time travel to the last commit at or before `ts_millis` (see
+        version_as_of_timestamp for the resolution semantics)."""
+        return self.snapshot(self.version_as_of_timestamp(ts_millis))
 
     @classmethod
     def clear_cache(cls) -> None:

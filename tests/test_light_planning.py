@@ -285,3 +285,28 @@ def test_light_optimize_where_equals_classic(spark, tmp_path, monkeypatch):
         for f in snapb.files
         if f.partition_values.get("part") == "5"
     )
+
+
+def test_light_timestamp_time_travel(spark, tmp_path, monkeypatch):
+    """pond.sql TIMESTAMP AS OF on a past-threshold table resolves the
+    version from commit timestamps, then scans through _planning_snapshot
+    (round-9 ask #6) — result identical to the classic path."""
+    import datetime
+    import time as _time
+
+    from athena_delta_lake_spark.catalog import DeltaPond
+
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
+    pond.sql("CREATE SCHEMA lake")
+    path = f"{root}/lake/tt"
+    _mk_table(spark, path)
+    _time.sleep(1.1)  # commit-file mtime resolution
+    ts = datetime.datetime.utcnow().strftime("%Y-%m-%d %H:%M:%S")
+    q = f"SELECT id, v FROM lake.tt TIMESTAMP AS OF '{ts}'"
+    classic = _rows(pond.sql(q))
+    assert len(classic) == 416  # 400 base + 16 tail
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "5")
+    DeltaLog.clear_cache()
+    assert DeltaLog(path).light_planning_engaged()
+    assert _rows(pond.sql(q)) == classic
