@@ -846,15 +846,31 @@ def _read_last_checkpoint(fs, log_dir: str) -> dict | None:
 
 
 def _checkpoint_parts(log_files: list[str], version: int) -> list[str]:
+    """The part files of ONE complete classic checkpoint at `version`.
+
+    Multi-part names are grouped by their DENOMINATOR and only a COMPLETE
+    group (all numerators 1..N present) is returned: a checkpoint
+    re-written at the same version with a different part count (the
+    distributed writer sizes parts from ADLS_CHECKPOINT_PART_ROWS) leaves
+    both layouts on disk, and a naive sorted() of every match would replay
+    duplicate adds. Any complete group encodes the same snapshot, so the
+    largest N wins deterministically; torn (incomplete) groups are never
+    replayed."""
     pat_single = f"{version:020d}.checkpoint.parquet"
-    multi = [
-        f
-        for f in log_files
-        if re.match(rf"^{version:020d}\.checkpoint\.\d+\.\d+\.parquet$", f)
-    ]
     if pat_single in log_files:
         return [pat_single]
-    return sorted(multi)
+    groups: dict[int, dict[int, str]] = {}
+    for f in log_files:
+        m = re.match(
+            rf"^{version:020d}\.checkpoint\.(\d+)\.(\d+)\.parquet$", f
+        )
+        if m:
+            groups.setdefault(int(m.group(2)), {})[int(m.group(1))] = f
+    for n in sorted(groups, reverse=True):
+        g = groups[n]
+        if len(g) == n and set(g) == set(range(1, n + 1)):
+            return [g[i] for i in range(1, n + 1)]
+    return []
 
 
 class DeltaLog:

@@ -321,8 +321,8 @@ class DeltaTable:
             replace_where=replace_where,
         )
 
-    def checkpoint(self) -> int:
-        return write_checkpoint(self.path)
+    def checkpoint(self, parts: int | None = None, v2: bool = False) -> int:
+        return write_checkpoint(self.path, parts=parts, v2=v2, spark=self.spark)
 
     # -- DML (absent from the reference; dml.py has the scale rationale)
     def delete(

@@ -2167,3 +2167,92 @@ def g22(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lake.ord_nmbs GROUP BY 1
         """
     )
+
+
+# ------- g23: DISTRIBUTED (driver-light) checkpoint writing
+
+
+def _ensure_light_checkpointed_table(spark: SparkSession, sf_dir: str) -> str:
+    """orders through the distributed checkpoint lifecycle (round-8
+    verdict ask #5): write (v0) -> classic checkpoint -> tail append (v1)
+    -> DISTRIBUTED checkpoint at v1 with ADLS_LIGHT_PLANNING_FILES forced
+    to 1 (add actions stream from LightSnapshot.files_df executor-side
+    into multi-part files; the driver folds no AddFile — measured at 10^7
+    adds by tools/meta_scale.py --checkpoint) -> cleanup_log, so every
+    later replay is served by the EXECUTOR-WRITTEN checkpoint alone."""
+    from ..delta.log import DeltaLog
+    from ..delta.writer import cleanup_log
+
+    path = os.path.join(_fixture_root(sf_dir), "lake", "ord_light_ckpt")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+        )
+        write_delta(o.repartition(8), path)  # v0
+        write_checkpoint(path)
+        write_delta(  # v1: post-checkpoint overlay commit
+            o.where("o_orderkey % 5 = 0").selectExpr(
+                "o_orderkey + 10000000 AS o_orderkey",
+                "o_orderpriority",
+                "o_totalprice",
+                "o_orderdate",
+            ),
+            path,
+        )
+        prev = {
+            k: os.environ.get(k)
+            for k in ("ADLS_LIGHT_PLANNING_FILES", "ADLS_CHECKPOINT_PART_ROWS")
+        }
+        os.environ["ADLS_LIGHT_PLANNING_FILES"] = "1"
+        os.environ["ADLS_CHECKPOINT_PART_ROWS"] = "3"
+        try:
+            t = DeltaTable(spark, path)
+            assert t.log.light_planning_engaged()
+            v = t.checkpoint()  # distributed, multi-part
+            multi = [
+                f
+                for f in os.listdir(os.path.join(path, "_delta_log"))
+                if f.startswith(f"{v:020d}.checkpoint.0")
+            ]
+            assert len(multi) > 1, "distributed checkpoint did not engage"
+        finally:
+            for k, p in prev.items():
+                if p is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = p
+            DeltaLog.clear_cache()
+        cleanup_log(path, retention_hours=0)
+        DeltaLog.clear_cache()
+    return path
+
+
+@register(
+    "g23_light_checkpoint",
+    "delta-core",
+    """
+    WITH live AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           round(sum(o_totalprice), 2) AS price_sum
+    FROM live GROUP BY o_orderpriority
+    """,
+    "checkpoint written DISTRIBUTED (add actions stream executor-side "
+    "from LightSnapshot.files_df into multi-part files, driver holds only "
+    "the header), then cleanup_log: the scan replays from the "
+    "executor-written checkpoint alone and hash-matches the oracle's "
+    "reconstruction",
+)
+def g23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_light_checkpointed_table(spark, sf_dir)
+    t = DeltaTable(spark, path)
+    return t.to_df().groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+    )

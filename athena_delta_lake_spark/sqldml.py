@@ -1151,7 +1151,9 @@ def _route_call(pond, p, text: str) -> DataFrame:
     elif pname == "reorg_purge":
         m = dml.reorg_purge(pond.spark, path)
     elif pname == "checkpoint":
-        v = write_checkpoint(path, v2=bool(kw.pop("v2", False)))
+        v = write_checkpoint(
+            path, v2=bool(kw.pop("v2", False)), spark=pond.spark
+        )
         m = {"checkpoint_version": v}
     elif pname == "cleanup_log":
         from .delta.writer import cleanup_log

@@ -21,6 +21,7 @@ Usage: python tools/meta_scale.py [n_files] [adds_per_commit]
        python tools/meta_scale.py [n_files] [adds_per_commit] --light
        python tools/meta_scale.py [n_files] [adds_per_commit] --plan [--check-classic]
        python tools/meta_scale.py [n_files] [adds_per_commit] --merge [--check-classic]
+       python tools/meta_scale.py [n_files] [adds_per_commit] --checkpoint [--check-classic]
 Prints one JSON line with the measurements (recorded in PERF_TRIAGE_r6).
 
 --light (round-7 ask #6): measure the DRIVER-LIGHT snapshot path
@@ -39,6 +40,15 @@ commit is removed afterwards so the prepared table stays reusable.
 --check-classic additionally loads the CLASSIC snapshot (expensive:
 ~270 s / 8.6 GiB at 10^7) and asserts the light survivors are identical;
 run it at 10^6 where the classic path is cheap.
+
+--checkpoint (round-8 verdict ask #5): measure the DISTRIBUTED checkpoint
+write in a fresh process — add actions stream from LightSnapshot.files_df
+executor-side into the checkpoint part files; the driver never folds an
+AddFile. Asserts peak RSS < 2 GiB at any file count and that a light
+replay of the NEW checkpoint reproduces the file count.
+--check-classic additionally replays the new checkpoint CLASSICALLY and
+compares the full path set + a sampled AddFile's stats against the light
+frame; run it at 10^6 where the classic replay is cheap.
 
 --merge (round-9 ask #1): measure a KEYED MERGE upsert whose candidate
 selection routes through the light plane — one REAL parquet data file is
@@ -171,6 +181,10 @@ def main() -> int:
         return plan_main(root, n_files, out, "--check-classic" in sys.argv)
     if "--merge" in sys.argv:
         return merge_main(root, n_files, out, "--check-classic" in sys.argv)
+    if "--checkpoint" in sys.argv:
+        return checkpoint_main(
+            root, n_files, out, "--check-classic" in sys.argv
+        )
     t0 = time.time()
     path = build_log(root, n_files, per_commit)
     out["build_log_s"] = round(time.time() - t0, 2)
@@ -352,6 +366,80 @@ def plan_main(root: str, n_files: int, out: dict, check_classic: bool) -> int:
             f"light planning survivors diverge from classic: "
             f"{len(got)} vs {len(want)}"
         )
+        out["classic_equality"] = "identical"
+        out["rss_after_classic_mib"] = round(rss_mib(), 1)
+    spark.stop()
+    print(json.dumps(out))
+    return 0
+
+
+def checkpoint_main(
+    root: str, n_files: int, out: dict, check_classic: bool
+) -> int:
+    """Measure the DISTRIBUTED checkpoint write against the prepared table
+    — fresh process, peak RSS asserted < 2 GiB at any file count, light
+    replay-equality on the new checkpoint."""
+    from athena_delta_lake_spark import get_spark
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.writer import write_checkpoint
+
+    path = os.path.join(root, "meta_scale_tbl")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        print(
+            json.dumps({"error": "run the normal mode first to build the "
+                        "table + checkpoint"}),
+        )
+        return 1
+    out["mode"] = "checkpoint"
+    os.environ.setdefault("ADLS_LIGHT_PLANNING_FILES", "1000000")
+    out["rss_before_mib"] = round(rss_mib(), 1)
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        shuffle_partitions=16,
+    )
+    out["light_engaged"] = bool(DeltaLog(path).light_planning_engaged())
+    t0 = time.time()
+    v = write_checkpoint(path, spark=spark)
+    out["checkpoint_write_s"] = round(time.time() - t0, 2)
+    log_dir = os.path.join(path, "_delta_log")
+    out["checkpoint_parts"] = len(
+        [
+            f
+            for f in os.listdir(log_dir)
+            if f.startswith(f"{v:020d}.checkpoint.")
+        ]
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint")) as f:
+        out["last_checkpoint_size"] = json.load(f).get("size")
+    out["rss_after_write_mib"] = round(rss_mib(), 1)
+
+    # replay-equality, light: the NEW checkpoint must reproduce the count
+    DeltaLog.clear_cache()
+    t0 = time.time()
+    light = DeltaLog(path).snapshot_light()
+    n = light.files_df(spark).count()
+    out["light_replay_count_s"] = round(time.time() - t0, 2)
+    assert n == n_files, (n, n_files)
+    peak = round(hwm_mib(), 1)  # PEAK, not a point sample
+    out["rss_peak_mib"] = peak
+    out["rss_under_2gib"] = bool(peak < 2048)
+    assert out["light_engaged"], "light planning did not engage"
+    assert peak < 2048, f"driver RSS {peak} MiB breaches the 2 GiB bar"
+
+    if check_classic:
+        t0 = time.time()
+        snap = DeltaLog(path).snapshot()  # classic replay of NEW checkpoint
+        out["classic_replay_s"] = round(time.time() - t0, 2)
+        assert snap.num_files == n_files
+        light_paths = sorted(
+            r["path"] for r in light.files_df(spark).select("path").collect()
+        )
+        assert sorted(f.path for f in snap.files) == light_paths
+        # sampled AddFile: stats survived the executor-side writer intact
+        probe = snap.files[n_files // 2]
+        st = probe.stats
+        assert st["numRecords"] == 100_000, st
+        assert set(st["minValues"]) == {"id", "v"}, st
         out["classic_equality"] = "identical"
         out["rss_after_classic_mib"] = round(rss_mib(), 1)
     spark.stop()
