@@ -173,6 +173,88 @@ def _plan_candidates(spark, table_path: str, preds):
     )
 
 
+def _light_compact_candidates(
+    spark, table_path: str, target_file_size: int, zorder_by, dv_only
+):
+    """(snapshot, victims, effective_zorder, capped) via the driver-light
+    plane for UNSCOPED OPTIMIZE / REORG APPLY (PURGE), or None to plan
+    classically. Victim selection — small files, DV carriers, everything
+    under ZORDER — is a predicate over FILE METADATA, so it runs
+    executor-side over LightSnapshot.files_df (size / dv_json columns +
+    a per-partition group count), and only the victims come back as
+    AddFiles: an unscoped OPTIMIZE of a 10^7-file table no longer builds
+    the classic driver-resident snapshot just to find its small files.
+
+    Victims past log.light_collect_cap come back as a path-ordered PREFIX
+    (group-contiguous under hive layouts) with capped=True: the run
+    compacts that batch and reports partial — re-run until groups=0, the
+    delta-spark OPTIMIZE batching idiom."""
+    from .log import light_collect_cap
+
+    log = DeltaLog(table_path)
+    if not log.light_planning_engaged(None):
+        return None
+    light = log.snapshot_light()
+    if zorder_by is None:
+        # liquid-clustering policy lives in the header's domain metadata —
+        # resolvable without any file materialization (compact re-clusters
+        # by it on a plain OPTIMIZE; REORG PURGE re-clusters its rewrites)
+        dm = light.domain_metadata.get("delta.clustering")
+        if dm:
+            try:
+                cols = json.loads(dm).get("clusteringColumns")
+            except (ValueError, TypeError):
+                cols = None
+            if cols:
+                zorder_by = list(cols)
+    fdf = light.files_df(spark, full=True)
+    full_cols = [f.name for f in fdf.schema.fields]
+    is_dv = F.col("dv_json").isNotNull()
+    if dv_only:
+        vdf = fdf.filter(is_dv)
+    elif zorder_by:
+        vdf = fdf
+    else:
+        vdf = fdf.filter(
+            (F.col("size") < F.lit(int(target_file_size))) | is_dv
+        )
+    part_cols = list(light.partition_columns)
+    if part_cols and not (zorder_by or dv_only):
+        # executor-side group pruning: only partitions that can merge
+        # (>= 2 victims) or carry a DV survive — exactly the driver-side
+        # to_compact filter, applied before anything is collected
+        keys = [f"__k{i}" for i in range(len(part_cols))]
+        key_cols = [
+            F.coalesce(
+                F.col("partition_values").getItem(c), F.lit("\x00")
+            ).alias(k)
+            for c, k in zip(part_cols, keys)
+        ]
+        grp = (
+            vdf.select(*key_cols, is_dv.cast("int").alias("__dv"))
+            .groupBy(*keys)
+            .agg(
+                F.count("*").alias("__n"), F.max("__dv").alias("__anydv")
+            )
+            .filter("(__n >= 2) OR (__anydv = 1)")
+            .select(*keys)
+        )
+        vdf = (
+            vdf.select(*full_cols, *key_cols)
+            .join(grp, keys, "inner")
+            .select(*full_cols)
+        )
+    cap = light_collect_cap()
+    files = light.collect_pruned_add_files(spark, full_df=vdf, cap=cap)
+    capped = False
+    if files is None:
+        files = light.collect_pruned_add_files(
+            spark, full_df=vdf.orderBy("path").limit(cap)
+        )
+        capped = True
+    return light.to_snapshot_state(files), files, zorder_by, capped
+
+
 def delete(
     spark: SparkSession,
     table_path: str,
@@ -2665,14 +2747,29 @@ def compact(
     (writer.zorder_dataframe), so min/max stats prune on every listed
     column afterwards."""
     table_path = normalize_table_path(table_path)
-    # predicate-scoped OPTIMIZE/REORG on a past-threshold table selects
-    # its candidates through the driver-light path too (one hot partition
-    # of a 10^7-file table compacts without the classic snapshot)
-    snap, files = _plan_candidates(spark, table_path, predicates)
-    if zorder_by is None:
+    # predicate-scoped AND unscoped OPTIMIZE/REORG on a past-threshold
+    # table select their candidates through the driver-light path (one
+    # hot partition — or the whole small-file population — of a
+    # 10^7-file table compacts without the classic snapshot)
+    planning = "classic"
+    partial = False
+    lightsel = (
+        None
+        if predicates
+        else _light_compact_candidates(
+            spark, table_path, target_file_size, zorder_by, dv_only
+        )
+    )
+    if lightsel is not None:
+        snap, files, zorder_by, partial = lightsel
+        planning = "light"
+    else:
+        snap, files = _plan_candidates(spark, table_path, predicates)
+    if zorder_by is None and planning == "classic":
         # liquid-clustering semantics: a table written with
         # liquid_cluster_by remembers its layout policy in the
         # delta.clustering domain; a plain OPTIMIZE re-clusters by it
+        # (the light path resolved this from the header already)
         dm = snap.domain_metadata.get("delta.clustering")
         if dm:
             try:
@@ -2706,7 +2803,13 @@ def compact(
         or any(f.deletion_vector for f in v)
     }
     if not to_compact:
-        return {"groups": 0, "files_removed": 0, "files_added": 0}
+        return {
+            "groups": 0,
+            "files_removed": 0,
+            "files_added": 0,
+            "planning": planning,
+            "partial": partial,
+        }
 
     victims = [f for v in to_compact.values() for f in v]
     df = _read_cow(spark, snap, victims)
@@ -2747,6 +2850,8 @@ def compact(
         "groups": len(to_compact),
         "files_removed": len(victims),
         "files_added": len(adds),
+        "planning": planning,
+        "partial": partial,
     }
 
 
@@ -2954,6 +3059,7 @@ def vacuum(
     table_path: str,
     retention_hours: float | None = None,
     dry_run: bool = False,
+    spark=None,
 ) -> dict:
     """Physically delete data files no longer referenced by the CURRENT
     snapshot and older than the retention window — the window protects
@@ -2961,12 +3067,30 @@ def vacuum(
     is None, the table's `delta.deletedFileRetentionDuration` property
     applies, else the spec default of 7 days.
 
-    Returns {"files": [...], "deleted": bool}. Metadata-only scan: walks
-    the storage listing against the live-file set; never reads data."""
+    Returns {"files": [... up to log.light_collect_cap ...],
+    "files_count": N, "truncated": bool, "deleted": bool,
+    "planning": "classic"|"light"}. Metadata-only: walks the storage
+    listing against the live-file set; never reads data.
+
+    Past the light-planning threshold (and given a SparkSession — passed
+    or active), the live-set/listing anti-join and the deletes run
+    EXECUTOR-side (_vacuum_light): the driver streams the expired listing
+    to a local spool and never holds the 10^7-path live set the classic
+    path builds (measured 8.6 GiB RSS at 10^7 adds)."""
     from .deletion_vectors import dv_absolute_path
     from .fs import get_fs, normalize_table_path, strip_file_scheme
 
     table_path = normalize_table_path(table_path)
+    if DeltaLog(table_path).light_planning_engaged():
+        if spark is None:
+            try:
+                from pyspark.sql import SparkSession
+
+                spark = SparkSession.getActiveSession()
+            except Exception:
+                spark = None
+        if spark is not None:
+            return _vacuum_light(spark, table_path, retention_hours, dry_run)
     fs = get_fs(table_path)
     snap = DeltaLog(table_path).snapshot()
     if retention_hours is None:
@@ -3036,7 +3160,169 @@ def vacuum(
                     # OSError) for a non-empty dir; empty-dir pruning must
                     # never fail a VACUUM whose deletes already happened
                     pass
-    return {"files": sorted(doomed), "deleted": not dry_run}
+    return {
+        "files": sorted(doomed),
+        "files_count": len(doomed),
+        "truncated": False,
+        "deleted": not dry_run,
+        "planning": "classic",
+    }
+
+
+def _vacuum_light(
+    spark, table_path: str, retention_hours: float | None, dry_run: bool
+) -> dict:
+    """VACUUM through the driver-light plane: the expired storage listing
+    is spooled to a local temp file (driver streams it — constant memory,
+    disk bounded by GARBAGE count, not table size), the live set comes
+    from LightSnapshot.files_df plus executor-derived DV blob paths, the
+    unreferenced-file anti-join runs as a Spark job, and the deletes fan
+    out over executors through the fs facade (idempotent — a task retry
+    re-deleting a path is a no-op). The driver never materializes the
+    live set: the classic path's 10^7-path set measured 8.6 GiB RSS.
+    Returned `files` is capped at log.light_collect_cap (`files_count`
+    carries the true total, `truncated` flags the cap)."""
+    import tempfile
+
+    from .deletion_vectors import dv_absolute_path
+    from .fs import get_fs, strip_file_scheme
+    from .log import light_collect_cap
+
+    fs = get_fs(table_path)
+    light = DeltaLog(table_path).snapshot_light()
+    if retention_hours is None:
+        retention_hours = retention_hours_from_interval(
+            (light.metadata.get("configuration") or {}).get(
+                "delta.deletedFileRetentionDuration"
+            )
+        )
+        if retention_hours is None:
+            retention_hours = 168.0
+    cutoff_ms = (time.time() - retention_hours * 3600.0) * 1000.0
+    base = strip_file_scheme(table_path).rstrip("/")
+
+    seen_dirs: set[str] = set()
+    n_cand = 0
+    spool = tempfile.NamedTemporaryFile(
+        "w", suffix=".jsonl", delete=False, encoding="utf-8"
+    )
+    try:
+        with spool:
+            for rel, _size, mtime_ms in fs.walk_files(table_path):
+                if rel.startswith("_delta_log/"):
+                    continue
+                if "/" in rel:
+                    parts = rel.split("/")[:-1]
+                    for i in range(1, len(parts) + 1):
+                        seen_dirs.add("/".join(parts[:i]))
+                name = rel.rsplit("/", 1)[-1]
+                is_dv = name.startswith("deletion_vector_") and name.endswith(
+                    ".bin"
+                )
+                if not name.endswith(".parquet") and not is_dv:
+                    continue
+                if mtime_ms >= cutoff_ms:
+                    continue
+                spool.write(json.dumps({"rel": rel}) + "\n")
+                n_cand += 1
+
+        cap = light_collect_cap()
+        doomed: list[str] = []
+        n_doomed = 0
+        if n_cand:
+            cand = spark.read.json(spool.name, schema="rel string")
+            fdf = light.files_df(spark, full=True)
+            live = fdf.select(F.col("path").alias("rel"))
+
+            def _dv_rels(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    rels = []
+                    for dvj in pdf["dv_json"]:
+                        if not isinstance(dvj, str) or not dvj:
+                            continue
+                        p = dv_absolute_path(table_path, json.loads(dvj))
+                        if not p:
+                            continue
+                        p = strip_file_scheme(p)
+                        r = (
+                            p[len(base) + 1 :]
+                            if p.startswith(base + "/")
+                            else p
+                        )
+                        rels.append(r.replace(os.sep, "/"))
+                    yield pd.DataFrame(
+                        {"rel": pd.Series(rels, dtype="object")}
+                    )
+
+            dv_live = (
+                fdf.filter(F.col("dv_json").isNotNull())
+                .select("dv_json")
+                .mapInPandas(_dv_rels, schema="rel string")
+            )
+            doomed_df = cand.join(
+                live.union(dv_live), "rel", "left_anti"
+            )
+            doomed = sorted(
+                r["rel"] for r in doomed_df.limit(cap).collect()
+            )
+            if dry_run or len(doomed) >= cap:
+                n_doomed = doomed_df.count()
+            else:
+                n_doomed = len(doomed)
+            if not dry_run and n_doomed:
+
+                def _delete_part(batches):
+                    import pandas as pd
+
+                    fs2 = get_fs(table_path)
+                    c = 0
+                    for pdf in batches:
+                        for rel in pdf["rel"]:
+                            fs2.delete(os.path.join(table_path, rel))
+                            c += 1
+                    yield pd.DataFrame({"n": [c]})
+
+                n_parts = max(8, spark.sparkContext.defaultParallelism)
+                deleted = sum(
+                    r["n"]
+                    for r in doomed_df.repartition(n_parts)
+                    .mapInPandas(_delete_part, schema="n long")
+                    .collect()
+                )
+                n_doomed = deleted
+    finally:
+        try:
+            os.unlink(spool.name)
+        except OSError:
+            pass
+
+    if not dry_run:
+        # empty-dir pruning, deepest first (dir count is bounded by the
+        # partition layout, not the file count — driver-side is fine)
+        still_live_dirs = {
+            r.rsplit("/", 1)[0]
+            for r, _s, _m in fs.walk_files(table_path)
+            if "/" in r
+        }
+        for d in sorted(seen_dirs, key=lambda s: -s.count("/")):
+            if d.startswith("_delta_log"):
+                continue
+            if d not in still_live_dirs and not any(
+                other.startswith(d + "/") for other in still_live_dirs
+            ):
+                try:
+                    fs.delete(os.path.join(table_path, d))
+                except Exception:
+                    pass  # best-effort, as in the classic path
+    return {
+        "files": doomed,
+        "files_count": n_doomed,
+        "truncated": n_doomed > len(doomed),
+        "deleted": not dry_run,
+        "planning": "light",
+    }
 
 
 def _cdf_on(snap: SnapshotState) -> bool:

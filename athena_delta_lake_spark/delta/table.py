@@ -436,7 +436,7 @@ class DeltaTable:
     ) -> dict:
         from .dml import vacuum
 
-        return vacuum(self.path, retention_hours, dry_run)
+        return vacuum(self.path, retention_hours, dry_run, spark=self.spark)
 
     def history(self) -> list[dict]:
         """commitInfo per version (newest first)."""

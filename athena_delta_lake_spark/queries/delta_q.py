@@ -2256,3 +2256,87 @@ def g23(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
         F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
     )
+
+
+# ------- g24: UNSCOPED OPTIMIZE + VACUUM through the driver-light plane
+
+
+def _ensure_light_maintained_table(spark: SparkSession, sf_dir: str) -> str:
+    """orders through the light MAINTENANCE lifecycle (round-8 "What's
+    missing #1" residue): small-file writes -> COW delete (garbage) ->
+    checkpoint -> tail append -> with ADLS_LIGHT_PLANNING_FILES forced to
+    1, an UNSCOPED OPTIMIZE whose victim selection runs executor-side
+    over LightSnapshot.files_df and a VACUUM whose live-set anti-join +
+    deletes fan out over executors — neither materializes the classic
+    driver-resident snapshot (peak-RSS measured by tools/meta_scale.py
+    --maintain)."""
+    from ..delta import dml
+    from ..delta.log import DeltaLog
+
+    path = os.path.join(_fixture_root(sf_dir), "lake", "ord_light_maint")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+        )
+        write_delta(o.repartition(6), path)  # v0: six smallish files
+        t = DeltaTable(spark, path)
+        t.delete(where="o_orderkey % 3 = 0")  # v1: COW -> old files garbage
+        write_checkpoint(path)
+        write_delta(  # v2: post-checkpoint overlay
+            o.where("o_orderkey % 9 = 0").selectExpr(
+                "o_orderkey + 10000000 AS o_orderkey",
+                "o_orderpriority",
+                "o_totalprice",
+                "o_orderdate",
+            ).repartition(2),
+            path,
+        )
+        prev = os.environ.get("ADLS_LIGHT_PLANNING_FILES")
+        os.environ["ADLS_LIGHT_PLANNING_FILES"] = "1"
+        try:
+            t = DeltaTable(spark, path)
+            assert t.log.light_planning_engaged()
+            res = dml.compact(spark, path, target_file_size=1 << 30)
+            assert res["planning"] == "light", res
+            assert res["files_removed"] > 0, res
+            vres = dml.vacuum(path, retention_hours=0, spark=spark)
+            assert vres["planning"] == "light", vres
+            assert vres["files_count"] > 0, vres
+        finally:
+            if prev is None:
+                os.environ.pop("ADLS_LIGHT_PLANNING_FILES", None)
+            else:
+                os.environ["ADLS_LIGHT_PLANNING_FILES"] = prev
+            DeltaLog.clear_cache()
+    return path
+
+
+@register(
+    "g24_light_optimize_vacuum",
+    "delta-core",
+    """
+    WITH live AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderkey % 3 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 9 = 0
+    )
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           round(sum(o_totalprice), 2) AS price_sum
+    FROM live GROUP BY o_orderpriority
+    """,
+    "unscoped OPTIMIZE (executor-side small-file victim selection over "
+    "the light files_df) + VACUUM (executor-side live-set anti-join and "
+    "delete fan-out) on a past-threshold table; the compacted, vacuumed "
+    "table hash-matches the oracle's reconstruction",
+)
+def g24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_light_maintained_table(spark, sf_dir)
+    t = DeltaTable(spark, path)
+    return t.to_df().groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+    )

@@ -1141,6 +1141,7 @@ def _route_call(pond, p, text: str) -> DataFrame:
             path,
             retention_hours=None if hours is None else float(hours),
             dry_run=bool(kw.pop("dry_run", False)),
+            spark=pond.spark,
         )
     elif pname == "restore":
         m = dml.restore_table(
@@ -2142,12 +2143,17 @@ def _route_maintenance_sugar(pond, query: str) -> DataFrame | None:
     if m:
         path = _target(pond, m.group(1).replace("`", "").split("."))
         hours = float(m.group(2)) if m.group(2) else None
-        res = _dml.vacuum(path, retention_hours=hours, dry_run=bool(m.group(3)))
+        res = _dml.vacuum(
+            path,
+            retention_hours=hours,
+            dry_run=bool(m.group(3)),
+            spark=pond.spark,
+        )
         return _metrics_df(
             pond.spark,
             {
                 "operation": "vacuum",
-                "numFiles": len(res["files"]),
+                "numFiles": res.get("files_count", len(res["files"])),
                 "deleted": bool(res["deleted"]),
             },
         )

@@ -22,6 +22,7 @@ Usage: python tools/meta_scale.py [n_files] [adds_per_commit]
        python tools/meta_scale.py [n_files] [adds_per_commit] --plan [--check-classic]
        python tools/meta_scale.py [n_files] [adds_per_commit] --merge [--check-classic]
        python tools/meta_scale.py [n_files] [adds_per_commit] --checkpoint [--check-classic]
+       python tools/meta_scale.py [n_files] [adds_per_commit] --maintain
 Prints one JSON line with the measurements (recorded in PERF_TRIAGE_r6).
 
 --light (round-7 ask #6): measure the DRIVER-LIGHT snapshot path
@@ -49,6 +50,12 @@ replay of the NEW checkpoint reproduces the file count.
 --check-classic additionally replays the new checkpoint CLASSICALLY and
 compares the full path set + a sampled AddFile's stats against the light
 frame; run it at 10^6 where the classic replay is cheap.
+
+--maintain: measure UNSCOPED OPTIMIZE victim selection (executor-side
+small-file/group pruning over LightSnapshot.files_df — the synthetic
+files all sit at the 128 MiB target, so selection returns zero groups
+and no data I/O happens) and a light VACUUM dry run, asserting peak
+driver RSS < 2 GiB at any file count.
 
 --merge (round-9 ask #1): measure a KEYED MERGE upsert whose candidate
 selection routes through the light plane — one REAL parquet data file is
@@ -185,6 +192,8 @@ def main() -> int:
         return checkpoint_main(
             root, n_files, out, "--check-classic" in sys.argv
         )
+    if "--maintain" in sys.argv:
+        return maintain_main(root, n_files, out)
     t0 = time.time()
     path = build_log(root, n_files, per_commit)
     out["build_log_s"] = round(time.time() - t0, 2)
@@ -442,6 +451,61 @@ def checkpoint_main(
         assert set(st["minValues"]) == {"id", "v"}, st
         out["classic_equality"] = "identical"
         out["rss_after_classic_mib"] = round(rss_mib(), 1)
+    spark.stop()
+    print(json.dumps(out))
+    return 0
+
+
+def maintain_main(root: str, n_files: int, out: dict) -> int:
+    """Measure unscoped OPTIMIZE victim selection + light VACUUM dry run
+    against the prepared table — fresh process, peak RSS < 2 GiB bar."""
+    from athena_delta_lake_spark import get_spark
+    from athena_delta_lake_spark.delta import dml
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    path = os.path.join(root, "meta_scale_tbl")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        print(
+            json.dumps({"error": "run the normal mode first to build the "
+                        "table + checkpoint"}),
+        )
+        return 1
+    out["mode"] = "maintain"
+    os.environ.setdefault("ADLS_LIGHT_PLANNING_FILES", "1000000")
+    out["rss_before_mib"] = round(rss_mib(), 1)
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        shuffle_partitions=16,
+    )
+    out["light_engaged"] = bool(DeltaLog(path).light_planning_engaged())
+
+    # unscoped OPTIMIZE: every synthetic file sits exactly at the 128 MiB
+    # target, so the executor-side selection proves 0 groups with no data
+    # I/O — the selection IS the scale-bearing phase at 10^7 files
+    t0 = time.time()
+    res = dml.compact(spark, path, target_file_size=128 * 1024 * 1024)
+    out["optimize_select_s"] = round(time.time() - t0, 2)
+    out["optimize_planning"] = res.get("planning")
+    out["optimize_groups"] = res["groups"]
+    assert res.get("planning") == "light", res
+    assert res["groups"] == 0, res
+    out["rss_after_optimize_mib"] = round(rss_mib(), 1)
+
+    # light VACUUM dry run (the listing is metadata-only here; the
+    # anti-join + executor-side delete fan-out are correctness-tested in
+    # tests/test_light_vacuum.py)
+    t0 = time.time()
+    vres = dml.vacuum(path, retention_hours=0, dry_run=True, spark=spark)
+    out["vacuum_dry_s"] = round(time.time() - t0, 2)
+    out["vacuum_planning"] = vres.get("planning")
+    out["vacuum_files_count"] = vres.get("files_count")
+    assert vres.get("planning") == "light", vres
+
+    peak = round(hwm_mib(), 1)
+    out["rss_peak_mib"] = peak
+    out["rss_under_2gib"] = bool(peak < 2048)
+    assert out["light_engaged"], "light planning did not engage"
+    assert peak < 2048, f"driver RSS {peak} MiB breaches the 2 GiB bar"
     spark.stop()
     print(json.dumps(out))
     return 0
