@@ -1005,6 +1005,19 @@ def _normalize_nmbs(
     return action, condition, dict(assigns) if assigns else None
 
 
+def _validate_nmbs_assign_cols(nmbs_assigns: dict | None, schema) -> None:
+    """Reject SET on a column the merged target schema lacks — UP FRONT,
+    not only when the probe touched a file (review finding: a merge whose
+    condition reached no candidate rows used to silently accept a typo'd
+    assignment column, then start raising once data existed in range)."""
+    if not nmbs_assigns:
+        return
+    known = {f.name for f in schema.fields}
+    for col_ in nmbs_assigns:
+        if col_ not in known:
+            raise ValueError(f"SET on unknown column: {col_}")
+
+
 def _nmbs_parsed_preds(condition: str | None) -> list:
     """Best-effort pruning predicates a NOT MATCHED BY SOURCE condition
     implies: its parseable `t.<col> op literal` conjuncts with the t.
@@ -1415,9 +1428,10 @@ def _merge_key_range_candidates(spark, snap, src: DataFrame, keys: list[str]):
     TimestampType keys PRUNE (round-9): the writer records aware-UTC
     isoformat stats for TIMESTAMP_MICROS parquet (session.py pins the
     output type; _json_safe renders pyarrow's tz-aware footer min/max
-    with its offset), and the collected source bounds — naive wall-clock
-    in the SESSION timezone — are rendered into that same absolute
-    domain here by attaching the session tz and converting to UTC. Files
+    with its offset), and the source bounds are aggregated as
+    unix_micros JVM-side and rebuilt as aware-UTC datetimes driver-side
+    — never collected as naive datetimes, whose rendering depends on
+    the driver OS timezone rather than the session timezone. Files
     whose stats are naive strings (foreign writers) or absent (legacy
     INT96 data) compare aware-vs-naive, which both evaluators treat
     conservatively (driver loop: TypeError -> keep; Spark expression:
@@ -1453,7 +1467,21 @@ def _source_key_bound_preds(spark, schema, src: DataFrame, keys: list[str]):
         return None
     aggs = []
     for k in prunable:
-        aggs += [F.min(k).alias(f"__mn_{k}"), F.max(k).alias(f"__mx_{k}")]
+        if isinstance(types.get(k), T.TimestampType):
+            # collect timestamp bounds as ABSOLUTE epoch micros, never as
+            # Python datetimes: collect() renders TimestampType through
+            # datetime.fromtimestamp, i.e. the DRIVER OS timezone — when
+            # that differs from spark.sql.session.timeZone, re-attaching
+            # the session tz driver-side shifts the bound by the offset
+            # delta and prunes files that DO contain matching rows
+            # (silent duplicate inserts / lost updates). unix_micros is
+            # tz-independent by construction.
+            aggs += [
+                F.unix_micros(F.min(k)).alias(f"__mn_{k}"),
+                F.unix_micros(F.max(k)).alias(f"__mx_{k}"),
+            ]
+        else:
+            aggs += [F.min(k).alias(f"__mn_{k}"), F.max(k).alias(f"__mx_{k}")]
     r = src.agg(*aggs).first()
     import datetime
     import decimal
@@ -1472,22 +1500,20 @@ def _source_key_bound_preds(spark, schema, src: DataFrame, keys: list[str]):
             return False
         return True
 
-    def _absolute(v):
-        # naive collected timestamp (session-tz wall clock) -> aware UTC,
-        # the domain the writer's stats isoformats parse back into
-        if isinstance(v, datetime.datetime) and v.tzinfo is None:
-            from ..sqldml import _session_tz
+    _EPOCH = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
 
-            return v.replace(tzinfo=_session_tz(spark)).astimezone(
-                datetime.timezone.utc
-            )
-        return v
+    def _from_micros(v):
+        # epoch micros -> aware UTC datetime, the domain the writer's
+        # stats isoformats parse back into (no OS/session tz involved)
+        if v is None:
+            return None
+        return _EPOCH + datetime.timedelta(microseconds=int(v))
 
     preds = []
     for k in prunable:
         mn, mx = r[f"__mn_{k}"], r[f"__mx_{k}"]
         if isinstance(types.get(k), T.TimestampType):
-            mn, mx = _absolute(mn), _absolute(mx)
+            mn, mx = _from_micros(mn), _from_micros(mx)
         if _usable(mn):
             preds.append((k, ">=", mn))
         if _usable(mx):
@@ -1624,6 +1650,7 @@ def merge_upsert(
     schema, meta, evolved_md, src_missing = _plan_merge_schema(
         snap, source, schema_evolution, allowed_missing=allowed_missing
     )
+    _validate_nmbs_assign_cols(nmbs_assigns, schema)
     src_missing |= ident_missing  # updates keep the target row's identity
     target_cols = [f.name for f in schema.fields]
     # coerce the source to the TARGET schema up front (Delta's implicit
@@ -2256,6 +2283,7 @@ def merge_upsert_mor(
     schema, meta, evolved_md, src_missing = _plan_merge_schema(
         snap, source, schema_evolution, allowed_missing=allowed_missing
     )
+    _validate_nmbs_assign_cols(nmbs_assigns, schema)
     src_missing |= ident_missing  # updates keep the target row's identity
     target_cols = [f.name for f in schema.fields]
     # coerce the source to the TARGET schema up front (Delta's implicit
@@ -3173,22 +3201,32 @@ def _vacuum_light(
     spark, table_path: str, retention_hours: float | None, dry_run: bool
 ) -> dict:
     """VACUUM through the driver-light plane: the expired storage listing
-    is spooled to a local temp file (driver streams it — constant memory,
-    disk bounded by GARBAGE count, not table size), the live set comes
-    from LightSnapshot.files_df plus executor-derived DV blob paths, the
-    unreferenced-file anti-join runs as a Spark job, and the deletes fan
-    out over executors through the fs facade (idempotent — a task retry
-    re-deleting a path is a no-op). The driver never materializes the
-    live set: the classic path's 10^7-path set measured 8.6 GiB RSS.
-    Returned `files` is capped at log.light_collect_cap (`files_count`
-    carries the true total, `truncated` flags the cap)."""
+    is spooled to a temp file (driver streams it — constant memory, disk
+    bounded by GARBAGE count, not table size), the live set comes from
+    LightSnapshot.files_df plus executor-derived DV blob paths, and the
+    unreferenced-file anti-join runs as a Spark job. Where the spool
+    lives and who deletes depends on executor_fs_safe: local tables keep
+    a driver-local spool and fan deletes out over executors through the
+    posix facade (idempotent — a task retry re-deleting a path is a
+    no-op); REMOTE tables (s3a://, hdfs://...) stage the spool into
+    `_delta_log/.tmp/` so executors can read it, and run the network
+    deletes from a driver thread pool — HadoopFS rides the py4j gateway,
+    which does not exist inside executor Python workers (round-9 review:
+    the fan-out used to call get_fs() in tasks and hard-failed on any
+    remote scheme). The driver never materializes the live set: the
+    classic path's 10^7-path set measured 8.6 GiB RSS. Returned `files`
+    is capped at log.light_collect_cap (`files_count` carries the true
+    total, `truncated` flags the cap)."""
     import tempfile
+    import uuid as _uuid
 
     from .deletion_vectors import dv_absolute_path
-    from .fs import get_fs, strip_file_scheme
+    from .fs import executor_fs_safe, get_fs, strip_file_scheme
     from .log import light_collect_cap
 
     fs = get_fs(table_path)
+    exec_safe = executor_fs_safe(table_path)
+    spool_dir_uri: str | None = None
     light = DeltaLog(table_path).snapshot_light()
     if retention_hours is None:
         retention_hours = retention_hours_from_interval(
@@ -3230,7 +3268,43 @@ def _vacuum_light(
         doomed: list[str] = []
         n_doomed = 0
         if n_cand:
-            cand = spark.read.json(spool.name, schema="rel string")
+            if exec_safe:
+                cand_src = spool.name
+            else:
+                # executors cannot read the driver's /tmp — stage the
+                # spool into table storage in bounded chunks (memory is
+                # O(chunk), the listing already streamed once)
+                spool_dir_uri = os.path.join(
+                    table_path,
+                    "_delta_log",
+                    ".tmp",
+                    f"vacuum-{_uuid.uuid4().hex}",
+                )
+                fs.mkdirs(spool_dir_uri)
+                chunk_bytes = 48 * 1024 * 1024
+                part_i = 0
+                buf: list[bytes] = []
+                buf_sz = 0
+                with open(spool.name, "rb") as fsrc:
+                    for line in fsrc:
+                        buf.append(line)
+                        buf_sz += len(line)
+                        if buf_sz >= chunk_bytes:
+                            fs.write_bytes(
+                                os.path.join(
+                                    spool_dir_uri, f"{part_i:05d}.jsonl"
+                                ),
+                                b"".join(buf),
+                            )
+                            part_i += 1
+                            buf, buf_sz = [], 0
+                if buf or part_i == 0:
+                    fs.write_bytes(
+                        os.path.join(spool_dir_uri, f"{part_i:05d}.jsonl"),
+                        b"".join(buf),
+                    )
+                cand_src = spool_dir_uri
+            cand = spark.read.json(cand_src, schema="rel string")
             fdf = light.files_df(spark, full=True)
             live = fdf.select(F.col("path").alias("rel"))
 
@@ -3267,36 +3341,65 @@ def _vacuum_light(
             doomed = sorted(
                 r["rel"] for r in doomed_df.limit(cap).collect()
             )
-            if dry_run or len(doomed) >= cap:
+            # under the cap the capped collect IS the exact count — no
+            # second listing/anti-join job, dry run or not
+            if len(doomed) >= cap:
                 n_doomed = doomed_df.count()
             else:
                 n_doomed = len(doomed)
             if not dry_run and n_doomed:
+                if exec_safe:
 
-                def _delete_part(batches):
-                    import pandas as pd
+                    def _delete_part(batches):
+                        import pandas as pd
 
-                    fs2 = get_fs(table_path)
-                    c = 0
-                    for pdf in batches:
-                        for rel in pdf["rel"]:
-                            fs2.delete(os.path.join(table_path, rel))
-                            c += 1
-                    yield pd.DataFrame({"n": [c]})
+                        fs2 = get_fs(table_path)
+                        c = 0
+                        for pdf in batches:
+                            for rel in pdf["rel"]:
+                                fs2.delete(os.path.join(table_path, rel))
+                                c += 1
+                        yield pd.DataFrame({"n": [c]})
 
-                n_parts = max(8, spark.sparkContext.defaultParallelism)
-                deleted = sum(
-                    r["n"]
-                    for r in doomed_df.repartition(n_parts)
-                    .mapInPandas(_delete_part, schema="n long")
-                    .collect()
-                )
+                    n_parts = max(8, spark.sparkContext.defaultParallelism)
+                    deleted = sum(
+                        r["n"]
+                        for r in doomed_df.repartition(n_parts)
+                        .mapInPandas(_delete_part, schema="n long")
+                        .collect()
+                    )
+                else:
+                    # remote scheme: the facade needs the driver JVM, so
+                    # stream the doomed list back (toLocalIterator —
+                    # constant memory) and parallelize the network
+                    # deletes with threads; bounded batches keep the
+                    # in-flight future count O(batch), not O(garbage)
+                    import itertools
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    def _del_one(rel: str) -> int:
+                        fs.delete(os.path.join(table_path, rel))
+                        return 1
+
+                    it = (r["rel"] for r in doomed_df.toLocalIterator())
+                    deleted = 0
+                    with ThreadPoolExecutor(max_workers=16) as pool:
+                        while True:
+                            batch = list(itertools.islice(it, 8192))
+                            if not batch:
+                                break
+                            deleted += sum(pool.map(_del_one, batch))
                 n_doomed = deleted
     finally:
         try:
             os.unlink(spool.name)
         except OSError:
             pass
+        if spool_dir_uri is not None:
+            try:
+                fs.delete(spool_dir_uri, recursive=True)
+            except Exception:
+                pass  # scratch cleanup must never fail a finished VACUUM
 
     if not dry_run:
         # empty-dir pruning, deepest first (dir count is bounded by the

@@ -219,6 +219,17 @@ def is_remote(path: str) -> bool:
     return s is not None and s not in _LOCAL_SCHEMES
 
 
+def executor_fs_safe(path: str) -> bool:
+    """True iff get_fs(path) works in a BARE PYTHON WORKER (executor
+    task): plain/file-scheme paths, which resolve to posix LocalFS there
+    even under ADLS_FORCE_HADOOP_FS (the forced-Hadoop lever is
+    best-effort pre-session). Remote schemes need HadoopFS, whose py4j
+    gateway exists only on the driver — distributed fan-outs (vacuum
+    deletes, checkpoint part writes) must route those through the driver
+    facade instead of calling get_fs() inside a task."""
+    return not is_remote(path)
+
+
 def normalize_table_path(path: str) -> str:
     """The write-side replacement for os.path.abspath: absolute-ize bare
     local paths, pass URIs through untouched (abspath would mangle the

@@ -447,29 +447,33 @@ class LightSnapshot:
                     stats[k] = {p2l.get(c, c): v for c, v in d.items()}
             return stats
 
+        def _to_add(r) -> AddFile:
+            return AddFile(
+                path=r["path"],
+                partition_values=dict(r["partition_values"] or {}),
+                size=r["size"],
+                modification_time=r["modification_time"],
+                stats_raw=_remap_stats(r["stats"]),
+                deletion_vector=(
+                    json.loads(r["dv_json"]) if r["dv_json"] else None
+                ),
+                base_row_id=r["base_row_id"],
+                default_row_commit_version=r["default_rcv"],
+            )
+
         if cap is not None:
             rows = full_df.limit(cap + 1).collect()
             if len(rows) > cap:
                 return None
-        else:
-            rows = full_df.toLocalIterator()
-        out = []
-        for r in rows:
-            out.append(
-                AddFile(
-                    path=r["path"],
-                    partition_values=dict(r["partition_values"] or {}),
-                    size=r["size"],
-                    modification_time=r["modification_time"],
-                    stats_raw=_remap_stats(r["stats"]),
-                    deletion_vector=(
-                        json.loads(r["dv_json"]) if r["dv_json"] else None
-                    ),
-                    base_row_id=r["base_row_id"],
-                    default_row_commit_version=r["default_rcv"],
-                )
-            )
-        return out
+            # consume the Row list DESTRUCTIVELY: near the cap, holding
+            # all Rows (stats JSON strings included) AND all AddFiles
+            # doubles the very peak this cap exists to bound
+            rows.reverse()
+            out: list[AddFile] = []
+            while rows:
+                out.append(_to_add(rows.pop()))
+            return out
+        return [_to_add(r) for r in full_df.toLocalIterator()]
 
     def to_snapshot_state(self, files) -> "SnapshotState":
         """A classic-shaped SnapshotState over an EXPLICIT file list

@@ -63,15 +63,38 @@ def _file_matches_partition(
     raw = f.partition_values.get(col)
     dt = schema_types[col]
     pv = cast_partition_value(raw, dt)
+
+    def _align_ts(a, b):
+        # partition wall clocks parse naive; a user's AWARE predicate
+        # value must compare on the instant line — lift the naive side
+        # into the session zone (matching the distributed evaluator's
+        # session-zone cast) instead of raising or silently mismatching
+        import datetime
+
+        if (
+            isinstance(dt, T.TimestampType)
+            and isinstance(a, datetime.datetime)
+            and isinstance(b, datetime.datetime)
+            and (a.tzinfo is None) != (b.tzinfo is None)
+        ):
+            tz = _session_tzinfo()
+            a = a.replace(tzinfo=tz) if a.tzinfo is None else a
+            b = b.replace(tzinfo=tz) if b.tzinfo is None else b
+        return a, b
+
     if op == "in":
         # NULL IN (...) is never TRUE under SQL three-valued logic, so a
         # NULL-partition file provably holds no matching row — exact, not
         # just conservative (metadata-only count()/min_max() rely on this).
         if pv is None:
             return False
-        vals = [_coerce(v, dt) for v in val]
-        return pv in vals
+        for v in val:
+            a, b = _align_ts(pv, _coerce(v, dt))
+            if a == b:
+                return True
+        return False
     cv = _coerce(val, dt)
+    pv, cv = _align_ts(pv, cv)
     if cv is None:
         # ('col', '=', None) is the null-safe IS NULL predicate
         # (dml._normalize_where builds eqNullSafe for it); every other op
@@ -94,6 +117,66 @@ def _file_matches_partition(
     if op == ">=":
         return pv >= cv
     return True
+
+
+def _session_tzinfo():
+    """spark.sql.session.timeZone as a tzinfo (active session, else UTC —
+    session.get_spark pins UTC). Naive timestamp predicate values are
+    interpreted as SESSION-local wall clock, exactly how Spark SQL reads
+    a naive timestamp literal — never through the driver OS zone, which
+    is what pyspark's own F.lit(naive datetime) would silently use."""
+    import datetime
+
+    try:
+        from zoneinfo import ZoneInfo
+
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            return ZoneInfo(s.conf.get("spark.sql.session.timeZone"))
+    except Exception:
+        pass
+    return datetime.timezone.utc
+
+
+def _ts_session_aware(v, dt):
+    """Naive datetime predicate value on a TimestampType column -> aware
+    in the session zone (the writer's stats parse back aware-UTC, so the
+    python evaluator needs both sides on the instant line). TimestampNTZ
+    and already-aware values pass through untouched."""
+    import datetime
+
+    if (
+        isinstance(dt, T.TimestampType)
+        and not isinstance(dt, T.TimestampNTZType)
+        and isinstance(v, datetime.datetime)
+        and v.tzinfo is None
+    ):
+        return v.replace(tzinfo=_session_tzinfo())
+    return v
+
+
+def _typed_lit(v, dt):
+    """OS-independent Spark literal for a predicate value. Timestamps are
+    the trap: F.lit(naive datetime) converts through the driver OS
+    timezone (TimestampType.toInternal -> time.mktime), so the same
+    predicate prunes differently depending on the host's /etc/localtime.
+    Naive -> a string literal cast to timestamp (SESSION-zone semantics,
+    same as a SQL literal); aware -> absolute epoch micros."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    if isinstance(dt, T.TimestampType) and not isinstance(
+        dt, T.TimestampNTZType
+    ) and isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            return F.lit(v.isoformat(sep=" ")).cast(dt)
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        micros = round((v - epoch).total_seconds() * 1_000_000)
+        return F.timestamp_micros(F.lit(micros))
+    return F.lit(v)
 
 
 def _nonfinite_to_none(v):
@@ -119,9 +202,12 @@ def _file_matches_stats(
     if op == "in":
         if mn is None or mx is None:
             return True
-        vals = [_coerce(v, dt) for v in val]
-        return any(v is not None and mn <= v <= mx for v in vals)
-    cv = _coerce(val, dt)
+        vals = [_ts_session_aware(_coerce(v, dt), dt) for v in val]
+        try:
+            return any(v is not None and mn <= v <= mx for v in vals)
+        except TypeError:
+            return True  # incomparable (e.g. aware stats vs naive value)
+    cv = _ts_session_aware(_coerce(val, dt), dt)
     if cv is None or mn is None or mx is None:
         return True  # can't prove anything
     try:
@@ -329,11 +415,17 @@ def _part_match_expr(pv, dt: T.DataType, op: str, val):
         vals = [v for v in (_coerce(x, dt) for x in val) if v is not None]
         if not vals:
             return F.lit(False)
+        if isinstance(dt, T.TimestampType):
+            # never let datetimes ride through isin/lit (OS-tz toInternal)
+            inner = F.lit(False)
+            for v in vals:
+                inner = inner | (pv == _typed_lit(v, dt))
+            return F.coalesce(inner, F.lit(False))
         return F.coalesce(pv.isin(vals), F.lit(False))
     cv = _coerce(val, dt)
     if cv is None:
         return pv.isNull() if op in {"=", "=="} else F.lit(False)
-    lit = F.lit(cv)
+    lit = _typed_lit(cv, dt)
     core = {
         "=": pv == lit,
         "==": pv == lit,
@@ -366,14 +458,15 @@ def _stats_match_expr(stats_col, col: str, dt: T.DataType, op: str, val):
         vals = [v for v in (_coerce(x, dt) for x in val) if v is not None]
         inner = F.lit(False)
         for v in vals:
-            inner = inner | ((mn <= F.lit(v)) & (F.lit(v) <= mx))
+            tv = _typed_lit(v, dt)
+            inner = inner | ((mn <= tv) & (tv <= mx))
         return F.when(no_stats, F.lit(True)).otherwise(
             F.coalesce(inner, F.lit(False))
         )
     cv = _coerce(val, dt)
     if cv is None or op == "!=":
         return F.lit(True)
-    lit = F.lit(cv)
+    lit = _typed_lit(cv, dt)
     core = {
         "=": (mn <= lit) & (lit <= mx),
         "==": (mn <= lit) & (lit <= mx),

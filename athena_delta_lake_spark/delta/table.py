@@ -160,22 +160,38 @@ class DeltaTable:
         if where:
             from pyspark.sql import functions as F
 
+            from .stats import _typed_lit
+
+            types = {f_.name: f_.dataType for f_ in df.schema.fields}
             for col, op, val in where:
                 c = F.col(col)
+                dt = types.get(col)
+                # _typed_lit keeps datetime literals OS-independent
+                # (session-zone for naive, absolute for aware) — the SAME
+                # interpretation file pruning used, so the row filter can
+                # never keep a row pruning's file-level answer dropped
+                v = None if val is None else _typed_lit(val, dt)
                 if op in {"=", "=="}:
-                    cond = c.eqNullSafe(val) if val is None else (c == val)
+                    cond = c.isNull() if val is None else (c == v)
                 elif op == "!=":
-                    cond = c != val
+                    cond = c != v
                 elif op == "<":
-                    cond = c < val
+                    cond = c < v
                 elif op == "<=":
-                    cond = c <= val
+                    cond = c <= v
                 elif op == ">":
-                    cond = c > val
+                    cond = c > v
                 elif op == ">=":
-                    cond = c >= val
+                    cond = c >= v
                 elif op == "in":
-                    cond = c.isin(list(val))
+                    import datetime as _dtm
+
+                    if any(isinstance(x, _dtm.datetime) for x in val):
+                        cond = F.lit(False)
+                        for x in val:
+                            cond = cond | (c == _typed_lit(x, dt))
+                    else:
+                        cond = c.isin(list(val))
                 else:
                     raise ValueError(f"unsupported op: {op!r}")
                 df = df.filter(cond)

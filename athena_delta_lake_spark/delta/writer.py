@@ -2367,6 +2367,77 @@ def _classic_part_writer(
     return fn
 
 
+def _spark_cp_schema(arrow_schema):
+    """The checkpoint arrow schema as a Spark StructType, for routing
+    action rows through Spark's NATIVE parquet writer (the remote-scheme
+    staging path below)."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return from_arrow_schema(arrow_schema)
+
+
+def _staged_classic_rows(l2p, meta_rows, cols):
+    """mapInPandas fn for the REMOTE-scheme light checkpoint (round-9
+    review): emit full checkpoint action rows — task partition 0 carries
+    the header — and let Spark's own FileFormatWriter land them on the
+    destination scheme executor-side. The posix part writers above call
+    get_fs() inside tasks, which cannot construct HadoopFS in a Python
+    worker (the py4j gateway lives on the driver), so s3a://hdfs://...
+    checkpoints stage through the JVM writer instead."""
+
+    def fn(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        if pid == 0 and meta_rows:
+            yield pd.DataFrame(
+                [{c: r.get(c) for c in cols} for r in meta_rows],
+                columns=cols,
+            )
+        for pdf in batches:
+            rows = _cp_add_rows(pdf, l2p)
+            if rows:
+                yield pd.DataFrame(
+                    [dict.fromkeys(cols) | {"add": a} for a in rows],
+                    columns=cols,
+                )
+
+    return fn
+
+
+def _staged_sidecar_rows(l2p, cols):
+    """mapInPandas fn: V2 sidecar rows for the remote-scheme staging path
+    (see _staged_classic_rows); header rows live in the manifest, so this
+    emits adds only."""
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = _cp_add_rows(pdf, l2p)
+            if rows:
+                yield pd.DataFrame(
+                    [{"add": a, "remove": None} for a in rows],
+                    columns=cols,
+                )
+
+    return fn
+
+
+def _collect_staged_parts(cp_fs, stage: str) -> list:
+    """The parquet part files Spark's writer left in the stage dir,
+    name-sorted (skips _SUCCESS and hidden .crc entries)."""
+    return sorted(
+        (
+            fi
+            for fi in cp_fs.listdir(stage)
+            if fi.name.endswith(".parquet") and not fi.name.startswith(".")
+        ),
+        key=lambda fi: fi.name,
+    )
+
+
 def _write_checkpoint_light(
     spark, table_path: str, parts: int | None = None, v2: bool = False
 ) -> int:
@@ -2380,7 +2451,15 @@ def _write_checkpoint_light(
     O(header). Row shape matches the classic writer exactly (same
     _cp_arrow_schema; physical-keyed partitionValues/stats,
     percent-encoded paths) — replay-equality-tested in
-    tests/test_checkpoint_light.py."""
+    tests/test_checkpoint_light.py.
+
+    Two executor-side write strategies, picked by executor_fs_safe:
+    local tables stream pyarrow parquet straight to posix paths; REMOTE
+    tables (s3a://, hdfs://...) stage the same rows through Spark's
+    native parquet writer into `_delta_log/.tmp/` and the driver renames
+    the staged parts into place — a bare Python worker cannot construct
+    HadoopFS (no py4j gateway), so get_fs() must never run in a task for
+    those schemes (round-9 review)."""
     import pyarrow as pa
 
     from .log import _read_last_checkpoint
@@ -2406,17 +2485,50 @@ def _write_checkpoint_light(
     else:
         n_parts = max(1, parts)
     fdf = light.files_df(spark, full=True).repartition(n_parts)
+    from .fs import executor_fs_safe
+
+    exec_safe = executor_fs_safe(table_path)
+    if not exec_safe:
+        # the staged (Spark-native) writers below can't report per-part
+        # add counts the way the pyarrow writers do — count once up front
+        total_adds = fdf.count()
     if v2:
         sidecar_dir = os.path.join(log_dir, "_sidecars")
         cp_fs.mkdirs(sidecar_dir)
-        results = fdf.mapInPandas(
-            _sidecar_part_writer(sidecar_dir, l2p),
-            schema=(
-                "path string, sizeInBytes long, "
-                "modificationTime long, adds long"
-            ),
-        ).collect()
-        total_adds = sum(r["adds"] for r in results)
+        if exec_safe:
+            results = fdf.mapInPandas(
+                _sidecar_part_writer(sidecar_dir, l2p),
+                schema=(
+                    "path string, sizeInBytes long, "
+                    "modificationTime long, adds long"
+                ),
+            ).collect()
+            total_adds = sum(r["adds"] for r in results)
+        else:
+            sc_schema = _cp_sidecar_schema()
+            stage = os.path.join(
+                log_dir, ".tmp", f"sidecars-{uuid.uuid4().hex}"
+            )
+            fdf.mapInPandas(
+                _staged_sidecar_rows(l2p, list(sc_schema.names)),
+                schema=_spark_cp_schema(sc_schema),
+            ).write.mode("overwrite").parquet(stage)
+            results = []
+            now_ms = int(time.time() * 1000)
+            for fi in _collect_staged_parts(cp_fs, stage):
+                name = f"{uuid.uuid4()}.parquet"
+                cp_fs.move(
+                    os.path.join(stage, fi.name),
+                    os.path.join(sidecar_dir, name),
+                )
+                results.append(
+                    {
+                        "path": name,
+                        "sizeInBytes": fi.size,
+                        "modificationTime": now_ms,
+                    }
+                )
+            cp_fs.delete(stage, recursive=True)
         mrows = [
             {
                 **{
@@ -2461,18 +2573,51 @@ def _write_checkpoint_light(
         )
         last = {"version": version, "size": len(meta_rows) + total_adds}
     else:
-        results = fdf.mapInPandas(
-            _classic_part_writer(log_dir, version, n_parts, l2p, meta_rows),
-            schema="part long, adds long",
-        ).collect()
-        if len(results) != n_parts:
-            raise RuntimeError(
-                f"checkpoint wrote {len(results)} of {n_parts} parts"
+        if exec_safe:
+            results = fdf.mapInPandas(
+                _classic_part_writer(
+                    log_dir, version, n_parts, l2p, meta_rows
+                ),
+                schema="part long, adds long",
+            ).collect()
+            if len(results) != n_parts:
+                raise RuntimeError(
+                    f"checkpoint wrote {len(results)} of {n_parts} parts"
+                )
+            total_adds = sum(r["adds"] for r in results)
+            n_written = n_parts
+        else:
+            cp_schema = _cp_arrow_schema()
+            stage = os.path.join(
+                log_dir, ".tmp", f"checkpoint-{uuid.uuid4().hex}"
             )
-        total_adds = sum(r["adds"] for r in results)
+            fdf.mapInPandas(
+                _staged_classic_rows(l2p, meta_rows, list(cp_schema.names)),
+                schema=_spark_cp_schema(cp_schema),
+            ).write.mode("overwrite").parquet(stage)
+            staged = _collect_staged_parts(cp_fs, stage)
+            if not staged:
+                raise RuntimeError("staged checkpoint wrote no part files")
+            # empty partitions write nothing under FileFormatWriter, so
+            # the multi-part numbering is assigned POST-HOC over the
+            # parts that exist — contiguous i-of-k by construction
+            n_written = len(staged)
+            for i, fi in enumerate(staged):
+                if n_written == 1:
+                    dstn = f"{version:020d}.checkpoint.parquet"
+                else:
+                    dstn = (
+                        f"{version:020d}.checkpoint."
+                        f"{i + 1:010d}.{n_written:010d}.parquet"
+                    )
+                cp_fs.move(
+                    os.path.join(stage, fi.name),
+                    os.path.join(log_dir, dstn),
+                )
+            cp_fs.delete(stage, recursive=True)
         last = {"version": version, "size": len(meta_rows) + total_adds}
-        if n_parts > 1:
-            last["parts"] = n_parts
+        if n_written > 1:
+            last["parts"] = n_written
     ict = _commit_ict(log_dir, version)
     if ict is not None:
         last["lastInCommitTimestamp"] = ict

@@ -134,3 +134,61 @@ def test_dml_uses_auto_path(spark, tmp_path, monkeypatch):
     left = read_snapshot(spark, DeltaLog(path).snapshot())
     assert left.count() == 150
     assert left.filter("p = 2").count() == 0
+
+
+def test_prune_equality_under_divergent_session_tz(spark, snap):
+    """Round-9 regression: with spark.sql.session.timeZone forced away
+    from the host OS zone, naive/string timestamp predicates must still
+    give IDENTICAL answers from both evaluators, interpreted in the
+    SESSION zone. The old paths disagreed: python raised TypeError
+    (aware stats vs naive value -> kept everything) while the distributed
+    evaluator compared F.lit(naive) through the driver OS zone."""
+    ts_preds = [
+        [("ts", "<", "2024-03-02 00:00:00")],
+        [("ts", ">=", datetime.datetime(2024, 3, 3, 12, 0, 0))],
+        [("ts", "=", "2024-03-01 05:00:00")],
+        [
+            (
+                "ts",
+                "in",
+                [
+                    datetime.datetime(2024, 3, 1, 5, 0, 0),
+                    "2024-03-02 07:00:00",
+                ],
+            )
+        ],
+        # aware value: an absolute instant, zone-independent by definition
+        [
+            (
+                "ts",
+                ">",
+                datetime.datetime(
+                    2024, 3, 2, 12, 0, 0, tzinfo=datetime.timezone.utc
+                ),
+            )
+        ],
+    ]
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    baselines = []
+    for preds in ts_preds:
+        py = [f.path for f in prune_files(snap, preds)]
+        dist = [f.path for f in prune_files_distributed(spark, snap, preds)]
+        assert dist == py, preds
+        baselines.append(py)
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        for preds, base in zip(ts_preds, baselines):
+            py = [f.path for f in prune_files(snap, preds)]
+            dist = [
+                f.path for f in prune_files_distributed(spark, snap, preds)
+            ]
+            assert dist == py, preds
+            # naive bounds now mean LA wall clock: the answer may legally
+            # differ from the UTC-session baseline, but the AWARE predicate
+            # is an absolute instant and must not move at all
+            if preds[0][2].__class__ is datetime.datetime and preds[0][
+                2
+            ].tzinfo is not None:
+                assert py == base, preds
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

@@ -55,23 +55,30 @@ def test_cast_date_range_prunes(spark, tmp_path):
     snap = _gen_table(spark, str(tmp_path / "g2"), "CAST(ts AS DATE)")
     pruned = prune_files(snap, [("ts", ">=", "2024-03-04 06:00:00")])
     assert _days(pruned) == ["2024-03-04", "2024-03-05"]
+    # round-9: timestamp DATA stats now compare (session-aware values vs
+    # the writer's aware-UTC stats), so the 03-02 file — whose earliest
+    # row is 00:30, after the 00:00:01 bound — prunes EXACTLY where the
+    # date derivation alone could only be day-conservative
     pruned = prune_files(snap, [("ts", "<", "2024-03-02 00:00:01")])
-    assert _days(pruned) == ["2024-03-01", "2024-03-02"]
+    assert _days(pruned) == ["2024-03-01"]
 
 
 def test_range_boundary_is_conservative(spark, tmp_path):
-    # ts < midnight of 03-02 still keeps the 03-02 partition (<= on the
-    # truncated value) — rows at exactly midnight live there
+    # boundary semantics on the derived date predicate: `<=` at a file's
+    # exact min keeps it; `<` strictly before every row in 03-02 (its
+    # earliest is 00:30) prunes it — no matching row exists there
     snap = _gen_table(spark, str(tmp_path / "g3"), "CAST(ts AS DATE)")
-    pruned = prune_files(snap, [("ts", "<", "2024-03-02 00:00:00")])
+    pruned = prune_files(snap, [("ts", "<=", "2024-03-02 00:30:00")])
     assert "2024-03-02" in _days(pruned)
-    # and correctness: the surviving files still contain every match
-    kept_rows = [
-        v
-        for f in pruned
-        for v in []  # file-level only; row filter runs in the scan
-    ]
-    assert len(pruned) >= 1
+    pruned = prune_files(snap, [("ts", "<", "2024-03-02 00:00:00")])
+    assert _days(pruned) == ["2024-03-01"]
+    # correctness stays exact through the scan either way
+    t = DeltaTable(spark, str(tmp_path / "g3"))
+    got = sorted(
+        r["v"]
+        for r in t.to_df(where="ts < '2024-03-02 00:00:00'").collect()
+    )
+    assert got == [100, 112]
 
 
 def test_in_list_derivation(spark, tmp_path):
@@ -150,9 +157,14 @@ def test_unsupported_expression_ignored(spark, tmp_path):
     df = base.withColumn("m", F.month("ts"))
     write_delta(spark.createDataFrame(df.collect(), schema), path, partition_by=["m"])
     snap = DeltaLog(path).snapshot()
-    # month() is cyclic, NOT monotone: both rows share m=5; no derivation
+    # month() is cyclic, NOT monotone: both rows share m=5, so NOTHING may
+    # derive on the partition column (a wrong 'm > 12' would prune both
+    # files). The 2023 file still prunes — legitimately, by its own ts
+    # DATA stats (max 2023-05-01 < bound), not by any m derivation — and
+    # the 2024 file, the only one with matching rows, must survive.
     pruned = prune_files(snap, [("ts", ">", "2023-12-01 00:00:00")])
-    assert len(pruned) == len(snap.files)
+    assert len(pruned) == 1
+    assert (pruned[0].stats or {})["maxValues"]["v"] == 2
 
 
 # ----------------------- generated-column DML enforcement (round 5)

@@ -137,3 +137,36 @@ def test_light_vacuum_via_sql_call(spark, tmp_path, monkeypatch):
     assert out.count() >= 1
     DeltaLog.clear_cache()
     assert DeltaTable(spark, path).to_df().count() == 200
+
+
+def test_light_vacuum_remote_branch(spark, tmp_path, monkeypatch):
+    """REMOTE-scheme code path (round-9 review): executors cannot build
+    HadoopFS (no py4j gateway in a Python worker), so the spool must
+    stage into `_delta_log/.tmp/` — readable by every executor through
+    the table's own scheme — and the deletes must run from a driver
+    thread pool, never from get_fs() inside a task. Forced here by
+    stubbing executor_fs_safe; results must equal the classic reap."""
+    import shutil
+
+    from athena_delta_lake_spark.delta import fs as fsmod
+
+    a, b = str(tmp_path / "ra"), str(tmp_path / "rb")
+    _mk_garbage_table(spark, a)
+    shutil.copytree(a, b)
+    DeltaLog.clear_cache()
+    want = _rows(spark, a)
+    res_c = dml.vacuum(a, retention_hours=0)
+    assert res_c["files"]
+
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "5")
+    monkeypatch.setattr(fsmod, "executor_fs_safe", lambda p: False)
+    res_l = dml.vacuum(b, retention_hours=0, spark=spark)
+    assert res_l["planning"] == "light"
+    assert res_l["files"] == res_c["files"]
+    for rel in res_l["files"]:
+        assert not os.path.exists(os.path.join(b, rel))
+    # the staged spool is cleaned up
+    tmp_dir = os.path.join(b, "_delta_log", ".tmp")
+    assert not os.path.exists(tmp_dir) or not os.listdir(tmp_dir)
+    DeltaLog.clear_cache()
+    assert _rows(spark, b) == want

@@ -15,6 +15,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from athena_delta_lake_spark import DeltaTable, write_delta
 
@@ -232,6 +233,59 @@ def test_merge_key_range_pruning_timestamp_keys(spark, tmp_path):
         [(None, 0.0)], "ts timestamp, v double"
     )
     assert len(_merge_key_range_candidates(spark, snap, nsrc, ["ts"])) == 10
+
+
+def test_merge_ts_bounds_immune_to_session_vs_os_timezone(spark, tmp_path):
+    """Regression (round-9 review): collect() renders TimestampType via
+    datetime.fromtimestamp, i.e. the DRIVER OS timezone — NOT the session
+    timezone. The old bound path re-attached the SESSION tz to that
+    OS-rendered naive wall clock, so whenever the two differed every
+    timestamp merge bound shifted by the offset delta and pruning could
+    drop files that DO contain matching rows (silent duplicate inserts).
+    Bounds now travel as unix_micros (absolute, tz-free); with session tz
+    forced to America/Los_Angeles on a UTC host the computed bound must
+    still equal the true instant exactly."""
+    import datetime
+
+    from athena_delta_lake_spark.delta.dml import _source_key_bound_preds
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    utc = datetime.timezone.utc
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        path = str(tmp_path / "tzmerge")
+        df = spark.range(240).selectExpr(
+            "timestamp'2024-06-01 00:00:00' + "
+            "make_interval(0,0,0,0,0,0,id*3600) AS ts",
+            "id * 1.0 AS v",
+        ).repartitionByRange(10, "ts")
+        write_delta(df, path)
+        snap = DeltaLog(path).snapshot()
+
+        # unit: an aware-UTC source instant must round-trip exactly
+        inst = datetime.datetime(2024, 6, 5, 12, 0, tzinfo=utc)
+        src = spark.createDataFrame([(inst, -1.0)], "ts timestamp, v double")
+        preds = {(k, op): v for k, op, v in
+                 _source_key_bound_preds(spark, snap.schema, src, ["ts"])}
+        assert preds[("ts", ">=")] == inst, preds[("ts", ">=")]
+        assert preds[("ts", "<=")] == inst, preds[("ts", "<=")]
+
+        # end-to-end: merging an existing instant under the mismatched tz
+        # updates in place (no duplicate key, no lost update)
+        t = DeltaTable(spark, path)
+        existing = t.to_df().orderBy("ts").limit(1).collect()[0]["ts"]
+        n_before = t.to_df().count()
+        esrc = spark.createDataFrame(
+            [(existing, -42.0)], "ts timestamp, v double"
+        )
+        t.merge(esrc, keys=["ts"])
+        got = t.to_df().where(F.col("ts") == F.lit(existing)).collect()
+        assert len(got) == 1, got  # no duplicate insert
+        assert got[0]["v"] == -42.0  # update not lost
+        assert t.to_df().count() == n_before
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
 
 
 def test_timestamp_scan_pruning_stats_recorded(spark, tmp_path):
