@@ -1018,6 +1018,54 @@ def _validate_nmbs_assign_cols(nmbs_assigns: dict | None, schema) -> None:
             raise ValueError(f"SET on unknown column: {col_}")
 
 
+def _nmbs_assigned_select(frame, schema, nmbs_assigns: dict, carried_cols):
+    """Assigned row versions for NOT MATCHED BY SOURCE UPDATE over a
+    `t`-aliased frame: SET columns evaluate their expressions cast to
+    the target type, every other column keeps the target row's value,
+    and row-tracking/identity columns carry through untouched. Shared by
+    the COW and MOR paths (round-9 review: the twin selects would drift
+    under any future assignment-semantics fix). Column names are
+    validated up front by _validate_nmbs_assign_cols."""
+    return frame.select(
+        *[
+            F.expr(nmbs_assigns[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in nmbs_assigns
+            else F.col(f"t.{f.name}").alias(f.name)
+            for f in schema.fields
+        ],
+        *carried_cols,
+    )
+
+
+def _resolve_merge_planning(
+    spark, log, light, src, keys, nmbs, nmbs_cond, table_path, snap
+):
+    """(planning, snap, light): route MERGE candidate selection through
+    the light plane when engaged, else fall back to the classic snapshot
+    — refusing (ConcurrentWriteError) when the table version moved
+    during planning, so a schema planned against one header era never
+    mixes with another era's files. Shared by the COW and MOR paths
+    (round-9 review: the twin copies had already begun to drift)."""
+    if light is None:
+        return "classic", snap, None
+    planned = _light_merge_plan(spark, light, src, keys, nmbs, nmbs_cond)
+    if planned is None:
+        lv = light.version
+        snap = log.snapshot()
+        if snap.version != lv:
+            # the header this merge planned its schema against is stale —
+            # a concurrent commit landed mid-plan; retry against the new
+            # snapshot rather than mixing eras
+            from .writer import ConcurrentWriteError
+
+            raise ConcurrentWriteError(
+                f"version of {table_path} moved during MERGE "
+                "planning; re-run against the new snapshot"
+            )
+        return "classic", snap, None
+    return "light", light.to_snapshot_state(planned), light
+
+
 def _nmbs_parsed_preds(condition: str | None) -> list:
     """Best-effort pruning predicates a NOT MATCHED BY SOURCE condition
     implies: its parseable `t.<col> op literal` conjuncts with the t.
@@ -1706,26 +1754,9 @@ def merge_upsert(
             if k not in target_cols or k in src_missing:
                 raise ValueError(f"merge key not in table schema: {k}")
 
-        planning = "classic"
-        if light is not None:
-            planned = _light_merge_plan(spark, light, src, keys, nmbs, nmbs_cond)
-            if planned is None:
-                lv = light.version
-                light = None
-                snap = log.snapshot()
-                if snap.version != lv:
-                    # the header this merge planned its schema against is
-                    # stale — a concurrent commit landed mid-plan; retry
-                    # against the new snapshot rather than mixing eras
-                    from .writer import ConcurrentWriteError
-
-                    raise ConcurrentWriteError(
-                        f"version of {table_path} moved during MERGE "
-                        "planning; re-run against the new snapshot"
-                    )
-            else:
-                planning = "light"
-                snap = light.to_snapshot_state(planned)
+        planning, snap, light = _resolve_merge_planning(
+            spark, log, light, src, keys, nmbs, nmbs_cond, table_path, snap
+        )
 
         if not clauses and nmbs is None:
             if when_not_matched != "insert":
@@ -1844,21 +1875,12 @@ def merge_upsert(
                     c for c in target_rows.columns
                     if c not in {f.name for f in schema.fields}
                 ]
-                field_types_nmbs = {f.name: f.dataType for f in schema.fields}
-                for col_ in nmbs_assigns:
-                    if col_ not in field_types_nmbs:
-                        raise ValueError(f"SET on unknown column: {col_}")
                 nmbs_updated = um.filter(ct)
-                assigned_nmbs = nmbs_updated.select(
-                    *[
-                        F.expr(nmbs_assigns[f.name])
-                        .cast(f.dataType)
-                        .alias(f.name)
-                        if f.name in nmbs_assigns
-                        else F.col(f"t.{f.name}")
-                        for f in schema.fields
-                    ],
-                    *[F.col(f"t.{c}").alias(c) for c in carried_nmbs],
+                assigned_nmbs = _nmbs_assigned_select(
+                    nmbs_updated,
+                    schema,
+                    nmbs_assigns,
+                    [F.col(f"t.{c}").alias(c) for c in carried_nmbs],
                 )
                 pieces.append(assigned_nmbs)
                 piece_kinds.append("updated")
@@ -2305,23 +2327,9 @@ def merge_upsert_mor(
             if k not in target_cols or k in src_missing:
                 raise ValueError(f"merge key not in table schema: {k}")
 
-        planning = "classic"
-        if light is not None:
-            planned = _light_merge_plan(spark, light, src, keys, nmbs, nmbs_cond)
-            if planned is None:
-                lv = light.version
-                light = None
-                snap = log.snapshot()
-                if snap.version != lv:
-                    from .writer import ConcurrentWriteError
-
-                    raise ConcurrentWriteError(
-                        f"version of {table_path} moved during MERGE "
-                        "planning; re-run against the new snapshot"
-                    )
-            else:
-                planning = "light"
-                snap = light.to_snapshot_state(planned)
+        planning, snap, light = _resolve_merge_planning(
+            spark, log, light, src, keys, nmbs, nmbs_cond, table_path, snap
+        )
 
         if not clauses:
             if nmbs is not None:
@@ -2547,10 +2555,6 @@ def merge_upsert_mor(
             if nmbs == "update" and nmbs_hit is not None:
                 # by-source UPDATE: the DV above consumed the old row
                 # versions; append the assigned versions (same identity)
-                field_types_nmbs = {f.name: f.dataType for f in schema.fields}
-                for col_ in nmbs_assigns:
-                    if col_ not in field_types_nmbs:
-                        raise ValueError(f"SET on unknown column: {col_}")
                 carried_nmbs = []
                 if rt_mor:
                     from .writer import (
@@ -2562,16 +2566,8 @@ def merge_upsert_mor(
                         F.col(f"t.{c}").alias(c)
                         for c in (MATERIALIZED_ROW_ID_COL, MATERIALIZED_RCV_COL)
                     ]
-                assigned_nmbs_mor = nmbs_hit.select(
-                    *[
-                        F.expr(nmbs_assigns[f.name])
-                        .cast(f.dataType)
-                        .alias(f.name)
-                        if f.name in nmbs_assigns
-                        else F.col(f"t.{f.name}").alias(f.name)
-                        for f in schema.fields
-                    ],
-                    *carried_nmbs,
+                assigned_nmbs_mor = _nmbs_assigned_select(
+                    nmbs_hit, schema, nmbs_assigns, carried_nmbs
                 )
                 pieces_new.append(
                     assigned_nmbs_mor.withColumn("__mop", F.lit(1))
