@@ -3144,6 +3144,15 @@ def vacuum(
     seen_dirs: set[str] = set()
     for rel, _size, mtime_ms in fs.walk_files(table_path):
         if rel.startswith("_delta_log/"):
+            # _delta_log is off-limits EXCEPT .tmp: staging scratch
+            # (remote checkpoint parts, vacuum spools) from crashed
+            # attempts is unreferenced by construction — sweep it once
+            # expired, any extension (round-9 review: nothing else ever
+            # cleaned these up)
+            if not rel.startswith("_delta_log/.tmp/"):
+                continue
+            if mtime_ms < cutoff_ms:
+                doomed.append(rel)
             continue
         if "/" in rel:
             # the full ancestor chain, so bottom-up pruning reaches
@@ -3244,6 +3253,16 @@ def _vacuum_light(
         with spool:
             for rel, _size, mtime_ms in fs.walk_files(table_path):
                 if rel.startswith("_delta_log/"):
+                    # sweep expired .tmp staging scratch (same rule as
+                    # the classic walk); the spool this run stages there
+                    # is written AFTER this walk, so it never lists
+                    # itself
+                    if (
+                        rel.startswith("_delta_log/.tmp/")
+                        and mtime_ms < cutoff_ms
+                    ):
+                        spool.write(json.dumps({"rel": rel}) + "\n")
+                        n_cand += 1
                     continue
                 if "/" in rel:
                     parts = rel.split("/")[:-1]

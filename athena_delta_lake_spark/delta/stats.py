@@ -35,6 +35,20 @@ def _coerce(value: Any, dt: T.DataType) -> Any:
 
     if value is None:
         return None
+    if (
+        isinstance(dt, T.TimestampNTZType)
+        and isinstance(value, datetime.datetime)
+        and value.tzinfo is not None
+    ):
+        # fail fast in EVERY evaluator (python stats/partition, both
+        # Spark expression builders route values through here): an
+        # absolute instant has no defined order against a zoneless wall
+        # clock, and the paths used to disagree (conservative keep vs
+        # TypeError vs OS-zone literal)
+        raise ValueError(
+            "aware datetime predicate on a TIMESTAMP_NTZ column is "
+            "ill-defined; pass a naive wall-clock value"
+        )
     if isinstance(dt, (T.DateType,)) and isinstance(value, str):
         return datetime.date.fromisoformat(value)
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)) and isinstance(value, str):
@@ -119,25 +133,70 @@ def _file_matches_partition(
     return True
 
 
-def _session_tzinfo():
-    """spark.sql.session.timeZone as a tzinfo (active session, else UTC —
-    session.get_spark pins UTC). Naive timestamp predicate values are
-    interpreted as SESSION-local wall clock, exactly how Spark SQL reads
-    a naive timestamp literal — never through the driver OS zone, which
-    is what pyspark's own F.lit(naive datetime) would silently use."""
+def parse_tz_name(name: str):
+    """tzinfo for a Spark/Java timezone id: IANA names via ZoneInfo, plus
+    the fixed-offset forms Spark also accepts and ZoneInfo cannot parse
+    (GMT+08:00, UTC+05:30, +08:00, GMT-3). Raises on anything else —
+    a SILENT UTC fallback here means every naive timestamp predicate is
+    interpreted in the wrong zone (round-9 review: the original fallback
+    did exactly that for legal offset-form session zones)."""
     import datetime
 
+    from zoneinfo import ZoneInfo
+
     try:
-        from zoneinfo import ZoneInfo
-
-        from pyspark.sql import SparkSession
-
-        s = SparkSession.getActiveSession()
-        if s is not None:
-            return ZoneInfo(s.conf.get("spark.sql.session.timeZone"))
+        return ZoneInfo(name)
     except Exception:
         pass
-    return datetime.timezone.utc
+    s = name.strip()
+    if s.upper() in ("GMT", "UTC", "Z", "GMT0", "GREENWICH", "UT"):
+        return datetime.timezone.utc
+    m = _re.fullmatch(
+        r"(?:GMT|UTC)?\s*([+-])(\d{1,2})(?::?(\d{2}))?(?::?(\d{2}))?", s
+    )
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        delta = datetime.timedelta(
+            hours=int(m.group(2)),
+            minutes=int(m.group(3) or 0),
+            seconds=int(m.group(4) or 0),
+        )
+        return datetime.timezone(sign * delta)
+    raise ValueError(
+        f"cannot interpret spark.sql.session.timeZone={name!r}; "
+        "set an IANA zone id or a GMT/UTC offset form"
+    )
+
+
+def _session_tzinfo(spark=None):
+    """spark.sql.session.timeZone as a tzinfo (given session, else the
+    active one, else UTC — session.get_spark pins UTC). Naive timestamp
+    predicate values are interpreted as SESSION-local wall clock, exactly
+    how Spark SQL reads a naive timestamp literal — never through the
+    driver OS zone, which is what pyspark's own F.lit(naive datetime)
+    would silently use."""
+    import datetime
+
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        return datetime.timezone.utc
+    return parse_tz_name(spark.conf.get("spark.sql.session.timeZone", "UTC"))
+
+
+def _to_session_wall(v):
+    """AWARE datetime -> the session zone's naive wall clock. Generated-
+    partition derivation runs in the WALL-CLOCK domain: `CAST(ts AS
+    DATE)` partition values are session-local dates, so deriving the UTC
+    calendar date of an aware bound (e.g. a merge key range) would prune
+    the wrong partition on any non-UTC session (round-9 review)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return v.astimezone(_session_tzinfo()).replace(tzinfo=None)
+    return v
 
 
 def _ts_session_aware(v, dt):
@@ -162,20 +221,32 @@ def _typed_lit(v, dt):
     the trap: F.lit(naive datetime) converts through the driver OS
     timezone (TimestampType.toInternal -> time.mktime), so the same
     predicate prunes differently depending on the host's /etc/localtime.
-    Naive -> a string literal cast to timestamp (SESSION-zone semantics,
-    same as a SQL literal); aware -> absolute epoch micros."""
+    TimestampType: naive -> a string literal cast to timestamp
+    (SESSION-zone semantics, same as a SQL literal); aware -> absolute
+    epoch micros (integer arithmetic — float total_seconds() drifts ±1µs
+    past ~year 2255). TimestampNTZ: naive -> string cast (pure wall
+    clock, zone-free); aware is rejected — an absolute instant has no
+    defined order against a zoneless wall clock."""
     import datetime
 
     from pyspark.sql import functions as F
 
-    if isinstance(dt, T.TimestampType) and not isinstance(
-        dt, T.TimestampNTZType
-    ) and isinstance(v, datetime.datetime):
-        if v.tzinfo is None:
+    if isinstance(v, datetime.datetime):
+        if isinstance(dt, T.TimestampNTZType):
+            if v.tzinfo is not None:
+                raise ValueError(
+                    "aware datetime predicate on a TIMESTAMP_NTZ column "
+                    "is ill-defined; pass a naive wall-clock value"
+                )
             return F.lit(v.isoformat(sep=" ")).cast(dt)
-        epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
-        micros = round((v - epoch).total_seconds() * 1_000_000)
-        return F.timestamp_micros(F.lit(micros))
+        if isinstance(dt, T.TimestampType):
+            if v.tzinfo is None:
+                return F.lit(v.isoformat(sep=" ")).cast(dt)
+            epoch = datetime.datetime(
+                1970, 1, 1, tzinfo=datetime.timezone.utc
+            )
+            micros = (v - epoch) // datetime.timedelta(microseconds=1)
+            return F.timestamp_micros(F.lit(micros))
     return F.lit(v)
 
 
@@ -326,22 +397,31 @@ def _derive_generated_preds(
         return []
     types = {f.name: f.dataType for f in snapshot.schema.fields}
     extra: list[Predicate] = []
+
+    def _wall(v):
+        # derivation runs in the session's WALL-CLOCK domain (partition
+        # values of CAST(ts AS DATE)/date_trunc are session-local):
+        # aware bounds — e.g. merge key ranges — convert to the session
+        # wall clock first, or the derived date is the UTC calendar date
+        # and prunes the neighboring partition on non-UTC sessions
+        return _to_session_wall(v)
+
     for col, op, val in preds:
         for pcol, g in derivs.get(col, ()):
             if op in {"=", "=="}:
-                gv = g(_coerce(val, types[col]))
+                gv = g(_wall(_coerce(val, types[col])))
                 if gv is not None:
                     extra.append((pcol, "=", gv))
             elif op in {"<", "<="}:
-                gv = g(_coerce(val, types[col]))
+                gv = g(_wall(_coerce(val, types[col])))
                 if gv is not None:
                     extra.append((pcol, "<=", gv))
             elif op in {">", ">="}:
-                gv = g(_coerce(val, types[col]))
+                gv = g(_wall(_coerce(val, types[col])))
                 if gv is not None:
                     extra.append((pcol, ">=", gv))
             elif op == "in":
-                gvs = [g(_coerce(v, types[col])) for v in val]
+                gvs = [g(_wall(_coerce(v, types[col]))) for v in val]
                 if gvs and all(v is not None for v in gvs):
                     extra.append((pcol, "in", sorted(set(gvs))))
     return extra

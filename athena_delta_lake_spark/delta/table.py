@@ -166,6 +166,19 @@ class DeltaTable:
             for col, op, val in where:
                 c = F.col(col)
                 dt = types.get(col)
+                if op == "in":
+                    # datetime elements route through _typed_lit one by
+                    # one (isin would ride pyspark's OS-zone conversion)
+                    import datetime as _dtm
+
+                    if any(isinstance(x, _dtm.datetime) for x in val):
+                        cond = F.lit(False)
+                        for x in val:
+                            cond = cond | (c == _typed_lit(x, dt))
+                    else:
+                        cond = c.isin(list(val))
+                    df = df.filter(cond)
+                    continue
                 # _typed_lit keeps datetime literals OS-independent
                 # (session-zone for naive, absolute for aware) — the SAME
                 # interpretation file pruning used, so the row filter can
@@ -183,15 +196,6 @@ class DeltaTable:
                     cond = c > v
                 elif op == ">=":
                     cond = c >= v
-                elif op == "in":
-                    import datetime as _dtm
-
-                    if any(isinstance(x, _dtm.datetime) for x in val):
-                        cond = F.lit(False)
-                        for x in val:
-                            cond = cond | (c == _typed_lit(x, dt))
-                    else:
-                        cond = c.isin(list(val))
                 else:
                     raise ValueError(f"unsupported op: {op!r}")
                 df = df.filter(cond)

@@ -2509,26 +2509,34 @@ def _write_checkpoint_light(
             stage = os.path.join(
                 log_dir, ".tmp", f"sidecars-{uuid.uuid4().hex}"
             )
-            fdf.mapInPandas(
-                _staged_sidecar_rows(l2p, list(sc_schema.names)),
-                schema=_spark_cp_schema(sc_schema),
-            ).write.mode("overwrite").parquet(stage)
             results = []
-            now_ms = int(time.time() * 1000)
-            for fi in _collect_staged_parts(cp_fs, stage):
-                name = f"{uuid.uuid4()}.parquet"
-                cp_fs.move(
-                    os.path.join(stage, fi.name),
-                    os.path.join(sidecar_dir, name),
-                )
-                results.append(
-                    {
-                        "path": name,
-                        "sizeInBytes": fi.size,
-                        "modificationTime": now_ms,
-                    }
-                )
-            cp_fs.delete(stage, recursive=True)
+            try:
+                fdf.mapInPandas(
+                    _staged_sidecar_rows(l2p, list(sc_schema.names)),
+                    schema=_spark_cp_schema(sc_schema),
+                ).write.mode("overwrite").parquet(stage)
+                now_ms = int(time.time() * 1000)
+                for fi in _collect_staged_parts(cp_fs, stage):
+                    name = f"{uuid.uuid4()}.parquet"
+                    cp_fs.move(
+                        os.path.join(stage, fi.name),
+                        os.path.join(sidecar_dir, name),
+                    )
+                    results.append(
+                        {
+                            "path": name,
+                            "sizeInBytes": fi.size,
+                            "modificationTime": now_ms,
+                        }
+                    )
+            finally:
+                # never leak the stage dir — vacuum ignores nothing under
+                # _delta_log except .tmp, and a crashed attempt must not
+                # force the NEXT writer to inherit stray parts
+                try:
+                    cp_fs.delete(stage, recursive=True)
+                except Exception:
+                    pass
         mrows = [
             {
                 **{
@@ -2591,30 +2599,42 @@ def _write_checkpoint_light(
             stage = os.path.join(
                 log_dir, ".tmp", f"checkpoint-{uuid.uuid4().hex}"
             )
-            fdf.mapInPandas(
-                _staged_classic_rows(l2p, meta_rows, list(cp_schema.names)),
-                schema=_spark_cp_schema(cp_schema),
-            ).write.mode("overwrite").parquet(stage)
-            staged = _collect_staged_parts(cp_fs, stage)
-            if not staged:
-                raise RuntimeError("staged checkpoint wrote no part files")
-            # empty partitions write nothing under FileFormatWriter, so
-            # the multi-part numbering is assigned POST-HOC over the
-            # parts that exist — contiguous i-of-k by construction
-            n_written = len(staged)
-            for i, fi in enumerate(staged):
-                if n_written == 1:
-                    dstn = f"{version:020d}.checkpoint.parquet"
-                else:
-                    dstn = (
-                        f"{version:020d}.checkpoint."
-                        f"{i + 1:010d}.{n_written:010d}.parquet"
+            try:
+                fdf.mapInPandas(
+                    _staged_classic_rows(
+                        l2p, meta_rows, list(cp_schema.names)
+                    ),
+                    schema=_spark_cp_schema(cp_schema),
+                ).write.mode("overwrite").parquet(stage)
+                staged = _collect_staged_parts(cp_fs, stage)
+                if not staged:
+                    raise RuntimeError(
+                        "staged checkpoint wrote no part files"
                     )
-                cp_fs.move(
-                    os.path.join(stage, fi.name),
-                    os.path.join(log_dir, dstn),
-                )
-            cp_fs.delete(stage, recursive=True)
+                # empty partitions write nothing under FileFormatWriter,
+                # so the multi-part numbering is assigned POST-HOC over
+                # the parts that exist — contiguous i-of-k by construction
+                n_written = len(staged)
+                for i, fi in enumerate(staged):
+                    if n_written == 1:
+                        dstn = f"{version:020d}.checkpoint.parquet"
+                    else:
+                        dstn = (
+                            f"{version:020d}.checkpoint."
+                            f"{i + 1:010d}.{n_written:010d}.parquet"
+                        )
+                    dst = os.path.join(log_dir, dstn)
+                    # re-checkpointing the same version must OVERWRITE,
+                    # matching the posix path's os.replace — Hadoop
+                    # rename refuses an existing destination
+                    if cp_fs.exists(dst):
+                        cp_fs.delete(dst)
+                    cp_fs.move(os.path.join(stage, fi.name), dst)
+            finally:
+                try:
+                    cp_fs.delete(stage, recursive=True)
+                except Exception:
+                    pass
         last = {"version": version, "size": len(meta_rows) + total_adds}
         if n_written > 1:
             last["parts"] = n_written

@@ -31,6 +31,7 @@ import re
 from pyspark.sql import DataFrame, Row
 
 from .delta.fs import normalize_table_path
+from .delta.stats import _session_tzinfo as _stats_session_tzinfo
 from pyspark.sql import functions as F
 
 
@@ -187,15 +188,11 @@ def _session_tz(spark):
     Spark interprets NAIVE datetime values in this zone, so every
     epoch-millis <-> naive-datetime conversion that feeds or reads a Spark
     timestamp column must go through it — pinning UTC shifts DESCRIBE
-    HISTORY / TIMESTAMP AS OF by the tz offset on non-UTC sessions."""
-    import datetime as _dt
-    from zoneinfo import ZoneInfo
-
-    name = spark.conf.get("spark.sql.session.timeZone", "UTC")
-    try:
-        return ZoneInfo(name)
-    except Exception:
-        return _dt.timezone.utc
+    HISTORY / TIMESTAMP AS OF by the tz offset on non-UTC sessions.
+    Delegates to the ONE zone parser (stats.parse_tz_name — IANA ids plus
+    Spark's offset forms; a silent UTC fallback used to live here and its
+    twin in stats.py, round-9 review)."""
+    return _stats_session_tzinfo(spark)
 
 
 def _naive_ts_to_millis(spark, ts) -> int:

@@ -716,3 +716,273 @@ def test_backlog_warning_suppressed_on_committed_restart(spark, tmp_path):
             r.latestOffset()
     finally:
         os.environ.pop("ADLS_STREAM_BACKLOG_WARN_FILES", None)
+
+
+# ---------------- round-9 second review pass: tz parsing, derivation
+# wall-clock domain, NTZ literals, staged-checkpoint re-run, .tmp sweep
+
+
+def test_parse_tz_name_offset_forms():
+    """Spark accepts offset-form zone ids ZoneInfo cannot parse; a silent
+    UTC fallback shifted every naive timestamp predicate by the offset."""
+    import datetime
+
+    from athena_delta_lake_spark.delta.stats import parse_tz_name
+
+    assert parse_tz_name("GMT+08:00").utcoffset(None) == datetime.timedelta(
+        hours=8
+    )
+    assert parse_tz_name("UTC+05:30").utcoffset(None) == datetime.timedelta(
+        hours=5, minutes=30
+    )
+    assert parse_tz_name("-0330").utcoffset(None) == -datetime.timedelta(
+        hours=3, minutes=30
+    )
+    assert parse_tz_name("GMT").utcoffset(None) == datetime.timedelta(0)
+    assert parse_tz_name("America/New_York") is not None
+    with pytest.raises(ValueError):
+        parse_tz_name("Not/AZone")
+
+
+def test_prune_equality_offset_form_session_tz(spark, tmp_path):
+    """Evaluator equality under an offset-form session zone (the exact
+    case the old ZoneInfo-or-UTC fallback got wrong driver-side)."""
+    import datetime
+
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.stats import (
+        prune_files,
+        prune_files_distributed,
+    )
+
+    path = str(tmp_path / "offtz")
+    df = spark.range(96).selectExpr(
+        "timestamp'2024-05-01 00:00:00' + "
+        "make_interval(0,0,0,0,0,0,id*3600) AS ts",
+        "id AS v",
+    ).repartitionByRange(4, "ts")
+    write_delta(df, path)
+    snap = DeltaLog(path).snapshot()
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "GMT+08:00")
+    try:
+        for preds in (
+            [("ts", "<", "2024-05-02 00:00:00")],
+            [("ts", ">=", datetime.datetime(2024, 5, 3, 12, 0))],
+        ):
+            py = [f.path for f in prune_files(snap, preds)]
+            dist = [
+                f.path for f in prune_files_distributed(spark, snap, preds)
+            ]
+            assert dist == py, preds
+            # and the evaluators agree with the ROW answer
+            t = DeltaTable(spark, path)
+            col, op, val = preds[0]
+            expr = {"<": "<", ">=": ">="}[op]
+            lit = (
+                f"timestamp'{val}'"
+                if isinstance(val, str)
+                else f"timestamp'{val.isoformat(sep=' ')}'"
+            )
+            want = t.to_df().filter(f"ts {expr} {lit}").count()
+            got = t.to_df(where=preds).count()
+            assert got == want, preds
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_generated_derivation_uses_session_wall_clock(spark, tmp_path):
+    """An AWARE bound (merge key ranges are aware-UTC now) on a
+    CAST(ts AS DATE)-partitioned table must derive the SESSION-local
+    date: under America/Los_Angeles an instant at 01:00Z lives in the
+    PREVIOUS session day's partition."""
+    import datetime
+
+    import pyspark.sql.types as T
+
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.stats import prune_files
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        path = str(tmp_path / "genwall")
+        schema = T.StructType(
+            [
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("v", T.LongType()),
+                T.StructField(
+                    "d",
+                    T.DateType(),
+                    metadata={
+                        "delta.generationExpression": "CAST(ts AS DATE)"
+                    },
+                ),
+            ]
+        )
+        base = spark.createDataFrame(
+            [(f"2024-03-0{d} 10:00:00", d) for d in range(1, 4)],
+            "ts string, v long",
+        ).select(F.to_timestamp("ts").alias("ts"), "v")
+        df = base.withColumn("d", F.to_date("ts"))
+        write_delta(
+            spark.createDataFrame(df.collect(), schema),
+            path,
+            partition_by=["d"],
+        )
+        snap = DeltaLog(path).snapshot()
+        days = sorted(f.partition_values["d"] for f in snap.files)
+        assert days == ["2024-03-01", "2024-03-02", "2024-03-03"]
+        # the instant of the 03-02 10:00 LA row, as aware UTC (18:00Z)
+        inst = datetime.datetime(
+            2024, 3, 2, 18, 0, tzinfo=datetime.timezone.utc
+        )
+        pruned = prune_files(snap, [("ts", "=", inst)])
+        assert [f.partition_values["d"] for f in pruned] == ["2024-03-02"]
+        # an aware instant that is ALREADY the next UTC day (03-03 01:00Z
+        # == 03-02 17:00 LA) must DERIVE the session-local date 03-02 —
+        # the old UTC-calendar derivation produced d=2024-03-03 and would
+        # prune the partition holding any matching row
+        from athena_delta_lake_spark.delta.stats import (
+            _derive_generated_preds,
+        )
+
+        inst2 = datetime.datetime(
+            2024, 3, 3, 1, 0, tzinfo=datetime.timezone.utc
+        )
+        derived = _derive_generated_preds(snap, [("ts", "=", inst2)])
+        assert derived == [("d", "=", datetime.date(2024, 3, 2))], derived
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_ntz_predicates_os_independent_and_aware_rejected(spark, tmp_path):
+    """TIMESTAMP_NTZ predicates: naive values render as zone-free string
+    casts in every evaluator (F.lit(naive) would ride the driver OS
+    zone); aware values are rejected up front in all paths."""
+    import datetime
+
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.stats import (
+        prune_files,
+        prune_files_distributed,
+    )
+
+    path = str(tmp_path / "ntzp")
+    df = spark.range(48).selectExpr(
+        "timestamp_ntz'2024-04-01 00:00:00' + "
+        "make_interval(0,0,0,0,0,0,id*3600) AS tn",
+        "id AS v",
+    ).repartitionByRange(4, "tn")
+    write_delta(df, path)
+    snap = DeltaLog(path).snapshot()
+    preds = [("tn", ">=", datetime.datetime(2024, 4, 1, 12, 0))]
+    py = [f.path for f in prune_files(snap, preds)]
+    dist = [f.path for f in prune_files_distributed(spark, snap, preds)]
+    assert dist == py
+    t = DeltaTable(spark, path)
+    assert (
+        t.to_df(where=preds).count()
+        == t.to_df().filter("tn >= timestamp_ntz'2024-04-01 12:00:00'").count()
+    )
+    aware = [
+        ("tn", ">=", datetime.datetime(2024, 4, 1, tzinfo=datetime.timezone.utc))
+    ]
+    with pytest.raises(ValueError, match="TIMESTAMP_NTZ"):
+        prune_files(snap, aware)
+    with pytest.raises(ValueError, match="TIMESTAMP_NTZ"):
+        t.to_df(where=aware).count()
+
+
+def test_staged_checkpoint_rerun_overwrites(spark, tmp_path, monkeypatch):
+    """Re-running the staged (remote-scheme) checkpoint at the SAME
+    version must overwrite like the posix path's os.replace — Hadoop
+    rename refuses an existing destination — and never leak the stage
+    dir, even across repeats."""
+    from athena_delta_lake_spark.delta import fs as fsmod
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.writer import write_checkpoint
+
+    path = str(tmp_path / "rerun")
+    write_delta(
+        spark.range(300).selectExpr("id", "cast(id % 6 as int) as p"),
+        path,
+        partition_by=["p"],
+    )
+    write_checkpoint(path)
+    write_delta(
+        spark.range(5).selectExpr("id + 1000 as id", "cast(0 as int) as p"),
+        path,
+        mode="append",
+    )
+    DeltaLog.clear_cache()
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "5")
+    monkeypatch.setattr(fsmod, "executor_fs_safe", lambda p: False)
+    v1 = write_checkpoint(path, parts=2, spark=spark)
+    v2 = write_checkpoint(path, parts=2, spark=spark)  # same version again
+    assert v1 == v2
+    DeltaLog.clear_cache()
+    snap = DeltaLog(path).snapshot()
+    assert snap.num_files == len(snap.files)
+    assert DeltaTable(spark, path).to_df().count() == 305
+    tmp_dir = os.path.join(path, "_delta_log", ".tmp")
+    assert not os.path.exists(tmp_dir) or not os.listdir(tmp_dir)
+
+
+def test_vacuum_sweeps_stale_delta_log_tmp(spark, tmp_path):
+    """Crashed staging attempts leave parts under _delta_log/.tmp that no
+    other path cleans; VACUUM sweeps them once expired (classic + light,
+    any extension), while fresh scratch survives the retention window."""
+    from athena_delta_lake_spark.delta import dml
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    import shutil
+    import time as _time
+
+    a = str(tmp_path / "tmpsweep")
+    write_delta(
+        spark.range(60).selectExpr("id", "cast(id % 3 as int) as p"),
+        a,
+        partition_by=["p"],
+    )
+    stale = os.path.join(a, "_delta_log", ".tmp", "checkpoint-dead")
+    os.makedirs(stale)
+    for n in ("part-0.parquet", "_SUCCESS", "leftover.jsonl"):
+        with open(os.path.join(stale, n), "w") as f:
+            f.write("x")
+    old = _time.time() - 10 * 24 * 3600
+    for n in os.listdir(stale):
+        os.utime(os.path.join(stale, n), (old, old))
+
+    res = dml.vacuum(a, retention_hours=168, dry_run=True)
+    got = {r for r in res["files"] if r.startswith("_delta_log/.tmp/")}
+    assert got == {
+        "_delta_log/.tmp/checkpoint-dead/part-0.parquet",
+        "_delta_log/.tmp/checkpoint-dead/_SUCCESS",
+        "_delta_log/.tmp/checkpoint-dead/leftover.jsonl",
+    }
+    # light path proposes the same sweep
+    b = str(tmp_path / "tmpsweep_b")
+    shutil.copytree(a, b)
+    for n in os.listdir(os.path.join(b, "_delta_log", ".tmp", "checkpoint-dead")):
+        p = os.path.join(b, "_delta_log", ".tmp", "checkpoint-dead", n)
+        os.utime(p, (old, old))
+    DeltaLog.clear_cache()
+    os.environ["ADLS_LIGHT_PLANNING_FILES"] = "5"
+    try:
+        from athena_delta_lake_spark.delta.writer import write_checkpoint
+
+        write_checkpoint(b)
+        DeltaLog.clear_cache()
+        res_l = dml.vacuum(b, retention_hours=168, spark=spark)
+        assert res_l["planning"] == "light"
+        assert not os.path.exists(
+            os.path.join(b, "_delta_log", ".tmp", "checkpoint-dead")
+        ) or not os.listdir(
+            os.path.join(b, "_delta_log", ".tmp", "checkpoint-dead")
+        )
+        # the table itself is intact
+        assert DeltaTable(spark, b).to_df().count() == 60
+    finally:
+        del os.environ["ADLS_LIGHT_PLANNING_FILES"]
+        DeltaLog.clear_cache()
