@@ -3140,6 +3140,10 @@ def vacuum(
                 live.add(rel.replace(os.sep, "/"))
     cutoff_ms = (time.time() - retention_hours * 3600.0) * 1000.0
 
+    # .tmp scratch has no live-set protection, only this mtime window —
+    # floor it at one hour so a retention-0 VACUUM can't reap the stage
+    # dir of a checkpoint/vacuum that is mid-write RIGHT NOW
+    tmp_cutoff_ms = min(cutoff_ms, (time.time() - 3600.0) * 1000.0)
     doomed: list[str] = []
     seen_dirs: set[str] = set()
     for rel, _size, mtime_ms in fs.walk_files(table_path):
@@ -3151,8 +3155,12 @@ def vacuum(
             # cleaned these up)
             if not rel.startswith("_delta_log/.tmp/"):
                 continue
-            if mtime_ms < cutoff_ms:
+            if mtime_ms < tmp_cutoff_ms:
                 doomed.append(rel)
+                if "/" in rel:
+                    parts = rel.split("/")[:-1]
+                    for i in range(2, len(parts) + 1):
+                        seen_dirs.add("/".join(parts[:i]))
             continue
         if "/" in rel:
             # the full ancestor chain, so bottom-up pruning reaches
@@ -3181,7 +3189,9 @@ def vacuum(
             if "/" in r
         }
         for d in sorted(seen_dirs, key=lambda s: -s.count("/")):
-            if d.startswith("_delta_log"):
+            if d.startswith("_delta_log") and not (
+                d == "_delta_log/.tmp" or d.startswith("_delta_log/.tmp/")
+            ):
                 continue
             if d not in still_live_dirs and not any(
                 other.startswith(d + "/") for other in still_live_dirs
@@ -3250,19 +3260,26 @@ def _vacuum_light(
         "w", suffix=".jsonl", delete=False, encoding="utf-8"
     )
     try:
+        tmp_cutoff_ms = min(cutoff_ms, (time.time() - 3600.0) * 1000.0)
         with spool:
             for rel, _size, mtime_ms in fs.walk_files(table_path):
                 if rel.startswith("_delta_log/"):
-                    # sweep expired .tmp staging scratch (same rule as
-                    # the classic walk); the spool this run stages there
-                    # is written AFTER this walk, so it never lists
-                    # itself
+                    # sweep expired .tmp staging scratch (same rule +
+                    # 1-hour floor as the classic walk — a concurrent
+                    # writer's mid-write stage dir must survive a
+                    # retention-0 VACUUM); the spool this run stages
+                    # there is written AFTER this walk, so it never
+                    # lists itself
                     if (
                         rel.startswith("_delta_log/.tmp/")
-                        and mtime_ms < cutoff_ms
+                        and mtime_ms < tmp_cutoff_ms
                     ):
                         spool.write(json.dumps({"rel": rel}) + "\n")
                         n_cand += 1
+                        if "/" in rel:
+                            parts = rel.split("/")[:-1]
+                            for i in range(2, len(parts) + 1):
+                                seen_dirs.add("/".join(parts[:i]))
                     continue
                 if "/" in rel:
                     parts = rel.split("/")[:-1]
@@ -3425,7 +3442,9 @@ def _vacuum_light(
             if "/" in r
         }
         for d in sorted(seen_dirs, key=lambda s: -s.count("/")):
-            if d.startswith("_delta_log"):
+            if d.startswith("_delta_log") and not (
+                d == "_delta_log/.tmp" or d.startswith("_delta_log/.tmp/")
+            ):
                 continue
             if d not in still_live_dirs and not any(
                 other.startswith(d + "/") for other in still_live_dirs

@@ -380,7 +380,7 @@ class LightSnapshot:
         # the light path would stats-scan every partition exactly in the
         # 10^7-file regime it exists for (widening-only, so skipping it
         # would be slow, not wrong)
-        preds = preds + _derive_generated_preds(self, preds)
+        preds = preds + _derive_generated_preds(self, preds, spark)
         schema_types = {f.name: f.dataType for f in self.schema.fields}
         part_cols = set(self.partition_columns)
         # stats keys are PHYSICAL (the log's own form; see files_df) —

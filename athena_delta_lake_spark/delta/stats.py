@@ -17,6 +17,7 @@ PROVABLY contains no matching row).
 
 from __future__ import annotations
 
+import re as _re
 from typing import Any, Iterable, Sequence
 
 from pyspark.sql import types as T
@@ -70,9 +71,14 @@ def _stats_value(stats: dict | None, section: str, column: str) -> Any:
 
 
 def _file_matches_partition(
-    f: AddFile, schema_types: dict[str, T.DataType], pred: Predicate
+    f: AddFile,
+    schema_types: dict[str, T.DataType],
+    pred: Predicate,
+    tz=None,
 ) -> bool:
-    """False only when the file's partition value provably fails `pred`."""
+    """False only when the file's partition value provably fails `pred`.
+    `tz`: resolved session tzinfo from the enclosing prune pass (per-file
+    resolution would cost a py4j conf roundtrip per comparison)."""
     col, op, val = pred
     raw = f.partition_values.get(col)
     dt = schema_types[col]
@@ -91,9 +97,9 @@ def _file_matches_partition(
             and isinstance(b, datetime.datetime)
             and (a.tzinfo is None) != (b.tzinfo is None)
         ):
-            tz = _session_tzinfo()
-            a = a.replace(tzinfo=tz) if a.tzinfo is None else a
-            b = b.replace(tzinfo=tz) if b.tzinfo is None else b
+            z = tz or _session_tzinfo()
+            a = a.replace(tzinfo=z) if a.tzinfo is None else a
+            b = b.replace(tzinfo=z) if b.tzinfo is None else b
         return a, b
 
     if op == "in":
@@ -133,13 +139,52 @@ def _file_matches_partition(
     return True
 
 
-def parse_tz_name(name: str):
-    """tzinfo for a Spark/Java timezone id: IANA names via ZoneInfo, plus
-    the fixed-offset forms Spark also accepts and ZoneInfo cannot parse
-    (GMT+08:00, UTC+05:30, +08:00, GMT-3). Raises on anything else —
-    a SILENT UTC fallback here means every naive timestamp predicate is
-    interpreted in the wrong zone (round-9 review: the original fallback
-    did exactly that for legal offset-form session zones)."""
+# java.time.ZoneId.SHORT_IDS — Spark resolves these legacy three-letter
+# ids through this exact public mapping, so a session configured with
+# 'JST'/'PST'/... is legal and must not raise (round-9 third review)
+_JAVA_SHORT_IDS = {
+    "ACT": "Australia/Darwin",
+    "AET": "Australia/Sydney",
+    "AGT": "America/Argentina/Buenos_Aires",
+    "ART": "Africa/Cairo",
+    "AST": "America/Anchorage",
+    "BET": "America/Sao_Paulo",
+    "BST": "Asia/Dhaka",
+    "CAT": "Africa/Harare",
+    "CNT": "America/St_Johns",
+    "CST": "America/Chicago",
+    "CTT": "Asia/Shanghai",
+    "EAT": "Africa/Addis_Ababa",
+    "ECT": "Europe/Paris",
+    "IET": "America/Indiana/Indianapolis",
+    "IST": "Asia/Kolkata",
+    "JST": "Asia/Tokyo",
+    "MIT": "Pacific/Apia",
+    "NET": "Asia/Yerevan",
+    "NST": "Pacific/Auckland",
+    "PLT": "Asia/Karachi",
+    "PNT": "America/Phoenix",
+    "PRT": "America/Puerto_Rico",
+    "PST": "America/Los_Angeles",
+    "SST": "Pacific/Guadalcanal",
+    "VST": "Asia/Ho_Chi_Minh",
+    "EST": "-05:00",
+    "MST": "-07:00",
+    "HST": "-10:00",
+}
+
+# strict offset grammar: hours alone, colon-separated pairs, or exactly
+# HHMM — a sloppier `\d{1,2}:?` regex accepted '+05300' as +00:53:00 via
+# backtracking (round-9 third review), silently shifting every naive
+# timestamp by the difference from the intended zone
+_TZ_OFFSET_RES = (
+    _re.compile(r"([+-])(\d{1,2})"),
+    _re.compile(r"([+-])(\d{1,2}):(\d{2})(?::(\d{2}))?"),
+    _re.compile(r"([+-])(\d{2})(\d{2})"),
+)
+
+
+def _parse_tz_uncached(name: str):
     import datetime
 
     from zoneinfo import ZoneInfo
@@ -149,23 +194,46 @@ def parse_tz_name(name: str):
     except Exception:
         pass
     s = name.strip()
+    short = _JAVA_SHORT_IDS.get(s)
+    if short is not None:
+        return _parse_tz_uncached(short)
     if s.upper() in ("GMT", "UTC", "Z", "GMT0", "GREENWICH", "UT"):
         return datetime.timezone.utc
-    m = _re.fullmatch(
-        r"(?:GMT|UTC)?\s*([+-])(\d{1,2})(?::?(\d{2}))?(?::?(\d{2}))?", s
-    )
-    if m:
-        sign = 1 if m.group(1) == "+" else -1
-        delta = datetime.timedelta(
-            hours=int(m.group(2)),
-            minutes=int(m.group(3) or 0),
-            seconds=int(m.group(4) or 0),
+    body = _re.sub(r"(?i)^(?:GMT|UTC|UT)\s*", "", s)
+    for rx in _TZ_OFFSET_RES:
+        m = rx.fullmatch(body)
+        if not m:
+            continue
+        g = m.groups()
+        sign = 1 if g[0] == "+" else -1
+        h = int(g[1])
+        mnt = int(g[2]) if len(g) > 2 and g[2] else 0
+        sec = int(g[3]) if len(g) > 3 and g[3] else 0
+        if h > 18 or mnt > 59 or sec > 59:  # java.time.ZoneOffset limits
+            break
+        return datetime.timezone(
+            sign * datetime.timedelta(hours=h, minutes=mnt, seconds=sec)
         )
-        return datetime.timezone(sign * delta)
     raise ValueError(
         f"cannot interpret spark.sql.session.timeZone={name!r}; "
-        "set an IANA zone id or a GMT/UTC offset form"
+        "set an IANA zone id, a Java short id, or a GMT/UTC offset form"
     )
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=64)
+def parse_tz_name(name: str):
+    """tzinfo for a Spark/Java timezone id: IANA names via ZoneInfo,
+    java.time.ZoneId.SHORT_IDS (JST, PST, ...), and the fixed-offset
+    forms Spark also accepts but ZoneInfo cannot parse (GMT+08:00,
+    UTC+05:30, UT+8, +0830). Raises on anything else — a SILENT UTC
+    fallback here means every naive timestamp predicate is interpreted
+    in the wrong zone (round-9 review: the original fallback did exactly
+    that for legal offset-form session zones). lru_cached — the prune
+    loop resolves the zone once per distinct id."""
+    return _parse_tz_uncached(name)
 
 
 def _session_tzinfo(spark=None):
@@ -186,24 +254,27 @@ def _session_tzinfo(spark=None):
     return parse_tz_name(spark.conf.get("spark.sql.session.timeZone", "UTC"))
 
 
-def _to_session_wall(v):
+def _to_session_wall(v, tz=None):
     """AWARE datetime -> the session zone's naive wall clock. Generated-
     partition derivation runs in the WALL-CLOCK domain: `CAST(ts AS
     DATE)` partition values are session-local dates, so deriving the UTC
     calendar date of an aware bound (e.g. a merge key range) would prune
-    the wrong partition on any non-UTC session (round-9 review)."""
+    the wrong partition on any non-UTC session (round-9 review). Pass
+    the resolved tz when a loop calls this per value — resolution costs
+    a py4j conf roundtrip."""
     import datetime
 
     if isinstance(v, datetime.datetime) and v.tzinfo is not None:
-        return v.astimezone(_session_tzinfo()).replace(tzinfo=None)
+        return v.astimezone(tz or _session_tzinfo()).replace(tzinfo=None)
     return v
 
 
-def _ts_session_aware(v, dt):
+def _ts_session_aware(v, dt, tz=None):
     """Naive datetime predicate value on a TimestampType column -> aware
     in the session zone (the writer's stats parse back aware-UTC, so the
     python evaluator needs both sides on the instant line). TimestampNTZ
-    and already-aware values pass through untouched."""
+    and already-aware values pass through untouched. Pass the resolved
+    tz from per-file loops (see _to_session_wall)."""
     import datetime
 
     if (
@@ -212,7 +283,7 @@ def _ts_session_aware(v, dt):
         and isinstance(v, datetime.datetime)
         and v.tzinfo is None
     ):
-        return v.replace(tzinfo=_session_tzinfo())
+        return v.replace(tzinfo=tz or _session_tzinfo())
     return v
 
 
@@ -263,9 +334,13 @@ def _nonfinite_to_none(v):
 
 
 def _file_matches_stats(
-    f: AddFile, schema_types: dict[str, T.DataType], pred: Predicate
+    f: AddFile,
+    schema_types: dict[str, T.DataType],
+    pred: Predicate,
+    tz=None,
 ) -> bool:
-    """False only when min/max/nullCount stats PROVE no row matches."""
+    """False only when min/max/nullCount stats PROVE no row matches.
+    `tz` as in _file_matches_partition."""
     col, op, val = pred
     dt = schema_types[col]
     mn = _nonfinite_to_none(_coerce(_stats_value(f.stats, "minValues", col), dt))
@@ -273,12 +348,12 @@ def _file_matches_stats(
     if op == "in":
         if mn is None or mx is None:
             return True
-        vals = [_ts_session_aware(_coerce(v, dt), dt) for v in val]
+        vals = [_ts_session_aware(_coerce(v, dt), dt, tz) for v in val]
         try:
             return any(v is not None and mn <= v <= mx for v in vals)
         except TypeError:
             return True  # incomparable (e.g. aware stats vs naive value)
-    cv = _ts_session_aware(_coerce(val, dt), dt)
+    cv = _ts_session_aware(_coerce(val, dt), dt, tz)
     if cv is None or mn is None or mx is None:
         return True  # can't prove anything
     try:
@@ -296,8 +371,6 @@ def _file_matches_stats(
         return True  # incomparable types: keep the file
     return True  # != can't be proven false by min/max alone (unless mn==mx==cv)
 
-
-import re as _re
 
 # supported delta.generationExpression forms for partition-filter
 # derivation — each is MONOTONE non-decreasing in its base column, so a
@@ -386,7 +459,7 @@ def generated_partition_derivations(snapshot: SnapshotState):
 
 
 def _derive_generated_preds(
-    snapshot: SnapshotState, preds: Sequence[Predicate]
+    snapshot: SnapshotState, preds: Sequence[Predicate], spark=None
 ) -> list[Predicate]:
     """Extra partition predicates implied by base-column predicates through
     monotone generation expressions. `=`/`in` map exactly; `<`/`<=` relax
@@ -396,32 +469,38 @@ def _derive_generated_preds(
     if not derivs:
         return []
     types = {f.name: f.dataType for f in snapshot.schema.fields}
+    # derivation runs in the session's WALL-CLOCK domain (partition
+    # values of CAST(ts AS DATE)/date_trunc are session-local): aware
+    # bounds — e.g. merge key ranges — convert to the session wall clock
+    # first, or the derived date is the UTC calendar date and prunes the
+    # neighboring partition on non-UTC sessions. The tz resolves from
+    # the CALLER's session when given (a multi-session driver's active
+    # session may carry a different spark.sql.session.timeZone).
+    tz = None
+
+    def _gv(g, col, v):
+        nonlocal tz
+        if tz is None:
+            tz = _session_tzinfo(spark)
+        return g(_to_session_wall(_coerce(v, types[col]), tz))
+
     extra: list[Predicate] = []
-
-    def _wall(v):
-        # derivation runs in the session's WALL-CLOCK domain (partition
-        # values of CAST(ts AS DATE)/date_trunc are session-local):
-        # aware bounds — e.g. merge key ranges — convert to the session
-        # wall clock first, or the derived date is the UTC calendar date
-        # and prunes the neighboring partition on non-UTC sessions
-        return _to_session_wall(v)
-
     for col, op, val in preds:
         for pcol, g in derivs.get(col, ()):
             if op in {"=", "=="}:
-                gv = g(_wall(_coerce(val, types[col])))
+                gv = _gv(g, col, val)
                 if gv is not None:
                     extra.append((pcol, "=", gv))
             elif op in {"<", "<="}:
-                gv = g(_wall(_coerce(val, types[col])))
+                gv = _gv(g, col, val)
                 if gv is not None:
                     extra.append((pcol, "<=", gv))
             elif op in {">", ">="}:
-                gv = g(_wall(_coerce(val, types[col])))
+                gv = _gv(g, col, val)
                 if gv is not None:
                     extra.append((pcol, ">=", gv))
             elif op == "in":
-                gvs = [g(_wall(_coerce(v, types[col]))) for v in val]
+                gvs = [_gv(g, col, v) for v in val]
                 if gvs and all(v is not None for v in gvs):
                     extra.append((pcol, "in", sorted(set(gvs))))
     return extra
@@ -484,7 +563,7 @@ def prune_files_auto(
             return prune_files_distributed(spark, snapshot, preds)
         except UnsupportedDistributedPrune:
             pass
-    return prune_files(snapshot, preds)
+    return prune_files(snapshot, preds, spark)
 
 
 def _part_match_expr(pv, dt: T.DataType, op: str, val):
@@ -495,8 +574,10 @@ def _part_match_expr(pv, dt: T.DataType, op: str, val):
         vals = [v for v in (_coerce(x, dt) for x in val) if v is not None]
         if not vals:
             return F.lit(False)
-        if isinstance(dt, T.TimestampType):
-            # never let datetimes ride through isin/lit (OS-tz toInternal)
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            # never let datetimes ride through isin/lit (OS-tz
+            # toInternal) — NTZ included: F.lit(naive) builds an OS-zone
+            # TimestampType literal there too (round-9 third review)
             inner = F.lit(False)
             for v in vals:
                 inner = inner | (pv == _typed_lit(v, dt))
@@ -574,7 +655,7 @@ def prune_files_distributed(
     from pyspark.sql import functions as F
 
     preds: Sequence[Predicate] = list(predicates or [])
-    preds = preds + _derive_generated_preds(snapshot, preds)
+    preds = preds + _derive_generated_preds(snapshot, preds, spark)
     for col, op, _ in preds:
         if op not in _OPS:
             raise ValueError(f"unsupported predicate op: {op!r}")
@@ -626,16 +707,20 @@ def prune_files_distributed(
 
 
 def prune_files(
-    snapshot: SnapshotState, predicates: Iterable[Predicate] | None
+    snapshot: SnapshotState,
+    predicates: Iterable[Predicate] | None,
+    spark=None,
 ) -> list[AddFile]:
     """Return the subset of live files that can possibly match all predicates.
 
     Partition-column predicates prune on `partitionValues` (exact);
     data-column predicates prune on per-file min/max stats (conservative);
     predicates on the BASE column of a generated partition column derive
-    partition predicates (generated_partition_derivations)."""
+    partition predicates (generated_partition_derivations). `spark` pins
+    the session whose timeZone interprets naive timestamp values
+    (defaults to the active one)."""
     preds: Sequence[Predicate] = list(predicates or [])
-    preds = preds + _derive_generated_preds(snapshot, preds)
+    preds = preds + _derive_generated_preds(snapshot, preds, spark)
     for col, op, _ in preds:
         if op not in _OPS:
             raise ValueError(f"unsupported predicate op: {op!r}")
@@ -643,6 +728,22 @@ def prune_files(
         return snapshot.files
     schema_types = {f.name: f.dataType for f in snapshot.schema.fields}
     part_cols = set(snapshot.partition_columns)
+    # resolve the session zone ONCE per prune — only when some predicate
+    # can need it (a py4j conf.get per FILE dominated 10^5-file prunes)
+    import datetime as _dt
+
+    tz = None
+    if any(
+        isinstance(schema_types.get(c), T.TimestampType)
+        or isinstance(v, _dt.datetime)
+        or (
+            op_ == "in"
+            and any(isinstance(x, _dt.datetime) for x in (v or ()))
+        )
+        for c, op_, v in preds
+        if c in schema_types
+    ):
+        tz = _session_tzinfo(spark)
     out = []
     for f in snapshot.files:
         keep = True
@@ -651,11 +752,11 @@ def prune_files(
             if col not in schema_types:
                 continue
             if col in part_cols:
-                if not _file_matches_partition(f, schema_types, pred):
+                if not _file_matches_partition(f, schema_types, pred, tz):
                     keep = False
                     break
             else:
-                if not _file_matches_stats(f, schema_types, pred):
+                if not _file_matches_stats(f, schema_types, pred, tz):
                     keep = False
                     break
         if keep:

@@ -2425,6 +2425,25 @@ def _staged_sidecar_rows(l2p, cols):
     return fn
 
 
+from contextlib import contextmanager as _contextmanager
+
+
+@_contextmanager
+def _staged_tmp_dir(cp_fs, log_dir: str, prefix: str):
+    """A uuid-named scratch dir under `_delta_log/.tmp` for the staged
+    (remote-scheme) checkpoint writers, deleted on exit NO MATTER WHAT —
+    a crashed attempt must not force the next writer (or VACUUM's
+    eventual .tmp sweep) to inherit stray parts."""
+    stage = os.path.join(log_dir, ".tmp", f"{prefix}-{uuid.uuid4().hex}")
+    try:
+        yield stage
+    finally:
+        try:
+            cp_fs.delete(stage, recursive=True)
+        except Exception:
+            pass
+
+
 def _collect_staged_parts(cp_fs, stage: str) -> list:
     """The parquet part files Spark's writer left in the stage dir,
     name-sorted (skips _SUCCESS and hidden .crc entries)."""
@@ -2506,11 +2525,8 @@ def _write_checkpoint_light(
             total_adds = sum(r["adds"] for r in results)
         else:
             sc_schema = _cp_sidecar_schema()
-            stage = os.path.join(
-                log_dir, ".tmp", f"sidecars-{uuid.uuid4().hex}"
-            )
             results = []
-            try:
+            with _staged_tmp_dir(cp_fs, log_dir, "sidecars") as stage:
                 fdf.mapInPandas(
                     _staged_sidecar_rows(l2p, list(sc_schema.names)),
                     schema=_spark_cp_schema(sc_schema),
@@ -2529,14 +2545,6 @@ def _write_checkpoint_light(
                             "modificationTime": now_ms,
                         }
                     )
-            finally:
-                # never leak the stage dir — vacuum ignores nothing under
-                # _delta_log except .tmp, and a crashed attempt must not
-                # force the NEXT writer to inherit stray parts
-                try:
-                    cp_fs.delete(stage, recursive=True)
-                except Exception:
-                    pass
         mrows = [
             {
                 **{
@@ -2596,10 +2604,7 @@ def _write_checkpoint_light(
             n_written = n_parts
         else:
             cp_schema = _cp_arrow_schema()
-            stage = os.path.join(
-                log_dir, ".tmp", f"checkpoint-{uuid.uuid4().hex}"
-            )
-            try:
+            with _staged_tmp_dir(cp_fs, log_dir, "checkpoint") as stage:
                 fdf.mapInPandas(
                     _staged_classic_rows(
                         l2p, meta_rows, list(cp_schema.names)
@@ -2630,11 +2635,6 @@ def _write_checkpoint_light(
                     if cp_fs.exists(dst):
                         cp_fs.delete(dst)
                     cp_fs.move(os.path.join(stage, fi.name), dst)
-            finally:
-                try:
-                    cp_fs.delete(stage, recursive=True)
-                except Exception:
-                    pass
         last = {"version": version, "size": len(meta_rows) + total_adds}
         if n_written > 1:
             last["parts"] = n_written

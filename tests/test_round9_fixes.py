@@ -740,8 +740,22 @@ def test_parse_tz_name_offset_forms():
     )
     assert parse_tz_name("GMT").utcoffset(None) == datetime.timedelta(0)
     assert parse_tz_name("America/New_York") is not None
+    # java.time.ZoneId.SHORT_IDS — Spark-legal, ZoneInfo-unparseable
+    assert str(parse_tz_name("JST")) == "Asia/Tokyo"
+    assert str(parse_tz_name("PST")) == "America/Los_Angeles"
+    assert parse_tz_name("EST").utcoffset(None) == -datetime.timedelta(
+        hours=5
+    )
+    assert parse_tz_name("UT+08:00").utcoffset(None) == datetime.timedelta(
+        hours=8
+    )
     with pytest.raises(ValueError):
         parse_tz_name("Not/AZone")
+    # malformed offsets RAISE instead of parsing to a silently-wrong zone
+    with pytest.raises(ValueError):
+        parse_tz_name("+05300")
+    with pytest.raises(ValueError):
+        parse_tz_name("GMT+8:75")
 
 
 def test_prune_equality_offset_form_session_tz(spark, tmp_path):
