@@ -1142,3 +1142,53 @@ def test_backlog_warning_threshold_env_and_results_unchanged(
     with _w.catch_warnings():
         _w.simplefilter("error")
         r2.latestOffset()
+
+
+def test_sink_header_paths_stay_light(spark, tmp_path, monkeypatch):
+    """The sink's three header-only needs (column-mapping map, exactly-
+    once epoch HWM, schema/partition compatibility) must route through
+    the driver-light header past the threshold — on a 10^7-file target
+    the classic replay cost 8.6 GiB PER MICROBATCH COMMIT. Proven by
+    poisoning DeltaLog.snapshot: append commits and epoch lookups still
+    work; batch-overwrite (which genuinely needs prior.files) is the one
+    path allowed to call it."""
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.writer import write_checkpoint
+    from athena_delta_lake_spark.sources import deltapond_source as dps
+
+    path = str(tmp_path / "lightsink")
+    write_delta(
+        spark.range(100).selectExpr("id", "id % 4 as k"),
+        path,
+        partition_by=["k"],
+    )
+    write_checkpoint(path)
+    DeltaLog.clear_cache()
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "2")
+    assert DeltaLog(path).light_planning_engaged()
+
+    calls = []
+    orig = DeltaLog.snapshot
+
+    def poisoned(self, version=None):
+        calls.append(self.table_path)
+        return orig(self, version)
+
+    monkeypatch.setattr(DeltaLog, "snapshot", poisoned)
+
+    # header helpers never touch the classic snapshot
+    assert dps._target_l2p(path) is None  # not column-mapped
+    assert dps._header_snapshot(path).schema is not None
+    # an append commit through the sink plumbing stays light
+    v = dps._commit_adds(
+        path,
+        spark.read.format("deltapond").load(path).schema,
+        ["k"],
+        adds=[],
+        overwrite=False,
+        operation="STREAMING UPDATE",
+    )
+    assert v >= 1
+    assert calls == [], calls
+    DeltaLog.clear_cache()
+    assert DeltaTable(spark, path).to_df().count() == 100
