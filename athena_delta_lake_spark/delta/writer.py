@@ -164,6 +164,22 @@ def _next_version(table_path: str) -> int:
         return 0
 
 
+def _header_state(table_path: str, version: int | None = None):
+    """Header-only snapshot state (schema/metadata/protocol/txns/domain
+    metadata — NO file list) when light planning is engaged, classic
+    otherwise. Every metadata-only DDL (SET TBLPROPERTIES, ADD/RENAME/
+    DROP COLUMN, constraints, comments, domain metadata) and the shared
+    metadata-commit protocol check used to replay the full classic
+    snapshot: 8.6 GiB / 187 s at 10^7 adds (tools/meta_scale.py) to
+    change one JSON field. Ops that genuinely enumerate files
+    (enable_row_tracking's id allocation, commit_rewrite's conflict
+    check, overwrite removes) keep the classic snapshot."""
+    log = DeltaLog(table_path)
+    if log.light_planning_engaged(version):
+        return log.snapshot_light(version).to_snapshot_state([])
+    return log.snapshot(version)
+
+
 def _ict_enabled(config: dict | None) -> bool:
     return (config or {}).get(
         "delta.enableInCommitTimestamps", ""
@@ -1040,16 +1056,24 @@ def add_check_constraint(
 ) -> int:
     """ALTER TABLE ... ADD CONSTRAINT name CHECK (expr): validates ALL
     existing rows, then commits an updated metaData with the constraint in
-    `configuration` — subsequent write_delta / DML calls enforce it."""
-    from .reader import read_snapshot
+    `configuration` — subsequent write_delta / DML calls enforce it.
 
+    The validation SCAN routes through DeltaTable.to_df (light-planned
+    past the threshold — the full-table read is inherent, the classic
+    driver-resident file list is not); the commit uses the header only.
+    A header state must NEVER feed read_snapshot here: its empty file
+    list would validate zero rows and accept a violated constraint
+    (caught by test_light_planning.test_metadata_ddl_stays_light)."""
     table_path = normalize_table_path(table_path)
-    snap = DeltaLog(table_path).snapshot()
+    snap = _header_state(table_path)
     key = f"{_CONSTRAINT_PREFIX}{name}"
     if key in (snap.metadata.get("configuration") or {}):
         raise ValueError(f"constraint already exists: {name}")
+    from .table import DeltaTable  # local: table.py imports this module
+
     _enforce_constraints(
-        read_snapshot(spark, snap), {"configuration": {key: expr}}
+        DeltaTable(spark, table_path).to_df(),
+        {"configuration": {key: expr}},
     )
     md = dict(snap.metadata)
     md["configuration"] = {**(md.get("configuration") or {}), key: expr}
@@ -1082,7 +1106,7 @@ def add_check_constraint(
 def drop_check_constraint(table_path: str, name: str) -> int:
     """ALTER TABLE ... DROP CONSTRAINT name."""
     table_path = normalize_table_path(table_path)
-    snap = DeltaLog(table_path).snapshot()
+    snap = _header_state(table_path)
     key = f"{_CONSTRAINT_PREFIX}{name}"
     config = dict(snap.metadata.get("configuration") or {})
     if key not in config:
@@ -1770,7 +1794,9 @@ def write_delta(
                     f"version {expected_next} of {table_path} was committed "
                     "concurrently; re-run against the new snapshot"
                 ) from None
-            current = DeltaLog(table_path).snapshot()
+            # header-only: the retry checks txn HWM, schema names,
+            # partition columns, and constraints — never the file list
+            current = _header_state(table_path)
             if (
                 txn_app_id is not None
                 and current.txns.get(txn_app_id, -1) >= txn_version
@@ -3106,7 +3132,7 @@ def add_columns(
     commit, so a positioned ADD COLUMNS is atomic — no intermediate
     appended-at-end schema for concurrent readers or the streaming
     schema-change guard to trip on."""
-    snap = DeltaLog(table_path).snapshot()
+    snap = _header_state(table_path)
     now = int(time.time() * 1000)
     evolved, md = evolve_schema_metadata(snap, columns)
     new_fields = evolved.fields[len(snap.schema.fields):]
@@ -3400,7 +3426,7 @@ def _commit_metadata_change(
     re-allocation would silently clobber the winner's metaData).
     `extra_actions` (e.g. a protocol feature upgrade) land between the
     commitInfo and the metaData."""
-    _check_write_protocol(DeltaLog(table_path).snapshot().protocol, table_path)
+    _check_write_protocol(_header_state(table_path).protocol, table_path)
     log_dir = os.path.join(table_path, "_delta_log")
     actions = [
         {
@@ -3593,7 +3619,7 @@ def set_table_comment(table_path: str, comment: str | None) -> int:
     """COMMENT ON TABLE: set/clear `metaData.description` (the Delta
     spec's table-comment field) as a metadata-only commit."""
     table_path = normalize_table_path(table_path)
-    snap = DeltaLog(table_path).snapshot()
+    snap = _header_state(table_path)
     md = dict(snap.metadata)
     if comment:
         md["description"] = comment
@@ -3629,7 +3655,7 @@ def set_table_properties(
             "must be backfilled with baseRowId ranges)"
         )
     table_path = normalize_table_path(table_path)
-    snap = DeltaLog(table_path).snapshot()
+    snap = _header_state(table_path)
     prior_config = dict(snap.metadata.get("configuration") or {})
     config = {**prior_config, **{k: str(v) for k, v in properties.items()}}
     now = int(time.time() * 1000)
@@ -3685,7 +3711,7 @@ def set_table_properties(
 def unset_table_properties(table_path: str, keys: list[str]) -> int:
     """ALTER TABLE ... UNSET TBLPROPERTIES (IF EXISTS semantics)."""
     table_path = normalize_table_path(table_path)
-    snap = DeltaLog(table_path).snapshot()
+    snap = _header_state(table_path)
     config = dict(snap.metadata.get("configuration") or {})
     dropped = [k for k in keys if k in config]
     if not dropped:
@@ -3721,7 +3747,7 @@ def enable_column_mapping(table_path: str) -> int:
     which is the only viable shape for a 100 TB table.
     """
     table_path = normalize_table_path(table_path)
-    snap = DeltaLog(table_path).snapshot()
+    snap = _header_state(table_path)
     config = dict(snap.metadata.get("configuration") or {})
     if config.get("delta.columnMapping.mode", "none") != "none":
         return snap.version
@@ -3771,7 +3797,7 @@ def rename_column(table_path: str, old: str, new: str) -> int:
     name. Works for partition columns too (partitionColumns metadata is
     logical; partition dirs/values stay physical)."""
     table_path = normalize_table_path(table_path)
-    snap = DeltaLog(table_path).snapshot()
+    snap = _header_state(table_path)
     config = snap.metadata.get("configuration") or {}
     if config.get("delta.columnMapping.mode", "none") == "none":
         raise ValueError(
@@ -3869,7 +3895,7 @@ def alter_column_type(table_path: str, column: str, new_type) -> int:
     table_path = normalize_table_path(table_path)
     if isinstance(new_type, str):
         new_type = _parse_simple_type(new_type)
-    snap = DeltaLog(table_path).snapshot()
+    snap = _header_state(table_path)
     field = next((f for f in snap.schema.fields if f.name == column), None)
     if field is None:
         raise ValueError(f"no such column: {column}")
@@ -3932,7 +3958,7 @@ def drop_column(table_path: str, name: str) -> int:
     same logical name gets a FRESH id + physical name and reads NULL from
     old files (never the dropped column's bytes), per the Delta spec."""
     table_path = normalize_table_path(table_path)
-    snap = DeltaLog(table_path).snapshot()
+    snap = _header_state(table_path)
     config = snap.metadata.get("configuration") or {}
     if config.get("delta.columnMapping.mode", "none") == "none":
         raise ValueError(
@@ -3978,7 +4004,7 @@ def set_domain_metadata(
         # rebuilt per attempt: the protocol upgrade (if any) must come from
         # the CURRENT snapshot, or a retry after losing a race would clobber
         # features a concurrent writer just added
-        snap = DeltaLog(table_path).snapshot()
+        snap = _header_state(table_path)
         actions = [
             {
                 "commitInfo": {

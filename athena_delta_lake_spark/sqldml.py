@@ -1347,10 +1347,9 @@ def _alter_field_metadata(
 ) -> int:
     """Metadata-only commit mutating one top-level field's metadata keys
     (None value = remove the key)."""
-    from .delta.log import DeltaLog
-    from .delta.writer import _commit_metadata_change
+    from .delta.writer import _commit_metadata_change, _header_state
 
-    snap = DeltaLog(path).snapshot()
+    snap = _header_state(path)
     if col not in {f.name for f in snap.schema.fields}:
         raise ValueError(f"no such column: {col}")
     schema_obj = json.loads(snap.metadata["schemaString"])
@@ -1374,10 +1373,9 @@ def _alter_column_position(path: str, col: str, after: str | None) -> int:
     """ALTER COLUMN c FIRST | AFTER x: reorder top-level columns —
     metadata-only (readers project by name; parquet layout is untouched,
     which is why this is safe at any table size)."""
-    from .delta.log import DeltaLog
-    from .delta.writer import _commit_metadata_change
+    from .delta.writer import _commit_metadata_change, _header_state
 
-    snap = DeltaLog(path).snapshot()
+    snap = _header_state(path)
     names = [f.name for f in snap.schema.fields]
     if col not in names:
         raise ValueError(f"no such column: {col}")
@@ -1444,13 +1442,13 @@ def _alter_column_set_default(pond, path: str, col: str, sql_text: str) -> int:
     """SET DEFAULT expr: stamps CURRENT_DEFAULT (governs future inserts;
     EXISTS_DEFAULT is untouched — it only describes rows written before
     the column existed) and declares the allowColumnDefaults feature."""
-    from .delta.log import DeltaLog
     from .delta.writer import (
         _commit_metadata_change,
+        _header_state,
         _protocol_upgrade_action,
     )
 
-    snap = DeltaLog(path).snapshot()
+    snap = _header_state(path)
     if col not in {f.name for f in snap.schema.fields}:
         raise ValueError(f"no such column: {col}")
     # the default must evaluate (and be constant-foldable) up front
@@ -1480,14 +1478,13 @@ def _route_cluster_by(pond, p, text: str) -> DataFrame:
     """ALTER TABLE t CLUSTER BY (cols) | NONE: change (or retire) the
     liquid-clustering policy — pure domain-metadata commit; the layout
     actually changes at the next OPTIMIZE, which reads the policy."""
-    from .delta.log import DeltaLog
-    from .delta.writer import set_domain_metadata
+    from .delta.writer import _header_state, set_domain_metadata
 
     path = _target(pond, _relation_parts(p.table()))
     spec = p.clusterBySpec()
     if spec.isDefined():
         names = [c.toString() for c in _seq(spec.get().columnNames())]
-        snap = DeltaLog(path).snapshot()
+        snap = _header_state(path)
         known = {f.name for f in snap.schema.fields}
         missing = [n for n in names if n not in known]
         if missing:

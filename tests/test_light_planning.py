@@ -310,3 +310,51 @@ def test_light_timestamp_time_travel(spark, tmp_path, monkeypatch):
     DeltaLog.clear_cache()
     assert DeltaLog(path).light_planning_engaged()
     assert _rows(pond.sql(q)) == classic
+
+
+def test_metadata_ddl_stays_light(spark, tmp_path, monkeypatch):
+    """Metadata-only DDL (properties, comments, columns, constraints,
+    domain metadata) and write_delta's append conflict-retry route
+    through the header-only light state past the threshold — proven by
+    poisoning DeltaLog.snapshot: none of these may replay the classic
+    file list (8.6 GiB / 187 s at 10^7 adds for a one-field change)."""
+    from athena_delta_lake_spark.delta import writer as W
+
+    path = str(tmp_path / "ddl_light")
+    _mk_table(spark, path)
+    DeltaLog.clear_cache()
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "5")
+    assert DeltaLog(path).light_planning_engaged()
+
+    calls = []
+    orig = DeltaLog.snapshot
+
+    def poisoned(self, version=None):
+        calls.append(self.table_path)
+        return orig(self, version)
+
+    monkeypatch.setattr(DeltaLog, "snapshot", poisoned)
+    W.set_table_properties(path, {"delta.appendOnly": "false"})
+    W.unset_table_properties(path, ["delta.appendOnly"])
+    W.set_table_comment(path, "light ddl")
+    from pyspark.sql import types as T
+
+    W.add_columns(path, [T.StructField("extra", T.StringType())])
+    # the validation scan is light-planned but REAL: the tail rows hold
+    # v = -1.0, so a violated constraint must still raise (an empty
+    # header-fed scan would have silently accepted it)
+    with pytest.raises(ValueError, match="violated"):
+        W.add_check_constraint(spark, path, "v_nonneg", "v >= 0")
+    W.add_check_constraint(spark, path, "v_floor", "v >= -100")
+    W.drop_check_constraint(path, "v_floor")
+    W.enable_column_mapping(path)
+    W.rename_column(path, "extra", "extra2")
+    W.drop_column(path, "extra2")
+    assert calls == [], calls
+
+    DeltaLog.clear_cache()
+    monkeypatch.setattr(DeltaLog, "snapshot", orig)
+    snap = DeltaLog(path).snapshot()
+    assert snap.metadata.get("description") == "light ddl"
+    assert "extra2" not in {f.name for f in snap.schema.fields}
+    assert DeltaTable(spark, path).to_df().count() == 416
