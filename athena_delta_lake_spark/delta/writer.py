@@ -857,7 +857,7 @@ def commit_rewrite(
             }
         )
     version = _next_version(table_path)
-    snap_now = _header_snapshot(table_path)
+    snap_now = _header_state(table_path)
     _check_write_protocol(snap_now.protocol, table_path)
     table_config = snap_now.metadata.get("configuration")
     row_tracking = _row_tracking_enabled(table_config)
@@ -1099,8 +1099,7 @@ def add_check_constraint(
         {"name": name, "expr": expr},
         md,
         snap.version + 1,
-        extra_actions=[extra] if extra else None,
-    )
+        extra_actions=[extra] if extra else None, protocol=snap.protocol)
 
 
 def drop_check_constraint(table_path: str, name: str) -> int:
@@ -1114,8 +1113,7 @@ def drop_check_constraint(table_path: str, name: str) -> int:
     del config[key]
     md = {**snap.metadata, "configuration": config}
     return _commit_metadata_change(
-        table_path, "DROP CONSTRAINT", {"name": name}, md, snap.version + 1
-    )
+        table_path, "DROP CONSTRAINT", {"name": name}, md, snap.version + 1, protocol=snap.protocol)
 
 
 def zorder_dataframe(
@@ -1941,21 +1939,6 @@ def _protocol_upgrade_action(
             "writerFeatures": sorted(new_w),
         }
     }
-
-
-def _header_snapshot(table_path: str):
-    """Snapshot for HEADER-ONLY consumers — protocol, metadata, schema,
-    txns, domain metadata; NEVER .files (returned empty past the
-    threshold). Routed through the driver-light replay when light
-    planning is engaged, so the COMMIT path against a 10^7-file table
-    does not pay the classic replay (measured 186 s / 8.5 GiB; round-9
-    finding: every light-planned DML was silently re-paying it inside
-    commit_rewrite — the post-hoc RSS sample missed the freed spike and
-    only the wall clock betrayed it). Classic below the threshold."""
-    log = DeltaLog(table_path)
-    if log.light_planning_engaged(None):
-        return log.snapshot_light().to_snapshot_state([])
-    return log.snapshot()
 
 
 def file_fingerprint(f) -> tuple:
@@ -3418,6 +3401,7 @@ def _commit_metadata_change(
     md: dict,
     version: int,
     extra_actions: list[dict] | None = None,
+    protocol: dict | None = None,
 ) -> int:
     """Shared metadata-only commit, pinned to the version AFTER the
     snapshot `md` was derived from: no blind retry, and no TOCTOU window —
@@ -3425,8 +3409,12 @@ def _commit_metadata_change(
     the caller re-runs against the new state (a retry or late version
     re-allocation would silently clobber the winner's metaData).
     `extra_actions` (e.g. a protocol feature upgrade) land between the
-    commitInfo and the metaData."""
-    _check_write_protocol(_header_state(table_path).protocol, table_path)
+    commitInfo and the metaData. `protocol`: the caller's already-read
+    snapshot protocol — passing it saves a SECOND header replay per DDL
+    (every caller just derived `md` from a snapshot that carries it)."""
+    if protocol is None:
+        protocol = _header_state(table_path).protocol
+    _check_write_protocol(protocol, table_path)
     log_dir = os.path.join(table_path, "_delta_log")
     actions = [
         {
@@ -3630,8 +3618,7 @@ def set_table_comment(table_path: str, comment: str | None) -> int:
         "COMMENT ON TABLE",
         {"comment": comment or ""},
         md,
-        snap.version + 1,
-    )
+        snap.version + 1, protocol=snap.protocol)
 
 
 def set_table_properties(
@@ -3725,8 +3712,7 @@ def unset_table_properties(table_path: str, keys: list[str]) -> int:
         "UNSET TBLPROPERTIES",
         {"properties": json.dumps(dropped, separators=(",", ":"))},
         md,
-        snap.version + 1,
-    )
+        snap.version + 1, protocol=snap.protocol)
 
 
 def enable_column_mapping(table_path: str) -> int:
@@ -3827,8 +3813,7 @@ def rename_column(table_path: str, old: str, new: str) -> int:
     ]
     return _commit_metadata_change(
         table_path, "RENAME COLUMN", {"from": old, "to": new}, md,
-        snap.version + 1,
-    )
+        snap.version + 1, protocol=snap.protocol)
 
 
 # Legal widenings per the Delta typeWidening table feature (numeric set;
@@ -3947,8 +3932,7 @@ def alter_column_type(table_path: str, column: str, new_type) -> int:
         },
         md,
         version,
-        extra_actions=[upgrade] if upgrade else None,
-    )
+        extra_actions=[upgrade] if upgrade else None, protocol=snap.protocol)
 
 
 def drop_column(table_path: str, name: str) -> int:
@@ -3982,8 +3966,7 @@ def drop_column(table_path: str, name: str) -> int:
         T.StructType([f for f in snap.schema.fields if f.name != name])
     )
     return _commit_metadata_change(
-        table_path, "DROP COLUMN", {"column": name}, md, snap.version + 1
-    )
+        table_path, "DROP COLUMN", {"column": name}, md, snap.version + 1, protocol=snap.protocol)
 
 
 def set_domain_metadata(

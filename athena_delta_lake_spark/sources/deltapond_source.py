@@ -949,15 +949,11 @@ class _AddsMessage(WriterCommitMessage):
 
 def _header_snapshot(table_path: str):
     """Schema/configuration/txns/domain-metadata WITHOUT materializing
-    the file list: past the light-planning threshold every sink commit
-    used to pay a full classic replay (8.6 GiB / 187 s at 10^7 adds,
-    tools/meta_scale.py) for three header-only needs — the column-
-    mapping map, the exactly-once epoch high-water mark, and the
-    schema/partition compatibility check."""
-    log = DeltaLog(table_path)
-    if log.light_planning_engaged(None):
-        return log.snapshot_light().to_snapshot_state([])
-    return log.snapshot()
+    the file list — the shared writer helper (one copy of the light-
+    routing decision; round-9 review found three)."""
+    from ..delta.writer import _header_state
+
+    return _header_state(table_path)
 
 
 def _target_l2p(table_path: str) -> dict | None:

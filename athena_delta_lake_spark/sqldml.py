@@ -675,8 +675,7 @@ def _route_create_table(pond, p, text: str, replace: bool = False) -> DataFrame:
                 {},
                 md,
                 snap.version + 1,
-                extra_actions=[upgrade] if upgrade else None,
-            )
+                extra_actions=[upgrade] if upgrade else None, protocol=snap.protocol)
     return _metrics_df(
         pond.spark,
         {
@@ -1365,8 +1364,7 @@ def _alter_field_metadata(
     md = dict(snap.metadata)
     md["schemaString"] = json.dumps(schema_obj, separators=(",", ":"))
     return _commit_metadata_change(
-        path, operation, {"column": col}, md, snap.version + 1
-    )
+        path, operation, {"column": col}, md, snap.version + 1, protocol=snap.protocol)
 
 
 def _alter_column_position(path: str, col: str, after: str | None) -> int:
@@ -1396,8 +1394,7 @@ def _alter_column_position(path: str, col: str, after: str | None) -> int:
         "CHANGE COLUMN POSITION",
         {"column": col, "position": "FIRST" if after is None else f"AFTER {after}"},
         md,
-        snap.version + 1,
-    )
+        snap.version + 1, protocol=snap.protocol)
 
 
 def _alter_column_nullability(pond, path: str, col: str, nullable: bool) -> int:
@@ -1434,8 +1431,7 @@ def _alter_column_nullability(pond, path: str, col: str, nullable: bool) -> int:
         "SET NOT NULL" if not nullable else "DROP NOT NULL",
         {"column": col},
         md,
-        snap.version + 1,
-    )
+        snap.version + 1, protocol=snap.protocol)
 
 
 def _alter_column_set_default(pond, path: str, col: str, sql_text: str) -> int:
@@ -1470,8 +1466,7 @@ def _alter_column_set_default(pond, path: str, col: str, sql_text: str) -> int:
         {"column": col, "default": sql_text},
         md,
         snap.version + 1,
-        extra_actions=[upgrade] if upgrade else None,
-    )
+        extra_actions=[upgrade] if upgrade else None, protocol=snap.protocol)
 
 
 def _route_cluster_by(pond, p, text: str) -> DataFrame:
