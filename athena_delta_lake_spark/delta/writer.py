@@ -172,8 +172,9 @@ def _header_state(table_path: str, version: int | None = None):
     metadata-commit protocol check used to replay the full classic
     snapshot: 8.6 GiB / 187 s at 10^7 adds (tools/meta_scale.py) to
     change one JSON field. Ops that genuinely enumerate files
-    (enable_row_tracking's id allocation, commit_rewrite's conflict
-    check, overwrite removes) keep the classic snapshot."""
+    (enable_row_tracking's id allocation, overwrite removes) keep the
+    classic snapshot; commit_rewrite's conflict check replays only the
+    interleaved commits (_rewrite_commute_conflict)."""
     log = DeltaLog(table_path)
     if log.light_planning_engaged(version):
         return log.snapshot_light(version).to_snapshot_state([])
@@ -665,6 +666,84 @@ def stage_cdc_files(
     return cdcs
 
 
+def _rewrite_commute_conflict(
+    table_path: str,
+    base_version: int,
+    committed_version: int,
+    remove_paths: list[str],
+    expected_states: dict | None,
+) -> bool:
+    """The commit_rewrite liveness/fingerprint conflict check evaluated
+    INCREMENTALLY: file states change exclusively through add/remove
+    actions, so replaying only the interleaved commits
+    (base_version, committed_version] for actions on the WATCHED paths is
+    exactly equivalent to comparing against a full current snapshot —
+    O(interleaved commits), not O(table). The classic form replayed the
+    whole snapshot (8.6 GiB / 187 s at 10^7 adds, tools/meta_scale.py)
+    to inspect a handful of touched paths; this was the last
+    O(table)-driver-memory path in the commit plane (PERF_TRIAGE_r9's
+    known residue).
+
+    Contract (all dml.py callers satisfy it by construction):
+    `remove_paths` are live files of the base_version snapshot and
+    `expected_states` maps them to their base-snapshot fingerprints — so
+    an interleave-untouched path is still live with its expected
+    fingerprint, no lookup needed.
+
+    Conflict iff (a) an interleaved commit removed a path this rewrite
+    also removes (its last action is a remove — any remove, including
+    dataChange=false OPTIMIZE moves), or (b) an interleaved commit
+    RE-ADDED a watched path whose expected fingerprint no longer matches
+    (e.g. a concurrent merge-on-read DELETE growing the file's deletion
+    vector). A re-add with an IDENTICAL fingerprint commutes, exactly as
+    the classic comparison concluded.
+
+    Raises FileNotFoundError when an interleaved commit JSON is gone
+    (concurrent metadata cleanup) — the caller falls back to the classic
+    snapshot comparison."""
+    from .log import DeltaLog, _decode_path
+
+    watched = set(remove_paths) | set(expected_states or ())
+    if not watched:
+        return False
+    log = DeltaLog(table_path)
+    dead: set[str] = set()
+    readded: dict[str, dict] = {}
+    for v in range(base_version + 1, committed_version + 1):
+        for action in log.commit_actions(v):
+            add = action.get("add")
+            if add is not None:
+                p = _decode_path(add["path"])
+                if p in watched:
+                    readded[p] = add
+                    dead.discard(p)
+                continue
+            rem = action.get("remove")
+            if rem is not None:
+                p = _decode_path(rem["path"])
+                if p in watched:
+                    dead.add(p)
+                    readded.pop(p, None)
+    if dead.intersection(remove_paths):
+        return True
+    for p, add in readded.items():
+        fp = (expected_states or {}).get(p)
+        if fp is None:
+            continue
+        dv = add.get("deletionVector") or {}
+        now_fp = (
+            p,
+            int(add.get("size", 0)),
+            int(add.get("modificationTime", 0)),
+            dv.get("pathOrInlineDv"),
+            dv.get("offset"),
+            dv.get("cardinality"),
+        )
+        if tuple(fp) != now_fp:
+            return True
+    return False
+
+
 def _serializable_read_conflict(
     table_path: str,
     base_version: int,
@@ -752,7 +831,23 @@ def _serializable_read_conflict(
         # its rewritten files — serializability requires refusing those
         # too (delta-spark's ConcurrentDeleteReadException analogue):
         # conflict iff a removed file could have matched the read
-        # predicate in the BASE snapshot the DML planned against.
+        # predicate in the BASE snapshot the DML planned against. Past
+        # the light-planning threshold the base read set is probed
+        # executor-side, restricted to the (interleave-bounded) removed
+        # paths — no base-snapshot file list ever reaches the driver.
+        if log.light_planning_engaged(base_version):
+            from pyspark.sql import SparkSession
+            from pyspark.sql import functions as F
+
+            spark = SparkSession.getActiveSession()
+            if spark is not None:
+                hit = (
+                    log.snapshot_light(base_version)
+                    .prune_df(spark, read_predicates)
+                    .where(F.col("path").isin(sorted(removed_paths)))
+                    .head(1)
+                )
+                return bool(hit)
         base_snap = log.snapshot(base_version)
         read_set = {f.path for f in prune_files(base_snap, read_predicates)}
         return bool(removed_paths & read_set)
@@ -896,23 +991,41 @@ def commit_rewrite(
             # it removes is STILL live and byte/DV-identical (no
             # write-write conflict on the same files) — then it commutes.
             # remove_paths come from AddFile.path (already URL-decoded),
-            # matching the decoded paths in the snapshot's file list.
-            now_snap = DeltaLog(table_path).snapshot()
-            now_files = {f.path: f for f in now_snap.files}
-            conflict = any(p not in now_files for p in remove_paths)
-            if not conflict and expected_states:
-                conflict = any(
-                    file_fingerprint(now_files[p]) != fp
-                    for p, fp in expected_states.items()
-                    if p in now_files
+            # matching _decode_path's form on the raw actions. Evaluated
+            # over only the interleaved commits (O(interleaved), never a
+            # full snapshot replay); a concurrently-cleaned interleaved
+            # commit JSON falls back to the classic comparison. A commit
+            # landing between _next_version and this scan is covered by
+            # the FileExistsError retry, which re-runs the check.
+            try:
+                conflict = _rewrite_commute_conflict(
+                    table_path,
+                    base_version,
+                    version - 1,
+                    remove_paths,
+                    expected_states,
                 )
+            except FileNotFoundError:
+                now_files = {
+                    f.path: f for f in DeltaLog(table_path).snapshot().files
+                }
+                conflict = any(p not in now_files for p in remove_paths)
+                if not conflict and expected_states:
+                    conflict = any(
+                        file_fingerprint(now_files[p]) != fp
+                        for p, fp in expected_states.items()
+                        if p in now_files
+                    )
             if conflict:
                 raise ConcurrentWriteError(
                     f"{operation} conflicts with a concurrent commit that "
                     "touched the same files; re-run against the new snapshot"
                 ) from None
             if isolation == "serializable" and _serializable_read_conflict(
-                table_path, base_version, now_snap, read_predicates
+                table_path,
+                base_version,
+                _header_state(table_path, version - 1),
+                read_predicates,
             ):
                 raise ConcurrentWriteError(
                     f"{operation} (isolation=serializable) conflicts with a "
