@@ -320,3 +320,41 @@ def quota_per_group(
         survivors.withColumn("quota_rank", F.row_number().over(w2))
         .filter(F.col("quota_rank") <= n)
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Group-aware train/val/test assignment: the split is a
+    deterministic md5 bucket of the GROUP key, so every member of a
+    group — a near-dup cluster, a source domain, a user — lands in the
+    SAME split. Splitting i.i.d. by row leaks: a near-duplicate of a
+    training document sitting in the eval split inflates eval metrics
+    (the classic crawl-corpus leakage bug the dedup-then-split
+    literature warns about).
+
+    Map-side only: one hash per row, no shuffle — the caller supplies
+    the group key (e.g. exact_dedup's cluster representative or
+    dup_components' component id), which is where any shuffle already
+    happened. Weights are normalized; bucket thresholds are cumulative
+    over the dict's insertion order, so the assignment is replayable in
+    any engine with md5 (the oracle bridge).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be non-negative with a positive sum")
+    total = float(sum(weights.values()))
+    b = md5_bucket(group_col, seed, _BUCKET_DENOM)
+    names = list(weights)
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name] / total * _BUCKET_DENOM
+        cond = b < int(round(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", split)

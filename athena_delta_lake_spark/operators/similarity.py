@@ -1036,3 +1036,52 @@ def augment_for_mips(
     return corpus.withColumn(
         vec_col, F.concat(c.cast("array<double>"), F.array(extra))
     )
+
+
+def semantic_decontamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    emb_col: str = "embedding",
+    tau: float = 0.42,
+    bench_emb_col: str | None = None,
+) -> DataFrame:
+    """Semantic benchmark decontamination: flag corpus rows whose
+    embedding sits within cosine `tau` of ANY benchmark row — the
+    embedding-space analogue of the 8-gram decontamination
+    (dedup.decontaminate). A paraphrased eval question shares no shingle
+    with its source, but lands right next to it in embedding space; both
+    checks together are the standard pre-training hygiene pass.
+
+    Scale posture mirrors the n-gram variant: benchmarks are SMALL
+    (thousands of rows), so the bench matrix is collected once — bounded
+    by benchmark size, the same model-parameter class as k-means
+    centroids — L2-normalized, and closed over by an Arrow-batched
+    pandas_udf. The 100 TB corpus is scored in ONE map-side pass
+    (float64 matmul per batch), zero shuffle, no self-join. Adds
+    `max_bench_sim` (max cosine over the bench set) and `contaminated`
+    (max_bench_sim >= tau). Zero-norm embeddings score NaN, which never
+    satisfies >= tau — conservatively kept.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    rows = bench.select(bench_emb_col or emb_col).collect()  # bench-sized
+    if not rows:
+        return corpus.withColumn(
+            "max_bench_sim", F.lit(None).cast("double")
+        ).withColumn("contaminated", F.lit(False))
+    B = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        B = B / np.linalg.norm(B, axis=1, keepdims=True)
+
+    @pandas_udf("double")
+    def _max_sim(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="float64")
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        return pd.Series((M @ B.T).max(axis=1))
+
+    return corpus.withColumn("max_bench_sim", _max_sim(F.col(emb_col))).withColumn(
+        "contaminated", F.col("max_bench_sim") >= F.lit(float(tau))
+    )

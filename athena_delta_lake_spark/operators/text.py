@@ -301,3 +301,32 @@ def gopher_pass(col: str | Column) -> Column:
     for c in rules.values():
         out = c if out is None else out & c
     return out
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str, top_n: int = 20) -> DataFrame:
+    """First-iteration BPE-trainer statistics: counts of ADJACENT
+    character pairs within whitespace words of the normalized text — the
+    merge-candidate table a byte-pair-encoding tokenizer trainer ranks
+    each round (the top pair becomes the round's merge).
+
+    All codegen built-ins, no UDFs, no driver-side vocabulary: the
+    per-word pair expansion (sequence + substring under transform) is
+    map-side; the only shuffle is the groupBy over a key space bounded
+    by |alphabet|^2, and the top-k compiles to TakeOrderedAndProject —
+    partial-aggregated and safe at any corpus size. Ties rank
+    deterministically (count desc, pair asc).
+    """
+    words = df.select(
+        F.explode(F.split(normalize_text(text_col), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(top_n)
+    )

@@ -377,3 +377,46 @@ def p10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_bigrams").cast("long").alias("total_bigrams"),
     )
+
+
+@register(
+    "p11_leakage_safe_split",
+    "pipeline",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, n_chars, md5({_NORM_SQL}) AS fp FROM documents
+    ), grp AS (
+      SELECT doc_id, n_chars, min(doc_id) OVER (PARTITION BY fp) AS rep
+      FROM fp
+    ), b AS (
+      SELECT n_chars, rep, {_bucket_sql('rep', 13, 1000000)} AS bkt FROM grp
+    )
+    SELECT CASE WHEN bkt < 900000 THEN 'train'
+                WHEN bkt < 950000 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           count(DISTINCT rep) AS n_clusters,
+           sum(n_chars) AS total_chars
+    FROM b GROUP BY 1
+    """,
+    "leakage-safe train/val/test split: exact-dup clusters assigned "
+    "whole (hash of the cluster representative), so no near-duplicate "
+    "straddles the train/eval boundary",
+)
+def p11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators import dedup
+
+    d = load(spark, sf_dir, "documents")
+    rep = d.withColumn(
+        "_fp", F.md5(dedup.normalize_text("text"))
+    ).withColumn("rep", F.min("doc_id").over(W.partitionBy("_fp")))
+    split = pipeline.leakage_safe_split(
+        rep, "rep", {"train": 0.9, "val": 0.05, "test": 0.05}, seed=13
+    )
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("rep").alias("n_clusters"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -420,3 +420,43 @@ def n08(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("q_id", "c_id", F.round("sim", 6).alias("sim"), "rank")
     )
+
+
+@register(
+    "n09_semantic_decontamination",
+    "similarity",
+    """
+    WITH ex AS (
+      SELECT vec_id, label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), sims AS (
+      SELECT c.vec_id, c.label,
+             sum(CAST(c.v AS DOUBLE) * CAST(b.v AS DOUBLE))
+               / (sqrt(sum(CAST(c.v AS DOUBLE) * CAST(c.v AS DOUBLE)))
+                  * sqrt(sum(CAST(b.v AS DOUBLE) * CAST(b.v AS DOUBLE)))) AS sim
+      FROM ex c JOIN ex b ON c.pos = b.pos
+      WHERE c.label <> 0 AND b.label = 0
+      GROUP BY c.vec_id, c.label, b.vec_id
+    ), mx AS (
+      SELECT vec_id, label, max(sim) AS mxs FROM sims GROUP BY 1, 2
+    )
+    SELECT label,
+           count(*) AS n_corpus,
+           count(*) FILTER (WHERE mxs >= 0.42) AS n_contaminated
+    FROM mx GROUP BY label
+    """,
+    "semantic benchmark decontamination: corpus rows within cosine 0.42 "
+    "of any benchmark (label=0) embedding, flagged map-side against a "
+    "broadcast bench matrix (fixture margin to the threshold >= 1e-4, "
+    "asserted in tests, so engine float noise cannot flip a verdict)",
+)
+def n09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("label") == 0)
+    corpus = e.filter(F.col("label") != 0)
+    flagged = sim.semantic_decontamination(corpus, bench, "embedding", tau=0.42)
+    return flagged.groupBy("label").agg(
+        F.count("*").alias("n_corpus"),
+        F.count(F.when(F.col("contaminated"), 1)).alias("n_contaminated"),
+    )

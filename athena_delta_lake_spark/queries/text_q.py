@@ -333,3 +333,27 @@ def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", *cols, tx.gopher_pass("text").alias("keep")
     )
+
+
+@register(
+    "x10_bpe_pair_counts",
+    "text",
+    f"""
+    WITH w AS (
+      SELECT unnest({_WORDS_SQL}) AS w FROM documents
+    ), p AS (
+      SELECT substr(w, i, 2) AS pair
+      FROM w, UNNEST(range(1, length(w))) AS t(i)
+      WHERE length(w) >= 2
+    )
+    SELECT pair, count(*) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+    "BPE-trainer first-iteration statistics: top adjacent character "
+    "pairs within words (the merge-candidate ranking)",
+)
+def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return tx.bpe_pair_counts(d, "text", top_n=20)

@@ -215,3 +215,46 @@ def test_gopher_rules_sanity(spark):
     assert out[1]["keep"] is True
     assert out[2]["r_hash_ratio"] is False and out[2]["keep"] is False
     assert out[3]["r_bullet_lines"] is False and out[3]["keep"] is False
+
+
+def test_leakage_safe_split_group_atomicity(spark):
+    """No group may straddle splits — the whole point of the operator —
+    and every row gets exactly one of the declared split names."""
+    from athena_delta_lake_spark.operators.pipeline import leakage_safe_split
+
+    df = spark.createDataFrame(
+        [(i, i % 37) for i in range(500)], "id long, grp long"
+    )
+    out = leakage_safe_split(
+        df, "grp", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3
+    )
+    per_group = (
+        out.groupBy("grp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_group)
+    names = {r["split"] for r in out.select("split").distinct().collect()}
+    assert names <= {"train", "val", "test"}
+    # deterministic: a re-run assigns identically
+    again = leakage_safe_split(
+        df, "grp", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_leakage_safe_split_weights_normalize_and_validate(spark):
+    from athena_delta_lake_spark.operators.pipeline import leakage_safe_split
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    # weights 9:1 (unnormalized) behave like 0.9/0.1
+    out = leakage_safe_split(df, "id", {"a": 9.0, "b": 1.0}, seed=1)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("a", 0) > counts.get("b", 0) > 0
+    with pytest.raises(ValueError):
+        leakage_safe_split(df, "id", {})
+    with pytest.raises(ValueError):
+        leakage_safe_split(df, "id", {"a": -1.0, "b": 2.0})
+    # single split: everything lands in it
+    one = leakage_safe_split(df, "id", {"only": 1.0})
+    assert one.filter(F.col("split") != "only").count() == 0

@@ -272,3 +272,62 @@ def test_pq_residual_bound_holds(spark, sf_dir):
         F.abs(F.col("cos") - F.col("adc")) > F.col("pq_resid") + F.lit(1e-9)
     ).count()
     assert bad == 0
+
+
+def test_semantic_decontamination_hand_computed(spark):
+    """One bench vector; corpus rows at cosine 1.0, ~0.707, and 0.0 —
+    tau=0.9 flags only the exact-direction match."""
+    from athena_delta_lake_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [1.0, 1.0]), (3, [0.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["contaminated"], r["max_bench_sim"])
+        for r in semantic_decontamination(corpus, bench, tau=0.9).collect()
+    }
+    assert got[1][0] and abs(got[1][1] - 1.0) < 1e-12
+    assert not got[2][0] and abs(got[2][1] - 2 ** -0.5) < 1e-12
+    assert not got[3][0] and abs(got[3][1]) < 1e-12
+
+
+def test_semantic_decontamination_empty_bench(spark):
+    from athena_delta_lake_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+
+    bench = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    rows = semantic_decontamination(corpus, bench).collect()
+    assert len(rows) == 1 and not rows[0]["contaminated"]
+
+
+@pytest.mark.parametrize("sf", ["0.001", "0.01"])
+def test_semantic_decontamination_threshold_margin(sf):
+    """The n09 gate compares float similarities against tau=0.42 in two
+    engines; the verdicts agree only because NO fixture similarity sits
+    near the threshold. Assert the margin so a fixture regen that lands
+    a point within float-noise distance fails loudly here instead of
+    flaking the oracle gate."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    E = con.execute(
+        f"select embedding, label from '/root/testdata/sf{sf}/embeddings.parquet'"
+    ).fetchall()
+    B = np.stack([np.array(e, dtype=np.float64) for e, l in E if l == 0])
+    M = np.stack([np.array(e, dtype=np.float64) for e, l in E if l != 0])
+    sims = (M @ B.T) / (
+        np.linalg.norm(M, axis=1)[:, None] * np.linalg.norm(B, axis=1)[None, :]
+    )
+    margin = np.abs(sims.max(axis=1) - 0.42).min()
+    assert margin > 1e-5, f"sf{sf} margin {margin:.2e} too tight for tau=0.42"

@@ -81,3 +81,27 @@ def test_repetition_scores(spark):
     assert abs(out[2]["top_bigram_frac"] - 1 / 3) < 1e-6
     assert out[3]["n_words"] == 1
     assert out[3]["top_bigram_frac"] == 0.0
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    """'aa ab aa' -> words [aa, ab, aa]: pairs aa x2, ab x1; single-char
+    and empty words contribute nothing."""
+    from athena_delta_lake_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "AA  ab"), (2, "aa x"), (3, "   ")], "id long, text string"
+    )
+    rows = {r["pair"]: r["n"] for r in bpe_pair_counts(df, "text").collect()}
+    assert rows == {"aa": 2, "ab": 1}
+
+
+def test_bpe_pair_counts_topk_tiebreak(spark):
+    """Equal counts rank by pair ascending — the deterministic tiebreak
+    the oracle replays."""
+    from athena_delta_lake_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "zz yy xx ww vv uu")], "id long, text string"
+    )
+    got = [r["pair"] for r in bpe_pair_counts(df, "text", top_n=3).collect()]
+    assert got == ["uu", "vv", "ww"]
