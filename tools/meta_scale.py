@@ -194,6 +194,8 @@ def main() -> int:
         )
     if "--maintain" in sys.argv:
         return maintain_main(root, n_files, out)
+    if "--conflict" in sys.argv:
+        return conflict_main(root, n_files, out, "--check-classic" in sys.argv)
     t0 = time.time()
     path = build_log(root, n_files, per_commit)
     out["build_log_s"] = round(time.time() - t0, 2)
@@ -637,6 +639,100 @@ def merge_main(root: str, n_files: int, out: dict, check_classic: bool) -> int:
     os.remove(os.path.join(path, rel))
     assert peak < 2048, f"driver RSS {peak} MiB breaches the 2 GiB bar"
     spark.stop()
+    print(json.dumps(out))
+    return 0
+
+
+def conflict_main(root: str, n_files: int, out: dict, check_classic: bool) -> int:
+    """Measure the RACED-rewrite conflict check against the prepared
+    table: a rewrite planned against a stale snapshot must validate its
+    removed files against every interleaved commit before it commutes.
+    The classic form replayed the whole snapshot (8.6 GiB / 187 s at
+    10^7 adds); the incremental form (writer._rewrite_commute_conflict)
+    reads only the interleaved commit JSONs — pure driver-side Python,
+    no Spark session at all. Fresh process, peak RSS < 2 GiB bar.
+
+    Leaves the prepared table unchanged (the test commits are removed)."""
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.writer import (
+        ConcurrentWriteError,
+        commit_rewrite,
+    )
+
+    path = os.path.join(root, "meta_scale_tbl")
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        print(
+            json.dumps({"error": "run the normal mode first to build the "
+                        "table + checkpoint"}),
+        )
+        return 1
+    out["mode"] = "conflict"
+    os.environ.setdefault("ADLS_LIGHT_PLANNING_FILES", "1000000")
+    out["rss_before_mib"] = round(rss_mib(), 1)
+    log = DeltaLog(path)
+    out["light_engaged"] = bool(log.light_planning_engaged())
+    base = log.latest_version()
+
+    # two live files straight out of the newest commit's adds — no
+    # snapshot, no listing beyond one JSON read
+    tail_adds = [
+        a["add"]["path"] for a in log.commit_actions(base) if "add" in a
+    ]
+    assert len(tail_adds) >= 2, "prepared tail commit too small"
+    victim, bystander = tail_adds[0], tail_adds[1]
+
+    # the interleaved commit: some other writer drops the bystander
+    commit_rewrite(path, "DELETE", adds=[], remove_paths=[bystander])
+
+    # raced COMMUTING rewrite: planned at `base`, committing at base+2
+    t0 = time.time()
+    v_commute = commit_rewrite(
+        path,
+        "DELETE",
+        adds=[],
+        remove_paths=[victim],
+        base_version=base,
+    )
+    out["raced_commute_s"] = round(time.time() - t0, 3)
+    assert v_commute == base + 2, v_commute
+
+    # raced CONFLICTING rewrite: same plan again — the victim is now dead
+    t0 = time.time()
+    try:
+        commit_rewrite(
+            path,
+            "DELETE",
+            adds=[],
+            remove_paths=[victim],
+            base_version=base,
+        )
+        raise AssertionError("expected ConcurrentWriteError")
+    except ConcurrentWriteError:
+        out["raced_conflict_s"] = round(time.time() - t0, 3)
+    out["rss_after_mib"] = round(rss_mib(), 1)
+    peak = round(hwm_mib(), 1)
+    out["rss_peak_mib"] = peak
+    out["rss_under_2gib"] = bool(peak < 2048)
+
+    if check_classic:
+        # classic-equality at the check scale: the full-snapshot
+        # comparison must reach the same two verdicts
+        from athena_delta_lake_spark.delta.writer import file_fingerprint
+
+        t0 = time.time()
+        now_files = {f.path: f for f in DeltaLog(path).snapshot().files}
+        out["classic_replay_s"] = round(time.time() - t0, 2)
+        assert victim not in now_files, "classic disagrees: victim live"
+        assert bystander not in now_files
+        out["classic_equality"] = "identical"
+        out["rss_after_classic_mib"] = round(rss_mib(), 1)
+
+    # restore the prepared table (both test commits removed)
+    for v in (base + 1, base + 2):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+    DeltaLog.clear_cache()
+    assert peak < 2048, f"driver RSS {peak} MiB breaches the 2 GiB bar"
     print(json.dumps(out))
     return 0
 
