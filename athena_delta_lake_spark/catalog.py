@@ -147,7 +147,15 @@ class DeltaPond:
         ANALYZE is the opt-in switch. The hint on a standalone scan is a
         no-op."""
         try:
-            snap = dt.snapshot()
+            # header fields only (configuration + version): the
+            # header-light state past the threshold, classic below —
+            # this bind runs on EVERY pond table read, so it must never
+            # pay a classic file-list replay just to check for a stats
+            # property (and a 10^6+-file table is no broadcast candidate
+            # anyway)
+            from .delta.writer import _header_state
+
+            snap = _header_state(dt.path)
             cfg = snap.metadata.get("configuration") or {}
             if "pond.stats.sizeInBytes" not in cfg:
                 return df

@@ -19,9 +19,6 @@ from .stats import Predicate, prune_files_auto
 from .writer import write_checkpoint, write_delta
 
 
-_WHERE_CONJUNCT = None  # compiled lazily
-
-
 def _partition_only(preds: list[Predicate], snap: SnapshotState) -> bool:
     pc = set(snap.partition_columns)
     return bool(preds) and all(p[0] in pc for p in preds)
@@ -36,39 +33,256 @@ def _parse_where(expr: str) -> list[Predicate]:
     return _parse_where_full(expr)[0]
 
 
-def _parse_where_full(expr: str) -> tuple[list[Predicate], bool]:
-    """(preds, fully_parsed). fully_parsed is True only when EVERY
-    conjunct of a pure-AND expression matched the simple form — the
-    precondition for answering from metadata alone (a dropped conjunct
-    like `id % 2 = 1` would otherwise silently inflate a metadata count
-    or widen a wholesale delete)."""
-    import re
+import re as _re
 
-    global _WHERE_CONJUNCT
-    if _WHERE_CONJUNCT is None:
-        lit = r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
-        _WHERE_CONJUNCT = re.compile(
-            r"^\s*(\w+)\s*(=|==|!=|<>|<=|>=|<|>)\s*" + lit + r"\s*$"
-        )
-    if re.search(r"\bOR\b", expr, flags=re.IGNORECASE):
-        return [], False  # OR disjuncts can't be pruned conjunct-by-conjunct
-    preds: list[Predicate] = []
-    fully = True
-    for part in re.split(r"\bAND\b", expr, flags=re.IGNORECASE):
-        m = _WHERE_CONJUNCT.match(part)
-        if not m:
-            fully = False
+_CONJ_RE = None  # compiled lazily (with _IN_RE and the literal regexes)
+_LIT_FAIL = object()
+
+
+def _compile_where_res():
+    global _CONJ_RE, _IN_RE, _TYPED_STR_RE, _STR_RE, _INT_RE, _NUM_RE, _BOOL_RE
+    ident = r"(?:`([^`]+)`|(\w+))"
+    # == before =: first-match alternation would otherwise eat one '='
+    # of a '==' and leave an unparseable '= literal' value
+    _CONJ_RE = _re.compile(
+        rf"^\s*{ident}\s*(==|=|!=|<>|<=|>=|<|>)\s*(.+?)\s*$", _re.S
+    )
+    _IN_RE = _re.compile(rf"^\s*{ident}\s+IN\s*\((.+)\)\s*$", _re.I | _re.S)
+    # string bodies allow SQL '' doubling and Catalyst's backslash escapes
+    body = r"((?:[^'\\]|\\.|'')*)"
+    _TYPED_STR_RE = _re.compile(
+        rf"^(?:DATE|TIMESTAMP_NTZ|TIMESTAMP)\s*'{body}'$", _re.I
+    )
+    _STR_RE = _re.compile(rf"^'{body}'$")
+    _INT_RE = _re.compile(r"^[+-]?\d+[LSY]?$", _re.I)
+    _NUM_RE = _re.compile(
+        r"^[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?(?:BD|D|F)?$", _re.I
+    )
+    _BOOL_RE = _re.compile(r"^(?:true|false)$", _re.I)
+
+
+def _skip_string(s: str, i: int) -> int:
+    """Index just past the string literal opening at s[i] == \"'\"
+    (honors \\-escapes and '' doubling)."""
+    j = i + 1
+    n = len(s)
+    while j < n:
+        if s[j] == "\\":
+            j += 2
             continue
-        col, op, raw = m.groups()
-        val: object
-        if raw.startswith("'"):
-            val = raw[1:-1].replace("''", "'")
-        elif re.fullmatch(r"-?\d+", raw):
-            val = int(raw)
-        else:
-            val = float(raw)
-        preds.append((col, "!=" if op == "<>" else op, val))
+        if s[j] == "'":
+            if j + 1 < n and s[j + 1] == "'":
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n
+
+
+def _unescape_str(body: str):
+    """Decode a string-literal body. Catalyst's Column.sql() renders
+    embedded quotes as \\' (and backslashes as \\\\); hand-written SQL
+    uses '' doubling. Any OTHER backslash escape (\\n, \\t, unicode)
+    fails the parse — guessing a value here would prune files that hold
+    matching rows."""
+    if "\\" not in body:
+        return body.replace("''", "'")
+    out = []
+    i = 0
+    n = len(body)
+    while i < n:
+        ch = body[i]
+        if ch == "\\":
+            if i + 1 < n and body[i + 1] in ("'", "\\"):
+                out.append(body[i + 1])
+                i += 2
+                continue
+            return _LIT_FAIL
+        if ch == "'":  # must be '' doubling
+            out.append("'")
+            i += 2
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _parse_literal(raw: str):
+    """One SQL literal -> python value, or _LIT_FAIL. Covers the forms
+    Catalyst's Column.sql() renders (the pond.sql DML routes pass
+    rendered condition text): suffixed numerics (5L, 1.5BD, 2D),
+    DATE/TIMESTAMP '...' typed strings (the value is the inner string —
+    the prune evaluators coerce by column type with the same session-
+    zone cast semantics the row filter's literal gets), booleans, plus
+    the plain forms hand-written API conditions use."""
+    raw = raw.strip()
+    m = _TYPED_STR_RE.match(raw) or _STR_RE.match(raw)
+    if m:
+        return _unescape_str(m.group(1))
+    if _INT_RE.match(raw):
+        return int(_re.sub(r"[LSY]$", "", raw, flags=_re.I))
+    if _NUM_RE.match(raw):
+        return float(_re.sub(r"(?:BD|D|F)$", "", raw, flags=_re.I))
+    if _BOOL_RE.match(raw):
+        return raw.lower() == "true"
+    return _LIT_FAIL
+
+
+def _strip_outer_parens(s: str) -> str:
+    """Strip parens that wrap the WHOLE expression (string-aware: parens
+    inside quoted literals don't count), repeatedly."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        i = 0
+        n = len(s)
+        wraps = False
+        while i < n:
+            ch = s[i]
+            if ch == "'":
+                i = _skip_string(s, i)
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    wraps = i == n - 1
+                    break
+            i += 1
+        if not wraps:
+            break
+        s = s[1:-1].strip()
+    return s
+
+
+def _split_top_and(s: str):
+    """Split on top-level ANDs (outside parens and string literals).
+    Returns None when a top-level OR is present — a disjunction can't be
+    pruned conjunct-by-conjunct."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    i = 0
+    n = len(s)
+
+    def _word_at(k: int, w: str) -> bool:
+        if s[k : k + len(w)].upper() != w:
+            return False
+        before_ok = k == 0 or not (s[k - 1].isalnum() or s[k - 1] == "_")
+        e = k + len(w)
+        after_ok = e >= n or not (s[e].isalnum() or s[e] == "_")
+        return before_ok and after_ok
+
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = _skip_string(s, i)
+            buf.append(s[i:j])
+            i = j
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0:
+            if _word_at(i, "AND"):
+                parts.append("".join(buf))
+                buf.clear()
+                i += 3
+                continue
+            if _word_at(i, "OR"):
+                return None
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def _split_top_commas(s: str) -> list[str]:
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    i = 0
+    n = len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = _skip_string(s, i)
+            buf.append(s[i:j])
+            i = j
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf.clear()
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def _parse_where_full(expr: str) -> tuple[list[Predicate], bool]:
+    """(preds, fully_parsed). fully_parsed is True only when EVERY leaf
+    of a pure-AND expression matched the simple `col op literal` /
+    `col IN (literals)` form — the precondition for answering from
+    metadata alone (a dropped conjunct like `id % 2 = 1` would otherwise
+    silently inflate a metadata count or widen a wholesale delete).
+
+    The grammar covers BOTH hand-written API conditions and the text
+    Catalyst's Column.sql() renders for the pond.sql DML routes — every
+    node parenthesized, identifiers backticked, literals suffixed
+    (1.5BD) or typed (DATE '...'). Before round 9 the rendered form
+    failed the conjunct regex wholesale, so every SQL-route
+    DELETE/UPDATE lost file pruning entirely (a full-table probe below
+    the light-planning threshold, a classic snapshot replay past it).
+    An OR under a pure-AND ancestor poisons only its own subtree: its
+    siblings remain true conjuncts of the whole expression and still
+    prune (fully=False keeps the metadata-only paths off)."""
+    if _CONJ_RE is None:
+        _compile_where_res()
+    preds: list[Predicate] = []
+    fully = _collect_conjuncts(str(expr), preds)
     return preds, fully
+
+
+def _collect_conjuncts(s: str, preds: list[Predicate]) -> bool:
+    stripped = _strip_outer_parens(s)
+    parts = _split_top_and(stripped)
+    if parts is None:
+        return False  # top-level OR
+    fully = True
+    for part in parts:
+        p = _strip_outer_parens(part)
+        m = _CONJ_RE.match(p)
+        if m:
+            col = m.group(1) or m.group(2)
+            val = _parse_literal(m.group(4))
+            if val is not _LIT_FAIL:
+                op = m.group(3)
+                preds.append((col, "!=" if op == "<>" else op, val))
+                continue
+        m = _IN_RE.match(p)
+        if m:
+            col = m.group(1) or m.group(2)
+            vals = [
+                _parse_literal(v) for v in _split_top_commas(m.group(3))
+            ]
+            if vals and all(v is not _LIT_FAIL for v in vals):
+                preds.append((col, "in", vals))
+                continue
+        if p != part.strip():
+            # parens were stripped: a strictly smaller subexpression —
+            # recurse so `(a = 1 AND b = 2) AND c = 3` yields all three
+            fully = _collect_conjuncts(p, preds) and fully
+            continue
+        fully = False
+    return fully
 
 
 class DeltaTable:
@@ -92,7 +306,10 @@ class DeltaTable:
         return self.snapshot(version).schema
 
     def partition_columns(self) -> list[str]:
-        return self.snapshot().partition_columns
+        # header-only fact: light state past the threshold, classic below
+        from .writer import _header_state
+
+        return _header_state(self.path).partition_columns
 
     def version(self) -> int:
         return self.log.latest_version()
@@ -623,8 +840,29 @@ class DeltaTable:
 
     def detail(self) -> dict:
         """DESCRIBE DETAIL analog: one dict of table facts from the
-        current snapshot — no data I/O."""
-        snap = self.snapshot()
+        current snapshot — no data I/O. Past the light-planning threshold
+        the header facts come from the light state and the two file
+        aggregates (numFiles / sizeInBytes) from one executor-side pass
+        over files_df — DESCRIBE DETAIL on a 10^7-file table never builds
+        the classic driver-resident file list."""
+        if self.log.light_planning_engaged(None):
+            from pyspark.sql import functions as F
+
+            light = self.log.snapshot_light()
+            agg = (
+                light.files_df(self.spark)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum("size").alias("bytes"),
+                )
+                .collect()[0]
+            )
+            snap = light.to_snapshot_state([])
+            num_files, size_bytes = int(agg["n"]), int(agg["bytes"] or 0)
+        else:
+            snap = self.snapshot()
+            num_files = snap.num_files
+            size_bytes = sum(f.size for f in snap.files)
         md = snap.metadata
         return {
             "format": (md.get("format") or {}).get("provider", "parquet"),
@@ -634,8 +872,8 @@ class DeltaTable:
             "location": self.path,
             "createdAt": md.get("createdTime"),
             "partitionColumns": list(snap.partition_columns),
-            "numFiles": snap.num_files,
-            "sizeInBytes": sum(f.size for f in snap.files),
+            "numFiles": num_files,
+            "sizeInBytes": size_bytes,
             "properties": dict(md.get("configuration") or {}),
             "minReaderVersion": snap.protocol.get("minReaderVersion"),
             "minWriterVersion": snap.protocol.get("minWriterVersion"),

@@ -4229,7 +4229,9 @@ def cleanup_log(table_path: str, retention_hours: float | None = None) -> dict:
         from .dml import retention_hours_from_interval
 
         try:
-            cfg = DeltaLog(table_path).snapshot().metadata.get("configuration")
+            # configuration is a header fact — never replay the file list
+            # to read one retention key
+            cfg = _header_state(table_path).metadata.get("configuration")
         except (FileNotFoundError, ValueError):
             cfg = None
         retention_hours = retention_hours_from_interval(

@@ -270,9 +270,9 @@ def _relation_parts(rel) -> list[str]:
 def _dv_mode(path: str) -> bool:
     """Delta semantics: DML uses merge-on-read (deletion vectors) when
     the table sets delta.enableDeletionVectors=true, else copy-on-write."""
-    from .delta.log import DeltaLog
+    from .delta.writer import _header_state
 
-    cfg = DeltaLog(normalize_table_path(path)).snapshot().metadata.get(
+    cfg = _header_state(normalize_table_path(path)).metadata.get(
         "configuration"
     ) or {}
     return str(cfg.get("delta.enableDeletionVectors", "")).lower() == "true"
@@ -282,7 +282,6 @@ def _dv_mode(path: str) -> bool:
 
 
 def _route_insert(pond, p, text: str) -> DataFrame:
-    from .delta.log import DeltaLog
     from .delta.writer import write_delta
 
     parts = _relation_parts(p.table())
@@ -301,9 +300,13 @@ def _route_insert(pond, p, text: str) -> DataFrame:
         if v is not None:
             static[k] = v
 
-    from .delta.writer import _generation_expressions, _identity_fields
+    from .delta.writer import (
+        _generation_expressions,
+        _header_state,
+        _identity_fields,
+    )
 
-    snap = DeltaLog(normalize_table_path(path)).snapshot()
+    snap = _header_state(normalize_table_path(path))
     fields = {f.name: f for f in snap.schema.fields}
     target_cols = [f.name for f in snap.schema.fields]
     # engine-assigned columns (GENERATED ALWAYS AS IDENTITY / (expr)) are
@@ -647,14 +650,14 @@ def _route_create_table(pond, p, text: str, replace: bool = False) -> DataFrame:
     for step in steps:
         version = step(pond, path)
     if identity or defaults:
-        from .delta.log import DeltaLog
         from .delta.types import struct_to_schema_string
         from .delta.writer import (
             _commit_metadata_change,
+            _header_state,
             _protocol_upgrade_action,
         )
 
-        snap = DeltaLog(normalize_table_path(path)).snapshot()
+        snap = _header_state(normalize_table_path(path))
         order_wrong = [f.name for f in snap.schema.fields] != declared
         upgrade = (
             _protocol_upgrade_action(
@@ -737,7 +740,6 @@ def _route_drop_constraint(pond, p, text: str) -> DataFrame:
 
 def _route_overwrite_by_expr(pond, p, text: str) -> DataFrame:
     """INSERT INTO ... REPLACE WHERE cond SELECT ... -> replaceWhere."""
-    from .delta.log import DeltaLog
     from .delta.writer import write_delta
 
     parts = _relation_parts(p.table())
@@ -746,7 +748,9 @@ def _route_overwrite_by_expr(pond, p, text: str) -> DataFrame:
     if qtext is None:
         raise ValueError("cannot recover the REPLACE WHERE source query text")
     df = pond.sql(qtext)
-    snap = DeltaLog(normalize_table_path(path)).snapshot()
+    from .delta.writer import _header_state
+
+    snap = _header_state(normalize_table_path(path))
     fields = {f.name: f for f in snap.schema.fields}
     target_cols = [f.name for f in snap.schema.fields]
     if len(df.columns) != len(target_cols):
@@ -1400,18 +1404,22 @@ def _alter_column_position(path: str, col: str, after: str | None) -> int:
 def _alter_column_nullability(pond, path: str, col: str, nullable: bool) -> int:
     """DROP NOT NULL (relax — always safe) / SET NOT NULL (tighten —
     must prove no existing NULLs first, one limit(1) probe)."""
-    from .delta.log import DeltaLog
-    from .delta.reader import read_snapshot
-    from .delta.writer import _commit_metadata_change
+    from .delta.table import DeltaTable
+    from .delta.writer import _commit_metadata_change, _header_state
 
-    snap = DeltaLog(path).snapshot()
+    snap = _header_state(path)
     if col not in {f.name for f in snap.schema.fields}:
         raise ValueError(f"no such column: {col}")
     if not nullable:
         from pyspark.sql import functions as F
 
+        # the probe reads DATA, so it must go through the light-planned
+        # DeltaTable read — a header state fed to read_snapshot would
+        # scan zero rows and accept NULL-holding columns (the
+        # add_check_constraint lesson, writer.py:1177)
         bad = (
-            read_snapshot(pond.spark, snap)
+            DeltaTable(pond.spark, path)
+            .to_df()
             .filter(F.col(col).isNull())
             .limit(1)
             .collect()
@@ -1590,10 +1598,10 @@ def _route_describe(pond, p, text: str) -> DataFrame:
 
 
 def _route_show_tblproperties(pond, p, text: str) -> DataFrame:
-    from .delta.log import DeltaLog
+    from .delta.writer import _header_state
 
     path = _target(pond, _relation_parts(p.table()))
-    cfg = DeltaLog(normalize_table_path(path)).snapshot().metadata.get(
+    cfg = _header_state(normalize_table_path(path)).metadata.get(
         "configuration"
     ) or {}
     key = _opt(p.propertyKey())
@@ -1608,7 +1616,6 @@ def _route_show_tblproperties(pond, p, text: str) -> DataFrame:
 def _route_create_table_like(pond, p, text: str) -> DataFrame:
     """CREATE TABLE t2 LIKE t1: empty table with the source's schema,
     partition columns and table properties — no data."""
-    from .delta.log import DeltaLog
     from .delta.writer import write_delta
 
     def _ti_parts(ti) -> list[str]:
@@ -1630,7 +1637,9 @@ def _route_create_table_like(pond, p, text: str) -> DataFrame:
         raise ValueError(f"table {schema}.{table} already exists")
     src_path = _target(pond, _ti_parts(p.sourceTable()))
     if pond._is_delta_dir(src_path):
-        snap = DeltaLog(normalize_table_path(src_path)).snapshot()
+        from .delta.writer import _header_state
+
+        snap = _header_state(normalize_table_path(src_path))
         st, part_cols = snap.schema, list(snap.partition_columns)
         config = dict(snap.metadata.get("configuration") or {})
     else:  # plain-parquet source: schema only
@@ -1734,13 +1743,13 @@ def _route_show_create_table(pond, p, text: str) -> DataFrame:
     """SHOW CREATE TABLE: render re-runnable DDL from the snapshot —
     columns (with NOT NULL and comments), partitioning, properties and
     the table comment."""
-    from .delta.log import DeltaLog
-
     parts = _relation_parts(p.child())
     path = _target(pond, parts)
     name = ".".join(parts) if len(parts) == 2 else parts[0]
     if pond._is_delta_dir(path):
-        snap = DeltaLog(normalize_table_path(path)).snapshot()
+        from .delta.writer import _header_state
+
+        snap = _header_state(normalize_table_path(path))
         st, part_cols = snap.schema, list(snap.partition_columns)
         md = snap.metadata
         config = dict(md.get("configuration") or {})
@@ -2194,32 +2203,67 @@ def _route_analyze(pond, m) -> DataFrame:
     (per-file size + numRecords stats): ZERO data scan; the scan
     fallback runs only when some file lacks numRecords and NOSCAN was
     not given."""
-    from .delta.log import DeltaLog
-    from .delta.reader import read_snapshot
+    from .delta.log import DeltaLog, _fast_num_records
     from .delta.writer import set_table_properties
 
-    from .delta.log import _fast_num_records
-
     path = _target(pond, m.group(1).replace("`", "").split("."))
-    snap = DeltaLog(path).snapshot()
-    size = sum(f.size for f in snap.files)
-    total_rows = 0
-    dv_removed = 0
-    counts_complete = True  # every live file yielded a numRecords stat
-    n_rows: int | None = 0
-    for f in snap.files:
-        nr = _fast_num_records(f)
-        if nr is None:
-            n_rows = None
-            counts_complete = False
-            break
-        total_rows += int(nr)
-        if f.deletion_vector:
-            dv_removed += int(f.deletion_vector.get("cardinality") or 0)
-    if n_rows is not None:
+    log = DeltaLog(path)
+    if log.light_planning_engaged(None):
+        # the fold is pure file-metadata arithmetic: one executor-side
+        # pass over files_df (size + stats numRecords + DV cardinality)
+        # — ANALYZE of a 10^7-file table never builds the classic
+        # driver-resident file list
+        from pyspark.sql import functions as F
+
+        light = log.snapshot_light()
+        row = (
+            light.files_df(pond.spark)
+            .select(
+                "size",
+                F.get_json_object("stats", "$.numRecords")
+                .cast("long")
+                .alias("nr"),
+                F.coalesce("dv_cardinality", F.lit(0)).alias("dvc"),
+            )
+            .agg(
+                F.coalesce(F.sum("size"), F.lit(0)).alias("size"),
+                F.coalesce(F.sum("nr"), F.lit(0)).alias("rows"),
+                F.count(F.when(F.col("nr").isNull(), 1)).alias("missing"),
+                F.coalesce(F.sum("dvc"), F.lit(0)).alias("dv"),
+            )
+            .collect()[0]
+        )
+        size = int(row["size"])
+        total_rows = int(row["rows"])
+        dv_removed = int(row["dv"])
+        counts_complete = int(row["missing"]) == 0
+        snap_version = light.version
+    else:
+        snap = log.snapshot()
+        size = sum(f.size for f in snap.files)
+        total_rows = 0
+        dv_removed = 0
+        counts_complete = True  # every live file yielded numRecords
+        for f in snap.files:
+            nr = _fast_num_records(f)
+            if nr is None:
+                counts_complete = False
+                break
+            total_rows += int(nr)
+            if f.deletion_vector:
+                dv_removed += int(f.deletion_vector.get("cardinality") or 0)
+        snap_version = snap.version
+    n_rows: int | None
+    if counts_complete:
         n_rows = total_rows - dv_removed
     elif not m.group(2):  # no per-file counts and not NOSCAN: count once
-        n_rows = read_snapshot(pond.spark, snap).count()
+        from .delta.table import DeltaTable
+
+        # the light-planned read — counting must not rebuild the classic
+        # snapshot either
+        n_rows = DeltaTable(pond.spark, path).to_df().count()
+    else:
+        n_rows = None
     # LIVE bytes: physical bytes scaled by the live-row fraction — the
     # number the broadcast hint plans with (a MOR-shrunk dim keeps big
     # physical files; the log knows the live table is tiny). The fraction
@@ -2236,7 +2280,7 @@ def _route_analyze(pond, m) -> DataFrame:
     props = {
         "pond.stats.sizeInBytes": str(size),
         "pond.stats.liveBytes": str(int(size * live_frac)),
-        "pond.stats.analyzedVersion": str(snap.version),
+        "pond.stats.analyzedVersion": str(snap_version),
     }
     if n_rows is not None:
         props["pond.stats.numRows"] = str(n_rows)

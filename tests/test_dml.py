@@ -461,3 +461,79 @@ def test_merge_mor_full_file_consumption_drops_file(spark, tmp_path):
     # no DV written: the k=0 files were fully consumed and dropped outright
     assert all(not f.deletion_vector for f in snap.files)
     assert snap.num_files < n_before
+
+
+def test_parse_where_catalyst_rendered_forms():
+    """The prune-triple grammar must cover BOTH hand-written conditions
+    and Catalyst's Column.sql() renderings (every node parenthesized,
+    backticked identifiers, suffixed/typed literals) — the pond.sql
+    DELETE/UPDATE routes pass the rendered text, and before round 9 it
+    failed the conjunct regex wholesale: zero file pruning on every
+    SQL-route DML. fully_parsed=True gates metadata-only answers, so
+    every new accepted form here must be an EXACT conjunct."""
+    from athena_delta_lake_spark.delta.table import _parse_where_full as P
+
+    cases = [
+        ("(id = 5000)", ([("id", "=", 5000)], True)),
+        ("((id >= 10) AND (id < 20))", ([("id", ">=", 10), ("id", "<", 20)], True)),
+        ("(`id` = 5000)", ([("id", "=", 5000)], True)),
+        ("(day = DATE '2024-01-01')", ([("day", "=", "2024-01-01")], True)),
+        (
+            "(ts < TIMESTAMP '2024-01-01 00:00:00')",
+            ([("ts", "<", "2024-01-01 00:00:00")], True),
+        ),
+        ("(price > 1.5BD)", ([("price", ">", 1.5)], True)),
+        ("(n = 5000000000L)", ([("n", "=", 5000000000)], True)),
+        ("(flag = true)", ([("flag", "=", True)], True)),
+        ("(name = 'x\\'y')", ([("name", "=", "x'y")], True)),
+        ("name = 'x''y'", ([("name", "=", "x'y")], True)),
+        ("(id IN (1, 2, 3))", ([("id", "in", [1, 2, 3])], True)),
+        ("(name IN ('a', 'b'))", ([("name", "in", ["a", "b"])], True)),
+        # OR poisons only its own subtree: the sibling conjunct still
+        # prunes, fully=False keeps the metadata-only paths off
+        (
+            "((id = 5000) AND ((name = 'a') OR (name = 'b')))",
+            ([("id", "=", 5000)], False),
+        ),
+        ("a = 1 OR b = 2", ([], False)),
+        ("NOT (a = 1)", ([], False)),
+        (
+            "(a = 1 AND b = 2) AND c = 3",
+            ([("a", "=", 1), ("b", "=", 2), ("c", "=", 3)], True),
+        ),
+        ("name = 'has AND inside'", ([("name", "=", "has AND inside")], True)),
+        ("id % 2 = 1 AND k = 3", ([("k", "=", 3)], False)),
+        ("(name = 'x\\ny')", ([], False)),  # unknown escape: never guess
+        ("day <> '2024-01-01'", ([("day", "!=", "2024-01-01")], True)),
+        ("(x.id = 7)", ([], False)),  # qualified name: conservative
+        ("true", ([], False)),
+    ]
+    for expr, want in cases:
+        assert P(expr) == want, (expr, P(expr), want)
+
+
+def test_sql_route_delete_prunes_and_matches_api(spark, tmp_path):
+    """pond.sql DELETE (Catalyst-rendered condition) must produce the
+    same result as the direct API, and its rendered predicate must reach
+    the partition fast path (metadata-only drop, no rewrite)."""
+    import os
+
+    from athena_delta_lake_spark import DeltaPond
+
+    root = tmp_path / "pond"
+    os.makedirs(root / "s")
+    path = str(root / "s" / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, i % 4, float(i)) for i in range(200)],
+            "id long, part int, v double",
+        ),
+        path,
+        partition_by=["part"],
+    )
+    pond = DeltaPond(spark, str(root))
+    res = pond.sql("DELETE FROM s.t WHERE part = 2").collect()[0].asDict()
+    # partition fast path: whole files dropped, nothing rewritten
+    assert res["files_added"] == 0 and res["files_removed"] > 0
+    assert DeltaTable(spark, path).to_df().filter("part = 2").count() == 0
+    assert DeltaTable(spark, path).to_df().count() == 150

@@ -358,3 +358,133 @@ def test_metadata_ddl_stays_light(spark, tmp_path, monkeypatch):
     assert snap.metadata.get("description") == "light ddl"
     assert "extra2" not in {f.name for f in snap.schema.fields}
     assert DeltaTable(spark, path).to_df().count() == 416
+
+
+def test_sql_routes_stay_light(spark, tmp_path, monkeypatch):
+    """The pond.sql surface past the threshold: the routes that only
+    need the header — DV-mode resolution (every SQL DML pays it),
+    INSERT INTO column binding, SHOW TBLPROPERTIES / SHOW CREATE TABLE,
+    CREATE TABLE LIKE, DROP/SET NOT NULL, and the broadcast-hint bind on
+    every pond table read — must not replay the classic file list.
+    SET NOT NULL's data probe is light-planned but REAL: a NULL-holding
+    column must still be refused."""
+    import os
+
+    from athena_delta_lake_spark import DeltaPond
+
+    root = tmp_path / "pond"
+    os.makedirs(root / "s")
+    path = str(root / "s" / "t")
+    _mk_table(spark, path)
+    # a nullable column with an actual NULL so SET NOT NULL must refuse
+    pond = DeltaPond(spark, str(root))
+    pond.sql("ALTER TABLE s.t ADD COLUMNS (maybe string)")
+    DeltaLog.clear_cache()
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "5")
+    assert DeltaLog(path).light_planning_engaged()
+
+    calls = []
+    orig = DeltaLog.snapshot
+
+    def poisoned(self, version=None):
+        calls.append(self.table_path)
+        return orig(self, version)
+
+    monkeypatch.setattr(DeltaLog, "snapshot", poisoned)
+    pond.sql("INSERT INTO s.t VALUES (5000, 3, 2.5, 'ins', 'x')")
+    pond.sql("SHOW TBLPROPERTIES s.t").collect()
+    pond.sql("SHOW CREATE TABLE s.t").collect()
+    pond.sql("CREATE TABLE s.t_like LIKE s.t")
+    pond.sql("ALTER TABLE s.t ALTER COLUMN maybe DROP NOT NULL")
+    with pytest.raises(ValueError, match="NULL"):
+        pond.sql("ALTER TABLE s.t ALTER COLUMN maybe SET NOT NULL")
+    # DELETE end-to-end: _dv_mode + candidate planning (the Catalyst-
+    # rendered condition must parse into prune triples) + commit, light
+    pond.sql("DELETE FROM s.t WHERE id = 5000")
+    # the broadcast-hint bind on a plain read
+    pond.read("s", "t").count()
+    # t_like is a freshly created BELOW-threshold table — classic there
+    # is the designed fallback; only the big table must stay light
+    assert [c for c in calls if c.endswith("/s/t")] == [], calls
+
+    monkeypatch.setattr(DeltaLog, "snapshot", orig)
+    DeltaLog.clear_cache()
+    df = DeltaTable(spark, path).to_df()
+    assert df.filter(F.col("id") == 5000).count() == 0
+    assert df.count() == 416
+
+
+def test_detail_and_partition_columns_stay_light(spark, tmp_path, monkeypatch):
+    """DESCRIBE DETAIL's header facts and file aggregates, and the
+    partition_columns accessor, must be classic-free past the threshold
+    AND byte-identical to the classic answers."""
+    path = str(tmp_path / "detail_light")
+    _mk_table(spark, path)
+    t = DeltaTable(spark, path)
+    classic = t.detail()
+    classic_pc = t.partition_columns()
+
+    DeltaLog.clear_cache()
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "5")
+    assert DeltaLog(path).light_planning_engaged()
+    calls = []
+    orig = DeltaLog.snapshot
+
+    def poisoned(self, version=None):
+        calls.append(self.table_path)
+        return orig(self, version)
+
+    monkeypatch.setattr(DeltaLog, "snapshot", poisoned)
+    light = t.detail()
+    light_pc = t.partition_columns()
+    assert calls == [], calls
+    assert light == classic
+    assert light_pc == classic_pc
+
+
+def test_analyze_stays_light_and_matches_classic(spark, tmp_path, monkeypatch):
+    """ANALYZE's size/rowCount fold is pure file-metadata arithmetic:
+    past the threshold it runs as one executor-side files_df pass and
+    stores the SAME properties the classic per-file loop derives."""
+    import os
+
+    from athena_delta_lake_spark import DeltaPond
+
+    root = tmp_path / "pond"
+    os.makedirs(root / "s")
+    a, b = str(root / "s" / "a"), str(root / "s" / "b")
+    for p in (a, b):
+        _mk_table(spark, p, dv=True)  # DV cardinality exercises the fold
+    pond = DeltaPond(spark, str(root))
+    pond.sql("ANALYZE TABLE s.a COMPUTE STATISTICS").collect()
+    want = {
+        k: v
+        for k, v in (
+            DeltaLog(a).snapshot().metadata.get("configuration") or {}
+        ).items()
+        if k.startswith("pond.stats.")
+    }
+
+    DeltaLog.clear_cache()
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "5")
+    assert DeltaLog(b).light_planning_engaged()
+    calls = []
+    orig = DeltaLog.snapshot
+
+    def poisoned(self, version=None):
+        calls.append(self.table_path)
+        return orig(self, version)
+
+    monkeypatch.setattr(DeltaLog, "snapshot", poisoned)
+    pond.sql("ANALYZE TABLE s.b COMPUTE STATISTICS").collect()
+    assert [c for c in calls if c.endswith("/s/b")] == [], calls
+    monkeypatch.setattr(DeltaLog, "snapshot", orig)
+    DeltaLog.clear_cache()
+    got = {
+        k: v
+        for k, v in (
+            DeltaLog(b).snapshot().metadata.get("configuration") or {}
+        ).items()
+        if k.startswith("pond.stats.")
+    }
+    assert got == want
