@@ -58,6 +58,15 @@ def _coerce(value: Any, dt: T.DataType) -> Any:
         return int(value)
     if isinstance(dt, (T.DoubleType, T.FloatType)):
         return float(value)
+    if isinstance(dt, T.DecimalType) and isinstance(value, (int, float)):
+        # a float pred value against a DECIMAL partition value compared
+        # unequal (float 0.1 != Decimal('0.1')): lift through the
+        # shortest-repr string, which recovers the original decimal text
+        # exactly for every value the parser's round-trip guard admits
+        # (table._parse_literal rejects literals float() cannot represent)
+        import decimal
+
+        return decimal.Decimal(str(value))
     return value
 
 
@@ -343,6 +352,14 @@ def _file_matches_stats(
     `tz` as in _file_matches_partition."""
     col, op, val = pred
     dt = schema_types[col]
+    if isinstance(dt, T.DecimalType):
+        # decimal stats bounds reach here as json-parsed FLOATS — a bound
+        # beyond float precision (> 17 significant digits) rounds, so a
+        # "provably outside the range" verdict is not a proof. Keep the
+        # file (the distributed and light prunes already exclude decimals
+        # via _SAFE_PRUNE_TYPES; partition matching stays exact — the
+        # partition VALUE is schema-cast from its original text).
+        return True
     mn = _nonfinite_to_none(_coerce(_stats_value(f.stats, "minValues", col), dt))
     mx = _nonfinite_to_none(_coerce(_stats_value(f.stats, "maxValues", col), dt))
     if op == "in":

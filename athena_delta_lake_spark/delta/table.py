@@ -122,7 +122,21 @@ def _parse_literal(raw: str):
     if _INT_RE.match(raw):
         return int(_re.sub(r"[LSY]$", "", raw, flags=_re.I))
     if _NUM_RE.match(raw):
-        return float(_re.sub(r"(?:BD|D|F)$", "", raw, flags=_re.I))
+        digits = _re.sub(r"(?:BD|D|F)$", "", raw, flags=_re.I)
+        f = float(digits)
+        # round-trip guard: a decimal literal float() cannot represent
+        # exactly (> ~15 significant digits) must NOT become a pruning
+        # value — against a DECIMAL column the rounded float would prune
+        # files that hold exactly-matching rows. Conservative bail; the
+        # row filter still evaluates the original text exactly.
+        import decimal
+
+        try:
+            if decimal.Decimal(digits) != decimal.Decimal(str(f)):
+                return _LIT_FAIL
+        except decimal.InvalidOperation:
+            return _LIT_FAIL
+        return f
     if _BOOL_RE.match(raw):
         return raw.lower() == "true"
     return _LIT_FAIL

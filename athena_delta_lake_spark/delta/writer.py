@@ -672,6 +672,7 @@ def _rewrite_commute_conflict(
     committed_version: int,
     remove_paths: list[str],
     expected_states: dict | None,
+    actions_by_version: dict | None = None,
 ) -> bool:
     """The commit_rewrite liveness/fingerprint conflict check evaluated
     INCREMENTALLY: file states change exclusively through add/remove
@@ -700,7 +701,9 @@ def _rewrite_commute_conflict(
 
     Raises FileNotFoundError when an interleaved commit JSON is gone
     (concurrent metadata cleanup) — the caller falls back to the classic
-    snapshot comparison."""
+    snapshot comparison. `actions_by_version` injects pre-read commit
+    actions so commit_rewrite reads each interleaved JSON ONCE for both
+    this check and the serializable read-set walk."""
     from .log import DeltaLog, _decode_path
 
     watched = set(remove_paths) | set(expected_states or ())
@@ -710,7 +713,12 @@ def _rewrite_commute_conflict(
     dead: set[str] = set()
     readded: dict[str, dict] = {}
     for v in range(base_version + 1, committed_version + 1):
-        for action in log.commit_actions(v):
+        acts = (
+            actions_by_version[v]
+            if actions_by_version is not None
+            else log.commit_actions(v)
+        )
+        for action in acts:
             add = action.get("add")
             if add is not None:
                 p = _decode_path(add["path"])
@@ -749,6 +757,7 @@ def _serializable_read_conflict(
     base_version: int,
     now_snap,
     read_predicates: list | None,
+    actions_by_version: dict | None = None,
 ) -> bool:
     """True when any commit in (base_version, now] ADDED dataChange files
     that can match `read_predicates` — the Serializable read-set
@@ -785,7 +794,12 @@ def _serializable_read_conflict(
     new_adds: list[AddFile] = []
     removed_paths: set[str] = set()
     for v in range(base_version + 1, now_snap.version + 1):
-        for action in log.commit_actions(v):
+        acts = (
+            actions_by_version[v]
+            if actions_by_version is not None and v in actions_by_version
+            else log.commit_actions(v)
+        )
+        for action in acts:
             add = action.get("add")
             if add is not None and add.get("dataChange", True):
                 pv = add.get("partitionValues") or {}
@@ -998,14 +1012,25 @@ def commit_rewrite(
             # landing between _next_version and this scan is covered by
             # the FileExistsError retry, which re-runs the check.
             try:
+                # ONE read of each interleaved commit serves both the
+                # commute check and (under serializable) the read-set walk
+                interleaved = {
+                    v: DeltaLog(table_path).commit_actions(v)
+                    for v in range(base_version + 1, version)
+                }
+            except FileNotFoundError:
+                # concurrent metadata cleanup removed an interleaved JSON
+                interleaved = None
+            if interleaved is not None:
                 conflict = _rewrite_commute_conflict(
                     table_path,
                     base_version,
                     version - 1,
                     remove_paths,
                     expected_states,
+                    actions_by_version=interleaved,
                 )
-            except FileNotFoundError:
+            else:
                 now_files = {
                     f.path: f for f in DeltaLog(table_path).snapshot().files
                 }
@@ -1021,11 +1046,22 @@ def commit_rewrite(
                     f"{operation} conflicts with a concurrent commit that "
                     "touched the same files; re-run against the new snapshot"
                 ) from None
+            if isolation == "serializable" and interleaved is None:
+                # the read-set walk NEEDS the interleaved actions; with
+                # them cleaned away, read-set stability cannot be proven —
+                # refuse so the caller re-plans against the new snapshot
+                # (after which there is no interleave to verify)
+                raise ConcurrentWriteError(
+                    f"{operation} (isolation=serializable) raced log "
+                    "cleanup of the interleaved commits; re-run against "
+                    "the new snapshot"
+                ) from None
             if isolation == "serializable" and _serializable_read_conflict(
                 table_path,
                 base_version,
                 _header_state(table_path, version - 1),
                 read_predicates,
+                actions_by_version=interleaved,
             ):
                 raise ConcurrentWriteError(
                     f"{operation} (isolation=serializable) conflicts with a "

@@ -1059,8 +1059,10 @@ def semantic_decontamination(
     pandas_udf. The 100 TB corpus is scored in ONE map-side pass
     (float64 matmul per batch), zero shuffle, no self-join. Adds
     `max_bench_sim` (max cosine over the bench set) and `contaminated`
-    (max_bench_sim >= tau). Zero-norm embeddings score NaN, which never
-    satisfies >= tau — conservatively kept.
+    (max_bench_sim >= tau). Zero-norm BENCH rows are dropped (no
+    direction to match — and a NaN row would poison every corpus score
+    through np.max); a zero-norm CORPUS embedding scores NaN, which
+    never satisfies >= tau — conservatively kept.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -1070,8 +1072,16 @@ def semantic_decontamination(
             "max_bench_sim", F.lit(None).cast("double")
         ).withColumn("contaminated", F.lit(False))
     B = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
-    with np.errstate(divide="ignore", invalid="ignore"):
-        B = B / np.linalg.norm(B, axis=1, keepdims=True)
+    norms = np.linalg.norm(B, axis=1)
+    # a zero-norm bench row has no direction to match — and normalizing
+    # it yields a NaN row that np.max would propagate to EVERY corpus
+    # score, silently disabling the whole pass (review finding). Drop
+    # them; an all-zero bench degenerates to the empty-bench answer.
+    B = B[norms > 0] / norms[norms > 0, None]
+    if B.shape[0] == 0:
+        return corpus.withColumn(
+            "max_bench_sim", F.lit(None).cast("double")
+        ).withColumn("contaminated", F.lit(False))
 
     @pandas_udf("double")
     def _max_sim(v: pd.Series) -> pd.Series:

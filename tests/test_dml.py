@@ -537,3 +537,48 @@ def test_sql_route_delete_prunes_and_matches_api(spark, tmp_path):
     assert res["files_added"] == 0 and res["files_removed"] > 0
     assert DeltaTable(spark, path).to_df().filter("part = 2").count() == 0
     assert DeltaTable(spark, path).to_df().count() == 150
+
+
+def test_sql_delete_on_decimal_partition_is_exact(spark, tmp_path):
+    """Catalyst renders decimal literals as `0.10BD`; the parsed float
+    must compare EXACTLY against DECIMAL partition values (a float-vs-
+    Decimal mismatch used to prune the matching partition away: DELETE
+    deleted nothing, and the negated predicate wholesale-dropped rows
+    the predicate excluded)."""
+    import os
+    from decimal import Decimal
+
+    from athena_delta_lake_spark import DeltaPond
+
+    root = tmp_path / "pond"
+    os.makedirs(root / "s")
+    path = str(root / "s" / "t")
+    df = spark.createDataFrame(
+        [(i, Decimal(("0.10", "0.25", "1.50")[i % 3])) for i in range(90)],
+        "id long, price decimal(10,2)",
+    )
+    write_delta(df, path, partition_by=["price"])
+    pond = DeltaPond(spark, str(root))
+
+    pond.sql("DELETE FROM s.t WHERE price = 0.10")
+    t = DeltaTable(spark, path)
+    assert t.to_df().filter("price = 0.10").count() == 0
+    assert t.to_df().count() == 60
+
+    # negated predicate: must NOT touch the remaining 0.25 rows' peers —
+    # deletes exactly the non-0.25 rows
+    pond.sql("DELETE FROM s.t WHERE price != 0.25")
+    assert sorted(
+        r["price"] for r in t.to_df().select("price").distinct().collect()
+    ) == [Decimal("0.25")]
+    assert t.to_df().count() == 30
+
+
+def test_parse_literal_rejects_unrepresentable_decimals():
+    """A decimal literal beyond float precision must bail (conservative)
+    rather than round into a pruning value."""
+    from athena_delta_lake_spark.delta.table import _parse_where_full as P
+
+    assert P("(price = 0.10BD)") == ([("price", "=", 0.1)], True)
+    preds, fully = P("(price = 0.100000000000000005551BD)")
+    assert preds == [] and not fully

@@ -300,3 +300,34 @@ def test_serializable_readset_probe_is_light_past_threshold(
     )
     monkeypatch.undo()
     assert v >= base + 2
+
+
+def test_serializable_cleaned_interleave_refuses(spark, tmp_path):
+    """Under serializable isolation the read-set walk NEEDS the
+    interleaved commit actions; when log cleanup removed them the commit
+    must refuse with ConcurrentWriteError (re-plan and retry), not crash
+    with FileNotFoundError."""
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    base, f, expected = _planned_remove(path)
+    write_delta(
+        spark.createDataFrame([(99, 9.9)], "id long, v double"),
+        path,
+        mode="append",
+    )
+    write_checkpoint(path)
+    log_dir = os.path.join(path, "_delta_log")
+    for v in range(base + 2):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+    DeltaLog.clear_cache()
+    with pytest.raises(ConcurrentWriteError, match="log cleanup"):
+        commit_rewrite(
+            path,
+            "DELETE",
+            adds=[],
+            remove_paths=[f.path],
+            expected_states=expected,
+            base_version=base,
+            isolation="serializable",
+            read_predicates=[("id", "<", 5)],
+        )

@@ -317,12 +317,17 @@ def test_semantic_decontamination_threshold_margin(sf):
     near the threshold. Assert the margin so a fixture regen that lands
     a point within float-noise distance fails loudly here instead of
     flaking the oracle gate."""
+    import os
+
     import duckdb
     import numpy as np
 
+    from tests.conftest import SF_DIR
+
     con = duckdb.connect()
+    path = os.path.join(os.path.dirname(SF_DIR), f"sf{sf}", "embeddings.parquet")
     E = con.execute(
-        f"select embedding, label from '/root/testdata/sf{sf}/embeddings.parquet'"
+        f"select embedding, label from '{path}'"
     ).fetchall()
     B = np.stack([np.array(e, dtype=np.float64) for e, l in E if l == 0])
     M = np.stack([np.array(e, dtype=np.float64) for e, l in E if l != 0])
@@ -331,3 +336,32 @@ def test_semantic_decontamination_threshold_margin(sf):
     )
     margin = np.abs(sims.max(axis=1) - 0.42).min()
     assert margin > 1e-5, f"sf{sf} margin {margin:.2e} too tight for tau=0.42"
+
+
+def test_semantic_decontamination_zero_norm_bench_row(spark):
+    """A zero-norm bench embedding must not poison every corpus score
+    with NaN (np.max propagates NaN): it is dropped, and exact matches
+    of the OTHER bench rows still flag."""
+    from athena_delta_lake_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, [0.0, 0.0]), (101, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [(1, [3.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["contaminated"]
+        for r in semantic_decontamination(corpus, bench, tau=0.9).collect()
+    }
+    assert got == {1: True, 2: False}
+    # an ALL-zero bench degenerates to the empty-bench answer
+    zbench = spark.createDataFrame(
+        [(100, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    rows = semantic_decontamination(corpus, zbench, tau=0.9).collect()
+    assert all(not r["contaminated"] for r in rows)
