@@ -58,15 +58,28 @@ def _coerce(value: Any, dt: T.DataType) -> Any:
         return int(value)
     if isinstance(dt, (T.DoubleType, T.FloatType)):
         return float(value)
-    if isinstance(dt, T.DecimalType) and isinstance(value, (int, float)):
+    if isinstance(dt, T.DecimalType) and not isinstance(value, bool):
         # a float pred value against a DECIMAL partition value compared
-        # unequal (float 0.1 != Decimal('0.1')): lift through the
+        # unequal (float 0.1 != Decimal('0.1')): lift numerics through the
         # shortest-repr string, which recovers the original decimal text
         # exactly for every value the parser's round-trip guard admits
-        # (table._parse_literal rejects literals float() cannot represent)
+        # (table._parse_literal rejects literals float() cannot
+        # represent), and string values through Decimal directly (exact).
+        # bool is excluded (an int subclass, but Decimal('True') raises;
+        # the numeric fallthrough compares Decimal('1.00') == True fine).
+        # Known corner outside the exact domain: Spark evaluates an
+        # UNsuffixed literal against a decimal column in the DOUBLE
+        # domain, which diverges from this decimal-domain compare only
+        # for partition values beyond ~15 significant digits.
         import decimal
 
-        return decimal.Decimal(str(value))
+        try:
+            if isinstance(value, (int, float)):
+                return decimal.Decimal(str(value))
+            if isinstance(value, str):
+                return decimal.Decimal(value)
+        except decimal.InvalidOperation:
+            return value
     return value
 
 

@@ -1011,17 +1011,29 @@ def commit_rewrite(
             # commit JSON falls back to the classic comparison. A commit
             # landing between _next_version and this scan is covered by
             # the FileExistsError retry, which re-runs the check.
-            try:
-                # ONE read of each interleaved commit serves both the
-                # commute check and (under serializable) the read-set walk
-                interleaved = {
-                    v: DeltaLog(table_path).commit_actions(v)
-                    for v in range(base_version + 1, version)
-                }
-            except FileNotFoundError:
-                # concurrent metadata cleanup removed an interleaved JSON
-                interleaved = None
-            if interleaved is not None:
+            # read the interleaved commits ONCE for both the commute check
+            # and (under serializable) the read-set walk — and not at all
+            # when neither needs them (an insert-only MERGE passes no
+            # remove_paths: its raced retry must not pay O(interleave)
+            # commit reads for a check that is vacuously clean)
+            needs_actions = bool(
+                remove_paths or expected_states or isolation == "serializable"
+            )
+            interleaved: dict | None = None
+            if needs_actions:
+                try:
+                    log0 = DeltaLog(table_path)
+                    interleaved = {
+                        v: log0.commit_actions(v)
+                        for v in range(base_version + 1, version)
+                    }
+                except FileNotFoundError:
+                    # concurrent metadata cleanup removed an interleaved
+                    # JSON
+                    interleaved = None
+            if not needs_actions:
+                conflict = False
+            elif interleaved is not None:
                 conflict = _rewrite_commute_conflict(
                     table_path,
                     base_version,

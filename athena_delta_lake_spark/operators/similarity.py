@@ -1073,11 +1073,14 @@ def semantic_decontamination(
         ).withColumn("contaminated", F.lit(False))
     B = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     norms = np.linalg.norm(B, axis=1)
-    # a zero-norm bench row has no direction to match — and normalizing
-    # it yields a NaN row that np.max would propagate to EVERY corpus
-    # score, silently disabling the whole pass (review finding). Drop
-    # them; an all-zero bench degenerates to the empty-bench answer.
-    B = B[norms > 0] / norms[norms > 0, None]
+    # a zero-norm or non-finite bench row has no direction to match —
+    # and normalizing it yields a NaN row that np.max would propagate to
+    # EVERY corpus score, silently disabling the whole pass (review
+    # finding; inf/inf is NaN too, so finiteness matters as much as
+    # positivity). Drop them; an all-degenerate bench reduces to the
+    # empty-bench answer.
+    ok = np.isfinite(norms) & (norms > 0)
+    B = B[ok] / norms[ok, None]
     if B.shape[0] == 0:
         return corpus.withColumn(
             "max_bench_sim", F.lit(None).cast("double")

@@ -582,3 +582,25 @@ def test_parse_literal_rejects_unrepresentable_decimals():
     assert P("(price = 0.10BD)") == ([("price", "=", 0.1)], True)
     preds, fully = P("(price = 0.100000000000000005551BD)")
     assert preds == [] and not fully
+
+
+def test_api_string_predicate_on_decimal_partition(spark, tmp_path):
+    """Direct-API string literal against a DECIMAL partition column:
+    Decimal('0.10') must match the partition value exactly (strings used
+    to pass _coerce untouched and mis-prune everything; ranges raised
+    TypeError)."""
+    from decimal import Decimal
+
+    path = str(tmp_path / "decstr")
+    df = spark.createDataFrame(
+        [(i, Decimal(("0.10", "0.25")[i % 2])) for i in range(40)],
+        "id long, price decimal(10,2)",
+    )
+    write_delta(df, path, partition_by=["price"])
+    t = DeltaTable(spark, path)
+    res = t.delete(where="price = '0.10'")
+    assert res["rows_deleted"] == 20
+    assert t.to_df().count() == 20
+    # range op on the same column must not raise and must be exact
+    assert t.to_df(where=[("price", ">", "0.20")]).count() == 20
+    assert t.to_df(where=[("price", "<", "0.20")]).count() == 0

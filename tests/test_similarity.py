@@ -365,3 +365,13 @@ def test_semantic_decontamination_zero_norm_bench_row(spark):
     )
     rows = semantic_decontamination(corpus, zbench, tau=0.9).collect()
     assert all(not r["contaminated"] for r in rows)
+    # non-finite bench rows are degenerate the same way (inf/inf -> NaN)
+    ibench = spark.createDataFrame(
+        [(100, [float("inf"), 0.0]), (101, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got2 = {
+        r["vec_id"]: r["contaminated"]
+        for r in semantic_decontamination(corpus, ibench, tau=0.9).collect()
+    }
+    assert got2 == {1: True, 2: False}
