@@ -574,7 +574,7 @@ def drop_feature(
 
 
 def metadata_implied_features(
-    metadata: dict, files=None
+    metadata: dict, files=None, has_deletion_vectors: bool | None = None
 ) -> tuple[set[str], set[str]]:
     """(reader_features, writer_features) a table with this metaData (and
     optionally these live files) REQUIRES writers/readers to implement.
@@ -621,8 +621,12 @@ def metadata_implied_features(
         r.add("variantType")
     if "timestamp_ntz" in types:
         r.add("timestampNtz")
-    if files is not None and any(
-        getattr(f, "deletion_vector", None) for f in files
+    if has_deletion_vectors or (
+        files is not None
+        and any(getattr(f, "deletion_vector", None) for f in files)
     ):
+        # has_deletion_vectors: the light RESTORE plan answers "any DV
+        # among the target's live files" with one executor-side probe
+        # instead of materializing the file list
         r.add("deletionVectors")
     return r, w | r

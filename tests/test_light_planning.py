@@ -488,3 +488,51 @@ def test_analyze_stays_light_and_matches_classic(spark, tmp_path, monkeypatch):
         if k.startswith("pond.stats.")
     }
     assert got == want
+
+
+def test_restore_stays_light_and_equals_classic(spark, tmp_path, monkeypatch):
+    """RESTORE past the threshold computes its re-add/remove diff
+    executor-side (classic materialized BOTH snapshots driver-side) and
+    must land a byte-identical table state: twin tables get the same
+    edit history (appends, a MOR delete growing a DV, a COW delete),
+    one restores classically, one through the light plane with
+    DeltaLog.snapshot poisoned."""
+    paths = [str(tmp_path / "ra"), str(tmp_path / "rb")]
+    for p in paths:
+        _mk_table(spark, p, dv=True)  # checkpoint at the DV'd state
+        # post-checkpoint history to restore away: a COW delete and an
+        # append; plus a MOR delete that GROWS an existing DV (same-path
+        # fingerprint change the diff must catch)
+        DeltaTable(spark, p).delete(where="id % 41 = 0", mode="mor")
+        DeltaTable(spark, p).delete(where="part = 6")
+    target_v = 2  # the checkpointed post-MOR-delete version
+    DeltaLog.clear_cache()
+    from athena_delta_lake_spark.delta.dml import restore_table
+
+    res_a = restore_table(paths[0], version=target_v)
+
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "5")
+    assert DeltaLog(paths[1]).light_planning_engaged()
+    calls = []
+    orig = DeltaLog.snapshot
+
+    def poisoned(self, version=None):
+        calls.append(self.table_path)
+        return orig(self, version)
+
+    monkeypatch.setattr(DeltaLog, "snapshot", poisoned)
+    res_b = restore_table(paths[1], version=target_v)
+    assert calls == [], calls
+    monkeypatch.setattr(DeltaLog, "snapshot", orig)
+    DeltaLog.clear_cache()
+
+    assert res_a["files_added"] == res_b["files_added"]
+    assert res_a["files_removed"] == res_b["files_removed"]
+    assert res_a["metadata_restored"] == res_b["metadata_restored"]
+    assert _rows(DeltaTable(spark, paths[0]).to_df()) == _rows(
+        DeltaTable(spark, paths[1]).to_df()
+    )
+    # the restored state matches the target version exactly
+    assert _rows(DeltaTable(spark, paths[1]).to_df()) == _rows(
+        DeltaTable(spark, paths[1]).to_df(version=target_v)
+    )

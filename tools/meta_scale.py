@@ -196,6 +196,8 @@ def main() -> int:
         return maintain_main(root, n_files, out)
     if "--conflict" in sys.argv:
         return conflict_main(root, n_files, out, "--check-classic" in sys.argv)
+    if "--restore" in sys.argv:
+        return restore_main(root, n_files, out)
     t0 = time.time()
     path = build_log(root, n_files, per_commit)
     out["build_log_s"] = round(time.time() - t0, 2)
@@ -733,6 +735,68 @@ def conflict_main(root: str, n_files: int, out: dict, check_classic: bool) -> in
         os.remove(os.path.join(log_dir, f"{v:020d}.json"))
     DeltaLog.clear_cache()
     assert peak < 2048, f"driver RSS {peak} MiB breaches the 2 GiB bar"
+    print(json.dumps(out))
+    return 0
+
+
+def restore_main(root: str, n_files: int, out: dict) -> int:
+    """Measure light-planned RESTORE against the prepared table: a file
+    is dropped at version base+1, then RESTORE back to base must re-add
+    exactly that file. Classic planning materialized BOTH snapshots
+    driver-side (2 x 8.6 GiB at 10^7 adds); the light plan computes the
+    diff executor-side and collects only it. Leaves the table unchanged
+    (test commits + the dummy data file removed)."""
+    from athena_delta_lake_spark import get_spark
+    from athena_delta_lake_spark.delta.dml import restore_table
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.writer import commit_rewrite
+
+    path = os.path.join(root, "meta_scale_tbl")
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        print(
+            json.dumps({"error": "run the normal mode first to build the "
+                        "table + checkpoint"}),
+        )
+        return 1
+    out["mode"] = "restore"
+    os.environ.setdefault("ADLS_LIGHT_PLANNING_FILES", "1000000")
+    out["rss_before_mib"] = round(rss_mib(), 1)
+    log = DeltaLog(path)
+    out["light_engaged"] = bool(log.light_planning_engaged())
+    base = log.latest_version()
+    victim = next(
+        a["add"]["path"] for a in log.commit_actions(base) if "add" in a
+    )
+    # the re-add path must exist on disk (restore's vacuumed-file check)
+    victim_abs = os.path.join(path, victim)
+    os.makedirs(os.path.dirname(victim_abs), exist_ok=True)
+    with open(victim_abs, "wb") as fh:
+        fh.write(b"\x00")
+    commit_rewrite(path, "DELETE", adds=[], remove_paths=[victim])
+
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        shuffle_partitions=16,
+    )
+    t0 = time.time()
+    res = restore_table(path, version=base)
+    out["restore_s"] = round(time.time() - t0, 2)
+    out["files_added"] = res["files_added"]
+    out["files_removed"] = res["files_removed"]
+    assert res["files_added"] == 1 and res["files_removed"] == 0, res
+    peak = round(hwm_mib(), 1)
+    out["rss_peak_mib"] = peak
+    out["rss_under_2gib"] = bool(peak < 2048)
+
+    # restore the prepared table (both test commits + the dummy file)
+    for v in (base + 1, base + 2):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+    os.remove(victim_abs)
+    DeltaLog.clear_cache()
+    assert out["light_engaged"], "light planning did not engage"
+    assert peak < 2048, f"driver RSS {peak} MiB breaches the 2 GiB bar"
+    spark.stop()
     print(json.dumps(out))
     return 0
 
