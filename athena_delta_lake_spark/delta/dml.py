@@ -2910,7 +2910,7 @@ def reorg_purge(
 # -------------------------------------------------------------------- RESTORE
 
 
-def _light_restore_plan(log, version, timestamp_millis):
+def _light_restore_plan(log, version):
     """RESTORE planning via the light plane, or None to plan classically.
     The classic path materializes BOTH the target and current snapshots
     driver-side (2 x 8.6 GiB at 10^7 adds) to compute a diff that is
@@ -2918,8 +2918,12 @@ def _light_restore_plan(log, version, timestamp_millis):
     the two versions' files_df on path + fingerprint, and only the diff
     rows come back (capped — an over-cap diff means the restore commit
     itself is O(table), where classic planning costs proportionally
-    little extra). Returns (target_hdr, current_hdr, to_add AddFiles,
-    to_remove paths, expected_states, tgt_has_dv)."""
+    little extra). The re-add and remove sides run as two passes over
+    the two frames rather than one cached full-outer join: caching a
+    10^7-row join to save one scan would reintroduce exactly the memory
+    footprint this path exists to avoid. Returns (target_hdr,
+    current_hdr, to_add AddFiles, to_remove paths, expected_states,
+    tgt_has_dv)."""
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -2930,14 +2934,9 @@ def _light_restore_plan(log, version, timestamp_millis):
     spark = SparkSession.getActiveSession()
     if spark is None:
         return None
-    tv = (
-        version
-        if version is not None
-        else log.version_as_of_timestamp(timestamp_millis)
-    )
-    if not log.light_planning_engaged(tv):
+    if not log.light_planning_engaged(version):
         return None
-    lt = log.snapshot_light(tv)
+    lt = log.snapshot_light(version)
     lc = log.snapshot_light()
     cap = light_collect_cap()
     tdf = lt.files_df(spark, full=True)
@@ -2955,10 +2954,15 @@ def _light_restore_plan(log, version, timestamp_millis):
     # fingerprint (same path, grown DV / rewritten bytes) — null-safe on
     # the DV fields, which are null for undeleted files
     joined = tdf.join(cur_fp, tdf["path"] == cur_fp["c_path"], "left")
+    # eqNullSafe THROUGHOUT: third-party checkpoints may omit size or
+    # modificationTime (files_df emits NULL for absent add-struct
+    # fields), and a null-unsafe == would make `same` NULL, `~same`
+    # NULL, and silently drop the row from the diff — a file the
+    # classic tuple-compare plane re-adds
     same = (
         F.col("c_path").isNotNull()
-        & (F.col("size") == F.col("c_size"))
-        & (F.col("modification_time") == F.col("c_mtime"))
+        & F.col("size").eqNullSafe(F.col("c_size"))
+        & F.col("modification_time").eqNullSafe(F.col("c_mtime"))
         & F.col("c_dv_path").eqNullSafe(
             F.get_json_object("dv_json", "$.pathOrInlineDv")
         )
@@ -2998,7 +3002,15 @@ def _light_restore_plan(log, version, timestamp_millis):
         )
         for r in rem_rows
     }
-    tgt_has_dv = bool(tdf.where(F.col("dv_json").isNotNull()).head(1))
+    # the DV probe's only consumer is the protocol-upgrade check, which
+    # discards the answer whenever the feature is already declared — the
+    # common case; only pay the scan when it could change the commit
+    from .features import _explicit_feature_sets
+
+    have_r, _ = _explicit_feature_sets(lc.protocol)
+    tgt_has_dv = "deletionVectors" not in have_r and bool(
+        tdf.where(F.col("dv_json").isNotNull()).head(1)
+    )
     return (
         lt.to_snapshot_state([]),
         lc.to_snapshot_state([]),
@@ -3030,21 +3042,20 @@ def restore_table(
         raise ValueError("provide exactly one of version / timestamp_millis")
     table_path = normalize_table_path(table_path)
     log = DeltaLog(table_path)
+    if version is None:
+        # resolve ONCE — both planes and the classic fallback share it
+        version = log.version_as_of_timestamp(timestamp_millis)
     # Diff by file STATE, not just path: a path live in both versions can
     # still differ (a deletion vector grown by a later MOR delete, or a
     # same-path rewrite) — those must be re-added with the TARGET's
     # descriptor or post-target deletions survive the restore (caught by
     # the randomized DML fuzz). Re-adding an existing path replaces its
     # entry on replay (last writer wins), so no paired remove is needed.
-    plan = _light_restore_plan(log, version, timestamp_millis)
+    plan = _light_restore_plan(log, version)
     if plan is not None:
         target, current, to_add, to_remove, expected_states, tgt_has_dv = plan
     else:
-        target = (
-            log.snapshot(version)
-            if version is not None
-            else log.snapshot_as_of_timestamp(timestamp_millis)
-        )
+        target = log.snapshot(version)
         current = log.snapshot()
         cur_fp = {f.path: file_fingerprint(f) for f in current.files}
         tgt = {f.path: f for f in target.files}

@@ -505,7 +505,7 @@ def test_restore_stays_light_and_equals_classic(spark, tmp_path, monkeypatch):
         # fingerprint change the diff must catch)
         DeltaTable(spark, p).delete(where="id % 41 = 0", mode="mor")
         DeltaTable(spark, p).delete(where="part = 6")
-    target_v = 2  # the checkpointed post-MOR-delete version
+    target_v = 2  # the post-MOR-delete version: checkpoint(v1) + 1-commit overlay
     DeltaLog.clear_cache()
     from athena_delta_lake_spark.delta.dml import restore_table
 

@@ -779,24 +779,29 @@ def restore_main(root: str, n_files: int, out: dict) -> int:
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
         shuffle_partitions=16,
     )
-    t0 = time.time()
-    res = restore_table(path, version=base)
-    out["restore_s"] = round(time.time() - t0, 2)
-    out["files_added"] = res["files_added"]
-    out["files_removed"] = res["files_removed"]
-    assert res["files_added"] == 1 and res["files_removed"] == 0, res
-    peak = round(hwm_mib(), 1)
-    out["rss_peak_mib"] = peak
-    out["rss_under_2gib"] = bool(peak < 2048)
-
-    # restore the prepared table (both test commits + the dummy file)
-    for v in (base + 1, base + 2):
-        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
-    os.remove(victim_abs)
-    DeltaLog.clear_cache()
-    assert out["light_engaged"], "light planning did not engage"
-    assert peak < 2048, f"driver RSS {peak} MiB breaches the 2 GiB bar"
-    spark.stop()
+    try:
+        t0 = time.time()
+        res = restore_table(path, version=base)
+        out["restore_s"] = round(time.time() - t0, 2)
+        out["files_added"] = res["files_added"]
+        out["files_removed"] = res["files_removed"]
+        assert res["files_added"] == 1 and res["files_removed"] == 0, res
+        peak = round(hwm_mib(), 1)
+        out["rss_peak_mib"] = peak
+        out["rss_under_2gib"] = bool(peak < 2048)
+        assert out["light_engaged"], "light planning did not engage"
+        assert peak < 2048, f"driver RSS {peak} MiB breaches the 2 GiB bar"
+    finally:
+        # ALWAYS restore the prepared table — a failed assert must not
+        # pollute the multi-hour 10^7 fixture with stray commits
+        for v in (base + 1, base + 2):
+            p = os.path.join(log_dir, f"{v:020d}.json")
+            if os.path.exists(p):
+                os.remove(p)
+        if os.path.exists(victim_abs):
+            os.remove(victim_abs)
+        DeltaLog.clear_cache()
+        spark.stop()
     print(json.dumps(out))
     return 0
 
