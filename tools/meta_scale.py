@@ -23,6 +23,8 @@ Usage: python tools/meta_scale.py [n_files] [adds_per_commit]
        python tools/meta_scale.py [n_files] [adds_per_commit] --merge [--check-classic]
        python tools/meta_scale.py [n_files] [adds_per_commit] --checkpoint [--check-classic]
        python tools/meta_scale.py [n_files] [adds_per_commit] --maintain
+       python tools/meta_scale.py [n_files] [adds_per_commit] --conflict [--check-classic]
+       python tools/meta_scale.py [n_files] [adds_per_commit] --restore
 Prints one JSON line with the measurements (recorded in PERF_TRIAGE_r6).
 
 --light (round-7 ask #6): measure the DRIVER-LIGHT snapshot path
