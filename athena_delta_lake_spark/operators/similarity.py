@@ -1061,8 +1061,11 @@ def semantic_decontamination(
     `max_bench_sim` (max cosine over the bench set) and `contaminated`
     (max_bench_sim >= tau). Zero-norm BENCH rows are dropped (no
     direction to match — and a NaN row would poison every corpus score
-    through np.max); a zero-norm CORPUS embedding scores NaN, which
-    never satisfies >= tau — conservatively kept.
+    through np.max). Degenerate CORPUS rows (zero-norm, non-finite,
+    NULL, or wrong-dimension embeddings) score NaN and are explicitly
+    NOT flagged: Spark orders NaN above every double, so a bare
+    `>= tau` would silently flag-and-drop exactly the rows we mean to
+    keep — the flag is therefore isnan-guarded to False.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -1086,15 +1089,33 @@ def semantic_decontamination(
             "max_bench_sim", F.lit(None).cast("double")
         ).withColumn("contaminated", F.lit(False))
 
+    dim = B.shape[1]
+
     @pandas_udf("double")
     def _max_sim(v: pd.Series) -> pd.Series:
+        out = np.full(len(v), np.nan, dtype=np.float64)
         if len(v) == 0:
-            return pd.Series([], dtype="float64")
-        M = np.stack(v.to_numpy()).astype(np.float64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            M = M / np.linalg.norm(M, axis=1, keepdims=True)
-        return pd.Series((M @ B.T).max(axis=1))
+            return pd.Series(out)
+        # NULL or wrong-length embeddings would raise inside np.stack
+        # and fail the whole job; score them NaN (un-matchable) instead,
+        # matching the n-gram decontaminate path's tolerance.
+        valid = np.fromiter(
+            (a is not None and len(a) == dim for a in v.to_numpy()),
+            dtype=bool,
+            count=len(v),
+        )
+        if valid.any():
+            M = np.stack(v.to_numpy()[valid]).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                M = M / np.linalg.norm(M, axis=1, keepdims=True)
+            out[valid] = (M @ B.T).max(axis=1)
+        return pd.Series(out)
 
-    return corpus.withColumn("max_bench_sim", _max_sim(F.col(emb_col))).withColumn(
-        "contaminated", F.col("max_bench_sim") >= F.lit(float(tau))
+    scored = corpus.withColumn("max_bench_sim", _max_sim(F.col(emb_col)))
+    # Spark SQL treats NaN as GREATER than any double, so NaN >= tau is
+    # TRUE — the exact opposite of "conservatively kept". Guard it.
+    return scored.withColumn(
+        "contaminated",
+        F.when(F.isnan("max_bench_sim") | F.isnull("max_bench_sim"), F.lit(False))
+        .otherwise(F.col("max_bench_sim") >= F.lit(float(tau))),
     )

@@ -375,3 +375,37 @@ def test_semantic_decontamination_zero_norm_bench_row(spark):
         for r in semantic_decontamination(corpus, ibench, tau=0.9).collect()
     }
     assert got2 == {1: True, 2: False}
+
+
+def test_semantic_decontamination_degenerate_corpus_rows(spark):
+    """Degenerate CORPUS rows (zero-norm, non-finite, NULL, ragged
+    length) must be conservatively KEPT, not flagged: Spark orders NaN
+    above every double, so an unguarded `max_bench_sim >= tau` would
+    silently flag-and-drop them (ADVICE r9). NULL/ragged rows must not
+    crash the Arrow batch either."""
+    import math
+
+    from athena_delta_lake_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0]),            # exact direction -> flagged
+            (2, [0.0, 0.0]),            # zero-norm -> NaN sim, kept
+            (3, [float("inf"), 1.0]),   # non-finite -> NaN sim, kept
+            (4, None),                  # NULL embedding -> kept, no crash
+            (5, [1.0, 0.0, 0.0]),       # ragged length -> kept, no crash
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = semantic_decontamination(corpus, bench, tau=0.9).collect()
+    got = {r["vec_id"]: (r["contaminated"], r["max_bench_sim"]) for r in rows}
+    assert got[1][0] and abs(got[1][1] - 1.0) < 1e-12
+    for vid in (2, 3, 4, 5):
+        assert got[vid][0] is False, f"degenerate row {vid} was flagged"
+        s = got[vid][1]
+        assert s is None or math.isnan(s)
