@@ -601,6 +601,34 @@ def _decode_path(p: str) -> str:
     return unquote(p)
 
 
+def addfile_from_action(a: dict) -> AddFile:
+    """An AddFile parsed straight from one `add` action dict (commit JSON
+    or checkpoint row) — partition values stay in the log's own key form
+    (PHYSICAL names on column-mapped tables; callers remap per era).
+    Shared by snapshot replay and the CDF range tracker so both parse the
+    pyarrow-map/None-field round-trip shapes identically."""
+    path = _decode_path(a["path"])
+    pv = a.get("partitionValues") or {}
+    if isinstance(pv, list):  # pyarrow map type materializes as [(k, v), ...]
+        pv = dict(pv)
+    return AddFile(
+        path=path,
+        partition_values=pv,
+        size=int(a.get("size", 0)),
+        modification_time=int(a.get("modificationTime", 0)),
+        stats_raw=a.get("stats") or None,
+        deletion_vector=a.get("deletionVector") or None,
+        base_row_id=(
+            int(a["baseRowId"]) if a.get("baseRowId") is not None else None
+        ),
+        default_row_commit_version=(
+            int(a["defaultRowCommitVersion"])
+            if a.get("defaultRowCommitVersion") is not None
+            else None
+        ),
+    )
+
+
 def _apply_action(acc: _ReplayAccumulator, action: dict) -> None:
     if "metaData" in action:
         # normalize the checkpoint-parquet round-trip representation so a
@@ -622,28 +650,9 @@ def _apply_action(acc: _ReplayAccumulator, action: dict) -> None:
             k: v for k, v in action["protocol"].items() if v is not None
         }
     elif "add" in action:
-        a = action["add"]
-        path = _decode_path(a["path"])
-        acc.removed.discard(path)
-        pv = a.get("partitionValues") or {}
-        if isinstance(pv, list):  # pyarrow map type materializes as [(k, v), ...]
-            pv = dict(pv)
-        acc.adds[path] = AddFile(
-            path=path,
-            partition_values=pv,
-            size=int(a.get("size", 0)),
-            modification_time=int(a.get("modificationTime", 0)),
-            stats_raw=a.get("stats") or None,
-            deletion_vector=a.get("deletionVector") or None,
-            base_row_id=(
-                int(a["baseRowId"]) if a.get("baseRowId") is not None else None
-            ),
-            default_row_commit_version=(
-                int(a["defaultRowCommitVersion"])
-                if a.get("defaultRowCommitVersion") is not None
-                else None
-            ),
-        )
+        f = addfile_from_action(action["add"])
+        acc.removed.discard(f.path)
+        acc.adds[f.path] = f
     elif "remove" in action:
         path = _decode_path(action["remove"]["path"])
         acc.adds.pop(path, None)

@@ -795,17 +795,55 @@ class DeltaPondStreamReader(DataSourceStreamReader):
     def _cdf_partitions(self, log, lo: int, hi: int):
         """Change-feed partitions for commits [lo, hi]: adds (minus
         same-path rewrites) emit inserts, removes emit deletes read from
-        the previous snapshot, and same-path remove+add pairs with a
-        changed deletion vector emit exactly the newly-DV'd rows."""
+        the previous snapshot's state, and same-path remove+add pairs with
+        a changed deletion vector emit exactly the newly-DV'd rows.
+
+        Driver-light (round-10 ask #1, streaming side): the previous shape
+        replayed a CLASSIC snapshot per commit (`log.snapshot(v - 1)`) —
+        8.6 GiB of driver RSS PER MICROBATCH VERSION when readChangeFeed
+        tails a 10^7-file foreign table. The cdf._RangeTracker replaces
+        it: one base probe at lo-1 (executor-side through
+        LightSnapshot.files_df past the light-planning threshold — the
+        active session is available here because partitions() runs in the
+        driver process), then each commit's own actions advance the
+        watched-path state."""
+        from ..delta.cdf import _RangeTracker, _rekey_entry
         from ..delta.log import _decode_path
 
+        tracker = _RangeTracker(log, lo, hi)
         parts = []
         for v in range(lo, hi + 1):
-            actions = log.commit_actions(v)
+            actions = tracker.actions[v]
             cdc_actions = [a["cdc"] for a in actions if "cdc" in a]
+            adds = {
+                _decode_path(a["add"]["path"]): a["add"]
+                for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            }
+            removes = {
+                _decode_path(a["remove"]["path"])
+                for a in actions
+                if "remove" in a and a["remove"].get("dataChange", True)
+            }
+            if 0 < v <= tracker.base_version and (
+                adds or removes or (cdc_actions and v < tracker.base_version)
+            ):
+                raise ValueError(
+                    f"version {v - 1} of {self._path} is no longer "
+                    "replayable: its commit JSONs predate the earliest "
+                    "checkpoint (expired by log retention cleanup)"
+                )
+            pre_header = tracker.header.freeze()
+            pre_entries = {
+                p: tracker.state[p]
+                for p in (set(adds) | removes)
+                if p in tracker.state
+            }
+            tracker.fold(v)
             if cdc_actions:
                 # spec: a commit WITH cdc actions describes ALL its changes
                 # through the change data files — add/remove are ignored
+                # (the fold above still advanced the table state)
                 for a in cdc_actions:
                     pv = a.get("partitionValues") or {}
                     parts.append(
@@ -820,24 +858,17 @@ class DeltaPondStreamReader(DataSourceStreamReader):
                         )
                     )
                 continue
-            adds = {
-                _decode_path(a["add"]["path"]): a["add"]
-                for a in actions
-                if "add" in a and a["add"].get("dataChange", True)
+            # pre-commit live entries, partition keys remapped to the
+            # pre-era LOGICAL names (tracker state is log-form/physical)
+            p2l_pre = pre_header.p2l()
+            prev_by = {
+                p: _rekey_entry(f, p2l_pre) for p, f in pre_entries.items()
             }
-            removes = {
-                _decode_path(a["remove"]["path"])
-                for a in actions
-                if "remove" in a and a["remove"].get("dataChange", True)
-            }
-            prev_by = {}
-            if (removes or adds) and v > 0:
-                prev_by = {f.path: f for f in log.snapshot(v - 1).files}
             # same-path change (remove+re-add, or a bare re-add of an
             # already-live path — RESTORE dropping a DV): diff the DVs,
             # never re-emit the whole file
             common = set(adds) & (removes | set(prev_by))
-            snap_part_cols = log.snapshot(v).partition_columns
+            snap_part_cols = tracker.header.partition_columns
             for path, a in adds.items():
                 pv = a.get("partitionValues") or {}
                 if path in common:

@@ -1,0 +1,201 @@
+"""Driver-light CDF (round-10 ask #1).
+
+`table_changes` and the streaming readChangeFeed planner used to pay a
+CLASSIC snapshot per commit-with-adds (`prev_live = snapshot(v-1)`,
+delta/cdf.py old :94) — an 8.6 GiB driver replay PER VERSION on a
+10^7-file foreign table. The `_RangeTracker` replaces every snapshot
+call: one base probe at start-1 (executor-side via
+LightSnapshot.files_df past the threshold, cached classic below it),
+then each commit's own actions advance a header + watched-path state.
+These tests force the threshold low, POISON DeltaLog.snapshot, and
+assert the light derivation is row-identical to the unforced run on
+every fallback shape: plain appends, COW delete, MOR delete (DV growth),
+RESTORE (DV shrink / resurrect), update rewrites, and the cdc-action
+fast path.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from athena_delta_lake_spark import DeltaTable, write_delta
+from athena_delta_lake_spark.delta.cdf import table_changes
+from athena_delta_lake_spark.delta.log import DeltaLog
+from athena_delta_lake_spark.delta.writer import write_checkpoint
+
+
+def _rows(df):
+    return sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def _mk_history(spark, path, cdc=False):
+    """v0 initial write, v1 append, v2 COW delete, v3 MOR delete (DV),
+    v4 update — a change feed exercising every reconciliation shape."""
+    conf = {"delta.enableChangeDataFeed": "true"} if cdc else None
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(80)],
+        "id long, part int, v double",
+    )
+    write_delta(df, path, partition_by=["part"], configuration=conf)
+    write_delta(
+        spark.createDataFrame(
+            [(100 + i, i % 4, -1.0) for i in range(8)],
+            "id long, part int, v double",
+        ),
+        path,
+        mode="append",
+    )
+    t = DeltaTable(spark, path)
+    t.delete(where="id >= 100 AND id < 104")  # COW rewrite
+    t.delete(where="id % 19 = 3", mode="mor")  # DV growth
+    t.update(set={"v": "v + 0.5"}, where="id = 7")  # remove+add
+
+
+def _poison(monkeypatch):
+    calls = []
+    orig = DeltaLog.snapshot
+
+    def poisoned(self, version=None):
+        calls.append((self.table_path, version))
+        return orig(self, version)
+
+    monkeypatch.setattr(DeltaLog, "snapshot", poisoned)
+    return calls
+
+
+@pytest.mark.parametrize("cdc", [False, True])
+def test_table_changes_stays_light_and_equals_classic(
+    spark, tmp_path, monkeypatch, cdc
+):
+    path = str(tmp_path / ("cdf_light_cdc" if cdc else "cdf_light"))
+    _mk_history(spark, path, cdc=cdc)
+    want = _rows(table_changes(spark, path, 1, 4))
+    want_ts = table_changes(spark, path, 1, 4, include_timestamp=True)
+    assert "_commit_timestamp" in want_ts.columns
+
+    # force the light plane: checkpoint + tiny threshold, then poison
+    write_checkpoint(path)
+    DeltaLog.clear_cache()
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
+    assert DeltaLog(path).light_planning_engaged()
+    calls = _poison(monkeypatch)
+    got = _rows(table_changes(spark, path, 1, 4))
+    assert calls == [], f"classic snapshot replayed: {calls}"
+    assert got == want and len(got) > 0
+
+
+def test_table_changes_light_dv_shrink_resurrect(spark, tmp_path, monkeypatch):
+    """RESTORE rolling a MOR delete back re-adds the same path with a
+    SMALLER DV: the light tracker must detect the bare re-add of an
+    already-live path (the old prev_live probe) and emit the resurrected
+    rows as inserts — this is exactly the case the per-commit classic
+    snapshot existed for."""
+    from athena_delta_lake_spark.delta.dml import restore_table
+
+    path = str(tmp_path / "cdf_light_restore")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "id long, v double"
+    )
+    write_delta(df, path)
+    t = DeltaTable(spark, path)
+    t.delete(where="id % 5 = 0", mode="mor")  # v1: DV grows
+    restore_table(path, version=0)  # v2: DV dropped -> resurrect
+    want = _rows(table_changes(spark, path, 1, 2))
+    # sanity on semantics: v1 deletes the 8 rows, v2 resurrects them
+    by_type = {}
+    for r in want:
+        by_type.setdefault((r[-1], r[-2]), 0)
+        by_type[(r[-1], r[-2])] += 1
+    assert by_type == {(1, "delete"): 8, (2, "insert"): 8}, by_type
+
+    write_checkpoint(path)
+    DeltaLog.clear_cache()
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
+    calls = _poison(monkeypatch)
+    got = _rows(table_changes(spark, path, 1, 2))
+    assert calls == [], f"classic snapshot replayed: {calls}"
+    assert got == want
+
+
+def test_table_changes_light_mid_range_schema_change(
+    spark, tmp_path, monkeypatch
+):
+    """A mid-range ADD COLUMN must come from the commit's own metaData
+    action (the incremental header), not a per-version snapshot: rows
+    after the change carry the new column, rows before read NULL."""
+    from athena_delta_lake_spark.delta.writer import add_columns
+
+    path = str(tmp_path / "cdf_light_schema")
+    write_delta(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"), path
+    )
+    from pyspark.sql import types as T
+
+    add_columns(path, [T.StructField("extra", T.StringType())])
+    write_delta(
+        spark.createDataFrame(
+            [(2, 2.0, "x")], "id long, v double, extra string"
+        ),
+        path,
+        mode="append",
+    )
+    want = _rows(table_changes(spark, path, 0, 2))
+    write_checkpoint(path)
+    DeltaLog.clear_cache()
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
+    calls = _poison(monkeypatch)
+    # starting_version=0: no base probe at all — pure action folding
+    got = _rows(table_changes(spark, path, 0, 2))
+    assert calls == []
+    assert got == want
+    extras = {
+        r["id"]: r["extra"] for r in table_changes(spark, path, 0, 2).collect()
+    }
+    assert extras[1] is None and extras[2] == "x"
+
+
+def test_streaming_readchangefeed_stays_light(spark, tmp_path, monkeypatch):
+    """The streaming CDF planner (_cdf_partitions) routes through the
+    same tracker: a readChangeFeed microbatch over append + MOR-delete
+    commits plans with DeltaLog.snapshot poisoned and matches the
+    batch table_changes derivation."""
+    import shutil
+
+    from athena_delta_lake_spark.sources.deltapond_source import register
+
+    register(spark)
+    path = str(tmp_path / "cdf_light_stream")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _mk_history(spark, path, cdc=False)
+    want = _rows(
+        table_changes(spark, path, 0, 4).select(
+            "id", "part", "v", "_change_type", "_commit_version"
+        )
+    )
+    write_checkpoint(path)
+    DeltaLog.clear_cache()
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
+    calls = _poison(monkeypatch)
+    q = (
+        spark.readStream.format("deltapond")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _rows(
+        spark.read.parquet(out).select(
+            "id", "part", "v", "_change_type", "_commit_version"
+        )
+    )
+    assert calls == [], f"classic snapshot replayed: {calls}"
+    assert got == want and len(got) > 0
+    shutil.rmtree(out, ignore_errors=True)

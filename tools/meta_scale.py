@@ -25,6 +25,7 @@ Usage: python tools/meta_scale.py [n_files] [adds_per_commit]
        python tools/meta_scale.py [n_files] [adds_per_commit] --maintain
        python tools/meta_scale.py [n_files] [adds_per_commit] --conflict [--check-classic]
        python tools/meta_scale.py [n_files] [adds_per_commit] --restore
+       python tools/meta_scale.py [n_files] [adds_per_commit] --cdf [--check-classic]
 Prints one JSON line with the measurements (recorded in PERF_TRIAGE_r6).
 
 --light (round-7 ask #6): measure the DRIVER-LIGHT snapshot path
@@ -200,6 +201,8 @@ def main() -> int:
         return conflict_main(root, n_files, out, "--check-classic" in sys.argv)
     if "--restore" in sys.argv:
         return restore_main(root, n_files, out)
+    if "--cdf" in sys.argv:
+        return cdf_main(root, n_files, out, "--check-classic" in sys.argv)
     t0 = time.time()
     path = build_log(root, n_files, per_commit)
     out["build_log_s"] = round(time.time() - t0, 2)
@@ -737,6 +740,155 @@ def conflict_main(root: str, n_files: int, out: dict, check_classic: bool) -> in
         os.remove(os.path.join(log_dir, f"{v:020d}.json"))
     DeltaLog.clear_cache()
     assert peak < 2048, f"driver RSS {peak} MiB breaches the 2 GiB bar"
+    print(json.dumps(out))
+    return 0
+
+
+def cdf_main(root: str, n_files: int, out: dict, check_classic: bool) -> int:
+    """Measure driver-light `table_changes` (round-10 ask #1) against the
+    prepared table: a 2-commit tail (adds, an in-range remove, and a
+    remove of a BASE-table file — the case that previously paid a classic
+    `snapshot(v-1)` per commit, 8.6 GiB at 10^7 adds) derives its change
+    feed through the cdf._RangeTracker: one executor-side base probe over
+    LightSnapshot.files_df plus incremental action folding. Fresh
+    process; peak driver RSS asserted < 2 GiB at any file count.
+
+    --check-classic re-derives the SAME range with the light plane
+    disabled (base probe through the classic snapshot) and asserts the
+    per-(change_type, version) row counts and id-sums are identical; run
+    it at 10^6 where the classic replay is cheap. Leaves the prepared
+    table unchanged (test commits + materialized parquet removed)."""
+    from athena_delta_lake_spark import get_spark
+    from athena_delta_lake_spark.delta.cdf import table_changes
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    path = os.path.join(root, "meta_scale_tbl")
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        print(
+            json.dumps({"error": "run the normal mode first to build the "
+                        "table + checkpoint"}),
+        )
+        return 1
+    out["mode"] = "cdf"
+    os.environ.setdefault("ADLS_LIGHT_PLANNING_FILES", "1000000")
+    out["rss_before_mib"] = round(rss_mib(), 1)
+    log = DeltaLog(path)
+    out["light_engaged"] = bool(log.light_planning_engaged())
+    base = log.latest_version()
+
+    # materialize real parquet for every file the range READS: two fresh
+    # adds, one more add that is removed in-range, and one BASE-table
+    # victim (its delete rows are read from the pre-range state — the
+    # probe the classic path replayed a full snapshot for)
+    new_idx = [n_files + 1, n_files + 2, n_files + 3]
+    materialized = [_materialize_candidate_file(path, i) for i in new_idx]
+    victim_rel = next(
+        a["add"]["path"] for a in log.commit_actions(base) if "add" in a
+    )
+    victim_idx = int(victim_rel.rsplit("part-", 1)[1].split(".")[0])
+    materialized.append(_materialize_candidate_file(path, victim_idx))
+
+    def _add_action(rel_lo_hi, i):
+        import datetime
+
+        rel, lo, hi = rel_lo_hi
+        day = (
+            datetime.date(2024, 1, 1) + datetime.timedelta(days=i % 365)
+        ).isoformat()
+        return {
+            "add": {
+                "path": rel,
+                "partitionValues": {"day": day},
+                "size": 800_000,
+                "modificationTime": 1700000000000 + i,
+                "dataChange": True,
+                "stats": json.dumps(
+                    {
+                        "numRecords": 100_000,
+                        "minValues": {"id": lo, "v": lo / 7.0},
+                        "maxValues": {"id": hi, "v": hi / 7.0},
+                        "nullCount": {"id": 0, "v": 0},
+                    }
+                ),
+            }
+        }
+
+    with open(os.path.join(log_dir, f"{base + 1:020d}.json"), "w") as f:
+        for rlh, i in zip(materialized[:3], new_idx):
+            f.write(json.dumps(_add_action(rlh, i)) + "\n")
+    with open(os.path.join(log_dir, f"{base + 2:020d}.json"), "w") as f:
+        for rel in (materialized[2][0], victim_rel):
+            f.write(
+                json.dumps(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "dataChange": True,
+                            "deletionTimestamp": 1700000000001,
+                        }
+                    }
+                )
+                + "\n"
+            )
+
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        shuffle_partitions=16,
+    )
+
+    def _summary():
+        from pyspark.sql import functions as F
+
+        ch = table_changes(spark, path, base + 1, base + 2)
+        rows = (
+            ch.groupBy("_change_type", "_commit_version")
+            .agg(F.count("*").alias("n"), F.sum("id").alias("id_sum"))
+            .collect()
+        )
+        return sorted(
+            (r["_change_type"], r["_commit_version"], r["n"], r["id_sum"])
+            for r in rows
+        )
+
+    try:
+        t0 = time.time()
+        light = _summary()
+        out["table_changes_s"] = round(time.time() - t0, 2)
+        out["change_rows"] = sum(r[2] for r in light)
+        # 3 inserts at base+1, 2 deletes at base+2, 100k rows each
+        assert out["change_rows"] == 500_000, light
+        peak = round(hwm_mib(), 1)
+        out["rss_peak_mib"] = peak
+        out["rss_under_2gib"] = bool(peak < 2048)
+
+        if check_classic:
+            prev = os.environ.get("ADLS_LIGHT_PLANNING_FILES")
+            os.environ["ADLS_LIGHT_PLANNING_FILES"] = "0"
+            DeltaLog.clear_cache()
+            try:
+                t0 = time.time()
+                classic = _summary()
+                out["table_changes_classic_s"] = round(time.time() - t0, 2)
+                assert classic == light, (classic, light)
+                out["classic_equality"] = "identical"
+                out["rss_after_classic_mib"] = round(rss_mib(), 1)
+            finally:
+                os.environ["ADLS_LIGHT_PLANNING_FILES"] = prev or "1000000"
+
+        assert out["light_engaged"], "light planning did not engage"
+        assert peak < 2048, f"driver RSS {peak} MiB breaches the 2 GiB bar"
+    finally:
+        for v in (base + 1, base + 2):
+            p = os.path.join(log_dir, f"{v:020d}.json")
+            if os.path.exists(p):
+                os.remove(p)
+        for rel, _lo, _hi in materialized:
+            fp = os.path.join(path, rel)
+            if os.path.exists(fp):
+                os.remove(fp)
+        DeltaLog.clear_cache()
+        spark.stop()
     print(json.dumps(out))
     return 0
 
