@@ -316,6 +316,20 @@ class LocalFS:
         with os.fdopen(fd, "wb") as f:
             f.write(data)
 
+    def create_atomic_stream(self, path: str, chunks) -> None:
+        """Put-if-absent from an ITERABLE of byte chunks — the streaming
+        variant of create_atomic for commits too large to hold driver-side
+        (a shallow CLONE of a 10^7-file table is a multi-GiB JSON).
+        Same O_EXCL guarantee; peak memory is one chunk."""
+        fd = os.open(
+            strip_file_scheme(path),
+            os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+            0o644,
+        )
+        with os.fdopen(fd, "wb") as f:
+            for c in chunks:
+                f.write(c)
+
     def write_bytes(self, path: str, data: bytes) -> None:
         with open(strip_file_scheme(path), "wb") as f:
             f.write(data)
@@ -468,6 +482,54 @@ class HadoopFS:
         stream = fs.create(jtmp, True)
         try:
             stream.write(bytearray(data))
+        finally:
+            stream.close()
+        ok = False
+        try:
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                jpath.toUri(), self._conf
+            )
+            rename_cls = self._jvm.org.apache.hadoop.fs.Options.Rename
+            gw = self.spark.sparkContext._gateway
+            opts = gw.new_array(rename_cls, 1)
+            opts[0] = rename_cls.NONE
+            fc.rename(jtmp, jpath, opts)
+            ok = True
+        except Exception as e:
+            if "AlreadyExists" in str(e) or "already exists" in str(e):
+                raise FileExistsError(path) from None
+            raise
+        finally:
+            if not ok:
+                try:
+                    fs.delete(jtmp, False)
+                except Exception:
+                    pass
+
+    def create_atomic_stream(self, path: str, chunks) -> None:
+        """Put-if-absent from an ITERABLE of byte chunks. Conditional-put
+        backends (registered hooks) need the full payload in one call, so
+        that branch joins the chunks (memory O(commit bytes) — still far
+        below the AddFile materialization this streaming path avoids);
+        the rename protocol streams chunk-by-chunk through the Hadoop
+        output stream, peak memory one chunk."""
+        import uuid as _uuid
+
+        hook = _PUT_IF_ABSENT.get(_scheme(path) or "")
+        if hook is not None:
+            hook(path, b"".join(chunks))
+            return
+        if atomic_put_capability(path) == "non-atomic-rename":
+            _nonatomic_commit_policy(path)
+        fs, jpath = self._fs_path(path)
+        if fs.exists(jpath):  # cheap early refusal; rename still decides
+            raise FileExistsError(path)
+        tmp = f"{path}.tmp-{_uuid.uuid4().hex}"
+        _fs2, jtmp = self._fs_path(tmp)
+        stream = fs.create(jtmp, True)
+        try:
+            for c in chunks:
+                stream.write(bytearray(c))
         finally:
             stream.close()
         ok = False

@@ -3330,6 +3330,167 @@ def add_columns(
     )
 
 
+def _clone_add_line_gen(src_path: str, l2p: dict[str, str] | None):
+    """mapInPandas generator factory: LightSnapshot.files_df(full=True)
+    rows -> shallow-clone `add` action JSON lines, built entirely
+    EXECUTOR-side (absolute-path rewrite, percent-encoding, logical->
+    physical partition keys, DV descriptor u->p absolutization — the same
+    transforms the classic driver loop applies per file). Stats embed as
+    the checkpoint's RAW string: it is already physical-keyed (the log's
+    own form), so no remap round-trip is paid."""
+
+    def gen(batches):
+        import json as _j
+
+        import pandas as _pd
+        from urllib.parse import quote as _quote
+
+        from athena_delta_lake_spark.delta.deletion_vectors import (
+            dv_absolute_path,
+        )
+        from athena_delta_lake_spark.delta.fs import is_uri as _is_uri
+
+        src = src_path.rstrip("/")
+        for pdf in batches:
+            lines = []
+            for path, pv, size, mtime, stats, dvj, brid, drcv in zip(
+                pdf["path"],
+                pdf["partition_values"],
+                pdf["size"],
+                pdf["modification_time"],
+                pdf["stats"],
+                pdf["dv_json"],
+                pdf["base_row_id"],
+                pdf["default_rcv"],
+            ):
+                absolute = path.startswith("/") or _is_uri(path)
+                full = path if absolute else f"{src}/{path}"
+                dv = _j.loads(dvj) if dvj else None
+                if dv and dv.get("storageType") == "u":
+                    dv = {
+                        **dv,
+                        "storageType": "p",
+                        "pathOrInlineDv": dv_absolute_path(src_path, dv),
+                    }
+                add = {
+                    "path": _quote(full, safe="/="),
+                    "partitionValues": {
+                        (l2p or {}).get(k, k): v
+                        for k, v in (pv or {}).items()
+                    },
+                    "size": int(size),
+                    "modificationTime": int(mtime),
+                    "dataChange": True,
+                }
+                if stats:
+                    add["stats"] = stats
+                if dv:
+                    add["deletionVector"] = dv
+                if brid is not None and not _pd.isna(brid):
+                    add["baseRowId"] = int(brid)
+                    add["defaultRowCommitVersion"] = (
+                        int(drcv)
+                        if drcv is not None and not _pd.isna(drcv)
+                        else None
+                    )
+                lines.append(_j.dumps({"add": add}, separators=(",", ":")))
+            yield _pd.DataFrame({"line": lines})
+
+    return gen
+
+
+def _clone_table_light(
+    spark, fs, src_path: str, dst_path: str, version: int | None
+) -> int:
+    """Driver-light SHALLOW clone (round-10 ask #2): the clone commit is
+    O(table) in BYTES by spec — every add must be listed — but not in
+    driver RSS. The classic path materialized the full classic snapshot
+    and built every add action in a driver list (8.6 GiB + the action
+    list at 10^7 adds); here the add lines stream from
+    LightSnapshot.files_df through Spark's native text writer into a
+    staged dir, and the driver CONCATENATES the parts chunk-by-chunk into
+    the single version-0 commit through fs.create_atomic_stream — the
+    `_write_checkpoint_light` staging pattern applied to a JSON commit.
+    Driver memory: O(header + one I/O chunk)."""
+    from .fs import is_remote
+
+    log = DeltaLog(src_path)
+    light = log.snapshot_light(version)
+    l2p = logical_to_physical(
+        light.schema, light.metadata.get("configuration")
+    )
+    now = int(time.time() * 1000)
+    md = dict(light.metadata)
+    md["id"] = str(uuid.uuid4())
+    md["createdTime"] = now
+    header: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src_path,
+                    "sourceVersion": light.version,
+                    "isShallow": True,
+                },
+                "engineInfo": "athena_delta_lake_spark",
+            }
+        }
+    ]
+    if light.protocol:
+        header.append({"protocol": light.protocol})
+    header.append({"metaData": md})
+    for domain, cfg in sorted(light.domain_metadata.items()):
+        header.append(
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": cfg,
+                    "removed": False,
+                }
+            }
+        )
+    dst_log = os.path.join(dst_path, "_delta_log")
+    fs.mkdirs(dst_log)
+    _stamp_ict(header, dst_log, 0, md.get("configuration"))
+    lines_df = light.files_df(spark, full=True).mapInPandas(
+        _clone_add_line_gen(src_path, l2p), schema="line string"
+    )
+    commit_path = os.path.join(dst_log, f"{0:020d}.json")
+    with _staged_tmp_dir(fs, dst_log, "clone") as stage:
+        lines_df.write.mode("overwrite").text(stage)
+        parts = sorted(
+            (
+                fi
+                for fi in fs.listdir(stage)
+                if fi.name.endswith(".txt") and not fi.name.startswith(".")
+            ),
+            key=lambda fi: fi.name,
+        )
+
+        def _chunks():
+            yield "".join(
+                json.dumps(a, separators=(",", ":")) + "\n" for a in header
+            ).encode("utf-8")
+            for fi in parts:
+                p = os.path.join(stage, fi.name)
+                if is_remote(dst_path):
+                    yield fs.read_bytes(p)  # O(one part)
+                    continue
+                from .fs import strip_file_scheme
+
+                with open(strip_file_scheme(p), "rb") as fh:
+                    while True:
+                        block = fh.read(8 * 1024 * 1024)
+                        if not block:
+                            break
+                        yield block
+
+        fs.create_atomic_stream(commit_path, _chunks())
+    DeltaLog.clear_cache()
+    return 0
+
+
 def clone_table(
     src_path: str,
     dst_path: str,
@@ -3360,6 +3521,18 @@ def clone_table(
         raise ValueError("clone source and destination must not be nested")
     if fs.is_dir(os.path.join(dst_path, "_delta_log")):
         raise ValueError(f"destination is already a Delta table: {dst_path}")
+    if shallow:
+        # past the light-planning threshold the clone commit streams from
+        # files_df executor-side (see _clone_table_light); deep clone
+        # stays classic — it copies every data file anyway, so the
+        # driver-side action loop is not its bottleneck
+        from pyspark.sql import SparkSession as _SS
+
+        _spark = _SS.getActiveSession()
+        if _spark is not None and DeltaLog(src_path).light_planning_engaged(
+            version
+        ):
+            return _clone_table_light(_spark, fs, src_path, dst_path, version)
     snap = DeltaLog(src_path).snapshot(version)
     l2p = logical_to_physical(snap.schema, snap.metadata.get("configuration"))
 

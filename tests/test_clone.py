@@ -157,3 +157,82 @@ def test_deep_clone_with_deletion_vectors_owns_blobs(spark, tmp_path):
     DeltaLog.clear_cache()
     ids = {r["id"] for r in DeltaTable(spark, dst).to_df().collect()}
     assert 7 not in ids and len(ids) == 29
+
+
+def test_shallow_clone_stays_light_and_equals_classic(
+    spark, tmp_path, monkeypatch
+):
+    """Past the light-planning threshold a shallow clone's commit streams
+    from LightSnapshot.files_df executor-side (round-10 ask #2): with
+    DeltaLog.snapshot POISONED the clone must still land, and its action
+    set must be semantically identical to the classic driver-loop clone —
+    same paths/partitionValues/sizes/stats/DV descriptors, same header
+    minus the freshly-minted table id/timestamps."""
+    import json
+
+    from athena_delta_lake_spark.delta.writer import write_checkpoint
+
+    src = str(tmp_path / "src_big")
+    df = spark.createDataFrame(
+        [(i, f"u{i % 3}", float(i), i % 2) for i in range(40)],
+        "id long, user string, score double, part int",
+    )
+    write_delta(df, src, partition_by=["part"])
+    DeltaTable(spark, src).delete(where="id % 7 = 0", mode="mor")  # DVs
+    write_checkpoint(src)
+    DeltaLog.clear_cache()
+
+    dst_classic = str(tmp_path / "clone_classic")
+    clone_table(src, dst_classic)
+
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
+    assert DeltaLog(src).light_planning_engaged()
+    calls = []
+    orig = DeltaLog.snapshot
+
+    def poisoned(self, version=None):
+        calls.append((self.table_path, version))
+        return orig(self, version)
+
+    monkeypatch.setattr(DeltaLog, "snapshot", poisoned)
+    dst_light = str(tmp_path / "clone_light")
+    assert clone_table(src, dst_light) == 0
+    assert calls == [], f"classic snapshot replayed: {calls}"
+    monkeypatch.setattr(DeltaLog, "snapshot", orig)
+    monkeypatch.delenv("ADLS_LIGHT_PLANNING_FILES")
+    DeltaLog.clear_cache()
+
+    assert _rows(spark, dst_light) == _rows(spark, dst_classic) != set()
+
+    def _actions(path):
+        adds, header = [], []
+        with open(os.path.join(path, "_delta_log", f"{0:020d}.json")) as f:
+            for line in f:
+                a = json.loads(line)
+                if "add" in a:
+                    d = a["add"]
+                    d["stats"] = json.loads(d["stats"]) if "stats" in d else None
+                    adds.append(d)
+                elif "metaData" in a:
+                    m = dict(a["metaData"])
+                    m.pop("id"), m.pop("createdTime")
+                    header.append(
+                        "metaData:" + json.dumps(m, sort_keys=True)
+                    )
+                elif "protocol" in a or "domainMetadata" in a:
+                    header.append(json.dumps(a, sort_keys=True))
+        return sorted(header), sorted(
+            adds, key=lambda d: d["path"]
+        )
+
+    h_c, a_c = _actions(dst_classic)
+    h_l, a_l = _actions(dst_light)
+    assert h_l == h_c
+    assert len(a_l) == len(a_c) and len(a_l) > 0
+    for dc, dl in zip(a_c, a_l):
+        assert dl == dc, (dc, dl)
+
+    # the light clone still evolves independently
+    DeltaTable(spark, dst_light).delete(where="part = 1")
+    assert {r[3] for r in _rows(spark, dst_light)} == {0}
+    assert _rows(spark, src) != set()

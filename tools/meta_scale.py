@@ -26,6 +26,7 @@ Usage: python tools/meta_scale.py [n_files] [adds_per_commit]
        python tools/meta_scale.py [n_files] [adds_per_commit] --conflict [--check-classic]
        python tools/meta_scale.py [n_files] [adds_per_commit] --restore
        python tools/meta_scale.py [n_files] [adds_per_commit] --cdf [--check-classic]
+       python tools/meta_scale.py [n_files] [adds_per_commit] --clone [--check-classic]
 Prints one JSON line with the measurements (recorded in PERF_TRIAGE_r6).
 
 --light (round-7 ask #6): measure the DRIVER-LIGHT snapshot path
@@ -203,6 +204,8 @@ def main() -> int:
         return restore_main(root, n_files, out)
     if "--cdf" in sys.argv:
         return cdf_main(root, n_files, out, "--check-classic" in sys.argv)
+    if "--clone" in sys.argv:
+        return clone_main(root, n_files, out, "--check-classic" in sys.argv)
     t0 = time.time()
     path = build_log(root, n_files, per_commit)
     out["build_log_s"] = round(time.time() - t0, 2)
@@ -887,6 +890,113 @@ def cdf_main(root: str, n_files: int, out: dict, check_classic: bool) -> int:
             fp = os.path.join(path, rel)
             if os.path.exists(fp):
                 os.remove(fp)
+        DeltaLog.clear_cache()
+        spark.stop()
+    print(json.dumps(out))
+    return 0
+
+
+def clone_main(root: str, n_files: int, out: dict, check_classic: bool) -> int:
+    """Measure the driver-light SHALLOW CLONE (round-10 ask #2) against
+    the prepared table: the version-0 clone commit streams from
+    LightSnapshot.files_df executor-side through staged text parts and a
+    chunked concatenation (fs.create_atomic_stream) — the classic path
+    materialized the full snapshot AND the whole action list driver-side.
+    Fresh process; peak RSS asserted < 2 GiB at any file count.
+
+    --check-classic re-clones with the light plane disabled and asserts
+    the two commits carry IDENTICAL add-action sets (path-sorted,
+    stats-parsed); run it at 10^6 where the classic replay is cheap.
+    Clone dirs are removed afterwards."""
+    import hashlib
+
+    from athena_delta_lake_spark import get_spark
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.writer import clone_table
+
+    path = os.path.join(root, "meta_scale_tbl")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        print(
+            json.dumps({"error": "run the normal mode first to build the "
+                        "table + checkpoint"}),
+        )
+        return 1
+    out["mode"] = "clone"
+    os.environ.setdefault("ADLS_LIGHT_PLANNING_FILES", "1000000")
+    out["rss_before_mib"] = round(rss_mib(), 1)
+    out["light_engaged"] = bool(DeltaLog(path).light_planning_engaged())
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        shuffle_partitions=16,
+    )
+
+    def _commit_digest(dst: str) -> tuple[int, str]:
+        """(add_count, order-independent digest of normalized add lines) —
+        streaming, no driver list."""
+        n, acc = 0, 0
+        with open(os.path.join(dst, "_delta_log", f"{0:020d}.json")) as f:
+            for line in f:
+                a = json.loads(line)
+                if "add" not in a:
+                    continue
+                n += 1
+                d = a["add"]
+                if "stats" in d:
+                    d["stats"] = json.dumps(
+                        json.loads(d["stats"]), sort_keys=True
+                    )
+                h = hashlib.md5(
+                    json.dumps(d, sort_keys=True).encode()
+                ).hexdigest()
+                acc ^= int(h, 16)
+        return n, f"{acc:032x}"
+
+    dst_light = os.path.join(root, "clone_light")
+    shutil.rmtree(dst_light, ignore_errors=True)
+    try:
+        t0 = time.time()
+        v = clone_table(path, dst_light)
+        out["clone_s"] = round(time.time() - t0, 2)
+        assert v == 0
+        peak = round(hwm_mib(), 1)
+        out["rss_peak_mib"] = peak
+        out["rss_under_2gib"] = bool(peak < 2048)
+        out["clone_commit_mib"] = round(
+            os.path.getsize(
+                os.path.join(dst_light, "_delta_log", f"{0:020d}.json")
+            )
+            / 1048576.0,
+            1,
+        )
+        n_light, dig_light = _commit_digest(dst_light)
+        out["clone_adds"] = n_light
+        assert n_light == n_files, (n_light, n_files)
+
+        if check_classic:
+            prev = os.environ.get("ADLS_LIGHT_PLANNING_FILES")
+            os.environ["ADLS_LIGHT_PLANNING_FILES"] = "0"
+            DeltaLog.clear_cache()
+            dst_classic = os.path.join(root, "clone_classic")
+            shutil.rmtree(dst_classic, ignore_errors=True)
+            try:
+                t0 = time.time()
+                clone_table(path, dst_classic)
+                out["clone_classic_s"] = round(time.time() - t0, 2)
+                n_c, dig_c = _commit_digest(dst_classic)
+                assert (n_c, dig_c) == (n_light, dig_light), (
+                    n_c,
+                    n_light,
+                )
+                out["classic_equality"] = "identical"
+                out["rss_after_classic_mib"] = round(rss_mib(), 1)
+            finally:
+                os.environ["ADLS_LIGHT_PLANNING_FILES"] = prev or "1000000"
+                shutil.rmtree(dst_classic, ignore_errors=True)
+
+        assert out["light_engaged"], "light planning did not engage"
+        assert peak < 2048, f"driver RSS {peak} MiB breaches the 2 GiB bar"
+    finally:
+        shutil.rmtree(dst_light, ignore_errors=True)
         DeltaLog.clear_cache()
         spark.stop()
     print(json.dumps(out))
