@@ -3742,9 +3742,49 @@ def truncate_table(table_path: str) -> dict:
     — zero data I/O at any table size (the file contents are never read;
     VACUUM reaps them after retention). Schema, partitioning, properties
     and history are untouched; with CDF enabled the remove-only commit is
-    exactly derivable (spec-allowed omission of change files)."""
+    exactly derivable (spec-allowed omission of change files).
+
+    Past the light-planning threshold the remove list never materializes
+    driver-side (round-10 ask #3): remove actions stream from
+    LightSnapshot.files_df executor-side into the commit
+    (writer.commit_streamed_removes), with a strict version-watermark OCC
+    — a raced light truncate re-plans instead of paying a 10^7-entry
+    fingerprint map. Sub-threshold keeps the classic per-file commute
+    check."""
+    import time as _time
+
+    from pyspark.sql import SparkSession as _SS
+
+    from .writer import commit_streamed_removes
+
     table_path = normalize_table_path(table_path)
-    snap = DeltaLog(table_path).snapshot()
+    log = DeltaLog(table_path)
+    spark = _SS.getActiveSession()
+    if spark is not None and log.light_planning_engaged():
+        light = log.snapshot_light()
+        n_live = light.files_df(spark).count()
+        if n_live == 0:
+            return {"files_removed": 0}
+        from .writer import _check_append_only
+
+        _check_append_only(
+            light.metadata.get("configuration"), "TRUNCATE"
+        )
+        header = [
+            {
+                "commitInfo": {
+                    "timestamp": int(_time.time() * 1000),
+                    "operation": "TRUNCATE",
+                    "operationParameters": {},
+                    "engineInfo": "athena_delta_lake_spark",
+                }
+            }
+        ]
+        _v, n = commit_streamed_removes(
+            spark, table_path, "TRUNCATE", header, light
+        )
+        return {"files_removed": n}
+    snap = log.snapshot()
     if not snap.files:
         return {"files_removed": 0}
     commit_rewrite(

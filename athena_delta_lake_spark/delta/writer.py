@@ -1421,6 +1421,7 @@ def write_delta(
     table_path = normalize_table_path(table_path)
 
     prior = None
+    light_overwrite = None  # LightSnapshot when overwrite removes stream
     try:
         log0 = DeltaLog(table_path)
         if (
@@ -1432,6 +1433,17 @@ def write_delta(
             # replaceWhere build remove lists): header-only light replay,
             # so tailing a 10^7-file table costs O(header), not 8.5 GiB
             prior = log0.snapshot_light().to_snapshot_state([])
+        elif (
+            mode == "overwrite"
+            and replace_where is None
+            and _SS_active() is not None
+            and log0.light_planning_engaged(None)
+        ):
+            # plain overwrite: the removes stream from files_df at commit
+            # time (commit_streamed_removes, round-10 ask #3) — the
+            # header-only prior serves every schema/config/identity check
+            light_overwrite = log0.snapshot_light()
+            prior = light_overwrite.to_snapshot_state([])
         else:
             prior = log0.snapshot()
     except FileNotFoundError:
@@ -1876,9 +1888,14 @@ def write_delta(
         from urllib.parse import quote
 
         # replaceWhere removes ONLY the predicate-scoped files (plus their
-        # survivor rewrites added below); a plain overwrite removes all
+        # survivor rewrites added below); a plain overwrite removes all —
+        # streamed at commit time past the light threshold (prior.files is
+        # the EMPTY to_snapshot_state shell then; see light_overwrite)
         to_remove = prior.files if rw_candidates is None else rw_candidates
-        if to_remove:
+        if to_remove or (
+            light_overwrite is not None
+            and light_overwrite.files_df(df.sparkSession).limit(1).count()
+        ):
             _check_append_only(effective_config, "overwrite")
         for f in to_remove:
             actions.append(
@@ -1922,6 +1939,26 @@ def write_delta(
     actions.extend(adds)
     log_dir = os.path.join(table_path, "_delta_log")
     expected_next = (prior.version + 1) if prior is not None else 0
+    if light_overwrite is not None:
+        # overwrite past the light threshold: the prior live files were
+        # never materialized — their removes stream from files_df into the
+        # commit. Strict version-watermark OCC (a raced full-table rewrite
+        # re-plans; see commit_streamed_removes). ICT is stamped inside.
+        if version != expected_next:
+            raise ConcurrentWriteError(
+                f"version {expected_next} of {table_path} was committed "
+                "concurrently; re-run against the new snapshot"
+            ) from None
+        v_out, _n = commit_streamed_removes(
+            df.sparkSession,
+            table_path,
+            "OVERWRITE",
+            actions,
+            light_overwrite,
+            expected_version=expected_next,
+            ict_config=effective_config,
+        )
+        return v_out
     for _attempt in range(_MAX_COMMIT_RETRIES + 1):
         if version != expected_next:
             # concurrent commits landed since this write was planned —
@@ -3330,6 +3367,163 @@ def add_columns(
     )
 
 
+def commit_streamed_removes(
+    spark,
+    table_path: str,
+    operation: str,
+    header_actions: list[dict],
+    light,
+    expected_version: int | None = None,
+    data_change: bool = True,
+    ict_config: dict | None = None,
+) -> tuple[int, int]:
+    """Commit `header_actions` (commitInfo first; any metaData/txn/add
+    actions — all DRIVER-BOUNDED) plus a `remove` action for EVERY live
+    file of `light` (a LightSnapshot), the removes streamed EXECUTOR-side
+    from files_df through staged text parts and a chunked concatenation —
+    the full-table-rewrite commit (TRUNCATE / INSERT OVERWRITE / sink
+    overwrite) is O(table) in bytes by spec but no longer in driver RSS
+    (round-10 ask #3; the `_write_checkpoint_light`/light-CLONE staging
+    pattern applied to remove lists). Returns (version, files_removed).
+
+    OCC is a strict VERSION WATERMARK instead of the per-file fingerprint
+    map: the commit must land exactly at expected_version (default
+    light.version + 1) — any interleaved commit raises
+    ConcurrentWriteError for a re-plan. A full-table rewrite conflicts
+    with any concurrent data change anyway, and a 10^7-entry
+    expected_states map is precisely the driver allocation this path
+    exists to avoid. (Classic sub-threshold paths keep the per-file
+    commute check and still let blind appends slide past a TRUNCATE —
+    past the threshold a raced full rewrite re-plans instead.)"""
+    now = int(time.time() * 1000)
+    if expected_version is None:
+        expected_version = light.version + 1
+    # ict_config: a commit that CHANGES the configuration (overwrite with
+    # new properties) must stamp/checkpoint under the POST-commit config
+    table_config = (
+        ict_config
+        if ict_config is not None
+        else light.metadata.get("configuration")
+    )
+    # the same writer-feature gate _atomic_commit applies to version>0
+    # commits (this path bypasses it for the streaming write)
+    _check_write_protocol(DeltaLog(table_path).latest_protocol(), table_path)
+
+    def gen(batches):
+        import json as _j
+
+        import pandas as _pd
+        from urllib.parse import quote as _q
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "line": [
+                        _j.dumps(
+                            {
+                                "remove": {
+                                    # files_df paths are URL-decoded; the
+                                    # log stores percent-encoded paths
+                                    "path": _q(p, safe="/="),
+                                    "deletionTimestamp": now,
+                                    "dataChange": data_change,
+                                }
+                            },
+                            separators=(",", ":"),
+                        )
+                        for p in pdf["path"]
+                    ]
+                }
+            )
+
+    lines_df = light.files_df(spark).mapInPandas(gen, schema="line string")
+    return _stream_commit(
+        table_path, operation, header_actions, lines_df,
+        expected_version, table_config,
+    )
+
+
+def _stream_commit(
+    table_path: str,
+    operation: str,
+    header_actions: list[dict],
+    lines_df,
+    expected_version: int,
+    table_config: dict | None,
+) -> tuple[int, int]:
+    """Land a commit whose BULK actions arrive as a DataFrame of
+    pre-serialized JSON lines: stage them through Spark's native text
+    writer, then concatenate header + parts chunk-by-chunk into the
+    commit file via fs.create_atomic_stream. Strict version-watermark
+    OCC (any race -> ConcurrentWriteError). Returns
+    (version, streamed_line_count). Shared by commit_streamed_removes
+    and the light row-tracking backfill."""
+    from .fs import is_remote, strip_file_scheme
+
+    log_dir = os.path.join(table_path, "_delta_log")
+    fs = get_fs(table_path)
+    commit_path = os.path.join(log_dir, f"{expected_version:020d}.json")
+    with _staged_tmp_dir(fs, log_dir, "stream-commit") as stage:
+        lines_df.write.mode("overwrite").text(stage)
+        parts = sorted(
+            (
+                fi
+                for fi in fs.listdir(stage)
+                if fi.name.endswith(".txt") and not fi.name.startswith(".")
+            ),
+            key=lambda fi: fi.name,
+        )
+        # the staging job takes real time — re-check the watermark as
+        # late as possible; the O_EXCL commit still decides the race
+        if _next_version(table_path) != expected_version:
+            raise ConcurrentWriteError(
+                f"{operation} raced a concurrent commit on {table_path}; "
+                "re-run against the new snapshot"
+            )
+        _stamp_ict(header_actions, log_dir, expected_version, table_config)
+
+        counted = [0]
+
+        def _chunks():
+            yield "".join(
+                json.dumps(a, separators=(",", ":")) + "\n"
+                for a in header_actions
+            ).encode("utf-8")
+            for fi in parts:
+                p = os.path.join(stage, fi.name)
+                if is_remote(table_path):
+                    block = fs.read_bytes(p)  # O(one part)
+                    counted[0] += block.count(b"\n")
+                    yield block
+                    continue
+                with open(strip_file_scheme(p), "rb") as fh:
+                    while True:
+                        block = fh.read(8 * 1024 * 1024)
+                        if not block:
+                            break
+                        counted[0] += block.count(b"\n")
+                        yield block
+
+        try:
+            fs.create_atomic_stream(commit_path, _chunks())
+        except FileExistsError:
+            DeltaLog.clear_cache()
+            raise ConcurrentWriteError(
+                f"{operation} raced a concurrent commit on {table_path}; "
+                "re-run against the new snapshot"
+            ) from None
+        n_lines = counted[0]
+    DeltaLog.clear_cache()
+    _maybe_auto_checkpoint(table_path, expected_version, table_config)
+    return expected_version, n_lines
+
+
+def _SS_active():
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession()
+
+
 def _clone_add_line_gen(src_path: str, l2p: dict[str, str] | None):
     """mapInPandas generator factory: LightSnapshot.files_df(full=True)
     rows -> shallow-clone `add` action JSON lines, built entirely
@@ -3828,6 +4022,182 @@ def _assign_row_ids(
     }
 
 
+def _enable_row_tracking_light(spark, table_path: str) -> int:
+    """enable_row_tracking past the light-planning threshold (round-10
+    ask #4): the backfill — every live add re-committed with a fresh
+    baseRowId — runs EXECUTOR-side. Id ranges come from a distributed
+    two-phase prefix sum over files_df's numRecords (per-partition
+    cumulative sums + a collected O(partitions) offset map; the frame is
+    persisted between the offset job and the line job so range-partition
+    sampling cannot reshuffle rows between them and double-assign ids),
+    and the add lines stream into the commit through _stream_commit.
+    Ids differ from the classic replay ORDER but satisfy the same
+    contract: disjoint ranges exactly covering [0, hwm]. Files that
+    already carry a baseRowId (a clone of a row-tracked table) keep it
+    and are excluded from the sum, exactly like _assign_row_ids."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    log = DeltaLog(table_path)
+    light = log.snapshot_light()
+    config = dict(light.metadata.get("configuration") or {})
+    if _row_tracking_enabled(config):
+        return light.version
+    version = light.version + 1
+    now = int(time.time() * 1000)
+    config["delta.enableRowTracking"] = "true"
+    config["delta.rowTracking.materializedRowIdColumnName"] = (
+        MATERIALIZED_ROW_ID_COL
+    )
+    config["delta.rowTracking.materializedRowCommitVersionColumnName"] = (
+        MATERIALIZED_RCV_COL
+    )
+    md = dict(light.metadata)
+    md["configuration"] = config
+    l2p = logical_to_physical(light.schema, config)
+
+    fdf = light.files_df(spark, full=True).withColumn(
+        "_n", F.get_json_object("stats", "$.numRecords").cast("long")
+    )
+    bad = fdf.filter(F.col("_n").isNull()).select("path").limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"cannot enable row tracking: {bad[0]['path']} has no "
+            "numRecords stats to size its id range"
+        )
+    # size partitions like the distributed checkpoint: ~1M files each,
+    # approximated from _last_checkpoint's action count (no counting job)
+    from .log import _read_last_checkpoint
+
+    prev = _read_last_checkpoint(
+        get_fs(table_path), os.path.join(table_path, "_delta_log")
+    ) or {}
+    approx = max(1, int(prev.get("size") or 0))
+    n_parts = max(1, min(256, -(-approx // 1_000_000)))
+    staged = (
+        fdf.repartitionByRange(n_parts, "path")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        new_n = F.when(
+            F.col("base_row_id").isNull(), F.col("_n")
+        ).otherwise(F.lit(0))
+        w = Window.partitionBy("_pid").orderBy("path")
+        staged2 = staged.withColumn(
+            "_excl", F.sum(new_n).over(w) - new_n
+        )
+        per_pid = sorted(
+            (r["_pid"], r["t"] or 0)
+            for r in staged.groupBy("_pid")
+            .agg(F.sum(new_n).alias("t"))
+            .collect()  # O(partitions)
+        )
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid, t in per_pid:
+            offsets[pid] = acc
+            acc += int(t)
+        hwm = acc - 1
+        off_expr = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        staged2 = staged2.withColumn(
+            "_base",
+            F.when(
+                F.col("base_row_id").isNull(),
+                off_expr[F.col("_pid")] + F.col("_excl"),
+            ).otherwise(F.col("base_row_id")),
+        ).withColumn(
+            "_rcv",
+            F.when(
+                F.col("base_row_id").isNull(), F.lit(int(version))
+            ).otherwise(F.col("default_rcv")),
+        )
+
+        def gen(batches):
+            import json as _j
+
+            import pandas as _pd
+            from urllib.parse import quote as _q
+
+            for pdf in batches:
+                lines = []
+                for path, pv, size, mtime, stats, dvj, base, rcv in zip(
+                    pdf["path"],
+                    pdf["partition_values"],
+                    pdf["size"],
+                    pdf["modification_time"],
+                    pdf["stats"],
+                    pdf["dv_json"],
+                    pdf["_base"],
+                    pdf["_rcv"],
+                ):
+                    add = {
+                        "path": _q(path, safe="/="),
+                        "partitionValues": {
+                            (l2p or {}).get(k, k): v
+                            for k, v in (pv or {}).items()
+                        },
+                        "size": int(size),
+                        "modificationTime": int(mtime),
+                        "dataChange": False,
+                        "baseRowId": int(base),
+                    }
+                    if rcv is not None and not _pd.isna(rcv):
+                        add["defaultRowCommitVersion"] = int(rcv)
+                    if stats:
+                        add["stats"] = stats
+                    if dvj:
+                        add["deletionVector"] = _j.loads(dvj)
+                    lines.append(
+                        _j.dumps({"add": add}, separators=(",", ":"))
+                    )
+                yield _pd.DataFrame({"line": lines})
+
+        lines_df = staged2.mapInPandas(gen, schema="line string")
+        header: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "delta.enableRowTracking": "true"
+                    },
+                    "engineInfo": "athena_delta_lake_spark",
+                }
+            }
+        ]
+        upgrade = _protocol_upgrade_action(
+            light.protocol, writer_features=("rowTracking", "domainMetadata")
+        )
+        if upgrade is not None:
+            header.append(upgrade)
+        header.append({"metaData": md})
+        header.append(
+            {
+                "domainMetadata": {
+                    "domain": _ROW_TRACKING_DOMAIN,
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": hwm}, separators=(",", ":")
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+        v_out, _n_lines = _stream_commit(
+            table_path,
+            "SET TBLPROPERTIES",
+            header,
+            lines_df,
+            version,
+            config,
+        )
+        return v_out
+    finally:
+        staged.unpersist()
+
+
 def enable_row_tracking(table_path: str) -> int:
     """ALTER TABLE ... SET TBLPROPERTIES (delta.enableRowTracking=true):
     give every row a STABLE id that survives appends, deletion-vector
@@ -3841,8 +4211,13 @@ def enable_row_tracking(table_path: str) -> int:
     coalesce(materialized, baseRowId + row_index) — so ids stay stable
     across OPTIMIZE/UPDATE/MERGE while fresh files stay cheap. The
     protocol gains the rowTracking + domainMetadata writer features.
+    Past the light-planning threshold the backfill streams executor-side
+    (_enable_row_tracking_light) instead of walking the classic snapshot.
     """
     table_path = normalize_table_path(table_path)
+    _spark = _SS_active()
+    if _spark is not None and DeltaLog(table_path).light_planning_engaged():
+        return _enable_row_tracking_light(_spark, table_path)
     snap = DeltaLog(table_path).snapshot()
     config = dict(snap.metadata.get("configuration") or {})
     if _row_tracking_enabled(config):

@@ -1120,15 +1120,26 @@ def _commit_adds(
     ]
     actions.extend(extra_actions or [])
     prior = None
+    light_overwrite = None  # LightSnapshot when overwrite removes stream
     if version > 0:
         # append commits need only the HEADER (schema/partitions/config/
-        # row-id domain); overwrite must enumerate prior.files for its
-        # removes, so it keeps the classic snapshot
-        prior = (
-            DeltaLog(table_path).snapshot()
-            if overwrite
-            else _header_snapshot(table_path)
-        )
+        # row-id domain); overwrite enumerates prior.files for its removes
+        # — CLASSIC below the light threshold, STREAMED from files_df past
+        # it (writer.commit_streamed_removes, round-10 ask #3: the
+        # deliberate O(table) driver enumeration this comment used to
+        # document)
+        log0 = DeltaLog(table_path)
+        if overwrite:
+            from pyspark.sql import SparkSession as _SS
+
+            _spark = _SS.getActiveSession()
+            if _spark is not None and log0.light_planning_engaged():
+                light_overwrite = log0.snapshot_light()
+                prior = light_overwrite.to_snapshot_state([])
+            else:
+                prior = log0.snapshot()
+        else:
+            prior = _header_snapshot(table_path)
         prior_names = {f.name for f in prior.schema.fields}
         if {f.name for f in schema.fields} != prior_names:
             raise ValueError(
@@ -1189,6 +1200,20 @@ def _commit_adds(
             _, rt_domain = _assign_row_ids(adds, hwm, version)
             actions.append(rt_domain)
     actions.extend(adds)
+    if light_overwrite is not None:
+        from pyspark.sql import SparkSession as _SS
+
+        from ..delta.writer import commit_streamed_removes
+
+        v_out, _n = commit_streamed_removes(
+            _SS.getActiveSession(),
+            table_path,
+            operation,
+            actions,
+            light_overwrite,
+            expected_version=version,
+        )
+        return v_out
     _atomic_commit(os.path.join(table_path, "_delta_log"), version, actions)
     DeltaLog.clear_cache()
     return version

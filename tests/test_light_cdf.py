@@ -199,3 +199,66 @@ def test_streaming_readchangefeed_stays_light(spark, tmp_path, monkeypatch):
     assert calls == [], f"classic snapshot replayed: {calls}"
     assert got == want and len(got) > 0
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_streaming_readchangefeed_second_batch_probe_stays_light(
+    spark, tmp_path, monkeypatch
+):
+    """A SECOND microbatch whose range starts past version 0 needs the
+    base probe at lo-1 (its MOR-delete commit remove+re-adds a path whose
+    prior state lives before the range) — it must resolve through
+    snapshot_light, not a classic replay."""
+    import shutil
+
+    from athena_delta_lake_spark.sources.deltapond_source import register
+
+    register(spark)
+    path = str(tmp_path / "cdf_light_stream2")
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "id long, v double"
+    )
+    write_delta(df, path)
+    t = DeltaTable(spark, path)
+    t.delete(where="id % 5 = 0", mode="mor")
+    write_checkpoint(path)
+    DeltaLog.clear_cache()
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
+    calls = _poison(monkeypatch)
+
+    def _drain():
+        q = (
+            spark.readStream.format("deltapond")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "0")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _drain()
+    assert calls == [], f"classic snapshot replayed: {calls}"
+    # commits AFTER the stream checkpoint: the next drain plans lo > 0
+    t.delete(where="id % 7 = 1", mode="mor")
+    write_delta(
+        spark.createDataFrame([(999, 9.0)], "id long, v double"),
+        path,
+        mode="append",
+    )
+    calls.clear()
+    _drain()
+    assert calls == [], f"classic snapshot replayed: {calls}"
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    # the second drain's dv-diff deletes are present
+    assert (
+        got.filter("_change_type = 'delete' and _commit_version >= 2").count()
+        > 0
+    )
+    shutil.rmtree(out, ignore_errors=True)

@@ -27,6 +27,8 @@ Usage: python tools/meta_scale.py [n_files] [adds_per_commit]
        python tools/meta_scale.py [n_files] [adds_per_commit] --restore
        python tools/meta_scale.py [n_files] [adds_per_commit] --cdf [--check-classic]
        python tools/meta_scale.py [n_files] [adds_per_commit] --clone [--check-classic]
+       python tools/meta_scale.py [n_files] [adds_per_commit] --truncate [--check-classic]
+       python tools/meta_scale.py [n_files] [adds_per_commit] --rowtracking
 Prints one JSON line with the measurements (recorded in PERF_TRIAGE_r6).
 
 --light (round-7 ask #6): measure the DRIVER-LIGHT snapshot path
@@ -206,6 +208,10 @@ def main() -> int:
         return cdf_main(root, n_files, out, "--check-classic" in sys.argv)
     if "--clone" in sys.argv:
         return clone_main(root, n_files, out, "--check-classic" in sys.argv)
+    if "--truncate" in sys.argv:
+        return truncate_main(root, n_files, out, "--check-classic" in sys.argv)
+    if "--rowtracking" in sys.argv:
+        return rowtracking_main(root, n_files, out)
     t0 = time.time()
     path = build_log(root, n_files, per_commit)
     out["build_log_s"] = round(time.time() - t0, 2)
@@ -997,6 +1003,166 @@ def clone_main(root: str, n_files: int, out: dict, check_classic: bool) -> int:
         assert peak < 2048, f"driver RSS {peak} MiB breaches the 2 GiB bar"
     finally:
         shutil.rmtree(dst_light, ignore_errors=True)
+        DeltaLog.clear_cache()
+        spark.stop()
+    print(json.dumps(out))
+    return 0
+
+
+def truncate_main(root: str, n_files: int, out: dict, check_classic: bool) -> int:
+    """Measure the driver-light TRUNCATE (round-10 ask #3) against the
+    prepared table: the remove-every-live-file commit streams from
+    LightSnapshot.files_df executor-side (writer.commit_streamed_removes)
+    instead of materializing the classic snapshot + a 10^7-entry remove
+    list + fingerprint map driver-side. Fresh process; peak RSS asserted
+    < 2 GiB at any file count. The truncate commit is removed afterwards
+    so the prepared table stays reusable.
+
+    --check-classic re-runs the SAME truncate with the light plane
+    disabled and asserts both commits carry an identical remove-path
+    digest; run it at 10^6 where the classic replay is cheap."""
+    import hashlib
+
+    from athena_delta_lake_spark import get_spark
+    from athena_delta_lake_spark.delta.dml import truncate_table
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    path = os.path.join(root, "meta_scale_tbl")
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        print(
+            json.dumps({"error": "run the normal mode first to build the "
+                        "table + checkpoint"}),
+        )
+        return 1
+    out["mode"] = "truncate"
+    os.environ.setdefault("ADLS_LIGHT_PLANNING_FILES", "1000000")
+    out["rss_before_mib"] = round(rss_mib(), 1)
+    log = DeltaLog(path)
+    out["light_engaged"] = bool(log.light_planning_engaged())
+    base = log.latest_version()
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        shuffle_partitions=16,
+    )
+
+    def _remove_digest(v: int) -> tuple[int, str]:
+        """(remove_count, order-independent digest) — streaming."""
+        n, acc = 0, 0
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+            for line in f:
+                a = json.loads(line)
+                if "remove" not in a:
+                    continue
+                n += 1
+                h = hashlib.md5(a["remove"]["path"].encode()).hexdigest()
+                acc ^= int(h, 16)
+        return n, f"{acc:032x}"
+
+    def _revert(v: int) -> None:
+        p = os.path.join(log_dir, f"{v:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+        DeltaLog.clear_cache()
+
+    try:
+        t0 = time.time()
+        res = truncate_table(path)
+        out["truncate_s"] = round(time.time() - t0, 2)
+        out["files_removed"] = res["files_removed"]
+        assert res["files_removed"] == n_files, res
+        peak = round(hwm_mib(), 1)
+        out["rss_peak_mib"] = peak
+        out["rss_under_2gib"] = bool(peak < 2048)
+        n_l, dig_l = _remove_digest(base + 1)
+        assert n_l == n_files
+
+        if check_classic:
+            _revert(base + 1)
+            prev = os.environ.get("ADLS_LIGHT_PLANNING_FILES")
+            os.environ["ADLS_LIGHT_PLANNING_FILES"] = "0"
+            try:
+                t0 = time.time()
+                res_c = truncate_table(path)
+                out["truncate_classic_s"] = round(time.time() - t0, 2)
+                assert res_c == res, (res_c, res)
+                n_c, dig_c = _remove_digest(base + 1)
+                assert (n_c, dig_c) == (n_l, dig_l), (n_c, n_l)
+                out["classic_equality"] = "identical"
+                out["rss_after_classic_mib"] = round(rss_mib(), 1)
+            finally:
+                os.environ["ADLS_LIGHT_PLANNING_FILES"] = prev or "1000000"
+
+        assert out["light_engaged"], "light planning did not engage"
+        assert peak < 2048, f"driver RSS {peak} MiB breaches the 2 GiB bar"
+    finally:
+        _revert(base + 1)
+        spark.stop()
+    print(json.dumps(out))
+    return 0
+
+
+def rowtracking_main(root: str, n_files: int, out: dict) -> int:
+    """Measure the driver-light enable_row_tracking backfill (round-10
+    ask #4) against the prepared table: id ranges come from a distributed
+    prefix sum over files_df and the re-add lines stream into the commit
+    — the classic path walked the full snapshot driver-side. Fresh
+    process; peak RSS < 2 GiB at any file count. The backfill commit is
+    removed afterwards so the prepared table stays reusable."""
+    from athena_delta_lake_spark import get_spark
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.writer import enable_row_tracking
+
+    path = os.path.join(root, "meta_scale_tbl")
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        print(
+            json.dumps({"error": "run the normal mode first to build the "
+                        "table + checkpoint"}),
+        )
+        return 1
+    out["mode"] = "rowtracking"
+    os.environ.setdefault("ADLS_LIGHT_PLANNING_FILES", "1000000")
+    out["rss_before_mib"] = round(rss_mib(), 1)
+    log = DeltaLog(path)
+    out["light_engaged"] = bool(log.light_planning_engaged())
+    base = log.latest_version()
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        shuffle_partitions=16,
+    )
+    try:
+        t0 = time.time()
+        v = enable_row_tracking(path)
+        out["backfill_s"] = round(time.time() - t0, 2)
+        assert v == base + 1, v
+        peak = round(hwm_mib(), 1)
+        out["rss_peak_mib"] = peak
+        out["rss_under_2gib"] = bool(peak < 2048)
+        # the recorded high-water mark must cover exactly every row: the
+        # synthetic table is n_files x 100k rows
+        n_adds, hwm_rec = 0, None
+        with open(os.path.join(log_dir, f"{base + 1:020d}.json")) as f:
+            for line in f:
+                a = json.loads(line)
+                if "add" in a:
+                    n_adds += 1
+                elif "domainMetadata" in a:
+                    dm = a["domainMetadata"]
+                    if dm["domain"] == "delta.rowTracking":
+                        hwm_rec = json.loads(dm["configuration"])[
+                            "rowIdHighWaterMark"
+                        ]
+        out["backfill_adds"] = n_adds
+        out["row_id_hwm"] = hwm_rec
+        assert n_adds == n_files, n_adds
+        assert hwm_rec == n_files * 100_000 - 1, hwm_rec
+        assert out["light_engaged"], "light planning did not engage"
+        assert peak < 2048, f"driver RSS {peak} MiB breaches the 2 GiB bar"
+    finally:
+        p = os.path.join(log_dir, f"{base + 1:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
         DeltaLog.clear_cache()
         spark.stop()
     print(json.dumps(out))
