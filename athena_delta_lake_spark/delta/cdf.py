@@ -328,9 +328,15 @@ def table_changes(
         add_paths = set(add_raw)
         # versions at or below a FALLBACK base (seeded past a truncated
         # history) have no derivable pre-state: raise exactly when the
-        # classic path's snapshot(v-1) / snapshot(v) would have
+        # classic path's snapshot(v-1) / snapshot(v) would have. A
+        # cdc-bearing commit AT the base itself is fine — the spec ignores
+        # its add/remove actions for change derivation and the cdc read
+        # needs only the base-era header the seed provides (round-10
+        # review: it also carries dataChange adds/removes, so testing
+        # those alone falsely refused a derivable commit).
         if 0 < v <= tracker.base_version and (
-            add_paths or remove_paths or (cdc_actions and v < tracker.base_version)
+            (not cdc_actions and (add_paths or remove_paths))
+            or (cdc_actions and v < tracker.base_version)
         ):
             raise ValueError(
                 f"version {v - 1} of {table_path} is no longer replayable: "

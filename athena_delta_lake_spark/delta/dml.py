@@ -3762,8 +3762,10 @@ def truncate_table(table_path: str) -> dict:
     spark = _SS.getActiveSession()
     if spark is not None and log.light_planning_engaged():
         light = log.snapshot_light()
-        n_live = light.files_df(spark).count()
-        if n_live == 0:
+        # emptiness probe only — the removed-file count comes from the
+        # streamed commit's line tally, so a full checkpoint count here
+        # would be a wasted second scan (round-10 review)
+        if light.files_df(spark).limit(1).count() == 0:
             return {"files_removed": 0}
         from .writer import _check_append_only
 

@@ -320,15 +320,30 @@ class LocalFS:
         """Put-if-absent from an ITERABLE of byte chunks — the streaming
         variant of create_atomic for commits too large to hold driver-side
         (a shallow CLONE of a 10^7-file table is a multi-GiB JSON).
-        Same O_EXCL guarantee; peak memory is one chunk."""
-        fd = os.open(
-            strip_file_scheme(path),
-            os.O_WRONLY | os.O_CREAT | os.O_EXCL,
-            0o644,
-        )
-        with os.fdopen(fd, "wb") as f:
-            for c in chunks:
-                f.write(c)
+
+        The bytes stream into a tmp SIBLING first, then hard-link into
+        place (link(2) fails with EEXIST when the target exists — the same
+        put-if-absent guarantee as O_EXCL) — writing straight to the final
+        path would leave a torn, permanent commit JSON if a chunk read
+        failed mid-stream, and every reader would replay it while every
+        retry hit FileExistsError. Peak memory is one chunk."""
+        import uuid as _uuid
+
+        final = strip_file_scheme(path)
+        tmp = f"{final}.tmp-{_uuid.uuid4().hex}"
+        try:
+            with open(tmp, "wb") as f:
+                for c in chunks:
+                    f.write(c)
+            try:
+                os.link(tmp, final)
+            except FileExistsError:
+                raise FileExistsError(path) from None
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
     def write_bytes(self, path: str, data: bytes) -> None:
         with open(strip_file_scheme(path), "wb") as f:
@@ -528,10 +543,19 @@ class HadoopFS:
         _fs2, jtmp = self._fs_path(tmp)
         stream = fs.create(jtmp, True)
         try:
-            for c in chunks:
-                stream.write(bytearray(c))
-        finally:
-            stream.close()
+            try:
+                for c in chunks:
+                    stream.write(bytearray(c))
+            finally:
+                stream.close()
+        except Exception:
+            # a failed chunk read must not leak the partial tmp sibling
+            # into _delta_log (create_atomic's failure path deletes too)
+            try:
+                fs.delete(jtmp, False)
+            except Exception:
+                pass
+            raise
         ok = False
         try:
             fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(

@@ -1894,6 +1894,12 @@ def write_delta(
         to_remove = prior.files if rw_candidates is None else rw_candidates
         if to_remove or (
             light_overwrite is not None
+            # probe the table's emptiness ONLY when appendOnly is set —
+            # _check_append_only cannot fire otherwise, and the common
+            # case must not pay a Spark job for a no-op gate (r10 review)
+            and str(
+                effective_config.get("delta.appendOnly", "")
+            ).lower() == "true"
             and light_overwrite.files_df(df.sparkSession).limit(1).count()
         ):
             _check_append_only(effective_config, "overwrite")
@@ -3405,9 +3411,6 @@ def commit_streamed_removes(
         if ict_config is not None
         else light.metadata.get("configuration")
     )
-    # the same writer-feature gate _atomic_commit applies to version>0
-    # commits (this path bypasses it for the streaming write)
-    _check_write_protocol(DeltaLog(table_path).latest_protocol(), table_path)
 
     def gen(batches):
         import json as _j
@@ -3458,21 +3461,19 @@ def _stream_commit(
     OCC (any race -> ConcurrentWriteError). Returns
     (version, streamed_line_count). Shared by commit_streamed_removes
     and the light row-tracking backfill."""
-    from .fs import is_remote, strip_file_scheme
-
     log_dir = os.path.join(table_path, "_delta_log")
     fs = get_fs(table_path)
     commit_path = os.path.join(log_dir, f"{expected_version:020d}.json")
+    if expected_version > 0:
+        # the same writer-feature gate _atomic_commit applies to
+        # version>0 commits (this path bypasses it) — EVERY streaming
+        # caller gets it, not just the remove path (round-10 review)
+        _check_write_protocol(
+            DeltaLog(table_path).latest_protocol(), table_path
+        )
     with _staged_tmp_dir(fs, log_dir, "stream-commit") as stage:
         lines_df.write.mode("overwrite").text(stage)
-        parts = sorted(
-            (
-                fi
-                for fi in fs.listdir(stage)
-                if fi.name.endswith(".txt") and not fi.name.startswith(".")
-            ),
-            key=lambda fi: fi.name,
-        )
+        parts = _list_staged_text_parts(fs, stage)
         # the staging job takes real time — re-check the watermark as
         # late as possible; the O_EXCL commit still decides the race
         if _next_version(table_path) != expected_version:
@@ -3481,31 +3482,14 @@ def _stream_commit(
                 "re-run against the new snapshot"
             )
         _stamp_ict(header_actions, log_dir, expected_version, table_config)
-
         counted = [0]
-
-        def _chunks():
-            yield "".join(
-                json.dumps(a, separators=(",", ":")) + "\n"
-                for a in header_actions
-            ).encode("utf-8")
-            for fi in parts:
-                p = os.path.join(stage, fi.name)
-                if is_remote(table_path):
-                    block = fs.read_bytes(p)  # O(one part)
-                    counted[0] += block.count(b"\n")
-                    yield block
-                    continue
-                with open(strip_file_scheme(p), "rb") as fh:
-                    while True:
-                        block = fh.read(8 * 1024 * 1024)
-                        if not block:
-                            break
-                        counted[0] += block.count(b"\n")
-                        yield block
-
         try:
-            fs.create_atomic_stream(commit_path, _chunks())
+            fs.create_atomic_stream(
+                commit_path,
+                _staged_commit_chunks(
+                    fs, table_path, stage, parts, header_actions, counted
+                ),
+            )
         except FileExistsError:
             DeltaLog.clear_cache()
             raise ConcurrentWriteError(
@@ -3516,6 +3500,52 @@ def _stream_commit(
     DeltaLog.clear_cache()
     _maybe_auto_checkpoint(table_path, expected_version, table_config)
     return expected_version, n_lines
+
+
+def _list_staged_text_parts(fs, stage: str) -> list:
+    """The .txt part files Spark's text writer left in the stage dir,
+    name-sorted (skips _SUCCESS and hidden .crc entries)."""
+    return sorted(
+        (
+            fi
+            for fi in fs.listdir(stage)
+            if fi.name.endswith(".txt") and not fi.name.startswith(".")
+        ),
+        key=lambda fi: fi.name,
+    )
+
+
+def _staged_commit_chunks(
+    fs, base_path: str, stage: str, parts, header_actions, counted=None
+):
+    """Yield the serialized header actions, then each staged part's bytes
+    — 8 MiB blocks through local file IO, whole parts via fs.read_bytes on
+    remote schemes — counting streamed newlines into counted[0] when a
+    counter is given. The single chunk source for every streamed commit
+    (_stream_commit, light CLONE), so torn-commit/cleanup fixes apply
+    once."""
+    from .fs import is_remote, strip_file_scheme
+
+    yield "".join(
+        json.dumps(a, separators=(",", ":")) + "\n" for a in header_actions
+    ).encode("utf-8")
+    remote = is_remote(base_path)
+    for fi in parts:
+        p = os.path.join(stage, fi.name)
+        if remote:
+            block = fs.read_bytes(p)  # O(one part)
+            if counted is not None:
+                counted[0] += block.count(b"\n")
+            yield block
+            continue
+        with open(strip_file_scheme(p), "rb") as fh:
+            while True:
+                block = fh.read(8 * 1024 * 1024)
+                if not block:
+                    break
+                if counted is not None:
+                    counted[0] += block.count(b"\n")
+                yield block
 
 
 def _SS_active():
@@ -3606,8 +3636,6 @@ def _clone_table_light(
     the single version-0 commit through fs.create_atomic_stream — the
     `_write_checkpoint_light` staging pattern applied to a JSON commit.
     Driver memory: O(header + one I/O chunk)."""
-    from .fs import is_remote
-
     log = DeltaLog(src_path)
     light = log.snapshot_light(version)
     l2p = logical_to_physical(
@@ -3653,34 +3681,11 @@ def _clone_table_light(
     commit_path = os.path.join(dst_log, f"{0:020d}.json")
     with _staged_tmp_dir(fs, dst_log, "clone") as stage:
         lines_df.write.mode("overwrite").text(stage)
-        parts = sorted(
-            (
-                fi
-                for fi in fs.listdir(stage)
-                if fi.name.endswith(".txt") and not fi.name.startswith(".")
-            ),
-            key=lambda fi: fi.name,
+        parts = _list_staged_text_parts(fs, stage)
+        fs.create_atomic_stream(
+            commit_path,
+            _staged_commit_chunks(fs, dst_path, stage, parts, header),
         )
-
-        def _chunks():
-            yield "".join(
-                json.dumps(a, separators=(",", ":")) + "\n" for a in header
-            ).encode("utf-8")
-            for fi in parts:
-                p = os.path.join(stage, fi.name)
-                if is_remote(dst_path):
-                    yield fs.read_bytes(p)  # O(one part)
-                    continue
-                from .fs import strip_file_scheme
-
-                with open(strip_file_scheme(p), "rb") as fh:
-                    while True:
-                        block = fh.read(8 * 1024 * 1024)
-                        if not block:
-                            break
-                        yield block
-
-        fs.create_atomic_stream(commit_path, _chunks())
     DeltaLog.clear_cache()
     return 0
 
@@ -4032,9 +4037,11 @@ def _enable_row_tracking_light(spark, table_path: str) -> int:
     sampling cannot reshuffle rows between them and double-assign ids),
     and the add lines stream into the commit through _stream_commit.
     Ids differ from the classic replay ORDER but satisfy the same
-    contract: disjoint ranges exactly covering [0, hwm]. Files that
-    already carry a baseRowId (a clone of a row-tracked table) keep it
-    and are excluded from the sum, exactly like _assign_row_ids."""
+    contract: disjoint ranges exactly covering [0, hwm]. EVERY live file
+    gets a fresh range — matching the classic backfill, whose add dicts
+    never carry a baseRowId, so _assign_row_ids reassigns all of them;
+    keeping pre-existing ids while starting fresh ones at 0 would overlap
+    ranges and understate the high-water mark (round-10 review)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -4080,17 +4087,14 @@ def _enable_row_tracking_light(spark, table_path: str) -> int:
         .persist()
     )
     try:
-        new_n = F.when(
-            F.col("base_row_id").isNull(), F.col("_n")
-        ).otherwise(F.lit(0))
         w = Window.partitionBy("_pid").orderBy("path")
         staged2 = staged.withColumn(
-            "_excl", F.sum(new_n).over(w) - new_n
+            "_excl", F.sum("_n").over(w) - F.col("_n")
         )
         per_pid = sorted(
             (r["_pid"], r["t"] or 0)
             for r in staged.groupBy("_pid")
-            .agg(F.sum(new_n).alias("t"))
+            .agg(F.sum("_n").alias("t"))
             .collect()  # O(partitions)
         )
         offsets: dict[int, int] = {}
@@ -4103,17 +4107,8 @@ def _enable_row_tracking_light(spark, table_path: str) -> int:
             *[F.lit(x) for kv in offsets.items() for x in kv]
         )
         staged2 = staged2.withColumn(
-            "_base",
-            F.when(
-                F.col("base_row_id").isNull(),
-                off_expr[F.col("_pid")] + F.col("_excl"),
-            ).otherwise(F.col("base_row_id")),
-        ).withColumn(
-            "_rcv",
-            F.when(
-                F.col("base_row_id").isNull(), F.lit(int(version))
-            ).otherwise(F.col("default_rcv")),
-        )
+            "_base", off_expr[F.col("_pid")] + F.col("_excl")
+        ).withColumn("_rcv", F.lit(int(version)))
 
         def gen(batches):
             import json as _j

@@ -825,8 +825,11 @@ class DeltaPondStreamReader(DataSourceStreamReader):
                 for a in actions
                 if "remove" in a and a["remove"].get("dataChange", True)
             }
+            # cdc commits AT the base are derivable — only their header is
+            # needed and the seed provides it (see cdf.table_changes)
             if 0 < v <= tracker.base_version and (
-                adds or removes or (cdc_actions and v < tracker.base_version)
+                (not cdc_actions and (adds or removes))
+                or (cdc_actions and v < tracker.base_version)
             ):
                 raise ValueError(
                     f"version {v - 1} of {self._path} is no longer "

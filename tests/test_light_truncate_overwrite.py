@@ -271,3 +271,55 @@ def test_enable_row_tracking_stays_light(spark, tmp_path, monkeypatch):
     # the idempotent re-call is a no-op
     monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
     assert enable_row_tracking(path) == v
+
+
+def test_enable_row_tracking_light_reassigns_preexisting_ids(
+    spark, tmp_path, monkeypatch
+):
+    """Files that already carry a baseRowId (tracking enabled, later
+    disabled, then re-enabled) must be REASSIGNED like every other file —
+    the classic backfill builds its add dicts without baseRowId, so
+    _assign_row_ids gives all files fresh disjoint ranges; keeping old
+    ids while starting new ones at 0 would overlap ranges and understate
+    the high-water mark (round-10 review finding)."""
+    import json
+
+    from athena_delta_lake_spark.delta.writer import (
+        enable_row_tracking,
+        set_table_properties,
+        unset_table_properties,
+        write_checkpoint,
+    )
+
+    path = str(tmp_path / "rt_reenable")
+    _mk(spark, path, n=50)
+    enable_row_tracking(path)  # classic: files now carry baseRowIds
+    unset_table_properties(path, ["delta.enableRowTracking"])
+    # new files WITHOUT ids, alongside old files WITH ids
+    write_delta(
+        spark.createDataFrame(
+            [(200 + i, i % 3, 2.0) for i in range(10)],
+            "id long, part int, v double",
+        ),
+        path,
+        mode="append",
+    )
+    write_checkpoint(path)
+    DeltaLog.clear_cache()
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
+    calls, _ = _poison(monkeypatch)
+    v = enable_row_tracking(path)
+    assert calls == []
+    monkeypatch.delenv("ADLS_LIGHT_PLANNING_FILES")
+    DeltaLog.clear_cache()
+    snap = DeltaLog(path).snapshot()
+    dom = json.loads(snap.domain_metadata["delta.rowTracking"])
+    ranges = sorted(
+        (f.base_row_id, f.base_row_id + (f.stats or {}).get("numRecords"))
+        for f in snap.files
+    )
+    assert ranges[0][0] == 0
+    for (a0, a1), (b0, _b1) in zip(ranges, ranges[1:]):
+        assert a1 == b0, ranges  # disjoint AND covering
+    assert ranges[-1][1] - 1 == dom["rowIdHighWaterMark"]
+    assert ranges[-1][1] == 60  # every row counted once
