@@ -321,24 +321,55 @@ class LocalFS:
         variant of create_atomic for commits too large to hold driver-side
         (a shallow CLONE of a 10^7-file table is a multi-GiB JSON).
 
-        The bytes stream into a tmp SIBLING first, then hard-link into
-        place (link(2) fails with EEXIST when the target exists — the same
-        put-if-absent guarantee as O_EXCL) — writing straight to the final
-        path would leave a torn, permanent commit JSON if a chunk read
-        failed mid-stream, and every reader would replay it while every
-        retry hit FileExistsError. Peak memory is one chunk."""
+        The bytes stream into a tmp file under a `.tmp/` SIBLING DIR
+        first (the staged-write scratch area VACUUM's .tmp sweep already
+        owns — a SIGKILL mid-stream must not leave a multi-GiB orphan
+        loose in _delta_log forever), then hard-link into place: link(2)
+        fails with EEXIST when the target exists — the same put-if-absent
+        guarantee as O_EXCL. Writing straight to the final path would
+        leave a torn, permanent commit JSON if a chunk read failed
+        mid-stream, and every reader would replay it while every retry
+        hit FileExistsError. Filesystems without hard links (CIFS, VFAT,
+        some FUSE mounts) fall back to an O_EXCL copy whose partial
+        target is unlinked on failure — safe because O_EXCL proves WE
+        created it. Peak memory is one chunk."""
         import uuid as _uuid
 
         final = strip_file_scheme(path)
-        tmp = f"{final}.tmp-{_uuid.uuid4().hex}"
+        if os.path.exists(final):
+            # cheap early refusal before streaming GiBs; link/O_EXCL
+            # below still decides the race
+            raise FileExistsError(path)
+        tmp_dir = os.path.join(os.path.dirname(final), ".tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        tmp = os.path.join(
+            tmp_dir,
+            f"{os.path.basename(final)}.stream-{_uuid.uuid4().hex}",
+        )
         try:
-            with open(tmp, "wb") as f:
+            fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            with os.fdopen(fd, "wb") as f:
                 for c in chunks:
                     f.write(c)
             try:
                 os.link(tmp, final)
             except FileExistsError:
                 raise FileExistsError(path) from None
+            except OSError:
+                # no hard-link support: O_EXCL create-and-copy; the
+                # partial target is OURS to unlink on failure
+                fd = os.open(
+                    final, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644
+                )
+                try:
+                    with os.fdopen(fd, "wb") as out, open(tmp, "rb") as src:
+                        shutil.copyfileobj(src, out, 8 * 1024 * 1024)
+                except BaseException:
+                    try:
+                        os.remove(final)
+                    except OSError:
+                        pass
+                    raise
         finally:
             try:
                 os.remove(tmp)

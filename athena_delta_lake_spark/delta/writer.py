@@ -4098,7 +4098,11 @@ def _enable_row_tracking_light(spark, table_path: str) -> int:
             .collect()  # O(partitions)
         )
         offsets: dict[int, int] = {}
-        acc = 0
+        # seed ABOVE any prior enablement's high-water mark, mirroring
+        # the classic backfill: stale MATERIALIZED ids (<= old hwm) in
+        # files rewritten under the old enablement win over baseRowId
+        # via coalesce, so fresh ranges must sit past them
+        acc = _row_id_hwm(light.domain_metadata) + 1
         for pid, t in per_pid:
             offsets[pid] = acc
             acc += int(t)
@@ -4138,9 +4142,8 @@ def _enable_row_tracking_light(spark, table_path: str) -> int:
                         "modificationTime": int(mtime),
                         "dataChange": False,
                         "baseRowId": int(base),
+                        "defaultRowCommitVersion": int(rcv),
                     }
-                    if rcv is not None and not _pd.isna(rcv):
-                        add["defaultRowCommitVersion"] = int(rcv)
                     if stats:
                         add["stats"] = stats
                     if dvj:
@@ -4274,7 +4277,15 @@ def enable_row_tracking(table_path: str) -> int:
                 }
             }
         )
-    _, domain_action = _assign_row_ids(backfill, -1, version)
+    # seed ABOVE any prior enablement's high-water mark (the rowTracking
+    # domain survives a property unset): files rewritten under the old
+    # enablement carry MATERIALIZED old ids that win over baseRowId via
+    # coalesce — fresh ranges restarting at 0 would collide with them
+    # (round-10 review). Old materialized ids are mutually disjoint and
+    # <= old hwm; fresh ranges above it keep table-wide id uniqueness.
+    _, domain_action = _assign_row_ids(
+        backfill, _row_id_hwm(snap.domain_metadata), version
+    )
     actions: list[dict] = [
         {
             "commitInfo": {
