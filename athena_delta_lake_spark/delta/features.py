@@ -124,14 +124,23 @@ def _type_names(schema_obj: dict):
                 stack.append(f)
 
 
-def _snapshot_blockers(feature: str, snap: SnapshotState) -> list[str]:
+def _snapshot_blockers(
+    feature: str, snap: SnapshotState, dv_count: int | None = None
+) -> list[str]:
     """Traces of `feature` in the CURRENT snapshot that the user must
-    remove before the drop (plane 1). Empty list = clear."""
+    remove before the drop (plane 1). Empty list = clear. Every check is
+    header-only except the deletionVectors live-DV count — `dv_count`
+    overrides the snap.files walk so the light route (drop_feature past
+    the threshold) can supply it from an executor-side files_df scan."""
     config = snap.metadata.get("configuration") or {}
     schema_obj = json.loads(snap.metadata.get("schemaString") or "{}")
     out: list[str] = []
     if feature == "deletionVectors":
-        n = sum(1 for f in snap.files if f.deletion_vector)
+        n = (
+            dv_count
+            if dv_count is not None
+            else sum(1 for f in snap.files if f.deletion_vector)
+        )
         if n:
             out.append(
                 f"{n} live file(s) carry deletion vectors — run "
@@ -509,7 +518,31 @@ def drop_feature(
     from .fs import normalize_table_path
 
     table_path = normalize_table_path(table_path)
-    snap = DeltaLog(table_path).snapshot()
+    log = DeltaLog(table_path)
+    # every drop check is header-only except the deletionVectors live-DV
+    # count: past the light threshold the header replays driver-light and
+    # the count runs executor-side over files_df (full=True, so descriptor
+    # PRESENCE — not a possibly-absent cardinality field — decides),
+    # closing the last known O(table)-driver admin path
+    dv_count: int | None = None
+    _spark = None
+    if log.light_planning_engaged():
+        from pyspark.sql import SparkSession as _SS
+
+        _spark = _SS.getActiveSession()
+    if _spark is not None:
+        from pyspark.sql import functions as _F
+
+        light = log.snapshot_light()
+        snap = light.to_snapshot_state([])
+        if feature == "deletionVectors":
+            dv_count = (
+                light.files_df(_spark, full=True)
+                .filter(_F.col("dv_json").isNotNull())
+                .count()
+            )
+    else:
+        snap = log.snapshot()
     reader, writer = _explicit_feature_sets(snap.protocol)
     if feature not in reader | writer:
         raise ValueError(
@@ -524,7 +557,7 @@ def drop_feature(
             "HISTORY (spec: the protection must hold while protected "
             "checkpoints may still be replayed from)"
         )
-    blockers = _snapshot_blockers(feature, snap)
+    blockers = _snapshot_blockers(feature, snap, dv_count=dv_count)
     if blockers:
         raise ValueError(
             f"cannot drop feature {feature!r}: " + "; ".join(blockers)

@@ -326,3 +326,44 @@ def test_enable_row_tracking_light_reassigns_preexisting_ids(
         assert a1 == b0, ranges  # disjoint AND covering
     assert ranges[-1][1] - 1 == dom["rowIdHighWaterMark"]
     assert ranges[-1][1] == 50 + 60  # every row counted once, past old hwm
+
+
+def test_drop_feature_stays_light(spark, tmp_path, monkeypatch):
+    """DROP FEATURE past the threshold: every check is header-only except
+    the deletionVectors live-DV count, which runs executor-side over
+    files_df — with DeltaLog.snapshot poisoned, a DV-carrying table must
+    still be refused and a purged one must drop cleanly."""
+    import pytest as _pytest
+
+    from athena_delta_lake_spark.delta.dml import reorg_purge
+    from athena_delta_lake_spark.delta.features import drop_feature
+
+    path = str(tmp_path / "dropf_light")
+    _mk(spark, path, n=40)
+    DeltaTable(spark, path).delete(where="id % 5 = 0", mode="mor")  # DVs
+    write_checkpoint(path)
+    DeltaLog.clear_cache()
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
+    calls, _ = _poison(monkeypatch)
+    with _pytest.raises(ValueError, match="deletion vectors"):
+        drop_feature(path, "deletionVectors")
+    assert calls == [], f"classic snapshot replayed: {calls}"
+    monkeypatch.delenv("ADLS_LIGHT_PLANNING_FILES")
+    DeltaLog.clear_cache()
+    reorg_purge(spark, path)  # rewrite DV'd files; feature now unused
+    write_checkpoint(path)
+    DeltaLog.clear_cache()
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
+    calls.clear()
+    res = drop_feature(path, "deletionVectors")
+    # the light DV count (files_df full=True scan) found zero blockers;
+    # the protecting-checkpoint path may legitimately replay nothing
+    # classic either
+    assert calls == [], f"classic snapshot replayed: {calls}"
+    assert "deletionVectors" not in set(
+        res["protocol"].get("readerFeatures") or []
+    )
+    monkeypatch.delenv("ADLS_LIGHT_PLANNING_FILES")
+    DeltaLog.clear_cache()
+    # the table still reads correctly post-drop
+    assert DeltaTable(spark, path).to_df().count() == 32
