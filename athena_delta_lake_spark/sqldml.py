@@ -2317,8 +2317,27 @@ def _route_analyze_columns(pond, path: str, cols_clause: str) -> DataFrame:
     from .delta.stats import _coerce, _stats_value
     from .delta.writer import set_table_properties
 
-    snap = DeltaLog(path).snapshot()
-    field_names = [f.name for f in snap.schema.fields]
+    log = DeltaLog(path)
+    # past the light threshold the per-file stats FOLD (provability walk,
+    # min/max/nullCount) runs executor-side over LightSnapshot.files_df —
+    # the classic driver loop below is O(table) RSS at 10^7 files
+    _spark_l = None
+    if log.light_planning_engaged():
+        from pyspark.sql import SparkSession as _SS
+
+        _spark_l = _SS.getActiveSession()
+    if _spark_l is not None:
+        light = log.snapshot_light()
+        schema = light.schema
+        part_cols_list = list(light.partition_columns)
+        snap = None
+        snap_version = light.version
+    else:
+        snap = log.snapshot()
+        schema = snap.schema
+        part_cols_list = list(snap.partition_columns)
+        snap_version = snap.version
+    field_names = [f.name for f in schema.fields]
     if re.match(r"(?is)^ALL\s+COLUMNS$", cols_clause.strip()):
         cols = field_names
     else:
@@ -2337,7 +2356,11 @@ def _route_analyze_columns(pond, path: str, cols_clause: str) -> DataFrame:
     )
     out: dict[str, dict] = {c: {} for c in cols}
     scan_minmax: list[str] = []
-    for c in cols:
+    if _spark_l is not None:
+        out, scan_minmax = _fold_log_stats_light(
+            pond.spark, light, cols, _EXACT_STATS_TYPES
+        )
+    for c in cols if _spark_l is None else []:
         dt = snap.schema[c].dataType
         if c in snap.partition_columns:
             # A file is excluded as fully-dead only when its DV
@@ -2407,7 +2430,16 @@ def _route_analyze_columns(pond, path: str, cols_clause: str) -> DataFrame:
                 F.max(c).alias(f"__mx__{i}"),
                 F.sum(F.col(c).isNull().cast("long")).alias(f"__nc__{i}"),
             ]
-    row = read_snapshot(pond.spark, snap).select(*cols).agg(*aggs).first()
+    if _spark_l is not None:
+        # auto-light table read (the scan's candidate planning routes
+        # through prune_df/collect_pruned_add_files, never a classic
+        # snapshot) — same plan shape as the classic read_snapshot scan
+        from .delta.table import DeltaTable as _DT
+
+        scan_df = _DT(pond.spark, path).to_df()
+    else:
+        scan_df = read_snapshot(pond.spark, snap)
+    row = scan_df.select(*cols).agg(*aggs).first()
     for i, c in enumerate(cols):
         out[c]["distinctCount"] = int(row[f"__ndv__{i}"] or 0)
         if c in scan_minmax:
@@ -2419,7 +2451,7 @@ def _route_analyze_columns(pond, path: str, cols_clause: str) -> DataFrame:
         f"pond.stats.col.{c}": json.dumps(out[c], default=str, sort_keys=True)
         for c in cols
     }
-    props["pond.stats.analyzedVersion"] = str(snap.version)
+    props["pond.stats.analyzedVersion"] = str(snap_version)
     set_table_properties(path, props)
     rows = [
         Row(
@@ -2445,6 +2477,124 @@ def _fast_num_records_safe(f):
         return _fast_num_records(f)
     except (ValueError, TypeError):
         return None
+
+
+def _fold_log_stats_light(spark, light, cols: list, exact_types) -> tuple:
+    """The ANALYZE ... FOR COLUMNS per-file stats fold, EXECUTOR-side
+    (round-10: the classic loop walks every AddFile driver-side — the
+    last O(table)-RSS route in the SQL surface). ONE aggregate job over
+    LightSnapshot.files_df(full=True) computes, per requested column,
+    the provability counters and the provable min/max/nullCount the
+    classic loop derives; unprovable columns land in `scan_minmax`
+    exactly as classic. Returns (out, scan_minmax).
+
+    Parity notes vs the classic fold: timestamp-typed columns route to
+    the scan unconditionally — the fold would surface bounds through a
+    collect(), which renders via the driver OS zone while the classic
+    fold parses the stats ISO strings zone-free (the round-9
+    tz-coherence class; the scan's collect behaves identically on both
+    routes, so parity holds there). Columns whose PHYSICAL name is not
+    a plain identifier also route to the scan: the JSON-path extraction
+    the executors use cannot address them, while the classic dict
+    lookup could."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = light.schema
+    part_cols = set(light.partition_columns)
+    p2l = light._physical_to_logical() or {}
+    l2p = {v: k for k, v in p2l.items()}
+    fdf = light.files_df(spark, full=True)
+    has_dv = F.col("dv_json").isNotNull()
+    nr = F.get_json_object("stats", "$.numRecords").cast("long")
+
+    out: dict[str, dict] = {c: {} for c in cols}
+    scan_minmax: list[str] = []
+    aggs = [F.count(F.lit(1)).alias("__nf")]
+    folded: list[tuple[str, bool]] = []  # (col, is_partition)
+    for i, c in enumerate(cols):
+        dt = schema[c].dataType
+        if c in part_cols:
+            pv = F.when(
+                F.col("partition_values")[c] == "__HIVE_DEFAULT_PARTITION__",
+                F.lit(None),
+            ).otherwise(F.col("partition_values")[c])
+            val = pv.cast(dt)
+            fully_dead = F.coalesce(
+                has_dv & (F.col("dv_cardinality") == nr), F.lit(False)
+            )
+            alive = ~fully_dead
+            aggs += [
+                F.sum((has_dv & nr.isNull()).cast("long")).alias(f"__up_{i}"),
+                F.min(F.when(alive, val)).alias(f"__mn_{i}"),
+                F.max(F.when(alive, val)).alias(f"__mx_{i}"),
+                F.sum((alive & val.isNull()).cast("long")).alias(f"__nv_{i}"),
+            ]
+            folded.append((c, True))
+            continue
+        pc = l2p.get(c, c)
+        if (
+            not isinstance(dt, exact_types)
+            or isinstance(dt, (T.TimestampType, T.TimestampNTZType))
+            or not _re.fullmatch(r"[A-Za-z0-9_]+", pc)
+        ):
+            scan_minmax.append(c)
+            continue
+        mn_raw = F.get_json_object("stats", f"$.minValues.{pc}")
+        mx_raw = F.get_json_object("stats", f"$.maxValues.{pc}")
+        nc_raw = F.get_json_object("stats", f"$.nullCount.{pc}")
+        mn, mx = mn_raw.cast(dt), mx_raw.cast(dt)
+        nc = nc_raw.cast("long")
+        bad = (
+            has_dv
+            | mn_raw.isNull()
+            | mx_raw.isNull()
+            | nc_raw.isNull()
+            | mn.isNull()
+            | mx.isNull()
+            | nc.isNull()
+        )
+        aggs += [
+            F.sum(bad.cast("long")).alias(f"__up_{i}"),
+            F.min(mn).alias(f"__mn_{i}"),
+            F.max(mx).alias(f"__mx_{i}"),
+            F.sum(nc).alias(f"__nv_{i}"),
+        ]
+        folded.append((c, False))
+    if not folded:
+        return out, scan_minmax
+    row = fdf.agg(*aggs).first()
+    nf = int(row["__nf"] or 0)
+    for i, c in enumerate(cols):
+        entry = next(
+            ((cc, isp) for cc, isp in folded if cc == c), None
+        )
+        if entry is None:
+            continue
+        _cc, is_part = entry
+        unprov = int(row[f"__up_{i}"] or 0)
+        if is_part:
+            if unprov:
+                scan_minmax.append(c)
+                continue
+            if int(row[f"__nv_{i}"] or 0):
+                # NULL partition values: nullCount (and min/max) come
+                # from the scan, matching the classic fallback
+                scan_minmax.append(c)
+                continue
+            out[c]["min"] = row[f"__mn_{i}"]
+            out[c]["max"] = row[f"__mx_{i}"]
+            out[c]["nullCount"] = 0
+        else:
+            if nf == 0 or unprov:
+                scan_minmax.append(c)
+                continue
+            out[c]["min"] = row[f"__mn_{i}"]
+            out[c]["max"] = row[f"__mx_{i}"]
+            out[c]["nullCount"] = int(row[f"__nv_{i}"] or 0)
+    return out, scan_minmax
 
 
 def _route_describe_history(pond, name: str) -> DataFrame:

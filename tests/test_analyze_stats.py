@@ -193,3 +193,116 @@ def test_analyze_for_all_columns_and_noscan_conflict(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="no such column"):
         pond.sql("ANALYZE TABLE lake.t COMPUTE STATISTICS FOR COLUMNS nope")
+
+
+def test_analyze_for_columns_stays_light_and_equals_classic(
+    spark, tmp_path, monkeypatch
+):
+    """Past the threshold the per-file stats fold runs executor-side
+    (_fold_log_stats_light) and the ndv/fallback scan reads through the
+    auto-light table route — with DeltaLog.snapshot poisoned the
+    reported stats must be IDENTICAL to the classic fold, across
+    partition extremes, DV-carrying files, a null-partition value, and
+    string/timestamp scan fallbacks."""
+    from athena_delta_lake_spark import DeltaTable, write_delta
+    from athena_delta_lake_spark.catalog import DeltaPond
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.writer import write_checkpoint
+
+    root = str(tmp_path / "pond_l")
+    path = f"{root}/lake/t"
+    write_delta(
+        spark.range(200).selectExpr(
+            "id",
+            "CAST(CASE WHEN id % 11 = 3 THEN NULL ELSE id % 5 END AS INT) AS k",
+            "CAST(id AS DOUBLE) / 7 AS v",
+            "CASE WHEN id % 10 = 0 THEN NULL ELSE concat('s', id) END AS s",
+            "timestamp_seconds(1700000000 + id * 60) AS ts",
+        ),
+        path,
+        partition_by=["k"],
+    )
+    DeltaTable(spark, path).delete(where="id % 13 = 0", mode="mor")  # DVs
+    pond = DeltaPond(spark, root)
+    stmt = "ANALYZE TABLE lake.t COMPUTE STATISTICS FOR ALL COLUMNS"
+    want = sorted(tuple(r) for r in pond.sql(stmt).collect())
+    cfg_classic = {
+        k: v
+        for k, v in DeltaLog(path)
+        .snapshot()
+        .metadata["configuration"]
+        .items()
+        if k.startswith("pond.stats.col.")
+    }
+
+    write_checkpoint(path)
+    DeltaLog.clear_cache()
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
+    calls = []
+    orig = DeltaLog.snapshot
+
+    def poisoned(self, version=None):
+        calls.append((self.table_path, version))
+        return orig(self, version)
+
+    monkeypatch.setattr(DeltaLog, "snapshot", poisoned)
+    got = sorted(tuple(r) for r in pond.sql(stmt).collect())
+    assert calls == [], f"classic snapshot replayed: {calls}"
+    monkeypatch.setattr(DeltaLog, "snapshot", orig)
+    monkeypatch.delenv("ADLS_LIGHT_PLANNING_FILES")
+    DeltaLog.clear_cache()
+    assert got == want
+    cfg_light = {
+        k: v
+        for k, v in DeltaLog(path)
+        .snapshot()
+        .metadata["configuration"]
+        .items()
+        if k.startswith("pond.stats.col.")
+    }
+    assert cfg_light == cfg_classic
+
+
+def test_analyze_for_columns_light_provable_fold(spark, tmp_path, monkeypatch):
+    """No DVs: numeric/date columns take the PROVABLE executor-side fold
+    (min/max/nullCount straight from the log stats, no data scan for
+    them) and must match the classic driver fold exactly."""
+    from athena_delta_lake_spark import write_delta
+    from athena_delta_lake_spark.catalog import DeltaPond
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.writer import write_checkpoint
+
+    root = str(tmp_path / "pond_pf")
+    path = f"{root}/lake/t"
+    write_delta(
+        spark.range(300).selectExpr(
+            "id",
+            "CAST(id % 4 AS INT) AS k",
+            "CASE WHEN id % 9 = 0 THEN NULL ELSE CAST(id AS DOUBLE) / 3 END AS v",
+            "date_add(DATE'2024-01-01', CAST(id % 30 AS INT)) AS d",
+        ),
+        path,
+        partition_by=["k"],
+    )
+    pond = DeltaPond(spark, root)
+    stmt = "ANALYZE TABLE lake.t COMPUTE STATISTICS FOR COLUMNS id, k, v, d"
+    want = sorted(tuple(r) for r in pond.sql(stmt).collect())
+
+    write_checkpoint(path)
+    DeltaLog.clear_cache()
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
+    calls = []
+    orig = DeltaLog.snapshot
+
+    def poisoned(self, version=None):
+        calls.append((self.table_path, version))
+        return orig(self, version)
+
+    monkeypatch.setattr(DeltaLog, "snapshot", poisoned)
+    got = sorted(tuple(r) for r in pond.sql(stmt).collect())
+    assert calls == [], f"classic snapshot replayed: {calls}"
+    monkeypatch.setattr(DeltaLog, "snapshot", orig)
+    assert got == want
+    by_col = {r[0]: r for r in got}
+    assert by_col["v"][3] == 34  # nullCount folded from log stats (300/9+1)
+    assert by_col["d"][1] == "2024-01-01" and by_col["d"][2] == "2024-01-30"

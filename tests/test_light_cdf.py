@@ -262,3 +262,52 @@ def test_streaming_readchangefeed_second_batch_probe_stays_light(
         > 0
     )
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_table_changes_light_mapped_partition_rename(
+    spark, tmp_path, monkeypatch
+):
+    """Column-mapped PARTITIONED table with the partition column renamed
+    mid-range: the tracker stores entries in the log's PHYSICAL key form
+    and remaps per era at read time (_rekey_entry) — a file added before
+    the rename and DV-diffed/removed after it must inject its partition
+    value under the era's logical name, exactly as the classic
+    per-version snapshot remap did."""
+    from athena_delta_lake_spark.delta.writer import (
+        enable_column_mapping,
+        rename_column,
+    )
+
+    path = str(tmp_path / "cdf_light_mapped")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(60)],
+        "id long, part int, v double",
+    )
+    write_delta(df, path, partition_by=["part"])  # v0
+    enable_column_mapping(path)  # v1
+    rename_column(path, "part", "bucket")  # v2
+    write_delta(  # v3: post-rename files (physical key unchanged)
+        spark.createDataFrame(
+            [(100 + i, i % 3, -1.0) for i in range(6)],
+            "id long, bucket int, v double",
+        ),
+        path,
+        mode="append",
+    )
+    t = DeltaTable(spark, path)
+    t.delete(where="id % 7 = 0", mode="mor")  # v4: DVs on pre-rename files
+    t.delete(where="id >= 100 AND id < 103")  # v5: COW rewrite
+    want = _rows(table_changes(spark, path, 1, 5))
+    assert len(want) > 0
+
+    write_checkpoint(path)
+    DeltaLog.clear_cache()
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
+    calls = _poison(monkeypatch)
+    got = _rows(table_changes(spark, path, 1, 5))
+    assert calls == [], f"classic snapshot replayed: {calls}"
+    assert got == want
+    # the aligned frame exposes the END name with real partition values
+    ch = table_changes(spark, path, 1, 5)
+    assert "bucket" in ch.columns and "part" not in ch.columns
+    assert ch.filter("bucket IS NULL").count() == 0
