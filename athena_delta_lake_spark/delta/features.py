@@ -525,22 +525,15 @@ def drop_feature(
     # PRESENCE — not a possibly-absent cardinality field — decides),
     # closing the last known O(table)-driver admin path
     dv_count: int | None = None
+    light = None
     _spark = None
     if log.light_planning_engaged():
         from pyspark.sql import SparkSession as _SS
 
         _spark = _SS.getActiveSession()
     if _spark is not None:
-        from pyspark.sql import functions as _F
-
         light = log.snapshot_light()
         snap = light.to_snapshot_state([])
-        if feature == "deletionVectors":
-            dv_count = (
-                light.files_df(_spark, full=True)
-                .filter(_F.col("dv_json").isNotNull())
-                .count()
-            )
     else:
         snap = log.snapshot()
     reader, writer = _explicit_feature_sets(snap.protocol)
@@ -556,6 +549,16 @@ def drop_feature(
             "checkpointProtection can only be dropped with TRUNCATE "
             "HISTORY (spec: the protection must hold while protected "
             "checkpoints may still be replayed from)"
+        )
+    if light is not None and feature == "deletionVectors":
+        # the one non-header blocker, counted AFTER the cheap
+        # validations so an invalid request never pays the metadata scan
+        from pyspark.sql import functions as _F
+
+        dv_count = (
+            light.files_df(_spark, full=True)
+            .filter(_F.col("dv_json").isNotNull())
+            .count()
         )
     blockers = _snapshot_blockers(feature, snap, dv_count=dv_count)
     if blockers:

@@ -2321,21 +2321,15 @@ def _route_analyze_columns(pond, path: str, cols_clause: str) -> DataFrame:
     # past the light threshold the per-file stats FOLD (provability walk,
     # min/max/nullCount) runs executor-side over LightSnapshot.files_df —
     # the classic driver loop below is O(table) RSS at 10^7 files
-    _spark_l = None
-    if log.light_planning_engaged():
-        from pyspark.sql import SparkSession as _SS
-
-        _spark_l = _SS.getActiveSession()
+    _spark_l = pond.spark if log.light_planning_engaged() else None
     if _spark_l is not None:
         light = log.snapshot_light()
         schema = light.schema
-        part_cols_list = list(light.partition_columns)
         snap = None
         snap_version = light.version
     else:
         snap = log.snapshot()
         schema = snap.schema
-        part_cols_list = list(snap.partition_columns)
         snap_version = snap.version
     field_names = [f.name for f in schema.fields]
     if re.match(r"(?is)^ALL\s+COLUMNS$", cols_clause.strip()):
@@ -2362,6 +2356,15 @@ def _route_analyze_columns(pond, path: str, cols_clause: str) -> DataFrame:
         )
     for c in cols if _spark_l is None else []:
         dt = snap.schema[c].dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            # timestamps fold zone-free from stats strings but the LIGHT
+            # plane can only surface executor-side bounds through a
+            # collect() (driver-OS-zone render — the round-9 tz-coherence
+            # class): both planes route them through the scan instead,
+            # which runs for distinctCount anyway, so the stored strings
+            # are identical by construction
+            scan_minmax.append(c)
+            continue
         if c in snap.partition_columns:
             # A file is excluded as fully-dead only when its DV
             # cardinality PROVABLY equals its row count. A DV-carrying
@@ -2431,12 +2434,26 @@ def _route_analyze_columns(pond, path: str, cols_clause: str) -> DataFrame:
                 F.sum(F.col(c).isNull().cast("long")).alias(f"__nc__{i}"),
             ]
     if _spark_l is not None:
-        # auto-light table read (the scan's candidate planning routes
-        # through prune_df/collect_pruned_add_files, never a classic
-        # snapshot) — same plan shape as the classic read_snapshot scan
-        from .delta.table import DeltaTable as _DT
+        # the ndv/fallback scan reads the SAME pinned light version as
+        # the fold (a concurrent commit must not make distinctCount and
+        # the folded min/max describe different tables). Planning
+        # collects STATS-STRIPPED AddFiles from files_df — read_files
+        # never consumes stats, and the stats JSON dominates AddFile
+        # bytes (the 8.6 GiB classic replay is mostly stats strings), so
+        # the driver holds only path/partition/DV descriptors; no capped
+        # to_df() fallback that would silently re-pay the classic replay
+        # at exactly the scale this route exists for
+        from .delta.reader import read_files as _read_files
 
-        scan_df = _DT(pond.spark, path).to_df()
+        fdf_scan = light.files_df(pond.spark, full=True).withColumn(
+            "stats", F.lit(None).cast("string")
+        )
+        files_scan = light.collect_pruned_add_files(
+            pond.spark, full_df=fdf_scan
+        )
+        scan_df = _read_files(
+            pond.spark, light.to_snapshot_state(files_scan), files_scan
+        )
     else:
         scan_df = read_snapshot(pond.spark, snap)
     row = scan_df.select(*cols).agg(*aggs).first()
@@ -2497,8 +2514,6 @@ def _fold_log_stats_light(spark, light, cols: list, exact_types) -> tuple:
     a plain identifier also route to the scan: the JSON-path extraction
     the executors use cannot address them, while the classic dict
     lookup could."""
-    import re as _re
-
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -2513,9 +2528,14 @@ def _fold_log_stats_light(spark, light, cols: list, exact_types) -> tuple:
     out: dict[str, dict] = {c: {} for c in cols}
     scan_minmax: list[str] = []
     aggs = [F.count(F.lit(1)).alias("__nf")]
-    folded: list[tuple[str, bool]] = []  # (col, is_partition)
+    folded: dict[str, bool] = {}  # col -> is_partition
     for i, c in enumerate(cols):
         dt = schema[c].dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            # zone-coherence: executor-side bounds surface through a
+            # collect() (OS-zone render) — both planes use the scan
+            scan_minmax.append(c)
+            continue
         if c in part_cols:
             pv = F.when(
                 F.col("partition_values")[c] == "__HIVE_DEFAULT_PARTITION__",
@@ -2532,13 +2552,11 @@ def _fold_log_stats_light(spark, light, cols: list, exact_types) -> tuple:
                 F.max(F.when(alive, val)).alias(f"__mx_{i}"),
                 F.sum((alive & val.isNull()).cast("long")).alias(f"__nv_{i}"),
             ]
-            folded.append((c, True))
+            folded[c] = True
             continue
         pc = l2p.get(c, c)
-        if (
-            not isinstance(dt, exact_types)
-            or isinstance(dt, (T.TimestampType, T.TimestampNTZType))
-            or not _re.fullmatch(r"[A-Za-z0-9_]+", pc)
+        if not isinstance(dt, exact_types) or not re.fullmatch(
+            r"[A-Za-z0-9_]+", pc
         ):
             scan_minmax.append(c)
             continue
@@ -2562,18 +2580,15 @@ def _fold_log_stats_light(spark, light, cols: list, exact_types) -> tuple:
             F.max(mx).alias(f"__mx_{i}"),
             F.sum(nc).alias(f"__nv_{i}"),
         ]
-        folded.append((c, False))
+        folded[c] = False
     if not folded:
         return out, scan_minmax
     row = fdf.agg(*aggs).first()
     nf = int(row["__nf"] or 0)
     for i, c in enumerate(cols):
-        entry = next(
-            ((cc, isp) for cc, isp in folded if cc == c), None
-        )
-        if entry is None:
+        if c not in folded:
             continue
-        _cc, is_part = entry
+        is_part = folded[c]
         unprov = int(row[f"__up_{i}"] or 0)
         if is_part:
             if unprov:

@@ -280,12 +280,17 @@ def test_analyze_for_columns_light_provable_fold(spark, tmp_path, monkeypatch):
             "CAST(id % 4 AS INT) AS k",
             "CASE WHEN id % 9 = 0 THEN NULL ELSE CAST(id AS DOUBLE) / 3 END AS v",
             "date_add(DATE'2024-01-01', CAST(id % 30 AS INT)) AS d",
+            "timestamp_seconds(1700000000 + id) AS ts",
         ),
         path,
         partition_by=["k"],
     )
     pond = DeltaPond(spark, root)
-    stmt = "ANALYZE TABLE lake.t COMPUTE STATISTICS FOR COLUMNS id, k, v, d"
+    # ts is DV-free and stats-provable, but timestamps route through the
+    # scan on BOTH planes (zone-coherence) — included to pin that parity
+    stmt = (
+        "ANALYZE TABLE lake.t COMPUTE STATISTICS FOR COLUMNS id, k, v, d, ts"
+    )
     want = sorted(tuple(r) for r in pond.sql(stmt).collect())
 
     write_checkpoint(path)
