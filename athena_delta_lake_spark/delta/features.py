@@ -491,7 +491,10 @@ def _normalized_protocol(reader: set[str], writer: set[str]) -> dict:
 
 
 def drop_feature(
-    table_path: str, feature: str, truncate_history: bool = False
+    table_path: str,
+    feature: str,
+    truncate_history: bool = False,
+    spark=None,
 ) -> dict:
     """ALTER TABLE ... DROP FEATURE `feature` [TRUNCATE HISTORY].
 
@@ -528,9 +531,15 @@ def drop_feature(
     light = None
     _spark = None
     if log.light_planning_engaged():
-        from pyspark.sql import SparkSession as _SS
+        # callers with a session in hand pass it (pond routes,
+        # DeltaTable) — getActiveSession is only the bare-path fallback
+        # and returns None on worker threads, which would silently
+        # degrade to the classic replay (round-10 review)
+        _spark = spark
+        if _spark is None:
+            from pyspark.sql import SparkSession as _SS
 
-        _spark = _SS.getActiveSession()
+            _spark = _SS.getActiveSession()
     if _spark is not None:
         light = log.snapshot_light()
         snap = light.to_snapshot_state([])

@@ -841,7 +841,7 @@ class DeltaTable:
         delta/features.py for the trace rules)."""
         from .features import drop_feature
 
-        return drop_feature(self.path, feature, truncate_history)
+        return drop_feature(self.path, feature, truncate_history, spark=self.spark)
 
     def clone(
         self, dst_path: str, version: int | None = None, shallow: bool = True

@@ -2110,7 +2110,12 @@ def _route_maintenance_sugar(pond, query: str) -> DataFrame | None:
         from .delta.features import drop_feature
 
         path = _target(pond, m.group(1).replace("`", "").split("."))
-        res = drop_feature(path, m.group(2), truncate_history=bool(m.group(3)))
+        res = drop_feature(
+            path,
+            m.group(2),
+            truncate_history=bool(m.group(3)),
+            spark=pond.spark,
+        )
         return _metrics_df(
             pond.spark,
             {
@@ -2428,9 +2433,17 @@ def _route_analyze_columns(pond, path: str, cols_clause: str) -> DataFrame:
     ]
     for i, c in enumerate(cols):
         if c in scan_minmax:
+            # TimestampType bounds are CAST TO STRING executor-side: the
+            # cast renders in the SESSION zone deterministically, while
+            # collecting a raw timestamp renders through the driver OS
+            # zone (datetime.fromtimestamp) — host-dependent stored stats
+            # (round-10 review; TimestampNTZ/date are zone-free already)
+            mn_c, mx_c = F.min(c), F.max(c)
+            if isinstance(schema[c].dataType, T.TimestampType):
+                mn_c, mx_c = mn_c.cast("string"), mx_c.cast("string")
             aggs += [
-                F.min(c).alias(f"__mn__{i}"),
-                F.max(c).alias(f"__mx__{i}"),
+                mn_c.alias(f"__mn__{i}"),
+                mx_c.alias(f"__mx__{i}"),
                 F.sum(F.col(c).isNull().cast("long")).alias(f"__nc__{i}"),
             ]
     if _spark_l is not None:
@@ -2448,8 +2461,14 @@ def _route_analyze_columns(pond, path: str, cols_clause: str) -> DataFrame:
         fdf_scan = light.files_df(pond.spark, full=True).withColumn(
             "stats", F.lit(None).cast("string")
         )
+        # a cap far above any real file count (but inside Java int —
+        # DataFrame.limit's bound) keeps the ONE-parallel-job
+        # CollectLimit path — uncapped means one SEQUENTIAL job per
+        # checkpoint partition (4x wall at 10^7, log.py:425). The driver
+        # holds stats-stripped AddFiles: O(files) with a small constant,
+        # inherent to planning a full-table scan through the reader.
         files_scan = light.collect_pruned_add_files(
-            pond.spark, full_df=fdf_scan
+            pond.spark, full_df=fdf_scan, cap=2_000_000_000
         )
         scan_df = _read_files(
             pond.spark, light.to_snapshot_state(files_scan), files_scan
