@@ -98,6 +98,22 @@ def _table_path(options) -> str:
     return os.path.abspath(path)
 
 
+def _require_local_write_path(path: str) -> None:
+    """The Python deltapond WRITE path stages parquet with executor-side
+    os/pyarrow calls, so it is local-path-only (mirroring the scan path's
+    documented contract above). Refuse remote schemes up front: without
+    this, `save("s3a://…")` would os.makedirs a literal relative
+    `s3a:/…` directory in each executor's CWD and fail confusingly.
+    Remote tables go through the DataFrame write path
+    (delta.writer.write_delta), which stages via the fs facade."""
+    if "://" in path:
+        raise ValueError(
+            f"deltapond Python writer supports local paths only, got {path!r}; "
+            "write remote tables with athena_delta_lake_spark.delta.writer."
+            "write_delta (fs-facade staging) instead"
+        )
+
+
 @dataclass
 class DeltaScanPartition(InputPartition):
     """One split == one live data file (+ its partition values and, for
@@ -1244,6 +1260,7 @@ def _partition_by_option(options) -> list[str]:
 class DeltaPondBatchWriter(DataSourceArrowWriter):
     def __init__(self, options, schema: T.StructType, overwrite: bool):
         self._path = _table_path(options)
+        _require_local_write_path(self._path)
         self._schema = schema
         self._overwrite = overwrite
         self._partition_by = _partition_by_option(options)
@@ -1284,6 +1301,7 @@ class DeltaPondStreamWriter(DataSourceStreamArrowWriter):
         if overwrite:
             raise ValueError("deltapond streaming sink supports append mode only")
         self._path = _table_path(options)
+        _require_local_write_path(self._path)
         self._schema = schema
         self._partition_by = _partition_by_option(options)
         self._app_id = options.get("txnAppId", "deltapond-stream")

@@ -3,6 +3,8 @@ abfs://, hdfs://) driven through file:// URIs, which Hadoop's
 LocalFileSystem serves — proving log replay, catalog discovery, scan and
 time travel work through the JVM connector path, not just os.listdir."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -215,6 +217,14 @@ def test_sql_dml_and_maintenance_via_hadoop_fs(spark, tmp_path, hadoop_write):
     assert pond.sql("SELECT count(*) AS n FROM lake.t").first()["n"] == 90
     ops = [r["operation"] for r in pond.sql("DESCRIBE HISTORY lake.t").collect()]
     assert "OPTIMIZE" in ops and "MERGE" in ops
+    # Regression (round-10 verdict #1): the CREATE routes used to
+    # os.makedirs the raw URI path, littering the driver CWD with a
+    # literal `./file:/…` tree. The mkdir now goes through the fs facade;
+    # the CWD must stay clean.
+    assert not os.path.exists("file:"), (
+        "SQL CREATE against a URI pond root littered the CWD with a "
+        "relative 'file:' directory tree"
+    )
 
 
 def test_clone_and_convert_via_hadoop_fs(spark, tmp_path, hadoop_write):
