@@ -318,14 +318,16 @@ def table_changes(
     for v in range(starting_version, end + 1):
         actions = tracker.actions[v]
         cdc_actions = [a["cdc"] for a in actions if "cdc" in a]
-        add_raw: dict[str, dict] = {}
+        # path sets only — inserts and DV diffs read from the tracker's
+        # pre/post entries, so retaining full add-action dicts per commit
+        # here would be wasted memory on wide commits
+        add_paths: set[str] = set()
         remove_paths: set[str] = set()
         for a in actions:
             if "add" in a and a["add"].get("dataChange", True):
-                add_raw[_decode_path(a["add"]["path"])] = a["add"]
+                add_paths.add(_decode_path(a["add"]["path"]))
             elif "remove" in a and a["remove"].get("dataChange", True):
                 remove_paths.add(_decode_path(a["remove"]["path"]))
-        add_paths = set(add_raw)
         # versions at or below a FALLBACK base (seeded past a truncated
         # history) have no derivable pre-state: raise exactly when the
         # classic path's snapshot(v-1) / snapshot(v) would have. A

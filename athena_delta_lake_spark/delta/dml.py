@@ -3761,31 +3761,46 @@ def truncate_table(table_path: str) -> dict:
     log = DeltaLog(table_path)
     spark = _SS.getActiveSession()
     if spark is not None and log.light_planning_engaged():
-        light = log.snapshot_light()
-        # emptiness probe only — the removed-file count comes from the
-        # streamed commit's line tally, so a full checkpoint count here
-        # would be a wasted second scan (round-10 review)
-        if light.files_df(spark).limit(1).count() == 0:
-            return {"files_removed": 0}
-        from .writer import _check_append_only
+        from .writer import ConcurrentWriteError, _check_append_only
 
-        _check_append_only(
-            light.metadata.get("configuration"), "TRUNCATE"
-        )
-        header = [
-            {
-                "commitInfo": {
-                    "timestamp": int(_time.time() * 1000),
-                    "operation": "TRUNCATE",
-                    "operationParameters": {},
-                    "engineInfo": "athena_delta_lake_spark",
+        # one bounded re-plan on a lost watermark race: a benign blind
+        # append interleaving with a light TRUNCATE would otherwise
+        # hard-fail where the sub-threshold commute check retried.
+        # Re-planning is trivially safe HERE (the header is pure
+        # commitInfo; truncate-after-append is a serializable outcome) —
+        # OVERWRITE keeps the hard-fail because its staged actions carry
+        # prior-state row-id ranges/metaData that a blind retry would
+        # stale-commit; its re-plan is the caller re-running the write.
+        for attempt in range(2):
+            light = log.snapshot_light()
+            # emptiness probe only — the removed-file count comes from
+            # the streamed commit's line tally, so a full checkpoint
+            # count here would be a wasted second scan (round-10 review)
+            if light.files_df(spark).limit(1).count() == 0:
+                return {"files_removed": 0}
+            _check_append_only(
+                light.metadata.get("configuration"), "TRUNCATE"
+            )
+            header = [
+                {
+                    "commitInfo": {
+                        "timestamp": int(_time.time() * 1000),
+                        "operation": "TRUNCATE",
+                        "operationParameters": {},
+                        "engineInfo": "athena_delta_lake_spark",
+                    }
                 }
-            }
-        ]
-        _v, n = commit_streamed_removes(
-            spark, table_path, "TRUNCATE", header, light
-        )
-        return {"files_removed": n}
+            ]
+            try:
+                _v, n = commit_streamed_removes(
+                    spark, table_path, "TRUNCATE", header, light
+                )
+            except ConcurrentWriteError:
+                if attempt == 1:
+                    raise
+                DeltaLog.clear_cache()
+                continue
+            return {"files_removed": n}
     snap = log.snapshot()
     if not snap.files:
         return {"files_removed": 0}

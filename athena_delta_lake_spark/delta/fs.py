@@ -415,6 +415,30 @@ class LocalFS:
         return os.path.getsize(strip_file_scheme(path))
 
 
+def _is_already_exists_java_error(e) -> bool:
+    """True when a py4j-surfaced Hadoop error is the OCC lost-race signal
+    (the destination exists). Checks the JAVA EXCEPTION CLASS chain first
+    — FileAlreadyExistsException / PathExistsException — because an FS
+    implementation that wraps or localizes the exception would defeat
+    free-text message matching and skip the ConcurrentWriteError re-plan
+    path; the message substrings stay as a fallback."""
+    java_exc = getattr(e, "java_exception", None)
+    seen = 0
+    while java_exc is not None and seen < 8:
+        seen += 1
+        try:
+            name = java_exc.getClass().getName()
+        except Exception:
+            break
+        if "AlreadyExists" in name or "PathExists" in name:
+            return True
+        try:
+            java_exc = java_exc.getCause()
+        except Exception:
+            break
+    return "AlreadyExists" in str(e) or "already exists" in str(e)
+
+
 class HadoopFS:
     """Hadoop FileSystem via the Spark JVM — any configured scheme."""
 
@@ -542,7 +566,7 @@ class HadoopFS:
             fc.rename(jtmp, jpath, opts)
             ok = True
         except Exception as e:
-            if "AlreadyExists" in str(e) or "already exists" in str(e):
+            if _is_already_exists_java_error(e):
                 raise FileExistsError(path) from None
             raise
         finally:
@@ -570,7 +594,17 @@ class HadoopFS:
         fs, jpath = self._fs_path(path)
         if fs.exists(jpath):  # cheap early refusal; rename still decides
             raise FileExistsError(path)
-        tmp = f"{path}.tmp-{_uuid.uuid4().hex}"
+        # stage under the `.tmp/` SIBLING DIR (like LocalFS above and
+        # _staged_tmp_dir): streamed commits are multi-GiB, and a driver
+        # SIGKILL mid-stream must leave the orphan where VACUUM's .tmp
+        # sweep reclaims it — a direct `<commit>.json.tmp-<uuid>` sibling
+        # in _delta_log would linger forever
+        tmp_dir = os.path.dirname(path) + "/.tmp"
+        tmp = (
+            f"{tmp_dir}/{os.path.basename(path)}"
+            f".stream-{_uuid.uuid4().hex}"
+        )
+        self.mkdirs(tmp_dir)
         _fs2, jtmp = self._fs_path(tmp)
         stream = fs.create(jtmp, True)
         try:
@@ -580,8 +614,8 @@ class HadoopFS:
             finally:
                 stream.close()
         except Exception:
-            # a failed chunk read must not leak the partial tmp sibling
-            # into _delta_log (create_atomic's failure path deletes too)
+            # a failed chunk read must not leak the partial tmp file
+            # (create_atomic's failure path deletes too)
             try:
                 fs.delete(jtmp, False)
             except Exception:
@@ -599,7 +633,7 @@ class HadoopFS:
             fc.rename(jtmp, jpath, opts)
             ok = True
         except Exception as e:
-            if "AlreadyExists" in str(e) or "already exists" in str(e):
+            if _is_already_exists_java_error(e):
                 raise FileExistsError(path) from None
             raise
         finally:

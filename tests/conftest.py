@@ -22,3 +22,37 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(params=["classic", "light"])
+def plane(request, monkeypatch):
+    """Run a test on BOTH planning planes. 'light' forces the
+    light-planning threshold to 1 (0 would DISABLE it — log.py
+    light_planning_threshold) so every scan / DML candidate selection at
+    or past a checkpoint routes through LightSnapshot instead of the
+    classic driver-side replay. Engagement still requires a
+    `_last_checkpoint`, so light-plane walks must write one up front —
+    use `force_light_engaged(path)` and it asserts the route is live."""
+    from athena_delta_lake_spark.delta.log import DeltaLog
+
+    if request.param == "light":
+        monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
+        DeltaLog.clear_cache()
+        yield "light"
+        DeltaLog.clear_cache()
+    else:
+        yield "classic"
+
+
+def force_light_engaged(path: str) -> None:
+    """Checkpoint `path` and assert light planning actually engaged —
+    a walk that silently fell back to classic would otherwise 'pass'
+    while testing nothing (the round-10 silent-fallback bug class)."""
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.writer import write_checkpoint
+
+    write_checkpoint(path)
+    DeltaLog.clear_cache()
+    assert DeltaLog(path).light_planning_engaged(), (
+        f"light planning did not engage on {path} despite forced threshold"
+    )

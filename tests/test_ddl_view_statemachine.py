@@ -56,15 +56,22 @@ def _def_sql(table, view_def):
 
 
 @pytest.mark.parametrize("seed", [5, 64])
-def test_ddl_view_walk(spark, tmp_path, seed):
+def test_ddl_view_walk(spark, tmp_path, seed, plane):
+    import os
+
     rng = random.Random(seed)
-    pond = DeltaPond(spark, str(tmp_path / f"pond_{seed}"))
+    root = str(tmp_path / f"pond_{seed}")
+    pond = DeltaPond(spark, root)
     pond.sql("CREATE SCHEMA lake")
     table = "b"
     pond.sql(
         f"CREATE TABLE lake.{table} AS SELECT id, CAST(id % 4 AS INT) AS k, "
         "CAST(id AS DOUBLE) AS v FROM range(30)"
     )
+    if plane == "light":
+        from conftest import force_light_engaged
+
+        force_light_engaged(os.path.join(root, "lake", table))
     views: dict[str, tuple] = {}  # name -> (kind, arg) model
     next_view = 0
     next_id = 1000

@@ -55,7 +55,14 @@ def _model_state(model: pd.DataFrame) -> list[tuple]:
 
 
 @pytest.mark.parametrize("seed", [7, 23, 31, 45, 58, 66, 81, 99, 12, 37, 54, 73, 140, 141, 156, 163])
-def test_random_dml_walk_matches_model(spark, tmp_path, seed):
+def test_random_dml_walk_matches_model(spark, tmp_path, seed, plane):
+    """Runs on BOTH planning planes (round-10 verdict #2): the light
+    plane's ~10 routes (light scans, streamed truncate/overwrite, light
+    CDF, light CLONE, …) were each proven in isolation but had never
+    seen a randomized cross-feature interleaving. `plane == "light"`
+    forces the threshold to 1 and checkpoints up front, so every step's
+    planning, the per-step CDF apply-diff, and the final time-travel
+    sweep all run through LightSnapshot."""
     rng = random.Random(seed)
     path = str(tmp_path / f"walk_{seed}")
 
@@ -95,6 +102,10 @@ def test_random_dml_walk_matches_model(spark, tmp_path, seed):
     # interaction-bug class the round-6 advice flags)
     if seed % 4 == 0:
         enable_column_mapping(path)
+    if plane == "light":
+        from conftest import force_light_engaged
+
+        force_light_engaged(path)
     # whether a merge WITH SCHEMA EVOLUTION has added the `extra` column
     # (appends/replace_where must then carry it; RESTORE rewinds it)
     has_extra = False

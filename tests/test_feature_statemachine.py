@@ -42,7 +42,7 @@ def _feats(path):
 
 
 @pytest.mark.parametrize("seed", [7, 23, 61, 5, 42, 99])
-def test_feature_lifecycle_walk(spark, tmp_path, seed):
+def test_feature_lifecycle_walk(spark, tmp_path, seed, plane):
     rng = random.Random(seed)
     root = str(tmp_path / f"pond_{seed}")
     path = f"{root}/lake/t"
@@ -55,6 +55,10 @@ def test_feature_lifecycle_walk(spark, tmp_path, seed):
         ),
     )
     pond = DeltaPond(spark, root)
+    if plane == "light":
+        from conftest import force_light_engaged
+
+        force_light_engaged(path)
     model = {i: i % 4 for i in range(40)}
     next_id = 1000
     constraint_live = False
