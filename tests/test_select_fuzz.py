@@ -64,3 +64,81 @@ def test_select_fuzz_through_pond_sql(engines, sf_dir):
         assert not failures, failures[:3]
     finally:
         bind_spark_tables(spark, sf_dir, delta=False)  # restore for peers
+
+
+def _force_light(spark, paths, monkeypatch):
+    """Checkpoint every fuzz Delta table and force the light threshold,
+    asserting engagement — so the generated plans' predicate rendering
+    and scan planning run through collect_pruned_add_files /
+    LightSnapshot instead of the classic replay (round-10 verdict #5:
+    the fuzzers had only ever seen the classic plane; the round-9
+    typeless-predicate hazard class lives exactly in this rendering)."""
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.writer import write_checkpoint
+
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
+    for p in paths:
+        write_checkpoint(p)
+    DeltaLog.clear_cache()
+    for p in paths:
+        assert DeltaLog(p).light_planning_engaged(), p
+
+
+def test_select_fuzz_over_native_delta_forced_light(
+    engines, sf_dir, monkeypatch
+):
+    """Same generated read plans as test_select_fuzz_over_native_delta,
+    but every Delta scan resolves through the LIGHT plane."""
+    import os
+
+    from tools.fuzz_select import bind_spark_tables
+
+    spark, con = engines
+    try:
+        bind_spark_tables(spark, sf_dir, delta=True)  # materialize tables
+        root = os.path.join(
+            "/tmp/adls_fuzz_delta", os.path.basename(sf_dir.rstrip("/"))
+        )
+        _force_light(
+            spark, [os.path.join(root, t) for t in TABLES], monkeypatch
+        )
+        bind_spark_tables(spark, sf_dir, delta=True)  # re-resolve light
+        failures = run_seed(spark, con, 207, n_queries=20)
+        assert not failures, failures[:3]
+    finally:
+        monkeypatch.delenv("ADLS_LIGHT_PLANNING_FILES", raising=False)
+        from athena_delta_lake_spark.delta.log import DeltaLog
+
+        DeltaLog.clear_cache()
+        bind_spark_tables(spark, sf_dir, delta=False)  # restore for peers
+
+
+def test_select_fuzz_through_pond_sql_forced_light(
+    engines, sf_dir, monkeypatch
+):
+    """pond.sql resolves every bare relation lazily PER QUERY, so with
+    the threshold forced each generated statement plans light at
+    resolution time — windows, set ops and subqueries included."""
+    import os
+
+    from tools.fuzz_select import bind_spark_tables, make_pond
+
+    spark, con = engines
+    pond = make_pond(spark, sf_dir)
+    root = os.path.join(
+        "/tmp/adls_fuzz_pond", os.path.basename(sf_dir.rstrip("/"))
+    )
+    try:
+        _force_light(
+            spark,
+            [os.path.join(root, "lake", t) for t in TABLES],
+            monkeypatch,
+        )
+        failures = run_seed(spark, con, 489, n_queries=20, run_sql=pond.sql)
+        assert not failures, failures[:3]
+    finally:
+        monkeypatch.delenv("ADLS_LIGHT_PLANNING_FILES", raising=False)
+        from athena_delta_lake_spark.delta.log import DeltaLog
+
+        DeltaLog.clear_cache()
+        bind_spark_tables(spark, sf_dir, delta=False)  # restore for peers

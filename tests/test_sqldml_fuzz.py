@@ -30,15 +30,27 @@ def _duck_state(con):
 
 
 @pytest.mark.parametrize("seed", [11, 42, 77, 120, 121])
-def test_sql_dml_walk_matches_duckdb(spark, tmp_path, seed):
+def test_sql_dml_walk_matches_duckdb(spark, tmp_path, seed, plane):
+    """Runs on BOTH planning planes (round-10 verdict #5): with the
+    threshold forced, every statement's candidate selection and
+    Catalyst-rendered predicate runs against light
+    collect_pruned_add_files — the round-9 typeless-predicate /
+    decimal-coercion hazard class fuzzed where it actually executes."""
+    import os as _os
+
     rng = random.Random(seed)
-    pond = DeltaPond(spark, str(tmp_path / "pond"))
+    root = str(tmp_path / "pond")
+    pond = DeltaPond(spark, root)
     pond.sql("CREATE SCHEMA lake")
     pond.sql(
         "CREATE TABLE lake.f PARTITIONED BY (k) AS "
         "SELECT id, CAST(id % 4 AS INT) AS k, CAST(id AS DOUBLE) / 2 AS v "
         "FROM range(40)"
     )
+    if plane == "light":
+        from conftest import force_light_engaged
+
+        force_light_engaged(_os.path.join(root, "lake", "f"))
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE f AS SELECT r AS id, CAST(r % 4 AS INT) AS k, "

@@ -29,7 +29,17 @@ Usage: python tools/meta_scale.py [n_files] [adds_per_commit]
        python tools/meta_scale.py [n_files] [adds_per_commit] --clone [--check-classic]
        python tools/meta_scale.py [n_files] [adds_per_commit] --truncate [--check-classic]
        python tools/meta_scale.py [n_files] [adds_per_commit] --rowtracking
+       python tools/meta_scale.py [n_files] [adds_per_commit] --lifecycle
 Prints one JSON line with the measurements (recorded in PERF_TRIAGE_r6).
+
+--lifecycle (round-10 verdict #6): every prior light mode is a ONE-SHOT
+op in a fresh process, which structurally cannot catch cross-op
+driver-state accumulation (snapshot caches, spool files, staged tmp
+dirs). This mode chains append -> MOR delete -> OPTIMIZE -> checkpoint
+-> CDF tail -> RESTORE -> VACUUM against the prepared table in ONE
+process and asserts VmHWM < 2 GiB END-TO-END, with per-step wall times
+and RSS samples in the output. The test commits, checkpoint files and
+materialized parquet are removed afterwards so the table stays reusable.
 
 --light (round-7 ask #6): measure the DRIVER-LIGHT snapshot path
 (DeltaLog.snapshot_light + LightSnapshot.files_df/prune_df) in a FRESH
@@ -212,6 +222,8 @@ def main() -> int:
         return truncate_main(root, n_files, out, "--check-classic" in sys.argv)
     if "--rowtracking" in sys.argv:
         return rowtracking_main(root, n_files, out)
+    if "--lifecycle" in sys.argv:
+        return lifecycle_main(root, n_files, out)
     t0 = time.time()
     path = build_log(root, n_files, per_commit)
     out["build_log_s"] = round(time.time() - t0, 2)
@@ -1230,6 +1242,165 @@ def restore_main(root: str, n_files: int, out: dict) -> int:
                 os.remove(p)
         if os.path.exists(victim_abs):
             os.remove(victim_abs)
+        DeltaLog.clear_cache()
+        spark.stop()
+    print(json.dumps(out))
+    return 0
+
+
+def lifecycle_main(root: str, n_files: int, out: dict) -> int:
+    """Chain append -> MOR delete -> OPTIMIZE -> checkpoint -> CDF tail
+    -> RESTORE -> VACUUM against the prepared table in ONE process
+    (round-10 verdict #6). Every per-op light mode above runs one-shot in
+    a fresh process, so driver state that ACCUMULATES across operations —
+    the (path, version) snapshot cache, staged .tmp spool dirs, light
+    frame lineage — is invisible to them; this mode is the end-to-end
+    VmHWM bar (< 2 GiB at any file count). Reverts the table afterwards:
+    commits > base, checkpoint files > base, _last_checkpoint bytes and
+    every materialized data file are restored/removed."""
+    import datetime
+    import glob as _glob
+
+    from athena_delta_lake_spark import get_spark
+    from athena_delta_lake_spark.delta import dml
+    from athena_delta_lake_spark.delta.cdf import table_changes
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.delta.writer import (
+        write_checkpoint,
+        write_delta,
+    )
+
+    path = os.path.join(root, "meta_scale_tbl")
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        print(
+            json.dumps({"error": "run the normal mode first to build the "
+                        "table + checkpoint"}),
+        )
+        return 1
+    out["mode"] = "lifecycle"
+    os.environ.setdefault("ADLS_LIGHT_PLANNING_FILES", "1000000")
+    out["rss_before_mib"] = round(rss_mib(), 1)
+    log = DeltaLog(path)
+    out["light_engaged"] = bool(log.light_planning_engaged())
+    base = log.latest_version()
+    last_cp_path = os.path.join(log_dir, "_last_checkpoint")
+    with open(last_cp_path, "rb") as fh:
+        last_cp_bytes = fh.read()
+    pre_files = {
+        p
+        for p in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        if os.path.isfile(p) and not p.startswith(log_dir)
+    }
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        shuffle_partitions=16,
+    )
+    steps: dict[str, float] = {}
+
+    def _timed(name, fn):
+        t0 = time.time()
+        r = fn()
+        steps[name] = round(time.time() - t0, 2)
+        out[f"rss_after_{name}_mib"] = round(rss_mib(), 1)
+        return r
+
+    try:
+        # 1. blind append of a real small file in a fresh partition
+        new_day = datetime.date(2026, 6, 1)
+        _timed(
+            "append",
+            lambda: write_delta(
+                spark.createDataFrame(
+                    [(10**13 + i, float(i), new_day) for i in range(100)],
+                    "id long, v double, day date",
+                ),
+                path,
+                mode="append",
+            ),
+        )
+        # 2. MOR delete pruned by stats to ONE materialized candidate
+        i = n_files // 3
+        rel, lo, hi = _materialize_candidate_file(path, i)
+        res_del = _timed(
+            "delete_mor",
+            lambda: dml.delete_mor(
+                spark, path, f"id >= {lo + 10} AND id <= {lo + 19}"
+            ),
+        )
+        # delete_mor does not surface a planning key (_plan_candidates
+        # routes internally); the end-to-end VmHWM bar below is the
+        # proof — a classic plan pays 8.6 GiB at 10^7 and would breach it
+        assert res_del.get("rows_deleted") == 10, res_del
+        assert res_del.get("dv_files_written") == 1, res_del
+        # 3. unscoped OPTIMIZE: only the real small files are candidates
+        # (every synthetic add sits exactly at the 128 MiB target)
+        res_opt = _timed(
+            "optimize",
+            lambda: dml.compact(
+                spark, path, target_file_size=128 * 1024 * 1024
+            ),
+        )
+        out["optimize_planning"] = res_opt.get("planning")
+        assert res_opt.get("planning") == "light", res_opt
+        # 4. checkpoint at the current version (distributed add stream)
+        _timed("checkpoint", lambda: write_checkpoint(path))
+        # 5. CDF tail over the lifecycle's own commits
+        n_changes = _timed(
+            "cdf_tail",
+            lambda: table_changes(
+                spark, path, base + 1, DeltaLog(path).latest_version()
+            ).count(),
+        )
+        out["cdf_change_rows"] = n_changes
+        # 100 inserts + 10 deletes (OPTIMIZE is dataChange=false)
+        assert n_changes == 110, n_changes
+        # 6. RESTORE to base rewinds the whole chain
+        res_rest = _timed(
+            "restore", lambda: dml.restore_table(path, version=base)
+        )
+        out["restore_files"] = (
+            res_rest["files_added"],
+            res_rest["files_removed"],
+        )
+        # 7. VACUUM reaps the now-unreferenced lifecycle files
+        res_vac = _timed(
+            "vacuum",
+            lambda: dml.vacuum(
+                path, retention_hours=0, dry_run=False, spark=spark
+            ),
+        )
+        out["vacuum_planning"] = res_vac.get("planning")
+        out["vacuum_files_deleted"] = res_vac.get("files_count")
+        assert res_vac.get("planning") == "light", res_vac
+        assert res_vac.get("deleted") is True, res_vac
+        # the lifecycle's unreferenced leftovers (compaction outputs, DV
+        # blob) were real files — vacuum must have found work
+        assert res_vac.get("files_count", 0) >= 1, res_vac
+
+        out["steps_s"] = steps
+        peak = round(hwm_mib(), 1)
+        out["rss_peak_mib"] = peak
+        out["rss_under_2gib"] = bool(peak < 2048)
+        assert out["light_engaged"], "light planning did not engage"
+        assert peak < 2048, f"driver RSS {peak} MiB breaches the 2 GiB bar"
+    finally:
+        # ALWAYS revert: commits/checkpoints past base, _last_checkpoint,
+        # and every data file this run materialized
+        for p in _glob.glob(os.path.join(log_dir, "*")):
+            name = os.path.basename(p)
+            ver = name.split(".")[0]
+            if ver.isdigit() and int(ver) > base:
+                os.remove(p)
+        with open(last_cp_path, "wb") as fh:
+            fh.write(last_cp_bytes)
+        for p in _glob.glob(os.path.join(path, "**", "*"), recursive=True):
+            if (
+                os.path.isfile(p)
+                and not p.startswith(log_dir)
+                and p not in pre_files
+            ):
+                os.remove(p)
         DeltaLog.clear_cache()
         spark.stop()
     print(json.dumps(out))
