@@ -348,12 +348,13 @@ class DeltaPond:
 
     def drop_table(self, schema: str, table: str) -> None:
         """Remove the table directory (storage-layout catalog: dropping a
-        table IS deleting its folder)."""
-        import shutil
-
+        table IS deleting its folder) — through the fs facade, so URI
+        pond roots (file:///…, s3a://…) drop as well as they create
+        (round-11 review: raw shutil made them creatable but
+        undroppable)."""
         from .delta.log import DeltaLog
 
-        shutil.rmtree(self.table_path(schema, table))
+        self._fs.delete(self.table_path(schema, table), recursive=True)
         DeltaLog.clear_cache()
 
     def register_all(self, schema: str, prefix: str = "") -> list[str]:

@@ -547,7 +547,15 @@ class HadoopFS:
         fs, jpath = self._fs_path(path)
         if fs.exists(jpath):  # cheap early refusal; rename still decides
             raise FileExistsError(path)
-        tmp = f"{path}.tmp-{_uuid.uuid4().hex}"
+        # stage under the `.tmp/` sibling dir (like create_atomic_stream
+        # below and LocalFS): a driver kill between create and rename must
+        # leave the orphan where VACUUM's .tmp sweep reclaims it, not
+        # loose in _delta_log forever (round-11 review)
+        tmp_dir = os.path.dirname(path) + "/.tmp"
+        tmp = (
+            f"{tmp_dir}/{os.path.basename(path)}.tmp-{_uuid.uuid4().hex}"
+        )
+        self.mkdirs(tmp_dir)
         _fs2, jtmp = self._fs_path(tmp)
         stream = fs.create(jtmp, True)
         try:

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -80,6 +81,12 @@ _PUSHABLE = {
 }
 
 
+# a scheme of 2+ chars followed by ':/' — matches s3a:/b and s3a://b but
+# not a relative path with a bare colon ('weird:name') or 'file:'
+# (stripped in _table_path before this is consulted)
+_REMOTE_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]+:/")
+
+
 def _table_path(options) -> str:
     path = options.get("path")
     if not path:
@@ -93,7 +100,11 @@ def _table_path(options) -> str:
         while rest.startswith("//"):
             rest = rest[1:]
         path = rest
-    if "://" in path:
+    if _REMOTE_URI_RE.match(path):
+        # any scheme-prefixed path (s3a://…, and the single-slash s3a:/…
+        # form Hadoop Path.toString emits for authority-less URIs) passes
+        # through untouched — abspath would prepend the cwd to it and
+        # silently defeat the remote-scheme write guard below
         return path.rstrip("/")
     return os.path.abspath(path)
 
@@ -106,7 +117,7 @@ def _require_local_write_path(path: str) -> None:
     `s3a:/…` directory in each executor's CWD and fail confusingly.
     Remote tables go through the DataFrame write path
     (delta.writer.write_delta), which stages via the fs facade."""
-    if "://" in path:
+    if _REMOTE_URI_RE.match(path):
         raise ValueError(
             f"deltapond Python writer supports local paths only, got {path!r}; "
             "write remote tables with athena_delta_lake_spark.delta.writer."

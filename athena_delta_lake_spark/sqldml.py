@@ -30,7 +30,7 @@ import re
 
 from pyspark.sql import DataFrame, Row
 
-from .delta.fs import get_fs, normalize_table_path
+from .delta.fs import normalize_table_path
 from .delta.stats import _session_tzinfo as _stats_session_tzinfo
 from pyspark.sql import functions as F
 
@@ -479,6 +479,16 @@ def _table_spec_props(p) -> tuple[dict | None, str | None, list]:
     )
 
 
+def _mk_table_dir(pond, schema: str, table: str) -> str:
+    """Create (and return) the table directory through the pond's fs
+    facade — NEVER raw os.makedirs: with a URI pond root (file:///…,
+    s3a://…) the raw call creates a literal relative `./file:/…` junk
+    tree in the driver CWD (round-10 verdict #1)."""
+    path = os.path.join(pond.root, schema, table)
+    pond._fs.mkdirs(path)
+    return path
+
+
 def _route_ctas(pond, p, text: str, replace: bool = False) -> DataFrame:
     from .delta.writer import write_delta
 
@@ -516,11 +526,7 @@ def _route_ctas(pond, p, text: str, replace: bool = False) -> DataFrame:
     if qtext is None:
         raise ValueError("cannot recover the CTAS source query text")
     df = pond.sql(qtext)
-    path = os.path.join(pond.root, schema, table)
-    # Through the fs facade, NOT os.makedirs: with a URI pond root
-    # (file:///…, s3a://…) the raw call would create a literal relative
-    # `./file:/…` junk tree in the driver CWD (round-10 verdict #1).
-    get_fs(path, pond.spark).mkdirs(path)
+    path = _mk_table_dir(pond, schema, table)
     props, comment, steps = _table_spec_props(p)
     version = write_delta(
         df,
@@ -629,11 +635,7 @@ def _route_create_table(pond, p, text: str, replace: bool = False) -> DataFrame:
             for f in st.fields
         ]
     )
-    path = os.path.join(pond.root, schema, table)
-    # Through the fs facade, NOT os.makedirs: with a URI pond root
-    # (file:///…, s3a://…) the raw call would create a literal relative
-    # `./file:/…` junk tree in the driver CWD (round-10 verdict #1).
-    get_fs(path, pond.spark).mkdirs(path)
+    path = _mk_table_dir(pond, schema, table)
     declared = [f.name for f in st.fields]
     # the writer appends identity columns itself (callers never supply
     # them) — drop them from the staged frame, then restore the declared
@@ -1189,8 +1191,6 @@ def _route_call(pond, p, text: str) -> DataFrame:
 
 
 def _route_drop_namespace(pond, p, text: str) -> DataFrame:
-    import shutil
-
     parts = _seq(p.namespace().multipartIdentifier())
     if len(parts) != 1 or parts[0] not in pond.list_schemas():
         raise _NotPond(".".join(parts))  # maybe a session-catalog database
@@ -1199,7 +1199,9 @@ def _route_drop_namespace(pond, p, text: str) -> DataFrame:
         raise ValueError(
             f"schema {parts[0]} is not empty ({tables}); use CASCADE"
         )
-    shutil.rmtree(os.path.join(pond.root, parts[0]))
+    # fs facade, not shutil: a URI pond root (file:///…, s3a://…) is not
+    # an OS path (same class as the CREATE-route fix, round-11 review)
+    pond._fs.delete(os.path.join(pond.root, parts[0]), recursive=True)
     from .delta.log import DeltaLog
 
     DeltaLog.clear_cache()
@@ -1654,11 +1656,7 @@ def _route_create_table_like(pond, p, text: str) -> DataFrame:
             [],
             {},
         )
-    path = os.path.join(pond.root, schema, table)
-    # Through the fs facade, NOT os.makedirs: with a URI pond root
-    # (file:///…, s3a://…) the raw call would create a literal relative
-    # `./file:/…` junk tree in the driver CWD (round-10 verdict #1).
-    get_fs(path, pond.spark).mkdirs(path)
+    path = _mk_table_dir(pond, schema, table)
     empty = pond.spark.createDataFrame([], st)
     version = write_delta(
         empty, path, partition_by=part_cols or None,
@@ -1674,8 +1672,6 @@ def _route_rename_table(pond, p, text: str) -> DataFrame:
     """ALTER TABLE t RENAME TO t2: in the storage-layout catalog a table
     IS its directory, so rename = one atomic directory move (any table
     size; the Delta log travels with it because add paths are relative)."""
-    import shutil
-
     from .delta.log import DeltaLog
 
     src_parts = _relation_parts(p.child())
@@ -1723,7 +1719,8 @@ def _route_rename_table(pond, p, text: str) -> DataFrame:
     if f"{d_schema}.{d_table}" in pond.list_views() or d_table in pond.list_views():
         raise ValueError(f"a view named {d_schema}.{d_table} already exists")
     dst = os.path.join(pond.root, d_schema, d_table)
-    shutil.move(path, dst)
+    # fs facade, not shutil (URI pond roots; round-11 review)
+    pond._fs.move(path, dst)
     DeltaLog.clear_cache()
     # a stale pond-bound bare view for the old name must not linger
     old_bare = src_parts[-1]
@@ -1975,8 +1972,6 @@ def _route_clone(pond, m) -> DataFrame:
     previously required dropping to the Python API. Default (no keyword)
     is DEEP, matching Delta's CLONE semantics; SHALLOW is the
     metadata-only variant."""
-    import shutil as _shutil
-
     from .delta.log import DeltaLog
     from .delta.writer import clone_table
 
@@ -2012,7 +2007,8 @@ def _route_clone(pond, m) -> DataFrame:
             )
         if not or_replace:
             raise ValueError(f"table {d_schema}.{d_table} already exists")
-        _shutil.rmtree(pond.table_path(d_schema, d_table))
+        # fs facade, not shutil (URI pond roots; round-11 review)
+        pond._fs.delete(pond.table_path(d_schema, d_table), recursive=True)
         DeltaLog.clear_cache()
     dst_path = os.path.join(pond.root, d_schema, d_table)
     new_version = clone_table(

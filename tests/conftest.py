@@ -41,7 +41,13 @@ def plane(request, monkeypatch):
         yield "light"
         DeltaLog.clear_cache()
     else:
+        # an externally-exported threshold (e.g. =1 left over from a perf
+        # session) would silently turn this into a second light run — the
+        # inverse of the silent-fallback class this fixture guards against
+        monkeypatch.delenv("ADLS_LIGHT_PLANNING_FILES", raising=False)
+        DeltaLog.clear_cache()
         yield "classic"
+        DeltaLog.clear_cache()
 
 
 def force_light_engaged(path: str) -> None:

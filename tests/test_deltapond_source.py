@@ -214,6 +214,10 @@ def test_batch_write_rejects_remote_scheme(spark, tmp_path):
         DeltaPondStreamWriter(
             {"path": "hdfs://nn/tbl"}, df.schema, overwrite=False
         )
+    # the single-slash URI form Hadoop Path.toString emits must hit the
+    # guard too — abspath would otherwise swallow the scheme (review r11)
+    with pytest.raises(Exception, match="local paths only"):
+        df.write.format("deltapond").mode("append").save("s3a:/bucket/tbl")
     # no junk dir appeared in the CWD
     import os as _os
 

@@ -10,6 +10,7 @@ surviving OPTIMIZE, RESTORE landing on a checkpoint-only prefix, merges
 over DV'd files — sequences no single-feature test enumerates.
 """
 
+import os
 import random
 
 import pandas as pd
@@ -54,7 +55,17 @@ def _model_state(model: pd.DataFrame) -> list[tuple]:
     )
 
 
-@pytest.mark.parametrize("seed", [7, 23, 31, 45, 58, 66, 81, 99, 12, 37, 54, 73, 140, 141, 156, 163])
+_SEEDS = [7, 23, 31, 45, 58, 66, 81, 99, 12, 37, 54, 73, 140, 141, 156, 163]
+# out-of-suite soak lever: ADLS_DML_EXTRA_SEEDS="201,202,…" appends seeds
+# (the extended 8-seed re-soak after op-list changes runs through this)
+_SEEDS += [
+    int(s)
+    for s in os.environ.get("ADLS_DML_EXTRA_SEEDS", "").split(",")
+    if s.strip()
+]
+
+
+@pytest.mark.parametrize("seed", _SEEDS)
 def test_random_dml_walk_matches_model(spark, tmp_path, seed, plane):
     """Runs on BOTH planning planes (round-10 verdict #2): the light
     plane's ~10 routes (light scans, streamed truncate/overwrite, light

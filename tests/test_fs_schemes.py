@@ -225,6 +225,16 @@ def test_sql_dml_and_maintenance_via_hadoop_fs(spark, tmp_path, hadoop_write):
         "SQL CREATE against a URI pond root littered the CWD with a "
         "relative 'file:' directory tree"
     )
+    # …and the delete/move half of the same class (round-11 review):
+    # RENAME, DROP TABLE and DROP SCHEMA must work on the URI root too
+    # (raw shutil.rmtree/move made URI tables creatable but undroppable)
+    pond.sql("ALTER TABLE lake.t RENAME TO lake.t2")
+    assert pond.sql("SELECT count(*) AS n FROM lake.t2").first()["n"] == 90
+    pond.sql("DROP TABLE lake.t2")
+    assert "t2" not in pond.list_tables("lake")
+    pond.sql("DROP SCHEMA lake CASCADE")
+    assert "lake" not in pond.list_schemas()
+    assert not os.path.exists("file:")
 
 
 def test_clone_and_convert_via_hadoop_fs(spark, tmp_path, hadoop_write):

@@ -31,10 +31,7 @@ from athena_delta_lake_spark import DeltaTable, write_delta
 from athena_delta_lake_spark.delta.dml import truncate_table
 from athena_delta_lake_spark.delta.fs import get_fs
 from athena_delta_lake_spark.delta.log import DeltaLog
-from athena_delta_lake_spark.delta.writer import (
-    ConcurrentWriteError,
-    write_checkpoint,
-)
+from athena_delta_lake_spark.delta.writer import ConcurrentWriteError
 
 
 @pytest.fixture(params=["local", "hadoop"])
@@ -47,6 +44,8 @@ def fs_mode(request, monkeypatch):
 
 
 def _mk_light(spark, path, monkeypatch, n=40):
+    from conftest import force_light_engaged
+
     write_delta(
         spark.createDataFrame(
             [(i, i % 4, float(i)) for i in range(n)],
@@ -55,9 +54,7 @@ def _mk_light(spark, path, monkeypatch, n=40):
         path,
     )
     monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
-    write_checkpoint(path)
-    DeltaLog.clear_cache()
-    assert DeltaLog(path).light_planning_engaged()
+    force_light_engaged(path)
 
 
 def _assert_log_integrity(path):

@@ -73,15 +73,11 @@ def _force_light(spark, paths, monkeypatch):
     LightSnapshot instead of the classic replay (round-10 verdict #5:
     the fuzzers had only ever seen the classic plane; the round-9
     typeless-predicate hazard class lives exactly in this rendering)."""
-    from athena_delta_lake_spark.delta.log import DeltaLog
-    from athena_delta_lake_spark.delta.writer import write_checkpoint
+    from conftest import force_light_engaged
 
     monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
     for p in paths:
-        write_checkpoint(p)
-    DeltaLog.clear_cache()
-    for p in paths:
-        assert DeltaLog(p).light_planning_engaged(), p
+        force_light_engaged(p)
 
 
 def test_select_fuzz_over_native_delta_forced_light(

@@ -1303,6 +1303,10 @@ def lifecycle_main(root: str, n_files: int, out: dict) -> int:
         r = fn()
         steps[name] = round(time.time() - t0, 2)
         out[f"rss_after_{name}_mib"] = round(rss_mib(), 1)
+        # VmHWM is monotone, so the step where it JUMPS is the culprit —
+        # the per-op fresh-process modes can't see which op in a chain
+        # pays, this can
+        out[f"hwm_after_{name}_mib"] = round(hwm_mib(), 1)
         return r
 
     try:
@@ -1384,6 +1388,13 @@ def lifecycle_main(root: str, n_files: int, out: dict) -> int:
         out["rss_under_2gib"] = bool(peak < 2048)
         assert out["light_engaged"], "light planning did not engage"
         assert peak < 2048, f"driver RSS {peak} MiB breaches the 2 GiB bar"
+    except BaseException:
+        # print what we measured before dying — the per-step trace is the
+        # diagnosis when the end-to-end bar fails
+        out["steps_s"] = steps
+        out["rss_peak_mib"] = round(hwm_mib(), 1)
+        print(json.dumps(out))
+        raise
     finally:
         # ALWAYS revert: commits/checkpoints past base, _last_checkpoint,
         # and every data file this run materialized
