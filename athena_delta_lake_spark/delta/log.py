@@ -1265,7 +1265,43 @@ class DeltaLog:
             return False
         if not last_cp or int(last_cp.get("size") or 0) < thr:
             return False
-        return version is None or version >= int(last_cp.get("version", -1))
+        if version is None or version >= int(last_cp.get("version", -1)):
+            return True
+        # a version BELOW the newest checkpoint (time travel / RESTORE
+        # target after a newer checkpoint landed): engage iff the version
+        # is reachable as an OLDER complete checkpoint + plain-commit
+        # tail — exactly the shape snapshot_light's fallback replays.
+        # Found by meta_scale --lifecycle at 10^7 (round 11): checkpoint
+        # -> RESTORE to a pre-checkpoint version silently planned
+        # classic, 18.7 GiB / 602 s where light is 190 MiB. Name-level
+        # only (one listing), paid only for explicit version targets;
+        # ignoring compacted-commit substitutes can under-engage, which
+        # falls back to classic — safe, never wrong.
+        try:
+            log_files = self._list_log_files()
+        except Exception:
+            return False
+        cp_version = -1
+        for f in log_files:
+            m = _CHECKPOINT_RE.match(f) or _CHECKPOINT_V2_RE.match(f)
+            if m and cp_version < int(m.group(1)) <= version:
+                cpv = int(m.group(1))
+                if _checkpoint_parts(log_files, cpv) or any(
+                    (m2 := _CHECKPOINT_V2_RE.match(f2))
+                    and int(m2.group(1)) == cpv
+                    for f2 in log_files
+                ):
+                    cp_version = cpv
+        if cp_version < 0:
+            return False
+        commits = {
+            int(m.group(1))
+            for f in log_files
+            if (m := _COMMIT_RE.match(f))
+        }
+        return all(
+            v in commits for v in range(cp_version + 1, version + 1)
+        )
 
     def latest_protocol(self) -> dict | None:
         """The table's CURRENT protocol action, read WITHOUT reader-side

@@ -536,3 +536,110 @@ def test_restore_stays_light_and_equals_classic(spark, tmp_path, monkeypatch):
     assert _rows(DeltaTable(spark, paths[1]).to_df()) == _rows(
         DeltaTable(spark, paths[1]).to_df(version=target_v)
     )
+
+
+def test_restore_below_newest_checkpoint_stays_light(
+    spark, tmp_path, monkeypatch
+):
+    """RESTORE (and time travel) to a version BELOW the newest checkpoint
+    must still plan light when an OLDER complete checkpoint + commit tail
+    reaches the target — found by meta_scale --lifecycle at 10^7:
+    checkpoint -> RESTORE to a pre-checkpoint version silently replayed
+    the classic snapshot (18.7 GiB / 602 s vs 190 MiB light). Twin-table
+    classic equality with DeltaLog.snapshot poisoned on the light twin."""
+    from athena_delta_lake_spark.delta.dml import restore_table
+
+    paths = [str(tmp_path / "ca"), str(tmp_path / "cb")]
+    for p in paths:
+        write_delta(
+            spark.createDataFrame(
+                [(i, i % 4, float(i)) for i in range(200)],
+                "id long, part int, v double",
+            ),
+            p,
+            partition_by=["part"],
+        )  # v0
+        write_checkpoint(p)  # OLD checkpoint @ v0
+        write_delta(
+            spark.createDataFrame(
+                [(1000 + i, i % 4, -1.0) for i in range(10)],
+                "id long, part int, v double",
+            ),
+            p,
+            mode="append",
+        )  # v1  <- restore target
+        DeltaTable(spark, p).delete(where="id % 7 = 0", mode="mor")  # v2
+        write_checkpoint(p)  # NEW checkpoint @ v2
+        write_delta(
+            spark.createDataFrame(
+                [(2000, 0, 9.0)], "id long, part int, v double"
+            ),
+            p,
+            mode="append",
+        )  # v3
+    DeltaLog.clear_cache()
+    target_v = 1
+
+    res_a = restore_table(paths[0], version=target_v)  # classic twin
+
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "5")
+    DeltaLog.clear_cache()
+    # the version-aware engagement: below the newest checkpoint but
+    # reachable via the old one
+    assert DeltaLog(paths[1]).light_planning_engaged(target_v)
+    calls = []
+    orig = DeltaLog.snapshot
+
+    def poisoned(self, version=None):
+        calls.append((self.table_path, version))
+        return orig(self, version)
+
+    monkeypatch.setattr(DeltaLog, "snapshot", poisoned)
+    res_b = restore_table(paths[1], version=target_v)
+    # time travel below the newest checkpoint plans light too
+    tt = _rows(DeltaTable(spark, paths[1]).to_df(version=target_v))
+    assert calls == [], calls
+    monkeypatch.setattr(DeltaLog, "snapshot", orig)
+    monkeypatch.delenv("ADLS_LIGHT_PLANNING_FILES")
+    DeltaLog.clear_cache()
+
+    assert res_a["files_added"] == res_b["files_added"]
+    assert res_a["files_removed"] == res_b["files_removed"]
+    assert _rows(DeltaTable(spark, paths[0]).to_df()) == _rows(
+        DeltaTable(spark, paths[1]).to_df()
+    )
+    assert tt == _rows(DeltaTable(spark, paths[1]).to_df())
+
+
+def test_engagement_declines_unreachable_old_version(
+    spark, tmp_path, monkeypatch
+):
+    """With the old checkpoint's parts gone (log cleanup), a target below
+    the newest checkpoint must NOT engage light — classic fallback (which
+    replays from v0 commits when they survive) stays the router."""
+    import glob
+    import os
+
+    p = str(tmp_path / "gone")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "id long, v double"
+        ),
+        p,
+    )  # v0
+    write_checkpoint(p)  # old cp @ v0
+    write_delta(
+        spark.createDataFrame([(100, 1.0)], "id long, v double"),
+        p,
+        mode="append",
+    )  # v1
+    write_checkpoint(p)  # new cp @ v1
+    # remove the OLD checkpoint parts (v0) only
+    for f in glob.glob(
+        os.path.join(p, "_delta_log", f"{0:020d}.checkpoint*")
+    ):
+        os.remove(f)
+    DeltaLog.clear_cache()
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
+    assert DeltaLog(p).light_planning_engaged(1)
+    assert not DeltaLog(p).light_planning_engaged(0)
