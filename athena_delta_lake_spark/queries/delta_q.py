@@ -2488,3 +2488,82 @@ def g26(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
     ).select(F.lit("truncated").alias("src"), "n", "key_sum")
     return c.unionByName(t)
+
+
+def _ensure_light_restore_table(spark: SparkSession, sf_dir: str) -> str:
+    """orders through the BELOW-NEWEST-CHECKPOINT light restore shape
+    (round-11, found by meta_scale --lifecycle): v0 base -> OLD
+    checkpoint -> v1 append -> NEW checkpoint -> v2 append; then with the
+    threshold forced, RESTORE to v1 — a target below the newest
+    checkpoint that the version-aware engagement must serve from the old
+    checkpoint + commit tail instead of a classic replay."""
+    from ..delta.dml import restore_table
+    from ..delta.log import DeltaLog
+
+    path = os.path.join(_fixture_root(sf_dir), "lake", "ord_light_restore")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        write_delta(o.where("o_orderkey % 4 = 0").repartition(4), path)
+        write_checkpoint(path)  # OLD checkpoint @ v0
+        write_delta(o.where("o_orderkey % 4 = 1").repartition(2), path)
+        write_checkpoint(path)  # NEW checkpoint @ v1
+        write_delta(o.where("o_orderkey % 4 = 2").repartition(2), path)
+        prev = os.environ.get("ADLS_LIGHT_PLANNING_FILES")
+        os.environ["ADLS_LIGHT_PLANNING_FILES"] = "1"
+        try:
+            log = DeltaLog(path)
+            assert log.light_planning_engaged(1), (
+                "below-checkpoint target did not engage light"
+            )
+            restore_table(path, version=1)  # light pre-checkpoint restore
+        finally:
+            if prev is None:
+                os.environ.pop("ADLS_LIGHT_PLANNING_FILES", None)
+            else:
+                os.environ["ADLS_LIGHT_PLANNING_FILES"] = prev
+            DeltaLog.clear_cache()
+    return path
+
+
+@register(
+    "g27_light_restore_below_checkpoint",
+    "delta-core",
+    """
+    SELECT 'restored' AS src, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    UNION ALL
+    SELECT 'tt_v0', count(*), CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 4 = 0
+    """,
+    "RESTORE to a version BELOW the newest checkpoint planned through "
+    "the version-aware light engagement (old checkpoint + commit tail, "
+    "no classic replay — the 18.7 GiB residue meta_scale --lifecycle "
+    "caught at 10^7), plus a time-travel read at v0 served the same "
+    "way; both hash-match the oracle's predicate reconstruction",
+)
+def g27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..delta.log import DeltaLog
+
+    path = _ensure_light_restore_table(spark, sf_dir)
+    prev = os.environ.get("ADLS_LIGHT_PLANNING_FILES")
+    os.environ["ADLS_LIGHT_PLANNING_FILES"] = "1"
+    try:
+        restored = DeltaTable(spark, path).to_df().agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        ).select(F.lit("restored").alias("src"), "n", "key_sum")
+        tt = DeltaTable(spark, path).to_df(version=0).agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        ).select(F.lit("tt_v0").alias("src"), "n", "key_sum")
+        out = restored.unionByName(tt).localCheckpoint()
+    finally:
+        if prev is None:
+            os.environ.pop("ADLS_LIGHT_PLANNING_FILES", None)
+        else:
+            os.environ["ADLS_LIGHT_PLANNING_FILES"] = prev
+        DeltaLog.clear_cache()
+    return out
