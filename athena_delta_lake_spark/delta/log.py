@@ -851,6 +851,26 @@ def light_collect_cap() -> int:
     return int(os.environ.get("ADLS_LIGHT_COLLECT_CAP", "2000000"))
 
 
+def _newest_complete_checkpoint(log_files: list[str], version: int) -> int:
+    """The newest checkpoint version <= `version` that is actually
+    SERVABLE — complete classic parts (_checkpoint_parts) or a V2
+    manifest. Taking the bare max would let a torn multi-part checkpoint
+    shadow an older complete one and silently degrade the replay to the
+    full commit tail (round-11 second review pass); -1 when none."""
+    best = -1
+    for f in log_files:
+        m = _CHECKPOINT_RE.match(f) or _CHECKPOINT_V2_RE.match(f)
+        if m and best < int(m.group(1)) <= version:
+            cand = int(m.group(1))
+            if _checkpoint_parts(log_files, cand) or any(
+                (m2 := _CHECKPOINT_V2_RE.match(f2))
+                and int(m2.group(1)) == cand
+                for f2 in log_files
+            ):
+                best = cand
+    return best
+
+
 def _read_last_checkpoint(fs, log_dir: str) -> dict | None:
     p = _join(log_dir, "_last_checkpoint")
     if not fs.exists(p):
@@ -955,10 +975,7 @@ class DeltaLog:
         if last_cp and last_cp.get("version", -1) <= version:
             cp_version = int(last_cp["version"])
         else:
-            for f in log_files:
-                m = _CHECKPOINT_RE.match(f) or _CHECKPOINT_V2_RE.match(f)
-                if m and int(m.group(1)) <= version:
-                    cp_version = max(cp_version, int(m.group(1)))
+            cp_version = _newest_complete_checkpoint(log_files, version)
 
         if cp_version >= 0:
             parts = _checkpoint_parts(log_files, cp_version)
@@ -1108,10 +1125,7 @@ class DeltaLog:
         if last_cp and last_cp.get("version", -1) <= version:
             cp_version = int(last_cp["version"])
         else:
-            for f in log_files:
-                m = _CHECKPOINT_RE.match(f) or _CHECKPOINT_V2_RE.match(f)
-                if m and int(m.group(1)) <= version:
-                    cp_version = max(cp_version, int(m.group(1)))
+            cp_version = _newest_complete_checkpoint(log_files, version)
 
         checkpoint_paths: list[str] = []
         if cp_version >= 0:
@@ -1281,17 +1295,7 @@ class DeltaLog:
             log_files = self._list_log_files()
         except Exception:
             return False
-        cp_version = -1
-        for f in log_files:
-            m = _CHECKPOINT_RE.match(f) or _CHECKPOINT_V2_RE.match(f)
-            if m and cp_version < int(m.group(1)) <= version:
-                cpv = int(m.group(1))
-                if _checkpoint_parts(log_files, cpv) or any(
-                    (m2 := _CHECKPOINT_V2_RE.match(f2))
-                    and int(m2.group(1)) == cpv
-                    for f2 in log_files
-                ):
-                    cp_version = cpv
+        cp_version = _newest_complete_checkpoint(log_files, version)
         if cp_version < 0:
             return False
         commits = {

@@ -643,3 +643,61 @@ def test_engagement_declines_unreachable_old_version(
     monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
     assert DeltaLog(p).light_planning_engaged(1)
     assert not DeltaLog(p).light_planning_engaged(0)
+
+
+def test_torn_checkpoint_does_not_shadow_older_complete(
+    spark, tmp_path, monkeypatch
+):
+    """A torn multi-part checkpoint between the target version and an
+    older complete one must not shadow it: both snapshot() and
+    snapshot_light() now pick the newest COMPLETE checkpoint <= version
+    (round-11 second review pass). With commit 0 already cleaned (legal:
+    it predates the complete v0... checkpoint), the old bare-max pick
+    degraded to an unreplayable full-tail walk."""
+    import glob
+    import os
+
+    p = str(tmp_path / "torn")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(60)], "id long, v double"
+        ),
+        p,
+    )  # v0
+    write_checkpoint(p)  # complete checkpoint @ v0
+    write_delta(
+        spark.createDataFrame([(100, 1.0)], "id long, v double"),
+        p,
+        mode="append",
+    )  # v1
+    write_checkpoint(p, parts=2)  # multi-part @ v1 — torn below
+    write_delta(
+        spark.createDataFrame([(200, 2.0)], "id long, v double"),
+        p,
+        mode="append",
+    )  # v2
+    write_checkpoint(p)  # newest @ v2 (_last_checkpoint points here)
+    log_dir = os.path.join(p, "_delta_log")
+    torn = sorted(
+        glob.glob(os.path.join(log_dir, f"{1:020d}.checkpoint.0000000001.*"))
+    )
+    assert torn, "expected a multi-part v1 checkpoint to tear"
+    for f in torn:
+        os.remove(f)
+    # commit 0 cleaned (it predates the complete v0 checkpoint)
+    os.remove(os.path.join(log_dir, f"{0:020d}.json"))
+    DeltaLog.clear_cache()
+
+    # classic replay at v1: must come from the v0 checkpoint + commit 1
+    snap = DeltaLog(p).snapshot(1)
+    assert snap.num_files >= 1
+    rows = _rows(DeltaTable(spark, p).to_df(version=1))
+    assert len(rows) == 61
+
+    # light plane agrees and the below-checkpoint engagement serves v1
+    monkeypatch.setenv("ADLS_LIGHT_PLANNING_FILES", "1")
+    DeltaLog.clear_cache()
+    assert DeltaLog(p).light_planning_engaged(1)
+    lt = DeltaLog(p).snapshot_light(1)
+    assert lt.version == 1
+    assert _rows(DeltaTable(spark, p).to_df(version=1)) == rows
