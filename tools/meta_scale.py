@@ -29,7 +29,7 @@ Usage: python tools/meta_scale.py [n_files] [adds_per_commit]
        python tools/meta_scale.py [n_files] [adds_per_commit] --clone [--check-classic]
        python tools/meta_scale.py [n_files] [adds_per_commit] --truncate [--check-classic]
        python tools/meta_scale.py [n_files] [adds_per_commit] --rowtracking
-       python tools/meta_scale.py [n_files] [adds_per_commit] --lifecycle
+       python tools/meta_scale.py [n_files] [adds_per_commit] --lifecycle [--check-classic]
 Prints one JSON line with the measurements (recorded in PERF_TRIAGE_r6).
 
 --lifecycle (round-10 verdict #6): every prior light mode is a ONE-SHOT
@@ -223,7 +223,9 @@ def main() -> int:
     if "--rowtracking" in sys.argv:
         return rowtracking_main(root, n_files, out)
     if "--lifecycle" in sys.argv:
-        return lifecycle_main(root, n_files, out)
+        return lifecycle_main(
+            root, n_files, out, "--check-classic" in sys.argv
+        )
     t0 = time.time()
     path = build_log(root, n_files, per_commit)
     out["build_log_s"] = round(time.time() - t0, 2)
@@ -1248,7 +1250,9 @@ def restore_main(root: str, n_files: int, out: dict) -> int:
     return 0
 
 
-def lifecycle_main(root: str, n_files: int, out: dict) -> int:
+def lifecycle_main(
+    root: str, n_files: int, out: dict, check_classic: bool = False
+) -> int:
     """Chain append -> MOR delete -> OPTIMIZE -> checkpoint -> CDF tail
     -> RESTORE -> VACUUM against the prepared table in ONE process
     (round-10 verdict #6). Every per-op light mode above runs one-shot in
@@ -1257,9 +1261,16 @@ def lifecycle_main(root: str, n_files: int, out: dict) -> int:
     frame lineage — is invisible to them; this mode is the end-to-end
     VmHWM bar (< 2 GiB at any file count). Reverts the table afterwards:
     commits > base, checkpoint files > base, _last_checkpoint bytes and
-    every materialized data file are restored/removed."""
+    every materialized data file are restored/removed.
+
+    --check-classic re-runs the SAME chain with the light plane disabled
+    (threshold 0) after reverting, and asserts an identical end-state
+    digest (CDF rows, restore diff, vacuum count, optimize groups, final
+    live path-set xor-digest) — run it at 10^5/10^6 where the classic
+    snapshots are cheap."""
     import datetime
     import glob as _glob
+    import hashlib as _hashlib
 
     from athena_delta_lake_spark import get_spark
     from athena_delta_lake_spark.delta import dml
@@ -1296,20 +1307,79 @@ def lifecycle_main(root: str, n_files: int, out: dict) -> int:
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
         shuffle_partitions=16,
     )
-    steps: dict[str, float] = {}
 
-    def _timed(name, fn):
-        t0 = time.time()
-        r = fn()
-        steps[name] = round(time.time() - t0, 2)
-        out[f"rss_after_{name}_mib"] = round(rss_mib(), 1)
-        # VmHWM is monotone, so the step where it JUMPS is the culprit —
-        # the per-op fresh-process modes can't see which op in a chain
-        # pays, this can
-        out[f"hwm_after_{name}_mib"] = round(hwm_mib(), 1)
-        return r
+    def _revert() -> None:
+        """Commits/checkpoints past base, _last_checkpoint bytes, and
+        every data file a chain materialized."""
+        for p in _glob.glob(os.path.join(log_dir, "*")):
+            name = os.path.basename(p)
+            ver = name.split(".")[0]
+            if ver.isdigit() and int(ver) > base:
+                os.remove(p)
+        with open(last_cp_path, "wb") as fh:
+            fh.write(last_cp_bytes)
+        for p in _glob.glob(os.path.join(path, "**", "*"), recursive=True):
+            if (
+                os.path.isfile(p)
+                and not p.startswith(log_dir)
+                and p not in pre_files
+            ):
+                os.remove(p)
+        DeltaLog.clear_cache()
 
-    try:
+    def _live_digest() -> tuple:
+        """End-state digest replayed from the raw commit JSONs past base
+        — spec-level ground truth, only used on the --check-classic legs.
+        Physical file NAMES carry fresh UUIDs per chain, so the digest
+        uses chain-invariant features: live/dead counts, total live rows
+        (from add stats), and an xor-digest of the DETERMINISTIC paths
+        (the synthetic `part-NNNNNNN` fixture names the two chains
+        touch identically — e.g. the restore-re-added candidate)."""
+        import re as _re
+
+        det = _re.compile(r"part-\d{7}\.parquet$")
+        live: dict[str, int] = {}
+        dead: set[str] = set()
+        vmax = DeltaLog(path).latest_version()
+        for v in range(base + 1, vmax + 1):
+            with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+                for line in f:
+                    a = json.loads(line)
+                    if "add" in a:
+                        p = a["add"]["path"]
+                        live[p] = json.loads(
+                            a["add"].get("stats") or "{}"
+                        ).get("numRecords", 0)
+                        dead.discard(p)
+                    elif "remove" in a:
+                        dead.add(a["remove"]["path"])
+                        live.pop(a["remove"]["path"], None)
+        acc = 0
+        for p in list(live) + [f"dead:{d}" for d in sorted(dead)]:
+            if det.search(p):
+                acc ^= int(_hashlib.md5(p.encode()).hexdigest(), 16)
+        return (
+            len(live),
+            sum(live.values()),
+            len(dead),
+            f"{acc:032x}",
+        )
+
+    def _chain(expect_plane: str, rec: dict, steps: dict) -> dict:
+        """Run the 7-op chain; fill rec/steps; return the equality
+        digest. Asserts planning == expect_plane where surfaced."""
+
+        def _timed(name, fn):
+            t0 = time.time()
+            r = fn()
+            steps[name] = round(time.time() - t0, 2)
+            rec[f"rss_after_{name}_mib"] = round(rss_mib(), 1)
+            # VmHWM is monotone, so the step where it JUMPS is the
+            # culprit — the per-op fresh-process modes can't see which
+            # op in a chain pays, this can
+            rec[f"hwm_after_{name}_mib"] = round(hwm_mib(), 1)
+            return r
+
         # 1. blind append of a real small file in a fresh partition
         new_day = datetime.date(2026, 6, 1)
         _timed(
@@ -1333,8 +1403,8 @@ def lifecycle_main(root: str, n_files: int, out: dict) -> int:
             ),
         )
         # delete_mor does not surface a planning key (_plan_candidates
-        # routes internally); the end-to-end VmHWM bar below is the
-        # proof — a classic plan pays 8.6 GiB at 10^7 and would breach it
+        # routes internally); the end-to-end VmHWM bar is the proof — a
+        # classic plan pays 8.6 GiB at 10^7 and would breach it
         assert res_del.get("rows_deleted") == 10, res_del
         assert res_del.get("dv_files_written") == 1, res_del
         # 3. unscoped OPTIMIZE: only the real small files are candidates
@@ -1345,8 +1415,8 @@ def lifecycle_main(root: str, n_files: int, out: dict) -> int:
                 spark, path, target_file_size=128 * 1024 * 1024
             ),
         )
-        out["optimize_planning"] = res_opt.get("planning")
-        assert res_opt.get("planning") == "light", res_opt
+        rec["optimize_planning"] = res_opt.get("planning")
+        assert res_opt.get("planning") == expect_plane, res_opt
         # 4. checkpoint at the current version (distributed add stream)
         _timed("checkpoint", lambda: write_checkpoint(path))
         # 5. CDF tail over the lifecycle's own commits
@@ -1356,14 +1426,15 @@ def lifecycle_main(root: str, n_files: int, out: dict) -> int:
                 spark, path, base + 1, DeltaLog(path).latest_version()
             ).count(),
         )
-        out["cdf_change_rows"] = n_changes
+        rec["cdf_change_rows"] = n_changes
         # 100 inserts + 10 deletes (OPTIMIZE is dataChange=false)
         assert n_changes == 110, n_changes
-        # 6. RESTORE to base rewinds the whole chain
+        # 6. RESTORE to base rewinds the whole chain — the target sits
+        # BELOW the checkpoint step 4 just wrote (the round-11 residue)
         res_rest = _timed(
             "restore", lambda: dml.restore_table(path, version=base)
         )
-        out["restore_files"] = (
+        rec["restore_files"] = (
             res_rest["files_added"],
             res_rest["files_removed"],
         )
@@ -1374,20 +1445,54 @@ def lifecycle_main(root: str, n_files: int, out: dict) -> int:
                 path, retention_hours=0, dry_run=False, spark=spark
             ),
         )
-        out["vacuum_planning"] = res_vac.get("planning")
-        out["vacuum_files_deleted"] = res_vac.get("files_count")
-        assert res_vac.get("planning") == "light", res_vac
+        rec["vacuum_planning"] = res_vac.get("planning")
+        rec["vacuum_files_deleted"] = res_vac.get("files_count")
+        assert res_vac.get("planning") == expect_plane, res_vac
         assert res_vac.get("deleted") is True, res_vac
         # the lifecycle's unreferenced leftovers (compaction outputs, DV
         # blob) were real files — vacuum must have found work
         assert res_vac.get("files_count", 0) >= 1, res_vac
+        digest = {
+            "cdf_change_rows": n_changes,
+            "restore_files": rec["restore_files"],
+            "vacuum_files": res_vac.get("files_count"),
+            "optimize_groups": res_opt.get("groups"),
+            "delete_rows": res_del.get("rows_deleted"),
+        }
+        if check_classic:
+            digest["live"] = _live_digest()
+        return digest
 
+    steps: dict[str, float] = {}
+    try:
+        digest_light = _chain("light", out, steps)
         out["steps_s"] = steps
         peak = round(hwm_mib(), 1)
         out["rss_peak_mib"] = peak
         out["rss_under_2gib"] = bool(peak < 2048)
         assert out["light_engaged"], "light planning did not engage"
         assert peak < 2048, f"driver RSS {peak} MiB breaches the 2 GiB bar"
+
+        if check_classic:
+            _revert()
+            prev = os.environ.get("ADLS_LIGHT_PLANNING_FILES")
+            os.environ["ADLS_LIGHT_PLANNING_FILES"] = "0"
+            DeltaLog.clear_cache()
+            try:
+                c_rec: dict = {}
+                c_steps: dict = {}
+                t0 = time.time()
+                digest_classic = _chain("classic", c_rec, c_steps)
+                out["classic_chain_s"] = round(time.time() - t0, 2)
+                out["classic_steps_s"] = c_steps
+                assert digest_classic == digest_light, (
+                    digest_classic,
+                    digest_light,
+                )
+                out["classic_equality"] = "identical"
+                out["rss_after_classic_mib"] = round(rss_mib(), 1)
+            finally:
+                os.environ["ADLS_LIGHT_PLANNING_FILES"] = prev or "1000000"
     except BaseException:
         # print what we measured before dying — the per-step trace is the
         # diagnosis when the end-to-end bar fails
@@ -1396,23 +1501,9 @@ def lifecycle_main(root: str, n_files: int, out: dict) -> int:
         print(json.dumps(out))
         raise
     finally:
-        # ALWAYS revert: commits/checkpoints past base, _last_checkpoint,
-        # and every data file this run materialized
-        for p in _glob.glob(os.path.join(log_dir, "*")):
-            name = os.path.basename(p)
-            ver = name.split(".")[0]
-            if ver.isdigit() and int(ver) > base:
-                os.remove(p)
-        with open(last_cp_path, "wb") as fh:
-            fh.write(last_cp_bytes)
-        for p in _glob.glob(os.path.join(path, "**", "*"), recursive=True):
-            if (
-                os.path.isfile(p)
-                and not p.startswith(log_dir)
-                and p not in pre_files
-            ):
-                os.remove(p)
-        DeltaLog.clear_cache()
+        # ALWAYS revert, even on a failed assert — a failure must not
+        # pollute the multi-hour 10^7 fixture
+        _revert()
         spark.stop()
     print(json.dumps(out))
     return 0
