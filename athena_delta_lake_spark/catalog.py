@@ -35,11 +35,13 @@ def _earliest_commit_version(table_path: str) -> int:
     no commit file (and so no commit timestamp)."""
     import re as _re
 
+    from .delta.fs import get_fs
+
     log_dir = os.path.join(table_path, "_delta_log")
     versions = [
         int(m.group(1))
-        for name in os.listdir(log_dir)
-        if (m := _re.match(r"^(\d{20})\.json$", name))
+        for fi in get_fs(table_path).listdir(log_dir)
+        if (m := _re.match(r"^(\d{20})\.json$", fi.name))
     ]
     if not versions:
         raise FileNotFoundError(f"no commit JSON in {log_dir}")

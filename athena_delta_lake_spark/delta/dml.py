@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .fs import normalize_table_path
+from .fs import get_fs, normalize_table_path
 from .log import AddFile, DeltaLog, SnapshotState
 from .reader import read_files
 from .stats import Predicate, prune_files_auto
@@ -3069,10 +3069,15 @@ def restore_table(
         }
         tgt_has_dv = None  # classic passes target.files to the feature scan
 
+    # through the fs facade — os.path.exists on a URI table path
+    # (file://…, s3a://…) is always False and would falsely refuse every
+    # RESTORE as "vacuumed" (round-11 review sweep); to_add is the diff,
+    # so the per-file probes stay O(diff)
+    _res_fs = get_fs(table_path)
     missing = [
         f.path
         for f in to_add
-        if not os.path.exists(os.path.join(table_path, f.path))
+        if not _res_fs.exists(os.path.join(table_path, f.path))
     ]
     if missing:
         raise FileNotFoundError(

@@ -537,7 +537,14 @@ class FingerprintCorpus:
     def _exists(self) -> bool:
         import os
 
-        return os.path.isdir(os.path.join(self.path, "_delta_log"))
+        from ..delta.fs import get_fs
+
+        # facade probe — os.path.isdir on a URI table path is always
+        # False and would restart the fingerprint state from empty
+        # (round-11 sweep)
+        return get_fs(self.path).is_dir(
+            os.path.join(self.path, "_delta_log")
+        )
 
     def known_fps(self) -> DataFrame:
         if not self._exists():

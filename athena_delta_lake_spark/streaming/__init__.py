@@ -119,7 +119,11 @@ def delta_upsert_sink(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if os.path.isdir(os.path.join(table_path, "_delta_log")):
+        # facade probe — os.path.isdir on a URI table path is always
+        # False and would re-CREATE instead of MERGE (round-11 sweep)
+        from ..delta.fs import get_fs
+
+        if get_fs(table_path).is_dir(os.path.join(table_path, "_delta_log")):
             DeltaTable(batch_df.sparkSession, table_path).merge(
                 latest, keys=keys, matched_condition=newer
             )

@@ -237,6 +237,24 @@ def test_sql_dml_and_maintenance_via_hadoop_fs(spark, tmp_path, hadoop_write):
     assert not os.path.exists("file:")
 
 
+def test_restore_via_uri_path(spark, tmp_path, hadoop_write):
+    """RESTORE on a file:// table path: the vacuumed-file existence check
+    used raw os.path.exists on the URI-joined path, which is always False
+    — every URI-path restore falsely refused as 'vacuumed' (round-11
+    review sweep). Facade probe now; restore must succeed and rewind."""
+    path = "file://" + str(tmp_path / "r")
+    write_delta(spark.range(40).selectExpr("id", "id % 4 as k"), path)
+    write_delta(
+        spark.range(40, 60).selectExpr("id", "id % 4 as k"),
+        path,
+        mode="append",
+    )
+    t = DeltaTable(spark, path)
+    assert t.to_df().count() == 60
+    t.restore(version=0)
+    assert DeltaTable(spark, path).to_df().count() == 40
+
+
 def test_clone_and_convert_via_hadoop_fs(spark, tmp_path, hadoop_write):
     from athena_delta_lake_spark.delta.writer import clone_table, convert_to_delta
 
