@@ -384,3 +384,46 @@ def test_random_stream_walk_matches_commit_oracle(spark, tmp_path, seed, plane):
         # exactly-once over the whole walk, restarts included: the
         # concatenation of per-window oracles IS the total emission
         assert sorted(emitted) == sorted(expected)
+
+        # real-engine capstone: a genuine availableNow replay of the FULL
+        # history through spark.readStream must equal the oracle's
+        # full-window expectation — tying the manual-engine protocol to
+        # the actual microbatch engine on the same randomized table
+        from athena_delta_lake_spark.sources.deltapond_source import (
+            register,
+        )
+
+        register(spark)
+        qname = f"swalk_sink_{seed}_{plane}"
+        rs = (
+            spark.readStream.format("deltapond")
+            .option("startingVersion", 0)
+            .option("availableNow", "true")
+        )
+        if mode == "ignorechanges":
+            rs = rs.option("ignoreChanges", "true")
+        else:
+            rs = rs.option("skipChangeCommits", "true")
+        q = (
+            rs.load(path)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        want_full = _expected_window(
+            path,
+            (-1, None),
+            (DeltaLog(path).latest_version(), None),
+            mode,
+        )
+        got_full = [
+            int(r.id) for r in spark.sql(f"select id from {qname}").collect()
+        ]
+        assert sorted(got_full) == sorted(want_full), (
+            f"real-engine availableNow replay diverged from the oracle: "
+            f"{len(got_full)} vs {len(want_full)} rows"
+        )
