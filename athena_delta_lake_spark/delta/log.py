@@ -181,6 +181,37 @@ class SnapshotState:
         return spark.createDataFrame(rows, schema)
 
 
+def _remap_addfile(f: AddFile, p2l: dict[str, str]) -> AddFile:
+    """Normalize one log-form (physical-keyed) AddFile of a column-mapped
+    table to LOGICAL names: partitionValues keys and the stats
+    minValues/maxValues/nullCount keys — the same normalization
+    snapshot()/snapshot_light() apply to materialized adds."""
+    stats = f.stats
+
+    def _remap(d):
+        if not d:
+            return d
+        return {p2l.get(k, k): v for k, v in d.items()}
+
+    if stats:
+        stats = {
+            **stats,
+            "minValues": _remap(stats.get("minValues")),
+            "maxValues": _remap(stats.get("maxValues")),
+            "nullCount": _remap(stats.get("nullCount")),
+        }
+    return AddFile(
+        path=f.path,
+        partition_values=_remap(f.partition_values) or {},
+        size=f.size,
+        modification_time=f.modification_time,
+        stats_raw=stats,
+        deletion_vector=f.deletion_vector,
+        base_row_id=f.base_row_id,
+        default_row_commit_version=f.default_row_commit_version,
+    )
+
+
 @dataclass
 class LightSnapshot:
     """Opt-in DRIVER-LIGHT snapshot for the 10^7+ file regime (round-7
@@ -355,6 +386,40 @@ class LightSnapshot:
             ): f.name
             for f in self.schema.fields
         }
+
+    def iter_files_local(self, fs=None):
+        """Stream the snapshot's live AddFiles in THIS process, no Spark:
+        checkpoint parquet read via pyarrow in bounded RecordBatches
+        (dead overlay paths dropped, column-mapped names normalized),
+        then the tail overlay. Peak memory is O(batch + overlay), never
+        O(table) — the consumption surface for planners that cannot run
+        Spark jobs, i.e. the Python DataSource planning worker
+        (deltapond_source.partitions()), where the classic snapshot's
+        10^7-add replay cost 8.6 GiB of process RSS (PERF_TRIAGE_r6).
+
+        Consumers must not retain yielded AddFiles beyond what they keep
+        on purpose (the point is that the full list never materializes
+        unless the caller builds one)."""
+        if fs is None:
+            from .fs import get_fs
+
+            fs = get_fs(self.table_path)
+        p2l = self._physical_to_logical()
+        if self.checkpoint_paths:
+            reader = getattr(fs, "read_checkpoint_batches", None)
+            if reader is None:
+                raise NotImplementedError(
+                    "iter_files_local needs a pyarrow-readable (local) "
+                    "checkpoint; remote-scheme tables plan through "
+                    "files_df/prune_df executor-side"
+                )
+            dead = self.dead_paths
+            for batch in reader(self.checkpoint_paths, ["add"]):
+                for f in _iter_batch_adds(batch):
+                    if f.path in dead:
+                        continue
+                    yield _remap_addfile(f, p2l) if p2l else f
+        yield from self.overlay_adds
 
     def prune_df(self, spark, predicates, full: bool = False):
         """files_df filtered by data-skipping predicates, evaluated
@@ -673,25 +738,14 @@ def _apply_action(acc: _ReplayAccumulator, action: dict) -> None:
     # commitInfo / cdc are no-ops for snapshot state
 
 
-def _fold_checkpoint_batch(batch, acc: _ReplayAccumulator) -> None:
-    """Fold one pyarrow RecordBatch of checkpoint actions, columnar.
-
-    Rare action columns (metaData/protocol/txn/remove/domainMetadata) are
-    drop_null()'d then folded row-wise; the dense `add` column is unpacked
-    FIELD-WISE (one to_pylist per subcolumn of flat type) instead of one
-    nested dict per row — the difference between O(rows x schema-width)
-    Python dict churn and a handful of flat list conversions. Safe to
-    reorder across action kinds: a checkpoint is reconciled, so one path
-    appears in at most one action."""
+def _iter_batch_adds(batch):
+    """Yield one AddFile per non-null `add` row of a checkpoint
+    RecordBatch, unpacked FIELD-WISE (one to_pylist per flat subcolumn)
+    instead of one nested dict per row — the difference between
+    O(rows x schema-width) Python dict churn and a handful of flat list
+    conversions. Shared by the replay fold and the local streaming
+    iterator (LightSnapshot.iter_files_local)."""
     names = batch.schema.names
-    for col in ("metaData", "protocol", "txn", "domainMetadata", "remove"):
-        if col not in names:
-            continue
-        arr = batch.column(names.index(col))
-        if arr.null_count == len(arr):
-            continue
-        for v in arr.drop_null().to_pylist():
-            _apply_action(acc, {col: v})
     if "add" not in names:
         return
     arr = batch.column(names.index("add"))
@@ -713,15 +767,12 @@ def _fold_checkpoint_batch(batch, acc: _ReplayAccumulator) -> None:
     dvs = _field("deletionVector")
     brs = _field("baseRowId")
     dcvs = _field("defaultRowCommitVersion")
-    adds, removed = acc.adds, acc.removed
     for i in range(len(paths)):
-        path = _decode_path(paths[i])
-        removed.discard(path)
         pv = pvs[i] or {}
         if isinstance(pv, list):  # pyarrow map type -> [(k, v), ...]
             pv = dict(pv)
-        adds[path] = AddFile(
-            path=path,
+        yield AddFile(
+            path=_decode_path(paths[i]),
             partition_values=pv,
             size=int(sizes[i] or 0),
             modification_time=int(mts[i] or 0),
@@ -732,6 +783,28 @@ def _fold_checkpoint_batch(batch, acc: _ReplayAccumulator) -> None:
                 int(dcvs[i]) if dcvs[i] is not None else None
             ),
         )
+
+
+def _fold_checkpoint_batch(batch, acc: _ReplayAccumulator) -> None:
+    """Fold one pyarrow RecordBatch of checkpoint actions, columnar.
+
+    Rare action columns (metaData/protocol/txn/remove/domainMetadata) are
+    drop_null()'d then folded row-wise; the dense `add` column streams
+    through _iter_batch_adds. Safe to reorder across action kinds: a
+    checkpoint is reconciled, so one path appears in at most one action."""
+    names = batch.schema.names
+    for col in ("metaData", "protocol", "txn", "domainMetadata", "remove"):
+        if col not in names:
+            continue
+        arr = batch.column(names.index(col))
+        if arr.null_count == len(arr):
+            continue
+        for v in arr.drop_null().to_pylist():
+            _apply_action(acc, {col: v})
+    adds, removed = acc.adds, acc.removed
+    for f in _iter_batch_adds(batch):
+        removed.discard(f.path)
+        adds[f.path] = f
 
 
 def _read_checkpoint(
@@ -1063,31 +1136,8 @@ class DeltaLog:
                 ): f.name
                 for f in schema.fields
             }
-
-            def _remap(d: dict | None) -> dict | None:
-                if not d:
-                    return d
-                return {p2l.get(k, k): v for k, v in d.items()}
-
             for path, f in list(acc.adds.items()):
-                stats = f.stats
-                if stats:
-                    stats = {
-                        **stats,
-                        "minValues": _remap(stats.get("minValues")),
-                        "maxValues": _remap(stats.get("maxValues")),
-                        "nullCount": _remap(stats.get("nullCount")),
-                    }
-                acc.adds[path] = AddFile(
-                    path=f.path,
-                    partition_values=_remap(f.partition_values) or {},
-                    size=f.size,
-                    modification_time=f.modification_time,
-                    stats_raw=stats,
-                    deletion_vector=f.deletion_vector,
-                    base_row_id=f.base_row_id,
-                    default_row_commit_version=f.default_row_commit_version,
-                )
+                acc.adds[path] = _remap_addfile(f, p2l)
 
         _check_protocol(acc.protocol, self.table_path)
 
@@ -1217,35 +1267,7 @@ class DeltaLog:
                 ): f.name
                 for f in schema.fields
             }
-
-            def _remap(d):
-                if not d:
-                    return d
-                return {p2l.get(k, k): v for k, v in d.items()}
-
-            normalized = []
-            for f in overlay:
-                stats = f.stats
-                if stats:
-                    stats = {
-                        **stats,
-                        "minValues": _remap(stats.get("minValues")),
-                        "maxValues": _remap(stats.get("maxValues")),
-                        "nullCount": _remap(stats.get("nullCount")),
-                    }
-                normalized.append(
-                    AddFile(
-                        path=f.path,
-                        partition_values=_remap(f.partition_values) or {},
-                        size=f.size,
-                        modification_time=f.modification_time,
-                        stats_raw=stats,
-                        deletion_vector=f.deletion_vector,
-                        base_row_id=f.base_row_id,
-                        default_row_commit_version=f.default_row_commit_version,
-                    )
-                )
-            overlay = normalized
+            overlay = [_remap_addfile(f, p2l) for f in overlay]
 
         return LightSnapshot(
             version=version,

@@ -736,26 +736,20 @@ def prune_files_distributed(
     return [files[i] for i in keep]
 
 
-def prune_files(
-    snapshot: SnapshotState,
-    predicates: Iterable[Predicate] | None,
-    spark=None,
-) -> list[AddFile]:
-    """Return the subset of live files that can possibly match all predicates.
-
-    Partition-column predicates prune on `partitionValues` (exact);
-    data-column predicates prune on per-file min/max stats (conservative);
-    predicates on the BASE column of a generated partition column derive
-    partition predicates (generated_partition_derivations). `spark` pins
-    the session whose timeZone interprets naive timestamp values
-    (defaults to the active one)."""
+def make_file_filter(snapshot, predicates, spark=None):
+    """Per-file keep/skip callable implementing prune_files' exact
+    semantics over any snapshot-shaped header (SnapshotState or
+    LightSnapshot: .schema / .partition_columns / .metadata), for callers
+    that STREAM the file list instead of holding it (the Python
+    DataSource planning worker iterating LightSnapshot.iter_files_local).
+    Returns None when there is nothing to filter on (pass everything)."""
     preds: Sequence[Predicate] = list(predicates or [])
     preds = preds + _derive_generated_preds(snapshot, preds, spark)
     for col, op, _ in preds:
         if op not in _OPS:
             raise ValueError(f"unsupported predicate op: {op!r}")
     if not preds:
-        return snapshot.files
+        return None
     schema_types = {f.name: f.dataType for f in snapshot.schema.fields}
     part_cols = set(snapshot.partition_columns)
     # resolve the session zone ONCE per prune — only when some predicate
@@ -774,21 +768,37 @@ def prune_files(
         if c in schema_types
     ):
         tz = _session_tzinfo(spark)
-    out = []
-    for f in snapshot.files:
-        keep = True
+
+    def keep(f: AddFile) -> bool:
         for pred in preds:
             col = pred[0]
             if col not in schema_types:
                 continue
             if col in part_cols:
                 if not _file_matches_partition(f, schema_types, pred, tz):
-                    keep = False
-                    break
+                    return False
             else:
                 if not _file_matches_stats(f, schema_types, pred, tz):
-                    keep = False
-                    break
-        if keep:
-            out.append(f)
-    return out
+                    return False
+        return True
+
+    return keep
+
+
+def prune_files(
+    snapshot: SnapshotState,
+    predicates: Iterable[Predicate] | None,
+    spark=None,
+) -> list[AddFile]:
+    """Return the subset of live files that can possibly match all predicates.
+
+    Partition-column predicates prune on `partitionValues` (exact);
+    data-column predicates prune on per-file min/max stats (conservative);
+    predicates on the BASE column of a generated partition column derive
+    partition predicates (generated_partition_derivations). `spark` pins
+    the session whose timeZone interprets naive timestamp values
+    (defaults to the active one)."""
+    keep = make_file_filter(snapshot, predicates, spark)
+    if keep is None:
+        return snapshot.files
+    return [f for f in snapshot.files if keep(f)]

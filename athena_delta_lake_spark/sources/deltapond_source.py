@@ -68,7 +68,7 @@ from pyspark.sql.datasource import (
 )
 
 from ..delta.log import DeltaLog
-from ..delta.stats import prune_files
+from ..delta.stats import make_file_filter
 from ..delta.types import cast_partition_value
 from ..delta.writer import _atomic_commit, _file_stats, _next_version
 
@@ -294,25 +294,40 @@ class DeltaPondBatchReader(DataSourceReader):
         if self._version is not None:
             return self._version
         if self._ts_millis is not None:
-            return DeltaLog(self._path).snapshot_as_of_timestamp(
+            # version_as_of_timestamp is a binary search over commit
+            # timestamps — resolving through snapshot_as_of_timestamp
+            # materialized a full CLASSIC snapshot just to read .version
+            return DeltaLog(self._path).version_as_of_timestamp(
                 self._ts_millis
-            ).version
+            )
         return None
 
     def partitions(self):
-        snap = DeltaLog(self._path).snapshot(self._resolve_version())
-        files = prune_files(snap, self._preds or None)
+        """Scan planning, driver-light at ANY table size: this runs in
+        the Python DataSource planning worker, which has no SparkSession,
+        so the classic fix (route big tables through LightSnapshot's
+        executor-side files_df) is unavailable — at 10^7 adds the classic
+        snapshot replay here cost 8.6 GiB of planning-worker RSS. Instead
+        the file list STREAMS through LightSnapshot.iter_files_local
+        (pyarrow checkpoint batches + tail overlay, O(batch) memory) with
+        pushed-filter pruning applied per file as it flows, so only the
+        PRUNED partition list — which the DataSource API requires as a
+        driver-side list regardless — ever materializes."""
+        log = DeltaLog(self._path)
+        light = log.snapshot_light(self._resolve_version())
+        keep = make_file_filter(light, self._preds or None)
+        part_cols = light.partition_columns
         return [
             DeltaScanPartition(
                 file_path=os.path.join(self._path, f.path),
                 partition_values={
-                    c: f.partition_values.get(c)
-                    for c in snap.partition_columns
+                    c: f.partition_values.get(c) for c in part_cols
                 },
                 dv=f.deletion_vector,
                 table_path=self._path,
             )
-            for f in files
+            for f in light.iter_files_local(log._fs)
+            if keep is None or keep(f)
         ]
 
     def read(self, partition: DeltaScanPartition):
@@ -1367,7 +1382,11 @@ class DeltaPondDataSource(DataSource):
     def schema(self) -> T.StructType:
         path = _table_path(self.options)
         v = self.options.get("versionAsOf")
-        schema = DeltaLog(path).snapshot(int(v) if v is not None else None).schema
+        # header-only replay: schema resolution must not pay the classic
+        # full-file replay (this hook runs in the planning worker too)
+        schema = DeltaLog(path).snapshot_light(
+            int(v) if v is not None else None
+        ).schema
         if str(self.options.get("readChangeFeed", "false")).lower() == "true":
             schema = T.StructType(
                 list(schema.fields)

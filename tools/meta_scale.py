@@ -226,6 +226,10 @@ def main() -> int:
         return lifecycle_main(
             root, n_files, out, "--check-classic" in sys.argv
         )
+    if "--connector" in sys.argv:
+        return connector_main(
+            root, n_files, out, "--check-classic" in sys.argv
+        )
     t0 = time.time()
     path = build_log(root, n_files, per_commit)
     out["build_log_s"] = round(time.time() - t0, 2)
@@ -410,6 +414,87 @@ def plan_main(root: str, n_files: int, out: dict, check_classic: bool) -> int:
         out["classic_equality"] = "identical"
         out["rss_after_classic_mib"] = round(rss_mib(), 1)
     spark.stop()
+    print(json.dumps(out))
+    return 0
+
+
+def connector_main(
+    root: str, n_files: int, out: dict, check_classic: bool
+) -> int:
+    """Measure the Python DataSource connector's scan PLANNING against
+    the prepared table — NO SparkSession at all, exactly like the
+    DataSource planning worker the real partitions() call runs in.
+
+    Two measurements, pruned first so its HWM is attributable:
+    - a pushed-filter plan (one day partition + an id stats bound):
+      streams iter_files_local and keeps only survivors — asserted under
+      the 2 GiB bar at any n_files (this is the realistic scan shape);
+    - the UNPRUNED plan: the full partition list the DataSource API
+      requires as a driver-side Python list — recorded, not asserted
+      (O(files) is inherent to the API; what this mode proves is that
+      the 8.6 GiB classic snapshot replay is GONE from both shapes)."""
+    from athena_delta_lake_spark.delta.log import DeltaLog
+    from athena_delta_lake_spark.sources.deltapond_source import (
+        DeltaPondBatchReader,
+    )
+
+    path = os.path.join(root, "meta_scale_tbl")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        print(
+            json.dumps({"error": "run the normal mode first to build the "
+                        "table + checkpoint"}),
+        )
+        return 1
+    out["mode"] = "connector"
+    out["rss_before_mib"] = round(rss_mib(), 1)
+    schema = DeltaLog(path).snapshot_light().schema
+    out["rss_after_schema_mib"] = round(rss_mib(), 1)
+
+    preds = [
+        ("day", "=", "2024-03-15"),
+        ("id", ">=", 1_000_000_000),
+    ]
+    r = DeltaPondBatchReader({"path": path}, schema)
+    r._preds = preds
+    t0 = time.time()
+    pruned = r.partitions()
+    out["pruned_plan_s"] = round(time.time() - t0, 2)
+    out["pruned_survivors"] = len(pruned)
+    peak = round(hwm_mib(), 1)
+    out["pruned_plan_peak_mib"] = peak
+    out["pruned_under_2gib"] = bool(peak < 2048)
+    assert peak < 2048, (
+        f"pruned connector plan peaked at {peak} MiB (> 2 GiB)"
+    )
+
+    if check_classic:
+        from athena_delta_lake_spark.delta.stats import prune_files
+
+        classic = DeltaLog(path).snapshot()
+        want = sorted(
+            os.path.join(path, f.path) for f in prune_files(classic, preds)
+        )
+        got = sorted(p.file_path for p in pruned)
+        assert got == want, (
+            f"connector plan diverges from classic: {len(got)} vs "
+            f"{len(want)} survivors"
+        )
+        want_all = sorted(os.path.join(path, f.path) for f in classic.files)
+        DeltaLog.clear_cache()
+        out["classic_equality"] = "identical"
+    del pruned
+
+    t0 = time.time()
+    r2 = DeltaPondBatchReader({"path": path}, schema)
+    full = r2.partitions()
+    out["full_plan_s"] = round(time.time() - t0, 2)
+    out["full_plan_files"] = len(full)
+    assert len(full) == n_files, (len(full), n_files)
+    if check_classic:
+        assert sorted(p.file_path for p in full) == want_all
+        out["classic_equality_full"] = "identical"
+    out["full_plan_peak_mib"] = round(hwm_mib(), 1)
+    out["rss_final_mib"] = round(rss_mib(), 1)
     print(json.dumps(out))
     return 0
 
