@@ -97,57 +97,76 @@ def word_shingles(col: str | Column, k: int) -> Column:
     return F.array_distinct(F.transform(idx, shingle))
 
 
+def shingle_corpus(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """(sets, exploded): per-doc distinct-shingle SETS — the one
+    materialization — plus the exploded (id, shingle, n_sh) view derived
+    from them by a narrow explode.
+
+    Codegen-only construction with ONE corpus shuffle (round-11
+    optimization; was two): hash-repartition the DOC table by id before
+    exploding, so the per-doc LEAD window and the collect_set aggregate
+    both reuse that partitioning — the old round-robin fan-out plus a
+    word-level window exchange shuffled every (id, pos, w) row, strictly
+    more bytes than the packed word arrays moved here. The tail-position
+    filter tests LEAD(w, k-1) IS NOT NULL directly, which also drops the
+    COUNT(*) window pass the old n_words filter needed.
+
+    Only the sets are checkpointed: the exploded form used by the banding
+    / prefix-filter stages re-derives by explode (narrow, no shuffle), and
+    the exact-Jaccard verification side reads the sets with zero extra
+    aggregation — the old flow re-aggregated the exploded table back into
+    sets and checkpointed both. Per-doc set size is bounded by document
+    length, so collect_set stays small at any corpus scale.
+
+    For texts with fewer than k words a single shorter shingle is kept
+    (concat_ws skips the null LEADs, and position 0 survives the filter),
+    matching word_shingles semantics.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(text_col), " ").alias("_ws"),
+    ).repartition(target, "id")
+    base = docs.select("id", F.posexplode("_ws").alias("pos", "w"))
+    w_ord = W.partitionBy("id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(w_ord) for j in range(1, k)]
+    # full shingle <=> a (k-1)-ahead word exists; pos 0 keeps the single
+    # short shingle of sub-k-word docs
+    keep = (
+        (parts[-1].isNotNull() | (F.col("pos") == 0))
+        if k > 1
+        else F.lit(True)
+    )
+    sets = (
+        base.withColumn("shingle", F.concat_ws(" ", *parts))
+        .withColumn("_keep", keep)
+        .filter(F.col("_keep"))
+        .groupBy("id")
+        .agg(F.collect_set("shingle").alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    exploded = sets.select(
+        "id", F.explode("sh").alias("shingle"), F.size("sh").alias("n_sh")
+    )
+    return sets, exploded
+
+
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
-    """Distinct (id, shingle, n_sh) rows, materialized.
-
-    Codegen-only construction: posexplode the word array once, build each
-    k-shingle with LEAD window functions over word position, drop the
-    (k-1) tail positions, then dedup AND count in ONE collect_set
-    aggregate per doc (re-exploded with the set size attached). Two
-    shuffles total, both partitioned by doc id — the aggregate reuses the
-    window's partitioning, and the separate distinct + count-window
-    shuffles of the naive form are gone (measured 4.7 s -> 3.5 s first
-    run, 1.6 s -> 1.15 s steady-state at sf0.1). Per-doc set size is
-    bounded by document length, so collect_set stays small at any corpus
-    scale.
-
-    For texts with fewer than k words a single shorter shingle is kept
-    (concat_ws skips the null LEADs), matching word_shingles semantics.
-    """
-    # Small fixtures arrive as a single parquet file = one input partition,
-    # which would serialize the explode. Fan out only when the scan is
-    # narrower than the cluster; at real scale (partitions >> cores) this
-    # never triggers, so no corpus-wide shuffle is added.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
-    words_col = F.split(normalize_text(text_col), " ")
-    base = df.select(
-        F.col(id_col).alias("id"), F.posexplode(words_col).alias("pos", "w")
-    )
-    w_ord = W.partitionBy("id").orderBy("pos")
-    w_all = W.partitionBy("id")
-    parts = [F.col("w")] + [F.lead("w", j).over(w_ord) for j in range(1, k)]
-    sh = (
-        base.withColumn("n_words", F.count("*").over(w_all))
-        .withColumn("shingle", F.concat_ws(" ", *parts))
-        .filter(F.col("pos") <= F.greatest(F.col("n_words") - k, F.lit(0)))
-        .groupBy("id")
-        .agg(F.collect_set("shingle").alias("sh"))
-        .select(
-            "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
-        )
-        .select("id", "shingle", "n_sh")
-    )
-    return sh.localCheckpoint(eager=True)
+    """Distinct (id, shingle, n_sh) rows, materialized (via shingle_corpus;
+    kept for callers that only need the exploded form)."""
+    return shingle_corpus(df, id_col, text_col, k)[1]
 
 
 def shingle_sets(exploded: DataFrame) -> DataFrame:
     """(id, sh array) per doc from a shingle_table — the verification-side
     payload. Exposed so callers running several shingle operators over the
-    same corpus (d03+d04 style) aggregate it once and share."""
+    same corpus (d03+d04 style) aggregate it once and share. Callers that
+    build the corpus themselves should prefer shingle_corpus, whose sets
+    side costs nothing extra."""
     return exploded.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
 
 
@@ -158,6 +177,12 @@ def _verify_pairs(
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs against the
     full shingle sets. Candidates are a tiny fraction of the corpus, so the
     wide array payload only rides this final small join.
+
+    Candidate pairs arrive possibly-duplicated: the dedup runs HERE, as a
+    partition-local aggregate on top of the id_a repartition (hash
+    partitioning on id_a alone satisfies the (id_a, id_b) clustering), so
+    the old separate dropDuplicates exchange is gone — one shuffle of the
+    pair stream instead of two (round-11 optimization).
 
     The explicit fixed-width repartitions matter: candidate rows are tiny
     (two ids), so AQE coalesces them into one partition by byte size — and
@@ -172,6 +197,7 @@ def _verify_pairs(
     b_sets = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (
         cands.repartition(nparts, "id_a")
+        .dropDuplicates(["id_a", "id_b"])
         .join(a_sets, "id_a")
         .repartition(nparts, "id_b")
         .join(b_sets, "id_b")
@@ -282,8 +308,7 @@ def ngram_jaccard_pairs(
             & (F.col("n_a") >= F.lit(threshold) * F.col("n_b") - eps)
             & (overlap_ub >= alpha)
         )
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")  # deduped inside _verify_pairs (one shuffle)
     )
     return _verify_pairs(
         exploded, cands, threshold,
@@ -368,8 +393,7 @@ def minhash_lsh_pairs(
     cands = (
         left.join(right, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")  # deduped inside _verify_pairs (one shuffle)
     )
     return _verify_pairs(exploded, cands, threshold, sets=sets)
 

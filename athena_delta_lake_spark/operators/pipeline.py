@@ -246,37 +246,41 @@ def epoch_shuffle(
     scalable steps: rows range-bucket by the hash's first `prefix_hex`
     hex digits (256 uniform buckets by construction — md5 is the
     balancer), per-bucket counts (a tiny aggregate) turn into cumulative
-    offsets broadcast back, and each bucket ranks locally; global
-    position = bucket offset + local rank. Two narrow shuffles, no
-    single-partition stage, identical output to the naive form (the
-    oracle runs the naive form).
+    offsets via a 256-row window and broadcast back, and each bucket
+    ranks locally; global position = bucket offset + local rank. Two
+    narrow shuffles, no single-partition stage over DATA (the offset
+    cumsum window runs over at most 16^prefix_hex count rows), identical
+    output to the naive form (the oracle runs the naive form).
+
+    Round-11 optimization: the offsets used to be a driver collect() +
+    createDataFrame round trip — a separate Spark job per call that
+    serialized the whole pipeline behind it. They are now a plan branch
+    (groupBy + cumulative-sum window + broadcast join), so one action
+    executes everything and the scan side can overlap the count side.
+    Buckets absent from the data contribute zero to every later offset,
+    so the cumsum over PRESENT buckets equals the old dense-range fold.
 
     Returns df + (epoch_pos long). Keys must be unique (corpus ids).
     """
     hx = F.md5(
         F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}:{epoch}"))
     )
-    n_buckets = 16 ** prefix_hex
     bucket = F.conv(F.substring(hx, 1, prefix_hex), 16, 10).cast("int")
     with_h = df.withColumn("_h", hx).withColumn("_b", bucket)
 
-    counts = {
-        r["_b"]: r["cnt"]
-        for r in with_h.groupBy("_b").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = {}, 0
-    for b in range(n_buckets):
-        offsets[b] = acc
-        acc += counts.get(b, 0)
-    spark = df.sparkSession
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            [(b, offsets[b]) for b in sorted(offsets)], "_b int, _off long"
+    w_off = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    off_df = (
+        with_h.groupBy("_b")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).cast("long"),
         )
+        .select("_b", "_off")
     )
     w = W.partitionBy("_b").orderBy("_h", key_col)
     return (
-        with_h.join(off_df, "_b")
+        with_h.join(F.broadcast(off_df), "_b")
         .withColumn(
             "epoch_pos", F.row_number().over(w).cast("long") - 1 + F.col("_off")
         )

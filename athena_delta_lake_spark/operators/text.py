@@ -181,8 +181,10 @@ def tfidf_top_terms(
     df: DataFrame, id_col: str, text_col: str, top_k: int = 3
 ) -> DataFrame:
     """Top-k TF-IDF terms per document: tf = term count in doc,
-    idf = ln(N / df). Explode words once; two uniform-key shuffles
-    (term counts per doc, document frequency per term) and a per-doc
+    idf = ln(N / df). Explode words once; then exactly three uniform-key
+    shuffles — term counts per doc, a COUNT(*) window over term for the
+    document frequency (round-11: replaces the old groupBy + equi-join,
+    which cost an extra aggregate exchange AND a join), and the per-doc
     window top-k — no UDFs, no driver-side vocabulary."""
     from pyspark.sql import Window as W
 
@@ -194,8 +196,12 @@ def tfidf_top_terms(
         F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
     )
     tf = words.groupBy("id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(dfreq, "term").withColumn(
+    # df(term) = number of tf rows sharing the term: an unordered window
+    # count over the term partition — same value the old aggregate+join
+    # produced, one pass instead of two
+    scored = tf.withColumn(
+        "df", F.count("*").over(W.partitionBy("term"))
+    ).withColumn(
         "score", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
     )
     w = W.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))

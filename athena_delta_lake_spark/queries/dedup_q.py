@@ -16,36 +16,37 @@ from .base import load, register
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
-# d03 and d04 both start from the same materialized shingle table; build it
+# d03 and d04 both start from the same materialized shingle corpus; build it
 # once per (session, sf_dir, k) so whichever gate runs first pays for it and
 # the other reuses the localCheckpoint. Keyed by applicationId so entries
-# from a stopped session are never handed to a new one.
-_SHINGLE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
-_SETS_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+# from a stopped session are never handed to a new one. shingle_corpus
+# checkpoints only the per-doc SETS; the exploded view derives narrowly, so
+# the old second checkpoint (re-aggregating exploded back into sets) is gone.
+_CORPUS_CACHE: dict[tuple[str, str, int], tuple[DataFrame, DataFrame]] = {}
+
+
+def _shared_corpus(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    got = _CORPUS_CACHE.get(key)
+    if got is None:
+        got = dedup.shingle_corpus(
+            load(spark, sf_dir, "documents"), "doc_id", "text", k
+        )
+        _CORPUS_CACHE.clear()  # one corpus at a time; drop stale sessions
+        _CORPUS_CACHE[key] = got
+    return got
 
 
 def _shared_shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, k)
-    got = _SHINGLE_CACHE.get(key)
-    if got is None:
-        got = dedup.shingle_table(load(spark, sf_dir, "documents"), "doc_id", "text", k)
-        _SHINGLE_CACHE.clear()  # one corpus at a time; drop stale sessions
-        _SETS_CACHE.clear()
-        _SHINGLE_CACHE[key] = got
-    return got
+    return _shared_corpus(spark, sf_dir, k)[1]
 
 
 def _shared_sets(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
-    """The verify-side (id, shingle-set) table, aggregated once per corpus
+    """The verify-side (id, shingle-set) table, materialized once per corpus
     and shared by d03/d04 (both end in exact-Jaccard verification)."""
-    key = (spark.sparkContext.applicationId, sf_dir, k)
-    got = _SETS_CACHE.get(key)
-    if got is None:
-        got = dedup.shingle_sets(_shared_shingles(spark, sf_dir, k)).localCheckpoint(
-            eager=True
-        )
-        _SETS_CACHE[key] = got
-    return got
+    return _shared_corpus(spark, sf_dir, k)[0]
 
 
 @register(

@@ -237,14 +237,19 @@ def p06(spark: SparkSession, sf_dir: str) -> DataFrame:
     "== the naive global-window oracle, different permutation per epoch",
 )
 def p07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Chain epoch 1 over epoch 0's output instead of self-joining two
+    # independent shuffles on doc_id: epoch_shuffle only APPENDS a column,
+    # so composition computes both permutations in one pass — the old
+    # SortMergeJoin (two extra sort exchanges over the corpus) is gone and
+    # each epoch's position values are unchanged (round-11 optimization).
     d = load(spark, sf_dir, "documents").select("doc_id")
-    e0 = pipeline.epoch_shuffle(d, "doc_id", epoch=0).select(
-        "doc_id", F.col("epoch_pos").alias("pos_e0")
+    e0 = pipeline.epoch_shuffle(d, "doc_id", epoch=0).withColumnRenamed(
+        "epoch_pos", "pos_e0"
     )
-    e1 = pipeline.epoch_shuffle(d, "doc_id", epoch=1).select(
-        "doc_id", F.col("epoch_pos").alias("pos_e1")
+    both = pipeline.epoch_shuffle(e0, "doc_id", epoch=1).withColumnRenamed(
+        "epoch_pos", "pos_e1"
     )
-    return e0.join(e1, "doc_id")
+    return both.select("doc_id", "pos_e0", "pos_e1")
 
 
 _REDACT_SQL = (
