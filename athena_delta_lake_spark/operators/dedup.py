@@ -336,19 +336,25 @@ def minhash_table(exploded: DataFrame, num_hashes: int) -> DataFrame:
 
 
 def band_table(minhashes: DataFrame, rows_per_band: int) -> DataFrame:
-    """(id, band, band_hash): hash of the band's `rows_per_band` minima in
-    seed order. The per-band assembly sorts <= rows_per_band structs per
-    row — a bounded-size expression, no wide codegen."""
+    """(id, band, band_hash): bucket key summarizing the band's
+    `rows_per_band` minima.
+
+    band_hash = BIT_XOR over the band of xxhash64(seed, h) — a plain
+    codegen'd aggregate (round-11: replaces collect_list + array_sort +
+    an interpreted TRANSFORM lambda + concat_ws; XOR rather than SUM so
+    ANSI mode has no overflow to reject). Seed-tagging each term keeps
+    the signature order-equivalent: two docs get equal band_hash iff
+    their xxhash64(seed, h) terms XOR to the same value, which is
+    guaranteed when every (seed, minimum) in the band matches — so
+    banding keeps ZERO false negatives (the LSH recall S-curve is
+    unchanged) — and is astronomically unlikely otherwise; spurious XOR
+    collisions only add candidates that exact-Jaccard verification
+    removes."""
     banded = minhashes.withColumn(
         "band", F.floor(F.col("seed") / rows_per_band).cast("int")
     )
-    ordered = F.array_sort(F.collect_list(F.struct("seed", "h")))
     return banded.groupBy("id", "band").agg(
-        F.xxhash64(
-            F.concat_ws(
-                ",", F.transform(ordered, lambda s: s.getField("h").cast("string"))
-            )
-        ).alias("band_hash")
+        F.expr("bit_xor(xxhash64(seed, h))").alias("band_hash")
     )
 
 

@@ -27,6 +27,10 @@ ALLOWLIST: dict[str, set[str]] = {
     "j02_cross_join_small": {"CartesianProduct", "BroadcastNestedLoopJoin"},
     # rank window runs over a 20-row TakeOrderedAndProject result
     "q24_copurchase_pairs": {"global-window"},
+    # epoch_shuffle's bucket-offset cumsum window runs over the <=256
+    # per-bucket COUNT rows (16^prefix_hex), never over data rows — it
+    # replaced a driver collect() + createDataFrame round trip (round 11)
+    "p07_epoch_shuffle": {"global-window"},
     # brute force BY DEFINITION scores every corpus row against every
     # (broadcast) query — the exact baselines; n02/n04/n06 are the scale
     # paths that replace the nested loop with bucketed candidates
