@@ -184,12 +184,19 @@ def _verify_pairs(
     the old separate dropDuplicates exchange is gone — one shuffle of the
     pair stream instead of two (round-11 optimization).
 
-    The explicit fixed-width repartitions matter: candidate rows are tiny
-    (two ids), so AQE coalesces them into one partition by byte size — and
-    then the array_intersect work, the REAL cost, runs single-threaded
-    (measured 4.2 s -> 1.0 s at sf0.1 from spreading it). A numbered
-    repartition is exempt from AQE coalescing and keys the shuffle to the
-    join column, so each set join is co-partitioned."""
+    The one explicit fixed-width repartition matters: candidate rows are
+    tiny (two ids), so AQE coalesces them into one partition by byte size
+    — and then the array_intersect work, the REAL cost, runs
+    single-threaded (measured 4.2 s -> 1.0 s at sf0.1 from spreading it).
+    A numbered repartition is exempt from AQE coalescing and keys the
+    shuffle to the first join column. There is deliberately NO second
+    repartition before the id_b join (round-11): the pair stream is
+    already spread by the id_a shuffle, and by that point it carries the
+    sh_a array payload — re-hashing it by id_b was the widest exchange in
+    the whole flow. Where the sets side is too big to broadcast, the
+    planner inserts the sort-merge redistribution itself; where it
+    broadcasts (candidates are a tiny fraction of the corpus), the heavy
+    stream now moves zero times."""
     nparts = exploded.sparkSession.sparkContext.defaultParallelism
     if sets is None:
         sets = shingle_sets(exploded)
@@ -199,7 +206,6 @@ def _verify_pairs(
         cands.repartition(nparts, "id_a")
         .dropDuplicates(["id_a", "id_b"])
         .join(a_sets, "id_a")
-        .repartition(nparts, "id_b")
         .join(b_sets, "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

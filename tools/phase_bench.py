@@ -48,11 +48,8 @@ def main() -> int:
         print("== d03 phases (fresh, no shared cache) ==")
         d = load(spark, sf_dir, "documents")
         t0 = time.time()
-        sh = dedup.shingle_table(d, "doc_id", "text", 3)
-        print(f"  shingle_table (localCheckpoint): {time.time()-t0:.3f}s")
-        t0 = time.time()
-        sets = dedup.shingle_sets(sh).localCheckpoint(eager=True)
-        print(f"  shingle_sets (localCheckpoint): {time.time()-t0:.3f}s")
+        sets, sh = dedup.shingle_corpus(d, "doc_id", "text", 3)
+        print(f"  shingle_corpus (localCheckpoint): {time.time()-t0:.3f}s")
         ranked = sh.withColumn(
             "df_", F.count("*").over(W.partitionBy("shingle"))
         ).withColumn(
@@ -96,11 +93,11 @@ def main() -> int:
         noop(verified, "verify (re-runs cands)", spark)
 
     if what in ("d04", "all"):
-        print("== d04 phases (shingles/sets reused from d03 run above) ==")
+        print("== d04 phases ==")
         d = load(spark, sf_dir, "documents")
         t0 = time.time()
-        sh = dedup.shingle_table(d, "doc_id", "text", 3)
-        print(f"  shingle_table again: {time.time()-t0:.3f}s")
+        _, sh = dedup.shingle_corpus(d, "doc_id", "text", 3)
+        print(f"  shingle_corpus again: {time.time()-t0:.3f}s")
         t0 = time.time()
         mh = dedup.minhash_table(sh, 64)
         banded = dedup.band_table(mh, 2).localCheckpoint(eager=True)
