@@ -181,11 +181,18 @@ def tfidf_top_terms(
     df: DataFrame, id_col: str, text_col: str, top_k: int = 3
 ) -> DataFrame:
     """Top-k TF-IDF terms per document: tf = term count in doc,
-    idf = ln(N / df). Explode words once; then exactly three uniform-key
-    shuffles — term counts per doc, a COUNT(*) window over term for the
-    document frequency (round-11: replaces the old groupBy + equi-join,
-    which cost an extra aggregate exchange AND a join), and the per-doc
-    window top-k — no UDFs, no driver-side vocabulary."""
+    idf = ln(N / df). Explode words once; two uniform-key shuffles
+    (term counts per doc, document frequency per term) and a per-doc
+    window top-k — no UDFs, no driver-side vocabulary.
+
+    Round-11 note: a COUNT(*) window over term in place of the
+    groupBy + equi-join was tried (one exchange fewer at fixture scale,
+    inside the noise band) and REJECTED: a window shuffles every tf row
+    of a hot term ("the" ~= one row per document) into ONE task with no
+    map-side partial aggregation, and AQE skew handling splits only
+    joins, never windows (guide §2.5). The aggregate+join form keeps the
+    dfreq exchange tiny (partial agg) and the tf-by-term redistribution
+    AQE-skew-splittable."""
     from pyspark.sql import Window as W
 
     from .dedup import normalize_text
@@ -196,12 +203,8 @@ def tfidf_top_terms(
         F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
     )
     tf = words.groupBy("id", "term").agg(F.count("*").alias("tf"))
-    # df(term) = number of tf rows sharing the term: an unordered window
-    # count over the term partition — same value the old aggregate+join
-    # produced, one pass instead of two
-    scored = tf.withColumn(
-        "df", F.count("*").over(W.partitionBy("term"))
-    ).withColumn(
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
         "score", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
     )
     w = W.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
