@@ -59,14 +59,24 @@ def normalize_text(col: str | Column) -> Column:
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Keep the lowest-id row per normalized-text hash (deterministic)."""
+    """Keep the lowest-id row per normalized-text hash (deterministic).
+
+    MIN_BY(whole row, id) per hash, not row_number() over a hash window
+    (round-11): duplicate groups are exactly what this operator exists to
+    find, and a 10^7-copy boilerplate group funnels through ONE window
+    task — windows get no map-side combine and no AQE skew splitting.
+    min_by is a declarative aggregate: each map partition keeps one
+    candidate row per hash before the exchange, so the shuffle carries
+    (distinct hashes x map partitions) rows whatever the group sizes.
+    Ties are impossible (ids unique), so the result is deterministic and
+    identical to the old keep-first window."""
     h = F.md5(normalize_text(text_col)).alias("_h")
-    w = W.partitionBy("_h").orderBy(id_col)
+    row = F.struct(*df.columns).alias("_row")
     return (
         df.withColumn("_h", h)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_h", "_rn")
+        .groupBy("_h")
+        .agg(F.min_by(row, F.col(id_col)).alias("_row"))
+        .select("_row.*")
     )
 
 
@@ -272,12 +282,18 @@ def ngram_jaccard_pairs(
             exploded.join(keep.select("shingle"), "shingle")
             .withColumn("n_sh", F.count("*").over(W.partitionBy("id")))
         )
-    # document frequency via a window over shingle (not a separate agg+join:
-    # one exchange fewer, and the rank window right after reuses nothing of
-    # it anyway)
-    ranked = exploded.withColumn(
-        "df_", F.count("*").over(W.partitionBy("shingle"))
-    ).withColumn(
+    # document frequency via a partial-aggregated count joined back, NOT a
+    # COUNT(*) window over shingle (round-11): a window ships a hot
+    # shingle's ENTIRE posting list into one task with no map-side
+    # combine, and AQE skew handling splits only joins, never windows —
+    # the exact 100 TB stall shape §2.5 of the optimization guide warns
+    # about, on the one key class (boilerplate shingles) guaranteed to be
+    # hot in a dedup corpus. The aggregate's exchange carries one row per
+    # (map partition, shingle); the join back is AQE-skew-splittable and
+    # costs the same shingle-keyed redistribution + sort the window
+    # needed anyway.
+    dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("df_"))
+    ranked = exploded.join(dfreq, "shingle").withColumn(
         "r", F.row_number().over(W.partitionBy("id").orderBy("df_", "shingle"))
     )
     eps = 1e-9
@@ -529,19 +545,22 @@ def incremental_exact_dedup(
     on `fp`, an md5 — perfectly uniform at any corpus size; when the known
     set is small (early corpus life), pass broadcast_known=True to skip the
     shuffle entirely. Within-batch dedup keeps the lowest id per fp
-    (deterministic), same as exact_dedup.
+    (deterministic), same as exact_dedup — and like exact_dedup (round-11)
+    it uses MIN_BY per fingerprint rather than a row_number window, so a
+    batch full of copies of one document partial-aggregates map-side
+    instead of funneling through one window task.
     """
     fp = F.md5(normalize_text(text_col))
     known = known_fps.select("fp").distinct()
     if broadcast_known:
         known = F.broadcast(known)
-    w = W.partitionBy("fp").orderBy(id_col)
+    row = F.struct(*batch.columns).alias("_row")
     return (
         batch.withColumn("fp", fp)
         .join(known, "fp", "left_anti")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("fp", "_rn")
+        .groupBy("fp")
+        .agg(F.min_by(row, F.col(id_col)).alias("_row"))
+        .select("_row.*")
     )
 
 
