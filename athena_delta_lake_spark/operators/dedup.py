@@ -276,12 +276,11 @@ def ngram_jaccard_pairs(
             .agg(F.count("*").alias("df_"))
             .filter(F.col("df_") <= max_shingle_df)
         )
-        # recompute n_sh over the surviving shingles so jaccard stays
-        # consistent with the filtered universe
-        exploded = (
-            exploded.join(keep.select("shingle"), "shingle")
-            .withColumn("n_sh", F.count("*").over(W.partitionBy("id")))
-        )
+        # n_sh over the surviving shingles (jaccard must stay consistent
+        # with the filtered universe) is recomputed INSIDE the ranked
+        # window below — same id partitioning, so the old dedicated
+        # COUNT(*)-over-id window pass here is gone (round-12).
+        exploded = exploded.join(keep.select("shingle"), "shingle")
     # document frequency via a partial-aggregated count joined back, NOT a
     # COUNT(*) window over shingle (round-11): a window ships a hot
     # shingle's ENTIRE posting list into one task with no map-side
@@ -293,12 +292,29 @@ def ngram_jaccard_pairs(
     # costs the same shingle-keyed redistribution + sort the window
     # needed anyway.
     dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("df_"))
-    ranked = exploded.join(dfreq, "shingle").withColumn(
-        "r", F.row_number().over(W.partitionBy("id").orderBy("df_", "shingle"))
+    # Shuffle narrower rows into the ranked window (round-12; guide §2.3):
+    # n_sh is droppable from everything upstream of the id exchange — it
+    # is a per-id count, so COUNT(*) OVER (PARTITION BY id) reproduces it
+    # on top of the SAME exchange the row_number window needs (an
+    # unordered whole-partition frame: no extra sort, no extra shuffle,
+    # and per-id partitions are bounded by document length so there is no
+    # hot-key exposure). df_ must ride (it is the sort key), but it is
+    # projected away before the prefix checkpoint so the materialized
+    # prefix carries only (shingle, id, n_sh, r).
+    w_id = W.partitionBy("id")
+    ranked = exploded.select("id", "shingle").join(dfreq, "shingle").select(
+        "shingle",
+        "id",
+        F.count("*").over(w_id).alias("n_sh"),
+        F.row_number().over(w_id.orderBy("df_", "shingle")).alias("r"),
     )
     eps = 1e-9
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh") - eps) + 1
-    prefix = ranked.filter(F.col("r") <= prefix_len).localCheckpoint(eager=True)
+    prefix = (
+        ranked.filter(F.col("r") <= prefix_len)
+        .select("shingle", "id", "n_sh", "r")
+        .localCheckpoint(eager=True)
+    )
     a = prefix.select(
         "shingle",
         F.col("r").alias("r_a"),
@@ -509,11 +525,30 @@ def simhash_pairs(
     right = blocks.select(
         "slice_idx", "block", F.col("id").alias("id_b"), F.col("sim").alias("sim_b")
     )
+    # A pair agreeing on several slices used to be emitted once per slice
+    # and deduped with dropDuplicates([id_a, id_b]) — a full extra
+    # exchange of the pair stream keyed on the pair (round-11's widest
+    # remaining d05 shuffle). The duplicate set is computable per-row:
+    # which slices agree is a pure function of sim_a XOR sim_b, so keep
+    # each pair only on its FIRST agreeing slice (round-12; guide §2.4 —
+    # remove shuffles outright). slice j agrees iff the j-th 16-bit field
+    # of the XOR is zero; every joined row's own slice_idx agrees by
+    # construction, so exactly one row per pair survives. The hamming
+    # filter runs in the same projection, before anything downstream.
+    xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    agree = [F.shiftright(F.shiftleft(xor, 16 * j), 48) == 0 for j in range(4)]
+    first_agreeing = (
+        F.when(agree[0], 0).when(agree[1], 1).when(agree[2], 2).otherwise(3)
+    )
     return (
         left.join(right, ["slice_idx", "block"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming64(F.col("sim_a"), F.col("sim_b")).alias("hamming"))
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("slice_idx") == first_agreeing)
+        )
+        .select(
+            "id_a", "id_b", hamming64(F.col("sim_a"), F.col("sim_b")).alias("hamming")
+        )
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -987,9 +1022,17 @@ def incremental_dedup_bloom(
         known_fps.select("fp").distinct(), "fp", "left_anti"
     )
     union = definitely_new.unionByName(confirmed_new)
-    w = W.partitionBy("fp").orderBy(id_col)
+    # within-batch dedup via MIN_BY per fingerprint, mirroring
+    # exact_dedup/incremental_exact_dedup (round-12; guide §2.5): the old
+    # row_number() OVER (PARTITION BY fp) funneled a 10^7-copy duplicate
+    # group through ONE window task — windows get no map-side combine and
+    # no AQE skew splitting, while min_by partial-aggregates map-side so
+    # the exchange carries (distinct fps x map partitions) rows whatever
+    # the group sizes. Deterministic (ids unique, non-null), identical to
+    # the old keep-lowest-id window for non-null ids.
+    row = F.struct(*batch.columns).alias("_row")
     return (
-        union.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("fp", "_rn")
+        union.groupBy("fp")
+        .agg(F.min_by(row, F.col(id_col)).alias("_row"))
+        .select("_row.*")
     )

@@ -185,6 +185,15 @@ def tfidf_top_terms(
     (term counts per doc, document frequency per term) and a per-doc
     window top-k — no UDFs, no driver-side vocabulary.
 
+    N is a 1-row COUNT aggregate broadcast-crossJoined into the scoring
+    plan (round-12; guide §5): the old driver-side df.count() was a full
+    extra pass over the corpus run as a SEPARATE blocking job before the
+    main plan even existed — the same serialize-the-pipeline shape
+    round 11 removed from epoch_shuffle. In-plan, the count branch runs
+    concurrently with the rest of the query and its one row broadcasts
+    for free. CAST to double before the divide keeps the float math
+    bit-identical to the old F.lit(float(n_docs)).
+
     Round-11 note: a COUNT(*) window over term in place of the
     groupBy + equi-join was tried (one exchange fewer at fixture scale,
     inside the noise band) and REJECTED: a window shuffles every tf row
@@ -197,15 +206,18 @@ def tfidf_top_terms(
 
     from .dedup import normalize_text
 
-    n_docs = df.count()
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     words = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
     )
     tf = words.groupBy("id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(dfreq, "term").withColumn(
-        "score", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.log(F.col("_n_docs") / F.col("df")))
+        .drop("_n_docs")
     )
     w = W.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
     return (

@@ -152,11 +152,21 @@ def b07(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline-family representative: stratum sizing (the sampling prep step)",
 )
 def b08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # total as an in-plan broadcast 1-row aggregate, not a driver-side
+    # d.count() (round-12; guide §5): the count branch runs inside the
+    # same query instead of a separate blocking full pass over the corpus.
     d = load(spark, sf_dir, "documents")
-    total = d.count()
-    return d.groupBy("source", "lang").agg(
-        F.count("*").alias("n"),
-        F.round(F.count("*") / F.lit(total), 6).alias("frac"),
+    total = d.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        d.groupBy("source", "lang")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "lang",
+            "n",
+            F.round(F.col("n") / F.col("_total"), 6).alias("frac"),
+        )
     )
 
 

@@ -155,6 +155,12 @@ def main() -> int:
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # "cpus" and "sf_dir" are ADDITIVE fields (round-12): the effective
+    # parallelism proves $SPARK_GRAFT_CPUS was honored (the driver's
+    # scaling heuristic previously had to guess — at sub-second fixture
+    # scale every query is overhead-bound, so 8-core/32-core ratios sit
+    # at ~1 even though local[N] is built from the env var; session.py
+    # reads it and sets master + shuffle.partitions from it).
     print(
         json.dumps(
             {
@@ -163,6 +169,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cpus": spark.sparkContext.defaultParallelism,
+                "sf_dir": sf_dir,
             }
         )
     )

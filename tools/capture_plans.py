@@ -4,7 +4,8 @@ Usage: python tools/capture_plans.py <tag> [query ...]
 
 Writes plans/<tag>/<query>_{before|after}.txt depending on --after flag;
 default suffix comes from the tag convention used by the optimization
-rounds: `python tools/capture_plans.py r11 --suffix before`.
+rounds: `python tools/capture_plans.py r12 --suffix before` and
+`--suffix=after` both work (the flag takes a value either way).
 """
 
 from __future__ import annotations
@@ -18,13 +19,28 @@ from bench import BENCH_QUERIES  # noqa: E402
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # --suffix takes a value either as --suffix=before or --suffix before;
+    # the space-separated form previously leaked the value into the query
+    # list and silently set the suffix to "after" (round-11 ADVICE).
+    argv = sys.argv[1:]
+    suffix = "before"
+    rest: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--suffix"):
+            if "=" in a:
+                suffix = a.split("=", 1)[1]
+            elif i + 1 < len(argv):
+                suffix = argv[i + 1]
+                i += 1
+            i += 1
+            continue
+        rest.append(a)
+        i += 1
+    args = [a for a in rest if not a.startswith("--")]
     tag = args[0] if args else "r11"
     names = args[1:] or BENCH_QUERIES
-    suffix = "before"
-    for a in sys.argv[1:]:
-        if a.startswith("--suffix"):
-            suffix = a.split("=", 1)[1] if "=" in a else "after"
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
