@@ -68,8 +68,13 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     min_by is a declarative aggregate: each map partition keeps one
     candidate row per hash before the exchange, so the shuffle carries
     (distinct hashes x map partitions) rows whatever the group sizes.
-    Ties are impossible (ids unique), so the result is deterministic and
-    identical to the old keep-first window."""
+
+    Precondition: ids are UNIQUE and NON-NULL (true of every id column in
+    this engine). Under it, ties are impossible and the result is
+    deterministic and identical to the old keep-first window. NULL ids
+    would diverge: min_by ignores NULL-ordered rows, so a hash group
+    whose ids are all NULL would yield one all-NULL row where the old
+    asc_nulls_first window kept a real row."""
     h = F.md5(normalize_text(text_col)).alias("_h")
     row = F.struct(*df.columns).alias("_row")
     return (
@@ -227,6 +232,58 @@ def _verify_pairs(
     )
 
 
+def _prefix_stage(
+    exploded: DataFrame, threshold: float, max_shingle_df: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(filtered_exploded, prefix) — the df-ranked prefix of every doc's
+    shingle list, UNcheckpointed (ngram_jaccard_pairs materializes it;
+    exposed separately so plan tests can inspect the pre-checkpoint shape,
+    which a checkpoint would otherwise hide).
+
+    Document frequency comes from a partial-aggregated count joined back,
+    NOT a COUNT(*) window over shingle (round-11): a window ships a hot
+    shingle's ENTIRE posting list into one task with no map-side combine,
+    and AQE skew handling splits only joins, never windows — the exact
+    100 TB stall shape §2.5 of the optimization guide warns about, on the
+    one key class (boilerplate shingles) guaranteed to be hot in a dedup
+    corpus. The aggregate's exchange carries one row per (map partition,
+    shingle); the join back is AQE-skew-splittable and costs the same
+    shingle-keyed redistribution + sort the window needed anyway.
+
+    The ranked window's exchange carries narrow rows (round-12; guide
+    §2.3): n_sh is a per-id count, so COUNT(*) OVER (PARTITION BY id)
+    reproduces it on top of the SAME exchange the row_number window needs
+    (unordered whole-partition frame: no extra sort, no extra shuffle,
+    and per-id partitions are bounded by document length, so no hot-key
+    exposure). df_ must ride (it is the sort key) but is projected away
+    before the checkpoint, so the materialized prefix carries only
+    (shingle, id, n_sh, r). When max_shingle_df is set, n_sh over the
+    SURVIVING shingles (jaccard must stay consistent with the filtered
+    universe) falls out of the same window count — the old dedicated
+    COUNT(*)-over-id window pass is gone."""
+    if max_shingle_df is not None:
+        keep = (
+            exploded.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") <= max_shingle_df)
+        )
+        exploded = exploded.join(keep.select("shingle"), "shingle")
+    dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("df_"))
+    w_id = W.partitionBy("id")
+    ranked = exploded.select("id", "shingle").join(dfreq, "shingle").select(
+        "shingle",
+        "id",
+        F.count("*").over(w_id).alias("n_sh"),
+        F.row_number().over(w_id.orderBy("df_", "shingle")).alias("r"),
+    )
+    eps = 1e-9
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh") - eps) + 1
+    prefix = ranked.filter(F.col("r") <= prefix_len).select(
+        "shingle", "id", "n_sh", "r"
+    )
+    return exploded, prefix
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -270,51 +327,9 @@ def ngram_jaccard_pairs(
     exploded = shingles if shingles is not None else shingle_table(
         df, id_col, text_col, k
     )
-    if max_shingle_df is not None:
-        keep = (
-            exploded.groupBy("shingle")
-            .agg(F.count("*").alias("df_"))
-            .filter(F.col("df_") <= max_shingle_df)
-        )
-        # n_sh over the surviving shingles (jaccard must stay consistent
-        # with the filtered universe) is recomputed INSIDE the ranked
-        # window below — same id partitioning, so the old dedicated
-        # COUNT(*)-over-id window pass here is gone (round-12).
-        exploded = exploded.join(keep.select("shingle"), "shingle")
-    # document frequency via a partial-aggregated count joined back, NOT a
-    # COUNT(*) window over shingle (round-11): a window ships a hot
-    # shingle's ENTIRE posting list into one task with no map-side
-    # combine, and AQE skew handling splits only joins, never windows —
-    # the exact 100 TB stall shape §2.5 of the optimization guide warns
-    # about, on the one key class (boilerplate shingles) guaranteed to be
-    # hot in a dedup corpus. The aggregate's exchange carries one row per
-    # (map partition, shingle); the join back is AQE-skew-splittable and
-    # costs the same shingle-keyed redistribution + sort the window
-    # needed anyway.
-    dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("df_"))
-    # Shuffle narrower rows into the ranked window (round-12; guide §2.3):
-    # n_sh is droppable from everything upstream of the id exchange — it
-    # is a per-id count, so COUNT(*) OVER (PARTITION BY id) reproduces it
-    # on top of the SAME exchange the row_number window needs (an
-    # unordered whole-partition frame: no extra sort, no extra shuffle,
-    # and per-id partitions are bounded by document length so there is no
-    # hot-key exposure). df_ must ride (it is the sort key), but it is
-    # projected away before the prefix checkpoint so the materialized
-    # prefix carries only (shingle, id, n_sh, r).
-    w_id = W.partitionBy("id")
-    ranked = exploded.select("id", "shingle").join(dfreq, "shingle").select(
-        "shingle",
-        "id",
-        F.count("*").over(w_id).alias("n_sh"),
-        F.row_number().over(w_id.orderBy("df_", "shingle")).alias("r"),
-    )
+    exploded, prefix_plan = _prefix_stage(exploded, threshold, max_shingle_df)
     eps = 1e-9
-    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh") - eps) + 1
-    prefix = (
-        ranked.filter(F.col("r") <= prefix_len)
-        .select("shingle", "id", "n_sh", "r")
-        .localCheckpoint(eager=True)
-    )
+    prefix = prefix_plan.localCheckpoint(eager=True)
     a = prefix.select(
         "shingle",
         F.col("r").alias("r_a"),

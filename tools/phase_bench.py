@@ -30,9 +30,6 @@ def main() -> int:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
-
     from athena_delta_lake_spark import get_spark
     from athena_delta_lake_spark.operators import dedup
     from athena_delta_lake_spark.queries.base import load
@@ -45,52 +42,25 @@ def main() -> int:
     load(spark, sf_dir, "documents").count()
 
     if what in ("d03", "all"):
+        # Phases call the SHIPPED internals (_prefix_stage, the
+        # shingles/sets injection path of ngram_jaccard_pairs) instead of
+        # a re-implementation, so the timings track production code
+        # (round-11 ADVICE: the old block re-built the pre-round-11
+        # COUNT(*)-window + pre-verify-dropDuplicates formulation).
         print("== d03 phases (fresh, no shared cache) ==")
         d = load(spark, sf_dir, "documents")
+        threshold = 0.6
         t0 = time.time()
         sets, sh = dedup.shingle_corpus(d, "doc_id", "text", 3)
         print(f"  shingle_corpus (localCheckpoint): {time.time()-t0:.3f}s")
-        ranked = sh.withColumn(
-            "df_", F.count("*").over(W.partitionBy("shingle"))
-        ).withColumn(
-            "r", F.row_number().over(W.partitionBy("id").orderBy("df_", "shingle"))
-        )
-        eps = 1e-9
-        threshold = 0.6
-        prefix_len = (
-            F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh") - eps) + 1
-        )
+        _, prefix_plan = dedup._prefix_stage(sh, threshold)
         t0 = time.time()
-        prefix = ranked.filter(F.col("r") <= prefix_len).localCheckpoint(eager=True)
+        prefix_plan.localCheckpoint(eager=True)
         print(f"  ranked+prefix (localCheckpoint): {time.time()-t0:.3f}s")
-        a = prefix.select(
-            "shingle", F.col("r").alias("r_a"), F.col("id").alias("id_a"),
-            F.col("n_sh").alias("n_a"),
+        pairs = dedup.ngram_jaccard_pairs(
+            d, "doc_id", "text", k=3, threshold=threshold, shingles=sh, sets=sets
         )
-        b = prefix.select(
-            "shingle", F.col("r").alias("r_b"), F.col("id").alias("id_b"),
-            F.col("n_sh").alias("n_b"),
-        )
-        alpha = F.ceil(
-            F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b")) - eps
-        )
-        overlap_ub = (
-            F.least(F.col("n_a") - F.col("r_a"), F.col("n_b") - F.col("r_b")) + 1
-        )
-        cands = (
-            a.join(b, "shingle")
-            .filter(
-                (F.col("id_a") < F.col("id_b"))
-                & (F.col("n_b") >= F.lit(threshold) * F.col("n_a") - eps)
-                & (F.col("n_a") >= F.lit(threshold) * F.col("n_b") - eps)
-                & (overlap_ub >= alpha)
-            )
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
-        )
-        noop(cands, "cands join+dedup", spark)
-        verified = dedup._verify_pairs(sh, cands, threshold, sets=sets)
-        noop(verified, "verify (re-runs cands)", spark)
+        noop(pairs, "prefix+cands+verify (shipped operator)", spark)
 
     if what in ("d04", "all"):
         print("== d04 phases ==")
@@ -102,24 +72,21 @@ def main() -> int:
         mh = dedup.minhash_table(sh, 64)
         banded = dedup.band_table(mh, 2).localCheckpoint(eager=True)
         print(f"  minhash+band (localCheckpoint): {time.time()-t0:.3f}s")
-        left = banded.select("band", "band_hash", F.col("id").alias("id_a"))
-        right = banded.select("band", "band_hash", F.col("id").alias("id_b"))
-        cands = (
-            left.join(right, ["band", "band_hash"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
+        # candidate dedup lives INSIDE _verify_pairs since round-11; time
+        # the shipped operator tail rather than a stale re-implementation
+        pairs = dedup.minhash_lsh_pairs(
+            load(spark, sf_dir, "documents"), "doc_id", "text",
+            k=3, threshold=0.6, shingles=sh,
         )
-        noop(cands, "band self-join+dedup", spark)
+        noop(pairs, "band join+verify (shipped operator)", spark)
 
     if what in ("x06", "all"):
         print("== x06 phases ==")
         from athena_delta_lake_spark.operators import text as tx
 
+        # round-12: n_docs is an in-plan broadcast aggregate now — there
+        # is no separate driver-side count phase to time anymore
         d = load(spark, sf_dir, "documents")
-        t0 = time.time()
-        n = d.count()
-        print(f"  n_docs count: {time.time()-t0:.3f}s ({n} docs)")
         noop(tx.tfidf_top_terms(d, "doc_id", "text", 3), "tfidf full", spark)
 
     if what in ("p07", "all"):
