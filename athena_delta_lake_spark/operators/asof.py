@@ -230,29 +230,40 @@ def funnel(
     few (<= 5 typically), so this is a handful of uniform-key shuffles,
     never a per-user Python loop. Users missing a stage drop out of all
     later stages (inner join), exactly funnel semantics.
+
+    The per-stage user counts are a UNION of 1-row aggregates over the
+    lazy stage plans (round-12; guide §5): the old loop ran a blocking
+    driver-side reached.count() per stage — each one a separate job that
+    recomputed every earlier stage from scratch (quadratic re-execution)
+    — then shipped the numbers back via createDataFrame. Now the whole
+    funnel is ONE query; no data touches the driver.
     """
-    u, t, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+    t, ty = F.col(ts_col), F.col(type_col)
     reached = (
         df.filter(ty == stages[0])
         .groupBy(user_col)
         .agg(F.min(t).alias("_t0"))
     )
-    counts = [(0, stages[0], reached.count())]
+
+    def stage_row(r: DataFrame, idx: int, stage: str) -> DataFrame:
+        return r.agg(F.count("*").alias("n_users")).select(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            "n_users",
+        )
+
+    out = stage_row(reached, 0, stages[0])
     for i, stage in enumerate(stages[1:], start=1):
         prev_col = f"_t{i - 1}"
-        nxt = (
+        reached = (
             df.filter(ty == stage)
             .join(reached, user_col)
             .filter(t > F.col(prev_col))
             .groupBy(user_col, prev_col)
             .agg(F.min(t).alias(f"_t{i}"))
         )
-        reached = nxt
-        counts.append((i, stage, reached.count()))
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        counts, "stage_idx int, stage string, n_users long"
-    )
+        out = out.unionByName(stage_row(reached, i, stage))
+    return out
 
 
 def interval_join(

@@ -163,15 +163,38 @@ def lsh_ann(
     # the Python-UDF signature stage (~1 s of worker startup per launch)
     c = c.localCheckpoint(eager=True)
     q = q.localCheckpoint(eager=True)
+    # Each branch keeps only pairs whose FIRST agreeing table is t — a
+    # pure function of the two signature tuples already sitting on the
+    # joined row — so the union holds every colliding pair exactly once
+    # and the old dropDuplicates([query_id, corpus_id]) is gone entirely
+    # (round-12; guide §2.4). That dedup was the only pre-scoring
+    # exchange, and it carried BOTH vector payloads; now nothing shuffles
+    # until the final per-query top-k window. The cost is t extra longs
+    # per side in branch t (signature columns), which never cross an
+    # exchange (corpus side streams, query side broadcasts).
     cands = None
     for t in range(n_tables):
-        ct = c.select(corpus_id, corpus_vec, F.col(f"_b{t}").alias("_bucket"))
-        qt = q.select(query_id, query_vec, F.col(f"_b{t}").alias("_bucket"))
-        pairs = ct.join(F.broadcast(qt), "_bucket").select(
-            query_id, query_vec, corpus_id, corpus_vec
+        ct = c.select(
+            corpus_id,
+            corpus_vec,
+            F.col(f"_b{t}").alias("_bucket"),
+            *[F.col(f"_b{j}").alias(f"_cb{j}") for j in range(t)],
+        )
+        qt = q.select(
+            query_id,
+            query_vec,
+            F.col(f"_b{t}").alias("_bucket"),
+            *[F.col(f"_b{j}").alias(f"_qb{j}") for j in range(t)],
+        )
+        first_agree = F.lit(True)
+        for j in range(t):
+            first_agree = first_agree & (F.col(f"_cb{j}") != F.col(f"_qb{j}"))
+        pairs = (
+            ct.join(F.broadcast(qt), "_bucket")
+            .filter(first_agree)
+            .select(query_id, query_vec, corpus_id, corpus_vec)
         )
         cands = pairs if cands is None else cands.unionByName(pairs)
-    cands = cands.dropDuplicates([query_id, corpus_id])
     scored = cands.select(
         F.col(query_id),
         F.col(corpus_id),
@@ -362,21 +385,33 @@ def near_duplicate_pairs_cosine(
             planes = random_hyperplanes(dim, n_planes, seed + t)
             c = c.withColumn(f"_b{t}", lsh_signature(F.col(vec_col), planes))
         c = c.localCheckpoint(eager=True)  # self-joined per table below
+        # first-agreeing-table filter instead of dropDuplicates (round-12;
+        # guide §2.4, same recipe as lsh_ann): which tables a pair agrees
+        # on is a pure function of the two signature tuples on the joined
+        # row, so keeping each pair only where t is its first agreeing
+        # table makes the union exactly-once and removes the pair-keyed
+        # dedup exchange — which carried BOTH embedding payloads.
         pairs = None
         for t in range(n_tables):
             left = c.select(
                 F.col(corpus_id).alias("id_a"),
                 F.col(vec_col).alias("va"),
                 F.col(f"_b{t}").alias("_bucket"),
+                *[F.col(f"_b{j}").alias(f"_ab{j}") for j in range(t)],
             )
             right = c.select(
                 F.col(corpus_id).alias("id_b"),
                 F.col(vec_col).alias("vb"),
                 F.col(f"_b{t}").alias("_bucket"),
+                *[F.col(f"_b{j}").alias(f"_bb{j}") for j in range(t)],
             )
-            p = left.join(right, "_bucket").filter(F.col("id_a") < F.col("id_b"))
+            cond = F.col("id_a") < F.col("id_b")
+            for j in range(t):
+                cond = cond & (F.col(f"_ab{j}") != F.col(f"_bb{j}"))
+            p = left.join(right, "_bucket").filter(cond).select(
+                "id_a", "va", "id_b", "vb"
+            )
             pairs = p if pairs is None else pairs.unionByName(p)
-        pairs = pairs.dropDuplicates(["id_a", "id_b"]).select("id_a", "va", "id_b", "vb")
     return (
         pairs.select(
             "id_a", "id_b", cosine_pandas(F.col("va"), F.col("vb")).alias("sim")

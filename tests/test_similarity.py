@@ -87,6 +87,43 @@ def test_near_duplicate_pairs_lsh_mode(spark, sf_dir):
         assert len(lsh & exact) / len(exact) >= 0.5
 
 
+def test_lsh_pair_streams_are_exactly_once_without_dedup_shuffle(spark):
+    """Round-12: both LSH pair generators keep a pair only on its FIRST
+    agreeing table instead of dropDuplicates — on identical vectors
+    (which collide on EVERY table) each pair must still appear exactly
+    once, and the plan must carry no pair-keyed exchange."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    same = rng.normal(size=8).tolist()
+    rows = [(i, same) for i in range(4)]  # 4 identical -> all-table collisions
+    rows += [(100 + i, rng.normal(size=8).tolist()) for i in range(6)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    nd = sim.near_duplicate_pairs_cosine(
+        e, threshold=0.99, dim=8, n_planes=2, n_tables=6
+    )
+    plan = nd._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(id_a" not in plan, "pair-keyed dedup exchange is back"
+    got = [(r["id_a"], r["id_b"]) for r in nd.collect()]
+    assert len(got) == len(set(got)), f"duplicate pairs emitted: {sorted(got)}"
+    clique = sorted(t for t in got if t[0] < 100)
+    assert clique == [(a, b) for a in range(4) for b in range(4) if a < b]
+
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    ann = sim.lsh_ann(q, e, dim=8, k=10, n_planes=2, n_tables=6)
+    res = ann.collect()
+    keys = [(r["q_id"], r["vec_id"]) for r in res]
+    assert len(keys) == len(set(keys)), "duplicate candidates survived"
+    # identical vectors must all be retrieved with distinct ranks 1..n
+    ranks = sorted(r["rank"] for r in res)
+    assert ranks == list(range(1, len(ranks) + 1))
+    got_ids = {r["vec_id"] for r in res}
+    assert {0, 1, 2, 3} <= got_ids
+
+
 def test_persisted_ivf_index(spark, sf_dir, tmp_path):
     """Index build -> Delta table partitioned by cell; search prunes to
     probed cells; full-probe search == brute force exactly."""
