@@ -42,6 +42,11 @@ ALLOWLIST: dict[str, set[str]] = {
     # dense time-axis spine crossed with distinct groups: output-bounded
     # by construction (n_groups x n_buckets rows)
     "w10_gapfill_hourly": {"BroadcastNestedLoopJoin"},
+    # round-12: the corpus count is a 1-row aggregate broadcast-crossJoined
+    # into the plan (replacing a blocking driver-side df.count() job) —
+    # the nested-loop side is that single row
+    "b08_stratified_counts": {"BroadcastNestedLoopJoin"},
+    "x06_tfidf_top_terms": {"BroadcastNestedLoopJoin"},
 }
 
 # families audited by default: batch relational surface + extensions whose
