@@ -269,12 +269,18 @@ def _prefix_stage(
         )
         exploded = exploded.join(keep.select("shingle"), "shingle")
     dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("df_"))
-    w_id = W.partitionBy("id")
+    # both window functions share ONE spec (same partition + order): the
+    # count's explicit whole-partition frame makes it the partition size,
+    # and Spark folds same-spec window expressions into a single Window
+    # operator — one exchange, one sort, one pass
+    w_ord = W.partitionBy("id").orderBy("df_", "shingle")
     ranked = exploded.select("id", "shingle").join(dfreq, "shingle").select(
         "shingle",
         "id",
-        F.count("*").over(w_id).alias("n_sh"),
-        F.row_number().over(w_id.orderBy("df_", "shingle")).alias("r"),
+        F.count("*")
+        .over(w_ord.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("n_sh"),
+        F.row_number().over(w_ord).alias("r"),
     )
     eps = 1e-9
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh") - eps) + 1
