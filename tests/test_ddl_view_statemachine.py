@@ -12,6 +12,10 @@ import random
 
 import pytest
 
+# slow tier (round-12): randomized walks / fuzz soaks — deselected by
+# the default fast tier (see pytest.ini); the full tier runs them all
+pytestmark = pytest.mark.slow
+
 from athena_delta_lake_spark.catalog import DeltaPond
 
 

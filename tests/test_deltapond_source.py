@@ -954,6 +954,7 @@ def test_stream_truncate_and_replace_commits(spark, tmp_path):
         q3.stop()
 
 
+@pytest.mark.slow  # 5000-file scale soak (~4 min alone): slow tier
 def test_bounded_catchup_drains_5000_file_backlog(spark, tmp_path):
     """Round-7 ask #5: a 5000-file backlog streams in BOUNDED batches
     under plain Trigger.AvailableNow — each run drains exactly one capped

@@ -16,6 +16,10 @@ import random
 import pandas as pd
 import pytest
 
+# slow tier (round-12): randomized walks / fuzz soaks — deselected by
+# the default fast tier (see pytest.ini); the full tier runs them all
+pytestmark = pytest.mark.slow
+
 from athena_delta_lake_spark import DeltaTable, write_delta
 from athena_delta_lake_spark.delta.log import DeltaLog
 from athena_delta_lake_spark.delta.writer import (

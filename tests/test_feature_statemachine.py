@@ -14,6 +14,10 @@ import random
 
 import pytest
 
+# slow tier (round-12): randomized walks / fuzz soaks — deselected by
+# the default fast tier (see pytest.ini); the full tier runs them all
+pytestmark = pytest.mark.slow
+
 from athena_delta_lake_spark import DeltaTable, write_delta
 from athena_delta_lake_spark.catalog import DeltaPond
 from athena_delta_lake_spark.delta import DeltaLog, drop_feature

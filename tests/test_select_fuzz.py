@@ -10,6 +10,10 @@ from __future__ import annotations
 
 import pytest
 
+# slow tier (round-12): randomized walks / fuzz soaks — deselected by
+# the default fast tier (see pytest.ini); the full tier runs them all
+pytestmark = pytest.mark.slow
+
 from tools.fuzz_select import TABLES, run_seed
 
 

@@ -44,6 +44,10 @@ import random
 
 import pytest
 
+# slow tier (round-12): randomized walks / fuzz soaks — deselected by
+# the default fast tier (see pytest.ini); the full tier runs them all
+pytestmark = pytest.mark.slow
+
 from athena_delta_lake_spark import DeltaTable, write_delta
 from athena_delta_lake_spark.delta.deletion_vectors import read_dv_positions
 from athena_delta_lake_spark.delta.dml import truncate_table
